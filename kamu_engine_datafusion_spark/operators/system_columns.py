@@ -1,0 +1,158 @@
+"""System-column injection (reference operators A13–A16).
+
+Reference ``with_system_columns`` (``src/engine.rs:478-561``):
+
+1. ``offset`` = ``row_number() OVER (PARTITION BY 1 ORDER BY NULL)``
+   + (start_offset - 1), cast Int64 — deterministic there only because
+   the whole engine runs single-partition (``target_partitions=1``).
+2. ``op`` = literal ``Append(0)`` Int32 if the query didn't emit one.
+3. ``system_time`` = constant ms-UTC literal from the request.
+4. Final column order ``offset, op, system_time, event_time, <data…>``.
+
+Spark-first design: the reference pays for deterministic offsets by
+serializing the *entire* plan. We keep the user query parallel and offer
+two offset assigners:
+
+- :func:`assign_offsets_serial` — parity mode: ``coalesce(1)`` **after**
+  the query has computed in parallel, then a zero-shuffle, zero-sort
+  per-partition id. Right for ODF micro-batch outputs (the output must
+  be a single file anyway, A17).
+- :func:`assign_offsets_distributed` — scale mode: classic two-pass
+  assignment (per-partition counts → driver-side cumulative bases →
+  base + intra-partition index). No global sort, no single-partition
+  bottleneck; offsets are dense, unique, and ledger-ordered by
+  (partition, position). Use when the output is too large for one file
+  and the coordinator accepts multi-file slices.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kamu_engine_datafusion_spark.plans.types import OP_APPEND, DatasetVocabulary
+
+#: monotonically_increasing_id packs the partition id in the upper 31
+#: bits and a per-partition counter in the lower 33
+#: (public Spark semantics of `monotonically_increasing_id`).
+_MID_PARTITION_SHIFT = 33
+_MID_INDEX_MASK = (1 << _MID_PARTITION_SHIFT) - 1
+
+
+def assign_offsets_serial(
+    df: DataFrame, offset_column: str, start_offset: int
+) -> DataFrame:
+    """A13 (parity mode): dense Int64 offsets ``start, start+1, …`` in
+    result-row order on a single partition.
+
+    ``coalesce(1)`` merges the (parallel) upstream partitions in
+    partition order without a shuffle; ``monotonically_increasing_id``
+    on one partition is exactly ``0..n-1`` in row order — equivalent to
+    the reference's ``row_number() OVER (PARTITION BY 1 ORDER BY NULL)``
+    (``src/engine.rs:495-518``) but with no window sort at all.
+    """
+    return df.coalesce(1).withColumn(
+        offset_column,
+        (F.monotonically_increasing_id() + F.lit(start_offset)).cast(T.LongType()),
+    )
+
+
+def assign_offsets_distributed(
+    df: DataFrame, offset_column: str, start_offset: int
+) -> DataFrame:
+    """A13 (scale mode): dense Int64 offsets without a single-partition
+    bottleneck.
+
+    Two passes: (1) count rows per partition (a tiny job — one long per
+    partition to the driver); (2) broadcast the cumulative base per
+    partition and add the intra-partition index extracted from
+    ``monotonically_increasing_id``. Cost: one extra scan (or a cheap
+    cache hit), zero shuffles, zero sorts — survives a 100× scale-up
+    where a global ``row_number`` would serialize terabytes through one
+    task.
+
+    Row order *within* a partition follows scan order; partition order
+    follows the DataFrame's partitioning, so offsets are stable for
+    deterministic plans (file scans). For a total order tied to data,
+    sort/repartitionByRange upstream first.
+    """
+    mid = F.monotonically_increasing_id()
+    with_mid = df.withColumn("__odf_mid", mid)
+    # Pass 1: per-partition counts (partition id lives in the mid's high bits,
+    # so the count job and the final pass see identical partition ids even if
+    # a recompute re-plans the scan).
+    pid = F.shiftright(F.col("__odf_mid"), _MID_PARTITION_SHIFT).alias("__odf_pid")
+    counts = (
+        with_mid.select(pid)
+        .groupBy("__odf_pid")
+        .agg(F.count(F.lit(1)).alias("__odf_cnt"))
+        .collect()
+    )
+    bases: dict[int, int] = {}
+    acc = start_offset
+    for row in sorted(counts, key=lambda r: r["__odf_pid"]):
+        bases[row["__odf_pid"]] = acc
+        acc += row["__odf_cnt"]
+    # Pass 2: offset = base[pid] + index-within-partition.
+    base_map = F.create_map(
+        *[F.lit(x) for kv in bases.items() for x in kv]
+    )
+    return (
+        with_mid.withColumn(
+            offset_column,
+            (
+                base_map[F.shiftright(F.col("__odf_mid"), _MID_PARTITION_SHIFT)]
+                + F.col("__odf_mid").bitwiseAND(F.lit(_MID_INDEX_MASK))
+            ).cast(T.LongType()),
+        )
+        .drop("__odf_mid")
+    )
+
+
+def with_system_columns(
+    df: DataFrame,
+    vocab: DatasetVocabulary,
+    system_time: datetime,
+    start_offset: int,
+    distributed_offsets: bool = False,
+) -> DataFrame:
+    """A13–A16: append offset/op/system_time and normalize column order
+    (``src/engine.rs:478-561``)."""
+    # Data columns = everything except event_time and op, in original order
+    # (offset/system_time cannot appear — validation rejected them).
+    data_columns = [
+        f.name
+        for f in df.schema.fields
+        if f.name not in (vocab.event_time_column, vocab.operation_type_column)
+    ]
+
+    # A13: offset
+    if distributed_offsets:
+        df = assign_offsets_distributed(df, vocab.offset_column, start_offset)
+    else:
+        df = assign_offsets_serial(df, vocab.offset_column, start_offset)
+
+    # A14: default op = Append(0) Int32 (src/engine.rs:521-533)
+    if vocab.operation_type_column not in [f.name for f in df.schema.fields]:
+        df = df.withColumn(
+            vocab.operation_type_column, F.lit(OP_APPEND).cast(T.IntegerType())
+        )
+
+    # A15: constant system_time, ms precision UTC (src/engine.rs:536-545)
+    if system_time.tzinfo is None:
+        system_time = system_time.replace(tzinfo=timezone.utc)
+    ms = int(system_time.timestamp() * 1000)
+    df = df.withColumn(vocab.system_time_column, F.timestamp_millis(F.lit(ms)))
+
+    # A16: column reorder (src/engine.rs:548-557)
+    ordered = [
+        vocab.offset_column,
+        vocab.operation_type_column,
+        vocab.system_time_column,
+        vocab.event_time_column,
+        *data_columns,
+    ]
+    return df.select(*ordered)

@@ -1,0 +1,130 @@
+"""Local correctness harness mimicking the driver's DuckDB-oracle compare.
+
+Runs every ``queries()`` entry against its ``oracle_sql()`` at the given
+scale factor: row count, column names, and order-insensitive exact value
+comparison (after canonicalization). Prints a PASS/FAIL table and, for
+failures, the first differing rows.
+
+Usage: python tools/check_correctness.py [sf_dir] [key_prefix...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from datetime import date, datetime
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from __spark_entry__ import oracle_sql, queries  # noqa: E402
+from kamu_engine_datafusion_spark.session import odf_session  # noqa: E402
+from kamu_engine_datafusion_spark.queries._util import TABLES  # noqa: E402
+
+
+def canon(v):
+    """Canonicalize a value for order-insensitive comparison."""
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(round(v, 9))
+    if isinstance(v, datetime):
+        # strip tz: compare instants as naive UTC
+        if v.tzinfo is not None:
+            v = v.astimezone(tz=None).replace(tzinfo=None) if False else v.replace(tzinfo=None)
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(canon(x) for x in v)
+    if isinstance(v, bytes):
+        return v.hex()
+    try:
+        import decimal
+
+        if isinstance(v, decimal.Decimal):
+            return float(round(float(v), 9))
+    except ImportError:
+        pass
+    return v
+
+
+def rows_key(rows):
+    return sorted(
+        (tuple(canon(v) for v in r) for r in rows),
+        key=lambda t: tuple((x is None, str(x)) for x in t),
+    )
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    prefixes = tuple(sys.argv[2:])
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    spark = odf_session("odf-correctness-check")
+    qs, os_ = queries(), oracle_sql()
+
+    n_pass = n_fail = n_rows_only = 0
+    failures = []
+    for key, fn in sorted(qs.items()):
+        if prefixes and not key.startswith(prefixes):
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = [f.name for f in sdf.schema.fields]
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            print(f"FAIL  {key:28s} spark error: {str(e).splitlines()[0][:120]}")
+            failures.append(key)
+            n_fail += 1
+            continue
+        if key not in os_:
+            print(f"rows- {key:28s} {len(srows)} rows (no oracle)")
+            n_rows_only += 1
+            continue
+        try:
+            res = con.execute(os_[key])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as e:
+            print(f"FAIL  {key:28s} oracle error: {str(e).splitlines()[0][:120]}")
+            failures.append(key)
+            n_fail += 1
+            continue
+
+        problems = []
+        if scols != ocols:
+            problems.append(f"cols {scols} != {ocols}")
+        if len(srows) != len(orows):
+            problems.append(f"rowcount {len(srows)} != {len(orows)}")
+        if not problems:
+            sk, ok = rows_key(srows), rows_key(orows)
+            if sk != ok:
+                diffs = [
+                    (a, b) for a, b in zip(sk, ok) if a != b
+                ][:3]
+                problems.append(f"values differ, e.g. {diffs}")
+        if problems:
+            print(f"FAIL  {key:28s} {'; '.join(p[:400] for p in problems)}")
+            failures.append(key)
+            n_fail += 1
+        else:
+            print(f"PASS  {key:28s} {len(srows)} rows")
+            n_pass += 1
+
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
+    if failures:
+        print("failures:", " ".join(failures))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
