@@ -69,18 +69,23 @@ def assign_offsets_distributed(
     Two passes: (1) count rows per partition (a tiny job — one long per
     partition to the driver); (2) broadcast the cumulative base per
     partition and add the intra-partition index extracted from
-    ``monotonically_increasing_id``. Cost: one extra scan (or a cheap
-    cache hit), zero shuffles, zero sorts — survives a 100× scale-up
-    where a global ``row_number`` would serialize terabytes through one
-    task.
+    ``monotonically_increasing_id``. Cost: one extra pass over the
+    (persisted) input, zero extra shuffles, zero sorts — survives a 100×
+    scale-up where a global ``row_number`` would serialize terabytes
+    through one task.
 
-    Row order *within* a partition follows scan order; partition order
-    follows the DataFrame's partitioning, so offsets are stable for
-    deterministic plans (file scans). For a total order tied to data,
-    sort/repartitionByRange upstream first.
+    The input is persisted (memory-and-disk) before the count pass:
+    upstream stages like ``repartitionByRange`` re-sample boundaries on
+    recompute, so the two passes MUST observe the same physical
+    partitioning. The caller may ``unpersist()`` the result after its
+    terminal action.
+
+    Row order *within* a partition follows the persisted partition
+    order. For a total order tied to data, ``repartitionByRange`` +
+    ``sortWithinPartitions`` upstream first.
     """
     mid = F.monotonically_increasing_id()
-    with_mid = df.withColumn("__odf_mid", mid)
+    with_mid = df.withColumn("__odf_mid", mid).persist()
     # Pass 1: per-partition counts (partition id lives in the mid's high bits,
     # so the count job and the final pass see identical partition ids even if
     # a recompute re-plans the scan).
@@ -96,6 +101,9 @@ def assign_offsets_distributed(
     for row in sorted(counts, key=lambda r: r["__odf_pid"]):
         bases[row["__odf_pid"]] = acc
         acc += row["__odf_cnt"]
+    if not bases:  # empty input: no partitions produced rows
+        with_mid.unpersist()
+        return df.withColumn(offset_column, F.lit(start_offset).cast(T.LongType()))
     # Pass 2: offset = base[pid] + index-within-partition.
     base_map = F.create_map(
         *[F.lit(x) for kv in bases.items() for x in kv]
