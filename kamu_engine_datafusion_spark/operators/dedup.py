@@ -1,0 +1,242 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five dedup strategies over a document table, each designed for the
+100 TB regime (blocked/bucketed joins, no driver-side materialization,
+no O(n²) candidate generation):
+
+- :func:`exact_dedup` — hash-groupBy on content (or normalized content).
+- :func:`minhash_lsh_candidates` / :func:`minhash_lsh_dedup` — shingle →
+  MinHash signature → banded LSH bucket join → verified Jaccard.
+- :func:`simhash_near_dups` — 64-bit SimHash + same-bucket Hamming check.
+- :func:`ngram_jaccard_pairs` — token-set Jaccard within blocks.
+- :func:`embedding_near_dups` — cosine near-duplicates within blocks.
+
+All are pure DataFrame compositions (JVM-side column math from
+``functions.columns``); nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.functions.columns import (
+    cosine_similarity,
+    hamming64,
+    lsh_band_keys,
+    minhash_signature,
+    simhash64,
+    tokens,
+    word_shingles,
+)
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for exact dedup: lowercase, collapse runs of
+    whitespace, trim."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup: keep the lowest-id representative per normalized
+    content hash.
+
+    Scale: one shuffle on the 64-bit content hash (uniform keys — no
+    skew); the window per hash group is tiny. Equivalent semantics to
+    ``dropDuplicates`` but with a deterministic survivor.
+    """
+    h = F.xxhash64(normalize_text(text_col)).alias("__content_hash")
+    w = Window.partitionBy("__content_hash").orderBy(F.col(id_col))
+    return (
+        df.withColumn("__content_hash", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__content_hash", "__rn")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash LSH.
+
+    Pipeline: tokens → ``shingle_len``-word shingles → ``num_hashes``
+    MinHash signature → ``num_bands`` band keys → explode → self-join on
+    band key → distinct pairs (id_a < id_b).
+
+    Scale: the only shuffle is the band-key join; band keys are hashes
+    (uniform). A pathological bucket (thousands of identical docs) would
+    quadratically blow up its bucket — cap it upstream with
+    :func:`exact_dedup` first, which removes identical texts.
+    """
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signature(word_shingles(tokens(text_col), shingle_len), num_hashes)
+    banded = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(lsh_band_keys(sig, num_bands, rows_per_band)).alias("__band"),
+    ).distinct()
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def verified_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs: join the shingle
+    sets back onto the (small) candidate pair set and compare."""
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(tokens(text_col), shingle_len)).alias("__sh"),
+    )
+    return (
+        pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+) -> DataFrame:
+    """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
+    threshold → drop every doc that matches a lower-id survivor.
+
+    (Connected-component clustering is deliberately NOT done — chasing
+    transitive chains needs iterative joins; the lower-id-wins rule is
+    the standard single-pass policy and matches what exact_dedup does.)
+    """
+    cand = minhash_lsh_candidates(
+        df, text_col, id_col, shingle_len, num_hashes, num_bands
+    )
+    dups = (
+        verified_jaccard(df, cand, text_col, id_col, shingle_len)
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    return df.join(dups, id_col, "left_anti")
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    block_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-duplicate pairs: 64-bit fingerprint, block on the top
+    ``block_bits`` bits, verify Hamming distance within blocks.
+
+    Scale: SimHash is O(tokens) column math; the block join touches only
+    same-prefix fingerprints. For guaranteed recall at radius r use r+1
+    rotated prefix blocks (future knob); a single prefix block is the
+    cheap high-precision variant.
+    """
+    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    fp = df.select(
+        F.col(id_col).alias("__id"), simhash64(th).alias("__fp")
+    ).withColumn("__block", F.shiftright(F.col("__fp"), 64 - block_bits))
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.__block") == F.col("b.__block")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            hamming64(F.col("a.__fp"), F.col("b.__fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact token-set Jaccard similarity for all pairs within a block.
+
+    The block column bounds the O(n²): at 100 TB you never all-pairs the
+    corpus — you block on language/domain/length-bucket and pair within.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        (F.col(block_col) if block_col else F.lit("all")).alias("__blk"),
+        F.array_distinct(tokens(text_col)).alias("__tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            (
+                F.size(F.array_intersect("a.__tok", "b.__tok"))
+                / F.size(F.array_union("a.__tok", "b.__tok"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocks.
+
+    Blocking keeps the pair count linear-ish; for unblocked corpora use
+    the LSH route in ``operators.similarity`` to generate candidates
+    first.
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("__blk"),
+        F.col(vec_col).alias("__v"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            F.round(cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

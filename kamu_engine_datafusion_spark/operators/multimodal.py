@@ -1,0 +1,142 @@
+"""Multimodal column plumbing: images/audio/video as opaque binary
+columns with typed metadata.
+
+The container has no image/audio codecs, so the *decode* kernels are
+stubbed (deterministic fake or ``NotImplementedError``) — but everything
+Spark-side is real and tested: schemas, Arrow-batched ``mapInPandas``
+operators, batch shapes, and partitioning. Swapping the stub for PIL /
+torchaudio is a one-function change that doesn't touch the plan.
+
+Design for 100 TB of media:
+- media rows are big → keep ``spark.sql.files.maxPartitionBytes`` low
+  for these tables and never ``collect()``;
+- decode/feature kernels are ``mapInPandas`` (per-partition Arrow batch
+  iterators) so the Python cost is amortized per batch, not per row;
+- outputs are fixed-size vectors/structs so downstream joins/aggs stay
+  columnar.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+#: Typed metadata carried alongside every media binary.
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+HAVE_REAL_CODECS = False  # no PIL/ffmpeg in this container
+
+
+def synthesize_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
+    """Build a deterministic fake media table from any table: the payload
+    column's bytes become the binary 'content'. Stands in for a real
+    binary source (e.g. parquet with BYTE_ARRAY media blobs)."""
+    content = F.encode(F.col(payload_col).cast("string"), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.lit("image").alias("kind"),
+        F.lit("application/octet-stream").alias("mime"),
+        content.alias("content"),
+        F.length(content).cast("long").alias("n_bytes"),
+    )
+
+
+def _fake_decode_dims(content: bytes) -> tuple[int, int]:
+    """Deterministic stand-in for image decode: derive (width, height)
+    from a content digest. Replace with PIL.Image.open when codecs exist."""
+    if HAVE_REAL_CODECS:  # pragma: no cover
+        raise NotImplementedError("real decode not wired in this container")
+    d = hashlib.sha256(content or b"").digest()
+    return 64 + d[0] % 192, 64 + d[1] % 192
+
+
+DECODED_SCHEMA = (
+    "media_id long, kind string, n_bytes long, width int, height int"
+)
+
+
+def decode_media(df: DataFrame) -> DataFrame:
+    """Decode kernel over ``mapInPandas``: binary → (width, height).
+
+    Real shape of a distributed decode: Arrow batches stream through a
+    per-partition Python worker; output is a narrow typed frame.
+    """
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = pdf["content"].map(
+                lambda c: _fake_decode_dims(bytes(c) if c is not None else b"")
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": dims.map(lambda t: t[0]).astype("int32"),
+                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                }
+            )
+
+    return df.mapInPandas(kernel, DECODED_SCHEMA)
+
+
+FEATURES_SCHEMA = "media_id long, feat array<double>"
+
+
+def byte_histogram_features(df: DataFrame, bins: int = 16) -> DataFrame:
+    """Feature-extract kernel: normalized byte histogram per media blob —
+    the plumbing (and batch shape) of a real embedding extractor."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            feats = []
+            for c in pdf["content"]:
+                arr = np.frombuffer(bytes(c) if c is not None else b"", dtype=np.uint8)
+                if arr.size == 0:
+                    feats.append([0.0] * bins)
+                    continue
+                hist, _ = np.histogram(arr, bins=bins, range=(0, 256))
+                feats.append((hist / arr.size).tolist())
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feat": feats})
+
+    return df.mapInPandas(kernel, FEATURES_SCHEMA)
+
+
+def frame_sample(df: DataFrame, num_frames: int = 4) -> DataFrame:
+    """Frame-sample kernel: split each blob into ``num_frames`` equal
+    byte slices (stand-in for video frame extraction); output one row per
+    frame — the explode-shaped plumbing a real sampler needs."""
+    n = F.coalesce(F.length("content"), F.lit(0))
+    step = F.greatest((n / num_frames).cast("int"), F.lit(1))
+    frames = F.transform(
+        F.sequence(F.lit(0), F.lit(num_frames - 1)),
+        lambda i: F.struct(
+            i.cast("int").alias("frame_no"),
+            F.substring(F.col("content"), (i * step + 1).cast("int"), step).alias(
+                "frame_bytes"
+            ),
+        ),
+    )
+    return df.select(
+        "media_id", F.explode(frames).alias("f")
+    ).select(
+        "media_id",
+        F.col("f.frame_no").alias("frame_no"),
+        F.col("f.frame_bytes").alias("frame_bytes"),
+        F.length("f.frame_bytes").cast("long").alias("frame_len"),
+    )

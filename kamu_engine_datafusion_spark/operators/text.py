@@ -1,0 +1,118 @@
+"""Text-analysis operators for training-data pipelines.
+
+All pure column math (regexp/length/array built-ins) — these run inside
+whole-stage codegen at full scan speed, which is what you want when
+scoring 100 TB of documents:
+
+- :func:`language_id` — stopword-hit heuristic language guesser.
+- :func:`quality_features` / :func:`quality_score` — length/punct/
+  stopword/word-length signals composed into a [0,1] score.
+- :func:`token_count` / :func:`bpe_ish_token_count` — whitespace tokens
+  and a BPE-ish word/punctuation regex count.
+- :func:`fingerprint` — order-insensitive content fingerprint (md5 of
+  sorted distinct tokens) for clustering shuffled/reordered copies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.functions.columns import tokens
+
+#: Tiny public stopword lists (top function words per language).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "was", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "von", "mit", "ein", "zu"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "fr": ["le", "la", "de", "et", "est", "un", "une", "dans", "que", "pour"],
+}
+
+
+def _word_regex(words: list[str]) -> str:
+    return r"\b(" + "|".join(words) + r")\b"
+
+
+def stopword_hits(text: Column | str, lang: str) -> Column:
+    """Count of stopword occurrences for one language's list."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(F.lower(c), F.lit(_word_regex(STOPWORDS[lang])))
+
+
+def language_id(text: Column | str) -> Column:
+    """Heuristic language guess: the language whose stopword list hits
+    most often; ties and zero hits fall back to ``und`` (undetermined).
+
+    Deterministic tie-break: languages compared in sorted code order via
+    a greatest-hits scan.
+    """
+    hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
+    best_count = F.greatest(*hits.values())
+    result = F.lit("und")
+    # later (reverse-sorted) languages only win strictly greater counts —
+    # earlier code order wins ties
+    for lang in sorted(STOPWORDS, reverse=True):
+        result = F.when(
+            (hits[lang] == best_count) & (best_count > 0), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish token estimate: word pieces of ≤4 chars + punctuation
+    marks, via regex match count (a cheap stand-in for a real tokenizer
+    with the right order of magnitude)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(r"\w{1,4}|[^\w\s]")).cast("long")
+
+
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Raw quality signals for a document."""
+    c = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(c).cast("double")
+    toks = tokens(c)
+    n_tokens = F.size(toks).cast("double")
+    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double")
+    n_stop = sum(
+        (stopword_hits(c, lang) for lang in sorted(STOPWORDS)),
+        F.lit(0),
+    ).cast("double")
+    mean_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
+        F.lit(0.0)
+    )
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
+        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(
+            F.lit(0.0)
+        ),
+        "mean_word_len": mean_word_len,
+    }
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards reasonable length, some
+    stopwords (i.e. natural language), a sane mean word length, and low
+    punctuation density. Weights are heuristic and documented in code."""
+    f = quality_features(text)
+    length_ok = F.least(f["n_tokens"] / F.lit(20.0), F.lit(1.0))
+    stop_ok = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
+    word_ok = F.when(
+        (f["mean_word_len"] >= 2.0) & (f["mean_word_len"] <= 12.0), F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    punct_ok = F.greatest(F.lit(0.0), F.lit(1.0) - f["punct_ratio"] * 5.0)
+    return F.round(
+        0.3 * length_ok + 0.3 * stop_ok + 0.2 * word_ok + 0.2 * punct_ok, 6
+    )
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Order-insensitive document fingerprint: md5 of the sorted distinct
+    token set. Robust to shuffled copies; cheap enough for full scans."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))

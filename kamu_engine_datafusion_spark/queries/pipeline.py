@@ -1,7 +1,328 @@
-"""Beyond-parity training-data pipeline query entries (dedup, similarity
-search, text analysis, multimodal) — filled by operators/ modules."""
+"""Beyond-parity training-data pipeline query entries (SURVEY.md §2's
+north-star extensions): dedup, similarity search, text analysis,
+multimodal plumbing, as-of join.
+
+Oracle-checkable wherever DuckDB can express the same deterministic
+computation (token-set Jaccard, double-precision cosine, stopword
+heuristics); engine-specific hashing (xxhash64-based MinHash/SimHash/SRP)
+is rows-only by design.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators import dedup as D
+from kamu_engine_datafusion_spark.operators import multimodal as M
+from kamu_engine_datafusion_spark.operators import similarity as S
+from kamu_engine_datafusion_spark.operators import text as X
+from kamu_engine_datafusion_spark.operators.asof import asof_join
+from kamu_engine_datafusion_spark.queries._util import load
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+def q_xdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on normalized content), survivors per lang."""
+    t = load(spark, sf_dir, "documents")
+    return (
+        D.exact_dedup(t["documents"])
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_xdedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dedup survivors per lang (xxhash64-based —
+    deterministic but engine-specific → rows-only)."""
+    t = load(spark, sf_dir, "documents")
+    return (
+        D.minhash_lsh_dedup(t["documents"], threshold=0.7)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_xdedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pair stats (rows-only: engine-specific hashing)."""
+    t = load(spark, sf_dir, "documents")
+    pairs = D.simhash_near_dups(t["documents"], max_hamming=8)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("hamming").alias("min_hamming"),
+    )
+
+
+def q_xdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard near-dup pairs, blocked by lang (oracle-checked
+    against DuckDB list functions)."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 400)
+    return (
+        D.ngram_jaccard_pairs(sub, block_col="lang", threshold=0.55)
+        .withColumn("jaccard", F.round("jaccard", 6))
+    )
+
+
+def q_xdedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within label blocks."""
+    t = load(spark, sf_dir, "embeddings")
+    sub = t["embeddings"].filter(F.col("vec_id") < 2000)
+    return D.embedding_near_dups(sub, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def q_xsim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for the vec_id=0 query vector (broadcast +
+    TakeOrderedAndProject; the corpus never shuffles)."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=10)
+
+
+def q_xsim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH bucketed ANN top-10 (rows-only: seeded hyperplanes are
+    engine-specific)."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.srp_lsh_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, bits=8)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+def q_xtext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID per document."""
+    t = load(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", "lang", X.language_id("text").alias("pred_lang")
+    )
+
+
+def q_xtext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punct/stopword/word-length signals."""
+    t = load(spark, sf_dir, "documents")
+    f = X.quality_features("text")
+    return t["documents"].select(
+        "doc_id",
+        f["n_chars"].cast("long").alias("n_chars"),
+        f["n_tokens"].cast("long").alias("n_tokens"),
+        F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+        F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+        X.quality_score("text").alias("quality"),
+    )
+
+
+def q_xtext_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex."""
+    t = load(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id",
+        X.token_count("text").alias("n_ws_tokens"),
+        X.bpe_ish_token_count("text").alias("n_bpe_tokens"),
+    )
+
+
+def q_xtext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive content fingerprint (md5 of sorted token set)."""
+    t = load(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", X.fingerprint("text").alias("fp")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (rows-only: binary kernels)
+# ---------------------------------------------------------------------------
+
+
+def q_xmm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media decode plumbing via mapInPandas (stubbed kernel)."""
+    t = load(spark, sf_dir, "documents")
+    media = M.synthesize_media(t["documents"], "doc_id", "text")
+    return M.decode_media(media)
+
+
+def q_xmm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-histogram feature extraction over media binaries."""
+    t = load(spark, sf_dir, "documents")
+    media = M.synthesize_media(t["documents"].filter(F.col("doc_id") < 300), "doc_id", "text")
+    feats = M.byte_histogram_features(media)
+    return feats.select(
+        "media_id",
+        F.size("feat").cast("long").alias("n_bins"),
+        F.round(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 4).alias(
+            "feat_sum"
+        ),
+    )
+
+
+def q_xmm_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per sampled byte-slice per media blob."""
+    t = load(spark, sf_dir, "documents")
+    media = M.synthesize_media(t["documents"].filter(F.col("doc_id") < 300), "doc_id", "text")
+    return M.frame_sample(media, num_frames=4).select(
+        "media_id", "frame_no", "frame_len"
+    )
+
+
+# ---------------------------------------------------------------------------
+# As-of join (B15 beyond-parity)
+# ---------------------------------------------------------------------------
+
+
+def q_xasof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each click event matched to the user's most recent
+    purchase at-or-before it (union + carried-forward window — one
+    shuffle, no range blow-up)."""
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    # dedupe purchases per (user, ts) so ties are deterministic in both engines
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    joined = asof_join(
+        clicks,
+        purchases,
+        key_cols=["user_id"],
+        ts_col="ts",
+        right_value_cols=["purchase_event_id"],
+        how="inner",
+    )
+    return joined.select(
+        "event_id", "user_id", F.col("right_purchase_event_id").alias("purchase_event_id")
+    )
+
+
+QUERIES = {
+    "xdedup_exact": q_xdedup_exact,
+    "xdedup_minhash": q_xdedup_minhash,
+    "xdedup_simhash": q_xdedup_simhash,
+    "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
+    "xdedup_embcos": q_xdedup_embcos,
+    "xsim_topk_brute": q_xsim_topk_brute,
+    "xsim_srp_lsh": q_xsim_srp_lsh,
+    "xtext_langid": q_xtext_langid,
+    "xtext_quality": q_xtext_quality,
+    "xtext_tokens": q_xtext_tokens,
+    "xtext_fingerprint": q_xtext_fingerprint,
+    "xmm_decode": q_xmm_decode,
+    "xmm_features": q_xmm_features,
+    "xmm_frames": q_xmm_frames,
+    "xasof_join": q_xasof_join,
+}
+
+_NORM_TOKENS = "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
+
+_STOP_RE = {
+    "de": "\\b(der|die|das|und|ist|nicht|von|mit|ein|zu)\\b",
+    "en": "\\b(the|and|of|to|is|in|that|it|was|for)\\b",
+    "es": "\\b(el|la|de|que|y|en|un|es|se|no)\\b",
+    "fr": "\\b(le|la|de|et|est|un|une|dans|que|pour)\\b",
+}
+
+
+def _hits(lang: str) -> str:
+    return f"len(regexp_extract_all(lower(text), '{_STOP_RE[lang]}'))"
+
+
+_COS = (
+    "list_dot_product(a.emb_d, b.emb_d) / "
+    "(sqrt(list_dot_product(a.emb_d, a.emb_d)) * "
+    "sqrt(list_dot_product(b.emb_d, b.emb_d)))"
+)
+
+ORACLES = {
+    "xdedup_exact": (
+        "SELECT lang, count(DISTINCT trim(regexp_replace(lower(text), "
+        "'\\s+', ' ', 'g'))) AS n_docs FROM documents GROUP BY lang"
+    ),
+    "xdedup_ngram_jaccard": (
+        "WITH toks AS (SELECT doc_id, lang, "
+        f"{_NORM_TOKENS} AS tok FROM documents WHERE doc_id < 400) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, round(j, 6) AS jaccard "
+        "FROM (SELECT a.doc_id, a.tok, a.lang FROM toks a) a "
+        "JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id, "
+        "LATERAL (SELECT CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
+        "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) AS j) "
+        "WHERE j >= 0.55"
+    ),
+    "xdedup_embcos": (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb_d "
+        "FROM embeddings WHERE vec_id < 2000) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        f"round({_COS}, 6) AS cosine "
+        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
+        f"WHERE {_COS} >= 0.8"
+    ),
+    "xsim_topk_brute": (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "
+        "FROM embeddings WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings) "
+        "SELECT vec_id, cosine FROM ("
+        "SELECT e.vec_id, round(list_dot_product(e.emb_d, q.emb_d) / "
+        "(sqrt(list_dot_product(e.emb_d, e.emb_d)) * "
+        "sqrt(list_dot_product(q.emb_d, q.emb_d))), 6) AS cosine "
+        "FROM e, q) ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+    "xtext_langid": (
+        "SELECT doc_id, lang, CASE "
+        + " ".join(
+            f"WHEN {_hits(lang)} = m AND m > 0 THEN '{lang}'"
+            for lang in ("de", "en", "es", "fr")
+        )
+        + " ELSE 'und' END AS pred_lang FROM documents, "
+        f"LATERAL (SELECT greatest({_hits('de')}, {_hits('en')}, "
+        f"{_hits('es')}, {_hits('fr')}) AS m)"
+    ),
+    "xtext_quality": (
+        "WITH f AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS nc, "
+        f"CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS DOUBLE) AS nt, "
+        "CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS np, "
+        f"CAST({_hits('de')} + {_hits('en')} + {_hits('es')} + {_hits('fr')} "
+        "AS DOUBLE) AS ns FROM documents) "
+        "SELECT doc_id, CAST(nc AS BIGINT) AS n_chars, CAST(nt AS BIGINT) AS n_tokens, "
+        "round(CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END, 6) AS punct_ratio, "
+        "round(CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END, 6) AS stopword_ratio, "
+        "round(0.3 * least(nt / 20.0, 1.0) "
+        "+ 0.3 * least((CASE WHEN nt > 0 THEN ns / nt ELSE 0.0 END) * 5.0, 1.0) "
+        "+ 0.2 * (CASE WHEN (CASE WHEN nt > 0 THEN (nc - (nt - 1)) / nt ELSE 0.0 END) "
+        "BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) "
+        "+ 0.2 * greatest(0.0, 1.0 - (CASE WHEN nc > 0 THEN np / nc ELSE 0.0 END) "
+        "* 5.0), 6) AS quality FROM f"
+    ),
+    "xtext_tokens": (
+        "SELECT doc_id, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS BIGINT) "
+        "AS n_bpe_tokens FROM documents"
+    ),
+    "xtext_fingerprint": (
+        "SELECT doc_id, md5(array_to_string(list_sort("
+        f"{_NORM_TOKENS}), ' ')) AS fp FROM documents"
+    ),
+    "xasof_join": (
+        "WITH clicks AS (SELECT event_id, user_id, ts FROM events "
+        "WHERE event_type = 'click'), "
+        "purchases AS (SELECT user_id, ts, max(event_id) AS purchase_event_id "
+        "FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+        "SELECT c.event_id, c.user_id, p.purchase_event_id "
+        "FROM clicks c ASOF JOIN purchases p "
+        "ON c.user_id = p.user_id AND c.ts >= p.ts"
+    ),
+}
