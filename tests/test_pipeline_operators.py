@@ -1,0 +1,192 @@
+"""Unit tests for the training-data pipeline operators (dedup,
+similarity, text, multimodal, as-of) on small inline datasets with
+known answers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators import dedup as D
+from kamu_engine_datafusion_spark.operators import multimodal as M
+from kamu_engine_datafusion_spark.operators import similarity as S
+from kamu_engine_datafusion_spark.operators import text as X
+from kamu_engine_datafusion_spark.operators.asof import asof_join
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "The  quick brown fox jumps over the lazy dog "),  # normalized dup
+        (4, "the quick brown fox leaps over the lazy dog"),  # near dup (1 word)
+        (5, "completely different content about spark engines and parquet"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_keeps_lowest_id(docs):
+    out = D.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 4, 5]  # 2 and 3 are (normalized) duplicates of 1
+
+
+def test_minhash_lsh_finds_near_dup(docs):
+    pairs = D.minhash_lsh_candidates(docs, num_hashes=32, num_bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical docs always collide
+    verified = D.verified_jaccard(docs, pairs)
+    jac = {(r["id_a"], r["id_b"]): r["jaccard"] for r in verified.collect()}
+    assert jac[(1, 2)] == 1.0
+
+
+def test_minhash_lsh_dedup_drops_exact_dup(docs):
+    out = D.minhash_lsh_dedup(docs, threshold=0.99, num_hashes=32, num_bands=16)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert 1 in ids and 2 not in ids and 5 in ids
+
+
+def test_simhash_identical_distance_zero(docs):
+    pairs = D.simhash_near_dups(docs, max_hamming=0, block_bits=4)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert got[(1, 2)] == 1.0
+    # distinct tokens: 8 each ("the" dedupes); jumps/leaps differ -> 7/9
+    assert got[(1, 4)] == pytest.approx(7 / 9)
+    assert (1, 5) not in got
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0], 0),
+        (1, [0.9, 0.1, 0.0], 0),
+        (2, [0.0, 1.0, 0.0], 0),
+        (3, [1.0, 0.01, 0.0], 1),
+        (4, [-1.0, 0.0, 0.0], 1),
+    ]
+    return spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+
+def test_topk_bruteforce_order(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.topk_bruteforce(vectors, q, k=3)
+    got = [r["vec_id"] for r in out.collect()]
+    assert got[0] == 0  # self first (cosine 1.0)
+    assert got[1] == 3  # closest other vector
+    assert 4 not in got  # opposite direction is last
+
+
+def test_embedding_near_dups_blocked(vectors):
+    out = D.embedding_near_dups(vectors, threshold=0.9)
+    got = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (0, 1) in got  # same label, cosine ~0.994
+    assert (0, 3) not in got  # labels differ -> different block
+    assert (3, 4) not in got  # same block but cosine = -1
+
+
+def test_srp_lsh_self_in_bucket(vectors):
+    q = vectors.filter(F.col("vec_id") == 0)
+    out = S.srp_lsh_topk(vectors, q, k=3, bits=4)
+    got = [r["vec_id"] for r in out.collect()]
+    assert 0 in got  # query always lands in its own bucket
+
+
+def test_language_id(spark):
+    rows = [
+        (1, "the cat and the dog of the house"),
+        (2, "der Hund ist nicht mit der Katze"),
+        (3, "el perro y la casa en un pueblo es grande"),
+        (4, "xyzzy plugh"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["lang"] for r in
+           df.select("doc_id", X.language_id("text").alias("lang")).collect()}
+    assert got == {1: "en", 2: "de", 3: "es", 4: "und"}
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! spark rocks")], ["id", "text"])
+    r = df.select(
+        X.token_count("text").alias("ws"),
+        X.bpe_ish_token_count("text").alias("bpe"),
+    ).head()
+    assert r["ws"] == 4
+    # hell+o -> 2, comma 1, worl+d 2, bang 1, spar+k 2, rock+s 2 = 10
+    assert r["bpe"] == 10
+
+
+def test_fingerprint_order_insensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "gamma alpha  beta"), (3, "alpha beta delta")],
+        ["id", "text"],
+    )
+    fps = [r["fp"] for r in df.select(X.fingerprint("text").alias("fp")).collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_quality_score_range(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog was in the house for it is that"),
+         (2, "!!! ??? ..)(%%%")],
+        ["id", "text"],
+    )
+    got = {r["id"]: r["q"] for r in
+           df.select("id", X.quality_score("text").alias("q")).collect()}
+    assert 0.0 <= got[2] < 0.5 < got[1] <= 1.0
+
+
+def test_multimodal_pipeline(spark):
+    df = spark.createDataFrame([(1, "abcdefgh"), (2, "")], ["doc_id", "payload"])
+    media = M.synthesize_media(df, "doc_id", "payload")
+    decoded = M.decode_media(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
+    assert rows[1]["n_bytes"] == 8
+    assert 64 <= rows[1]["width"] < 256 and 64 <= rows[1]["height"] < 256
+    feats = M.byte_histogram_features(media, bins=8)
+    f = {r["media_id"]: r["feat"] for r in feats.collect()}
+    assert len(f[1]) == 8 and abs(sum(f[1]) - 1.0) < 1e-9
+    assert sum(f[2]) == 0.0  # empty payload -> zero histogram
+    frames = M.frame_sample(media, num_frames=4)
+    fr = [r for r in frames.collect() if r["media_id"] == 1]
+    assert len(fr) == 4 and all(r["frame_len"] == 2 for r in fr)
+
+
+def test_asof_join_semantics(spark):
+    ts = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame(
+        [(100, 1, ts("2023-01-01T10:00")), (101, 1, ts("2023-01-01T12:00")),
+         (102, 2, ts("2023-01-01T09:00"))],
+        ["event_id", "user_id", "ts"],
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2023-01-01T09:30"), 7), (1, ts("2023-01-01T11:00"), 8),
+         (2, ts("2023-01-01T09:30"), 9)],
+        ["user_id", "ts", "purchase_id"],
+    )
+    out = asof_join(left, right, ["user_id"], "ts", ["purchase_id"], how="inner")
+    got = {r["event_id"]: r["right_purchase_id"] for r in out.collect()}
+    # event 100 at 10:00 -> purchase 7 (09:30); event 101 at 12:00 -> 8 (11:00)
+    # event 102 at 09:00 has no prior purchase -> dropped (inner)
+    assert got == {100: 7, 101: 8}
+    out_left = asof_join(left, right, ["user_id"], "ts", ["purchase_id"], how="left")
+    got_left = {r["event_id"]: r["right_purchase_id"] for r in out_left.collect()}
+    assert got_left == {100: 7, 101: 8, 102: None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    ts = lambda s: datetime.fromisoformat(s)
+    left = spark.createDataFrame([(1, 1, ts("2023-01-01T10:00"))],
+                                 ["event_id", "user_id", "ts"])
+    right = spark.createDataFrame([(1, ts("2023-01-01T10:00"), 5)],
+                                  ["user_id", "ts", "purchase_id"])
+    out = asof_join(left, right, ["user_id"], "ts", ["purchase_id"])
+    assert out.head()["right_purchase_id"] == 5  # <= semantics: tie matches
