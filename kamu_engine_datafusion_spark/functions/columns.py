@@ -37,26 +37,37 @@ def word_shingles(tok: Column, n: int) -> Column:
     )
 
 
-def minhash_signature(shingle_arr: Column, num_hashes: int, seed: int = 42) -> Column:
-    """MinHash signature: array of ``num_hashes`` minima of universal
-    hashes ``(a_j * h + b_j) mod M61`` over the shingle set, where
-    ``h = xxhash64(shingle)`` (JVM-side).
-
-    Scale: O(|shingles| * num_hashes) pure column math per row — no
-    shuffle, no Python.
-    """
+def minhash_coeffs(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """Seeded (a, b) coefficient pairs for the universal hash family
+    ``(a * h + b) mod M31``."""
     rng = random.Random(seed)
-    coeffs = [
+    return [
         (rng.randrange(1, _MERSENNE_31), rng.randrange(0, _MERSENNE_31))
         for _ in range(num_hashes)
     ]
-    base = F.transform(shingle_arr, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+
+
+def minhash_base_hash(col: Column) -> Column:
+    """31-bit base hash of a shingle string (xxhash64 folded mod M31)."""
+    return F.pmod(F.xxhash64(col), F.lit(_MERSENNE_31))
+
+
+def minhash_signature(shingle_arr: Column, num_hashes: int, seed: int = 42) -> Column:
+    """MinHash signature as a single Column expression: array of
+    ``num_hashes`` minima of universal hashes over the shingle set.
+
+    ONLY for small ``num_hashes``/short arrays: Catalyst's project
+    collapsing inlines ``shingle_arr`` into every one of the
+    ``num_hashes`` sub-expressions, so the whole upstream pipeline is
+    re-evaluated per hash. The scalable path is the explode→groupBy
+    formulation in ``operators.dedup.minhash_signatures`` (one shingle
+    row each, ``num_hashes`` cheap MIN aggregates, map-side partials).
+    """
+    base = F.transform(shingle_arr, minhash_base_hash)
     return F.array(
         *[
-            F.array_min(
-                F.transform(base, lambda h: (h * a + b) % _MERSENNE_31)
-            )
-            for (a, b) in coeffs
+            F.array_min(F.transform(base, lambda h: (h * a + b) % _MERSENNE_31))
+            for (a, b) in minhash_coeffs(num_hashes, seed)
         ]
     )
 
@@ -79,22 +90,38 @@ def lsh_band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Colu
     )
 
 
+def dot_product(u: Column, v: Column, dim: int | None = None) -> Column:
+    """Double-precision dot product of two ``array<numeric>`` columns
+    with sequential (array-order) summation — identical results on any
+    engine that sums left-to-right (oracle-checkable against DuckDB's
+    ``list_dot_product``).
+
+    ``dim`` exists for API stability but the unrolled form it enabled was
+    measured SLOWER than the higher-order form: a 64-term element_at sum
+    blows past codegen method-size limits and falls back to interpreted
+    evaluation of a huge tree, while ``aggregate``'s loop stays compact.
+    Both sum left-to-right (bit-identical results).
+    """
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def l2_norm(v: Column, dim: int | None = None) -> Column:
+    """Euclidean norm of an ``array<numeric>`` column."""
+    return F.sqrt(dot_product(v, v, dim))
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
-    """Cosine similarity of two ``array<numeric>`` columns, computed in
-    double precision with sequential (array-order) summation — identical
-    results on any engine that sums left-to-right, which makes it
-    oracle-checkable against DuckDB's ``list_dot_product`` formula."""
-    ad = F.transform(a, lambda x: x.cast("double"))
-    bd = F.transform(b, lambda x: x.cast("double"))
+    """Cosine similarity of two ``array<numeric>`` columns.
 
-    def dot(u: Column, v: Column) -> Column:
-        return F.aggregate(
-            F.zip_with(u, v, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-
-    return dot(ad, bd) / (F.sqrt(dot(ad, ad)) * F.sqrt(dot(bd, bd)))
+    For pairwise workloads (joins), precompute ``l2_norm`` per row
+    *before* the join and divide ``dot_product`` by the two norm columns
+    — this function recomputes both norms per pair.
+    """
+    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 
 
 def simhash64(token_hashes: Column) -> Column:

@@ -21,11 +21,13 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from kamu_engine_datafusion_spark.functions.columns import (
-    cosine_similarity,
+    _MERSENNE_31,
+    dot_product,
     hamming64,
+    l2_norm,
     lsh_band_keys,
-    minhash_signature,
-    simhash64,
+    minhash_base_hash,
+    minhash_coeffs,
     tokens,
     word_shingles,
 )
@@ -58,6 +60,39 @@ def exact_dedup(
     )
 
 
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signatures via the scalable explode→groupBy
+    formulation: one row per (doc, distinct shingle), one 31-bit base
+    hash each, then ``num_hashes`` MIN aggregates (map-side partials do
+    most of the work, the shuffle carries only num_hashes longs per doc).
+
+    This shape is deliberate: a single-Column signature expression makes
+    Catalyst re-evaluate the tokenize→shingle pipeline once per hash
+    function (project collapsing duplicates aliases), which blows up
+    codegen at any scale.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(
+            F.array_distinct(word_shingles(tokens(text_col), shingle_len))
+        ).alias("__sh"),
+    ).select("__id", minhash_base_hash(F.col("__sh")).alias("__h"))
+    aggs = [
+        F.min((F.col("__h") * a + b) % _MERSENNE_31).alias(f"__mh{j}")
+        for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+    ]
+    return shingled.groupBy("__id").agg(*aggs).select(
+        "__id", F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("__sig")
+    )
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     text_col: str = "text",
@@ -65,24 +100,35 @@ def minhash_lsh_candidates(
     shingle_len: int = 3,
     num_hashes: int = 32,
     num_bands: int = 8,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
-    Pipeline: tokens → ``shingle_len``-word shingles → ``num_hashes``
-    MinHash signature → ``num_bands`` band keys → explode → self-join on
-    band key → distinct pairs (id_a < id_b).
+    Pipeline: per-doc signatures (:func:`minhash_signatures`) →
+    ``num_bands`` band keys → explode → self-join on band key → distinct
+    pairs (id_a < id_b).
 
-    Scale: the only shuffle is the band-key join; band keys are hashes
-    (uniform). A pathological bucket (thousands of identical docs) would
-    quadratically blow up its bucket — cap it upstream with
-    :func:`exact_dedup` first, which removes identical texts.
+    Scale: the only shuffles are the signature groupBy and the band-key
+    join (hash keys — uniform). ``max_bucket_size`` drops pathological
+    buckets (boilerplate shared by thousands of docs) that would go
+    quadratic — the standard production guard; run :func:`exact_dedup`
+    first so identical texts don't form such buckets.
     """
     rows_per_band = num_hashes // num_bands
-    sig = minhash_signature(word_shingles(tokens(text_col), shingle_len), num_hashes)
-    banded = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(lsh_band_keys(sig, num_bands, rows_per_band)).alias("__band"),
-    ).distinct()
+    sigs = minhash_signatures(df, text_col, id_col, shingle_len, num_hashes)
+    banded = sigs.select(
+        "__id",
+        F.explode(
+            lsh_band_keys(F.col("__sig"), num_bands, rows_per_band)
+        ).alias("__band"),
+    )
+    if max_bucket_size:
+        w = Window.partitionBy("__band")
+        banded = (
+            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -100,8 +146,23 @@ def verified_jaccard(
     shingle_len: int = 3,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: join the shingle
-    sets back onto the (small) candidate pair set and compare."""
-    sh = df.select(
+    sets back onto the (small) candidate pair set and compare.
+
+    Docs are semi-join-pruned to the candidate ids BEFORE shingle sets
+    are built — the candidate set is tiny relative to the corpus, so the
+    expensive tokenize/shingle work happens only for docs that appear in
+    some pair (at 100 TB this is the difference between re-scanning the
+    corpus and touching a few thousand rows).
+    """
+    cand_ids = (
+        pairs.select(F.col("id_a").alias("__cid"))
+        .unionByName(pairs.select(F.col("id_b").alias("__cid")))
+        .distinct()
+    )
+    pruned = df.join(
+        F.broadcast(cand_ids), df[id_col] == F.col("__cid"), "left_semi"
+    )
+    sh = pruned.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(word_shingles(tokens(text_col), shingle_len)).alias("__sh"),
     )
@@ -157,15 +218,34 @@ def simhash_near_dups(
     """SimHash near-duplicate pairs: 64-bit fingerprint, block on the top
     ``block_bits`` bits, verify Hamming distance within blocks.
 
-    Scale: SimHash is O(tokens) column math; the block join touches only
-    same-prefix fingerprints. For guaranteed recall at radius r use r+1
-    rotated prefix blocks (future knob); a single prefix block is the
-    cheap high-precision variant.
+    Scale: SimHash is computed explode→groupBy (64 conditional-sum
+    aggregates with map-side partials) rather than as one 64-branch
+    column expression — same reasoning as :func:`minhash_signatures`.
+    The block join touches only same-prefix fingerprints. For guaranteed
+    recall at radius r use r+1 rotated prefix blocks (future knob); a
+    single prefix block is the cheap high-precision variant.
     """
-    th = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
-    fp = df.select(
-        F.col(id_col).alias("__id"), simhash64(th).alias("__fp")
-    ).withColumn("__block", F.shiftright(F.col("__fp"), 64 - block_bits))
+    tok_hashes = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).select("__id", F.xxhash64("__t").alias("__h"))
+    bit_sums = tok_hashes.groupBy("__id").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
+            for b in range(64)
+        ],
+    )
+    fp_expr = F.lit(0).cast("long")
+    for b in range(64):
+        bit = (
+            F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+        )
+        fp_expr = fp_expr + F.shiftleft(bit, b)
+    fp = bit_sums.select("__id", fp_expr.alias("__fp")).withColumn(
+        "__block", F.shiftright(F.col("__fp"), 64 - block_bits)
+    )
     a, b = fp.alias("a"), fp.alias("b")
     return (
         a.join(b, (F.col("a.__block") == F.col("b.__block")) & (F.col("a.__id") < F.col("b.__id")))
@@ -216,27 +296,34 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     block_col: str | None = "label",
     threshold: float = 0.95,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocks.
 
     Blocking keeps the pair count linear-ish; for unblocked corpora use
     the LSH route in ``operators.similarity`` to generate candidates
-    first.
+    first. Norms are computed once per row before the join, so each pair
+    costs a single (codegen-unrolled) dot product.
     """
+    if dim is None:
+        head = df.select(F.size(vec_col)).head()
+        dim = head[0] if head else None
     base = df.select(
         F.col(id_col).alias("__id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("__blk"),
         F.col(vec_col).alias("__v"),
-    )
+    ).withColumn("__nrm", l2_norm(F.col("__v"), dim))
     a, b = base.alias("a"), base.alias("b")
     return (
         a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
-            F.round(cosine_similarity(F.col("a.__v"), F.col("b.__v")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot_product(F.col("a.__v"), F.col("b.__v"), dim)
+                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                6,
+            ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

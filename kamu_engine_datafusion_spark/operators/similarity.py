@@ -22,7 +22,12 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from kamu_engine_datafusion_spark.functions.columns import cosine_similarity
+from kamu_engine_datafusion_spark.functions.columns import dot_product, l2_norm
+
+
+def _vec_dim(df: DataFrame, vec_col: str) -> int | None:
+    head = df.select(F.size(vec_col)).head()
+    return head[0] if head else None
 
 
 def topk_bruteforce(
@@ -31,21 +36,32 @@ def topk_bruteforce(
     k: int = 10,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of ``query`` (a 1-row DataFrame with the same
     vector column) against ``corpus``.
 
     Plan shape: BroadcastNestedLoopJoin (1-row broadcast) → projected
-    cosine → TakeOrderedAndProject. No shuffle of the corpus.
+    cosine (norms precomputed per side) → TakeOrderedAndProject. No
+    shuffle of the corpus.
     """
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qv")))
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qv"), l2_norm(F.col(vec_col), dim).alias("__qnrm")
+        )
+    )
     return (
-        corpus.crossJoin(q)
+        corpus.withColumn("__nrm", l2_norm(F.col(vec_col), dim))
+        .crossJoin(q)
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot_product(F.col(vec_col), F.col("__qv"), dim)
+                / (F.col("__nrm") * F.col("__qnrm")),
+                6,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
@@ -58,19 +74,17 @@ def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
 
 
 def srp_signature(vec_col, planes: list[list[float]]):
-    """Packed SRP signature: bit i = sign(<v, plane_i>), as a long."""
+    """Packed SRP signature: bit i = sign(<v, plane_i>), as a long.
+
+    Each plane dot runs through the compact higher-order ``aggregate``
+    form (an unrolled literal sum was measured slower — codegen fallback).
+    """
     sig = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec_col,
-                F.array(*[F.lit(x) for x in plane]),
-                lambda a, b: a.cast("double") * b,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        dot = dot_product(vec_col, F.array(*[F.lit(x) for x in plane]))
+        sig = sig + F.shiftleft(
+            F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i
         )
-        sig = sig + F.shiftleft(F.when(dot >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long")), i)
     return sig
 
 
@@ -93,22 +107,27 @@ def srp_lsh_topk(
     flips); kept single-probe here for determinism.
     """
     if dim is None:
-        dim = len(corpus.select(vec_col).head()[0])
+        dim = _vec_dim(corpus, vec_col)
     planes = _hyperplanes(dim, bits, seed)
-    csig = corpus.withColumn("__sig", srp_signature(F.col(vec_col), planes))
+    csig = corpus.withColumn("__sig", srp_signature(F.col(vec_col), planes)).withColumn(
+        "__nrm", l2_norm(F.col(vec_col), dim)
+    )
     qsig = F.broadcast(
         query.select(
             F.col(vec_col).alias("__qv"),
             srp_signature(F.col(vec_col), planes).alias("__qsig"),
+            l2_norm(F.col(vec_col), dim).alias("__qnrm"),
         )
     )
     return (
         csig.join(qsig, csig["__sig"] == qsig["__qsig"])
         .select(
             F.col(id_col),
-            F.round(cosine_similarity(F.col(vec_col), F.col("__qv")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                dot_product(F.col(vec_col), F.col("__qv"), dim)
+                / (F.col("__nrm") * F.col("__qnrm")),
+                6,
+            ).alias("cosine"),
         )
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
