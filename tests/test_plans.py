@@ -1,0 +1,71 @@
+"""Physical-plan regression tests: the scale properties we rely on must
+be visible in `explain("formatted")` output.
+
+These guard the 100 TB design claims: predicate pushdown to the Parquet
+scan, column pruning, map-side partial aggregation, broadcast of small
+join sides, TopK instead of global sort, and the offset-interval slice
+reaching the scan (the incremental-read fast path, reference A4).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from kamu_engine_datafusion_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = q.registry()[name](spark, SF)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_to_scan(spark):
+    p = plan_of(spark, "b06_filter")
+    assert "EqualTo(l_returnflag,R)" in p  # predicate reached the scan
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+
+
+def test_column_pruning(spark):
+    p = plan_of(spark, "b06_filter")
+    # only the 4 needed columns are read, not all 11
+    read = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "l_orderkey" not in read and "l_shipdate" not in read
+    assert "l_extendedprice" in read
+
+
+def test_partial_final_aggregate(spark):
+    p = plan_of(spark, "b16_groupby_agg")
+    assert p.count("HashAggregate") >= 2  # map-side partial + final
+
+
+def test_broadcast_join_small_dim(spark):
+    p = plan_of(spark, "b10_join_inner")
+    assert "BroadcastHashJoin" in p  # dim side broadcast, no big-side shuffle
+
+
+def test_orderby_limit_is_topk(spark):
+    p = plan_of(spark, "b26_orderby")
+    assert "TakeOrderedAndProject" in p  # no global sort materialization
+
+
+def test_offset_interval_pushdown(spark):
+    """A4: the incremental ledger slice prunes at the Parquet scan."""
+    p = plan_of(spark, "a04_offset_slice")
+    assert "GreaterThanOrEqual(event_id,100)" in p
+    assert "LessThanOrEqual(event_id,499)" in p
+
+
+def test_topk_similarity_no_corpus_shuffle(spark):
+    p = plan_of(spark, "xsim_topk_brute")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row query broadcast
+    # the corpus must not hash-shuffle for this query
+    assert "Exchange hashpartitioning" not in p
