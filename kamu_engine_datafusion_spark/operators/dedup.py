@@ -26,8 +26,8 @@ from kamu_engine_datafusion_spark.functions.columns import (
     hamming64,
     l2_norm,
     lsh_band_keys,
-    minhash_base_hash,
     minhash_coeffs,
+    shingle_hash_array,
     tokens,
     word_shingles,
 )
@@ -69,21 +69,23 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """Per-document MinHash signatures via the scalable explode→groupBy
-    formulation: one row per (doc, distinct shingle), one 31-bit base
-    hash each, then ``num_hashes`` MIN aggregates (map-side partials do
-    most of the work, the shuffle carries only num_hashes longs per doc).
+    formulation: shingles are hashed WITHOUT materializing strings
+    (:func:`shingle_hash_array`), one row per (doc, distinct shingle
+    hash), then ``num_hashes`` MIN aggregates (map-side partials do most
+    of the work, the shuffle carries only num_hashes longs per doc).
 
-    This shape is deliberate: a single-Column signature expression makes
-    Catalyst re-evaluate the tokenize→shingle pipeline once per hash
-    function (project collapsing duplicates aliases), which blows up
-    codegen at any scale.
+    This shape is deliberate twice over: a single-Column signature
+    expression makes Catalyst re-evaluate the tokenize→shingle pipeline
+    once per hash function (project collapsing duplicates aliases), and
+    string shingles cost an array allocation per position — both
+    measured order-of-magnitude effects at sf0.1.
     """
     shingled = df.select(
         F.col(id_col).alias("__id"),
         F.explode(
-            F.array_distinct(word_shingles(tokens(text_col), shingle_len))
-        ).alias("__sh"),
-    ).select("__id", minhash_base_hash(F.col("__sh")).alias("__h"))
+            F.array_distinct(shingle_hash_array(tokens(text_col), shingle_len))
+        ).alias("__h"),
+    )
     aggs = [
         F.min((F.col("__h") * a + b) % _MERSENNE_31).alias(f"__mh{j}")
         for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
