@@ -208,7 +208,63 @@ def q_xasof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: split each user's event stream at >30-minute gaps
+    (lag + cumulative-sum-of-flags — the standard single-shuffle
+    sessionizer; `session_window` covers the streaming case)."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+            > 1800,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_sess"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts"))) / F.lit(1000)
+        )
+        .cast("long")
+        .alias("duration_sec"),
+    )
+
+
+def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: per-user event counts spread across event-type columns."""
+    t = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    pv = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+    )
+    return pv.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    )
+
+
 QUERIES = {
+    "xsessionize": q_xsessionize,
+    "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
     "xdedup_minhash": q_xdedup_minhash,
     "xdedup_simhash": q_xdedup_simhash,
@@ -247,6 +303,28 @@ _COS = (
 )
 
 ORACLES = {
+    "xsessionize": (
+        "WITH flagged AS (SELECT user_id, ts, event_id, "
+        "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END "
+        "AS new_sess FROM events WHERE user_id < 100 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+        "sess AS (SELECT user_id, ts, "
+        "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS session_id FROM flagged) "
+        "SELECT user_id, session_id, count(*) AS n_events, "
+        "CAST((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000 AS BIGINT) "
+        "AS duration_sec FROM sess GROUP BY user_id, session_id"
+    ),
+    "xpivot": (
+        "SELECT user_id, "
+        "count(*) FILTER (event_type = 'click') AS click, "
+        "count(*) FILTER (event_type = 'view') AS view, "
+        "count(*) FILTER (event_type = 'purchase') AS purchase, "
+        "count(*) FILTER (event_type = 'signup') AS signup, "
+        "count(*) FILTER (event_type = 'error') AS error "
+        "FROM events WHERE user_id < 100 GROUP BY user_id"
+    ),
     "xdedup_exact": (
         "SELECT lang, count(DISTINCT trim(regexp_replace(lower(text), "
         "'\\s+', ' ', 'g'))) AS n_docs FROM documents GROUP BY lang"
