@@ -19,6 +19,7 @@ implemented on Apache Arrow DataFusion), re-expressed Spark-first:
 from kamu_engine_datafusion_spark.plans.types import (
     DatasetVocabulary,
     ExecuteTransformError,
+    InternalError,
     InvalidQueryError,
     OffsetInterval,
     RawQueryRequest,
@@ -40,6 +41,7 @@ __all__ = [
     "DatasetVocabulary",
     "Engine",
     "ExecuteTransformError",
+    "InternalError",
     "InvalidQueryError",
     "OffsetInterval",
     "RawQueryRequest",

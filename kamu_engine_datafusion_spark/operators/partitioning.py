@@ -1,0 +1,86 @@
+"""Partitioning utilities for the 100 TB regime: skew-salted
+aggregation/joins and bucketed co-located joins.
+
+AQE (enabled in ``session.py``) already splits skewed shuffle/join
+partitions at runtime; these helpers cover the cases AQE can't:
+a single hot GROUP BY key (AQE can't split one key's hash bucket) and
+repeated large-table joins on the same key (where paying one bucketed
+write removes every future shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_count(
+    df: DataFrame, key_cols: list[str], salt_buckets: int = 16
+) -> DataFrame:
+    """Skew-proof COUNT per key: two-stage aggregation with a random salt.
+
+    Stage 1 groups on (key, salt) — a hot key's rows spread over
+    ``salt_buckets`` reducers; stage 2 merges the per-salt partials.
+    The salt is only a partitioning device, so any distributive
+    aggregate (count/sum/min/max) composes the same way.
+    """
+    salt = (F.rand(seed=42) * salt_buckets).cast("int").alias("__salt")
+    partial = (
+        df.select(*key_cols, salt)
+        .groupBy(*key_cols, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial_n"))
+    )
+    return partial.groupBy(*key_cols).agg(
+        F.sum("__partial_n").cast("long").alias("n")
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Skew-proof equi-join: salt the big side's key, replicate the small
+    side once per salt value, join on (key, salt).
+
+    For when the small side is too large to broadcast outright but a hot
+    key on the big side would otherwise pin one reducer. Replication
+    factor = ``salt_buckets`` on the small side only.
+    """
+    salted_big = big.withColumn(
+        "__salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    salts = F.explode(
+        F.sequence(F.lit(0), F.lit(salt_buckets - 1))
+    ).alias("__salt")
+    replicated_small = small.select("*", salts)
+    out = salted_big.join(replicated_small, [key, "__salt"])
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a table bucketed (and optionally sorted) by a join key.
+
+    Two tables bucketed on the same key with the same bucket count
+    sort-merge-join WITHOUT a shuffle — write-once, join-free-forever
+    co-location for the keys a pipeline joins on repeatedly (verified by
+    plan assertion in tests/test_partitioning.py).
+    """
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, key: str
+) -> DataFrame:
+    """Join two pre-bucketed tables on their bucket key (no Exchange)."""
+    return spark.table(left_table).join(spark.table(right_table), key)

@@ -161,15 +161,35 @@ class Engine:
     (``src/engine.rs:25``): stateless, one SparkSession shared across
     requests with per-request view namespaces. The reference fronts this
     with gRPC/FlatBuffers (A22, ``src/grpc.rs``) — transport, not
-    capability; a thin gRPC façade can wrap this class unchanged."""
+    capability; a thin gRPC façade can wrap this class unchanged.
+
+    Error envelope parity (``src/grpc.rs:39-69``): contract violations
+    surface as :class:`InvalidQueryError`; anything else is wrapped into
+    :class:`InternalError` carrying the formatted backtrace.
+    """
 
     def __init__(self, spark: SparkSession):
         self.spark = spark
 
+    @staticmethod
+    def _envelope(fn, *args):
+        import traceback
+
+        from kamu_engine_datafusion_spark.plans.types import InternalError
+
+        try:
+            return fn(*args)
+        except InvalidQueryError:
+            raise
+        except Exception as e:
+            raise InternalError(str(e), traceback.format_exc()) from e
+
     def execute_transform(
         self, request: TransformRequest, distributed_offsets: bool = False
     ) -> TransformResponse:
-        return execute_transform(self.spark, request, distributed_offsets)
+        return self._envelope(
+            execute_transform, self.spark, request, distributed_offsets
+        )
 
     def execute_raw_query(self, request: RawQueryRequest) -> RawQueryResponse:
-        return execute_raw_query(self.spark, request)
+        return self._envelope(execute_raw_query, self.spark, request)

@@ -26,6 +26,19 @@ class InvalidQueryError(ExecuteTransformError):
     """
 
 
+class InternalError(ExecuteTransformError):
+    """Any non-contract engine failure, carrying the formatted backtrace.
+
+    Reference maps every error that is not an InvalidQuery to
+    ``InternalError{message, backtrace}`` with the full source chain at
+    the transport boundary (``src/grpc.rs:39-69``).
+    """
+
+    def __init__(self, message: str, backtrace: str = ""):
+        super().__init__(message)
+        self.backtrace = backtrace
+
+
 @dataclass(frozen=True)
 class DatasetVocabulary:
     """Per-dataset names of the four system columns.

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for engine invariants that must
+hold for ANY input: offset density/uniqueness under arbitrary
+partitioning, watermark arithmetic, ms-truncation idempotence, and the
+error envelope."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark import (
+    DatasetVocabulary,
+    Engine,
+    InternalError,
+    RawQueryRequest,
+    SqlQueryStep,
+    TransformRequest,
+    TransformRequestInput,
+    Watermark,
+)
+from kamu_engine_datafusion_spark.operators.normalize import _truncate_to_millis
+from kamu_engine_datafusion_spark.operators.system_columns import (
+    assign_offsets_distributed,
+    assign_offsets_serial,
+)
+from kamu_engine_datafusion_spark.plans.transform import compute_new_watermark
+
+UTC = timezone.utc
+_slow = settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_slow
+@given(
+    n=st.integers(min_value=0, max_value=2_000),
+    parts=st.integers(min_value=1, max_value=37),
+    start=st.integers(min_value=0, max_value=10_000),
+)
+def test_offsets_dense_unique_any_partitioning(spark, n, parts, start):
+    """Both assigners must yield exactly [start, start+n) for any row
+    count, partition count, and start offset."""
+    df = spark.range(0, n).repartition(parts)
+    for assigner in (assign_offsets_serial, assign_offsets_distributed):
+        out = assigner(df, "offset", start)
+        offsets = sorted(r["offset"] for r in out.select("offset").collect())
+        assert offsets == list(range(start, start + n)), assigner.__name__
+
+
+@given(
+    wm_lists=st.lists(
+        st.lists(
+            st.datetimes(
+                min_value=datetime(2000, 1, 1),
+                max_value=datetime(2030, 1, 1),
+            ),
+            max_size=4,
+        ),
+        min_size=0,
+        max_size=5,
+    )
+)
+def test_watermark_is_min_of_present_maxima(wm_lists):
+    """A19 semantics: min over inputs that HAVE watermarks of each
+    input's max; None only when no input has any (src/engine.rs:310-324)."""
+    sys_t = datetime(2023, 1, 1, tzinfo=UTC)
+    inputs = []
+    for i, wms in enumerate(wm_lists):
+        inputs.append(
+            TransformRequestInput(
+                dataset_alias=f"in{i}",
+                query_alias=f"in{i}",
+                schema_file="/dev/null",
+                data_paths=[],
+                offset_interval=None,
+                explicit_watermarks=[
+                    Watermark(sys_t, w.replace(tzinfo=UTC)) for w in wms
+                ],
+            )
+        )
+    req = TransformRequest(
+        dataset_alias="out",
+        system_time=sys_t,
+        next_offset=0,
+        vocab=DatasetVocabulary(),
+        transform=[SqlQueryStep(query="select 1")],
+        inputs=inputs,
+        new_data_path="/dev/null",
+    )
+    got = compute_new_watermark(req)
+    present = [max(w) for w in wm_lists if w]
+    want = min(present).replace(tzinfo=UTC) if present else None
+    assert got == want
+
+
+@_slow
+@given(micros=st.integers(min_value=0, max_value=10**15))
+def test_ms_truncation_idempotent(spark, micros):
+    """A8: truncating to ms twice equals truncating once, and the result
+    has no sub-ms component."""
+    df = spark.range(1).select(F.timestamp_micros(F.lit(micros)).alias("ts"))
+    once = df.select(_truncate_to_millis(F.col("ts")).alias("t"))
+    twice = once.select(_truncate_to_millis(F.col("t")).alias("t"))
+    v1, v2 = once.head()["t"], twice.head()["t"]
+    assert v1 == v2
+    assert v1.microsecond % 1000 == 0
+    assert v1 <= datetime.utcfromtimestamp(micros / 1_000_000) + timedelta(
+        seconds=1
+    )
+
+
+def test_internal_error_envelope(spark, tmp_path):
+    """Non-contract failures surface as InternalError with a backtrace
+    (reference src/grpc.rs:39-69), never as raw exceptions."""
+    eng = Engine(spark)
+    req = RawQueryRequest(
+        input_data_paths=[str(tmp_path / "missing.parquet")],
+        transform=[SqlQueryStep(query="SELECT * FROM input")],
+        output_data_path=str(tmp_path / "out.parquet"),
+    )
+    with pytest.raises(InternalError) as ei:
+        eng.execute_raw_query(req)
+    assert ei.value.backtrace  # formatted source chain attached
