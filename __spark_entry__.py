@@ -12,9 +12,13 @@ inventory (one entry per SURVEY.md §2 operator row) is in
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kamu_engine_datafusion_spark import queries as _q
 from kamu_engine_datafusion_spark.session import tune_session

@@ -1,0 +1,76 @@
+"""Ledger compaction: rewrite many small part files into few large ones
+while preserving the offset order and ledger semantics.
+
+An ODF ledger accumulates one part file per coordinator tick
+(micro-batch); after thousands of ticks the file count, not the data
+volume, dominates scan planning cost. Compaction is pure maintenance —
+the record stream (offsets, ops, times, data) is byte-identical before
+and after.
+
+Scale shape: one range-shuffle on the offset column (so output files
+hold contiguous offset ranges and row-group pruning on offset keeps
+working), then a parallel write sized by ``target_rows_per_file``.
+"""
+
+from __future__ import annotations
+
+import glob
+import math
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import SparkSession
+
+from kamu_engine_datafusion_spark.plans.types import DatasetVocabulary
+
+
+def compact_ledger(
+    spark: SparkSession,
+    ledger_dir: str,
+    target_rows_per_file: int = 5_000_000,
+    vocab: DatasetVocabulary | None = None,
+) -> int:
+    """Compact ``<ledger_dir>/*.parquet`` in place; returns the new file
+    count. Output files hold contiguous, sorted offset ranges named
+    ``part-<first_offset>.parquet``.
+    """
+    vocab = vocab or DatasetVocabulary()
+    off = vocab.offset_column
+    files = sorted(glob.glob(os.path.join(ledger_dir, "*.parquet")))
+    if not files:
+        return 0
+    df = spark.read.parquet(*files)
+    total = df.count()
+    if total == 0:
+        return len(files)
+    n_out = max(1, math.ceil(total / target_rows_per_file))
+
+    tmp_dir = tempfile.mkdtemp(prefix=".odf-compact-", dir=ledger_dir)
+    out_tmp = os.path.join(tmp_dir, "out")
+    (
+        df.repartitionByRange(n_out, off)
+        .sortWithinPartitions(off)
+        .write.mode("overwrite")
+        .parquet(out_tmp)
+    )
+    # rename parts by their first offset so lexical order == offset order
+    import pyarrow.parquet as pq
+
+    new_parts = sorted(glob.glob(os.path.join(out_tmp, "part-*.parquet")))
+    renamed = []
+    for p in new_parts:
+        first = pq.read_table(p, columns=[off])[off][0].as_py()
+        dst = os.path.join(tmp_dir, f"part-{first:012d}.parquet")
+        shutil.move(p, dst)
+        renamed.append(dst)
+    # atomic-ish swap: remove old parts, move new ones in
+    for f in files:
+        os.remove(f)
+    final = []
+    for p in renamed:
+        dst = os.path.join(ledger_dir, os.path.basename(p))
+        shutil.move(p, dst)
+        final.append(dst)
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    return len(final)
