@@ -67,6 +67,26 @@ def q_xdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-level dedup: token-Jaccard pairs → connected components →
+    one survivor per component; survivors per lang. Oracle: the same
+    closure via DuckDB recursive CTE."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        dedup_by_components,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    pairs = D.ngram_jaccard_pairs(sub, block_col="lang", threshold=0.6).select(
+        "id_a", "id_b"
+    )
+    return (
+        dedup_by_components(sub, pairs)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_xdedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within label blocks."""
     t = load(spark, sf_dir, "embeddings")
@@ -269,6 +289,7 @@ QUERIES = {
     "xdedup_minhash": q_xdedup_minhash,
     "xdedup_simhash": q_xdedup_simhash,
     "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
+    "xdedup_cluster": q_xdedup_cluster,
     "xdedup_embcos": q_xdedup_embcos,
     "xsim_topk_brute": q_xsim_topk_brute,
     "xsim_srp_lsh": q_xsim_srp_lsh,
@@ -338,6 +359,25 @@ ORACLES = {
         "LATERAL (SELECT CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
         "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) AS j) "
         "WHERE j >= 0.55"
+    ),
+    "xdedup_cluster": (
+        "WITH RECURSIVE toks AS (SELECT doc_id, lang, "
+        f"{_NORM_TOKENS} AS tok FROM documents WHERE doc_id < 300), "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a "
+        "JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
+        "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.6), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "UNION SELECT e.src, reach.r FROM edges e "
+        "JOIN reach ON e.dst = reach.node), "
+        "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node), "
+        "losers AS (SELECT node FROM comp WHERE node != component) "
+        "SELECT lang, count(*) AS n_docs FROM documents "
+        "WHERE doc_id < 300 AND doc_id NOT IN (SELECT node FROM losers) "
+        "GROUP BY lang"
     ),
     "xdedup_embcos": (
         "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb_d "
