@@ -198,9 +198,12 @@ def minhash_lsh_dedup(
     transitive chains needs iterative joins; the lower-id-wins rule is
     the standard single-pass policy and matches what exact_dedup does.)
     """
+    # candidates are tiny but their lineage is the whole signature+LSH
+    # pipeline; verification references them 4x (two id legs, two joins)
+    # so persist to compute that pipeline once
     cand = minhash_lsh_candidates(
         df, text_col, id_col, shingle_len, num_hashes, num_bands
-    )
+    ).persist()
     dups = (
         verified_jaccard(df, cand, text_col, id_col, shingle_len)
         .filter(F.col("jaccard") >= threshold)
