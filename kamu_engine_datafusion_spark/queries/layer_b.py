@@ -347,6 +347,73 @@ def q_b20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_b20_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B20 variant: explicit GROUPING SETS (shares the Expand plan with
+    rollup/cube but with a hand-picked set list)."""
+    load(spark, sf_dir, "lineitem")
+    return spark.sql(
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(grouping(l_returnflag) AS BIGINT) AS g_rf "
+        "FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag), (l_returnflag, l_linestatus), ())"
+    )
+
+
+def q_b23_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B23 variant: top-2 lineitems per supplier — the canonical
+    window + rank ≤ k pattern (no global sort)."""
+    t = load(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_suppkey").orderBy(
+        F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
+    )
+    return (
+        t["lineitem"]
+        .select(
+            "l_suppkey",
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("linenumber"),
+            "l_extendedprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 2)
+    )
+
+
+def q_b10_join_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B10 variant: the same equi-join forced to SortMergeJoin via hint —
+    the strategy Catalyst picks when neither side fits in memory."""
+    t = load(spark, sf_dir, "orders", "customer")
+    return (
+        t["orders"]
+        .join(
+            t["customer"].hint("SHUFFLE_MERGE"),
+            t["orders"].o_custkey == t["customer"].c_custkey,
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_b39_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B39 variant: explode/unnest a generated sequence into rows."""
+    t = load(spark, sf_dir, "part")
+    exploded = (
+        t["part"]
+        .filter(F.col("p_partkey") <= 50)
+        .select(
+            "p_partkey",
+            F.explode(F.sequence(F.lit(1), F.col("p_size"))).alias("i"),
+        )
+    )
+    return exploded.groupBy("p_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("i").cast("long").alias("s"),
+    )
+
+
 def q_b21_collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B21: array_agg/string_agg/bool_and/bool_or (collect_list is
     order-nondeterministic in a distributed engine → sort before join)."""
@@ -764,6 +831,10 @@ QUERIES = {
     "b18_approx_agg": q_b18_approx_agg,
     "b19_stats_agg": q_b19_stats_agg,
     "b20_rollup": q_b20_rollup,
+    "b20_grouping_sets": q_b20_grouping_sets,
+    "b23_topk_per_group": q_b23_topk_per_group,
+    "b10_join_shuffle": q_b10_join_shuffle,
+    "b39_explode": q_b39_explode,
     "b21_collect_agg": q_b21_collect_agg,
     "b22_distinct": q_b22_distinct,
     "b23_ranking": q_b23_ranking,
@@ -903,6 +974,29 @@ ORACLES = {
         "CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, "
         "CAST(grouping(l_linestatus) AS BIGINT) AS g_ls "
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ),
+    "b20_grouping_sets": (
+        "SELECT l_returnflag, l_linestatus, COUNT(*) AS n, "
+        "CAST(grouping(l_returnflag) AS BIGINT) AS g_rf "
+        "FROM lineitem GROUP BY GROUPING SETS "
+        "((l_returnflag), (l_returnflag, l_linestatus), ())"
+    ),
+    "b23_topk_per_group": (
+        "SELECT * FROM (SELECT l_suppkey, l_orderkey, "
+        "CAST(l_linenumber AS BIGINT) AS linenumber, l_extendedprice, "
+        "CAST(row_number() OVER (PARTITION BY l_suppkey "
+        "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS BIGINT) "
+        "AS rn FROM lineitem) WHERE rn <= 2"
+    ),
+    "b10_join_shuffle": (
+        "SELECT c_nationkey, count(*) AS n_orders, "
+        "round(max(o_totalprice), 2) AS max_price FROM orders "
+        "JOIN customer ON o_custkey = c_custkey GROUP BY c_nationkey"
+    ),
+    "b39_explode": (
+        "SELECT p_partkey, count(*) AS n, CAST(sum(i) AS BIGINT) AS s FROM ("
+        "SELECT p_partkey, unnest(generate_series(1, p_size)) AS i "
+        "FROM part WHERE p_partkey <= 50) GROUP BY p_partkey"
     ),
     "b21_collect_agg": (
         "SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations, "
