@@ -38,6 +38,82 @@ HEADLINE = [
 ]
 
 
+def _bench_odf_transform(spark, sf_dir: str) -> float:
+    """Time the engine's actual job: an ODF transform (ledger in, filter+map
+    SQL, validated + system-columned single snappy Parquet file out) over a
+    lineitem-sized ledger — the workload the reference recommends itself for
+    ('basic filter/map operations'). Ledger synthesis is setup, not timed."""
+    import tempfile
+    import time as _t
+    from datetime import datetime, timezone
+
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark import (
+        DatasetVocabulary,
+        OffsetInterval,
+        SqlQueryStep,
+        TransformRequest,
+        TransformRequestInput,
+        execute_transform,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="odf-bench-")
+    ledger_path = f"{tmp}/ledger.parquet"
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    n = li.count()
+    ledger = (
+        li.orderBy("l_orderkey", "l_linenumber")
+        .coalesce(1)
+        .select(
+            F.monotonically_increasing_id().alias("offset"),
+            F.lit(0).cast("int").alias("op"),
+            F.lit(datetime(2023, 1, 1)).cast("timestamp").alias("system_time"),
+            F.col("l_shipdate").cast("timestamp").alias("event_time"),
+            "l_orderkey",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_returnflag",
+        )
+    )
+    from kamu_engine_datafusion_spark.sources.sink import write_parquet_single_file
+
+    write_parquet_single_file(ledger, ledger_path)
+
+    req = TransformRequest(
+        dataset_alias="bench",
+        system_time=datetime(2023, 2, 1, tzinfo=timezone.utc),
+        next_offset=0,
+        vocab=DatasetVocabulary(),
+        transform=[
+            SqlQueryStep(
+                query=(
+                    "SELECT event_time, l_orderkey, l_returnflag, "
+                    "l_extendedprice * (1 - l_discount) AS disc_price "
+                    "FROM input WHERE l_quantity < 40"
+                )
+            )
+        ],
+        inputs=[
+            TransformRequestInput(
+                dataset_alias="input",
+                query_alias="input",
+                schema_file=ledger_path,
+                data_paths=[ledger_path],
+                offset_interval=OffsetInterval(0, n - 1),
+            )
+        ],
+        new_data_path=f"{tmp}/out.parquet",
+    )
+    best = float("inf")
+    for _ in range(2):
+        t0 = _t.perf_counter()
+        execute_transform(spark, req)
+        best = min(best, _t.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -65,6 +141,8 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+
+    timings["odf_transform_filter_map"] = round(_bench_odf_transform(spark, sf_dir), 3)
 
     total = round(sum(timings.values()), 3)
     print(
