@@ -97,14 +97,17 @@ def srp_lsh_topk(
     bits: int = 12,
     dim: int | None = None,
     seed: int = 42,
+    hamming_probes: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k: exact re-rank within the query's SRP
-    bucket.
+    bucket(s).
 
     Scale path: ``corpus`` bucketed by signature is a write-time
     partitioning — a query prunes to one bucket (~corpus/2^bits rows).
-    Recall can be raised by probing neighboring buckets (Hamming-1
-    flips); kept single-probe here for determinism.
+    ``hamming_probes`` > 0 enables multi-probe: the query also visits
+    every bucket whose signature flips one of the first
+    ``hamming_probes`` bits — the standard recall knob (cost grows
+    linearly in probes, recall rises steeply).
     """
     if dim is None:
         dim = _vec_dim(corpus, vec_col)
@@ -112,15 +115,100 @@ def srp_lsh_topk(
     csig = corpus.withColumn("__sig", srp_signature(F.col(vec_col), planes)).withColumn(
         "__nrm", l2_norm(F.col(vec_col), dim)
     )
+    base_sig = srp_signature(F.col(vec_col), planes)
+    probe_sigs = F.array(
+        base_sig,
+        *[
+            base_sig.bitwiseXOR(F.lit(1 << b).cast("long"))
+            for b in range(min(hamming_probes, bits))
+        ],
+    )
     qsig = F.broadcast(
         query.select(
             F.col(vec_col).alias("__qv"),
-            srp_signature(F.col(vec_col), planes).alias("__qsig"),
+            F.explode(probe_sigs).alias("__qsig"),
             l2_norm(F.col(vec_col), dim).alias("__qnrm"),
         )
     )
     return (
         csig.join(qsig, csig["__sig"] == qsig["__qsig"])
+        .select(
+            F.col(id_col),
+            F.round(
+                dot_product(F.col(vec_col), F.col("__qv"), dim)
+                / (F.col("__nrm") * F.col("__qnrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()  # a hit can arrive via several probes
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    nlist: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, object]:
+    """Build an IVF (inverted-file) index: a k-means coarse quantizer
+    over the corpus, every vector assigned to its nearest centroid list.
+
+    Returns ``(assigned_corpus, kmeans_model)``. At scale the assigned
+    corpus is written partitioned by ``__list`` so a query reads only
+    its probed lists; MLlib k-means trains in a few distributed passes.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = corpus.withColumn(
+        "__features",
+        array_to_vector(F.transform(F.col(vec_col), lambda x: x.cast("double"))),
+    )
+    model = KMeans(
+        k=nlist, seed=seed, featuresCol="__features", predictionCol="__list"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__features")
+    return assigned, model
+
+
+def ivf_topk(
+    assigned_corpus: DataFrame,
+    model,
+    query: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF search: exact cosine re-rank inside the ``nprobe`` centroid
+    lists nearest to the query.
+
+    Driver-side work is tiny (centroid distances for one query vector);
+    cluster-side work is a filtered scan of ~nprobe/nlist of the corpus
+    — the classic IVF recall/cost dial. With the corpus written
+    partitioned by ``__list``, the ``isin`` filter becomes partition
+    pruning and the unprobed lists are never read.
+    """
+    import numpy as np
+
+    if dim is None:
+        dim = _vec_dim(assigned_corpus, vec_col)
+    qvec = np.array(query.select(vec_col).head()[0], dtype="float64")
+    dists = [float(np.linalg.norm(qvec - c)) for c in model.clusterCenters()]
+    probe_lists = sorted(range(len(dists)), key=lambda i: dists[i])[:nprobe]
+
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qv"), l2_norm(F.col(vec_col), dim).alias("__qnrm")
+        )
+    )
+    return (
+        assigned_corpus.filter(F.col("__list").isin(probe_lists))
+        .withColumn("__nrm", l2_norm(F.col(vec_col), dim))
+        .crossJoin(q)
         .select(
             F.col(id_col),
             F.round(

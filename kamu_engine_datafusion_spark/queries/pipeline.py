@@ -120,6 +120,18 @@ def q_xsim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_xsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means inverted-file) ANN top-10 with nprobe = nlist —
+    degenerates to exact search, so it IS oracle-checkable against the
+    same brute-force SQL as xsim_topk_brute."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    assigned, model = S.ivf_index(emb, nlist=8)
+    return S.ivf_topk(
+        assigned, model, emb.filter(F.col("vec_id") == 0), k=10, nprobe=8
+    )
+
+
 def q_xtext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID per document."""
     t = load(spark, sf_dir, "documents")
@@ -293,6 +305,7 @@ QUERIES = {
     "xdedup_embcos": q_xdedup_embcos,
     "xsim_topk_brute": q_xsim_topk_brute,
     "xsim_srp_lsh": q_xsim_srp_lsh,
+    "xsim_ivf": q_xsim_ivf,
     "xtext_langid": q_xtext_langid,
     "xtext_quality": q_xtext_quality,
     "xtext_tokens": q_xtext_tokens,
@@ -388,6 +401,16 @@ ORACLES = {
         f"WHERE {_COS} >= 0.8"
     ),
     "xsim_topk_brute": (
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "
+        "FROM embeddings WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings) "
+        "SELECT vec_id, cosine FROM ("
+        "SELECT e.vec_id, round(list_dot_product(e.emb_d, q.emb_d) / "
+        "(sqrt(list_dot_product(e.emb_d, e.emb_d)) * "
+        "sqrt(list_dot_product(q.emb_d, q.emb_d))), 6) AS cosine "
+        "FROM e, q) ORDER BY cosine DESC, vec_id LIMIT 10"
+    ),
+    "xsim_ivf": (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "
         "FROM embeddings WHERE vec_id = 0), "
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d FROM embeddings) "
