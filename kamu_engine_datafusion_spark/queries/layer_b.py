@@ -331,6 +331,20 @@ def q_b19_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_b19_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B19 variant: exact interpolated percentiles (percentile_cont)."""
+    t = load(spark, sf_dir, "lineitem")
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.percentile("l_extendedprice", 0.5), 4).alias("p50_price"),
+            F.round(F.percentile("l_extendedprice", 0.9), 4).alias("p90_price"),
+            F.round(F.percentile("l_quantity", 0.25), 4).alias("p25_qty"),
+        )
+    )
+
+
 def q_b20_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B20: ROLLUP with GROUPING() indicators (CUBE/GROUPING SETS share the
     same Expand-based plan)."""
@@ -749,6 +763,9 @@ def q_b38_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.ifnull(F.nullif(F.col("o_orderstatus"), F.lit("F")), F.lit("notF")).alias(
                 "not_f"
             ),
+            F.nullif(F.col("o_orderstatus"), F.lit("O")).eqNullSafe(F.lit("F")).alias(
+                "ns_eq_f"
+            ),
         )
     )
 
@@ -830,6 +847,7 @@ QUERIES = {
     "b17_count_distinct": q_b17_count_distinct,
     "b18_approx_agg": q_b18_approx_agg,
     "b19_stats_agg": q_b19_stats_agg,
+    "b19_percentile": q_b19_percentile,
     "b20_rollup": q_b20_rollup,
     "b20_grouping_sets": q_b20_grouping_sets,
     "b23_topk_per_group": q_b23_topk_per_group,
@@ -966,6 +984,13 @@ ORACLES = {
         "round(var_samp(l_quantity), 4) AS var_qty, "
         "round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price, "
         "round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
+    "b19_percentile": (
+        "SELECT l_returnflag, "
+        "round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price, "
+        "round(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price, "
+        "round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty "
         "FROM lineitem GROUP BY l_returnflag"
     ),
     "b20_rollup": (
@@ -1131,7 +1156,8 @@ ORACLES = {
         "coalesce(nullif(o_orderstatus, 'O'), 'open') AS status2, "
         "CASE WHEN nullif(o_orderpriority, '5-LOW') IS NOT NULL "
         "THEN 'prioritized' ELSE 'low' END AS prio_class, "
-        "ifnull(nullif(o_orderstatus, 'F'), 'notF') AS not_f "
+        "ifnull(nullif(o_orderstatus, 'F'), 'notF') AS not_f, "
+        "nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM 'F' AS ns_eq_f "
         "FROM orders WHERE o_orderkey <= 500"
     ),
     "b39_array": (
