@@ -295,6 +295,57 @@ def ngram_jaccard_pairs(
     )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide paragraph dedup (the CCNet/Dolma-style operator):
+    split every document into paragraphs, keep only the globally-first
+    occurrence of each distinct paragraph (ordered by (doc id, position)),
+    and reassemble documents from their surviving paragraphs.
+
+    Returns ``(id_col, text_col)`` with deduplicated text (possibly
+    empty). Scale shape: one shuffle keyed by paragraph content (uniform
+    hash), one groupBy to reassemble — both linear; no pairwise joins.
+    """
+    import re
+
+    paras = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "__pos", "__para"
+        ),
+    )
+    w = Window.partitionBy("__para").orderBy("__id", "__pos")
+    kept = (
+        paras.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__para")))
+                ),
+                lambda s: s.getField("__para"),
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    # docs whose every paragraph was deduped elsewhere survive as empty text
+    return (
+        df.select(F.col(id_col))
+        .join(reassembled, df[id_col] == reassembled["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col(text_col), F.lit("")).alias(text_col),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -67,6 +67,16 @@ def q_xdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (CCNet/Dolma-style): first global
+    occurrence of each paragraph survives, documents reassembled.
+    Testdata has no paragraph breaks, so ' the ' serves as the split
+    token — arbitrary but identical in both engines."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300).select("doc_id", "text")
+    return D.paragraph_dedup(sub, sep=" the ")
+
+
 def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-level dedup: token-Jaccard pairs → connected components →
     one survivor per component; survivors per lang. Oracle: the same
@@ -302,6 +312,7 @@ QUERIES = {
     "xdedup_simhash": q_xdedup_simhash,
     "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
     "xdedup_cluster": q_xdedup_cluster,
+    "xdedup_paragraph": q_xdedup_paragraph,
     "xdedup_embcos": q_xdedup_embcos,
     "xsim_topk_brute": q_xsim_topk_brute,
     "xsim_srp_lsh": q_xsim_srp_lsh,
@@ -372,6 +383,17 @@ ORACLES = {
         "LATERAL (SELECT CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
         "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) AS j) "
         "WHERE j >= 0.55"
+    ),
+    "xdedup_paragraph": (
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+        "p AS (SELECT doc_id, unnest(string_split(text, ' the ')) AS para, "
+        "generate_subscripts(string_split(text, ' the '), 1) AS pos FROM d), "
+        "kept AS (SELECT doc_id, para, pos, row_number() OVER "
+        "(PARTITION BY para ORDER BY doc_id, pos) AS rn FROM p), "
+        "re AS (SELECT doc_id, string_agg(para, ' the ' ORDER BY pos) AS text "
+        "FROM kept WHERE rn = 1 GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(re.text, '') AS text "
+        "FROM d LEFT JOIN re ON d.doc_id = re.doc_id"
     ),
     "xdedup_cluster": (
         "WITH RECURSIVE toks AS (SELECT doc_id, lang, "

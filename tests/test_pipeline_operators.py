@@ -64,6 +64,20 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 5) not in got
 
 
+def test_paragraph_dedup(spark):
+    rows = [
+        (1, "intro text\n\nshared boilerplate\n\nunique one"),
+        (2, "shared boilerplate\n\nunique two"),
+        (3, "shared boilerplate"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in D.paragraph_dedup(df).collect()}
+    # doc 1 owns the first occurrence of the boilerplate
+    assert out[1] == "intro text\n\nshared boilerplate\n\nunique one"
+    assert out[2] == "unique two"  # boilerplate removed
+    assert out[3] == ""  # entirely duplicated -> empty but present
+
+
 @pytest.fixture()
 def vectors(spark):
     rows = [
