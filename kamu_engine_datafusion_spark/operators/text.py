@@ -112,6 +112,41 @@ def quality_score(text: Column | str) -> Column:
     )
 
 
+def repetition_ratio(text: Column | str, n: int = 3) -> Column:
+    """Within-document repetition: 1 - distinct/total n-gram shingles.
+
+    High values flag boilerplate/looping generations (a standard
+    quality-filter signal). Pure column math at scan speed.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import word_shingles
+
+    sh = word_shingles(tokens(text), n)
+    total = F.size(sh).cast("double")
+    distinct = F.size(F.array_distinct(sh)).cast("double")
+    return F.round(
+        F.when(total > 0, 1.0 - distinct / total).otherwise(F.lit(0.0)), 6
+    )
+
+
+#: Redaction patterns: email, IPv4, international-ish phone (public
+#: regexes; intentionally conservative). Order matters: IPs must be
+#: redacted before the looser phone pattern would swallow them.
+_PII_PATTERNS = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\s().-]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / phone numbers / IPv4 addresses with typed
+    placeholder tokens (chained regexp_replace — scan-speed)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for pattern, token in _PII_PATTERNS:
+        c = F.regexp_replace(c, pattern, token)
+    return c
+
+
 def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set. Robust to shuffled copies; cheap enough for full scans."""

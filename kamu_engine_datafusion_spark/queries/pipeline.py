@@ -174,6 +174,33 @@ def q_xtext_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xtext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition ratio (1 - distinct/total 3-gram
+    shingles) — the boilerplate/looping-generation quality signal."""
+    t = load(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", X.repetition_ratio("text", n=3).alias("rep_ratio")
+    )
+
+
+def q_xtext_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction: emails/IPs/phones replaced with typed tokens. The
+    corpus has no PII, so both engines synthesize identical PII-bearing
+    strings and redact them."""
+    t = load(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.substring("text", 1, 20),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com at 192.168.0."),
+        (F.col("doc_id") % 255).cast("string"),
+        F.lit(" or +1 (555) 123-4567"),
+    )
+    return t["documents"].select(
+        "doc_id", X.redact_pii(synth).alias("redacted")
+    )
+
+
 def q_xtext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-insensitive content fingerprint (md5 of sorted token set)."""
     t = load(spark, sf_dir, "documents")
@@ -321,6 +348,8 @@ QUERIES = {
     "xtext_quality": q_xtext_quality,
     "xtext_tokens": q_xtext_tokens,
     "xtext_fingerprint": q_xtext_fingerprint,
+    "xtext_repetition": q_xtext_repetition,
+    "xtext_redact_pii": q_xtext_redact_pii,
     "xmm_decode": q_xmm_decode,
     "xmm_features": q_xmm_features,
     "xmm_frames": q_xmm_frames,
@@ -474,6 +503,26 @@ ORACLES = {
         "AS n_ws_tokens, "
         "CAST(len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS BIGINT) "
         "AS n_bpe_tokens FROM documents"
+    ),
+    "xtext_repetition": (
+        "WITH tq AS (SELECT doc_id, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents) "
+        "SELECT doc_id, round(CASE WHEN total > 0 THEN 1 - dn / total "
+        "ELSE 0.0 END, 6) AS rep_ratio FROM tq, "
+        "LATERAL (SELECT list_transform(generate_series(1, "
+        "greatest(1, len(t) - 2)), i -> array_to_string(t[i:i+2], ' ')) AS sh), "
+        "LATERAL (SELECT CAST(len(sh) AS DOUBLE) AS total, "
+        "CAST(len(list_distinct(sh)) AS DOUBLE) AS dn)"
+    ),
+    "xtext_redact_pii": (
+        "SELECT doc_id, regexp_replace(regexp_replace(regexp_replace("
+        "substring(text, 1, 20) || ' contact user' || CAST(doc_id AS VARCHAR) "
+        "|| '@example.com at 192.168.0.' || CAST(doc_id % 255 AS VARCHAR) "
+        "|| ' or +1 (555) 123-4567', "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+        "'\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'), "
+        "'\\+?\\d[\\d\\s().-]{7,}\\d', '<PHONE>', 'g') AS redacted "
+        "FROM documents"
     ),
     "xtext_fingerprint": (
         "SELECT doc_id, md5(array_to_string(list_sort("
