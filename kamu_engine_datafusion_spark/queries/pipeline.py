@@ -174,6 +174,19 @@ def q_xtext_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdecontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs < 400 form the corpus, docs >= 450
+    the 'benchmark'; count shared 3-gram shingles per corpus doc."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    corpus = t["documents"].filter(F.col("doc_id") < 400)
+    bench = t["documents"].filter(F.col("doc_id") >= 450)
+    return flag_contaminated(corpus, bench, shingle_len=3, threshold=3)
+
+
 def q_xtext_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition ratio (1 - distinct/total 3-gram
     shingles) — the boilerplate/looping-generation quality signal."""
@@ -349,6 +362,7 @@ QUERIES = {
     "xtext_tokens": q_xtext_tokens,
     "xtext_fingerprint": q_xtext_fingerprint,
     "xtext_repetition": q_xtext_repetition,
+    "xdecontaminate": q_xdecontaminate,
     "xtext_redact_pii": q_xtext_redact_pii,
     "xmm_decode": q_xmm_decode,
     "xmm_features": q_xmm_features,
@@ -503,6 +517,19 @@ ORACLES = {
         "AS n_ws_tokens, "
         "CAST(len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS BIGINT) "
         "AS n_bpe_tokens FROM documents"
+    ),
+    "xdecontaminate": (
+        "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 2)), "
+        "i -> array_to_string(t[i:i+2], ' ')))) AS s FROM "
+        "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t "
+        "FROM documents)), "
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 450), "
+        "ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s) "
+        "WHERE sh.doc_id < 400 GROUP BY sh.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlaps, "
+        "coalesce(ov.n, 0) >= 3 AS contaminated FROM documents d "
+        "LEFT JOIN ov ON d.doc_id = ov.doc_id WHERE d.doc_id < 400"
     ),
     "xtext_repetition": (
         "WITH tq AS (SELECT doc_id, "
