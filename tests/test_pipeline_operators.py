@@ -172,6 +172,10 @@ def test_multimodal_pipeline(spark):
     frames = M.frame_sample(media, num_frames=4)
     fr = [r for r in frames.collect() if r["media_id"] == 1]
     assert len(fr) == 4 and all(r["frame_len"] == 2 for r in fr)
+    resized = {r["media_id"]: r for r in M.resize_media(media, 4).collect()}
+    assert bytes(resized[1]["content"]) == b"abcd"  # truncated
+    assert bytes(resized[2]["content"]) == b"\x00" * 4  # zero-padded
+    assert resized[1]["n_bytes"] == resized[2]["n_bytes"] == 4
 
 
 def test_asof_join_semantics(spark):
