@@ -56,6 +56,38 @@ def minhash_base_hash(col: Column) -> Column:
 _SHINGLE_PRIME = 1000003
 
 
+def poly_hash31(col: Column) -> Column:
+    """31-bit polynomial rolling hash of a string: fold
+    ``acc = (acc*31 + ascii(char)) mod M31`` over the characters.
+
+    Weaker than xxhash64 but expressible identically in ANSI-ish SQL
+    (DuckDB ``list_reduce`` over ``string_split(s, '')``) — used by the
+    cross-engine-verifiable MinHash variant.
+    """
+    chars = F.filter(F.split(col, ""), lambda x: x != "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + F.ascii(x)) % _MERSENNE_31,
+    )
+
+
+def lsh_band_keys_fold(
+    signature: Column, num_bands: int, rows_per_band: int
+) -> Column:
+    """Band keys via a polynomial fold over signature components —
+    the SQL-expressible alternative to :func:`lsh_band_keys`
+    (``acc = (acc*P + component) mod M31`` per component)."""
+    keys = []
+    for band in range(num_bands):
+        acc: Column = F.lit(0).cast("long")
+        for i in range(rows_per_band):
+            comp = F.element_at(signature, band * rows_per_band + i + 1)
+            acc = (acc * _SHINGLE_PRIME + comp) % _MERSENNE_31
+        keys.append(acc)
+    return F.array(*keys)
+
+
 def shingle_hash_array(tok: Column, n: int) -> Column:
     """31-bit hashes of the n-token shingles of ``tok`` — WITHOUT
     materializing shingle strings.

@@ -26,7 +26,9 @@ from kamu_engine_datafusion_spark.functions.columns import (
     hamming64,
     l2_norm,
     lsh_band_keys,
+    lsh_band_keys_fold,
     minhash_coeffs,
+    poly_hash31,
     shingle_hash_array,
     tokens,
     word_shingles,
@@ -67,6 +69,7 @@ def minhash_signatures(
     shingle_len: int = 3,
     num_hashes: int = 32,
     seed: int = 42,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signatures via the scalable explode→groupBy
     formulation: shingles are hashed WITHOUT materializing strings
@@ -79,13 +82,26 @@ def minhash_signatures(
     once per hash function (project collapsing duplicates aliases), and
     string shingles cost an array allocation per position — both
     measured order-of-magnitude effects at sf0.1.
+
+    ``base_hash``: ``"xxhash64"`` (default, fastest, JVM-native) or
+    ``"poly"`` (polynomial char hash over string shingles — slower but
+    reproducible in plain SQL, enabling a full cross-engine oracle of
+    the LSH pipeline).
     """
-    shingled = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(
-            F.array_distinct(shingle_hash_array(tokens(text_col), shingle_len))
-        ).alias("__h"),
-    )
+    if base_hash == "poly":
+        shingled = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(word_shingles(tokens(text_col), shingle_len))
+            ).alias("__sh"),
+        ).select("__id", poly_hash31(F.col("__sh")).alias("__h"))
+    else:
+        shingled = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(shingle_hash_array(tokens(text_col), shingle_len))
+            ).alias("__h"),
+        )
     aggs = [
         F.min((F.col("__h") * a + b) % _MERSENNE_31).alias(f"__mh{j}")
         for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
@@ -102,7 +118,8 @@ def minhash_lsh_candidates(
     shingle_len: int = 3,
     num_hashes: int = 32,
     num_bands: int = 8,
-    max_bucket_size: int = 200,
+    max_bucket_size: int | None = 200,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -117,13 +134,26 @@ def minhash_lsh_candidates(
     first so identical texts don't form such buckets.
     """
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, shingle_len, num_hashes)
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+    )
+    band_fn = lsh_band_keys_fold if base_hash == "poly" else lsh_band_keys
     banded = sigs.select(
         "__id",
-        F.explode(
-            lsh_band_keys(F.col("__sig"), num_bands, rows_per_band)
-        ).alias("__band"),
+        F.explode(band_fn(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
     )
+    if base_hash == "poly":
+        # band index disambiguation: fold keys from different bands could
+        # collide across bands; join must stay within a band position
+        banded = sigs.select(
+            "__id",
+            F.posexplode(
+                band_fn(F.col("__sig"), num_bands, rows_per_band)
+            ).alias("__bandpos", "__bandkey"),
+        ).select(
+            "__id",
+            F.concat_ws(":", F.col("__bandpos"), F.col("__bandkey")).alias("__band"),
+        )
     if max_bucket_size:
         w = Window.partitionBy("__band")
         banded = (
@@ -190,6 +220,8 @@ def minhash_lsh_dedup(
     shingle_len: int = 3,
     num_hashes: int = 32,
     num_bands: int = 8,
+    max_bucket_size: int | None = 200,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
     threshold → drop every doc that matches a lower-id survivor.
@@ -202,7 +234,14 @@ def minhash_lsh_dedup(
     # pipeline; verification references them 4x (two id legs, two joins)
     # so persist to compute that pipeline once
     cand = minhash_lsh_candidates(
-        df, text_col, id_col, shingle_len, num_hashes, num_bands
+        df,
+        text_col,
+        id_col,
+        shingle_len,
+        num_hashes,
+        num_bands,
+        max_bucket_size,
+        base_hash,
     ).persist()
     dups = (
         verified_jaccard(df, cand, text_col, id_col, shingle_len)

@@ -67,6 +67,27 @@ def q_xdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL MinHash+LSH dedup pipeline with a SQL-expressible base
+    hash (polynomial char fold) — signatures, banding, bucket join,
+    Jaccard verification, and survivor selection all hash-verified
+    against a DuckDB oracle built from the same coefficients."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    return (
+        D.minhash_lsh_dedup(
+            sub,
+            threshold=0.7,
+            num_hashes=16,
+            num_bands=4,
+            max_bucket_size=None,
+            base_hash="poly",
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_xdedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph dedup (CCNet/Dolma-style): first global
     occurrence of each paragraph survives, documents reassembled.
@@ -353,6 +374,7 @@ QUERIES = {
     "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
     "xdedup_cluster": q_xdedup_cluster,
     "xdedup_paragraph": q_xdedup_paragraph,
+    "xdedup_minhash_sql": q_xdedup_minhash_sql,
     "xdedup_embcos": q_xdedup_embcos,
     "xsim_topk_brute": q_xsim_topk_brute,
     "xsim_srp_lsh": q_xsim_srp_lsh,
@@ -390,7 +412,55 @@ _COS = (
     "sqrt(list_dot_product(b.emb_d, b.emb_d)))"
 )
 
+def _minhash_sql_oracle() -> str:
+    """DuckDB oracle replicating the full poly-hash MinHash+LSH dedup:
+    same coefficients, same folds, same banding, same verification."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31 as M,
+        _SHINGLE_PRIME as P,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(16, seed=42)
+    mins = ", ".join(
+        f"min((hv * {a} + {b}) % {M}) AS m{j}" for j, (a, b) in enumerate(coeffs)
+    )
+    bands = []
+    for band in range(4):
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(4):
+            acc = f"(({acc}) * {P} + m{band * 4 + i}) % {M}"
+        bands.append(
+            f"SELECT doc_id, {band} AS bandpos, {acc} AS bandkey FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    return (
+        "WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 300), "
+        "tq AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t "
+        "FROM d), "
+        "shl AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 2)), "
+        "i -> array_to_string(t[i:i+2], ' '))) AS shs FROM tq), "
+        "sh AS (SELECT doc_id, unnest(shs) AS s FROM shl), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {M}) AS hv FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({bands_sql}), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
+        "JOIN bands b ON a.bandpos = b.bandpos AND a.bandkey = b.bandkey "
+        "AND a.doc_id < b.doc_id), "
+        "ver AS (SELECT c.id_b FROM cand c "
+        "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b "
+        "WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / "
+        "(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.7) "
+        "SELECT lang, count(*) AS n_docs FROM d "
+        "WHERE doc_id NOT IN (SELECT id_b FROM ver) GROUP BY lang"
+    )
+
+
 ORACLES = {
+    "xdedup_minhash_sql": _minhash_sql_oracle(),
     "xsessionize": (
         "WITH flagged AS (SELECT user_id, ts, event_id, "
         "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END "
