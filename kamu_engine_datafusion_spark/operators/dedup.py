@@ -258,6 +258,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     block_bits: int = 16,
+    base_hash: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit fingerprint, block on the top
     ``block_bits`` bits, verify Hamming distance within blocks.
@@ -268,27 +269,35 @@ def simhash_near_dups(
     The block join touches only same-prefix fingerprints. For guaranteed
     recall at radius r use r+1 rotated prefix blocks (future knob); a
     single prefix block is the cheap high-precision variant.
+
+    ``base_hash="poly"`` uses the SQL-expressible 31-bit polynomial
+    token hash (fingerprints have 31 bits), enabling a full cross-engine
+    oracle of the pipeline.
     """
+    sig_bits = 31 if base_hash == "poly" else 64
+    hash_expr = (
+        poly_hash31(F.col("__t")) if base_hash == "poly" else F.xxhash64("__t")
+    )
     tok_hashes = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(text_col)).alias("__t"),
-    ).select("__id", F.xxhash64("__t").alias("__h"))
+    ).select("__id", hash_expr.alias("__h"))
     bit_sums = tok_hashes.groupBy("__id").agg(
         F.count(F.lit(1)).alias("__n"),
         *[
             F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
-            for b in range(64)
+            for b in range(sig_bits)
         ],
     )
     fp_expr = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(sig_bits):
         bit = (
             F.when(F.col(f"__b{b}") * 2 > F.col("__n"), F.lit(1).cast("long"))
             .otherwise(F.lit(0).cast("long"))
         )
         fp_expr = fp_expr + F.shiftleft(bit, b)
     fp = bit_sums.select("__id", fp_expr.alias("__fp")).withColumn(
-        "__block", F.shiftright(F.col("__fp"), 64 - block_bits)
+        "__block", F.shiftright(F.col("__fp"), sig_bits - block_bits)
     )
     a, b = fp.alias("a"), fp.alias("b")
     return (

@@ -88,6 +88,17 @@ def q_xdedup_minhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdedup_simhash_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with the SQL-expressible 31-bit polynomial
+    token hash — fingerprints, blocking, and Hamming verification all
+    oracle-checked."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    return D.simhash_near_dups(
+        sub, max_hamming=10, block_bits=4, base_hash="poly"
+    )
+
+
 def q_xdedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide paragraph dedup (CCNet/Dolma-style): first global
     occurrence of each paragraph survives, documents reassembled.
@@ -375,6 +386,7 @@ QUERIES = {
     "xdedup_cluster": q_xdedup_cluster,
     "xdedup_paragraph": q_xdedup_paragraph,
     "xdedup_minhash_sql": q_xdedup_minhash_sql,
+    "xdedup_simhash_sql": q_xdedup_simhash_sql,
     "xdedup_embcos": q_xdedup_embcos,
     "xsim_topk_brute": q_xsim_topk_brute,
     "xsim_srp_lsh": q_xsim_srp_lsh,
@@ -459,8 +471,38 @@ def _minhash_sql_oracle() -> str:
     )
 
 
+def _simhash_sql_oracle() -> str:
+    """DuckDB oracle replicating the poly-hash SimHash pipeline."""
+    from kamu_engine_datafusion_spark.functions.columns import _MERSENNE_31 as M
+
+    bit_sums = ", ".join(
+        f"sum((hv >> {b}) & 1) AS b{b}" for b in range(31)
+    )
+    fp_terms = " + ".join(
+        f"(CASE WHEN b{b} * 2 > n THEN CAST(1 AS BIGINT) ELSE 0 END << {b})"
+        for b in range(31)
+    )
+    return (
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+        "tok AS (SELECT doc_id, "
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t FROM d), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {M}) AS hv FROM tok), "
+        f"bs AS (SELECT doc_id, count(*) AS n, {bit_sums} FROM h GROUP BY doc_id), "
+        f"fp AS (SELECT doc_id, {fp_terms} AS f FROM bs), "
+        "blocked AS (SELECT doc_id, f, f >> 27 AS blk FROM fp) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(bit_count(xor(a.f, b.f)) AS INTEGER) AS hamming "
+        "FROM blocked a JOIN blocked b "
+        "ON a.blk = b.blk AND a.doc_id < b.doc_id "
+        "WHERE bit_count(xor(a.f, b.f)) <= 10"
+    )
+
+
 ORACLES = {
     "xdedup_minhash_sql": _minhash_sql_oracle(),
+    "xdedup_simhash_sql": _simhash_sql_oracle(),
     "xsessionize": (
         "WITH flagged AS (SELECT user_id, ts, event_id, "
         "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END "
