@@ -256,6 +256,71 @@ def q_b14_theta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_b10_tpch_q5alike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Six-table star join (TPC-H Q5 shape): revenue per nation. Small
+    dims broadcast, fact side never shuffles until the final group-by;
+    Catalyst orders the joins."""
+    t = load(
+        spark, sf_dir, "region", "nation", "customer", "orders", "lineitem",
+        "supplier",
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(t["customer"], t["orders"].o_custkey == t["customer"].c_custkey)
+        .join(
+            F.broadcast(t["supplier"]),
+            t["lineitem"].l_suppkey == t["supplier"].s_suppkey,
+        )
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(
+            F.broadcast(t["nation"]),
+            t["supplier"].s_nationkey == t["nation"].n_nationkey,
+        )
+        .join(
+            F.broadcast(t["region"]),
+            t["nation"].n_regionkey == t["region"].r_regionkey,
+        )
+        .filter(F.col("r_name").isin("AMERICA", "ASIA"))
+        .groupBy("n_name")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_b26_tpch_q3alike(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join + aggregate + top-k (TPC-H Q3 shape): ten highest-revenue
+    orders in a segment — TakeOrderedAndProject over the aggregate."""
+    t = load(spark, sf_dir, "customer", "orders", "lineitem")
+    return (
+        t["lineitem"]
+        .join(t["orders"], t["lineitem"].l_orderkey == t["orders"].o_orderkey)
+        .join(
+            F.broadcast(
+                t["customer"].filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            t["orders"].o_custkey == t["customer"].c_custkey,
+        )
+        .filter(F.col("o_orderdate") < "1997-06-01")
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue")
+        )
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_b16_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B16: TPC-H Q1-alike pricing summary — hash aggregate with partial
     (map-side) + final phases; the flagship query."""
@@ -843,6 +908,8 @@ QUERIES = {
     "b12_semi_anti": q_b12_semi_anti,
     "b13_cross_join": q_b13_cross_join,
     "b14_theta_join": q_b14_theta_join,
+    "b10_tpch_q5alike": q_b10_tpch_q5alike,
+    "b26_tpch_q3alike": q_b26_tpch_q3alike,
     "b16_groupby_agg": q_b16_groupby_agg,
     "b17_count_distinct": q_b17_count_distinct,
     "b18_approx_agg": q_b18_approx_agg,
@@ -956,6 +1023,30 @@ ORACLES = {
     "b14_theta_join": (
         "SELECT s_suppkey, count(*) AS n_richer_customers FROM customer "
         "JOIN supplier ON c_acctbal > s_acctbal GROUP BY s_suppkey"
+    ),
+    "b10_tpch_q5alike": (
+        "SELECT n_name, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) "
+        "AS DOUBLE) AS revenue, count(*) AS n_items "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN supplier ON l_suppkey = s_suppkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE c_nationkey = s_nationkey AND r_name IN ('AMERICA', 'ASIA') "
+        "GROUP BY n_name"
+    ),
+    "b26_tpch_q3alike": (
+        "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, "
+        "o_orderpriority, "
+        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) "
+        "AS DOUBLE) AS revenue "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1997-06-01' "
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"
     ),
     "b16_groupby_agg": (
         "SELECT l_returnflag, l_linestatus, "
