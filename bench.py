@@ -24,6 +24,8 @@ from kamu_engine_datafusion_spark.session import odf_session  # noqa: E402
 #: plus the beyond-parity pipeline operators as they land.
 HEADLINE = [
     "b16_groupby_agg",
+    "b10_tpch_q5alike",
+    "b26_tpch_q3alike",
     "b10_join_inner",
     "b17_count_distinct",
     "b23_ranking",
