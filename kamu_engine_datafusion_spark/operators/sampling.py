@@ -1,0 +1,81 @@
+"""Deterministic sampling for training-data pipelines.
+
+Pipelines need samples that are reproducible across runs, engines, and
+re-partitioning — so sampling is keyed on a stable id (or content hash),
+never on ``rand()``. ``df.sample()`` is seed-stable only for a fixed
+partitioning; these are stable, period.
+
+- :func:`deterministic_sample` — keep rows whose keyed hash falls under
+  the fraction (consistent across any execution plan).
+- :func:`stratified_sample` — per-stratum fractions (e.g. language
+  rebalancing: downsample English, keep all low-resource languages).
+- :func:`split_train_holdout` — disjoint, exhaustive, reproducible
+  train/holdout split from the same keyed hash.
+
+All pure column predicates → pushed to the scan, zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Buckets for the keyed hash; 10_000 gives 0.01% fraction resolution.
+_BUCKETS = 10_000
+
+
+def _bucket(key: Column, salt: int, hash_fn: str = "xxhash64") -> Column:
+    """Stable bucket in [0, _BUCKETS) from a key column; ``salt``
+    decorrelates independent sampling decisions on the same key.
+    ``hash_fn="poly"`` uses the SQL-expressible polynomial hash of the
+    key's string form (cross-engine verifiable)."""
+    if hash_fn == "poly":
+        from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+
+        return F.pmod(
+            poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}"))),
+            F.lit(_BUCKETS),
+        )
+    return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_BUCKETS))
+
+
+def deterministic_sample(
+    df: DataFrame,
+    key_col: str,
+    fraction: float,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by keyed hash — the same rows
+    every run regardless of partitioning or cluster size."""
+    return df.filter(
+        _bucket(F.col(key_col), salt, hash_fn) < int(fraction * _BUCKETS)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fractions: dict[str, float],
+    default_fraction: float = 1.0,
+    salt: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (strata not listed keep
+    ``default_fraction``)."""
+    threshold = F.lit(int(default_fraction * _BUCKETS))
+    for stratum, frac in sorted(fractions.items()):
+        threshold = F.when(
+            F.col(stratum_col) == stratum, F.lit(int(frac * _BUCKETS))
+        ).otherwise(threshold)
+    return df.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def split_train_holdout(
+    df: DataFrame, key_col: str, holdout_fraction: float = 0.01, salt: int = 0
+) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive (train, holdout) split keyed on the id —
+    every row lands in exactly one side, stably."""
+    b = _bucket(F.col(key_col), salt)
+    cut = int(holdout_fraction * _BUCKETS)
+    return df.filter(b >= cut), df.filter(b < cut)

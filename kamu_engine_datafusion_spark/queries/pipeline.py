@@ -322,6 +322,21 @@ def q_xasof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed sampling (~30% of documents via the
+    SQL-expressible poly hash), counted per lang."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        deterministic_sample,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(t["documents"], "doc_id", 0.3, hash_fn="poly")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def q_xsessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each user's event stream at >30-minute gaps
     (lag + cumulative-sum-of-flags — the standard single-shuffle
@@ -377,6 +392,7 @@ def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "xsample": q_xsample,
     "xsessionize": q_xsessionize,
     "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
@@ -503,6 +519,14 @@ def _simhash_sql_oracle() -> str:
 ORACLES = {
     "xdedup_minhash_sql": _minhash_sql_oracle(),
     "xdedup_simhash_sql": _simhash_sql_oracle(),
+    "xsample": (
+        "SELECT lang, count(*) AS n_docs FROM documents WHERE "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < 3000 "
+        "GROUP BY lang"
+    ),
     "xsessionize": (
         "WITH flagged AS (SELECT user_id, ts, event_id, "
         "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END "
