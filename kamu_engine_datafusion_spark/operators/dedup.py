@@ -155,6 +155,10 @@ def minhash_lsh_candidates(
             F.concat_ws(":", F.col("__bandpos"), F.col("__bandkey")).alias("__band"),
         )
     if max_bucket_size:
+        # count-over-window bucket cap; an aggregate + broadcast-anti-join
+        # variant was measured SLOWER here (the banded set is small, so the
+        # extra pass outweighs the window sort) — revisit only if profiles
+        # show the band window dominating at larger corpora
         w = Window.partitionBy("__band")
         banded = (
             banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
