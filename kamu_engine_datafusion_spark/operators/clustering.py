@@ -19,6 +19,8 @@ exponentially across iterations — THE classic iterative-Spark trap.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -26,11 +28,18 @@ from pyspark.sql import functions as F
 def connected_components(
     pairs: DataFrame,
     max_iterations: int = 20,
+    strict: bool = False,
 ) -> DataFrame:
     """Resolve ``(id_a, id_b)`` edges into components.
 
     Returns ``(node, component)`` where ``component`` is the minimum
     node id reachable from ``node``.
+
+    If the label propagation has not converged after ``max_iterations``
+    rounds (a component chain with diameter > max_iterations), the
+    result would silently split one component across several labels —
+    so non-convergence raises when ``strict``, else emits a
+    ``RuntimeWarning``.
     """
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -75,6 +84,18 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        msg = (
+            f"connected_components did not converge in {max_iterations} "
+            "iterations; a component with diameter above the cap is split "
+            "across labels (dedup would keep extra survivors). Raise "
+            "max_iterations."
+        )
+        edges.unpersist()
+        if strict:
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
+        return labels
     edges.unpersist()
     return labels
 

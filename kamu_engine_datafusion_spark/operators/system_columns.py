@@ -27,7 +27,7 @@ two offset assigners:
 
 from __future__ import annotations
 
-from datetime import datetime, timezone
+from datetime import datetime, timedelta, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +40,14 @@ from kamu_engine_datafusion_spark.plans.types import OP_APPEND, DatasetVocabular
 #: (public Spark semantics of `monotonically_increasing_id`).
 _MID_PARTITION_SHIFT = 33
 _MID_INDEX_MASK = (1 << _MID_PARTITION_SHIFT) - 1
+
+#: Above this many partitions the per-partition offset bases are carried
+#: as a broadcast-joined table instead of a `create_map` literal, keeping
+#: the plan size O(1) in partition count.
+_BASE_MAP_LITERAL_MAX = 64
+
+#: Unix epoch for exact integer millisecond arithmetic.
+_EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
 
 def assign_offsets_serial(
@@ -104,19 +112,34 @@ def assign_offsets_distributed(
     if not bases:  # empty input: no partitions produced rows
         with_mid.unpersist()
         return df.withColumn(offset_column, F.lit(start_offset).cast(T.LongType()))
-    # Pass 2: offset = base[pid] + index-within-partition.
-    base_map = F.create_map(
-        *[F.lit(x) for kv in bases.items() for x in kv]
+    # Pass 2: offset = base[pid] + index-within-partition. The per-partition
+    # bases travel as DATA (a broadcast-joined two-column table), never as a
+    # literal expression: a `create_map` literal is O(num_partitions) in the
+    # *plan*, and at 100 TB / 128 MB splits (~800k partitions) a 1.6M-node
+    # expression tree stalls Catalyst long before execution starts. A tiny
+    # literal map is still cheapest for few partitions, so keep it below a
+    # small threshold; above it, broadcast-join (zero shuffle on the fact
+    # side, plan size O(1)).
+    idx = F.col("__odf_mid").bitwiseAND(F.lit(_MID_INDEX_MASK))
+    if len(bases) <= _BASE_MAP_LITERAL_MAX:
+        base_map = F.create_map(*[F.lit(x) for kv in bases.items() for x in kv])
+        base = base_map[F.shiftright(F.col("__odf_mid"), _MID_PARTITION_SHIFT)]
+        return with_mid.withColumn(
+            offset_column, (base + idx).cast(T.LongType())
+        ).drop("__odf_mid")
+    spark = with_mid.sparkSession
+    bases_df = spark.createDataFrame(
+        [(int(p), int(b)) for p, b in bases.items()],
+        "__odf_pid BIGINT, __odf_base BIGINT",
     )
+    out_cols = [*df.columns, offset_column]
     return (
         with_mid.withColumn(
-            offset_column,
-            (
-                base_map[F.shiftright(F.col("__odf_mid"), _MID_PARTITION_SHIFT)]
-                + F.col("__odf_mid").bitwiseAND(F.lit(_MID_INDEX_MASK))
-            ).cast(T.LongType()),
+            "__odf_pid", F.shiftright(F.col("__odf_mid"), _MID_PARTITION_SHIFT)
         )
-        .drop("__odf_mid")
+        .join(F.broadcast(bases_df), "__odf_pid")
+        .withColumn(offset_column, (F.col("__odf_base") + idx).cast(T.LongType()))
+        .select(*out_cols)
     )
 
 
@@ -149,10 +172,14 @@ def with_system_columns(
             vocab.operation_type_column, F.lit(OP_APPEND).cast(T.IntegerType())
         )
 
-    # A15: constant system_time, ms precision UTC (src/engine.rs:536-545)
+    # A15: constant system_time, ms precision UTC (src/engine.rs:536-545).
+    # Exact integer arithmetic — `int(ts.timestamp() * 1000)` goes through a
+    # float and truncates ~0.5% of ms-precision timestamps 1ms low, which
+    # would desync the ledger from the coordinator-recorded system_time
+    # (the reference uses exact integer timestamp_millis()).
     if system_time.tzinfo is None:
         system_time = system_time.replace(tzinfo=timezone.utc)
-    ms = int(system_time.timestamp() * 1000)
+    ms = (system_time - _EPOCH) // timedelta(milliseconds=1)
     df = df.withColumn(vocab.system_time_column, F.timestamp_millis(F.lit(ms)))
 
     # A16: column reorder (src/engine.rs:548-557)

@@ -66,7 +66,7 @@ def odf_session(
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    nshuffle = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    nshuffle = shuffle_partitions or (int(cpus) if cpus.isdigit() else 32)
     b = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -57,20 +57,36 @@ def compact_ledger(
     # rename parts by their first offset so lexical order == offset order
     import pyarrow.parquet as pq
 
+    # A per-compaction token in the filename makes names unique across
+    # compaction generations (re-compacting always yields a first part at
+    # offset 0, which would otherwise collide with the previous
+    # generation's). Lexical order still equals offset order: the
+    # zero-padded offset prefix dominates the comparison.
+    token = os.path.basename(tmp_dir).removeprefix(".odf-compact-")
     new_parts = sorted(glob.glob(os.path.join(out_tmp, "part-*.parquet")))
     renamed = []
     for p in new_parts:
         first = pq.read_table(p, columns=[off])[off][0].as_py()
-        dst = os.path.join(tmp_dir, f"part-{first:012d}.parquet")
+        dst = os.path.join(tmp_dir, f"part-{first:012d}.{token}.parquet")
         shutil.move(p, dst)
         renamed.append(dst)
-    # atomic-ish swap: remove old parts, move new ones in
-    for f in files:
-        os.remove(f)
+    # Crash-safe swap, not concurrency-safe (callers must not run compaction
+    # concurrently with ingest — documented in SURVEY §4.3). Order matters:
+    # (1) stage new parts INTO the ledger first — their offset-derived names
+    #     cannot collide with coordinator-tick names, and a reader that lists
+    #     mid-swap sees duplicated offsets (recoverable: dedup on offset)
+    #     rather than an empty ledger;
+    # (2) move old parts to a backup dir (single rename each);
+    # (3) delete backups last — a crash anywhere leaves a ledger that still
+    #     contains every record at least once, plus a backup to roll back to.
     final = []
     for p in renamed:
         dst = os.path.join(ledger_dir, os.path.basename(p))
         shutil.move(p, dst)
         final.append(dst)
+    backup_dir = os.path.join(tmp_dir, "old")
+    os.makedirs(backup_dir, exist_ok=True)
+    for f in files:
+        shutil.move(f, os.path.join(backup_dir, os.path.basename(f)))
     shutil.rmtree(tmp_dir, ignore_errors=True)
     return len(final)

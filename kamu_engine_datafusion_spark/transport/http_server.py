@@ -96,10 +96,14 @@ def serve(spark: SparkSession, port: int = 2884) -> ThreadingHTTPServer:
             self.wfile.write(data)
 
         def do_POST(self):  # noqa: N802 (stdlib API name)
-            body = json.loads(
-                self.rfile.read(int(self.headers.get("Content-Length", 0)))
-            )
+            # Body parsing stays inside the try: malformed JSON and missing
+            # required keys must come back as the structured error envelope,
+            # not a closed connection (reference src/grpc.rs:39-69 wraps the
+            # whole call the same way).
             try:
+                body = json.loads(
+                    self.rfile.read(int(self.headers.get("Content-Length", 0)))
+                )
                 if self.path == "/execute_transform":
                     resp = engine.execute_transform(parse_transform_request(body))
                     oi = resp.new_offset_interval
@@ -129,6 +133,14 @@ def serve(spark: SparkSession, port: int = 2884) -> ThreadingHTTPServer:
                     self._reply(404, {"error": "not_found"})
             except InvalidQueryError as e:
                 self._reply(400, {"error": "invalid_query", "message": str(e)})
+            except (json.JSONDecodeError, KeyError, TypeError, ValueError) as e:
+                self._reply(
+                    400,
+                    {
+                        "error": "invalid_query",
+                        "message": f"malformed request: {e!r}",
+                    },
+                )
             except InternalError as e:
                 self._reply(
                     500,
@@ -137,6 +149,11 @@ def serve(spark: SparkSession, port: int = 2884) -> ThreadingHTTPServer:
                         "message": str(e),
                         "backtrace": e.backtrace,
                     },
+                )
+            except Exception as e:  # catch-all: never drop the connection
+                self._reply(
+                    500,
+                    {"error": "internal", "message": str(e), "backtrace": ""},
                 )
 
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)

@@ -41,3 +41,21 @@ def test_dedup_by_components_end_to_end(spark):
     out = dedup_by_components(docs, pairs)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1, 9]  # 2 and 3 fold into 1's component; 9 untouched
+
+
+def test_non_convergence_warns_and_strict_raises(spark):
+    """A chain longer than max_iterations must not silently return split
+    components."""
+    import pytest
+
+    n = 8  # path graph 0-1-2-...-8: diameter 8 > max_iterations=2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iterations=2)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iterations=2, strict=True)
+    # and with enough rounds it converges to a single component, no warning
+    comps = connected_components(edges, max_iterations=12)
+    assert {r["component"] for r in comps.collect()} == {0}

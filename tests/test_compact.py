@@ -64,3 +64,22 @@ def test_compact_empty_dir(spark, tmp_path):
     d = tmp_path / "empty"
     d.mkdir()
     assert compact_ledger(spark, str(d)) == 0
+
+
+def test_recompaction_names_do_not_collide(spark, tmp_path):
+    """Re-compacting an already-compacted ledger must not collide on the
+    offset-derived part names (the first part is always offset 0); the
+    per-compaction token keeps generations distinct."""
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    for i in range(6):
+        _write_part(str(ledger / f"part-{i:05d}.parquet"), i * 50, 50)
+    before = pq.read_table(sorted(glob.glob(str(ledger / "*.parquet")))).sort_by(
+        "offset"
+    )
+    assert compact_ledger(spark, str(ledger), target_rows_per_file=100) == 3
+    assert compact_ledger(spark, str(ledger), target_rows_per_file=300) == 1
+    files = sorted(glob.glob(str(ledger / "*.parquet")))
+    assert len(files) == 1
+    after = pq.read_table(files).sort_by("offset")
+    assert after.equals(before.select(after.schema.names).cast(after.schema))

@@ -116,3 +116,28 @@ def test_internal_error_maps_to_500(server, tmp_path):
     )
     assert status == 500
     assert resp["error"] == "internal" and resp["backtrace"]
+
+
+def test_malformed_json_maps_to_400_envelope(server):
+    """A syntactically-broken body must come back as the structured error
+    envelope, not a dropped connection."""
+    req = urllib.request.Request(
+        server + "/execute_transform",
+        data=b"{not json",
+        headers={"Content-Type": "application/json"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req) as r:
+            status, body = r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        status, body = e.code, json.loads(e.read())
+    assert status == 400
+    assert body["error"] == "invalid_query"
+
+
+def test_missing_required_key_maps_to_400_envelope(server):
+    status, body = _post(server, "/execute_transform", {"inputs": []})
+    assert status == 400
+    assert body["error"] == "invalid_query"
+    assert "dataset_alias" in body["message"]

@@ -85,3 +85,38 @@ def test_distributed_offsets_empty(spark):
     df = spark.range(0, 0)
     out = assign_offsets_distributed(df, "offset", 0)
     assert out.count() == 0
+
+
+def test_distributed_offsets_plan_bounded_at_high_partition_count(spark):
+    """At high partition counts the per-partition offset bases must travel
+    as broadcast-joined data, not a `create_map` literal: a literal is
+    O(partitions) in the PLAN, and ~800k partitions (100 TB / 128 MB
+    splits) would stall Catalyst. 10k partitions here; the plan must stay
+    constant-size and offsets dense."""
+    df = spark.range(0, 10_000).repartition(10_000)
+    out = assign_offsets_distributed(df, "offset", 0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # bounded: a create_map literal over 10k entries would be >200kB of plan
+    assert len(plan) < 50_000, f"plan grew with partition count: {len(plan)} chars"
+    offsets = sorted(r["offset"] for r in out.select("offset").collect())
+    assert offsets == list(range(0, 10_000))
+    assert "create_map" not in plan
+
+
+def test_system_time_exact_integer_milliseconds(spark):
+    """`int(ts.timestamp()*1000)` truncates ~0.5% of ms timestamps 1ms low
+    (float round-trip); system_time must be exact integer ms."""
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark import DatasetVocabulary
+    from kamu_engine_datafusion_spark.operators.system_columns import (
+        with_system_columns,
+    )
+
+    st = datetime(2004, 9, 18, 13, 12, 28, 120_000, tzinfo=timezone.utc)
+    assert int(st.timestamp() * 1000) == 1095513148119  # the float trap
+    df = spark.range(0, 3).withColumn("event_time", F.current_timestamp())
+    out = with_system_columns(df, DatasetVocabulary(), st, start_offset=0)
+    got = out.select("system_time").first()["system_time"]
+    assert got.replace(tzinfo=timezone.utc) == st
