@@ -17,6 +17,8 @@ All are pure DataFrame compositions (JVM-side column math from
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -319,22 +321,66 @@ def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    block_col: str | None = None,
+    block_cols: str | list[str] | None = None,
     threshold: float = 0.5,
+    *,
+    block_col: str | None = None,
 ) -> DataFrame:
-    """Exact token-set Jaccard similarity for all pairs within a block.
+    """Exact token-set Jaccard ≥ ``threshold`` pairs, blocked.
 
-    The block column bounds the O(n²): at 100 TB you never all-pairs the
-    corpus — you block on language/domain/length-bucket and pair within.
+    Blocking is MANDATORY (``block_cols`` — raises on None): an
+    unblocked corpus self-join is O(n²) and a coarse block (a handful of
+    languages) is still quadratic per block. On top of the caller's
+    block columns, a **lossless length-zone key** is always added:
+    ``jaccard(A, B) ≥ t`` forces ``min(|A|,|B|)/max(|A|,|B|) ≥ t``
+    (the intersection is bounded by the smaller set, the union by the
+    larger), so with geometric length buckets of base ``1/t`` every
+    qualifying pair lands in the same or an adjacent bucket. Each doc
+    registers in zones ``{bucket, bucket+1}`` (the standard probe
+    duplication, making the adjacent-bucket match an equi-join), pairs
+    are verified with the exact Jaccard, and duplicates from the two
+    zones are collapsed — the result is IDENTICAL to pairing within the
+    caller's blocks alone, but the join key now carries
+    ``blocks × length-zone`` cardinality instead of a few coarse values.
     """
-    toks = df.select(
-        F.col(id_col).alias("__id"),
-        (F.col(block_col) if block_col else F.lit("all")).alias("__blk"),
-        F.array_distinct(tokens(text_col)).alias("__tok"),
+    if block_col is not None and block_cols is None:
+        block_cols = block_col  # back-compat spelling
+    if isinstance(block_cols, str):
+        block_cols = [block_cols]
+    if not block_cols:
+        raise ValueError(
+            "ngram_jaccard_pairs requires block_cols: an unblocked corpus "
+            "self-join is O(n^2). Block on language/domain/source (the "
+            "lossless length-zone key is added automatically), or generate "
+            "candidates with minhash_lsh_candidates instead."
+        )
+    # Qualifying pairs have length ratio <= 1/t; a bucket base slightly
+    # ABOVE 1/t makes that a strict inequality, so floor(log) buckets can
+    # differ by at most 1 even at the boundary (float-safe).
+    zone_base = 1.0 / (0.999 * min(threshold, 0.99))
+    toks = (
+        df.select(
+            F.col(id_col).alias("__id"),
+            # unit-separator join: "ab"+"c" and "a"+"bc" must not collide
+            F.concat_ws(chr(31), *[F.col(c) for c in block_cols]).alias("__blk"),
+            F.array_distinct(tokens(text_col)).alias("__tok"),
+        )
+        .withColumn(
+            "__bkt",
+            F.floor(
+                F.log(F.size("__tok").cast("double")) / F.lit(math.log(zone_base))
+            ),
+        )
+        .withColumn("__zone", F.explode(F.array(F.col("__bkt"), F.col("__bkt") + 1)))
     )
     a, b = toks.alias("a"), toks.alias("b")
     return (
-        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        a.join(
+            b,
+            (F.col("a.__blk") == F.col("b.__blk"))
+            & (F.col("a.__zone") == F.col("b.__zone"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
@@ -344,6 +390,7 @@ def ngram_jaccard_pairs(
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
+        .distinct()  # a pair can meet in both of its shared zones
     )
 
 
@@ -398,35 +445,100 @@ def paragraph_dedup(
     )
 
 
+#: Deterministic integer LCG for SRP hyperplane components: component
+#: ``i`` of plane ``p`` is ``((A*(p*dim+i)+B) mod M) - M/2`` — uniform in
+#: [-1024, 1024), symmetric about 0, and reproducible verbatim in plain
+#: SQL on any engine (the cross-engine-oracle property; see the poly-hash
+#: MinHash variant for the same idea on strings).
+_SRP_LCG_A = 1103515245
+_SRP_LCG_B = 12345
+_SRP_LCG_M = 2048
+
+
+def srp_plane_components(plane_idx: int, dim: int) -> list[float]:
+    return [
+        float((_SRP_LCG_A * (plane_idx * dim + i) + _SRP_LCG_B) % _SRP_LCG_M
+              - _SRP_LCG_M // 2)
+        for i in range(dim)
+    ]
+
+
 def embedding_near_dups(
     df: DataFrame,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-    block_col: str | None = "label",
     threshold: float = 0.95,
     dim: int | None = None,
+    num_bands: int = 4,
+    bits_per_band: int = 8,
+    max_bucket_size: int | None = 1000,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within blocks.
+    """Embedding-cosine near-duplicate pairs via SRP-LSH candidates.
 
-    Blocking keeps the pair count linear-ish; for unblocked corpora use
-    the LSH route in ``operators.similarity`` to generate candidates
-    first. Norms are computed once per row before the join, so each pair
-    costs a single (codegen-unrolled) dot product.
+    Candidate generation is signed-random-projection banding — the
+    cosine analogue of MinHash banding: each vector gets
+    ``num_bands × bits_per_band`` sign bits (one per deterministic
+    hyperplane), vectors agreeing on ALL bits of at least one band become
+    candidates, and candidates are verified with the exact cosine. The
+    join key carries ``num_bands × 2^bits_per_band`` values (1024 at the
+    defaults) of roughly uniform occupancy — never a self-join on a
+    handful of coarse labels, which is quadratic per label.
+
+    Recall is the standard LSH dial (P[pair at cosine c shares a band] =
+    ``1-(1-(1-acos(c)/pi)^bits)^bands``; ≈89% at c=0.95 and ≈99% at
+    c=0.99 with the 4×8 defaults — raise ``num_bands`` for more recall);
+    precision is exact (verified cosine). At larger corpora
+    raise ``bits_per_band`` so per-bucket occupancy stays bounded, and
+    keep ``max_bucket_size`` as the guard against degenerate buckets
+    (e.g. zero-vector pile-ups).
     """
     if dim is None:
         head = df.select(F.size(vec_col)).head()
         dim = head[0] if head else None
     base = df.select(
-        F.col(id_col).alias("__id"),
-        (F.col(block_col) if block_col else F.lit(0)).alias("__blk"),
-        F.col(vec_col).alias("__v"),
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).withColumn("__nrm", l2_norm(F.col("__v"), dim))
+
+    def band_key(j: int) -> Column:
+        key = F.lit(j * (1 << bits_per_band)).cast("long")  # band offset
+        for r in range(bits_per_band):
+            plane = F.array(
+                *[F.lit(x) for x in srp_plane_components(j * bits_per_band + r, dim)]
+            )
+            bit = F.when(
+                dot_product(F.col("__v"), plane, dim) >= 0, F.lit(1 << r)
+            ).otherwise(F.lit(0))
+            key = key + bit
+        return key
+
+    banded = base.select(
+        "__id",
+        F.explode(F.array(*[band_key(j) for j in range(num_bands)])).alias("__band"),
+    )
+    if max_bucket_size:
+        w = Window.partitionBy("__band")
+        banded = (
+            banded.withColumn("__bucket_n", F.count(F.lit(1)).over(w))
+            .filter(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n")
+        )
+    pa, pb = banded.alias("pa"), banded.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.__band") == F.col("pb.__band"))
+            & (F.col("pa.__id") < F.col("pb.__id")),
+        )
+        .select(F.col("pa.__id").alias("id_a"), F.col("pb.__id").alias("id_b"))
+        .distinct()
+    )
     a, b = base.alias("a"), base.alias("b")
     return (
-        a.join(b, (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.__id") < F.col("b.__id")))
+        cand.join(a, F.col("id_a") == F.col("a.__id"))
+        .join(b, F.col("id_b") == F.col("b.__id"))
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(
                 dot_product(F.col("a.__v"), F.col("b.__v"), dim)
                 / (F.col("a.__nrm") * F.col("b.__nrm")),

@@ -62,7 +62,7 @@ def q_xdedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     sub = t["documents"].filter(F.col("doc_id") < 400)
     return (
-        D.ngram_jaccard_pairs(sub, block_col="lang", threshold=0.55)
+        D.ngram_jaccard_pairs(sub, block_cols="lang", threshold=0.55)
         .withColumn("jaccard", F.round("jaccard", 6))
     )
 
@@ -119,7 +119,7 @@ def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "documents")
     sub = t["documents"].filter(F.col("doc_id") < 300)
-    pairs = D.ngram_jaccard_pairs(sub, block_col="lang", threshold=0.6).select(
+    pairs = D.ngram_jaccard_pairs(sub, block_cols="lang", threshold=0.6).select(
         "id_a", "id_b"
     )
     return (
@@ -130,10 +130,17 @@ def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xdedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs within label blocks."""
+    """Embedding-cosine near-dup pairs via SRP-LSH banding (deterministic
+    integer-LCG hyperplanes → the oracle reproduces the exact pipeline:
+    same planes, same bands, same verified cosine)."""
     t = load(spark, sf_dir, "embeddings")
     sub = t["embeddings"].filter(F.col("vec_id") < 2000)
-    return D.embedding_near_dups(sub, threshold=0.8)
+    # The synthetic embeddings top out near cosine 0.51, so the demo runs
+    # at threshold 0.4 with a high-recall band layout (8 bands x 4 bits);
+    # production near-dup thresholds (0.9+) use the operator defaults.
+    return D.embedding_near_dups(
+        sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -146,7 +153,7 @@ def q_xsim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject; the corpus never shuffles)."""
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    return S.topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=10)
+    return S.topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
 
 
 def q_xsim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -154,7 +161,9 @@ def q_xsim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-specific)."""
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
-    return S.srp_lsh_topk(emb, emb.filter(F.col("vec_id") == 0), k=10, bits=8)
+    return S.srp_lsh_topk(
+        emb, emb.filter(F.col("vec_id") == 0), k=10, bits=8, dim=64
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -170,7 +179,7 @@ def q_xsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     assigned, model = S.ivf_index(emb, nlist=8)
     return S.ivf_topk(
-        assigned, model, emb.filter(F.col("vec_id") == 0), k=10, nprobe=8
+        assigned, model, emb.filter(F.col("vec_id") == 0), k=10, nprobe=8, dim=64
     )
 
 
@@ -440,6 +449,57 @@ _COS = (
     "sqrt(list_dot_product(b.emb_d, b.emb_d)))"
 )
 
+def _embcos_srp_oracle(
+    threshold: float = 0.8,
+    dim: int = 64,
+    num_bands: int = 4,
+    bits_per_band: int = 8,
+    id_max: int = 2000,
+) -> str:
+    """DuckDB oracle replicating the SRP-LSH embedding near-dup pipeline
+    bit-for-bit: hyperplane components from the same integer LCG
+    (``operators.dedup.srp_plane_components``), same band keys, same
+    exact-cosine verification — both engines sum dot products
+    left-to-right in double, so even the sign decisions agree."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        _SRP_LCG_A,
+        _SRP_LCG_B,
+        _SRP_LCG_M,
+    )
+
+    def plane(p: int) -> str:
+        return (
+            f"list_transform(range(0, {dim}), i -> "
+            f"CAST((({_SRP_LCG_A}*({p}*{dim}+i)+{_SRP_LCG_B})%{_SRP_LCG_M})"
+            f"-{_SRP_LCG_M // 2} AS DOUBLE))"
+        )
+
+    band_keys = []
+    for j in range(num_bands):
+        bits = [
+            f"(CASE WHEN list_dot_product(emb_d, {plane(j * bits_per_band + r)})"
+            f" >= 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(bits_per_band)
+        ]
+        band_keys.append(f"({j * (1 << bits_per_band)} + {' + '.join(bits)})")
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d "
+        f"FROM embeddings WHERE vec_id < {id_max}), "
+        f"banded AS (SELECT vec_id, unnest([{', '.join(band_keys)}]) AS bk "
+        "FROM e), "
+        "cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b "
+        "FROM banded x JOIN banded y ON x.bk = y.bk AND x.vec_id < y.vec_id) "
+        "SELECT id_a, id_b, round(cos_v, 6) AS cosine "
+        "FROM (SELECT id_a, id_b, "
+        "list_dot_product(a.emb_d, b.emb_d) / "
+        "(sqrt(list_dot_product(a.emb_d, a.emb_d)) * "
+        "sqrt(list_dot_product(b.emb_d, b.emb_d))) AS cos_v "
+        "FROM cand JOIN e a ON cand.id_a = a.vec_id "
+        "JOIN e b ON cand.id_b = b.vec_id) "
+        f"WHERE cos_v >= {threshold}"
+    )
+
+
 def _minhash_sql_oracle() -> str:
     """DuckDB oracle replicating the full poly-hash MinHash+LSH dedup:
     same coefficients, same folds, same banding, same verification."""
@@ -593,13 +653,8 @@ ORACLES = {
         "WHERE doc_id < 300 AND doc_id NOT IN (SELECT node FROM losers) "
         "GROUP BY lang"
     ),
-    "xdedup_embcos": (
-        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb_d "
-        "FROM embeddings WHERE vec_id < 2000) "
-        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        f"round({_COS}, 6) AS cosine "
-        "FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id "
-        f"WHERE {_COS} >= 0.8"
+    "xdedup_embcos": _embcos_srp_oracle(
+        threshold=0.4, num_bands=8, bits_per_band=4
     ),
     "xsim_topk_brute": (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "

@@ -37,7 +37,9 @@ def test_dedup_by_components_end_to_end(spark):
         (9, "entirely unrelated text about query engines"),
     ]
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
-    pairs = D.ngram_jaccard_pairs(docs, threshold=0.6).select("id_a", "id_b")
+    pairs = D.ngram_jaccard_pairs(
+        docs.withColumn("src", F.lit("a")), block_cols="src", threshold=0.6
+    ).select("id_a", "id_b")
     out = dedup_by_components(docs, pairs)
     ids = sorted(r["doc_id"] for r in out.collect())
     assert ids == [1, 9]  # 2 and 3 fold into 1's component; 9 untouched
