@@ -42,15 +42,26 @@ def q_b02_view_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_b03_information_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3: catalog introspection (`SHOW TABLES` / spark.catalog). Catalog
-    contents differ between engines → rows-only check (no oracle)."""
-    load(spark, sf_dir, "region", "nation")
-    return (
-        spark.sql("SHOW VIEWS")
-        .select(F.col("viewName").alias("view_name"))
-        .filter(F.col("view_name").isin("region", "nation"))
-        .orderBy("view_name")
-    )
+    """B3: catalog introspection at the level a migrating user actually
+    queries — ``information_schema.columns``-style (table, column,
+    ordinal, type) over the registered views (reference
+    ``src/engine.rs:36`` enables the whole information_schema catalog).
+    Types are normalized to Spark's lowercase names; the DuckDB oracle
+    maps its SQL-standard type names onto the same vocabulary, making
+    this a full hash-checked entry (plus the SHOW VIEWS-style presence
+    check folded into the same result)."""
+    tables = ("customer", "nation", "region")
+    load(spark, sf_dir, *tables)
+    rows = [
+        (t, c.name, pos + 1, c.dataType)
+        for t in tables
+        for pos, c in enumerate(spark.catalog.listColumns(t))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, "
+        "ordinal_position bigint, data_type string",
+    ).orderBy("table_name", "ordinal_position")
 
 
 def q_b04_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -952,7 +963,16 @@ ORACLES = {
         "SELECT n_regionkey AS regionkey, COUNT(*) AS n_nations "
         "FROM nation GROUP BY n_regionkey"
     ),
-    # b03: catalog introspection — rows-only
+    "b03_information_schema": (
+        "SELECT table_name, column_name, "
+        "CAST(ordinal_position AS BIGINT) AS ordinal_position, "
+        "CASE data_type WHEN 'BIGINT' THEN 'bigint' "
+        "WHEN 'INTEGER' THEN 'int' WHEN 'VARCHAR' THEN 'string' "
+        "WHEN 'DOUBLE' THEN 'double' WHEN 'DATE' THEN 'date' "
+        "ELSE lower(data_type) END AS data_type "
+        "FROM information_schema.columns "
+        "WHERE table_name IN ('customer', 'nation', 'region')"
+    ),
     "b04_parquet_sink": (
         "SELECT count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty "
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1997-06-01'"

@@ -44,7 +44,16 @@ def write_parquet_single_file(df: DataFrame, path: str) -> int:
     tmp_dir = tempfile.mkdtemp(prefix=".odf-write-", dir=out_dir)
     try:
         spark_dir = os.path.join(tmp_dir, "out")
-        df.coalesce(1).write.mode("overwrite").parquet(spark_dir)
+        # Pin Parquet format v1 explicitly — the reference pins writer
+        # version 1 (src/engine.rs:568-572); Spark's default is also v1,
+        # but an ambient cluster conf could override it, so the protocol
+        # sink does not rely on the default.
+        (
+            df.coalesce(1)
+            .write.mode("overwrite")
+            .option("parquet.writer.version", "v1")
+            .parquet(spark_dir)
+        )
         parts = sorted(glob.glob(os.path.join(spark_dir, "part-*.parquet")))
         if len(parts) != 1:
             raise RuntimeError(

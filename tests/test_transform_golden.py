@@ -106,7 +106,14 @@ def test_parquet_encodings(spark, tmp_path):
             name,
             cols[name].encodings,
         )
+        # v1 dictionary pages announce themselves as PLAIN_DICTIONARY
+        # (RLE_DICTIONARY is the v2 spelling) — asserting the exact
+        # encoding pins the writer-version parity too
+        assert "PLAIN_DICTIONARY" in cols[name].encodings, cols[name].encodings
     assert cols["offset"].compression == "SNAPPY"
+    # format-version parity with the reference's pinned writer v1
+    # (src/engine.rs:568-572, asserted in test_transform.rs:349-391)
+    assert pf.metadata.format_version == "1.0"
 
 
 def test_multi_step_query(spark, tmp_path):
