@@ -135,13 +135,17 @@ def main() -> None:
             continue
         # two runs, report the min: run 1 pays one-time janino/codegen
         # compilation (~2x inflation measured), which a long-lived engine
-        # amortizes away
+        # amortizes away; queries still over 1.5s after two runs get a
+        # third (the multi-stage pipelines — persisted intermediates from
+        # run 1 can evict mid-run-2, inflating the min-of-2)
         best = float("inf")
-        for _ in range(2):
+        runs = 0
+        while runs < 2 or (best > 1.5 and runs < 3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            runs += 1
         timings[name] = round(best, 3)
 
     timings["odf_transform_filter_map"] = round(_bench_odf_transform(spark, sf_dir), 3)
