@@ -317,16 +317,25 @@ def simhash_near_dups(
     max_hamming: int = 3,
     block_bits: int = 16,
     base_hash: str = "xxhash64",
+    num_blocks: int | None = None,
 ) -> DataFrame:
-    """SimHash near-duplicate pairs: 64-bit fingerprint, block on the top
-    ``block_bits`` bits, verify Hamming distance within blocks.
+    """SimHash near-duplicate pairs: 64-bit fingerprint, blocked join,
+    Hamming verification.
 
     Scale: SimHash is computed explode→groupBy (64 conditional-sum
     aggregates with map-side partials) rather than as one 64-branch
     column expression — same reasoning as :func:`minhash_signatures`.
-    The block join touches only same-prefix fingerprints. For guaranteed
-    recall at radius r use r+1 rotated prefix blocks (future knob); a
-    single prefix block is the cheap high-precision variant.
+
+    Blocking modes:
+    - default (``num_blocks=None``): single prefix block on the top
+      ``block_bits`` bits — cheap, high-precision, recall < 1 (a pair
+      differing inside the prefix is missed);
+    - ``num_blocks=k``: pigeonhole blocks (the Manku/Charikar web-dedup
+      scheme): the fingerprint splits into ``k`` disjoint chunks and each
+      doc registers once per chunk; two fingerprints within Hamming
+      distance ``k-1`` MUST agree on at least one whole chunk, so recall
+      is **guaranteed** for ``max_hamming <= k-1``. Cost: k join keys
+      per doc instead of 1, pairs deduped before verification.
 
     ``base_hash="poly"`` uses the SQL-expressible 31-bit polynomial
     token hash (fingerprints have 31 bits), enabling a full cross-engine
@@ -354,12 +363,39 @@ def simhash_near_dups(
             .otherwise(F.lit(0).cast("long"))
         )
         fp_expr = fp_expr + F.shiftleft(bit, b)
-    fp = bit_sums.select("__id", fp_expr.alias("__fp")).withColumn(
-        "__block", F.shiftright(F.col("__fp"), sig_bits - block_bits)
-    )
+    fps = bit_sums.select("__id", fp_expr.alias("__fp"))
+    if num_blocks is None:
+        fp = fps.withColumn(
+            "__block", F.shiftright(F.col("__fp"), sig_bits - block_bits)
+        )
+    else:
+        if max_hamming > num_blocks - 1:
+            raise ValueError(
+                f"pigeonhole blocking guarantees recall only for "
+                f"max_hamming <= num_blocks-1 ({num_blocks - 1}); "
+                f"got max_hamming={max_hamming}. Raise num_blocks."
+            )
+        # k disjoint chunks; chunk i gets an even share of the bits plus
+        # the remainder on the last chunk. The join key is (chunk index,
+        # chunk value) — a struct, so chunk values never collide across
+        # positions.
+        w = sig_bits // num_blocks
+        chunks = []
+        for i in range(num_blocks):
+            start = i * w
+            width = w if i < num_blocks - 1 else sig_bits - start
+            val = F.shiftright(F.col("__fp"), start).bitwiseAND(
+                F.lit((1 << width) - 1)
+            )
+            chunks.append(F.struct(F.lit(i).alias("i"), val.alias("v")))
+        fp = fps.withColumn("__block", F.explode(F.array(*chunks)))
     a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(b, (F.col("a.__block") == F.col("b.__block")) & (F.col("a.__id") < F.col("b.__id")))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
@@ -367,6 +403,8 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
+    # pigeonhole mode can find a pair via several chunks
+    return pairs.distinct() if num_blocks is not None else pairs
 
 
 def ngram_jaccard_pairs(

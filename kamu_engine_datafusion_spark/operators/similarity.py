@@ -173,6 +173,18 @@ def ivf_index(
     return assigned, model
 
 
+def ivf_write(assigned_corpus: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Persist an IVF-assigned corpus partitioned by list id — the
+    write-time bucketing that turns ``nprobe`` into physical partition
+    pruning: :func:`ivf_topk` over ``spark.read.parquet(path)`` pushes
+    its ``__list IN (...)`` filter into ``PartitionFilters``, so unprobed
+    lists are never read (files, not rows, are skipped). At 100 TB this
+    is the difference between scanning the corpus per query and scanning
+    ``nprobe/nlist`` of it; proven in ``tests/test_similarity_ann.py``.
+    """
+    assigned_corpus.write.mode(mode).partitionBy("__list").parquet(path)
+
+
 def ivf_topk(
     assigned_corpus: DataFrame,
     model,

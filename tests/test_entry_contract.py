@@ -20,7 +20,6 @@ def test_queries_oracle_key_consistency():
     # the deliberate rows-only set stays small and intentional
     rows_only = set(qs) - set(os_)
     assert rows_only == {
-        "b03_information_schema",
         "b18_approx_agg",
         "xdedup_minhash",
         "xdedup_simhash",

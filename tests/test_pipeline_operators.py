@@ -228,3 +228,35 @@ def test_asof_join_equal_ts_matches(spark):
                                   ["user_id", "ts", "purchase_id"])
     out = asof_join(left, right, ["user_id"], "ts", ["purchase_id"])
     assert out.head()["right_purchase_id"] == 5  # <= semantics: tie matches
+
+
+def test_simhash_pigeonhole_guaranteed_recall(spark):
+    """With num_blocks=k, every pair within Hamming k-1 must be found
+    even when the differing bits straddle the prefix a single-block scan
+    uses — exhaustively checked against brute-force Hamming."""
+    import itertools
+
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(40) if (i >> (j % 3)) % 2 == 0)
+            + f" tail{i % 4}")
+        for i in range(24)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(
+            docs, max_hamming=3, num_blocks=4
+        ).collect()
+    }
+    # brute-force oracle: 64 single-bit chunks guarantee recall at any
+    # radius <= 63, i.e. every pair is examined
+    all_pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in D.simhash_near_dups(
+            docs, max_hamming=63, num_blocks=64
+        ).collect()
+    }
+    expected = {k: v for k, v in all_pairs.items() if v <= 3}
+    assert got == expected
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.simhash_near_dups(docs, max_hamming=4, num_blocks=4)
