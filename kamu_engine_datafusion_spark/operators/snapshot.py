@@ -1,0 +1,79 @@
+"""Changelog → snapshot projection and time-bucket rollup.
+
+ODF ledgers are retractable changelogs: every record carries an ``op``
+(0=append, 1=retract, 2=correct-from, 3=correct-to — the vocabulary the
+reference injects in ``src/engine.rs:521-533``). Consumers usually want
+the CURRENT state — one live row per primary key — which is the
+standard changelog-compaction / SCD-latest operator:
+
+- for each key, take the record with the highest offset (ledger order
+  is authoritative, ties impossible: offsets are unique);
+- if that record is a retraction or the from-half of a correction, the
+  key is dead and emits nothing;
+- otherwise emit the record's data columns.
+
+Scale shape: ONE shuffle on the primary key (uniform unless the key is
+degenerate) + a per-key max — no sort beyond the per-key window, no
+driver round-trips. At 100 TB the ledger scan prunes to the offset
+interval first (A4), so snapshotting an increment touches the
+increment.
+
+``rollup_time_buckets`` is the hypertable-style downsampler: group an
+event stream into fixed UTC time buckets per key and aggregate — one
+shuffle, map-side partials, bucket count bounded by time-range/width
+regardless of row count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.plans.types import (
+    OP_CORRECT_FROM,
+    OP_RETRACT,
+    DatasetVocabulary,
+)
+
+
+def snapshot_of_ledger(
+    ledger: DataFrame,
+    primary_key: str | list[str],
+    vocab: DatasetVocabulary | None = None,
+) -> DataFrame:
+    """Project a retractable ledger to its current state: the latest
+    non-dead record per primary key, system columns dropped.
+    """
+    vocab = vocab or DatasetVocabulary()
+    keys = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    off, op = vocab.offset_column, vocab.operation_type_column
+    w = Window.partitionBy(*keys).orderBy(F.col(off).desc())
+    latest = (
+        ledger.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    live = latest.filter(~F.col(op).isin(OP_RETRACT, OP_CORRECT_FROM))
+    drop_cols = [off, op, vocab.system_time_column]
+    return live.drop(*drop_cols)
+
+
+def rollup_time_buckets(
+    events: DataFrame,
+    time_col: str,
+    bucket: str,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+) -> DataFrame:
+    """Hypertable-style rollup: truncate ``time_col`` to ``bucket``
+    (any ``date_trunc`` unit: 'hour', 'day', 'week', …), group by
+    (bucket, *group_cols), apply ``aggs`` (name → aggregate Column).
+
+    One shuffle on (bucket, group) — partial aggregation does the heavy
+    lifting map-side, and the output cardinality is bounded by
+    time-span/bucket × group cardinality, independent of input rows.
+    """
+    b = F.date_trunc(bucket, F.col(time_col)).alias("bucket_start")
+    return events.groupBy(b, *group_cols).agg(
+        *[c.alias(n) for n, c in aggs.items()]
+    )

@@ -57,6 +57,8 @@ _PRIORITY = [
     "xtext_redact_pii",
     "xdecontaminate",
     "xsample",
+    "xsnapshot",
+    "xrollup_time",
     "xsessionize",
     "xpivot",
     "xasof_join",

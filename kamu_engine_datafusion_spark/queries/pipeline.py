@@ -346,6 +346,61 @@ def q_xsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog → snapshot projection: synthesize a retractable ledger
+    from events (event_id as offset, op = event_id % 4 over the ODF op
+    vocabulary) and project the current state — the latest non-dead
+    record per user (``operators/snapshot.py``; op vocabulary from the
+    reference ``src/engine.rs:521-533``)."""
+    from kamu_engine_datafusion_spark.operators.snapshot import snapshot_of_ledger
+
+    t = load(spark, sf_dir, "events")
+    ledger = t["events"].select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 4).cast("int").alias("op"),
+        F.col("ts").alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    snap = snapshot_of_ledger(ledger, "user_id")
+    return snap.select(
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.unix_micros("event_time").alias("event_time_us"),
+    )
+
+
+def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style time-bucket rollup: hourly per-event-type
+    aggregates (``operators/snapshot.py::rollup_time_buckets``)."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        rollup_time_buckets,
+    )
+    from kamu_engine_datafusion_spark.queries._util import dsum
+
+    t = load(spark, sf_dir, "events")
+    out = rollup_time_buckets(
+        t["events"],
+        time_col="ts",
+        bucket="hour",
+        group_cols=["event_type"],
+        aggs={
+            "n_events": F.count(F.lit(1)),
+            "sum_value": dsum(F.col("value"), "sum_value"),
+            "n_users": F.count_distinct(F.col("user_id")).cast("long"),
+        },
+    )
+    return out.select(
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        "n_users",
+    )
+
+
 def q_xsessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each user's event stream at >30-minute gaps
     (lag + cumulative-sum-of-flags — the standard single-shuffle
@@ -402,6 +457,8 @@ def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "xsample": q_xsample,
+    "xsnapshot": q_xsnapshot,
+    "xrollup_time": q_xrollup_time,
     "xsessionize": q_xsessionize,
     "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
@@ -586,6 +643,23 @@ ORACLES = {
         "ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < 3000 "
         "GROUP BY lang"
+    ),
+    "xsnapshot": (
+        "WITH ledger AS (SELECT event_id AS off, "
+        "CAST(event_id % 4 AS INT) AS op, ts AS event_time, "
+        "user_id, event_type, value FROM events), "
+        "latest AS (SELECT *, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY off DESC) AS rn FROM ledger) "
+        "SELECT user_id, event_type, round(value, 2) AS value, "
+        "epoch_us(event_time) AS event_time_us "
+        "FROM latest WHERE rn = 1 AND op NOT IN (1, 2)"
+    ),
+    "xrollup_time": (
+        "SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type, "
+        "count(*) AS n_events, "
+        "CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value, "
+        "count(DISTINCT user_id) AS n_users "
+        "FROM events GROUP BY 1, 2"
     ),
     "xsessionize": (
         "WITH flagged AS (SELECT user_id, ts, event_id, "

@@ -1,0 +1,73 @@
+"""Changelog→snapshot projection and time-bucket rollup semantics."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators.snapshot import (
+    rollup_time_buckets,
+    snapshot_of_ledger,
+)
+
+
+def _ledger(spark, rows):
+    return spark.createDataFrame(
+        rows, "offset long, op int, system_time timestamp, "
+              "event_time timestamp, city string, population long"
+    )
+
+
+T = datetime(2023, 1, 1)
+
+
+def test_snapshot_latest_per_key_and_dead_keys(spark):
+    rows = [
+        (0, 0, T, T, "vancouver", 675_000),   # append
+        (1, 0, T, T, "kyiv", 2_884_000),      # append
+        (2, 2, T, T, "vancouver", 675_000),   # correct-from (old half)
+        (3, 3, T, T, "vancouver", 676_000),   # correct-to (new value)
+        (4, 1, T, T, "kyiv", 2_884_000),      # retract -> kyiv is dead
+        (5, 0, T, T, "odessa", 1_015_000),    # append
+    ]
+    snap = {
+        r["city"]: r["population"]
+        for r in snapshot_of_ledger(_ledger(spark, rows), "city").collect()
+    }
+    assert snap == {"vancouver": 676_000, "odessa": 1_015_000}
+
+
+def test_snapshot_retract_then_reappend_lives(spark):
+    rows = [
+        (0, 0, T, T, "kyiv", 1),
+        (1, 1, T, T, "kyiv", 1),  # retract
+        (2, 0, T, T, "kyiv", 2),  # re-append -> live again
+    ]
+    snap = snapshot_of_ledger(_ledger(spark, rows), "city").collect()
+    assert len(snap) == 1 and snap[0]["population"] == 2
+
+
+def test_snapshot_drops_system_columns(spark):
+    rows = [(0, 0, T, T, "kyiv", 1)]
+    out = snapshot_of_ledger(_ledger(spark, rows), "city")
+    assert set(out.columns) == {"event_time", "city", "population"}
+
+
+def test_rollup_time_buckets(spark):
+    rows = [
+        (datetime(2024, 1, 1, 10, 5), "click", 1.0),
+        (datetime(2024, 1, 1, 10, 55), "click", 2.0),
+        (datetime(2024, 1, 1, 11, 0), "click", 4.0),
+        (datetime(2024, 1, 1, 10, 30), "view", 8.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    out = {
+        (r["bucket_start"].hour, r["event_type"]): (r["n"], r["s"])
+        for r in rollup_time_buckets(
+            df, "ts", "hour", ["event_type"],
+            {"n": F.count(F.lit(1)), "s": F.sum("value")},
+        ).collect()
+    }
+    assert out == {(10, "click"): (2, 3.0), (11, "click"): (1, 4.0),
+                   (10, "view"): (1, 8.0)}
