@@ -1,0 +1,65 @@
+"""Bucketized interval (range) join: points matched to containing
+intervals WITHOUT a theta join.
+
+A naive ``p.ts >= i.start AND p.ts < i.end`` join has no equi-key, so
+Spark plans BroadcastNestedLoopJoin (fine for tiny interval sets, fatal
+once both sides are large). The standard scale formulation buckets the
+time axis:
+
+- every interval registers in each fixed-width bucket it overlaps
+  (``explode(sequence(bucket(start), bucket(end-ε)))`` — replication
+  factor = interval length / bucket width, bounded and chosen);
+- every point lands in exactly ONE bucket;
+- the join becomes an equi-join on the bucket id, followed by the exact
+  containment predicate as a post-filter.
+
+No duplicate pairs are produced (a point exists in one bucket, an
+interval registers at most once per bucket), so the result is exactly
+the theta-join result while shuffling on a uniform integer key. Pick
+``bucket_seconds`` near the typical interval length: shorter buckets
+cut false candidates, longer buckets cut interval replication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def interval_join(
+    points: DataFrame,
+    point_col: str,
+    intervals: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 7 * 86400,
+) -> DataFrame:
+    """Join each point (timestamp column ``point_col``) to every
+    interval with ``start <= point < end``. Returns the point columns
+    plus the interval columns.
+    """
+    w = F.lit(bucket_seconds).cast("long")
+    p_epoch = F.unix_timestamp(F.col(point_col)).cast("long")
+    s_epoch = F.unix_timestamp(F.col(start_col)).cast("long")
+    e_epoch = F.unix_timestamp(F.col(end_col)).cast("long")
+
+    binned_intervals = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(s_epoch / w),
+                # end is exclusive: an interval ending exactly on a bucket
+                # boundary does not reach into the next bucket
+                F.floor((e_epoch - 1) / w),
+            )
+        ),
+    )
+    binned_points = points.withColumn("__bucket", F.floor(p_epoch / w))
+    return (
+        binned_points.join(binned_intervals, "__bucket")
+        .filter(
+            (F.col(point_col) >= F.col(start_col))
+            & (F.col(point_col) < F.col(end_col))
+        )
+        .drop("__bucket")
+    )

@@ -59,6 +59,7 @@ _PRIORITY = [
     "xsample",
     "xsnapshot",
     "xrollup_time",
+    "xrange_join",
     "xsessionize",
     "xpivot",
     "xasof_join",

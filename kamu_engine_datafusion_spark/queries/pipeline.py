@@ -401,6 +401,32 @@ def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xrange_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketized interval join: shipments falling inside 14-day promo
+    windows (every 100th order opens one), aggregated per priority —
+    an equi-join on time buckets + exact containment filter instead of
+    a BroadcastNestedLoopJoin theta join (``operators/rangejoin.py``)."""
+    from kamu_engine_datafusion_spark.operators.rangejoin import interval_join
+    from kamu_engine_datafusion_spark.queries._util import dsum
+
+    t = load(spark, sf_dir, "orders", "lineitem")
+    promos = t["orders"].filter(F.col("o_orderkey") % 100 == 0).select(
+        F.col("o_orderkey").alias("promo_id"),
+        F.col("o_orderdate").alias("start_ts"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 14 DAYS")).alias("end_ts"),
+        F.col("o_orderpriority").alias("promo_prio"),
+    )
+    points = t["lineitem"].filter(F.col("l_orderkey") <= 2000).select(
+        "l_orderkey", F.col("l_shipdate").alias("ship_ts"), "l_extendedprice"
+    )
+    joined = interval_join(points, "ship_ts", promos, "start_ts", "end_ts")
+    return joined.groupBy("promo_prio").agg(
+        F.count(F.lit(1)).alias("n_shipments"),
+        F.count_distinct(F.col("promo_id")).cast("long").alias("n_promos"),
+        dsum(F.col("l_extendedprice"), "sum_price"),
+    )
+
+
 def q_xsessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization: split each user's event stream at >30-minute gaps
     (lag + cumulative-sum-of-flags — the standard single-shuffle
@@ -459,6 +485,7 @@ QUERIES = {
     "xsample": q_xsample,
     "xsnapshot": q_xsnapshot,
     "xrollup_time": q_xrollup_time,
+    "xrange_join": q_xrange_join,
     "xsessionize": q_xsessionize,
     "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
@@ -643,6 +670,19 @@ ORACLES = {
         "ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < 3000 "
         "GROUP BY lang"
+    ),
+    "xrange_join": (
+        "WITH promos AS (SELECT o_orderkey AS promo_id, "
+        "o_orderdate AS start_ts, o_orderdate + INTERVAL 14 DAY AS end_ts, "
+        "o_orderpriority AS promo_prio FROM orders WHERE o_orderkey % 100 = 0), "
+        "points AS (SELECT l_orderkey, l_shipdate AS ship_ts, l_extendedprice "
+        "FROM lineitem WHERE l_orderkey <= 2000) "
+        "SELECT promo_prio, count(*) AS n_shipments, "
+        "count(DISTINCT promo_id) AS n_promos, "
+        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price "
+        "FROM points p JOIN promos i "
+        "ON p.ship_ts >= i.start_ts AND p.ship_ts < i.end_ts "
+        "GROUP BY promo_prio"
     ),
     "xsnapshot": (
         "WITH ledger AS (SELECT event_id AS off, "

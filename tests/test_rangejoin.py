@@ -1,0 +1,45 @@
+"""Bucketized interval join: exact theta-join semantics on an equi-join
+plan."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from kamu_engine_datafusion_spark.operators.rangejoin import interval_join
+
+
+def _dfs(spark):
+    points = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 0, 0)),    # == start: included
+            (2, datetime(2024, 1, 5, 12, 0)),   # inside
+            (3, datetime(2024, 1, 8, 0, 0)),    # == end: excluded
+            (4, datetime(2024, 3, 1, 0, 0)),    # no interval
+            (5, datetime(2024, 1, 20, 0, 0)),   # second interval, crosses buckets
+        ],
+        "pid long, ts timestamp",
+    )
+    intervals = spark.createDataFrame(
+        [
+            (10, datetime(2024, 1, 1), datetime(2024, 1, 8)),
+            (11, datetime(2024, 1, 6), datetime(2024, 1, 25)),  # spans 3 weeks
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    return points, intervals
+
+
+def test_interval_join_matches_theta_semantics(spark):
+    points, intervals = _dfs(spark)
+    out = interval_join(points, "ts", intervals, "start_ts", "end_ts")
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (3, 11), (5, 11)]
+    # no duplicates even for intervals spanning several buckets
+    assert len(got) == len(set(got))
+
+
+def test_interval_join_plans_equi_join(spark):
+    points, intervals = _dfs(spark)
+    out = interval_join(points, "ts", intervals, "start_ts", "end_ts")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan, plan
