@@ -60,6 +60,7 @@ _PRIORITY = [
     "xsnapshot",
     "xrollup_time",
     "xrange_join",
+    "xsalted_agg",
     "xsessionize",
     "xpivot",
     "xasof_join",

@@ -401,6 +401,20 @@ def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsalted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof two-stage salted aggregation over the hottest key
+    (event_type — 5 distinct values over all events, the shape AQE
+    cannot split because one key hashes to one reducer). Results are
+    exactly a plain GROUP BY: the salt only spreads stage-1 partials
+    (``operators/partitioning.py::salted_count``)."""
+    from kamu_engine_datafusion_spark.operators.partitioning import (
+        salted_count,
+    )
+
+    t = load(spark, sf_dir, "events")
+    return salted_count(t["events"], ["event_type"], salt_buckets=16)
+
+
 def q_xrange_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucketized interval join: shipments falling inside 14-day promo
     windows (every 100th order opens one), aggregated per priority —
@@ -486,6 +500,7 @@ QUERIES = {
     "xsnapshot": q_xsnapshot,
     "xrollup_time": q_xrollup_time,
     "xrange_join": q_xrange_join,
+    "xsalted_agg": q_xsalted_agg,
     "xsessionize": q_xsessionize,
     "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
@@ -670,6 +685,9 @@ ORACLES = {
         "ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < 3000 "
         "GROUP BY lang"
+    ),
+    "xsalted_agg": (
+        "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
     ),
     "xrange_join": (
         "WITH promos AS (SELECT o_orderkey AS promo_id, "
