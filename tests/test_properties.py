@@ -127,3 +127,50 @@ def test_internal_error_envelope(spark, tmp_path):
     with pytest.raises(InternalError) as ei:
         eng.execute_raw_query(req)
     assert ei.value.backtrace  # formatted source chain attached
+
+
+@_slow
+@given(
+    points=st.lists(
+        st.integers(min_value=0, max_value=5_000_000), min_size=0, max_size=60
+    ),
+    intervals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5_000_000),
+            st.integers(min_value=1, max_value=2_000_000),
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+    bucket=st.sampled_from([3600, 86400, 7 * 86400]),
+)
+def test_interval_join_equals_theta_join(spark, points, intervals, bucket):
+    """Bucketized interval join must produce EXACTLY the theta-join
+    result for any points, intervals, and bucket width."""
+    from kamu_engine_datafusion_spark.operators.rangejoin import interval_join
+
+    epoch = datetime(2000, 1, 1, tzinfo=UTC)
+    pdf = spark.createDataFrame(
+        [(i, epoch + timedelta(seconds=s)) for i, s in enumerate(points)],
+        "pid long, ts timestamp",
+    )
+    idf = spark.createDataFrame(
+        [
+            (j, epoch + timedelta(seconds=s), epoch + timedelta(seconds=s + w))
+            for j, (s, w) in enumerate(intervals)
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pdf, "ts", idf, "start_ts", "end_ts", bucket_seconds=bucket
+        ).collect()
+    }
+    expected = {
+        (i, j)
+        for i, s in enumerate(points)
+        for j, (lo, w) in enumerate(intervals)
+        if lo <= s < lo + w
+    }
+    assert got == expected

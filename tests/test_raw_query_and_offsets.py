@@ -120,3 +120,48 @@ def test_system_time_exact_integer_milliseconds(spark):
     out = with_system_columns(df, DatasetVocabulary(), st, start_offset=0)
     got = out.select("system_time").first()["system_time"]
     assert got.replace(tzinfo=timezone.utc) == st
+
+
+def test_execute_transform_distributed_offsets_end_to_end(spark, tmp_path):
+    """The full transform lifecycle in scale mode: parallel query,
+    distributed two-pass offsets, protocol-valid single-file output with
+    dense offsets and correct interval accounting."""
+    ledger = write_cities_ledger(str(tmp_path / "cities.parquet"))
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark import (
+        DatasetVocabulary,
+        OffsetInterval,
+        SqlQueryStep,
+        TransformRequest,
+        TransformRequestInput,
+        execute_transform,
+    )
+
+    req = TransformRequest(
+        dataset_alias="out",
+        system_time=datetime(2023, 2, 1, tzinfo=timezone.utc),
+        next_offset=10,
+        vocab=DatasetVocabulary(),
+        transform=[
+            SqlQueryStep(
+                query="SELECT event_time, city, population FROM foo"
+            )
+        ],
+        inputs=[
+            TransformRequestInput(
+                dataset_alias="foo",
+                query_alias="foo",
+                schema_file=ledger,
+                data_paths=[ledger],
+                offset_interval=OffsetInterval(0, 2),
+            )
+        ],
+        new_data_path=str(tmp_path / "result.parquet"),
+    )
+    resp = execute_transform(spark, req, distributed_offsets=True)
+    assert resp.new_offset_interval == OffsetInterval(10, 12)
+    out = pq.read_table(str(tmp_path / "result.parquet"))
+    offsets = sorted(out["offset"].to_pylist())
+    assert offsets == [10, 11, 12]
+    assert out.schema.names[:4] == ["offset", "op", "system_time", "event_time"]
