@@ -647,3 +647,165 @@ def embedding_near_dups(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup against a persisted signature index
+# ---------------------------------------------------------------------------
+#
+# The continuous-ingestion production shape: the corpus's MinHash
+# signatures are written ONCE (an index a fraction of the corpus size —
+# num_hashes longs per doc); each new increment is deduped against the
+# index and within itself WITHOUT touching corpus text again. Similarity
+# is estimated from the signatures themselves (the fraction of agreeing
+# MinHash components is an unbiased estimator of Jaccard — the classic
+# Broder result), so the index needs no shingle sets, only signatures.
+
+
+def estimated_jaccard(sig_a: Column, sig_b: Column, num_hashes: int) -> Column:
+    """MinHash similarity estimate: fraction of agreeing components."""
+    agree = F.aggregate(
+        F.zip_with(sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree / F.lit(num_hashes)
+
+
+def _banded_sigs(
+    sigs: DataFrame, num_bands: int, rows_per_band: int, base_hash: str
+) -> DataFrame:
+    """(__id, __sig) → (__id, __sig, __band). The poly variant carries
+    the band position in the key (fold keys can collide across bands)."""
+    if base_hash == "poly":
+        return sigs.select(
+            "__id",
+            "__sig",
+            F.posexplode(
+                lsh_band_keys_fold(F.col("__sig"), num_bands, rows_per_band)
+            ).alias("__bandpos", "__bandkey"),
+        ).select(
+            "__id",
+            "__sig",
+            F.concat_ws(":", F.col("__bandpos"), F.col("__bandkey")).alias(
+                "__band"
+            ),
+        )
+    return sigs.select(
+        "__id",
+        "__sig",
+        F.explode(
+            lsh_band_keys(F.col("__sig"), num_bands, rows_per_band)
+        ).alias("__band"),
+    )
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    base_hash: str = "xxhash64",
+) -> DataFrame:
+    """Build the persistable signature index: one row per (band key,
+    doc), carrying the full signature for estimate-based verification.
+    Write it with ``df.write.parquet(path)`` (repartition by ``__band``
+    first if band-aligned files matter) — at 100 TB the index is
+    ~num_hashes×8 bytes per doc, a ~0.1% shadow of the corpus.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+    )
+    return _banded_sigs(sigs, num_bands, rows_per_band, base_hash).select(
+        F.col("__id").alias("doc_id"), F.col("__sig").alias("sig"), "__band"
+    )
+
+
+def dedup_increment_against_index(
+    new_docs: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket_size: int | None = 200,
+    base_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup an increment against a persisted index and within itself.
+
+    Returns ``(survivors, new_index_rows)``: the increment rows that
+    duplicate neither an indexed doc nor an earlier increment doc, and
+    the index rows to append for them (so the next increment sees this
+    one). Matching is banded-LSH candidates + signature-estimate
+    verification; corpus text is never read.
+
+    Scale: one shuffle to signature the increment, one band-key join of
+    the (small) increment bands against the index — with the index
+    stored partitioned by band, only matching index partitions are read.
+    The increment's internal dedup reuses the same signatures.
+    """
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(
+        new_docs, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+    ).persist()
+    banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash).persist()
+    capped = (
+        _cap_buckets(banded, "__band", max_bucket_size)
+        if max_bucket_size
+        else banded
+    )
+
+    # vs index: any new doc whose estimated jaccard to an indexed doc
+    # clears the threshold is a duplicate
+    vs_index = (
+        capped.alias("n")
+        .join(index.alias("i"), F.col("n.__band") == F.col("i.__band"))
+        .select(
+            F.col("n.__id").alias("new_id"),
+            estimated_jaccard(
+                F.col("n.__sig"), F.col("i.sig"), num_hashes
+            ).alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+
+    # within increment: lower-id survivor wins, same estimate
+    a, b = capped.alias("a"), capped.alias("b")
+    within = (
+        a.join(
+            b,
+            (F.col("a.__band") == F.col("b.__band"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("b.__id").alias("new_id"),
+            estimated_jaccard(
+                F.col("a.__sig"), F.col("b.__sig"), num_hashes
+            ).alias("est"),
+        )
+        .filter(F.col("est") >= threshold)
+        .select("new_id")
+        .distinct()
+    )
+
+    dead = vs_index.unionByName(within).distinct()
+    survivors = new_docs.join(
+        dead.withColumnRenamed("new_id", id_col), id_col, "left_anti"
+    )
+    new_index_rows = (
+        banded.join(
+            dead, banded["__id"] == dead["new_id"], "left_anti"
+        ).select(
+            F.col("__id").alias("doc_id"),
+            F.col("__sig").alias("sig"),
+            "__band",
+        )
+    )
+    return survivors, new_index_rows

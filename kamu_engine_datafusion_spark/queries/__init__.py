@@ -46,6 +46,7 @@ _PRIORITY = [
     "xdedup_cluster",
     "xdedup_paragraph",
     "xdedup_embcos",
+    "xdedup_incremental",
     "xsim_topk_brute",
     "xsim_srp_lsh",
     "xsim_ivf",

@@ -401,6 +401,36 @@ def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup against a persisted signature index (the
+    continuous-ingestion shape: corpus text never re-read; duplicates
+    decided by the MinHash agreement estimate). Poly-hash variant so the
+    DuckDB oracle replicates signatures, banding, and the estimate."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_increment_against_index,
+        minhash_index,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    base = t["documents"].filter(F.col("doc_id") < 150)
+    inc = t["documents"].filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 300)
+    )
+    index = minhash_index(
+        base, num_hashes=16, num_bands=4, base_hash="poly"
+    )
+    survivors, _ = dedup_increment_against_index(
+        inc,
+        index,
+        threshold=0.7,
+        num_hashes=16,
+        num_bands=4,
+        max_bucket_size=None,
+        base_hash="poly",
+    )
+    return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 def q_xsalted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skew-proof two-stage salted aggregation over the hottest key
     (event_type — 5 distinct values over all events, the shape AQE
@@ -501,6 +531,7 @@ QUERIES = {
     "xrollup_time": q_xrollup_time,
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
+    "xdedup_incremental": q_xdedup_incremental,
     "xsessionize": q_xsessionize,
     "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
@@ -599,6 +630,60 @@ def _embcos_srp_oracle(
     )
 
 
+def _incremental_dedup_oracle() -> str:
+    """DuckDB oracle for the incremental index dedup: poly-hash
+    signatures (same coefficients as the Spark side), band-position-
+    qualified fold keys, MinHash agreement estimate >= threshold."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31 as M,
+        _SHINGLE_PRIME as P,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(16, seed=42)
+    mins = ", ".join(
+        f"min((hv * {a} + {b}) % {M}) AS m{j}" for j, (a, b) in enumerate(coeffs)
+    )
+    bands = []
+    for band in range(4):
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(4):
+            acc = f"(({acc}) * {P} + m{band * 4 + i}) % {M}"
+        bands.append(
+            f"SELECT doc_id, {band} AS bandpos, {acc} AS bandkey FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    est = (
+        "("
+        + " + ".join(f"CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END" for j in range(16))
+        + ") / 16.0"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, lang, text FROM documents WHERE doc_id < 300), "
+        "tq AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t "
+        "FROM d), "
+        "shl AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 2)), "
+        "i -> array_to_string(t[i:i+2], ' '))) AS shs FROM tq), "
+        "sh AS (SELECT doc_id, unnest(shs) AS s FROM shl), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {M}) AS hv FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({bands_sql}), "
+        "cand AS (SELECT DISTINCT n.doc_id AS new_id, i.doc_id AS old_id "
+        "FROM bands n JOIN bands i ON n.bandpos = i.bandpos "
+        "AND n.bandkey = i.bandkey "
+        "WHERE n.doc_id >= 150 AND (i.doc_id < 150 OR i.doc_id < n.doc_id)), "
+        f"dead AS (SELECT DISTINCT c.new_id FROM cand c "
+        "JOIN sig x ON x.doc_id = c.new_id JOIN sig y ON y.doc_id = c.old_id "
+        f"WHERE {est} >= 0.7) "
+        "SELECT lang, count(*) AS n_docs FROM d "
+        "WHERE doc_id >= 150 AND doc_id NOT IN (SELECT new_id FROM dead) "
+        "GROUP BY lang"
+    )
+
+
 def _minhash_sql_oracle() -> str:
     """DuckDB oracle replicating the full poly-hash MinHash+LSH dedup:
     same coefficients, same folds, same banding, same verification."""
@@ -689,6 +774,7 @@ ORACLES = {
     "xsalted_agg": (
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
     ),
+    "xdedup_incremental": _incremental_dedup_oracle(),
     "xrange_join": (
         "WITH promos AS (SELECT o_orderkey AS promo_id, "
         "o_orderdate AS start_ts, o_orderdate + INTERVAL 14 DAY AS end_ts, "

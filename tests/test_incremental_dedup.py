@@ -1,0 +1,59 @@
+"""Incremental dedup against a persisted MinHash signature index: the
+continuous-ingestion workflow — corpus text is never re-read."""
+
+from __future__ import annotations
+
+from kamu_engine_datafusion_spark.operators.dedup import (
+    dedup_increment_against_index,
+    minhash_index,
+)
+
+CORPUS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "completely different content about spark engines and parquet files"),
+    (3, "a third document describing distributed query processing at scale"),
+]
+INCREMENT = [
+    # copy of corpus doc 1 -> must die vs index
+    (10, "the quick brown fox jumps over the lazy dog near the river bank"),
+    # genuinely new -> survives
+    (11, "novel text on minhash signatures and locality sensitive hashing"),
+    # two copies of each other -> one survives (lower id)
+    (12, "shared boilerplate paragraph repeated across increment documents"),
+    (13, "shared boilerplate paragraph repeated across increment documents"),
+]
+
+
+def test_increment_dedup_vs_index_and_within(spark, tmp_path):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx_path = str(tmp_path / "sig_index")
+    minhash_index(corpus).write.parquet(idx_path)
+
+    inc = spark.createDataFrame(INCREMENT, ["doc_id", "text"])
+    index = spark.read.parquet(idx_path)
+    survivors, new_rows = dedup_increment_against_index(
+        inc, index, threshold=0.9
+    )
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert ids == [11, 12]
+
+    # appending the survivors' index rows makes the NEXT identical
+    # increment fully dead — the index is self-extending
+    new_rows.write.mode("append").parquet(idx_path)
+    index2 = spark.read.parquet(idx_path)
+    survivors2, _ = dedup_increment_against_index(
+        spark.createDataFrame(
+            [(20, INCREMENT[1][1]), (21, INCREMENT[2][1])], ["doc_id", "text"]
+        ),
+        index2,
+        threshold=0.9,
+    )
+    assert survivors2.count() == 0
+
+
+def test_index_rows_shape(spark):
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    idx = minhash_index(corpus, num_hashes=32, num_bands=8)
+    rows = idx.collect()
+    assert len(rows) == 3 * 8  # one row per (doc, band)
+    assert {len(r["sig"]) for r in rows} == {32}
