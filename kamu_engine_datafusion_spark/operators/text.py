@@ -151,3 +151,69 @@ def fingerprint(text: Column | str) -> Column:
     """Order-insensitive document fingerprint: md5 of the sorted distinct
     token set. Robust to shuffled copies; cheap enough for full scans."""
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def gopher_rules(text: Column | str) -> dict[str, Column]:
+    """Gopher-style document quality rules (Rae et al. 2021, §A1.1) as
+    pure-codegen boolean columns — each True means the rule PASSES:
+
+    - word count in [50, 100_000];
+    - mean word length in [3, 10] characters;
+    - symbol-to-word ratio (``#`` and ``…``) below 0.1;
+    - less than 90% of lines starting with a bullet;
+    - at least 80% of words contain an alphabetic character.
+
+    All column math at scan speed — at 100 TB this filter runs inside
+    the Parquet scan stage with zero shuffles.
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    words = F.split(F.trim(c), r"\s+")
+    n_words = F.size(words)
+    mean_wlen = F.length(F.regexp_replace(c, r"\s+", "")) / n_words
+    n_symbols = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[#…]", ""))
+    )
+    lines = F.split(c, r"\n")
+    bullet_lines = F.size(
+        F.filter(lines, lambda l: l.rlike(r"^\s*[-\*•]"))
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+    return {
+        "rule_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "rule_mean_word_len": (mean_wlen >= 3.0) & (mean_wlen <= 10.0),
+        "rule_symbol_ratio": (n_symbols / n_words) < 0.1,
+        "rule_bullet_lines": (bullet_lines / F.size(lines)) < 0.9,
+        "rule_alpha_words": (alpha_words / n_words) >= 0.8,
+    }
+
+
+def c4_line_filter(
+    text: Column | str,
+    min_words_per_line: int = 3,
+    require_terminal_punct: bool = True,
+    sep: str = "\n",
+) -> Column:
+    """C4-style line-level cleaning (Raffel et al. 2020, §2.2): keep only
+    lines that end in terminal punctuation (when
+    ``require_terminal_punct``), have at least ``min_words_per_line``
+    words, and don't contain boilerplate markers ("lorem ipsum",
+    "javascript", "{"); returns the cleaned text (surviving lines
+    re-joined with ``sep``).
+    """
+    import re as _re
+
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, _re.escape(sep))
+
+    def keep(l: Column) -> Column:
+        cond = (
+            (F.size(F.split(F.trim(l), r"\s+")) >= min_words_per_line)
+            & ~F.lower(l).contains("lorem ipsum")
+            & ~F.lower(l).contains("javascript")
+            & ~l.contains("{")
+        )
+        if require_terminal_punct:
+            cond = cond & l.rlike(r"[.!?”\"']\s*$")
+        return cond
+
+    return F.array_join(F.filter(lines, keep), sep)

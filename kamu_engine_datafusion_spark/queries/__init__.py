@@ -56,6 +56,8 @@ _PRIORITY = [
     "xtext_fingerprint",
     "xtext_repetition",
     "xtext_redact_pii",
+    "xtext_gopher",
+    "xtext_c4_filter",
     "xdecontaminate",
     "xsample",
     "xsnapshot",

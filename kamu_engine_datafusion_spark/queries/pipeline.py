@@ -401,6 +401,36 @@ def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality rules as boolean columns + the combined
+    verdict, per document (``operators/text.py::gopher_rules``)."""
+    t = load(spark, sf_dir, "documents")
+    rules = X.gopher_rules("text")
+    cols = [v.alias(k) for k, v in rules.items()]
+    passes = None
+    for v in rules.values():
+        passes = v if passes is None else (passes & v)
+    return t["documents"].select("doc_id", *cols, passes.alias("pass_all"))
+
+
+def q_xtext_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line filtering: cleaned text length + survived flag per
+    document. The synthetic corpus is single-line with no terminal
+    punctuation, so the demo splits on a pseudo-separator and exercises
+    the length + boilerplate rules (the punctuation rule stays the
+    default in the operator)."""
+    t = load(spark, sf_dir, "documents")
+    cleaned = X.c4_line_filter(
+        "text", min_words_per_line=6, require_terminal_punct=False,
+        sep=" the ",
+    )
+    return t["documents"].select(
+        "doc_id",
+        F.length(cleaned).cast("long").alias("clean_len"),
+        (F.length(cleaned) > 0).alias("survived"),
+    )
+
+
 def q_xdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a persisted signature index (the
     continuous-ingestion shape: corpus text never re-read; duplicates
@@ -532,6 +562,8 @@ QUERIES = {
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
+    "xtext_gopher": q_xtext_gopher,
+    "xtext_c4_filter": q_xtext_c4_filter,
     "xsessionize": q_xsessionize,
     "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
@@ -775,6 +807,44 @@ ORACLES = {
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
     ),
     "xdedup_incremental": _incremental_dedup_oracle(),
+    "xtext_gopher": (
+        "WITH d AS (SELECT doc_id, text, "
+        "string_split_regex(trim(text), '\\s+') AS w, "
+        "string_split(text, chr(10)) AS lns FROM documents) "
+        "SELECT doc_id, "
+        "len(w) >= 50 AND len(w) <= 100000 AS rule_word_count, "
+        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(w) "
+        ">= 3.0 AND "
+        "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(w) "
+        "<= 10.0 AS rule_mean_word_len, "
+        "CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) "
+        "AS DOUBLE) / len(w) < 0.1 AS rule_symbol_ratio, "
+        "CAST(len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-\\*•]'))) "
+        "AS DOUBLE) / len(lns) < 0.9 AS rule_bullet_lines, "
+        "CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) "
+        "/ len(w) >= 0.8 AS rule_alpha_words, "
+        "(len(w) >= 50 AND len(w) <= 100000) AND "
+        "(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / len(w) "
+        "BETWEEN 3.0 AND 10.0) AND "
+        "(CAST(length(text) - length(regexp_replace(text, '[#…]', '', 'g')) "
+        "AS DOUBLE) / len(w) < 0.1) AND "
+        "(CAST(len(list_filter(lns, l -> regexp_matches(l, '^\\s*[-\\*•]'))) "
+        "AS DOUBLE) / len(lns) < 0.9) AND "
+        "(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) "
+        "/ len(w) >= 0.8) AS pass_all "
+        "FROM d"
+    ),
+    "xtext_c4_filter": (
+        "WITH d AS (SELECT doc_id, string_split(text, ' the ') AS lns "
+        "FROM documents), "
+        "k AS (SELECT doc_id, coalesce(array_to_string(list_filter(lns, l -> "
+        "len(string_split_regex(trim(l), '\\s+')) >= 6 AND "
+        "NOT contains(lower(l), 'lorem ipsum') AND "
+        "NOT contains(lower(l), 'javascript') AND "
+        "NOT contains(l, '{')), ' the '), '') AS clean FROM d) "
+        "SELECT doc_id, CAST(length(clean) AS BIGINT) AS clean_len, "
+        "length(clean) > 0 AS survived FROM k"
+    ),
     "xrange_join": (
         "WITH promos AS (SELECT o_orderkey AS promo_id, "
         "o_orderdate AS start_ts, o_orderdate + INTERVAL 14 DAY AS end_ts, "

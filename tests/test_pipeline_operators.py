@@ -260,3 +260,42 @@ def test_simhash_pigeonhole_guaranteed_recall(spark):
     assert got == expected
     with pytest.raises(ValueError, match="pigeonhole"):
         D.simhash_near_dups(docs, max_hamming=4, num_blocks=4)
+
+
+def test_gopher_rules(spark):
+    good = " ".join(f"word{i}" for i in range(60))
+    short = "too short"
+    symbols = " ".join("##" for _ in range(60))
+    rows = [(1, good), (2, short), (3, symbols)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    rules = X.gopher_rules("text")
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id", *[v.alias(k) for k, v in rules.items()]
+        ).collect()
+    }
+    assert out[1]["rule_word_count"] and out[1]["rule_alpha_words"]
+    assert not out[2]["rule_word_count"]  # 2 words < 50
+    assert not out[3]["rule_symbol_ratio"]  # all-symbol doc
+    assert not out[3]["rule_alpha_words"]
+
+
+def test_c4_line_filter(spark):
+    text = "\n".join(
+        [
+            "This line is long enough and ends properly.",
+            "short one.",                      # < 3 words? no: 2 words -> dropped
+            "no terminal punctuation here",    # dropped (punct rule)
+            "This references javascript libraries everywhere.",  # dropped
+            "Braces { appear } in this line.",  # dropped
+        ]
+    )
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    out = df.select(X.c4_line_filter("text").alias("clean")).head()["clean"]
+    assert out == "This line is long enough and ends properly."
+    # punct rule off: the unpunctuated line also survives
+    out2 = df.select(
+        X.c4_line_filter("text", require_terminal_punct=False).alias("c")
+    ).head()["c"]
+    assert "no terminal punctuation here" in out2
