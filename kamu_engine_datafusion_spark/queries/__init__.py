@@ -74,6 +74,7 @@ _PRIORITY = [
     "a13_offsets_distributed",  # offset-base broadcast-join rework
     "a14_system_columns",  # integer-ms system_time fix
     "b03_information_schema",  # broadened catalog introspection
+    "b04_parquet_sink",  # writer-version pin in the single-file sink
     # -- re-verify: headline bench queries --
     "b16_groupby_agg",
     "b10_tpch_q5alike",
