@@ -68,7 +68,19 @@ def topk_bruteforce(
     )
 
 
-def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+def _hyperplanes(
+    dim: int, bits: int, seed: int, source: str = "gauss"
+) -> list[list[float]]:
+    """``gauss``: spherically-symmetric planes (best recall geometry).
+    ``lcg``: integer-LCG planes (``dedup.srp_plane_components``) —
+    reproducible verbatim in plain SQL, enabling a cross-engine oracle
+    of the full bucket + re-rank pipeline."""
+    if source == "lcg":
+        from kamu_engine_datafusion_spark.operators.dedup import (
+            srp_plane_components,
+        )
+
+        return [srp_plane_components(p, dim) for p in range(bits)]
     rng = random.Random(seed)
     return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(bits)]
 
@@ -98,6 +110,7 @@ def srp_lsh_topk(
     dim: int | None = None,
     seed: int = 42,
     hamming_probes: int = 0,
+    plane_source: str = "gauss",
 ) -> DataFrame:
     """Approximate cosine top-k: exact re-rank within the query's SRP
     bucket(s).
@@ -111,7 +124,7 @@ def srp_lsh_topk(
     """
     if dim is None:
         dim = _vec_dim(corpus, vec_col)
-    planes = _hyperplanes(dim, bits, seed)
+    planes = _hyperplanes(dim, bits, seed, plane_source)
     csig = corpus.withColumn("__sig", srp_signature(F.col(vec_col), planes)).withColumn(
         "__nrm", l2_norm(F.col(vec_col), dim)
     )

@@ -3,9 +3,10 @@ north-star extensions): dedup, similarity search, text analysis,
 multimodal plumbing, as-of join.
 
 Oracle-checkable wherever DuckDB can express the same deterministic
-computation (token-set Jaccard, double-precision cosine, stopword
-heuristics); engine-specific hashing (xxhash64-based MinHash/SimHash/SRP)
-is rows-only by design.
+computation — including the full LSH pipelines via SQL-reproducible
+hashes (polynomial char folds for MinHash/SimHash, integer-LCG
+hyperplanes for SRP). Only engine-specific xxhash64 variants and the
+binary multimodal kernels are rows-only by design.
 """
 
 from __future__ import annotations
@@ -157,12 +158,18 @@ def q_xsim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xsim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-LSH bucketed ANN top-10 (rows-only: seeded hyperplanes are
-    engine-specific)."""
+    """SRP-LSH bucketed ANN top-10 with integer-LCG hyperplanes — the
+    DuckDB oracle replicates signatures, the bucket filter, and the
+    exact re-rank, so the full ANN pipeline is hash-verified."""
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     return S.srp_lsh_topk(
-        emb, emb.filter(F.col("vec_id") == 0), k=10, bits=8, dim=64
+        emb,
+        emb.filter(F.col("vec_id") == 0),
+        k=10,
+        bits=8,
+        dim=64,
+        plane_source="lcg",
     )
 
 
@@ -662,6 +669,41 @@ def _embcos_srp_oracle(
     )
 
 
+def _srp_lsh_oracle(bits: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB oracle replicating srp_lsh_topk with LCG planes: packed
+    sign-bit signature, same-bucket filter, exact cosine re-rank."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        _SRP_LCG_A,
+        _SRP_LCG_B,
+        _SRP_LCG_M,
+    )
+
+    def plane(p: int) -> str:
+        return (
+            f"list_transform(range(0, {dim}), i -> "
+            f"CAST((({_SRP_LCG_A}*({p}*{dim}+i)+{_SRP_LCG_B})%{_SRP_LCG_M})"
+            f"-{_SRP_LCG_M // 2} AS DOUBLE))"
+        )
+
+    sig = " + ".join(
+        f"(CASE WHEN list_dot_product(emb, {plane(p)}) >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p in range(bits)
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        f"s AS (SELECT vec_id, emb, {sig} AS sig FROM e), "
+        "q AS (SELECT emb AS qemb, sig AS qsig FROM s WHERE vec_id = 0) "
+        "SELECT vec_id, cosine FROM ("
+        "SELECT s.vec_id, round(list_dot_product(s.emb, q.qemb) / "
+        "(sqrt(list_dot_product(s.emb, s.emb)) * "
+        "sqrt(list_dot_product(q.qemb, q.qemb))), 6) AS cosine "
+        "FROM s, q WHERE s.sig = q.qsig) "
+        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
+    )
+
+
 def _incremental_dedup_oracle() -> str:
     """DuckDB oracle for the incremental index dedup: poly-hash
     signatures (same coefficients as the Spark side), band-position-
@@ -807,6 +849,7 @@ ORACLES = {
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"
     ),
     "xdedup_incremental": _incremental_dedup_oracle(),
+    "xsim_srp_lsh": _srp_lsh_oracle(),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
         "string_split_regex(trim(text), '\\s+') AS w, "

@@ -26,7 +26,6 @@ def test_queries_oracle_key_consistency():
         "xmm_decode",
         "xmm_features",
         "xmm_frames",
-        "xsim_srp_lsh",
     }
 
 
