@@ -62,6 +62,34 @@ def windowed_event_counts(
     )
 
 
+def session_window_counts(
+    events: DataFrame,
+    event_time_col: str = "event_time",
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 hour",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Watermarked session windows: a session closes after ``gap`` of
+    inactivity per group — the streaming counterpart of the batch
+    sessionizer (``queries/pipeline.py::q_xsessionize``). Spark merges
+    and expires session state via the watermark, so state stays bounded
+    by the number of OPEN sessions, not history."""
+    keys = [F.session_window(F.col(event_time_col), gap)]
+    if group_col:
+        keys.append(F.col(group_col))
+    return (
+        events.withWatermark(event_time_col, watermark_delay)
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            *([F.col(group_col)] if group_col else []),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(
     df: DataFrame,
     key_cols: list[str],

@@ -113,3 +113,41 @@ def test_streaming_dedup_bounds_state(spark, tmp_path):
     out = run_to_memory(spark, deduped, "dedup_out")
     cities = sorted(r["city"] for r in out.collect())
     assert cities == ["kyiv", "vancouver"]
+
+
+def test_structured_streaming_session_windows(spark, tmp_path):
+    """Two bursts of events separated by more than the gap must land in
+    two sessions; events within the gap merge into one."""
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        session_window_counts,
+    )
+
+    in_dir = tmp_path / "sessstream"
+    in_dir.mkdir()
+    t0 = datetime(2023, 1, 1, 10, 0, tzinfo=timezone.utc)
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+    from datetime import timedelta
+
+    times = [t0, t0 + timedelta(minutes=5), t0 + timedelta(hours=2)]
+    tbl = pa.table(
+        {
+            "event_time": pa.array(times, pa.timestamp("ms", "UTC")),
+            "user": pa.array(["u1"] * 3),
+        }
+    )
+    pq_w.write_table(tbl, str(in_dir / "part-00000.parquet"))
+    schema = spark.read.parquet(str(in_dir / "part-00000.parquet")).schema
+
+    stream = ledger_stream(spark, str(in_dir), schema)
+    agg = session_window_counts(
+        stream, "event_time", gap="30 minutes", group_col="user"
+    )
+    out = run_to_memory(spark, agg, "sess_counts", output_mode="complete")
+    rows = sorted(out.collect(), key=lambda r: r["session_start"])
+    assert [r["n_events"] for r in rows] == [2, 1]
+    # first session spans the two clustered events + gap extension
+    assert rows[0]["session_start"].minute == 0
