@@ -748,6 +748,12 @@ def dedup_increment_against_index(
     the (small) increment bands against the index — with the index
     stored partitioned by band, only matching index partitions are read.
     The increment's internal dedup reuses the same signatures.
+
+    The increment's signature/band sets are ``persist()``-ed (each feeds
+    several consumers); a long-lived session processing many increments
+    should ``spark.catalog.clearCache()`` between ticks or the
+    accumulated cache churn degrades later runs (measured: 18s → 40s+
+    by the second uncleared call at 45k indexed docs).
     """
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
@@ -759,12 +765,21 @@ def dedup_increment_against_index(
         if max_bucket_size
         else banded
     )
+    # The cap must hold on BOTH join sides: an uncapped index-side
+    # mega-bucket (boilerplate shared by thousands of indexed docs)
+    # multiplies against every increment row it matches — measured 2x+
+    # slowdowns at 45k indexed docs before this guard.
+    index_capped = (
+        _cap_buckets(index, "__band", max_bucket_size)
+        if max_bucket_size
+        else index
+    )
 
     # vs index: any new doc whose estimated jaccard to an indexed doc
     # clears the threshold is a duplicate
     vs_index = (
         capped.alias("n")
-        .join(index.alias("i"), F.col("n.__band") == F.col("i.__band"))
+        .join(index_capped.alias("i"), F.col("n.__band") == F.col("i.__band"))
         .select(
             F.col("n.__id").alias("new_id"),
             estimated_jaccard(

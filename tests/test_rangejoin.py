@@ -43,3 +43,30 @@ def test_interval_join_plans_equi_join(spark):
     out = interval_join(points, "ts", intervals, "start_ts", "end_ts")
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan, plan
+
+
+def test_interval_join_pre_epoch_timestamps(spark):
+    """Bucket ids are floor-divided epoch seconds; negative epochs
+    (pre-1970) must bucket consistently on both sides of the join."""
+    from datetime import datetime, timedelta, timezone
+
+    epoch = datetime(1970, 1, 1, tzinfo=timezone.utc)
+    pts = [
+        epoch - timedelta(days=3),
+        epoch - timedelta(hours=1),
+        epoch + timedelta(hours=1),
+    ]
+    points = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(pts)], "pid long, ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(0, epoch - timedelta(days=4), epoch + timedelta(days=1))],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    got = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            points, "ts", intervals, "start_ts", "end_ts"
+        ).collect()
+    )
+    assert got == [(0, 0), (1, 0), (2, 0)]
