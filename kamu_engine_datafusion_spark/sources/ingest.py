@@ -63,6 +63,20 @@ def read_ndjson_source(
     return reader.json(paths)
 
 
+def read_orc_source(
+    spark: SparkSession,
+    paths: list[str],
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    """ORC source (columnar, self-describing — schema optional; pass one
+    to pin types when files disagree)."""
+    reader = spark.read.options(**options)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(paths)
+
+
 def _ledger_next_offset(ledger_dir: str) -> int:
     """Offsets are dense from 0, so the next offset is the row total
     (footer metadata only — no data pages read)."""

@@ -13,6 +13,7 @@ from kamu_engine_datafusion_spark.sources.ingest import (
     ingest_batch,
     read_csv_source,
     read_ndjson_source,
+    read_orc_source,
 )
 from kamu_engine_datafusion_spark.streaming.incremental import (
     IncrementalRunner,
@@ -97,3 +98,31 @@ def test_ndjson_ingest(spark, tmp_path):
     part = glob.glob(f"{ledger}/*.parquet")[0]
     s = pq.ParquetFile(part).schema_arrow
     assert str(s.field("event_time").type) == "timestamp[ms, tz=UTC]"
+
+
+def test_orc_ingest(spark, tmp_path):
+    """ORC source → preprocess → ledger append, same lifecycle as CSV."""
+    orc_dir = str(tmp_path / "src_orc")
+    spark.createDataFrame(
+        [("2023-03-01", "osaka", 2691000)],
+        "`when` STRING, city STRING, population LONG",
+    ).write.orc(orc_dir)
+
+    ledger = str(tmp_path / "ledger")
+    steps = [
+        SqlQueryStep(
+            query="SELECT CAST(`when` AS TIMESTAMP) AS event_time, city, "
+            "population FROM input"
+        )
+    ]
+    n = ingest_batch(
+        spark,
+        read_orc_source(spark, [orc_dir]),
+        ledger,
+        datetime(2023, 3, 2, tzinfo=UTC),
+        preprocess=steps,
+    )
+    assert n == 1
+    part = sorted(glob.glob(ledger + "/*.parquet"))[0]
+    d = pq.read_table(part).to_pydict()
+    assert d["city"] == ["osaka"] and d["offset"] == [0]
