@@ -64,6 +64,7 @@ _PRIORITY = [
     "xrollup_time",
     "xrange_join",
     "xsalted_agg",
+    "xprofile",
     "xsessionize",
     "xpivot",
     "xasof_join",

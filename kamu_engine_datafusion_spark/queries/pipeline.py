@@ -408,6 +408,17 @@ def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-scan numeric profiling of lineitem (the ANALYZE-equivalent:
+    rows/nulls/exact distinct/min/max per column in long format)."""
+    from kamu_engine_datafusion_spark.operators.profile import profile_numeric
+
+    t = load(spark, sf_dir, "lineitem")
+    return profile_numeric(
+        t["lineitem"], ["l_orderkey", "l_quantity", "l_discount", "l_tax"]
+    )
+
+
 def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules as boolean columns + the combined
     verdict, per document (``operators/text.py::gopher_rules``)."""
@@ -569,6 +580,7 @@ QUERIES = {
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
+    "xprofile": q_xprofile,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
     "xsessionize": q_xsessionize,
@@ -850,6 +862,17 @@ ORACLES = {
     ),
     "xdedup_incremental": _incremental_dedup_oracle(),
     "xsim_srp_lsh": _srp_lsh_oracle(),
+    "xprofile": (
+        "SELECT col AS \"column\", count(*) AS n_rows, "
+        "sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+        "count(DISTINCT v) AS n_distinct, "
+        "min(v) AS min_val, max(v) AS max_val FROM ("
+        "SELECT 'l_orderkey' AS col, CAST(l_orderkey AS DOUBLE) AS v FROM lineitem "
+        "UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem "
+        "UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem"
+        ") GROUP BY col"
+    ),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
         "string_split_regex(trim(text), '\\s+') AS w, "
