@@ -174,3 +174,47 @@ def test_interval_join_equals_theta_join(spark, points, intervals, bucket):
         if lo <= s < lo + w
     }
     assert got == expected
+
+
+@_slow
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # key space (5 keys)
+            st.integers(min_value=0, max_value=3),  # ODF op code
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+def test_snapshot_matches_reference_semantics(spark, ops):
+    """For ANY op sequence: the snapshot holds exactly the keys whose
+    latest record is not a retraction/correct-from, with that record's
+    payload."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        snapshot_of_ledger,
+    )
+
+    t0 = datetime(2023, 1, 1, tzinfo=UTC)
+    rows = [
+        (i, op, t0, t0, f"k{key}", val)
+        for i, (key, op, val) in enumerate(ops)
+    ]
+    ledger = spark.createDataFrame(
+        rows,
+        "offset long, op int, system_time timestamp, "
+        "event_time timestamp, k string, v long",
+    )
+    got = {
+        r["k"]: r["v"]
+        for r in snapshot_of_ledger(ledger, "k").collect()
+    }
+    expected: dict[str, int] = {}
+    last: dict[str, tuple[int, int]] = {}
+    for key, op, val in ops:
+        last[f"k{key}"] = (op, val)
+    for k, (op, val) in last.items():
+        if op not in (1, 2):  # retract, correct-from
+            expected[k] = val
+    assert got == expected
