@@ -984,7 +984,7 @@ ORACLES = {
     ),
     "b06_filter": (
         "SELECT count(*) AS n_rows, "
-        "CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(27,6))) AS DOUBLE) "
+        "CAST(SUM(CAST(round((l_extendedprice * l_discount)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 "
         "AS revenue FROM lineitem "
         "WHERE l_returnflag = 'R' AND l_discount >= 0.05 AND l_discount <= 0.07 "
         "AND l_quantity < 24"
@@ -1046,8 +1046,8 @@ ORACLES = {
     ),
     "b10_tpch_q5alike": (
         "SELECT n_name, "
-        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) "
-        "AS DOUBLE) AS revenue, count(*) AS n_items "
+        "CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount))*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 "
+        "AS revenue, count(*) AS n_items "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "JOIN supplier ON l_suppkey = s_suppkey "
@@ -1059,8 +1059,8 @@ ORACLES = {
     "b26_tpch_q3alike": (
         "SELECT l_orderkey, CAST(o_orderdate AS DATE) AS orderdate, "
         "o_orderpriority, "
-        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) "
-        "AS DOUBLE) AS revenue "
+        "CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount))*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 "
+        "AS revenue "
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "JOIN customer ON o_custkey = c_custkey "
         "WHERE c_mktsegment = 'BUILDING' "
@@ -1072,10 +1072,10 @@ ORACLES = {
         "SELECT l_returnflag, l_linestatus, "
         "round(sum(l_quantity), 2) AS sum_qty, "
         "round(sum(l_extendedprice), 2) AS sum_base_price, "
-        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(27,6))) "
-        "AS DOUBLE) AS sum_disc_price, "
-        "CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) "
-        "AS DECIMAL(27,6))) AS DOUBLE) AS sum_charge, "
+        "CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount))*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 "
+        "AS sum_disc_price, "
+        "CAST(SUM(CAST(round((l_extendedprice * (1 - l_discount) * (1 + l_tax))*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 "
+        "AS sum_charge, "
         "round(avg(l_quantity), 4) AS avg_qty, "
         "round(avg(l_extendedprice), 4) AS avg_price, "
         "round(avg(l_discount), 4) AS avg_disc, "

@@ -919,7 +919,7 @@ ORACLES = {
         "FROM lineitem WHERE l_orderkey <= 2000) "
         "SELECT promo_prio, count(*) AS n_shipments, "
         "count(DISTINCT promo_id) AS n_promos, "
-        "CAST(SUM(CAST(l_extendedprice AS DECIMAL(27,6))) AS DOUBLE) AS sum_price "
+        "CAST(SUM(CAST(round((l_extendedprice)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_price "
         "FROM points p JOIN promos i "
         "ON p.ship_ts >= i.start_ts AND p.ship_ts < i.end_ts "
         "GROUP BY promo_prio"
@@ -937,7 +937,7 @@ ORACLES = {
     "xrollup_time": (
         "SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type, "
         "count(*) AS n_events, "
-        "CAST(SUM(CAST(value AS DECIMAL(27,6))) AS DOUBLE) AS sum_value, "
+        "CAST(SUM(CAST(round((value)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value, "
         "count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY 1, 2"
     ),
