@@ -65,6 +65,7 @@ _PRIORITY = [
     "xrange_join",
     "xsalted_agg",
     "xprofile",
+    "xskyline",
     "xsessionize",
     "xpivot",
     "xasof_join",

@@ -408,6 +408,28 @@ def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto front) of orders: cheapest-and-most-recent —
+    two-phase local-skyline + merge over mapInPandas
+    (``operators/skyline.py``); oracle is the NOT EXISTS dominance
+    definition."""
+    from kamu_engine_datafusion_spark.operators.skyline import skyline
+
+    t = load(spark, sf_dir, "orders")
+    sub = t["orders"].filter(F.col("o_orderkey") < 5000).select(
+        "o_orderkey",
+        "o_totalprice",
+        # o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the
+        # cast is value-identical
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+            "orderdate_us"
+        ),
+    )
+    return skyline(
+        sub, ["o_totalprice", "orderdate_us"], maximize=["orderdate_us"]
+    )
+
+
 def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan numeric profiling of lineitem (the ANALYZE-equivalent:
     rows/nulls/exact distinct/min/max per column in long format)."""
@@ -581,6 +603,7 @@ QUERIES = {
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
     "xprofile": q_xprofile,
+    "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
     "xsessionize": q_xsessionize,
@@ -862,6 +885,17 @@ ORACLES = {
     ),
     "xdedup_incremental": _incremental_dedup_oracle(),
     "xsim_srp_lsh": _srp_lsh_oracle(),
+    "xskyline": (
+        "WITH o AS (SELECT o_orderkey, o_totalprice, "
+        "epoch_us(o_orderdate) AS orderdate_us FROM orders "
+        "WHERE o_orderkey < 5000) "
+        "SELECT o_orderkey, o_totalprice, orderdate_us FROM o a "
+        "WHERE NOT EXISTS (SELECT 1 FROM o b "
+        "WHERE b.o_totalprice <= a.o_totalprice "
+        "AND b.orderdate_us >= a.orderdate_us "
+        "AND (b.o_totalprice < a.o_totalprice "
+        "OR b.orderdate_us > a.orderdate_us))"
+    ),
     "xprofile": (
         "SELECT col AS \"column\", count(*) AS n_rows, "
         "sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
