@@ -77,6 +77,7 @@ _PRIORITY = [
     "a14_system_columns",  # integer-ms system_time fix
     "b03_information_schema",  # broadened catalog introspection
     "b04_parquet_sink",  # writer-version pin in the single-file sink
+    "b06_filter",  # dsum integer-microunit reformulation
     # -- re-verify: headline bench queries --
     "b16_groupby_agg",
     "b10_tpch_q5alike",
