@@ -83,3 +83,29 @@ def test_recompaction_names_do_not_collide(spark, tmp_path):
     assert len(files) == 1
     after = pq.read_table(files).sort_by("offset")
     assert after.equals(before.select(after.schema.names).cast(after.schema))
+
+
+def test_ingest_after_compaction_continues_offsets(spark, tmp_path):
+    """Compaction must be transparent to subsequent ingests: next offset
+    comes from footer row counts (not file names), and the record stream
+    stays dense across the rename."""
+    from datetime import datetime
+
+    from kamu_engine_datafusion_spark.sources.ingest import ingest_batch
+
+    ledger = tmp_path / "ledger"
+    ledger.mkdir()
+    for i in range(4):
+        _write_part(str(ledger / f"part-{i:05d}.parquet"), i * 50, 50)
+
+    assert compact_ledger(spark, str(ledger), target_rows_per_file=100) == 2
+
+    batch = spark.createDataFrame(
+        [(datetime(2023, 2, 1), 42)], "event_time timestamp, v long"
+    )
+    n = ingest_batch(spark, batch, str(ledger), datetime(2023, 2, 2, tzinfo=UTC))
+    assert n == 1
+    files = sorted(glob.glob(str(ledger / "*.parquet")))
+    allrows = pq.read_table(files).sort_by("offset")
+    offsets = allrows["offset"].to_pylist()
+    assert offsets == list(range(201))  # 200 compacted + 1 appended
