@@ -998,8 +998,14 @@ ORACLES = {
         "FROM events WHERE user_id < 100 GROUP BY user_id"
     ),
     "xdedup_exact": (
-        "SELECT lang, count(DISTINCT trim(regexp_replace(lower(text), "
-        "'\\s+', ' ', 'g'))) AS n_docs FROM documents GROUP BY lang"
+        # global dedup (the operator is corpus-wide): survivors are the
+        # lowest-id row per normalized text, counted by the SURVIVOR's
+        # lang — a per-lang DISTINCT would double-count texts duplicated
+        # across languages (first diverges at sf0.1)
+        "SELECT lang, count(*) AS n_docs FROM ("
+        "SELECT lang, row_number() OVER (PARTITION BY "
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+        "ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1 GROUP BY lang"
     ),
     "xdedup_ngram_jaccard": (
         "WITH toks AS (SELECT doc_id, lang, "
