@@ -1,0 +1,103 @@
+"""Scale-stress harness: build a ~10× replica of the sf0.1 documents/
+embeddings tables (worst-case dedup corpus: every row has 9 exact
+copies) and time the dedup/ANN family on it.
+
+Usage:
+    python tools/stress.py [--build-only] [--data-dir /tmp/sfbig]
+
+Results feed SCALE.md's stress table. Each op runs twice and reports
+the better time (first run pays codegen); the cache is cleared between
+runs so persisted intermediates don't leak across measurements.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build(data_dir: str, base_sf_dir: str = "/root/testdata/sf0.1") -> None:
+    import duckdb
+
+    os.makedirs(data_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT doc_id + 100000*r AS doc_id, text, lang, source, n_chars
+          FROM '{base_sf_dir}/documents.parquet', range(0, 10) t(r)
+        ) TO '{data_dir}/documents.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + 100000*r AS vec_id, embedding, label
+          FROM '{base_sf_dir}/embeddings.parquet', range(0, 10) t(r)
+        ) TO '{data_dir}/embeddings.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
+        """
+    )
+    print(f"built {data_dir} (10x {base_sf_dir})")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data-dir", default="/tmp/sfbig")
+    ap.add_argument("--build-only", action="store_true")
+    args = ap.parse_args()
+
+    if not os.path.exists(f"{args.data_dir}/documents.parquet"):
+        build(args.data_dir)
+    if args.build_only:
+        return
+
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators import dedup as D
+    from kamu_engine_datafusion_spark.operators import similarity as S
+    from kamu_engine_datafusion_spark.queries._util import load
+    from kamu_engine_datafusion_spark.session import odf_session
+
+    spark = odf_session("stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load(spark, args.data_dir, "documents")["documents"]
+    emb = load(spark, args.data_dir, "embeddings")["embeddings"]
+
+    def t(name, fn, reps=2):
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            n = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+            spark.catalog.clearCache()
+        print(f"{name}: {best:.2f}s rows={n}", flush=True)
+
+    t("exact_dedup", lambda: D.exact_dedup(docs).count())
+    t("minhash_lsh_dedup", lambda: D.minhash_lsh_dedup(docs, threshold=0.7).count())
+    t("simhash", lambda: D.simhash_near_dups(docs, max_hamming=3).count())
+    t("paragraph", lambda: D.paragraph_dedup(docs, sep=" the ").count())
+    t(
+        "embcos_srp",
+        lambda: D.embedding_near_dups(emb, threshold=0.4, dim=64).count(),
+    )
+    t(
+        "topk_brute",
+        lambda: S.topk_bruteforce(
+            emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64
+        ).count(),
+    )
+    t(
+        "srp_lsh",
+        lambda: S.srp_lsh_topk(
+            emb, emb.filter(F.col("vec_id") == 0), k=10, bits=8, dim=64
+        ).count(),
+    )
+
+
+if __name__ == "__main__":
+    main()
