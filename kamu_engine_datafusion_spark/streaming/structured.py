@@ -117,3 +117,43 @@ def run_to_memory(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def stream_to_ledger(
+    stream_df: DataFrame,
+    ledger_dir: str,
+    system_time_fn=None,
+    vocab=None,
+    checkpoint_dir: str | None = None,
+):
+    """Streaming → ODF ledger sink: every micro-batch runs the engine's
+    own ingest path (normalize → validate → system columns → single-file
+    append with continuing offsets), so a Structured Streaming source
+    feeds the same ledger a batch coordinator would.
+
+    ``system_time_fn(batch_id) -> datetime`` pins the per-batch
+    system_time (defaults to the wall clock, which is the production
+    behavior; tests pass a deterministic function). Returns the started
+    ``StreamingQuery``; callers own its lifecycle (``awaitTermination``
+    / ``stop``). Exactly-once note: the ledger append is idempotent per
+    batch only if the source replays whole batches (file sources do);
+    the checkpoint dir tracks progress across restarts.
+    """
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark.sources.ingest import ingest_batch
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        st = (
+            system_time_fn(batch_id)
+            if system_time_fn
+            else datetime.now(timezone.utc)
+        )
+        ingest_batch(batch_df.sparkSession, batch_df, ledger_dir, st, vocab=vocab)
+
+    writer = stream_df.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()

@@ -151,3 +151,61 @@ def test_structured_streaming_session_windows(spark, tmp_path):
     assert [r["n_events"] for r in rows] == [2, 1]
     # first session spans the two clustered events + gap extension
     assert rows[0]["session_start"].minute == 0
+
+
+def test_stream_to_ledger_appends_with_continuing_offsets(spark, tmp_path):
+    """Micro-batches arriving as files must land in the ledger through
+    the full ingest path with dense, continuing offsets."""
+    from datetime import datetime, timezone
+
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq_w
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        stream_to_ledger,
+    )
+
+    in_dir = tmp_path / "arrivals"
+    in_dir.mkdir()
+    utc = timezone.utc
+
+    def write_arrival(idx: int, cities: list[str]) -> None:
+        t0 = datetime(2023, 3, 1, tzinfo=utc)
+        tbl = pa.table(
+            {
+                "event_time": pa.array([t0] * len(cities), pa.timestamp("ms", "UTC")),
+                "city": pa.array(cities),
+            }
+        )
+        pq_w.write_table(tbl, str(in_dir / f"arrival-{idx:03d}.parquet"))
+
+    write_arrival(0, ["vancouver", "kyiv"])
+    schema = spark.read.parquet(str(in_dir)).schema
+    stream = ledger_stream(spark, str(in_dir), schema)
+
+    ledger_dir = str(tmp_path / "ledger")
+    st_fn = lambda bid: datetime(2023, 3, 2, tzinfo=utc)  # noqa: E731
+    q = stream_to_ledger(
+        stream, ledger_dir, system_time_fn=st_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    # second arrival: restart the stream from the checkpoint
+    write_arrival(1, ["lyon"])
+    stream2 = ledger_stream(spark, str(in_dir), schema)
+    q2 = stream_to_ledger(
+        stream2, ledger_dir, system_time_fn=st_fn,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination()
+
+    import pyarrow.parquet as pq_r
+
+    files = sorted(_glob.glob(ledger_dir + "/*.parquet"))
+    allrows = pq_r.read_table(files).sort_by("offset")
+    assert allrows["offset"].to_pylist() == [0, 1, 2]
+    assert sorted(allrows["city"].to_pylist()) == ["kyiv", "lyon", "vancouver"]
+    assert allrows.schema.names[:4] == ["offset", "op", "system_time", "event_time"]
