@@ -5,8 +5,9 @@ multimodal plumbing, as-of join.
 Oracle-checkable wherever DuckDB can express the same deterministic
 computation — including the full LSH pipelines via SQL-reproducible
 hashes (polynomial char folds for MinHash/SimHash, integer-LCG
-hyperplanes for SRP). Only engine-specific xxhash64 variants and the
-binary multimodal kernels are rows-only by design.
+hyperplanes for SRP, sha256-derived decode stubs for the multimodal
+kernels). Only the engine-specific xxhash64 dedup variants and the
+HLL/TDigest sketches are rows-only by design.
 """
 
 from __future__ import annotations
@@ -283,7 +284,11 @@ def q_xmm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xmm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Byte-histogram feature extraction over media binaries."""
+    """Byte-histogram feature extraction over media binaries. The
+    payloads are deterministic UTF-8 bytes, so the oracle re-derives
+    bin 6 (bytes 96-111 — where most lowercase text lands) by counting
+    hex pairs — the Python kernel's output is value-verified, not just
+    row-counted."""
     t = load(spark, sf_dir, "documents")
     media = M.synthesize_media(t["documents"].filter(F.col("doc_id") < 300), "doc_id", "text")
     feats = M.byte_histogram_features(media)
@@ -293,6 +298,7 @@ def q_xmm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.aggregate("feat", F.lit(0.0), lambda a, x: a + x), 4).alias(
             "feat_sum"
         ),
+        F.round(F.element_at("feat", 7), 6).alias("feat_bin6"),
     )
 
 
@@ -885,6 +891,38 @@ ORACLES = {
     ),
     "xdedup_incremental": _incremental_dedup_oracle(),
     "xsim_srp_lsh": _srp_lsh_oracle(),
+    "xmm_decode": (
+        # the decode stub derives (width, height) from the sha256 digest
+        # of the UTF-8 payload — reproducible in SQL, so the mapInPandas
+        # kernel's OUTPUT is hash-verified, not just row-counted
+        "SELECT doc_id AS media_id, 'image' AS kind, "
+        "CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+        "CAST(64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 192 "
+        "AS INT) AS width, "
+        "CAST(64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) % 192 "
+        "AS INT) AS height "
+        "FROM documents"
+    ),
+    "xmm_features": (
+        "WITH m AS (SELECT doc_id, encode(text) AS b, "
+        "octet_length(encode(text)) AS n FROM documents WHERE doc_id < 300) "
+        "SELECT doc_id AS media_id, CAST(16 AS BIGINT) AS n_bins, "
+        "CASE WHEN n > 0 THEN 1.0 ELSE 0.0 END AS feat_sum, "
+        "round(CASE WHEN n > 0 THEN "
+        "CAST(len(list_filter(list_transform(range(0, n), "
+        "i -> substr(hex(b), 2*i+1, 2)), p -> p >= '60' AND p < '70')) "
+        "AS DOUBLE) / n ELSE 0.0 END, 6) AS feat_bin6 "
+        "FROM m"
+    ),
+    "xmm_frames": (
+        "WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n "
+        "FROM documents WHERE doc_id < 300), "
+        "f AS (SELECT doc_id, n, greatest(CAST(floor(n / 4) AS INT), 1) "
+        "AS step, unnest(range(0, 4)) AS frame_no FROM m) "
+        "SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no, "
+        "CAST(least(step, greatest(n - frame_no * step, 0)) AS BIGINT) "
+        "AS frame_len FROM f"
+    ),
     "xskyline": (
         "WITH o AS (SELECT o_orderkey, o_totalprice, "
         "epoch_us(o_orderdate) AS orderdate_us FROM orders "

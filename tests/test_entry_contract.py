@@ -23,9 +23,6 @@ def test_queries_oracle_key_consistency():
         "b18_approx_agg",
         "xdedup_minhash",
         "xdedup_simhash",
-        "xmm_decode",
-        "xmm_features",
-        "xmm_frames",
     }
 
 
