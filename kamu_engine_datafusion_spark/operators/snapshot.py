@@ -58,6 +58,26 @@ def snapshot_of_ledger(
     return live.drop(*drop_cols)
 
 
+def snapshot_as_of(
+    ledger: DataFrame,
+    primary_key: str | list[str],
+    as_of_offset: int,
+    vocab: DatasetVocabulary | None = None,
+) -> DataFrame:
+    """Time travel: the dataset state as of ledger offset
+    ``as_of_offset`` (inclusive) — the reproducible-read primitive an
+    ODF consumer uses to pin an analysis to a ledger position.
+
+    Just a composition: offset-slice (a pushed-down scan predicate, so
+    row groups beyond the offset are pruned) then the snapshot
+    projection. Cost ∝ ledger up to the offset, not full history
+    replay: the projection is a single keyed shuffle.
+    """
+    vocab = vocab or DatasetVocabulary()
+    sliced = ledger.filter(F.col(vocab.offset_column) <= as_of_offset)
+    return snapshot_of_ledger(sliced, primary_key, vocab)
+
+
 def rollup_time_buckets(
     events: DataFrame,
     time_col: str,

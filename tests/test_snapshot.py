@@ -71,3 +71,29 @@ def test_rollup_time_buckets(spark):
     }
     assert out == {(10, "click"): (2, 3.0), (11, "click"): (1, 4.0),
                    (10, "view"): (1, 8.0)}
+
+
+def test_snapshot_as_of_time_travel(spark):
+    """State pinned at successive offsets must replay history exactly."""
+    from kamu_engine_datafusion_spark.operators.snapshot import snapshot_as_of
+
+    rows = [
+        (0, 0, T, T, "kyiv", 1),
+        (1, 0, T, T, "lyon", 5),
+        (2, 3, T, T, "kyiv", 2),   # correct-to
+        (3, 1, T, T, "lyon", 5),   # retract
+        (4, 0, T, T, "lyon", 9),   # re-append
+    ]
+    ledger = _ledger(spark, rows)
+
+    def state(off):
+        return {
+            r["city"]: r["population"]
+            for r in snapshot_as_of(ledger, "city", off).collect()
+        }
+
+    assert state(0) == {"kyiv": 1}
+    assert state(1) == {"kyiv": 1, "lyon": 5}
+    assert state(2) == {"kyiv": 2, "lyon": 5}
+    assert state(3) == {"kyiv": 2}          # lyon retracted
+    assert state(4) == {"kyiv": 2, "lyon": 9}
