@@ -38,10 +38,14 @@ def interval_join(
     interval with ``start <= point < end``. Returns the point columns
     plus the interval columns.
     """
-    w = F.lit(bucket_seconds).cast("long")
-    p_epoch = F.unix_timestamp(F.col(point_col)).cast("long")
-    s_epoch = F.unix_timestamp(F.col(start_col)).cast("long")
-    e_epoch = F.unix_timestamp(F.col(end_col)).cast("long")
+    # bucket on MICROSECONDS: unix_timestamp truncates to whole seconds,
+    # which with sub-second data would drop an interval's fractional tail
+    # from its final bucket (points there would silently miss). unix_micros
+    # preserves full timestamp precision.
+    w = F.lit(bucket_seconds * 1_000_000).cast("long")
+    p_epoch = F.unix_micros(F.col(point_col))
+    s_epoch = F.unix_micros(F.col(start_col))
+    e_epoch = F.unix_micros(F.col(end_col))
 
     binned_intervals = intervals.withColumn(
         "__bucket",
@@ -49,7 +53,8 @@ def interval_join(
             F.sequence(
                 F.floor(s_epoch / w),
                 # end is exclusive: an interval ending exactly on a bucket
-                # boundary does not reach into the next bucket
+                # boundary (to the microsecond) does not reach into the
+                # next bucket
                 F.floor((e_epoch - 1) / w),
             )
         ),

@@ -12,8 +12,8 @@ Spark SQL", EDBT 2023) is two-phase:
 2. **merge phase** — local skylines are tiny, so they coalesce to one
    partition and the same filter runs once more for the global answer.
 
-Cost: one full scan, no shuffle (a ``coalesce`` of a few hundred
-candidate rows), O(n·s) work per partition where ``s`` is the local
+Cost: one full scan plus a one-partition shuffle of a few hundred
+candidate rows, O(n·s) work per partition where ``s`` is the local
 skyline size — the dominance-heavy datasets that make s large are
 exactly the ones where a skyline is not a useful summary.
 """
@@ -82,4 +82,9 @@ def skyline(
         yield _local_skyline(pd.concat(pdfs, ignore_index=True), cols, sense)
 
     candidates = df.mapInPandas(local, df.schema)
-    return candidates.coalesce(1).mapInPandas(merge, df.schema)
+    # repartition (NOT coalesce): coalesce(1) is a narrow dependency, so
+    # Spark would fold the local phase into the same single task and the
+    # whole scan would run serially. The shuffle boundary keeps the local
+    # phase at the input's parallelism and moves only the tiny candidate
+    # set to the merge task.
+    return candidates.repartition(1).mapInPandas(merge, df.schema)

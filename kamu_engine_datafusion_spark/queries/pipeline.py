@@ -935,10 +935,14 @@ ORACLES = {
         "OR b.orderdate_us > a.orderdate_us))"
     ),
     "xprofile": (
+        # CAST sums/counts to BIGINT: DuckDB's sum() yields HUGEINT which
+        # hash-mismatches Spark's long (the r02 failure). min/max rounded
+        # to 9 dp on both sides per the suite determinism rules.
         "SELECT col AS \"column\", count(*) AS n_rows, "
-        "sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
-        "count(DISTINCT v) AS n_distinct, "
-        "min(v) AS min_val, max(v) AS max_val FROM ("
+        "CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_nulls, "
+        "CAST(count(DISTINCT v) AS BIGINT) AS n_distinct, "
+        "round(min(v), 9) AS min_val, round(max(v), 9) AS max_val FROM ("
         "SELECT 'l_orderkey' AS col, CAST(l_orderkey AS DOUBLE) AS v FROM lineitem "
         "UNION ALL SELECT 'l_quantity', CAST(l_quantity AS DOUBLE) FROM lineitem "
         "UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem "
