@@ -41,13 +41,20 @@ def interval_join(
     # bucket on MICROSECONDS: unix_timestamp truncates to whole seconds,
     # which with sub-second data would drop an interval's fractional tail
     # from its final bucket (points there would silently miss). unix_micros
-    # preserves full timestamp precision.
+    # preserves full timestamp precision — but it requires TIMESTAMP, and
+    # parquet-loaded columns often resolve as TIMESTAMP_NTZ; with the
+    # session TZ pinned to UTC the NTZ→TZ cast is value-identical.
     w = F.lit(bucket_seconds * 1_000_000).cast("long")
-    p_epoch = F.unix_micros(F.col(point_col))
-    s_epoch = F.unix_micros(F.col(start_col))
-    e_epoch = F.unix_micros(F.col(end_col))
+    p_epoch = F.unix_micros(F.col(point_col).cast("timestamp"))
+    s_epoch = F.unix_micros(F.col(start_col).cast("timestamp"))
+    e_epoch = F.unix_micros(F.col(end_col).cast("timestamp"))
 
-    binned_intervals = intervals.withColumn(
+    binned_intervals = intervals.filter(
+        # empty/inverted intervals contain no point; dropping them up
+        # front also stops sequence() from generating a DESCENDING run
+        # of useless buckets when end <= start
+        F.col(end_col) > F.col(start_col)
+    ).withColumn(
         "__bucket",
         F.explode(
             F.sequence(

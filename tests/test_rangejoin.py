@@ -45,6 +45,44 @@ def test_interval_join_plans_equi_join(spark):
     assert "NestedLoop" not in plan, plan
 
 
+def test_interval_join_timestamp_ntz_parquet(spark, tmp_path):
+    """Parquet-loaded timestamps resolve as TIMESTAMP_NTZ (this is what
+    the driver's testdata produces); the operator must accept them.
+    Round-trips through parquet so the columns really are NTZ, the class
+    of input the in-memory tz-aware fixtures cannot reproduce."""
+    points, intervals = _dfs(spark)
+    p_path, i_path = str(tmp_path / "p"), str(tmp_path / "i")
+    points.withColumn("ts", points["ts"].cast("timestamp_ntz")).write.parquet(p_path)
+    intervals.withColumn(
+        "start_ts", intervals["start_ts"].cast("timestamp_ntz")
+    ).withColumn(
+        "end_ts", intervals["end_ts"].cast("timestamp_ntz")
+    ).write.parquet(i_path)
+    p = spark.read.parquet(p_path)
+    i = spark.read.parquet(i_path)
+    assert dict(p.dtypes)["ts"] == "timestamp_ntz"
+    assert dict(i.dtypes)["start_ts"] == "timestamp_ntz"
+    out = interval_join(p, "ts", i, "start_ts", "end_ts")
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (3, 11), (5, 11)]
+
+
+def test_interval_join_inverted_interval_dropped(spark):
+    """end <= start intervals contain no point and must not explode into
+    a descending bucket sequence."""
+    points, intervals = _dfs(spark)
+    bad = spark.createDataFrame(
+        [
+            (90, datetime(2024, 2, 1), datetime(2024, 1, 1)),  # inverted
+            (91, datetime(2024, 1, 5), datetime(2024, 1, 5)),  # empty
+        ],
+        "iid long, start_ts timestamp, end_ts timestamp",
+    )
+    out = interval_join(points, "ts", intervals.union(bad), "start_ts", "end_ts")
+    got = sorted((r["pid"], r["iid"]) for r in out.collect())
+    assert got == [(1, 10), (2, 10), (3, 11), (5, 11)]
+
+
 def test_interval_join_pre_epoch_timestamps(spark):
     """Bucket ids are floor-divided epoch seconds; negative epochs
     (pre-1970) must bucket consistently on both sides of the join."""
