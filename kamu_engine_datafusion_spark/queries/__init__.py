@@ -26,27 +26,77 @@ from kamu_engine_datafusion_spark.queries.layer_b import q_b16_groupby_agg
 __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 
 # Registration order is verification-priority order: the driver's
-# CORRECTNESS gate checks registry entries front-to-back, so the keys
-# with no driver-verified row yet (round-1 window ended at
-# ``b37_datetime``) register first — the full x* LLM-pipeline surface
-# plus b38..b41 — followed by the queries whose implementation changed
-# this round (they need re-verification), then the stable remainder.
+# CORRECTNESS gate checks registry entries front-to-back (first ~50), so
+# the window must rotate each round: (1) keys whose implementation
+# changed this round, then (2) the keys whose last driver-green is the
+# oldest (rounds 1-3 verified the same leading 50 twice; the trailing 39
+# had only their r01 row until now), then the recently-verified
+# remainder. Every key's latest driver-green should be at most one
+# round old after each rotation.
 _PRIORITY = [
-    # -- no driver CORRECTNESS row yet (round 1 cut off at 50 entries) --
+    # -- changed in round 4: must re-verify --
+    "xrange_join",  # NTZ cast fix (r3 regression) + inverted-interval guard
+    "xdedup_minhash_sql",  # unpersist of banded set
+    "xdedup_minhash",  # unpersist (rows-only twin)
+    "xdedup_incremental",  # unpersist of index join legs
+    "xdedup_cluster",  # large-star/small-star connected components
+    "xmm_decode",  # codec-availability dispatch seam
+    "xprofile",  # rounding moved to query layer
+    "b06_filter",  # dsum headroom (decimal accumulate)
+    "b16_groupby_agg",  # dsum headroom
+    "b26_tpch_q3alike",  # dsum headroom
+    "b10_tpch_q5alike",  # dsum headroom
+    # -- stale: last driver-green was round 1 --
+    "b01_parquet_scan",
+    "b02_view_scan",
+    "a03_empty_input",
+    "a04_offset_slice",
+    "a06_multi_step",
+    "a08_normalize_ts",
+    "b05_projection",
+    "b07_cast",
+    "b08_literals",
+    "b09_case_predicates",
+    "b10_join_inner",
+    "b10_join_shuffle",
+    "b11_join_left",
+    "b11_join_full",
+    "b12_semi_anti",
+    "b13_cross_join",
+    "b14_theta_join",
+    "b18_approx_agg",
+    "b19_stats_agg",
+    "b19_percentile",
+    "b20_rollup",
+    "b20_grouping_sets",
+    "b21_collect_agg",
+    "b22_distinct",
+    "b23_topk_per_group",
+    "b24_analytic",
+    "b25_window_frames",
+    "b26_orderby",
+    "b27_limit_offset",
+    "b28_union_all",
+    "b29_setops",
+    "b31_string_core",
+    "b32_unicode_string",
+    "b33_regex",
+    "b34_crypto",
+    "b35_encoding",
+    "b36_math",
+    "b37_datetime",
+    "b39_explode",
+    # ---- window boundary (~50): below here, verified green in r03 ----
     "b41_json",
     "b38_conditional",
     "b39_array",
     "b40_struct_map",
     "xdedup_exact",
-    "xdedup_minhash",
-    "xdedup_minhash_sql",
     "xdedup_simhash",
     "xdedup_simhash_sql",
     "xdedup_ngram_jaccard",
-    "xdedup_cluster",
     "xdedup_paragraph",
     "xdedup_embcos",
-    "xdedup_incremental",
     "xsim_topk_brute",
     "xsim_srp_lsh",
     "xsim_ivf",
@@ -62,41 +112,20 @@ _PRIORITY = [
     "xsample",
     "xsnapshot",
     "xrollup_time",
-    "xrange_join",
     "xsalted_agg",
-    "xprofile",
     "xskyline",
     "xsessionize",
     "xpivot",
     "xasof_join",
-    "xmm_decode",
     "xmm_features",
     "xmm_frames",
-    # -- re-verify: code paths touched in round 2 --
-    "a13_offsets_distributed",  # offset-base broadcast-join rework
-    "a14_system_columns",  # integer-ms system_time fix
-    "b03_information_schema",  # broadened catalog introspection
-    "b04_parquet_sink",  # writer-version pin in the single-file sink
-    "b06_filter",  # dsum integer-microunit reformulation
-    # -- re-verify: headline bench queries --
-    "b16_groupby_agg",
-    "b10_tpch_q5alike",
-    "b26_tpch_q3alike",
+    "a13_offsets_distributed",
+    "a14_system_columns",
+    "b03_information_schema",
+    "b04_parquet_sink",
     "b17_count_distinct",
     "b23_ranking",
     "b30_subqueries",
-    "b33_regex",
-    "b34_crypto",
-    # -- re-verify: remaining Layer-A + core I/O --
-    "a03_empty_input",
-    "a04_offset_slice",
-    "a06_multi_step",
-    "a08_normalize_ts",
-    "b01_parquet_scan",
-    "b04_parquet_sink",
-    "b24_analytic",
-    "b37_datetime",
-    "b39_explode",
 ]
 
 
