@@ -49,10 +49,15 @@ def dsum(col: F.Column, alias: str) -> F.Column:
     ``round()`` half-way behavior differs between engines — but the
     underlying values here are exact ≤6-decimal quantities (or IEEE
     products of such, identical on any engine), so ``round(x*1e6)``
-    recovers the exact micro-unit integer on both sides, longs sum
-    associatively in whole-stage codegen (measured ~1.9× faster than
-    the DECIMAL(27,6) formulation this replaces), and the final
-    long→double division is identical. Oracle-side equivalent:
+    recovers the exact micro-unit integer on both sides, and the final
+    cast-to-double division is identical. The per-row value is a LONG
+    (cheap exact extraction); the ACCUMULATOR is DECIMAL(20,0) — Spark
+    sums it as DECIMAL(30,0), so group totals keep exact integer
+    semantics up to 1e30 micro-units where a raw long sum would wrap
+    silently past ~9.2e18 (≈9.2e12 currency units per group — reachable
+    at large scale factors). DuckDB's BIGINT SUM already accumulates in
+    HUGEINT, so the oracle needs no decimal cast. Oracle-side equivalent:
     ``CAST(SUM(CAST(round((x)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0``.
     """
-    return (F.sum(F.round(col * 1e6).cast("long")) / F.lit(1e6)).alias(alias)
+    micro = F.round(col * 1e6).cast("long").cast("decimal(20,0)")
+    return (F.sum(micro).cast("double") / F.lit(1e6)).alias(alias)
