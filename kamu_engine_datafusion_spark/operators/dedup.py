@@ -13,6 +13,21 @@ no O(n²) candidate generation):
 
 All are pure DataFrame compositions (JVM-side column math from
 ``functions.columns``); nothing collects to the driver.
+
+Caching discipline: the LSH operators ``persist()`` small
+multi-consumer intermediates (banded signature sets, duplicate-id
+sets). Intermediates a call's own outputs no longer need are
+unpersisted before returning; the rest (an output's direct inputs) are
+parked on a deferred-release ledger and unpersisted at the NEXT dedup
+call — so a long-lived session looping over increments holds at most
+one tick's intermediates and never needs ``clearCache()``. Call
+:func:`release_intermediates` after the last call of a session.
+Releasing early is always safe: an unpersisted intermediate recomputes
+from lineage (slower, never wrong). ``persist`` rather than
+``localCheckpoint`` because ``DataFrame.unpersist`` releases only
+cacheManager entries — checkpoint RDD blocks would stay pinned, and
+GC-driven ContextCleaner reclamation is measured-unreliable for
+py4j-held objects.
 """
 
 from __future__ import annotations
@@ -35,6 +50,31 @@ from kamu_engine_datafusion_spark.functions.columns import (
     tokens,
     word_shingles,
 )
+
+
+# Materialized intermediates that a returned (lazy) DataFrame still
+# reads from: they cannot be unpersisted inside the call that made them,
+# so they are released at the next dedup call / release_intermediates().
+_DEFERRED: list[DataFrame] = []
+
+
+def _release_deferred(blocking: bool = False) -> None:
+    while _DEFERRED:
+        df = _DEFERRED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass  # session of a previous test/tick may already be stopped
+
+
+def release_intermediates(blocking: bool = False) -> None:
+    """Unpersist the previous dedup call's materialized intermediates.
+
+    Called automatically at the start of every LSH dedup entry point;
+    call it manually after the LAST call of a session (once its outputs
+    are consumed) to drop the final residue.
+    """
+    _release_deferred(blocking=blocking)
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -154,6 +194,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "antijoin",
+    _cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
@@ -167,6 +208,8 @@ def minhash_lsh_candidates(
     quadratic — the standard production guard; run :func:`exact_dedup`
     first so identical texts don't form such buckets.
     """
+    if _cleanup is None:  # standalone call: this IS the entry point
+        _release_deferred()
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
         df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
@@ -189,11 +232,18 @@ def minhash_lsh_candidates(
             F.concat_ws(":", F.col("__bandpos"), F.col("__bandkey")).alias("__band"),
         )
     # The banded set feeds the bucket-cap count AND both legs of the pair
-    # self-join; without a persist the whole signature pipeline (tokenize →
-    # shingle-hash → 32 MIN aggregates) recomputes for each consumer. The
-    # set is tiny relative to the corpus — (id, band) pairs, num_bands rows
-    # per doc — so materializing it is the cheap side of the trade.
+    # self-join; without materialization the whole signature pipeline
+    # (tokenize → shingle-hash → 32 MIN aggregates) recomputes for each
+    # consumer. The set is tiny relative to the corpus — (id, band) pairs,
+    # num_bands rows per doc — so materializing it is the cheap side of
+    # the trade.
     banded = banded.persist()
+    if _cleanup is not None:
+        _cleanup.append(banded)
+    else:
+        # the returned pair set still reads banded's cache lazily;
+        # park it for release at the next call
+        _DEFERRED.append(banded)
     if max_bucket_size:
         banded = _cap_buckets(banded, "__band", max_bucket_size, bucket_cap_mode)
     a = banded.alias("a")
@@ -279,10 +329,18 @@ def minhash_lsh_dedup(
     (Connected-component clustering is deliberately NOT done — chasing
     transitive chains needs iterative joins; the lower-id-wins rule is
     the standard single-pass policy and matches what exact_dedup does.)
+
+    Caching discipline: the banded set and candidate pairs are
+    unpersisted before return (the duplicate-id set is materialized, so
+    their blocks are dead weight by then); the duplicate-id set itself —
+    which the returned anti-join still reads — is released at the next
+    dedup call (see module docstring).
     """
+    _release_deferred()
     # candidates are tiny but their lineage is the whole signature+LSH
     # pipeline; verification references them 4x (two id legs, two joins)
-    # so persist to compute that pipeline once
+    # so materialize to compute that pipeline once
+    handles: list[DataFrame] = []
     cand = minhash_lsh_candidates(
         df,
         text_col,
@@ -293,6 +351,7 @@ def minhash_lsh_dedup(
         max_bucket_size,
         base_hash,
         bucket_cap_mode,
+        _cleanup=handles,
     ).persist()
     dups = (
         verified_jaccard(
@@ -306,7 +365,15 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
+        .persist()
     )
+    # dups is the terminal small set the anti-join needs; materialize it
+    # now so the banded set and candidate pairs become dead weight and
+    # can be released immediately rather than at the next call
+    dups.count()
+    for h in (*handles, cand):
+        h.unpersist(blocking=True)
+    _DEFERRED.append(dups)
     return df.join(dups, id_col, "left_anti")
 
 
@@ -749,16 +816,21 @@ def dedup_increment_against_index(
     stored partitioned by band, only matching index partitions are read.
     The increment's internal dedup reuses the same signatures.
 
-    The increment's signature/band sets are ``persist()``-ed (each feeds
-    several consumers); a long-lived session processing many increments
-    should ``spark.catalog.clearCache()`` between ticks or the
-    accumulated cache churn degrades later runs (measured: 18s → 40s+
-    by the second uncleared call at 45k indexed docs).
+    Caching discipline: the banded increment and the dead-id set (the
+    two multi-consumer intermediates the returned DataFrames still read)
+    are persisted and parked for release at the NEXT call — a loop
+    processing many increments holds one tick's worth of blocks, flat
+    over time, no ``clearCache()`` (the leak formulation this replaces
+    measured 18s → 40s+ by the second uncleared call at 45k indexed
+    docs). :func:`release_intermediates` drops the last tick's residue.
     """
+    _release_deferred()
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
         new_docs, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
-    ).persist()
+    )
+    # single materialization point: carries __sig, feeds the cap count,
+    # both self-join legs, the index join, and new_index_rows
     banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash).persist()
     capped = (
         _cap_buckets(banded, "__band", max_bucket_size)
@@ -810,7 +882,10 @@ def dedup_increment_against_index(
         .distinct()
     )
 
-    dead = vs_index.unionByName(within).distinct()
+    # dead feeds both survivors and new_index_rows; persist the small id
+    # set so the LSH joins replay once, not per consumer
+    dead = vs_index.unionByName(within).distinct().persist()
+    _DEFERRED.extend((banded, dead))
     survivors = new_docs.join(
         dead.withColumnRenamed("new_id", id_col), id_col, "left_anti"
     )
