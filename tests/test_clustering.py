@@ -46,18 +46,65 @@ def test_dedup_by_components_end_to_end(spark):
 
 
 def test_non_convergence_warns_and_strict_raises(spark):
-    """A chain longer than max_iterations must not silently return split
-    components."""
+    """An unconverged run must not silently return split components."""
     import pytest
 
-    n = 8  # path graph 0-1-2-...-8: diameter 8 > max_iterations=2
+    n = 500  # a 500-edge path cannot be fully contracted in one round
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n)], "id_a long, id_b long"
     )
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(edges, max_iterations=2)
+        connected_components(edges, max_iterations=1)
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iterations=2, strict=True)
-    # and with enough rounds it converges to a single component, no warning
-    comps = connected_components(edges, max_iterations=12)
-    assert {r["component"] for r in comps.collect()} == {0}
+        connected_components(edges, max_iterations=1, strict=True)
+
+
+def test_long_path_converges_in_log_rounds(spark):
+    """Large/small-star contracts a 500-node path (diameter 500) within
+    ~log rounds — min-label propagation would need 500. max_iterations=10
+    doubles as the round-count assertion: exceeding it warns, and warnings
+    are errors here."""
+    import warnings
+
+    n = 500
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        comps = connected_components(edges, max_iterations=10)
+        got = {r["node"]: r["component"] for r in comps.collect()}
+    assert got == {i: 0 for i in range(n + 1)}
+
+
+def test_star_vs_bruteforce_random_graphs(spark):
+    """Property check: on random sparse graphs the star algorithm must
+    match a driver-side union-find ground truth."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n, m = 60, 45
+        es = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        es = [(a, b) for a, b in es if a != b]
+        # union-find ground truth
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in es:
+            parent[find(a)] = find(b)
+        want = {}
+        for a, b in es:
+            for v in (a, b):
+                r = find(v)
+                want[v] = min(w for w in range(n) if find(w) == r)
+        comps = connected_components(
+            spark.createDataFrame(es, "id_a long, id_b long")
+        )
+        got = {r["node"]: r["component"] for r in comps.collect()}
+        assert got == want, f"trial {trial}"
