@@ -91,11 +91,17 @@ def ingest_batch(
     system_time: datetime,
     preprocess: list[SqlQueryStep] | None = None,
     vocab: DatasetVocabulary | None = None,
+    part_filename: str | None = None,
 ) -> int:
     """Append one ingest batch to a ledger: optional preprocessing SQL
     (source registered as ``input``), then the engine's own
     normalize → validate → system-columns → single-file append, with
     offsets continuing from the ledger's current tail.
+
+    ``part_filename`` overrides the auto-numbered part name — callers
+    that need idempotent replay (the streaming sink) pass a name derived
+    from their batch id so a crashed attempt can be identified and
+    rolled back.
 
     Returns the number of records appended.
     """
@@ -114,5 +120,7 @@ def ingest_batch(
     next_offset = _ledger_next_offset(ledger_dir)
     df = with_system_columns(df, vocab, system_time, next_offset)
     n_existing = len(glob.glob(os.path.join(ledger_dir, "*.parquet")))
-    out = os.path.join(ledger_dir, f"part-{n_existing:05d}.parquet")
+    out = os.path.join(
+        ledger_dir, part_filename or f"part-{n_existing:05d}.parquet"
+    )
     return write_parquet_single_file(df, out)

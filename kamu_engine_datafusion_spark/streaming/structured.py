@@ -119,6 +119,81 @@ def run_to_memory(
     return spark.table(name)
 
 
+def make_ledger_sink(ledger_dir: str, system_time_fn=None, vocab=None):
+    """Build the exactly-once ``foreachBatch`` ledger sink.
+
+    Spark's checkpoint gives at-least-once for ``foreachBatch``: after a
+    crash between the parquet append and the checkpoint commit, the
+    whole batch replays under the SAME batch id. The sink makes the
+    append idempotent with a two-marker protocol in
+    ``<ledger_dir>/_stream_commits/`` (underscore prefix — Spark readers
+    treat it as metadata and ignore it):
+
+    1. ``<id>.json`` commit marker present → the batch is fully in the
+       ledger; skip the replay.
+    2. ``<id>.intent`` present without a commit marker → a previous
+       attempt crashed mid-append; delete its (uncommitted) part file.
+    3. Write the intent marker naming the part file, append via
+       :func:`~kamu_engine_datafusion_spark.sources.ingest.ingest_batch`
+       with that exact filename, then atomically write the commit
+       marker.
+
+    Any crash point replays to the same final ledger: dense
+    exactly-once offsets, no duplicated or lost batches.
+    """
+    import json
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark.sources.ingest import ingest_batch
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        import glob
+        import os
+
+        if batch_df.isEmpty():
+            return
+        commits = os.path.join(ledger_dir, "_stream_commits")
+        os.makedirs(commits, exist_ok=True)
+        commit_marker = os.path.join(commits, f"{batch_id}.json")
+        if os.path.exists(commit_marker):
+            return  # replay of a fully-committed batch
+        intent_marker = os.path.join(commits, f"{batch_id}.intent")
+        if os.path.exists(intent_marker):
+            with open(intent_marker) as f:
+                prior_part = json.load(f)["part"]
+            if os.path.exists(prior_part):
+                os.remove(prior_part)  # roll back the uncommitted append
+        n_existing = len(glob.glob(os.path.join(ledger_dir, "*.parquet")))
+        part = os.path.join(
+            ledger_dir, f"part-{n_existing:05d}-b{batch_id:06d}.parquet"
+        )
+        tmp = intent_marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"part": part}, f)
+        os.replace(tmp, intent_marker)
+
+        st = (
+            system_time_fn(batch_id)
+            if system_time_fn
+            else datetime.now(timezone.utc)
+        )
+        n = ingest_batch(
+            batch_df.sparkSession,
+            batch_df,
+            ledger_dir,
+            st,
+            vocab=vocab,
+            part_filename=os.path.basename(part),
+        )
+        tmp = commit_marker + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"part": part, "rows": n}, f)
+        os.replace(tmp, commit_marker)
+        os.remove(intent_marker)
+
+    return _sink
+
+
 def stream_to_ledger(
     stream_df: DataFrame,
     ledger_dir: str,
@@ -135,25 +210,14 @@ def stream_to_ledger(
     system_time (defaults to the wall clock, which is the production
     behavior; tests pass a deterministic function). Returns the started
     ``StreamingQuery``; callers own its lifecycle (``awaitTermination``
-    / ``stop``). Exactly-once note: the ledger append is idempotent per
-    batch only if the source replays whole batches (file sources do);
-    the checkpoint dir tracks progress across restarts.
+    / ``stop``). Exactly-once: replayed batch ids are detected and
+    skipped, and a crashed half-appended batch is rolled back before
+    re-ingest (see :func:`make_ledger_sink`) — the ledger's dense-offset
+    contract survives crash/restart at any point.
     """
-    from datetime import datetime, timezone
-
-    from kamu_engine_datafusion_spark.sources.ingest import ingest_batch
-
-    def _sink(batch_df: DataFrame, batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        st = (
-            system_time_fn(batch_id)
-            if system_time_fn
-            else datetime.now(timezone.utc)
-        )
-        ingest_batch(batch_df.sparkSession, batch_df, ledger_dir, st, vocab=vocab)
-
-    writer = stream_df.writeStream.foreachBatch(_sink).trigger(availableNow=True)
+    writer = stream_df.writeStream.foreachBatch(
+        make_ledger_sink(ledger_dir, system_time_fn, vocab)
+    ).trigger(availableNow=True)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()

@@ -209,3 +209,70 @@ def test_stream_to_ledger_appends_with_continuing_offsets(spark, tmp_path):
     assert allrows["offset"].to_pylist() == [0, 1, 2]
     assert sorted(allrows["city"].to_pylist()) == ["kyiv", "lyon", "vancouver"]
     assert allrows.schema.names[:4] == ["offset", "op", "system_time", "event_time"]
+
+
+def test_ledger_sink_exactly_once_on_crash_replay(spark, tmp_path):
+    """foreachBatch is at-least-once: a crash between the parquet append
+    and the checkpoint commit replays the batch under the same id. The
+    sink must converge to exactly-once at every crash point."""
+    import glob as _glob
+    import json
+    import os
+    from datetime import datetime, timezone
+
+    import pyarrow.parquet as pq_r
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        make_ledger_sink,
+    )
+
+    ledger_dir = str(tmp_path / "ledger")
+    st_fn = lambda bid: datetime(2023, 3, 2, tzinfo=timezone.utc)  # noqa: E731
+    sink = make_ledger_sink(ledger_dir, system_time_fn=st_fn)
+
+    def batch(cities):
+        return spark.createDataFrame(
+            [(datetime(2023, 3, 1, tzinfo=timezone.utc), c) for c in cities],
+            "event_time timestamp, city string",
+        )
+
+    def ledger_offsets():
+        files = sorted(_glob.glob(ledger_dir + "/*.parquet"))
+        return pq_r.read_table(files)["offset"].to_pylist() if files else []
+
+    # batch 0 commits normally; replaying it (checkpoint lost AFTER
+    # commit) must be a no-op
+    sink(batch(["vancouver", "kyiv"]), 0)
+    assert sorted(ledger_offsets()) == [0, 1]
+    sink(batch(["vancouver", "kyiv"]), 0)
+    assert sorted(ledger_offsets()) == [0, 1]
+
+    # batch 1 "crashes" after the parquet append but before the commit
+    # marker: simulate by running the real sink, then deleting its
+    # commit marker (intent must survive, as it would in a crash)
+    sink(batch(["lyon"]), 1)
+    commits = os.path.join(ledger_dir, "_stream_commits")
+    commit_marker = os.path.join(commits, "1.json")
+    with open(commit_marker) as f:
+        part_written = json.load(f)["part"]
+    os.remove(commit_marker)
+    with open(os.path.join(commits, "1.intent"), "w") as f:
+        json.dump({"part": part_written}, f)
+    assert sorted(ledger_offsets()) == [0, 1, 2]  # orphan rows present
+
+    # the replay must roll the orphan back and land exactly once
+    sink(batch(["lyon"]), 1)
+    assert sorted(ledger_offsets()) == [0, 1, 2]
+
+    # batch 2 "crashes" after writing the intent but before the append:
+    # replay must simply ingest (nothing to roll back)
+    intent = os.path.join(commits, "2.intent")
+    with open(intent, "w") as f:
+        json.dump({"part": os.path.join(ledger_dir, "nonexistent.parquet")}, f)
+    sink(batch(["osaka", "turin"]), 2)
+    assert sorted(ledger_offsets()) == [0, 1, 2, 3, 4]
+
+    # dense offsets, no duplicate cities anywhere
+    files = sorted(_glob.glob(ledger_dir + "/*.parquet"))
+    cities = pq_r.read_table(files)["city"].to_pylist()
+    assert sorted(cities) == ["kyiv", "lyon", "osaka", "turin", "vancouver"]
