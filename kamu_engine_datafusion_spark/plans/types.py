@@ -103,6 +103,9 @@ class TransformRequestInput:
     offset_interval: OffsetInterval | None = None
     vocab: DatasetVocabulary = field(default_factory=DatasetVocabulary)
     explicit_watermarks: list[Watermark] = field(default_factory=list)
+    #: Stable dataset identity (DID string). The reference carries it for
+    #: tracing only (``src/engine.rs:186``); held, not interpreted.
+    dataset_id: str | None = None
 
     def __post_init__(self) -> None:
         assert (len(self.data_paths) > 0) == (self.offset_interval is not None), (
@@ -124,6 +127,8 @@ class TransformRequest:
     new_data_path: str
     prev_checkpoint_path: str | None = None
     new_checkpoint_path: str | None = None
+    #: Stable dataset identity (DID string); reference tracing-only.
+    dataset_id: str | None = None
 
 
 @dataclass

@@ -44,16 +44,43 @@ def _steps(raw: list[dict]) -> list[SqlQueryStep]:
     return [SqlQueryStep(query=s["query"], alias=s.get("alias")) for s in raw]
 
 
+def _transform_steps(raw) -> list[SqlQueryStep]:
+    """Accept both wire shapes for ``transform``:
+
+    - the reference's ``Transform::Sql`` envelope
+      ``{engine, version, query, queries, temporal_tables}``
+      (``tests/tests/test_transform.rs:246-253``) — the reference engine
+      reads only ``queries`` (``src/engine.rs:139-140``, unwrap), with
+      the coordinator having normalized a bare ``query`` into a
+      single-step ``queries`` list; we accept either, like the DTO does;
+    - the legacy flat list of ``{query, alias}`` steps.
+    """
+    if isinstance(raw, dict):
+        queries = raw.get("queries")
+        if queries is None:
+            if raw.get("query") is None:
+                raise KeyError("transform.queries")
+            queries = [{"query": raw["query"], "alias": None}]
+        return _steps(queries)
+    return _steps(raw)
+
+
 def _vocab(raw: dict | None) -> DatasetVocabulary:
     return DatasetVocabulary(**raw) if raw else DatasetVocabulary()
 
 
 def parse_transform_request(body: dict) -> TransformRequest:
     inputs = []
-    for i in body["inputs"]:
+    # "query_inputs" is the reference field name
+    # (tests/tests/test_transform.rs:254); "inputs" kept as an alias
+    raw_inputs = body.get("query_inputs")
+    if raw_inputs is None:
+        raw_inputs = body["inputs"]
+    for i in raw_inputs:
         oi = i.get("offset_interval")
         inputs.append(
             TransformRequestInput(
+                dataset_id=i.get("dataset_id"),
                 dataset_alias=i["dataset_alias"],
                 query_alias=i["query_alias"],
                 schema_file=i["schema_file"],
@@ -67,13 +94,16 @@ def parse_transform_request(body: dict) -> TransformRequest:
             )
         )
     return TransformRequest(
+        dataset_id=body.get("dataset_id"),
         dataset_alias=body["dataset_alias"],
         system_time=_ts(body["system_time"]),
         next_offset=body["next_offset"],
         vocab=_vocab(body.get("vocab")),
-        transform=_steps(body["transform"]),
+        transform=_transform_steps(body["transform"]),
         inputs=inputs,
         new_data_path=body["new_data_path"],
+        prev_checkpoint_path=body.get("prev_checkpoint_path"),
+        new_checkpoint_path=body.get("new_checkpoint_path"),
     )
 
 
