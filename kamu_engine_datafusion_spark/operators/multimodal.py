@@ -37,7 +37,18 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
-HAVE_REAL_CODECS = False  # no PIL/ffmpeg in this container
+def _have_module(name: str) -> bool:
+    import importlib.util
+
+    return importlib.util.find_spec(name) is not None
+
+
+#: Codec availability, probed at import. The operators dispatch on these:
+#: real kernels when the library is present, deterministic stubs
+#: otherwise — the Spark-side plan (mapInPandas, schemas, batch shapes)
+#: is identical either way.
+HAVE_IMAGE_CODEC = _have_module("PIL")  # pillow
+HAVE_AUDIO_CODEC = _have_module("soundfile")
 
 
 def synthesize_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
@@ -56,11 +67,24 @@ def synthesize_media(df: DataFrame, id_col: str, payload_col: str) -> DataFrame:
 
 def _fake_decode_dims(content: bytes) -> tuple[int, int]:
     """Deterministic stand-in for image decode: derive (width, height)
-    from a content digest. Replace with PIL.Image.open when codecs exist."""
-    if HAVE_REAL_CODECS:  # pragma: no cover
-        raise NotImplementedError("real decode not wired in this container")
+    from a content digest — reproducible anywhere (including in the SQL
+    oracle, which re-derives the same sha256 arithmetic)."""
     d = hashlib.sha256(content or b"").digest()
     return 64 + d[0] % 192, 64 + d[1] % 192
+
+
+def _real_decode_dims(content: bytes) -> tuple[int | None, int | None]:
+    """PIL-backed decode. Corrupt/undecodable blobs yield (None, None) —
+    at corpus scale a bad image must taint its row, not kill the job."""
+    import io
+
+    from PIL import Image
+
+    try:
+        with Image.open(io.BytesIO(content)) as im:
+            return im.width, im.height
+    except Exception:
+        return None, None
 
 
 DECODED_SCHEMA = (
@@ -68,25 +92,39 @@ DECODED_SCHEMA = (
 )
 
 
-def decode_media(df: DataFrame) -> DataFrame:
+def decode_media(df: DataFrame, use_real_codecs: bool | None = None) -> DataFrame:
     """Decode kernel over ``mapInPandas``: binary → (width, height).
+
+    ``use_real_codecs``: ``None`` (default) auto-selects the PIL kernel
+    when pillow is importable, else the deterministic stub; ``True``
+    demands PIL (raises up front if absent — better than failing inside
+    executors); ``False`` pins the stub (the SQL-oracle queries pin this
+    so their sha256 re-derivation stays valid even where PIL exists).
 
     Real shape of a distributed decode: Arrow batches stream through a
     per-partition Python worker; output is a narrow typed frame.
     """
+    if use_real_codecs is None:
+        use_real_codecs = HAVE_IMAGE_CODEC
+    if use_real_codecs and not HAVE_IMAGE_CODEC:
+        raise RuntimeError(
+            "use_real_codecs=True but pillow is not installed; "
+            "install pillow or pass use_real_codecs=False for the stub"
+        )
+    decode = _real_decode_dims if use_real_codecs else _fake_decode_dims
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             dims = pdf["content"].map(
-                lambda c: _fake_decode_dims(bytes(c) if c is not None else b"")
+                lambda c: decode(bytes(c) if c is not None else b"")
             )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": dims.map(lambda t: t[0]).astype("int32"),
-                    "height": dims.map(lambda t: t[1]).astype("int32"),
+                    "width": dims.map(lambda t: t[0]).astype("Int32"),
+                    "height": dims.map(lambda t: t[1]).astype("Int32"),
                 }
             )
 

@@ -42,8 +42,8 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         .cast("long")
         .alias("n_nulls"),
         F.count_distinct(F.col("val")).cast("long").alias("n_distinct"),
-        # round to 9 dp so the values hash identically to the DuckDB
-        # oracle's round(min(v), 9) under the driver's exact-hash compare
-        F.round(F.min("val"), 9).alias("min_val"),
-        F.round(F.max("val"), 9).alias("max_val"),
+        # exact extrema: presentation/compare layers own any rounding
+        # (cross-engine hash canonicalization lives in the query layer)
+        F.min("val").alias("min_val"),
+        F.max("val").alias("max_val"),
     )

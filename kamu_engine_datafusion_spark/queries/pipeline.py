@@ -277,10 +277,12 @@ def q_xtext_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xmm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary media decode plumbing via mapInPandas (stubbed kernel)."""
+    """Binary media decode plumbing via mapInPandas. Pinned to the stub
+    kernel: the oracle re-derives its sha256 arithmetic in SQL, which
+    must stay valid even in environments where pillow is installed."""
     t = load(spark, sf_dir, "documents")
     media = M.synthesize_media(t["documents"], "doc_id", "text")
-    return M.decode_media(media)
+    return M.decode_media(media, use_real_codecs=False)
 
 
 def q_xmm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -438,12 +440,24 @@ def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-scan numeric profiling of lineitem (the ANALYZE-equivalent:
-    rows/nulls/exact distinct/min/max per column in long format)."""
+    rows/nulls/exact distinct/min/max per column in long format).
+
+    The operator returns exact extrema; the 9-dp rounding here is this
+    query's cross-engine hash canonicalization (matching the oracle's
+    ``round(..., 9)``), not a library behavior."""
     from kamu_engine_datafusion_spark.operators.profile import profile_numeric
 
     t = load(spark, sf_dir, "lineitem")
-    return profile_numeric(
+    prof = profile_numeric(
         t["lineitem"], ["l_orderkey", "l_quantity", "l_discount", "l_tax"]
+    )
+    return prof.select(
+        "column",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        F.round("min_val", 9).alias("min_val"),
+        F.round("max_val", 9).alias("max_val"),
     )
 
 

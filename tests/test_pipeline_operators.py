@@ -198,6 +198,45 @@ def test_multimodal_pipeline(spark):
     assert resized[1]["n_bytes"] == resized[2]["n_bytes"] == 4
 
 
+def test_decode_media_codec_seam(spark):
+    """decode_media dispatches on codec availability: use_real_codecs=True
+    without pillow fails fast at plan time (not inside executors); the
+    default resolves to the stub when pillow is absent."""
+    import pytest
+
+    df = spark.createDataFrame([(1, "abcdefgh")], ["doc_id", "payload"])
+    media = M.synthesize_media(df, "doc_id", "payload")
+    if not M.HAVE_IMAGE_CODEC:
+        with pytest.raises(RuntimeError, match="pillow is not installed"):
+            M.decode_media(media, use_real_codecs=True)
+    # pinned stub and the auto default agree when pillow is absent
+    stub = M.decode_media(media, use_real_codecs=False).collect()
+    auto = M.decode_media(media).collect()
+    if not M.HAVE_IMAGE_CODEC:
+        assert stub == auto
+
+
+def test_decode_media_real_codec():
+    """Real-PIL decode path: valid images yield true dimensions, corrupt
+    blobs degrade to null dims instead of failing the batch. Runs only
+    where pillow exists (skipped in codec-less containers)."""
+    import pytest
+
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from kamu_engine_datafusion_spark.operators.multimodal import (
+        _real_decode_dims,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (20, 10)).save(buf, format="PNG")
+    assert _real_decode_dims(buf.getvalue()) == (20, 10)
+    assert _real_decode_dims(b"not an image") == (None, None)
+
+
 def test_asof_join_semantics(spark):
     ts = lambda s: datetime.fromisoformat(s)
     left = spark.createDataFrame(
