@@ -108,12 +108,12 @@ def _bench_odf_transform(spark, sf_dir: str) -> float:
         ],
         new_data_path=f"{tmp}/out.parquet",
     )
-    best = float("inf")
-    for _ in range(2):
+    times = []
+    for _ in range(3):
         t0 = _t.perf_counter()
         execute_transform(spark, req)
-        best = min(best, _t.perf_counter() - t0)
-    return best
+        times.append(_t.perf_counter() - t0)
+    return times
 
 
 def main() -> None:
@@ -129,26 +129,36 @@ def main() -> None:
 
     registry = q.registry()
     timings: dict[str, float] = {}
+    spreads: dict[str, dict[str, float]] = {}
+
+    def record(name: str, times: list[float]) -> None:
+        # min: run 1 pays one-time janino/codegen compilation (~2x
+        # inflation measured), which a long-lived engine amortizes away.
+        # The spread (max-min over the k reps) travels with every query
+        # so a future regression is attributable on sight: a delta
+        # within the historical spread is machine noise, one beyond it
+        # is a plan change.
+        timings[name] = round(min(times), 3)
+        spreads[name] = {
+            "min": round(min(times), 3),
+            "max": round(max(times), 3),
+            "spread": round(max(times) - min(times), 3),
+            "n": len(times),
+        }
+
     for name in HEADLINE:
         fn = registry.get(name)
         if fn is None:
             continue
-        # two runs, report the min: run 1 pays one-time janino/codegen
-        # compilation (~2x inflation measured), which a long-lived engine
-        # amortizes away; queries still over 1.5s after two runs get a
-        # third (the multi-stage pipelines — persisted intermediates from
-        # run 1 can evict mid-run-2, inflating the min-of-2)
-        best = float("inf")
-        runs = 0
-        while runs < 2 or (best > 1.5 and runs < 3):
+        times = []
+        for _ in range(3):  # k=3 reps per query
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-            runs += 1
-        timings[name] = round(best, 3)
+            times.append(time.perf_counter() - t0)
+        record(name, times)
 
-    timings["odf_transform_filter_map"] = round(_bench_odf_transform(spark, sf_dir), 3)
+    record("odf_transform_filter_map", _bench_odf_transform(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     print(
@@ -158,6 +168,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "query_spreads": spreads,
+                "reps_per_query": 3,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )
