@@ -293,10 +293,14 @@ def verified_jaccard(
         if use_hashed_shingles
         else word_shingles(tokens(text_col), shingle_len)
     )
+    # both join legs consume the shingle sets; persist so the prune +
+    # tokenize + shingle work runs once (candidate-sized — tiny), released
+    # at the next dedup call like every LSH intermediate
     sh = pruned.select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingle_set).alias("__sh"),
-    )
+    ).persist()
+    _DEFERRED.append(sh)
     return (
         pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")

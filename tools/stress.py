@@ -98,6 +98,31 @@ def main() -> None:
         ).count(),
     )
 
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        connected_components,
+    )
+
+    # 5k components of 10 replicas each (chain edges between replicas)
+    rep_edges = docs.select(
+        F.col("doc_id").alias("id_a"),
+        (F.col("doc_id") + 100000).alias("id_b"),
+    ).filter(F.col("doc_id") < 900000)
+    t(
+        "connected_components_50k",
+        lambda: connected_components(rep_edges, strict=True).count(),
+    )
+
+    # adversarial: one 50k-node path (diameter 50k) — must converge in
+    # log rounds, where label propagation would need 50k joins
+    path_edges = spark.range(50_000 - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    t(
+        "connected_components_50k_path",
+        lambda: connected_components(path_edges, strict=True).count(),
+        reps=1,
+    )
+
 
 if __name__ == "__main__":
     main()
