@@ -153,6 +153,75 @@ def minhash_signatures(
     )
 
 
+def _pairs_from_buckets(
+    banded: DataFrame,
+    key: str,
+    id_col: str,
+    max_bucket_size: int | None,
+    payload_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """``(id, key[, payload...])`` rows → candidate pairs within each key
+    bucket, in ONE exchange on the bucket key.
+
+    Shape: ``row_number`` over ``(key ORDER BY id)`` caps degenerate
+    buckets while streaming (rows beyond ``max_bucket_size + 1`` are
+    dropped before aggregation, so no full-bucket buffering for buckets
+    that will be discarded), ``collect_list`` gathers each surviving
+    bucket (bounded at ``max_bucket_size`` members), and in-bucket pairs
+    are expanded array-side (``transform`` × ``slice`` combinations).
+    Buckets that exceed the cap are dropped ENTIRELY (count semantics,
+    identical to the former broadcast-anti-join guard — never silent
+    truncation), and singleton buckets are filtered before expansion.
+
+    This replaces the banded self-join formulation: one shuffle of the
+    banded set instead of three (bucket-count pass + two join legs), no
+    persisted intermediate, and the window sort shares the exchange with
+    the aggregation (same key). Memory per group is bounded by the cap;
+    with ``max_bucket_size=None`` the collect is unbounded — callers
+    that disable the cap accept that contract explicitly.
+
+    Returns one row per in-bucket pair: struct columns ``a`` and ``b``
+    (fields: ``i`` = id, plus ``payload_cols``), with ``a.i < b.i``.
+    NOT distinct — a pair sharing several buckets repeats; callers
+    dedupe after projecting (cheap: candidate pairs are a tiny set).
+    """
+    member = F.struct(
+        F.col(id_col).alias("i"), *[F.col(c) for c in payload_cols]
+    )
+    if max_bucket_size:
+        w = Window.partitionBy(key).orderBy(id_col)
+        grouped = (
+            banded.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_bucket_size + 1)
+            .groupBy(key)
+            .agg(
+                F.collect_list(member).alias("__members"),
+                F.max("__rn").alias("__mx"),
+            )
+            .filter((F.col("__mx") >= 2) & (F.col("__mx") <= max_bucket_size))
+        )
+    else:
+        grouped = (
+            banded.groupBy(key)
+            .agg(F.collect_list(member).alias("__members"))
+            .filter(F.size("__members") >= 2)
+        )
+    # array_sort orders members by id (first struct field; ids distinct),
+    # so (members[i], members[j]) with i < j gives a.i < b.i — the same
+    # canonical orientation the self-join's `a.id < b.id` produced.
+    members = F.array_sort(F.col("__members"))
+    pairs = F.flatten(
+        F.transform(
+            members,
+            lambda x, i: F.transform(
+                F.slice(members, i + F.lit(2), F.size(members)),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return grouped.select(F.explode(pairs).alias("__p")).select("__p.a", "__p.b")
+
+
 def _cap_buckets(
     banded: DataFrame, key: str, max_bucket_size: int, mode: str = "antijoin"
 ) -> DataFrame:
@@ -193,64 +262,35 @@ def minhash_lsh_candidates(
     num_bands: int = 8,
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
-    bucket_cap_mode: str = "antijoin",
-    _cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Pipeline: per-doc signatures (:func:`minhash_signatures`) →
-    ``num_bands`` band keys → explode → self-join on band key → distinct
-    pairs (id_a < id_b).
+    ``num_bands`` band keys → explode → ONE exchange on the band key
+    (:func:`_pairs_from_buckets`: window-capped bucket grouping +
+    in-array pair expansion) → distinct pairs (id_a < id_b).
 
-    Scale: the only shuffles are the signature groupBy and the band-key
-    join (hash keys — uniform). ``max_bucket_size`` drops pathological
-    buckets (boilerplate shared by thousands of docs) that would go
-    quadratic — the standard production guard; run :func:`exact_dedup`
-    first so identical texts don't form such buckets.
+    Scale: exactly two shuffles — the signature groupBy and the bucket
+    grouping (hash keys — uniform) — plus the tiny pair-distinct. The
+    former self-join formulation shuffled the banded set three times
+    (bucket-count pass + two join legs) and had to persist it to avoid
+    recomputing the signature pipeline per consumer; this shape has a
+    single consumer, so nothing is persisted and there is no cache to
+    release. ``max_bucket_size`` drops pathological buckets (boilerplate
+    shared by thousands of docs) that would go quadratic — the standard
+    production guard; run :func:`exact_dedup` first so identical texts
+    don't form such buckets.
     """
-    if _cleanup is None:  # standalone call: this IS the entry point
-        _release_deferred()
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
         df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
     )
-    band_fn = lsh_band_keys_fold if base_hash == "poly" else lsh_band_keys
-    banded = sigs.select(
-        "__id",
-        F.explode(band_fn(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
+    banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash).select(
+        "__id", "__band"
     )
-    if base_hash == "poly":
-        # band index disambiguation: fold keys from different bands could
-        # collide across bands; join must stay within a band position
-        banded = sigs.select(
-            "__id",
-            F.posexplode(
-                band_fn(F.col("__sig"), num_bands, rows_per_band)
-            ).alias("__bandpos", "__bandkey"),
-        ).select(
-            "__id",
-            F.concat_ws(":", F.col("__bandpos"), F.col("__bandkey")).alias("__band"),
-        )
-    # The banded set feeds the bucket-cap count AND both legs of the pair
-    # self-join; without materialization the whole signature pipeline
-    # (tokenize → shingle-hash → 32 MIN aggregates) recomputes for each
-    # consumer. The set is tiny relative to the corpus — (id, band) pairs,
-    # num_bands rows per doc — so materializing it is the cheap side of
-    # the trade.
-    banded = banded.persist()
-    if _cleanup is not None:
-        _cleanup.append(banded)
-    else:
-        # the returned pair set still reads banded's cache lazily;
-        # park it for release at the next call
-        _DEFERRED.append(banded)
-    if max_bucket_size:
-        banded = _cap_buckets(banded, "__band", max_bucket_size, bucket_cap_mode)
-    a = banded.alias("a")
-    b = banded.alias("b")
     return (
-        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        _pairs_from_buckets(banded, "__band", "__id", max_bucket_size)
+        .select(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
         .distinct()
     )
 
@@ -325,7 +365,6 @@ def minhash_lsh_dedup(
     num_bands: int = 8,
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
-    bucket_cap_mode: str = "antijoin",
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
     threshold → drop every doc that matches a lower-id survivor.
@@ -334,17 +373,16 @@ def minhash_lsh_dedup(
     transitive chains needs iterative joins; the lower-id-wins rule is
     the standard single-pass policy and matches what exact_dedup does.)
 
-    Caching discipline: the banded set and candidate pairs are
-    unpersisted before return (the duplicate-id set is materialized, so
-    their blocks are dead weight by then); the duplicate-id set itself —
-    which the returned anti-join still reads — is released at the next
-    dedup call (see module docstring).
+    Caching discipline: the candidate pair set is unpersisted before
+    return (the duplicate-id set is materialized, so its blocks are dead
+    weight by then); the duplicate-id set itself — which the returned
+    anti-join still reads — is released at the next dedup call (see
+    module docstring).
     """
     _release_deferred()
     # candidates are tiny but their lineage is the whole signature+LSH
     # pipeline; verification references them 4x (two id legs, two joins)
     # so materialize to compute that pipeline once
-    handles: list[DataFrame] = []
     cand = minhash_lsh_candidates(
         df,
         text_col,
@@ -354,8 +392,6 @@ def minhash_lsh_dedup(
         num_bands,
         max_bucket_size,
         base_hash,
-        bucket_cap_mode,
-        _cleanup=handles,
     ).persist()
     dups = (
         verified_jaccard(
@@ -372,11 +408,10 @@ def minhash_lsh_dedup(
         .persist()
     )
     # dups is the terminal small set the anti-join needs; materialize it
-    # now so the banded set and candidate pairs become dead weight and
-    # can be released immediately rather than at the next call
+    # now so the candidate pair set becomes dead weight and can be
+    # released immediately rather than at the next call
     dups.count()
-    for h in (*handles, cand):
-        h.unpersist(blocking=True)
+    cand.unpersist(blocking=True)
     _DEFERRED.append(dups)
     return df.join(dups, id_col, "left_anti")
 
@@ -389,6 +424,7 @@ def simhash_near_dups(
     block_bits: int = 16,
     base_hash: str = "xxhash64",
     num_blocks: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit fingerprint, blocked join,
     Hamming verification.
@@ -411,6 +447,11 @@ def simhash_near_dups(
     ``base_hash="poly"`` uses the SQL-expressible 31-bit polynomial
     token hash (fingerprints have 31 bits), enabling a full cross-engine
     oracle of the pipeline.
+
+    ``max_bucket_size`` (default None — every block pairs) drops blocks
+    with more members than the cap, the same degenerate-bucket guard as
+    the LSH operators: a block of identical boilerplate fingerprints
+    pairs quadratically, which no downstream consumer survives anyway.
     """
     sig_bits = 31 if base_hash == "poly" else 64
     hash_expr = (
@@ -460,16 +501,18 @@ def simhash_near_dups(
             )
             chunks.append(F.struct(F.lit(i).alias("i"), val.alias("v")))
         fp = fps.withColumn("__block", F.explode(F.array(*chunks)))
-    a, b = fp.alias("a"), fp.alias("b")
+    # Grouped in-bucket pairing (ONE exchange on the block key) with the
+    # fingerprint carried as bucket payload: the former self-join ran the
+    # expensive 64-aggregate fingerprint pipeline once per join leg and
+    # shuffled it twice; this shape computes fingerprints once, shuffles
+    # once, and verifies Hamming from the carried payloads with no join.
     pairs = (
-        a.join(
-            b,
-            (F.col("a.__block") == F.col("b.__block"))
-            & (F.col("a.__id") < F.col("b.__id")),
+        _pairs_from_buckets(
+            fp, "__block", "__id", max_bucket_size, payload_cols=("__fp",)
         )
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
+            F.col("a.i").alias("id_a"),
+            F.col("b.i").alias("id_b"),
             hamming64(F.col("a.__fp"), F.col("b.__fp")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -691,16 +734,14 @@ def embedding_near_dups(
         "__id",
         F.explode(F.array(*[band_key(j) for j in range(num_bands)])).alias("__band"),
     )
-    if max_bucket_size:
-        banded = _cap_buckets(banded, "__band", max_bucket_size)
-    pa, pb = banded.alias("pa"), banded.alias("pb")
+    # Grouped in-bucket pairing (ONE exchange) instead of a banded
+    # self-join: the former shape recomputed the num_bands × bits dot
+    # products per join leg and shuffled the banded set twice. Vectors
+    # stay OUT of the bucket payload (wide arrays would be duplicated
+    # per membership and per pair); verification joins them back below.
     cand = (
-        pa.join(
-            pb,
-            (F.col("pa.__band") == F.col("pb.__band"))
-            & (F.col("pa.__id") < F.col("pb.__id")),
-        )
-        .select(F.col("pa.__id").alias("id_a"), F.col("pb.__id").alias("id_b"))
+        _pairs_from_buckets(banded, "__band", "__id", max_bucket_size)
+        .select(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
         .distinct()
     )
     a, b = base.alias("a"), base.alias("b")

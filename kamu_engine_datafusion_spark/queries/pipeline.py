@@ -383,7 +383,11 @@ def q_xsnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         F.round("value", 2).alias("value"),
-        F.unix_micros("event_time").alias("event_time_us"),
+        # event_time may be TIMESTAMP_NTZ (driver parquet); UTC session
+        # TZ makes the cast value-identical
+        F.unix_micros(F.col("event_time").cast("timestamp")).alias(
+            "event_time_us"
+        ),
     )
 
 
@@ -568,7 +572,13 @@ def q_xsessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     t = load(spark, sf_dir, "events")
-    ev = t["events"].filter(F.col("user_id") < 100)
+    # ts reads as TIMESTAMP_NTZ from the driver's parquet; session TZ is
+    # UTC so the cast is value-identical (NTZ has no epoch arithmetic)
+    ev = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.select(
         "user_id",
