@@ -113,17 +113,29 @@ def minhash_signatures(
     seed: int = 42,
     base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Per-document MinHash signatures via the scalable explode→groupBy
-    formulation: shingles are hashed WITHOUT materializing strings
-    (:func:`shingle_hash_array`), one row per (doc, distinct shingle
-    hash), then ``num_hashes`` MIN aggregates (map-side partials do most
-    of the work, the shuffle carries only num_hashes longs per doc).
+    """Per-document MinHash signatures computed entirely IN-ROW — zero
+    shuffle: the distinct shingle-hash set is materialized once as an
+    array column (shingles hashed WITHOUT building strings,
+    :func:`shingle_hash_array`), then each of the ``num_hashes``
+    signature slots is ``array_min(transform(...))`` over that column.
 
-    This shape is deliberate twice over: a single-Column signature
-    expression makes Catalyst re-evaluate the tokenize→shingle pipeline
-    once per hash function (project collapsing duplicates aliases), and
-    string shingles cost an array allocation per position — both
-    measured order-of-magnitude effects at sf0.1.
+    Two projections, deliberately: the shingle array is an alias
+    referenced ``num_hashes`` times by the second projection, and
+    Catalyst's CollapseProject rule refuses to inline a non-cheap alias
+    with multiple references — so the tokenize→shingle pipeline
+    evaluates exactly once per row (verified in the optimized plan; a
+    single-projection form re-evaluates it per hash function, a
+    measured order-of-magnitude effect at sf0.1).
+
+    Scale: embarrassingly parallel map over the corpus — no exchange at
+    any width (the previous explode→groupBy formulation paid a shuffle
+    of ``num_hashes`` partial minima per doc per partition). Per-row
+    memory is one long per distinct shingle, bounded by document size.
+
+    Docs whose shingle set is empty (null/empty text) produce NO output
+    row — identical to the explode formulation this replaces, and the
+    right contract: a doc with no shingles has no signature and can
+    never be an LSH candidate.
 
     ``base_hash``: ``"xxhash64"`` (default, fastest, JVM-native) or
     ``"poly"`` (polynomial char hash over string shingles — slower but
@@ -131,25 +143,31 @@ def minhash_signatures(
     the LSH pipeline).
     """
     if base_hash == "poly":
-        shingled = df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                F.array_distinct(word_shingles(tokens(text_col), shingle_len))
-            ).alias("__sh"),
-        ).select("__id", poly_hash31(F.col("__sh")).alias("__h"))
-    else:
-        shingled = df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                F.array_distinct(shingle_hash_array(tokens(text_col), shingle_len))
-            ).alias("__h"),
+        shingle_hashes = F.transform(
+            F.array_distinct(word_shingles(tokens(text_col), shingle_len)),
+            poly_hash31,
         )
-    aggs = [
-        F.min((F.col("__h") * a + b) % _MERSENNE_31).alias(f"__mh{j}")
+    else:
+        shingle_hashes = F.array_distinct(
+            shingle_hash_array(tokens(text_col), shingle_len)
+        )
+    hs = df.select(F.col(id_col).alias("__id"), shingle_hashes.alias("__hs"))
+    mins = [
+        F.array_min(
+            F.transform("__hs", lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE_31)
+        ).alias(f"__mh{j}")
         for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
-    return shingled.groupBy("__id").agg(*aggs).select(
-        "__id", F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("__sig")
+    # empty-set filter on the CHEAP output slot (__mh0 is null iff the
+    # shingle set is empty), not on size(__hs): a predicate on __hs gets
+    # pushed below the projection by alias substitution, re-evaluating
+    # the whole shingle pipeline once more per row just for the filter.
+    return (
+        hs.select("__id", *mins)
+        .filter(F.col("__mh0").isNotNull())
+        .select(
+            "__id", F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("__sig")
+        )
     )
 
 
