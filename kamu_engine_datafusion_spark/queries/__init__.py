@@ -34,19 +34,60 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # remainder. Every key's latest driver-green should be at most one
 # round old after each rotation.
 _PRIORITY = [
-    # -- changed in round 4: must re-verify --
-    "xrange_join",  # NTZ cast fix (r3 regression) + inverted-interval guard
-    "xdedup_minhash_sql",  # unpersist of banded set
-    "xdedup_minhash",  # unpersist (rows-only twin)
-    "xdedup_incremental",  # unpersist of index join legs
-    "xdedup_cluster",  # large-star/small-star connected components
-    "xmm_decode",  # codec-availability dispatch seam
-    "xprofile",  # rounding moved to query layer
-    "b06_filter",  # dsum headroom (decimal accumulate)
-    "b16_groupby_agg",  # dsum headroom
-    "b26_tpch_q3alike",  # dsum headroom
-    "b10_tpch_q5alike",  # dsum headroom
-    # -- stale: last driver-green was round 1 --
+    # -- changed in round 5: must re-verify --
+    "xdedup_minhash_sql",  # in-row signatures + single-exchange pairing
+    "xdedup_minhash",  # (rows-only twin)
+    "xdedup_incremental",  # in-row signatures feed the index builder
+    "xdedup_simhash_sql",  # bucket-payload pairing (fingerprint carried)
+    "xdedup_simhash",  # (rows-only twin)
+    "xdedup_embcos",  # single-exchange band pairing
+    "xsnapshot",  # NTZ-safe unix_micros cast
+    "xdedup_cluster",  # shares the dedup module (pairing helpers)
+    # -- stale: last driver-green was round 3 --
+    "a13_offsets_distributed",
+    "a14_system_columns",
+    "b03_information_schema",
+    "b04_parquet_sink",
+    "b17_count_distinct",
+    "b23_ranking",
+    "b30_subqueries",
+    "b38_conditional",
+    "b39_array",
+    "b40_struct_map",
+    "b41_json",
+    "xasof_join",
+    "xdecontaminate",
+    "xdedup_exact",
+    "xdedup_ngram_jaccard",
+    "xdedup_paragraph",
+    "xmm_features",
+    "xmm_frames",
+    "xpivot",
+    "xrollup_time",
+    "xsalted_agg",
+    "xsample",
+    "xsessionize",
+    "xsim_ivf",
+    "xsim_srp_lsh",
+    "xsim_topk_brute",
+    "xskyline",
+    "xtext_c4_filter",
+    "xtext_fingerprint",
+    "xtext_gopher",
+    "xtext_langid",
+    "xtext_quality",
+    "xtext_redact_pii",
+    "xtext_repetition",
+    "xtext_tokens",
+    # -- window padding: headline keys, last green round 4 --
+    "xrange_join",
+    "xmm_decode",
+    "xprofile",
+    "b06_filter",
+    "b16_groupby_agg",
+    "b26_tpch_q3alike",
+    "b10_tpch_q5alike",
+    # ---- window boundary (~50): below here, verified green in r04 ----
     "b01_parquet_scan",
     "b02_view_scan",
     "a03_empty_input",
@@ -86,46 +127,6 @@ _PRIORITY = [
     "b36_math",
     "b37_datetime",
     "b39_explode",
-    # ---- window boundary (~50): below here, verified green in r03 ----
-    "b41_json",
-    "b38_conditional",
-    "b39_array",
-    "b40_struct_map",
-    "xdedup_exact",
-    "xdedup_simhash",
-    "xdedup_simhash_sql",
-    "xdedup_ngram_jaccard",
-    "xdedup_paragraph",
-    "xdedup_embcos",
-    "xsim_topk_brute",
-    "xsim_srp_lsh",
-    "xsim_ivf",
-    "xtext_langid",
-    "xtext_quality",
-    "xtext_tokens",
-    "xtext_fingerprint",
-    "xtext_repetition",
-    "xtext_redact_pii",
-    "xtext_gopher",
-    "xtext_c4_filter",
-    "xdecontaminate",
-    "xsample",
-    "xsnapshot",
-    "xrollup_time",
-    "xsalted_agg",
-    "xskyline",
-    "xsessionize",
-    "xpivot",
-    "xasof_join",
-    "xmm_features",
-    "xmm_frames",
-    "a13_offsets_distributed",
-    "a14_system_columns",
-    "b03_information_schema",
-    "b04_parquet_sink",
-    "b17_count_distinct",
-    "b23_ranking",
-    "b30_subqueries",
 ]
 
 
