@@ -779,6 +779,103 @@ def embedding_near_dups(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    num_seeds: int = 16,
+    seeds: DataFrame | None = None,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic dedup: partition the corpus into
+    embedding clusters, verify pairwise cosine ONLY within a cluster,
+    drop every vector that matches a lower-id survivor.
+
+    Clustering is a single assignment pass against a small set of seed
+    vectors — by default the ``num_seeds`` lowest-id rows (deterministic
+    and cross-engine reproducible, which makes the whole pipeline
+    SQL-oracle-checkable); pass ``seeds`` (``(id, vector)`` schema like
+    ``df``) to use k-means centroids from
+    :func:`~kamu_engine_datafusion_spark.operators.similarity.kmeans_partition`
+    when reproducibility across engines is not required.
+
+    Scale shape: seeds are collected to the driver (``num_seeds × dim``
+    doubles — same sanctioned pattern as the IVF centroid math) so the
+    nearest-seed assignment is pure in-row column math over broadcast
+    literals — ZERO shuffle for the assignment pass, vs. the n×k-row
+    exchange a window/groupBy formulation would pay. Within-cluster
+    pairing reuses the single-exchange bucket grouping
+    (:func:`_pairs_from_buckets`) keyed on the cluster id, and exact
+    cosines are verified after joining vectors back (wide arrays stay
+    out of the bucket payload). Within-cluster comparison is quadratic
+    per cluster BY CONTRACT — the SemDeDup trade: choose ``num_seeds``
+    so clusters stay small, and/or set ``max_cluster_size`` to drop
+    degenerate clusters outright (count semantics, never silent
+    truncation). The assignment expression grows with ``num_seeds``;
+    past a few hundred seeds use the k-means/IVF route instead.
+
+    Tie-breaks are total: assignment prefers higher cosine, then lower
+    seed id; the drop rule is the family's lower-id-wins single pass
+    (:func:`minhash_lsh_dedup`). (The SemDeDup paper keeps the vector
+    closest to the centroid; lower-id-wins is deterministic under
+    re-partitioning, which matters more in a ledger engine.)
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    if seeds is None:
+        seed_rows = (
+            base.orderBy("__id").limit(num_seeds).select("__id", "__v").collect()
+        )
+    else:
+        seed_rows = (
+            seeds.select(
+                F.col(id_col).alias("__id"),
+                F.col(vec_col).cast("array<double>").alias("__v"),
+            )
+            .orderBy("__id")
+            .limit(num_seeds)
+            .collect()
+        )
+    # nearest seed in-row: max over (cosine, -seed_id) structs — higher
+    # cosine wins, ties break to the lower seed id
+    choices = [
+        F.struct(
+            (
+                dot_product(F.col("__v"), F.array(*[F.lit(float(x)) for x in r["__v"]]))
+                / (F.col("__nrm") * math.sqrt(sum(float(x) * float(x) for x in r["__v"])))
+            ).alias("cos"),
+            F.lit(-r["__id"]).alias("negsid"),
+        )
+        for r in seed_rows
+    ]
+    assigned = base.withColumn(
+        "__cluster", -F.array_max(F.array(*choices))["negsid"]
+    )
+    cand = (
+        _pairs_from_buckets(
+            assigned.select("__id", "__cluster"), "__cluster", "__id", max_cluster_size
+        )
+        .select(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
+        .distinct()
+    )
+    a, b = base.alias("a"), base.alias("b")
+    dups = (
+        cand.join(a, F.col("id_a") == F.col("a.__id"))
+        .join(b, F.col("id_b") == F.col("b.__id"))
+        .filter(
+            dot_product(F.col("a.__v"), F.col("b.__v"))
+            / (F.col("a.__nrm") * F.col("b.__nrm"))
+            >= threshold
+        )
+        .select(F.col("id_b").alias("__dup"))
+        .distinct()
+    )
+    return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # Incremental dedup against a persisted signature index
 # ---------------------------------------------------------------------------

@@ -35,6 +35,7 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # round old after each rotation.
 _PRIORITY = [
     # -- changed in round 5: must re-verify --
+    "xdedup_semantic",  # NEW: SemDeDup-style seed-cluster cosine dedup
     "xdedup_minhash_sql",  # in-row signatures + single-exchange pairing
     "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",  # in-row signatures feed the index builder

@@ -111,6 +111,20 @@ def q_xdedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.paragraph_dedup(sub, sep=" the ")
 
 
+def q_xdedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: nearest-of-16-seed clustering
+    (deterministic lowest-id seeds) + within-cluster cosine pruning;
+    survivors counted per label. The synthetic embeddings top out near
+    cosine 0.51, so the demo prunes at 0.4 (production: 0.9+)."""
+    t = load(spark, sf_dir, "embeddings")
+    sub = t["embeddings"].filter(F.col("vec_id") < 2000)
+    return (
+        D.semantic_dedup(sub, threshold=0.4, num_seeds=16)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_vecs"))
+    )
+
+
 def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group-level dedup: token-Jaccard pairs → connected components →
     one survivor per component; survivors per lang. Oracle: the same
@@ -643,6 +657,7 @@ QUERIES = {
     "xdedup_simhash": q_xdedup_simhash,
     "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
     "xdedup_cluster": q_xdedup_cluster,
+    "xdedup_semantic": q_xdedup_semantic,
     "xdedup_paragraph": q_xdedup_paragraph,
     "xdedup_minhash_sql": q_xdedup_minhash_sql,
     "xdedup_simhash_sql": q_xdedup_simhash_sql,
@@ -899,9 +914,45 @@ def _simhash_sql_oracle() -> str:
     )
 
 
+def _semantic_oracle(
+    threshold: float = 0.4, num_seeds: int = 16, id_max: int = 2000
+) -> str:
+    """DuckDB oracle replicating semantic_dedup exactly: same lowest-id
+    seeds, same nearest-seed assignment (cosine desc, seed id asc — both
+    engines sum dot products left-to-right in double), same
+    within-cluster pairwise cosine prune, same lower-id-wins drop."""
+    cos_es = (
+        "list_dot_product(e.emb_d, s.semb) / "
+        "(sqrt(list_dot_product(e.emb_d, e.emb_d)) * "
+        "sqrt(list_dot_product(s.semb, s.semb)))"
+    )
+    cos_ab = (
+        "list_dot_product(ea.emb_d, eb.emb_d) / "
+        "(sqrt(list_dot_product(ea.emb_d, ea.emb_d)) * "
+        "sqrt(list_dot_product(eb.emb_d, eb.emb_d)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb_d "
+        f"FROM embeddings WHERE vec_id < {id_max}), "
+        "s AS (SELECT vec_id AS sid, emb_d AS semb FROM e "
+        f"ORDER BY vec_id LIMIT {num_seeds}), "
+        "assign AS (SELECT vec_id, sid FROM ("
+        "SELECT e.vec_id, s.sid, row_number() OVER (PARTITION BY e.vec_id "
+        f"ORDER BY {cos_es} DESC, s.sid) AS rn "
+        "FROM e CROSS JOIN s) WHERE rn = 1), "
+        "dups AS (SELECT DISTINCT y.vec_id AS dup "
+        "FROM assign x JOIN assign y ON x.sid = y.sid AND x.vec_id < y.vec_id "
+        "JOIN e ea ON ea.vec_id = x.vec_id JOIN e eb ON eb.vec_id = y.vec_id "
+        f"WHERE {cos_ab} >= {threshold}) "
+        "SELECT label, count(*) AS n_vecs FROM e "
+        "WHERE vec_id NOT IN (SELECT dup FROM dups) GROUP BY label"
+    )
+
+
 ORACLES = {
     "xdedup_minhash_sql": _minhash_sql_oracle(),
     "xdedup_simhash_sql": _simhash_sql_oracle(),
+    "xdedup_semantic": _semantic_oracle(),
     "xsample": (
         "SELECT lang, count(*) AS n_docs FROM documents WHERE "
         "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("

@@ -127,6 +127,34 @@ def test_embedding_near_dups_srp_candidates(vectors):
     assert (2, 3) not in got and (2, 4) not in got  # orthogonal/anti
 
 
+def test_semantic_dedup_drops_near_parallel(vectors):
+    # seeds = 2 lowest ids (0, 1) -> vectors 0/1/3 cluster on seed 0,
+    # 2 on seed 1 (closer to [0.9,0.1,0] than to [1,0,0]), 4 alone-ish;
+    # within seed-0's cluster cos(0,3)~0.99995 >= 0.95 so 3 drops, and
+    # cos(0,1)~0.994 so 1 drops; lower id survives
+    out = D.semantic_dedup(vectors, threshold=0.95, num_seeds=2)
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert 0 in got and 3 not in got
+    assert got == sorted(set(got))  # no duplicated rows
+
+
+def test_semantic_dedup_cluster_cap_drops_whole_cluster(vectors):
+    # cap of 1 excludes every cluster with >=2 members from pairing ->
+    # nothing is ever verified, nothing drops
+    out = D.semantic_dedup(vectors, threshold=0.5, num_seeds=2, max_cluster_size=1)
+    assert out.count() == vectors.count()
+
+
+def test_semantic_dedup_custom_seeds(vectors):
+    seeds = vectors.filter(F.col("vec_id").isin(2, 4))
+    out = D.semantic_dedup(vectors, threshold=0.95, num_seeds=2, seeds=seeds)
+    # clusters around [0,1,0] and [-1,0,0]: 0/3 both nearest seed 4
+    # (cos 0 vs -1 ... seed 2 wins for 0: cos 0.0 vs -1.0 -> seed 2),
+    # pairwise (0,3) still verified inside their shared cluster
+    got = sorted(r["vec_id"] for r in out.collect())
+    assert 3 not in got and 0 in got
+
+
 def test_srp_lsh_self_in_bucket(vectors):
     q = vectors.filter(F.col("vec_id") == 0)
     out = S.srp_lsh_topk(vectors, q, k=3, bits=4)
