@@ -17,7 +17,7 @@ All pure column predicates → pushed to the scan, zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Buckets for the keyed hash; 10_000 gives 0.01% fraction resolution.
@@ -69,6 +69,70 @@ def stratified_sample(
             F.col(stratum_col) == stratum, F.lit(int(frac * _BUCKETS))
         ).otherwise(threshold)
     return df.filter(_bucket(F.col(key_col), salt) < threshold)
+
+
+def stratified_sample_exact(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    fraction: float,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """EXACTLY ``ceil(fraction × n)`` rows per stratum, chosen by
+    keyed-hash order — deterministic across runs, engines, and
+    partitionings (the hash orders rows, the rank cuts the sample).
+
+    Use over :func:`stratified_sample` when the binomial spread of
+    per-row hashing is unacceptable (small strata, hard quota).
+
+    Scale: ONE shuffle on the stratum key; the rank and the stratum-size
+    windows share that exchange. A single giant stratum serializes
+    through one partition's window sort — for heavy-tailed strata prefer
+    the per-row :func:`stratified_sample`, which stays embarrassingly
+    parallel.
+    """
+    b = _bucket(F.col(key_col), salt, hash_fn)
+    w_rank = Window.partitionBy(stratum_col).orderBy(b, F.col(key_col))
+    w_size = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_size))
+        .filter(F.col("__rn") <= F.ceil(F.col("__n") * F.lit(float(fraction))))
+        .drop("__rn", "__n")
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    part_col: str | None = None,
+) -> DataFrame:
+    """Sequence packing by running cost offset: rows (docs) are laid out
+    in ``id_col`` order and assigned to fixed-``budget`` chunks by their
+    exclusive running-cost prefix — ``chunk = floor(offset / budget)``
+    where ``offset`` is the total cost of all earlier rows. The training
+    shape: pack token-counted documents into context-window-sized bins
+    without materializing concatenated text.
+
+    This is offset chunking, not greedy bin packing: a row whose cost
+    spans a boundary belongs to the chunk its offset falls in (chunks
+    can overrun by at most one row's cost). The contract is chosen for
+    determinism — the assignment depends only on (order, costs), never
+    on partitioning — and for SQL-expressibility (one window cumsum).
+
+    Scale: ``part_col`` bounds the window sort to one shuffle on the
+    partition key; chunks are per-partition. Without it the cumsum runs
+    in a single task — fine for a demo, wrong at corpus scale.
+    """
+    keys = [part_col] if part_col else []
+    w = Window.partitionBy(*keys).orderBy(id_col)
+    offset = F.sum(cost_col).over(w) - F.col(cost_col)
+    return df.withColumn(
+        "chunk", F.floor(offset / F.lit(float(budget))).cast("long")
+    )
 
 
 def split_train_holdout(

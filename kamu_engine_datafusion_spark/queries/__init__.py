@@ -36,6 +36,8 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 _PRIORITY = [
     # -- changed in round 5: must re-verify --
     "xdedup_semantic",  # NEW: SemDeDup-style seed-cluster cosine dedup
+    "xsample_stratified",  # NEW: exact per-stratum quota sampling
+    "xpack_sequences",  # NEW: token-budget sequence packing
     "xdedup_minhash_sql",  # in-row signatures + single-exchange pairing
     "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",  # in-row signatures feed the index builder

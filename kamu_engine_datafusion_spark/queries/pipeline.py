@@ -237,6 +237,42 @@ def q_xtext_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact stratified sampling: precisely ceil(30%) of each lang,
+    membership pinned by the keyed poly hash; id_sum proves the exact
+    row choice to the oracle."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return (
+        stratified_sample_exact(t["documents"], "doc_id", "lang", 0.3, hash_fn="poly")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+def q_xpack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: whitespace-token costs, 2048-token chunks per
+    lang by running-offset assignment; per-chunk doc and token totals."""
+    from kamu_engine_datafusion_spark.operators.sampling import pack_sequences
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("__cost", X.token_count("text"))
+    return (
+        pack_sequences(d, "doc_id", "__cost", budget=2048, part_col="lang")
+        .groupBy("lang", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__cost").alias("n_tokens"),
+        )
+    )
+
+
 def q_xdecontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs < 400 form the corpus, docs >= 450
     the 'benchmark'; count shared 3-gram shingles per corpus doc."""
@@ -641,6 +677,8 @@ def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "xsample": q_xsample,
+    "xsample_stratified": q_xsample_stratified,
+    "xpack_sequences": q_xpack_sequences,
     "xsnapshot": q_xsnapshot,
     "xrollup_time": q_xrollup_time,
     "xrange_join": q_xrange_join,
@@ -960,6 +998,29 @@ ORACLES = {
         "ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < 3000 "
         "GROUP BY lang"
+    ),
+    "xsample_stratified": (
+        "WITH h AS (SELECT lang, doc_id, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt "
+        "FROM documents), "
+        "r AS (SELECT lang, doc_id, "
+        "row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM h) "
+        "SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum "
+        "FROM r WHERE rn <= CEIL(n * 0.3) GROUP BY lang"
+    ),
+    "xpack_sequences": (
+        "WITH c AS (SELECT lang, doc_id, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS cost FROM documents), "
+        "p AS (SELECT lang, cost, CAST(FLOOR("
+        "(SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id) - cost) / 2048.0"
+        ") AS BIGINT) AS chunk FROM c) "
+        "SELECT lang, chunk, count(*) AS n_docs, SUM(cost) AS n_tokens "
+        "FROM p GROUP BY lang, chunk"
     ),
     "xsalted_agg": (
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

@@ -51,3 +51,49 @@ def test_salt_decorrelates(spark):
     s1 = set(r["k"] for r in deterministic_sample(df, "k", 0.2, salt=1).collect())
     overlap = len(s0 & s1) / max(len(s0), 1)
     assert 0.1 < overlap < 0.35  # ~independent 20% samples overlap ~20%
+
+
+def test_stratified_exact_quota(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 10 == 0, "rare").otherwise("common").alias("lang"),
+    )
+    out = stratified_sample_exact(df, "k", "lang", 0.3)
+    counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"rare": 30, "common": 270}  # exactly ceil(0.3*n)
+    # stable across partitioning
+    again = stratified_sample_exact(df.repartition(13), "k", "lang", 0.3)
+    assert set(r["k"] for r in out.collect()) == set(
+        r["k"] for r in again.collect()
+    )
+
+
+def test_pack_sequences_offsets(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import pack_sequences
+
+    rows = [(i, "g", c) for i, c in enumerate([50, 60, 40, 100, 10])]
+    df = spark.createDataFrame(rows, ["k", "grp", "cost"])
+    out = {r["k"]: r["chunk"] for r in
+           pack_sequences(df, "k", "cost", budget=100, part_col="grp").collect()}
+    # offsets: 0, 50, 110, 150, 250 -> chunks 0, 0, 1, 1, 2
+    assert out == {0: 0, 1: 0, 2: 1, 3: 1, 4: 2}
+
+
+def test_pack_sequences_partition_independent(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 7).cast("string").alias("grp"),
+        (F.col("id") % 31 + 1).alias("cost"),
+    )
+    a = {(r["k"], r["chunk"]) for r in
+         pack_sequences(df, "k", "cost", 64, "grp").collect()}
+    b = {(r["k"], r["chunk"]) for r in
+         pack_sequences(df.repartition(11), "k", "cost", 64, "grp").collect()}
+    assert a == b
