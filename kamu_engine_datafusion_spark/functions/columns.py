@@ -120,12 +120,13 @@ def minhash_signature(shingle_arr: Column, num_hashes: int, seed: int = 42) -> C
     """MinHash signature as a single Column expression: array of
     ``num_hashes`` minima of universal hashes over the shingle set.
 
-    ONLY for small ``num_hashes``/short arrays: Catalyst's project
+    CAUTION when inlining into one projection: Catalyst's project
     collapsing inlines ``shingle_arr`` into every one of the
     ``num_hashes`` sub-expressions, so the whole upstream pipeline is
-    re-evaluated per hash. The scalable path is the explode→groupBy
-    formulation in ``operators.dedup.minhash_signatures`` (one shingle
-    row each, ``num_hashes`` cheap MIN aggregates, map-side partials).
+    re-evaluated per hash. ``operators.dedup.minhash_signatures`` avoids
+    this by materializing the shingle array as its own projection first —
+    CollapseProject keeps a non-cheap, multiply-referenced alias — and is
+    the path to use for whole-corpus signatures.
     """
     base = F.transform(shingle_arr, minhash_base_hash)
     return F.array(

@@ -69,3 +69,45 @@ def test_topk_similarity_no_corpus_shuffle(spark):
     assert "BroadcastNestedLoopJoin" in p  # 1-row query broadcast
     # the corpus must not hash-shuffle for this query
     assert "Exchange hashpartitioning" not in p
+
+
+def test_minhash_signatures_zero_shuffle(spark):
+    """The in-row signature stage needs no exchange at any corpus width."""
+    from kamu_engine_datafusion_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        minhash_signatures(docs).explain("formatted")
+    assert "Exchange" not in buf.getvalue()
+
+
+def test_semantic_dedup_assignment_no_exchange_before_grouping(spark):
+    """Nearest-seed assignment is in-row: the only exchanges are the
+    cluster-bucket grouping, the pair distinct, and the verify joins —
+    never an n×k assignment shuffle (no window over vec_id)."""
+    from kamu_engine_datafusion_spark.operators.dedup import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        semantic_dedup(emb, num_seeds=4, threshold=0.4).explain("formatted")
+    p = buf.getvalue()
+    assert "Window" not in p  # assignment never becomes a window shuffle
+
+
+def test_stratified_exact_single_exchange(spark):
+    """Rank and stratum-size windows share one exchange on the stratum."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        stratified_sample_exact(docs, "doc_id", "lang", 0.3).explain("formatted")
+    p = buf.getvalue()
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 2
