@@ -217,3 +217,47 @@ def c4_line_filter(
         return cond
 
     return F.array_join(F.filter(lines, keep), sep)
+
+
+def vocabulary(df, text_col: str = "text", top_v: int = 1000):
+    """Top-``top_v`` vocabulary by token frequency: ``(token, freq,
+    rank)``, rank deterministic by (freq desc, token asc).
+
+    Classic wordcount shape: explode → groupBy token (map-side partial
+    counts carry one long per distinct token per partition) → TopK.
+    The global ranking never materializes a full sort: ``orderBy +
+    limit`` plans as TakeOrderedAndProject, and the rank window runs
+    over the already-limited ``top_v`` rows (one bounded partition).
+    """
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(top_v)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def oov_rate(df, vocab, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document out-of-vocabulary rate against a vocabulary frame
+    (any DataFrame with a ``token`` column): fraction of token
+    OCCURRENCES not found in the vocabulary, plus the occurrence count.
+
+    The vocabulary is broadcast (bounded at ``top_v`` rows by
+    construction), so the corpus explode joins map-side — the only
+    exchange is the per-doc re-aggregation, keyed on the uniform doc id.
+    """
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    marked = tok.join(
+        F.broadcast(vocab.select("token").distinct().withColumn("__in", F.lit(1))),
+        "token",
+        "left",
+    )
+    n = F.count(F.lit(1))
+    return marked.groupBy(id_col).agg(
+        n.alias("n_tokens"),
+        F.round((n - F.count("__in")) / n, 4).alias("oov_rate"),
+    )

@@ -38,6 +38,8 @@ _PRIORITY = [
     "xdedup_semantic",  # NEW: SemDeDup-style seed-cluster cosine dedup
     "xsample_stratified",  # NEW: exact per-stratum quota sampling
     "xpack_sequences",  # NEW: token-budget sequence packing
+    "xvocab",  # NEW: vocabulary induction
+    "xvocab_oov",  # NEW: OOV coverage vs induced vocabulary
     "xdedup_minhash_sql",  # in-row signatures + single-exchange pairing
     "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",  # in-row signatures feed the index builder

@@ -273,6 +273,29 @@ def q_xpack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction: top-20 tokens by frequency with a
+    deterministic (freq desc, token asc) rank."""
+    t = load(spark, sf_dir, "documents")
+    return X.vocabulary(t["documents"], top_v=20)
+
+
+def q_xvocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OOV coverage: per-lang average out-of-vocabulary rate against the
+    induced top-20 vocabulary (broadcast join on the exploded corpus)."""
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    rates = X.oov_rate(docs, X.vocabulary(docs, top_v=20))
+    return (
+        rates.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("oov_rate"), 4).alias("avg_oov"),
+        )
+    )
+
+
 def q_xdecontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs < 400 form the corpus, docs >= 450
     the 'benchmark'; count shared 3-gram shingles per corpus doc."""
@@ -679,6 +702,8 @@ QUERIES = {
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xpack_sequences": q_xpack_sequences,
+    "xvocab": q_xvocab,
+    "xvocab_oov": q_xvocab_oov,
     "xsnapshot": q_xsnapshot,
     "xrollup_time": q_xrollup_time,
     "xrange_join": q_xrange_join,
@@ -1021,6 +1046,26 @@ ORACLES = {
         ") AS BIGINT) AS chunk FROM c) "
         "SELECT lang, chunk, count(*) AS n_docs, SUM(cost) AS n_tokens "
         "FROM p GROUP BY lang, chunk"
+    ),
+    "xvocab": (
+        "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS token FROM documents), "
+        "c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token) "
+        "SELECT token, freq, rank FROM (SELECT token, freq, "
+        "CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank "
+        "FROM c) WHERE rank <= 20"
+    ),
+    "xvocab_oov": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS token FROM documents), "
+        "c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token), "
+        "v AS (SELECT token FROM (SELECT token, row_number() OVER "
+        "(ORDER BY freq DESC, token) AS rank FROM c) WHERE rank <= 20), "
+        "r AS (SELECT doc_id, count(*) AS n_tokens, "
+        "round(CAST(count(*) - count(v.token) AS DOUBLE) / count(*), 4) "
+        "AS oov_rate FROM tok LEFT JOIN v USING (token) GROUP BY doc_id) "
+        "SELECT lang, count(*) AS n_docs, round(avg(oov_rate), 4) AS avg_oov "
+        "FROM r JOIN documents USING (doc_id) GROUP BY lang"
     ),
     "xsalted_agg": (
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

@@ -366,3 +366,23 @@ def test_c4_line_filter(spark):
         X.c4_line_filter("text", require_terminal_punct=False).alias("c")
     ).head()["c"]
     assert "no terminal punctuation here" in out2
+
+
+def test_vocabulary_rank_deterministic(spark):
+    df = spark.createDataFrame(
+        [(0, "a b b c c c"), (1, "c d d a")], ["doc_id", "text"]
+    )
+    out = {r["token"]: (r["freq"], r["rank"]) for r in
+           X.vocabulary(df, top_v=3).collect()}
+    # freq: c=4, b=2, d=2, a=2 -> top3 keeps c then a,b by token order
+    assert out["c"] == (4, 1)
+    assert out["a"] == (2, 2) and out["b"] == (2, 3)
+    assert "d" not in out
+
+
+def test_oov_rate_counts_occurrences(spark):
+    df = spark.createDataFrame([(0, "a a b zzz")], ["doc_id", "text"])
+    vocab = spark.createDataFrame([("a",), ("b",)], ["token"])
+    r = X.oov_rate(df, vocab).collect()[0]
+    assert r["n_tokens"] == 4
+    assert abs(r["oov_rate"] - 0.25) < 1e-9  # one OOV occurrence of four
