@@ -120,13 +120,13 @@ def minhash_signature(shingle_arr: Column, num_hashes: int, seed: int = 42) -> C
     """MinHash signature as a single Column expression: array of
     ``num_hashes`` minima of universal hashes over the shingle set.
 
-    CAUTION when inlining into one projection: Catalyst's project
-    collapsing inlines ``shingle_arr`` into every one of the
-    ``num_hashes`` sub-expressions, so the whole upstream pipeline is
-    re-evaluated per hash. ``operators.dedup.minhash_signatures`` avoids
-    this by materializing the shingle array as its own projection first —
-    CollapseProject keeps a non-cheap, multiply-referenced alias — and is
-    the path to use for whole-corpus signatures.
+    ONLY for small ``num_hashes``/short arrays: higher-order lambdas
+    (``transform``/``array_min``) evaluate INTERPRETED, outside
+    whole-stage codegen — measured 2.2× slower than the explode→groupBy
+    formulation in ``operators.dedup.minhash_signatures`` at 50k docs
+    (12.8s vs 5.7s; codegen'd MIN aggregates, map-side partials, and a
+    shuffle of only ``num_hashes`` longs per doc). Use the groupBy path
+    for whole-corpus signatures; see SCALE.md round-5.
     """
     base = F.transform(shingle_arr, minhash_base_hash)
     return F.array(

@@ -113,29 +113,17 @@ def minhash_signatures(
     seed: int = 42,
     base_hash: str = "xxhash64",
 ) -> DataFrame:
-    """Per-document MinHash signatures computed entirely IN-ROW — zero
-    shuffle: the distinct shingle-hash set is materialized once as an
-    array column (shingles hashed WITHOUT building strings,
-    :func:`shingle_hash_array`), then each of the ``num_hashes``
-    signature slots is ``array_min(transform(...))`` over that column.
+    """Per-document MinHash signatures via the scalable explode→groupBy
+    formulation: shingles are hashed WITHOUT materializing strings
+    (:func:`shingle_hash_array`), one row per (doc, distinct shingle
+    hash), then ``num_hashes`` MIN aggregates (map-side partials do most
+    of the work, the shuffle carries only num_hashes longs per doc).
 
-    Two projections, deliberately: the shingle array is an alias
-    referenced ``num_hashes`` times by the second projection, and
-    Catalyst's CollapseProject rule refuses to inline a non-cheap alias
-    with multiple references — so the tokenize→shingle pipeline
-    evaluates exactly once per row (verified in the optimized plan; a
-    single-projection form re-evaluates it per hash function, a
-    measured order-of-magnitude effect at sf0.1).
-
-    Scale: embarrassingly parallel map over the corpus — no exchange at
-    any width (the previous explode→groupBy formulation paid a shuffle
-    of ``num_hashes`` partial minima per doc per partition). Per-row
-    memory is one long per distinct shingle, bounded by document size.
-
-    Docs whose shingle set is empty (null/empty text) produce NO output
-    row — identical to the explode formulation this replaces, and the
-    right contract: a doc with no shingles has no signature and can
-    never be an LSH candidate.
+    This shape is deliberate twice over: a single-Column signature
+    expression makes Catalyst re-evaluate the tokenize→shingle pipeline
+    once per hash function (project collapsing duplicates aliases), and
+    string shingles cost an array allocation per position — both
+    measured order-of-magnitude effects at sf0.1.
 
     ``base_hash``: ``"xxhash64"`` (default, fastest, JVM-native) or
     ``"poly"`` (polynomial char hash over string shingles — slower but
@@ -143,101 +131,26 @@ def minhash_signatures(
     the LSH pipeline).
     """
     if base_hash == "poly":
-        shingle_hashes = F.transform(
-            F.array_distinct(word_shingles(tokens(text_col), shingle_len)),
-            poly_hash31,
-        )
+        shingled = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(word_shingles(tokens(text_col), shingle_len))
+            ).alias("__sh"),
+        ).select("__id", poly_hash31(F.col("__sh")).alias("__h"))
     else:
-        shingle_hashes = F.array_distinct(
-            shingle_hash_array(tokens(text_col), shingle_len)
+        shingled = df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(
+                F.array_distinct(shingle_hash_array(tokens(text_col), shingle_len))
+            ).alias("__h"),
         )
-    hs = df.select(F.col(id_col).alias("__id"), shingle_hashes.alias("__hs"))
-    mins = [
-        F.array_min(
-            F.transform("__hs", lambda h: (h * F.lit(a) + F.lit(b)) % _MERSENNE_31)
-        ).alias(f"__mh{j}")
+    aggs = [
+        F.min((F.col("__h") * a + b) % _MERSENNE_31).alias(f"__mh{j}")
         for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
     ]
-    # empty-set filter on the CHEAP output slot (__mh0 is null iff the
-    # shingle set is empty), not on size(__hs): a predicate on __hs gets
-    # pushed below the projection by alias substitution, re-evaluating
-    # the whole shingle pipeline once more per row just for the filter.
-    return (
-        hs.select("__id", *mins)
-        .filter(F.col("__mh0").isNotNull())
-        .select(
-            "__id", F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("__sig")
-        )
+    return shingled.groupBy("__id").agg(*aggs).select(
+        "__id", F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("__sig")
     )
-
-
-def _pairs_from_buckets(
-    banded: DataFrame,
-    key: str,
-    id_col: str,
-    max_bucket_size: int | None,
-    payload_cols: tuple[str, ...] = (),
-) -> DataFrame:
-    """``(id, key[, payload...])`` rows → candidate pairs within each key
-    bucket, in ONE exchange on the bucket key.
-
-    Shape: ``row_number`` over ``(key ORDER BY id)`` caps degenerate
-    buckets while streaming (rows beyond ``max_bucket_size + 1`` are
-    dropped before aggregation, so no full-bucket buffering for buckets
-    that will be discarded), ``collect_list`` gathers each surviving
-    bucket (bounded at ``max_bucket_size`` members), and in-bucket pairs
-    are expanded array-side (``transform`` × ``slice`` combinations).
-    Buckets that exceed the cap are dropped ENTIRELY (count semantics,
-    identical to the former broadcast-anti-join guard — never silent
-    truncation), and singleton buckets are filtered before expansion.
-
-    This replaces the banded self-join formulation: one shuffle of the
-    banded set instead of three (bucket-count pass + two join legs), no
-    persisted intermediate, and the window sort shares the exchange with
-    the aggregation (same key). Memory per group is bounded by the cap;
-    with ``max_bucket_size=None`` the collect is unbounded — callers
-    that disable the cap accept that contract explicitly.
-
-    Returns one row per in-bucket pair: struct columns ``a`` and ``b``
-    (fields: ``i`` = id, plus ``payload_cols``), with ``a.i < b.i``.
-    NOT distinct — a pair sharing several buckets repeats; callers
-    dedupe after projecting (cheap: candidate pairs are a tiny set).
-    """
-    member = F.struct(
-        F.col(id_col).alias("i"), *[F.col(c) for c in payload_cols]
-    )
-    if max_bucket_size:
-        w = Window.partitionBy(key).orderBy(id_col)
-        grouped = (
-            banded.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= max_bucket_size + 1)
-            .groupBy(key)
-            .agg(
-                F.collect_list(member).alias("__members"),
-                F.max("__rn").alias("__mx"),
-            )
-            .filter((F.col("__mx") >= 2) & (F.col("__mx") <= max_bucket_size))
-        )
-    else:
-        grouped = (
-            banded.groupBy(key)
-            .agg(F.collect_list(member).alias("__members"))
-            .filter(F.size("__members") >= 2)
-        )
-    # array_sort orders members by id (first struct field; ids distinct),
-    # so (members[i], members[j]) with i < j gives a.i < b.i — the same
-    # canonical orientation the self-join's `a.id < b.id` produced.
-    members = F.array_sort(F.col("__members"))
-    pairs = F.flatten(
-        F.transform(
-            members,
-            lambda x, i: F.transform(
-                F.slice(members, i + F.lit(2), F.size(members)),
-                lambda y: F.struct(x.alias("a"), y.alias("b")),
-            ),
-        )
-    )
-    return grouped.select(F.explode(pairs).alias("__p")).select("__p.a", "__p.b")
 
 
 def _cap_buckets(
@@ -280,35 +193,64 @@ def minhash_lsh_candidates(
     num_bands: int = 8,
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
+    bucket_cap_mode: str = "antijoin",
+    _cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
 
     Pipeline: per-doc signatures (:func:`minhash_signatures`) →
-    ``num_bands`` band keys → explode → ONE exchange on the band key
-    (:func:`_pairs_from_buckets`: window-capped bucket grouping +
-    in-array pair expansion) → distinct pairs (id_a < id_b).
+    ``num_bands`` band keys → explode → self-join on band key → distinct
+    pairs (id_a < id_b).
 
-    Scale: exactly two shuffles — the signature groupBy and the bucket
-    grouping (hash keys — uniform) — plus the tiny pair-distinct. The
-    former self-join formulation shuffled the banded set three times
-    (bucket-count pass + two join legs) and had to persist it to avoid
-    recomputing the signature pipeline per consumer; this shape has a
-    single consumer, so nothing is persisted and there is no cache to
-    release. ``max_bucket_size`` drops pathological buckets (boilerplate
-    shared by thousands of docs) that would go quadratic — the standard
-    production guard; run :func:`exact_dedup` first so identical texts
-    don't form such buckets.
+    Scale: the only shuffles are the signature groupBy and the band-key
+    join (hash keys — uniform). ``max_bucket_size`` drops pathological
+    buckets (boilerplate shared by thousands of docs) that would go
+    quadratic — the standard production guard; run :func:`exact_dedup`
+    first so identical texts don't form such buckets.
     """
+    if _cleanup is None:  # standalone call: this IS the entry point
+        _release_deferred()
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
         df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
     )
-    banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash).select(
-        "__id", "__band"
+    band_fn = lsh_band_keys_fold if base_hash == "poly" else lsh_band_keys
+    banded = sigs.select(
+        "__id",
+        F.explode(band_fn(F.col("__sig"), num_bands, rows_per_band)).alias("__band"),
     )
+    if base_hash == "poly":
+        # band index disambiguation: fold keys from different bands could
+        # collide across bands; join must stay within a band position
+        banded = sigs.select(
+            "__id",
+            F.posexplode(
+                band_fn(F.col("__sig"), num_bands, rows_per_band)
+            ).alias("__bandpos", "__bandkey"),
+        ).select(
+            "__id",
+            F.concat_ws(":", F.col("__bandpos"), F.col("__bandkey")).alias("__band"),
+        )
+    # The banded set feeds the bucket-cap count AND both legs of the pair
+    # self-join; without materialization the whole signature pipeline
+    # (tokenize → shingle-hash → 32 MIN aggregates) recomputes for each
+    # consumer. The set is tiny relative to the corpus — (id, band) pairs,
+    # num_bands rows per doc — so materializing it is the cheap side of
+    # the trade.
+    banded = banded.persist()
+    if _cleanup is not None:
+        _cleanup.append(banded)
+    else:
+        # the returned pair set still reads banded's cache lazily;
+        # park it for release at the next call
+        _DEFERRED.append(banded)
+    if max_bucket_size:
+        banded = _cap_buckets(banded, "__band", max_bucket_size, bucket_cap_mode)
+    a = banded.alias("a")
+    b = banded.alias("b")
     return (
-        _pairs_from_buckets(banded, "__band", "__id", max_bucket_size)
-        .select(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
+        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .distinct()
     )
 
@@ -383,6 +325,7 @@ def minhash_lsh_dedup(
     num_bands: int = 8,
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
+    bucket_cap_mode: str = "antijoin",
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
     threshold → drop every doc that matches a lower-id survivor.
@@ -391,16 +334,17 @@ def minhash_lsh_dedup(
     transitive chains needs iterative joins; the lower-id-wins rule is
     the standard single-pass policy and matches what exact_dedup does.)
 
-    Caching discipline: the candidate pair set is unpersisted before
-    return (the duplicate-id set is materialized, so its blocks are dead
-    weight by then); the duplicate-id set itself — which the returned
-    anti-join still reads — is released at the next dedup call (see
-    module docstring).
+    Caching discipline: the banded set and candidate pairs are
+    unpersisted before return (the duplicate-id set is materialized, so
+    their blocks are dead weight by then); the duplicate-id set itself —
+    which the returned anti-join still reads — is released at the next
+    dedup call (see module docstring).
     """
     _release_deferred()
     # candidates are tiny but their lineage is the whole signature+LSH
     # pipeline; verification references them 4x (two id legs, two joins)
     # so materialize to compute that pipeline once
+    handles: list[DataFrame] = []
     cand = minhash_lsh_candidates(
         df,
         text_col,
@@ -410,6 +354,8 @@ def minhash_lsh_dedup(
         num_bands,
         max_bucket_size,
         base_hash,
+        bucket_cap_mode,
+        _cleanup=handles,
     ).persist()
     dups = (
         verified_jaccard(
@@ -426,10 +372,11 @@ def minhash_lsh_dedup(
         .persist()
     )
     # dups is the terminal small set the anti-join needs; materialize it
-    # now so the candidate pair set becomes dead weight and can be
-    # released immediately rather than at the next call
+    # now so the banded set and candidate pairs become dead weight and
+    # can be released immediately rather than at the next call
     dups.count()
-    cand.unpersist(blocking=True)
+    for h in (*handles, cand):
+        h.unpersist(blocking=True)
     _DEFERRED.append(dups)
     return df.join(dups, id_col, "left_anti")
 
@@ -442,7 +389,6 @@ def simhash_near_dups(
     block_bits: int = 16,
     base_hash: str = "xxhash64",
     num_blocks: int | None = None,
-    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-duplicate pairs: 64-bit fingerprint, blocked join,
     Hamming verification.
@@ -465,11 +411,6 @@ def simhash_near_dups(
     ``base_hash="poly"`` uses the SQL-expressible 31-bit polynomial
     token hash (fingerprints have 31 bits), enabling a full cross-engine
     oracle of the pipeline.
-
-    ``max_bucket_size`` (default None — every block pairs) drops blocks
-    with more members than the cap, the same degenerate-bucket guard as
-    the LSH operators: a block of identical boilerplate fingerprints
-    pairs quadratically, which no downstream consumer survives anyway.
     """
     sig_bits = 31 if base_hash == "poly" else 64
     hash_expr = (
@@ -519,18 +460,16 @@ def simhash_near_dups(
             )
             chunks.append(F.struct(F.lit(i).alias("i"), val.alias("v")))
         fp = fps.withColumn("__block", F.explode(F.array(*chunks)))
-    # Grouped in-bucket pairing (ONE exchange on the block key) with the
-    # fingerprint carried as bucket payload: the former self-join ran the
-    # expensive 64-aggregate fingerprint pipeline once per join leg and
-    # shuffled it twice; this shape computes fingerprints once, shuffles
-    # once, and verifies Hamming from the carried payloads with no join.
+    a, b = fp.alias("a"), fp.alias("b")
     pairs = (
-        _pairs_from_buckets(
-            fp, "__block", "__id", max_bucket_size, payload_cols=("__fp",)
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("a.i").alias("id_a"),
-            F.col("b.i").alias("id_b"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
             hamming64(F.col("a.__fp"), F.col("b.__fp")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
@@ -729,6 +668,7 @@ def embedding_near_dups(
     keep ``max_bucket_size`` as the guard against degenerate buckets
     (e.g. zero-vector pile-ups).
     """
+    _release_deferred()
     if dim is None:
         head = df.select(F.size(vec_col)).head()
         dim = head[0] if head else None
@@ -748,18 +688,25 @@ def embedding_near_dups(
             key = key + bit
         return key
 
+    # band keys cost num_bands × bits_per_band interpreted dot products
+    # per row; persist the banded set so the cap count and BOTH join
+    # legs read it instead of recomputing (released at the next dedup
+    # call like every LSH intermediate)
     banded = base.select(
         "__id",
         F.explode(F.array(*[band_key(j) for j in range(num_bands)])).alias("__band"),
-    )
-    # Grouped in-bucket pairing (ONE exchange) instead of a banded
-    # self-join: the former shape recomputed the num_bands × bits dot
-    # products per join leg and shuffled the banded set twice. Vectors
-    # stay OUT of the bucket payload (wide arrays would be duplicated
-    # per membership and per pair); verification joins them back below.
+    ).persist()
+    _DEFERRED.append(banded)
+    if max_bucket_size:
+        banded = _cap_buckets(banded, "__band", max_bucket_size)
+    pa, pb = banded.alias("pa"), banded.alias("pb")
     cand = (
-        _pairs_from_buckets(banded, "__band", "__id", max_bucket_size)
-        .select(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
+        pa.join(
+            pb,
+            (F.col("pa.__band") == F.col("pb.__band"))
+            & (F.col("pa.__id") < F.col("pb.__id")),
+        )
+        .select(F.col("pa.__id").alias("id_a"), F.col("pb.__id").alias("id_b"))
         .distinct()
     )
     a, b = base.alias("a"), base.alias("b")
@@ -779,6 +726,31 @@ def embedding_near_dups(
     )
 
 
+def _arrow_cosine(u_col: Column, v_col: Column) -> Column:
+    """Vectorized cosine similarity via an Arrow-batched Pandas UDF —
+    the sanctioned slow-path escape used where the built-in column form
+    genuinely can't keep up: per-pair higher-order lambdas evaluate
+    interpreted (~3-4 µs per 64-dim cosine), while numpy does the same
+    math SIMD-vectorized per Arrow batch. Summation order differs from
+    the left-to-right JVM/oracle form in the last float bits."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _cos(u, v):
+        un = np.array(u.tolist(), dtype=np.float64)
+        vn = np.array(v.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", un, vn)
+        den = np.linalg.norm(un, axis=1) * np.linalg.norm(vn, axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            out = np.where(den == 0.0, 0.0, num / den)
+        return pd.Series(out)
+
+    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)(u_col, v_col)
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -787,6 +759,7 @@ def semantic_dedup(
     num_seeds: int = 16,
     seeds: DataFrame | None = None,
     max_cluster_size: int | None = None,
+    cosine_backend: str = "jvm",
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: partition the corpus into
     embedding clusters, verify pairwise cosine ONLY within a cluster,
@@ -803,42 +776,42 @@ def semantic_dedup(
     Scale shape: seeds are collected to the driver (``num_seeds × dim``
     doubles — same sanctioned pattern as the IVF centroid math) so the
     nearest-seed assignment is pure in-row column math over broadcast
-    literals — ZERO shuffle for the assignment pass, vs. the n×k-row
-    exchange a window/groupBy formulation would pay. Within-cluster
-    pairing reuses the single-exchange bucket grouping
-    (:func:`_pairs_from_buckets`) keyed on the cluster id, and exact
-    cosines are verified after joining vectors back (wide arrays stay
-    out of the bucket payload). Within-cluster comparison is quadratic
-    per cluster BY CONTRACT — the SemDeDup trade: choose ``num_seeds``
-    so clusters stay small, and/or set ``max_cluster_size`` to drop
-    degenerate clusters outright (count semantics, never silent
-    truncation). The assignment expression grows with ``num_seeds``;
-    past a few hundred seeds use the k-means/IVF route instead.
+    literals — no n×k assignment shuffle. Within-cluster pairing is a
+    capped self-join on the cluster id (codegen'd join — measured
+    decisively faster than in-array pair expansion, whose higher-order
+    lambdas evaluate interpreted; see SCALE.md round-5), with the
+    assignment persisted so its expression pipeline runs once, not per
+    join leg. Within-cluster comparison is quadratic per cluster BY
+    CONTRACT — the SemDeDup trade: choose ``num_seeds`` so clusters
+    stay small, and/or set ``max_cluster_size`` to drop degenerate
+    clusters outright (count semantics, never silent truncation). The
+    assignment expression grows with ``num_seeds``; past a few hundred
+    seeds use the k-means/IVF route instead.
 
     Tie-breaks are total: assignment prefers higher cosine, then lower
     seed id; the drop rule is the family's lower-id-wins single pass
     (:func:`minhash_lsh_dedup`). (The SemDeDup paper keeps the vector
     closest to the centroid; lower-id-wins is deterministic under
     re-partitioning, which matters more in a ledger engine.)
+
+    ``cosine_backend``: ``"jvm"`` (default) verifies with the
+    left-to-right double dot product — bit-identical to the DuckDB
+    oracle, but higher-order lambdas evaluate interpreted (~3-4 µs per
+    64-dim cosine). ``"arrow"`` verifies with a vectorized numpy Pandas
+    UDF (~100× less per-pair CPU) — the 100 TB path; its SIMD summation
+    order may flip pairs whose cosine sits within float rounding of the
+    threshold, so the oracle demo stays on ``"jvm"``.
     """
+    _release_deferred()
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
     ).withColumn("__nrm", l2_norm(F.col("__v")))
-    if seeds is None:
-        seed_rows = (
-            base.orderBy("__id").limit(num_seeds).select("__id", "__v").collect()
-        )
-    else:
-        seed_rows = (
-            seeds.select(
-                F.col(id_col).alias("__id"),
-                F.col(vec_col).cast("array<double>").alias("__v"),
-            )
-            .orderBy("__id")
-            .limit(num_seeds)
-            .collect()
-        )
+    seed_src = base if seeds is None else seeds.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"),
+    )
+    seed_rows = seed_src.orderBy("__id").limit(num_seeds).select("__id", "__v").collect()
     # nearest seed in-row: max over (cosine, -seed_id) structs — higher
     # cosine wins, ties break to the lower seed id
     choices = [
@@ -851,28 +824,36 @@ def semantic_dedup(
         )
         for r in seed_rows
     ]
+    # both self-join legs consume the assignment; persist so the
+    # dot-product pipeline runs once. Unlike the banded LSH operators —
+    # where a doc appears in num_bands buckets and carrying vectors
+    # would duplicate them per membership — a doc is in EXACTLY ONE
+    # cluster, so the legs carry the vectors directly: zero join-backs,
+    # and the cosine filter runs in the same stage as the join.
     assigned = base.withColumn(
         "__cluster", -F.array_max(F.array(*choices))["negsid"]
-    )
-    cand = (
-        _pairs_from_buckets(
-            assigned.select("__id", "__cluster"), "__cluster", "__id", max_cluster_size
+    ).persist()
+    legs = assigned
+    if max_cluster_size:
+        legs = _cap_buckets(legs, "__cluster", max_cluster_size)
+    a, b = legs.alias("a"), legs.alias("b")
+    if cosine_backend == "arrow":
+        cos = _arrow_cosine(F.col("a.__v"), F.col("b.__v"))
+    else:
+        cos = dot_product(F.col("a.__v"), F.col("b.__v")) / (
+            F.col("a.__nrm") * F.col("b.__nrm")
         )
-        .select(F.col("a.i").alias("id_a"), F.col("b.i").alias("id_b"))
-        .distinct()
-    )
-    a, b = base.alias("a"), base.alias("b")
     dups = (
-        cand.join(a, F.col("id_a") == F.col("a.__id"))
-        .join(b, F.col("id_b") == F.col("b.__id"))
-        .filter(
-            dot_product(F.col("a.__v"), F.col("b.__v"))
-            / (F.col("a.__nrm") * F.col("b.__nrm"))
-            >= threshold
+        a.join(
+            b,
+            (F.col("a.__cluster") == F.col("b.__cluster"))
+            & (F.col("a.__id") < F.col("b.__id")),
         )
-        .select(F.col("id_b").alias("__dup"))
+        .filter(cos >= threshold)
+        .select(F.col("b.__id").alias("__dup"))
         .distinct()
     )
+    _DEFERRED.append(assigned)
     return df.join(dups, df[id_col] == F.col("__dup"), "left_anti")
 
 

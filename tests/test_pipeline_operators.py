@@ -386,3 +386,11 @@ def test_oov_rate_counts_occurrences(spark):
     r = X.oov_rate(df, vocab).collect()[0]
     assert r["n_tokens"] == 4
     assert abs(r["oov_rate"] - 0.25) < 1e-9  # one OOV occurrence of four
+
+
+def test_semantic_dedup_arrow_backend_matches_jvm(vectors):
+    a = sorted(r["vec_id"] for r in D.semantic_dedup(
+        vectors, threshold=0.95, num_seeds=2).collect())
+    b = sorted(r["vec_id"] for r in D.semantic_dedup(
+        vectors, threshold=0.95, num_seeds=2, cosine_backend="arrow").collect())
+    assert a == b

@@ -71,15 +71,19 @@ def test_topk_similarity_no_corpus_shuffle(spark):
     assert "Exchange hashpartitioning" not in p
 
 
-def test_minhash_signatures_zero_shuffle(spark):
-    """The in-row signature stage needs no exchange at any corpus width."""
+def test_minhash_signatures_partial_aggregation(spark):
+    """The signature stage is codegen'd MIN aggregates with map-side
+    partials (the exchange carries num_hashes longs per doc) — the
+    formulation that beat in-row higher-order lambdas 2.2× at 50k docs
+    (interpreted evaluation; SCALE.md round-5)."""
     from kamu_engine_datafusion_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         minhash_signatures(docs).explain("formatted")
-    assert "Exchange" not in buf.getvalue()
+    p = buf.getvalue()
+    assert p.count("HashAggregate") >= 2  # partial + final min aggregates
 
 
 def test_semantic_dedup_assignment_no_exchange_before_grouping(spark):

@@ -86,6 +86,22 @@ def main() -> None:
         lambda: D.embedding_near_dups(emb, threshold=0.4, dim=64).count(),
     )
     t(
+        "semantic_dedup_jvm",
+        lambda: D.semantic_dedup(
+            emb, threshold=0.4, num_seeds=64, max_cluster_size=4000
+        ).count(),
+    )
+    t(
+        "semantic_dedup_arrow",
+        lambda: D.semantic_dedup(
+            emb,
+            threshold=0.4,
+            num_seeds=64,
+            max_cluster_size=4000,
+            cosine_backend="arrow",
+        ).count(),
+    )
+    t(
         "topk_brute",
         lambda: S.topk_bruteforce(
             emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64
