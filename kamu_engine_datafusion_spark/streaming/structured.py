@@ -103,6 +103,39 @@ def streaming_dedup(
     )
 
 
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_time_col: str,
+    right_time_col: str,
+    max_delay: str = "10 minutes",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: each left event matches
+    right events with the same key whose timestamp lies in
+    ``[left_time, left_time + max_delay]`` — the click-to-conversion /
+    request-to-response attribution shape.
+
+    Both sides are watermarked, and the join condition bounds the time
+    difference in BOTH directions, so Spark can expire buffered state:
+    a right row is held only until the left watermark passes
+    ``right_time`` (and vice versa). Without the two-sided bound the
+    state store grows without limit — the classic stream-join footgun.
+    State is keyed by (key, time range); at 1000 executors it shards on
+    the join key like any shuffle.
+    """
+    lw = left.withWatermark(left_time_col, watermark_delay).alias("l")
+    rw = right.withWatermark(right_time_col, watermark_delay).alias("r")
+    lt, rt = F.col(f"l.{left_time_col}"), F.col(f"r.{right_time_col}")
+    return lw.join(
+        rw,
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (rt >= lt)
+        & (rt <= lt + F.expr(f"INTERVAL {max_delay}")),
+    )
+
+
 def run_to_memory(
     spark: SparkSession, stream_df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -276,3 +276,48 @@ def test_ledger_sink_exactly_once_on_crash_replay(spark, tmp_path):
     files = sorted(_glob.glob(ledger_dir + "/*.parquet"))
     cities = pq_r.read_table(files)["city"].to_pylist()
     assert sorted(cities) == ["kyiv", "lyon", "osaka", "turin", "vancouver"]
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Clicks join conversions with the same user within 10 minutes —
+    two-sided time bound so both state stores can expire."""
+    import pandas as pd
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        stream_interval_join,
+    )
+
+    ldir = tmp_path / "clicks"
+    rdir = tmp_path / "convs"
+    ldir.mkdir()
+    rdir.mkdir()
+    t0 = datetime(2024, 1, 1, 12, 0, 0, tzinfo=UTC)
+
+    def write(d, name, rows, cols):
+        # pandas writes ns timestamps, which nanosAsLong turns into
+        # BIGINT on read; coerce to us so the stream sees TIMESTAMP
+        pd.DataFrame(rows, columns=cols).to_parquet(
+            str(d / name), coerce_timestamps="us", allow_truncated_timestamps=True
+        )
+
+    write(ldir, "p0.parquet",
+          [(1, t0), (2, t0)], ["user_id", "click_time"])
+    write(rdir, "p0.parquet",
+          # user 1 converts 5 min after the click (match); user 2
+          # converts 30 min after (outside max_delay -> no match)
+          [(1, datetime(2024, 1, 1, 12, 5, tzinfo=UTC)), (2, datetime(2024, 1, 1, 12, 30, tzinfo=UTC))],
+          ["user_id", "conv_time"])
+
+    lschema = spark.read.parquet(str(ldir / "p0.parquet")).schema
+    rschema = spark.read.parquet(str(rdir / "p0.parquet")).schema
+    joined = stream_interval_join(
+        ledger_stream(spark, str(ldir), lschema),
+        ledger_stream(spark, str(rdir), rschema),
+        key_col="user_id",
+        left_time_col="click_time",
+        right_time_col="conv_time",
+        max_delay="10 minutes",
+    )
+    rows = run_to_memory(spark, joined, "ssjoin").collect()
+    assert len(rows) == 1  # only user 1 attributes within the window
+    assert rows[0]["conv_time"].minute == 5
