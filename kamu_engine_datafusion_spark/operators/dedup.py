@@ -751,6 +751,33 @@ def _arrow_cosine(u_col: Column, v_col: Column) -> Column:
     return pandas_udf(_cos, "double", PandasUDFType.SCALAR)(u_col, v_col)
 
 
+def _arrow_nearest_seed(
+    v_col: Column, seed_ids: list, seed_vecs: list[list[float]]
+) -> Column:
+    """Vectorized nearest-seed assignment: one numpy matmul of each
+    Arrow batch against the (num_seeds × dim) unit-seed matrix,
+    ``argmax`` row-wise. Seeds ride the UDF closure (k × dim doubles).
+    ``argmax`` returns the FIRST maximum and seeds are ordered by id, so
+    ties break to the lower seed id — same total order as the JVM path
+    (up to SIMD float-rounding on near-ties)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    ids = np.array(seed_ids, dtype=np.int64)
+    sm = np.array(seed_vecs, dtype=np.float64)
+    sm = sm / np.linalg.norm(sm, axis=1, keepdims=True)
+
+    def _assign(v):
+        vn = np.array(v.tolist(), dtype=np.float64)
+        norms = np.linalg.norm(vn, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = np.where(norms == 0.0, 0.0, vn / norms) @ sm.T
+        return pd.Series(ids[np.argmax(cos, axis=1)])
+
+    return pandas_udf(_assign, "long", PandasUDFType.SCALAR)(v_col)
+
+
 def semantic_dedup(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -794,13 +821,14 @@ def semantic_dedup(
     closest to the centroid; lower-id-wins is deterministic under
     re-partitioning, which matters more in a ledger engine.)
 
-    ``cosine_backend``: ``"jvm"`` (default) verifies with the
-    left-to-right double dot product — bit-identical to the DuckDB
-    oracle, but higher-order lambdas evaluate interpreted (~3-4 µs per
-    64-dim cosine). ``"arrow"`` verifies with a vectorized numpy Pandas
-    UDF (~100× less per-pair CPU) — the 100 TB path; its SIMD summation
-    order may flip pairs whose cosine sits within float rounding of the
-    threshold, so the oracle demo stays on ``"jvm"``.
+    ``cosine_backend``: ``"jvm"`` (default) computes assignment and
+    verification with the left-to-right double dot product —
+    bit-identical to the DuckDB oracle, but higher-order lambdas
+    evaluate interpreted (~3-4 µs per 64-dim cosine). ``"arrow"`` runs
+    BOTH passes as vectorized numpy Pandas UDFs (matmul assignment,
+    einsum verify — ~100× less per-pair CPU) — the 100 TB path; SIMD
+    summation order may flip near-tie assignments or pairs within float
+    rounding of the threshold, so the oracle demo stays on ``"jvm"``.
     """
     _release_deferred()
     base = df.select(
@@ -812,27 +840,38 @@ def semantic_dedup(
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
     seed_rows = seed_src.orderBy("__id").limit(num_seeds).select("__id", "__v").collect()
-    # nearest seed in-row: max over (cosine, -seed_id) structs — higher
-    # cosine wins, ties break to the lower seed id
-    choices = [
-        F.struct(
-            (
-                dot_product(F.col("__v"), F.array(*[F.lit(float(x)) for x in r["__v"]]))
-                / (F.col("__nrm") * math.sqrt(sum(float(x) * float(x) for x in r["__v"])))
-            ).alias("cos"),
-            F.lit(-r["__id"]).alias("negsid"),
+    if cosine_backend == "arrow":
+        cluster = _arrow_nearest_seed(
+            F.col("__v"),
+            [r["__id"] for r in seed_rows],
+            [list(map(float, r["__v"])) for r in seed_rows],
         )
-        for r in seed_rows
-    ]
+    else:
+        # nearest seed in-row: max over (cosine, -seed_id) structs —
+        # higher cosine wins, ties break to the lower seed id
+        choices = [
+            F.struct(
+                (
+                    dot_product(
+                        F.col("__v"), F.array(*[F.lit(float(x)) for x in r["__v"]])
+                    )
+                    / (
+                        F.col("__nrm")
+                        * math.sqrt(sum(float(x) * float(x) for x in r["__v"]))
+                    )
+                ).alias("cos"),
+                F.lit(-r["__id"]).alias("negsid"),
+            )
+            for r in seed_rows
+        ]
+        cluster = -F.array_max(F.array(*choices))["negsid"]
     # both self-join legs consume the assignment; persist so the
     # dot-product pipeline runs once. Unlike the banded LSH operators —
     # where a doc appears in num_bands buckets and carrying vectors
     # would duplicate them per membership — a doc is in EXACTLY ONE
     # cluster, so the legs carry the vectors directly: zero join-backs,
     # and the cosine filter runs in the same stage as the join.
-    assigned = base.withColumn(
-        "__cluster", -F.array_max(F.array(*choices))["negsid"]
-    ).persist()
+    assigned = base.withColumn("__cluster", cluster).persist()
     legs = assigned
     if max_cluster_size:
         legs = _cap_buckets(legs, "__cluster", max_cluster_size)
