@@ -97,3 +97,40 @@ def rollup_time_buckets(
     return events.groupBy(b, *group_cols).agg(
         *[c.alias(n) for n, c in aggs.items()]
     )
+
+
+def history_intervals(
+    ledger: DataFrame,
+    primary_key: str | list[str],
+    vocab: DatasetVocabulary | None = None,
+) -> DataFrame:
+    """SCD2-style validity intervals from a retractable ledger: one row
+    per ledger record with ``valid_from``/``valid_to`` event times and
+    ``is_current`` — the between-join-able form of the dataset's full
+    history (``FROM history WHERE ts >= valid_from AND (valid_to IS
+    NULL OR ts < valid_to)`` reconstructs any point-in-time state).
+
+    Semantics per key, in ledger (offset) order:
+    - a record's validity starts at its own event time and ends at the
+      next record's event time for the same key (``lead``), open-ended
+      (null) for the latest record;
+    - retractions and correct-from halves close the PRECEDING record's
+      validity but are not themselves emitted (they carry no state);
+    - ``is_current`` marks open-ended rows that are not dead.
+
+    Scale: one shuffle on the primary key; both windows (lead + latest)
+    share the exchange. Same cost shape as the snapshot projection.
+    """
+    vocab = vocab or DatasetVocabulary()
+    keys = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    off, op = vocab.offset_column, vocab.operation_type_column
+    et = vocab.event_time_column
+    w = Window.partitionBy(*keys).orderBy(F.col(off))
+    with_next = ledger.withColumn("__next_et", F.lead(F.col(et)).over(w))
+    live = with_next.filter(~F.col(op).isin(OP_RETRACT, OP_CORRECT_FROM))
+    return (
+        live.withColumn("valid_from", F.col(et))
+        .withColumn("valid_to", F.col("__next_et"))
+        .withColumn("is_current", F.col("__next_et").isNull())
+        .drop("__next_et", op, vocab.system_time_column)
+    )

@@ -296,6 +296,33 @@ def q_xvocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xscd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity intervals from the synthetic retractable ledger
+    (same construction as xsnapshot): one row per live record with
+    valid_from/valid_to event times and the is_current flag."""
+    from kamu_engine_datafusion_spark.operators.snapshot import history_intervals
+
+    t = load(spark, sf_dir, "events")
+    ledger = t["events"].filter(F.col("user_id") < 200).select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 4).cast("int").alias("op"),
+        F.col("ts").alias("event_time"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    h = history_intervals(ledger, "user_id")
+    return h.select(
+        F.col("offset").alias("off"),
+        "user_id",
+        "event_type",
+        F.round("value", 2).alias("value"),
+        F.unix_micros(F.col("valid_from").cast("timestamp")).alias("valid_from_us"),
+        F.unix_micros(F.col("valid_to").cast("timestamp")).alias("valid_to_us"),
+        "is_current",
+    )
+
+
 def q_xdecontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs < 400 form the corpus, docs >= 450
     the 'benchmark'; count shared 3-gram shingles per corpus doc."""
@@ -705,6 +732,7 @@ QUERIES = {
     "xvocab": q_xvocab,
     "xvocab_oov": q_xvocab_oov,
     "xsnapshot": q_xsnapshot,
+    "xscd2": q_xscd2,
     "xrollup_time": q_xrollup_time,
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
@@ -1190,6 +1218,18 @@ ORACLES = {
         "SELECT user_id, event_type, round(value, 2) AS value, "
         "epoch_us(event_time) AS event_time_us "
         "FROM latest WHERE rn = 1 AND op NOT IN (1, 2)"
+    ),
+    "xscd2": (
+        "WITH ledger AS (SELECT event_id AS off, "
+        "CAST(event_id % 4 AS INT) AS op, ts AS event_time, "
+        "user_id, event_type, value FROM events WHERE user_id < 200), "
+        "w AS (SELECT *, lead(event_time) OVER "
+        "(PARTITION BY user_id ORDER BY off) AS next_et FROM ledger) "
+        "SELECT off, user_id, event_type, round(value, 2) AS value, "
+        "epoch_us(event_time) AS valid_from_us, "
+        "epoch_us(next_et) AS valid_to_us, "
+        "(next_et IS NULL) AS is_current "
+        "FROM w WHERE op NOT IN (1, 2)"
     ),
     "xrollup_time": (
         "SELECT epoch_us(date_trunc('hour', ts)) AS bucket_us, event_type, "

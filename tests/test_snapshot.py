@@ -97,3 +97,26 @@ def test_snapshot_as_of_time_travel(spark):
     assert state(2) == {"kyiv": 2, "lyon": 5}
     assert state(3) == {"kyiv": 2}          # lyon retracted
     assert state(4) == {"kyiv": 2, "lyon": 9}
+
+
+def test_history_intervals_scd2(spark):
+    from datetime import timedelta
+
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        history_intervals,
+    )
+
+    t1, t2, t3 = T, T + timedelta(hours=1), T + timedelta(hours=2)
+    led = _ledger(spark, [
+        (0, 0, T, t1, "kyiv", 1),       # append v1
+        (1, 0, T, t2, "kyiv", 2),       # append v2: closes v1 at t2
+        (2, 1, T, t3, "kyiv", 2),       # retract: closes v2, emits nothing
+        (3, 0, T, t1, "lyon", 5),       # append, never superseded
+    ])
+    rows = {r["offset"]: r for r in
+            history_intervals(led, "city").collect()}
+    assert set(rows) == {0, 1, 3}       # the retract row is not emitted
+    assert rows[0]["valid_from"] == t1 and rows[0]["valid_to"] == t2
+    assert rows[1]["valid_from"] == t2 and rows[1]["valid_to"] == t3
+    assert not rows[1]["is_current"]    # closed by the retraction
+    assert rows[3]["valid_to"] is None and rows[3]["is_current"]
