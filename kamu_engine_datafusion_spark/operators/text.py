@@ -261,3 +261,27 @@ def oov_rate(df, vocab, text_col: str = "text", id_col: str = "doc_id"):
         n.alias("n_tokens"),
         F.round((n - F.count("__in")) / n, 4).alias("oov_rate"),
     )
+
+
+def unigram_logprob(df, vocab, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document mean unigram log-probability — the cheap stand-in
+    for LM-perplexity quality filtering (CCNet-style): each token
+    occurrence scores ``ln(freq/total)`` from a ``(token, freq)``
+    vocabulary; out-of-vocabulary occurrences floor at
+    ``ln(0.5/total)``. Lower mean ⇒ rarer/noisier text.
+
+    Scale: the vocabulary broadcasts (bounded by construction); the only
+    exchange is the per-doc re-aggregation on the uniform id.
+    """
+    total = float(vocab.agg(F.sum("freq")).collect()[0][0])  # tiny scalar
+    tok = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("token"))
+    scored = tok.join(
+        F.broadcast(vocab.select("token", "freq")), "token", "left"
+    )
+    lp = F.when(
+        F.col("freq").isNotNull(), F.log(F.col("freq") / F.lit(total))
+    ).otherwise(F.log(F.lit(0.5 / total)))
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(lp), 4).alias("mean_logprob"),
+    )

@@ -41,6 +41,7 @@ _PRIORITY = [
     "xvocab",  # NEW: vocabulary induction
     "xvocab_oov",  # NEW: OOV coverage vs induced vocabulary
     "xscd2",  # NEW: SCD2 validity intervals from retractable ledger
+    "xlm_score",  # NEW: unigram-logprob LM-quality proxy
     "xdedup_minhash_sql",  # in-row signatures + single-exchange pairing
     "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",  # in-row signatures feed the index builder

@@ -323,6 +323,14 @@ def q_xscd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram log-probability quality scoring against the induced
+    top-10 vocabulary (OOV floored): the LM-perplexity-filter proxy."""
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    return X.unigram_logprob(docs, X.vocabulary(docs, top_v=10))
+
+
 def q_xdecontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs < 400 form the corpus, docs >= 450
     the 'benchmark'; count shared 3-gram shingles per corpus doc."""
@@ -731,6 +739,7 @@ QUERIES = {
     "xpack_sequences": q_xpack_sequences,
     "xvocab": q_xvocab,
     "xvocab_oov": q_xvocab_oov,
+    "xlm_score": q_xlm_score,
     "xsnapshot": q_xsnapshot,
     "xscd2": q_xscd2,
     "xrollup_time": q_xrollup_time,
@@ -1094,6 +1103,19 @@ ORACLES = {
         "AS oov_rate FROM tok LEFT JOIN v USING (token) GROUP BY doc_id) "
         "SELECT lang, count(*) AS n_docs, round(avg(oov_rate), 4) AS avg_oov "
         "FROM r JOIN documents USING (doc_id) GROUP BY lang"
+    ),
+    "xlm_score": (
+        "WITH tok AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS token FROM documents), "
+        "c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token), "
+        "v AS (SELECT token, freq FROM (SELECT token, freq, row_number() OVER "
+        "(ORDER BY freq DESC, token) AS rank FROM c) WHERE rank <= 10), "
+        "tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM v) "
+        "SELECT doc_id, count(*) AS n_tokens, "
+        "round(avg(CASE WHEN v.freq IS NOT NULL "
+        "THEN ln(v.freq / tot.total) ELSE ln(0.5 / tot.total) END), 4) "
+        "AS mean_logprob "
+        "FROM tok LEFT JOIN v USING (token) CROSS JOIN tot GROUP BY doc_id"
     ),
     "xsalted_agg": (
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

@@ -394,3 +394,15 @@ def test_semantic_dedup_arrow_backend_matches_jvm(vectors):
     b = sorted(r["vec_id"] for r in D.semantic_dedup(
         vectors, threshold=0.95, num_seeds=2, cosine_backend="arrow").collect())
     assert a == b
+
+
+def test_unigram_logprob_oov_floor(spark):
+    import math
+
+    df = spark.createDataFrame([(0, "a a zzz")], ["doc_id", "text"])
+    vocab = spark.createDataFrame([("a", 8), ("b", 2)], ["token", "freq"])
+    r = X.unigram_logprob(df, vocab).collect()[0]
+    # total=10: two tokens at ln(0.8), one OOV at ln(0.05)
+    want = (2 * math.log(0.8) + math.log(0.05)) / 3
+    assert r["n_tokens"] == 3
+    assert abs(r["mean_logprob"] - round(want, 4)) < 1e-9
