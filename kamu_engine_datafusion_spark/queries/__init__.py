@@ -42,18 +42,17 @@ _PRIORITY = [
     "xvocab_oov",  # NEW: OOV coverage vs induced vocabulary
     "xscd2",  # NEW: SCD2 validity intervals from retractable ledger
     "xlm_score",  # NEW: unigram-logprob LM-quality proxy
-    "xdedup_minhash_sql",  # in-row signatures + single-exchange pairing
+    "xdedup_minhash_sql",  # dedup.py churned (rewrite + revert) in r5
     "xdedup_minhash",  # (rows-only twin)
-    "xdedup_incremental",  # in-row signatures feed the index builder
-    "xdedup_simhash_sql",  # bucket-payload pairing (fingerprint carried)
+    "xdedup_incremental",  # dedup.py churned in r5
+    "xdedup_simhash_sql",  # dedup.py churned in r5
     "xdedup_simhash",  # (rows-only twin)
-    "xdedup_embcos",  # single-exchange band pairing
+    "xdedup_embcos",  # banded set now persisted (computed once)
     "xsnapshot",  # NTZ-safe unix_micros cast
-    "xdedup_cluster",  # shares the dedup module (pairing helpers)
+    "xdedup_cluster",  # shares the dedup module
     # -- stale: last driver-green was round 3 --
     "a13_offsets_distributed",
     "a14_system_columns",
-    "b03_information_schema",
     "b04_parquet_sink",
     "b17_count_distinct",
     "b23_ranking",
@@ -86,6 +85,7 @@ _PRIORITY = [
     "xtext_redact_pii",
     "xtext_repetition",
     "xtext_tokens",
+    "b03_information_schema",
     # -- window padding: headline keys, last green round 4 --
     "xrange_join",
     "xmm_decode",
