@@ -648,6 +648,7 @@ def embedding_near_dups(
     num_bands: int = 4,
     bits_per_band: int = 8,
     max_bucket_size: int | None = 1000,
+    cosine_backend: str = "jvm",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates.
 
@@ -667,6 +668,10 @@ def embedding_near_dups(
     raise ``bits_per_band`` so per-bucket occupancy stays bounded, and
     keep ``max_bucket_size`` as the guard against degenerate buckets
     (e.g. zero-vector pile-ups).
+
+    ``cosine_backend``: ``"jvm"`` (default) = bit-exact oracle-matching
+    left-to-right double cosine; ``"arrow"`` = vectorized numpy Pandas
+    UDF for the verification pass — see :func:`semantic_dedup`.
     """
     _release_deferred()
     if dim is None:
@@ -717,7 +722,9 @@ def embedding_near_dups(
             "id_a",
             "id_b",
             F.round(
-                dot_product(F.col("a.__v"), F.col("b.__v"), dim)
+                _arrow_cosine(F.col("a.__v"), F.col("b.__v"))
+                if cosine_backend == "arrow"
+                else dot_product(F.col("a.__v"), F.col("b.__v"), dim)
                 / (F.col("a.__nrm") * F.col("b.__nrm")),
                 6,
             ).alias("cosine"),

@@ -406,3 +406,11 @@ def test_unigram_logprob_oov_floor(spark):
     want = (2 * math.log(0.8) + math.log(0.05)) / 3
     assert r["n_tokens"] == 3
     assert abs(r["mean_logprob"] - round(want, 4)) < 1e-9
+
+
+def test_embedding_near_dups_arrow_backend(vectors):
+    a = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(
+        vectors, threshold=0.9, dim=3).collect()}
+    b = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(
+        vectors, threshold=0.9, dim=3, cosine_backend="arrow").collect()}
+    assert a == b
