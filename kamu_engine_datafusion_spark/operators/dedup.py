@@ -412,6 +412,7 @@ def simhash_near_dups(
     token hash (fingerprints have 31 bits), enabling a full cross-engine
     oracle of the pipeline.
     """
+    _release_deferred()
     sig_bits = 31 if base_hash == "poly" else 64
     hash_expr = (
         poly_hash31(F.col("__t")) if base_hash == "poly" else F.xxhash64("__t")
@@ -460,6 +461,11 @@ def simhash_near_dups(
             )
             chunks.append(F.struct(F.lit(i).alias("i"), val.alias("v")))
         fp = fps.withColumn("__block", F.explode(F.array(*chunks)))
+    # the fingerprint pipeline (tokenize + 64 bit-sum aggregates) feeds
+    # both self-join legs; persist so it runs once, not per leg —
+    # released at the next dedup call like every LSH intermediate
+    fp = fp.persist()
+    _DEFERRED.append(fp)
     a, b = fp.alias("a"), fp.alias("b")
     pairs = (
         a.join(
