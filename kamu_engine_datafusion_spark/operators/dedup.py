@@ -1,18 +1,26 @@
 """Deduplication operators for large-scale training-data pipelines.
 
-Five dedup strategies over a document table, each designed for the
-100 TB regime (blocked/bucketed joins, no driver-side materialization,
-no O(n²) candidate generation):
+Dedup strategies over a document table, each designed for the 100 TB
+regime (blocked/bucketed joins, no driver-side materialization, no
+O(n²) candidate generation):
 
 - :func:`exact_dedup` — hash-groupBy on content (or normalized content).
 - :func:`minhash_lsh_candidates` / :func:`minhash_lsh_dedup` — shingle →
   MinHash signature → banded LSH bucket join → verified Jaccard.
 - :func:`simhash_near_dups` — 64-bit SimHash + same-bucket Hamming check.
 - :func:`ngram_jaccard_pairs` — token-set Jaccard within blocks.
-- :func:`embedding_near_dups` — cosine near-duplicates within blocks.
+- :func:`embedding_near_dups` — cosine near-duplicates within SRP bands.
+- :func:`semantic_dedup` — SemDeDup-style: embedding clusters + within-
+  cluster cosine prune (optional vectorized ``cosine_backend="arrow"``).
+- :func:`paragraph_dedup` — first global occurrence of each paragraph.
+- :func:`minhash_index` / :func:`dedup_increment_against_index` —
+  continuous ingestion against a persisted signature index.
 
 All are pure DataFrame compositions (JVM-side column math from
-``functions.columns``); nothing collects to the driver.
+``functions.columns``); nothing collects to the driver except
+semantic_dedup's k seed vectors (the IVF-centroid pattern), and the
+optional arrow backends are Arrow-batched Pandas UDFs, never
+row-at-a-time Python.
 
 Caching discipline: the LSH operators ``persist()`` small
 multi-consumer intermediates (banded signature sets, duplicate-id

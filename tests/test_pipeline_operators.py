@@ -414,3 +414,30 @@ def test_embedding_near_dups_arrow_backend(vectors):
     b = {(r["id_a"], r["id_b"]) for r in D.embedding_near_dups(
         vectors, threshold=0.9, dim=3, cosine_backend="arrow").collect()}
     assert a == b
+
+
+def test_semantic_dedup_with_kmeans_centroid_seeds(spark):
+    """seeds= accepts k-means centroids (the at-scale clustering route):
+    build centroids via the IVF quantizer, feed them as a seeds frame."""
+    import random
+
+    from kamu_engine_datafusion_spark.operators.similarity import ivf_index
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(60):
+        center = [1.0, 0.0] if i % 2 == 0 else [0.0, 1.0]
+        rows.append((i, [c + rng.uniform(-0.05, 0.05) for c in center], 0))
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+
+    _, model = ivf_index(emb, nlist=2)
+    seeds = spark.createDataFrame(
+        [(1000 + i, [float(x) for x in c], 0)
+         for i, c in enumerate(model.clusterCenters())],
+        ["vec_id", "embedding", "label"],
+    )
+    out = D.semantic_dedup(emb, threshold=0.995, num_seeds=2, seeds=seeds)
+    n = out.count()
+    # near-identical vectors inside each blob collapse; both blobs keep
+    # at least a representative
+    assert 2 <= n < 60

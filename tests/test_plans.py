@@ -115,3 +115,37 @@ def test_stratified_exact_single_exchange(spark):
 
     assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
     assert len(re.findall(r"\(\d+\) Window", p)) == 2
+
+
+def test_scd2_single_exchange(spark):
+    """history_intervals: the lead window is the only exchange."""
+    import re
+
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        history_intervals,
+    )
+
+    led = spark.createDataFrame(
+        [(0, 0, None, None, "k", 1)],
+        "offset long, op int, system_time timestamp, "
+        "event_time timestamp, city string, population long",
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        history_intervals(led, "city").explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
+
+
+def test_pack_sequences_single_exchange(spark):
+    """Running-offset chunking: one exchange on the partition key."""
+    import re
+
+    from kamu_engine_datafusion_spark.operators.sampling import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pack_sequences(
+            docs.withColumn("cost", docs.n_chars), "doc_id", "cost", 2048, "lang"
+        ).explain("formatted")
+    assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
