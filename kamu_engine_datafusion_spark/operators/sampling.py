@@ -143,3 +143,34 @@ def split_train_holdout(
     b = _bucket(F.col(key_col), salt)
     cut = int(holdout_fraction * _BUCKETS)
     return df.filter(b >= cut), df.filter(b < cut)
+
+
+def percentile_gate(
+    df: DataFrame,
+    score_col: str,
+    id_col: str,
+    part_col: str,
+    drop_fraction: float,
+) -> DataFrame:
+    """Quality gate by exact per-group percentile: drop the bottom
+    ``drop_fraction`` of each group ranked by ``(score, id)`` — the
+    "keep everything above the Nth percentile of the quality score"
+    filter, with a deterministic tie order so the cut is reproducible
+    across runs and engines.
+
+    Scale: one shuffle on the group key (rank + group-size windows share
+    it) — same shape and same skew caveat as
+    :func:`stratified_sample_exact`.
+    """
+    w_rank = Window.partitionBy(part_col).orderBy(
+        F.col(score_col), F.col(id_col)
+    )
+    w_size = Window.partitionBy(part_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w_rank))
+        .withColumn("__n", F.count(F.lit(1)).over(w_size))
+        .filter(
+            F.col("__rn") > F.floor(F.col("__n") * F.lit(float(drop_fraction)))
+        )
+        .drop("__rn", "__n")
+    )

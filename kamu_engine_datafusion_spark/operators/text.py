@@ -285,3 +285,38 @@ def unigram_logprob(df, vocab, text_col: str = "text", id_col: str = "doc_id"):
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.avg(lp), 4).alias("mean_logprob"),
     )
+
+
+def chunk_documents(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 512,
+    overlap_tokens: int = 64,
+):
+    """Split documents into overlapping token-window chunks — the
+    embedding-pipeline preprocessing shape (a chunk every
+    ``chunk_tokens - overlap_tokens`` tokens, each ``chunk_tokens``
+    long, the last one possibly shorter).
+
+    Returns ``(id, chunk_idx, n_chunk_tokens, chunk_text)`` — one row
+    per chunk, in-row ``sequence``/``slice``/``explode`` column math:
+    embarrassingly parallel, no shuffle at any corpus width.
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    tok = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(tok), F.lit(1)), F.lit(step))
+    exploded = df.select(
+        F.col(id_col),
+        F.col(text_col).alias("__text"),
+        F.posexplode(starts).alias("chunk_idx", "__start"),
+    )
+    chunk = F.slice(tokens(F.col("__text")), F.col("__start"), chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

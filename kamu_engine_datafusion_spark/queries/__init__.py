@@ -42,6 +42,8 @@ _PRIORITY = [
     "xvocab_oov",  # NEW: OOV coverage vs induced vocabulary
     "xscd2",  # NEW: SCD2 validity intervals from retractable ledger
     "xlm_score",  # NEW: unigram-logprob LM-quality proxy
+    "xchunk_docs",  # NEW: overlapping token-window chunking
+    "xquality_gate",  # NEW: per-group percentile quality gate
     "xdedup_minhash_sql",  # dedup.py churned (rewrite + revert) in r5
     "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",  # dedup.py churned in r5
@@ -70,7 +72,6 @@ _PRIORITY = [
     "xmm_frames",
     "xpivot",
     "xrollup_time",
-    "xsalted_agg",
     "xsample",
     "xsessionize",
     "xsim_ivf",
@@ -85,6 +86,7 @@ _PRIORITY = [
     "xtext_redact_pii",
     "xtext_repetition",
     "xtext_tokens",
+    "xsalted_agg",
     "b03_information_schema",
     # -- window padding: headline keys, last green round 4 --
     "xrange_join",

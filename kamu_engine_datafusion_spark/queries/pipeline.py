@@ -331,6 +331,35 @@ def q_xlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_logprob(docs, X.vocabulary(docs, top_v=10))
 
 
+def q_xchunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16 overlap):
+    per-chunk token count and md5 of the chunk text."""
+    t = load(spark, sf_dir, "documents")
+    chunks = X.chunk_documents(
+        t["documents"], chunk_tokens=64, overlap_tokens=16
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        "n_chunk_tokens",
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
+def q_xquality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile quality gate: drop the bottom 25% of each lang by
+    (n_chars, doc_id); membership pinned via id_sum."""
+    from kamu_engine_datafusion_spark.operators.sampling import percentile_gate
+
+    t = load(spark, sf_dir, "documents")
+    kept = percentile_gate(t["documents"], "n_chars", "doc_id", "lang", 0.25)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").alias("id_sum"),
+        F.min("n_chars").alias("min_chars"),
+    )
+
+
 def q_xdecontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: docs < 400 form the corpus, docs >= 450
     the 'benchmark'; count shared 3-gram shingles per corpus doc."""
@@ -740,6 +769,8 @@ QUERIES = {
     "xvocab": q_xvocab,
     "xvocab_oov": q_xvocab_oov,
     "xlm_score": q_xlm_score,
+    "xchunk_docs": q_xchunk_docs,
+    "xquality_gate": q_xquality_gate,
     "xsnapshot": q_xsnapshot,
     "xscd2": q_xscd2,
     "xrollup_time": q_xrollup_time,
@@ -1116,6 +1147,24 @@ ORACLES = {
         "THEN ln(v.freq / tot.total) ELSE ln(0.5 / tot.total) END), 4) "
         "AS mean_logprob "
         "FROM tok LEFT JOIN v USING (token) CROSS JOIN tot GROUP BY doc_id"
+    ),
+    "xchunk_docs": (
+        "WITH t AS (SELECT doc_id, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS tok FROM documents), "
+        "e AS (SELECT doc_id, tok, "
+        "unnest(range(1, greatest(len(tok), 1) + 1, 48)) AS st FROM t), "
+        "c AS (SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx, "
+        "list_slice(tok, st, least(st + 63, len(tok))) AS chunk FROM e) "
+        "SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens, "
+        "md5(array_to_string(chunk, ' ')) AS chunk_md5 FROM c"
+    ),
+    "xquality_gate": (
+        "WITH r AS (SELECT lang, doc_id, n_chars, "
+        "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, "
+        "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+        "SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum, "
+        "min(n_chars) AS min_chars "
+        "FROM r WHERE rn > floor(n * 0.25) GROUP BY lang"
     ),
     "xsalted_agg": (
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

@@ -441,3 +441,29 @@ def test_semantic_dedup_with_kmeans_centroid_seeds(spark):
     # near-identical vectors inside each blob collapse; both blobs keep
     # at least a representative
     assert 2 <= n < 60
+
+
+def test_chunk_documents_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = sorted(
+        X.chunk_documents(df, chunk_tokens=4, overlap_tokens=2).collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    # step 2: starts at tokens 1,3,5,7,9 -> 5 chunks, last is short
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
+    assert rows[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
+    assert rows[4]["chunk_text"] == "w8 w9"  # tail shorter than chunk
+    assert rows[4]["n_chunk_tokens"] == 2
+
+
+def test_percentile_gate_exact_cut(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import percentile_gate
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i)) for i in range(8)], ["k", "grp", "score"]
+    )
+    kept = sorted(r["k"] for r in
+                  percentile_gate(df, "score", "k", "grp", 0.25).collect())
+    assert kept == [2, 3, 4, 5, 6, 7]  # bottom floor(8*0.25)=2 dropped
