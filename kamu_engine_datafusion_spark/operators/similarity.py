@@ -245,3 +245,74 @@ def ivf_topk(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def topk_batch(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_dp: int = 4,
+) -> DataFrame:
+    """Exact cosine top-k for a BATCH of query vectors in one corpus
+    pass — the production scoring shape (one query at a time re-scans
+    the corpus per query; this amortizes the scan across all of them).
+
+    Shape: the query matrix rides the ``mapInPandas`` closure
+    (``q × dim`` doubles — broadcast-small by contract); each Arrow
+    batch is scored with one numpy matmul and reduced to its LOCAL
+    top-k per query (exact prune: a batch's non-top-k rows can never
+    enter the global top-k), so the only exchange carries at most
+    ``q × k × num_batches`` survivor rows into a tiny global rank
+    window. The corpus itself never shuffles.
+
+    Ordering is ``(round(cosine, round_dp) DESC, id)`` — rounding
+    bridges SIMD-vs-sequential float summation so ranks are
+    reproducible across engines; ties then break deterministically on
+    the id.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
+    qm = np.array([list(map(float, r[vec_col])) for r in qrows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            vn = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            norms = np.linalg.norm(vn, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(norms == 0.0, 0.0, vn / norms) @ qm.T  # n × q
+            cos = np.round(cos, round_dp)
+            take = min(k, cos.shape[0])
+            # per query: local top-k by (cosine desc, id asc)
+            out_q, out_id, out_c = [], [], []
+            for j in range(cos.shape[1]):
+                order = np.lexsort((ids, -cos[:, j]))[:take]
+                out_q.append(np.full(take, qids[j]))
+                out_id.append(ids[order])
+                out_c.append(cos[order, j])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    id_col: np.concatenate(out_id),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    survivors = corpus.select(id_col, vec_col).mapInPandas(
+        score, f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col)
+    )
+    return (
+        survivors.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

@@ -44,6 +44,7 @@ _PRIORITY = [
     "xlm_score",  # NEW: unigram-logprob LM-quality proxy
     "xchunk_docs",  # NEW: overlapping token-window chunking
     "xquality_gate",  # NEW: per-group percentile quality gate
+    "xsim_topk_batch",  # NEW: batch ANN scoring in one corpus pass
     "xdedup_minhash_sql",  # dedup.py churned (rewrite + revert) in r5
     "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",  # dedup.py churned in r5
@@ -72,7 +73,6 @@ _PRIORITY = [
     "xmm_frames",
     "xpivot",
     "xrollup_time",
-    "xsample",
     "xsessionize",
     "xsim_ivf",
     "xsim_srp_lsh",
@@ -86,6 +86,7 @@ _PRIORITY = [
     "xtext_redact_pii",
     "xtext_repetition",
     "xtext_tokens",
+    "xsample",
     "xsalted_agg",
     "b03_information_schema",
     # -- window padding: headline keys, last green round 4 --

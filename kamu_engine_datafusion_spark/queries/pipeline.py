@@ -172,6 +172,15 @@ def q_xsim_topk_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_bruteforce(emb, emb.filter(F.col("vec_id") == 0), k=10, dim=64)
 
 
+def q_xsim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch exact top-5 for five query vectors in ONE corpus pass
+    (mapInPandas local top-k + tiny global rank window); ordering
+    bridged across engines by 4dp cosine rounding + id tie-break."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.topk_batch(emb, emb.filter(F.col("vec_id") < 5), k=5)
+
+
 def q_xsim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-10 with integer-LCG hyperplanes — the
     DuckDB oracle replicates signatures, the bucket filter, and the
@@ -771,6 +780,7 @@ QUERIES = {
     "xlm_score": q_xlm_score,
     "xchunk_docs": q_xchunk_docs,
     "xquality_gate": q_xquality_gate,
+    "xsim_topk_batch": q_xsim_topk_batch,
     "xsnapshot": q_xsnapshot,
     "xscd2": q_xscd2,
     "xrollup_time": q_xrollup_time,
@@ -1147,6 +1157,20 @@ ORACLES = {
         "THEN ln(v.freq / tot.total) ELSE ln(0.5 / tot.total) END), 4) "
         "AS mean_logprob "
         "FROM tok LEFT JOIN v USING (token) CROSS JOIN tot GROUP BY doc_id"
+    ),
+    "xsim_topk_batch": (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb "
+        "FROM embeddings), "
+        "q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5), "
+        "s AS (SELECT q.qid AS query_id, e.vec_id, "
+        "round(list_dot_product(e.emb, q.qe) / "
+        "(sqrt(list_dot_product(e.emb, e.emb)) * "
+        "sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine "
+        "FROM e CROSS JOIN q) "
+        "SELECT query_id, vec_id, cosine, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (PARTITION BY query_id "
+        "ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank FROM s) "
+        "WHERE rank <= 5"
     ),
     "xchunk_docs": (
         "WITH t AS (SELECT doc_id, "

@@ -467,3 +467,25 @@ def test_percentile_gate_exact_cut(spark):
     kept = sorted(r["k"] for r in
                   percentile_gate(df, "score", "k", "grp", 0.25).collect())
     assert kept == [2, 3, 4, 5, 6, 7]  # bottom floor(8*0.25)=2 dropped
+
+
+def test_topk_batch_matches_single_query(vectors):
+    batch = S.topk_batch(vectors, vectors.filter(F.col("vec_id") == 0), k=3)
+    got = [r["vec_id"] for r in batch.orderBy("rank").collect()]
+    single = [r["vec_id"] for r in
+              S.topk_bruteforce(vectors, vectors.filter(F.col("vec_id") == 0),
+                                k=3).collect()]
+    assert got == single  # same ranking as the single-query baseline
+
+
+def test_topk_batch_multiple_queries(vectors):
+    out = S.topk_batch(vectors, vectors.filter(F.col("vec_id") < 2), k=2)
+    by_q = {}
+    for r in out.collect():
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1}
+    for q, rows in by_q.items():
+        ranks = sorted(r["rank"] for r in rows)
+        assert ranks == [1, 2]
+        # self is always rank 1 (cosine 1.0)
+        assert min(rows, key=lambda r: r["rank"])["vec_id"] == q
