@@ -218,3 +218,71 @@ def test_snapshot_matches_reference_semantics(spark, ops):
         if op not in (1, 2):  # retract, correct-from
             expected[k] = val
     assert got == expected
+
+
+@_slow
+@given(
+    n=st.integers(min_value=1, max_value=120),
+    parts=st.integers(min_value=1, max_value=11),
+    seeds=st.integers(min_value=1, max_value=6),
+    thr=st.floats(min_value=0.1, max_value=0.999),
+)
+def test_semantic_dedup_invariants_any_partitioning(spark, n, parts, seeds, thr):
+    """For ANY corpus/partitioning: survivors are a subset of the input
+    with unique ids, id 0's lowest-id survivor status holds (the lowest
+    id can never be dropped), and the result is partition-invariant."""
+    from kamu_engine_datafusion_spark.operators.dedup import semantic_dedup
+
+    rows = [
+        (i, [float((i * 7 + j * 13) % 5 - 2) for j in range(4)], 0)
+        for i in range(n)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    a = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(emb, threshold=thr, num_seeds=seeds).collect()
+    )
+    assert len(a) == len(set(a))  # no duplicated survivors
+    assert set(a) <= set(range(n))
+    assert a[0] == 0  # the globally lowest id always survives
+    b = sorted(
+        r["vec_id"]
+        for r in semantic_dedup(
+            emb.repartition(parts), threshold=thr, num_seeds=seeds
+        ).collect()
+    )
+    assert a == b  # partition-invariant
+
+
+@_slow
+@given(
+    n=st.integers(min_value=0, max_value=300),
+    budget=st.integers(min_value=1, max_value=200),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_pack_sequences_chunks_cover_budget(spark, n, budget, parts):
+    """Chunk totals never exceed budget + one row's cost, and chunk ids
+    start at 0 and are non-decreasing in id order (a row costing more
+    than the budget legitimately skips ids)."""
+    from kamu_engine_datafusion_spark.operators.sampling import pack_sequences
+
+    df = spark.range(0, n).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") % 17 + 1).alias("cost"),
+    )
+    out = pack_sequences(df.repartition(parts), "k", "cost", budget, "g")
+    rows = out.collect()
+    per = {}
+    for r in rows:
+        per.setdefault((r["g"], r["chunk"]), []).append(r)
+    for (g, chunk), members in per.items():
+        total = sum(r["cost"] for r in members)
+        biggest = max(r["cost"] for r in members)
+        assert total <= budget + biggest  # overrun bounded by one row
+    for g in {r["g"] for r in rows}:
+        seq = [r["chunk"] for r in sorted(rows, key=lambda r: r["k"])
+               if r["g"] == g]
+        if seq:
+            assert seq[0] == 0  # first row of each group starts chunk 0
+            assert all(x <= y for x, y in zip(seq, seq[1:]))  # monotone
