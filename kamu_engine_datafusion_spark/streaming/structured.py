@@ -12,6 +12,11 @@ engine's semantics into ``readStream``/``writeStream``:
   state eviction, the piece the reference defers to Flink).
 - :func:`streaming_dedup` — stateful exact dedup across micro-batches
   (``dropDuplicates`` with a watermark bounds state).
+- :func:`stream_interval_join` — watermarked stream-stream join with a
+  two-sided time bound so both state stores expire.
+- :func:`streaming_dedup_against_index` — continuous-ingestion
+  near-dedup: each micro-batch dedupes against the persisted MinHash
+  index; state lives in the index files, not the state store.
 - :func:`run_to_memory` — drive any streaming DF to completion against
   currently-available data and return the collected result (test/CI
   harness; uses availableNow + memory sink).
@@ -254,3 +259,65 @@ def stream_to_ledger(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def streaming_dedup_against_index(
+    stream: DataFrame,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+):
+    """Continuous-ingestion near-dedup: each micro-batch is deduped
+    against the PERSISTED MinHash signature index (and within itself),
+    survivors append to ``out_dir`` and their index rows append to
+    ``index_dir`` — so later batches see every earlier batch without
+    ever re-reading earlier text. The streaming composition of
+    :func:`~kamu_engine_datafusion_spark.operators.dedup.dedup_increment_against_index`.
+
+    State lives in the index files, not the state store: restartable
+    from the checkpoint, index size ~num_hashes longs per surviving doc
+    (a ~0.1% shadow of the corpus at 100 TB). foreachBatch gives
+    at-least-once on crash replay; a replayed batch's duplicates are
+    self-suppressed by the index its first attempt appended (re-appended
+    survivors dedupe downstream by id).
+    """
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_increment_against_index,
+        minhash_index,
+        release_intermediates,
+    )
+
+    def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            index = spark.read.parquet(index_dir)
+            have_index = True
+        except Exception:
+            have_index = False
+        if have_index:
+            survivors, new_rows = dedup_increment_against_index(
+                batch_df, index, text_col=text_col, id_col=id_col,
+                threshold=threshold,
+            )
+        else:
+            from kamu_engine_datafusion_spark.operators.dedup import (
+                minhash_lsh_dedup,
+            )
+
+            survivors = minhash_lsh_dedup(
+                batch_df, text_col=text_col, id_col=id_col, threshold=threshold
+            )
+            new_rows = minhash_index(survivors, text_col=text_col, id_col=id_col)
+        survivors.write.mode("append").parquet(out_dir)
+        new_rows.write.mode("append").parquet(index_dir)
+        release_intermediates()
+
+    return (
+        stream.writeStream.foreachBatch(_tick)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -321,3 +321,50 @@ def test_stream_stream_interval_join(spark, tmp_path):
     rows = run_to_memory(spark, joined, "ssjoin").collect()
     assert len(rows) == 1  # only user 1 attributes within the window
     assert rows[0]["conv_time"].minute == 5
+
+
+def test_streaming_dedup_against_index(spark, tmp_path):
+    """Batch 2's near-duplicates of batch 1 docs are suppressed by the
+    persisted index; restart sees the accumulated index."""
+    import pandas as pd
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        streaming_dedup_against_index,
+    )
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    other = "completely different content about spark engines and parquet"
+
+    pd.DataFrame(
+        [(0, base), (1, other)], columns=["doc_id", "text"]
+    ).to_parquet(str(in_dir / "b0.parquet"))
+
+    schema = spark.read.parquet(str(in_dir / "b0.parquet")).schema
+    kwargs = dict(
+        index_dir=str(tmp_path / "index"),
+        out_dir=str(tmp_path / "clean"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.6,
+    )
+    q = streaming_dedup_against_index(
+        ledger_stream(spark, str(in_dir), schema), **kwargs
+    )
+    q.awaitTermination()
+
+    # second batch: one dup of doc 0, one genuinely new doc
+    pd.DataFrame(
+        [(10, base), (11, "fresh text that matches nothing else at all")],
+        columns=["doc_id", "text"],
+    ).to_parquet(str(in_dir / "b1.parquet"))
+    q2 = streaming_dedup_against_index(
+        ledger_stream(spark, str(in_dir), schema), **kwargs
+    )
+    q2.awaitTermination()
+
+    ids = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "clean")).collect()
+    )
+    assert ids == [0, 1, 11]  # 10 suppressed as a dup of indexed doc 0
