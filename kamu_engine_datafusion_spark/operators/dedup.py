@@ -787,13 +787,20 @@ def _arrow_nearest_seed(
 
     ids = np.array(seed_ids, dtype=np.int64)
     sm = np.array(seed_vecs, dtype=np.float64)
-    sm = sm / np.linalg.norm(sm, axis=1, keepdims=True)
+    snorm = np.linalg.norm(sm, axis=1, keepdims=True)
+    # zero-norm seeds must never win the argmax (an unguarded division
+    # would give a NaN row, and argmax over NaN assigns EVERYTHING to
+    # that seed); sentinel below the cosine floor keeps them inert,
+    # matching the JVM path's Python-level guard
+    sm = np.where(snorm == 0.0, 0.0, sm / np.where(snorm == 0.0, 1.0, snorm))
+    dead = (snorm[:, 0] == 0.0)
 
     def _assign(v):
         vn = np.array(v.tolist(), dtype=np.float64)
         norms = np.linalg.norm(vn, axis=1, keepdims=True)
         with np.errstate(invalid="ignore", divide="ignore"):
             cos = np.where(norms == 0.0, 0.0, vn / norms) @ sm.T
+        cos[:, dead] = -2.0
         return pd.Series(ids[np.argmax(cos, axis=1)])
 
     return pandas_udf(_assign, "long", PandasUDFType.SCALAR)(v_col)
@@ -817,9 +824,12 @@ def semantic_dedup(
     vectors — by default the ``num_seeds`` lowest-id rows (deterministic
     and cross-engine reproducible, which makes the whole pipeline
     SQL-oracle-checkable); pass ``seeds`` (``(id, vector)`` schema like
-    ``df``) to use k-means centroids from
-    :func:`~kamu_engine_datafusion_spark.operators.similarity.kmeans_partition`
-    when reproducibility across engines is not required.
+    ``df``) to use k-means centroids when reproducibility across
+    engines is not required — train via
+    :func:`~kamu_engine_datafusion_spark.operators.similarity.ivf_index`
+    and build the frame from ``model.clusterCenters()`` (the exact
+    recipe is ``tests/test_pipeline_operators.py::
+    test_semantic_dedup_with_kmeans_centroid_seeds``).
 
     Scale shape: seeds are collected to the driver (``num_seeds × dim``
     doubles — same sanctioned pattern as the IVF centroid math) so the
@@ -869,22 +879,26 @@ def semantic_dedup(
         )
     else:
         # nearest seed in-row: max over (cosine, -seed_id) structs —
-        # higher cosine wins, ties break to the lower seed id
-        choices = [
-            F.struct(
-                (
+        # higher cosine wins, ties break to the lower seed id. Zero-norm
+        # guards on BOTH sides: a NaN cosine would win Spark's struct
+        # max (NaN sorts greatest), silently funneling the corpus into
+        # one cluster; zero seeds get a sentinel below the cosine floor,
+        # zero corpus vectors get cosine 0 (matching the arrow backend).
+        choices = []
+        for r in seed_rows:
+            sn = math.sqrt(sum(float(x) * float(x) for x in r["__v"]))
+            if sn == 0.0:
+                cos_expr = F.lit(-2.0)
+            else:
+                cos_expr = F.when(F.col("__nrm") == 0.0, F.lit(0.0)).otherwise(
                     dot_product(
                         F.col("__v"), F.array(*[F.lit(float(x)) for x in r["__v"]])
                     )
-                    / (
-                        F.col("__nrm")
-                        * math.sqrt(sum(float(x) * float(x) for x in r["__v"]))
-                    )
-                ).alias("cos"),
-                F.lit(-r["__id"]).alias("negsid"),
+                    / (F.col("__nrm") * sn)
+                )
+            choices.append(
+                F.struct(cos_expr.alias("cos"), F.lit(-r["__id"]).alias("negsid"))
             )
-            for r in seed_rows
-        ]
         cluster = -F.array_max(F.array(*choices))["negsid"]
     # both self-join legs consume the assignment; persist so the
     # dot-product pipeline runs once. Unlike the banded LSH operators —
@@ -900,8 +914,13 @@ def semantic_dedup(
     if cosine_backend == "arrow":
         cos = _arrow_cosine(F.col("a.__v"), F.col("b.__v"))
     else:
-        cos = dot_product(F.col("a.__v"), F.col("b.__v")) / (
-            F.col("a.__nrm") * F.col("b.__nrm")
+        # zero-norm guard (ANSI mode makes x/0 an ERROR, not NaN):
+        # a zero vector's cosine to anything is defined as 0
+        cos = F.when(
+            (F.col("a.__nrm") == 0.0) | (F.col("b.__nrm") == 0.0), F.lit(0.0)
+        ).otherwise(
+            dot_product(F.col("a.__v"), F.col("b.__v"))
+            / (F.col("a.__nrm") * F.col("b.__nrm"))
         )
     dups = (
         a.join(

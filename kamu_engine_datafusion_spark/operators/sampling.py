@@ -126,9 +126,19 @@ def pack_sequences(
     Scale: ``part_col`` bounds the window sort to one shuffle on the
     partition key; chunks are per-partition. Without it the cumsum runs
     in a single task — fine for a demo, wrong at corpus scale.
+
+    ``id_col`` must be unique within each partition group: the frame is
+    ROWS-based (the default RANGE frame would make duplicate ids peers
+    and fold their costs into each other's "exclusive" offsets), so
+    with duplicate ids the relative order of the tied rows — and their
+    chunk assignment — would be partition-dependent.
     """
     keys = [part_col] if part_col else []
-    w = Window.partitionBy(*keys).orderBy(id_col)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     offset = F.sum(cost_col).over(w) - F.col(cost_col)
     return df.withColumn(
         "chunk", F.floor(offset / F.lit(float(budget))).cast("long")

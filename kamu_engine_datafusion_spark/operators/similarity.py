@@ -276,9 +276,16 @@ def topk_batch(
     import pandas as pd
 
     qrows = queries.select(id_col, vec_col).orderBy(id_col).collect()
+    if not qrows:
+        schema = f"query_id long, {id_col} long, cosine double, rank long"
+        return corpus.sparkSession.createDataFrame([], schema)
     qids = np.array([r[id_col] for r in qrows], dtype=np.int64)
     qm = np.array([list(map(float, r[vec_col])) for r in qrows], dtype=np.float64)
-    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+    qn = np.linalg.norm(qm, axis=1, keepdims=True)
+    # zero-norm query guard: unguarded division gives a NaN row whose
+    # lexsort order is arbitrary; cosine 0 everywhere is the defined
+    # result for a zero query (matches the corpus-side guard below)
+    qm = np.where(qn == 0.0, 0.0, qm / np.where(qn == 0.0, 1.0, qn))
 
     def score(batches):
         for pdf in batches:

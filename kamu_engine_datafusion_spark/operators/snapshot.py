@@ -116,7 +116,12 @@ def history_intervals(
       (null) for the latest record;
     - retractions and correct-from halves close the PRECEDING record's
       validity but are not themselves emitted (they carry no state);
-    - ``is_current`` marks open-ended rows that are not dead.
+    - ``is_current`` marks open-ended rows that are not dead;
+    - ledger order is authoritative, so a RETROACTIVE record (later
+      offset, earlier event time) would invert the preceding record's
+      interval — ``valid_to`` is clamped to ``valid_from`` instead,
+      yielding an empty interval (superseded immediately: the
+      between-join can never match it), never an inverted one.
 
     Scale: one shuffle on the primary key; both windows (lead + latest)
     share the exchange. Same cost shape as the snapshot projection.
@@ -130,7 +135,15 @@ def history_intervals(
     live = with_next.filter(~F.col(op).isin(OP_RETRACT, OP_CORRECT_FROM))
     return (
         live.withColumn("valid_from", F.col(et))
-        .withColumn("valid_to", F.col("__next_et"))
+        .withColumn(
+            "valid_to",
+            # explicit null guard: greatest() IGNORES nulls, which would
+            # turn the open-ended (null) case into valid_to = valid_from
+            F.when(
+                F.col("__next_et").isNotNull(),
+                F.greatest(F.col("__next_et"), F.col(et)),
+            ),
+        )
         .withColumn("is_current", F.col("__next_et").isNull())
         .drop("__next_et", op, vocab.system_time_column)
     )

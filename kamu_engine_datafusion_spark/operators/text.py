@@ -301,22 +301,35 @@ def chunk_documents(
 
     Returns ``(id, chunk_idx, n_chunk_tokens, chunk_text)`` — one row
     per chunk, in-row ``sequence``/``slice``/``explode`` column math:
-    embarrassingly parallel, no shuffle at any corpus width.
+    embarrassingly parallel, no shuffle at any corpus width. The token
+    array materializes ONCE per document (a Generate node separates the
+    projections, so it is never inlined per chunk), and a trailing
+    window whose tokens are wholly contained in the previous chunk is
+    not emitted (it would be a 100%-duplicate row; happens whenever the
+    last start leaves fewer than ``overlap_tokens + 1`` new tokens).
+    ``chunk_idx`` stays the window's ordinal position in the unfiltered
+    stride, so indices are stable under the subset-drop.
     """
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be < chunk_tokens")
     step = chunk_tokens - overlap_tokens
-    tok = tokens(text_col)
-    starts = F.sequence(F.lit(1), F.greatest(F.size(tok), F.lit(1)), F.lit(step))
-    exploded = df.select(
-        F.col(id_col),
-        F.col(text_col).alias("__text"),
-        F.posexplode(starts).alias("chunk_idx", "__start"),
+    toked = df.select(
+        F.col(id_col), tokens(text_col).alias("__tok")
     )
-    chunk = F.slice(tokens(F.col("__text")), F.col("__start"), chunk_tokens)
+    n = F.size("__tok")
+    starts = F.filter(
+        F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(step)),
+        # keep the first window always; a later window only if it adds
+        # tokens beyond the previous window's end (start+overlap <= n)
+        lambda s: (s == 1) | (s + overlap_tokens <= n),
+    )
+    exploded = toked.select(
+        F.col(id_col), "__tok", F.explode(starts).alias("__start")
+    )
+    chunk = F.slice(F.col("__tok"), F.col("__start"), chunk_tokens)
     return exploded.select(
         id_col,
-        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        ((F.col("__start") - 1) / step).cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )

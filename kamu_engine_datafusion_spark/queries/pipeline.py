@@ -1178,7 +1178,8 @@ ORACLES = {
         "e AS (SELECT doc_id, tok, "
         "unnest(range(1, greatest(len(tok), 1) + 1, 48)) AS st FROM t), "
         "c AS (SELECT doc_id, CAST((st - 1) // 48 AS BIGINT) AS chunk_idx, "
-        "list_slice(tok, st, least(st + 63, len(tok))) AS chunk FROM e) "
+        "list_slice(tok, st, least(st + 63, len(tok))) AS chunk FROM e "
+        "WHERE st = 1 OR st + 16 <= len(tok)) "
         "SELECT doc_id, chunk_idx, CAST(len(chunk) AS BIGINT) AS n_chunk_tokens, "
         "md5(array_to_string(chunk, ' ')) AS chunk_md5 FROM c"
     ),
@@ -1322,7 +1323,8 @@ ORACLES = {
         "(PARTITION BY user_id ORDER BY off) AS next_et FROM ledger) "
         "SELECT off, user_id, event_type, round(value, 2) AS value, "
         "epoch_us(event_time) AS valid_from_us, "
-        "epoch_us(next_et) AS valid_to_us, "
+        "epoch_us(CASE WHEN next_et IS NOT NULL "
+        "THEN greatest(next_et, event_time) END) AS valid_to_us, "
         "(next_et IS NULL) AS is_current "
         "FROM w WHERE op NOT IN (1, 2)"
     ),

@@ -291,13 +291,17 @@ def streaming_dedup_against_index(
     )
 
     def _tick(batch_df: DataFrame, batch_id: int) -> None:
+        import glob as _glob
+        import os as _os
+
         spark = batch_df.sparkSession
-        try:
-            index = spark.read.parquet(index_dir)
-            have_index = True
-        except Exception:
-            have_index = False
+        # bootstrap is decided by an explicit existence check, NOT by
+        # catching read errors: a corrupt footer or transient FS error
+        # must fail the batch loudly, never silently re-bootstrap and
+        # leak duplicates past thousands of already-indexed docs
+        have_index = bool(_glob.glob(_os.path.join(index_dir, "*.parquet")))
         if have_index:
+            index = spark.read.parquet(index_dir)
             survivors, new_rows = dedup_increment_against_index(
                 batch_df, index, text_col=text_col, id_col=id_col,
                 threshold=threshold,

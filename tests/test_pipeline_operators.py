@@ -450,12 +450,12 @@ def test_chunk_documents_overlap(spark):
         X.chunk_documents(df, chunk_tokens=4, overlap_tokens=2).collect(),
         key=lambda r: r["chunk_idx"],
     )
-    # step 2: starts at tokens 1,3,5,7,9 -> 5 chunks, last is short
-    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3, 4]
+    # step 2: starts at tokens 1,3,5,7 -> 4 chunks (the window at 9
+    # would be a pure subset of the one at 7 and is not emitted)
+    assert [r["chunk_idx"] for r in rows] == [0, 1, 2, 3]
     assert rows[0]["chunk_text"] == "w0 w1 w2 w3"
     assert rows[1]["chunk_text"] == "w2 w3 w4 w5"  # 2-token overlap
-    assert rows[4]["chunk_text"] == "w8 w9"  # tail shorter than chunk
-    assert rows[4]["n_chunk_tokens"] == 2
+    assert rows[3]["chunk_text"] == "w6 w7 w8 w9"  # tail reaches the end
 
 
 def test_percentile_gate_exact_cut(spark):
@@ -489,3 +489,45 @@ def test_topk_batch_multiple_queries(vectors):
         assert ranks == [1, 2]
         # self is always rank 1 (cosine 1.0)
         assert min(rows, key=lambda r: r["rank"])["vec_id"] == q
+
+
+def test_chunk_documents_no_subset_tail(spark):
+    # 50 tokens, chunk 64, overlap 16 (step 48): the window at 49 adds
+    # only tokens already inside chunk 0 -> must not be emitted
+    text = " ".join(f"w{i}" for i in range(50))
+    df = spark.createDataFrame([(0, text)], ["doc_id", "text"])
+    rows = X.chunk_documents(df, chunk_tokens=64, overlap_tokens=16).collect()
+    assert len(rows) == 1 and rows[0]["chunk_idx"] == 0
+    # 70 tokens: window at 49 adds tokens 65-70 -> kept, idx stable at 1
+    text2 = " ".join(f"w{i}" for i in range(70))
+    df2 = spark.createDataFrame([(0, text2)], ["doc_id", "text"])
+    idx = sorted(r["chunk_idx"] for r in
+                 X.chunk_documents(df2, chunk_tokens=64, overlap_tokens=16).collect())
+    assert idx == [0, 1]
+
+
+def test_semantic_dedup_zero_seed_vector_is_inert(spark):
+    rows = [
+        (0, [0.0, 0.0, 0.0], 0),   # zero vector IS the lowest-id seed
+        (1, [1.0, 0.0, 0.0], 0),
+        (2, [0.99, 0.01, 0.0], 0),
+        (3, [0.0, 1.0, 0.0], 0),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding", "label"])
+    for backend in ("jvm", "arrow"):
+        got = sorted(r["vec_id"] for r in D.semantic_dedup(
+            emb, threshold=0.9, num_seeds=2, cosine_backend=backend).collect())
+        # 2 is a near-dup of 1 (same cluster); zero vector must not
+        # swallow the corpus into one NaN cluster
+        assert got == [0, 1, 3], backend
+
+
+def test_topk_batch_zero_query_and_empty_queries(vectors):
+    import pyspark.sql.functions as _F
+
+    zq = vectors.sparkSession.createDataFrame(
+        [(99, [0.0, 0.0, 0.0], 0)], ["vec_id", "embedding", "label"])
+    out = S.topk_batch(vectors, zq, k=2).collect()
+    assert len(out) == 2 and all(r["cosine"] == 0.0 for r in out)
+    empty = S.topk_batch(vectors, vectors.filter(_F.col("vec_id") < 0), k=2)
+    assert empty.count() == 0

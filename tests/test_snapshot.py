@@ -120,3 +120,21 @@ def test_history_intervals_scd2(spark):
     assert rows[1]["valid_from"] == t2 and rows[1]["valid_to"] == t3
     assert not rows[1]["is_current"]    # closed by the retraction
     assert rows[3]["valid_to"] is None and rows[3]["is_current"]
+
+
+def test_history_intervals_retroactive_event_clamped(spark):
+    from datetime import timedelta
+
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        history_intervals,
+    )
+
+    t1, t0 = T + timedelta(hours=1), T  # retroactive: later offset, earlier et
+    led = _ledger(spark, [
+        (0, 0, T, t1, "kyiv", 1),
+        (1, 0, T, t0, "kyiv", 2),  # arrives later, event time regresses
+    ])
+    rows = {r["offset"]: r for r in history_intervals(led, "city").collect()}
+    # offset 0's interval is clamped empty, never inverted
+    assert rows[0]["valid_to"] == rows[0]["valid_from"] == t1
+    assert rows[1]["valid_to"] is None and rows[1]["is_current"]
