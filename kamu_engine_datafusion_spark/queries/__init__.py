@@ -45,6 +45,7 @@ _PRIORITY = [
     "xchunk_docs",  # NEW: overlapping token-window chunking
     "xquality_gate",  # NEW: per-group percentile quality gate
     "xsim_topk_batch",  # NEW: batch ANN scoring in one corpus pass
+    "xdecontaminate_13",  # NEW: 13-gram eval decontamination
     "xdedup_minhash_sql",  # dedup.py churned (rewrite + revert) in r5
     "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",  # dedup.py churned in r5

@@ -340,6 +340,20 @@ def q_xlm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.unigram_logprob(docs, X.vocabulary(docs, top_v=10))
 
 
+def q_xdecontaminate_13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval decontamination at the industry-standard n=13: a corpus doc
+    is contaminated if it shares ANY 13-gram with the benchmark
+    (GPT-3/PaLM-style exact-substring rule)."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        flag_contaminated,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    corpus = t["documents"].filter(F.col("doc_id") < 400)
+    bench = t["documents"].filter(F.col("doc_id") >= 450)
+    return flag_contaminated(corpus, bench, shingle_len=13, threshold=1)
+
+
 def q_xchunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16 overlap):
     per-chunk token count and md5 of the chunk text."""
@@ -781,6 +795,7 @@ QUERIES = {
     "xchunk_docs": q_xchunk_docs,
     "xquality_gate": q_xquality_gate,
     "xsim_topk_batch": q_xsim_topk_batch,
+    "xdecontaminate_13": q_xdecontaminate_13,
     "xsnapshot": q_xsnapshot,
     "xscd2": q_xscd2,
     "xrollup_time": q_xrollup_time,
@@ -1474,6 +1489,19 @@ ORACLES = {
         "WHERE sh.doc_id < 400 GROUP BY sh.doc_id) "
         "SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlaps, "
         "coalesce(ov.n, 0) >= 3 AS contaminated FROM documents d "
+        "LEFT JOIN ov ON d.doc_id = ov.doc_id WHERE d.doc_id < 400"
+    ),
+    "xdecontaminate_13": (
+        "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 12)), "
+        "i -> array_to_string(t[i:i+12], ' ')))) AS s FROM "
+        "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t "
+        "FROM documents)), "
+        "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 450), "
+        "ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s) "
+        "WHERE sh.doc_id < 400 GROUP BY sh.doc_id) "
+        "SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlaps, "
+        "coalesce(ov.n, 0) >= 1 AS contaminated FROM documents d "
         "LEFT JOIN ov ON d.doc_id = ov.doc_id WHERE d.doc_id < 400"
     ),
     "xtext_repetition": (
