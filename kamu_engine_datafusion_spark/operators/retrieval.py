@@ -1,0 +1,143 @@
+"""Corpus-statistics retrieval scoring: BM25 and TF-IDF.
+
+Training-data pipelines use these for quality-targeted selection
+(score documents against a topical query, keep the best), for
+curriculum mixes, and for lightweight keyword extraction — the same
+machinery a search engine runs, expressed as two Spark aggregations.
+
+Beyond-parity: the reference engine (kamu-engine-datafusion,
+``src/engine.rs:287`` SQL pass-through) has no corpus-statistics
+operators; these are first-class here.
+
+Scale notes
+-----------
+- :func:`bm25_scores` filters the exploded token stream to the query's
+  terms BEFORE any shuffle, so the per-(doc, term) aggregation touches
+  only documents containing at least one query term — at 100 TB the
+  shuffle carries the match set, not the corpus. Corpus stats (N,
+  avg length) are one tiny separate aggregate, broadcast.
+- :func:`tfidf_topk_terms` joins term frequencies to document
+  frequencies on the term key. The DF table is vocabulary-sized, so it
+  is a SHUFFLE join by design (broadcasting a billion-term vocabulary
+  would be wrong); token keys follow a Zipf distribution, which AQE's
+  skew-join handles, and the optional ``min_tf`` prunes the long tail
+  before the join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.functions.columns import tokens
+
+
+def bm25_scores(
+    df: DataFrame,
+    query_terms: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 score of every matching document against a bag of
+    query terms.
+
+    ``score(d) = Σ_t idf(t) · tf(t,d)·(k1+1) /
+    (tf(t,d) + k1·(1 − b + b·|d|/avgdl))`` with the Robertson idf
+    ``ln(1 + (N − df + 0.5)/(df + 0.5))``. Documents matching no query
+    term are absent (score 0 by convention).
+
+    Returns ``(id_col, n_terms_matched, score)``.
+
+    Tokenization is the pipeline-standard lowercase whitespace split
+    (:func:`...functions.columns.tokens`), so scores line up with the
+    vocabulary/OOV/logprob operators.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    # One pass: doc length travels with each exploded token, so tf and
+    # |d| come out of the same shuffle — no join back to the corpus.
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(text_col)).alias("__len"),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).filter(F.col("__t").isin(terms))
+    tf = tok.groupBy("__id", "__t").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__len").alias("__len")
+    )
+    # Corpus stats: one tiny aggregate row, cross-joined (broadcast).
+    stats = df.select(F.size(tokens(text_col)).alias("__l")).agg(
+        F.count(F.lit(1)).alias("__N"), F.avg("__l").alias("__avgdl")
+    )
+    # Document frequency per query term: at most len(terms) rows.
+    dfreq = tf.groupBy("__t").agg(F.count(F.lit(1)).alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + F.lit(0.5)) / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("__tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.col("__avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "__t")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(contrib).alias("score"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )
+
+
+def tfidf_topk_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_tf: int = 1,
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by smoothed TF-IDF
+    (``tfidf = tf · (ln((N+1)/(df+1)) + 1)``, the sklearn convention) —
+    lightweight keyword extraction / topic fingerprinting.
+
+    Deterministic rank order: (tfidf desc, term asc) per document.
+    Returns ``(id_col, term, tf, tfidf, term_rank)``.
+
+    ``min_tf`` prunes sub-threshold (doc, term) pairs before the
+    DF join — at corpus scale the hapax tail dominates row count and
+    can never reach a top-k slot for a multi-occurrence document.
+    """
+    tf = (
+        df.select(
+            F.col(id_col).alias("__id"), F.explode(tokens(text_col)).alias("term")
+        )
+        .groupBy("__id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    if min_tf > 1:
+        tf = tf.filter(F.col("tf") >= min_tf)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
+    idf = F.log((F.col("__N") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))) + F.lit(
+        1.0
+    )
+    w = Window.partitionBy("__id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        tf.join(dfreq, "term")  # shuffle join: DF table is vocab-sized
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("tfidf", F.col("tf") * idf)
+        .withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(
+            F.col("__id").alias(id_col), "term", "tf", "tfidf", "term_rank"
+        )
+    )

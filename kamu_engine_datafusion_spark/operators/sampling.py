@@ -103,6 +103,131 @@ def stratified_sample_exact(
     )
 
 
+def temperature_sample(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Temperature-balanced sampling across strata (the multilingual
+    training-mix pattern: corpus shares are flattened toward uniform
+    with ``share^alpha`` before sampling, so low-resource languages are
+    upsampled *relative to* high-resource ones).
+
+    Stratum ``l`` with count ``c_l`` gets sampling weight
+    ``q_l = c_l^alpha / Σ c^alpha``; the expected kept size is
+    ``target_fraction × total``, allocated ``∝ q_l`` and capped at the
+    stratum's own size (a stratum is never oversampled past 100% —
+    pipelines repeat epochs for that, they don't duplicate rows).
+    ``alpha=1`` reduces to plain proportional sampling, ``alpha=0`` to
+    equal-size strata.
+
+    Scale: one tiny per-stratum count aggregate → per-stratum keep
+    fraction → broadcast join back → keyed-hash row filter. The corpus
+    is touched twice (count pass + filter pass) and never shuffled; the
+    stratum table is assumed broadcast-sized (languages, sources —
+    thousands, not billions).
+
+    Determinism: row choice is the keyed hash of ``key_col`` — stable
+    across runs, engines, partitionings. The per-stratum threshold is
+    rounded to 6 decimals before the integer-bucket cut so that
+    cross-engine float ulp differences cannot move the cut.
+    """
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__c"))
+    tot = counts.agg(
+        F.sum("__c").alias("__tot"),
+        F.sum(F.pow("__c", F.lit(float(alpha)))).alias("__z"),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(target_fraction))
+        * F.col("__tot")
+        * F.pow("__c", F.lit(float(alpha)))
+        / F.col("__z")
+        / F.col("__c"),
+    )
+    cut = F.floor(F.round(frac * _BUCKETS, 6)).cast("long")
+    cuts = counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, cut.alias("__cut")
+    )
+    return (
+        df.join(F.broadcast(cuts), stratum_col)
+        .filter(_bucket(F.col(key_col), salt, hash_fn) < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep at most ``cap`` rows per group, chosen by keyed-hash order —
+    the per-domain document cap (RefinedWeb-style) that stops any single
+    site/source from dominating the training mix.
+
+    The hash order makes the survivors a uniform random-but-deterministic
+    subset of each group (not "first by id", which would bias toward old
+    crawls). Ties broken by ``key_col``.
+
+    Scale: one shuffle on the group key; the rank window sorts only
+    within groups. A pathologically hot group serializes through one
+    task's sort — acceptable because the output of that sort is capped;
+    for extreme skew pre-filter with :func:`deterministic_sample` at a
+    fraction that bounds the hot group near ``cap``.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(key_col), salt, hash_fn), F.col(key_col)
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
+def shuffle_rank(
+    df: DataFrame,
+    key_col: str,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+    mode: str = "distributed",
+) -> DataFrame:
+    """Deterministic global shuffle for training order: every row gets a
+    dense ``shuffle_rank`` (0-based) in keyed-hash order — the corpus
+    permutation is a pure function of (keys, salt), reproducible across
+    runs, engines, and cluster sizes. Change ``salt`` per epoch for a
+    fresh permutation.
+
+    ``mode="distributed"`` (default): range-partition + local sort on
+    the hash (Spark's TeraSort shape — no single-task sort), then dense
+    ranks via the same two-pass per-partition-count assignment as the
+    A13 scale mode. ``mode="serial"``: single-partition window
+    ``row_number`` — exact same output, for small inputs and the
+    cross-engine oracle path.
+    """
+    b = _bucket(F.col(key_col), salt, hash_fn)
+    if mode == "serial":
+        w = Window.orderBy(b, F.col(key_col))
+        return df.withColumn(
+            "shuffle_rank", (F.row_number().over(w) - 1).cast("long")
+        )
+    from kamu_engine_datafusion_spark.operators.system_columns import (
+        assign_offsets_distributed,
+    )
+
+    ordered = df.withColumn("__b", b).repartitionByRange(
+        "__b", key_col
+    ).sortWithinPartitions("__b", key_col)
+    return assign_offsets_distributed(ordered, "shuffle_rank", 0).drop("__b")
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,

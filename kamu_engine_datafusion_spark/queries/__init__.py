@@ -34,6 +34,12 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # remainder. Every key's latest driver-green should be at most one
 # round old after each rotation.
 _PRIORITY = [
+    # -- new in round 5 (second batch): must verify --
+    "xsample_temperature",  # NEW: temperature-balanced language mix
+    "xcap_per_source",  # NEW: per-source doc cap (anti-dominance)
+    "xshuffle",  # NEW: deterministic global training-order shuffle
+    "xbm25",  # NEW: Okapi BM25 corpus scoring
+    "xtfidf",  # NEW: per-doc top-k TF-IDF keywords
     # -- changed in round 5: must re-verify --
     "xdedup_semantic",  # NEW: SemDeDup-style seed-cluster cosine dedup
     "xsample_stratified",  # NEW: exact per-stratum quota sampling

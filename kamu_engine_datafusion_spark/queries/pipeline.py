@@ -521,6 +521,82 @@ def q_xsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsample_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced language sampling (alpha=0.5, target 40%):
+    high-resource langs downsampled toward uniform, membership pinned by
+    the keyed poly hash; id_sum proves exact row choice."""
+    from kamu_engine_datafusion_spark.operators.sampling import temperature_sample
+
+    t = load(spark, sf_dir, "documents")
+    return (
+        temperature_sample(
+            t["documents"], "doc_id", "lang", alpha=0.5,
+            target_fraction=0.4, hash_fn="poly",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+def q_xcap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (RefinedWeb-style anti-dominance): at most
+    15 docs per source, chosen by keyed-hash order."""
+    from kamu_engine_datafusion_spark.operators.sampling import cap_per_group
+
+    t = load(spark, sf_dir, "documents")
+    return (
+        cap_per_group(t["documents"], "doc_id", "source", cap=15, hash_fn="poly")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+def q_xshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle: dense rank in keyed
+    poly-hash order over docs < 500, via the DISTRIBUTED (TeraSort +
+    two-pass offsets) path — the oracle pins every rank value."""
+    from kamu_engine_datafusion_spark.operators.sampling import shuffle_rank
+
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 500)
+    return shuffle_rank(sub, "doc_id", hash_fn="poly").select(
+        "doc_id", "shuffle_rank"
+    )
+
+
+#: BM25 demo query terms (mixed corpus frequency, lowercase).
+_BM25_TERMS = ["vector", "merge", "hash", "stream"]
+
+
+def q_xbm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 relevance of every matching doc against a 4-term
+    query; score rounded 4dp for cross-engine float stability."""
+    from kamu_engine_datafusion_spark.operators.retrieval import bm25_scores
+
+    t = load(spark, sf_dir, "documents")
+    return bm25_scores(t["documents"], _BM25_TERMS).select(
+        "doc_id", "n_terms_matched", F.round("score", 4).alias("score")
+    )
+
+
+def q_xtfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per doc (docs < 200), deterministic
+    (tfidf desc, term asc) rank."""
+    from kamu_engine_datafusion_spark.operators.retrieval import tfidf_topk_terms
+
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 200)
+    return tfidf_topk_terms(sub, k=3).select(
+        "doc_id", "term", "tf", F.round("tfidf", 4).alias("tfidf"), "term_rank"
+    )
+
+
 def q_xsnapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Changelog → snapshot projection: synthesize a retractable ledger
     from events (event_id as offset, op = event_id % 4 over the ODF op
@@ -788,6 +864,11 @@ def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
+    "xsample_temperature": q_xsample_temperature,
+    "xcap_per_source": q_xcap_per_source,
+    "xshuffle": q_xshuffle,
+    "xbm25": q_xbm25,
+    "xtfidf": q_xtfidf,
     "xpack_sequences": q_xpack_sequences,
     "xvocab": q_xvocab,
     "xvocab_oov": q_xvocab_oov,
@@ -1205,6 +1286,77 @@ ORACLES = {
         "SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum, "
         "min(n_chars) AS min_chars "
         "FROM r WHERE rn > floor(n * 0.25) GROUP BY lang"
+    ),
+    "xsample_temperature": (
+        "WITH c AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c "
+        "FROM documents GROUP BY lang), "
+        "t AS (SELECT sum(c) AS tot, sum(pow(c, 0.5)) AS z FROM c), "
+        "cuts AS (SELECT lang, CAST(floor(round("
+        "least(1.0, 0.4 * tot * pow(c, 0.5) / z / c) * 10000, 6)) AS BIGINT) "
+        "AS cut FROM c CROSS JOIN t), "
+        "h AS (SELECT lang, doc_id, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt FROM documents) "
+        "SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum "
+        "FROM h JOIN cuts USING (lang) WHERE bkt < cut GROUP BY lang"
+    ),
+    "xcap_per_source": (
+        "WITH h AS (SELECT source, doc_id, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt FROM documents), "
+        "r AS (SELECT source, doc_id, "
+        "row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rn "
+        "FROM h) "
+        "SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum "
+        "FROM r WHERE rn <= 15 GROUP BY source"
+    ),
+    "xshuffle": (
+        "WITH h AS (SELECT doc_id, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt "
+        "FROM documents WHERE doc_id < 500) "
+        "SELECT doc_id, CAST(row_number() OVER (ORDER BY bkt, doc_id) - 1 "
+        "AS BIGINT) AS shuffle_rank FROM h"
+    ),
+    "xbm25": (
+        "WITH tok AS (SELECT doc_id, "
+        "len(string_split_regex(trim(lower(text)), '\\s+')) AS dl, "
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t "
+        "FROM documents), "
+        "m AS (SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl "
+        "FROM tok WHERE t IN ('hash', 'merge', 'stream', 'vector') "
+        "GROUP BY doc_id, t), "
+        "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "avg(len(string_split_regex(trim(lower(text)), '\\s+'))) AS avgdl "
+        "FROM documents), "
+        "d AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY t) "
+        "SELECT doc_id, count(*) AS n_terms_matched, "
+        "round(sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) "
+        "* tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
+        "), 4) AS score "
+        "FROM m JOIN d USING (t) CROSS JOIN s GROUP BY doc_id"
+    ),
+    "xtfidf": (
+        "WITH tf AS (SELECT doc_id, t AS term, count(*) AS tf FROM ("
+        "SELECT doc_id, unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS t FROM documents WHERE doc_id < 200) GROUP BY doc_id, t), "
+        "d AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf "
+        "GROUP BY term), "
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents "
+        "WHERE doc_id < 200), "
+        "x AS (SELECT doc_id, term, tf, "
+        "tf * (ln((n + 1.0) / (df + 1.0)) + 1.0) AS tfidf "
+        "FROM tf JOIN d USING (term) CROSS JOIN n), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY tfidf DESC, term) AS term_rank FROM x) "
+        "SELECT doc_id, term, tf, round(tfidf, 4) AS tfidf, "
+        "CAST(term_rank AS BIGINT) AS term_rank FROM r WHERE term_rank <= 3"
     ),
     "xsalted_agg": (
         "SELECT event_type, count(*) AS n FROM events GROUP BY event_type"

@@ -1,0 +1,150 @@
+"""BM25 / TF-IDF corpus-statistics scoring, plus the round-5 sampling
+additions (temperature balance, per-group cap, deterministic shuffle)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators.retrieval import (
+    bm25_scores,
+    tfidf_topk_terms,
+)
+from kamu_engine_datafusion_spark.operators.sampling import (
+    cap_per_group,
+    shuffle_rank,
+    temperature_sample,
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, "spark shuffle join", "en"),
+        (1, "spark spark spark streaming", "en"),
+        (2, "python pandas numpy", "en"),
+        (3, "join join shuffle partition spark", "de"),
+        (4, "tiny", "de"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_bm25_hand_computed(spark):
+    df = _docs(spark)
+    out = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(df, ["spark", "join"]).collect()
+    }
+    # docs 0,1,3 contain 'spark'; docs 0,3 contain 'join'; 2 and 4 match nothing
+    assert set(out) == {0, 1, 3}
+    assert out[0][0] == 2 and out[3][0] == 2 and out[1][0] == 1
+    # hand-check doc 1's single-term score: tf=3, |d|=4, N=5, avgdl=16/5,
+    # df(spark)=3 → idf = ln(1 + (5-3+0.5)/(3+0.5))
+    idf = math.log(1 + 2.5 / 3.5)
+    expect = idf * 3 * 2.2 / (3 + 1.2 * (0.25 + 0.75 * 4 / 3.2))
+    assert abs(out[1][1] - expect) < 1e-9
+
+
+def test_bm25_empty_query_and_no_match(spark):
+    df = _docs(spark)
+    assert bm25_scores(df, ["zzz"]).count() == 0
+    assert bm25_scores(df, []).count() == 0
+
+
+def test_tfidf_rank_and_idf(spark):
+    df = _docs(spark)
+    out = tfidf_topk_terms(df, k=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    assert len(out) == 5  # one top term per doc
+    # doc 1's top term must be its thrice-repeated 'spark'
+    assert by_doc[1]["term"] == "spark" and by_doc[1]["tf"] == 3
+    # doc 2: all terms tf=1 and unique to the doc (df=1) → tie broken
+    # alphabetically
+    assert by_doc[2]["term"] == "numpy"
+    r = by_doc[1]
+    assert abs(r["tfidf"] - 3 * (math.log(6 / 4) + 1)) < 1e-9
+
+
+def test_temperature_alpha_one_is_proportional(spark):
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 8 < 7, "en").otherwise("sw").alias("lang"),
+    )
+    # alpha=1 → every stratum keeps ~target_fraction
+    out = temperature_sample(df, "k", "lang", alpha=1.0, target_fraction=0.5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert 0.4 < counts["en"] / 7_000 < 0.6
+    assert 0.4 < counts["sw"] / 1_000 < 0.6
+
+
+def test_temperature_flattens_toward_small_strata(spark):
+    df = spark.range(0, 8_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 8 < 7, "en").otherwise("sw").alias("lang"),
+    )
+    out = temperature_sample(df, "k", "lang", alpha=0.3, target_fraction=0.5)
+    counts = {
+        r["lang"]: r["n"]
+        for r in out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # low-resource stratum keeps a HIGHER fraction than high-resource
+    assert counts["sw"] / 1_000 > counts["en"] / 7_000
+    # and the total lands near the target
+    assert 0.4 < (counts["en"] + counts["sw"]) / 8_000 < 0.6
+
+
+def test_temperature_never_oversamples(spark):
+    df = spark.range(0, 1_000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 990, "en").otherwise("sw").alias("lang"),
+    )
+    # target 90% with alpha 0: 'sw' allocation would exceed its 10 rows —
+    # must cap at 100%, never duplicate
+    out = temperature_sample(df, "k", "lang", alpha=0.0, target_fraction=0.9)
+    assert out.filter(F.col("lang") == "sw").count() == 10
+    assert out.count() == out.select("k").distinct().count()
+
+
+def test_cap_per_group_bounds_and_stability(spark):
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    out = cap_per_group(df, "k", "g", cap=50)
+    sizes = [
+        r["n"]
+        for r in out.groupBy("g").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert sizes == [50] * 7
+    a = set(r["k"] for r in out.collect())
+    b = set(r["k"] for r in cap_per_group(df.repartition(13), "k", "g", 50).collect())
+    assert a == b  # survivors independent of partitioning
+
+
+def test_cap_no_op_below_cap(spark):
+    df = spark.range(0, 30).select(F.col("id").alias("k"), F.lit("g").alias("g"))
+    assert cap_per_group(df, "k", "g", cap=100).count() == 30
+
+
+def test_shuffle_rank_modes_agree(spark):
+    df = spark.range(0, 3_000).withColumnRenamed("id", "k").repartition(11)
+    serial = {
+        r["k"]: r["shuffle_rank"]
+        for r in shuffle_rank(df, "k", mode="serial").collect()
+    }
+    dist = {
+        r["k"]: r["shuffle_rank"]
+        for r in shuffle_rank(df, "k", mode="distributed").collect()
+    }
+    assert serial == dist  # identical permutation, dense 0..n-1
+    assert sorted(serial.values()) == list(range(3_000))
+
+
+def test_shuffle_salt_changes_permutation(spark):
+    df = spark.range(0, 2_000).withColumnRenamed("id", "k")
+    p0 = {r["k"]: r["shuffle_rank"] for r in shuffle_rank(df, "k", salt=0, mode="serial").collect()}
+    p1 = {r["k"]: r["shuffle_rank"] for r in shuffle_rank(df, "k", salt=1, mode="serial").collect()}
+    assert p0 != p1  # epoch reshuffle
+    assert sorted(p1.values()) == list(range(2_000))
