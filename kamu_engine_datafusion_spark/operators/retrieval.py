@@ -31,6 +31,31 @@ from pyspark.sql import functions as F
 
 from kamu_engine_datafusion_spark.functions.columns import tokens
 
+#: Deferred-release ledger (same discipline as ``operators.dedup``): the
+#: term-frequency table feeds two consumers (the score join and the
+#: document-frequency aggregate) and Catalyst cannot share a subplan, so
+#: without materialization the full corpus tokenize+explode runs TWICE.
+#: Persisted handles are released at the NEXT retrieval call; an
+#: unpersisted intermediate recomputes from lineage — slower, never wrong.
+_DEFERRED: list[DataFrame] = []
+
+
+def release_intermediates(blocking: bool = False) -> None:
+    """Unpersist the previous retrieval call's materialized term table."""
+    while _DEFERRED:
+        df = _DEFERRED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass
+
+
+def _persist_deferred(df: DataFrame) -> DataFrame:
+    release_intermediates()
+    df = df.persist()
+    _DEFERRED.append(df)
+    return df
+
 
 def bm25_scores(
     df: DataFrame,
@@ -62,8 +87,10 @@ def bm25_scores(
         F.size(tokens(text_col)).alias("__len"),
         F.explode(tokens(text_col)).alias("__t"),
     ).filter(F.col("__t").isin(terms))
-    tf = tok.groupBy("__id", "__t").agg(
-        F.count(F.lit(1)).alias("__tf"), F.first("__len").alias("__len")
+    tf = _persist_deferred(
+        tok.groupBy("__id", "__t").agg(
+            F.count(F.lit(1)).alias("__tf"), F.first("__len").alias("__len")
+        )
     )
     # Corpus stats: one tiny aggregate row, cross-joined (broadcast).
     stats = df.select(F.size(tokens(text_col)).alias("__l")).agg(
@@ -123,6 +150,7 @@ def tfidf_topk_terms(
     )
     if min_tf > 1:
         tf = tf.filter(F.col("tf") >= min_tf)
+    tf = _persist_deferred(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("__df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__N"))
     idf = F.log((F.col("__N") + F.lit(1.0)) / (F.col("__df") + F.lit(1.0))) + F.lit(

@@ -149,3 +149,66 @@ def test_pack_sequences_single_exchange(spark):
             docs.withColumn("cost", docs.n_chars), "doc_id", "cost", 2048, "lang"
         ).explain("formatted")
     assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
+
+
+def _explain(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_temperature_sample_broadcasts_cuts(spark):
+    """The per-stratum cut table broadcasts; the corpus never shuffles
+    (its only exchanges feed the tiny count aggregate / broadcast)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        temperature_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _explain(temperature_sample(docs, "doc_id", "lang"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cap_per_group_single_exchange(spark):
+    """One shuffle on the group key; rank window rides it."""
+    import re
+
+    from kamu_engine_datafusion_spark.operators.sampling import cap_per_group
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _explain(cap_per_group(docs, "doc_id", "source", 15))
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_bm25_broadcasts_stats_and_dfreq(spark):
+    """Corpus stats and the per-term DF table broadcast; the only
+    big-data exchange is the (doc, term) aggregation of the
+    query-term-filtered token stream."""
+    from kamu_engine_datafusion_spark.operators.retrieval import bm25_scores
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _explain(bm25_scores(docs, ["vector", "merge"]))
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # the isin() query-term filter is applied before the first aggregate
+    assert "__t IN" in p.replace("\n", " ") or "isin" in p or "IN (" in p
+
+
+def test_tfidf_single_tokenize_pass_and_topk_window(spark):
+    """The (doc, term) tf table is materialized so BOTH its consumers
+    (score join + document-frequency aggregate) read the cache — the
+    corpus tokenize+explode runs ONCE, not per consumer. The per-doc
+    top-k prunes via WindowGroupLimit (rank-limit pushdown), not a full
+    window materialization. (At sf0.001 the vocab-sized DF table
+    broadcasts; at scale AQE/statistics flip that join to shuffle —
+    both are the right plan for their size.)"""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        tfidf_topk_terms,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _explain(tfidf_topk_terms(docs, k=3))
+    assert "InMemoryTableScan" in p
+    assert "WindowGroupLimit" in p
