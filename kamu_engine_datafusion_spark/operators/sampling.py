@@ -280,6 +280,74 @@ def split_train_holdout(
     return df.filter(b >= cut), df.filter(b < cut)
 
 
+def split_by_group(
+    df: DataFrame,
+    group_col: str,
+    holdout_fraction: float = 0.01,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Leakage-safe (train, holdout) split: WHOLE groups (domain, source,
+    site) land on one side, so near-duplicates and templated pages from
+    the same origin can never straddle the boundary — the standard
+    guard against train/eval contamination that a row-level split
+    (:func:`split_train_holdout`) cannot give.
+
+    Scale: pure column predicate on the group key's hash — no shuffle,
+    no group materialization; pushed to the scan.
+    """
+    b = _bucket(F.col(group_col), salt, hash_fn)
+    cut = int(holdout_fraction * _BUCKETS)
+    return df.filter(b >= cut), df.filter(b < cut)
+
+
+def mix_to_budget(
+    df: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    cost_col: str,
+    weights: dict[str, float],
+    budget: float,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Sample a training mixture to a token budget: stratum ``s`` with
+    target weight ``w_s`` (normalized over the provided weights) should
+    contribute ``≈ budget × w_s`` total ``cost_col`` (tokens); its rows
+    are kept with fraction ``min(1, budget·w_s / tokens_s)`` — an
+    under-resourced stratum is kept whole (never oversampled; repeat
+    epochs handle up-weighting). Strata absent from ``weights`` are
+    dropped.
+
+    Scale: one tiny per-stratum cost aggregate → broadcast per-stratum
+    cut → keyed-hash row filter; the corpus is never shuffled. Same
+    cross-engine determinism contract as :func:`temperature_sample`
+    (threshold rounded to 6 decimals before the integer-bucket cut).
+    """
+    total_w = sum(weights.values())
+    wmap = F.create_map(
+        *[F.lit(x) for k, w in sorted(weights.items()) for x in (k, w / total_w)]
+    )
+    stats = (
+        df.groupBy(stratum_col)
+        .agg(F.sum(cost_col).alias("__tok"))
+        .withColumn("__w", wmap[F.col(stratum_col)])
+        .filter(F.col("__w").isNotNull())
+    )
+    frac = F.least(
+        F.lit(1.0), F.lit(float(budget)) * F.col("__w") / F.col("__tok")
+    )
+    cuts = stats.select(
+        stratum_col,
+        F.floor(F.round(frac * _BUCKETS, 6)).cast("long").alias("__cut"),
+    )
+    return (
+        df.join(F.broadcast(cuts), stratum_col)
+        .filter(_bucket(F.col(key_col), salt, hash_fn) < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
 def percentile_gate(
     df: DataFrame,
     score_col: str,

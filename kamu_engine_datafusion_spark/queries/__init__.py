@@ -40,6 +40,8 @@ _PRIORITY = [
     "xshuffle",  # NEW: deterministic global training-order shuffle
     "xbm25",  # NEW: Okapi BM25 corpus scoring
     "xtfidf",  # NEW: per-doc top-k TF-IDF keywords
+    "xsplit_by_group",  # NEW: leakage-safe whole-group split
+    "xmix_budget",  # NEW: token-budget mixture sampling
     # -- changed in round 5: must re-verify --
     "xdedup_semantic",  # NEW: SemDeDup-style seed-cluster cosine dedup
     "xsample_stratified",  # NEW: exact per-stratum quota sampling

@@ -570,6 +570,55 @@ def q_xshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsplit_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe split: whole SOURCES land train- or holdout-side
+    (25% of source hash space); per-side doc counts + id_sum +
+    distinct-source counts prove no source straddles the boundary."""
+    from kamu_engine_datafusion_spark.operators.sampling import split_by_group
+
+    t = load(spark, sf_dir, "documents")
+    train, hold = split_by_group(
+        t["documents"], "source", holdout_fraction=0.25, hash_fn="poly"
+    )
+    tagged = train.withColumn("side", F.lit("train")).unionByName(
+        hold.withColumn("side", F.lit("holdout"))
+    )
+    return tagged.groupBy("side").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+#: Mixture weights for xmix_budget: exactly normalized (4 × 0.25); 'es'
+#: is deliberately absent → dropped from the mix.
+_MIX_WEIGHTS = {"en": 0.25, "de": 0.25, "fr": 0.25, "zh": 0.25}
+
+
+def q_xmix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture sampling: each listed lang targets 25% of a
+    20k-token budget; under-resourced langs cap at 100% (never
+    duplicated), 'es' is dropped. id_sum pins exact membership."""
+    from kamu_engine_datafusion_spark.operators.sampling import mix_to_budget
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn(
+        "__cost", X.token_count("text").cast("long")
+    )
+    return (
+        mix_to_budget(
+            d, "doc_id", "lang", "__cost", _MIX_WEIGHTS, budget=20_000,
+            hash_fn="poly",
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+            F.sum("__cost").alias("n_tokens"),
+        )
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -869,6 +918,8 @@ QUERIES = {
     "xshuffle": q_xshuffle,
     "xbm25": q_xbm25,
     "xtfidf": q_xtfidf,
+    "xsplit_by_group": q_xsplit_by_group,
+    "xmix_budget": q_xmix_budget,
     "xpack_sequences": q_xpack_sequences,
     "xvocab": q_xvocab,
     "xvocab_oov": q_xvocab_oov,
@@ -1323,6 +1374,35 @@ ORACLES = {
         "FROM documents WHERE doc_id < 500) "
         "SELECT doc_id, CAST(row_number() OVER (ORDER BY bkt, doc_id) - 1 "
         "AS BIGINT) AS shuffle_rank FROM h"
+    ),
+    "xsplit_by_group": (
+        "WITH h AS (SELECT doc_id, source, "
+        "CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(source || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < 2500 "
+        "THEN 'holdout' ELSE 'train' END AS side FROM documents) "
+        "SELECT side, count(*) AS n_docs, sum(doc_id) AS id_sum, "
+        "count(DISTINCT source) AS n_sources FROM h GROUP BY side"
+    ),
+    "xmix_budget": (
+        "WITH c AS (SELECT lang, doc_id, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS cost, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt "
+        "FROM documents), "
+        "s AS (SELECT lang, sum(cost) AS tok FROM c GROUP BY lang), "
+        "w(lang, w) AS (VALUES ('de', 0.25), ('en', 0.25), ('fr', 0.25), "
+        "('zh', 0.25)), "
+        "cuts AS (SELECT lang, CAST(floor(round("
+        "least(1.0, 20000.0 * w / tok) * 10000, 6)) AS BIGINT) AS cut "
+        "FROM s JOIN w USING (lang)) "
+        "SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum, "
+        "sum(cost) AS n_tokens "
+        "FROM c JOIN cuts USING (lang) WHERE bkt < cut GROUP BY lang"
     ),
     "xbm25": (
         "WITH tok AS (SELECT doc_id, "

@@ -97,3 +97,57 @@ def test_pack_sequences_partition_independent(spark):
     b = {(r["k"], r["chunk"]) for r in
          pack_sequences(df.repartition(11), "k", "cost", 64, "grp").collect()}
     assert a == b
+
+
+def test_split_by_group_no_straddle(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import split_by_group
+
+    df = spark.range(0, 5_000).select(
+        F.col("id").alias("k"), (F.col("id") % 40).cast("string").alias("dom")
+    )
+    train, hold = split_by_group(df, "dom", holdout_fraction=0.3)
+    tr = set(r["dom"] for r in train.select("dom").distinct().collect())
+    ho = set(r["dom"] for r in hold.select("dom").distinct().collect())
+    assert tr.isdisjoint(ho)  # no domain straddles the split
+    assert len(tr) + len(ho) == 40
+    assert train.count() + hold.count() == 5_000
+
+
+def test_mix_to_budget_hits_targets(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import mix_to_budget
+
+    # 3 strata, 1000 rows each, cost 10/row -> 10_000 tokens per stratum
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("k"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("s"),
+        F.lit(10).alias("cost"),
+    )
+    out = mix_to_budget(
+        df, "k", "s", "cost", {"a": 0.5, "b": 0.5}, budget=10_000
+    )
+    got = {
+        r["s"]: r["tok"]
+        for r in out.groupBy("s").agg(F.sum("cost").alias("tok")).collect()
+    }
+    assert "c" not in got  # unlisted stratum dropped
+    # each listed stratum targets 5_000 of its 10_000 tokens (+-20%)
+    assert 4_000 < got["a"] < 6_000 and 4_000 < got["b"] < 6_000
+
+
+def test_mix_to_budget_caps_at_full_stratum(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import mix_to_budget
+
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 90, "big").otherwise("small").alias("s"),
+        F.lit(10).alias("cost"),
+    )
+    # small has 100 tokens; its 50% share of a 10_000 budget (5_000)
+    # exceeds that -> kept whole, never duplicated
+    out = mix_to_budget(df, "k", "s", "cost", {"big": 0.5, "small": 0.5}, 10_000)
+    small = out.filter(F.col("s") == "small")
+    assert small.count() == 10
+    assert out.count() == out.select("k").distinct().count()

@@ -114,6 +114,24 @@ def main() -> None:
         ).count(),
     )
 
+    from kamu_engine_datafusion_spark.operators import retrieval as R
+    from kamu_engine_datafusion_spark.operators import sampling as SA
+
+    t(
+        "bm25",
+        lambda: R.bm25_scores(docs, ["vector", "merge", "hash", "stream"]).count(),
+    )
+    t("tfidf_topk", lambda: R.tfidf_topk_terms(docs, k=3).count())
+    t(
+        "temperature_sample",
+        lambda: SA.temperature_sample(docs, "doc_id", "lang").count(),
+    )
+    t(
+        "cap_per_group",
+        lambda: SA.cap_per_group(docs, "doc_id", "source", cap=1000).count(),
+    )
+    t("shuffle_rank", lambda: SA.shuffle_rank(docs, "doc_id").count())
+
     from kamu_engine_datafusion_spark.operators.clustering import (
         connected_components,
     )
