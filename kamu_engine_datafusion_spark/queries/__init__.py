@@ -42,6 +42,7 @@ _PRIORITY = [
     "xtfidf",  # NEW: per-doc top-k TF-IDF keywords
     "xsplit_by_group",  # NEW: leakage-safe whole-group split
     "xmix_budget",  # NEW: token-budget mixture sampling
+    "xpipeline_e2e",  # NEW: 4-stage end-to-end pipeline, full oracle
     # -- changed in round 5: must re-verify --
     "xdedup_semantic",  # NEW: SemDeDup-style seed-cluster cosine dedup
     "xsample_stratified",  # NEW: exact per-stratum quota sampling

@@ -619,6 +619,38 @@ def q_xmix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xpipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship END-TO-END training-data pipeline, fully oracle-checked
+    through all four stages: token-length quality filter → exact dedup
+    (lowest-id survivor per normalized text) → temperature-balanced
+    language sampling (alpha=0.5, target 60%, computed over the
+    POST-dedup corpus) → 2048-token sequence packing per lang. Output
+    is per (lang, chunk) doc/token totals with id_sum pinning exact
+    end-to-end membership.
+
+    Scale shape: stage 1 is a scan predicate; stage 2 one content-hash
+    shuffle; stage 3 a tiny count agg + broadcast cuts (no corpus
+    shuffle); stage 4 one lang-keyed window exchange."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences,
+        temperature_sample,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("__cost", X.token_count("text").cast("long"))
+    d = d.filter((F.col("__cost") >= 15) & (F.col("__cost") <= 1000))
+    d = D.exact_dedup(d)
+    d = temperature_sample(
+        d, "doc_id", "lang", alpha=0.5, target_fraction=0.6, hash_fn="poly"
+    )
+    packed = pack_sequences(d, "doc_id", "__cost", budget=2048, part_col="lang")
+    return packed.groupBy("lang", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("__cost").alias("n_tokens"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -920,6 +952,7 @@ QUERIES = {
     "xtfidf": q_xtfidf,
     "xsplit_by_group": q_xsplit_by_group,
     "xmix_budget": q_xmix_budget,
+    "xpipeline_e2e": q_xpipeline_e2e,
     "xpack_sequences": q_xpack_sequences,
     "xvocab": q_xvocab,
     "xvocab_oov": q_xvocab_oov,
@@ -1374,6 +1407,32 @@ ORACLES = {
         "FROM documents WHERE doc_id < 500) "
         "SELECT doc_id, CAST(row_number() OVER (ORDER BY bkt, doc_id) - 1 "
         "AS BIGINT) AS shuffle_rank FROM h"
+    ),
+    "xpipeline_e2e": (
+        "WITH c0 AS (SELECT lang, doc_id, text, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS cost FROM documents), "
+        "f AS (SELECT * FROM c0 WHERE cost BETWEEN 15 AND 1000), "
+        "d AS (SELECT lang, doc_id, cost FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY "
+        "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) "
+        "ORDER BY doc_id) AS rn FROM f) WHERE rn = 1), "
+        "cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c FROM d "
+        "GROUP BY lang), "
+        "t AS (SELECT sum(c) AS tot, sum(pow(c, 0.5)) AS z FROM cnt), "
+        "cuts AS (SELECT lang, CAST(floor(round("
+        "least(1.0, 0.6 * tot * pow(c, 0.5) / z / c) * 10000, 6)) AS BIGINT) "
+        "AS cut FROM cnt CROSS JOIN t), "
+        "s AS (SELECT d.lang, d.doc_id, d.cost FROM d JOIN cuts USING (lang) "
+        "WHERE list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(d.doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < cut), "
+        "p AS (SELECT lang, doc_id, cost, CAST(FLOOR("
+        "(SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id) - cost) / 2048.0"
+        ") AS BIGINT) AS chunk FROM s) "
+        "SELECT lang, chunk, count(*) AS n_docs, SUM(cost) AS n_tokens, "
+        "SUM(doc_id) AS id_sum FROM p GROUP BY lang, chunk"
     ),
     "xsplit_by_group": (
         "WITH h AS (SELECT doc_id, source, "
