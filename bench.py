@@ -22,6 +22,14 @@ from kamu_engine_datafusion_spark.session import odf_session  # noqa: E402
 
 #: Headline set: scan-agg, join, window, set/subquery, string/regex-heavy,
 #: plus the beyond-parity pipeline operators as they land.
+# Reps per query; min is recorded. 5, not 3: the HOF-heavy LSH pipeline
+# needs ~4 invocations before the JVM's C2 compiler has the interpreted
+# lambda evaluators hot (measured [21.2, 12.3, 15.9, 5.0, 4.8, 4.7] at
+# sf0.1) — a long-lived engine runs steady-state, so min-of-5 is the
+# honest throughput figure; the per-query spread still travels with the
+# output so warm-up inflation stays visible.
+REPS = 5
+
 HEADLINE = [
     "b16_groupby_agg",
     "b10_tpch_q5alike",
@@ -109,7 +117,7 @@ def _bench_odf_transform(spark, sf_dir: str) -> float:
         new_data_path=f"{tmp}/out.parquet",
     )
     times = []
-    for _ in range(3):
+    for _ in range(REPS):
         t0 = _t.perf_counter()
         execute_transform(spark, req)
         times.append(_t.perf_counter() - t0)
@@ -151,7 +159,7 @@ def main() -> None:
         if fn is None:
             continue
         times = []
-        for _ in range(3):  # k=3 reps per query
+        for _ in range(REPS):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
@@ -169,7 +177,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "query_spreads": spreads,
-                "reps_per_query": 3,
+                "reps_per_query": REPS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -244,8 +244,12 @@ def minhash_lsh_candidates(
     # (tokenize → shingle-hash → 32 MIN aggregates) recomputes for each
     # consumer. The set is tiny relative to the corpus — (id, band) pairs,
     # num_bands rows per doc — so materializing it is the cheap side of
-    # the trade.
+    # the trade. The count() is deliberate: persist() alone is lazy, and
+    # a single downstream job with three consumers races all three
+    # branches through the UNPOPULATED cache — the signature pipeline
+    # runs ~3x concurrently (measured ~2x wall on the sf0.1 bench).
     banded = banded.persist()
+    banded.count()
     if _cleanup is not None:
         _cleanup.append(banded)
     else:
@@ -308,6 +312,7 @@ def verified_jaccard(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingle_set).alias("__sh"),
     ).persist()
+    sh.count()  # populate before the two join legs race through it
     _DEFERRED.append(sh)
     return (
         pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
@@ -365,6 +370,9 @@ def minhash_lsh_dedup(
         bucket_cap_mode,
         _cleanup=handles,
     ).persist()
+    # populate the pair cache before verification fans out over it
+    # (cand_ids + two join legs — three concurrent consumers otherwise)
+    cand.count()
     dups = (
         verified_jaccard(
             df,
@@ -473,6 +481,7 @@ def simhash_near_dups(
     # both self-join legs; persist so it runs once, not per leg —
     # released at the next dedup call like every LSH intermediate
     fp = fp.persist()
+    fp.count()  # populate before the two join legs race through it
     _DEFERRED.append(fp)
     a, b = fp.alias("a"), fp.alias("b")
     pairs = (
@@ -715,6 +724,7 @@ def embedding_near_dups(
         "__id",
         F.explode(F.array(*[band_key(j) for j in range(num_bands)])).alias("__band"),
     ).persist()
+    banded.count()  # populate before the cap count + join legs fan out
     _DEFERRED.append(banded)
     if max_bucket_size:
         banded = _cap_buckets(banded, "__band", max_bucket_size)
@@ -907,6 +917,7 @@ def semantic_dedup(
     # cluster, so the legs carry the vectors directly: zero join-backs,
     # and the cosine filter runs in the same stage as the join.
     assigned = base.withColumn("__cluster", cluster).persist()
+    assigned.count()  # populate before the join legs race through it
     legs = assigned
     if max_cluster_size:
         legs = _cap_buckets(legs, "__cluster", max_cluster_size)
@@ -1052,6 +1063,7 @@ def dedup_increment_against_index(
     # single materialization point: carries __sig, feeds the cap count,
     # both self-join legs, the index join, and new_index_rows
     banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash).persist()
+    banded.count()  # populate before the cap/join/index consumers fan out
     capped = (
         _cap_buckets(banded, "__band", max_bucket_size)
         if max_bucket_size
@@ -1105,6 +1117,7 @@ def dedup_increment_against_index(
     # dead feeds both survivors and new_index_rows; persist the small id
     # set so the LSH joins replay once, not per consumer
     dead = vs_index.unionByName(within).distinct().persist()
+    dead.count()  # populate before survivors + new_index_rows fan out
     _DEFERRED.extend((banded, dead))
     survivors = new_docs.join(
         dead.withColumnRenamed("new_id", id_col), id_col, "left_anti"
