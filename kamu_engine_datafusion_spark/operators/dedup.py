@@ -1132,3 +1132,176 @@ def dedup_increment_against_index(
         )
     )
     return survivors, new_index_rows
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> DataFrame:
+    """Exact duplicated-substring detection: maximal token spans of
+    length ≥ ``min_len`` whose content also occurs EARLIER in the corpus
+    (earlier = smaller (doc id, token position)) — the span-level exact
+    dedup of the "Deduplicating Training Data" line of work, where the
+    unit of deduplication is the repeated passage, not the document.
+
+    Method: every ``min_len``-token rolling window is hashed in-row
+    (:func:`~kamu_engine_datafusion_spark.functions.columns
+    .shingle_hash_array` — no gram strings materialized); a window
+    occurrence is duplicated iff it is not the global first occurrence
+    of its gram (``row_number`` over the gram hash, ordered by
+    (doc, pos) — a total order, so the canonical copy is deterministic
+    and exactly one occurrence of every gram survives unmarked).
+    Duplicated window starts then merge per document into maximal
+    spans: two windows [p, p+k-1], [q, q+k-1] with q − p ≤ k overlap or
+    touch, so a gap > k starts a new span (lag + running sum islands).
+
+    Returns ``(id_col, span_start, span_end, span_tokens)`` — 1-based
+    inclusive token positions, one row per maximal duplicated span.
+    Docs shorter than ``min_len`` tokens have no window and never appear.
+
+    Scale: the gram table is one row per corpus token (the inherent
+    cost of substring-level dedup — the distributed alternative to a
+    suffix array), but each row is 3 longs (hash, doc, pos), the
+    first-occurrence rank is one uniform-hash shuffle with no skew cap
+    needed (equal texts produce equal grams but ranking is linear in
+    bucket size, never pairwise), and the span merge shuffles only the
+    DUPLICATED positions keyed by doc. No joins back to text.
+    """
+    tok = tokens(text_col)
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(shingle_hash_array(tok, min_len)).alias("__p0", "__h"),
+    ).filter(F.size(tok) >= min_len)
+    # 0-based posexplode → 1-based token position of the window start
+    grams = grams.select("__id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    wg = Window.partitionBy("__h").orderBy("__id", "__pos")
+    dup_pos = (
+        grams.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") > 1)
+        .select("__id", "__pos")
+    )
+    wd = Window.partitionBy("__id").orderBy("__pos")
+    spans = (
+        dup_pos.withColumn("__prev", F.lag("__pos").over(wd))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__pos") - F.col("__prev") > min_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__brk").over(wd))
+        .groupBy("__id", "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + min_len - 1).alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+    return spans
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> DataFrame:
+    """Cut every duplicated span found by :func:`duplicate_spans` out of
+    its document and reassemble the remaining tokens (single-space
+    joined, like every tokenized operator here). The canonical first
+    occurrence of each passage survives; docs reduce to '' if fully
+    duplicated. Returns ``(id_col, text_col)`` for ALL input docs.
+
+    Scale: spans per doc collect into one small array (bounded by
+    doc length / min_len), then the cut is an in-row filter over token
+    positions — one broadcast-or-shuffle join of docs against their
+    span lists, no pairwise work.
+    """
+    spans = duplicate_spans(df, text_col, id_col, min_len)
+    span_lists = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
+    )
+    joined = df.select(F.col(id_col), tokens(text_col).alias("__tok")).join(
+        span_lists, id_col, "left"
+    )
+    keep = F.filter(
+        F.zip_with(
+            F.col("__tok"),
+            F.sequence(F.lit(1), F.size("__tok")),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("__spans"),
+            lambda sp: (s.getField("i") >= sp.getField("span_start"))
+            & (s.getField("i") <= sp.getField("span_end")),
+        ),
+    )
+    return joined.select(
+        F.col(id_col),
+        F.when(F.col("__spans").isNull(), F.array_join("__tok", " "))
+        .otherwise(
+            F.array_join(F.transform(keep, lambda s: s.getField("t")), " ")
+        )
+        .alias(text_col),
+    )
+
+
+def remove_common_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb line
+    filter): any line occurring in at least ``min_docs`` DISTINCT
+    documents is boilerplate (headers, footers, cookie banners) and is
+    removed from EVERY document — unlike :func:`paragraph_dedup`, not
+    even the first occurrence survives. Documents reassemble from their
+    surviving lines; fully-boilerplate docs come back as ''.
+
+    Returns ``(id_col, text_col)``. Scale: one shuffle keyed by line
+    content for the distinct-doc count (uniform hash keys), one groupBy
+    to reassemble — linear, no pairwise joins, text never re-scanned.
+    """
+    import re
+
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), re.escape(sep))).alias(
+            "__pos", "__line"
+        ),
+    )
+    wl = Window.partitionBy("__line")
+    kept = (
+        lines.withColumn(
+            "__df", F.size(F.collect_set("__id").over(wl))
+        )
+        .filter(F.col("__df") < min_docs)
+        .drop("__df")
+    )
+    reassembled = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__line")))
+                ),
+                lambda s: s.getField("__line"),
+            ),
+            sep,
+        ).alias(text_col)
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(reassembled, df[id_col] == reassembled["__id"], "left")
+        .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
+    )

@@ -34,6 +34,10 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # remainder. Every key's latest driver-green should be at most one
 # round old after each rotation.
 _PRIORITY = [
+    # -- new in round 5 (third batch): must verify --
+    "xdedup_spans",  # NEW: exact duplicated-substring span detection
+    "xdedup_span_removal",  # NEW: cut duplicated spans, reassemble docs
+    "xdedup_lines",  # NEW: corpus-frequency boilerplate line removal
     # -- new in round 5 (second batch): must verify --
     "xsample_temperature",  # NEW: temperature-balanced language mix
     "xcap_per_source",  # NEW: per-source doc cap (anti-dominance)

@@ -111,6 +111,35 @@ def q_xdedup_paragraph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.paragraph_dedup(sub, sep=" the ")
 
 
+def q_xdedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup: maximal duplicated token spans of
+    ≥8 tokens whose content occurs earlier in the corpus — dedup of the
+    repeated PASSAGE, not the document. Oracle re-derives the rolling
+    8-gram first-occurrence rank and interval merge in SQL."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    return D.duplicate_spans(sub, min_len=8)
+
+
+def q_xdedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut duplicated ≥8-token spans from every document (canonical
+    first occurrence survives) and reassemble the remaining tokens —
+    whole cleaned text hash-verified against the oracle."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300).select("doc_id", "text")
+    return D.remove_duplicate_spans(sub, min_len=8)
+
+
+def q_xdedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal: every line occurring in ≥3
+    distinct documents is dropped from ALL documents (no survivor,
+    unlike paragraph dedup). ' the ' again stands in for the line
+    separator the synthetic corpus lacks."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300).select("doc_id", "text")
+    return D.remove_common_lines(sub, sep=" the ", min_docs=3)
+
+
 def q_xdedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style semantic dedup: nearest-of-16-seed clustering
     (deterministic lowest-id seeds) + within-cluster cosine pruning;
@@ -980,6 +1009,9 @@ QUERIES = {
     "xdedup_cluster": q_xdedup_cluster,
     "xdedup_semantic": q_xdedup_semantic,
     "xdedup_paragraph": q_xdedup_paragraph,
+    "xdedup_spans": q_xdedup_spans,
+    "xdedup_span_removal": q_xdedup_span_removal,
+    "xdedup_lines": q_xdedup_lines,
     "xdedup_minhash_sql": q_xdedup_minhash_sql,
     "xdedup_simhash_sql": q_xdedup_simhash_sql,
     "xdedup_embcos": q_xdedup_embcos,
@@ -1232,6 +1264,47 @@ def _simhash_sql_oracle() -> str:
         "FROM blocked a JOIN blocked b "
         "ON a.blk = b.blk AND a.doc_id < b.doc_id "
         "WHERE bit_count(xor(a.f, b.f)) <= 10"
+    )
+
+
+def _span_oracle(k: int = 8, removal: bool = False) -> str:
+    """DuckDB oracle replicating duplicate_spans / remove_duplicate_spans:
+    rolling k-gram first-occurrence rank (grams compared as strings —
+    Spark compares xxhash64 of the token-hash fold; identical grouping
+    up to negligible collisions), then the same gap>k interval merge."""
+    cte = (
+        "WITH d AS (SELECT doc_id, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+        "FROM documents WHERE doc_id < 300), "
+        "g AS (SELECT doc_id, i AS pos, "
+        f"array_to_string(toks[i:i+{k - 1}], ' ') AS gram "
+        "FROM d, LATERAL (SELECT unnest(generate_series(1, "
+        f"len(toks) - {k - 1})) AS i) WHERE len(toks) >= {k}), "
+        "r AS (SELECT doc_id, pos, row_number() OVER "
+        "(PARTITION BY gram ORDER BY doc_id, pos) AS rn FROM g), "
+        "b AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER "
+        f"(PARTITION BY doc_id ORDER BY pos) <= {k} THEN 0 ELSE 1 END AS brk "
+        "FROM (SELECT doc_id, pos FROM r WHERE rn > 1)), "
+        "isl AS (SELECT doc_id, pos, sum(brk) OVER "
+        "(PARTITION BY doc_id ORDER BY pos) AS isl FROM b), "
+        "spans AS (SELECT doc_id, min(pos) AS span_start, "
+        f"max(pos) + {k - 1} AS span_end FROM isl GROUP BY doc_id, isl) "
+    )
+    if not removal:
+        return cte + (
+            "SELECT doc_id, span_start, span_end, "
+            "span_end - span_start + 1 AS span_tokens FROM spans"
+        )
+    return cte + (
+        ", tk AS (SELECT doc_id, unnest(toks) AS t, "
+        "generate_subscripts(toks, 1) AS i FROM d), "
+        "kept AS (SELECT tk.doc_id, tk.t, tk.i FROM tk WHERE NOT EXISTS "
+        "(SELECT 1 FROM spans s WHERE s.doc_id = tk.doc_id "
+        "AND tk.i BETWEEN s.span_start AND s.span_end)), "
+        "re AS (SELECT doc_id, string_agg(t, ' ' ORDER BY i) AS text "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(re.text, '') AS text "
+        "FROM d LEFT JOIN re USING (doc_id)"
     )
 
 
@@ -1693,6 +1766,21 @@ ORACLES = {
         "FROM kept WHERE rn = 1 GROUP BY doc_id) "
         "SELECT d.doc_id, coalesce(re.text, '') AS text "
         "FROM d LEFT JOIN re ON d.doc_id = re.doc_id"
+    ),
+    "xdedup_spans": _span_oracle(k=8, removal=False),
+    "xdedup_span_removal": _span_oracle(k=8, removal=True),
+    "xdedup_lines": (
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+        "p AS (SELECT doc_id, unnest(string_split(text, ' the ')) AS line, "
+        "generate_subscripts(string_split(text, ' the '), 1) AS pos FROM d), "
+        "f AS (SELECT line FROM p GROUP BY line "
+        "HAVING count(DISTINCT doc_id) >= 3), "
+        "kept AS (SELECT doc_id, line, pos FROM p "
+        "WHERE line NOT IN (SELECT line FROM f)), "
+        "re AS (SELECT doc_id, string_agg(line, ' the ' ORDER BY pos) AS text "
+        "FROM kept GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(re.text, '') AS text "
+        "FROM d LEFT JOIN re USING (doc_id)"
     ),
     "xdedup_cluster": (
         "WITH RECURSIVE toks AS (SELECT doc_id, lang, "

@@ -531,3 +531,77 @@ def test_topk_batch_zero_query_and_empty_queries(vectors):
     assert len(out) == 2 and all(r["cosine"] == 0.0 for r in out)
     empty = S.topk_batch(vectors, vectors.filter(_F.col("vec_id") < 0), k=2)
     assert empty.count() == 0
+
+
+def test_duplicate_spans_marks_second_occurrence(spark):
+    # 12 shared tokens embedded at token 3 of doc 1 and token 1 of doc 2
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, "x y " + shared + " tail1 tail2"),
+        (2, shared + " something else entirely here now"),
+        (3, "short doc"),  # shorter than min_len -> never appears
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in D.duplicate_spans(df, min_len=8).collect()
+    }
+    # doc 1 holds the canonical copy (smaller doc id) — only doc 2 marked.
+    # windows 1..5 of doc 2 are the 8-gram starts inside the shared run:
+    # tokens 1..12 form one maximal span.
+    assert spans == {(2, 1, 12, 12)}
+
+
+def test_duplicate_spans_intra_document(spark):
+    eight = "a1 a2 a3 a4 a5 a6 a7 a8"
+    df = spark.createDataFrame(
+        [(7, eight + " filler1 filler2 filler3 filler4 filler5 filler6 "
+          "filler7 filler8 " + eight)],
+        ["doc_id", "text"],
+    )
+    spans = [
+        (r.span_start, r.span_end)
+        for r in D.duplicate_spans(df, min_len=8).collect()
+    ]
+    # the second copy lives at tokens 17..24; the first is canonical
+    assert spans == [(17, 24)]
+
+
+def test_remove_duplicate_spans_keeps_canonical(spark):
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, "x y " + shared),
+        (2, shared + " unique tail tokens"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in
+           D.remove_duplicate_spans(df, min_len=8).collect()}
+    assert out[1] == "x y " + shared  # canonical copy untouched
+    assert out[2] == "unique tail tokens"  # span cut, remainder kept
+
+
+def test_remove_common_lines_drops_all_occurrences(spark):
+    rows = [
+        (1, "unique one\nshared footer"),
+        (2, "unique two\nshared footer"),
+        (3, "unique three\nshared footer"),
+        (4, "shared footer"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in
+           D.remove_common_lines(df, min_docs=3).collect()}
+    # the footer appears in 4 >= 3 docs: removed EVERYWHERE, no survivor
+    assert out == {1: "unique one", 2: "unique two", 3: "unique three", 4: ""}
+
+
+def test_remove_common_lines_below_threshold_survives(spark):
+    rows = [
+        (1, "only here\nrare line"),
+        (2, "rare line\nother text"),
+        (3, "nothing shared"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.text for r in
+           D.remove_common_lines(df, min_docs=3).collect()}
+    assert out[1] == "only here\nrare line"  # 2 docs < 3: kept
+    assert out[2] == "rare line\nother text"
