@@ -323,3 +323,139 @@ def topk_batch(
         survivors.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def quantization_params(
+    df: DataFrame, vec_col: str = "embedding", dim: int | None = None
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) over the corpus — the codebook for
+    :func:`quantize_embeddings`. One scan, ``2*dim`` codegen'd MIN/MAX
+    aggregates with map-side partials; the result (``2*dim`` doubles)
+    collects to the driver — the same sanctioned tiny-collect as the
+    IVF centroids."""
+    if dim is None:
+        dim = _vec_dim(df, vec_col)
+    v = F.col(vec_col).cast("array<double>")
+    aggs = []
+    for i in range(dim):
+        aggs.append(F.min(F.element_at(v, i + 1)).alias(f"mn{i}"))
+        aggs.append(F.max(F.element_at(v, i + 1)).alias(f"mx{i}"))
+    row = df.agg(*aggs).collect()[0]
+    return [(row[f"mn{i}"], row[f"mx{i}"]) for i in range(dim)]
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    params: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Scalar (int8-range) quantization: dimension ``i`` maps to
+    ``floor((x - mn_i) / (mx_i - mn_i) * 255 + 0.5)`` ∈ [0, 255]
+    (``floor(x+0.5)``, not ``round`` — engines disagree on
+    banker's-vs-half-up for exact .5 ties; floor is unambiguous).
+    Degenerate dims (``mx == mn``) code to 0.
+
+    Returns ``(id_col, codes array<int>)`` — 4x smaller than float32
+    storage per dim (byte-pack to 8x where the sink supports it); at
+    100 TB the quantized corpus is the resident working set and the
+    float vectors stay cold. In-row math against broadcast literal
+    codebook — zero shuffle.
+    """
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in params])
+    scales = F.array(
+        *[
+            F.lit(0.0 if mx == mn else 255.0 / (mx - mn))
+            for mn, mx in params
+        ]
+    )
+    v = F.col(vec_col).cast("array<double>")
+    codes = F.transform(
+        v,
+        lambda x, i: F.floor(
+            (x - F.element_at(mins, i + 1)) * F.element_at(scales, i + 1)
+            + F.lit(0.5)
+        ).cast("int"),
+    )
+    return df.select(F.col(id_col), codes.alias("codes"))
+
+
+def dequantize_codes(
+    codes_col, params: list[tuple[float, float]]
+):
+    """Reconstruction ``x̂_i = mn_i + c_i * (mx_i - mn_i) / 255`` as an
+    in-row Column (``array<double>``)."""
+    mins = F.array(*[F.lit(float(mn)) for mn, _ in params])
+    steps = F.array(
+        *[
+            F.lit(0.0 if mx == mn else (mx - mn) / 255.0)
+            for mn, mx in params
+        ]
+    )
+    return F.transform(
+        codes_col,
+        lambda c, i: F.element_at(mins, i + 1)
+        + c.cast("double") * F.element_at(steps, i + 1),
+    )
+
+
+def topk_quantized(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    rerank_factor: int = 4,
+    params: list[tuple[float, float]] | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k via scalar quantization with exact
+    re-rank: rank the whole corpus by ASYMMETRIC distance (full-precision
+    query against dequantized corpus codes — the standard SQ search),
+    keep the top ``k * rerank_factor`` (deterministic
+    (rounded-score, id) order), then exact-cosine re-rank those
+    candidates from the original float vectors.
+
+    Scale shape: the scan tier runs over the 4x-smaller quantized
+    corpus (in production, a materialized codes table), broadcast
+    1-row query, TakeOrderedAndProject — no corpus shuffle; the exact
+    tier touches only ``k * rerank_factor`` rows via a broadcast semi
+    join. Recall loss is bounded by quantization error; raise
+    ``rerank_factor`` to trade compute for recall.
+    """
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    if params is None:
+        params = quantization_params(corpus, vec_col, dim)
+    codes = quantize_embeddings(corpus, params, vec_col, id_col)
+    deq = dequantize_codes(F.col("codes"), params)
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).cast("array<double>").alias("__qv"),
+            l2_norm(F.col(vec_col), dim).alias("__qnrm"),
+        )
+    )
+    approx = (
+        codes.withColumn("__deq", deq)
+        .withColumn("__dnrm", l2_norm(F.col("__deq"), dim))
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.round(
+                F.when(
+                    (F.col("__dnrm") == 0.0) | (F.col("__qnrm") == 0.0),
+                    F.lit(0.0),
+                ).otherwise(
+                    dot_product(F.col("__deq"), F.col("__qv"), dim)
+                    / (F.col("__dnrm") * F.col("__qnrm"))
+                ),
+                6,
+            ).alias("__approx"),
+        )
+        .orderBy(F.col("__approx").desc(), F.col(id_col))
+        .limit(k * rerank_factor)
+    )
+    cand = corpus.join(
+        F.broadcast(approx.select(id_col)), id_col, "left_semi"
+    )
+    return topk_bruteforce(cand, query, k, vec_col, id_col, dim)

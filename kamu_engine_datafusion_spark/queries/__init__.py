@@ -38,6 +38,8 @@ _PRIORITY = [
     "xdedup_spans",  # NEW: exact duplicated-substring span detection
     "xdedup_span_removal",  # NEW: cut duplicated spans, reassemble docs
     "xdedup_lines",  # NEW: corpus-frequency boilerplate line removal
+    "xsim_quantize",  # NEW: int8 scalar quantization codebook + codes
+    "xsim_quantized_topk",  # NEW: asymmetric SQ ANN + exact re-rank
     # -- new in round 5 (second batch): must verify --
     "xsample_temperature",  # NEW: temperature-balanced language mix
     "xcap_per_source",  # NEW: per-source doc cap (anti-dominance)

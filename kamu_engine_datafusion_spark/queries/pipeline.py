@@ -210,6 +210,38 @@ def q_xsim_topk_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.topk_batch(emb, emb.filter(F.col("vec_id") < 5), k=5)
 
 
+def q_xsim_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar (int8-range) quantization of the embedding corpus —
+    per-dim min/max codebook from the FULL corpus, codes for the first
+    100 vectors emitted as a CSV string so the integer code stream is
+    hash-verified bit-for-bit (floor(x+0.5), never round: engines
+    disagree on .5 ties)."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    params = S.quantization_params(emb, dim=64)
+    codes = S.quantize_embeddings(
+        emb.filter(F.col("vec_id") < 100), params
+    )
+    return codes.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda c: c.cast("string")), ","
+        ).alias("codes_csv"),
+    )
+
+
+def q_xsim_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric scalar-quantized ANN: rank by full-precision query ×
+    dequantized corpus, exact-cosine re-rank of the top 40, final
+    top-10 — codebook, codes, approximate ranking, and re-rank all
+    replicated by the oracle."""
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return S.topk_quantized(
+        emb, emb.filter(F.col("vec_id") == 0), k=10, rerank_factor=4, dim=64
+    )
+
+
 def q_xsim_srp_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH bucketed ANN top-10 with integer-LCG hyperplanes — the
     DuckDB oracle replicates signatures, the bucket filter, and the
@@ -1016,6 +1048,8 @@ QUERIES = {
     "xdedup_simhash_sql": q_xdedup_simhash_sql,
     "xdedup_embcos": q_xdedup_embcos,
     "xsim_topk_brute": q_xsim_topk_brute,
+    "xsim_quantize": q_xsim_quantize,
+    "xsim_quantized_topk": q_xsim_quantized_topk,
     "xsim_srp_lsh": q_xsim_srp_lsh,
     "xsim_ivf": q_xsim_ivf,
     "xtext_langid": q_xtext_langid,
@@ -1305,6 +1339,54 @@ def _span_oracle(k: int = 8, removal: bool = False) -> str:
         "FROM kept GROUP BY doc_id) "
         "SELECT d.doc_id, coalesce(re.text, '') AS text "
         "FROM d LEFT JOIN re USING (doc_id)"
+    )
+
+
+_SQ_CTE = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+    "FROM embeddings), "
+    "x AS (SELECT vec_id, unnest(v) AS val, "
+    "generate_subscripts(v, 1) AS i FROM e), "
+    "mm AS (SELECT i, min(val) AS mn, max(val) AS mx FROM x GROUP BY i) "
+)
+
+
+def _quantize_oracle() -> str:
+    """DuckDB oracle for quantize_embeddings: same per-dim min/max
+    codebook, same floor((x-mn)*(255/(mx-mn))+0.5) code formula (the
+    scale is computed as 255.0/(mx-mn) FIRST, matching the Spark-side
+    literal, so the double rounding path is identical)."""
+    return _SQ_CTE + (
+        ", c AS (SELECT vec_id, i, CAST(CASE WHEN mx = mn THEN 0 "
+        "ELSE floor((val - mn) * (255.0 / (mx - mn)) + 0.5) END AS BIGINT) "
+        "AS code FROM x JOIN mm USING (i) WHERE vec_id < 100) "
+        "SELECT vec_id, string_agg(code, ',' ORDER BY i) AS codes_csv "
+        "FROM c GROUP BY vec_id"
+    )
+
+
+def _quantized_topk_oracle(k: int = 10, rerank: int = 4) -> str:
+    """DuckDB oracle for topk_quantized: dequantize with the same
+    mn + code*((mx-mn)/255) reconstruction, rank by 6dp-rounded
+    asymmetric cosine with vec_id tie-break, exact re-rank the top
+    k*rerank."""
+    return _SQ_CTE + (
+        ", d AS (SELECT vec_id, list(CASE WHEN mx = mn THEN mn "
+        "ELSE mn + floor((val - mn) * (255.0 / (mx - mn)) + 0.5) "
+        "* ((mx - mn) / 255.0) END ORDER BY i) AS xh "
+        "FROM x JOIN mm USING (i) GROUP BY vec_id), "
+        "q AS (SELECT v AS qv FROM e WHERE vec_id = 0), "
+        "approx AS (SELECT d.vec_id, round(list_dot_product(d.xh, q.qv) / "
+        "(sqrt(list_dot_product(d.xh, d.xh)) * "
+        "sqrt(list_dot_product(q.qv, q.qv))), 6) AS a FROM d, q), "
+        f"cand AS (SELECT vec_id FROM approx ORDER BY a DESC, vec_id "
+        f"LIMIT {k * rerank}) "
+        "SELECT vec_id, cosine FROM ("
+        "SELECT e.vec_id, round(list_dot_product(e.v, q.qv) / "
+        "(sqrt(list_dot_product(e.v, e.v)) * "
+        "sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine "
+        "FROM e JOIN cand USING (vec_id), q) "
+        f"ORDER BY cosine DESC, vec_id LIMIT {k}"
     )
 
 
@@ -1804,6 +1886,8 @@ ORACLES = {
     "xdedup_embcos": _embcos_srp_oracle(
         threshold=0.4, num_bands=8, bits_per_band=4
     ),
+    "xsim_quantize": _quantize_oracle(),
+    "xsim_quantized_topk": _quantized_topk_oracle(k=10, rerank=4),
     "xsim_topk_brute": (
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "
         "FROM embeddings WHERE vec_id = 0), "

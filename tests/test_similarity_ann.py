@@ -85,3 +85,78 @@ def test_ivf_partitioned_index_prunes_unprobed_lists(spark, tmp_path):
     mem = [r["vec_id"] for r in ivf_topk(assigned, model, query, k=10, nprobe=2).collect()]
     disk = [r["vec_id"] for r in out.collect()]
     assert disk == mem
+
+
+def test_quantize_codes_range_and_reconstruction(spark):
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        dequantize_codes,
+        quantization_params,
+        quantize_embeddings,
+    )
+
+    emb = _corpus(spark).filter(F.col("vec_id") < 200)
+    params = quantization_params(emb, dim=64)
+    codes = quantize_embeddings(emb, params)
+    stats = codes.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+    ).collect()[0]
+    assert stats["lo"] >= 0 and stats["hi"] <= 255
+    # max reconstruction error per dim is half a quantization step
+    err = (
+        codes.withColumn("deq", dequantize_codes(F.col("codes"), params))
+        .join(emb.select("vec_id", "embedding"), "vec_id")
+        .select(
+            F.array_max(
+                F.zip_with(
+                    F.col("deq"),
+                    F.col("embedding").cast("array<double>"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("e")
+        )
+        .agg(F.max("e"))
+        .collect()[0][0]
+    )
+    worst_step = max(
+        (mx - mn) / 255.0 for mn, mx in params if mx > mn
+    )
+    assert err <= worst_step / 2 + 1e-12
+
+
+def test_quantized_topk_matches_bruteforce_closely(spark):
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        topk_quantized,
+    )
+
+    emb = _corpus(spark)
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = [r["vec_id"] for r in topk_bruteforce(emb, query, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in topk_quantized(emb, query, k=10, rerank_factor=4).collect()
+    ]
+    assert approx[0] == 0  # the query vector itself survives quantization
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8  # 8-bit codes + 4x re-rank keep top-10 nearly exact
+
+
+def test_quantize_degenerate_dimension(spark):
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        dequantize_codes,
+        quantize_embeddings,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 5.0]), (1, [2.0, 5.0])], ["vec_id", "embedding"]
+    )
+    params = [(1.0, 2.0), (5.0, 5.0)]  # dim 2 is constant
+    out = quantize_embeddings(df, params).orderBy("vec_id").collect()
+    assert [r["codes"] for r in out] == [[0, 0], [255, 0]]
+    deq = (
+        quantize_embeddings(df, params)
+        .withColumn("deq", dequantize_codes(F.col("codes"), params))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [r["deq"] for r in deq] == [[1.0, 5.0], [2.0, 5.0]]
