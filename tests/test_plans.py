@@ -212,3 +212,31 @@ def test_tfidf_single_tokenize_pass_and_topk_window(spark):
     p = _explain(tfidf_topk_terms(docs, k=3))
     assert "InMemoryTableScan" in p
     assert "WindowGroupLimit" in p
+
+
+def test_duplicate_spans_two_exchanges_only(spark):
+    """Substring-span dedup: the gram table shuffles ONCE on the gram
+    hash (first-occurrence rank) and the duplicated positions shuffle
+    ONCE keyed by doc (interval merge) — no joins back to text, no
+    nested-loop pairing."""
+    from kamu_engine_datafusion_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        duplicate_spans(docs, min_len=8).explain("formatted")
+    p = buf.getvalue()
+    assert "NestedLoop" not in p and "Join" not in p
+    # detail headers "(n) Exchange": exactly the gram-hash and doc-key ones
+    assert p.count(") Exchange") == 2
+
+
+def test_quantized_topk_scan_tier_no_corpus_shuffle(spark):
+    """The quantized scan tier ranks via TakeOrderedAndProject over the
+    in-row dequantized codes with a 1-row broadcast query; the corpus
+    never hash-shuffles, and the exact tier re-ranks candidates through
+    broadcast joins only."""
+    p = plan_of(spark, "xsim_quantized_topk")
+    assert "TakeOrderedAndProject" in p
+    assert "Exchange hashpartitioning" not in p
+    assert "BroadcastNestedLoopJoin" in p  # 1-row query broadcast
