@@ -415,6 +415,28 @@ def q_xdecontaminate_13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flag_contaminated(corpus, bench, shingle_len=13, threshold=1)
 
 
+def q_xdecontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination: MinHash-estimated
+    shingle Jaccard between corpus (100-399) and benchmark (<100) docs,
+    banded LSH probe with the benchmark broadcast — catches the
+    paraphrased leakage exact n-gram rules miss. Poly base hash so the
+    ENTIRE pipeline (signatures, band folds, probe join, agreement
+    estimate) is oracle-replicated."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        fuzzy_flag_contaminated,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    corpus = t["documents"].filter(
+        (F.col("doc_id") >= 100) & (F.col("doc_id") < 400)
+    )
+    bench = t["documents"].filter(F.col("doc_id") < 100)
+    return fuzzy_flag_contaminated(
+        corpus, bench, threshold=0.5, num_hashes=16, num_bands=4,
+        base_hash="poly",
+    )
+
+
 def q_xchunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunking (64-token chunks, 16 overlap):
     per-chunk token count and md5 of the chunk text."""
@@ -1022,6 +1044,7 @@ QUERIES = {
     "xquality_gate": q_xquality_gate,
     "xsim_topk_batch": q_xsim_topk_batch,
     "xdecontaminate_13": q_xdecontaminate_13,
+    "xdecontaminate_fuzzy": q_xdecontaminate_fuzzy,
     "xsnapshot": q_xsnapshot,
     "xscd2": q_xscd2,
     "xrollup_time": q_xrollup_time,
@@ -1269,6 +1292,59 @@ def _minhash_sql_oracle() -> str:
         "(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.7) "
         "SELECT lang, count(*) AS n_docs FROM d "
         "WHERE doc_id NOT IN (SELECT id_b FROM ver) GROUP BY lang"
+    )
+
+
+def _fuzzy_decon_oracle(threshold: float = 0.5) -> str:
+    """DuckDB oracle replicating fuzzy_flag_contaminated (poly hash):
+    same shingles, coefficients, band folds, broadcast-probe join, and
+    component-agreement estimate, max'd per corpus doc."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31 as M,
+        _SHINGLE_PRIME as P,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(16, seed=42)
+    mins = ", ".join(
+        f"min((hv * {a} + {b}) % {M}) AS m{j}" for j, (a, b) in enumerate(coeffs)
+    )
+    bands = []
+    for band in range(4):
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(4):
+            acc = f"(({acc}) * {P} + m{band * 4 + i}) % {M}"
+        bands.append(
+            f"SELECT doc_id, {band} AS bandpos, {acc} AS bandkey FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    agree = " + ".join(
+        f"(CASE WHEN c.m{j} = b.m{j} THEN 1 ELSE 0 END)" for j in range(16)
+    )
+    return (
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 400), "
+        "tq AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') "
+        "AS t FROM d), "
+        "shl AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 2)), "
+        "i -> array_to_string(t[i:i+2], ' '))) AS shs FROM tq), "
+        "sh AS (SELECT doc_id, unnest(shs) AS s FROM shl), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {M}) AS hv FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({bands_sql}), "
+        "hits AS (SELECT bc.doc_id, "
+        f"round(({agree}) / 16.0, 6) AS est "
+        "FROM bands bc JOIN bands bb ON bc.bandpos = bb.bandpos "
+        "AND bc.bandkey = bb.bandkey "
+        "JOIN sig c ON c.doc_id = bc.doc_id "
+        "JOIN sig b ON b.doc_id = bb.doc_id "
+        "WHERE bc.doc_id >= 100 AND bb.doc_id < 100), "
+        "mx AS (SELECT doc_id, max(est) AS max_est FROM hits GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(mx.max_est, 0.0) AS max_est, "
+        f"coalesce(mx.max_est, 0.0) >= {threshold} AS contaminated "
+        "FROM d LEFT JOIN mx USING (doc_id) WHERE d.doc_id >= 100"
     )
 
 
@@ -1967,6 +2043,7 @@ ORACLES = {
         "coalesce(ov.n, 0) >= 1 AS contaminated FROM documents d "
         "LEFT JOIN ov ON d.doc_id = ov.doc_id WHERE d.doc_id < 400"
     ),
+    "xdecontaminate_fuzzy": _fuzzy_decon_oracle(threshold=0.5),
     "xtext_repetition": (
         "WITH tq AS (SELECT doc_id, "
         "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents) "

@@ -33,3 +33,43 @@ def test_flag_and_remove(spark):
         r["doc_id"] for r in remove_contaminated(corpus, benchmark).collect()
     )
     assert kept == [2]
+
+
+def test_fuzzy_decontamination_catches_paraphrase(spark):
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        fuzzy_flag_contaminated,
+    )
+
+    bench = spark.createDataFrame(
+        [(900, "the capital of france is paris and the capital of spain is madrid")],
+        ["doc_id", "text"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # near-dup of the benchmark row (one word changed)
+            (1, "the capital of france is paris and the capital of spain is barcelona"),
+            # unrelated
+            (2, "completely different text about query engines and columnar io"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.max_est, r.contaminated)
+        for r in fuzzy_flag_contaminated(
+            corpus, bench, threshold=0.5, num_hashes=16, num_bands=4
+        ).collect()
+    }
+    assert out[1][1] is True and out[1][0] >= 0.5
+    assert out[2][1] is False and out[2][0] == 0.0
+
+
+def test_fuzzy_decontamination_exact_dup_est_one(spark):
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        fuzzy_flag_contaminated,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    bench = spark.createDataFrame([(900, text)], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    row = fuzzy_flag_contaminated(corpus, bench).collect()[0]
+    assert row.max_est == 1.0 and row.contaminated is True
