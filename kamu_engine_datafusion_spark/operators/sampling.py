@@ -377,3 +377,49 @@ def percentile_gate(
         )
         .drop("__rn", "__n")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (the
+    Efraimidis–Spirakis A-Res scheme): each row gets the key
+    ``ln(u) / w`` from a keyed-hash uniform ``u ∈ (0, 1]`` and its
+    weight ``w``; the top ``n`` keys ARE a weighted sample — inclusion
+    probability rises with ``w``, and the whole draw is reproducible
+    from (key column, salt) alone, independent of partitioning.
+
+    ``ln(u)/w`` is the monotone log form of the textbook ``u^(1/w)``
+    (one transcendental, no pow); keys are rounded to 9dp with the id
+    as tie-break so cross-engine libm last-ulp differences cannot
+    reorder the cut.
+
+    Rows with ``w <= 0`` or null are excluded (zero weight = never
+    sampled). Scale: a single corpus scan into TakeOrderedAndProject —
+    no shuffle, no per-group state; the reservoir IS the top-n heap.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31,
+        poly_hash31,
+    )
+
+    key = F.col(key_col)
+    if hash_fn == "poly":
+        h = poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}")))
+    else:
+        h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
+    u = (h + 1) / F.lit(float(_MERSENNE_31 + 1))
+    w = F.col(weight_col).cast("double")
+    res_key = F.round(F.log(u) / w, 9)
+    return (
+        df.filter(w > 0)
+        .withColumn("__akey", res_key)
+        .orderBy(F.col("__akey").desc(), key)
+        .limit(n)
+        .drop("__akey")
+    )

@@ -41,6 +41,7 @@ _PRIORITY = [
     "xsim_quantize",  # NEW: int8 scalar quantization codebook + codes
     "xsim_quantized_topk",  # NEW: asymmetric SQ ANN + exact re-rank
     "xdecontaminate_fuzzy",  # NEW: MinHash near-dup eval decontamination
+    "xsample_weighted",  # NEW: Efraimidis-Spirakis weighted sampling
     # -- new in round 5 (second batch): must verify --
     "xsample_temperature",  # NEW: temperature-balanced language mix
     "xcap_per_source",  # NEW: per-source doc cap (anti-dominance)

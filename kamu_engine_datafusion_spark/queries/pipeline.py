@@ -307,6 +307,20 @@ def q_xtext_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): top-200 by ln(u)/w with w = n_chars,
+    keyed poly-hash uniform — the oracle reproduces the exact draw."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return weighted_sample(
+        t["documents"], "n_chars", 200, hash_fn="poly"
+    ).select("doc_id", "n_chars")
+
+
 def q_xsample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact stratified sampling: precisely ceil(30%) of each lang,
     membership pinned by the keyed poly hash; id_sum proves the exact
@@ -1028,6 +1042,7 @@ def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
+    "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
     "xshuffle": q_xshuffle,
@@ -1525,6 +1540,19 @@ ORACLES = {
         "count(*) OVER (PARTITION BY lang) AS n FROM h) "
         "SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum "
         "FROM r WHERE rn <= CEIL(n * 0.3) GROUP BY lang"
+    ),
+    "xsample_weighted": (
+        "WITH h AS (SELECT doc_id, n_chars, "
+        "CAST(n_chars AS DOUBLE) AS w, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) AS hv "
+        "FROM documents WHERE n_chars > 0) "
+        "SELECT doc_id, n_chars FROM ("
+        "SELECT doc_id, n_chars, "
+        "round(ln((hv + 1) / 2147483648.0) / w, 9) AS k FROM h) "
+        "ORDER BY k DESC, doc_id LIMIT 200"
     ),
     "xpack_sequences": (
         "WITH c AS (SELECT lang, doc_id, "

@@ -151,3 +151,38 @@ def test_mix_to_budget_caps_at_full_stratum(spark):
     small = out.filter(F.col("s") == "small")
     assert small.count() == 10
     assert out.count() == out.select("k").distinct().count()
+
+
+def test_weighted_sample_favors_heavy_rows(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import weighted_sample
+
+    # 50 heavy rows (w=50) vs 450 light rows (w=1): a 100-row draw
+    # should take nearly all heavy rows and a minority of light ones
+    rows = [(i, 50 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    got = [r.doc_id for r in weighted_sample(df, "w", 100).collect()]
+    assert len(got) == 100
+    heavy = sum(1 for i in got if i < 50)
+    assert heavy >= 40  # ~50 expected; keyed-hash draw, not adversarial
+
+
+def test_weighted_sample_deterministic_and_salt_sensitive(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import weighted_sample
+
+    rows = [(i, float(1 + i % 7)) for i in range(300)]
+    df = spark.createDataFrame(rows, ["doc_id", "w"])
+    a = sorted(r.doc_id for r in weighted_sample(df, "w", 50, salt=0).collect())
+    b = sorted(r.doc_id for r in weighted_sample(df, "w", 50, salt=0).collect())
+    c = sorted(r.doc_id for r in weighted_sample(df, "w", 50, salt=1).collect())
+    assert a == b  # same salt = identical draw, any partitioning
+    assert a != c  # different salt = decorrelated draw
+
+
+def test_weighted_sample_excludes_nonpositive_weights(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, None), (4, 2.0)], ["doc_id", "w"]
+    )
+    got = [r.doc_id for r in weighted_sample(df, "w", 10).collect()]
+    assert got == [4]
