@@ -1,0 +1,107 @@
+"""Ordered funnel analytics over an event stream.
+
+The classic product-analytics operator: how many users performed step
+1, then step 2 strictly after it, then step 3 after that — optionally
+all within a time window anchored at step 1. Implemented as ONE
+user-keyed shuffle: per user the (ts, type) events of the funnel's
+types collect into a sorted array and an in-row fold walks it,
+advancing the step pointer greedily (first qualifying occurrence —
+"anchored at first touch", the semantics sequential-min SQL funnels
+compute). No joins, no per-step passes, depth computed in one
+aggregate regardless of step count.
+
+Scale: the shuffle carries only the funnel-type events (filtered
+before the exchange) as (ts_micros, type) pairs; per-user arrays are
+bounded by that user's funnel-event count. Skewed hyper-active users
+bound the worst partition — cap with a per-user event limit upstream
+if the stream has bots.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Per-step funnel completion counts.
+
+    Returns ``(step, event_type, n_users)``, one row per funnel step:
+    ``n_users`` = users whose greedy walk reached at least that step
+    (step k requires a ``steps[k-1]`` event strictly after the matched
+    step k-1 event; with ``within_seconds``, no later than the matched
+    step-1 event plus the window).
+    """
+    nsteps = len(steps)
+    step_names = F.array(*[F.lit(s) for s in steps])
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    evs = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("__u"),
+            F.struct(ts_us.alias("t"), F.col(type_col).alias("tp")).alias(
+                "__e"
+            ),
+        )
+        .groupBy("__u")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
+    )
+    zero = F.struct(
+        F.lit(0).alias("depth"),
+        F.lit(None).cast("long").alias("t1"),
+        F.lit(None).cast("long").alias("tprev"),
+    )
+
+    def advance(acc, e):
+        qualifies = (
+            (acc["depth"] < nsteps)
+            & (e["tp"] == F.element_at(step_names, acc["depth"] + 1))
+            & ((acc["depth"] == 0) | (e["t"] > acc["tprev"]))
+        )
+        if within_seconds is not None:
+            qualifies = qualifies & (
+                (acc["depth"] == 0)
+                | (e["t"] <= acc["t1"] + within_seconds * 1_000_000)
+            )
+        return F.when(
+            qualifies,
+            F.struct(
+                (acc["depth"] + 1).alias("depth"),
+                F.when(acc["depth"] == 0, e["t"])
+                .otherwise(acc["t1"])
+                .alias("t1"),
+                e["t"].alias("tprev"),
+            ),
+        ).otherwise(acc)
+
+    depths = evs.select(
+        F.aggregate(F.col("__evs"), zero, advance)["depth"].alias("__depth")
+    )
+    counts = depths.agg(
+        *[
+            F.sum((F.col("__depth") >= k + 1).cast("long")).alias(f"__n{k}")
+            for k in range(nsteps)
+        ]
+    )
+    per_step = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("step"),
+                F.lit(steps[k]).alias("event_type"),
+                F.coalesce(F.col(f"__n{k}"), F.lit(0)).alias("n_users"),
+            )
+            for k in range(nsteps)
+        ]
+    )
+    return counts.select(F.explode(per_step).alias("__s")).select(
+        F.col("__s.step").alias("step"),
+        F.col("__s.event_type").alias("event_type"),
+        F.col("__s.n_users").alias("n_users"),
+    )

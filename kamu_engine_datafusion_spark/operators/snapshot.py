@@ -147,3 +147,110 @@ def history_intervals(
         .withColumn("is_current", F.col("__next_et").isNull())
         .drop("__next_et", op, vocab.system_time_column)
     )
+
+
+# Deferred-release ledger (the retrieval/dedup convention): the
+# returned gap-filled frame lazily reads the persisted rollup, so it is
+# unpersisted at the NEXT gapfill call / release_intermediates().
+_DEFERRED: list[DataFrame] = []
+
+
+def release_intermediates(blocking: bool = False) -> None:
+    """Unpersist the previous gapfill call's materialized rollup."""
+    while _DEFERRED:
+        df = _DEFERRED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass
+
+
+def rollup_gapfill(
+    events: DataFrame,
+    time_col: str,
+    bucket: str,
+    group_cols: list[str],
+    aggs: dict[str, Column],
+    fill: str = "null",
+) -> DataFrame:
+    """Gap-filled hypertable rollup (the ``time_bucket_gapfill``
+    operator): :func:`rollup_time_buckets`, then every group is
+    densified to the FULL bucket grid between the corpus-wide min and
+    max bucket, so downstream window math (moving averages, deltas,
+    charting) never sees missing rows.
+
+    ``fill``: ``"null"`` (default) leaves gap rows null; ``"zero"``
+    fills numeric aggregates with 0; ``"ffill"`` carries the previous
+    present value forward per group (``last(..., ignorenulls)``).
+    A ``gap_filled`` flag marks synthesized rows either way.
+
+    Scale: the grid is group-cardinality × span/bucket rows —
+    independent of input size — built from ONE tiny (min, max) agg
+    collected to the driver and a per-group ``sequence`` explode; the
+    rollup itself is the usual single partial-aggregated shuffle, and
+    the densify join is keyed on (bucket, group) — uniform. ``ffill``
+    adds one window over the (group)-keyed grid — bounded by grid
+    size, not corpus size.
+    """
+    # the rollup feeds the bounds agg, the grid's group list, the
+    # sentinel, and the densify join — persist + populate so the
+    # aggregation shuffle runs once (the rollup is grid-sized: tiny)
+    release_intermediates()
+    rolled = rollup_time_buckets(
+        events, time_col, bucket, group_cols, aggs
+    ).persist()
+    _DEFERRED.append(rolled)
+    bounds = rolled.agg(
+        F.min("bucket_start").alias("lo"), F.max("bucket_start").alias("hi")
+    ).collect()[0]
+    if bounds["lo"] is None:
+        return rolled.withColumn("gap_filled", F.lit(False))
+    step = F.expr(f"interval 1 {bucket}")
+    grid = (
+        rolled.select(*group_cols)
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                rolled.sparkSession.range(1).select(
+                    F.explode(
+                        F.sequence(
+                            F.lit(bounds["lo"]), F.lit(bounds["hi"]), step
+                        )
+                    ).alias("bucket_start")
+                )
+            )
+        )
+    )
+    agg_names = list(aggs.keys())
+    # a rollup row exists iff the (bucket, group) key joined — flag on a
+    # sentinel column, not on aggregate nullness (aggregates over the
+    # present rows can legitimately be null)
+    hit = rolled.select(
+        "bucket_start", *group_cols, F.lit(True).alias("__present")
+    )
+    out = grid.join(hit, ["bucket_start", *group_cols], "left").join(
+        rolled, ["bucket_start", *group_cols], "left"
+    )
+    filled = F.coalesce(F.col("__present"), F.lit(False))
+    if fill == "zero":
+        sel = [
+            F.coalesce(F.col(n), F.lit(0)).alias(n) for n in agg_names
+        ]
+    elif fill == "ffill":
+        w = (
+            Window.partitionBy(*group_cols)
+            .orderBy("bucket_start")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        sel = [
+            F.last(F.col(n), ignorenulls=True).over(w).alias(n)
+            for n in agg_names
+        ]
+    else:
+        sel = [F.col(n) for n in agg_names]
+    return out.select(
+        "bucket_start",
+        *group_cols,
+        *sel,
+        (~filled).alias("gap_filled"),
+    )

@@ -42,6 +42,8 @@ _PRIORITY = [
     "xsim_quantized_topk",  # NEW: asymmetric SQ ANN + exact re-rank
     "xdecontaminate_fuzzy",  # NEW: MinHash near-dup eval decontamination
     "xsample_weighted",  # NEW: Efraimidis-Spirakis weighted sampling
+    "xrollup_gapfill",  # NEW: gap-filled hypertable rollup
+    "xfunnel",  # NEW: ordered funnel, one-shuffle fold
     # -- new in round 5 (second batch): must verify --
     "xsample_temperature",  # NEW: temperature-balanced language mix
     "xcap_per_source",  # NEW: per-source doc cap (anti-dominance)

@@ -834,6 +834,51 @@ def q_xrollup_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xrollup_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup (time_bucket_gapfill): every
+    (hour, event_type) cell of the full grid is present, missing cells
+    zero-filled and flagged. Sparse input (user_id < 50) guarantees
+    real gaps to fill."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        rollup_gapfill,
+    )
+
+    t = load(spark, sf_dir, "events")
+    out = rollup_gapfill(
+        t["events"].filter(F.col("user_id") < 50),
+        time_col="ts",
+        bucket="hour",
+        group_cols=["event_type"],
+        aggs={"n_events": F.count(F.lit(1))},
+        fill="zero",
+    )
+    return out.select(
+        F.unix_micros("bucket_start").alias("bucket_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        "gap_filled",
+    )
+
+
+def q_xfunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel view→click→purchase within 72h of first view:
+    one user-keyed shuffle + in-row fold (greedy first-touch walk);
+    the oracle computes the equivalent sequential conditional mins."""
+    from kamu_engine_datafusion_spark.operators.funnel import funnel_counts
+
+    t = load(spark, sf_dir, "events")
+    out = funnel_counts(
+        t["events"],
+        steps=["view", "click", "purchase"],
+        within_seconds=72 * 3600,
+    )
+    return out.select(
+        F.col("step").cast("long").alias("step"),
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1063,6 +1108,8 @@ QUERIES = {
     "xsnapshot": q_xsnapshot,
     "xscd2": q_xscd2,
     "xrollup_time": q_xrollup_time,
+    "xrollup_gapfill": q_xrollup_gapfill,
+    "xfunnel": q_xfunnel,
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
@@ -1899,6 +1946,34 @@ ORACLES = {
         "CAST(SUM(CAST(round((value)*1000000) AS BIGINT)) AS DOUBLE)/1000000.0 AS sum_value, "
         "count(DISTINCT user_id) AS n_users "
         "FROM events GROUP BY 1, 2"
+    ),
+    "xrollup_gapfill": (
+        "WITH r AS (SELECT date_trunc('hour', ts) AS b, event_type, "
+        "count(*) AS n FROM events WHERE user_id < 50 GROUP BY 1, 2), "
+        "bounds AS (SELECT min(b) AS lo, max(b) AS hi FROM r), "
+        "grid AS (SELECT g.b, t.event_type FROM "
+        "(SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS b "
+        "FROM bounds) g CROSS JOIN "
+        "(SELECT DISTINCT event_type FROM r) t) "
+        "SELECT epoch_us(grid.b) AS bucket_us, grid.event_type, "
+        "CAST(coalesce(r.n, 0) AS BIGINT) AS n_events, "
+        "r.b IS NULL AS gap_filled FROM grid LEFT JOIN r "
+        "ON grid.b = r.b AND grid.event_type = r.event_type"
+    ),
+    "xfunnel": (
+        "WITH e AS (SELECT user_id, event_type, ts FROM events), "
+        "u1 AS (SELECT user_id, min(ts) AS t1 FROM e "
+        "WHERE event_type = 'view' GROUP BY user_id), "
+        "u2 AS (SELECT e.user_id, min(ts) AS t2, min(t1) AS t1 FROM e "
+        "JOIN u1 USING (user_id) WHERE event_type = 'click' "
+        "AND ts > t1 AND ts <= t1 + INTERVAL 72 HOUR GROUP BY e.user_id), "
+        "u3 AS (SELECT e.user_id, min(ts) AS t3 FROM e "
+        "JOIN u2 USING (user_id) WHERE event_type = 'purchase' "
+        "AND ts > t2 AND ts <= t1 + INTERVAL 72 HOUR GROUP BY e.user_id) "
+        "SELECT CAST(1 AS BIGINT) AS step, 'view' AS event_type, "
+        "count(*) AS n_users FROM u1 "
+        "UNION ALL SELECT 2, 'click', count(*) FROM u2 "
+        "UNION ALL SELECT 3, 'purchase', count(*) FROM u3"
     ),
     "xsessionize": (
         "WITH flagged AS (SELECT user_id, ts, event_id, "

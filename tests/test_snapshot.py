@@ -138,3 +138,55 @@ def test_history_intervals_retroactive_event_clamped(spark):
     # offset 0's interval is clamped empty, never inverted
     assert rows[0]["valid_to"] == rows[0]["valid_from"] == t1
     assert rows[1]["valid_to"] is None and rows[1]["is_current"]
+
+
+def test_rollup_gapfill_fills_missing_buckets(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        rollup_gapfill,
+    )
+
+    rows = [
+        # key 'a': events in hours 0 and 3 — hours 1, 2 are gaps
+        (datetime(2024, 1, 1, 0, 10), "a", 1.0),
+        (datetime(2024, 1, 1, 3, 20), "a", 2.0),
+        # key 'b': only hour 1
+        (datetime(2024, 1, 1, 1, 5), "b", 5.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "v"])
+    out = rollup_gapfill(
+        df, "ts", "hour", ["k"],
+        {"n": F.count(F.lit(1))}, fill="zero",
+    ).orderBy("k", "bucket_start").collect()
+    # grid = 2 keys x 4 hours (00..03)
+    assert len(out) == 8
+    a = [(r.bucket_start.hour, r.n, r.gap_filled) for r in out if r.k == "a"]
+    assert a == [(0, 1, False), (1, 0, True), (2, 0, True), (3, 1, False)]
+    b = [(r.bucket_start.hour, r.n, r.gap_filled) for r in out if r.k == "b"]
+    assert b == [(0, 0, True), (1, 1, False), (2, 0, True), (3, 0, True)]
+
+
+def test_rollup_gapfill_ffill_carries_forward(spark):
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        rollup_gapfill,
+    )
+
+    rows = [
+        (datetime(2024, 1, 1, 0, 0), "a", 10.0),
+        (datetime(2024, 1, 1, 2, 0), "a", 30.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "k", "v"])
+    out = rollup_gapfill(
+        df, "ts", "hour", ["k"],
+        {"last_v": F.max("v")}, fill="ffill",
+    ).orderBy("bucket_start").collect()
+    assert [(r.bucket_start.hour, r.last_v, r.gap_filled) for r in out] == [
+        (0, 10.0, False), (1, 10.0, True), (2, 30.0, False),
+    ]
