@@ -112,11 +112,19 @@ _PRIORITY = [
     "xtext_tokens",
     "xsample",
     # ---- window boundary (~50): the driver hashes the first ~50 keys.
-    # 27 round-5 keys (new + changed) take the head; 23 of the 34
-    # round-3-stale keys fit behind them; the remaining 11 stale keys
-    # (below) rotate to the round-6 head. Everything below the boundary
-    # was driver-green in r04 or is covered by the bench/pytest, and the
-    # full registry passes the local 3-SF oracle sweep (SCALE.md). ----
+    # Composition this round: 9 brand-new round-5 third-batch keys, then
+    # the 27 first/second-batch round-5 keys (never driver-checked), then
+    # 14 of the round-3-stale keys. The 4 r04-green dedup keys kept
+    # inside (minhash_sql/minhash/incremental/cluster) re-verify the
+    # third-batch dedup-module changes (eager cache materialization +
+    # shingle let-binding). The ~21 stale keys squeezed below the
+    # boundary (xtext_*, xsim_* exact/LSH/IVF, xsessionize, xpivot,
+    # xrollup_time, xskyline, xsalted_agg, …) rotate to the round-6
+    # head. Everything below the boundary was driver-green in r04 or is
+    # pytest-covered, and the ENTIRE registry passes the local
+    # check_correctness oracle sweep at sf0.001 + sf0.01 this session
+    # (114 pass / 0 fail — self-reported; the driver hash is the
+    # authoritative signal). ----
     "xrange_join",
     "xmm_decode",
     "xprofile",
