@@ -105,3 +105,48 @@ def funnel_counts(
         F.col("__s.event_type").alias("event_type"),
         F.col("__s.n_users").alias("n_users"),
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """Cohort retention: users grouped by the bucket of their FIRST
+    activity (the cohort), counted in every later bucket they return.
+
+    Returns ``(cohort_start, period, n_users)`` — ``period`` 0 is the
+    cohort bucket itself (so ``n_users`` at period 0 is the cohort
+    size), ``period`` k counts cohort members active k buckets later.
+    ``bucket``: ``"day"`` or ``"week"`` (ISO weeks — both engines
+    truncate to Monday).
+
+    Scale: per-user first-activity is one user-keyed shuffle with
+    map-side MIN partials; the activity set dedups to (user, bucket)
+    rows (bounded by users × span/bucket, not by event count) and joins
+    back user-keyed; the final (cohort, period) aggregate is tiny. No
+    windows, no per-event state.
+    """
+    days = {"day": 1, "week": 7}[bucket]
+    tb = F.date_trunc(bucket, F.col(ts_col))
+    first = events.groupBy(F.col(user_col).alias("__u")).agg(
+        F.min(tb).alias("__cohort")
+    )
+    activity = events.select(
+        F.col(user_col).alias("__u"), tb.alias("__tb")
+    ).distinct()
+    return (
+        activity.join(first, "__u")
+        .select(
+            "__cohort",
+            (F.datediff(F.col("__tb"), F.col("__cohort")) / days)
+            .cast("long")
+            .alias("period"),
+        )
+        .groupBy("__cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("__cohort").alias("cohort_start"), "period", "n_users"
+        )
+    )

@@ -44,6 +44,7 @@ _PRIORITY = [
     "xsample_weighted",  # NEW: Efraimidis-Spirakis weighted sampling
     "xrollup_gapfill",  # NEW: gap-filled hypertable rollup
     "xfunnel",  # NEW: ordered funnel, one-shuffle fold
+    "xretention",  # NEW: weekly cohort retention
     # -- new in round 5 (second batch): must verify --
     "xsample_temperature",  # NEW: temperature-balanced language mix
     "xcap_per_source",  # NEW: per-source doc cap (anti-dominance)

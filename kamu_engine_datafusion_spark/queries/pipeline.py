@@ -879,6 +879,23 @@ def q_xfunnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xretention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users bucketed by first-activity week,
+    counted per later active week — two keyed shuffles, activity
+    deduped to (user, week) before any join."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    t = load(spark, sf_dir, "events")
+    out = retention_cohorts(t["events"], bucket="week")
+    return out.select(
+        F.unix_micros("cohort_start").alias("cohort_us"),
+        "period",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1110,6 +1127,7 @@ QUERIES = {
     "xrollup_time": q_xrollup_time,
     "xrollup_gapfill": q_xrollup_gapfill,
     "xfunnel": q_xfunnel,
+    "xretention": q_xretention,
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
@@ -1974,6 +1992,16 @@ ORACLES = {
         "count(*) AS n_users FROM u1 "
         "UNION ALL SELECT 2, 'click', count(*) FROM u2 "
         "UNION ALL SELECT 3, 'purchase', count(*) FROM u3"
+    ),
+    "xretention": (
+        "WITH f AS (SELECT user_id, min(date_trunc('week', ts)) AS cohort "
+        "FROM events GROUP BY user_id), "
+        "a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS tb "
+        "FROM events) "
+        "SELECT epoch_us(f.cohort) AS cohort_us, "
+        "CAST(date_diff('day', f.cohort, a.tb) / 7 AS BIGINT) AS period, "
+        "count(*) AS n_users FROM a JOIN f USING (user_id) "
+        "GROUP BY 1, 2"
     ),
     "xsessionize": (
         "WITH flagged AS (SELECT user_id, ts, event_id, "

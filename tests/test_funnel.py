@@ -60,3 +60,31 @@ def test_funnel_strictly_after(spark):
         for r in funnel_counts(_events(spark, rows), steps=["A", "B"]).collect()
     }
     assert out == {1: 1, 2: 0}
+
+
+def test_retention_cohorts_weekly(spark):
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    rows = [
+        # u1 first active week of Jan 1 2024 (Mon), returns 2 weeks later
+        (1, "view", datetime(2024, 1, 2, 10, 0)),
+        (1, "view", datetime(2024, 1, 16, 10, 0)),
+        # u2 same cohort, never returns
+        (2, "click", datetime(2024, 1, 3, 9, 0)),
+        # u3 cohort of Jan 8, returns the following week
+        (3, "view", datetime(2024, 1, 9, 9, 0)),
+        (3, "view", datetime(2024, 1, 15, 9, 0)),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "ts"])
+    out = {
+        (r.cohort_start.date().isoformat(), r.period): r.n_users
+        for r in retention_cohorts(df, bucket="week").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,  # cohort size
+        ("2024-01-01", 2): 1,  # u1 back in week 2
+        ("2024-01-08", 0): 1,
+        ("2024-01-08", 1): 1,  # u3 back next week
+    }
