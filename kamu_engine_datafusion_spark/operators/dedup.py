@@ -161,21 +161,53 @@ def minhash_signatures(
     )
 
 
+#: Max oversized bucket keys inlined as a NOT-IN literal by the
+#: ``collect`` cap mode before it falls back to the broadcast anti-join
+#: (keeps the plan tree bounded on boilerplate-heavy corpora).
+_COLLECT_CAP_LIMIT = 1024
+
+
 def _cap_buckets(
-    banded: DataFrame, key: str, max_bucket_size: int, mode: str = "antijoin"
+    banded: DataFrame, key: str, max_bucket_size: int, mode: str = "collect"
 ) -> DataFrame:
     """Drop rows whose bucket exceeds ``max_bucket_size`` members — the
     standard guard against degenerate LSH buckets (shared boilerplate)
     going quadratic in the pair join.
 
-    ``antijoin`` (default): aggregate the oversized keys (usually a
-    handful) and broadcast-anti-join them away — no per-bucket sort, and
-    the second pass is a cheap partial-aggregated count. Measured faster
-    than ``window`` at both 5k docs (1.46s vs 1.80s warm) and 50k docs
-    (5.64s vs 6.39s full pipeline) — see SCALE.md.
+    ``collect`` (default): ONE eager job aggregates per-key counts and
+    collects the oversized keys to the driver, then removes them with an
+    in-plan NOT-IN literal filter. The key list is structurally bounded —
+    every oversized key has > cap members, so there are at most
+    rows/cap of them — and guarded by ``_COLLECT_CAP_LIMIT`` anyway:
+    past the guard it falls back to the broadcast anti-join (whose build
+    side then reads the already-populated cache). Callers that just
+    ``persist()``-ed ``banded`` get its cache populated by this same
+    job, so the cap replaces the separate ``count()`` materialization
+    pass the fan-out would otherwise need (measured 1.96s → 1.32s on
+    the sf0.1 candidate stage).
+    ``antijoin``: aggregate the oversized keys lazily and
+    broadcast-anti-join them away — everything stays in one job; the
+    right mode when ``banded`` is NOT persisted (no eager pass over an
+    unmaterialized lineage). Measured faster than ``window`` at both 5k
+    docs (1.46s vs 1.80s warm) and 50k docs (5.64s vs 6.39s full
+    pipeline) — see SCALE.md.
     ``window``: one count-over-window pass; kept for single-pass cases
     where the banded set is not re-computable.
     """
+    if mode == "collect":
+        big = (
+            banded.groupBy(key)
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select(key)
+            .limit(_COLLECT_CAP_LIMIT + 1)
+            .collect()
+        )
+        if not big:
+            return banded
+        if len(big) <= _COLLECT_CAP_LIMIT:
+            return banded.filter(~F.col(key).isin([r[0] for r in big]))
+        mode = "antijoin"  # degenerate corpus: too many keys to inline
     if mode == "antijoin":
         big = (
             banded.groupBy(key)
@@ -201,7 +233,7 @@ def minhash_lsh_candidates(
     num_bands: int = 8,
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
-    bucket_cap_mode: str = "antijoin",
+    bucket_cap_mode: str = "collect",
     _cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
@@ -244,20 +276,27 @@ def minhash_lsh_candidates(
     # (tokenize → shingle-hash → 32 MIN aggregates) recomputes for each
     # consumer. The set is tiny relative to the corpus — (id, band) pairs,
     # num_bands rows per doc — so materializing it is the cheap side of
-    # the trade. The count() is deliberate: persist() alone is lazy, and
-    # a single downstream job with three consumers races all three
-    # branches through the UNPOPULATED cache — the signature pipeline
-    # runs ~3x concurrently (measured ~2x wall on the sf0.1 bench).
+    # the trade. Eager population is deliberate: persist() alone is
+    # lazy, and a single downstream job with three consumers races all
+    # three branches through the UNPOPULATED cache — the signature
+    # pipeline runs ~3x concurrently (measured ~2x wall on the sf0.1
+    # bench). The collect-mode cap IS that populating job; only the
+    # uncapped path needs a standalone count().
     banded = banded.persist()
-    banded.count()
     if _cleanup is not None:
         _cleanup.append(banded)
     else:
         # the returned pair set still reads banded's cache lazily;
         # park it for release at the next call
         _DEFERRED.append(banded)
-    if max_bucket_size:
-        banded = _cap_buckets(banded, "__band", max_bucket_size, bucket_cap_mode)
+    if max_bucket_size and bucket_cap_mode == "collect":
+        banded = _cap_buckets(banded, "__band", max_bucket_size, "collect")
+    else:
+        banded.count()
+        if max_bucket_size:
+            banded = _cap_buckets(
+                banded, "__band", max_bucket_size, bucket_cap_mode
+            )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -338,7 +377,7 @@ def minhash_lsh_dedup(
     num_bands: int = 8,
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
-    bucket_cap_mode: str = "antijoin",
+    bucket_cap_mode: str = "collect",
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
     threshold → drop every doc that matches a lower-id survivor.
@@ -572,7 +611,9 @@ def ngram_jaccard_pairs(
         .withColumn("__bz", F.concat_ws(chr(31), "__blk", "__zone"))
     )
     if max_block_size:
-        toks = _cap_buckets(toks, "__bz", max_block_size)
+        # toks is NOT persisted: the lazy anti-join keeps the cap inside
+        # the pair-join job instead of an eager pass over raw lineage
+        toks = _cap_buckets(toks, "__bz", max_block_size, "antijoin")
     a, b = toks.alias("a"), toks.alias("b")
     return (
         a.join(
@@ -724,10 +765,13 @@ def embedding_near_dups(
         "__id",
         F.explode(F.array(*[band_key(j) for j in range(num_bands)])).alias("__band"),
     ).persist()
-    banded.count()  # populate before the cap count + join legs fan out
     _DEFERRED.append(banded)
     if max_bucket_size:
+        # the collect-mode cap's count job populates the cache — no
+        # separate count() pass
         banded = _cap_buckets(banded, "__band", max_bucket_size)
+    else:
+        banded.count()  # populate before the join legs fan out
     pa, pb = banded.alias("pa"), banded.alias("pb")
     cand = (
         pa.join(
@@ -917,10 +961,12 @@ def semantic_dedup(
     # cluster, so the legs carry the vectors directly: zero join-backs,
     # and the cosine filter runs in the same stage as the join.
     assigned = base.withColumn("__cluster", cluster).persist()
-    assigned.count()  # populate before the join legs race through it
     legs = assigned
     if max_cluster_size:
+        # collect-mode cap doubles as the cache-populating job
         legs = _cap_buckets(legs, "__cluster", max_cluster_size)
+    else:
+        assigned.count()  # populate before the join legs race through it
     a, b = legs.alias("a"), legs.alias("b")
     if cosine_backend == "arrow":
         cos = _arrow_cosine(F.col("a.__v"), F.col("b.__v"))
@@ -1063,12 +1109,12 @@ def dedup_increment_against_index(
     # single materialization point: carries __sig, feeds the cap count,
     # both self-join legs, the index join, and new_index_rows
     banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash).persist()
-    banded.count()  # populate before the cap/join/index consumers fan out
-    capped = (
-        _cap_buckets(banded, "__band", max_bucket_size)
-        if max_bucket_size
-        else banded
-    )
+    if max_bucket_size:
+        # collect-mode cap doubles as the cache-populating job
+        capped = _cap_buckets(banded, "__band", max_bucket_size)
+    else:
+        banded.count()  # populate before the join/index consumers fan out
+        capped = banded
     # The cap must hold on BOTH join sides: an uncapped index-side
     # mega-bucket (boilerplate shared by thousands of indexed docs)
     # multiplies against every increment row it matches — measured 2x+
