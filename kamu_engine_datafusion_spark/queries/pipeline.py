@@ -896,6 +896,32 @@ def q_xretention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xchangelog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog-aware aggregation (incremental MV maintenance):
+    current-state per-event-type live counts + signed value sums over a
+    synthesized retractable ledger (op = event_id % 4 over the ODF op
+    vocabulary, ``src/engine.rs:521-533``) — one partial-aggregated
+    shuffle, no snapshot materialization
+    (``operators/changelog.py::changelog_agg``)."""
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        changelog_agg,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ledger = t["events"].select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 4).cast("int").alias("op"),
+        "event_type",
+        "value",
+    )
+    out = changelog_agg(ledger, ["event_type"], {"value_sum": "value"})
+    return out.select(
+        "event_type",
+        F.col("n_live").cast("long").alias("n_live"),
+        "value_sum",
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1128,6 +1154,7 @@ QUERIES = {
     "xrollup_gapfill": q_xrollup_gapfill,
     "xfunnel": q_xfunnel,
     "xretention": q_xretention,
+    "xchangelog_agg": q_xchangelog_agg,
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
@@ -1944,6 +1971,15 @@ ORACLES = {
         "SELECT user_id, event_type, round(value, 2) AS value, "
         "epoch_us(event_time) AS event_time_us "
         "FROM latest WHERE rn = 1 AND op NOT IN (1, 2)"
+    ),
+    "xchangelog_agg": (
+        "WITH w AS (SELECT event_type, "
+        "CASE WHEN CAST(event_id % 4 AS INT) IN (1, 2) THEN -1 ELSE 1 END "
+        "AS wt, value FROM events) "
+        "SELECT event_type, CAST(sum(wt) AS BIGINT) AS n_live, "
+        "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 AS value_sum "
+        "FROM w GROUP BY event_type HAVING sum(wt) != 0"
     ),
     "xscd2": (
         "WITH ledger AS (SELECT event_id AS off, "

@@ -1,0 +1,75 @@
+"""Changelog-aware aggregation (incremental MV maintenance) —
+``operators/changelog.py``.
+
+Covers the signed-weight semantics against a hand-built retractable
+ledger and the mergeability property that makes the operator
+incremental: agg(full ledger) == merge(agg(slice A), agg(slice B)).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators.changelog import (
+    changelog_agg,
+    merge_changelog_aggs,
+)
+
+# (offset, op, key, value) — op: 0 append, 1 retract, 2/3 correction
+LEDGER_ROWS = [
+    (0, 0, "a", 10.5),
+    (1, 0, "a", 2.25),
+    (2, 0, "b", 7.0),
+    (3, 1, "a", 10.5),  # retract offset 0's record
+    (4, 2, "b", 7.0),  # correct 7.0 -> 9.0
+    (5, 3, "b", 9.0),
+    (6, 0, "c", 1.0),
+    (7, 1, "c", 1.0),  # group c fully retracted
+]
+
+
+def _ledger(spark, rows=LEDGER_ROWS):
+    return spark.createDataFrame(
+        rows, "offset long, op int, k string, value double"
+    )
+
+
+def test_changelog_agg_signed_semantics(spark):
+    out = changelog_agg(
+        _ledger(spark), ["k"], {"value_sum": "value"}
+    ).orderBy("k")
+    got = [(r["k"], r["n_live"], r["value_sum"]) for r in out.collect()]
+    # a: appends 10.5+2.25, retract 10.5 -> 1 live, 2.25
+    # b: append 7.0, correction 7.0->9.0 -> 1 live, 9.0
+    # c: cancelled entirely -> dropped
+    assert got == [("a", 1, 2.25), ("b", 1, 9.0)]
+
+
+def test_changelog_agg_keeps_dead_groups_when_asked(spark):
+    out = changelog_agg(
+        _ledger(spark), ["k"], {"value_sum": "value"}, keep_dead_groups=True
+    )
+    dead = {r["k"]: r["n_live"] for r in out.collect()}
+    assert dead["c"] == 0
+
+
+def test_merge_equals_full_recompute(spark):
+    full = changelog_agg(_ledger(spark), ["k"], {"value_sum": "value"})
+    lo = _ledger(spark).filter(F.col("offset") <= 3)
+    hi = _ledger(spark).filter(F.col("offset") > 3)
+    state = changelog_agg(lo, ["k"], {"value_sum": "value"}, keep_dead_groups=True)
+    inc = changelog_agg(hi, ["k"], {"value_sum": "value"}, keep_dead_groups=True)
+    merged = merge_changelog_aggs(state, inc, ["k"])
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, full.collect())
+    )
+
+
+def test_changelog_agg_single_exchange_plan(spark):
+    """The whole operator is scan → partial agg → ONE exchange → final
+    agg (+ the n_live filter): no window, no join, no second shuffle."""
+    plan = changelog_agg(
+        _ledger(spark), ["k"], {"value_sum": "value"}
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
+    assert "Window" not in plan and "Join" not in plan
