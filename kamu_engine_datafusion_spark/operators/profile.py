@@ -47,3 +47,121 @@ def profile_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
         F.min("val").alias("min_val"),
         F.max("val").alias("max_val"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    threshold: float = 3.5,
+    exact: bool = True,
+) -> DataFrame:
+    """Robust per-group outlier detection via the modified z-score
+    (Iglewicz–Hoaglin): ``M = 0.6745 · (x − median) / MAD`` with
+    ``MAD = median(|x − median|)``; rows with ``|M| > threshold``
+    (default 3.5, the standard cut) are returned with their score as
+    ``mscore``. Median/MAD rather than mean/stddev so the detector's
+    own statistics are not dragged by the outliers it is looking for.
+
+    Groups with ``MAD = 0`` (over half the values identical) emit no
+    outliers — the modified z-score is undefined there, and the
+    constant-majority case is better handled by an exact-frequency
+    profile than a distance rule.
+
+    Scale: two aggregate+join rounds (median, then MAD), each ONE
+    exchange on the group key with the per-group statistics joined back
+    (tiny — group cardinality — so AQE broadcasts them). ``exact=True``
+    uses exact interpolated percentiles, which buffer each group's
+    values in the aggregation state: right for parity/oracle work and
+    bounded groups. At extreme per-group cardinality set
+    ``exact=False`` for ``percentile_approx`` (mergeable sketch, no
+    buffering) — same plan shape, bounded memory.
+    """
+    group_cols = group_cols or []
+    med_of = (
+        (lambda c: F.expr(f"percentile({c}, 0.5)"))
+        if exact
+        else (lambda c: F.percentile_approx(c, 0.5, 10_000))
+    )
+    gb = lambda d: d.groupBy(*group_cols) if group_cols else d.groupBy()  # noqa: E731
+    med = gb(df).agg(med_of(value_col).alias("__med"))
+    with_med = (
+        df.join(med, group_cols) if group_cols else df.crossJoin(med)
+    )
+    mad = gb(with_med.withColumn("__dev", F.abs(F.col(value_col) - F.col("__med")))).agg(
+        med_of("__dev").alias("__mad")
+    )
+    scored = (
+        with_med.join(mad, group_cols) if group_cols else with_med.crossJoin(mad)
+    ).withColumn(
+        "mscore",
+        F.lit(0.6745) * (F.col(value_col) - F.col("__med")) / F.col("__mad"),
+    )
+    return (
+        scored.filter(
+            (F.col("__mad") > 0) & (F.abs(F.col("mscore")) > threshold)
+        )
+        .drop("__med", "__mad")
+    )
+
+
+def histogram_equi_width(
+    df: DataFrame,
+    value_col: str,
+    num_bins: int = 20,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-width histogram with DENSE bins: every ``(group, bin)``
+    cell of the grid is present, zero-counted when empty — the form
+    chart layers and drift monitors consume directly.
+
+    Bin ``i`` covers ``[min + i·w, min + (i+1)·w)`` with
+    ``w = (max − min)/num_bins``; the global max lands in the last bin
+    (closed on the right like NumPy). Bounds are computed over the
+    WHOLE table (one tiny min/max agg, broadcast back) so groups share
+    a common grid — per-group grids don't overlay.
+
+    Scale: two scans (bounds, then counts), one exchange each; the
+    densify join is grid-sized (groups × bins), independent of input.
+    Degenerate case min = max: everything in bin 0.
+    """
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(num_bins)
+    binned = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "__bin",
+            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(num_bins - 1),
+                    F.floor((v - F.col("__lo")) / width),
+                )
+            ).cast("long"),
+        )
+        .groupBy(*group_cols, "__bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid_bins = (
+        df.sparkSession.range(num_bins)
+        .select(F.col("id").cast("long").alias("__bin"))
+    )
+    grid = (
+        df.select(*group_cols).distinct().crossJoin(F.broadcast(grid_bins))
+        if group_cols
+        else grid_bins
+    )
+    return (
+        grid.join(binned, [*group_cols, "__bin"], "left")
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            *group_cols,
+            F.col("__bin").alias("bin"),
+            (F.col("__lo") + F.col("__bin") * width).alias("bin_lo"),
+            (F.col("__lo") + (F.col("__bin") + 1) * width).alias("bin_hi"),
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
+        )
+    )

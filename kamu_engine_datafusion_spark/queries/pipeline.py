@@ -922,6 +922,48 @@ def q_xchangelog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xoutliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-group outlier detection (modified z-score, median/MAD
+    — Iglewicz–Hoaglin): flag events whose value sits > 3.5 robust
+    deviations from its event-type median
+    (``operators/profile.py::robust_outliers``)."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        robust_outliers,
+    )
+
+    t = load(spark, sf_dir, "events")
+    out = robust_outliers(
+        t["events"], "value", ["event_type"], threshold=3.5
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("mscore", 4).alias("mscore"),
+    )
+
+
+def q_xhistogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense equi-width histogram of lineitem prices per returnflag on a
+    shared 20-bin grid — two scans (bounds, counts), grid-sized densify
+    (``operators/profile.py::histogram_equi_width``)."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        histogram_equi_width,
+    )
+
+    t = load(spark, sf_dir, "lineitem")
+    out = histogram_equi_width(
+        t["lineitem"], "l_extendedprice", 20, ["l_returnflag"]
+    )
+    return out.select(
+        "l_returnflag",
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "n",
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1155,6 +1197,8 @@ QUERIES = {
     "xfunnel": q_xfunnel,
     "xretention": q_xretention,
     "xchangelog_agg": q_xchangelog_agg,
+    "xoutliers": q_xoutliers,
+    "xhistogram": q_xhistogram,
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
@@ -1980,6 +2024,35 @@ ORACLES = {
         "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xoutliers": (
+        "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m "
+        "FROM events GROUP BY event_type), "
+        "j AS (SELECT e.event_id, e.event_type, e.value, med.m "
+        "FROM events e JOIN med USING (event_type)), "
+        "mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d "
+        "FROM j GROUP BY event_type) "
+        "SELECT j.event_id, j.event_type, round(j.value, 6) AS value, "
+        "round(0.6745 * (j.value - j.m) / mad.d, 4) AS mscore "
+        "FROM j JOIN mad USING (event_type) "
+        "WHERE mad.d > 0 AND abs(0.6745 * (j.value - j.m) / mad.d) > 3.5"
+    ),
+    "xhistogram": (
+        "WITH b AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo, "
+        "CAST(max(l_extendedprice) AS DOUBLE) AS hi FROM lineitem), "
+        "binned AS (SELECT l_returnflag, CAST(least(19, "
+        "floor((CAST(l_extendedprice AS DOUBLE) - lo) / ((hi - lo) / 20))) "
+        "AS BIGINT) AS bin, count(*) AS n "
+        "FROM lineitem CROSS JOIN b GROUP BY 1, 2), "
+        "grid AS (SELECT l_returnflag, i AS bin FROM "
+        "(SELECT DISTINCT l_returnflag FROM lineitem) "
+        "CROSS JOIN range(0, 20) t(i)) "
+        "SELECT g.l_returnflag, g.bin, "
+        "round(b.lo + g.bin * ((b.hi - b.lo) / 20), 6) AS bin_lo, "
+        "round(b.lo + (g.bin + 1) * ((b.hi - b.lo) / 20), 6) AS bin_hi, "
+        "CAST(coalesce(binned.n, 0) AS BIGINT) AS n "
+        "FROM grid g CROSS JOIN b LEFT JOIN binned "
+        "ON g.l_returnflag = binned.l_returnflag AND g.bin = binned.bin"
     ),
     "xscd2": (
         "WITH ledger AS (SELECT event_id AS off, "

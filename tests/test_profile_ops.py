@@ -1,0 +1,76 @@
+"""Robust outliers + dense equi-width histogram — ``operators/profile.py``."""
+
+from __future__ import annotations
+
+import statistics
+
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators.profile import (
+    histogram_equi_width,
+    robust_outliers,
+)
+
+
+def test_robust_outliers_brute_force(spark):
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.2, 9.8, 100.0, -40.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    got = {
+        r["id"]: r["mscore"]
+        for r in robust_outliers(df, "v", threshold=3.5).collect()
+    }
+    med = statistics.median(vals)
+    mad = statistics.median(abs(v - med) for v in vals)
+    expect = {
+        i: 0.6745 * (v - med) / mad
+        for i, v in enumerate(vals)
+        if abs(0.6745 * (v - med) / mad) > 3.5
+    }
+    assert set(got) == set(expect) == {7, 8}
+    for i in got:
+        assert abs(got[i] - expect[i]) < 1e-9
+
+
+def test_robust_outliers_mad_zero_group_emits_nothing(spark):
+    # >half identical values -> MAD 0 -> no outliers from that group
+    rows = [("z", 5.0)] * 6 + [("z", 1e9), ("y", 1.0), ("y", 2.0), ("y", 3.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = robust_outliers(df, "v", ["g"]).collect()
+    assert [r["g"] for r in out] == []
+
+
+def test_histogram_dense_grid_and_total(spark):
+    df = spark.createDataFrame(
+        [(("a" if i % 3 else "b"), float(i)) for i in range(100)],
+        "g string, v double",
+    )
+    h = histogram_equi_width(df, "v", 10, ["g"]).collect()
+    assert len(h) == 20  # 2 groups x 10 bins, empty bins included
+    assert sum(r["n"] for r in h) == 100
+    # shared grid: both groups carry identical bin edges
+    edges = {}
+    for r in h:
+        edges.setdefault(r["bin"], set()).add((r["bin_lo"], r["bin_hi"]))
+    assert all(len(v) == 1 for v in edges.values())
+    # global max (99.0) lands in the last bin, not bin 10
+    assert max(r["bin"] for r in h) == 9
+
+
+def test_histogram_degenerate_single_value(spark):
+    df = spark.createDataFrame([(1.0,), (1.0,), (1.0,)], "v double")
+    h = histogram_equi_width(df, "v", 5).collect()
+    assert sum(r["n"] for r in h) == 3
+    assert [r["n"] for r in sorted(h, key=lambda r: r["bin"])][0] == 3
+
+
+def test_histogram_plan_no_window_no_shuffle_explosion(spark):
+    df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
+    plan = (
+        histogram_equi_width(df, "v", 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Window" not in plan
