@@ -333,3 +333,132 @@ def chunk_documents(
         F.size(chunk).cast("long").alias("n_chunk_tokens"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def clean_text(text_col="text", lowercase: bool = False):
+    """Normalization for ingest hygiene: strip zero-width characters
+    (ZWSP/ZWNJ/ZWJ/BOM), map every C0/C1-ish control character
+    (``\\x00-\\x1f``, ``\\x7f``) to a space, collapse space runs, trim
+    — optionally lowercase.
+
+    Pure in-row regex chain (JVM codegen, zero shuffle). The control
+    pass deliberately runs BEFORE the collapse so tabs/newlines fold
+    into the single-space normal form; character classes are spelled
+    explicitly (no ``\\s``) because Java and RE2 disagree on ``\\s``
+    membership (``\\x0b``) — the explicit classes behave identically in
+    Spark, DuckDB, and any RE2/PCRE engine an oracle might use.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    c = F.regexp_replace(c, "[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]", "")
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.trim(F.regexp_replace(c, " +", " "))
+    return F.lower(c) if lowercase else c
+
+
+def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Shannon character entropy (natural log) — the
+    classic gibberish/low-information signal (binary junk ≈ high,
+    "aaaa…" ≈ 0, natural language in between).
+
+    Returns ``(id, n_chars, entropy)``. Formulation: explode to one row
+    per character, count per (doc, char), then
+    ``H = ln(n) − Σ c·ln(c) / n`` per doc — two keyed exchanges, all
+    whole-stage-codegen (no interpreted higher-order lambdas; an
+    in-row ``filter``-per-distinct-char form is O(distinct × length)
+    interpreted — measured slower). The (doc, char) exchange carries at
+    most alphabet-size rows per doc after map-side partial counts.
+    Empty/null docs emit ``n_chars = 0, entropy = 0``.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode_outer(F.split(F.coalesce(F.col(text_col), F.lit("")), "")).alias(
+            "__ch"
+        ),
+    )
+    per_char = chars.groupBy(id_col, "__ch").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    n = F.sum("__c")
+    # H = -sum(p ln p) = ln(n) - sum(c ln c)/n  (exactly 0 when n=1)
+    return per_char.groupBy(id_col).agg(
+        F.sum(
+            F.when(
+                F.col("__ch").isNull() | (F.col("__ch") == ""), 0
+            ).otherwise(F.col("__c"))
+        ).cast("long").alias("n_chars"),
+        F.when(
+            n > 0,
+            F.log(n.cast("double"))
+            - F.sum(F.col("__c") * F.log(F.col("__c").cast("double"))) / n,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("entropy"),
+    )
+
+
+def collocations(
+    df,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 100,
+):
+    """Collocation extraction: top-k adjacent word bigrams by pointwise
+    mutual information, ``PMI = ln( (c12/B) / ((c1/N)·(c2/N)) )`` with
+    ``N`` total tokens, ``B`` total bigrams, ``min_count`` pruning the
+    long tail of one-off pairs (classic Church & Hanks shape).
+
+    Scale: bigrams come from an in-row ``slice``+``arrays_zip`` (no
+    self-join, no window); both count tables partial-aggregate before
+    their exchange; the unigram join keys are the vocabulary (Zipf —
+    the hot head is exactly what ``min_count`` already shrank the probe
+    side to); final top-k is sort+limit = TakeOrderedAndProject.
+    Returns ``(w1, w2, n_pair, pmi)``.
+    """
+    toked = df.select(tokens(text_col).alias("__tok"))
+    n_tok = F.size("__tok")
+    # explicit < 2 guard: arrays_zip of empty slices is not reliably
+    # empty (a zero-length slice of an empty array zips to a one-row
+    # struct), and explode of the empty literal drops the doc cleanly
+    bigrams = F.when(
+        n_tok >= 2,
+        F.arrays_zip(
+            F.slice("__tok", 1, n_tok - 1),
+            F.slice("__tok", 2, n_tok - 1),
+        ),
+    ).otherwise(F.array())
+    pairs = toked.select(F.explode(bigrams).alias("__bg")).select(
+        F.col("__bg").getField("0").alias("w1"),
+        F.col("__bg").getField("1").alias("w2"),
+    )
+    uni = (
+        toked.select(F.explode("__tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(
+        F.sum("c").cast("double").alias("N")
+    )
+    bg = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_count)
+    )
+    b_total = pairs.agg(F.count(F.lit(1)).cast("double").alias("B"))
+    scored = (
+        bg.join(uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.log(
+                (F.col("n_pair") / F.col("B"))
+                / ((F.col("c1") / F.col("N")) * (F.col("c2") / F.col("N")))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), "w1", "w2"
+    ).limit(top_k)

@@ -964,6 +964,48 @@ def q_xhistogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xtext_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization for ingest hygiene: zero-width strip, control
+    chars to spaces, space-run collapse, lowercase — pure in-row regex
+    chain (``operators/text.py::clean_text``)."""
+    from kamu_engine_datafusion_spark.operators.text import clean_text
+
+    t = load(spark, sf_dir, "documents")
+    return t["documents"].select(
+        "doc_id", clean_text("text", lowercase=True).alias("clean")
+    )
+
+
+def q_xtext_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy (gibberish signal):
+    explode → (doc, char) counts → ln(n) − Σc·ln(c)/n, all codegen
+    (``operators/text.py::char_entropy``)."""
+    from kamu_engine_datafusion_spark.operators.text import char_entropy
+
+    t = load(spark, sf_dir, "documents")
+    out = char_entropy(t["documents"])
+    return out.select(
+        "doc_id", "n_chars", F.round("entropy", 6).alias("entropy")
+    )
+
+
+def q_xcollocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-100 adjacent bigrams by PMI
+    (min_count 5) — in-row bigram zip, partial-aggregated count tables,
+    TakeOrderedAndProject top-k
+    (``operators/text.py::collocations``). Ranking keys on the
+    6dp-rounded PMI (+ lexicographic tie-break) so the rank 100 cut is
+    ulp-drift-proof across engines."""
+    from kamu_engine_datafusion_spark.operators.text import collocations
+
+    t = load(spark, sf_dir, "documents")
+    out = collocations(t["documents"], min_count=5, top_k=10_000_000)
+    ranked = out.select(
+        "w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi")
+    ).orderBy(F.col("pmi").desc(), "w1", "w2")
+    return ranked.limit(100)
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1198,6 +1240,9 @@ QUERIES = {
     "xretention": q_xretention,
     "xchangelog_agg": q_xchangelog_agg,
     "xoutliers": q_xoutliers,
+    "xtext_clean": q_xtext_clean,
+    "xtext_entropy": q_xtext_entropy,
+    "xcollocations": q_xcollocations,
     "xhistogram": q_xhistogram,
     "xrange_join": q_xrange_join,
     "xsalted_agg": q_xsalted_agg,
@@ -2024,6 +2069,42 @@ ORACLES = {
         "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xtext_clean": (
+        "SELECT doc_id, lower(trim(regexp_replace(regexp_replace("
+        "regexp_replace(text, '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), "
+        "'[\\x00-\\x1f\\x7f]', ' ', 'g'), ' +', ' ', 'g'))) AS clean "
+        "FROM documents"
+    ),
+    "xtext_entropy": (
+        "WITH ch AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "
+        "'')) AS c FROM documents), "
+        "pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2), "
+        "e AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars, "
+        "ln(CAST(sum(cnt) AS DOUBLE)) - sum(cnt * ln(CAST(cnt AS DOUBLE))) "
+        "/ sum(cnt) AS ent FROM pc GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, "
+        "round(coalesce(e.ent, 0.0), 6) AS entropy "
+        "FROM documents d LEFT JOIN e USING (doc_id)"
+    ),
+    "xcollocations": (
+        "WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') "
+        "AS toks FROM documents), "
+        "bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (SELECT "
+        "unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z FROM t "
+        "WHERE len(toks) >= 2)), "
+        "uni AS (SELECT unnest(toks) AS w FROM t), "
+        "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+        "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni), "
+        "bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg), "
+        "bc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2 "
+        "HAVING count(*) >= 5) "
+        "SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, "
+        "round(ln((n_pair / bt.b) / ((u1.c / nt.n) * (u2.c / nt.n))), 6) "
+        "AS pmi "
+        "FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w "
+        "CROSS JOIN nt CROSS JOIN bt "
+        "ORDER BY pmi DESC, w1, w2 LIMIT 100"
     ),
     "xoutliers": (
         "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m "

@@ -1,0 +1,78 @@
+"""clean_text / char_entropy / collocations — ``operators/text.py``."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators.text import (
+    char_entropy,
+    clean_text,
+    collocations,
+)
+
+
+def test_clean_text_normal_form(spark):
+    rows = [
+        (1, "a​b‌c‍d﻿e"),  # zero-width stripped
+        (2, "x\x00y\x1fz\x7fw"),  # control chars -> spaces
+        (3, "  a\t\tb\nc\r\nd  "),  # tabs/newlines fold + trim
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, t string")
+    got = {r["id"]: r["c"] for r in df.select("id", clean_text("t").alias("c")).collect()}
+    assert got[1] == "abcde"
+    assert got[2] == "x y z w"
+    assert got[3] == "a b c d"
+    assert got[4] is None
+
+
+def test_char_entropy_brute_force(spark):
+    texts = {1: "aabb", 2: "aaaa", 3: "abcd", 4: "", 5: None}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_chars"], r["entropy"]) for r in char_entropy(df).collect()}
+    for i, t in texts.items():
+        n = len(t or "")
+        if n:
+            cnt = Counter(t)
+            h = -sum((c / n) * math.log(c / n) for c in cnt.values())
+        else:
+            h = 0.0
+        assert got[i][0] == n
+        assert abs(got[i][1] - h) < 1e-12, (i, got[i], h)
+    assert got[2][1] == 0.0  # single-symbol doc: exactly zero
+
+
+def test_collocations_pmi_brute_force(spark):
+    corpus = ["new york new york city", "new york is big", "big city lights"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    out = collocations(df, min_count=2, top_k=10).collect()
+    # brute force
+    toks = [t.split() for t in corpus]
+    uni = Counter(w for ts in toks for w in ts)
+    bg = Counter((a, b) for ts in toks for a, b in zip(ts, ts[1:]))
+    n = sum(uni.values())
+    btot = sum(bg.values())
+    expect = {
+        p: math.log((c / btot) / ((uni[p[0]] / n) * (uni[p[1]] / n)))
+        for p, c in bg.items()
+        if c >= 2
+    }
+    got = {(r["w1"], r["w2"]): (r["n_pair"], r["pmi"]) for r in out}
+    assert set(got) == set(expect)
+    for p in got:
+        assert got[p][0] == bg[p]
+        assert abs(got[p][1] - expect[p]) < 1e-12
+
+
+def test_collocations_short_docs_yield_no_pairs(spark):
+    df = spark.createDataFrame([("solo",), ("",)], "text string")
+    assert collocations(df, min_count=1, top_k=10).count() == 0
+
+
+def test_char_entropy_plan_is_two_exchanges_no_window(spark):
+    df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
+    plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan and "Join" not in plan
