@@ -17,6 +17,7 @@ and inlined as literal arrays — no SciPy/sklearn dependency.
 
 from __future__ import annotations
 
+import math
 import random
 
 from pyspark.sql import DataFrame
@@ -459,3 +460,105 @@ def topk_quantized(
         F.broadcast(approx.select(id_col)), id_col, "left_semi"
     )
     return topk_bruteforce(cand, query, k, vec_col, id_col, dim)
+
+
+def mmr_diversify(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+) -> DataFrame:
+    """Maximal Marginal Relevance result diversification (Carbonell &
+    Goldstein): greedily pick ``k`` results maximizing
+    ``lam·rel(d) − (1−lam)·max_{s∈selected} sim(d, s)`` — relevance
+    traded against redundancy, the standard re-rank after a dense
+    retrieval stage.
+
+    Two-phase by construction (the IVF-centroid pattern): phase 1 is
+    the DISTRIBUTED exact top-``pool`` cosine scan (broadcast 1-row
+    query, TakeOrderedAndProject, corpus never shuffles); phase 2 runs
+    the inherently-sequential greedy walk on the driver over the
+    bounded pool (≤ a few hundred rows — the only data that ever
+    leaves the cluster). Pool relevances and pairwise similarities are
+    rounded to 6 dp before the argmax (ties broken by ascending id), so
+    the selection is reproducible across engines and summation orders;
+    pairwise dots are computed sequentially (left-to-right, float64) to
+    match SQL ``list_dot_product`` exactly.
+
+    Returns ``(rank, id, rel, mmr)``; rank 1's mmr is its relevance
+    (the first pick has no diversity term).
+    """
+    if dim is None:
+        dim = _vec_dim(corpus, vec_col)
+    q = F.broadcast(
+        query.select(
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col), dim).alias("__qnrm"),
+        )
+    )
+    pool_df = (
+        corpus.withColumn("__nrm", l2_norm(F.col(vec_col), dim))
+        .crossJoin(q)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.round(
+                dot_product(F.col(vec_col), F.col("__qv"), dim)
+                / (F.col("__nrm") * F.col("__qnrm")),
+                6,
+            ).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), F.col(id_col))
+        .limit(pool)
+    )
+    rows = pool_df.collect()
+
+    def _dot(a, b):
+        s = 0.0
+        for x, y in zip(a, b):  # sequential: matches list_dot_product
+            s += x * y
+        return s
+
+    vecs = [[float(x) for x in r[vec_col]] for r in rows]
+    norms = [math.sqrt(_dot(v, v)) for v in vecs]
+    n = len(rows)
+    sim = [
+        [
+            round(_dot(vecs[i], vecs[j]) / (norms[i] * norms[j]), 6)
+            if norms[i] and norms[j]
+            else 0.0
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    rel = [r["rel"] for r in rows]
+    ids = [r[id_col] for r in rows]
+    selected: list[int] = []
+    out_rows = []
+    while rows and len(selected) < k and len(selected) < n:
+        best = None
+        for i in range(n):
+            if i in selected:
+                continue
+            if not selected:
+                score = rel[i]
+            else:
+                score = lam * rel[i] - (1.0 - lam) * max(
+                    sim[i][j] for j in selected
+                )
+            # argmax, ties -> ascending id
+            if best is None or score > best[0] or (
+                score == best[0] and ids[i] < ids[best[1]]
+            ):
+                best = (score, i)
+        selected.append(best[1])
+        out_rows.append(
+            (len(selected), ids[best[1]], rel[best[1]], round(best[0], 6))
+        )
+    return corpus.sparkSession.createDataFrame(
+        out_rows, f"rank long, {id_col} long, rel double, mmr double"
+    )

@@ -462,3 +462,75 @@ def collocations(
     return scored.orderBy(
         F.col("pmi").desc(), "w1", "w2"
     ).limit(top_k)
+
+
+def bigram_lm_score(
+    df,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    add_k: float = 0.5,
+):
+    """Per-document average bigram log-probability — the
+    train-a-tiny-LM-on-the-corpus-and-score-it quality signal (the
+    perplexity-filter proxy one step up from
+    :func:`unigram_logprob`): ``P(w2|w1) = (c(w1,w2) + k) /
+    (c(w1) + k·V)`` with add-k smoothing over the corpus's own counts.
+
+    Returns ``(id, n_bigrams, avg_logprob)`` — ``avg_logprob`` null for
+    docs with < 2 tokens. Atypical word sequences (shuffled text,
+    boilerplate splices) score low even when their unigrams are common.
+
+    Scale: bigram positions come from the in-row slice+zip (no window,
+    no self-join); the count tables partial-aggregate before their
+    exchanges; scoring joins the per-doc bigram stream to the bigram
+    count table (keys = observed vocabulary², Zipf-distributed but
+    uniformly hashed) and the per-doc aggregate is one keyed exchange.
+    """
+    toked = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__tok")
+    )
+    n_tok = F.size("__tok")
+    bigrams = F.when(
+        n_tok >= 2,
+        F.arrays_zip(
+            F.slice("__tok", 1, n_tok - 1),
+            F.slice("__tok", 2, n_tok - 1),
+        ),
+    ).otherwise(F.array())
+    doc_bg = toked.select(
+        "__id", F.explode(bigrams).alias("__bg")
+    ).select(
+        "__id",
+        F.col("__bg").getField("0").alias("w1"),
+        F.col("__bg").getField("1").alias("w2"),
+    )
+    uni = (
+        toked.select(F.explode("__tok").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    vsize = uni.agg(F.count(F.lit(1)).cast("double").alias("V"))
+    bg = doc_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    scored = (
+        doc_bg.join(bg, ["w1", "w2"])
+        .join(uni.select(F.col("w").alias("w1"), "c1"), "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select(
+            "__id",
+            F.log(
+                (F.col("c12") + F.lit(add_k))
+                / (F.col("c1") + F.lit(add_k) * F.col("V"))
+            ).alias("__lp"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("__lp") / F.count(F.lit(1))).alias("avg_logprob"),
+    )
+    # docs with no bigrams surface with nulls (LEFT join back to ids)
+    ids = df.select(F.col(id_col).alias("__id")).distinct()
+    return ids.join(per_doc, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        "avg_logprob",
+    )

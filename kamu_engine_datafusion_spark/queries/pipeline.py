@@ -1006,6 +1006,35 @@ def q_xcollocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.limit(100)
 
 
+def q_xbigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram LM scoring (add-0.5 smoothing): per-doc
+    average bigram log-probability — the perplexity-filter proxy
+    (``operators/text.py::bigram_lm_score``)."""
+    from kamu_engine_datafusion_spark.operators.text import bigram_lm_score
+
+    t = load(spark, sf_dir, "documents")
+    out = bigram_lm_score(t["documents"], add_k=0.5)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
+def q_xmmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-5 for the vec_id=0 query: distributed exact
+    top-20 pool, then the greedy relevance-vs-redundancy walk on 6dp-
+    rounded similarities (``operators/similarity.py::mmr_diversify``);
+    the oracle unrolls the same greedy steps in SQL."""
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        mmr_diversify,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return mmr_diversify(
+        emb, emb.filter(F.col("vec_id") == 0), k=5, pool=20, lam=0.7, dim=64
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1241,6 +1270,8 @@ QUERIES = {
     "xchangelog_agg": q_xchangelog_agg,
     "xoutliers": q_xoutliers,
     "xtext_clean": q_xtext_clean,
+    "xbigram_lm": q_xbigram_lm,
+    "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
     "xcollocations": q_xcollocations,
     "xhistogram": q_xhistogram,
@@ -1442,6 +1473,52 @@ def _incremental_dedup_oracle() -> str:
         "WHERE doc_id >= 150 AND doc_id NOT IN (SELECT new_id FROM dead) "
         "GROUP BY lang"
     )
+
+
+def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR oracle: pool + pairwise sims once, then one
+    (candidates → argmax) CTE pair per step, selections accumulated by
+    UNION ALL — mechanical but exact (same 6dp-rounded inputs and
+    id tie-break as the operator)."""
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
+        "FROM embeddings WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "pool AS (SELECT vec_id, v, "
+        + cos.format(a="v", b="qv")
+        + f" AS rel FROM e CROSS JOIN q ORDER BY rel DESC, vec_id LIMIT {pool}), "
+        "s AS (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        + cos.format(a="a.v", b="b.v")
+        + " AS sab FROM pool a CROSS JOIN pool b), "
+        "p1 AS (SELECT vec_id, rel, rel AS mmr FROM pool "
+        "ORDER BY rel DESC, vec_id LIMIT 1), "
+        "sel1 AS (SELECT vec_id FROM p1)"
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f", c{i} AS (SELECT p.vec_id, p.rel, "
+            f"{lam} * p.rel - {round(1.0 - lam, 10)} * max(s.sab) AS mmr "
+            f"FROM pool p JOIN s ON s.ia = p.vec_id "
+            f"JOIN sel{i-1} ON s.ib = sel{i-1}.vec_id "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i-1}) "
+            f"GROUP BY p.vec_id, p.rel), "
+            f"p{i} AS (SELECT vec_id, rel, mmr FROM c{i} "
+            f"ORDER BY mmr DESC, vec_id LIMIT 1), "
+            f"sel{i} AS (SELECT vec_id FROM sel{i-1} "
+            f"UNION ALL SELECT vec_id FROM p{i})"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, rel, "
+        f"round(mmr, 6) AS mmr FROM p{i}"
+        for i in range(1, k + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _minhash_sql_oracle() -> str:
@@ -2070,6 +2147,27 @@ ORACLES = {
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
     ),
+    "xbigram_lm": (
+        "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), "
+        "'\\s+') AS toks FROM documents), "
+        "dbg AS (SELECT doc_id, z[1] AS w1, z[2] AS w2 FROM (SELECT doc_id, "
+        "unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z FROM t "
+        "WHERE len(toks) >= 2)), "
+        "uni AS (SELECT w, count(*) AS c1 FROM "
+        "(SELECT unnest(toks) AS w FROM t) GROUP BY w), "
+        "v AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM uni), "
+        "bg AS (SELECT w1, w2, count(*) AS c12 FROM dbg GROUP BY 1, 2), "
+        "lp AS (SELECT doc_id, ln((c12 + 0.5) / (c1 + 0.5 * v.V)) AS lp "
+        "FROM dbg JOIN bg USING (w1, w2) JOIN uni ON dbg.w1 = uni.w "
+        "CROSS JOIN v), "
+        "pd AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, "
+        "sum(lp) / count(*) AS alp FROM lp GROUP BY doc_id) "
+        "SELECT d.doc_id, coalesce(pd.n_bigrams, 0) AS n_bigrams, "
+        "round(pd.alp, 6) AS avg_logprob "
+        "FROM (SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN pd USING (doc_id)"
+    ),
+    "xmmr": _mmr_oracle(k=5, pool=20, lam=0.7),
     "xtext_clean": (
         "SELECT doc_id, lower(trim(regexp_replace(regexp_replace("
         "regexp_replace(text, '[\\x{200B}\\x{200C}\\x{200D}\\x{FEFF}]', '', 'g'), "

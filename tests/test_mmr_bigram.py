@@ -1,0 +1,77 @@
+"""MMR diversification + bigram LM scoring."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.operators.similarity import mmr_diversify
+from kamu_engine_datafusion_spark.operators.text import bigram_lm_score
+
+
+def _emb_df(spark, vecs):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+
+
+def test_mmr_skips_redundant_runner_up(spark):
+    # id0 = query direction; id1 nearly identical to id0; id2 orthogonal-ish
+    vecs = [
+        [1.0, 0.0, 0.0],
+        [0.999, 0.01, 0.0],  # highest-relevance near-duplicate pair
+        [0.5, 0.86, 0.0],
+        [0.4, 0.0, 0.9],
+    ]
+    df = _emb_df(spark, vecs)
+    out = mmr_diversify(
+        df, df.filter(F.col("vec_id") == 0), k=3, pool=4, lam=0.3
+    ).collect()
+    picked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    # rank 1 is pure relevance (the query itself); with heavy diversity
+    # weight the near-duplicate id1 must NOT be rank 2
+    assert picked[0] == 0
+    assert picked[1] != 1
+    assert len(picked) == 3
+
+
+def test_mmr_rank1_is_top_relevance_and_scores_monotone_structure(spark):
+    vecs = [[1.0, 0.0], [0.9, 0.1], [0.0, 1.0]]
+    df = _emb_df(spark, vecs)
+    out = {r["rank"]: r for r in mmr_diversify(
+        df, df.filter(F.col("vec_id") == 0), k=2, pool=3, lam=0.7
+    ).collect()}
+    assert out[1]["vec_id"] == 0
+    assert out[1]["mmr"] == out[1]["rel"]  # no diversity term at rank 1
+
+
+def test_bigram_lm_brute_force(spark):
+    corpus = {1: "a b a b", 2: "a b", 3: "b a", 4: "solo"}
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_bigrams"], r["avg_logprob"])
+           for r in bigram_lm_score(df, add_k=0.5).collect()}
+    toks = {i: t.split() for i, t in corpus.items()}
+    uni = Counter(w for ts in toks.values() for w in ts)
+    bg = Counter(p for ts in toks.values() for p in zip(ts, ts[1:]))
+    V = len(uni)
+    for i, ts in toks.items():
+        pairs = list(zip(ts, ts[1:]))
+        if not pairs:
+            assert got[i] == (0, None)
+            continue
+        lps = [
+            math.log((bg[p] + 0.5) / (uni[p[0]] + 0.5 * V)) for p in pairs
+        ]
+        assert got[i][0] == len(pairs)
+        assert abs(got[i][1] - sum(lps) / len(lps)) < 1e-12
+
+
+def test_bigram_lm_plan_has_no_window(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = (
+        bigram_lm_score(df)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
