@@ -34,51 +34,73 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # remainder. Every key's latest driver-green should be at most one
 # round old after each rotation.
 _PRIORITY = [
-    # -- new in round 5 (third batch): must verify --
-    "xdedup_spans",  # NEW: exact duplicated-substring span detection
-    "xdedup_span_removal",  # NEW: cut duplicated spans, reassemble docs
-    "xdedup_lines",  # NEW: corpus-frequency boilerplate line removal
-    "xsim_quantize",  # NEW: int8 scalar quantization codebook + codes
-    "xsim_quantized_topk",  # NEW: asymmetric SQ ANN + exact re-rank
-    "xdecontaminate_fuzzy",  # NEW: MinHash near-dup eval decontamination
-    "xsample_weighted",  # NEW: Efraimidis-Spirakis weighted sampling
-    "xrollup_gapfill",  # NEW: gap-filled hypertable rollup
-    "xfunnel",  # NEW: ordered funnel, one-shuffle fold
-    "xretention",  # NEW: weekly cohort retention
-    # -- new in round 5 (second batch): must verify --
-    "xsample_temperature",  # NEW: temperature-balanced language mix
-    "xcap_per_source",  # NEW: per-source doc cap (anti-dominance)
-    "xshuffle",  # NEW: deterministic global training-order shuffle
-    "xbm25",  # NEW: Okapi BM25 corpus scoring
-    "xtfidf",  # NEW: per-doc top-k TF-IDF keywords
-    "xsplit_by_group",  # NEW: leakage-safe whole-group split
-    "xmix_budget",  # NEW: token-budget mixture sampling
-    "xpipeline_e2e",  # NEW: 4-stage end-to-end pipeline, full oracle
-    # -- changed in round 5: must re-verify --
-    "xdedup_semantic",  # NEW: SemDeDup-style seed-cluster cosine dedup
-    "xsample_stratified",  # NEW: exact per-stratum quota sampling
-    "xpack_sequences",  # NEW: token-budget sequence packing
-    "xvocab",  # NEW: vocabulary induction
-    "xvocab_oov",  # NEW: OOV coverage vs induced vocabulary
-    "xscd2",  # NEW: SCD2 validity intervals from retractable ledger
-    "xlm_score",  # NEW: unigram-logprob LM-quality proxy
-    "xchunk_docs",  # NEW: overlapping token-window chunking
-    "xquality_gate",  # NEW: per-group percentile quality gate
-    "xsim_topk_batch",  # NEW: batch ANN scoring in one corpus pass
-    "xdecontaminate_13",  # NEW: 13-gram eval decontamination
-    "xdedup_minhash_sql",  # dedup.py churned (rewrite + revert) in r5
+    # ==== round-6 verification window (first ~50 keys) ====
+    # -- new in round 5: never driver-checked --
+    "xchangelog_agg",  # NEW: incremental MV maintenance over changelogs
+    "xoutliers",  # NEW: median/MAD modified z-score outliers
+    "xhistogram",  # NEW: dense equi-width histogram
+    "xtext_clean",  # NEW: text normalization
+    "xtext_entropy",  # NEW: character-entropy gibberish score
+    "xcollocations",  # NEW: adjacent-bigram PMI collocations
+    "xbigram_lm",  # NEW: corpus-trained bigram LM scoring
+    "xmmr",  # NEW: MMR diversified retrieval
+    # -- dedup module changed in round 5 (collect-mode bucket cap):
+    #    re-verify even where r04 was green --
+    "xdedup_minhash_sql",
     "xdedup_minhash",  # (rows-only twin)
-    "xdedup_incremental",  # dedup.py churned in r5
-    "xdedup_simhash_sql",  # dedup.py churned in r5
+    "xdedup_incremental",
+    "xdedup_simhash_sql",
     "xdedup_simhash",  # (rows-only twin)
-    "xdedup_embcos",  # banded set now persisted (computed once)
-    "xsnapshot",  # NTZ-safe unix_micros cast
-    "xdedup_cluster",  # shares the dedup module
-    # -- stale: last driver-green was round 3 --
+    "xdedup_embcos",
+    "xdedup_semantic",
+    "xdedup_ngram_jaccard",
+    "xdedup_cluster",
+    # -- added in round 4 after the driver's snapshot: never checked --
+    "xdedup_spans",
+    "xdedup_span_removal",
+    "xdedup_lines",
+    "xsim_quantize",
+    "xsim_quantized_topk",
+    "xdecontaminate_fuzzy",
+    "xsample_weighted",
+    "xrollup_gapfill",
+    "xfunnel",
+    "xretention",
+    "xsample_temperature",
+    "xcap_per_source",
+    "xshuffle",
+    "xbm25",
+    "xtfidf",
+    "xsplit_by_group",
+    "xmix_budget",
+    "xpipeline_e2e",
+    "xsample_stratified",
+    "xpack_sequences",
+    "xvocab",
+    "xvocab_oov",
+    "xscd2",
+    "xlm_score",
+    "xchunk_docs",
+    "xquality_gate",
+    "xsim_topk_batch",
+    "xdecontaminate_13",
+    "xsnapshot",
+    # -- oldest-green fillers (last green r03) --
     "a13_offsets_distributed",
     "a14_system_columns",
     "b04_parquet_sink",
     "b17_count_distinct",
+    # ---- window boundary (~50). Composition: 8 brand-new round-5
+    # keys, 9 dedup-family keys re-verifying the round-5 collect-cap
+    # change, 29 round-4 keys the driver's r04 snapshot predated, and 4
+    # of the oldest-green keys. The driver snapshots the repo near the
+    # round cutoff, so this rotation is committed EARLY in round 5.
+    # Everything below the boundary was driver-green in r04 (the b05-b39
+    # block) or r03 (the block right below), and the whole registry
+    # passes the local check_correctness sweep at sf0.001 + sf0.01 this
+    # session (124 pass / 0 fail — self-reported; the driver hash stays
+    # the authoritative signal). The r03-green block rotates to the
+    # round-6 head next. ----
     "b23_ranking",
     "b30_subqueries",
     "b38_conditional",
@@ -88,7 +110,6 @@ _PRIORITY = [
     "xasof_join",
     "xdecontaminate",
     "xdedup_exact",
-    "xdedup_ngram_jaccard",
     "xdedup_paragraph",
     "xmm_features",
     "xmm_frames",
@@ -101,8 +122,6 @@ _PRIORITY = [
     "xskyline",
     "xsalted_agg",
     "b03_information_schema",
-    # (simple pure-column ops, unchanged since r3 — first to overflow
-    # the ~50-key window; they rotate to the round-6 head)
     "xtext_c4_filter",
     "xtext_fingerprint",
     "xtext_gopher",
@@ -112,20 +131,7 @@ _PRIORITY = [
     "xtext_repetition",
     "xtext_tokens",
     "xsample",
-    # ---- window boundary (~50): the driver hashes the first ~50 keys.
-    # Composition this round: 9 brand-new round-5 third-batch keys, then
-    # the 27 first/second-batch round-5 keys (never driver-checked), then
-    # 14 of the round-3-stale keys. The 4 r04-green dedup keys kept
-    # inside (minhash_sql/minhash/incremental/cluster) re-verify the
-    # third-batch dedup-module changes (eager cache materialization +
-    # shingle let-binding). The ~21 stale keys squeezed below the
-    # boundary (xtext_*, xsim_* exact/LSH/IVF, xsessionize, xpivot,
-    # xrollup_time, xskyline, xsalted_agg, …) rotate to the round-6
-    # head. Everything below the boundary was driver-green in r04 or is
-    # pytest-covered, and the ENTIRE registry passes the local
-    # check_correctness oracle sweep at sf0.001 + sf0.01 this session
-    # (114 pass / 0 fail — self-reported; the driver hash is the
-    # authoritative signal). ----
+    # -- driver-green in r04 --
     "xrange_join",
     "xmm_decode",
     "xprofile",
@@ -173,6 +179,7 @@ _PRIORITY = [
     "b37_datetime",
     "b39_explode",
 ]
+
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
