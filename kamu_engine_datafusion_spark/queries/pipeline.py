@@ -1035,6 +1035,35 @@ def q_xmmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite: all row-level checks in one
+    aggregate pass per table + an anti-join referential-integrity
+    check, long-format report (``operators/quality.py::dq_report``).
+    The range check is deliberately violated (l_quantity ≤ 49) so the
+    report exercises the failing path too."""
+    from kamu_engine_datafusion_spark.operators.quality import dq_report
+
+    t = load(spark, sf_dir, "lineitem", "orders")
+    li = dq_report(
+        t["lineitem"],
+        not_null=["l_orderkey", "l_shipdate"],
+        ranges={"l_quantity": (1, 49)},
+        accepted={"l_returnflag": ["A", "N", "R"]},
+        patterns={"l_linestatus": "^[A-Z]$"},
+        foreign_keys=[("l_orderkey", t["orders"], "o_orderkey")],
+    )
+    orders = dq_report(
+        t["orders"],
+        unique=["o_orderkey"],
+        ranges={"o_totalprice": (0.0, 1e9)},
+    )
+    li = li.withColumn("table", F.lit("lineitem"))
+    orders = orders.withColumn("table", F.lit("orders"))
+    return li.unionByName(orders).select(
+        "table", "check", "column", "n_rows", "n_violations", "ok"
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1271,6 +1300,7 @@ QUERIES = {
     "xoutliers": q_xoutliers,
     "xtext_clean": q_xtext_clean,
     "xbigram_lm": q_xbigram_lm,
+    "xdq_checks": q_xdq_checks,
     "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
     "xcollocations": q_xcollocations,
@@ -2146,6 +2176,42 @@ ORACLES = {
         "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xdq_checks": (
+        "WITH li AS (SELECT count(*) AS n, "
+        "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS v_ok, "
+        "sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS v_sd, "
+        "sum(CASE WHEN l_quantity IS NOT NULL AND l_quantity NOT BETWEEN 1 "
+        "AND 49 THEN 1 ELSE 0 END) AS v_q, "
+        "sum(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN "
+        "('A', 'N', 'R') THEN 1 ELSE 0 END) AS v_rf, "
+        "sum(CASE WHEN l_linestatus IS NOT NULL AND NOT "
+        "regexp_matches(l_linestatus, '^[A-Z]$') THEN 1 ELSE 0 END) AS v_ls "
+        "FROM lineitem), "
+        "fk AS (SELECT count(*) AS orphans FROM lineitem WHERE l_orderkey "
+        "IS NOT NULL AND l_orderkey NOT IN (SELECT o_orderkey FROM orders "
+        "WHERE o_orderkey IS NOT NULL)), "
+        "o AS (SELECT count(*) AS n, "
+        "count(o_orderkey) - count(DISTINCT o_orderkey) AS v_u, "
+        "sum(CASE WHEN o_totalprice IS NOT NULL AND o_totalprice NOT "
+        "BETWEEN 0.0 AND 1000000000.0 THEN 1 ELSE 0 END) AS v_tp FROM orders) "
+        "SELECT 'lineitem' AS \"table\", 'not_null' AS \"check\", "
+        "'l_orderkey' AS \"column\", n AS n_rows, "
+        "CAST(v_ok AS BIGINT) AS n_violations, v_ok = 0 AS ok FROM li "
+        "UNION ALL SELECT 'lineitem', 'not_null', 'l_shipdate', n, "
+        "CAST(v_sd AS BIGINT), v_sd = 0 FROM li "
+        "UNION ALL SELECT 'lineitem', 'range', 'l_quantity', n, "
+        "CAST(v_q AS BIGINT), v_q = 0 FROM li "
+        "UNION ALL SELECT 'lineitem', 'accepted_values', 'l_returnflag', n, "
+        "CAST(v_rf AS BIGINT), v_rf = 0 FROM li "
+        "UNION ALL SELECT 'lineitem', 'regex', 'l_linestatus', n, "
+        "CAST(v_ls AS BIGINT), v_ls = 0 FROM li "
+        "UNION ALL SELECT 'lineitem', 'foreign_key', 'l_orderkey', li.n, "
+        "CAST(fk.orphans AS BIGINT), fk.orphans = 0 FROM li CROSS JOIN fk "
+        "UNION ALL SELECT 'orders', 'range', 'o_totalprice', n, "
+        "CAST(v_tp AS BIGINT), v_tp = 0 FROM o "
+        "UNION ALL SELECT 'orders', 'unique', 'o_orderkey', n, "
+        "CAST(v_u AS BIGINT), v_u = 0 FROM o"
     ),
     "xbigram_lm": (
         "WITH t AS (SELECT doc_id, string_split_regex(trim(lower(text)), "
