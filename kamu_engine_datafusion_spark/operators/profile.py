@@ -165,3 +165,45 @@ def histogram_equi_width(
             F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n"),
         )
     )
+
+
+def winsorize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    lower: float = 0.01,
+    upper: float = 0.99,
+    exact: bool = True,
+) -> DataFrame:
+    """Winsorization: clip ``value_col`` to its per-group
+    ``[p_lower, p_upper]`` percentile band — the standard heavy-tail
+    guard before scaling/aggregating features (outliers are *clamped*,
+    not dropped, so row counts and joins are unaffected).
+
+    Appends ``<value_col>_winsorized`` (original columns untouched).
+    Nulls stay null. One percentile aggregate + one joined-back clip —
+    the group stats are group-cardinality rows, so AQE broadcasts them.
+    ``exact=False`` swaps in ``percentile_approx`` for unbounded-group
+    scale, same plan shape (see :func:`robust_outliers`).
+    """
+    group_cols = group_cols or []
+    if exact:
+        lo_of = F.expr(f"percentile({value_col}, {lower})")
+        hi_of = F.expr(f"percentile({value_col}, {upper})")
+    else:
+        lo_of = F.percentile_approx(value_col, lower, 10_000)
+        hi_of = F.percentile_approx(value_col, upper, 10_000)
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    cuts = gb.agg(lo_of.alias("__wlo"), hi_of.alias("__whi"))
+    joined = (
+        df.join(cuts, group_cols) if group_cols else df.crossJoin(F.broadcast(cuts))
+    )
+    # explicit null guard: least/greatest IGNORE nulls in Spark, which
+    # would silently clamp a null value to the lower cut
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")),
+    )
+    return joined.withColumn(
+        f"{value_col}_winsorized", clipped
+    ).drop("__wlo", "__whi")

@@ -254,3 +254,36 @@ def rollup_gapfill(
         *sel,
         (~filled).alias("gap_filled"),
     )
+
+
+def rolling_time_agg(
+    events: DataFrame,
+    time_col: str,
+    value_col: str,
+    window_seconds: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-event trailing time-window aggregates: for every row, the
+    COUNT/SUM/AVG of ``value_col`` over the group's events in
+    ``[t − window, t]`` (closed both ends) — the moving-average /
+    rate-limiter primitive over an event stream with irregular
+    timestamps (a ROWS frame can't express it; the frame is defined by
+    TIME, not row position).
+
+    One shuffle on the group key; the RANGE frame is evaluated by a
+    single sort within each group partition — Spark keeps a sliding
+    frame over the ordered run, so cost is O(n log n) per group, not
+    O(n·w). Appends ``rolling_n``, ``rolling_sum``, ``rolling_avg``.
+    """
+    group_cols = group_cols or []
+    secs = F.unix_micros(F.col(time_col).cast("timestamp")) / F.lit(1e6)
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(secs.alias("__sec"))
+        .rangeBetween(-window_seconds, 0)
+    )
+    return (
+        events.withColumn("rolling_n", F.count(value_col).over(w).cast("long"))
+        .withColumn("rolling_sum", F.sum(value_col).over(w))
+        .withColumn("rolling_avg", F.avg(value_col).over(w))
+    )

@@ -44,6 +44,9 @@ _PRIORITY = [
     "xcollocations",  # NEW: adjacent-bigram PMI collocations
     "xbigram_lm",  # NEW: corpus-trained bigram LM scoring
     "xmmr",  # NEW: MMR diversified retrieval
+    "xdq_checks",  # NEW: data-quality expectation suite
+    "xwinsorize",  # NEW: per-group percentile winsorization
+    "xrolling_time",  # NEW: trailing time-window rolling aggregates
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

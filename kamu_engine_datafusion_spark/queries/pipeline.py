@@ -1064,6 +1064,45 @@ def q_xdq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xwinsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized prices: clip to the per-returnflag [p05, p95] band
+    computed over the FULL table; emit a keyed subset
+    (``operators/profile.py::winsorize``)."""
+    from kamu_engine_datafusion_spark.operators.profile import winsorize
+
+    t = load(spark, sf_dir, "lineitem")
+    out = winsorize(
+        t["lineitem"], "l_extendedprice", ["l_returnflag"], 0.05, 0.95
+    )
+    return out.filter(F.col("l_orderkey") < 5000).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice", 4).alias("price"),
+        F.round("l_extendedprice_winsorized", 4).alias("price_w"),
+    )
+
+
+def q_xrolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour per-user rolling aggregates over the event
+    stream — a RANGE (time) frame, not a ROWS frame
+    (``operators/snapshot.py::rolling_time_agg``)."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        rolling_time_agg,
+    )
+
+    t = load(spark, sf_dir, "events")
+    sub = t["events"].filter(F.col("user_id") < 50)
+    out = rolling_time_agg(sub, "ts", "value", 3600, ["user_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        "rolling_n",
+        F.round("rolling_sum", 6).alias("rolling_sum"),
+        F.round("rolling_avg", 6).alias("rolling_avg"),
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1301,6 +1340,8 @@ QUERIES = {
     "xtext_clean": q_xtext_clean,
     "xbigram_lm": q_xbigram_lm,
     "xdq_checks": q_xdq_checks,
+    "xwinsorize": q_xwinsorize,
+    "xrolling_time": q_xrolling_time,
     "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
     "xcollocations": q_xcollocations,
@@ -2176,6 +2217,26 @@ ORACLES = {
         "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xwinsorize": (
+        "WITH cuts AS (SELECT l_returnflag, "
+        "quantile_cont(l_extendedprice, 0.05) AS lo, "
+        "quantile_cont(l_extendedprice, 0.95) AS hi "
+        "FROM lineitem GROUP BY l_returnflag) "
+        "SELECT l_orderkey, l_linenumber, l.l_returnflag, "
+        "round(l_extendedprice, 4) AS price, "
+        "round(least(greatest(l_extendedprice, lo), hi), 4) AS price_w "
+        "FROM lineitem l JOIN cuts USING (l_returnflag) "
+        "WHERE l_orderkey < 5000"
+    ),
+    "xrolling_time": (
+        "SELECT event_id, user_id, "
+        "CAST(count(value) OVER w AS BIGINT) AS rolling_n, "
+        "round(sum(value) OVER w, 6) AS rolling_sum, "
+        "round(avg(value) OVER w, 6) AS rolling_avg "
+        "FROM events WHERE user_id < 50 "
+        "WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts) "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)"
     ),
     "xdq_checks": (
         "WITH li AS (SELECT count(*) AS n, "
