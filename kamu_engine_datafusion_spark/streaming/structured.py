@@ -325,3 +325,71 @@ def streaming_dedup_against_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintained_view(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    sum_cols: dict[str, str] | None = None,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+):
+    """Continuously-maintained aggregate view over a retractable ledger
+    stream: each micro-batch is reduced with
+    ``operators.changelog.changelog_agg`` (signed op weights, ONE
+    partial-aggregated exchange over the increment only) and folded
+    into the stored view with ``merge_changelog_aggs`` — the stored
+    state is group-cardinality rows, so a tick's cost is
+    O(increment + |groups|), never O(history). Returns the started
+    streaming query; the current view is ``parquet(state_dir)``.
+
+    foreachBatch rather than Spark's own streaming aggregation because
+    changelog semantics need the signed-weight reduction (a Retract row
+    must SUBTRACT) — Spark's built-in stateful agg would count it as a
+    plain row. Restart safety: the merged state is written to a temp
+    subdir first, then moved over the live state atomically-enough for
+    a single writer; a replayed batch re-merges its increment, so pair
+    with the ledger sink's batch-id markers when exactly-once matters.
+    """
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        changelog_agg,
+        merge_changelog_aggs,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    import os
+    import shutil
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        inc = changelog_agg(
+            batch_df, group_cols, sum_cols, keep_dead_groups=True
+        )
+        sess = batch_df.sparkSession
+        if os.path.isdir(state_dir):
+            state = sess.read.parquet(state_dir)
+            merged = merge_changelog_aggs(state, inc, group_cols)
+        else:
+            merged = inc.filter(F.col("n_live") != 0)
+        tmp = state_dir + ".next"
+        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = state_dir + ".old"
+        if os.path.isdir(state_dir):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(state_dir, old)
+        os.replace(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

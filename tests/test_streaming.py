@@ -368,3 +368,58 @@ def test_streaming_dedup_against_index(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "clean")).collect()
     )
     assert ids == [0, 1, 11]  # 10 suppressed as a dup of indexed doc 0
+
+
+def test_maintained_view_incremental_equals_full_recompute(spark, tmp_path):
+    """Streamed changelog ticks fold into the stored view; after every
+    tick the state equals a from-scratch changelog_agg over the whole
+    ledger — including a group that a later tick fully retracts."""
+    from kamu_engine_datafusion_spark.operators.changelog import changelog_agg
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_view,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "ledger")
+    state_dir = os.path.join(str(tmp_path), "state")
+    ck = os.path.join(str(tmp_path), "ck")
+    os.makedirs(ledger_dir)
+    schema = "offset long, op int, k string, value double"
+
+    def tick(rows, name):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_view(
+            ledger_dir, state_dir, ck, ["k"], {"vsum": "value"},
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    t1 = [(0, 0, "a", 1.0), (1, 0, "a", 2.0), (2, 0, "b", 5.0), (3, 0, "c", 7.0)]
+    tick(t1, "t1")
+    full = {
+        r["k"]: (r["n_live"], r["vsum"])
+        for r in changelog_agg(
+            spark.createDataFrame(t1, schema), ["k"], {"vsum": "value"}
+        ).collect()
+    }
+    got = {
+        r["k"]: (r["n_live"], r["vsum"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    assert got == full == {"a": (2, 3.0), "b": (1, 5.0), "c": (1, 7.0)}
+
+    # tick 2: retract one 'a' record, fully retract 'c', append to 'b'
+    t2 = [(4, 1, "a", 1.0), (5, 1, "c", 7.0), (6, 0, "b", 3.0)]
+    tick(t2, "t2")
+    got2 = {
+        r["k"]: (r["n_live"], r["vsum"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    full2 = {
+        r["k"]: (r["n_live"], r["vsum"])
+        for r in changelog_agg(
+            spark.createDataFrame(t1 + t2, schema), ["k"], {"vsum": "value"}
+        ).collect()
+    }
+    assert got2 == full2 == {"a": (1, 2.0), "b": (2, 8.0)}  # 'c' cancelled out
