@@ -119,3 +119,92 @@ def optimize_layout(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(
+    df,
+    cols: list[str],
+    bits_per_col: int = 16,
+):
+    """Morton (Z-order) interleave of 2+ numeric columns as a LONG
+    column expression: each column is min-max scaled to a
+    ``bits_per_col``-bit integer over the FULL input (one tiny bounds
+    aggregate, broadcast back), then the bit codes are interleaved so
+    proximity in z-value approximates proximity in EVERY input column
+    at once.
+
+    Returns ``(df_with_bounds, zcol)`` — ``df_with_bounds`` is ``df``
+    cross-joined with the broadcast bounds row, ``zcol`` the Column to
+    sort/partition by. Pure codegen bit math (shiftleft/or over long
+    slots), no UDFs. ``len(cols) * bits_per_col`` must fit in 63 bits.
+    """
+    if len(cols) * bits_per_col > 63:
+        raise ValueError("z-value exceeds a long: reduce bits_per_col")
+    bounds = df.agg(
+        *[
+            F.min(F.col(c).cast("double")).alias(f"__lo_{c}")
+            for c in cols
+        ],
+        *[
+            F.max(F.col(c).cast("double")).alias(f"__hi_{c}")
+            for c in cols
+        ],
+    )
+    out = df.crossJoin(F.broadcast(bounds))
+    max_code = (1 << bits_per_col) - 1
+    codes = []
+    for c in cols:
+        lo, hi = F.col(f"__lo_{c}"), F.col(f"__hi_{c}")
+        scaled = F.when(hi == lo, F.lit(0)).otherwise(
+            F.least(
+                F.lit(max_code),
+                F.floor(
+                    (F.col(c).cast("double") - lo)
+                    / (hi - lo)
+                    * F.lit(max_code + 1)
+                ),
+            )
+        ).cast("long")
+        codes.append(F.coalesce(scaled, F.lit(0)))
+    z = F.lit(0).cast("long")
+    for bit in range(bits_per_col):
+        for ci, code in enumerate(codes):
+            z = z.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(code, bit).bitwiseAND(F.lit(1)),
+                    bit * len(codes) + ci,
+                )
+            )
+    return out, z
+
+
+def optimize_layout_zorder(
+    df,
+    path: str,
+    cols: list[str],
+    target_files: int = 32,
+    bits_per_col: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Multi-dimensional OPTIMIZE ... ZORDER: range-partition + sort the
+    table by its Morton z-value so parquet footer min/max stats prune
+    files for predicates on ANY of ``cols`` — where the 1-D
+    :func:`optimize_layout` prunes only its leading sort column.
+
+    Each output file covers a contiguous z-range = a small hyper-
+    rectangle of the (col1 × col2 × …) space, so every column's
+    per-file min/max span is ~``range / files^(1/d)`` instead of the
+    full range. The z column itself is dropped before writing — it is
+    layout, not data. Cost: one bounds aggregate + one range exchange,
+    same shape as the 1-D op.
+    """
+    with_bounds, z = zorder_value(df, cols, bits_per_col)
+    drop = [f"__lo_{c}" for c in cols] + [f"__hi_{c}" for c in cols]
+    (
+        with_bounds.withColumn("__z", z)
+        .repartitionByRange(target_files, F.col("__z"))
+        .sortWithinPartitions("__z")
+        .drop("__z", *drop)
+        .write.mode(mode)
+        .parquet(path)
+    )
