@@ -47,6 +47,7 @@ _PRIORITY = [
     "xdq_checks",  # NEW: data-quality expectation suite
     "xwinsorize",  # NEW: per-group percentile winsorization
     "xrolling_time",  # NEW: trailing time-window rolling aggregates
+    "xfuzzy_join",  # NEW: guaranteed-recall fuzzy string matching
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

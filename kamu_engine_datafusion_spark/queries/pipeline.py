@@ -1103,6 +1103,27 @@ def q_xrolling_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xfuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Record linkage: supplier-name pairs within edit distance 1 via
+    guaranteed-recall SymSpell deletion-neighborhood blocking + exact
+    levenshtein verify (``operators/linkage.py``). The oracle is the
+    BRUTE-FORCE all-pairs comparison, independently proving the
+    blocking loses no pairs."""
+    from kamu_engine_datafusion_spark.operators.linkage import (
+        fuzzy_string_pairs,
+    )
+
+    t = load(spark, sf_dir, "supplier")
+    out = fuzzy_string_pairs(t["supplier"], "s_name", "s_suppkey", 1)
+    return out.select(
+        "id_a",
+        "id_b",
+        "text_a",
+        "text_b",
+        F.col("distance").cast("long").alias("distance"),
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1341,6 +1362,7 @@ QUERIES = {
     "xbigram_lm": q_xbigram_lm,
     "xdq_checks": q_xdq_checks,
     "xwinsorize": q_xwinsorize,
+    "xfuzzy_join": q_xfuzzy_join,
     "xrolling_time": q_xrolling_time,
     "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
@@ -2217,6 +2239,13 @@ ORACLES = {
         "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xfuzzy_join": (
+        "SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, "
+        "a.s_name AS text_a, b.s_name AS text_b, "
+        "CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS distance "
+        "FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey "
+        "WHERE levenshtein(a.s_name, b.s_name) <= 1"
     ),
     "xwinsorize": (
         "WITH cuts AS (SELECT l_returnflag, "
