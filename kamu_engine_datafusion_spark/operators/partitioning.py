@@ -84,3 +84,61 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two pre-bucketed tables on their bucket key (no Exchange)."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+# Deferred-release ledger (the dedup/retrieval convention): the profile
+# returned by key_skew_profile lazily reads its persisted count table,
+# so it is unpersisted at the NEXT call / release_intermediates().
+_DEFERRED: list[DataFrame] = []
+
+
+def release_intermediates(blocking: bool = False) -> None:
+    """Unpersist the previous key_skew_profile call's count table."""
+    while _DEFERRED:
+        df = _DEFERRED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_n: int = 20
+) -> DataFrame:
+    """Shuffle-skew diagnosis: the heaviest ``top_n`` keys with their
+    row share — the input to every salting/broadcast decision in this
+    module ("is there a hot key, and how hot?").
+
+    Returns ``(rank, key, n, share)`` — ``key`` is the concatenated key
+    tuple (unit-separator joined), ``share`` its fraction of all rows.
+    A top key holding ≫ 1/shuffle-partitions of the table is the key
+    AQE cannot split in a GROUP BY: salt it (:func:`salted_count`) or
+    broadcast its join side (:func:`salted_join`).
+
+    One partial-aggregated count per key; the count table is persisted
+    (and released at the next call) because the grand total — which
+    must include keys outside the top-n — and the TakeOrderedAndProject
+    both read it. Never a full sort.
+    """
+    key = F.concat_ws(chr(31), *[F.col(c).cast("string") for c in key_cols])
+    release_intermediates()
+    counts = (
+        df.select(key.alias("__key"))
+        .groupBy("__key")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    ).persist()
+    _DEFERRED.append(counts)
+    total = counts.agg(F.sum("__n").alias("__total"))
+    top = counts.orderBy(F.col("__n").desc(), "__key").limit(top_n)
+    from pyspark.sql import Window
+
+    ranked = top.crossJoin(F.broadcast(total)).select(
+        F.row_number()
+        .over(Window.orderBy(F.col("__n").desc(), "__key"))
+        .cast("long")
+        .alias("rank"),
+        F.col("__key").alias("key"),
+        F.col("__n").cast("long").alias("n"),
+        (F.col("__n") / F.col("__total")).alias("share"),
+    )
+    return ranked

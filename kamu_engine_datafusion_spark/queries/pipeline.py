@@ -1124,6 +1124,21 @@ def q_xfuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-skew diagnosis: top-20 heaviest user_ids in the event
+    stream with row shares — the salting-decision input
+    (``operators/partitioning.py::key_skew_profile``)."""
+    from kamu_engine_datafusion_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+
+    t = load(spark, sf_dir, "events")
+    out = key_skew_profile(t["events"], ["user_id"], top_n=20)
+    return out.select(
+        "rank", "key", "n", F.round("share", 9).alias("share")
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1363,6 +1378,7 @@ QUERIES = {
     "xdq_checks": q_xdq_checks,
     "xwinsorize": q_xwinsorize,
     "xfuzzy_join": q_xfuzzy_join,
+    "xkey_skew": q_xkey_skew,
     "xrolling_time": q_xrolling_time,
     "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
@@ -2239,6 +2255,15 @@ ORACLES = {
         "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xkey_skew": (
+        "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n "
+        "FROM events GROUP BY user_id), "
+        "t AS (SELECT sum(n) AS total FROM c) "
+        "SELECT CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) "
+        "AS rank, key, CAST(n AS BIGINT) AS n, "
+        "round(n / t.total, 9) AS share "
+        "FROM c CROSS JOIN t ORDER BY n DESC, key LIMIT 20"
     ),
     "xfuzzy_join": (
         "SELECT a.s_suppkey AS id_a, b.s_suppkey AS id_b, "

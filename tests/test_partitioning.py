@@ -63,3 +63,35 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_key_skew_profile_ranks_and_shares(spark):
+    from kamu_engine_datafusion_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+
+    rows = [("hot",)] * 70 + [("warm",)] * 20 + [("c1",), ("c2",), ("c3",)] + [
+        ("c4",),
+    ] * 7
+    df = spark.createDataFrame(rows, "k string")
+    out = key_skew_profile(df, ["k"], top_n=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    assert out[0]["key"] == "hot" and out[0]["n"] == 70
+    assert abs(out[0]["share"] - 0.70) < 1e-12  # share of ALL rows (100)
+    assert out[1]["key"] == "warm" and out[2]["key"] == "c4"
+
+
+def test_key_skew_profile_releases_previous_cache(spark):
+    from kamu_engine_datafusion_spark.operators.partitioning import (
+        _DEFERRED,
+        key_skew_profile,
+        release_intermediates,
+    )
+
+    df = spark.createDataFrame([("a",), ("b",)], "k string")
+    key_skew_profile(df, ["k"]).collect()
+    assert len(_DEFERRED) == 1
+    key_skew_profile(df, ["k"]).collect()
+    assert len(_DEFERRED) == 1  # previous one released, not accumulated
+    release_intermediates()
+    assert not _DEFERRED
