@@ -49,6 +49,7 @@ _PRIORITY = [
     "xrolling_time",  # NEW: trailing time-window rolling aggregates
     "xfuzzy_join",  # NEW: guaranteed-recall fuzzy string matching
     "xkey_skew",  # NEW: shuffle-skew diagnosis profile
+    "xmm_phash",  # NEW: perceptual-hash multimodal kernel
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

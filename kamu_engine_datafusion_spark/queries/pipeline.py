@@ -1139,6 +1139,16 @@ def q_xkey_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xmm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual (average) hash over media binaries — the image
+    near-dup primitive. Pinned to the stub pixel source (sha256 chain)
+    so the Arrow/numpy kernel output is value-verified bit-for-bit in
+    SQL (``operators/multimodal.py::perceptual_hash``)."""
+    t = load(spark, sf_dir, "documents")
+    media = M.synthesize_media(t["documents"], "doc_id", "text")
+    return M.perceptual_hash(media, use_real_codecs=False)
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1379,6 +1389,7 @@ QUERIES = {
     "xwinsorize": q_xwinsorize,
     "xfuzzy_join": q_xfuzzy_join,
     "xkey_skew": q_xkey_skew,
+    "xmm_phash": q_xmm_phash,
     "xrolling_time": q_xrolling_time,
     "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
@@ -2128,6 +2139,30 @@ ORACLES = {
     ),
     "xdedup_incremental": _incremental_dedup_oracle(),
     "xsim_srp_lsh": _srp_lsh_oracle(),
+    "xmm_phash": (
+        # stub pixels = bytes of sha256(payload) || sha256(hex-of-that):
+        # 64 deterministic bytes; bit i = pixel_i > mean; hex via two
+        # 32-bit halves (bit 63 would overflow a signed BIGINT)
+        "WITH m AS (SELECT doc_id, sha256(text) AS d1 "
+        "FROM documents), "
+        "mm AS (SELECT doc_id, d1 || sha256(d1) AS hx FROM m), "
+        "px AS (SELECT doc_id, i, "
+        "CAST(('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2)) AS INT) AS p "
+        "FROM mm CROSS JOIN range(0, 64) r(i)), "
+        "st AS (SELECT doc_id, avg(p) AS mean FROM px GROUP BY doc_id), "
+        "bits AS (SELECT px.doc_id, i, "
+        "CASE WHEN p > mean THEN 1 ELSE 0 END AS b "
+        "FROM px JOIN st USING (doc_id)), "
+        "v AS (SELECT doc_id, "
+        "CAST(sum(CASE WHEN i >= 32 THEN CAST(b AS BIGINT) * "
+        "(CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) "
+        "AS hi, "
+        "CAST(sum(CASE WHEN i < 32 THEN CAST(b AS BIGINT) * "
+        "(CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo "
+        "FROM bits GROUP BY doc_id) "
+        "SELECT doc_id AS media_id, printf('%08x%08x', hi, lo) AS phash "
+        "FROM v"
+    ),
     "xmm_decode": (
         # the decode stub derives (width, height) from the sha256 digest
         # of the UTF-8 payload — reproducible in SQL, so the mapInPandas

@@ -605,3 +605,45 @@ def test_remove_common_lines_below_threshold_survives(spark):
            D.remove_common_lines(df, min_docs=3).collect()}
     assert out[1] == "only here\nrare line"  # 2 docs < 3: kept
     assert out[2] == "rare line\nother text"
+
+
+def test_perceptual_hash_stub_matches_reference_impl(spark):
+    """The kernel's bit packing equals a straight python re-derivation
+    of the stub pixel chain, including an all-ties payload."""
+    import hashlib
+
+    df = spark.createDataFrame(
+        [(1, "abcdefgh"), (2, ""), (3, "hello world")], ["doc_id", "payload"]
+    )
+    media = M.synthesize_media(df, "doc_id", "payload")
+    got = {
+        r["media_id"]: r["phash"]
+        for r in M.perceptual_hash(media, use_real_codecs=False).collect()
+    }
+
+    def expect(payload: str) -> str:
+        d1 = hashlib.sha256(payload.encode()).digest()
+        d2 = hashlib.sha256(d1.hex().encode()).digest()
+        px = list(d1 + d2)
+        mean = sum(px) / 64
+        val = 0
+        for i, p in enumerate(px):
+            if p > mean:
+                val |= 1 << i
+        return format(val, "016x")
+
+    for i, payload in [(1, "abcdefgh"), (2, ""), (3, "hello world")]:
+        assert got[i] == expect(payload), i
+        assert len(got[i]) == 16
+
+
+def test_perceptual_hash_groups_exact_duplicates(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "payload"]
+    )
+    media = M.synthesize_media(df, "doc_id", "payload")
+    h = {
+        r["media_id"]: r["phash"]
+        for r in M.perceptual_hash(media, use_real_codecs=False).collect()
+    }
+    assert h[1] == h[2] != h[3]
