@@ -396,40 +396,58 @@ def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def skipgram_pairs(toked, window: int = 1):
+    """Ordered co-occurrence pairs ``(w_i, w_{i+d})`` for every gap
+    ``d ≤ window`` — in-row ``slice``+``arrays_zip`` per gap, exploded.
+    ``window=1`` is plain adjacent bigrams; larger windows give the
+    word2vec-style co-occurrence stream. No self-join, no Window."""
+    n_tok = F.size("__tok")
+    per_gap = []
+    for d in range(1, window + 1):
+        # explicit length guard: arrays_zip of empty slices is not
+        # reliably empty (a zero-length slice of an empty array zips to
+        # a one-row struct); the empty-literal branch explodes to nothing
+        per_gap.append(
+            F.when(
+                n_tok >= d + 1,
+                F.arrays_zip(
+                    F.slice("__tok", 1, n_tok - d),
+                    F.slice("__tok", 1 + d, n_tok - d),
+                ),
+            ).otherwise(F.array())
+        )
+    grams = per_gap[0] if len(per_gap) == 1 else F.concat(*per_gap)
+    return toked.select(F.explode(grams).alias("__bg")).select(
+        F.col("__bg").getField("0").alias("w1"),
+        F.col("__bg").getField("1").alias("w2"),
+    )
+
+
 def collocations(
     df,
     text_col: str = "text",
     min_count: int = 5,
     top_k: int = 100,
+    window: int = 1,
 ):
-    """Collocation extraction: top-k adjacent word bigrams by pointwise
-    mutual information, ``PMI = ln( (c12/B) / ((c1/N)·(c2/N)) )`` with
-    ``N`` total tokens, ``B`` total bigrams, ``min_count`` pruning the
-    long tail of one-off pairs (classic Church & Hanks shape).
+    """Collocation extraction: top-k co-occurring word pairs by
+    pointwise mutual information,
+    ``PMI = ln( (c12/B) / ((c1/N)·(c2/N)) )`` with ``N`` total tokens,
+    ``B`` total pairs, ``min_count`` pruning the long tail of one-off
+    pairs (classic Church & Hanks shape). ``window=1`` scores adjacent
+    bigrams; ``window=k`` scores every ordered pair within k positions
+    (skip-gram co-occurrence — the word2vec context statistic).
 
-    Scale: bigrams come from an in-row ``slice``+``arrays_zip`` (no
-    self-join, no window); both count tables partial-aggregate before
-    their exchange; the unigram join keys are the vocabulary (Zipf —
-    the hot head is exactly what ``min_count`` already shrank the probe
-    side to); final top-k is sort+limit = TakeOrderedAndProject.
+    Scale: pairs come from in-row ``slice``+``arrays_zip`` per gap (no
+    self-join, no window function; pair stream is window× tokens);
+    both count tables partial-aggregate before their exchange; the
+    unigram join keys are the vocabulary (Zipf — the hot head is
+    exactly what ``min_count`` already shrank the probe side to);
+    final top-k is sort+limit = TakeOrderedAndProject.
     Returns ``(w1, w2, n_pair, pmi)``.
     """
     toked = df.select(tokens(text_col).alias("__tok"))
-    n_tok = F.size("__tok")
-    # explicit < 2 guard: arrays_zip of empty slices is not reliably
-    # empty (a zero-length slice of an empty array zips to a one-row
-    # struct), and explode of the empty literal drops the doc cleanly
-    bigrams = F.when(
-        n_tok >= 2,
-        F.arrays_zip(
-            F.slice("__tok", 1, n_tok - 1),
-            F.slice("__tok", 2, n_tok - 1),
-        ),
-    ).otherwise(F.array())
-    pairs = toked.select(F.explode(bigrams).alias("__bg")).select(
-        F.col("__bg").getField("0").alias("w1"),
-        F.col("__bg").getField("1").alias("w2"),
-    )
+    pairs = skipgram_pairs(toked, window)
     uni = (
         toked.select(F.explode("__tok").alias("w"))
         .groupBy("w")

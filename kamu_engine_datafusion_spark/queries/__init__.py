@@ -50,6 +50,7 @@ _PRIORITY = [
     "xfuzzy_join",  # NEW: guaranteed-recall fuzzy string matching
     "xkey_skew",  # NEW: shuffle-skew diagnosis profile
     "xmm_phash",  # NEW: perceptual-hash multimodal kernel
+    "xskipgram",  # NEW: windowed skip-gram co-occurrence PMI
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

@@ -1149,6 +1149,20 @@ def q_xmm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.perceptual_hash(media, use_real_codecs=False)
 
 
+def q_xskipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence PMI (window 3): every ordered pair
+    within 3 positions — the word2vec context statistic
+    (``operators/text.py::collocations(window=3)``)."""
+    from kamu_engine_datafusion_spark.operators.text import collocations
+
+    t = load(spark, sf_dir, "documents")
+    out = collocations(t["documents"], min_count=10, top_k=10_000_000, window=3)
+    ranked = out.select(
+        "w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi")
+    ).orderBy(F.col("pmi").desc(), "w1", "w2")
+    return ranked.limit(100)
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1390,6 +1404,7 @@ QUERIES = {
     "xfuzzy_join": q_xfuzzy_join,
     "xkey_skew": q_xkey_skew,
     "xmm_phash": q_xmm_phash,
+    "xskipgram": q_xskipgram,
     "xrolling_time": q_xrolling_time,
     "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
@@ -2400,6 +2415,23 @@ ORACLES = {
         "SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, "
         "round(coalesce(e.ent, 0.0), 6) AS entropy "
         "FROM documents d LEFT JOIN e USING (doc_id)"
+    ),
+    "xskipgram": (
+        "WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') "
+        "AS toks FROM documents), "
+        "bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (SELECT unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z FROM t WHERE len(toks) >= 2) UNION ALL SELECT z[1] AS w1, z[2] AS w2 FROM (SELECT unnest(list_zip(toks[:len(toks)-2], toks[3:])) AS z FROM t WHERE len(toks) >= 3) UNION ALL SELECT z[1] AS w1, z[2] AS w2 FROM (SELECT unnest(list_zip(toks[:len(toks)-3], toks[4:])) AS z FROM t WHERE len(toks) >= 4)), "
+        "uni AS (SELECT unnest(toks) AS w FROM t), "
+        "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+        "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni), "
+        "bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg), "
+        "bc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2 "
+        "HAVING count(*) >= 10) "
+        "SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, "
+        "round(ln((n_pair / bt.b) / ((u1.c / nt.n) * (u2.c / nt.n))), 6) "
+        "AS pmi "
+        "FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w "
+        "CROSS JOIN nt CROSS JOIN bt "
+        "ORDER BY pmi DESC, w1, w2 LIMIT 100"
     ),
     "xcollocations": (
         "WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') "

@@ -76,3 +76,21 @@ def test_char_entropy_plan_is_two_exchanges_no_window(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_skipgram_pairs_window2_brute_force(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        skipgram_pairs,
+        tokens,
+    )
+
+    df = spark.createDataFrame([("a b c d",), ("x y",), ("solo",)], "text string")
+    toked = df.select(tokens("text").alias("__tok"))
+    got = sorted(
+        (r["w1"], r["w2"]) for r in skipgram_pairs(toked, window=2).collect()
+    )
+    expect = []
+    for ts in [["a", "b", "c", "d"], ["x", "y"], ["solo"]]:
+        for d in (1, 2):
+            expect += [(ts[i], ts[i + d]) for i in range(len(ts) - d)]
+    assert got == sorted(expect)
