@@ -393,3 +393,73 @@ def maintained_view(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintained_snapshot(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    primary_key: str | list[str],
+    vocab=None,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+):
+    """Continuously-maintained SNAPSHOT over a retractable ledger
+    stream: stored state is the latest record per primary key —
+    INCLUDING dead keys (latest record a retract/correct-from), which
+    must persist as tombstones so an older live row cannot resurrect a
+    retracted key on a later tick. The live view is
+    ``read.parquet(state_dir).filter(~op.isin(1, 2))`` minus system
+    columns — exactly ``snapshot_of_ledger`` of the whole history, at
+    O(increment + |keys|) per tick instead of O(history).
+
+    Each tick unions the stored state with the increment and keeps the
+    max-offset record per key: one keyed shuffle whose input is state
+    (key-cardinality) + increment, never the ledger. Returns the
+    started query (availableNow trigger).
+    """
+    from kamu_engine_datafusion_spark.plans.types import DatasetVocabulary
+
+    vocab = vocab or DatasetVocabulary()
+    keys = (
+        [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    )
+    off = vocab.offset_column
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    import os
+    import shutil
+
+    from pyspark.sql import Window
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        merged = batch_df
+        if os.path.isdir(state_dir):
+            merged = sess.read.parquet(state_dir).unionByName(batch_df)
+        w = Window.partitionBy(*keys).orderBy(F.col(off).desc())
+        latest = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        tmp = state_dir + ".next"
+        latest.write.mode("overwrite").parquet(tmp)
+        old = state_dir + ".old"
+        if os.path.isdir(state_dir):
+            shutil.rmtree(old, ignore_errors=True)
+            os.replace(state_dir, old)
+        os.replace(tmp, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

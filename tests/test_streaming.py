@@ -423,3 +423,54 @@ def test_maintained_view_incremental_equals_full_recompute(spark, tmp_path):
         ).collect()
     }
     assert got2 == full2 == {"a": (1, 2.0), "b": (2, 8.0)}  # 'c' cancelled out
+
+
+def test_maintained_snapshot_equals_batch_snapshot(spark, tmp_path):
+    """Per-tick latest-per-key folding (with tombstones) reproduces the
+    batch snapshot of the full ledger — including a key whose retract
+    arrives in a later tick than its surviving older append."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        snapshot_of_ledger,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_snapshot,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "sledger")
+    state_dir = os.path.join(str(tmp_path), "sstate")
+    ck = os.path.join(str(tmp_path), "sck")
+    os.makedirs(ledger_dir)
+    schema = "offset long, op int, k string, value double"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_snapshot(
+            ledger_dir, state_dir, ck, "k",
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    t1 = [(0, 0, "a", 1.0), (1, 0, "a", 2.0), (2, 0, "b", 5.0)]
+    t2 = [(3, 1, "b", 5.0), (4, 0, "c", 9.0)]  # retract b (tombstone)
+    tick(t1)
+    tick(t2)
+
+    live = (
+        spark.read.parquet(state_dir)
+        .filter(~F.col("op").isin(1, 2))
+        .select("k", "value")
+    )
+    batch = snapshot_of_ledger(
+        spark.createDataFrame(t1 + t2, schema).withColumn(
+            "system_time", F.lit(None).cast("timestamp")
+        ),
+        "k",
+    ).select("k", "value")
+    assert sorted(map(tuple, live.collect())) == sorted(
+        map(tuple, batch.collect())
+    ) == [("a", 2.0), ("c", 9.0)]
+    # tombstone retained: key b present in state, dead
+    state_b = spark.read.parquet(state_dir).filter(F.col("k") == "b").collect()
+    assert len(state_b) == 1 and state_b[0]["op"] == 1
