@@ -19,7 +19,7 @@ if the stream has bots.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -149,4 +149,47 @@ def retention_cohorts(
         .select(
             F.col("__cohort").alias("cohort_start"), "period", "n_users"
         )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix of the event stream: for
+    every consecutive pair of events per user (ordered by time, ties
+    broken by ``order_tiebreak`` so the sequence is deterministic),
+    count ``from_type → to_type`` and normalize per source state.
+
+    Returns ``(from_type, to_type, n, p)`` with ``p`` the row-stochastic
+    transition probability. The path-analysis complement of
+    :func:`funnel_counts` — where the funnel asks "how many users reach
+    step k", the transition matrix asks "where do users actually go".
+
+    Scale: ONE user-keyed shuffle for the lead window; the pair count
+    partial-aggregates to |types|² rows; the per-source normalization
+    is a window over that tiny matrix.
+    """
+    order = [F.col(ts_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(user_col).orderBy(*order)
+    pairs = (
+        events.withColumn("__next", F.lead(F.col(type_col)).over(w))
+        .filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_src = Window.partitionBy("from_type")
+    return pairs.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.sum("n").over(per_src)).alias("p"),
     )

@@ -9,7 +9,7 @@ column), and the shuffle carries only per-column partial aggregates.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -207,3 +207,88 @@ def winsorize(
     return joined.withColumn(
         f"{value_col}_winsorized", clipped
     ).drop("__wlo", "__whi")
+
+
+def correlation_matrix(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Pairwise Pearson correlations of ``cols`` in ONE scan — the
+    k×k matrix as long-format ``(col_a, col_b, corr)`` for the upper
+    triangle (incl. the diagonal). All ``k·(k+1)/2`` ``corr``
+    aggregates ride a single aggregate over a single pass; each is a
+    streaming one-pass moment computation, so no per-pair scans and no
+    driver-side math.
+    """
+    aggs = []
+    names = []
+    for i, a in enumerate(cols):
+        for b in cols[i:]:
+            aggs.append(F.corr(F.col(a), F.col(b)).alias(f"__c_{a}_{b}"))
+            names.append((a, b))
+    row = df.agg(*aggs)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_a"),
+                F.lit(b).alias("col_b"),
+                F.col(f"__c_{a}_{b}").alias("corr"),
+            )
+            for a, b in names
+        ]
+    )
+    return row.select(F.explode(pairs).alias("__p")).select(
+        "__p.col_a", "__p.col_b", "__p.corr"
+    )
+
+
+def quantile_bins(
+    df: DataFrame,
+    value_col: str,
+    num_bins: int = 10,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Equi-depth (quantile) binning: append ``<value_col>_bin`` ∈
+    [1, num_bins] with ~equal row counts per bin — ``ntile`` over the
+    value ordering, ties broken by ``tiebreak_col`` so the assignment
+    is deterministic and engine-portable (without a tie-break, equal
+    values straddling a bin boundary land arbitrarily).
+
+    Scale note: ntile is a GLOBAL ordering — one range-partitioned
+    sort. For very large tables prefer bucketing by percentile cuts
+    (two scans, no global sort):
+    ``winsorize``-style cut computation + a join, trading exact equal
+    depth for near-equal.
+    """
+    order = [F.col(value_col)]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col))
+    w = Window.orderBy(*order)
+    return df.withColumn(
+        f"{value_col}_bin", F.ntile(num_bins).over(w).cast("long")
+    )
+
+
+def standardize(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-group z-score standardization: append
+    ``<value_col>_z = (x − mean) / stddev_samp`` (null when the group
+    has < 2 rows or zero variance). One mean/stddev aggregate joined
+    back (group-cardinality — broadcast), same shape as
+    :func:`winsorize`.
+    """
+    group_cols = group_cols or []
+    gb = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    stats = gb.agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    joined = (
+        df.join(stats, group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(stats))
+    )
+    z = F.when(
+        F.col("__sd") > 0, (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    )
+    return joined.withColumn(f"{value_col}_z", z).drop("__mu", "__sd")

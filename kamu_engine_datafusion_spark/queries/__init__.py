@@ -51,6 +51,10 @@ _PRIORITY = [
     "xkey_skew",  # NEW: shuffle-skew diagnosis profile
     "xmm_phash",  # NEW: perceptual-hash multimodal kernel
     "xskipgram",  # NEW: windowed skip-gram co-occurrence PMI
+    "xtransitions",  # NEW: Markov transition matrix of event paths
+    "xcorr_matrix",  # NEW: one-scan pairwise correlation matrix
+    "xquantile_bins",  # NEW: equi-depth quantile binning
+    "xstandardize",  # NEW: per-group z-score standardization
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

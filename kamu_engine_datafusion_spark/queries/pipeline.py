@@ -1163,6 +1163,71 @@ def q_xskipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.limit(100)
 
 
+def q_xtransitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event paths — one
+    user-keyed lead window, |types|² output
+    (``operators/funnel.py::event_transitions``)."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        event_transitions,
+    )
+
+    t = load(spark, sf_dir, "events")
+    out = event_transitions(t["events"])
+    return out.select(
+        "from_type", "to_type", "n", F.round("p", 9).alias("p")
+    )
+
+
+def q_xcorr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix of four lineitem measures in
+    ONE scan (``operators/profile.py::correlation_matrix``)."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        correlation_matrix,
+    )
+
+    t = load(spark, sf_dir, "lineitem")
+    out = correlation_matrix(
+        t["lineitem"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )
+    return out.select(
+        "col_a", "col_b", F.round("corr", 6).alias("corr")
+    )
+
+
+def q_xquantile_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth decile binning of prices with a deterministic
+    tie-break (``operators/profile.py::quantile_bins``)."""
+    from kamu_engine_datafusion_spark.operators.profile import quantile_bins
+
+    t = load(spark, sf_dir, "lineitem")
+    sub = t["lineitem"].filter(F.col("l_orderkey") < 2500).withColumn(
+        "__tb", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    out = quantile_bins(sub, "l_extendedprice", 10, "__tb")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 4).alias("price"),
+        F.col("l_extendedprice_bin").alias("bin"),
+    )
+
+
+def q_xstandardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score standardization
+    (``operators/profile.py::standardize``)."""
+    from kamu_engine_datafusion_spark.operators.profile import standardize
+
+    t = load(spark, sf_dir, "events")
+    out = standardize(t["events"], "value", ["event_type"])
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round("value_z", 6).alias("value_z"),
+    )
+
+
 def q_xskyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skyline (Pareto front) of orders: cheapest-and-most-recent —
     two-phase local-skyline + merge over mapInPandas
@@ -1405,6 +1470,10 @@ QUERIES = {
     "xkey_skew": q_xkey_skew,
     "xmm_phash": q_xmm_phash,
     "xskipgram": q_xskipgram,
+    "xtransitions": q_xtransitions,
+    "xcorr_matrix": q_xcorr_matrix,
+    "xquantile_bins": q_xquantile_bins,
+    "xstandardize": q_xstandardize,
     "xrolling_time": q_xrolling_time,
     "xmmr": q_xmmr,
     "xtext_entropy": q_xtext_entropy,
@@ -2415,6 +2484,52 @@ ORACLES = {
         "SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, "
         "round(coalesce(e.ent, 0.0), 6) AS entropy "
         "FROM documents d LEFT JOIN e USING (doc_id)"
+    ),
+    "xtransitions": (
+        "WITH p AS (SELECT event_type AS from_type, "
+        "lead(event_type) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) AS to_type FROM events), "
+        "c AS (SELECT from_type, to_type, count(*) AS n FROM p "
+        "WHERE to_type IS NOT NULL GROUP BY 1, 2) "
+        "SELECT from_type, to_type, CAST(n AS BIGINT) AS n, "
+        "round(n / sum(n) OVER (PARTITION BY from_type), 9) AS p FROM c"
+    ),
+    "xcorr_matrix": (
+        "WITH c AS (SELECT * FROM (VALUES "
+        "('l_quantity', 1), ('l_extendedprice', 2), ('l_discount', 3), "
+        "('l_tax', 4)) v(name, idx)), "
+        "vals AS (SELECT l_quantity AS v1, l_extendedprice AS v2, "
+        "l_discount AS v3, l_tax AS v4 FROM lineitem) "
+        "SELECT a.name AS col_a, b.name AS col_b, "
+        "round(CASE "
+        "WHEN a.idx = 1 AND b.idx = 1 THEN (SELECT corr(v1, v1) FROM vals) "
+        "WHEN a.idx = 1 AND b.idx = 2 THEN (SELECT corr(v1, v2) FROM vals) "
+        "WHEN a.idx = 1 AND b.idx = 3 THEN (SELECT corr(v1, v3) FROM vals) "
+        "WHEN a.idx = 1 AND b.idx = 4 THEN (SELECT corr(v1, v4) FROM vals) "
+        "WHEN a.idx = 2 AND b.idx = 2 THEN (SELECT corr(v2, v2) FROM vals) "
+        "WHEN a.idx = 2 AND b.idx = 3 THEN (SELECT corr(v2, v3) FROM vals) "
+        "WHEN a.idx = 2 AND b.idx = 4 THEN (SELECT corr(v2, v4) FROM vals) "
+        "WHEN a.idx = 3 AND b.idx = 3 THEN (SELECT corr(v3, v3) FROM vals) "
+        "WHEN a.idx = 3 AND b.idx = 4 THEN (SELECT corr(v3, v4) FROM vals) "
+        "WHEN a.idx = 4 AND b.idx = 4 THEN (SELECT corr(v4, v4) FROM vals) "
+        "END, 6) AS corr "
+        "FROM c a JOIN c b ON a.idx <= b.idx"
+    ),
+    "xquantile_bins": (
+        "WITH sub AS (SELECT l_orderkey, l_linenumber, l_extendedprice, "
+        "l_orderkey * 10 + l_linenumber AS tb FROM lineitem "
+        "WHERE l_orderkey < 2500) "
+        "SELECT l_orderkey, l_linenumber, "
+        "round(l_extendedprice, 4) AS price, "
+        "CAST(ntile(10) OVER (ORDER BY l_extendedprice, tb) AS BIGINT) "
+        "AS bin FROM sub"
+    ),
+    "xstandardize": (
+        "WITH st AS (SELECT event_type, avg(value) AS mu, "
+        "stddev_samp(value) AS sd FROM events GROUP BY event_type) "
+        "SELECT event_id, e.event_type, round(value, 6) AS value, "
+        "round(CASE WHEN sd > 0 THEN (value - mu) / sd END, 6) AS value_z "
+        "FROM events e JOIN st USING (event_type)"
     ),
     "xskipgram": (
         "WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') "
