@@ -55,6 +55,7 @@ _PRIORITY = [
     "xcorr_matrix",  # NEW: one-scan pairwise correlation matrix
     "xquantile_bins",  # NEW: equi-depth quantile binning
     "xstandardize",  # NEW: per-group z-score standardization
+    "xunpivot",  # NEW: unpivot/melt reshape
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

@@ -1433,7 +1433,28 @@ def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot/melt (the reshape complement of xpivot): lineitem
+    measure columns to long ``(key, measure, value)`` rows via the
+    native ``unpivot`` (Expand node — in-row, zero shuffle)."""
+    t = load(spark, sf_dir, "lineitem")
+    sub = t["lineitem"].filter(F.col("l_orderkey") < 1000)
+    out = sub.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount"],
+        "measure",
+        "value",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "measure",
+        F.round("value", 4).alias("value"),
+    )
+
+
 QUERIES = {
+    "xunpivot": q_xunpivot,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xsample_weighted": q_xsample_weighted,
@@ -2484,6 +2505,13 @@ ORACLES = {
         "SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, "
         "round(coalesce(e.ent, 0.0), 6) AS entropy "
         "FROM documents d LEFT JOIN e USING (doc_id)"
+    ),
+    "xunpivot": (
+        "SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value "
+        "FROM (SELECT l_orderkey, l_linenumber, l_quantity, "
+        "l_extendedprice, l_discount FROM lineitem WHERE l_orderkey < 1000) "
+        "UNPIVOT (value FOR measure IN (l_quantity, l_extendedprice, "
+        "l_discount))"
     ),
     "xtransitions": (
         "WITH p AS (SELECT event_type AS from_type, "
