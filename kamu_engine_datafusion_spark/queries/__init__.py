@@ -59,10 +59,8 @@ _PRIORITY = [
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",
-    "xdedup_minhash",  # (rows-only twin)
     "xdedup_incremental",
     "xdedup_simhash_sql",
-    "xdedup_simhash",  # (rows-only twin)
     "xdedup_embcos",
     "xdedup_semantic",
     "xdedup_ngram_jaccard",
@@ -113,6 +111,8 @@ _PRIORITY = [
     # session (124 pass / 0 fail — self-reported; the driver hash stays
     # the authoritative signal). The r03-green block rotates to the
     # round-6 head next. ----
+    "xdedup_minhash",  # rows-only twin: weak signal, hash twin inside
+    "xdedup_simhash",  # rows-only twin: weak signal, hash twin inside
     "b23_ranking",
     "b30_subqueries",
     "b38_conditional",

@@ -68,3 +68,27 @@ def test_incremental_dedup_repeated_ticks_stay_flat(spark, tmp_path):
     assert cached[2] <= cached[0], cached
     release_intermediates(blocking=True)
     assert _n_cached(spark) <= baseline
+
+
+def test_collect_cap_fallback_equals_literal_path(spark, monkeypatch):
+    """When more keys are oversized than the NOT-IN literal guard
+    allows, the collect cap falls back to the broadcast anti-join —
+    with identical results."""
+    from kamu_engine_datafusion_spark.operators import dedup as D
+
+    rows = (
+        [("big1", i) for i in range(5)]
+        + [("big2", i) for i in range(5)]
+        + [("big3", i) for i in range(5)]
+        + [("ok", 1), ("ok2", 2)]
+    )
+    df = spark.createDataFrame(rows, "k string, v long")
+    expected = sorted(
+        map(tuple, D._cap_buckets(df, "k", 3, "antijoin").collect())
+    )
+    literal = sorted(map(tuple, D._cap_buckets(df, "k", 3, "collect").collect()))
+    assert literal == expected
+    monkeypatch.setattr(D, "_COLLECT_CAP_LIMIT", 2)  # 3 oversized > guard
+    fallback = sorted(map(tuple, D._cap_buckets(df, "k", 3, "collect").collect()))
+    assert fallback == expected
+    assert {t[0] for t in expected} == {"ok", "ok2"}
