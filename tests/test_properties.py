@@ -286,3 +286,55 @@ def test_pack_sequences_chunks_cover_budget(spark, n, budget, parts):
         if seq:
             assert seq[0] == 0  # first row of each group starts chunk 0
             assert all(x <= y for x, y in zip(seq, seq[1:]))  # monotone
+
+
+@_slow
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # op code
+            st.sampled_from(["a", "b", "c"]),  # key
+            st.integers(-1000, 1000),  # value in hundredths
+        ),
+        min_size=1,
+        max_size=24,
+    ),
+    cut=st.integers(0, 24),
+)
+def test_changelog_merge_any_split_equals_full(spark, ops, cut):
+    """For ANY ledger and ANY split point, merging the two slices'
+    aggregates (dead groups kept) equals the full recompute — the
+    invariant that makes per-tick view maintenance sound."""
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        changelog_agg,
+        merge_changelog_aggs,
+    )
+
+    rows = [
+        (i, op, k, v / 100.0) for i, (op, k, v) in enumerate(ops)
+    ]
+    schema = "offset long, op int, k string, value double"
+    cut = min(cut, len(rows))
+    full = sorted(
+        map(
+            tuple,
+            changelog_agg(
+                spark.createDataFrame(rows, schema), ["k"], {"vs": "value"}
+            ).collect(),
+        )
+    )
+    lo, hi = rows[:cut], rows[cut:]
+    mk = lambda r: (  # noqa: E731
+        changelog_agg(
+            spark.createDataFrame(r, schema)
+            if r
+            else spark.createDataFrame([], schema),
+            ["k"],
+            {"vs": "value"},
+            keep_dead_groups=True,
+        )
+    )
+    merged = sorted(
+        map(tuple, merge_changelog_aggs(mk(lo), mk(hi), ["k"]).collect())
+    )
+    assert merged == full
