@@ -240,3 +240,25 @@ def test_quantized_topk_scan_tier_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in p
     assert "Exchange hashpartitioning" not in p
     assert "BroadcastNestedLoopJoin" in p  # 1-row query broadcast
+
+
+def test_no_plan_antipatterns_in_verification_window(spark):
+    """Global anti-pattern net over the driver's ~50-key verification
+    window: no CartesianProduct (an unbroadcast cross join would scan
+    quadratically at scale) and no BatchEvalPython (row-at-a-time
+    Python UDFs — the sanctioned Python paths are Arrow-batched
+    mapInPandas/pandas_udf, which plan as ArrowEvalPython/MapInPandas).
+    The full-registry audit runs out-of-band; this pins the hot set.
+    """
+    from kamu_engine_datafusion_spark import queries as q
+
+    sf = "/root/testdata/sf0.001"
+    flagged = {}
+    for name, fn in list(q.registry().items())[:50]:
+        plan = fn(spark, sf)._jdf.queryExecution().executedPlan().toString()
+        hits = [
+            p for p in ("CartesianProduct", "BatchEvalPython") if p in plan
+        ]
+        if hits:
+            flagged[name] = hits
+    assert not flagged, flagged
