@@ -55,6 +55,7 @@ def robust_outliers(
     group_cols: list[str] | None = None,
     threshold: float = 3.5,
     exact: bool = True,
+    stat_precision: int | None = None,
 ) -> DataFrame:
     """Robust per-group outlier detection via the modified z-score
     (Iglewicz–Hoaglin): ``M = 0.6745 · (x − median) / MAD`` with
@@ -76,6 +77,14 @@ def robust_outliers(
     bounded groups. At extreme per-group cardinality set
     ``exact=False`` for ``percentile_approx`` (mergeable sketch, no
     buffering) — same plan shape, bounded memory.
+
+    ``stat_precision``: round the per-group median/MAD to this many
+    decimals before scoring. Engine-portability knob: different
+    engines' percentile interpolation can differ in the last float bit,
+    and an unrounded ulp on the statistic occasionally flips the
+    rounded SCORE at a half-way boundary (observed once in 4053 rows at
+    sf0.1 against DuckDB). Rounding the two statistics pins both
+    engines to identical inputs; leave ``None`` for full precision.
     """
     group_cols = group_cols or []
     med_of = (
@@ -84,12 +93,17 @@ def robust_outliers(
         else (lambda c: F.percentile_approx(c, 0.5, 10_000))
     )
     gb = lambda d: d.groupBy(*group_cols) if group_cols else d.groupBy()  # noqa: E731
-    med = gb(df).agg(med_of(value_col).alias("__med"))
+    rnd = (
+        (lambda c: F.round(c, stat_precision))
+        if stat_precision is not None
+        else (lambda c: c)
+    )
+    med = gb(df).agg(rnd(med_of(value_col)).alias("__med"))
     with_med = (
         df.join(med, group_cols) if group_cols else df.crossJoin(med)
     )
     mad = gb(with_med.withColumn("__dev", F.abs(F.col(value_col) - F.col("__med")))).agg(
-        med_of("__dev").alias("__mad")
+        rnd(med_of("__dev")).alias("__mad")
     )
     scored = (
         with_med.join(mad, group_cols) if group_cols else with_med.crossJoin(mad)

@@ -933,13 +933,22 @@ def q_xoutliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "events")
     out = robust_outliers(
-        t["events"], "value", ["event_type"], threshold=3.5
+        t["events"], "value", ["event_type"], threshold=3.5,
+        stat_precision=6,
     )
+    # explicit half-up rounding (floor(x*1e4 + 0.5)/1e4) instead of
+    # round(): the two engines produce the IDENTICAL score double, but
+    # their round() builtins disagree when the true decimal value lands
+    # exactly on a half (observed: 3.85225 → Spark 3.8522, DuckDB
+    # 3.8523); the floor form is pure IEEE arithmetic on the shared
+    # double, so both engines get the same digits by construction
     return out.select(
         "event_id",
         "event_type",
         F.round("value", 6).alias("value"),
-        F.round("mscore", 4).alias("mscore"),
+        (F.floor(F.col("mscore") * 10000 + F.lit(0.5)) / 10000).alias(
+            "mscore"
+        ),
     )
 
 
@@ -2596,14 +2605,17 @@ ORACLES = {
         "ORDER BY pmi DESC, w1, w2 LIMIT 100"
     ),
     "xoutliers": (
-        "WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m "
+        "WITH med AS (SELECT event_type, "
+        "round(quantile_cont(value, 0.5), 6) AS m "
         "FROM events GROUP BY event_type), "
         "j AS (SELECT e.event_id, e.event_type, e.value, med.m "
         "FROM events e JOIN med USING (event_type)), "
-        "mad AS (SELECT event_type, quantile_cont(abs(value - m), 0.5) AS d "
+        "mad AS (SELECT event_type, "
+        "round(quantile_cont(abs(value - m), 0.5), 6) AS d "
         "FROM j GROUP BY event_type) "
         "SELECT j.event_id, j.event_type, round(j.value, 6) AS value, "
-        "round(0.6745 * (j.value - j.m) / mad.d, 4) AS mscore "
+        "floor(0.6745 * (j.value - j.m) / mad.d * 10000 + 0.5) / 10000 "
+        "AS mscore "
         "FROM j JOIN mad USING (event_type) "
         "WHERE mad.d > 0 AND abs(0.6745 * (j.value - j.m) / mad.d) > 3.5"
     ),
