@@ -86,6 +86,16 @@ def main() -> None:
         lambda: D.embedding_near_dups(emb, threshold=0.4, dim=64).count(),
     )
     t(
+        "embcos_srp_arrow_sig",
+        lambda: D.embedding_near_dups(
+            emb,
+            threshold=0.4,
+            dim=64,
+            signature_backend="arrow",
+            cosine_backend="arrow",
+        ).count(),
+    )
+    t(
         "semantic_dedup_jvm",
         lambda: D.semantic_dedup(
             emb, threshold=0.4, num_seeds=64, max_cluster_size=4000
