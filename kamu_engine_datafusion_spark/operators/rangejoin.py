@@ -22,7 +22,7 @@ cut false candidates, longer buckets cut interval replication.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -74,4 +74,49 @@ def interval_join(
             & (F.col(point_col) < F.col(end_col))
         )
         .drop("__bucket")
+    )
+
+
+def merge_intervals(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Consolidate overlapping/touching intervals per group into their
+    union islands — the interval-algebra normalizer (maintenance
+    windows, user activity spans, span-dedup post-processing all reduce
+    to it). Intervals are closed; ``[1,5]`` and ``[5,9]`` merge.
+
+    Classic single-window formulation: order by start within each
+    group, an interval starts a NEW island iff its start exceeds the
+    running max of previous ends; the island id is the running count of
+    such breaks; islands aggregate to (min start, max end, n).
+
+    One group-keyed shuffle; both windows and the final aggregate share
+    it. Inverted rows (end < start) are dropped up front, like
+    :func:`interval_join`.
+    """
+    group_cols = group_cols or []
+    s, e = F.col(start_col), F.col(end_col)
+    valid = df.filter(e >= s)
+    w = Window.partitionBy(*group_cols).orderBy(s, e)
+    prev_max_end = F.max(e).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = valid.withColumn(
+        "__new_island",
+        F.when(prev_max_end.isNull() | (s > prev_max_end), 1).otherwise(0),
+    )
+    island = F.sum("__new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("__island", island)
+        .groupBy(*group_cols, "__island")
+        .agg(
+            F.min(s).alias(start_col),
+            F.max(e).alias(end_col),
+            F.count(F.lit(1)).cast("long").alias("n_merged"),
+        )
+        .withColumnRenamed("__island", "island")
+        .withColumn("island", F.col("island").cast("long"))
     )

@@ -56,6 +56,7 @@ _PRIORITY = [
     "xquantile_bins",  # NEW: equi-depth quantile binning
     "xstandardize",  # NEW: per-group z-score standardization
     "xunpivot",  # NEW: unpivot/melt reshape
+    "xmerge_intervals",  # NEW: interval consolidation
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

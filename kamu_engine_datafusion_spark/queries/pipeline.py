@@ -1442,6 +1442,27 @@ def q_xpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xmerge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval consolidation: merge each user's overlapping activity
+    spans ([ts, ts + value minutes]) into union islands — one keyed
+    shuffle, shared windows (``operators/rangejoin.py::merge_intervals``)."""
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        merge_intervals,
+    )
+
+    t = load(spark, sf_dir, "events")
+    iv = t["events"].filter(F.col("user_id") < 200).select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.round(F.col("value") * 60, 0)).cast("long") * 1_000_000
+        ).alias("end_us"),
+    )
+    out = merge_intervals(iv, "start_us", "end_us", ["user_id"])
+    return out.select("user_id", "island", "start_us", "end_us", "n_merged")
+
+
 def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape complement of xpivot): lineitem
     measure columns to long ``(key, measure, value)`` rows via the
@@ -1464,6 +1485,7 @@ def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "xunpivot": q_xunpivot,
+    "xmerge_intervals": q_xmerge_intervals,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xsample_weighted": q_xsample_weighted,
@@ -2514,6 +2536,24 @@ ORACLES = {
         "SELECT d.doc_id, coalesce(e.n_chars, 0) AS n_chars, "
         "round(coalesce(e.ent, 0.0), 6) AS entropy "
         "FROM documents d LEFT JOIN e USING (doc_id)"
+    ),
+    "xmerge_intervals": (
+        "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
+        "epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS e "
+        "FROM events WHERE user_id < 200), "
+        "f AS (SELECT user_id, s, e, CASE WHEN max(e) OVER "
+        "(PARTITION BY user_id ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL "
+        "OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+        "THEN 1 ELSE 0 END AS brk FROM iv WHERE e >= s), "
+        "isl AS (SELECT user_id, s, e, CAST(sum(brk) OVER "
+        "(PARTITION BY user_id ORDER BY s, e "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) "
+        "AS island FROM f) "
+        "SELECT user_id, island, min(s) AS start_us, max(e) AS end_us, "
+        "CAST(count(*) AS BIGINT) AS n_merged "
+        "FROM isl GROUP BY user_id, island"
     ),
     "xunpivot": (
         "SELECT l_orderkey, l_linenumber, measure, round(value, 4) AS value "

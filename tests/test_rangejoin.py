@@ -108,3 +108,42 @@ def test_interval_join_pre_epoch_timestamps(spark):
         ).collect()
     )
     assert got == [(0, 0), (1, 0), (2, 0)]
+
+
+def test_merge_intervals_brute_force(spark):
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        merge_intervals,
+    )
+
+    rows = [
+        ("u", 1, 5), ("u", 5, 9), ("u", 20, 25), ("u", 22, 23),
+        ("u", 30, 28),  # inverted: dropped
+        ("v", 1, 2), ("v", 10, 12),
+    ]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    out = sorted(
+        (r["k"], r["island"], r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, "s", "e", ["k"]).collect()
+    )
+    assert out == [
+        ("u", 1, 1, 9, 2),     # [1,5]+[5,9] touch -> merge
+        ("u", 2, 20, 25, 2),   # [22,23] contained
+        ("v", 1, 1, 2, 1),
+        ("v", 2, 10, 12, 1),
+    ]
+
+
+def test_merge_intervals_single_exchange(spark):
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        merge_intervals,
+    )
+
+    df = spark.createDataFrame([("u", 1, 2)], "k string, s long, e long")
+    plan = (
+        merge_intervals(df, "s", "e", ["k"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange") <= 2  # one shuffle + AQE artifacts
+    assert "Join" not in plan
