@@ -1463,6 +1463,35 @@ def q_xmerge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "island", "start_us", "end_us", "n_merged")
 
 
+def q_xpipeline_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-side end-to-end pipeline, every stage oracle-replicated:
+    (1) SRP-LSH near-dup removal (lower-id survivor) → (2) int8 scalar
+    quantization of the SURVIVOR corpus → (3) asymmetric quantized
+    search for the vec_id=0 query (exact re-rank to top 20) → (4) MMR
+    diversified final top-5. The oracle chains the four stages' CTEs
+    bit-for-bit (LCG planes, floor-based codes, 6dp-rounded greedy
+    selection)."""
+    from kamu_engine_datafusion_spark.operators import dedup as DD
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    sub = emb.filter(F.col("vec_id") < 2000)
+    pairs = DD.embedding_near_dups(
+        sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4
+    )
+    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    surv = sub.join(dups, "vec_id", "left_anti")
+    qdf = emb.filter(F.col("vec_id") == 0)
+    params = S.quantization_params(surv, dim=64)
+    top20 = S.topk_quantized(
+        surv, qdf, k=20, rerank_factor=4, params=params, dim=64
+    )
+    pool_corpus = surv.join(
+        F.broadcast(top20.select("vec_id")), "vec_id", "left_semi"
+    )
+    return S.mmr_diversify(pool_corpus, qdf, k=5, pool=20, lam=0.7, dim=64)
+
+
 def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape complement of xpivot): lineitem
     measure columns to long ``(key, measure, value)`` rows via the
@@ -1486,6 +1515,7 @@ def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "xunpivot": q_xunpivot,
     "xmerge_intervals": q_xmerge_intervals,
+    "xpipeline_embed": q_xpipeline_embed,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xsample_weighted": q_xsample_weighted,
@@ -2030,6 +2060,120 @@ def _semantic_oracle(
     )
 
 
+def _pipeline_embed_oracle(
+    threshold: float = 0.4,
+    dim: int = 64,
+    num_bands: int = 8,
+    bits_per_band: int = 4,
+    id_max: int = 2000,
+    pool: int = 20,
+    rerank: int = 4,
+    k: int = 5,
+    lam: float = 0.7,
+) -> str:
+    """Four-stage embedding-pipeline oracle: SRP near-dup survivors →
+    survivor-corpus quantization codebook → asymmetric quantized search
+    with exact re-rank → unrolled greedy MMR. Every constant mirrors
+    the Spark pipeline (LCG planes, floor codes, 6dp rounding, id
+    tie-breaks)."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        _SRP_LCG_A,
+        _SRP_LCG_B,
+        _SRP_LCG_M,
+    )
+
+    def plane(p: int) -> str:
+        return (
+            f"list_transform(range(0, {dim}), i -> "
+            f"CAST((({_SRP_LCG_A}*({p}*{dim}+i)+{_SRP_LCG_B})%{_SRP_LCG_M})"
+            f"-{_SRP_LCG_M // 2} AS DOUBLE))"
+        )
+
+    band_keys = []
+    for j in range(num_bands):
+        bits = [
+            f"(CASE WHEN list_dot_product(emb_d, {plane(j * bits_per_band + r)})"
+            f" >= 0 THEN {1 << r} ELSE 0 END)"
+            for r in range(bits_per_band)
+        ]
+        band_keys.append(f"({j * (1 << bits_per_band)} + {' + '.join(bits)})")
+    cos = (
+        "round(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    parts = [
+        # stage 1: SRP-LSH near-dup pairs over the id-bounded corpus
+        # MATERIALIZED: DuckDB inlines CTEs per reference by default, and
+        # the banded/surv subtrees (32 list_transform plane dots per row)
+        # re-evaluated per downstream reference turn minutes-quadratic
+        "WITH e AS MATERIALIZED (SELECT vec_id, "
+        "CAST(embedding AS DOUBLE[]) AS emb_d "
+        f"FROM embeddings WHERE vec_id < {id_max}), "
+        f"banded AS MATERIALIZED (SELECT vec_id, "
+        f"unnest([{', '.join(band_keys)}]) AS bk "
+        "FROM e), "
+        "cand AS MATERIALIZED (SELECT DISTINCT x.vec_id AS id_a, "
+        "y.vec_id AS id_b "
+        "FROM banded x JOIN banded y ON x.bk = y.bk AND x.vec_id < y.vec_id), "
+        "dups AS MATERIALIZED (SELECT DISTINCT id_b FROM cand "
+        "JOIN e a ON cand.id_a = a.vec_id JOIN e b ON cand.id_b = b.vec_id "
+        "WHERE list_dot_product(a.emb_d, b.emb_d) / "
+        "(sqrt(list_dot_product(a.emb_d, a.emb_d)) * "
+        f"sqrt(list_dot_product(b.emb_d, b.emb_d))) >= {threshold}), "
+        "surv AS MATERIALIZED (SELECT vec_id, emb_d FROM e "
+        "WHERE vec_id NOT IN (SELECT id_b FROM dups)), "
+        # stage 2: per-dim codebook + dequantized survivor vectors
+        "x AS (SELECT vec_id, unnest(emb_d) AS val, "
+        "generate_subscripts(emb_d, 1) AS i FROM surv), "
+        "mm AS MATERIALIZED (SELECT i, min(val) AS mn, max(val) AS mx "
+        "FROM x GROUP BY i), "
+        "d AS (SELECT vec_id, list(CASE WHEN mx = mn THEN mn "
+        "ELSE mn + floor((val - mn) * (255.0 / (mx - mn)) + 0.5) "
+        "* ((mx - mn) / 255.0) END ORDER BY i) AS xh "
+        "FROM x JOIN mm USING (i) GROUP BY vec_id), "
+        # stage 3: asymmetric search + exact re-rank to the pool
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
+        "WHERE vec_id = 0), "
+        "approx AS (SELECT d.vec_id, "
+        + cos.format(a="d.xh", b="q.qv")
+        + " AS a FROM d CROSS JOIN q), "
+        f"cand2 AS (SELECT vec_id FROM approx ORDER BY a DESC, vec_id "
+        f"LIMIT {pool * rerank}), "
+        "pool AS MATERIALIZED (SELECT s.vec_id, s.emb_d AS v, "
+        + cos.format(a="s.emb_d", b="q.qv")
+        + " AS rel FROM surv s JOIN cand2 USING (vec_id) CROSS JOIN q "
+        f"ORDER BY rel DESC, vec_id LIMIT {pool}), "
+        # stage 4: greedy MMR over the pool (pool is MATERIALIZED too —
+        # it feeds sm twice and every greedy step)
+        "sm AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        + cos.format(a="a.v", b="b.v")
+        + " AS sab FROM pool a CROSS JOIN pool b), "
+        "p1 AS (SELECT vec_id, rel, rel AS mmr FROM pool "
+        "ORDER BY rel DESC, vec_id LIMIT 1), "
+        "sel1 AS (SELECT vec_id FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f", c{i} AS (SELECT p.vec_id, p.rel, "
+            f"{lam} * p.rel - {round(1.0 - lam, 10)} * max(sm.sab) AS mmr "
+            f"FROM pool p JOIN sm ON sm.ia = p.vec_id "
+            f"JOIN sel{i-1} ON sm.ib = sel{i-1}.vec_id "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i-1}) "
+            f"GROUP BY p.vec_id, p.rel), "
+            f"p{i} AS (SELECT vec_id, rel, mmr FROM c{i} "
+            f"ORDER BY mmr DESC, vec_id LIMIT 1), "
+            f"sel{i} AS (SELECT vec_id FROM sel{i-1} "
+            f"UNION ALL SELECT vec_id FROM p{i})"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, rel, "
+        f"round(mmr, 6) AS mmr FROM p{i}"
+        for i in range(1, k + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
 ORACLES = {
     "xdedup_minhash_sql": _minhash_sql_oracle(),
     "xdedup_simhash_sql": _simhash_sql_oracle(),
@@ -2537,6 +2681,7 @@ ORACLES = {
         "round(coalesce(e.ent, 0.0), 6) AS entropy "
         "FROM documents d LEFT JOIN e USING (doc_id)"
     ),
+    "xpipeline_embed": _pipeline_embed_oracle(),
     "xmerge_intervals": (
         "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
         "epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS e "
