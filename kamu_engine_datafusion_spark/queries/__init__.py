@@ -11,7 +11,14 @@ Determinism rules applied throughout (driver hash-matches values):
   summation-order float noise cannot flip the hash;
 - integer-typed outputs are cast to BIGINT on both sides (Spark's
   ``length``/``size``/``year`` return int32 where DuckDB returns int64);
-- window functions order by a unique key so ranks never tie.
+- window functions order by a unique key so ranks never tie;
+- a computed double whose true decimal value lands EXACTLY on a
+  rounding half must not go through the engines' ``round()`` builtins
+  (they disagree on such values even when the input doubles are
+  bit-identical — observed: 3.85225 → Spark 3.8522, DuckDB 3.8523);
+  use explicit half-up ``floor(x·10^d + 0.5)/10^d`` on both sides, or
+  pin the upstream statistics (``stat_precision``-style) so the score
+  never reaches a half.
 """
 
 from __future__ import annotations
