@@ -306,3 +306,86 @@ def standardize(
         F.col("__sd") > 0, (F.col(value_col) - F.col("__mu")) / F.col("__sd")
     )
     return joined.withColumn(f"{value_col}_z", z).drop("__mu", "__sd")
+
+
+def population_stability(
+    df_ref: DataFrame,
+    df_new: DataFrame,
+    value_col: str,
+    num_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Distribution-drift detection between two snapshots of the same
+    column: per-bin shares on a SHARED grid (bins fixed by the
+    REFERENCE snapshot's min/max — the monitoring convention, so drift
+    moves the new shares, never the ruler) plus the Population
+    Stability Index contribution
+    ``psi_i = (p_new − p_ref) · ln(p_new / p_ref)`` with add-``smoothing``
+    counts so empty bins stay finite. Σ psi < 0.1 is the classic
+    "stable" reading, > 0.25 "shifted".
+
+    Returns one row per bin: ``(bin, bin_lo, bin_hi, n_ref, n_new,
+    p_ref, p_new, psi)`` — sum ``psi`` downstream for the scalar index.
+    Out-of-range new values clamp into the edge bins (they ARE drift
+    and must count). Two scans + two grid-sized joins; everything else
+    is bin-cardinality arithmetic.
+    """
+    v = lambda d: F.col(value_col).cast("double")  # noqa: E731
+    bounds = df_ref.agg(
+        F.min(v(df_ref)).alias("__lo"), F.max(v(df_ref)).alias("__hi")
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(num_bins)
+
+    def binned(d: DataFrame, name: str) -> DataFrame:
+        return (
+            d.crossJoin(F.broadcast(bounds))
+            .withColumn(
+                "__bin",
+                F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                .otherwise(
+                    F.greatest(
+                        F.lit(0),
+                        F.least(
+                            F.lit(num_bins - 1),
+                            F.floor((v(d) - F.col("__lo")) / width),
+                        ),
+                    )
+                )
+                .cast("long"),
+            )
+            .groupBy("__bin")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    ref = binned(df_ref, "n_ref")
+    new = binned(df_new, "n_new")
+    grid = df_ref.sparkSession.range(num_bins).select(
+        F.col("id").cast("long").alias("__bin")
+    )
+    tot_ref = F.sum("n_ref").over(Window.partitionBy())
+    tot_new = F.sum("n_new").over(Window.partitionBy())
+    j = (
+        grid.join(ref, "__bin", "left")
+        .join(new, "__bin", "left")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+    )
+    p_ref = (F.col("n_ref") + smoothing) / (tot_ref + smoothing * num_bins)
+    p_new = (F.col("n_new") + smoothing) / (tot_new + smoothing * num_bins)
+    return (
+        j.withColumn("p_ref", p_ref)
+        .withColumn("p_new", p_new)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            F.col("__bin").alias("bin"),
+            (F.col("__lo") + F.col("__bin") * width).alias("bin_lo"),
+            (F.col("__lo") + (F.col("__bin") + 1) * width).alias("bin_hi"),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_new").cast("long").alias("n_new"),
+            "p_ref",
+            "p_new",
+            (
+                (F.col("p_new") - F.col("p_ref"))
+                * F.log(F.col("p_new") / F.col("p_ref"))
+            ).alias("psi"),
+        )
+    )

@@ -65,6 +65,7 @@ _PRIORITY = [
     "xunpivot",  # NEW: unpivot/melt reshape
     "xmerge_intervals",  # NEW: interval consolidation
     "xpipeline_embed",  # NEW: 4-stage embedding pipeline, full oracle
+    "xdrift_psi",  # NEW: PSI distribution-drift monitor
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

@@ -1492,6 +1492,30 @@ def q_xpipeline_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.mmr_diversify(pool_corpus, qdf, k=5, pool=20, lam=0.7, dim=64)
 
 
+def q_xdrift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between the purchase and error event-value
+    populations: per-bin PSI contributions on the reference-fixed grid
+    (``operators/profile.py::population_stability``)."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        population_stability,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ref = t["events"].filter(F.col("event_type") == "purchase")
+    new = t["events"].filter(F.col("event_type") == "error")
+    out = population_stability(ref, new, "value", num_bins=10)
+    return out.select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "n_ref",
+        "n_new",
+        F.round("p_ref", 9).alias("p_ref"),
+        F.round("p_new", 9).alias("p_new"),
+        F.round("psi", 9).alias("psi"),
+    )
+
+
 def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape complement of xpivot): lineitem
     measure columns to long ``(key, measure, value)`` rows via the
@@ -1516,6 +1540,7 @@ QUERIES = {
     "xunpivot": q_xunpivot,
     "xmerge_intervals": q_xmerge_intervals,
     "xpipeline_embed": q_xpipeline_embed,
+    "xdrift_psi": q_xdrift_psi,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xsample_weighted": q_xsample_weighted,
@@ -2682,6 +2707,37 @@ ORACLES = {
         "FROM documents d LEFT JOIN e USING (doc_id)"
     ),
     "xpipeline_embed": _pipeline_embed_oracle(),
+    "xdrift_psi": (
+        "WITH ref AS (SELECT value FROM events WHERE event_type = "
+        "'purchase'), "
+        "nw AS (SELECT value FROM events WHERE event_type = 'error'), "
+        "b AS (SELECT CAST(min(value) AS DOUBLE) AS lo, "
+        "CAST(max(value) AS DOUBLE) AS hi FROM ref), "
+        "rb AS (SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE "
+        "greatest(0, least(9, floor((value - lo) / ((hi - lo) / 10)))) END "
+        "AS BIGINT) AS bin, count(*) AS n_ref "
+        "FROM ref CROSS JOIN b GROUP BY 1), "
+        "nb AS (SELECT CAST(CASE WHEN hi = lo THEN 0 ELSE "
+        "greatest(0, least(9, floor((value - lo) / ((hi - lo) / 10)))) END "
+        "AS BIGINT) AS bin, count(*) AS n_new "
+        "FROM nw CROSS JOIN b GROUP BY 1), "
+        "g AS (SELECT i AS bin FROM range(0, 10) r(i)), "
+        "j AS (SELECT g.bin, coalesce(rb.n_ref, 0) AS n_ref, "
+        "coalesce(nb.n_new, 0) AS n_new FROM g "
+        "LEFT JOIN rb ON g.bin = rb.bin LEFT JOIN nb ON g.bin = nb.bin), "
+        "t AS (SELECT sum(n_ref) AS tr, sum(n_new) AS tn FROM j), "
+        "p AS (SELECT j.bin, j.n_ref, j.n_new, "
+        "(j.n_ref + 0.5) / (t.tr + 0.5 * 10) AS p_ref, "
+        "(j.n_new + 0.5) / (t.tn + 0.5 * 10) AS p_new "
+        "FROM j CROSS JOIN t) "
+        "SELECT p.bin, round(b.lo + p.bin * ((b.hi - b.lo) / 10), 6) "
+        "AS bin_lo, "
+        "round(b.lo + (p.bin + 1) * ((b.hi - b.lo) / 10), 6) AS bin_hi, "
+        "CAST(n_ref AS BIGINT) AS n_ref, CAST(n_new AS BIGINT) AS n_new, "
+        "round(p_ref, 9) AS p_ref, round(p_new, 9) AS p_new, "
+        "round((p_new - p_ref) * ln(p_new / p_ref), 9) AS psi "
+        "FROM p CROSS JOIN b"
+    ),
     "xmerge_intervals": (
         "WITH iv AS (SELECT user_id, epoch_us(ts) AS s, "
         "epoch_us(ts) + CAST(round(value * 60, 0) AS BIGINT) * 1000000 AS e "

@@ -74,3 +74,24 @@ def test_histogram_plan_no_window_no_shuffle_explosion(spark):
         .toString()
     )
     assert "Window" not in plan
+
+
+def test_population_stability_identical_and_shifted(spark):
+    from kamu_engine_datafusion_spark.operators.profile import (
+        population_stability,
+    )
+
+    ref = spark.createDataFrame([(float(i % 100),) for i in range(1000)], "v double")
+    same = population_stability(ref, ref, "v", num_bins=10).collect()
+    assert abs(sum(r["psi"] for r in same)) < 1e-12  # identical -> PSI 0
+    # shifted population: all mass moves right, incl. out-of-range values
+    shifted = spark.createDataFrame(
+        [(float(i % 100) + 80.0,) for i in range(1000)], "v double"
+    )
+    drift = population_stability(ref, shifted, "v", num_bins=10).collect()
+    total = sum(r["psi"] for r in drift)
+    assert total > 0.25  # classic "shifted" reading
+    # out-of-range new values clamp into the TOP bin, not vanish
+    assert sum(r["n_new"] for r in drift) == 1000
+    top = [r for r in drift if r["bin"] == 9][0]
+    assert top["n_new"] > top["n_ref"]
