@@ -552,3 +552,100 @@ def bigram_lm_score(
         F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
         "avg_logprob",
     )
+
+
+#: Symbol sentinel for the BPE trainer: every symbol in a word's
+#: working representation is prefixed with this char, so a pair pattern
+#: "␟A ␟B" can never match inside a longer symbol and plain (non-regex)
+#: left-to-right replace() implements the BPE merge exactly.
+_BPE_SENT = chr(31)
+
+
+def bpe_merges(
+    df,
+    text_col: str = "text",
+    num_merges: int = 8,
+):
+    """Byte-pair-encoding merge training on the corpus — the classic
+    subword-tokenizer learner (Sennrich et al.), distributed the way
+    real BPE trainers work: the state is the DISTINCT-WORD frequency
+    table (vocabulary-sized, not corpus-sized), each round counts
+    adjacent symbol pairs weighted by word frequency, merges the most
+    frequent pair (ties: lexicographically smallest), and rewrites the
+    word table with plain left-to-right ``replace`` — the sentinel
+    prefix on every symbol makes the pair pattern unambiguous without
+    regex, so Spark and SQL engines apply the identical merge.
+
+    Returns ``(rank, merge_left, merge_right, n)`` — the learned merge
+    list with pair frequencies at selection time (sentinels stripped).
+
+    Scale: one corpus pass builds the word-count state; each round is
+    one partial-aggregated pair count over the VOCABULARY (plus a
+    1-row argmax collect — the sanctioned tiny driver round-trip that
+    sequential merge selection fundamentally needs) and an in-row
+    rewrite. State is persisted per round and released round+1.
+    """
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("__w"))
+        .filter(F.col("__w") != "")
+        .groupBy("__w")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .select(
+            F.array_join(
+                F.transform(
+                    F.split("__w", ""),
+                    lambda c: F.concat(F.lit(_BPE_SENT), c),
+                ),
+                " ",
+            ).alias("__sym"),
+            "__n",
+        )
+    )
+    spark = df.sparkSession
+    state = words.persist()
+    state.count()
+    merges = []
+    handles = [state]
+    n_sym = F.size(F.split(F.col("__sym"), " "))
+    try:
+        for rank in range(1, num_merges + 1):
+            syms = F.split("__sym", " ")
+            pairs = state.filter(n_sym >= 2).select(
+                "__n",
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1),
+                        F.slice(syms, 2, F.size(syms) - 1),
+                    )
+                ).alias("__p"),
+            ).select(
+                F.col("__p").getField("0").alias("l"),
+                F.col("__p").getField("1").alias("r"),
+                "__n",
+            )
+            top = (
+                pairs.groupBy("l", "r")
+                .agg(F.sum("__n").alias("n"))
+                .orderBy(F.col("n").desc(), "l", "r")
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
+            merges.append((rank, l[1:], r[1:], n))
+            new_state = state.withColumn(
+                "__sym", F.replace("__sym", F.lit(f"{l} {r}"), F.lit(l + r[1:]))
+            ).persist()
+            new_state.count()
+            handles.append(new_state)
+            state = new_state
+    finally:
+        for h in handles:
+            try:
+                h.unpersist()
+            except Exception:
+                pass
+    return spark.createDataFrame(
+        merges, "rank long, merge_left string, merge_right string, n long"
+    )

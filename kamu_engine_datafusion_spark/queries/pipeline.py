@@ -1516,6 +1516,16 @@ def q_xdrift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xbpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge training (8 merges) on the document corpus — the
+    subword-tokenizer learner; the oracle unrolls the same rounds over
+    the word-frequency state (``operators/text.py::bpe_merges``)."""
+    from kamu_engine_datafusion_spark.operators.text import bpe_merges
+
+    t = load(spark, sf_dir, "documents")
+    return bpe_merges(t["documents"], num_merges=8)
+
+
 def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape complement of xpivot): lineitem
     measure columns to long ``(key, measure, value)`` rows via the
@@ -1541,6 +1551,7 @@ QUERIES = {
     "xmerge_intervals": q_xmerge_intervals,
     "xpipeline_embed": q_xpipeline_embed,
     "xdrift_psi": q_xdrift_psi,
+    "xbpe": q_xbpe,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xsample_weighted": q_xsample_weighted,
@@ -2083,6 +2094,41 @@ def _semantic_oracle(
         "SELECT label, count(*) AS n_vecs FROM e "
         "WHERE vec_id NOT IN (SELECT dup FROM dups) GROUP BY label"
     )
+
+
+def _bpe_oracle(num_merges: int = 8) -> str:
+    """Unrolled BPE-round oracle: word-count state with sentinel-
+    prefixed symbols, one (pair-count → argmax → replace) CTE triple
+    per round — plain string replace, no regex, so both engines apply
+    the identical left-to-right merge. All round CTEs MATERIALIZED
+    (multi-referenced; DuckDB would re-inline the whole prior chain)."""
+    parts = [
+        "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), "
+        "'\\s+')) AS w FROM documents), "
+        "wc AS (SELECT w, count(*) AS n FROM tok WHERE w != '' GROUP BY w), "
+        "w1 AS MATERIALIZED (SELECT array_to_string("
+        "list_transform(string_split(w, ''), c -> chr(31) || c), ' ') "
+        "AS sym, n FROM wc)"
+    ]
+    for r in range(1, num_merges + 1):
+        parts.append(
+            f", p{r} AS MATERIALIZED (SELECT z[1] AS l, z[2] AS r2, "
+            f"sum(n) AS cnt FROM (SELECT n, "
+            f"unnest(list_zip(s[:len(s)-1], s[2:])) AS z FROM "
+            f"(SELECT string_split(sym, ' ') AS s, n FROM w{r}) "
+            f"WHERE len(s) >= 2) GROUP BY 1, 2), "
+            f"m{r} AS MATERIALIZED (SELECT l, r2, cnt FROM p{r} "
+            f"ORDER BY cnt DESC, l, r2 LIMIT 1), "
+            f"w{r+1} AS MATERIALIZED (SELECT replace(sym, "
+            f"m.l || ' ' || m.r2, m.l || substr(m.r2, 2)) AS sym, n "
+            f"FROM w{r} CROSS JOIN m{r} m)"
+        )
+    selects = [
+        f"SELECT CAST({r} AS BIGINT) AS rank, substr(l, 2) AS merge_left, "
+        f"substr(r2, 2) AS merge_right, CAST(cnt AS BIGINT) AS n FROM m{r}"
+        for r in range(1, num_merges + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
 def _pipeline_embed_oracle(
@@ -2707,6 +2753,7 @@ ORACLES = {
         "FROM documents d LEFT JOIN e USING (doc_id)"
     ),
     "xpipeline_embed": _pipeline_embed_oracle(),
+    "xbpe": _bpe_oracle(num_merges=8),
     "xdrift_psi": (
         "WITH ref AS (SELECT value FROM events WHERE event_type = "
         "'purchase'), "

@@ -94,3 +94,30 @@ def test_skipgram_pairs_window2_brute_force(spark):
         for d in (1, 2):
             expect += [(ts[i], ts[i + d]) for i in range(len(ts) - d)]
     assert got == sorted(expect)
+
+
+def test_bpe_merges_learns_chained_subwords(spark):
+    from kamu_engine_datafusion_spark.operators.text import bpe_merges
+
+    # "low lower lowest" x weights: 'l o' dominates, then chains
+    corpus = ["low low low lower lowest", "low lower", "newest newest"]
+    df = spark.createDataFrame([(t,) for t in corpus], "text string")
+    out = [tuple(r) for r in bpe_merges(df, num_merges=4).collect()]
+    # merge 1: (l, o) appears in every low* word = 7 occurrences
+    assert out[0][1:3] == ("l", "o") and out[0][3] == 7
+    # merge 2 chains onto the merged symbol: (lo, w) — same 7 words
+    assert out[1][1:3] == ("lo", "w") and out[1][3] == 7
+    # later merges build on 'est'/'new' material, counts monotone non-up
+    ns = [r[3] for r in out]
+    assert ns == sorted(ns, reverse=True) or len(set(ns)) > 1
+
+
+def test_bpe_greedy_left_to_right_on_runs(spark):
+    from kamu_engine_datafusion_spark.operators.text import bpe_merges
+
+    # "aaa": after merging (a,a) left-to-right it becomes "aa a",
+    # so the second round sees (aa, a) — not (a, aa)
+    df = spark.createDataFrame([("aaa aaa aaa",)], "text string")
+    out = [tuple(r) for r in bpe_merges(df, num_merges=2).collect()]
+    assert out[0][1:3] == ("a", "a")
+    assert out[1][1:3] == ("aa", "a")
