@@ -649,3 +649,40 @@ def bpe_merges(
     return spark.createDataFrame(
         merges, "rank long, merge_left string, merge_right string, n long"
     )
+
+
+def bpe_encode_subword_counts(
+    df,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+):
+    """Apply a learned BPE merge list (in rank order) to the corpus and
+    return subword frequencies ``(subword, n)`` — the inference side of
+    :func:`bpe_merges` (and the quickest fertility/compression check:
+    Σn is the encoded token count).
+
+    Pure codegen pipeline: explode words → sentinel-symbol form → one
+    chained plain ``replace`` per merge (same unambiguous-pattern trick
+    as training — no regex, no UDFs) → split → explode → count. The
+    merge chain is ``len(merges)`` nested string ops per word —
+    constant per row, zero shuffles until the final count.
+    """
+    word = F.explode(tokens(text_col)).alias("__w")
+    rep = F.array_join(
+        F.transform(
+            F.split(F.col("__w"), ""),
+            lambda c: F.concat(F.lit(_BPE_SENT), c),
+        ),
+        " ",
+    )
+    for left, right in merges:
+        l, r = _BPE_SENT + left, _BPE_SENT + right
+        rep = F.replace(rep, F.lit(f"{l} {r}"), F.lit(l + right))
+    return (
+        df.select(word)
+        .filter(F.col("__w") != "")
+        .select(F.explode(F.split(rep, " ")).alias("__s"))
+        .select(F.substring("__s", 2, 1_000_000).alias("subword"))
+        .groupBy("subword")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

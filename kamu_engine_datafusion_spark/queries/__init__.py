@@ -67,6 +67,7 @@ _PRIORITY = [
     "xpipeline_embed",  # NEW: 4-stage embedding pipeline, full oracle
     "xdrift_psi",  # NEW: PSI distribution-drift monitor
     "xbpe",  # NEW: BPE merge training (subword tokenizer learner)
+    "xbpe_encode",  # NEW: BPE inference (train→apply round-trip)
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

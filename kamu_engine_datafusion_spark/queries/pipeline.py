@@ -1526,6 +1526,24 @@ def q_xbpe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_merges(t["documents"], num_merges=8)
 
 
+def q_xbpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE inference: train 8 merges, then encode the corpus with them
+    and emit the top-30 subword frequencies — the train→apply tokenizer
+    round-trip (``operators/text.py::bpe_encode_subword_counts``)."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        bpe_encode_subword_counts,
+        bpe_merges,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    learned = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_merges(t["documents"], num_merges=8).collect()
+    ]
+    out = bpe_encode_subword_counts(t["documents"], learned)
+    return out.orderBy(F.col("n").desc(), "subword").limit(30)
+
+
 def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape complement of xpivot): lineitem
     measure columns to long ``(key, measure, value)`` rows via the
@@ -1552,6 +1570,7 @@ QUERIES = {
     "xpipeline_embed": q_xpipeline_embed,
     "xdrift_psi": q_xdrift_psi,
     "xbpe": q_xbpe,
+    "xbpe_encode": q_xbpe_encode,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xsample_weighted": q_xsample_weighted,
@@ -2129,6 +2148,22 @@ def _bpe_oracle(num_merges: int = 8) -> str:
         for r in range(1, num_merges + 1)
     ]
     return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+def _bpe_encode_oracle(num_merges: int = 8, top_k: int = 30) -> str:
+    """Train-then-encode oracle: reuse the unrolled training rounds,
+    then the final state w{k+1} IS the encoded corpus (the training
+    rewrite applies each merge corpus-wide in rank order — identical to
+    encoding from scratch with the learned list)."""
+    train = _bpe_oracle(num_merges)
+    with_part = train[: train.rindex(" SELECT CAST(1 AS BIGINT)")]
+    return with_part + (
+        f" SELECT subword, n FROM ("
+        f"SELECT substr(s, 2) AS subword, CAST(sum(cnt) AS BIGINT) AS n "
+        f"FROM (SELECT unnest(string_split(sym, ' ')) AS s, n AS cnt "
+        f"FROM w{num_merges + 1}) GROUP BY 1) "
+        f"ORDER BY n DESC, subword LIMIT {top_k}"
+    )
 
 
 def _pipeline_embed_oracle(
@@ -2754,6 +2789,7 @@ ORACLES = {
     ),
     "xpipeline_embed": _pipeline_embed_oracle(),
     "xbpe": _bpe_oracle(num_merges=8),
+    "xbpe_encode": _bpe_encode_oracle(num_merges=8, top_k=30),
     "xdrift_psi": (
         "WITH ref AS (SELECT value FROM events WHERE event_type = "
         "'purchase'), "

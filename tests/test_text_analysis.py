@@ -121,3 +121,29 @@ def test_bpe_greedy_left_to_right_on_runs(spark):
     out = [tuple(r) for r in bpe_merges(df, num_merges=2).collect()]
     assert out[0][1:3] == ("a", "a")
     assert out[1][1:3] == ("aa", "a")
+
+
+def test_bpe_encode_compression_monotone(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        bpe_encode_subword_counts,
+        bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [("low low lower lowest",), ("newest new news",)], "text string"
+    )
+    merges = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_merges(df, num_merges=3).collect()
+    ]
+    n_chars = sum(
+        r["n"] for r in bpe_encode_subword_counts(df, []).collect()
+    )
+    totals = []
+    for k in range(len(merges) + 1):
+        enc = bpe_encode_subword_counts(df, merges[:k]).collect()
+        totals.append(sum(r["n"] for r in enc))
+    # zero merges = raw character count; each merge only shrinks totals
+    assert totals[0] == n_chars
+    assert all(a >= b for a, b in zip(totals, totals[1:]))
+    assert totals[-1] < totals[0]
