@@ -137,7 +137,9 @@ def histogram_equi_width(
 
     Scale: two scans (bounds, then counts), one exchange each; the
     densify join is grid-sized (groups × bins), independent of input.
-    Degenerate case min = max: everything in bin 0.
+    Degenerate case min = max: everything in bin 0. Null values carry
+    no bin and are excluded — run a not-null expectation
+    (``quality.dq_report``) first if null-rate matters.
     """
     group_cols = group_cols or []
     v = F.col(value_col).cast("double")
