@@ -112,17 +112,17 @@ _PRIORITY = [
     "a14_system_columns",
     "b04_parquet_sink",
     "b17_count_distinct",
-    # ---- window boundary (~50). Composition: 8 brand-new round-5
-    # keys, 9 dedup-family keys re-verifying the round-5 collect-cap
-    # change, 29 round-4 keys the driver's r04 snapshot predated, and 4
-    # of the oldest-green keys. The driver snapshots the repo near the
-    # round cutoff, so this rotation is committed EARLY in round 5.
-    # Everything below the boundary was driver-green in r04 (the b05-b39
-    # block) or r03 (the block right below), and the whole registry
-    # passes the local check_correctness sweep at sf0.001 + sf0.01 this
-    # session (124 pass / 0 fail — self-reported; the driver hash stays
-    # the authoritative signal). The r03-green block rotates to the
-    # round-6 head next. ----
+    # ---- window boundary (~50). Final round-5 composition: 25
+    # brand-new round-5 keys, 7 dedup-family keys re-verifying the
+    # collect-cap/arrow-backend changes, and 18 round-4 keys the
+    # driver's r04 snapshot predated. 13 more round-4 keys sit just
+    # below the cut (xsample_stratified … xsnapshot + the old fillers)
+    # and rotate to the round-6 head together with the r03-green block.
+    # Everything below the boundary was driver-green in r04 (the
+    # b05-b39 block) or r03, and the WHOLE registry passes the local
+    # check_correctness sweep at sf0.001 + sf0.01 + sf0.1 this session
+    # (137+ pass / 0 fail — self-reported; the driver hash stays the
+    # authoritative signal). ----
     "xdedup_minhash",  # rows-only twin: weak signal, hash twin inside
     "xdedup_simhash",  # rows-only twin: weak signal, hash twin inside
     "b23_ranking",

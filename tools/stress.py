@@ -41,6 +41,15 @@ def build(data_dir: str, base_sf_dir: str = "/root/testdata/sf0.1") -> None:
         ) TO '{data_dir}/embeddings.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
         """
     )
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + 10000000*r AS event_id, ts,
+                 user_id + 100000*r AS user_id, event_type, value, props
+          FROM '{base_sf_dir}/events.parquet', range(0, 10) t(r)
+        ) TO '{data_dir}/events.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
+        """
+    )
     print(f"built {data_dir} (10x {base_sf_dir})")
 
 
@@ -66,6 +75,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     docs = load(spark, args.data_dir, "documents")["documents"]
     emb = load(spark, args.data_dir, "embeddings")["embeddings"]
+    if not os.path.exists(f"{args.data_dir}/events.parquet"):
+        build(args.data_dir)
+    events = load(spark, args.data_dir, "events")["events"]
 
     def t(name, fn, reps=2):
         best = None
@@ -166,6 +178,61 @@ def main() -> None:
         lambda: connected_components(path_edges, strict=True).count(),
         reps=1,
     )
+
+    # round-5 operator families at 10x (6M events / 50k docs)
+    from kamu_engine_datafusion_spark.operators.changelog import changelog_agg
+    from kamu_engine_datafusion_spark.operators.funnel import event_transitions
+    from kamu_engine_datafusion_spark.operators.partitioning import (
+        key_skew_profile,
+    )
+    from kamu_engine_datafusion_spark.operators.profile import (
+        histogram_equi_width,
+        population_stability,
+        robust_outliers,
+        winsorize,
+    )
+    from kamu_engine_datafusion_spark.operators.rangejoin import merge_intervals
+    from kamu_engine_datafusion_spark.operators.snapshot import rolling_time_agg
+    from kamu_engine_datafusion_spark.operators.text import (
+        bpe_merges,
+        char_entropy,
+        collocations,
+    )
+
+    ledger = events.select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 4).cast("int").alias("op"),
+        "event_type",
+        "value",
+    )
+    t("changelog_agg_6M", lambda: changelog_agg(
+        ledger, ["event_type"], {"vs": "value"}).count())
+    t("robust_outliers_6M", lambda: robust_outliers(
+        events, "value", ["event_type"]).count())
+    t("histogram_6M", lambda: histogram_equi_width(
+        events, "value", 20, ["event_type"]).count())
+    t("winsorize_6M", lambda: winsorize(
+        events, "value", ["event_type"]).count())
+    t("psi_drift_6M", lambda: population_stability(
+        events.filter(F.col("event_type") == "view"),
+        events.filter(F.col("event_type") == "click"),
+        "value").count())
+    t("rolling_time_6M", lambda: rolling_time_agg(
+        events, "ts", "value", 3600, ["user_id"]).count())
+    t("transitions_6M", lambda: event_transitions(events).count())
+    iv = events.select(
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + (F.round(F.col("value") * 60, 0)).cast("long") * 1000000).alias("e"),
+    )
+    t("merge_intervals_6M", lambda: merge_intervals(
+        iv, "s", "e", ["user_id"]).count())
+    t("key_skew_6M", lambda: key_skew_profile(events, ["user_id"]).count())
+    t("char_entropy_50k", lambda: char_entropy(docs).count())
+    t("collocations_50k", lambda: collocations(
+        docs, min_count=50, top_k=100).count())
+    t("bpe_merges_50k", lambda: bpe_merges(docs, num_merges=8).count(), reps=1)
 
 
 if __name__ == "__main__":
