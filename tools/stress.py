@@ -205,30 +205,34 @@ def main() -> None:
         "event_type",
         "value",
     )
-    t("changelog_agg_6M", lambda: changelog_agg(
+    t("changelog_agg_1M", lambda: changelog_agg(
         ledger, ["event_type"], {"vs": "value"}).count())
-    t("robust_outliers_6M", lambda: robust_outliers(
+    t("robust_outliers_1M", lambda: robust_outliers(
         events, "value", ["event_type"]).count())
-    t("histogram_6M", lambda: histogram_equi_width(
+    t("histogram_1M", lambda: histogram_equi_width(
         events, "value", 20, ["event_type"]).count())
-    t("winsorize_6M", lambda: winsorize(
-        events, "value", ["event_type"]).count())
-    t("psi_drift_6M", lambda: population_stability(
+    # noop-write, not count(): count() lets Catalyst prune the computed
+    # clip/rolling columns, silently skipping the work being measured
+    t("winsorize_1M", lambda: winsorize(
+        events, "value", ["event_type"])
+        .write.format("noop").mode("overwrite").save())
+    t("psi_drift_1M", lambda: population_stability(
         events.filter(F.col("event_type") == "view"),
         events.filter(F.col("event_type") == "click"),
         "value").count())
-    t("rolling_time_6M", lambda: rolling_time_agg(
-        events, "ts", "value", 3600, ["user_id"]).count())
-    t("transitions_6M", lambda: event_transitions(events).count())
+    t("rolling_time_1M", lambda: rolling_time_agg(
+        events, "ts", "value", 3600, ["user_id"])
+        .write.format("noop").mode("overwrite").save())
+    t("transitions_1M", lambda: event_transitions(events).count())
     iv = events.select(
         "user_id",
         F.unix_micros(F.col("ts").cast("timestamp")).alias("s"),
         (F.unix_micros(F.col("ts").cast("timestamp"))
          + (F.round(F.col("value") * 60, 0)).cast("long") * 1000000).alias("e"),
     )
-    t("merge_intervals_6M", lambda: merge_intervals(
+    t("merge_intervals_1M", lambda: merge_intervals(
         iv, "s", "e", ["user_id"]).count())
-    t("key_skew_6M", lambda: key_skew_profile(events, ["user_id"]).count())
+    t("key_skew_1M", lambda: key_skew_profile(events, ["user_id"]).count())
     t("char_entropy_50k", lambda: char_entropy(docs).count())
     t("collocations_50k", lambda: collocations(
         docs, min_count=50, top_k=100).count())
