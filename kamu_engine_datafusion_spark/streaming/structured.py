@@ -327,6 +327,29 @@ def streaming_dedup_against_index(
     )
 
 
+#: Marker file carrying the last-folded micro-batch id INSIDE the
+#: state directory (underscore prefix → invisible to parquet readers),
+#: so it swaps atomically with the state it describes.
+_BATCH_MARKER = "_folded_batch_id"
+
+
+def _write_batch_marker(state_dir: str, batch_id: int) -> None:
+    import os
+
+    with open(os.path.join(state_dir, _BATCH_MARKER), "w") as f:
+        f.write(str(batch_id))
+
+
+def _last_folded_batch(state_dir: str) -> int:
+    import os
+
+    try:
+        with open(os.path.join(state_dir, _BATCH_MARKER)) as f:
+            return int(f.read().strip())
+    except Exception:
+        return -1
+
+
 def maintained_view(
     ledger_dir: str,
     state_dir: str,
@@ -348,10 +371,13 @@ def maintained_view(
     foreachBatch rather than Spark's own streaming aggregation because
     changelog semantics need the signed-weight reduction (a Retract row
     must SUBTRACT) — Spark's built-in stateful agg would count it as a
-    plain row. Restart safety: the merged state is written to a temp
-    subdir first, then moved over the live state atomically-enough for
-    a single writer; a replayed batch re-merges its increment, so pair
-    with the ledger sink's batch-id markers when exactly-once matters.
+    plain row. Restart safety: EXACTLY-ONCE under crash-replay — the
+    folded batch id travels INSIDE the atomically-swapped state dir
+    (an underscore-prefixed marker file Spark's parquet reader
+    ignores), so a batch replayed after a crash between the state swap
+    and the checkpoint commit is detected and skipped; a crash before
+    the swap leaves the old state + old marker, and the replay folds
+    normally. Single-writer discipline assumed, like the ledger sink.
     """
     from kamu_engine_datafusion_spark.operators.changelog import (
         changelog_agg,
@@ -369,6 +395,8 @@ def maintained_view(
     import shutil
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _last_folded_batch(state_dir) >= batch_id:
+            return  # crash-replayed batch: already folded into state
         inc = changelog_agg(
             batch_df, group_cols, sum_cols, keep_dead_groups=True
         )
@@ -380,6 +408,7 @@ def maintained_view(
             merged = inc.filter(F.col("n_live") != 0)
         tmp = state_dir + ".next"
         merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+        _write_batch_marker(tmp, batch_id)
         old = state_dir + ".old"
         if os.path.isdir(state_dir):
             shutil.rmtree(old, ignore_errors=True)
@@ -438,6 +467,8 @@ def maintained_snapshot(
     from pyspark.sql import Window
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if _last_folded_batch(state_dir) >= batch_id:
+            return  # crash-replayed batch: already folded into state
         sess = batch_df.sparkSession
         merged = batch_df
         if os.path.isdir(state_dir):
@@ -450,6 +481,7 @@ def maintained_snapshot(
         )
         tmp = state_dir + ".next"
         latest.write.mode("overwrite").parquet(tmp)
+        _write_batch_marker(tmp, batch_id)
         old = state_dir + ".old"
         if os.path.isdir(state_dir):
             shutil.rmtree(old, ignore_errors=True)

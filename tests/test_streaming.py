@@ -474,3 +474,46 @@ def test_maintained_snapshot_equals_batch_snapshot(spark, tmp_path):
     # tombstone retained: key b present in state, dead
     state_b = spark.read.parquet(state_dir).filter(F.col("k") == "b").collect()
     assert len(state_b) == 1 and state_b[0]["op"] == 1
+
+
+def test_maintained_view_replayed_batch_is_skipped(spark, tmp_path):
+    """Crash-replay safety: re-delivering an already-folded batch id
+    must not double-merge (the marker swapped in with the state detects
+    it); a crash BEFORE the swap leaves old state + old marker and the
+    replay folds normally."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _last_folded_batch,
+        maintained_view,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "rledger")
+    state_dir = os.path.join(str(tmp_path), "rstate")
+    ck = os.path.join(str(tmp_path), "rck")
+    os.makedirs(ledger_dir)
+    schema = "offset long, op int, k string, value double"
+    rows = [(0, 0, "a", 1.0), (1, 0, "a", 2.0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ledger_dir)
+    sch = spark.read.parquet(ledger_dir).schema
+    q = maintained_view(
+        ledger_dir, state_dir, ck, ["k"], {"vs": "value"}, schema=sch,
+        spark=spark,
+    )
+    q.awaitTermination()
+    before = [tuple(r) for r in spark.read.parquet(state_dir).collect()]
+    folded = _last_folded_batch(state_dir)
+    assert folded >= 0
+
+    # simulate a replay of the SAME batch id (checkpoint lost after the
+    # state swap): wipe the checkpoint so batch 0 re-delivers
+    import shutil
+
+    shutil.rmtree(ck)
+    q2 = maintained_view(
+        ledger_dir, state_dir, ck, ["k"], {"vs": "value"}, schema=sch,
+        spark=spark,
+    )
+    q2.awaitTermination()
+    after = [tuple(r) for r in spark.read.parquet(state_dir).collect()]
+    assert after == before  # no double-merge: a(2, 3.0) not a(4, 6.0)
