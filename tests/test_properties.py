@@ -338,3 +338,77 @@ def test_changelog_merge_any_split_equals_full(spark, ops, cut):
         map(tuple, merge_changelog_aggs(mk(lo), mk(hi), ["k"]).collect())
     )
     assert merged == full
+
+
+@_slow
+@given(
+    words=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=6),
+        min_size=2,
+        max_size=10,
+    ),
+    d=st.integers(1, 2),
+)
+def test_fuzzy_pairs_full_recall_any_corpus(spark, words, d):
+    """Deletion-neighborhood blocking finds EVERY pair within edit
+    distance d on arbitrary corpora (small alphabet maximizes
+    collisions and near-misses)."""
+    from kamu_engine_datafusion_spark.operators.linkage import (
+        fuzzy_string_pairs,
+    )
+
+    rows = list(enumerate(words))
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in fuzzy_string_pairs(df, "s", "id", d).collect()
+    }
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(
+                    min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+                )
+            prev = cur
+        return prev[-1]
+
+    expect = {
+        (i, j)
+        for (i, a) in rows
+        for (j, b) in rows
+        if i < j and lev(a, b) <= d
+    }
+    assert got == expect
+
+
+@_slow
+@given(
+    spans=st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 10)),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_merge_intervals_equals_sweep_line(spark, spans):
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        merge_intervals,
+    )
+
+    rows = [("k", s, s + w) for s, w in spans]
+    df = spark.createDataFrame(rows, "k string, s long, e long")
+    got = sorted(
+        (r["s"], r["e"], r["n_merged"])
+        for r in merge_intervals(df, "s", "e", ["k"]).collect()
+    )
+    ivs = sorted((s, e) for _, s, e in rows)
+    merged = []
+    for s, e in ivs:
+        if merged and s <= merged[-1][1]:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += 1
+        else:
+            merged.append([s, e, 1])
+    assert got == [tuple(m) for m in merged]
