@@ -29,12 +29,21 @@ from kamu_engine_datafusion_spark.plans.types import (
 )
 
 
-def read_parquet_ledger(spark: SparkSession, paths: list[str]) -> DataFrame:
+def read_parquet_ledger(
+    spark: SparkSession, paths: list[str], merge_schema: bool = False
+) -> DataFrame:
     """A1: read N ledger part-files as one table, schema inferred.
 
     Reference: ``src/engine.rs:231-248`` (``ParquetReadOptions`` with no
-    extension filter and no declared schema).
+    extension filter and no declared schema). The reference leaves
+    schema evolution as an explicit TODO (``src/engine.rs:235``) and
+    takes the first file's footer; beyond parity, ``merge_schema=True``
+    unions the footers of ALL part files (a ledger whose later ticks
+    added columns reads as the superset schema, early rows null-filled)
+    — Spark's native parquet schema merging, one extra footer pass.
     """
+    if merge_schema:
+        return spark.read.option("mergeSchema", "true").parquet(*paths)
     return spark.read.parquet(*paths)
 
 

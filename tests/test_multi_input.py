@@ -130,3 +130,30 @@ def test_one_input_live_one_schema_only(spark, tmp_path):
     # goals is empty this tick -> every city is "unmatched"
     assert d["city"] == ["kyiv", "seattle", "vancouver"]
     assert resp.new_offset_interval == OffsetInterval(0, 2)
+
+
+def test_ledger_schema_evolution_merge(spark, tmp_path):
+    """Beyond parity (the reference's engine.rs:235 TODO): a ledger
+    whose later part files added a column reads as the superset schema
+    with merge_schema=True, early rows null-filled; the default read
+    keeps the reference's first-footer behavior."""
+    import os
+
+    from kamu_engine_datafusion_spark.sources.ledger import (
+        read_parquet_ledger,
+    )
+
+    d = str(tmp_path / "evo")
+    os.makedirs(d)
+    spark.createDataFrame(
+        [(0, "a")], "offset long, city string"
+    ).coalesce(1).write.parquet(d + "/p1.parquet")
+    spark.createDataFrame(
+        [(1, "b", 7)], "offset long, city string, population int"
+    ).coalesce(1).write.parquet(d + "/p2.parquet")
+    paths = [d + "/p1.parquet", d + "/p2.parquet"]
+
+    merged = read_parquet_ledger(spark, paths, merge_schema=True)
+    assert set(merged.columns) == {"offset", "city", "population"}
+    rows = {r["offset"]: r for r in merged.collect()}
+    assert rows[0]["population"] is None and rows[1]["population"] == 7
