@@ -260,25 +260,46 @@ def quantile_bins(
     value_col: str,
     num_bins: int = 10,
     tiebreak_col: str | None = None,
+    exact_depth: bool = True,
 ) -> DataFrame:
     """Equi-depth (quantile) binning: append ``<value_col>_bin`` ∈
-    [1, num_bins] with ~equal row counts per bin — ``ntile`` over the
-    value ordering, ties broken by ``tiebreak_col`` so the assignment
-    is deterministic and engine-portable (without a tie-break, equal
-    values straddling a bin boundary land arbitrarily).
+    [1, num_bins].
 
-    Scale note: ntile is a GLOBAL ordering — one range-partitioned
-    sort. For very large tables prefer bucketing by percentile cuts
-    (two scans, no global sort):
-    ``winsorize``-style cut computation + a join, trading exact equal
-    depth for near-equal.
+    ``exact_depth=True``: ``ntile`` over the value ordering (ties
+    broken by ``tiebreak_col`` so the assignment is deterministic and
+    engine-portable) — EXACTLY equal row counts per bin, at the cost of
+    one global range-partitioned sort.
+
+    ``exact_depth=False``: the 100 TB path — compute the
+    ``num_bins − 1`` interior percentile cuts (one sketchable
+    aggregate), broadcast them, and assign bins with an in-row
+    comparison count: two scans, ZERO sorts, zero shuffles of the data
+    itself. Depth is near-equal (ties at a cut all land in one bin);
+    bin ids are stable under repartitioning because they depend only on
+    the cut values.
     """
-    order = [F.col(value_col)]
-    if tiebreak_col:
-        order.append(F.col(tiebreak_col))
-    w = Window.orderBy(*order)
+    if exact_depth:
+        order = [F.col(value_col)]
+        if tiebreak_col:
+            order.append(F.col(tiebreak_col))
+        w = Window.orderBy(*order)
+        return df.withColumn(
+            f"{value_col}_bin", F.ntile(num_bins).over(w).cast("long")
+        )
+    qs = [i / num_bins for i in range(1, num_bins)]
+    cuts_row = df.agg(
+        F.percentile_approx(
+            value_col, qs, 10_000
+        ).alias("__cuts")
+    ).collect()[0]
+    cuts = [float(c) for c in (cuts_row["__cuts"] or [])]
+    cuts_arr = F.array(*[F.lit(c) for c in cuts])
+    bin_expr = (
+        F.size(F.filter(cuts_arr, lambda c: c <= F.col(value_col))) + 1
+    ).cast("long")
     return df.withColumn(
-        f"{value_col}_bin", F.ntile(num_bins).over(w).cast("long")
+        f"{value_col}_bin",
+        F.when(F.col(value_col).isNotNull(), bin_expr),
     )
 
 

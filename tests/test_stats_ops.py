@@ -87,3 +87,24 @@ def test_standardize_zero_variance_group_null(spark):
     a = sorted(z for g, v, z in out if g == "a")
     assert abs(a[0] + 0.7071067811865475) < 1e-12  # (1-2)/sqrt(2)
     assert all(z is None for g, v, z in out if g in ("b", "c"))
+
+
+def test_quantile_bins_cut_mode_no_sort_near_equal_depth(spark):
+    from collections import Counter
+
+    from kamu_engine_datafusion_spark.operators.profile import quantile_bins
+
+    df = spark.createDataFrame(
+        [(i, float(i * 37 % 1000)) for i in range(1000)], "id long, v double"
+    )
+    out = quantile_bins(df, "v", 4, exact_depth=False)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Sort" not in plan and "Window" not in plan  # the scale path
+    depth = Counter(r["v_bin"] for r in out.collect())
+    assert set(depth) == {1, 2, 3, 4}
+    assert all(abs(n - 250) <= 25 for n in depth.values())  # near-equal
+    # bins respect value order across the cut boundaries
+    rows = out.collect()
+    b1max = max(r["v"] for r in rows if r["v_bin"] == 1)
+    b4min = min(r["v"] for r in rows if r["v_bin"] == 4)
+    assert b1max < b4min
