@@ -517,3 +517,40 @@ def test_maintained_view_replayed_batch_is_skipped(spark, tmp_path):
     q2.awaitTermination()
     after = [tuple(r) for r in spark.read.parquet(state_dir).collect()]
     assert after == before  # no double-merge: a(2, 3.0) not a(4, 6.0)
+
+
+def test_maintained_distinct_sketch_union_equals_full(spark, tmp_path):
+    """HLL-sketch state folded across ticks estimates the same distinct
+    counts as a one-shot sketch over the full stream (and, at this
+    cardinality, the exact counts)."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_distinct,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "dledger")
+    state_dir = os.path.join(str(tmp_path), "dstate")
+    ck = os.path.join(str(tmp_path), "dck")
+    os.makedirs(ledger_dir)
+    schema = "g string, u long"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_distinct(
+            ledger_dir, state_dir, ck, ["g"], "u",
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    t1 = [("a", i) for i in range(50)] + [("b", i) for i in range(10)]
+    t2 = [("a", i) for i in range(25, 75)] + [("b", 100)]  # 25 new a's
+    tick(t1)
+    tick(t2)
+    est = {
+        r["g"]: r["n"]
+        for r in spark.read.parquet(state_dir)
+        .select("g", F.hll_sketch_estimate("sketch").alias("n"))
+        .collect()
+    }
+    assert est["a"] == 75 and est["b"] == 11  # exact at this cardinality
