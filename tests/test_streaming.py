@@ -554,3 +554,84 @@ def test_maintained_distinct_sketch_union_equals_full(spark, tmp_path):
         .collect()
     }
     assert est["a"] == 75 and est["b"] == 11  # exact at this cardinality
+
+
+def test_transform_ticks_feed_maintained_view(spark, tmp_path):
+    """Full downstream story: the ODF IncrementalRunner produces output
+    ledger files per tick, and a maintained aggregate view consumes
+    that OUTPUT ledger as a stream — after each tick the view equals a
+    from-scratch aggregate of everything the transform ever emitted."""
+    from datetime import datetime as dt
+
+    from kamu_engine_datafusion_spark.operators.changelog import changelog_agg
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_view,
+    )
+
+    in_dir = tmp_path / "mvin"
+    out_dir = tmp_path / "mvout"
+    state_dir = str(tmp_path / "mvstate")
+    ck = str(tmp_path / "mvck")
+    in_dir.mkdir()
+    write_cities_ledger(str(in_dir / "part-00000.parquet"))
+
+    runner = IncrementalRunner(
+        spark=spark,
+        transform=[
+            SqlQueryStep(
+                query="select event_time, city, population from src"
+            )
+        ],
+        inputs=[
+            LedgerInput(
+                dataset_alias="src", query_alias="src", ledger_dir=str(in_dir)
+            )
+        ],
+        output_dir=str(out_dir),
+    )
+    runner.tick(dt(2023, 2, 1, tzinfo=UTC))
+    sch = spark.read.parquet(str(out_dir)).schema
+    q = maintained_view(
+        str(out_dir), state_dir, ck, ["city"], {"pop": "population"},
+        schema=sch, spark=spark,
+    )
+    q.awaitTermination()
+
+    # second input tick -> second output part file -> second MV fold
+    import pyarrow as pa
+    import pyarrow.parquet as pq_
+
+    tbl = pa.table(
+        {
+            "offset": pa.array([3, 4], pa.int64()),
+            "op": pa.array([0, 0], pa.int32()),
+            "system_time": pa.array(
+                [dt(2023, 2, 2, tzinfo=UTC)] * 2, pa.timestamp("ms", "UTC")
+            ),
+            "event_time": pa.array(
+                [dt(2023, 2, 2, tzinfo=UTC)] * 2, pa.timestamp("ms", "UTC")
+            ),
+            "city": pa.array(["vancouver", "osaka"]),
+            "population": pa.array([10, 20], pa.int64()),
+        }
+    )
+    pq_.write_table(tbl, str(in_dir / "part-00001.parquet"))
+    runner.tick(dt(2023, 2, 3, tzinfo=UTC))
+    q2 = maintained_view(
+        str(out_dir), state_dir, ck, ["city"], {"pop": "population"},
+        schema=sch, spark=spark,
+    )
+    q2.awaitTermination()
+
+    view = {
+        r["city"]: (r["n_live"], r["pop"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    full = {
+        r["city"]: (r["n_live"], r["pop"])
+        for r in changelog_agg(
+            spark.read.parquet(str(out_dir)), ["city"], {"pop": "population"}
+        ).collect()
+    }
+    assert view == full
+    assert view["vancouver"][0] == 2  # original append + tick-2 append
