@@ -124,3 +124,66 @@ def merge_changelog_aggs(
         .agg(*[_merge(c) for c in val_cols])
     )
     return merged.filter(F.col("n_live") != 0)
+
+
+def cdc_to_ledger(
+    df: DataFrame,
+    op_col: str = "op",
+    before_col: str = "before",
+    after_col: str = "after",
+    data_fields: list[str] | None = None,
+) -> DataFrame:
+    """Adapt a Debezium-style CDC stream (``op`` ∈ c/r/u/d with
+    ``before``/``after`` row images) into ODF changelog rows — the
+    ingest glue between upstream CDC connectors and this module's
+    retraction-aware operators:
+
+    - ``c``/``r`` (create/read-snapshot) → one Append(0) of ``after``
+    - ``d`` (delete) → one Retract(1) of ``before``
+    - ``u`` (update) → CorrectFrom(2) of ``before`` IMMEDIATELY
+      followed by CorrectTo(3) of ``after`` (the ODF correction-pair
+      contract, reference ``src/engine.rs:521-533`` op vocabulary)
+
+    Returns one output row per emitted ledger record with ``__half``
+    (0 = the from-half, 1 = the to-half) so a downstream offset
+    assigner ordering by (source position, ``__half``) keeps the
+    correction pair adjacent and in order. Pure in-row array build +
+    explode — zero shuffles; unknown op codes are dropped (count them
+    upstream with a ``dq_report`` accepted-values check).
+    """
+    if data_fields is None:
+        data_fields = [
+            f.name
+            for f in df.schema[after_col].dataType.fields  # type: ignore[union-attr]
+        ]
+
+    def image(src_col: str, code: int, half: int):
+        return F.struct(
+            F.lit(code).cast("int").alias("__op"),
+            F.lit(half).cast("int").alias("__half"),
+            *[
+                F.col(f"{src_col}.{f}").alias(f)
+                for f in data_fields
+            ],
+        )
+
+    op = F.col(op_col)
+    recs = (
+        F.when(op.isin("c", "r"), F.array(image(after_col, 0, 0)))
+        .when(op == "d", F.array(image(before_col, 1, 0)))
+        .when(
+            op == "u",
+            F.array(image(before_col, 2, 0), image(after_col, 3, 1)),
+        )
+        .otherwise(F.array())
+    )
+    keep = [c for c in df.columns if c not in (op_col, before_col, after_col)]
+    return (
+        df.select(*keep, F.explode(recs).alias("__r"))
+        .select(
+            *keep,
+            F.col("__r.__op").alias("op"),
+            F.col("__r.__half").alias("__half"),
+            *[F.col(f"__r.{f}").alias(f) for f in data_fields],
+        )
+    )

@@ -68,6 +68,7 @@ _PRIORITY = [
     "xdrift_psi",  # NEW: PSI distribution-drift monitor
     "xbpe",  # NEW: BPE merge training (subword tokenizer learner)
     "xbpe_encode",  # NEW: BPE inference (train→apply round-trip)
+    "xcdc_ingest",  # NEW: Debezium-style CDC → ODF changelog adapter
     # -- dedup module changed in round 5 (collect-mode bucket cap):
     #    re-verify even where r04 was green --
     "xdedup_minhash_sql",

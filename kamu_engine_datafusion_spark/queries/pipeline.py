@@ -1544,6 +1544,39 @@ def q_xbpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(F.col("n").desc(), "subword").limit(30)
 
 
+def q_xcdc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debezium-style CDC → ODF changelog adaptation: a synthesized
+    c/u/d stream (op = event_id % 3) with before/after row images maps
+    to Append / Retract / CorrectFrom+CorrectTo pairs
+    (``operators/changelog.py::cdc_to_ledger``)."""
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        cdc_to_ledger,
+    )
+
+    t = load(spark, sf_dir, "events")
+    cdc = t["events"].filter(F.col("event_id") < 3000).select(
+        "event_id",
+        F.element_at(
+            F.array(F.lit("c"), F.lit("u"), F.lit("d")),
+            (F.col("event_id") % 3 + 1).cast("int"),
+        ).alias("op"),
+        F.struct(
+            F.col("user_id"), F.round("value", 6).alias("value")
+        ).alias("before"),
+        F.struct(
+            F.col("user_id"), F.round(F.col("value") * 2, 6).alias("value")
+        ).alias("after"),
+    )
+    out = cdc_to_ledger(cdc)
+    return out.select(
+        "event_id",
+        F.col("__half").cast("long").alias("half"),
+        F.col("op").cast("long").alias("op"),
+        "user_id",
+        "value",
+    )
+
+
 def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unpivot/melt (the reshape complement of xpivot): lineitem
     measure columns to long ``(key, measure, value)`` rows via the
@@ -1571,6 +1604,7 @@ QUERIES = {
     "xdrift_psi": q_xdrift_psi,
     "xbpe": q_xbpe,
     "xbpe_encode": q_xbpe_encode,
+    "xcdc_ingest": q_xcdc_ingest,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
     "xsample_weighted": q_xsample_weighted,
@@ -2789,6 +2823,16 @@ ORACLES = {
     ),
     "xpipeline_embed": _pipeline_embed_oracle(),
     "xbpe": _bpe_oracle(num_merges=8),
+    "xcdc_ingest": (
+        "WITH src AS (SELECT event_id, event_id % 3 AS m, user_id, "
+        "round(value, 6) AS bval, round(value * 2, 6) AS aval "
+        "FROM events WHERE event_id < 3000) "
+        "SELECT event_id, CAST(0 AS BIGINT) AS half, CAST(0 AS BIGINT) "
+        "AS op, user_id, aval AS value FROM src WHERE m = 0 "
+        "UNION ALL SELECT event_id, 0, 2, user_id, bval FROM src WHERE m = 1 "
+        "UNION ALL SELECT event_id, 1, 3, user_id, aval FROM src WHERE m = 1 "
+        "UNION ALL SELECT event_id, 0, 1, user_id, bval FROM src WHERE m = 2"
+    ),
     "xbpe_encode": _bpe_encode_oracle(num_merges=8, top_k=30),
     "xdrift_psi": (
         "WITH ref AS (SELECT value FROM events WHERE event_type = "

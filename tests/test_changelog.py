@@ -73,3 +73,38 @@ def test_changelog_agg_single_exchange_plan(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_cdc_roundtrip_into_changelog_agg(spark):
+    """CDC adapter → changelog aggregation end to end: creates, an
+    update, and a delete resolve to the correct live state."""
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        cdc_to_ledger,
+    )
+
+    rows = [
+        (1, "c", None, {"k": "a", "v": 10.0}),
+        (2, "c", None, {"k": "b", "v": 5.0}),
+        (3, "u", {"k": "a", "v": 10.0}, {"k": "a", "v": 12.0}),
+        (4, "d", {"k": "b", "v": 5.0}, None),
+        (5, "x", None, None),  # unknown op: dropped
+    ]
+    schema = (
+        "seq long, op string, "
+        "before struct<k: string, v: double>, "
+        "after struct<k: string, v: double>"
+    )
+    ledger = cdc_to_ledger(spark.createDataFrame(rows, schema))
+    got = sorted(
+        (r["seq"], r["__half"], r["op"], r["k"], r["v"])
+        for r in ledger.collect()
+    )
+    assert got == [
+        (1, 0, 0, "a", 10.0),
+        (2, 0, 0, "b", 5.0),
+        (3, 0, 2, "a", 10.0),  # correct-from: the before image
+        (3, 1, 3, "a", 12.0),  # correct-to: the after image
+        (4, 0, 1, "b", 5.0),
+    ]
+    state = changelog_agg(ledger, ["k"], {"vs": "v"})
+    assert sorted(map(tuple, state.collect())) == [("a", 1, 12.0)]
