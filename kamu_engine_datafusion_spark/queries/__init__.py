@@ -42,90 +42,40 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # round old after each rotation.
 _PRIORITY = [
     # ==== round-6 verification window (first ~50 keys) ====
-    # -- new in round 5: never driver-checked --
-    "xchangelog_agg",  # NEW: incremental MV maintenance over changelogs
-    "xoutliers",  # NEW: median/MAD modified z-score outliers
-    "xhistogram",  # NEW: dense equi-width histogram
-    "xtext_clean",  # NEW: text normalization
-    "xtext_entropy",  # NEW: character-entropy gibberish score
-    "xcollocations",  # NEW: adjacent-bigram PMI collocations
-    "xbigram_lm",  # NEW: corpus-trained bigram LM scoring
-    "xmmr",  # NEW: MMR diversified retrieval
-    "xdq_checks",  # NEW: data-quality expectation suite
-    "xwinsorize",  # NEW: per-group percentile winsorization
-    "xrolling_time",  # NEW: trailing time-window rolling aggregates
-    "xfuzzy_join",  # NEW: guaranteed-recall fuzzy string matching
-    "xkey_skew",  # NEW: shuffle-skew diagnosis profile
-    "xmm_phash",  # NEW: perceptual-hash multimodal kernel
-    "xskipgram",  # NEW: windowed skip-gram co-occurrence PMI
-    "xtransitions",  # NEW: Markov transition matrix of event paths
-    "xcorr_matrix",  # NEW: one-scan pairwise correlation matrix
-    "xquantile_bins",  # NEW: equi-depth quantile binning
-    "xstandardize",  # NEW: per-group z-score standardization
-    "xunpivot",  # NEW: unpivot/melt reshape
-    "xmerge_intervals",  # NEW: interval consolidation
-    "xpipeline_embed",  # NEW: 4-stage embedding pipeline, full oracle
-    "xdrift_psi",  # NEW: PSI distribution-drift monitor
-    "xbpe",  # NEW: BPE merge training (subword tokenizer learner)
-    "xbpe_encode",  # NEW: BPE inference (train→apply round-trip)
-    "xcdc_ingest",  # NEW: Debezium-style CDC → ODF changelog adapter
-    # -- dedup module changed in round 5 (collect-mode bucket cap):
-    #    re-verify even where r04 was green --
-    "xdedup_minhash_sql",
-    "xdedup_incremental",
-    "xdedup_simhash_sql",
-    "xdedup_embcos",
-    "xdedup_semantic",
-    "xdedup_ngram_jaccard",
-    "xdedup_cluster",
-    # -- added in round 4 after the driver's snapshot: never checked --
-    "xdedup_spans",
-    "xdedup_span_removal",
-    "xdedup_lines",
-    "xsim_quantize",
-    "xsim_quantized_topk",
-    "xdecontaminate_fuzzy",
-    "xsample_weighted",
-    "xrollup_gapfill",
-    "xfunnel",
-    "xretention",
-    "xsample_temperature",
-    "xcap_per_source",
-    "xshuffle",
-    "xbm25",
-    "xtfidf",
-    "xsplit_by_group",
-    "xmix_budget",
-    "xpipeline_e2e",
-    "xsample_stratified",
-    "xpack_sequences",
+    # -- never driver-checked (below the window cut in r4 AND r5) --
+    "xpipeline_e2e",  # oracle re-fixed r6: CAST(sum) latent HUGEINT
+    "xsample_stratified",  # oracle re-fixed r6 (latent HUGEINT)
+    "xpack_sequences",  # oracle re-fixed r6 (latent HUGEINT)
     "xvocab",
     "xvocab_oov",
     "xscd2",
     "xlm_score",
     "xchunk_docs",
-    "xquality_gate",
+    "xquality_gate",  # oracle re-fixed r6 (latent HUGEINT)
     "xsim_topk_batch",
     "xdecontaminate_13",
-    "xsnapshot",
-    # -- oldest-green fillers (last green r03) --
+    # -- red in CORRECTNESS_r05, oracles re-fixed this round:
+    #    DuckDB types uncast sum(BIGINT) as HUGEINT (int128), which the
+    #    driver's fetch canonicalizes unlike Spark's BIGINT; every final
+    #    projection sum now wrapped in CAST(... AS BIGINT) --
+    "xsample_temperature",
+    "xcap_per_source",
+    "xsplit_by_group",
+    "xmix_budget",
+    # -- implementation changed in round 6 (ADVICE fixes + batched BPE
+    #    trainer): re-verify even though r05 was green --
+    "xhistogram",  # null guard in degenerate min==max bin path
+    "xdrift_psi",  # same null-guard pattern
+    "xtext_entropy",  # empty/null-doc divergence vs oracle fixed
+    "xmmr",  # half-up rounding instead of engine round() builtins
+    "xbpe",  # trainer batched (top-k non-conflicting merges/round)
+    "xbpe_encode",  # downstream of the batched trainer
+    # -- oldest driver-green (r03) block: a13…b41 + the r03 x keys --
     "a13_offsets_distributed",
     "a14_system_columns",
     "b04_parquet_sink",
     "b17_count_distinct",
-    # ---- window boundary (~50). Final round-5 composition: 25
-    # brand-new round-5 keys, 7 dedup-family keys re-verifying the
-    # collect-cap/arrow-backend changes, and 18 round-4 keys the
-    # driver's r04 snapshot predated. 13 more round-4 keys sit just
-    # below the cut (xsample_stratified … xsnapshot + the old fillers)
-    # and rotate to the round-6 head together with the r03-green block.
-    # Everything below the boundary was driver-green in r04 (the
-    # b05-b39 block) or r03, and the WHOLE registry passes the local
-    # check_correctness sweep at sf0.001 + sf0.01 + sf0.1 this session
-    # (137+ pass / 0 fail — self-reported; the driver hash stays the
-    # authoritative signal). ----
-    "xdedup_minhash",  # rows-only twin: weak signal, hash twin inside
-    "xdedup_simhash",  # rows-only twin: weak signal, hash twin inside
+    "b03_information_schema",
     "b23_ranking",
     "b30_subqueries",
     "b38_conditional",
@@ -146,16 +96,69 @@ _PRIORITY = [
     "xsim_topk_brute",
     "xskyline",
     "xsalted_agg",
-    "b03_information_schema",
+    "xsnapshot",
     "xtext_c4_filter",
     "xtext_fingerprint",
     "xtext_gopher",
     "xtext_langid",
+    # ---- window boundary (~50). Round-6 composition: the 11 keys the
+    # driver has NEVER checked, the 4 keys red in r05 (oracles re-cast),
+    # 6 keys whose implementation changes this round, and the head of
+    # the r03-stale block. The r03 tail just below the cut
+    # (xtext_quality … xsample) rotates to the round-7 head. Everything
+    # below was driver-green in r04 (b05–b39 block) or r05 (the 50-key
+    # r05 window), and the whole registry passes the local
+    # check_correctness sweep — now hardened to fail loudly on any
+    # HUGEINT-typed oracle column, the class that shipped the r05 reds.
+    # ----
     "xtext_quality",
     "xtext_redact_pii",
     "xtext_repetition",
     "xtext_tokens",
     "xsample",
+    # -- driver-green in r05 --
+    "xchangelog_agg",
+    "xoutliers",
+    "xtext_clean",
+    "xcollocations",
+    "xbigram_lm",
+    "xdq_checks",
+    "xwinsorize",
+    "xrolling_time",
+    "xfuzzy_join",
+    "xkey_skew",
+    "xmm_phash",
+    "xskipgram",
+    "xtransitions",
+    "xcorr_matrix",
+    "xquantile_bins",
+    "xstandardize",
+    "xunpivot",
+    "xmerge_intervals",
+    "xpipeline_embed",
+    "xcdc_ingest",
+    "xdedup_minhash_sql",
+    "xdedup_incremental",
+    "xdedup_simhash_sql",
+    "xdedup_embcos",
+    "xdedup_semantic",
+    "xdedup_ngram_jaccard",
+    "xdedup_cluster",
+    "xdedup_spans",
+    "xdedup_span_removal",
+    "xdedup_lines",
+    "xsim_quantize",
+    "xsim_quantized_topk",
+    "xdecontaminate_fuzzy",
+    "xsample_weighted",
+    "xrollup_gapfill",
+    "xfunnel",
+    "xretention",
+    "xshuffle",
+    "xbm25",
+    "xtfidf",
+    "xdedup_minhash",  # rows-only twin: weak signal, hash twin inside
+    "xdedup_simhash",  # rows-only twin: weak signal, hash twin inside
     # -- driver-green in r04 --
     "xrange_join",
     "xmm_decode",

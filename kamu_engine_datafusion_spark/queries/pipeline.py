@@ -2336,7 +2336,8 @@ ORACLES = {
         "r AS (SELECT lang, doc_id, "
         "row_number() OVER (PARTITION BY lang ORDER BY bkt, doc_id) AS rn, "
         "count(*) OVER (PARTITION BY lang) AS n FROM h) "
-        "SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum "
         "FROM r WHERE rn <= CEIL(n * 0.3) GROUP BY lang"
     ),
     "xsample_weighted": (
@@ -2359,7 +2360,8 @@ ORACLES = {
         "p AS (SELECT lang, cost, CAST(FLOOR("
         "(SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id) - cost) / 2048.0"
         ") AS BIGINT) AS chunk FROM c) "
-        "SELECT lang, chunk, count(*) AS n_docs, SUM(cost) AS n_tokens "
+        "SELECT lang, chunk, count(*) AS n_docs, "
+        "CAST(SUM(cost) AS BIGINT) AS n_tokens "
         "FROM p GROUP BY lang, chunk"
     ),
     "xvocab": (
@@ -2424,7 +2426,8 @@ ORACLES = {
         "WITH r AS (SELECT lang, doc_id, n_chars, "
         "row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn, "
         "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
-        "SELECT lang, count(*) AS n_kept, sum(doc_id) AS id_sum, "
+        "SELECT lang, count(*) AS n_kept, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
         "min(n_chars) AS min_chars "
         "FROM r WHERE rn > floor(n * 0.25) GROUP BY lang"
     ),
@@ -2440,7 +2443,8 @@ ORACLES = {
         "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
         "ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt FROM documents) "
-        "SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum "
         "FROM h JOIN cuts USING (lang) WHERE bkt < cut GROUP BY lang"
     ),
     "xcap_per_source": (
@@ -2452,7 +2456,8 @@ ORACLES = {
         "r AS (SELECT source, doc_id, "
         "row_number() OVER (PARTITION BY source ORDER BY bkt, doc_id) AS rn "
         "FROM h) "
-        "SELECT source, count(*) AS n_docs, sum(doc_id) AS id_sum "
+        "SELECT source, count(*) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum "
         "FROM r WHERE rn <= 15 GROUP BY source"
     ),
     "xshuffle": (
@@ -2488,8 +2493,9 @@ ORACLES = {
         "p AS (SELECT lang, doc_id, cost, CAST(FLOOR("
         "(SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id) - cost) / 2048.0"
         ") AS BIGINT) AS chunk FROM s) "
-        "SELECT lang, chunk, count(*) AS n_docs, SUM(cost) AS n_tokens, "
-        "SUM(doc_id) AS id_sum FROM p GROUP BY lang, chunk"
+        "SELECT lang, chunk, count(*) AS n_docs, "
+        "CAST(SUM(cost) AS BIGINT) AS n_tokens, "
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM p GROUP BY lang, chunk"
     ),
     "xsplit_by_group": (
         "WITH h AS (SELECT doc_id, source, "
@@ -2498,7 +2504,8 @@ ORACLES = {
         "ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < 2500 "
         "THEN 'holdout' ELSE 'train' END AS side FROM documents) "
-        "SELECT side, count(*) AS n_docs, sum(doc_id) AS id_sum, "
+        "SELECT side, count(*) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
         "count(DISTINCT source) AS n_sources FROM h GROUP BY side"
     ),
     "xmix_budget": (
@@ -2516,8 +2523,9 @@ ORACLES = {
         "cuts AS (SELECT lang, CAST(floor(round("
         "least(1.0, 20000.0 * w / tok) * 10000, 6)) AS BIGINT) AS cut "
         "FROM s JOIN w USING (lang)) "
-        "SELECT lang, count(*) AS n_docs, sum(doc_id) AS id_sum, "
-        "sum(cost) AS n_tokens "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+        "CAST(sum(cost) AS BIGINT) AS n_tokens "
         "FROM c JOIN cuts USING (lang) WHERE bkt < cut GROUP BY lang"
     ),
     "xbm25": (
