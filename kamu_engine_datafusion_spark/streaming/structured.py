@@ -350,6 +350,40 @@ def _last_folded_batch(state_dir: str) -> int:
         return -1
 
 
+def _recover_state(state_dir: str) -> None:
+    """Heal a crash that interrupted the two-rename state swap.
+
+    The swap is ``os.replace(state_dir, old)`` then
+    ``os.replace(next, state_dir)``; a crash BETWEEN the two leaves no
+    ``state_dir`` at all, so a naive replay would fold the batch into
+    an EMPTY state and silently drop all prior view state. Recovery
+    rules (run before every fold):
+
+    - ``state_dir`` missing + ``state_dir.next`` carries a batch
+      marker → the fold had fully materialized the new state (the
+      marker is written only after the parquet write completes):
+      promote ``.next`` and drop ``.old``.
+    - ``state_dir`` missing + no promotable ``.next`` but ``.old``
+      exists → the crash hit after the first rename with an
+      incomplete ``.next``: restore ``.old`` so the replay folds
+      against the pre-crash state.
+    - ``state_dir`` present → nothing to heal (a stale ``.next``
+      without a marker is an incomplete write the replay will simply
+      overwrite).
+    """
+    import os
+    import shutil
+
+    if os.path.isdir(state_dir):
+        return
+    nxt, old = state_dir + ".next", state_dir + ".old"
+    if os.path.isdir(nxt) and os.path.isfile(os.path.join(nxt, _BATCH_MARKER)):
+        os.replace(nxt, state_dir)
+        shutil.rmtree(old, ignore_errors=True)
+    elif os.path.isdir(old):
+        os.replace(old, state_dir)
+
+
 def maintained_view(
     ledger_dir: str,
     state_dir: str,
@@ -395,6 +429,7 @@ def maintained_view(
     import shutil
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_state(state_dir)
         if _last_folded_batch(state_dir) >= batch_id:
             return  # crash-replayed batch: already folded into state
         inc = changelog_agg(
@@ -467,6 +502,7 @@ def maintained_snapshot(
     from pyspark.sql import Window
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_state(state_dir)
         if _last_folded_batch(state_dir) >= batch_id:
             return  # crash-replayed batch: already folded into state
         sess = batch_df.sparkSession
@@ -534,6 +570,7 @@ def maintained_distinct(
     import shutil
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _recover_state(state_dir)
         if _last_folded_batch(state_dir) >= batch_id:
             return
         sess = batch_df.sparkSession

@@ -519,6 +519,115 @@ def test_maintained_view_replayed_batch_is_skipped(spark, tmp_path):
     assert after == before  # no double-merge: a(2, 3.0) not a(4, 6.0)
 
 
+def test_recover_state_heals_every_swap_crash_point(tmp_path):
+    """The state swap is two renames: replace(state→old) then
+    replace(next→state). A crash BETWEEN them leaves no state_dir at
+    all; without recovery the replay folds into empty state and all
+    prior view state is silently lost. _recover_state must heal every
+    interruption point (pure filesystem, no Spark needed)."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _BATCH_MARKER,
+        _last_folded_batch,
+        _recover_state,
+        _write_batch_marker,
+    )
+
+    def mkstate(d, marker=None, extra="part-0.parquet"):
+        os.makedirs(d)
+        with open(os.path.join(d, extra), "w") as f:
+            f.write("data")
+        if marker is not None:
+            _write_batch_marker(d, marker)
+
+    # crash point B: between the two renames — state_dir missing,
+    # .old = pre-crash state (marker 4), .next = fully-written new
+    # state (marker 5). Must promote .next and drop .old.
+    st = os.path.join(str(tmp_path), "b", "state")
+    os.makedirs(os.path.dirname(st))
+    mkstate(st + ".old", marker=4)
+    mkstate(st + ".next", marker=5)
+    _recover_state(st)
+    assert _last_folded_batch(st) == 5
+    assert not os.path.exists(st + ".old")
+    assert not os.path.exists(st + ".next")
+
+    # crash point D: state_dir missing, .next INCOMPLETE (no marker —
+    # the marker is written only after the parquet write finishes),
+    # .old present. Must restore .old; the replay then re-folds.
+    st = os.path.join(str(tmp_path), "d", "state")
+    os.makedirs(os.path.dirname(st))
+    mkstate(st + ".old", marker=4)
+    os.makedirs(st + ".next")  # torn write: no marker
+    _recover_state(st)
+    assert _last_folded_batch(st) == 4
+
+    # crash point A/C: state_dir present (before the first rename, or
+    # after the second) — recovery must not touch anything.
+    st = os.path.join(str(tmp_path), "a", "state")
+    os.makedirs(os.path.dirname(st))
+    mkstate(st, marker=7)
+    mkstate(st + ".next", marker=8)
+    _recover_state(st)
+    assert _last_folded_batch(st) == 7  # untouched: replay handles .next
+
+    # first-ever batch crashed mid-write: nothing anywhere to restore.
+    st = os.path.join(str(tmp_path), "f", "state")
+    os.makedirs(os.path.dirname(st))
+    os.makedirs(st + ".next")
+    _recover_state(st)
+    assert not os.path.exists(st)
+
+
+def test_maintained_view_recovers_from_mid_swap_crash(spark, tmp_path):
+    """End-to-end: kill the query 'between the two renames' (state_dir
+    gone, .old = tick-1 state, .next = tick-2 state + marker), wipe the
+    checkpoint so BOTH batches re-deliver, restart — the view must come
+    back exactly equal to the post-tick-2 state, with no double-merge
+    and no silent reset to empty."""
+    import shutil
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_view,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "cledger")
+    state_dir = os.path.join(str(tmp_path), "cstate")
+    ck = os.path.join(str(tmp_path), "cck")
+    os.makedirs(ledger_dir)
+    schema = "offset long, op int, k string, value double"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_view(
+            ledger_dir, state_dir, ck, ["k"], {"vs": "value"},
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    tick([(0, 0, "a", 1.0), (1, 0, "b", 5.0)])
+    after_t1 = os.path.join(str(tmp_path), "saved_t1")
+    shutil.copytree(state_dir, after_t1)
+    tick([(2, 0, "a", 2.0), (3, 1, "b", 5.0)])
+    want = sorted(
+        tuple(r) for r in spark.read.parquet(state_dir).collect()
+    )
+
+    # reconstruct the exact mid-swap crash layout of the tick-2 fold
+    shutil.move(state_dir, state_dir + ".next")  # carries marker 1
+    shutil.copytree(after_t1, state_dir + ".old")
+    shutil.rmtree(ck)  # checkpoint lost too: batches 0 AND 1 re-deliver
+
+    q = maintained_view(
+        ledger_dir, state_dir, ck, ["k"], {"vs": "value"},
+        schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+    )
+    q.awaitTermination()
+    got = sorted(tuple(r) for r in spark.read.parquet(state_dir).collect())
+    assert got == want  # a: (2, 3.0); b retracted — not doubled, not empty
+
+
 def test_maintained_distinct_sketch_union_equals_full(spark, tmp_path):
     """HLL-sketch state folded across ticks estimates the same distinct
     counts as a one-shot sketch over the full stream (and, at this
