@@ -150,8 +150,14 @@ def histogram_equi_width(
     binned = (
         df.crossJoin(F.broadcast(bounds))
         .withColumn(
+            # Null guard FIRST: in the degenerate min==max branch the
+            # constant 0 would otherwise bin (and count) null values,
+            # which the normal path excludes (null arithmetic → null
+            # bin → dropped by the grid join).
             "__bin",
-            F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+            F.when(v.isNull(), F.lit(None))
+            .when(F.col("__hi") == F.col("__lo"), F.lit(0))
+            .otherwise(
                 F.least(
                     F.lit(num_bins - 1),
                     F.floor((v - F.col("__lo")) / width),
@@ -363,8 +369,11 @@ def population_stability(
         return (
             d.crossJoin(F.broadcast(bounds))
             .withColumn(
+                # null guard first — see histogram_equi_width: the
+                # degenerate min==max constant branch must not bin nulls
                 "__bin",
-                F.when(F.col("__hi") == F.col("__lo"), F.lit(0))
+                F.when(v(d).isNull(), F.lit(None))
+                .when(F.col("__hi") == F.col("__lo"), F.lit(0))
                 .otherwise(
                     F.greatest(
                         F.lit(0),

@@ -484,7 +484,9 @@ def mmr_diversify(
     the inherently-sequential greedy walk on the driver over the
     bounded pool (≤ a few hundred rows — the only data that ever
     leaves the cluster). Pool relevances and pairwise similarities are
-    rounded to 6 dp before the argmax (ties broken by ascending id), so
+    rounded to 6 dp — explicit half-up ``floor(x·1e6 + 0.5)/1e6``, not
+    the engines' ``round()`` builtins, which disagree on exact halves —
+    before the argmax (ties broken by ascending id), so
     the selection is reproducible across engines and summation orders;
     pairwise dots are computed sequentially (left-to-right, float64) to
     match SQL ``list_dot_product`` exactly.
@@ -506,10 +508,19 @@ def mmr_diversify(
         .select(
             F.col(id_col),
             F.col(vec_col),
-            F.round(
-                dot_product(F.col(vec_col), F.col("__qv"), dim)
-                / (F.col("__nrm") * F.col("__qnrm")),
-                6,
+            # explicit half-up (floor(x·1e6 + 0.5)/1e6), NOT the round()
+            # builtin: engines disagree on exact .5 halves, which can
+            # flip pool membership or a greedy argmax across engines
+            (
+                F.floor(
+                    (
+                        dot_product(F.col(vec_col), F.col("__qv"), dim)
+                        / (F.col("__nrm") * F.col("__qnrm"))
+                    )
+                    * 1e6
+                    + F.lit(0.5)
+                )
+                / 1e6
             ).alias("rel"),
         )
         .orderBy(F.col("rel").desc(), F.col(id_col))
@@ -523,12 +534,17 @@ def mmr_diversify(
             s += x * y
         return s
 
+    def _r6(x: float) -> float:
+        # half-up, matching the engine-side floor(x·1e6 + 0.5)/1e6
+        # (Python's round() is banker's and would diverge on halves)
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
     vecs = [[float(x) for x in r[vec_col]] for r in rows]
     norms = [math.sqrt(_dot(v, v)) for v in vecs]
     n = len(rows)
     sim = [
         [
-            round(_dot(vecs[i], vecs[j]) / (norms[i] * norms[j]), 6)
+            _r6(_dot(vecs[i], vecs[j]) / (norms[i] * norms[j]))
             if norms[i] and norms[j]
             else 0.0
             for j in range(n)
@@ -557,7 +573,7 @@ def mmr_diversify(
                 best = (score, i)
         selected.append(best[1])
         out_rows.append(
-            (len(selected), ids[best[1]], rel[best[1]], round(best[0], 6))
+            (len(selected), ids[best[1]], rel[best[1]], _r6(best[0]))
         )
     return corpus.sparkSession.createDataFrame(
         out_rows, f"rank long, {id_col} long, rel double, mmr double"

@@ -369,27 +369,40 @@ def char_entropy(df, text_col: str = "text", id_col: str = "doc_id"):
     most alphabet-size rows per doc after map-side partial counts.
     Empty/null docs emit ``n_chars = 0, entropy = 0``.
     """
+    # Keep empty/null docs (explode_outer) but normalize their phantom
+    # character to NULL, and exclude the NULL group from BOTH aggregates:
+    # engines disagree on splitting '' (Spark split → [], DuckDB
+    # string_split → ['']), so if the phantom group leaked into the
+    # entropy denominator or n_chars the two sides would diverge on
+    # empty documents.
     chars = df.select(
         F.col(id_col),
-        F.explode_outer(F.split(F.coalesce(F.col(text_col), F.lit("")), "")).alias(
-            "__ch"
-        ),
+        F.explode_outer(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "")
+        ).alias("__raw"),
+    ).select(
+        id_col,
+        F.when(F.col("__raw") == "", F.lit(None))
+        .otherwise(F.col("__raw"))
+        .alias("__ch"),
     )
     per_char = chars.groupBy(id_col, "__ch").agg(
         F.count(F.lit(1)).alias("__c")
     )
-    n = F.sum("__c")
+    real = F.when(F.col("__ch").isNull(), 0)
+    n = F.sum(real.otherwise(F.col("__c")))
     # H = -sum(p ln p) = ln(n) - sum(c ln c)/n  (exactly 0 when n=1)
     return per_char.groupBy(id_col).agg(
-        F.sum(
-            F.when(
-                F.col("__ch").isNull() | (F.col("__ch") == ""), 0
-            ).otherwise(F.col("__c"))
-        ).cast("long").alias("n_chars"),
+        n.cast("long").alias("n_chars"),
         F.when(
             n > 0,
             F.log(n.cast("double"))
-            - F.sum(F.col("__c") * F.log(F.col("__c").cast("double"))) / n,
+            - F.sum(
+                real.otherwise(
+                    F.col("__c") * F.log(F.col("__c").cast("double"))
+                )
+            )
+            / n,
         )
         .otherwise(F.lit(0.0))
         .alias("entropy"),

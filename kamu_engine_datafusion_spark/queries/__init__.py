@@ -68,6 +68,7 @@ _PRIORITY = [
     "xdrift_psi",  # same null-guard pattern
     "xtext_entropy",  # empty/null-doc divergence vs oracle fixed
     "xmmr",  # half-up rounding instead of engine round() builtins
+    "xpipeline_embed",  # stage-4 MMR follows the half-up change
     "xbpe",  # trainer batched (top-k non-conflicting merges/round)
     "xbpe_encode",  # downstream of the batched trainer
     # -- oldest driver-green (r03) block: a13…b41 + the r03 x keys --
@@ -135,7 +136,6 @@ _PRIORITY = [
     "xstandardize",
     "xunpivot",
     "xmerge_intervals",
-    "xpipeline_embed",
     "xcdc_ingest",
     "xdedup_minhash_sql",
     "xdedup_incremental",

@@ -1853,12 +1853,13 @@ def _incremental_dedup_oracle() -> str:
 def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
     """Unrolled greedy-MMR oracle: pool + pairwise sims once, then one
     (candidates → argmax) CTE pair per step, selections accumulated by
-    UNION ALL — mechanical but exact (same 6dp-rounded inputs and
-    id tie-break as the operator)."""
+    UNION ALL — mechanical but exact (same 6dp half-up-rounded inputs
+    and id tie-break as the operator; half-up ``floor(x·1e6+0.5)/1e6``
+    because the engines' round() builtins disagree on exact halves)."""
     cos = (
-        "round(list_dot_product({a}, {b}) / "
+        "floor(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * "
-        "sqrt(list_dot_product({b}, {b}))), 6)"
+        "sqrt(list_dot_product({b}, {b}))) * 1000000 + 0.5) / 1000000"
     )
     parts = [
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
@@ -1890,7 +1891,7 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
         )
     selects = [
         f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, rel, "
-        f"round(mmr, 6) AS mmr FROM p{i}"
+        f"floor(mmr * 1000000 + 0.5) / 1000000 AS mmr FROM p{i}"
         for i in range(1, k + 1)
     ]
     return "".join(parts) + " " + " UNION ALL ".join(selects)
@@ -2237,7 +2238,19 @@ def _pipeline_embed_oracle(
             for r in range(bits_per_band)
         ]
         band_keys.append(f"({j * (1 << bits_per_band)} + {' + '.join(bits)})")
+    # Two rounding regimes, mirroring the operators they replicate:
+    # - cos_round (engine round) for the topk_quantized approx scores
+    #   and the exact-re-rank POOL MEMBERSHIP cut (topk_bruteforce still
+    #   rounds with the builtin);
+    # - cos (half-up floor(x·1e6+0.5)/1e6) for the rel VALUES, pairwise
+    #   sims, and greedy mmr — mmr_diversify switched to half-up because
+    #   the engines' round() builtins disagree on exact halves.
     cos = (
+        "floor(list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * "
+        "sqrt(list_dot_product({b}, {b}))) * 1000000 + 0.5) / 1000000"
+    )
+    cos_round = (
         "round(list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * "
         "sqrt(list_dot_product({b}, {b}))), 6)"
@@ -2276,14 +2289,16 @@ def _pipeline_embed_oracle(
         "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings "
         "WHERE vec_id = 0), "
         "approx AS (SELECT d.vec_id, "
-        + cos.format(a="d.xh", b="q.qv")
+        + cos_round.format(a="d.xh", b="q.qv")
         + " AS a FROM d CROSS JOIN q), "
         f"cand2 AS (SELECT vec_id FROM approx ORDER BY a DESC, vec_id "
         f"LIMIT {pool * rerank}), "
         "pool AS MATERIALIZED (SELECT s.vec_id, s.emb_d AS v, "
         + cos.format(a="s.emb_d", b="q.qv")
-        + " AS rel FROM surv s JOIN cand2 USING (vec_id) CROSS JOIN q "
-        f"ORDER BY rel DESC, vec_id LIMIT {pool}), "
+        + " AS rel, "
+        + cos_round.format(a="s.emb_d", b="q.qv")
+        + " AS relr FROM surv s JOIN cand2 USING (vec_id) CROSS JOIN q "
+        f"ORDER BY relr DESC, vec_id LIMIT {pool}), "
         # stage 4: greedy MMR over the pool (pool is MATERIALIZED too —
         # it feeds sm twice and every greedy step)
         "sm AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, "
@@ -2819,8 +2834,14 @@ ORACLES = {
         "FROM documents"
     ),
     "xtext_entropy": (
-        "WITH ch AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), "
-        "'')) AS c FROM documents), "
+        # NOTE: DuckDB string_split('', '') yields [''] where Spark's
+        # split yields [] — the phantom '' char must be excluded from
+        # the counts or empty docs report n_chars=1 here and 0 in
+        # Spark. The trailing LEFT JOIN restores empty/null docs as
+        # (0, 0.0), matching char_entropy's explode_outer behavior.
+        "WITH ch AS (SELECT doc_id, c FROM (SELECT doc_id, "
+        "unnest(string_split(coalesce(text, ''), '')) AS c "
+        "FROM documents) WHERE c IS NOT NULL AND c != ''), "
         "pc AS (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2), "
         "e AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars, "
         "ln(CAST(sum(cnt) AS DOUBLE)) - sum(cnt * ln(CAST(cnt AS DOUBLE))) "

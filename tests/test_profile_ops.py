@@ -65,6 +65,36 @@ def test_histogram_degenerate_single_value(spark):
     assert [r["n"] for r in sorted(h, key=lambda r: r["bin"])][0] == 3
 
 
+def test_histogram_degenerate_single_value_excludes_nulls(spark):
+    """Regression: in the min==max branch the constant bin-0 expression
+    used to fire before any null check, so null values were binned and
+    counted — contradicting the documented 'nulls carry no bin' rule
+    the normal path implements via null arithmetic."""
+    df = spark.createDataFrame(
+        [(1.0,), (1.0,), (None,), (None,)], "v double"
+    )
+    h = histogram_equi_width(df, "v", 5).collect()
+    assert sum(r["n"] for r in h) == 2  # nulls excluded, not 4
+    # and the normal (non-degenerate) path agrees with itself
+    df2 = spark.createDataFrame([(1.0,), (2.0,), (None,)], "v double")
+    h2 = histogram_equi_width(df2, "v", 5).collect()
+    assert sum(r["n"] for r in h2) == 2
+
+
+def test_population_stability_degenerate_ref_excludes_nulls(spark):
+    """Same null-guard regression in the PSI binning: a single-valued
+    reference (min==max) must not count null rows in either snapshot."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        population_stability,
+    )
+
+    ref = spark.createDataFrame([(5.0,), (5.0,), (None,)], "v double")
+    new = spark.createDataFrame([(5.0,), (None,), (None,)], "v double")
+    out = population_stability(ref, new, "v", num_bins=4).collect()
+    assert sum(r["n_ref"] for r in out) == 2
+    assert sum(r["n_new"] for r in out) == 1
+
+
 def test_histogram_plan_no_window_no_shuffle_explosion(spark):
     df = spark.createDataFrame([(float(i),) for i in range(50)], "v double")
     plan = (

@@ -72,6 +72,46 @@ def test_collocations_short_docs_yield_no_pairs(spark):
     assert collocations(df, min_count=1, top_k=10).count() == 0
 
 
+def test_char_entropy_oracle_parity_on_empty_docs(spark, tmp_path):
+    """Engines disagree on splitting '': Spark split → [], DuckDB
+    string_split → ['']. The xtext_entropy oracle must filter the
+    phantom char so empty/null docs agree with char_entropy (0, 0.0) —
+    latent in the driver corpus (no empty docs), pinned here."""
+    import duckdb
+
+    from kamu_engine_datafusion_spark.queries.pipeline import ORACLES
+
+    rows = [(1, "aabb"), (2, ""), (3, None), (4, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pq_path = str(tmp_path / "documents.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    papq.write_table(
+        pa.table(
+            {
+                "doc_id": [r[0] for r in rows],
+                "text": [r[1] for r in rows],
+            }
+        ),
+        pq_path,
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq_path}')"
+    )
+    oracle = {
+        (r[0]): (r[1], r[2])
+        for r in con.execute(ORACLES["xtext_entropy"]).fetchall()
+    }
+    got = {
+        r["doc_id"]: (r["n_chars"], round(r["entropy"], 6))
+        for r in char_entropy(df).collect()
+    }
+    assert got == oracle
+    assert got[2] == (0, 0.0) and got[3] == (0, 0.0)
+
+
 def test_char_entropy_plan_is_two_exchanges_no_window(spark):
     df = spark.createDataFrame([(1, "abc")], "doc_id long, text string")
     plan = char_entropy(df)._jdf.queryExecution().executedPlan().toString()
