@@ -1,0 +1,240 @@
+"""Minimal HTTP/2 (RFC 9113) server core for serving gRPC — stdlib-only.
+
+Covers exactly what a gRPC client needs from a server over cleartext
+prior-knowledge HTTP/2 (gRPC never uses the HTTP/1.1 upgrade dance):
+
+- connection preface + SETTINGS exchange (+acks)
+- HEADERS (+CONTINUATION) with HPACK, DATA, PING, RST_STREAM, GOAWAY,
+  WINDOW_UPDATE / PRIORITY (accepted, not used for pacing)
+- per-stream request assembly and a response API that sends response
+  HEADERS, any number of DATA chunks, and HTTP trailers (the gRPC
+  status channel)
+- receive-side flow control replenished via WINDOW_UPDATE; send side
+  stays within the 64 KiB default windows per write (engine responses
+  are tiny — file paths and offsets, never data pages)
+
+Deliberately NOT covered: push promises, priorities, TLS — gRPC
+doesn't need them from a server in this deployment shape.
+"""
+
+from __future__ import annotations
+
+import socket
+import socketserver
+import struct
+import threading
+
+from kamu_engine_datafusion_spark.transport.hpack import (
+    HpackDecoder,
+    encode_headers,
+)
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+
+F_DATA = 0x0
+F_HEADERS = 0x1
+F_PRIORITY = 0x2
+F_RST_STREAM = 0x3
+F_SETTINGS = 0x4
+F_PUSH_PROMISE = 0x5
+F_PING = 0x6
+F_GOAWAY = 0x7
+F_WINDOW_UPDATE = 0x8
+F_CONTINUATION = 0x9
+
+FLAG_END_STREAM = 0x1
+FLAG_END_HEADERS = 0x4
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+FLAG_ACK = 0x1
+
+
+def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
+    return (
+        struct.pack("!I", len(payload))[1:]
+        + bytes([ftype, flags])
+        + struct.pack("!I", stream_id & 0x7FFFFFFF)
+        + payload
+    )
+
+
+class _Stream:
+    __slots__ = ("headers", "data", "ended", "header_frags", "in_headers")
+
+    def __init__(self) -> None:
+        self.headers: list[tuple[str, str]] = []
+        self.data = bytearray()
+        self.ended = False
+        self.header_frags = bytearray()
+        self.in_headers = False
+
+
+class H2Connection:
+    """One server-side connection. ``handler(headers, body, respond)``
+    is called per completed request stream; ``respond`` is a
+    :class:`ResponseWriter` bound to that stream."""
+
+    def __init__(self, sock: socket.socket, handler) -> None:
+        self.sock = sock
+        self.handler = handler
+        self.decoder = HpackDecoder()
+        self.streams: dict[int, _Stream] = {}
+        self.send_lock = threading.Lock()
+        self.max_frame_size = 16384
+
+    # -- io ---------------------------------------------------------------
+    def _recv_exact(self, n: int) -> bytes:
+        buf = bytearray()
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("peer closed")
+            buf += chunk
+        return bytes(buf)
+
+    def send_frame(
+        self, ftype: int, flags: int, stream_id: int, payload: bytes
+    ) -> None:
+        with self.send_lock:
+            self.sock.sendall(pack_frame(ftype, flags, stream_id, payload))
+
+    # -- main loop --------------------------------------------------------
+    def run(self) -> None:
+        preface = self._recv_exact(len(PREFACE))
+        if preface != PREFACE:
+            raise ConnectionError("bad HTTP/2 preface")
+        self.send_frame(F_SETTINGS, 0, 0, b"")  # our (all-default) settings
+        while True:
+            try:
+                head = self._recv_exact(9)
+            except ConnectionError:
+                return
+            length = int.from_bytes(head[:3], "big")
+            ftype, flags = head[3], head[4]
+            stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+            payload = self._recv_exact(length) if length else b""
+            if not self._dispatch(ftype, flags, stream_id, payload):
+                return
+
+    def _dispatch(
+        self, ftype: int, flags: int, stream_id: int, payload: bytes
+    ) -> bool:
+        if ftype == F_SETTINGS:
+            if not flags & FLAG_ACK:
+                for off in range(0, len(payload), 6):
+                    ident, value = struct.unpack_from("!HI", payload, off)
+                    if ident == 0x5:  # SETTINGS_MAX_FRAME_SIZE
+                        self.max_frame_size = value
+                self.send_frame(F_SETTINGS, FLAG_ACK, 0, b"")
+        elif ftype == F_PING:
+            if not flags & FLAG_ACK:
+                self.send_frame(F_PING, FLAG_ACK, 0, payload)
+        elif ftype == F_GOAWAY:
+            return False
+        elif ftype in (F_WINDOW_UPDATE, F_PRIORITY):
+            pass
+        elif ftype == F_RST_STREAM:
+            self.streams.pop(stream_id, None)
+        elif ftype == F_HEADERS:
+            st = self.streams.setdefault(stream_id, _Stream())
+            frag = payload
+            if flags & FLAG_PADDED:
+                pad = frag[0]
+                frag = frag[1 : len(frag) - pad]
+            if flags & FLAG_PRIORITY:
+                frag = frag[5:]
+            st.header_frags += frag
+            st.in_headers = True
+            if flags & FLAG_END_STREAM:
+                st.ended = True
+            if flags & FLAG_END_HEADERS:
+                self._finish_headers(stream_id, st)
+        elif ftype == F_CONTINUATION:
+            st = self.streams.get(stream_id)
+            if st is None or not st.in_headers:
+                return False
+            st.header_frags += payload
+            if flags & FLAG_END_HEADERS:
+                self._finish_headers(stream_id, st)
+        elif ftype == F_DATA:
+            st = self.streams.get(stream_id)
+            if st is None:
+                return True
+            frag = payload
+            if flags & FLAG_PADDED:
+                pad = frag[0]
+                frag = frag[1 : len(frag) - pad]
+            st.data += frag
+            if len(payload):  # replenish receive windows
+                incr = struct.pack("!I", len(payload))
+                self.send_frame(F_WINDOW_UPDATE, 0, 0, incr)
+                self.send_frame(F_WINDOW_UPDATE, 0, stream_id, incr)
+            if flags & FLAG_END_STREAM:
+                st.ended = True
+                self._complete(stream_id, st)
+        return True
+
+    def _finish_headers(self, stream_id: int, st: _Stream) -> None:
+        # trailers from clients don't occur in gRPC requests; a second
+        # HEADERS block on the stream is simply appended
+        st.headers += self.decoder.decode(bytes(st.header_frags))
+        st.header_frags = bytearray()
+        st.in_headers = False
+        if st.ended:
+            self._complete(stream_id, st)
+
+    def _complete(self, stream_id: int, st: _Stream) -> None:
+        self.streams.pop(stream_id, None)
+        self.handler(
+            dict(st.headers), bytes(st.data), ResponseWriter(self, stream_id)
+        )
+
+
+class ResponseWriter:
+    def __init__(self, conn: H2Connection, stream_id: int) -> None:
+        self.conn = conn
+        self.stream_id = stream_id
+
+    def send_headers(
+        self, headers: list[tuple[str, str]], end_stream: bool = False
+    ) -> None:
+        flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
+        self.conn.send_frame(
+            F_HEADERS, flags, self.stream_id, encode_headers(headers)
+        )
+
+    def send_data(self, data: bytes, end_stream: bool = False) -> None:
+        mfs = self.conn.max_frame_size
+        chunks = [data[i : i + mfs] for i in range(0, len(data), mfs)] or [b""]
+        for i, chunk in enumerate(chunks):
+            last = i == len(chunks) - 1
+            self.conn.send_frame(
+                F_DATA,
+                FLAG_END_STREAM if (end_stream and last) else 0,
+                self.stream_id,
+                chunk,
+            )
+
+    def send_trailers(self, trailers: list[tuple[str, str]]) -> None:
+        self.send_headers(trailers, end_stream=True)
+
+
+class H2Server(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, addr, handler) -> None:
+        self._h2_handler = handler
+
+        class _Req(socketserver.BaseRequestHandler):
+            def handle(inner) -> None:  # noqa: N805
+                try:
+                    H2Connection(inner.request, self._h2_handler).run()
+                except (ConnectionError, OSError):
+                    pass
+
+        super().__init__(addr, _Req)
+
+    def serve_background(self) -> "H2Server":
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+        return self
