@@ -161,15 +161,20 @@ def main() -> None:
     def record(name: str, times: list[float]) -> None:
         # min: run 1 pays one-time janino/codegen compilation (~2x
         # inflation measured), which a long-lived engine amortizes away.
-        # The spread (max-min over the k reps) travels with every query
-        # so a future regression is attributable on sight: a delta
-        # within the historical spread is machine noise, one beyond it
-        # is a plan change.
+        # The raw spread (max-min over all reps) travels with every
+        # query, but it is dominated by that first-rep JIT cost — so the
+        # WARM spread (first rep excluded) and the warm median travel
+        # too: a future delta within the warm spread is machine noise,
+        # one beyond it is a plan change (r5 advice: don't let real
+        # regressions hide inside warm-up noise).
+        warm = sorted(times[1:]) or sorted(times)
         timings[name] = round(min(times), 3)
         spreads[name] = {
             "min": round(min(times), 3),
             "max": round(max(times), 3),
             "spread": round(max(times) - min(times), 3),
+            "warm_spread": round(warm[-1] - warm[0], 3),
+            "warm_median": round(warm[len(warm) // 2], 3),
             "n": len(times),
         }
 

@@ -423,3 +423,97 @@ def weighted_sample(
         .limit(n)
         .drop("__akey")
     )
+
+
+def upsample_repeat(
+    df: DataFrame,
+    key_col: str,
+    repeats: dict[str, float] | float,
+    stratum_col: str | None = None,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fractional deterministic upsampling — the epoch-mixing side of
+    data curation (a source weighted 2.4 epochs = every doc twice, a
+    keyed-hash-chosen 40% of docs a third time). Emits each row
+    ``floor(r)`` times plus one extra copy iff the row's keyed-hash
+    bucket falls under ``frac(r)``, with an ``epoch`` column (0-based
+    copy index) so downstream shuffling can salt per epoch.
+
+    ``repeats`` is a per-stratum dict (requires ``stratum_col``;
+    unlisted strata default to 1.0) or a single float for the whole
+    corpus. The choice of WHICH rows get the fractional extra copy is
+    keyed on (key, salt) — reproducible across runs, partitionings,
+    and engines, never ``rand()``.
+
+    Scale: pure in-row explode of a computed integer range — zero
+    shuffles, no state; the output is exactly ``Σ n_i`` rows. Rows
+    with ``r <= 0`` for their stratum are dropped (repeat 0 = excluded).
+    """
+    if isinstance(repeats, dict):
+        if stratum_col is None:
+            raise ValueError("stratum_col required with per-stratum repeats")
+        r_expr = F.lit(1.0)
+        for stratum, r in sorted(repeats.items()):
+            r_expr = F.when(
+                F.col(stratum_col) == stratum, F.lit(float(r))
+            ).otherwise(r_expr)
+    else:
+        r_expr = F.lit(float(repeats))
+    base = F.floor(r_expr).cast("long")
+    frac_cut = F.floor((r_expr - F.floor(r_expr)) * _BUCKETS).cast("long")
+    n = base + (
+        _bucket(F.col(key_col), salt, hash_fn) < frac_cut
+    ).cast("long")
+    copies = F.when(n > 0, F.sequence(F.lit(0), (n - 1).cast("int"))).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.select("*", F.explode(copies).alias("__epoch")).select(
+        *df.columns, F.col("__epoch").cast("long").alias("epoch")
+    )
+
+
+def length_buckets(
+    df: DataFrame,
+    cost_col: str,
+    boundaries: list[int],
+) -> DataFrame:
+    """Length-bucketed batching assignment: rows are binned by
+    ``cost_col`` (token count) against explicit ascending
+    ``boundaries`` — bucket ``i`` holds ``boundaries[i-1] <= cost <
+    boundaries[i]``, bucket 0 everything below the first boundary,
+    bucket ``len(boundaries)`` everything at or above the last. The
+    training-data shape: group similar-length sequences so per-batch
+    padding waste is bounded by the bucket width (dynamic batching /
+    bucketed bucketing in seq2seq training).
+
+    Appends ``bucket`` (long) plus the bucket's ``bucket_lo``
+    (inclusive) and ``bucket_hi`` (exclusive, null for the open top
+    bucket). Pure chained comparisons on a scanned column — zero
+    shuffle, fully pushed-down; aggregate downstream for per-bucket
+    batch stats. Null costs get a null bucket.
+    """
+    if sorted(boundaries) != list(boundaries) or len(set(boundaries)) != len(
+        boundaries
+    ):
+        raise ValueError("boundaries must be strictly ascending")
+    c = F.col(cost_col)
+    bucket = F.lit(len(boundaries)).cast("long")
+    for i in range(len(boundaries) - 1, -1, -1):
+        bucket = F.when(c < boundaries[i], F.lit(i).cast("long")).otherwise(
+            bucket
+        )
+    bucket = F.when(c.isNull(), F.lit(None).cast("long")).otherwise(bucket)
+    los = [0] + list(boundaries)
+    his = list(boundaries) + [None]
+    b = F.col("bucket")
+    lo = F.lit(None).cast("long")
+    hi = F.lit(None).cast("long")
+    for i in range(len(los) - 1, -1, -1):
+        lo = F.when(b == i, F.lit(los[i]).cast("long")).otherwise(lo)
+        hi = F.when(b == i, F.lit(his[i]).cast("long")).otherwise(hi)
+    return (
+        df.withColumn("bucket", bucket)
+        .withColumn("bucket_lo", lo)
+        .withColumn("bucket_hi", hi)
+    )

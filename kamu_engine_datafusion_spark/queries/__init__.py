@@ -71,6 +71,9 @@ _PRIORITY = [
     "xpipeline_embed",  # stage-4 MMR follows the half-up change
     "xbpe",  # trainer batched (top-k non-conflicting merges/round)
     "xbpe_encode",  # downstream of the batched trainer
+    # -- NEW in round 6 --
+    "xupsample_repeat",  # NEW: fractional epoch-mixing upsampler
+    "xlength_buckets",  # NEW: length-bucketed batching assignment
     # -- oldest driver-green (r03) block: a13…b41 + the r03 x keys --
     "a13_offsets_distributed",
     "a14_system_columns",

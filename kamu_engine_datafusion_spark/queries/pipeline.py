@@ -357,6 +357,51 @@ def q_xpack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xupsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional deterministic upsampling (epoch mixing): per-lang
+    repeat factors {en: 2.4, de: 1.5, fr: 0.5}, the extra fractional
+    copy chosen by keyed poly-hash — per-(lang, epoch) counts with
+    id_sum pinning the exact membership
+    (``operators/sampling.py::upsample_repeat``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        upsample_repeat,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    up = upsample_repeat(
+        t["documents"],
+        "doc_id",
+        {"en": 2.4, "de": 1.5, "fr": 0.5},
+        stratum_col="lang",
+        hash_fn="poly",
+    )
+    return up.groupBy("lang", "epoch").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+def q_xlength_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching: token costs binned against explicit
+    boundaries [32, 64, 128, 256, 512]; per-bucket doc and token
+    totals — the padding-waste planner for dynamic batching
+    (``operators/sampling.py::length_buckets``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        length_buckets,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("__cost", X.token_count("text"))
+    return (
+        length_buckets(d, "__cost", [32, 64, 128, 256, 512])
+        .groupBy("bucket", "bucket_lo", "bucket_hi")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__cost").alias("n_tokens"),
+        )
+    )
+
+
 def q_xvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-20 tokens by frequency with a
     deterministic (freq desc, token asc) rank."""
@@ -1607,6 +1652,8 @@ QUERIES = {
     "xcdc_ingest": q_xcdc_ingest,
     "xsample": q_xsample,
     "xsample_stratified": q_xsample_stratified,
+    "xupsample_repeat": q_xupsample_repeat,
+    "xlength_buckets": q_xlength_buckets,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -2354,6 +2401,40 @@ ORACLES = {
         "SELECT lang, count(*) AS n_docs, "
         "CAST(sum(doc_id) AS BIGINT) AS id_sum "
         "FROM r WHERE rn <= CEIL(n * 0.3) GROUP BY lang"
+    ),
+    "xupsample_repeat": (
+        "WITH c AS (SELECT lang, doc_id, "
+        "CASE lang WHEN 'en' THEN 2.4 WHEN 'de' THEN 1.5 "
+        "WHEN 'fr' THEN 0.5 ELSE 1.0 END AS r, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt "
+        "FROM documents), "
+        "n AS (SELECT lang, doc_id, CAST(floor(r) AS BIGINT) + "
+        "CASE WHEN bkt < CAST(floor((r - floor(r)) * 10000) AS BIGINT) "
+        "THEN 1 ELSE 0 END AS n FROM c), "
+        "e AS (SELECT lang, doc_id, "
+        "CAST(unnest(range(0, n)) AS BIGINT) AS epoch FROM n) "
+        "SELECT lang, epoch, count(*) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum "
+        "FROM e GROUP BY lang, epoch"
+    ),
+    "xlength_buckets": (
+        "WITH c AS (SELECT doc_id, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS cost FROM documents), "
+        "b AS (SELECT cost, CASE WHEN cost < 32 THEN 0 WHEN cost < 64 THEN 1 "
+        "WHEN cost < 128 THEN 2 WHEN cost < 256 THEN 3 WHEN cost < 512 "
+        "THEN 4 ELSE 5 END AS bucket FROM c), "
+        "g AS (SELECT CAST(bucket AS BIGINT) AS bucket, "
+        "CAST([0, 32, 64, 128, 256, 512][bucket + 1] AS BIGINT) AS bucket_lo, "
+        "CASE WHEN bucket < 5 THEN "
+        "CAST([32, 64, 128, 256, 512][bucket + 1] AS BIGINT) END AS bucket_hi, "
+        "cost FROM b) "
+        "SELECT bucket, bucket_lo, bucket_hi, count(*) AS n_docs, "
+        "CAST(sum(cost) AS BIGINT) AS n_tokens "
+        "FROM g GROUP BY bucket, bucket_lo, bucket_hi"
     ),
     "xsample_weighted": (
         "WITH h AS (SELECT doc_id, n_chars, "

@@ -186,3 +186,82 @@ def test_weighted_sample_excludes_nonpositive_weights(spark):
     )
     got = [r.doc_id for r in weighted_sample(df, "w", 10).collect()]
     assert got == [4]
+
+
+def test_upsample_repeat_counts_and_epochs(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        _BUCKETS,
+        _bucket,
+        upsample_repeat,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de") for i in range(1000)],
+        "doc_id long, lang string",
+    )
+    up = upsample_repeat(
+        df, "doc_id", {"en": 2.25, "de": 0.5}, stratum_col="lang"
+    )
+    rows = up.collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r["epoch"])
+    # epochs are dense 0..n-1 per doc
+    for epochs in per_doc.values():
+        assert sorted(epochs) == list(range(len(epochs)))
+    # en docs appear 2 or 3 times; de docs 0 or 1 times
+    en = [len(per_doc.get(i, [])) for i in range(1, 1000, 2)]
+    de = [len(per_doc.get(i, [])) for i in range(0, 1000, 2)]
+    assert set(en) <= {2, 3} and set(de) <= {0, 1}
+    # fractional shares land near the targets (hash-deterministic)
+    assert abs(sum(en) / len(en) - 2.25) < 0.1
+    assert abs(sum(de) / len(de) - 0.5) < 0.1
+    # exact membership reproducible: extra-copy iff bucket < frac cut
+    cuts = df.select(
+        "doc_id", "lang", _bucket(F.col("doc_id"), 0).alias("b")
+    ).collect()
+    for r in cuts:
+        want = (
+            (2 + (r["b"] < int(0.25 * _BUCKETS)))
+            if r["lang"] == "en"
+            else (0 + (r["b"] < int(0.5 * _BUCKETS)))
+        )
+        assert len(per_doc.get(r["doc_id"], [])) == want
+
+
+def test_upsample_repeat_scalar_and_plan(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        upsample_repeat,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(100)], "doc_id long")
+    up = upsample_repeat(df, "doc_id", 3.0)
+    assert up.count() == 300
+    plan = up._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure in-row explode, zero shuffle
+
+
+def test_length_buckets_boundaries_nulls_open_top(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        length_buckets,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, 5), (1, 32), (2, 31), (3, 100), (4, None), (5, 512), (6, 9999)],
+        "id long, cost int",
+    )
+    out = {
+        r["id"]: (r["bucket"], r["bucket_lo"], r["bucket_hi"])
+        for r in length_buckets(df, "cost", [32, 64, 128, 256, 512]).collect()
+    }
+    assert out[0] == (0, 0, 32)  # below first boundary
+    assert out[2] == (0, 0, 32)  # 31 < 32
+    assert out[1] == (1, 32, 64)  # boundary value is inclusive-low
+    assert out[3] == (2, 64, 128)
+    assert out[5] == (5, 512, None)  # open top bucket
+    assert out[6] == (5, 512, None)
+    assert out[4] == (None, None, None)  # null cost -> null bucket
+    with _pytest.raises(ValueError):
+        length_buckets(df, "cost", [64, 32])

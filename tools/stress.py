@@ -53,11 +53,94 @@ def build(data_dir: str, base_sf_dir: str = "/root/testdata/sf0.1") -> None:
     print(f"built {data_dir} (10x {base_sf_dir})")
 
 
+def build_tpch(data_dir: str, base_sf_dir: str = "/root/testdata/sf0.1") -> None:
+    """10× (≈sf1) TPC-H-ish tables: lineitem/orders replicated with
+    shifted keys (joins stay consistent), dims copied as-is — the
+    sf1 re-check of the stale §2 bench plans (r5 advice #7)."""
+    import duckdb
+
+    os.makedirs(data_dir, exist_ok=True)
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT l_orderkey + 100000000*r AS l_orderkey, l_partkey,
+                 l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+                 l_discount, l_tax, l_returnflag, l_linestatus,
+                 l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct,
+                 l_shipmode, l_comment
+          FROM '{base_sf_dir}/lineitem.parquet', range(0, 10) t(r)
+        ) TO '{data_dir}/lineitem.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
+        """
+    )
+    con.execute(
+        f"""
+        COPY (
+          SELECT o_orderkey + 100000000*r AS o_orderkey, o_custkey,
+                 o_orderstatus, o_totalprice, o_orderdate,
+                 o_orderpriority, o_clerk, o_shippriority, o_comment
+          FROM '{base_sf_dir}/orders.parquet', range(0, 10) t(r)
+        ) TO '{data_dir}/orders.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
+        """
+    )
+    for dim in ("customer", "supplier", "part", "nation", "region"):
+        con.execute(
+            f"COPY (SELECT * FROM '{base_sf_dir}/{dim}.parquet') TO "
+            f"'{data_dir}/{dim}.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)"
+        )
+    print(f"built 10x tpch tables in {data_dir}")
+
+
+def run_tpch(data_dir: str) -> None:
+    from kamu_engine_datafusion_spark import queries as q
+    from kamu_engine_datafusion_spark.session import odf_session
+
+    spark = odf_session("stress-tpch")
+    spark.sparkContext.setLogLevel("ERROR")
+    registry = q.registry()
+
+    def t(name, fn, reps=3):
+        best = None
+        for _ in range(reps):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        print(f"{name}: {best:.2f}s", flush=True)
+
+    for key in ("b16_groupby_agg", "b10_tpch_q5alike", "b26_tpch_q3alike",
+                "b17_count_distinct"):
+        fn = registry[key]
+        t(
+            key,
+            lambda fn=fn: fn(spark, data_dir)
+            .write.format("noop")
+            .mode("overwrite")
+            .save(),
+        )
+
+    import bench as B
+
+    times = B._bench_odf_transform(spark, data_dir)
+    print(f"odf_transform_filter_map: {min(times):.2f}s", flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--data-dir", default="/tmp/sfbig")
     ap.add_argument("--build-only", action="store_true")
+    ap.add_argument(
+        "--tpch",
+        action="store_true",
+        help="run the §2 bench queries on 10x TPC-H tables instead",
+    )
     args = ap.parse_args()
+
+    if args.tpch:
+        if not os.path.exists(f"{args.data_dir}/lineitem.parquet"):
+            build_tpch(args.data_dir)
+        run_tpch(args.data_dir)
+        return
 
     if not os.path.exists(f"{args.data_dir}/documents.parquet"):
         build(args.data_dir)
