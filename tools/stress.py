@@ -66,9 +66,7 @@ def build_tpch(data_dir: str, base_sf_dir: str = "/root/testdata/sf0.1") -> None
         COPY (
           SELECT l_orderkey + 100000000*r AS l_orderkey, l_partkey,
                  l_suppkey, l_linenumber, l_quantity, l_extendedprice,
-                 l_discount, l_tax, l_returnflag, l_linestatus,
-                 l_shipdate, l_commitdate, l_receiptdate, l_shipinstruct,
-                 l_shipmode, l_comment
+                 l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
           FROM '{base_sf_dir}/lineitem.parquet', range(0, 10) t(r)
         ) TO '{data_dir}/lineitem.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
         """
@@ -77,8 +75,7 @@ def build_tpch(data_dir: str, base_sf_dir: str = "/root/testdata/sf0.1") -> None
         f"""
         COPY (
           SELECT o_orderkey + 100000000*r AS o_orderkey, o_custkey,
-                 o_orderstatus, o_totalprice, o_orderdate,
-                 o_orderpriority, o_clerk, o_shippriority, o_comment
+                 o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
           FROM '{base_sf_dir}/orders.parquet', range(0, 10) t(r)
         ) TO '{data_dir}/orders.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
         """
