@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import warnings
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -156,5 +156,40 @@ def dedup_by_components(
     comps = connected_components(pairs)
     losers = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
+def canonical_by_score(
+    df: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-aware near-dup canonicalization: keep the HIGHEST-scoring
+    member of each duplicate component (ties → min id) instead of
+    :func:`dedup_by_components`' arbitrary min-id survivor — the
+    curation rule for web corpora where a cluster mixes a clean page
+    with its boilerplate-laden mirrors and the keeper should be the
+    best one, not the first one.
+
+    Rows in no pair survive untouched. Scale: the component table is
+    pair-node-cardinality (duplicates only, usually ≪ corpus); scores
+    join onto it by id, the per-component argmax is one window over
+    component-partitioned data, and the corpus is touched once by a
+    single anti-join of the losers.
+    """
+    comps = connected_components(pairs)
+    scored = comps.join(
+        df.select(F.col(id_col).alias("node"), F.col(score_col).alias("__s")),
+        "node",
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("__s").desc(), F.col("node")
+    )
+    losers = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") > 1)
+        .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")

@@ -169,3 +169,73 @@ def tfidf_topk_terms(
             F.col("__id").alias(id_col), "term", "tf", "tfidf", "term_rank"
         )
     )
+
+
+def hybrid_rrf(
+    sparse: DataFrame,
+    dense: DataFrame,
+    id_col: str = "doc_id",
+    sparse_score: str = "score",
+    dense_score: str = "cosine",
+    k_rrf: int = 60,
+    top_k: int = 10,
+    score_dp: int = 4,
+) -> DataFrame:
+    """Hybrid retrieval fusion by Reciprocal Rank Fusion (Cormack et
+    al.): combine a sparse (BM25) and a dense (embedding-cosine)
+    candidate list into ``rrf = Σ 1/(k + rank_i)``, summed over the
+    lists the document appears in — the standard zero-tuning fuser that
+    needs no score calibration between the two spaces.
+
+    Ranks are dense per list, ordered by (``score_dp``-rounded score
+    desc, id) so cross-engine float tails can't reorder them; a doc
+    absent from one list simply contributes nothing for it. Returns the
+    top ``top_k`` fused rows: ``(id, sparse_rank, dense_rank,
+    rrf_score, rank)`` with null ranks for single-list docs.
+
+    Scale contract: the inputs are RETRIEVAL OUTPUTS (top-k candidate
+    lists, ≤ thousands of rows), not corpora — the per-list rank
+    windows and the final fused sort are single-partition by design and
+    bounded by the list sizes. Fusing unbounded tables is a misuse.
+    """
+    r1 = sparse.select(
+        F.col(id_col),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col(sparse_score), score_dp).desc(), F.col(id_col)
+            )
+        )
+        .cast("long")
+        .alias("sparse_rank"),
+    )
+    r2 = dense.select(
+        F.col(id_col),
+        F.row_number()
+        .over(
+            Window.orderBy(
+                F.round(F.col(dense_score), score_dp).desc(), F.col(id_col)
+            )
+        )
+        .cast("long")
+        .alias("dense_rank"),
+    )
+    contrib = lambda c: F.coalesce(  # noqa: E731
+        1.0 / (F.lit(float(k_rrf)) + F.col(c)), F.lit(0.0)
+    )
+    fused = (
+        r1.join(r2, id_col, "full")
+        .withColumn(
+            "rrf_score",
+            F.round(contrib("sparse_rank") + contrib("dense_rank"), 6),
+        )
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("rrf_score").desc(), F.col(id_col)))
+            .cast("long"),
+        )
+    )
+    return fused.filter(F.col("rank") <= top_k).select(
+        id_col, "sparse_rank", "dense_rank", "rrf_score", "rank"
+    )

@@ -74,6 +74,8 @@ _PRIORITY = [
     # -- NEW in round 6 --
     "xupsample_repeat",  # NEW: fractional epoch-mixing upsampler
     "xlength_buckets",  # NEW: length-bucketed batching assignment
+    "xdedup_canonical",  # NEW: quality-aware canonical per component
+    "xhybrid_rrf",  # NEW: BM25+dense reciprocal-rank fusion
     # -- oldest driver-green (r03) block: a13…b41 + the r03 x keys --
     "a13_offsets_distributed",
     "a14_system_columns",
@@ -105,11 +107,13 @@ _PRIORITY = [
     "xtext_fingerprint",
     "xtext_gopher",
     "xtext_langid",
-    # ---- window boundary (~50). Round-6 composition: the 11 keys the
-    # driver has NEVER checked, the 4 keys red in r05 (oracles re-cast),
-    # 6 keys whose implementation changes this round, and the head of
-    # the r03-stale block. The r03 tail just below the cut
-    # (xtext_quality … xsample) rotates to the round-7 head. Everything
+    # ---- window boundary (~50 — the exact cut lands inside the r03
+    # block, around xsim_topk_brute/xskyline). Round-6 composition: the
+    # 11 keys the driver has NEVER checked, the 4 keys red in r05
+    # (oracles re-cast), 7 keys whose implementation/oracle changed
+    # this round, 4 brand-new round-6 keys, and the head of the
+    # r03-stale block. The r03 tail just below the cut
+    # (xsalted_agg … xsample) rotates to the round-7 head. Everything
     # below was driver-green in r04 (b05–b39 block) or r05 (the 50-key
     # r05 window), and the whole registry passes the local
     # check_correctness sweep — now hardened to fail loudly on any

@@ -174,6 +174,52 @@ def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonicalization: same Jaccard components as
+    ``xdedup_cluster`` but the survivor is the HIGHEST-n_chars member
+    (ties → min id) — per-lang survivor counts with id_sum pinning the
+    exact winner choice (``operators/clustering.py::canonical_by_score``).
+    """
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        canonical_by_score,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    pairs = D.ngram_jaccard_pairs(sub, block_cols="lang", threshold=0.6).select(
+        "id_a", "id_b"
+    )
+    return (
+        canonical_by_score(sub, pairs, "n_chars")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
+def q_xhybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 candidates fused with dense cosine top-50
+    (query vec_id=0) by reciprocal rank fusion, k=60 — final top-10
+    with both per-list ranks (``operators/retrieval.py::hybrid_rrf``)."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_scores,
+        hybrid_rrf,
+    )
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        topk_bruteforce,
+    )
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    sparse = bm25_scores(t["documents"], ["hash", "merge", "stream", "vector"])
+    emb = t["embeddings"]
+    dense = topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") == 0), k=50, dim=64
+    ).withColumnRenamed("vec_id", "doc_id")
+    return hybrid_rrf(sparse, dense, k_rrf=60, top_k=10)
+
+
 def q_xdedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via SRP-LSH banding (deterministic
     integer-LCG hyperplanes → the oracle reproduces the exact pipeline:
@@ -1711,6 +1757,8 @@ QUERIES = {
     "xdedup_simhash": q_xdedup_simhash,
     "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
     "xdedup_cluster": q_xdedup_cluster,
+    "xdedup_canonical": q_xdedup_canonical,
+    "xhybrid_rrf": q_xhybrid_rrf,
     "xdedup_semantic": q_xdedup_semantic,
     "xdedup_paragraph": q_xdedup_paragraph,
     "xdedup_spans": q_xdedup_spans,
@@ -3258,6 +3306,69 @@ ORACLES = {
         "SELECT lang, count(*) AS n_docs FROM documents "
         "WHERE doc_id < 300 AND doc_id NOT IN (SELECT node FROM losers) "
         "GROUP BY lang"
+    ),
+    "xdedup_canonical": (
+        "WITH RECURSIVE toks AS (SELECT doc_id, lang, "
+        f"{_NORM_TOKENS} AS tok FROM documents WHERE doc_id < 300), "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a "
+        "JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
+        "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.6), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "UNION SELECT e.src, reach.r FROM edges e "
+        "JOIN reach ON e.dst = reach.node), "
+        "comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node), "
+        "sel AS (SELECT comp.node, comp.component, d.n_chars "
+        "FROM comp JOIN documents d ON comp.node = d.doc_id), "
+        "losers AS (SELECT node FROM (SELECT node, row_number() OVER ("
+        "PARTITION BY component ORDER BY n_chars DESC, node) AS rn FROM sel) "
+        "WHERE rn > 1) "
+        "SELECT lang, count(*) AS n_docs, "
+        "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM documents "
+        "WHERE doc_id < 300 AND doc_id NOT IN (SELECT node FROM losers) "
+        "GROUP BY lang"
+    ),
+    "xhybrid_rrf": (
+        "WITH tok AS (SELECT doc_id, "
+        "len(string_split_regex(trim(lower(text)), '\\s+')) AS dl, "
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t "
+        "FROM documents), "
+        "m AS (SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl "
+        "FROM tok WHERE t IN ('hash', 'merge', 'stream', 'vector') "
+        "GROUP BY doc_id, t), "
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+        "avg(len(string_split_regex(trim(lower(text)), '\\s+'))) AS avgdl "
+        "FROM documents), "
+        "dfq AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY t), "
+        "bm AS (SELECT doc_id, "
+        "sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) "
+        "* tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
+        ") AS score FROM m JOIN dfq USING (t) CROSS JOIN st GROUP BY doc_id), "
+        "s AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS sparse_rank "
+        "FROM bm), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "
+        "FROM embeddings WHERE vec_id = 0), "
+        "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d "
+        "FROM embeddings), "
+        "dn AS (SELECT vec_id AS doc_id, cosine FROM ("
+        "SELECT e.vec_id, round(list_dot_product(e.emb_d, q.emb_d) / "
+        "(sqrt(list_dot_product(e.emb_d, e.emb_d)) * "
+        "sqrt(list_dot_product(q.emb_d, q.emb_d))), 6) AS cosine "
+        "FROM e, q) ORDER BY cosine DESC, doc_id LIMIT 50), "
+        "d AS (SELECT doc_id, CAST(row_number() OVER ("
+        "ORDER BY round(cosine, 4) DESC, doc_id) AS BIGINT) AS dense_rank "
+        "FROM dn), "
+        "f AS (SELECT doc_id, sparse_rank, dense_rank, "
+        "round(coalesce(1.0 / (60 + sparse_rank), 0) + "
+        "coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf_score "
+        "FROM s FULL JOIN d USING (doc_id)) "
+        "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM ("
+        "SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) "
+        "AS BIGINT) AS rank FROM f) WHERE rank <= 10"
     ),
     "xdedup_embcos": _embcos_srp_oracle(
         threshold=0.4, num_bands=8, bits_per_band=4

@@ -108,3 +108,37 @@ def test_star_vs_bruteforce_random_graphs(spark):
         )
         got = {r["node"]: r["component"] for r in comps.collect()}
         assert got == want, f"trial {trial}"
+
+
+def test_canonical_by_score_keeps_best_member(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        canonical_by_score,
+        dedup_by_components,
+    )
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, 99.0), (3, 50.0), (4, 7.0), (5, 3.0), (9, 1.0)],
+        "doc_id long, quality double",
+    )
+    # components {1,2,3} and {4,5}; 9 untouched
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a long, id_b long"
+    )
+    kept = sorted(
+        r["doc_id"] for r in canonical_by_score(df, pairs, "quality").collect()
+    )
+    assert kept == [2, 4, 9]  # best of each component + the loner
+    # contrast: min-id survivor picks 1 and 4
+    kept_min = sorted(
+        r["doc_id"] for r in dedup_by_components(df, pairs).collect()
+    )
+    assert kept_min == [1, 4, 9]
+    # tie on score -> min id wins
+    df2 = spark.createDataFrame(
+        [(1, 5.0), (2, 5.0)], "doc_id long, quality double"
+    )
+    pairs2 = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    assert [
+        r["doc_id"] for r in canonical_by_score(df2, pairs2, "quality").collect()
+    ] == [1]

@@ -148,3 +148,55 @@ def test_shuffle_salt_changes_permutation(spark):
     p1 = {r["k"]: r["shuffle_rank"] for r in shuffle_rank(df, "k", salt=1, mode="serial").collect()}
     assert p0 != p1  # epoch reshuffle
     assert sorted(p1.values()) == list(range(2_000))
+
+
+def test_hybrid_rrf_fusion_brute_force(spark):
+    from kamu_engine_datafusion_spark.operators.retrieval import hybrid_rrf
+
+    sparse = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 3.0), (4, 1.0)], "doc_id long, score double"
+    )
+    dense = spark.createDataFrame(
+        [(3, 0.9), (5, 0.8), (1, 0.7)], "doc_id long, cosine double"
+    )
+    out = {
+        r["doc_id"]: (
+            r["sparse_rank"], r["dense_rank"], r["rrf_score"], r["rank"]
+        )
+        for r in hybrid_rrf(sparse, dense, k_rrf=60, top_k=10).collect()
+    }
+    # brute-force RRF
+    import math
+
+    s_rank = {1: 1, 2: 2, 3: 3, 4: 4}
+    d_rank = {3: 1, 5: 2, 1: 3}
+    for doc in {1, 2, 3, 4, 5}:
+        want = round(
+            (1.0 / (60 + s_rank[doc]) if doc in s_rank else 0.0)
+            + (1.0 / (60 + d_rank[doc]) if doc in d_rank else 0.0),
+            6,
+        )
+        assert math.isclose(out[doc][2], want), doc
+    # doc 3 (rank 3 sparse + rank 1 dense) beats doc 1 (1 + 3)? equal
+    # contributions by symmetry -> tie broken by id: doc 1 first
+    assert out[1][3] < out[3][3]
+    # single-list docs carry a null rank for the missing side
+    assert out[2][1] is None and out[5][0] is None
+    assert len(out) == 5
+
+
+def test_hybrid_rrf_top_k_cut(spark):
+    from kamu_engine_datafusion_spark.operators.retrieval import hybrid_rrf
+
+    sparse = spark.createDataFrame(
+        [(i, float(100 - i)) for i in range(20)], "doc_id long, score double"
+    )
+    dense = spark.createDataFrame(
+        [(i, 1.0 - i / 100.0) for i in range(10, 30)],
+        "doc_id long, cosine double",
+    )
+    out = hybrid_rrf(sparse, dense, top_k=5).collect()
+    assert len(out) == 5
+    assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [
+        1, 2, 3, 4, 5,
+    ]
