@@ -187,3 +187,79 @@ def cdc_to_ledger(
             *[F.col(f"__r.{f}").alias(f) for f in data_fields],
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    primary_key: str | list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """Derive an ODF changelog from TWO SNAPSHOT STATES of a keyed
+    table — the inverse of ``snapshot_of_ledger`` and the automation of
+    the manual `op`-propagation the reference leaves to its users
+    (reference ``README.md:20``: retractions/corrections "must be
+    handled manually"; op vocabulary ``src/engine.rs:521-533``):
+
+    - key only in ``new``                         → Append(0) of new
+    - key only in ``old``                         → Retract(1) of old
+    - key in both, any compare column differing
+      (null-safe)                                 → CorrectFrom(2) of
+      old IMMEDIATELY followed by CorrectTo(3) of new
+    - key in both, all compare columns equal      → nothing
+
+    Returns one row per emitted record: the key columns, the compared
+    columns, ``op``, and ``__half`` (0 = from-half, 1 = to-half) so a
+    downstream offset assigner ordering by (key, ``__half``) keeps each
+    correction pair adjacent — the same contract as
+    :func:`cdc_to_ledger`. This is the standard way to CDC-ify sources
+    that only offer periodic full dumps.
+
+    Scale: ONE full-outer shuffle join on the key (both sides hashed
+    once); the classification and pair fan-out are in-row. Feeding two
+    100 TB snapshots is a key-partitioned join — bucketize both dumps
+    on the key to make it co-located.
+    """
+    keys = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    if compare_cols is None:
+        compare_cols = [c for c in new.columns if c not in keys]
+
+    def side(df: DataFrame, tag: str) -> DataFrame:
+        return df.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"__{tag}_{c}") for c in compare_cols],
+            F.lit(1).alias(f"__in_{tag}"),
+        )
+
+    j = side(old, "o").join(side(new, "n"), keys, "full")
+    changed = None
+    for c in compare_cols:
+        d = ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        changed = d if changed is None else (changed | d)
+
+    def image(tag: str, code: int, half: int):
+        return F.struct(
+            F.lit(code).cast("int").alias("__op"),
+            F.lit(half).cast("int").alias("__half"),
+            *[F.col(f"__{tag}_{c}").alias(c) for c in compare_cols],
+        )
+
+    in_o, in_n = F.col("__in_o").isNotNull(), F.col("__in_n").isNotNull()
+    recs = (
+        F.when(in_n & ~in_o, F.array(image("n", 0, 0)))
+        .when(in_o & ~in_n, F.array(image("o", 1, 0)))
+        .when(
+            in_o & in_n & (changed if changed is not None else F.lit(False)),
+            F.array(image("o", 2, 0), image("n", 3, 1)),
+        )
+        .otherwise(F.array())
+    )
+    return (
+        j.select(*keys, F.explode(recs).alias("__r"))
+        .select(
+            F.col("__r.__op").alias("op"),
+            F.col("__r.__half").alias("__half"),
+            *keys,
+            *[F.col(f"__r.{c}").alias(c) for c in compare_cols],
+        )
+    )

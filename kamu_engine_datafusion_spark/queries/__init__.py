@@ -76,6 +76,7 @@ _PRIORITY = [
     "xlength_buckets",  # NEW: length-bucketed batching assignment
     "xdedup_canonical",  # NEW: quality-aware canonical per component
     "xhybrid_rrf",  # NEW: BM25+dense reciprocal-rank fusion
+    "xsnapshot_diff",  # NEW: snapshot→changelog CDC diff
     # -- oldest driver-green (r03) block: a13…b41 + the r03 x keys --
     "a13_offsets_distributed",
     "a14_system_columns",

@@ -174,6 +174,31 @@ def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsnapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-changelog CDC: diff two derived states of ``orders``
+    (drops, inserts, +1.0 price corrections) into ODF ops — appends for
+    new-only keys, retracts for old-only, adjacent CorrectFrom/
+    CorrectTo pairs for value changes
+    (``operators/changelog.py::snapshot_diff``)."""
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        snapshot_diff,
+    )
+
+    t = load(spark, sf_dir, "orders")
+    od = t["orders"]
+    old = od.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = od.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice")
+            + F.when(F.col("o_orderkey") % 3 == 0, 1.0).otherwise(0.0)
+        ).alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, "o_orderkey")
+
+
 def q_xdedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware canonicalization: same Jaccard components as
     ``xdedup_cluster`` but the survivor is the HIGHEST-n_chars member
@@ -1759,6 +1784,7 @@ QUERIES = {
     "xdedup_cluster": q_xdedup_cluster,
     "xdedup_canonical": q_xdedup_canonical,
     "xhybrid_rrf": q_xhybrid_rrf,
+    "xsnapshot_diff": q_xsnapshot_diff,
     "xdedup_semantic": q_xdedup_semantic,
     "xdedup_paragraph": q_xdedup_paragraph,
     "xdedup_spans": q_xdedup_spans,
@@ -3306,6 +3332,27 @@ ORACLES = {
         "SELECT lang, count(*) AS n_docs FROM documents "
         "WHERE doc_id < 300 AND doc_id NOT IN (SELECT node FROM losers) "
         "GROUP BY lang"
+    ),
+    "xsnapshot_diff": (
+        "WITH o AS (SELECT o_orderkey, o_totalprice FROM orders "
+        "WHERE o_orderkey % 5 != 0), "
+        "n AS (SELECT o_orderkey, o_totalprice + CASE WHEN "
+        "o_orderkey % 3 = 0 THEN 1.0 ELSE 0.0 END AS o_totalprice "
+        "FROM orders WHERE o_orderkey % 7 != 0), "
+        "j AS (SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k, "
+        "o.o_orderkey AS ok, n.o_orderkey AS nk, "
+        "o.o_totalprice AS op_, n.o_totalprice AS np "
+        "FROM o FULL JOIN n ON o.o_orderkey = n.o_orderkey) "
+        "SELECT CAST(0 AS INT) AS op, CAST(0 AS INT) AS __half, "
+        "k AS o_orderkey, np AS o_totalprice FROM j WHERE ok IS NULL "
+        "UNION ALL SELECT CAST(1 AS INT), CAST(0 AS INT), k, op_ "
+        "FROM j WHERE nk IS NULL "
+        "UNION ALL SELECT CAST(2 AS INT), CAST(0 AS INT), k, op_ "
+        "FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL "
+        "AND op_ IS DISTINCT FROM np "
+        "UNION ALL SELECT CAST(3 AS INT), CAST(1 AS INT), k, np "
+        "FROM j WHERE ok IS NOT NULL AND nk IS NOT NULL "
+        "AND op_ IS DISTINCT FROM np"
     ),
     "xdedup_canonical": (
         "WITH RECURSIVE toks AS (SELECT doc_id, lang, "

@@ -108,3 +108,73 @@ def test_cdc_roundtrip_into_changelog_agg(spark):
     ]
     state = changelog_agg(ledger, ["k"], {"vs": "v"})
     assert sorted(map(tuple, state.collect())) == [("a", 1, 12.0)]
+
+
+def test_snapshot_diff_classifies_and_pairs(spark):
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        snapshot_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0), (4, None)],
+        "k long, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0), (3, 31.0), (4, None), (5, 50.0)],
+        "k long, v double",
+    )
+    rows = sorted(
+        tuple(r) for r in snapshot_diff(old, new, "k").collect()
+    )
+    assert rows == sorted(
+        [
+            (0, 0, 5, 50.0),  # append: key only in new
+            (1, 0, 1, 10.0),  # retract: key only in old
+            (2, 0, 3, 30.0),  # correction pair for the changed value
+            (3, 1, 3, 31.0),
+            # keys 2 (equal) and 4 (null == null, null-safe) emit nothing
+        ]
+    )
+
+
+def test_snapshot_diff_roundtrips_through_snapshot(spark):
+    """The defining property: appending the diff changelog to a ledger
+    whose snapshot is `old` must make the snapshot equal `new`."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        snapshot_diff,
+    )
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        snapshot_of_ledger,
+    )
+
+    old_rows = [(1, 10.0), (2, 20.0), (3, 30.0)]
+    new_rows = [(2, 21.0), (3, 30.0), (9, 90.0)]
+    old = spark.createDataFrame(old_rows, "k long, v double")
+    new = spark.createDataFrame(new_rows, "k long, v double")
+
+    base = spark.createDataFrame(
+        [(i, 0, k, v) for i, (k, v) in enumerate(old_rows)],
+        "offset long, op int, k long, v double",
+    ).withColumn("system_time", F.lit(None).cast("timestamp"))
+
+    diff = snapshot_diff(old, new, "k")
+    w_rows = sorted(
+        tuple(r) for r in diff.collect()
+    )  # (op, __half, k, v) — order pairs by (k, __half)
+    appended = [
+        (100 + i, op, k, v)
+        for i, (op, half, k, v) in enumerate(
+            sorted(w_rows, key=lambda t: (t[2], t[1]))
+        )
+    ]
+    ledger = base.unionByName(
+        spark.createDataFrame(
+            appended, "offset long, op int, k long, v double"
+        ).withColumn("system_time", F.lit(None).cast("timestamp"))
+    )
+    got = sorted(
+        (r["k"], r["v"]) for r in snapshot_of_ledger(ledger, "k").collect()
+    )
+    assert got == sorted(new_rows)
