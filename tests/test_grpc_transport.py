@@ -390,3 +390,80 @@ def test_grpc_two_sequential_calls_one_connection(grpc_port, tmp_path):
             assert kind == fb.UNION_SUCCESS
     finally:
         client.close()
+
+
+def test_grpc_interleaved_streams_demultiplex(grpc_port, tmp_path):
+    """A coordinator may pipeline: HEADERS(1), HEADERS(3), DATA(1),
+    DATA(3) interleaved on one connection. The server must track each
+    stream independently and answer both (responses demultiplexed by
+    stream id)."""
+    ledger = write_cities_ledger(str(tmp_path / "input.parquet"))
+    bodies = []
+    for i in range(2):
+        out = str(tmp_path / f"ix{i}.parquet")
+        bodies.append(
+            _reference_request(ledger, out, str(tmp_path / f"ic{i}"))
+        )
+
+    sock = socket.create_connection(("127.0.0.1", grpc_port), timeout=30)
+    try:
+        decoder = HpackDecoder()
+        sock.sendall(PREFACE + pack_frame(F_SETTINGS, 0, 0, b""))
+        # interleave: both HEADERS first, then both DATA frames
+        frames = b""
+        for sid, body in zip((1, 3), bodies):
+            frames += pack_frame(
+                F_HEADERS,
+                FLAG_END_HEADERS,
+                sid,
+                _client_headers("/engine.Engine/ExecuteTransform", "x"),
+            )
+        for sid, body in zip((1, 3), bodies):
+            frames += pack_frame(
+                F_DATA,
+                FLAG_END_STREAM,
+                sid,
+                grpc_frame(proto_wrap(fb.encode_transform_request(body))),
+            )
+        sock.sendall(frames)
+
+        done: dict[int, dict] = {}
+        headers: dict[int, list] = {1: [], 3: []}
+        data: dict[int, bytearray] = {1: bytearray(), 3: bytearray()}
+
+        def recv_exact(n):
+            buf = bytearray()
+            while len(buf) < n:
+                chunk = sock.recv(n - len(buf))
+                if not chunk:
+                    raise ConnectionError("closed")
+                buf += chunk
+            return bytes(buf)
+
+        while len(done) < 2:
+            head = recv_exact(9)
+            length = int.from_bytes(head[:3], "big")
+            ftype, flags = head[3], head[4]
+            sid = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+            payload = recv_exact(length) if length else b""
+            if ftype == F_SETTINGS and not flags & FLAG_ACK:
+                sock.sendall(pack_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+            elif ftype == F_HEADERS:
+                headers[sid] += decoder.decode(payload)
+                if flags & FLAG_END_STREAM:
+                    done[sid] = dict(headers[sid])
+            elif ftype == F_DATA:
+                data[sid] += payload
+                if flags & FLAG_END_STREAM:
+                    done[sid] = dict(headers[sid])
+
+        for sid in (1, 3):
+            assert done[sid]["grpc-status"] == "0", done[sid]
+            msgs = grpc_unframe(bytes(data[sid]))
+            kind, resp = fb.decode_response(
+                proto_unwrap(msgs[0]), "TransformResponseSuccess"
+            )
+            assert kind == fb.UNION_SUCCESS
+            assert resp["new_offset_interval"] == {"start": 0, "end": 2}
+    finally:
+        sock.close()

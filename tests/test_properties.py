@@ -412,3 +412,45 @@ def test_merge_intervals_equals_sweep_line(spark, spans):
         else:
             merged.append([s, e, 1])
     assert got == [tuple(m) for m in merged]
+
+
+@_slow
+@given(
+    old_state=st.dictionaries(
+        st.integers(0, 30), st.one_of(st.none(), st.integers(-5, 5)),
+        max_size=20,
+    ),
+    new_state=st.dictionaries(
+        st.integers(0, 30), st.one_of(st.none(), st.integers(-5, 5)),
+        max_size=20,
+    ),
+)
+def test_snapshot_diff_roundtrip_property(spark, old_state, new_state):
+    """For ANY two keyed states (including null values and empty
+    states): appending snapshot_diff(old, new) to a ledger whose
+    snapshot is `old` re-snapshots to exactly `new`."""
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        snapshot_diff,
+    )
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        snapshot_of_ledger,
+    )
+
+    schema = "k long, v long"
+    old = spark.createDataFrame(list(old_state.items()) or [], schema)
+    new = spark.createDataFrame(list(new_state.items()) or [], schema)
+    diff = sorted(
+        (tuple(r) for r in snapshot_diff(old, new, "k").collect()),
+        key=lambda t: (t[2], t[1]),  # (key, __half): pairs stay adjacent
+    )
+    base = [(i, 0, k, v) for i, (k, v) in enumerate(old_state.items())]
+    appended = [
+        (100 + i, op, k, v) for i, (op, half, k, v) in enumerate(diff)
+    ]
+    ledger = spark.createDataFrame(
+        base + appended, "offset long, op int, k long, v long"
+    ).withColumn("system_time", F.lit(None).cast("timestamp"))
+    got = {
+        r["k"]: r["v"] for r in snapshot_of_ledger(ledger, "k").collect()
+    }
+    assert got == new_state
