@@ -52,6 +52,40 @@ def canon(v):
     return v
 
 
+def canon_type(t: str) -> str:
+    """Map a Spark ``simpleString`` or DuckDB type name into one
+    vocabulary so column TYPES are compared, not just names — a
+    latent int-vs-double or decimal-width drift flips the driver's
+    value hash even when the printed numbers look alike."""
+    t = t.strip().lower()
+    if t.endswith("[]"):
+        return f"array<{canon_type(t[:-2])}>"
+    if t.startswith("array<") and t.endswith(">"):
+        return f"array<{canon_type(t[6:-1])}>"
+    base = {
+        "integer": "int",
+        "int": "int",
+        "smallint": "int",
+        "tinyint": "int",
+        "bigint": "bigint",
+        "hugeint": "HUGEINT-FORBIDDEN",
+        "double": "double",
+        "float": "float",
+        "real": "float",
+        "varchar": "string",
+        "string": "string",
+        "boolean": "boolean",
+        "date": "date",
+    }
+    if t in base:
+        return base[t]
+    if t.startswith("timestamp"):
+        return "timestamp"
+    if t.startswith("decimal"):
+        return t.replace(" ", "")
+    return t
+
+
 def rows_key(rows):
     return sorted(
         (tuple(canon(v) for v in r) for r in rows),
@@ -125,6 +159,36 @@ def main() -> int:
         problems = []
         if scols != ocols:
             problems.append(f"cols {scols} != {ocols}")
+        else:
+            # Compare type EQUIVALENCE CLASSES, not exact types: the
+            # driver's fetch canonicalizes int32/int64 both to Python
+            # int and decimal/float both to float (verified by
+            # driver-green keys carrying int-vs-bigint and
+            # double-vs-decimal differences), so only cross-class
+            # drift — e.g. string vs int, timestamp vs date — can
+            # actually flip its hash. (HUGEINT is caught by the
+            # dedicated gate above, which fires first.)
+            def tclass(t: str) -> str:
+                c = canon_type(t)
+                if c in ("int", "bigint"):
+                    return "integer"
+                if c in ("double", "float") or c.startswith("decimal"):
+                    return "floating"
+                if c.startswith("array<"):
+                    return f"array<{tclass(c[6:-1])}>"
+                return c
+
+            stypes = [
+                tclass(f.dataType.simpleString()) for f in sdf.schema.fields
+            ]
+            otypes = [tclass(str(t)) for t in rel.types]
+            mism = [
+                f"{c}: spark {a} != oracle {b}"
+                for c, a, b in zip(scols, stypes, otypes)
+                if a != b
+            ]
+            if mism:
+                problems.append("type classes differ: " + "; ".join(mism))
         if len(srows) != len(orows):
             problems.append(f"rowcount {len(srows)} != {len(orows)}")
         if not problems:
