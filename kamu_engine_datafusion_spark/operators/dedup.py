@@ -120,6 +120,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     seed: int = 42,
     base_hash: str = "xxhash64",
+    layout: str = "explode",
 ) -> DataFrame:
     """Per-document MinHash signatures via the scalable explode→groupBy
     formulation: shingles are hashed WITHOUT materializing strings
@@ -137,24 +138,51 @@ def minhash_signatures(
     ``"poly"`` (polynomial char hash over string shingles — slower but
     reproducible in plain SQL, enabling a full cross-engine oracle of
     the LSH pipeline).
+
+    ``layout="inrow"`` computes the signature with ZERO shuffle: the
+    distinct shingle-hash array is materialized once per row (its own
+    projection, so Catalyst can't inline 32 copies of the shingle
+    pipeline) and each hash function is an ``array_min(transform(...))``
+    over it. On a many-split 100 TB corpus this is the better shape —
+    parallelism comes from the input splits and the exchange disappears;
+    on the local one-file bench input it's SLOWER (measured 1.1s vs
+    0.75s warm at sf0.1) because without the shuffle there's nothing to
+    fan the single input partition out to 32 cores. Default stays
+    ``"explode"``; both layouts produce identical signatures
+    (equivalence pytest).
     """
     if base_hash == "poly":
-        shingled = df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                F.array_distinct(word_shingles(tokens(text_col), shingle_len))
-            ).alias("__sh"),
-        ).select("__id", poly_hash31(F.col("__sh")).alias("__h"))
-    else:
-        shingled = df.select(
-            F.col(id_col).alias("__id"),
-            F.explode(
-                F.array_distinct(shingle_hash_array(tokens(text_col), shingle_len))
-            ).alias("__h"),
+        hash_arr = F.transform(
+            word_shingles(tokens(text_col), shingle_len),
+            lambda s: poly_hash31(s),
         )
+    else:
+        hash_arr = shingle_hash_array(tokens(text_col), shingle_len)
+    coeffs = minhash_coeffs(num_hashes, seed)
+    if layout == "inrow":
+        # size guard matches the explode path: a doc with no shingles
+        # has no signature (explode drops it; array_min would null it)
+        d = df.select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(hash_arr).alias("__sharr"),
+        ).filter(F.size("__sharr") > 0)
+        mins = [
+            F.array_min(
+                F.transform("__sharr", lambda h: (h * a + b) % _MERSENNE_31)
+            ).alias(f"__mh{j}")
+            for j, (a, b) in enumerate(coeffs)
+        ]
+        return d.select("__id", *mins).select(
+            "__id",
+            F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("__sig"),
+        )
+    shingled = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(hash_arr)).alias("__h"),
+    )
     aggs = [
         F.min((F.col("__h") * a + b) % _MERSENNE_31).alias(f"__mh{j}")
-        for j, (a, b) in enumerate(minhash_coeffs(num_hashes, seed))
+        for j, (a, b) in enumerate(coeffs)
     ]
     return shingled.groupBy("__id").agg(*aggs).select(
         "__id", F.array(*[f"__mh{j}" for j in range(num_hashes)]).alias("__sig")

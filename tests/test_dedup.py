@@ -1,0 +1,54 @@
+"""MinHash signature layout equivalence (explode+groupBy vs zero-shuffle
+in-row) — ``operators/dedup.py::minhash_signatures``."""
+
+
+
+def test_minhash_signature_layouts_identical(spark):
+    """The zero-shuffle in-row signature layout must produce exactly
+    the explode+groupBy signatures for both hash backends — including
+    dropping shingle-less docs the same way."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different text entirely here now"),
+            (4, "too short"),  # < shingle_len tokens -> no shingles
+            (5, ""),
+            (6, None),
+        ],
+        "doc_id long, text string",
+    )
+    for bh in ("xxhash64", "poly"):
+        a = {
+            r["__id"]: list(r["__sig"])
+            for r in minhash_signatures(df, base_hash=bh).collect()
+        }
+        b = {
+            r["__id"]: list(r["__sig"])
+            for r in minhash_signatures(
+                df, base_hash=bh, layout="inrow"
+            ).collect()
+        }
+        assert a == b  # identical ids AND identical signature vectors
+        assert 1 in a and 2 in a and a[1] != a[2]
+
+
+def test_minhash_inrow_layout_has_no_shuffle(spark):
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h")], "doc_id long, text string"
+    )
+    plan = (
+        minhash_signatures(df, layout="inrow")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
