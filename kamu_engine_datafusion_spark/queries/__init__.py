@@ -77,6 +77,8 @@ _PRIORITY = [
     "xdedup_canonical",  # NEW: quality-aware canonical per component
     "xhybrid_rrf",  # NEW: BM25+dense reciprocal-rank fusion
     "xsnapshot_diff",  # NEW: snapshot→changelog CDC diff
+    "xchangelog_merge",  # NEW: maintained-view merge ≡ recompute
+    "xsnapshot_merge",  # NEW: maintained-snapshot fold ≡ batch
     # -- oldest driver-green (r03) block: a13…b41 + the r03 x keys --
     "a13_offsets_distributed",
     "a14_system_columns",

@@ -1038,6 +1038,76 @@ def q_xchangelog_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xchangelog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-view MERGE path, driver-verified: the retractable
+    ledger is split into three ticks, each reduced with
+    ``changelog_agg(keep_dead_groups=True)`` and folded into the running
+    state with ``merge_changelog_aggs`` — exactly the per-tick
+    maintenance step of ``streaming/structured.py::maintained_view``.
+    The oracle aggregates the WHOLE history directly, so a hash match
+    proves merge ≡ recompute through the driver (previously only a
+    pytest property)."""
+    from kamu_engine_datafusion_spark.operators.changelog import (
+        changelog_agg,
+        merge_changelog_aggs,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ledger = t["events"].select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 4).cast("int").alias("op"),
+        "event_type",
+        "value",
+    )
+    state = None
+    for k in range(3):
+        tick = ledger.filter(F.col("offset") % 3 == k)
+        inc = changelog_agg(
+            tick, ["event_type"], {"value_sum": "value"}, keep_dead_groups=True
+        )
+        state = (
+            inc.filter(F.col("n_live") != 0)
+            if state is None
+            else merge_changelog_aggs(state, inc, ["event_type"])
+        )
+    return state.select(
+        "event_type",
+        F.col("n_live").cast("long").alias("n_live"),
+        "value_sum",
+    )
+
+
+def q_xsnapshot_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-snapshot MERGE path, driver-verified: three ticks
+    folded by latest-record-per-key with tombstones retained across
+    ticks (``streaming/structured.py::maintained_snapshot``'s fold),
+    live rows selected at the end. Oracle = latest-per-key over the
+    whole ledger directly — hash match proves the fold reproduces the
+    batch snapshot."""
+    from pyspark.sql import Window
+
+    t = load(spark, sf_dir, "events")
+    ledger = t["events"].select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 4).cast("int").alias("op"),
+        "user_id",
+        "value",
+    )
+    state = None
+    w = Window.partitionBy("user_id").orderBy(F.col("offset").desc())
+    for k in range(3):
+        tick = ledger.filter(F.col("offset") % 3 == k)
+        merged = tick if state is None else state.unionByName(tick)
+        state = (
+            merged.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    return state.filter(~F.col("op").isin(1, 2)).select(
+        "user_id", "offset", "op", "value"
+    )
+
+
 def q_xoutliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust per-group outlier detection (modified z-score, median/MAD
     — Iglewicz–Hoaglin): flag events whose value sits > 3.5 robust
@@ -1750,6 +1820,8 @@ QUERIES = {
     "xfunnel": q_xfunnel,
     "xretention": q_xretention,
     "xchangelog_agg": q_xchangelog_agg,
+    "xchangelog_merge": q_xchangelog_merge,
+    "xsnapshot_merge": q_xsnapshot_merge,
     "xoutliers": q_xoutliers,
     "xtext_clean": q_xtext_clean,
     "xbigram_lm": q_xbigram_lm,
@@ -2888,6 +2960,25 @@ ORACLES = {
         "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
         "/ 1000000.0 AS value_sum "
         "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xchangelog_merge": (
+        # whole-history recompute — the Spark side folds tick-by-tick,
+        # so a hash match proves merge ≡ recompute at the driver
+        "WITH w AS (SELECT event_type, "
+        "CASE WHEN CAST(event_id % 4 AS INT) IN (1, 2) THEN -1 ELSE 1 END "
+        "AS wt, value FROM events) "
+        "SELECT event_type, CAST(sum(wt) AS BIGINT) AS n_live, "
+        "CAST(sum(wt * CAST(round(value * 1000000) AS BIGINT)) AS DOUBLE) "
+        "/ 1000000.0 AS value_sum "
+        "FROM w GROUP BY event_type HAVING sum(wt) != 0"
+    ),
+    "xsnapshot_merge": (
+        'WITH l AS (SELECT event_id AS "offset", '
+        "CAST(event_id % 4 AS INT) AS op, user_id, value FROM events), "
+        "r AS (SELECT *, row_number() OVER (PARTITION BY user_id "
+        'ORDER BY "offset" DESC) AS rn FROM l) '
+        'SELECT user_id, "offset", op, value FROM r '
+        "WHERE rn = 1 AND op NOT IN (1, 2)"
     ),
     "xkey_skew": (
         "WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n "
