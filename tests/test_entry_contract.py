@@ -29,3 +29,20 @@ def test_queries_oracle_key_consistency():
 def test_all_queries_are_callable():
     for name, fn in E.queries().items():
         assert callable(fn), name
+
+
+def test_priority_window_is_exhaustive_and_duplicate_free():
+    """_PRIORITY is the driver's verification order: a typo'd key would
+    silently fall to the registry tail and a missing key would never
+    rotate into the window — both must fail loudly here."""
+    from collections import Counter
+
+    from kamu_engine_datafusion_spark.queries import _PRIORITY, registry
+
+    r = registry()
+    dupes = [k for k, c in Counter(_PRIORITY).items() if c > 1]
+    assert not dupes, f"duplicate priority keys: {dupes}"
+    unknown = [k for k in _PRIORITY if k not in r]
+    assert not unknown, f"priority keys not in registry: {unknown}"
+    missing = [k for k in r if k not in set(_PRIORITY)]
+    assert not missing, f"registry keys missing from priority: {missing}"
