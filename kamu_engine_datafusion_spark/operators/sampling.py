@@ -517,3 +517,56 @@ def length_buckets(
         .withColumn("bucket_lo", lo)
         .withColumn("bucket_hi", hi)
     )
+
+
+def interleave_sources(
+    df: DataFrame,
+    key_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    default_weight: float = 1.0,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic mixture SCHEDULING: produce the global training
+    ORDER in which weighted sources interleave proportionally — stride
+    scheduling (weight 3 : 1 ⇒ roughly s1 s1 s1 s2 s1 s1 s1 s2 …),
+    the standard way to serve a data mixture without bucketing the
+    corpus into epochs first.
+
+    Each row gets a deterministic per-source position ``r`` (keyed-hash
+    order — a fresh permutation per ``salt``), then the classic stride
+    key ``(r + 0.5) / weight``; the global order sorts by it. A source
+    with twice the weight appears twice as often in any prefix (±1) —
+    the property that makes streamed training see the target mixture
+    from step one, not only in expectation over a full epoch.
+
+    Returns the input plus ``interleave_rank`` (0-based global order).
+    Sources with weight ≤ 0 are dropped. Scale: the per-source rank is
+    one window per source partition; the global rank is the same
+    total-order assignment as :func:`shuffle_rank` — use its
+    distributed two-pass shape when materializing a full-corpus order,
+    or consume the stride key directly as a sort key. (This builder
+    uses the serial window form — exact, oracle-checkable; the
+    distributed twin is a ``repartitionByRange`` on the stride key.)
+    """
+    w_expr = F.lit(float(default_weight))
+    for s, wt in sorted(weights.items()):
+        w_expr = F.when(F.col(source_col) == s, F.lit(float(wt))).otherwise(
+            w_expr
+        )
+    b = _bucket(F.col(key_col), salt, hash_fn)
+    per_source = Window.partitionBy(source_col).orderBy(b, F.col(key_col))
+    r = F.row_number().over(per_source).cast("double")
+    stride = (r - 0.5) / w_expr
+    out = df.withColumn("__w", w_expr).filter(F.col("__w") > 0)
+    out = out.withColumn("__stride", stride)
+    glob = Window.orderBy(
+        F.col("__stride"), F.col(source_col), F.col(key_col)
+    )
+    return (
+        out.withColumn(
+            "interleave_rank", (F.row_number().over(glob) - 1).cast("long")
+        )
+        .drop("__w", "__stride")
+    )

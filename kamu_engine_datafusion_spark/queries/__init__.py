@@ -79,6 +79,7 @@ _PRIORITY = [
     "xsnapshot_diff",  # NEW: snapshot→changelog CDC diff
     "xchangelog_merge",  # NEW: maintained-view merge ≡ recompute
     "xsnapshot_merge",  # NEW: maintained-snapshot fold ≡ batch
+    "xinterleave",  # NEW: stride-scheduled mixture interleaving
     # -- oldest driver-green (r03) block: a13…b41 + the r03 x keys --
     "a13_offsets_distributed",
     "a14_system_columns",

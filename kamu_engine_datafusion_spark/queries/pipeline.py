@@ -473,6 +473,26 @@ def q_xlength_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xinterleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic mixture scheduling: stride-interleave the langs at
+    weights en=3, de=1, fr=0 (dropped), others 1 into a single global
+    training order — every rank value hash-verified
+    (``operators/sampling.py::interleave_sources``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    out = interleave_sources(
+        t["documents"],
+        "doc_id",
+        "lang",
+        {"en": 3.0, "de": 1.0, "fr": 0.0},
+        hash_fn="poly",
+    )
+    return out.select("doc_id", "lang", "interleave_rank")
+
+
 def q_xvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-20 tokens by frequency with a
     deterministic (freq desc, token asc) rank."""
@@ -1795,6 +1815,7 @@ QUERIES = {
     "xsample_stratified": q_xsample_stratified,
     "xupsample_repeat": q_xupsample_repeat,
     "xlength_buckets": q_xlength_buckets,
+    "xinterleave": q_xinterleave,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -2547,6 +2568,23 @@ ORACLES = {
         "SELECT lang, count(*) AS n_docs, "
         "CAST(sum(doc_id) AS BIGINT) AS id_sum "
         "FROM r WHERE rn <= CEIL(n * 0.3) GROUP BY lang"
+    ),
+    "xinterleave": (
+        "WITH w AS (SELECT doc_id, lang, "
+        "CASE lang WHEN 'en' THEN 3.0 WHEN 'de' THEN 1.0 "
+        "WHEN 'fr' THEN 0.0 ELSE 1.0 END AS wt, "
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt "
+        "FROM documents), "
+        "f AS (SELECT * FROM w WHERE wt > 0), "
+        "r AS (SELECT doc_id, lang, wt, CAST(row_number() OVER ("
+        "PARTITION BY lang ORDER BY bkt, doc_id) AS DOUBLE) AS r FROM f), "
+        "s AS (SELECT doc_id, lang, (r - 0.5) / wt AS strd FROM r) "
+        "SELECT doc_id, lang, CAST(row_number() OVER ("
+        "ORDER BY strd, lang, doc_id) - 1 AS BIGINT) AS interleave_rank "
+        "FROM s"
     ),
     "xupsample_repeat": (
         "WITH c AS (SELECT lang, doc_id, "

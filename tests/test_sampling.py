@@ -265,3 +265,43 @@ def test_length_buckets_boundaries_nulls_open_top(spark):
     assert out[4] == (None, None, None)  # null cost -> null bucket
     with _pytest.raises(ValueError):
         length_buckets(df, "cost", [64, 32])
+
+
+def test_interleave_sources_stride_proportionality(spark):
+    """Weight 3:1 must show up in EVERY prefix (±1 per source), not
+    just in expectation over the whole corpus — the property stride
+    scheduling exists for. Also: zero-weight sources are dropped and
+    the order is a pure function of (keys, salt)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c"][i % 3]) for i in range(90)],
+        "k long, s string",
+    )
+    out = interleave_sources(df, "k", "s", {"a": 3.0, "b": 1.0, "c": 0.0})
+    rows = sorted(out.collect(), key=lambda r: r["interleave_rank"])
+    order = [r["s"] for r in rows]
+    assert "c" not in order and len(order) == 60
+    # ranks dense 0..n-1
+    assert [r["interleave_rank"] for r in rows] == list(range(60))
+    # proportionality in every prefix while both sources have mass
+    # (source a has 30 rows and drains at prefix 40; past that the
+    # tail is all b by construction — stride is a schedule, not a
+    # replicator)
+    for n in range(4, 41, 4):
+        a = order[:n].count("a")
+        assert abs(a - 0.75 * n) <= 1, (n, a)
+    assert set(order[40:]) == {"b"}
+    # determinism: identical on recompute
+    again = [
+        r["s"]
+        for r in sorted(
+            interleave_sources(
+                df, "k", "s", {"a": 3.0, "b": 1.0, "c": 0.0}
+            ).collect(),
+            key=lambda r: r["interleave_rank"],
+        )
+    ]
+    assert again == order
