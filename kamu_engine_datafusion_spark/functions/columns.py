@@ -186,6 +186,21 @@ def lsh_band_keys(signature: Column, num_bands: int, rows_per_band: int) -> Colu
     )
 
 
+def half_up(col: Column, dp: int) -> Column:
+    """Round to ``dp`` decimals with EXPLICIT half-up semantics:
+    ``floor(x·10^dp + 0.5) / 10^dp``.
+
+    The engines' ``round()`` builtins disagree on values landing
+    exactly on a rounding half even when the input doubles are
+    bit-identical (observed: 3.85225 → Spark 3.8522, DuckDB 3.8523),
+    which can flip a downstream rank or argmax between engines. Pair
+    with the same ``floor(x * 1eN + 0.5) / 1eN`` expression in oracle
+    SQL.
+    """
+    scale = F.lit(float(10**dp))
+    return F.floor(col * scale + F.lit(0.5)) / scale
+
+
 def dot_product(u: Column, v: Column, dim: int | None = None) -> Column:
     """Double-precision dot product of two ``array<numeric>`` columns
     with sequential (array-order) summation — identical results on any

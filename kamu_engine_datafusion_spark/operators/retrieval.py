@@ -180,6 +180,7 @@ def hybrid_rrf(
     k_rrf: int = 60,
     top_k: int = 10,
     score_dp: int = 4,
+    max_list_rows: int = 100_000,
 ) -> DataFrame:
     """Hybrid retrieval fusion by Reciprocal Rank Fusion (Cormack et
     al.): combine a sparse (BM25) and a dense (embedding-cosine)
@@ -188,22 +189,40 @@ def hybrid_rrf(
     needs no score calibration between the two spaces.
 
     Ranks are dense per list, ordered by (``score_dp``-rounded score
-    desc, id) so cross-engine float tails can't reorder them; a doc
-    absent from one list simply contributes nothing for it. Returns the
-    top ``top_k`` fused rows: ``(id, sparse_rank, dense_rank,
-    rrf_score, rank)`` with null ranks for single-list docs.
+    desc, id) so cross-engine float tails can't reorder them — the
+    rounding is explicit half-up (:func:`functions.columns.half_up`),
+    never the engines' ``round()`` builtins, which disagree on exact
+    .5 halves and could flip sparse/dense rank order between engines;
+    a doc absent from one list simply contributes nothing for it.
+    Returns the top ``top_k`` fused rows: ``(id, sparse_rank,
+    dense_rank, rrf_score, rank)`` with null ranks for single-list
+    docs.
 
     Scale contract: the inputs are RETRIEVAL OUTPUTS (top-k candidate
     lists, ≤ thousands of rows), not corpora — the per-list rank
     windows and the final fused sort are single-partition by design and
-    bounded by the list sizes. Fusing unbounded tables is a misuse.
+    bounded by the list sizes. Fusing unbounded tables is a misuse, so
+    each input is guarded by ``max_list_rows`` (a cheap count on what
+    must already be a bounded list) and fails loudly instead of
+    silently serializing a corpus through one task.
     """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    for name, lst in (("sparse", sparse), ("dense", dense)):
+        n = lst.limit(max_list_rows + 1).count()
+        if n > max_list_rows:
+            raise ValueError(
+                f"hybrid_rrf: {name} input exceeds max_list_rows="
+                f"{max_list_rows} — inputs must be top-k candidate "
+                "lists, not corpora (raise max_list_rows only if the "
+                "lists are genuinely that large)"
+            )
     r1 = sparse.select(
         F.col(id_col),
         F.row_number()
         .over(
             Window.orderBy(
-                F.round(F.col(sparse_score), score_dp).desc(), F.col(id_col)
+                half_up(F.col(sparse_score), score_dp).desc(), F.col(id_col)
             )
         )
         .cast("long")
@@ -214,7 +233,7 @@ def hybrid_rrf(
         F.row_number()
         .over(
             Window.orderBy(
-                F.round(F.col(dense_score), score_dp).desc(), F.col(id_col)
+                half_up(F.col(dense_score), score_dp).desc(), F.col(id_col)
             )
         )
         .cast("long")
@@ -227,7 +246,7 @@ def hybrid_rrf(
         r1.join(r2, id_col, "full")
         .withColumn(
             "rrf_score",
-            F.round(contrib("sparse_rank") + contrib("dense_rank"), 6),
+            half_up(contrib("sparse_rank") + contrib("dense_rank"), 6),
         )
         .withColumn(
             "rank",

@@ -493,7 +493,18 @@ def mmr_diversify(
 
     Returns ``(rank, id, rel, mmr)``; rank 1's mmr is its relevance
     (the first pick has no diversity term).
+
+    Guard: the driver-side walk is O(pool²) pairwise sims and collects
+    ``pool`` embeddings — the ``.limit(pool)`` injection bounds what
+    leaves the cluster regardless of corpus size, and ``pool`` itself
+    is capped so a misuse can't smuggle a corpus through the collect.
     """
+    if pool > 10_000:
+        raise ValueError(
+            f"mmr_diversify: pool={pool} exceeds the driver-side cap "
+            "(10000) — MMR's greedy walk is O(pool²) on the driver; "
+            "pre-filter with an ANN stage instead of a huge pool"
+        )
     if dim is None:
         dim = _vec_dim(corpus, vec_col)
     q = F.broadcast(

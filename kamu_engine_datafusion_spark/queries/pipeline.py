@@ -2587,9 +2587,16 @@ ORACLES = {
         "FROM s"
     ),
     "xupsample_repeat": (
+        # Repeat factors CAST AS DOUBLE: DuckDB types the bare literal
+        # 2.4 as DECIMAL, making floor((r - floor(r)) * 10000) = 4000
+        # exactly, while Spark's F.lit(2.4) is a float64 giving 3999 —
+        # a doc whose hash bucket lands exactly on 3999 would get an
+        # extra epoch copy in the oracle but not in Spark.
         "WITH c AS (SELECT lang, doc_id, "
-        "CASE lang WHEN 'en' THEN 2.4 WHEN 'de' THEN 1.5 "
-        "WHEN 'fr' THEN 0.5 ELSE 1.0 END AS r, "
+        "CASE lang WHEN 'en' THEN CAST(2.4 AS DOUBLE) "
+        "WHEN 'de' THEN CAST(1.5 AS DOUBLE) "
+        "WHEN 'fr' THEN CAST(0.5 AS DOUBLE) "
+        "ELSE CAST(1.0 AS DOUBLE) END AS r, "
         "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
         "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
         "ch -> CAST(ascii(ch) AS BIGINT))), "
@@ -3524,8 +3531,8 @@ ORACLES = {
         "* tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
         ") AS score FROM m JOIN dfq USING (t) CROSS JOIN st GROUP BY doc_id), "
         "s AS (SELECT doc_id, CAST(row_number() OVER ("
-        "ORDER BY round(score, 4) DESC, doc_id) AS BIGINT) AS sparse_rank "
-        "FROM bm), "
+        "ORDER BY floor(score * 10000 + 0.5) / 10000 DESC, doc_id) "
+        "AS BIGINT) AS sparse_rank FROM bm), "
         "q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "
         "FROM embeddings WHERE vec_id = 0), "
         "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb_d "
@@ -3536,11 +3543,12 @@ ORACLES = {
         "sqrt(list_dot_product(q.emb_d, q.emb_d))), 6) AS cosine "
         "FROM e, q) ORDER BY cosine DESC, doc_id LIMIT 50), "
         "d AS (SELECT doc_id, CAST(row_number() OVER ("
-        "ORDER BY round(cosine, 4) DESC, doc_id) AS BIGINT) AS dense_rank "
-        "FROM dn), "
+        "ORDER BY floor(cosine * 10000 + 0.5) / 10000 DESC, doc_id) "
+        "AS BIGINT) AS dense_rank FROM dn), "
         "f AS (SELECT doc_id, sparse_rank, dense_rank, "
-        "round(coalesce(1.0 / (60 + sparse_rank), 0) + "
-        "coalesce(1.0 / (60 + dense_rank), 0), 6) AS rrf_score "
+        "floor((coalesce(1.0 / (60 + sparse_rank), 0) + "
+        "coalesce(1.0 / (60 + dense_rank), 0)) * 1000000 + 0.5) / 1000000 "
+        "AS rrf_score "
         "FROM s FULL JOIN d USING (doc_id)) "
         "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM ("
         "SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) "

@@ -200,3 +200,55 @@ def test_hybrid_rrf_top_k_cut(spark):
     assert [r["rank"] for r in sorted(out, key=lambda r: r["rank"])] == [
         1, 2, 3, 4, 5,
     ]
+
+
+def test_hybrid_rrf_half_up_rank_keys(spark):
+    """Scores landing EXACTLY on a 4dp rounding half must use half-up
+    (floor(x·1e4+0.5)/1e4) so both engines order identically: 0.00005
+    rounds UP to 0.0001 and outranks a plain 0.00004."""
+    from kamu_engine_datafusion_spark.operators.retrieval import hybrid_rrf
+
+    sparse = spark.createDataFrame(
+        [(1, 0.00005), (2, 0.00004)], "doc_id long, score double"
+    )
+    dense = spark.createDataFrame([(3, 0.5)], "doc_id long, cosine double")
+    out = {
+        r["doc_id"]: r["sparse_rank"]
+        for r in hybrid_rrf(sparse, dense, top_k=10).collect()
+    }
+    assert out[1] == 1 and out[2] == 2
+
+
+def test_hybrid_rrf_guard_trips_on_unbounded_input(spark):
+    """The bounded-candidate-list contract fails LOUDLY: feeding a
+    'corpus' past max_list_rows raises instead of serializing it
+    through the single-partition rank windows."""
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.retrieval import hybrid_rrf
+
+    big = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.col("id").cast("double").alias("score")
+    )
+    dense = spark.createDataFrame([(3, 0.5)], "doc_id long, cosine double")
+    with pytest.raises(ValueError, match="max_list_rows"):
+        hybrid_rrf(big, dense, max_list_rows=100)
+    # at or under the bound it runs
+    assert hybrid_rrf(big, dense, max_list_rows=500, top_k=3).count() == 3
+
+
+def test_mmr_pool_cap_guard(spark):
+    """mmr_diversify refuses a driver-side pool past the O(pool²) cap."""
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        mmr_diversify,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    query = corpus.filter(F.col("vec_id") == 0).select("embedding")
+    with pytest.raises(ValueError, match="pool"):
+        mmr_diversify(corpus, query, k=2, pool=10_001)
