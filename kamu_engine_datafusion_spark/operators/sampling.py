@@ -519,6 +519,96 @@ def length_buckets(
     )
 
 
+def assign_group_ranks_distributed(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    out_col: str,
+) -> DataFrame:
+    """Dense 0-based rank within each group in ``order_cols`` order,
+    with NO window functions — the per-group generalization of the A13
+    two-pass offset assignment (``system_columns.py::
+    assign_offsets_distributed``), for when ``Window.partitionBy(group)``
+    would funnel a dominant group through a single task (the
+    90%-weight-source skew in mixture scheduling).
+
+    Shape: range-partition + local sort on ``(group, order)`` — groups
+    span contiguous partitions, rows of a group are contiguous within
+    each partition — then (1) one tiny per-(partition, group) stats job
+    (count + first local index; O(partitions + groups) rows because
+    range partitioning keeps ≤ a few groups per partition), (2)
+    driver-side cumulative bases per group in partition order, (3)
+    broadcast the stats table back and compute ``base + (local_index -
+    first_local_index)``. One shuffle (the range exchange), zero sorts
+    beyond the local ones, zero windows; the heaviest group parallelizes
+    across however many partitions its range spans.
+
+    The input is persisted before the stats pass (the two passes must
+    observe one physical partitioning — range boundaries are sampled);
+    the caller may ``unpersist()`` after its terminal action.
+    """
+    from kamu_engine_datafusion_spark.operators.system_columns import (
+        _MID_INDEX_MASK,
+        _MID_PARTITION_SHIFT,
+    )
+
+    ordered = df.repartitionByRange(
+        *group_cols, *order_cols
+    ).sortWithinPartitions(*group_cols, *order_cols)
+    with_mid = ordered.withColumn(
+        "__gr_mid", F.monotonically_increasing_id()
+    ).persist()
+    pid = F.shiftright(F.col("__gr_mid"), _MID_PARTITION_SHIFT)
+    idx = F.col("__gr_mid").bitwiseAND(F.lit(_MID_INDEX_MASK))
+    stats = (
+        with_mid.select(
+            pid.alias("__gr_pid"), idx.alias("__gr_idx"), *group_cols
+        )
+        .groupBy("__gr_pid", *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__gr_cnt"),
+            F.min("__gr_idx").alias("__gr_first"),
+        )
+        .collect()
+    )
+    if not stats:
+        return with_mid.withColumn(
+            out_col, F.lit(0).cast("long")
+        ).drop("__gr_mid")
+    acc: dict[tuple, int] = {}
+    rows = []
+    for row in sorted(stats, key=lambda r: r["__gr_pid"]):
+        g = tuple(row[c] for c in group_cols)
+        rows.append(
+            (int(row["__gr_pid"]), *g, acc.get(g, 0), int(row["__gr_first"]))
+        )
+        acc[g] = acc.get(g, 0) + int(row["__gr_cnt"])
+    from pyspark.sql import types as T
+
+    spark = with_mid.sparkSession
+    schema = T.StructType(
+        [T.StructField("__gr_pid", T.LongType())]
+        + [df.schema[c] for c in group_cols]
+        + [
+            T.StructField("__gr_base", T.LongType()),
+            T.StructField("__gr_first", T.LongType()),
+        ]
+    )
+    stats_df = spark.createDataFrame(rows, schema)
+    left = with_mid.withColumn("__gr_pid", pid).alias("l")
+    right = F.broadcast(stats_df).alias("r")
+    cond = F.col("l.__gr_pid") == F.col("r.__gr_pid")
+    for c in group_cols:  # eqNullSafe: a null group key is still a group
+        cond = cond & F.col(f"l.{c}").eqNullSafe(F.col(f"r.{c}"))
+    l_idx = F.col("l.__gr_mid").bitwiseAND(F.lit(_MID_INDEX_MASK))
+    return left.join(right, cond).select(
+        *[F.col(f"l.{c}") for c in df.columns],
+        (F.col("r.__gr_base") + l_idx - F.col("r.__gr_first"))
+        .cast("long")
+        .alias(out_col),
+    )
+
+
 def interleave_sources(
     df: DataFrame,
     key_col: str,
@@ -527,6 +617,7 @@ def interleave_sources(
     default_weight: float = 1.0,
     salt: int = 0,
     hash_fn: str = "xxhash64",
+    mode: str = "serial",
 ) -> DataFrame:
     """Deterministic mixture SCHEDULING: produce the global training
     ORDER in which weighted sources interleave proportionally — stride
@@ -542,13 +633,21 @@ def interleave_sources(
     from step one, not only in expectation over a full epoch.
 
     Returns the input plus ``interleave_rank`` (0-based global order).
-    Sources with weight ≤ 0 are dropped. Scale: the per-source rank is
-    one window per source partition; the global rank is the same
-    total-order assignment as :func:`shuffle_rank` — use its
-    distributed two-pass shape when materializing a full-corpus order,
-    or consume the stride key directly as a sort key. (This builder
-    uses the serial window form — exact, oracle-checkable; the
-    distributed twin is a ``repartitionByRange`` on the stride key.)
+    Sources with weight ≤ 0 are dropped.
+
+    ``mode="serial"`` — the window form (one per-source window + one
+    global partitionBy-less window): exact, oracle-checkable, right for
+    bounded inputs and the cross-engine parity twin. ``mode=
+    "distributed"`` — BIT-IDENTICAL output with no windows at all: the
+    per-source rank comes from :func:`assign_group_ranks_distributed`
+    (so a 90%-weight source spreads over its range span instead of
+    funneling into one task) and the global order from a
+    ``repartitionByRange`` on the stride key + the A13 two-pass offset
+    assignment — the TeraSort shape; nothing serializes through a
+    single partition. Use it whenever materializing a full-corpus
+    training order. (The identity holds because the serial stride
+    ``(row_number() - 0.5)/w`` equals the distributed ``(rank0 +
+    0.5)/w`` exactly in float64 — ranks are well under 2^52.)
     """
     w_expr = F.lit(float(default_weight))
     for s, wt in sorted(weights.items()):
@@ -556,17 +655,34 @@ def interleave_sources(
             w_expr
         )
     b = _bucket(F.col(key_col), salt, hash_fn)
-    per_source = Window.partitionBy(source_col).orderBy(b, F.col(key_col))
-    r = F.row_number().over(per_source).cast("double")
-    stride = (r - 0.5) / w_expr
     out = df.withColumn("__w", w_expr).filter(F.col("__w") > 0)
-    out = out.withColumn("__stride", stride)
-    glob = Window.orderBy(
-        F.col("__stride"), F.col(source_col), F.col(key_col)
-    )
-    return (
-        out.withColumn(
-            "interleave_rank", (F.row_number().over(glob) - 1).cast("long")
+    if mode == "serial":
+        per_source = Window.partitionBy(source_col).orderBy(b, F.col(key_col))
+        r = F.row_number().over(per_source).cast("double")
+        out = out.withColumn("__stride", (r - 0.5) / w_expr)
+        glob = Window.orderBy(
+            F.col("__stride"), F.col(source_col), F.col(key_col)
         )
-        .drop("__w", "__stride")
+        return (
+            out.withColumn(
+                "interleave_rank", (F.row_number().over(glob) - 1).cast("long")
+            )
+            .drop("__w", "__stride")
+        )
+    from kamu_engine_datafusion_spark.operators.system_columns import (
+        assign_offsets_distributed,
+    )
+
+    out = out.withColumn("__b", b)
+    ranked = assign_group_ranks_distributed(
+        out, [source_col], ["__b", key_col], "__r0"
+    )
+    strided = ranked.withColumn(
+        "__stride", (F.col("__r0").cast("double") + 0.5) / F.col("__w")
+    )
+    ordered = strided.repartitionByRange(
+        "__stride", source_col, key_col
+    ).sortWithinPartitions("__stride", source_col, key_col)
+    return assign_offsets_distributed(ordered, "interleave_rank", 0).drop(
+        "__w", "__b", "__r0", "__stride"
     )

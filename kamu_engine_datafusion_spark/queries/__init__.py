@@ -34,13 +34,87 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 
 # Registration order is verification-priority order: the driver's
 # CORRECTNESS gate checks registry entries front-to-back (first ~50), so
-# the window must rotate each round: (1) keys whose implementation
-# changed this round, then (2) the keys whose last driver-green is the
-# oldest (rounds 1-3 verified the same leading 50 twice; the trailing 39
-# had only their r01 row until now), then the recently-verified
-# remainder. Every key's latest driver-green should be at most one
-# round old after each rotation.
-_PRIORITY = [
+# the window rotates each round: (1) keys whose implementation or
+# oracle changed this round, then (2) the keys whose last driver-green
+# is the oldest, then the recently-verified remainder. Every key's
+# latest driver-green should be at most a couple of rounds old after
+# each rotation.
+_PRIORITY_R7 = [
+    # ==== round-7 verification window (first ~50 keys) ====
+    # -- implementation/oracle changed this round --
+    "xupsample_repeat",  # oracle repeat factors now CAST AS DOUBLE
+    "xhybrid_rrf",  # half-up rank keys + fused score, both sides
+    "xinterleave",  # mode param added (serial default, unchanged path)
+    "xinterleave_dist",  # NEW: distributed no-window twin, shared oracle
+    # -- r03-stale block: last driver-green in CORRECTNESS_r03 --
+    "xsim_ivf",
+    "xsim_srp_lsh",
+    "xsim_topk_brute",
+    "xskyline",
+    "xsalted_agg",
+    "xsnapshot",
+    "xtext_c4_filter",
+    "xtext_fingerprint",
+    "xtext_gopher",
+    "xtext_langid",
+    "xtext_quality",
+    "xtext_redact_pii",
+    "xtext_repetition",
+    "xtext_tokens",
+    "xsample",
+    # -- head of the r04-stale block --
+    "xrange_join",
+    "xmm_decode",
+    "xprofile",
+    "b06_filter",
+    "b16_groupby_agg",
+    "b26_tpch_q3alike",
+    "b10_tpch_q5alike",
+    "b01_parquet_scan",
+    "b02_view_scan",
+    "a03_empty_input",
+    "a04_offset_slice",
+    "a06_multi_step",
+    "a08_normalize_ts",
+    "b05_projection",
+    "b07_cast",
+    "b08_literals",
+    "b09_case_predicates",
+    "b10_join_inner",
+    "b10_join_shuffle",
+    "b11_join_left",
+    "b11_join_full",
+    "b12_semi_anti",
+    "b13_cross_join",
+    "b14_theta_join",
+    "b18_approx_agg",
+    "b19_stats_agg",
+    "b19_percentile",
+    "b20_rollup",
+    "b20_grouping_sets",
+    "b21_collect_agg",
+    "b22_distinct",
+    # ---- window boundary (~50: 4 changed + 15 r03-stale + 31 r04-
+    # stale). Below: the r04 tail (rotates to the r8 head if the cut
+    # lands above it), then everything driver-green in r06/r05. ----
+    "b23_topk_per_group",
+    "b24_analytic",
+    "b25_window_frames",
+    "b26_orderby",
+    "b27_limit_offset",
+    "b28_union_all",
+    "b29_setops",
+    "b31_string_core",
+    "b32_unicode_string",
+    "b33_regex",
+    "b34_crypto",
+    "b35_encoding",
+    "b36_math",
+    "b37_datetime",
+    "b39_explode",
+]
+
+_PRIORITY_R6 = [
     # ==== round-6 verification window (first ~50 keys) ====
     # -- never driver-checked (below the window cut in r4 AND r5) --
     "xpipeline_e2e",  # oracle re-fixed r6: CAST(sum) latent HUGEINT
@@ -219,6 +293,13 @@ _PRIORITY = [
     "b39_explode",
 ]
 
+#: The driver-facing order: the round-7 window first, then every other
+#: registered key in its round-6 order (keys already placed in the r7
+#: window are filtered out — the composition stays duplicate-free and
+#: exhaustive by the entry-contract test).
+_PRIORITY = _PRIORITY_R7 + [
+    k for k in _PRIORITY_R6 if k not in set(_PRIORITY_R7)
+]
 
 
 def registry() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -493,6 +493,29 @@ def q_xinterleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "interleave_rank")
 
 
+def q_xinterleave_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed twin of ``xinterleave``: the same stride schedule
+    computed with ZERO window functions — per-source ranks via the
+    two-pass group-rank assignment, global order via repartitionByRange
+    + A13 offsets — so the 100 TB path (no partitionBy-less Window, no
+    single-task sort) is itself driver-hash-verified against the
+    serial oracle (``operators/sampling.py::interleave_sources``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    out = interleave_sources(
+        t["documents"],
+        "doc_id",
+        "lang",
+        {"en": 3.0, "de": 1.0, "fr": 0.0},
+        hash_fn="poly",
+        mode="distributed",
+    )
+    return out.select("doc_id", "lang", "interleave_rank")
+
+
 def q_xvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-20 tokens by frequency with a
     deterministic (freq desc, token asc) rank."""
@@ -1816,6 +1839,7 @@ QUERIES = {
     "xupsample_repeat": q_xupsample_repeat,
     "xlength_buckets": q_xlength_buckets,
     "xinterleave": q_xinterleave,
+    "xinterleave_dist": q_xinterleave_dist,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -3673,3 +3697,8 @@ ORACLES = {
         "ON c.user_id = p.user_id AND c.ts >= p.ts"
     ),
 }
+
+# The distributed interleave twin is hash-checked against the SAME
+# serial-window SQL: the two modes are bit-identical by contract, so a
+# shared oracle makes the driver prove it per-round.
+ORACLES["xinterleave_dist"] = ORACLES["xinterleave"]

@@ -262,3 +262,31 @@ def test_no_plan_antipatterns_in_verification_window(spark):
         if hits:
             flagged[name] = hits
     assert not flagged, flagged
+
+
+def test_interleave_distributed_no_windows(spark):
+    """The distributed interleave twin must contain NO window operator
+    anywhere in its physical plan — the serial form's partitionBy-less
+    Window (a single-task total sort) is exactly what it exists to
+    remove; order comes from range exchanges + two-pass arithmetic."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    df = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "lang")
+        .repartition(4)
+    )
+    out = interleave_sources(
+        df, "doc_id", "lang", {"en": 3.0, "de": 1.0}, mode="distributed"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan, plan
+    # and the serial twin DOES carry the window (the documented contrast)
+    ser = interleave_sources(
+        df, "doc_id", "lang", {"en": 3.0, "de": 1.0}, mode="serial"
+    )
+    assert "Window" in ser._jdf.queryExecution().executedPlan().toString()

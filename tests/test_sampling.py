@@ -305,3 +305,53 @@ def test_interleave_sources_stride_proportionality(spark):
         )
     ]
     assert again == order
+
+
+def test_interleave_distributed_equals_serial(spark):
+    """The distributed (no-window) twin must be BIT-IDENTICAL to the
+    serial window form — including under heavy source skew (one source
+    carries 90% of the rows, the case the per-source window would
+    funnel through one task) and with multiple input partitions."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(400)]
+    df = spark.createDataFrame(rows, "k long, s string").repartition(8)
+    kw = dict(weights={"big": 9.0, "small": 1.0}, salt=3)
+    serial = {
+        r["k"]: r["interleave_rank"]
+        for r in interleave_sources(df, "k", "s", mode="serial", **kw).collect()
+    }
+    dist = {
+        r["k"]: r["interleave_rank"]
+        for r in interleave_sources(
+            df, "k", "s", mode="distributed", **kw
+        ).collect()
+    }
+    assert dist == serial and len(dist) == 400
+
+
+def test_group_ranks_distributed_matches_window(spark):
+    """assign_group_ranks_distributed ≡ row_number()-1 per group, with
+    skewed groups and several partitions."""
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        assign_group_ranks_distributed,
+    )
+
+    rows = [(i, "g%d" % (0 if i % 7 else i % 3), i * 37 % 101) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, g string, o long").repartition(6)
+    got = {
+        (r["g"], r["id"]): r["rnk"]
+        for r in assign_group_ranks_distributed(df, ["g"], ["o", "id"], "rnk").collect()
+    }
+    w = Window.partitionBy("g").orderBy("o", "id")
+    want = {
+        (r["g"], r["id"]): r["rnk"]
+        for r in df.withColumn(
+            "rnk", (F.row_number().over(w) - 1).cast("long")
+        ).collect()
+    }
+    assert got == want

@@ -318,6 +318,57 @@ def main() -> None:
         docs, min_count=50, top_k=100).count())
     t("bpe_merges_50k", lambda: bpe_merges(docs, num_merges=8).count(), reps=1)
 
+    # round-7: mixture interleaving at 500k docs — serial window vs the
+    # distributed two-pass twin (noop write: count() would let Catalyst
+    # prune the rank computation being measured)
+    t(
+        "interleave_serial_500k",
+        lambda: SA.interleave_sources(
+            docs, "doc_id", "lang", {"en": 3.0, "de": 1.0}
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or docs.count(),
+        reps=1,
+    )
+    t(
+        "interleave_dist_500k",
+        lambda: SA.interleave_sources(
+            docs, "doc_id", "lang", {"en": 3.0, "de": 1.0}, mode="distributed"
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or docs.count(),
+    )
+
+    # round-7: MinHash signature layout on a MANY-SPLIT input — the
+    # 100 TB shape (input splits >= cores), vs the one-file bench input
+    # where explode's exchange is what fans work out to the cores. Rule
+    # recorded in SCALE.md: splits >= cores => inrow; single/few-split
+    # => explode.
+    split_dir = os.path.join(args.data_dir, "documents_32split.parquet")
+    if not os.path.exists(split_dir):
+        docs.repartition(32).write.mode("overwrite").parquet(split_dir)
+    docs32 = spark.read.parquet(split_dir)
+    t(
+        "minhash_sig_explode_32split",
+        lambda: D.minhash_signatures(docs32)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or docs32.count(),
+    )
+    t(
+        "minhash_sig_inrow_32split",
+        lambda: D.minhash_signatures(docs32, layout="inrow")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or docs32.count(),
+    )
+
 
 if __name__ == "__main__":
     main()
