@@ -384,6 +384,178 @@ def _recover_state(state_dir: str) -> None:
         os.replace(old, state_dir)
 
 
+# ---------------------------------------------------------------------------
+# Bucketed maintained state
+#
+# State roots are hive-partitioned by a stable key bucket
+# (``__bucket = pmod(xxhash64(keys…), N)``) and a tick rewrites ONLY the
+# buckets its increment touches — the O(increment) claim made physical:
+# an untouched bucket's parquet files are not read, not rewritten, not
+# even re-linked (byte-identity pinned by pytest). The whole-directory
+# swap of the pre-round-7 protocol rewrote the full state through
+# ``coalesce(1)`` every tick — fine while state is group-sized, wrong
+# for a corpus-keyed snapshot where every tick became O(total keys)
+# through one writer.
+#
+# Crash safety (exactly-once under foreachBatch's at-least-once replay):
+#   1. touched buckets are staged under ``state.next/__bucket=i/``;
+#   2. an ``_intent`` file (batch id + per-bucket apply plan) is written
+#      only after ALL staging parquet writes complete — the commit point;
+#   3. buckets are applied one ``os.replace`` each (an applied bucket's
+#      staging dir vanishes, so re-apply skips it), empty merge results
+#      remove the state bucket (idempotent rmtree);
+#   4. the root ``_folded_batch_id`` marker is swapped in atomically
+#      (tmp + os.replace), then the staging dir is dropped.
+# Recovery (run before every fold): an ``_intent`` means the fold had
+# fully materialized — re-apply idempotently and finish; staging without
+# ``_intent`` is an incomplete write the replay simply redoes. A marker
+# ≥ the delivered batch id means the batch is already folded — skip.
+# Single-writer discipline assumed, like the ledger sink.
+# ---------------------------------------------------------------------------
+
+#: Commit-point file inside the staging dir: JSON {batch_id, apply, drop}.
+_INTENT = "_intent"
+
+#: Hive partition column carrying the key bucket (underscore-free so the
+#: parquet reader keeps it visible; readers of the live view drop it).
+_BUCKET_COL = "__bucket"
+
+
+def _bucket_of(key_cols: list[str], n: int):
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n)).cast("int")
+
+
+def _write_root_marker(state_dir: str, batch_id: int) -> None:
+    """Atomic marker update on a LIVE state root (tmp + rename) — the
+    pre-bucketed protocol wrote the marker into a staging dir before a
+    whole-dir swap; here the root stays in place across ticks."""
+    import os
+
+    tmp = os.path.join(state_dir, _BATCH_MARKER + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(batch_id))
+    os.replace(tmp, os.path.join(state_dir, _BATCH_MARKER))
+
+
+def _stage_dir(state_dir: str) -> str:
+    return state_dir + ".next"
+
+
+def _write_intent(state_dir: str, batch_id: int, apply: list[int], drop: list[int]) -> None:
+    import json
+    import os
+
+    stage = _stage_dir(state_dir)
+    tmp = os.path.join(stage, _INTENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(json.dumps({"batch_id": batch_id, "apply": apply, "drop": drop}))
+    os.replace(tmp, os.path.join(stage, _INTENT))
+
+
+def _apply_intent(state_dir: str) -> None:
+    """Idempotently apply a committed staging dir to the live root.
+
+    Safe to re-run from any crash point: an already-applied bucket's
+    staging dir no longer exists (``os.replace`` moved it) so it is
+    skipped; ``drop`` buckets are removed with an idempotent rmtree;
+    the marker rewrite and staging cleanup are last.
+    """
+    import json
+    import os
+    import shutil
+
+    stage = _stage_dir(state_dir)
+    intent_path = os.path.join(stage, _INTENT)
+    if not os.path.isfile(intent_path):
+        return
+    with open(intent_path) as f:
+        intent = json.loads(f.read())
+    os.makedirs(state_dir, exist_ok=True)
+    for b in intent["apply"]:
+        src = os.path.join(stage, f"{_BUCKET_COL}={b}")
+        dst = os.path.join(state_dir, f"{_BUCKET_COL}={b}")
+        if os.path.isdir(src):
+            shutil.rmtree(dst, ignore_errors=True)
+            os.replace(src, dst)
+    for b in intent["drop"]:
+        shutil.rmtree(
+            os.path.join(state_dir, f"{_BUCKET_COL}={b}"), ignore_errors=True
+        )
+    _write_root_marker(state_dir, intent["batch_id"])
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _fold_buckets(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_cols: list[str],
+    n_buckets: int,
+    merge_fn,
+) -> None:
+    """Shared bucketed fold: stage merged touched buckets, commit, apply.
+
+    ``merge_fn(state_subset_or_None, batch_df) -> DataFrame`` computes
+    the replacement rows for the touched buckets only; its output must
+    contain ``key_cols``. ``state_subset`` arrives WITHOUT the bucket
+    column and covers exactly the touched buckets (partition-pruned
+    scan — untouched bucket files are never read).
+    """
+    import os
+    import shutil
+
+    _apply_intent(state_dir)  # heal any interrupted prior tick first
+    if _last_folded_batch(state_dir) >= batch_id:
+        return  # crash-replayed batch: already folded into state
+    sess = batch_df.sparkSession
+    bucket = _bucket_of(key_cols, n_buckets)
+    touched = sorted(
+        r[0]
+        for r in batch_df.select(bucket.alias(_BUCKET_COL)).distinct().collect()
+    )
+    if not touched:  # empty increment: just advance the marker
+        os.makedirs(state_dir, exist_ok=True)
+        _write_root_marker(state_dir, batch_id)
+        return
+    state_subset = None
+    have_state = any(
+        os.path.isdir(os.path.join(state_dir, f"{_BUCKET_COL}={b}"))
+        for b in touched
+    )
+    if have_state:
+        state_subset = (
+            sess.read.parquet(state_dir)
+            .filter(F.col(_BUCKET_COL).isin([int(b) for b in touched]))
+            .drop(_BUCKET_COL)
+        )
+    merged = merge_fn(state_subset, batch_df)
+    stage = _stage_dir(state_dir)
+    shutil.rmtree(stage, ignore_errors=True)  # stale uncommitted staging
+    (
+        merged.withColumn(_BUCKET_COL, _bucket_of(key_cols, n_buckets))
+        .repartition(len(touched), _BUCKET_COL)
+        .write.partitionBy(_BUCKET_COL)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    with_data = [
+        b
+        for b in touched
+        if os.path.isdir(os.path.join(stage, f"{_BUCKET_COL}={b}"))
+    ]
+    emptied = [b for b in touched if b not in set(with_data)]
+    _write_intent(state_dir, batch_id, with_data, emptied)  # commit point
+    _apply_intent(state_dir)
+
+
+def read_maintained_state(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The live view of a bucketed maintained state root (drops the
+    internal bucket partition column)."""
+    return spark.read.parquet(state_dir).drop(_BUCKET_COL)
+
+
 def maintained_view(
     ledger_dir: str,
     state_dir: str,
@@ -392,6 +564,7 @@ def maintained_view(
     sum_cols: dict[str, str] | None = None,
     schema: T.StructType | None = None,
     spark: SparkSession | None = None,
+    state_buckets: int = 16,
 ):
     """Continuously-maintained aggregate view over a retractable ledger
     stream: each micro-batch is reduced with
@@ -405,13 +578,13 @@ def maintained_view(
     foreachBatch rather than Spark's own streaming aggregation because
     changelog semantics need the signed-weight reduction (a Retract row
     must SUBTRACT) — Spark's built-in stateful agg would count it as a
-    plain row. Restart safety: EXACTLY-ONCE under crash-replay — the
-    folded batch id travels INSIDE the atomically-swapped state dir
-    (an underscore-prefixed marker file Spark's parquet reader
-    ignores), so a batch replayed after a crash between the state swap
-    and the checkpoint commit is detected and skipped; a crash before
-    the swap leaves the old state + old marker, and the replay folds
-    normally. Single-writer discipline assumed, like the ledger sink.
+    plain row. Restart safety: EXACTLY-ONCE under crash-replay via the
+    bucketed intent/apply protocol (see module comment above
+    :func:`_fold_buckets`): state is hive-partitioned into
+    ``state_buckets`` stable key buckets and a tick rewrites only the
+    buckets its increment touches — per-tick cost O(increment +
+    touched-bucket state), untouched bucket files stay byte-identical.
+    The live view is :func:`read_maintained_state`.
     """
     from kamu_engine_datafusion_spark.operators.changelog import (
         changelog_agg,
@@ -425,31 +598,18 @@ def maintained_view(
         ).parquet(ledger_dir)
     )
 
-    import os
-    import shutil
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_state(state_dir)
-        if _last_folded_batch(state_dir) >= batch_id:
-            return  # crash-replayed batch: already folded into state
+    def _merge(state_subset, batch_df):
         inc = changelog_agg(
             batch_df, group_cols, sum_cols, keep_dead_groups=True
         )
-        sess = batch_df.sparkSession
-        if os.path.isdir(state_dir):
-            state = sess.read.parquet(state_dir)
-            merged = merge_changelog_aggs(state, inc, group_cols)
-        else:
-            merged = inc.filter(F.col("n_live") != 0)
-        tmp = state_dir + ".next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        _write_batch_marker(tmp, batch_id)
-        old = state_dir + ".old"
-        if os.path.isdir(state_dir):
-            shutil.rmtree(old, ignore_errors=True)
-            os.replace(state_dir, old)
-        os.replace(tmp, state_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        if state_subset is None:
+            return inc.filter(F.col("n_live") != 0)
+        return merge_changelog_aggs(state_subset, inc, group_cols)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df, batch_id, state_dir, group_cols, state_buckets, _merge
+        )
 
     return (
         stream.writeStream.foreachBatch(_fold)
@@ -467,6 +627,7 @@ def maintained_snapshot(
     vocab=None,
     schema: T.StructType | None = None,
     spark: SparkSession | None = None,
+    state_buckets: int = 64,
 ):
     """Continuously-maintained SNAPSHOT over a retractable ledger
     stream: stored state is the latest record per primary key —
@@ -477,10 +638,15 @@ def maintained_snapshot(
     columns — exactly ``snapshot_of_ledger`` of the whole history, at
     O(increment + |keys|) per tick instead of O(history).
 
-    Each tick unions the stored state with the increment and keeps the
-    max-offset record per key: one keyed shuffle whose input is state
-    (key-cardinality) + increment, never the ledger. Returns the
-    started query (availableNow trigger).
+    Each tick unions the TOUCHED BUCKETS of stored state with the
+    increment and keeps the max-offset record per key: one keyed
+    shuffle whose input is the touched state slice + increment, never
+    the ledger and never the untouched buckets — this is the case the
+    bucketed protocol exists for (state keyed by document id at corpus
+    scale: a tick folding 10k updates into 10B keys reads and rewrites
+    ~touched/``state_buckets`` of the state, not all of it). Returns
+    the started query (availableNow trigger); live view =
+    :func:`read_maintained_state` filtered to non-retracted ops.
     """
     from kamu_engine_datafusion_spark.plans.types import DatasetVocabulary
 
@@ -496,34 +662,23 @@ def maintained_snapshot(
         ).parquet(ledger_dir)
     )
 
-    import os
-    import shutil
-
     from pyspark.sql import Window
 
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_state(state_dir)
-        if _last_folded_batch(state_dir) >= batch_id:
-            return  # crash-replayed batch: already folded into state
-        sess = batch_df.sparkSession
+    def _merge(state_subset, batch_df):
         merged = batch_df
-        if os.path.isdir(state_dir):
-            merged = sess.read.parquet(state_dir).unionByName(batch_df)
+        if state_subset is not None:
+            merged = state_subset.unionByName(batch_df)
         w = Window.partitionBy(*keys).orderBy(F.col(off).desc())
-        latest = (
+        return (
             merged.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn")
         )
-        tmp = state_dir + ".next"
-        latest.write.mode("overwrite").parquet(tmp)
-        _write_batch_marker(tmp, batch_id)
-        old = state_dir + ".old"
-        if os.path.isdir(state_dir):
-            shutil.rmtree(old, ignore_errors=True)
-            os.replace(state_dir, old)
-        os.replace(tmp, state_dir)
-        shutil.rmtree(old, ignore_errors=True)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df, batch_id, state_dir, keys, state_buckets, _merge
+        )
 
     return (
         stream.writeStream.foreachBatch(_fold)
@@ -541,6 +696,7 @@ def maintained_distinct(
     distinct_col: str,
     schema: T.StructType | None = None,
     spark: SparkSession | None = None,
+    state_buckets: int = 16,
 ):
     """Continuously-maintained APPROX-DISTINCT counts per group over an
     append stream — the aggregate :func:`maintained_view` cannot carry
@@ -556,8 +712,10 @@ def maintained_distinct(
     Retractions are NOT supported (sketches are insert-only — a
     retracted value cannot leave the sketch); feed the live/append
     stream. The current estimates are
-    ``read.parquet(state_dir).select(group_cols,
-    hll_sketch_estimate("sketch"))``.
+    ``read_maintained_state(spark, state_dir).select(group_cols,
+    hll_sketch_estimate("sketch"))``. State is bucketed like the other
+    maintained folds: a tick unions the increment's sketches with the
+    TOUCHED buckets' stored sketches only.
     """
     spark = spark or SparkSession.getActiveSession()
     stream = (
@@ -566,35 +724,22 @@ def maintained_distinct(
         ).parquet(ledger_dir)
     )
 
-    import os
-    import shutil
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        _recover_state(state_dir)
-        if _last_folded_batch(state_dir) >= batch_id:
-            return
-        sess = batch_df.sparkSession
+    def _merge(state_subset, batch_df):
         inc = batch_df.groupBy(*group_cols).agg(
             F.hll_sketch_agg(distinct_col).alias("sketch")
         )
-        if os.path.isdir(state_dir):
-            state = sess.read.parquet(state_dir)
-            merged = (
-                state.unionByName(inc)
-                .groupBy(*group_cols)
-                .agg(F.hll_union_agg("sketch").alias("sketch"))
-            )
-        else:
-            merged = inc
-        tmp = state_dir + ".next"
-        merged.coalesce(1).write.mode("overwrite").parquet(tmp)
-        _write_batch_marker(tmp, batch_id)
-        old = state_dir + ".old"
-        if os.path.isdir(state_dir):
-            shutil.rmtree(old, ignore_errors=True)
-            os.replace(state_dir, old)
-        os.replace(tmp, state_dir)
-        shutil.rmtree(old, ignore_errors=True)
+        if state_subset is None:
+            return inc
+        return (
+            state_subset.unionByName(inc)
+            .groupBy(*group_cols)
+            .agg(F.hll_union_agg("sketch").alias("sketch"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df, batch_id, state_dir, group_cols, state_buckets, _merge
+        )
 
     return (
         stream.writeStream.foreachBatch(_fold)

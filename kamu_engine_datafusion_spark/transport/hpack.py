@@ -230,6 +230,8 @@ class HpackDecoder:
 
     @staticmethod
     def _read_int(data: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
+        if pos >= len(data):
+            raise ValueError("truncated hpack integer")
         mask = (1 << prefix_bits) - 1
         value = data[pos] & mask
         pos += 1
@@ -237,6 +239,10 @@ class HpackDecoder:
             return value, pos
         shift = 0
         while True:
+            if pos >= len(data):
+                raise ValueError("truncated hpack integer continuation")
+            if shift > 62:  # > 9 continuation bytes: not a sane header int
+                raise ValueError("hpack integer overflow")
             b = data[pos]
             pos += 1
             value += (b & 0x7F) << shift
@@ -245,8 +251,12 @@ class HpackDecoder:
                 return value, pos
 
     def _read_string(self, data: bytes, pos: int) -> tuple[str, int]:
+        if pos >= len(data):
+            raise ValueError("truncated hpack string")
         huff = bool(data[pos] & 0x80)
         length, pos = self._read_int(data, pos, 7)
+        if pos + length > len(data):
+            raise ValueError("truncated hpack string payload")
         raw = data[pos : pos + length]
         pos += length
         if huff:

@@ -48,6 +48,16 @@ FLAG_PADDED = 0x8
 FLAG_PRIORITY = 0x20
 FLAG_ACK = 0x1
 
+#: What WE accept per frame: we send empty SETTINGS, so our advertised
+#: SETTINGS_MAX_FRAME_SIZE stays the RFC default.
+_RECV_MAX_FRAME = 16384
+
+#: RFC 9113 default connection/stream send windows. We never advertise
+#: larger windows and never track WINDOW_UPDATEs on the send side, so a
+#: single response payload must fit the initial window (engine responses
+#: are tiny — paths and offsets); send_data asserts it loudly.
+_SEND_WINDOW = 65535
+
 
 def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
     return (
@@ -98,6 +108,17 @@ class H2Connection:
         with self.send_lock:
             self.sock.sendall(pack_frame(ftype, flags, stream_id, payload))
 
+    def _goaway(self, error_code: int, last_stream_id: int = 0) -> None:
+        try:
+            self.send_frame(
+                F_GOAWAY,
+                0,
+                0,
+                struct.pack("!II", last_stream_id & 0x7FFFFFFF, error_code),
+            )
+        except OSError:
+            pass  # peer already gone; the close below is all that's left
+
     # -- main loop --------------------------------------------------------
     def run(self) -> None:
         preface = self._recv_exact(len(PREFACE))
@@ -112,6 +133,12 @@ class H2Connection:
             length = int.from_bytes(head[:3], "big")
             ftype, flags = head[3], head[4]
             stream_id = int.from_bytes(head[5:9], "big") & 0x7FFFFFFF
+            if length > _RECV_MAX_FRAME:
+                # RFC 9113 §4.2: exceeding OUR advertised (default 16384)
+                # SETTINGS_MAX_FRAME_SIZE is FRAME_SIZE_ERROR — a garbage
+                # or hostile length must not drive _recv_exact
+                self._goaway(0x6)
+                return
             payload = self._recv_exact(length) if length else b""
             if not self._dispatch(ftype, flags, stream_id, payload):
                 return
@@ -137,10 +164,9 @@ class H2Connection:
             self.streams.pop(stream_id, None)
         elif ftype == F_HEADERS:
             st = self.streams.setdefault(stream_id, _Stream())
-            frag = payload
-            if flags & FLAG_PADDED:
-                pad = frag[0]
-                frag = frag[1 : len(frag) - pad]
+            frag = self._strip_padding(payload, flags)
+            if frag is None:
+                return False  # pad length exceeds the frame: PROTOCOL_ERROR
             if flags & FLAG_PRIORITY:
                 frag = frag[5:]
             st.header_frags += frag
@@ -160,10 +186,9 @@ class H2Connection:
             st = self.streams.get(stream_id)
             if st is None:
                 return True
-            frag = payload
-            if flags & FLAG_PADDED:
-                pad = frag[0]
-                frag = frag[1 : len(frag) - pad]
+            frag = self._strip_padding(payload, flags)
+            if frag is None:
+                return False
             st.data += frag
             if len(payload):  # replenish receive windows
                 incr = struct.pack("!I", len(payload))
@@ -173,6 +198,16 @@ class H2Connection:
                 st.ended = True
                 self._complete(stream_id, st)
         return True
+
+    @staticmethod
+    def _strip_padding(payload: bytes, flags: int) -> bytes | None:
+        """RFC 9113 §6.1/§6.2 pad removal; ``None`` = malformed (pad
+        length ≥ remaining payload → connection PROTOCOL_ERROR)."""
+        if not flags & FLAG_PADDED:
+            return payload
+        if not payload or payload[0] >= len(payload):
+            return None
+        return payload[1 : len(payload) - payload[0]]
 
     def _finish_headers(self, stream_id: int, st: _Stream) -> None:
         # trailers from clients don't occur in gRPC requests; a second
@@ -204,6 +239,16 @@ class ResponseWriter:
         )
 
     def send_data(self, data: bytes, end_stream: bool = False) -> None:
+        # Send-side flow control is deliberately untracked: this server
+        # never sends more than the RFC-default initial windows allow
+        # per response (engine responses are paths/offsets, not data
+        # pages). A response that could exceed the 64 KiB window must
+        # fail HERE, loudly, instead of silently violating RFC 9113.
+        assert len(data) <= _SEND_WINDOW, (
+            f"response payload {len(data)}B exceeds the untracked 64KiB "
+            "send window — implement WINDOW_UPDATE tracking before "
+            "sending bodies this large"
+        )
         mfs = self.conn.max_frame_size
         chunks = [data[i : i + mfs] for i in range(0, len(data), mfs)] or [b""]
         for i, chunk in enumerate(chunks):
@@ -228,10 +273,17 @@ class H2Server(socketserver.ThreadingTCPServer):
 
         class _Req(socketserver.BaseRequestHandler):
             def handle(inner) -> None:  # noqa: N805
+                conn = H2Connection(inner.request, self._h2_handler)
                 try:
-                    H2Connection(inner.request, self._h2_handler).run()
+                    conn.run()
                 except (ConnectionError, OSError):
-                    pass
+                    pass  # peer hung up: nothing to tell it
+                except Exception:
+                    # malformed input (truncated HPACK int/string, bad
+                    # frame shape, garbage preface…) must kill THIS
+                    # connection with a clean GOAWAY, not unwind the
+                    # handler thread with a raw traceback
+                    conn._goaway(0x1)  # PROTOCOL_ERROR
 
         super().__init__(addr, _Req)
 

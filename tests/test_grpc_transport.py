@@ -467,3 +467,75 @@ def test_grpc_interleaved_streams_demultiplex(grpc_port, tmp_path):
             assert resp["new_offset_interval"] == {"start": 0, "end": 2}
     finally:
         sock.close()
+
+
+def test_garbage_peer_gets_goaway_not_thread_crash(grpc_port, tmp_path):
+    """A peer sending a valid preface followed by garbage (bad HPACK,
+    oversized frame length) must get a clean GOAWAY / connection close
+    — and the server must keep serving OTHER connections afterwards."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq  # noqa: F401  (fixture helper below)
+
+    # 1. truncated-HPACK peer: HEADERS frame whose fragment is a lone
+    #    continuation-prefix byte (0x7F needs continuation bytes)
+    s = socket.create_connection(("127.0.0.1", grpc_port))
+    s.sendall(b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n")
+    s.sendall(struct.pack("!I", 1)[1:] + bytes([0x1, 0x4]) + struct.pack("!I", 1) + b"\x7f")
+    s.settimeout(5)
+    got = bytearray()
+    try:
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            got += chunk
+    except TimeoutError:
+        pass
+    s.close()
+    # frames received: SETTINGS first, then a GOAWAY (type 0x7) before close
+    types = []
+    pos = 0
+    while pos + 9 <= len(got):
+        ln = int.from_bytes(got[pos : pos + 3], "big")
+        types.append(got[pos + 3])
+        pos += 9 + ln
+    assert 0x7 in types, types
+
+    # 2. oversized-frame-length peer: length field beyond our 16384
+    s = socket.create_connection(("127.0.0.1", grpc_port))
+    s.sendall(b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n")
+    s.sendall(b"\xff\xff\xff" + bytes([0x0, 0x0]) + struct.pack("!I", 1))
+    s.settimeout(5)
+    got = bytearray()
+    try:
+        while True:
+            chunk = s.recv(4096)
+            if not chunk:
+                break
+            got += chunk
+    except TimeoutError:
+        pass
+    s.close()
+    types = []
+    pos = 0
+    while pos + 9 <= len(got):
+        ln = int.from_bytes(got[pos : pos + 3], "big")
+        types.append(got[pos + 3])
+        pos += 9 + ln
+    assert 0x7 in types, types
+
+    # 3. the server still serves a real request on a fresh connection
+    ledger = write_cities_ledger(str(tmp_path / "g-ledger.parquet"))
+    out = str(tmp_path / "g-out.parquet")
+    body = _reference_request(ledger, out, str(tmp_path / "g-ckpt"))
+    client = GrpcTestClient(grpc_port)
+    try:
+        headers, msgs = client.call(
+            "/engine.Engine/ExecuteTransform",
+            proto_wrap(fb.encode_transform_request(body)),
+        )
+    finally:
+        client.close()
+    assert headers["grpc-status"] == "0"
+    kind, _ = fb.decode_response(proto_unwrap(msgs[0]), "TransformResponseSuccess")
+    assert kind == fb.UNION_SUCCESS

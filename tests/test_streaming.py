@@ -744,3 +744,173 @@ def test_transform_ticks_feed_maintained_view(spark, tmp_path):
     }
     assert view == full
     assert view["vancouver"][0] == 2  # original append + tick-2 append
+
+
+def _bucket_val(spark, key: str, n: int) -> int:
+    from kamu_engine_datafusion_spark.streaming.structured import _bucket_of
+
+    return (
+        spark.range(1)
+        .select(F.lit(key).alias("k"))
+        .select(_bucket_of(["k"], n).alias("b"))
+        .collect()[0]["b"]
+    )
+
+
+def _bucket_files(state_dir: str) -> dict:
+    """{bucket_dir: {filename: bytes}} for every bucket under a root."""
+    out = {}
+    for d in sorted(os.listdir(state_dir)):
+        p = os.path.join(state_dir, d)
+        if os.path.isdir(p) and d.startswith("__bucket="):
+            out[d] = {
+                f: open(os.path.join(p, f), "rb").read()
+                for f in sorted(os.listdir(p))
+                if not f.startswith(".")
+            }
+    return out
+
+
+def test_maintained_state_untouched_buckets_byte_identical(spark, tmp_path):
+    """The O(increment) claim made physical: a tick that touches one
+    key must leave every OTHER bucket's parquet files byte-identical —
+    not re-written, not re-linked, not even re-read."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_view,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "uledger")
+    state_dir = os.path.join(str(tmp_path), "ustate")
+    ck = os.path.join(str(tmp_path), "uck")
+    os.makedirs(ledger_dir)
+    schema = "offset long, op int, k string, value double"
+    nb = 8
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_view(
+            ledger_dir, state_dir, ck, ["k"], {"vs": "value"},
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+            state_buckets=nb,
+        )
+        q.awaitTermination()
+
+    # 20 keys spread over the 8 buckets
+    tick([(i, 0, f"k{i}", float(i)) for i in range(20)])
+    before = _bucket_files(state_dir)
+    assert len(before) > 2  # the spread actually hit several buckets
+
+    touched = f"__bucket={_bucket_val(spark, 'k0', nb)}"
+    tick([(20, 0, "k0", 100.0)])
+    after = _bucket_files(state_dir)
+
+    assert touched in before and touched in after
+    assert before[touched] != after[touched]  # the folded bucket moved
+    for d in before:
+        if d != touched:
+            assert after[d] == before[d], f"untouched {d} was rewritten"
+    # and the view itself is correct
+    got = {
+        r["k"]: r["vs"]
+        for r in spark.read.parquet(state_dir).filter(
+            F.col("k").isin("k0", "k1")
+        ).collect()
+    }
+    assert got == {"k0": 100.0, "k1": 1.0}
+
+
+def test_maintained_state_emptied_bucket_is_removed(spark, tmp_path):
+    """A tick that retracts EVERY group in a bucket must remove the
+    bucket dir (the 'drop' side of the intent protocol), not leave a
+    stale file resurrecting dead groups."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_view,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "eledger")
+    state_dir = os.path.join(str(tmp_path), "estate")
+    ck = os.path.join(str(tmp_path), "eck")
+    os.makedirs(ledger_dir)
+    schema = "offset long, op int, k string, value double"
+    nb = 8
+
+    # two keys in DIFFERENT buckets: only these two enter the state, so
+    # the first key has its bucket to itself
+    keys = [f"x{i}" for i in range(40)]
+    buckets = {k: _bucket_val(spark, k, nb) for k in keys}
+    lone = keys[0]
+    other = next(k for k in keys if buckets[k] != buckets[lone])
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_view(
+            ledger_dir, state_dir, ck, ["k"], {"vs": "value"},
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+            state_buckets=nb,
+        )
+        q.awaitTermination()
+
+    tick([(0, 0, lone, 1.0), (1, 0, other, 2.0)])
+    lone_dir = os.path.join(state_dir, f"__bucket={buckets[lone]}")
+    assert os.path.isdir(lone_dir)
+    tick([(2, 1, lone, 1.0)])  # full retraction of the lone key
+    assert not os.path.exists(lone_dir)
+    remaining = [r["k"] for r in spark.read.parquet(state_dir).collect()]
+    assert remaining == [other]
+
+
+def test_apply_intent_idempotent_from_every_crash_point(tmp_path):
+    """_apply_intent must finish a partially-applied tick no matter
+    where the crash landed: already-applied buckets are skipped (their
+    staging dir is gone), pending ones applied, drops re-dropped, the
+    marker written last. Pure filesystem — no Spark."""
+    import json
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _apply_intent,
+        _last_folded_batch,
+    )
+
+    st = os.path.join(str(tmp_path), "state")
+    stage = st + ".next"
+
+    def mkbucket(root, b, fname, data):
+        d = os.path.join(root, f"__bucket={b}")
+        os.makedirs(d, exist_ok=True)
+        with open(os.path.join(d, fname), "w") as f:
+            f.write(data)
+
+    # live root: marker 3, buckets 1 (stale), 5 (to be dropped), 9 (untouched)
+    os.makedirs(st)
+    with open(os.path.join(st, "_folded_batch_id"), "w") as f:
+        f.write("3")
+    mkbucket(st, 1, "old.parquet", "old-b1")
+    mkbucket(st, 5, "dead.parquet", "dead-b5")
+    mkbucket(st, 9, "keep.parquet", "keep-b9")
+    # committed staging for batch 4: replace buckets 1 and 2, drop 5
+    mkbucket(stage, 1, "new.parquet", "new-b1")
+    mkbucket(stage, 2, "new.parquet", "new-b2")
+    with open(os.path.join(stage, "_intent"), "w") as f:
+        f.write(json.dumps({"batch_id": 4, "apply": [1, 2], "drop": [5]}))
+
+    # crash point: bucket 1 was already applied before the crash
+    import shutil
+
+    shutil.rmtree(os.path.join(st, "__bucket=1"))
+    os.replace(os.path.join(stage, "__bucket=1"), os.path.join(st, "__bucket=1"))
+
+    _apply_intent(st)  # recovery must finish the tick
+
+    assert _last_folded_batch(st) == 4
+    assert not os.path.exists(stage)
+    assert open(os.path.join(st, "__bucket=1", "new.parquet")).read() == "new-b1"
+    assert open(os.path.join(st, "__bucket=2", "new.parquet")).read() == "new-b2"
+    assert not os.path.exists(os.path.join(st, "__bucket=5"))
+    assert open(os.path.join(st, "__bucket=9", "keep.parquet")).read() == "keep-b9"
+    # re-running recovery after completion is a no-op
+    _apply_intent(st)
+    assert _last_folded_batch(st) == 4
