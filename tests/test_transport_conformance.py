@@ -173,3 +173,129 @@ def test_reference_shape_bare_query_accepted(server, tmp_path):
     status, resp = _post(server, "/execute_transform", body)
     assert status == 200
     assert resp["new_offset_interval"] == {"start": 0, "end": 2}
+
+
+# ---------------------------------------------------------------------------
+# Golden wire bytes
+#
+# Pins the EXACT FlatBuffers bytes of one canonical TransformRequest and
+# one TransformResponse(Success) so that any change to LAYOUTS' slot
+# numbers or the response-union tag values (which are INFERRED from the
+# reference DTO field order — the authoritative .fbs lives in the
+# unvendored kamu-cli crate, unreachable offline) shows up as a VISIBLE
+# fixture diff, never a silent wire change. Slot map under test
+# (transport/odf_flatbuffers.py LAYOUTS):
+#   TransformRequest: 0 dataset_id, 1 dataset_alias, 2 system_time,
+#     3 vocab, 4 transform, 5 query_inputs, 6 next_offset,
+#     7 new_checkpoint_path, 8 new_data_path
+#   TransformRequestInput: 0 dataset_id, 1 dataset_alias, 2 query_alias,
+#     3 vocab, 4 offset_interval, 5 data_paths, 6 schema_file,
+#     7 explicit_watermarks
+#   DatasetVocabulary: 0 offset, 1 op, 2 system_time, 3 event_time cols
+#   TransformSql: 0 engine, 1 version, 2 query, 3 queries
+#   SqlQueryStep: 0 query, 1 alias;  OffsetInterval: 0 start, 1 end
+#   Response union tags: 1 Progress, 2 Success, 3 InvalidQuery,
+#     4 InternalError
+# ---------------------------------------------------------------------------
+
+_GOLDEN_REQUEST = {
+    "dataset_id": "did:odf:fed016b61",
+    "dataset_alias": "golden",
+    "system_time": "2024-01-02T03:04:05Z",
+    "next_offset": 10,
+    "vocab": {
+        "offset_column": "offset",
+        "operation_type_column": "op",
+        "system_time_column": "system_time",
+        "event_time_column": "event_time",
+    },
+    "transform": {
+        "engine": "spark",
+        "queries": [{"query": "select 1 as x", "alias": "step"}],
+    },
+    "query_inputs": [
+        {
+            "dataset_id": "did:odf:fed0142aa",
+            "dataset_alias": "in",
+            "query_alias": "in",
+            "offset_interval": {"start": 0, "end": 4},
+            "vocab": {
+                "offset_column": "offset",
+                "operation_type_column": "op",
+                "system_time_column": "system_time",
+                "event_time_column": "event_time",
+            },
+            "data_paths": ["/data/p0.parquet"],
+            "schema_file": "/data/p0.parquet",
+            "explicit_watermarks": [],
+        }
+    ],
+    "new_checkpoint_path": "/ckpt",
+    "new_data_path": "/out.parquet",
+}
+
+_GOLDEN_REQUEST_HEX = (
+    "200000001800340018001c000800200024002800100000002c00300000000000"
+    "1c0000000000000088d820c88c0100000a000000000000001c00000030000000"
+    "48000000640000006c0000007000000078000000110000006469643a6f64663a"
+    "66656430313662363100000006000000676f6c64656e00000c00140004000800"
+    "0c001000000000001000000050000000580000005c000000680000000c000c00"
+    "04000000000008000c000000640000006c000000010000008000000005000000"
+    "2f636b70740000000c0000002f6f75742e706172717565740000000006000000"
+    "6f66667365740000020000006f7000000b00000073797374656d5f74696d6500"
+    "0a0000006576656e745f74696d65000005000000737061726b00000001000000"
+    "4800000014002400040008000c001000140018001c0020001400000038000000"
+    "4c00000050000000600000007c0000009000000094000000a800000008000c00"
+    "04000800000000000c00000098000000a8000000110000006469643a6f64663a"
+    "66656430313432616100000002000000696e000002000000696e00000c001400"
+    "040008000c0010000c0000007800000080000000840000009000000008001800"
+    "08001000000000000c0000000000000000000000000000000400000000000000"
+    "0100000074000000100000002f646174612f70302e7061727175657400000000"
+    "000000000d00000073656c656374203120617320780000000400000073746570"
+    "00000000060000006f66667365740000020000006f7000000b00000073797374"
+    "656d5f74696d65000a0000006576656e745f74696d650000100000002f646174"
+    "612f70302e7061727175657400"
+)
+
+
+def test_transform_request_golden_bytes():
+    """The canonical request encodes to EXACTLY the pinned bytes — a
+    slot renumbering can only land as a visible diff of this fixture."""
+    from kamu_engine_datafusion_spark.transport import odf_flatbuffers as fb
+
+    got = fb.encode_transform_request(_GOLDEN_REQUEST)
+    assert got == bytes.fromhex(_GOLDEN_REQUEST_HEX)
+    # and the pinned bytes decode back to the canonical dict
+    rt = fb.decode_transform_request(bytes.fromhex(_GOLDEN_REQUEST_HEX))
+    assert rt["dataset_alias"] == "golden"
+    assert rt["next_offset"] == 10
+    assert rt["transform"]["queries"] == [
+        {"query": "select 1 as x", "alias": "step"}
+    ]
+    assert rt["query_inputs"][0]["offset_interval"] == {"start": 0, "end": 4}
+
+
+def test_transform_response_golden_bytes():
+    """Response union tag 2 (Success) + payload slots pinned byte-exact."""
+    from kamu_engine_datafusion_spark.transport import odf_flatbuffers as fb
+
+    payload = {
+        "new_offset_interval": {"start": 10, "end": 12},
+        "new_watermark": "2024-01-02T03:04:05Z",
+    }
+    got = fb.encode_response(
+        fb.UNION_SUCCESS, "TransformResponseSuccess", payload
+    )
+    assert got == bytes.fromhex(_GOLDEN_RESPONSE_HEX)
+    kind, rd = fb.decode_response(
+        bytes.fromhex(_GOLDEN_RESPONSE_HEX), "TransformResponseSuccess"
+    )
+    assert kind == fb.UNION_SUCCESS == 2
+    assert rd == payload
+
+
+_GOLDEN_RESPONSE_HEX = (
+    "100000000800090008000400000000000c000000140000000200080014001000"
+    "08000000000000000e0000000000000088d820c88c0100001000000008001800"
+    "08001000000000000c000000000000000a000000000000000c00000000000000"
+)
