@@ -1431,3 +1431,41 @@ def remove_common_lines(
         .join(reassembled, df[id_col] == reassembled["__id"], "left")
         .select(F.col(id_col), F.coalesce(F.col(text_col), F.lit("")).alias(text_col))
     )
+
+
+def dedup_cross_corpus(
+    df: DataFrame,
+    reference: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_fn: str = "xxhash64",
+    broadcast_reference: bool = False,
+) -> DataFrame:
+    """Cross-corpus EXACT dedup: drop rows of ``df`` whose normalized
+    content hash appears anywhere in ``reference`` — the train-vs-eval
+    (or new-crawl-vs-released-corpus) exact-overlap removal that runs
+    BEFORE the fuzzy stages (``dedup_increment_against_index`` for
+    near-dup, ``decontaminate`` for n-gram overlap).
+
+    Normalization matches :func:`exact_dedup` (lowercase, collapsed
+    whitespace); ``hash_fn="md5"`` makes the hash plain-SQL
+    reproducible for the cross-engine oracle, ``"xxhash64"`` is the
+    fast JVM default — identical survivor sets either way.
+
+    Scale: hashes are computed scan-side on BOTH corpora; the anti-join
+    shuffles only 1 hash + id per row (never text). With a benchmark-
+    sized reference, ``broadcast_reference=True`` removes the corpus
+    shuffle entirely (the standard decontamination shape).
+    """
+    def h(c):
+        n = normalize_text(c)
+        return F.md5(n) if hash_fn == "md5" else F.xxhash64(n)
+
+    ref = reference.select(h(F.col(text_col)).alias("__xh")).distinct()
+    if broadcast_reference:
+        ref = F.broadcast(ref)
+    return (
+        df.withColumn("__xh", h(F.col(text_col)))
+        .join(ref, "__xh", "left_anti")
+        .drop("__xh")
+    )

@@ -686,3 +686,49 @@ def interleave_sources(
     return assign_offsets_distributed(ordered, "interleave_rank", 0).drop(
         "__w", "__b", "__r0", "__stride"
     )
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    weight_col: str,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement, PER GROUP —
+    the per-domain/per-source form of :func:`weighted_sample` (same
+    Efraimidis–Spirakis A-Res keys, same reproducibility contract):
+    keep the top ``n`` reservoir keys within each ``group_col`` value,
+    so every domain contributes a quality-weighted sample instead of
+    the global draw being swallowed by the heaviest domain.
+
+    Scale: one shuffle on the group key; the per-group rank window
+    sorts only within groups and the survivors are capped at ``n`` per
+    group. Same hot-group caveat as :func:`cap_per_group`. Rows with
+    ``w <= 0`` or null are excluded.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31,
+        poly_hash31,
+    )
+
+    key = F.col(key_col)
+    if hash_fn == "poly":
+        h = poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}")))
+    else:
+        h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
+    u = (h + 1) / F.lit(float(_MERSENNE_31 + 1))
+    w = F.col(weight_col).cast("double")
+    res_key = F.round(F.log(u) / w, 9)
+    rank_w = Window.partitionBy(group_col).orderBy(
+        F.col("__akey").desc(), key
+    )
+    return (
+        df.filter(w > 0)
+        .withColumn("__akey", res_key)
+        .withColumn("__rn", F.row_number().over(rank_w))
+        .filter(F.col("__rn") <= n)
+        .drop("__akey", "__rn")
+    )

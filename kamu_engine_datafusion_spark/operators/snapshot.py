@@ -287,3 +287,44 @@ def rolling_time_agg(
         .withColumn("rolling_sum", F.sum(value_col).over(w))
         .withColumn("rolling_avg", F.avg(value_col).over(w))
     )
+
+
+def compact_ledger(
+    ledger: DataFrame,
+    primary_key: str | list[str],
+    horizon_offset: int,
+    vocab: DatasetVocabulary | None = None,
+) -> DataFrame:
+    """Ledger compaction with a retention horizon — the maintenance
+    operator that keeps an ever-growing retractable ledger readable:
+    every record with ``offset <= horizon_offset`` collapses to the
+    latest record per primary key (tombstones INCLUDED — a key whose
+    last pre-horizon record is a retract must stay dead, or an older
+    replica could resurrect it), while everything after the horizon is
+    preserved verbatim so time travel (``snapshot_as_of``) keeps
+    working for any ``as_of >= horizon_offset``.
+
+    Invariant (pytest-pinned): for every ``t >= horizon_offset``,
+    ``snapshot_as_of(compact_ledger(L, k, h), k, t)`` ==
+    ``snapshot_as_of(L, k, t)`` — compaction is unobservable to any
+    reader at or past the horizon.
+
+    Scale: ONE keyed shuffle over the pre-horizon slice only (the
+    offset predicate is pushed to the scan, so post-horizon row groups
+    are read once and never shuffled); output size is |keys| +
+    |post-horizon records|. Run periodically with the horizon at the
+    oldest offset any consumer still needs, exactly like log-compacted
+    topics / Delta VACUUM retention.
+    """
+    vocab = vocab or DatasetVocabulary()
+    keys = [primary_key] if isinstance(primary_key, str) else list(primary_key)
+    off = vocab.offset_column
+    old = ledger.filter(F.col(off) <= horizon_offset)
+    recent = ledger.filter(F.col(off) > horizon_offset)
+    w = Window.partitionBy(*keys).orderBy(F.col(off).desc())
+    compacted_old = (
+        old.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return compacted_old.unionByName(recent)

@@ -736,3 +736,92 @@ def bpe_encode_subword_counts(
         .groupBy("subword")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def truncate_tokens(
+    df,
+    max_tokens: int,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Token-boundary truncation to a context budget: keep the first
+    ``max_tokens`` whitespace tokens of each document — the standard
+    pre-tokenizer guard that stops a single pathological document from
+    blowing past the packer's sequence budget.
+
+    Appends ``text_trunc`` (the truncated text, single-space re-joined —
+    runs of whitespace are normalized, which downstream whitespace
+    tokenization cannot observe), ``n_tokens_kept`` and
+    ``was_truncated``. Original case is preserved (truncation is about
+    LENGTH, not normalization — lowercase belongs to ``clean_text``).
+
+    Scale: pure in-row array math (split → slice → join) at scan speed,
+    zero shuffles; the filter/packing stages downstream see bounded
+    costs.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    kept = F.slice(toks, 1, max_tokens)
+    return (
+        df.withColumn("text_trunc", F.array_join(kept, " "))
+        .withColumn("n_tokens_kept", F.size(kept).cast("long"))
+        .withColumn(
+            "was_truncated", F.size(toks) > F.lit(max_tokens)
+        )
+    )
+
+
+def corpus_card(
+    df,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+    short_doc_tokens: int = 20,
+) -> "DataFrame":
+    """Per-(source, lang) corpus data card — the one-scan summary a
+    dataset release ships with: document and token counts, length
+    profile, and an exact duplicate-rate proxy (distinct normalized
+    MD5 text hashes vs docs; MD5 so the SAME hash is computable in
+    plain SQL on any engine; normalization matches ``exact_dedup`` —
+    lowercase, whitespace runs collapsed, trimmed — so the card's
+    dup_rate is exactly the rate ``exact_dedup`` would remove).
+
+    Columns: ``n_docs``, ``n_tokens``, ``avg_tokens`` (2dp half-up),
+    ``pct_short`` (docs under ``short_doc_tokens``, 4dp half-up),
+    ``n_distinct_texts``, ``dup_rate`` (1 − distinct/docs, 4dp
+    half-up).
+
+    Scale: one groupBy shuffle carrying (count, sum, short-count,
+    distinct-hash) partials; the MD5 is computed scan-side. Exact
+    distinct per group costs a hash set per group map-side — for
+    billion-doc groups swap in ``approx_count_distinct`` (documented
+    trade; the exact form is what the oracle can verify).
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    group_cols = group_cols or ["source", "lang"]
+    tc = token_count(text_col)
+    h = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    g = (
+        df.withColumn("__tc", tc)
+        .withColumn("__h", h)
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__tc").alias("n_tokens"),
+            F.sum(
+                (F.col("__tc") < short_doc_tokens).cast("long")
+            ).alias("__n_short"),
+            F.countDistinct("__h").alias("n_distinct_texts"),
+        )
+    )
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "n_tokens",
+        half_up(F.col("n_tokens") / F.col("n_docs"), 2).alias("avg_tokens"),
+        half_up(F.col("__n_short") / F.col("n_docs"), 4).alias("pct_short"),
+        "n_distinct_texts",
+        half_up(
+            F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 4
+        ).alias("dup_rate"),
+    )

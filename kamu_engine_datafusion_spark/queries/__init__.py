@@ -46,6 +46,12 @@ _PRIORITY_R7 = [
     "xhybrid_rrf",  # half-up rank keys + fused score, both sides
     "xinterleave",  # mode param added (serial default, unchanged path)
     "xinterleave_dist",  # NEW: distributed no-window twin, shared oracle
+    # -- NEW in round 7 --
+    "xledger_compact",  # NEW: retention-horizon ledger compaction
+    "xsample_weighted_group",  # NEW: per-group A-Res weighted sampling
+    "xtext_truncate",  # NEW: token-boundary truncation, content-pinned
+    "xcorpus_card",  # NEW: per-(source,lang) data-card summary
+    "xdedup_cross",  # NEW: cross-corpus exact dedup (md5 twin)
     # -- r03-stale block: last driver-green in CORRECTNESS_r03 --
     "xsim_ivf",
     "xsim_srp_lsh",

@@ -516,6 +516,104 @@ def q_xinterleave_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang", "interleave_rank")
 
 
+def q_xledger_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ledger compaction with a retention horizon (max-offset/2):
+    pre-horizon records collapse to latest-per-key incl. tombstones,
+    post-horizon preserved verbatim — summarized per op as (rows,
+    offset-sum, distinct keys) so the kept record SET is pinned
+    (``operators/snapshot.py::compact_ledger``)."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        compact_ledger,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ledger = t["events"].select(
+        F.col("event_id").alias("offset"),
+        (F.col("event_id") % 4).cast("int").alias("op"),
+        "user_id",
+    )
+    mx = ledger.agg(F.max("offset")).collect()[0][0]
+    comp = compact_ledger(ledger, "user_id", int(mx) // 2)
+    return (
+        comp.groupBy("op")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("offset").alias("off_sum"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            "op",
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("off_sum").cast("long").alias("off_sum"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
+
+
+def q_xsample_weighted_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group weighted sampling without replacement: top-50 A-Res
+    reservoir keys per lang, weight = n_chars — every language
+    contributes a quality-weighted sample instead of the global draw
+    being swallowed by the heaviest one
+    (``operators/sampling.py::weighted_sample_per_group``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    out = weighted_sample_per_group(
+        t["documents"], "n_chars", "lang", n=50, hash_fn="poly"
+    )
+    return out.select("doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars"))
+
+
+def q_xtext_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-boundary truncation to a 25-token context budget; the
+    truncated CONTENT is pinned by md5 so the slice boundary itself is
+    hash-verified (``operators/text.py::truncate_tokens``)."""
+    from kamu_engine_datafusion_spark.operators.text import truncate_tokens
+
+    t = load(spark, sf_dir, "documents")
+    out = truncate_tokens(t["documents"], max_tokens=25)
+    return out.select(
+        "doc_id",
+        "n_tokens_kept",
+        "was_truncated",
+        F.md5(F.col("text_trunc")).alias("trunc_md5"),
+    )
+
+
+def q_xcorpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(source, lang) corpus data card: docs, tokens, length
+    profile, exact duplicate rate via md5 content hashes
+    (``operators/text.py::corpus_card``)."""
+    t = load(spark, sf_dir, "documents")
+    return X.corpus_card(t["documents"])
+
+
+def q_xdedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus exact dedup: docs ≥200 whose normalized content
+    hash appears in the doc_id<200 'released benchmark' slice are
+    dropped (md5 twin — plain-SQL reproducible; the xxhash64 default
+    produces the identical survivor set)
+    (``operators/dedup.py::dedup_cross_corpus``)."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_cross_corpus,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") < 200)
+    out = dedup_cross_corpus(
+        docs.filter(F.col("doc_id") >= 200), ref, hash_fn="md5",
+        broadcast_reference=True,
+    )
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 def q_xvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vocabulary induction: top-20 tokens by frequency with a
     deterministic (freq desc, token asc) rank."""
@@ -1840,6 +1938,11 @@ QUERIES = {
     "xlength_buckets": q_xlength_buckets,
     "xinterleave": q_xinterleave,
     "xinterleave_dist": q_xinterleave_dist,
+    "xledger_compact": q_xledger_compact,
+    "xsample_weighted_group": q_xsample_weighted_group,
+    "xtext_truncate": q_xtext_truncate,
+    "xcorpus_card": q_xcorpus_card,
+    "xdedup_cross": q_xdedup_cross,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -3702,3 +3805,71 @@ ORACLES = {
 # serial-window SQL: the two modes are bit-identical by contract, so a
 # shared oracle makes the driver prove it per-round.
 ORACLES["xinterleave_dist"] = ORACLES["xinterleave"]
+
+ORACLES["xledger_compact"] = (
+    # 'offset' is a reserved word in DuckDB — the ledger offset travels
+    # as 'o' inside the oracle (output column names are what must match)
+    "WITH l AS (SELECT event_id AS o, CAST(event_id % 4 AS INT) AS op, "
+    "user_id FROM events), "
+    "h AS (SELECT max(o) // 2 AS h FROM l), "
+    "old AS (SELECT o, op, user_id, row_number() OVER ("
+    "PARTITION BY user_id ORDER BY o DESC) AS rn "
+    "FROM l, h WHERE o <= h.h), "
+    "keep AS (SELECT o, op, user_id FROM old WHERE rn = 1 "
+    "UNION ALL SELECT o, op, user_id FROM l, h WHERE o > h.h) "
+    "SELECT op, count(*) AS n_rows, CAST(sum(o) AS BIGINT) AS off_sum, "
+    "CAST(count(DISTINCT user_id) AS BIGINT) AS n_users "
+    "FROM keep GROUP BY op"
+)
+
+ORACLES["xsample_weighted_group"] = (
+    "WITH h AS (SELECT doc_id, lang, n_chars, "
+    "CAST(n_chars AS DOUBLE) AS w, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+    "ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 2147483647) AS hv "
+    "FROM documents WHERE n_chars > 0), "
+    "k AS (SELECT doc_id, lang, n_chars, "
+    "round(ln((hv + 1) / 2147483648.0) / w, 9) AS akey FROM h) "
+    "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM ("
+    "SELECT *, row_number() OVER (PARTITION BY lang "
+    "ORDER BY akey DESC, doc_id) AS rn FROM k) WHERE rn <= 50"
+)
+
+ORACLES["xtext_truncate"] = (
+    "WITH s AS (SELECT doc_id, "
+    "string_split_regex(trim(text), '\\s+') AS toks FROM documents), "
+    "c AS (SELECT doc_id, toks, list_slice(toks, 1, 25) AS kept FROM s) "
+    "SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_tokens_kept, "
+    "len(toks) > 25 AS was_truncated, "
+    "md5(array_to_string(kept, ' ')) AS trunc_md5 FROM c"
+)
+
+ORACLES["xcorpus_card"] = (
+    "WITH c AS (SELECT source, lang, "
+    "len(string_split_regex(trim(lower(text)), '\\s+')) AS tc, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM documents) "
+    "SELECT source, lang, count(*) AS n_docs, "
+    "CAST(sum(tc) AS BIGINT) AS n_tokens, "
+    "floor(CAST(sum(tc) AS DOUBLE) / count(*) * 100 + 0.5) / 100 "
+    "AS avg_tokens, "
+    "floor(CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ count(*) * 10000 + 0.5) / 10000 AS pct_short, "
+    "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts, "
+    "floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)) "
+    "* 10000 + 0.5) / 10000 AS dup_rate "
+    "FROM c GROUP BY source, lang"
+)
+
+ORACLES["xdedup_cross"] = (
+    "WITH n AS (SELECT doc_id, lang, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM documents), "
+    "ref AS (SELECT DISTINCT h FROM n WHERE doc_id < 200), "
+    "keep AS (SELECT doc_id, lang FROM n x WHERE doc_id >= 200 "
+    "AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = x.h)) "
+    "SELECT lang, count(*) AS n_docs, "
+    "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM keep GROUP BY lang"
+)

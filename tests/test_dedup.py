@@ -52,3 +52,37 @@ def test_minhash_inrow_layout_has_no_shuffle(spark):
         .toString()
     )
     assert "Exchange" not in plan
+
+
+def test_dedup_cross_corpus_exact_overlap_and_nulls(spark):
+    """Rows whose normalized text appears in the reference are dropped
+    (case/whitespace-insensitively); null-text rows survive (no hash,
+    no match); md5 and xxhash64 produce the SAME survivor set."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_cross_corpus,
+    )
+
+    ref = spark.createDataFrame(
+        [(100, "Hello World"), (101, "released doc")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (0, "hello   world"),   # normalized dup of ref -> dropped
+            (1, "fresh document"),
+            (2, None),              # null text -> kept
+            (3, "RELEASED DOC"),    # dup -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    for hf in ("xxhash64", "md5"):
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_cross_corpus(corpus, ref, hash_fn=hf).collect()
+        )
+        assert kept == [1, 2], hf
+    # broadcast form: same result, and the plan broadcasts the reference
+    out = dedup_cross_corpus(corpus, ref, broadcast_reference=True)
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan

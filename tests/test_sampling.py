@@ -355,3 +355,33 @@ def test_group_ranks_distributed_matches_window(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_weighted_sample_per_group_quota_and_determinism(spark):
+    """Every group keeps at most n rows; a group smaller than n keeps
+    everything; heavier rows win more often within each group; the draw
+    is identical on recompute and across partitionings."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [(i, "g%d" % (i % 3), float(1 + (i % 7) * 100)) for i in range(90)]
+    rows += [(900, "tiny", 5.0), (901, "tiny", 1.0)]
+    df = spark.createDataFrame(rows, "doc_id long, g string, w double")
+    out = weighted_sample_per_group(df, "w", "g", n=10).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["doc_id"])
+    assert all(len(v) <= 10 for v in by_g.values())
+    assert sorted(by_g["tiny"]) == [900, 901]  # small group kept whole
+    again = {
+        (r["g"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            df.repartition(7), "w", "g", n=10
+        ).collect()
+    }
+    assert again == {(r["g"], r["doc_id"]) for r in out}
+    # heavy rows (w=601) should beat light ones (w=1) overall
+    heavy = sum(1 for r in out if r["w"] > 500)
+    light = sum(1 for r in out if r["w"] < 2)
+    assert heavy > light

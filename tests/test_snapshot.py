@@ -190,3 +190,45 @@ def test_rollup_gapfill_ffill_carries_forward(spark):
     assert [(r.bucket_start.hour, r.last_v, r.gap_filled) for r in out] == [
         (0, 10.0, False), (1, 10.0, True), (2, 30.0, False),
     ]
+
+
+def test_compact_ledger_unobservable_past_horizon(spark):
+    """For every t >= horizon, snapshot_as_of(compacted) must equal
+    snapshot_as_of(full) — including a key whose latest pre-horizon
+    record is a RETRACT (the tombstone must survive compaction, or an
+    older live row would resurrect the key)."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        compact_ledger,
+        snapshot_as_of,
+    )
+
+    rows = [
+        # (offset, op, k, v)
+        (0, 0, "a", 1.0),
+        (1, 0, "b", 2.0),
+        (2, 0, "a", 3.0),
+        (3, 1, "b", 2.0),   # retract b pre-horizon -> tombstone must survive
+        (4, 0, "c", 5.0),
+        # --- horizon = 4 ---
+        (5, 0, "a", 7.0),
+        (6, 0, "b", 9.0),   # b re-created post-horizon
+        (7, 1, "c", 5.0),
+    ]
+    schema = "offset long, op int, k string, value double"
+    ledger = spark.createDataFrame(rows, schema).withColumn(
+        "system_time", F.lit(None).cast("timestamp")
+    )
+    comp = compact_ledger(ledger, "k", horizon_offset=4)
+    # pre-horizon collapsed to latest-per-key (3 keys), post kept (3 rows)
+    assert comp.count() == 6
+    # tombstone retained
+    b_old = comp.filter((F.col("k") == "b") & (F.col("offset") <= 4)).collect()
+    assert len(b_old) == 1 and b_old[0]["op"] == 1
+    for t in (4, 5, 6, 7):
+        want = sorted(
+            map(tuple, snapshot_as_of(ledger, "k", t).select("k", "value").collect())
+        )
+        got = sorted(
+            map(tuple, snapshot_as_of(comp, "k", t).select("k", "value").collect())
+        )
+        assert got == want, (t, got, want)

@@ -254,3 +254,52 @@ def test_bpe_encode_compression_monotone(spark):
     assert totals[0] == n_chars
     assert all(a >= b for a, b in zip(totals, totals[1:]))
     assert totals[-1] < totals[0]
+
+
+def test_truncate_tokens_boundaries(spark):
+    from kamu_engine_datafusion_spark.operators.text import truncate_tokens
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e"),
+            (1, "one  two\tthree"),   # whitespace runs normalize
+            (2, "exactly three toks"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["text_trunc"], r["n_tokens_kept"], r["was_truncated"])
+        for r in truncate_tokens(df, max_tokens=3).collect()
+    }
+    assert out[0] == ("a b c", 3, True)
+    assert out[1] == ("one two three", 3, False)
+    assert out[2] == ("exactly three toks", 3, False)
+    assert out[3][1] == 1 and out[3][2] is False  # '' -> one empty token
+
+
+def test_corpus_card_hand_computed(spark):
+    from kamu_engine_datafusion_spark.operators.text import corpus_card
+
+    df = spark.createDataFrame(
+        [
+            (0, "web", "en", "hello world"),
+            (1, "web", "en", "HELLO   world"),  # dup after normalization
+            (2, "web", "en", "unique text here"),
+            (3, "book", "de", "ein text"),
+        ],
+        "doc_id long, source string, lang string, text string",
+    )
+    out = {
+        (r["source"], r["lang"]): r
+        for r in corpus_card(df, short_doc_tokens=3).collect()
+    }
+    web = out[("web", "en")]
+    assert web["n_docs"] == 3 and web["n_tokens"] == 7
+    assert web["n_distinct_texts"] == 2
+    assert abs(web["dup_rate"] - 0.3333) < 1e-9
+    # 2-token docs are short (< 3), the 3-token one is not
+    assert abs(web["pct_short"] - 0.6667) < 1e-9
+    assert abs(web["avg_tokens"] - 2.33) < 1e-9
+    book = out[("book", "de")]
+    assert book["n_docs"] == 1 and book["dup_rate"] == 0.0

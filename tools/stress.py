@@ -85,6 +85,16 @@ def build_tpch(data_dir: str, base_sf_dir: str = "/root/testdata/sf0.1") -> None
             f"COPY (SELECT * FROM '{base_sf_dir}/{dim}.parquet') TO "
             f"'{data_dir}/{dim}.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)"
         )
+    # the window/analytic B-keys run over events — replicate it too
+    con.execute(
+        f"""
+        COPY (
+          SELECT event_id + 10000000*r AS event_id, ts,
+                 user_id + 100000*r AS user_id, event_type, value, props
+          FROM '{base_sf_dir}/events.parquet', range(0, 10) t(r)
+        ) TO '{data_dir}/events.parquet' (FORMAT PARQUET, COMPRESSION SNAPPY)
+        """
+    )
     print(f"built 10x tpch tables in {data_dir}")
 
 
@@ -105,8 +115,17 @@ def run_tpch(data_dir: str) -> None:
             best = dt if best is None or dt < best else best
         print(f"{name}: {best:.2f}s", flush=True)
 
+    # headline 4 + (round-7) the §2 join/window/setop families at ~sf1 —
+    # the 10x re-check that no B-block plan has a superlinear step
     for key in ("b16_groupby_agg", "b10_tpch_q5alike", "b26_tpch_q3alike",
-                "b17_count_distinct"):
+                "b17_count_distinct",
+                "b10_join_inner", "b10_join_shuffle", "b11_join_left",
+                "b11_join_full", "b12_semi_anti", "b13_cross_join",
+                "b14_theta_join", "b22_distinct", "b23_ranking",
+                "b23_topk_per_group", "b24_analytic", "b25_window_frames",
+                "b26_orderby", "b27_limit_offset", "b28_union_all",
+                "b29_setops", "b30_subqueries", "b19_stats_agg",
+                "b20_rollup", "b20_grouping_sets"):
         fn = registry[key]
         t(
             key,
