@@ -454,3 +454,52 @@ def test_snapshot_diff_roundtrip_property(spark, old_state, new_state):
         r["k"]: r["v"] for r in snapshot_of_ledger(ledger, "k").collect()
     }
     assert got == new_state
+
+
+@_slow
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # key
+            st.integers(min_value=0, max_value=3),   # op
+            st.integers(min_value=0, max_value=99),  # payload
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    horizon_frac=st.floats(min_value=0.0, max_value=1.0),
+)
+def test_compact_ledger_unobservable_property(spark, ops, horizon_frac):
+    """For ANY op sequence and ANY horizon: snapshot_as_of(compacted, t)
+    == snapshot_as_of(full, t) for every t >= horizon, and the
+    compacted pre-horizon slice holds exactly one record per key."""
+    from kamu_engine_datafusion_spark.operators.snapshot import (
+        compact_ledger,
+        snapshot_as_of,
+    )
+
+    t0 = datetime(2023, 1, 1, tzinfo=UTC)
+    rows = [
+        (i, op, t0, t0, f"k{key}", val)
+        for i, (key, op, val) in enumerate(ops)
+    ]
+    ledger = spark.createDataFrame(
+        rows,
+        "offset long, op int, system_time timestamp, "
+        "event_time timestamp, k string, v long",
+    )
+    horizon = int(horizon_frac * (len(ops) - 1))
+    comp = compact_ledger(ledger, "k", horizon)
+    pre = comp.filter(F.col("offset") <= horizon)
+    per_key = pre.groupBy("k").count().collect()
+    assert all(r["count"] == 1 for r in per_key)
+    # probe the horizon itself, the end, and a mid point
+    probes = sorted({horizon, len(ops) - 1, (horizon + len(ops) - 1) // 2})
+    for t in probes:
+        want = sorted(
+            map(tuple, snapshot_as_of(ledger, "k", t).select("k", "v").collect())
+        )
+        got = sorted(
+            map(tuple, snapshot_as_of(comp, "k", t).select("k", "v").collect())
+        )
+        assert got == want, (t, got, want)

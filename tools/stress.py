@@ -337,11 +337,11 @@ def main() -> None:
         docs, min_count=50, top_k=100).count())
     t("bpe_merges_50k", lambda: bpe_merges(docs, num_merges=8).count(), reps=1)
 
-    # round-7: mixture interleaving at 500k docs — serial window vs the
+    # round-7: mixture interleaving at 50k docs — serial window vs the
     # distributed two-pass twin (noop write: count() would let Catalyst
     # prune the rank computation being measured)
     t(
-        "interleave_serial_500k",
+        "interleave_serial_50k",
         lambda: SA.interleave_sources(
             docs, "doc_id", "lang", {"en": 3.0, "de": 1.0}
         )
@@ -352,7 +352,7 @@ def main() -> None:
         reps=1,
     )
     t(
-        "interleave_dist_500k",
+        "interleave_dist_50k",
         lambda: SA.interleave_sources(
             docs, "doc_id", "lang", {"en": 3.0, "de": 1.0}, mode="distributed"
         )
