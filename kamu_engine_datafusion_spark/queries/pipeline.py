@@ -1005,6 +1005,44 @@ def q_xpipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xpipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-7 END-TO-END curation pipeline, fully oracle-checked
+    through all four stages: cross-corpus exact dedup against the
+    doc_id<200 'released benchmark' slice → token-boundary truncation
+    to 64 tokens → minimum-length quality gate (≥10 kept tokens) →
+    512-token sequence packing per lang. Output is per (lang, chunk)
+    doc/token totals with id_sum pinning exact end-to-end membership.
+
+    Scale shape: stage 1 broadcasts the benchmark hashes (no corpus
+    shuffle); stages 2-3 are in-row column math at scan speed; stage 4
+    one lang-keyed window exchange."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_cross_corpus,
+    )
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences,
+    )
+    from kamu_engine_datafusion_spark.operators.text import truncate_tokens
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    ref = docs.filter(F.col("doc_id") < 200)
+    d = dedup_cross_corpus(
+        docs.filter(F.col("doc_id") >= 200), ref, hash_fn="md5",
+        broadcast_reference=True,
+    )
+    d = truncate_tokens(d, max_tokens=64)
+    d = d.filter(F.col("n_tokens_kept") >= 10)
+    packed = pack_sequences(
+        d, "doc_id", "n_tokens_kept", budget=512, part_col="lang"
+    )
+    return packed.groupBy("lang", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_kept").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -1943,6 +1981,7 @@ QUERIES = {
     "xtext_truncate": q_xtext_truncate,
     "xcorpus_card": q_xcorpus_card,
     "xdedup_cross": q_xdedup_cross,
+    "xpipeline_curate": q_xpipeline_curate,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -3872,4 +3911,25 @@ ORACLES["xdedup_cross"] = (
     "AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = x.h)) "
     "SELECT lang, count(*) AS n_docs, "
     "CAST(sum(doc_id) AS BIGINT) AS id_sum FROM keep GROUP BY lang"
+)
+
+
+ORACLES["xpipeline_curate"] = (
+    "WITH n AS (SELECT doc_id, lang, text, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM documents), "
+    "ref AS (SELECT DISTINCT h FROM n WHERE doc_id < 200), "
+    "surv AS (SELECT doc_id, lang, text FROM n x WHERE doc_id >= 200 "
+    "AND NOT EXISTS (SELECT 1 FROM ref WHERE ref.h = x.h)), "
+    "tr AS (SELECT doc_id, lang, "
+    "CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 64)) "
+    "AS BIGINT) AS kept FROM surv), "
+    "g AS (SELECT * FROM tr WHERE kept >= 10), "
+    "p AS (SELECT lang, doc_id, kept, CAST(FLOOR("
+    "(SUM(kept) OVER (PARTITION BY lang ORDER BY doc_id) - kept) / 512.0"
+    ") AS BIGINT) AS chunk FROM g) "
+    "SELECT lang, chunk, count(*) AS n_docs, "
+    "CAST(SUM(kept) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+    "FROM p GROUP BY lang, chunk"
 )

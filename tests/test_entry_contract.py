@@ -46,3 +46,19 @@ def test_priority_window_is_exhaustive_and_duplicate_free():
     assert not unknown, f"priority keys not in registry: {unknown}"
     missing = [k for k in r if k not in set(_PRIORITY)]
     assert not missing, f"registry keys missing from priority: {missing}"
+
+
+def test_coverage_driver_status_table_is_fresh():
+    """COVERAGE.md's generated driver-status section must match the
+    CORRECTNESS_r*.json files on disk — a hand-edited or stale table
+    (the r3/r5 verdict failure mode) fails here instead of at judging."""
+    import subprocess
+    import sys
+
+    res = subprocess.run(
+        [sys.executable, "tools/driver_status.py", "--check"],
+        cwd="/root/repo",
+        capture_output=True,
+        text=True,
+    )
+    assert res.returncode == 0, res.stdout + res.stderr
