@@ -385,3 +385,23 @@ def test_weighted_sample_per_group_quota_and_determinism(spark):
     heavy = sum(1 for r in out if r["w"] > 500)
     light = sum(1 for r in out if r["w"] < 2)
     assert heavy > light
+
+
+def test_interleave_distributed_empty_and_all_zero_weights(spark):
+    """Degenerate inputs must not crash the two-pass machinery: an
+    empty frame and an all-zero-weight mixture both yield empty output
+    with the contract schema."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    df = spark.createDataFrame([], "k long, s string")
+    out = interleave_sources(df, "k", "s", {"a": 1.0}, mode="distributed")
+    assert out.count() == 0 and "interleave_rank" in out.columns
+
+    df2 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, s string")
+    out2 = interleave_sources(
+        df2, "k", "s", {"a": 0.0, "b": 0.0}, default_weight=0.0,
+        mode="distributed",
+    )
+    assert out2.count() == 0
