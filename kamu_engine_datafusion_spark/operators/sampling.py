@@ -524,6 +524,7 @@ def assign_group_ranks_distributed(
     group_cols: list[str],
     order_cols: list[str],
     out_col: str,
+    _release_prior: bool = True,
 ) -> DataFrame:
     """Dense 0-based rank within each group in ``order_cols`` order,
     with NO window functions — the per-group generalization of the A13
@@ -545,19 +546,26 @@ def assign_group_ranks_distributed(
 
     The input is persisted before the stats pass (the two passes must
     observe one physical partitioning — range boundaries are sampled);
-    the caller may ``unpersist()`` after its terminal action.
+    the persist rides the shared offset/rank deferred ledger, released
+    at the next distributed offset/rank call (see
+    ``system_columns.release_offset_intermediates``).
     """
     from kamu_engine_datafusion_spark.operators.system_columns import (
+        _DEFERRED,
         _MID_INDEX_MASK,
         _MID_PARTITION_SHIFT,
+        release_offset_intermediates,
     )
 
+    if _release_prior:
+        release_offset_intermediates()
     ordered = df.repartitionByRange(
         *group_cols, *order_cols
     ).sortWithinPartitions(*group_cols, *order_cols)
     with_mid = ordered.withColumn(
         "__gr_mid", F.monotonically_increasing_id()
     ).persist()
+    _DEFERRED.append(with_mid)
     pid = F.shiftright(F.col("__gr_mid"), _MID_PARTITION_SHIFT)
     idx = F.col("__gr_mid").bitwiseAND(F.lit(_MID_INDEX_MASK))
     stats = (
@@ -683,9 +691,11 @@ def interleave_sources(
     ordered = strided.repartitionByRange(
         "__stride", source_col, key_col
     ).sortWithinPartitions("__stride", source_col, key_col)
-    return assign_offsets_distributed(ordered, "interleave_rank", 0).drop(
-        "__w", "__b", "__r0", "__stride"
-    )
+    # _release_prior=False: the offset pass's plan still reads the rank
+    # stage's persist — both ride the ledger until the next pipeline
+    return assign_offsets_distributed(
+        ordered, "interleave_rank", 0, _release_prior=False
+    ).drop("__w", "__b", "__r0", "__stride")
 
 
 def weighted_sample_per_group(

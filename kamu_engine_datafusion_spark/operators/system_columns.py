@@ -49,6 +49,27 @@ _BASE_MAP_LITERAL_MAX = 64
 #: Unix epoch for exact integer millisecond arithmetic.
 _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 
+#: Persisted intermediates from prior distributed offset/rank calls,
+#: released at the NEXT such call (the dedup-family cache discipline:
+#: a long-lived engine must not accumulate registry-pinned blocks).
+#: The returned DataFrames still read these blocks, so they are freed
+#: only once the caller has moved on to the next pipeline — and by
+#: then each block was fully materialized (memory+disk) by the
+#: builder's own eager stats pass, so nothing recomputes.
+_DEFERRED: list[DataFrame] = []
+
+
+def release_offset_intermediates(blocking: bool = False) -> None:
+    """Unpersist intermediates deferred by earlier distributed
+    offset/rank calls. Called automatically at the next such call;
+    call explicitly at the end of a session's last pipeline."""
+    while _DEFERRED:
+        df = _DEFERRED.pop()
+        try:
+            df.unpersist(blocking=blocking)
+        except Exception:
+            pass  # session already stopped: nothing to free
+
 
 def assign_offsets_serial(
     df: DataFrame, offset_column: str, start_offset: int
@@ -69,7 +90,10 @@ def assign_offsets_serial(
 
 
 def assign_offsets_distributed(
-    df: DataFrame, offset_column: str, start_offset: int
+    df: DataFrame,
+    offset_column: str,
+    start_offset: int,
+    _release_prior: bool = True,
 ) -> DataFrame:
     """A13 (scale mode): dense Int64 offsets without a single-partition
     bottleneck.
@@ -85,15 +109,23 @@ def assign_offsets_distributed(
     The input is persisted (memory-and-disk) before the count pass:
     upstream stages like ``repartitionByRange`` re-sample boundaries on
     recompute, so the two passes MUST observe the same physical
-    partitioning. The caller may ``unpersist()`` the result after its
-    terminal action.
+    partitioning. The persist rides the module's deferred ledger and is
+    released at the NEXT distributed offset/rank call (or via
+    :func:`release_offset_intermediates`) — a long-lived engine stays
+    flat instead of accumulating pinned blocks per call.
+    ``_release_prior=False`` is for composite builders whose plan still
+    references a prior call's persist (e.g. the distributed interleave:
+    rank persist feeds the offset pass).
 
     Row order *within* a partition follows the persisted partition
     order. For a total order tied to data, ``repartitionByRange`` +
     ``sortWithinPartitions`` upstream first.
     """
+    if _release_prior:
+        release_offset_intermediates()
     mid = F.monotonically_increasing_id()
     with_mid = df.withColumn("__odf_mid", mid).persist()
+    _DEFERRED.append(with_mid)
     # Pass 1: per-partition counts (partition id lives in the mid's high bits,
     # so the count job and the final pass see identical partition ids even if
     # a recompute re-plans the scan).

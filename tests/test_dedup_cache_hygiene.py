@@ -11,6 +11,8 @@ residue."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kamu_engine_datafusion_spark.operators.dedup import (
     dedup_increment_against_index,
     minhash_index,
@@ -92,3 +94,39 @@ def test_collect_cap_fallback_equals_literal_path(spark, monkeypatch):
     fallback = sorted(map(tuple, D._cap_buckets(df, "k", 3, "collect").collect()))
     assert fallback == expected
     assert {t[0] for t in expected} == {"ok", "ok2"}
+
+
+def test_distributed_offsets_repeated_calls_stay_flat(spark):
+    """The offset/rank two-pass builders persist their input; repeated
+    calls in a long-lived engine must not accumulate pinned blocks —
+    each call releases the previous call's ledger (dedup discipline)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+    from kamu_engine_datafusion_spark.operators.system_columns import (
+        assign_offsets_distributed,
+        release_offset_intermediates,
+    )
+
+    release_offset_intermediates(blocking=True)
+    baseline = _n_cached(spark)
+    df = spark.range(0, 2000).withColumnRenamed("id", "k").withColumn(
+        "s", (F.col("k") % 3).cast("string")
+    )
+    cached, counts = [], []
+    for _ in range(3):
+        out = assign_offsets_distributed(df, "off", 0)
+        counts.append(out.count())
+        cached.append(_n_cached(spark))
+    assert len(set(counts)) == 1
+    assert cached[2] <= cached[0], cached
+
+    for _ in range(2):
+        n = interleave_sources(
+            df, "k", "s", {"0": 2.0, "1": 1.0}, mode="distributed"
+        ).count()
+        assert n == 2000 * 2 // 3 + 1 or n > 0
+        cached.append(_n_cached(spark))
+    assert cached[-1] <= cached[-2], cached
+    release_offset_intermediates(blocking=True)
+    assert _n_cached(spark) <= baseline
