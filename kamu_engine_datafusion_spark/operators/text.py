@@ -774,6 +774,7 @@ def corpus_card(
     group_cols: list[str] | None = None,
     text_col: str = "text",
     short_doc_tokens: int = 20,
+    distinct_mode: str = "exact",
 ) -> "DataFrame":
     """Per-(source, lang) corpus data card — the one-scan summary a
     dataset release ships with: document and token counts, length
@@ -790,9 +791,11 @@ def corpus_card(
 
     Scale: one groupBy shuffle carrying (count, sum, short-count,
     distinct-hash) partials; the MD5 is computed scan-side. Exact
-    distinct per group costs a hash set per group map-side — for
-    billion-doc groups swap in ``approx_count_distinct`` (documented
-    trade; the exact form is what the oracle can verify).
+    distinct per group (the default, and what the oracle verifies)
+    costs a hash set per group map-side; ``distinct_mode="approx"``
+    swaps in a fixed-size HLL sketch (~2% error) — the right trade for
+    billion-doc groups, where the exact set itself becomes the memory
+    driver.
     """
     from kamu_engine_datafusion_spark.functions.columns import half_up
 
@@ -800,6 +803,11 @@ def corpus_card(
     tc = token_count(text_col)
     h = F.md5(
         F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    distinct_agg = (
+        F.approx_count_distinct("__h")
+        if distinct_mode == "approx"
+        else F.countDistinct("__h")
     )
     g = (
         df.withColumn("__tc", tc)
@@ -811,7 +819,7 @@ def corpus_card(
             F.sum(
                 (F.col("__tc") < short_doc_tokens).cast("long")
             ).alias("__n_short"),
-            F.countDistinct("__h").alias("n_distinct_texts"),
+            distinct_agg.alias("n_distinct_texts"),
         )
     )
     return g.select(

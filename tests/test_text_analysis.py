@@ -303,3 +303,20 @@ def test_corpus_card_hand_computed(spark):
     assert abs(web["avg_tokens"] - 2.33) < 1e-9
     book = out[("book", "de")]
     assert book["n_docs"] == 1 and book["dup_rate"] == 0.0
+
+
+def test_corpus_card_approx_mode_close_to_exact(spark):
+    """distinct_mode='approx' (the billion-doc-group path) must agree
+    with the exact card within HLL error at test cardinalities and
+    keep the same schema."""
+    from kamu_engine_datafusion_spark.operators.text import corpus_card
+
+    df = spark.createDataFrame(
+        [(i, "web", "en", f"unique doc {i} body text") for i in range(500)],
+        "doc_id long, source string, lang string, text string",
+    )
+    exact = corpus_card(df).collect()[0]
+    approx = corpus_card(df, distinct_mode="approx").collect()[0]
+    assert exact["n_distinct_texts"] == 500
+    assert abs(approx["n_distinct_texts"] - 500) <= 25  # ~5% HLL band
+    assert set(exact.asDict()) == set(approx.asDict())
