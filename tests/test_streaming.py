@@ -914,3 +914,34 @@ def test_apply_intent_idempotent_from_every_crash_point(tmp_path):
     # re-running recovery after completion is a no-op
     _apply_intent(st)
     assert _last_folded_batch(st) == 4
+
+
+def test_maintained_view_null_group_key_buckets_fine(spark, tmp_path):
+    """A null group key must fold like any other group: xxhash64(null)
+    is the non-null seed constant (42), so the bucket expression never
+    yields a null hive partition and the touched-bucket collect never
+    mixes None with ints."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_view,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "nledger")
+    state_dir = os.path.join(str(tmp_path), "nstate")
+    ck = os.path.join(str(tmp_path), "nck")
+    os.makedirs(ledger_dir)
+    schema = "offset long, op int, k string, value double"
+    rows = [(0, 0, None, 1.0), (1, 0, "a", 2.0), (2, 0, None, 3.0)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ledger_dir)
+    q = maintained_view(
+        ledger_dir, state_dir, ck, ["k"], {"vs": "value"},
+        schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        state_buckets=8,
+    )
+    q.awaitTermination()
+    got = {
+        r["k"]: (r["n_live"], r["vs"])
+        for r in spark.read.parquet(state_dir).collect()
+    }
+    assert got == {None: (2, 4.0), "a": (1, 2.0)}
