@@ -193,3 +193,42 @@ def event_transitions(
         F.col("n").cast("long").alias("n"),
         (F.col("n") / F.sum("n").over(per_src)).alias("p"),
     )
+
+
+def debounce_events(
+    events: DataFrame,
+    time_col: str = "ts",
+    gap_seconds: float = 600.0,
+    group_cols: list[str] | None = None,
+    order_tiebreak: str | None = "event_id",
+) -> DataFrame:
+    """Burst dedup / debounce: within each ``group_cols`` stream, keep
+    an event only if it arrives MORE than ``gap_seconds`` after the
+    previously KEPT event — the standard telemetry cleanup that
+    collapses double-clicks, retry storms, and duplicate beacons into
+    one logical event, without a fixed window grid.
+
+    Semantics note: the gap is measured against the previous RAW event
+    (a lag comparison), not a running anchor — i.e. a long burst where
+    every consecutive pair is within the gap collapses to its FIRST
+    event only when inter-event gaps stay under the threshold; the
+    classic debounce contract, and the one expressible as one window
+    function (an anchor-based variant needs a running fold —
+    ``streaming/stateful.py`` territory).
+
+    Scale: ONE shuffle on the group key, one lag window per group —
+    same cost shape as sessionization. Ties on the timestamp break by
+    ``order_tiebreak`` so the survivor set is deterministic.
+    """
+    group_cols = group_cols or ["user_id", "event_type"]
+    order = [F.col(time_col)]
+    if order_tiebreak:
+        order.append(F.col(order_tiebreak))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    sec = F.unix_micros(F.col(time_col).cast("timestamp")) / F.lit(1e6)
+    prev = F.lag(sec).over(w)
+    return (
+        events.withColumn("__gap_ok", prev.isNull() | (sec - prev > gap_seconds))
+        .filter(F.col("__gap_ok"))
+        .drop("__gap_ok")
+    )

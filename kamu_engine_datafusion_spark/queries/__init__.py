@@ -53,6 +53,7 @@ _PRIORITY_R7 = [
     "xcorpus_card",  # NEW: per-(source,lang) data-card summary
     "xdedup_cross",  # NEW: cross-corpus exact dedup (md5 twin)
     "xpipeline_curate",  # NEW: 4-stage e2e curation oracle (r7 ops)
+    "xdebounce",  # NEW: burst dedup / event debounce
     # -- r03-stale block: last driver-green in CORRECTNESS_r03 --
     "xsim_ivf",
     "xsim_srp_lsh",

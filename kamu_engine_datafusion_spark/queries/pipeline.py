@@ -1043,6 +1043,27 @@ def q_xpipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_xdebounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst dedup / debounce: collapse events arriving within 600s of
+    the previous event in the same (user, type) stream — retry storms
+    and duplicate beacons become one logical event
+    (``operators/funnel.py::debounce_events``)."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        debounce_events,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("user_id") < 200)
+    out = debounce_events(
+        ev, "ts", gap_seconds=600.0, group_cols=["user_id", "event_type"]
+    )
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -1982,6 +2003,7 @@ QUERIES = {
     "xcorpus_card": q_xcorpus_card,
     "xdedup_cross": q_xdedup_cross,
     "xpipeline_curate": q_xpipeline_curate,
+    "xdebounce": q_xdebounce,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -3932,4 +3954,16 @@ ORACLES["xpipeline_curate"] = (
     "CAST(SUM(kept) AS BIGINT) AS n_tokens, "
     "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
     "FROM p GROUP BY lang, chunk"
+)
+
+
+ORACLES["xdebounce"] = (
+    "WITH k AS (SELECT event_type, event_id, "
+    "CASE WHEN lag(epoch(ts)) OVER w IS NULL "
+    "OR epoch(ts) - lag(epoch(ts)) OVER w > 600 THEN 1 ELSE 0 END AS keep "
+    "FROM events WHERE user_id < 200 "
+    "WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)) "
+    "SELECT event_type, count(*) AS n_events, "
+    "CAST(sum(event_id) AS BIGINT) AS id_sum FROM k WHERE keep = 1 "
+    "GROUP BY event_type"
 )

@@ -88,3 +88,36 @@ def test_retention_cohorts_weekly(spark):
         ("2024-01-08", 0): 1,
         ("2024-01-08", 1): 1,  # u3 back next week
     }
+
+
+def test_debounce_collapses_bursts(spark):
+    """Events within the gap of their predecessor are dropped; the
+    first of a burst survives; independent (user, type) streams don't
+    interfere; ties break deterministically."""
+    from datetime import datetime, timedelta, timezone
+
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        debounce_events,
+    )
+
+    t0 = datetime(2023, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        # user 1 click burst: 0s, 5s, 8s -> only the first survives
+        (0, t0, 1, "click"),
+        (1, t0 + timedelta(seconds=5), 1, "click"),
+        (2, t0 + timedelta(seconds=8), 1, "click"),
+        # 700s later: new logical event
+        (3, t0 + timedelta(seconds=700), 1, "click"),
+        # same user, different type: independent stream
+        (4, t0 + timedelta(seconds=6), 1, "view"),
+        # other user unaffected
+        (5, t0 + timedelta(seconds=7), 2, "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    kept = sorted(
+        r["event_id"]
+        for r in debounce_events(df, "ts", gap_seconds=600.0).collect()
+    )
+    assert kept == [0, 3, 4, 5]
