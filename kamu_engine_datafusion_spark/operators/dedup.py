@@ -1469,3 +1469,70 @@ def dedup_cross_corpus(
         .join(ref, "__xh", "left_anti")
         .drop("__xh")
     )
+
+
+def minhash_lsh_report(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket_size: int | None = 200,
+    base_hash: str = "xxhash64",
+    bucket_cap_mode: str = "collect",
+) -> DataFrame:
+    """Audit companion to :func:`minhash_lsh_dedup`: one row per
+    DROPPED document with its lowest-id matching partner and the
+    verified Jaccard — the drop-reason table a curation pipeline ships
+    for review ("why did doc X disappear?"). The dropped-id set is
+    EXACTLY the set :func:`minhash_lsh_dedup` removes under the same
+    parameters (same candidates, same verification, same raw-precision
+    threshold compare); the reported ``jaccard`` is half-up 6dp for
+    cross-engine hash stability.
+
+    Scale: identical shape to the dedup itself (the report IS its
+    verification stage, re-projected); output is dropped-cardinality.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    _release_deferred()
+    handles: list[DataFrame] = []
+    cand = minhash_lsh_candidates(
+        df,
+        text_col,
+        id_col,
+        shingle_len,
+        num_hashes,
+        num_bands,
+        max_bucket_size,
+        base_hash,
+        bucket_cap_mode,
+        _cleanup=handles,
+    ).persist()
+    cand.count()
+    ver = verified_jaccard(
+        df,
+        cand,
+        text_col,
+        id_col,
+        shingle_len,
+        use_hashed_shingles=(base_hash != "poly"),
+    ).filter(F.col("jaccard") >= threshold)
+    w = Window.partitionBy("id_b").orderBy(F.col("id_a"))
+    rep = (
+        ver.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col("id_b").alias("dropped_id"),
+            F.col("id_a").alias("matched_id"),
+            half_up(F.col("jaccard"), 6).alias("jaccard"),
+        )
+        .persist()
+    )
+    rep.count()
+    for h in (*handles, cand):
+        h.unpersist(blocking=True)
+    _DEFERRED.append(rep)
+    return rep

@@ -421,3 +421,28 @@ def population_stability(
             ).alias("psi"),
         )
     )
+
+
+def confusion_matrix(
+    df: DataFrame, label_col: str, pred_col: str
+) -> DataFrame:
+    """Per-(label, predicted) evaluation table for any per-row
+    classifier output (language ID, quality gates, dedup verdicts):
+    count plus the row-normalized rate — the diagonal is per-class
+    recall. Rates use explicit half-up 4dp (cross-engine stable).
+
+    Scale: one groupBy shuffle; the output is |labels| × |preds| rows,
+    so the rate window runs over a bounded table.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    w = Window.partitionBy(label_col)
+    g = df.groupBy(label_col, pred_col).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return g.select(
+        label_col,
+        pred_col,
+        F.col("n").cast("long").alias("n"),
+        half_up(F.col("n") / F.sum("n").over(w), 4).alias("rate"),
+    )

@@ -54,6 +54,8 @@ _PRIORITY_R7 = [
     "xdedup_cross",  # NEW: cross-corpus exact dedup (md5 twin)
     "xpipeline_curate",  # NEW: 4-stage e2e curation oracle (r7 ops)
     "xdebounce",  # NEW: burst dedup / event debounce
+    "xlangid_eval",  # NEW: classifier confusion-matrix eval
+    "xdedup_report",  # NEW: dedup drop-reason audit (poly twin)
     # -- r03-stale block: last driver-green in CORRECTNESS_r03 --
     "xsim_ivf",
     "xsim_srp_lsh",
@@ -102,9 +104,10 @@ _PRIORITY_R7 = [
     "b20_grouping_sets",
     "b21_collect_agg",
     "b22_distinct",
-    # ---- window boundary (~50: 4 changed + 15 r03-stale + 31 r04-
-    # stale). Below: the r04 tail (rotates to the r8 head if the cut
-    # lands above it), then everything driver-green in r06/r05. ----
+    # ---- window boundary (~50: 4 changed + 9 new-in-r7 + 15 r03-stale
+    # + the head of the r04-stale block; the exact cut lands inside the
+    # r04 block around b18/b22). Below: the r04 tail (rotates to the r8
+    # head), then everything driver-green in r06/r05. ----
     "b23_topk_per_group",
     "b24_analytic",
     "b25_window_frames",

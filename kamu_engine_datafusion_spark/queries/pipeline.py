@@ -1064,6 +1064,42 @@ def q_xdebounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_xlangid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation: confusion matrix of the stopword langid
+    against the labeled ``lang`` column — per-(label, predicted)
+    counts + half-up row rates; the diagonal is per-class recall
+    (``operators/profile.py::confusion_matrix``)."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        confusion_matrix,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    preds = t["documents"].select(
+        "lang", X.language_id("text").alias("pred_lang")
+    )
+    return confusion_matrix(preds, "lang", "pred_lang")
+
+
+
+def q_xdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup AUDIT report (poly twin): per dropped doc, the lowest-id
+    matching partner + verified Jaccard — the drop-reason table a
+    curation pipeline ships for review; the dropped-id set equals the
+    xdedup_minhash_sql removal set exactly
+    (``operators/dedup.py::minhash_lsh_report``)."""
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    return D.minhash_lsh_report(
+        sub,
+        threshold=0.7,
+        num_hashes=16,
+        num_bands=4,
+        max_bucket_size=None,
+        base_hash="poly",
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -2004,6 +2040,8 @@ QUERIES = {
     "xdedup_cross": q_xdedup_cross,
     "xpipeline_curate": q_xpipeline_curate,
     "xdebounce": q_xdebounce,
+    "xlangid_eval": q_xlangid_eval,
+    "xdedup_report": q_xdedup_report,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -2299,9 +2337,11 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
     return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
-def _minhash_sql_oracle() -> str:
-    """DuckDB oracle replicating the full poly-hash MinHash+LSH dedup:
-    same coefficients, same folds, same banding, same verification."""
+def _minhash_sql_prefix() -> str:
+    """Shared WITH-prefix of the poly-hash MinHash+LSH oracles: shingle
+    sets, signatures, band keys, candidate pairs — identical
+    coefficients and folds to the engine pipeline. Final SELECTs are
+    composed per oracle (dedup survivors vs drop-reason report)."""
     from kamu_engine_datafusion_spark.functions.columns import (
         _MERSENNE_31 as M,
         _SHINGLE_PRIME as P,
@@ -2336,13 +2376,39 @@ def _minhash_sql_oracle() -> str:
         f"bands AS ({bands_sql}), "
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
         "JOIN bands b ON a.bandpos = b.bandpos AND a.bandkey = b.bandkey "
-        "AND a.doc_id < b.doc_id), "
+        "AND a.doc_id < b.doc_id)"
+    )
+
+
+def _minhash_sql_oracle() -> str:
+    """DuckDB oracle replicating the full poly-hash MinHash+LSH dedup:
+    same coefficients, same folds, same banding, same verification."""
+    return (
+        _minhash_sql_prefix() + ", "
         "ver AS (SELECT c.id_b FROM cand c "
         "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b "
         "WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / "
         "(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.7) "
         "SELECT lang, count(*) AS n_docs FROM d "
         "WHERE doc_id NOT IN (SELECT id_b FROM ver) GROUP BY lang"
+    )
+
+
+def _minhash_report_oracle() -> str:
+    """Drop-reason report over the same pipeline: per dropped doc, the
+    lowest-id matching partner and its half-up-6dp Jaccard."""
+    return (
+        _minhash_sql_prefix() + ", "
+        "verp AS (SELECT c.id_a, c.id_b, "
+        "CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / "
+        "(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) AS j "
+        "FROM cand c "
+        "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b), "
+        "hit AS (SELECT id_a, id_b, j, row_number() OVER ("
+        "PARTITION BY id_b ORDER BY id_a) AS rn FROM verp WHERE j >= 0.7) "
+        "SELECT id_b AS dropped_id, id_a AS matched_id, "
+        "floor(j * 1000000 + 0.5) / 1000000 AS jaccard "
+        "FROM hit WHERE rn = 1"
     )
 
 
@@ -3967,3 +4033,17 @@ ORACLES["xdebounce"] = (
     "CAST(sum(event_id) AS BIGINT) AS id_sum FROM k WHERE keep = 1 "
     "GROUP BY event_type"
 )
+
+
+# reuse the langid CASE expression verbatim: the eval oracle IS the
+# langid oracle grouped into a confusion matrix
+ORACLES["xlangid_eval"] = (
+    "WITH p AS (" + ORACLES["xtext_langid"] + "), "
+    "g AS (SELECT lang, pred_lang, count(*) AS n "
+    "FROM p GROUP BY lang, pred_lang) "
+    "SELECT lang, pred_lang, CAST(n AS BIGINT) AS n, "
+    "floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) "
+    "* 10000 + 0.5) / 10000 AS rate FROM g"
+)
+
+ORACLES["xdedup_report"] = _minhash_report_oracle()

@@ -86,3 +86,26 @@ def test_dedup_cross_corpus_exact_overlap_and_nulls(spark):
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Broadcast" in plan
+
+
+def test_minhash_report_drop_set_matches_dedup(spark):
+    """The audit report must explain EXACTLY the docs the dedup drops:
+    dropped_id set == (corpus − survivors), matched_id is always a
+    lower id, and jaccard ≥ threshold."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_lsh_report,
+    )
+
+    base = "some shared boilerplate text about spark shuffles and joins"
+    rows = [(i, f"{base} variant {i % 3}") for i in range(12)]
+    rows += [(100 + i, f"totally unique document {i} with fresh words {i*7}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(threshold=0.6, num_hashes=16, num_bands=4, max_bucket_size=None)
+    survivors = {r["doc_id"] for r in minhash_lsh_dedup(df, **kw).collect()}
+    report = minhash_lsh_report(df, **kw).collect()
+    dropped = {r["dropped_id"] for r in report}
+    assert dropped == {r[0] for r in rows} - survivors
+    for r in report:
+        assert r["matched_id"] < r["dropped_id"]
+        assert r["jaccard"] >= 0.6
