@@ -68,3 +68,76 @@ def running_totals(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+_DEBOUNCE_OUTPUT = T.StructType(
+    [
+        T.StructField("key", T.StringType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts_us", T.LongType()),
+    ]
+)
+_DEBOUNCE_STATE = T.StructType([T.StructField("anchor_us", T.LongType())])
+
+
+def debounce_stream(
+    stream: DataFrame,
+    key_col: str,
+    time_col: str,
+    id_col: str,
+    gap_seconds: float = 600.0,
+) -> DataFrame:
+    """ANCHOR-based streaming debounce — the stateful twin of the batch
+    ``operators/funnel.py::debounce_events``: an event is emitted only
+    if it arrives more than ``gap_seconds`` after the last EMITTED
+    (anchor) event of its key, and every emission advances the anchor.
+    Unlike the batch lag form (gap vs the previous RAW event), a long
+    slow-drip burst whose inter-event gaps all stay under the threshold
+    collapses to ONE event per gap window — the semantics that need a
+    running fold, which is exactly what per-key ``GroupState`` carries
+    across micro-batches.
+
+    State: one i64 (the anchor timestamp) per key — constant size, no
+    growth with history. Events inside a batch are processed in
+    ``(time, id)`` order so replays are deterministic.
+
+    Scale: state store partitioned by key hash; each micro-batch
+    touches only the keys present in it.
+    """
+
+    def fn(key, batches, state: GroupState):
+        anchor = state.get[0] if state.exists else None
+        rows_id, rows_ts = [], []
+        pdfs = [pdf for pdf in batches if len(pdf)]
+        if pdfs:
+            both = pd.concat(pdfs).sort_values(["__ts_us", "__id"])
+            gap_us = int(gap_seconds * 1_000_000)
+            for ts_us, eid in zip(both["__ts_us"], both["__id"]):
+                if anchor is None or ts_us - anchor > gap_us:
+                    rows_id.append(int(eid))
+                    rows_ts.append(int(ts_us))
+                    anchor = int(ts_us)
+        if anchor is not None:
+            state.update((int(anchor),))
+        yield pd.DataFrame(
+            {
+                "key": [key[0]] * len(rows_id),
+                "event_id": rows_id,
+                "ts_us": rows_ts,
+            }
+        )
+
+    from pyspark.sql import functions as F
+
+    prepared = stream.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.unix_micros(F.col(time_col).cast("timestamp")).alias("__ts_us"),
+        F.col(id_col).cast("long").alias("__id"),
+    )
+    return prepared.groupBy("key").applyInPandasWithState(
+        fn,
+        _DEBOUNCE_OUTPUT,
+        _DEBOUNCE_STATE,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -53,3 +53,57 @@ def test_running_totals_accumulate_across_batches(spark, tmp_path):
     assert latest[1] == (3, 17.0)  # 2 rows batch-1 + 1 row batch-2
     assert latest[2] == (1, 1.0)
     assert latest[3] == (1, 7.0)
+
+
+def test_debounce_stream_anchor_semantics_across_batches(spark, tmp_path):
+    """Anchor-based debounce: a slow-drip burst (every inter-event gap
+    under the threshold) collapses to ONE event per gap window — the
+    fold the batch lag form can't express — and the anchor survives
+    across micro-batches (an early event in batch 2 is suppressed by
+    batch 1's anchor)."""
+    from datetime import timedelta
+
+    from kamu_engine_datafusion_spark.streaming.stateful import (
+        debounce_stream,
+    )
+
+    d = tmp_path / "dstream"
+    d.mkdir()
+    t0 = datetime(2023, 1, 1, tzinfo=UTC)
+
+    def write(path, rows):  # rows: (event_id, user, offset_seconds)
+        tbl = pa.table(
+            {
+                "event_id": pa.array([r[0] for r in rows], pa.int64()),
+                "user_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [t0 + timedelta(seconds=r[2]) for r in rows],
+                    pa.timestamp("ms", "UTC"),
+                ),
+            }
+        )
+        pq.write_table(tbl, path)
+
+    # batch 1: slow drip at 0, 400, 800, 1200s (each gap 400 < 600) —
+    # anchor semantics keep 0s and the first event >600 past it (800s),
+    # then next anchor at 800 suppresses 1200 (gap 400)
+    write(str(d / "part-0.parquet"), [(0, 1, 0), (1, 1, 400), (2, 1, 800), (3, 1, 1200)])
+    # batch 2: 1500s (gap 300 from anchor 1200? anchor is 800 -> gap 700 > 600: kept)
+    # and user 2's first event: always kept
+    write(str(d / "part-1.parquet"), [(4, 1, 1500), (5, 2, 100)])
+    schema = spark.read.parquet(str(d / "part-0.parquet")).schema
+
+    stream = ledger_stream(spark, str(d), schema)
+    out = debounce_stream(stream, "user_id", "ts", "event_id", gap_seconds=600.0)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("debounced")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = sorted(r["event_id"] for r in spark.table("debounced").collect())
+    # user 1: 0 (first), 2 (800s: 800-0 > 600), 4 (1500-800 > 600); 1, 3 suppressed
+    # user 2: 5 (first)
+    assert kept == [0, 2, 4, 5]
