@@ -503,3 +503,89 @@ def test_compact_ledger_unobservable_property(spark, ops, horizon_frac):
             map(tuple, snapshot_as_of(comp, "k", t).select("k", "v").collect())
         )
         assert got == want, (t, got, want)
+
+
+@_slow
+@given(
+    n=st.integers(min_value=0, max_value=150),
+    n_sources=st.integers(min_value=1, max_value=4),
+    weights=st.lists(
+        st.floats(min_value=0.0, max_value=5.0), min_size=4, max_size=4
+    ),
+    salt=st.integers(min_value=0, max_value=3),
+    parts=st.integers(min_value=1, max_value=7),
+)
+def test_interleave_distributed_equals_serial_property(
+    spark, n, n_sources, weights, salt, parts
+):
+    """For ANY corpus size, source split, weight vector (zeros
+    included), salt, and input partitioning: the distributed no-window
+    interleave must be BIT-IDENTICAL to the serial window form."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    rows = [(i, f"s{i % n_sources}") for i in range(n)]
+    df = spark.createDataFrame(rows, "k long, s string").repartition(parts)
+    wmap = {f"s{j}": weights[j] for j in range(n_sources)}
+    ser = {
+        r["k"]: r["interleave_rank"]
+        for r in interleave_sources(
+            df, "k", "s", wmap, salt=salt, mode="serial"
+        ).collect()
+    }
+    dist = {
+        r["k"]: r["interleave_rank"]
+        for r in interleave_sources(
+            df, "k", "s", wmap, salt=salt, mode="distributed"
+        ).collect()
+    }
+    assert dist == ser
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),     # user
+            st.integers(min_value=0, max_value=5_000), # seconds offset
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    gap=st.integers(min_value=1, max_value=2_000),
+)
+def test_debounce_matches_brute_force(spark, events, gap):
+    """Batch debounce (lag form) for ANY event set and gap equals the
+    per-stream brute force: keep iff first of its (user) stream or
+    strictly more than gap after the previous raw event."""
+    from datetime import datetime, timedelta, timezone
+
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        debounce_events,
+    )
+
+    t0 = datetime(2023, 1, 1, tzinfo=timezone.utc)
+    rows = [
+        (i, t0 + timedelta(seconds=sec), u, "e")
+        for i, (u, sec) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = sorted(
+        r["event_id"]
+        for r in debounce_events(df, "ts", gap_seconds=float(gap)).collect()
+    )
+    expect = []
+    by_user: dict[int, list] = {}
+    for i, (u, sec) in enumerate(events):
+        by_user.setdefault(u, []).append((sec, i))
+    for u, evs in by_user.items():
+        evs.sort()
+        prev = None
+        for sec, i in evs:
+            if prev is None or sec - prev > gap:
+                expect.append(i)
+            prev = sec
+    assert got == sorted(expect)
