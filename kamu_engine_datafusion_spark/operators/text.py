@@ -833,3 +833,45 @@ def corpus_card(
             F.lit(1.0) - F.col("n_distinct_texts") / F.col("n_docs"), 4
         ).alias("dup_rate"),
     )
+
+
+def vocab_coverage(df, text_col: str = "text", top_v: int = 1000):
+    """Cumulative token-coverage curve of the top-``top_v`` vocabulary:
+    tokens ranked by corpus frequency with each rank's CUMULATIVE share
+    of all corpus tokens — the tokenizer-design curve ("how much of the
+    corpus do the top N types cover", where the knee sets the vocab
+    size). Columns: ``token, freq, rank, cum_share`` (half-up 6dp).
+
+    Scale: wordcount shuffle → TakeOrderedAndProject for the top-v cut
+    (the full vocabulary never passes through a global window) → the
+    cumulative window runs over the bounded top-v rows only; the corpus
+    token total is a scalar aggregate broadcast via crossJoin.
+    """
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").alias("__total"))
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(top_v)
+    w = Window.orderBy(F.col("freq").desc(), "token").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            "token",
+            F.col("freq").cast("long").alias("freq"),
+            F.row_number()
+            .over(Window.orderBy(F.col("freq").desc(), "token"))
+            .cast("long")
+            .alias("rank"),
+            half_up(
+                F.sum("freq").over(w) / F.col("__total"), 6
+            ).alias("cum_share"),
+        )
+    )

@@ -56,6 +56,7 @@ _PRIORITY_R7 = [
     "xdebounce",  # NEW: burst dedup / event debounce
     "xlangid_eval",  # NEW: classifier confusion-matrix eval
     "xdedup_report",  # NEW: dedup drop-reason audit (poly twin)
+    "xvocab_coverage",  # NEW: tokenizer-design cumulative coverage
     # -- r03-stale block: last driver-green in CORRECTNESS_r03 --
     "xsim_ivf",
     "xsim_srp_lsh",

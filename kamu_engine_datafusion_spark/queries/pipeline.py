@@ -1100,6 +1100,15 @@ def q_xdedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_xvocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-design coverage curve: top-50 vocabulary with each
+    rank's cumulative share of all corpus tokens
+    (``operators/text.py::vocab_coverage``)."""
+    t = load(spark, sf_dir, "documents")
+    return X.vocab_coverage(t["documents"], top_v=50)
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -2042,6 +2051,7 @@ QUERIES = {
     "xdebounce": q_xdebounce,
     "xlangid_eval": q_xlangid_eval,
     "xdedup_report": q_xdedup_report,
+    "xvocab_coverage": q_xvocab_coverage,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -4047,3 +4057,16 @@ ORACLES["xlangid_eval"] = (
 )
 
 ORACLES["xdedup_report"] = _minhash_report_oracle()
+
+ORACLES["xvocab_coverage"] = (
+    "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), "
+    "'\\s+')) AS token FROM documents), "
+    "c AS (SELECT token, count(*) AS freq FROM tok GROUP BY token), "
+    "tot AS (SELECT CAST(sum(freq) AS DOUBLE) AS total FROM c), "
+    "top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 50) "
+    "SELECT token, CAST(freq AS BIGINT) AS freq, "
+    "CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank, "
+    "floor(sum(freq) OVER (ORDER BY freq DESC, token "
+    "ROWS UNBOUNDED PRECEDING) / total * 1000000 + 0.5) / 1000000 "
+    "AS cum_share FROM top, tot"
+)

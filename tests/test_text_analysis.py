@@ -320,3 +320,18 @@ def test_corpus_card_approx_mode_close_to_exact(spark):
     assert exact["n_distinct_texts"] == 500
     assert abs(approx["n_distinct_texts"] - 500) <= 25  # ~5% HLL band
     assert set(exact.asDict()) == set(approx.asDict())
+
+
+def test_vocab_coverage_curve_hand_computed(spark):
+    from kamu_engine_datafusion_spark.operators.text import vocab_coverage
+
+    df = spark.createDataFrame(
+        [("a a a b b c",), ("a b x",)], "text string"
+    )
+    # freqs: a=4, b=3, c=1, x=1 (total 9); ties break by token asc
+    out = {r["rank"]: (r["token"], r["freq"], r["cum_share"])
+           for r in vocab_coverage(df, top_v=3).collect()}
+    assert out[1] == ("a", 4, round(4 / 9, 6))
+    assert out[2] == ("b", 3, round(7 / 9, 6))
+    assert out[3] == ("c", 1, round(8 / 9, 6))
+    assert len(out) == 3  # x cut by top_v
