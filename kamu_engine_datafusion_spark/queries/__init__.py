@@ -105,10 +105,12 @@ _PRIORITY_R7 = [
     "b20_grouping_sets",
     "b21_collect_agg",
     "b22_distinct",
-    # ---- window boundary (~50: 4 changed + 9 new-in-r7 + 15 r03-stale
-    # + the head of the r04-stale block; the exact cut lands inside the
-    # r04 block around b18/b22). Below: the r04 tail (rotates to the r8
-    # head), then everything driver-green in r06/r05. ----
+    # ---- window boundary (~50: 4 changed + 10 new-in-r7 + 15
+    # r03-stale + the head of the r04-stale block; a 50-key cut lands
+    # inside the r04 block around b09/b10_join. The new keys take
+    # precedence over rotating more r04 greens — a never-checked key is
+    # a worse signal than a 3-round-stale green; the r04 tail rotates
+    # to the r8 head.) ----
     "b23_topk_per_group",
     "b24_analytic",
     "b25_window_frames",
