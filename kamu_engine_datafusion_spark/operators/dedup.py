@@ -1459,7 +1459,13 @@ def dedup_cross_corpus(
     """
     def h(c):
         n = normalize_text(c)
-        return F.md5(n) if hash_fn == "md5" else F.xxhash64(n)
+        # null-guard BOTH hashes: xxhash64(null) is the non-null seed
+        # constant (42), so without the guard two null-text rows would
+        # cross-match in xxhash64 mode but not in md5 mode (md5(null)
+        # IS null, and null join keys match nothing) — breaking the
+        # identical-survivor-sets contract between the two backends
+        raw = F.md5(n) if hash_fn == "md5" else F.xxhash64(n).cast("string")
+        return F.when(n.isNotNull(), raw)
 
     ref = reference.select(h(F.col(text_col)).alias("__xh")).distinct()
     if broadcast_reference:

@@ -81,6 +81,17 @@ def test_dedup_cross_corpus_exact_overlap_and_nulls(spark):
             for r in dedup_cross_corpus(corpus, ref, hash_fn=hf).collect()
         )
         assert kept == [1, 2], hf
+    # null text on BOTH sides must never cross-match in EITHER mode
+    # (xxhash64(null) is a non-null constant — guarded to null)
+    ref_n = spark.createDataFrame(
+        [(100, "Hello World"), (101, None)], "doc_id long, text string"
+    )
+    for hf in ("xxhash64", "md5"):
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_cross_corpus(corpus, ref_n, hash_fn=hf).collect()
+        )
+        assert kept == [1, 2, 3], hf  # doc 2 (null) survives both modes
     # broadcast form: same result, and the plan broadcasts the reference
     out = dedup_cross_corpus(corpus, ref, broadcast_reference=True)
     assert sorted(r["doc_id"] for r in out.collect()) == [1, 2]
