@@ -405,3 +405,27 @@ def test_interleave_distributed_empty_and_all_zero_weights(spark):
         mode="distributed",
     )
     assert out2.count() == 0
+
+
+def test_interleave_null_source_equivalence(spark):
+    """A null source value is a real stream (default weight applies);
+    both modes must place its rows identically (the distributed stats
+    join is null-safe on group keys)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        interleave_sources,
+    )
+
+    rows = [(i, None if i % 4 == 0 else "a") for i in range(40)]
+    df = spark.createDataFrame(rows, "k long, s string")
+    kw = dict(weights={"a": 2.0}, default_weight=1.0)
+    ser = {
+        r["k"]: r["interleave_rank"]
+        for r in interleave_sources(df, "k", "s", mode="serial", **kw).collect()
+    }
+    dist = {
+        r["k"]: r["interleave_rank"]
+        for r in interleave_sources(
+            df, "k", "s", mode="distributed", **kw
+        ).collect()
+    }
+    assert dist == ser and len(ser) == 40
