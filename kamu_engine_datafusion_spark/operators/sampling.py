@@ -742,3 +742,63 @@ def weighted_sample_per_group(
         .filter(F.col("__rn") <= n)
         .drop("__akey", "__rn")
     )
+
+
+def pack_sequences_ffd(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    part_col: str,
+) -> DataFrame:
+    """Sequence packing by FIRST-FIT DECREASING: within each
+    ``part_col`` group, rows are sorted by (cost desc, id) and each is
+    placed into the lowest-numbered chunk with room — the classic bin
+    packing heuristic (≤ 11/9·OPT + 1 bins), which unlike
+    :func:`pack_sequences`'s offset chunking never overruns ``budget``
+    and wastes less padding on heavy-tailed length distributions.
+    Rows with ``cost > budget`` get chunk −1 (unpackable — filter or
+    truncate upstream; silently overrunning would corrupt the batch).
+
+    Deterministic: the fold order is a pure function of (cost, id), so
+    the assignment is partition-independent (pytest-pinned).
+
+    Scale: one shuffle on the group key; the per-group fold runs as an
+    Arrow-batched ``applyInPandas`` (the sequential first-fit scan is
+    inherently a fold — not expressible as window algebra). Cost is
+    O(n·bins) per group worst case; bound group sizes the same way as
+    :func:`pack_sequences`'s window (groups are per-language/source
+    slices, not the whole corpus). Output: input columns + ``chunk``.
+    """
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("chunk", T.LongType())]
+    )
+    b = int(budget)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            [cost_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        loads: list[int] = []
+        chunks: list[int] = []
+        for c in pdf[cost_col]:
+            c = int(c)
+            if c > b:
+                chunks.append(-1)
+                continue
+            for i, ld in enumerate(loads):
+                if ld + c <= b:
+                    loads[i] = ld + c
+                    chunks.append(i)
+                    break
+            else:
+                loads.append(c)
+                chunks.append(len(loads) - 1)
+        pdf["chunk"] = pd.Series(chunks, dtype="int64")
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(fold, out_schema)

@@ -57,6 +57,7 @@ _PRIORITY_R7 = [
     "xlangid_eval",  # NEW: classifier confusion-matrix eval
     "xdedup_report",  # NEW: dedup drop-reason audit (poly twin)
     "xvocab_coverage",  # NEW: tokenizer-design cumulative coverage
+    "xpack_ffd",  # NEW: FFD bin packing (rows-only: sequential fold)
     # -- r03-stale block: last driver-green in CORRECTNESS_r03 --
     "xsim_ivf",
     "xsim_srp_lsh",

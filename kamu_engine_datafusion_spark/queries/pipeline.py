@@ -1109,6 +1109,30 @@ def q_xvocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.vocab_coverage(t["documents"], top_v=50)
 
 
+
+def q_xpack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-decreasing sequence packing per lang (512-token bins):
+    per-(lang, chunk) doc/token totals. Rows-only by design — the FFD
+    fold is inherently sequential per group (Arrow-batched
+    applyInPandas), not SQL-expressible; determinism, capacity bounds,
+    and the ≤-offset-chunking bin count are pytest-pinned
+    (``operators/sampling.py::pack_sequences_ffd``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences_ffd,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn("__cost", X.token_count("text"))
+    return (
+        pack_sequences_ffd(d, "doc_id", "__cost", budget=512, part_col="lang")
+        .groupBy("lang", "chunk")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__cost").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -2052,6 +2076,7 @@ QUERIES = {
     "xlangid_eval": q_xlangid_eval,
     "xdedup_report": q_xdedup_report,
     "xvocab_coverage": q_xvocab_coverage,
+    "xpack_ffd": q_xpack_ffd,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,

@@ -23,6 +23,7 @@ def test_queries_oracle_key_consistency():
         "b18_approx_agg",
         "xdedup_minhash",
         "xdedup_simhash",
+        "xpack_ffd",  # r7: first-fit fold is not SQL-expressible
     }
 
 

@@ -429,3 +429,43 @@ def test_interleave_null_source_equivalence(spark):
         ).collect()
     }
     assert dist == ser and len(ser) == 40
+
+
+def test_pack_ffd_capacity_determinism_and_beats_offset(spark):
+    """FFD packing never overruns the budget, is partition-independent,
+    marks unpackable rows with -1, and uses no more chunks than offset
+    chunking on a heavy-tailed cost distribution."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+
+    rows = [(i, "g", [600, 500, 400, 300, 200, 100, 90, 80, 1500][i % 9] + i % 7)
+            for i in range(90)]
+    df = spark.createDataFrame(rows, "k long, grp string, cost long")
+    out = pack_sequences_ffd(df, "k", "cost", budget=1024, part_col="grp")
+    rowsc = out.collect()
+    # capacity respected per chunk; oversize rows flagged
+    loads: dict[int, int] = {}
+    for r in rowsc:
+        if r["cost"] > 1024:
+            assert r["chunk"] == -1
+        else:
+            assert r["chunk"] >= 0
+            loads[r["chunk"]] = loads.get(r["chunk"], 0) + r["cost"]
+    assert all(v <= 1024 for v in loads.values())
+    # deterministic under re-partitioning
+    again = {
+        (r["k"], r["chunk"])
+        for r in pack_sequences_ffd(
+            df.repartition(7), "k", "cost", budget=1024, part_col="grp"
+        ).collect()
+    }
+    assert again == {(r["k"], r["chunk"]) for r in rowsc}
+    # chunk count <= offset chunking's (on the packable subset)
+    packable = df.filter(F.col("cost") <= 1024)
+    n_offset = (
+        pack_sequences(packable, "k", "cost", budget=1024, part_col="grp")
+        .select("chunk").distinct().count()
+    )
+    assert len(loads) <= n_offset
