@@ -39,6 +39,20 @@ def _bucket(key: Column, salt: int, hash_fn: str = "xxhash64") -> Column:
     return F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_BUCKETS))
 
 
+def _shard(key: Column, shards: int, hash_fn: str = "xxhash64") -> Column:
+    """Stable sub-shard id in [0, shards) from a key column — used to
+    bound per-group work (window sorts, pandas folds) that would
+    otherwise concentrate a whole partition value (e.g. ``lang='en'``
+    over a 100 TB corpus) into one task. ``hash_fn="poly"`` uses the
+    SQL-expressible polynomial hash so an oracle can reproduce the
+    shard assignment."""
+    if hash_fn == "poly":
+        from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+
+        return F.pmod(poly_hash31(key.cast("string")), F.lit(shards))
+    return F.pmod(F.xxhash64(key), F.lit(shards))
+
+
 def deterministic_sample(
     df: DataFrame,
     key_col: str,
@@ -234,6 +248,9 @@ def pack_sequences(
     cost_col: str,
     budget: int,
     part_col: str | None = None,
+    shards: int | None = None,
+    hash_fn: str = "xxhash64",
+    max_group_rows: int | None = 50_000_000,
 ) -> DataFrame:
     """Sequence packing by running cost offset: rows (docs) are laid out
     in ``id_col`` order and assigned to fixed-``budget`` chunks by their
@@ -249,8 +266,21 @@ def pack_sequences(
     on partitioning — and for SQL-expressibility (one window cumsum).
 
     Scale: ``part_col`` bounds the window sort to one shuffle on the
-    partition key; chunks are per-partition. Without it the cumsum runs
-    in a single task — fine for a demo, wrong at corpus scale.
+    partition key; chunks are per-partition. But a partition VALUE can
+    itself be corpus-sized (``lang='en'`` at 100 TB is one window
+    partition — a single-task sort), so ``shards`` sub-shards each
+    group by a stable hash of ``id_col``: chunks become
+    per-``(part_col, shard)`` and the sort parallelism scales with
+    ``shards``. The assignment stays deterministic (the shard is a pure
+    function of the id) and a ``shard`` column is added to the output
+    so callers key on it. ``hash_fn="poly"`` makes the shard
+    oracle-reproducible. ``max_group_rows`` (default 50M) fails the job
+    loudly — a distributed ``assert_true`` reusing the window's own
+    sort, no extra shuffle — if any packing group still exceeds it,
+    instead of silently serializing a corpus slice through one task;
+    pass ``None`` to disable. (The guard rides on the ``chunk``
+    expression, so a plan that prunes ``chunk`` away skips it — but a
+    plan that never reads ``chunk`` also never pays the window.)
 
     ``id_col`` must be unique within each partition group: the frame is
     ROWS-based (the default RANGE frame would make duplicate ids peers
@@ -259,15 +289,39 @@ def pack_sequences(
     chunk assignment — would be partition-dependent.
     """
     keys = [part_col] if part_col else []
+    if shards is not None:
+        df = df.withColumn(
+            "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
+        )
+        keys.append("shard")
     w = (
         Window.partitionBy(*keys)
         .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     offset = F.sum(cost_col).over(w) - F.col(cost_col)
-    return df.withColumn(
-        "chunk", F.floor(offset / F.lit(float(budget))).cast("long")
-    )
+    chunk = F.floor(offset / F.lit(float(budget))).cast("long")
+    if max_group_rows is not None:
+        # Same partition keys, whole-partition frame: shares the
+        # window exchange+sort; assert_true returns null on success so
+        # the when() passes chunk through untouched.
+        gw = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+        gcnt = F.count(F.lit(1)).over(
+            gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        chunk = F.when(
+            F.assert_true(
+                gcnt <= F.lit(int(max_group_rows)),
+                F.lit(
+                    f"pack_sequences: a packing group exceeds "
+                    f"max_group_rows={max_group_rows} — raise `shards` "
+                    f"(or max_group_rows) instead of single-task-sorting "
+                    f"a corpus slice"
+                ),
+            ).isNull(),
+            chunk,
+        )
+    return df.withColumn("chunk", chunk)
 
 
 def split_train_holdout(
@@ -750,6 +804,9 @@ def pack_sequences_ffd(
     cost_col: str,
     budget: int,
     part_col: str,
+    shards: int | None = None,
+    hash_fn: str = "xxhash64",
+    max_group_rows: int = 5_000_000,
 ) -> DataFrame:
     """Sequence packing by FIRST-FIT DECREASING: within each
     ``part_col`` group, rows are sorted by (cost desc, id) and each is
@@ -766,20 +823,44 @@ def pack_sequences_ffd(
     Scale: one shuffle on the group key; the per-group fold runs as an
     Arrow-batched ``applyInPandas`` (the sequential first-fit scan is
     inherently a fold — not expressible as window algebra). Cost is
-    O(n·bins) per group worst case; bound group sizes the same way as
-    :func:`pack_sequences`'s window (groups are per-language/source
-    slices, not the whole corpus). Output: input columns + ``chunk``.
+    O(n·bins) per group worst case — and a single ``part_col`` value
+    can be corpus-sized (``lang='en'`` at 100 TB would be ONE pandas
+    group: driver-killing), so ``shards`` sub-shards each group by a
+    stable hash of ``id_col`` and folds per ``(part_col, shard)``:
+    FFD's capacity bound (chunks never exceed ``budget``) holds per
+    shard, determinism is preserved (the shard is a pure function of
+    the id), and the extra padding from packing shards independently is
+    O(shards) bins — negligible against millions of bins. A ``shard``
+    column is added to the output. ``max_group_rows`` fails the fold
+    loudly (inside the executor, before any O(n·bins) work) if a group
+    still exceeds it — the guard against ``shards`` sized wrongly or
+    omitted on a corpus-scale group. Output: input columns
+    [+ ``shard``] + ``chunk``.
     """
     import pandas as pd
 
     from pyspark.sql import types as T
 
+    group_keys = [part_col]
+    if shards is not None:
+        df = df.withColumn(
+            "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
+        )
+        group_keys.append("shard")
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("chunk", T.LongType())]
     )
     b = int(budget)
+    max_rows = int(max_group_rows)
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > max_rows:
+            raise ValueError(
+                f"pack_sequences_ffd: a packing group has {len(pdf)} rows "
+                f"> max_group_rows={max_rows} — raise `shards` (or "
+                f"max_group_rows) instead of folding a corpus slice in "
+                f"one pandas group"
+            )
         pdf = pdf.sort_values(
             [cost_col, id_col], ascending=[False, True]
         ).reset_index(drop=True)
@@ -801,4 +882,4 @@ def pack_sequences_ffd(
         pdf["chunk"] = pd.Series(chunks, dtype="int64")
         return pdf
 
-    return df.groupBy(part_col).applyInPandas(fold, out_schema)
+    return df.groupBy(*group_keys).applyInPandas(fold, out_schema)

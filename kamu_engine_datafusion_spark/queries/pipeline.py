@@ -413,14 +413,20 @@ def q_xsample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_xpack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: whitespace-token costs, 2048-token chunks per
-    lang by running-offset assignment; per-chunk doc and token totals."""
+    (lang, shard) by running-offset assignment; per-chunk doc and token
+    totals. Sharded (r8): 8 id-keyed sub-shards per lang bound the
+    window sort — at corpus scale one lang is otherwise one task — with
+    the poly hash so the oracle reproduces the shard assignment."""
     from kamu_engine_datafusion_spark.operators.sampling import pack_sequences
 
     t = load(spark, sf_dir, "documents")
     d = t["documents"].withColumn("__cost", X.token_count("text"))
     return (
-        pack_sequences(d, "doc_id", "__cost", budget=2048, part_col="lang")
-        .groupBy("lang", "chunk")
+        pack_sequences(
+            d, "doc_id", "__cost", budget=2048, part_col="lang",
+            shards=8, hash_fn="poly",
+        )
+        .groupBy("lang", "shard", "chunk")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__cost").alias("n_tokens"),
@@ -997,8 +1003,11 @@ def q_xpipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = temperature_sample(
         d, "doc_id", "lang", alpha=0.5, target_fraction=0.6, hash_fn="poly"
     )
-    packed = pack_sequences(d, "doc_id", "__cost", budget=2048, part_col="lang")
-    return packed.groupBy("lang", "chunk").agg(
+    packed = pack_sequences(
+        d, "doc_id", "__cost", budget=2048, part_col="lang",
+        shards=4, hash_fn="poly",
+    )
+    return packed.groupBy("lang", "shard", "chunk").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("__cost").alias("n_tokens"),
         F.sum("doc_id").alias("id_sum"),
@@ -1034,9 +1043,10 @@ def q_xpipeline_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = truncate_tokens(d, max_tokens=64)
     d = d.filter(F.col("n_tokens_kept") >= 10)
     packed = pack_sequences(
-        d, "doc_id", "n_tokens_kept", budget=512, part_col="lang"
+        d, "doc_id", "n_tokens_kept", budget=512, part_col="lang",
+        shards=4, hash_fn="poly",
     )
-    return packed.groupBy("lang", "chunk").agg(
+    return packed.groupBy("lang", "shard", "chunk").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens_kept").cast("long").alias("n_tokens"),
         F.sum("doc_id").cast("long").alias("id_sum"),
@@ -1111,11 +1121,14 @@ def q_xvocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xpack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit-decreasing sequence packing per lang (512-token bins):
-    per-(lang, chunk) doc/token totals. Rows-only by design — the FFD
-    fold is inherently sequential per group (Arrow-batched
-    applyInPandas), not SQL-expressible; determinism, capacity bounds,
-    and the ≤-offset-chunking bin count are pytest-pinned
+    """First-fit-decreasing sequence packing per (lang, shard)
+    (512-token bins): per-(lang, shard, chunk) doc/token totals.
+    Sharded (r8): 8 id-keyed sub-shards bound each pandas fold — one
+    lang at corpus scale would otherwise be ONE group. Rows-only by
+    design — the FFD fold is inherently sequential per group
+    (Arrow-batched applyInPandas), not SQL-expressible; determinism,
+    capacity bounds, and partition-independence are pytest-pinned and
+    the oracle-checkable invariant projection is ``xpack_ffd_stats``
     (``operators/sampling.py::pack_sequences_ffd``)."""
     from kamu_engine_datafusion_spark.operators.sampling import (
         pack_sequences_ffd,
@@ -1124,12 +1137,79 @@ def q_xpack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "documents")
     d = t["documents"].withColumn("__cost", X.token_count("text"))
     return (
-        pack_sequences_ffd(d, "doc_id", "__cost", budget=512, part_col="lang")
-        .groupBy("lang", "chunk")
+        pack_sequences_ffd(
+            d, "doc_id", "__cost", budget=512, part_col="lang",
+            shards=8, hash_fn="poly",
+        )
+        .groupBy("lang", "shard", "chunk")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("__cost").cast("long").alias("n_tokens"),
         )
+    )
+
+
+def q_xpack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracle-checkable invariant projection of the FFD packing (r8):
+    the fold itself is not SQL-expressible (``xpack_ffd`` stays
+    rows-only), but per (lang, shard) the oracle CAN verify exactly
+    what went in — packable-row count, packable cost total, oversize
+    count — and the packing invariants are hash-pinned as 1/0 flags
+    computed from the REAL engine output against literal 1 in the
+    oracle, so any violation flips the value hash red:
+
+    - ``capacity_ok``: no chunk's load exceeds the 512 budget;
+    - ``bins_lb_ok``: n_chunks ≥ ceil(total_cost/512) (each chunk
+      holds ≤ budget, so fewer bins cannot carry the total);
+    - ``bins_ub_ok``: n_chunks ≤ floor(2·total_cost/512) + 1 (any
+      first-fit family leaves at most one bin ≤ half full — two would
+      mean the later bin's first item fit in the earlier one).
+    """
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences_ffd,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn(
+        "__cost", X.token_count("text").cast("long")
+    )
+    packed = pack_sequences_ffd(
+        d, "doc_id", "__cost", budget=512, part_col="lang",
+        shards=8, hash_fn="poly",
+    )
+    per = packed.groupBy("lang", "shard").agg(
+        F.sum((F.col("chunk") >= 0).cast("long")).alias("n_rows"),
+        F.sum(F.when(F.col("chunk") >= 0, F.col("__cost")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("total_cost"),
+        F.sum((F.col("chunk") < 0).cast("long")).alias("n_oversize"),
+    )
+    loads = (
+        packed.filter(F.col("chunk") >= 0)
+        .groupBy("lang", "shard", "chunk")
+        .agg(F.sum("__cost").alias("__load"))
+    )
+    bins = loads.groupBy("lang", "shard").agg(
+        F.count(F.lit(1)).alias("__n_chunks"),
+        F.max("__load").alias("__max_load"),
+    )
+    lb = F.floor((F.col("total_cost") + F.lit(511)) / F.lit(512.0))
+    ub = F.floor(F.col("total_cost") * 2 / F.lit(512.0)) + F.lit(1)
+    return per.join(bins, ["lang", "shard"], "left").select(
+        "lang",
+        "shard",
+        "n_rows",
+        "total_cost",
+        "n_oversize",
+        F.coalesce(F.col("__max_load") <= F.lit(512), F.lit(True))
+        .cast("long")
+        .alias("capacity_ok"),
+        F.coalesce(F.col("__n_chunks") >= lb, F.lit(True))
+        .cast("long")
+        .alias("bins_lb_ok"),
+        F.coalesce(F.col("__n_chunks") <= ub, F.lit(True))
+        .cast("long")
+        .alias("bins_ub_ok"),
     )
 
 
@@ -2077,6 +2157,7 @@ QUERIES = {
     "xdedup_report": q_xdedup_report,
     "xvocab_coverage": q_xvocab_coverage,
     "xpack_ffd": q_xpack_ffd,
+    "xpack_ffd_stats": q_xpack_ffd_stats,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -2164,6 +2245,18 @@ QUERIES = {
     "xmm_frames": q_xmm_frames,
     "xasof_join": q_xasof_join,
 }
+
+def _poly_shard_sql(col: str, shards: int) -> str:
+    """DuckDB twin of ``operators/sampling._shard(..., hash_fn="poly")``:
+    the 31-bit polynomial char fold of the id's string form, mod the
+    shard count (both non-negative, so ``%`` ≡ pmod)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split(CAST({col} AS VARCHAR), ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % 2147483647) % {shards}"
+    )
+
 
 _NORM_TOKENS = "list_distinct(string_split_regex(trim(lower(text)), '\\s+'))"
 
@@ -2932,13 +3025,15 @@ ORACLES = {
     "xpack_sequences": (
         "WITH c AS (SELECT lang, doc_id, "
         "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
-        "AS cost FROM documents), "
-        "p AS (SELECT lang, cost, CAST(FLOOR("
-        "(SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id) - cost) / 2048.0"
-        ") AS BIGINT) AS chunk FROM c) "
-        "SELECT lang, chunk, count(*) AS n_docs, "
+        "AS cost, "
+        + _poly_shard_sql("doc_id", 8)
+        + " AS shard FROM documents), "
+        "p AS (SELECT lang, shard, cost, CAST(FLOOR("
+        "(SUM(cost) OVER (PARTITION BY lang, shard ORDER BY doc_id) - cost) "
+        "/ 2048.0) AS BIGINT) AS chunk FROM c) "
+        "SELECT lang, shard, chunk, count(*) AS n_docs, "
         "CAST(SUM(cost) AS BIGINT) AS n_tokens "
-        "FROM p GROUP BY lang, chunk"
+        "FROM p GROUP BY lang, shard, chunk"
     ),
     "xvocab": (
         "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), "
@@ -3066,12 +3161,17 @@ ORACLES = {
         "string_split(CAST(d.doc_id AS VARCHAR) || '#0', ''), "
         "ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647) % 10000 < cut), "
-        "p AS (SELECT lang, doc_id, cost, CAST(FLOOR("
-        "(SUM(cost) OVER (PARTITION BY lang ORDER BY doc_id) - cost) / 2048.0"
+        "p AS (SELECT lang, doc_id, cost, "
+        + _poly_shard_sql("doc_id", 4)
+        + " AS shard, CAST(FLOOR("
+        "(SUM(cost) OVER (PARTITION BY lang, "
+        + _poly_shard_sql("doc_id", 4)
+        + " ORDER BY doc_id) - cost) / 2048.0"
         ") AS BIGINT) AS chunk FROM s) "
-        "SELECT lang, chunk, count(*) AS n_docs, "
+        "SELECT lang, shard, chunk, count(*) AS n_docs, "
         "CAST(SUM(cost) AS BIGINT) AS n_tokens, "
-        "CAST(SUM(doc_id) AS BIGINT) AS id_sum FROM p GROUP BY lang, chunk"
+        "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+        "FROM p GROUP BY lang, shard, chunk"
     ),
     "xsplit_by_group": (
         "WITH h AS (SELECT doc_id, source, "
@@ -4047,14 +4147,32 @@ ORACLES["xpipeline_curate"] = (
     "tr AS (SELECT doc_id, lang, "
     "CAST(len(list_slice(string_split_regex(trim(text), '\\s+'), 1, 64)) "
     "AS BIGINT) AS kept FROM surv), "
-    "g AS (SELECT * FROM tr WHERE kept >= 10), "
-    "p AS (SELECT lang, doc_id, kept, CAST(FLOOR("
-    "(SUM(kept) OVER (PARTITION BY lang ORDER BY doc_id) - kept) / 512.0"
-    ") AS BIGINT) AS chunk FROM g) "
-    "SELECT lang, chunk, count(*) AS n_docs, "
+    "g AS (SELECT *, " + _poly_shard_sql("doc_id", 4) + " AS shard "
+    "FROM tr WHERE kept >= 10), "
+    "p AS (SELECT lang, shard, doc_id, kept, CAST(FLOOR("
+    "(SUM(kept) OVER (PARTITION BY lang, shard ORDER BY doc_id) - kept) "
+    "/ 512.0) AS BIGINT) AS chunk FROM g) "
+    "SELECT lang, shard, chunk, count(*) AS n_docs, "
     "CAST(SUM(kept) AS BIGINT) AS n_tokens, "
     "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
-    "FROM p GROUP BY lang, chunk"
+    "FROM p GROUP BY lang, shard, chunk"
+)
+
+
+ORACLES["xpack_ffd_stats"] = (
+    "WITH c AS (SELECT lang, doc_id, "
+    "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+    "AS cost, " + _poly_shard_sql("doc_id", 8) + " AS shard "
+    "FROM documents) "
+    "SELECT lang, shard, "
+    "CAST(count(CASE WHEN cost <= 512 THEN 1 END) AS BIGINT) AS n_rows, "
+    "CAST(COALESCE(sum(CASE WHEN cost <= 512 THEN cost END), 0) AS BIGINT) "
+    "AS total_cost, "
+    "CAST(count(CASE WHEN cost > 512 THEN 1 END) AS BIGINT) AS n_oversize, "
+    "CAST(1 AS BIGINT) AS capacity_ok, "
+    "CAST(1 AS BIGINT) AS bins_lb_ok, "
+    "CAST(1 AS BIGINT) AS bins_ub_ok "
+    "FROM c GROUP BY lang, shard"
 )
 
 

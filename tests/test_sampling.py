@@ -469,3 +469,92 @@ def test_pack_ffd_capacity_determinism_and_beats_offset(spark):
         .select("chunk").distinct().count()
     )
     assert len(loads) <= n_offset
+
+
+def test_pack_ffd_sharded_capacity_and_partition_independence(spark):
+    """r8 scale fix: with `shards`, FFD folds per (part, shard) — the
+    capacity bound holds per shard, the shard is a pure function of the
+    id (so the assignment survives re-partitioning), and the shards
+    partition the rows exhaustively and disjointly."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences_ffd,
+    )
+
+    rows = [(i, "g", [600, 500, 400, 300, 200, 100, 90, 80, 1500][i % 9] + i % 7)
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "k long, grp string, cost long")
+    out = pack_sequences_ffd(
+        df, "k", "cost", budget=1024, part_col="grp", shards=4, hash_fn="poly"
+    ).collect()
+    assert {r["k"] for r in out} == set(range(120))  # exhaustive, disjoint
+    assert {r["shard"] for r in out} == {0, 1, 2, 3}
+    loads: dict[tuple, int] = {}
+    for r in out:
+        if r["cost"] > 1024:
+            assert r["chunk"] == -1
+        else:
+            key = (r["shard"], r["chunk"])
+            loads[key] = loads.get(key, 0) + r["cost"]
+    assert all(v <= 1024 for v in loads.values())
+    again = {
+        (r["k"], r["shard"], r["chunk"])
+        for r in pack_sequences_ffd(
+            df.repartition(7), "k", "cost", budget=1024, part_col="grp",
+            shards=4, hash_fn="poly",
+        ).collect()
+    }
+    assert again == {(r["k"], r["shard"], r["chunk"]) for r in out}
+
+
+def test_pack_sequences_sharded_equals_per_shard_pack(spark):
+    """Sharded offset chunking ≡ unsharded offset chunking applied to
+    each shard's subset independently — the shard key only splits the
+    window partition, never changes the per-shard assignment."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    rows = [(i, "g", (i * 13) % 300 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "k long, grp string, cost long")
+    sharded = pack_sequences(
+        df, "k", "cost", budget=500, part_col="grp", shards=3, hash_fn="poly"
+    )
+    got = {(r["k"], r["shard"], r["chunk"]) for r in sharded.collect()}
+    want = set()
+    for s in range(3):
+        sub = sharded.filter(F.col("shard") == s).drop("shard", "chunk")
+        for r in pack_sequences(
+            sub, "k", "cost", budget=500, part_col="grp"
+        ).collect():
+            want.add((r["k"], s, r["chunk"]))
+    assert got == want
+
+
+def test_pack_group_size_guards_fail_loudly(spark):
+    """Both packing variants must refuse a group larger than
+    max_group_rows instead of silently single-tasking a corpus slice:
+    the FFD guard fires in the fold, the offset guard rides on the
+    chunk expression (distributed assert, same window sort)."""
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences,
+        pack_sequences_ffd,
+    )
+
+    rows = [(i, "g", 10) for i in range(50)]
+    df = spark.createDataFrame(rows, "k long, grp string, cost long")
+    with pytest.raises(Exception, match="max_group_rows"):
+        pack_sequences_ffd(
+            df, "k", "cost", budget=100, part_col="grp", max_group_rows=10
+        ).count()
+    with pytest.raises(Exception, match="max_group_rows"):
+        pack_sequences(
+            df, "k", "cost", budget=100, part_col="grp", max_group_rows=10
+        ).groupBy("chunk").count().collect()
+    # sharding below the cap passes the same guard
+    n = pack_sequences_ffd(
+        df, "k", "cost", budget=100, part_col="grp", shards=8,
+        max_group_rows=10,
+    ).count()
+    assert n == 50
