@@ -459,6 +459,7 @@ def weighted_sample(
     """
     from kamu_engine_datafusion_spark.functions.columns import (
         _MERSENNE_31,
+        half_up,
         poly_hash31,
     )
 
@@ -469,7 +470,9 @@ def weighted_sample(
         h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
     u = (h + 1) / F.lit(float(_MERSENNE_31 + 1))
     w = F.col(weight_col).cast("double")
-    res_key = F.round(F.log(u) / w, 9)
+    # half-up, not the engines' round(): exact .5 halves disagree
+    # between Spark and DuckDB and this IS a rank sort key
+    res_key = half_up(F.log(u) / w, 9)
     return (
         df.filter(w > 0)
         .withColumn("__akey", res_key)
@@ -775,6 +778,7 @@ def weighted_sample_per_group(
     """
     from kamu_engine_datafusion_spark.functions.columns import (
         _MERSENNE_31,
+        half_up,
         poly_hash31,
     )
 
@@ -785,7 +789,9 @@ def weighted_sample_per_group(
         h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
     u = (h + 1) / F.lit(float(_MERSENNE_31 + 1))
     w = F.col(weight_col).cast("double")
-    res_key = F.round(F.log(u) / w, 9)
+    # half-up, not the engines' round(): exact .5 halves disagree
+    # between Spark and DuckDB and this IS a rank sort key
+    res_key = half_up(F.log(u) / w, 9)
     rank_w = Window.partitionBy(group_col).orderBy(
         F.col("__akey").desc(), key
     )

@@ -3019,7 +3019,7 @@ ORACLES = {
         "FROM documents WHERE n_chars > 0) "
         "SELECT doc_id, n_chars FROM ("
         "SELECT doc_id, n_chars, "
-        "round(ln((hv + 1) / 2147483648.0) / w, 9) AS k FROM h) "
+        "floor(ln((hv + 1) / 2147483648.0) / w * 1000000000.0 + 0.5) / 1000000000.0 AS k FROM h) "
         "ORDER BY k DESC, doc_id LIMIT 200"
     ),
     "xpack_sequences": (
@@ -4093,7 +4093,7 @@ ORACLES["xsample_weighted_group"] = (
     "(a, b) -> (a * 31 + b) % 2147483647) AS hv "
     "FROM documents WHERE n_chars > 0), "
     "k AS (SELECT doc_id, lang, n_chars, "
-    "round(ln((hv + 1) / 2147483648.0) / w, 9) AS akey FROM h) "
+    "floor(ln((hv + 1) / 2147483648.0) / w * 1000000000.0 + 0.5) / 1000000000.0 AS akey FROM h) "
     "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM ("
     "SELECT *, row_number() OVER (PARTITION BY lang "
     "ORDER BY akey DESC, doc_id) AS rn FROM k) WHERE rn <= 50"

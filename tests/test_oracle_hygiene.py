@@ -51,6 +51,52 @@ def test_no_engine_round_in_rank_sort_keys():
     )
 
 
+#: round()-derived aliases later used as sort keys, audited as safe
+#: (proof required; the r7-advice escape was `round(..., 9) AS k ...
+#: ORDER BY k` — lexically clean ORDER BY, divergent rank key):
+_ROUND_ALIAS_RANK_WHITELIST: set[tuple[str, str]] = set()
+
+#: `round(...) AS alias` with up to two levels of nested parens.
+_ROUND_ALIAS = re.compile(
+    r"\bround\((?:[^()]|\((?:[^()]|\([^()]*\))*\))*\)\s+AS\s+(\w+)", re.I
+)
+
+
+def test_no_round_derived_columns_as_rank_sort_keys():
+    """The lexical sweep above misses a round() that lands in a prior
+    CTE: `round(...) AS k` then `ORDER BY k` is the same divergence
+    class one hop removed (the r7-advice xsample_weighted finding).
+    Track aliases assigned from round() and flag any used in an ORDER
+    BY — window or final — unless whitelisted with a proof."""
+    flagged = []
+    for key, sql in sorted(oracles().items()):
+        defs: dict[str, int] = {}
+        for m in _ROUND_ALIAS.finditer(sql):
+            a = m.group(1)
+            defs[a] = min(defs.get(a, m.start()), m.start())
+        for alias, dpos in sorted(defs.items()):
+            if (key, alias) in _ROUND_ALIAS_RANK_WHITELIST:
+                continue
+            uses = [
+                m.start()
+                for pat in (
+                    rf"OVER\s*\([^)]*ORDER BY[^)]*\b{alias}\b",
+                    rf"ORDER BY\s+[^()]*?\b{alias}\b",
+                )
+                for m in re.finditer(pat, sql, re.I)
+            ]
+            # Only a DEFINITION lexically before the sort usage can
+            # feed it through a CTE; a round() in the final display
+            # select (after every ORDER BY on that name) is the
+            # standard post-ranking display round, not a rank key.
+            if any(u > dpos for u in uses):
+                flagged.append((key, alias))
+    assert not flagged, (
+        "round()-derived columns used as rank/sort keys (use the "
+        f"half-up floor idiom on both sides): {flagged}"
+    )
+
+
 def test_floor_decimal_literals_cast_or_whitelisted():
     flagged = []
     for key, sql in sorted(oracles().items()):
