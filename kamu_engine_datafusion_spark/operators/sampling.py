@@ -889,3 +889,110 @@ def pack_sequences_ffd(
         return pdf
 
     return df.groupBy(*group_keys).applyInPandas(fold, out_schema)
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    lam: float = 0.5,
+    salt: int = 0,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, public): pick
+    the ``n`` raw-corpus documents that look most like a TARGET domain,
+    by hashed-bigram importance weights — the standard data-selection
+    operator for steering a pretraining mix toward a quality/domain
+    slice without training a classifier.
+
+    Method: whitespace bigrams are hashed into ``buckets`` features;
+    add-``lam`` smoothed bucket distributions are estimated for the
+    target corpus (``p``) and the raw corpus (``q``); each raw doc
+    scores ``Σ_ngram [ln p(b) − ln q(b)]`` (its log importance weight
+    under the two bag-of-hashed-ngrams models); selection is Gumbel
+    top-k over ``score + g(u)`` with a keyed-uniform ``u`` — i.e.
+    sampling without replacement ∝ the importance weight, reproducible
+    across runs, engines, and partitionings.
+
+    Cross-engine determinism: per-bucket log-ratios and the Gumbel term
+    are snapped to 1e-9 FIXED-POINT integers (half-up), so per-doc
+    scores are exact integer sums — order-independent, no float-tail
+    divergence; an oracle reproduces the draw bit-for-bit from the same
+    poly hashes. ``dsir_score`` is the fixed-point log-weight (divide
+    by 1e9 for nats).
+
+    Scale: two bounded bucket-count aggregates (≤ ``buckets`` rows
+    each, collected — bounded by construction) build a literal
+    log-ratio array; scoring is then an in-row fold at scan speed (no
+    corpus shuffle, no join) and selection is a TakeOrdered top-n.
+    """
+    import math
+
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31,
+        poly_hash31,
+    )
+
+    def _toks(c: Column) -> Column:
+        return F.split(F.trim(F.lower(c)), r"\s+")
+
+    def _bigrams(c: Column) -> Column:
+        t = _toks(c)
+        return F.transform(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda x, i: F.concat(x, F.lit(" "), F.element_at(t, i + F.lit(2))),
+        )
+
+    def _bucket_of(c: Column) -> Column:
+        if hash_fn == "poly":
+            return F.pmod(poly_hash31(c), F.lit(buckets))
+        return F.pmod(F.xxhash64(c), F.lit(buckets))
+
+    def _bucket_counts(d: DataFrame) -> dict[int, int]:
+        rows = (
+            d.select(F.explode(_bigrams(F.col(text_col))).alias("__ng"))
+            .select(_bucket_of(F.col("__ng")).alias("__b"))
+            .groupBy("__b")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .collect()
+        )
+        return {int(r["__b"]): int(r["__c"]) for r in rows}
+
+    ct = _bucket_counts(target)
+    cr = _bucket_counts(df)
+    tt = float(sum(ct.values()))
+    tr = float(sum(cr.values()))
+    lb = lam * buckets
+    lr_ints = []
+    for b in range(buckets):
+        x = math.log((ct.get(b, 0) + lam) / (tt + lb)) - math.log(
+            (cr.get(b, 0) + lam) / (tr + lb)
+        )
+        lr_ints.append(int(math.floor(x * 1e9 + 0.5)))
+    arr = F.array(*[F.lit(v).cast("long") for v in lr_ints])
+
+    score = F.aggregate(
+        _bigrams(F.col(text_col)),
+        F.lit(0).cast("long"),
+        lambda acc, ng: acc
+        + F.element_at(arr, (_bucket_of(ng) + F.lit(1)).cast("int")),
+    )
+
+    key = F.col(id_col)
+    if hash_fn == "poly":
+        h = poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}")))
+    else:
+        h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
+    u = (h + 1) / F.lit(float(_MERSENNE_31 + 2))
+    g_int = F.floor(-F.log(-F.log(u)) * F.lit(1e9) + F.lit(0.5)).cast("long")
+
+    return (
+        df.withColumn("dsir_score", score)
+        .withColumn("__k", F.col("dsir_score") + g_int)
+        .orderBy(F.col("__k").desc(), key)
+        .limit(n)
+        .drop("__k")
+    )

@@ -1213,6 +1213,24 @@ def q_xpack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling (r8): select the 150 raw docs
+    (source ≠ src1) most like the src1 target slice by hashed-bigram
+    importance weights, Gumbel top-k without replacement. Fully
+    deterministic — log-ratios and the Gumbel term are 1e-9 fixed-point
+    integers from poly hashes, so the oracle reproduces the exact draw
+    (``operators/sampling.py::dsir_sample``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import dsir_sample
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    tgt = docs.filter(F.col("source") == "src1")
+    raw = docs.filter(F.col("source") != "src1")
+    return dsir_sample(raw, tgt, n=150, buckets=512, hash_fn="poly").select(
+        "doc_id", "lang", "source", "dsir_score"
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -2158,6 +2176,7 @@ QUERIES = {
     "xvocab_coverage": q_xvocab_coverage,
     "xpack_ffd": q_xpack_ffd,
     "xpack_ffd_stats": q_xpack_ffd_stats,
+    "xdsir_sample": q_xdsir_sample,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -4157,6 +4176,64 @@ ORACLES["xpipeline_curate"] = (
     "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
     "FROM p GROUP BY lang, shard, chunk"
 )
+
+
+def _dsir_oracle(n: int = 150, buckets: int = 512, lam: float = 0.5) -> str:
+    """DuckDB twin of :func:`operators.sampling.dsir_sample` on the
+    src1-vs-rest split: same poly-hash buckets, same 1e-9 fixed-point
+    log-ratios and Gumbel terms, so the integer scores and the exact
+    draw reproduce."""
+    poly_ng = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(ng, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647)"
+    )
+    poly_id = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        "string_split(CAST(doc_id AS VARCHAR) || '#0', ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647)"
+    )
+    lb = lam * buckets
+    return (
+        "WITH tk AS (SELECT doc_id, lang, source, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), "
+        "bg AS (SELECT doc_id, lang, source, "
+        "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+        "i -> t[i] || ' ' || t[i + 1]) AS ngs FROM tk), "
+        "tng AS (SELECT unnest(ngs) AS ng FROM bg WHERE source = 'src1'), "
+        "rng AS (SELECT unnest(ngs) AS ng FROM bg WHERE source <> 'src1'), "
+        f"tb AS (SELECT {poly_ng} % {buckets} AS b, count(*) AS c "
+        "FROM tng GROUP BY 1), "
+        f"rb AS (SELECT {poly_ng} % {buckets} AS b, count(*) AS c "
+        "FROM rng GROUP BY 1), "
+        "tt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS tot FROM tb), "
+        "rt AS (SELECT CAST(COALESCE(sum(c), 0) AS DOUBLE) AS tot FROM rb), "
+        f"grid AS (SELECT unnest(generate_series(0, {buckets - 1})) AS b), "
+        "lr AS (SELECT grid.b, CAST(floor(("
+        f"ln((COALESCE(tb.c, 0) + {lam}) / (tt.tot + {lb})) - "
+        f"ln((COALESCE(rb.c, 0) + {lam}) / (rt.tot + {lb})"
+        ")) * 1000000000.0 + 0.5) AS BIGINT) AS lri "
+        "FROM grid LEFT JOIN tb ON grid.b = tb.b "
+        "LEFT JOIN rb ON grid.b = rb.b CROSS JOIN tt CROSS JOIN rt), "
+        "docng AS (SELECT doc_id, unnest(ngs) AS ng FROM bg "
+        "WHERE source <> 'src1'), "
+        "ds AS (SELECT doc_id, CAST(sum(lr.lri) AS BIGINT) AS score "
+        f"FROM docng JOIN lr ON {poly_ng} % {buckets} = lr.b "
+        "GROUP BY doc_id), "
+        "sc AS (SELECT d.doc_id, d.lang, d.source, "
+        "COALESCE(ds.score, 0) AS dsir_score FROM documents d "
+        "LEFT JOIN ds ON d.doc_id = ds.doc_id WHERE d.source <> 'src1'), "
+        "k AS (SELECT *, dsir_score + CAST(floor("
+        f"-ln(-ln((({poly_id}) + 1) / 2147483649.0)) "
+        "* 1000000000.0 + 0.5) AS BIGINT) AS gk FROM sc) "
+        "SELECT doc_id, lang, source, dsir_score FROM ("
+        "SELECT *, row_number() OVER (ORDER BY gk DESC, doc_id) AS rn "
+        f"FROM k) WHERE rn <= {n}"
+    )
+
+
+ORACLES["xdsir_sample"] = _dsir_oracle()
 
 
 ORACLES["xpack_ffd_stats"] = (
