@@ -143,6 +143,27 @@ def _bench_odf_transform(spark, sf_dir: str) -> float:
     return _run_reps(_one)
 
 
+def _bench_calibration(spark) -> list[float]:
+    """Constant-work calibration: a fixed CPU-bound job whose cost is
+    independent of SF, the registry, and the disk — 576M codegen'd
+    xxhash64 rows reduced to one sum (~0.8s warm: long enough that
+    timer jitter is <2%, short enough to not pad the bench). Machine/JVM noise moves this and
+    the real queries together, so round-over-round per-query drift can
+    be attributed: a query delta that matches the calibration delta is
+    the box, not the plan (r7/r8 verdicts: ±15% unexplained drift)."""
+    def _one() -> None:
+        (
+            spark.range(0, 576_000_000, 1, 32)
+            .selectExpr("xxhash64(id) % 1000 AS h")
+            .selectExpr("sum(h) AS s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    return _run_reps(_one)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -194,6 +215,24 @@ def main() -> None:
 
     record("odf_transform_filter_map", _bench_odf_transform(spark, sf_dir))
 
+    # Calibration runs LAST (fully warm JVM) and is excluded from the
+    # headline total; it travels on both lines so the driver's BENCH
+    # history carries the datum. Normalized per-query numbers
+    # (query_sec / calibration_sec) go on the diagnostics line.
+    cal_times = _bench_calibration(spark)
+    cal = round(min(cal_times), 3)
+    spreads["calibration_range_hash"] = {
+        "min": cal,
+        "max": round(max(cal_times), 3),
+        "spread": round(max(cal_times) - min(cal_times), 3),
+        "warm_spread": 0.0,
+        "warm_median": round(sorted(cal_times[1:] or cal_times)[
+            len(cal_times[1:] or cal_times) // 2
+        ], 3),
+        "n": len(cal_times),
+    }
+    normalized = {k: round(v / cal, 2) for k, v in timings.items()}
+
     total = round(sum(timings.values()), 3)
     # Two lines, diagnostics FIRST: the driver tail-captures stdout and
     # parses the LAST JSON line, and in round 6 the single ever-growing
@@ -211,6 +250,7 @@ def main() -> None:
                     "max": MAX_REPS,
                     "improve_tol": IMPROVE_TOL,
                 },
+                "queries_normalized": normalized,
             }
         )
     )
@@ -222,6 +262,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "calibration_sec": cal,
+                "value_normalized": round(total / cal, 2),
             }
         )
     )

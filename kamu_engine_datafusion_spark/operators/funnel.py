@@ -204,17 +204,18 @@ def debounce_events(
 ) -> DataFrame:
     """Burst dedup / debounce: within each ``group_cols`` stream, keep
     an event only if it arrives MORE than ``gap_seconds`` after the
-    previously KEPT event — the standard telemetry cleanup that
-    collapses double-clicks, retry storms, and duplicate beacons into
-    one logical event, without a fixed window grid.
+    immediately PRECEDING event (kept or not) — the standard telemetry
+    cleanup that collapses double-clicks, retry storms, and duplicate
+    beacons into one logical event, without a fixed window grid.
 
-    Semantics note: the gap is measured against the previous RAW event
-    (a lag comparison), not a running anchor — i.e. a long burst where
-    every consecutive pair is within the gap collapses to its FIRST
-    event only when inter-event gaps stay under the threshold; the
-    classic debounce contract, and the one expressible as one window
-    function (an anchor-based variant needs a running fold —
-    ``streaming/stateful.py`` territory).
+    Semantics note: the gap is a lag comparison against the previous
+    RAW event, not against the last KEPT event. A burst whose every
+    consecutive gap is under the threshold therefore collapses to its
+    first event no matter how long the burst runs — the chain of
+    sub-threshold gaps keeps suppressing. (An anchor-based variant —
+    "kept events must be ``gap_seconds`` apart" — would re-emit once
+    cumulative elapsed time passes the gap; that needs a running fold,
+    ``streaming/stateful.py`` territory, not one window function.)
 
     Scale: ONE shuffle on the group key, one lag window per group —
     same cost shape as sessionization. Ties on the timestamp break by

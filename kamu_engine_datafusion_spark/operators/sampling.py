@@ -891,50 +891,37 @@ def pack_sequences_ffd(
     return df.groupBy(*group_keys).applyInPandas(fold, out_schema)
 
 
-def dsir_sample(
+def dsir_scores(
     df: DataFrame,
     target: DataFrame,
-    n: int,
-    id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = 512,
     lam: float = 0.5,
-    salt: int = 0,
     hash_fn: str = "poly",
 ) -> DataFrame:
-    """DSIR-style importance resampling (Xie et al. 2023, public): pick
-    the ``n`` raw-corpus documents that look most like a TARGET domain,
-    by hashed-bigram importance weights — the standard data-selection
-    operator for steering a pretraining mix toward a quality/domain
-    slice without training a classifier.
+    """DSIR importance SCORING (Xie et al. 2023, public): append a
+    ``dsir_score`` column — the 1e-9 fixed-point hashed-bigram log
+    importance weight ``Σ_ngram [ln p(b) − ln q(b)]`` of each raw doc
+    under add-``lam`` smoothed bag-of-hashed-bigram models of the
+    TARGET corpus (``p``) vs the raw corpus (``q``). NULL/empty text
+    scores 0 (weight e⁰ = 1), matching the oracle's COALESCE.
 
-    Method: whitespace bigrams are hashed into ``buckets`` features;
-    add-``lam`` smoothed bucket distributions are estimated for the
-    target corpus (``p``) and the raw corpus (``q``); each raw doc
-    scores ``Σ_ngram [ln p(b) − ln q(b)]`` (its log importance weight
-    under the two bag-of-hashed-ngrams models); selection is Gumbel
-    top-k over ``score + g(u)`` with a keyed-uniform ``u`` — i.e.
-    sampling without replacement ∝ the importance weight, reproducible
-    across runs, engines, and partitionings.
+    Shared scoring stage of :func:`dsir_sample` (Gumbel top-k
+    selection) and :func:`dsir_diagnostics` (ESS / concentration).
 
-    Cross-engine determinism: per-bucket log-ratios and the Gumbel term
-    are snapped to 1e-9 FIXED-POINT integers (half-up), so per-doc
-    scores are exact integer sums — order-independent, no float-tail
-    divergence; an oracle reproduces the draw bit-for-bit from the same
-    poly hashes. ``dsir_score`` is the fixed-point log-weight (divide
-    by 1e9 for nats).
+    Cross-engine determinism: per-bucket log-ratios are snapped to
+    1e-9 FIXED-POINT integers (half-up), so per-doc scores are exact
+    integer sums — order-independent, no float-tail divergence; an
+    oracle reproduces them bit-for-bit from the same poly hashes.
 
     Scale: two bounded bucket-count aggregates (≤ ``buckets`` rows
     each, collected — bounded by construction) build a literal
-    log-ratio array; scoring is then an in-row fold at scan speed (no
-    corpus shuffle, no join) and selection is a TakeOrdered top-n.
+    log-ratio array; scoring is then an in-row fold at scan speed —
+    no corpus shuffle, no join.
     """
     import math
 
-    from kamu_engine_datafusion_spark.functions.columns import (
-        _MERSENNE_31,
-        poly_hash31,
-    )
+    from kamu_engine_datafusion_spark.functions.columns import poly_hash31
 
     def _toks(c: Column) -> Column:
         return F.split(F.trim(F.lower(c)), r"\s+")
@@ -974,13 +961,57 @@ def dsir_sample(
         lr_ints.append(int(math.floor(x * 1e9 + 0.5)))
     arr = F.array(*[F.lit(v).cast("long") for v in lr_ints])
 
-    score = F.aggregate(
-        _bigrams(F.col(text_col)),
+    # NULL text must score 0, not NULL: F.aggregate over a NULL bigram
+    # array yields NULL, which would both diverge from the oracle's
+    # COALESCE(score, 0) and null out the Gumbel key (dropping the doc
+    # from the draw entirely instead of ranking it at weight e^0).
+    score = F.coalesce(
+        F.aggregate(
+            _bigrams(F.col(text_col)),
+            F.lit(0).cast("long"),
+            lambda acc, ng: acc
+            + F.element_at(arr, (_bucket_of(ng) + F.lit(1)).cast("int")),
+        ),
         F.lit(0).cast("long"),
-        lambda acc, ng: acc
-        + F.element_at(arr, (_bucket_of(ng) + F.lit(1)).cast("int")),
+    )
+    return df.withColumn("dsir_score", score)
+
+
+def dsir_sample(
+    df: DataFrame,
+    target: DataFrame,
+    n: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    lam: float = 0.5,
+    salt: int = 0,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, public): pick
+    the ``n`` raw-corpus documents that look most like a TARGET domain,
+    by hashed-bigram importance weights — the standard data-selection
+    operator for steering a pretraining mix toward a quality/domain
+    slice without training a classifier.
+
+    Scoring is :func:`dsir_scores`; selection is Gumbel top-k over
+    ``score + g(u)`` with a keyed-uniform ``u`` — i.e. sampling without
+    replacement ∝ the importance weight, reproducible across runs,
+    engines, and partitionings. The Gumbel term is snapped to the same
+    1e-9 fixed-point integers as the scores, so an oracle reproduces
+    the exact draw. ``dsir_score`` is the fixed-point log-weight
+    (divide by 1e9 for nats). Selection is a TakeOrdered top-n — no
+    corpus shuffle.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31,
+        poly_hash31,
     )
 
+    scored = dsir_scores(
+        df, target, text_col=text_col, buckets=buckets, lam=lam,
+        hash_fn=hash_fn,
+    )
     key = F.col(id_col)
     if hash_fn == "poly":
         h = poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}")))
@@ -990,9 +1021,79 @@ def dsir_sample(
     g_int = F.floor(-F.log(-F.log(u)) * F.lit(1e9) + F.lit(0.5)).cast("long")
 
     return (
-        df.withColumn("dsir_score", score)
-        .withColumn("__k", F.col("dsir_score") + g_int)
+        scored.withColumn("__k", F.col("dsir_score") + g_int)
         .orderBy(F.col("__k").desc(), key)
         .limit(n)
         .drop("__k")
+    )
+
+
+def dsir_diagnostics(
+    df: DataFrame,
+    target: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 512,
+    lam: float = 0.5,
+    top_k: int = 10,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Importance-weight DIAGNOSTICS for a DSIR resampling run — the
+    standard sanity check before trusting a resampled mix: per
+    ``group_col`` stratum, the effective sample size ``(Σw)²/Σw²`` of
+    the importance weights and how concentrated the weight mass is on
+    the few highest-scored docs. A stratum whose ESS ratio collapses
+    toward 1/n (or whose top-k share → 1) is being represented by a
+    handful of documents and the resampled mix is unreliable there.
+
+    Columns per group: ``n_docs``; ``mean_lw`` (mean log-weight, nats,
+    half-up 4dp); ``ess`` ((Σw)²/Σw², half-up 2dp); ``ess_ratio``
+    (ess/n, half-up 4dp); ``topk_share`` (weight share of the ``top_k``
+    highest-scored docs, half-up 4dp, ties broken by ``id_col``).
+
+    Weights are exponentiated relative to each group's max score
+    (``w = exp((s − max s)/1e9)``) — ESS and shares are scale-invariant
+    so the shift changes nothing while keeping ``exp`` in range. The
+    scores themselves are exact fixed-point integers (cross-engine
+    bit-equal); the exp/sum tail noise is quashed by the half-up
+    rounding.
+
+    Scale: scoring is in-row at scan speed (:func:`dsir_scores`); the
+    diagnostics are one group-keyed window + partial+final aggregate.
+    """
+    scored = dsir_scores(
+        df, target, text_col=text_col, buckets=buckets, lam=lam,
+        hash_fn=hash_fn,
+    )
+    g = Window.partitionBy(group_col)
+    rnk = Window.partitionBy(group_col).orderBy(
+        F.col("dsir_score").desc(), F.col(id_col)
+    )
+    w = F.exp(
+        (F.col("dsir_score") - F.max("dsir_score").over(g)) / F.lit(1e9)
+    )
+    scored = (
+        scored.withColumn("__w", w)
+        .withColumn("__rn", F.row_number().over(rnk))
+    )
+
+    def _half_up(c: Column, d: int) -> Column:
+        return F.floor(c * F.lit(10.0**d) + F.lit(0.5)) / F.lit(10.0**d)
+
+    sum_w = F.sum("__w")
+    ess = sum_w * sum_w / F.sum(F.col("__w") * F.col("__w"))
+    return scored.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        _half_up(F.sum("dsir_score") / F.count(F.lit(1)) / F.lit(1e9), 4)
+        .alias("mean_lw"),
+        _half_up(ess, 2).alias("ess"),
+        _half_up(ess / F.count(F.lit(1)), 4).alias("ess_ratio"),
+        _half_up(
+            F.sum(F.when(F.col("__rn") <= top_k, F.col("__w")).otherwise(
+                F.lit(0.0)
+            ))
+            / sum_w,
+            4,
+        ).alias("topk_share"),
     )

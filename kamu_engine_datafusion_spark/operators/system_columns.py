@@ -56,13 +56,31 @@ _EPOCH = datetime(1970, 1, 1, tzinfo=timezone.utc)
 #: only once the caller has moved on to the next pipeline — and by
 #: then each block was fully materialized (memory+disk) by the
 #: builder's own eager stats pass, so nothing recomputes.
+#:
+#: HAZARD (r8 advice, documented contract): release is what makes the
+#: returned DataFrames single-use. Re-executing a distributed-offset
+#: result AFTER its persist was released recomputes the lineage, and
+#: ``monotonically_increasing_id`` is only stable for a fixed physical
+#: partitioning — a re-planned scan (AQE, re-sampled range boundaries,
+#: a lost executor's recomputed partition) can renumber rows, yielding
+#: offsets that are dense and plausible but DIFFERENT — silently
+#: wrong. The ODF engine's own call pattern is safe by construction
+#: (every transform materializes its result to parquet before the next
+#: request). Any other caller must fully materialize (sink, collect,
+#: or checkpoint) each result before triggering the next distributed
+#: offset/rank call or calling the release function itself.
 _DEFERRED: list[DataFrame] = []
 
 
 def release_offset_intermediates(blocking: bool = False) -> None:
     """Unpersist intermediates deferred by earlier distributed
     offset/rank calls. Called automatically at the next such call;
-    call explicitly at the end of a session's last pipeline."""
+    call explicitly at the end of a session's last pipeline.
+
+    After this returns, DataFrames produced by EARLIER distributed
+    offset/rank calls must be treated as spent: re-executing one
+    recomputes its lineage and may silently renumber offsets (see the
+    ``_DEFERRED`` contract above). Materialize results first."""
     while _DEFERRED:
         df = _DEFERRED.pop()
         try:

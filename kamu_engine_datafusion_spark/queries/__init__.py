@@ -39,6 +39,70 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
+_PRIORITY_R9 = [
+    # ==== round-9 verification window (first ~50 keys) ====
+    # -- NEW in round 9 --
+    "xpipeline_dsir",  # NEW: 4-stage DSIR curation e2e (chained oracle)
+    "xdsir_diag",  # NEW: DSIR importance-weight ESS/concentration diag
+    # -- never driver-checked (landed after the r8 rotation) --
+    "xdsir_sample",  # also impl changed r9: NULL-text score coalesced to 0
+    "xpack_ffd_stats",
+    # -- implementation/oracle changed after their last driver green --
+    "xsample_weighted",  # A-Res half-up key change (last green r5)
+    "xpack_sequences",  # sharded sub-groups (last green r6)
+    "xpipeline_e2e",  # sharded stage-4 (last green r6)
+    "xsample_stratified",  # (last green r6)
+    # -- the 26-key r04-stale block: last driver-green CORRECTNESS_r04 --
+    "b11_join_full",
+    "b12_semi_anti",
+    "b13_cross_join",
+    "b14_theta_join",
+    "b18_approx_agg",
+    "b19_stats_agg",
+    "b19_percentile",
+    "b20_rollup",
+    "b20_grouping_sets",
+    "b21_collect_agg",
+    "b22_distinct",
+    "b23_topk_per_group",
+    "b24_analytic",
+    "b25_window_frames",
+    "b26_orderby",
+    "b27_limit_offset",
+    "b28_union_all",
+    "b29_setops",
+    "b31_string_core",
+    "b32_unicode_string",
+    "b33_regex",
+    "b34_crypto",
+    "b35_encoding",
+    "b36_math",
+    "b37_datetime",
+    "b39_explode",
+    # -- rows-only twins, driver-checked r03/r04 --
+    "xdedup_minhash",
+    "xdedup_simhash",
+    # -- head of the r05-stale x block (last driver-green r05) --
+    "xchangelog_agg",
+    "xoutliers",
+    "xtext_clean",
+    "xcollocations",
+    "xbigram_lm",
+    "xdq_checks",
+    "xwinsorize",
+    "xrolling_time",
+    "xfuzzy_join",
+    "xkey_skew",
+    "xmm_phash",
+    "xskipgram",
+    "xtransitions",
+    "xcorr_matrix",
+    # ---- window boundary (~50: 2 new + 2 never-checked + 4
+    # post-change-unverified + the full 26-key r04-stale block + the 2
+    # rows-only twins + the head of the r05-stale block. The r05 tail
+    # just below the cut rotates to the r10 head.) ----
+]
+
 _PRIORITY_R7 = [
     # ==== round-7 verification window (first ~50 keys) ====
     # -- implementation/oracle changed this round --
@@ -308,12 +372,15 @@ _PRIORITY_R6 = [
     "b39_explode",
 ]
 
-#: The driver-facing order: the round-7 window first, then every other
-#: registered key in its round-6 order (keys already placed in the r7
-#: window are filtered out — the composition stays duplicate-free and
-#: exhaustive by the entry-contract test).
-_PRIORITY = _PRIORITY_R7 + [
-    k for k in _PRIORITY_R6 if k not in set(_PRIORITY_R7)
+#: The driver-facing order: the round-9 window first, then every other
+#: registered key in its round-7-then-round-6 order (keys already
+#: placed in a newer window are filtered out — the composition stays
+#: duplicate-free and exhaustive by the entry-contract test).
+_seen: set[str] = set()
+_PRIORITY = [
+    k
+    for k in _PRIORITY_R9 + _PRIORITY_R7 + _PRIORITY_R6
+    if not (k in _seen or _seen.add(k))
 ]
 
 

@@ -416,7 +416,12 @@ def q_xpack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, shard) by running-offset assignment; per-chunk doc and token
     totals. Sharded (r8): 8 id-keyed sub-shards per lang bound the
     window sort — at corpus scale one lang is otherwise one task — with
-    the poly hash so the oracle reproduces the shard assignment."""
+    the poly hash so the oracle reproduces the shard assignment.
+
+    Caveat (r8 advice): the operator's ``max_group_rows`` loud-fail
+    guard rides the ``chunk`` expression, so a downstream plan that
+    never evaluates ``chunk`` skips the check; this query (and any
+    caller aggregating chunk) evaluates it on every row."""
     from kamu_engine_datafusion_spark.operators.sampling import pack_sequences
 
     t = load(spark, sf_dir, "documents")
@@ -1228,6 +1233,62 @@ def q_xdsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.col("source") != "src1")
     return dsir_sample(raw, tgt, n=150, buckets=512, hash_fn="poly").select(
         "doc_id", "lang", "source", "dsir_score"
+    )
+
+
+def q_xdsir_diag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance-weight diagnostics for the DSIR run (r9): per lang
+    stratum of the raw corpus, the effective sample size
+    ``(Σw)²/Σw²`` of the importance weights, its ratio to n, and the
+    weight share held by the 10 highest-scored docs — the standard
+    sanity check before trusting the resampled mix
+    (``operators/sampling.py::dsir_diagnostics``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        dsir_diagnostics,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    tgt = docs.filter(F.col("source") == "src1")
+    raw = docs.filter(F.col("source") != "src1")
+    return dsir_diagnostics(
+        raw, tgt, group_col="lang", buckets=512, top_k=10, hash_fn="poly"
+    )
+
+
+def q_xpipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 END-TO-END DSIR curation pipeline, fully oracle-checked
+    through all four stages: target-slice split (src1 vs rest) →
+    DSIR importance resampling (top-400 Gumbel draw) → token-boundary
+    truncation to 96 tokens → 512-token sharded sequence packing per
+    (lang, shard). Output is per (lang, shard, chunk) doc/token totals
+    with id_sum pinning exact end-to-end membership — proves the r8
+    DSIR operator composes with the r8 sharded packer under one hash.
+
+    Scale shape: stage 2 is two bounded bucket aggregates + in-row
+    scoring + TakeOrdered (no corpus shuffle); stage 3 in-row column
+    math; stage 4 one (lang, shard)-keyed window exchange whose sort
+    parallelism scales with shards."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        dsir_sample,
+        pack_sequences,
+    )
+    from kamu_engine_datafusion_spark.operators.text import truncate_tokens
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    tgt = docs.filter(F.col("source") == "src1")
+    raw = docs.filter(F.col("source") != "src1")
+    sel = dsir_sample(raw, tgt, n=400, buckets=512, hash_fn="poly")
+    d = truncate_tokens(sel, max_tokens=96)
+    packed = pack_sequences(
+        d, "doc_id", "n_tokens_kept", budget=512, part_col="lang",
+        shards=4, hash_fn="poly",
+    )
+    return packed.groupBy("lang", "shard", "chunk").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens_kept").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
     )
 
 
@@ -2177,6 +2238,8 @@ QUERIES = {
     "xpack_ffd": q_xpack_ffd,
     "xpack_ffd_stats": q_xpack_ffd_stats,
     "xdsir_sample": q_xdsir_sample,
+    "xdsir_diag": q_xdsir_diag,
+    "xpipeline_dsir": q_xpipeline_dsir,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -4178,11 +4241,14 @@ ORACLES["xpipeline_curate"] = (
 )
 
 
-def _dsir_oracle(n: int = 150, buckets: int = 512, lam: float = 0.5) -> str:
-    """DuckDB twin of :func:`operators.sampling.dsir_sample` on the
-    src1-vs-rest split: same poly-hash buckets, same 1e-9 fixed-point
-    log-ratios and Gumbel terms, so the integer scores and the exact
-    draw reproduce."""
+def _dsir_ctes(buckets: int = 512, lam: float = 0.5) -> str:
+    """Shared DuckDB CTE chain twin of the DSIR scoring + Gumbel-key
+    stages (:func:`operators.sampling.dsir_scores` / ``dsir_sample``)
+    on the src1-vs-rest split: same poly-hash buckets, same 1e-9
+    fixed-point log-ratios and Gumbel terms, so the integer scores and
+    the exact draw reproduce. Ends at ``k`` (doc_id, lang, source,
+    dsir_score, gk); composed by the ``xdsir_sample`` / ``xdsir_diag``
+    / ``xpipeline_dsir`` oracles."""
     poly_ng = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
         "string_split(ng, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
@@ -4196,7 +4262,7 @@ def _dsir_oracle(n: int = 150, buckets: int = 512, lam: float = 0.5) -> str:
     )
     lb = lam * buckets
     return (
-        "WITH tk AS (SELECT doc_id, lang, source, "
+        "tk AS (SELECT doc_id, lang, source, "
         "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), "
         "bg AS (SELECT doc_id, lang, source, "
         "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
@@ -4226,14 +4292,54 @@ def _dsir_oracle(n: int = 150, buckets: int = 512, lam: float = 0.5) -> str:
         "LEFT JOIN ds ON d.doc_id = ds.doc_id WHERE d.source <> 'src1'), "
         "k AS (SELECT *, dsir_score + CAST(floor("
         f"-ln(-ln((({poly_id}) + 1) / 2147483649.0)) "
-        "* 1000000000.0 + 0.5) AS BIGINT) AS gk FROM sc) "
-        "SELECT doc_id, lang, source, dsir_score FROM ("
-        "SELECT *, row_number() OVER (ORDER BY gk DESC, doc_id) AS rn "
-        f"FROM k) WHERE rn <= {n}"
+        "* 1000000000.0 + 0.5) AS BIGINT) AS gk FROM sc)"
     )
 
 
-ORACLES["xdsir_sample"] = _dsir_oracle()
+ORACLES["xdsir_sample"] = (
+    "WITH " + _dsir_ctes() + " "
+    "SELECT doc_id, lang, source, dsir_score FROM ("
+    "SELECT *, row_number() OVER (ORDER BY gk DESC, doc_id) AS rn "
+    "FROM k) WHERE rn <= 150"
+)
+
+ORACLES["xdsir_diag"] = (
+    "WITH " + _dsir_ctes() + ", "
+    "m AS (SELECT lang, doc_id, dsir_score, "
+    "max(dsir_score) OVER (PARTITION BY lang) AS mx, "
+    "row_number() OVER (PARTITION BY lang "
+    "ORDER BY dsir_score DESC, doc_id) AS rn FROM k), "
+    "wgt AS (SELECT lang, doc_id, dsir_score, rn, "
+    "exp((dsir_score - mx) / 1000000000.0) AS w FROM m) "
+    "SELECT lang, count(*) AS n_docs, "
+    "floor(CAST(sum(dsir_score) AS DOUBLE) / count(*) / 1000000000.0 "
+    "* 10000 + 0.5) / 10000 AS mean_lw, "
+    "floor(sum(w) * sum(w) / sum(w * w) * 100 + 0.5) / 100 AS ess, "
+    "floor(sum(w) * sum(w) / sum(w * w) / count(*) * 10000 + 0.5) "
+    "/ 10000 AS ess_ratio, "
+    "floor(sum(CASE WHEN rn <= 10 THEN w ELSE 0 END) / sum(w) "
+    "* 10000 + 0.5) / 10000 AS topk_share "
+    "FROM wgt GROUP BY lang"
+)
+
+ORACLES["xpipeline_dsir"] = (
+    "WITH " + _dsir_ctes() + ", "
+    "sel AS (SELECT doc_id, lang FROM ("
+    "SELECT *, row_number() OVER (ORDER BY gk DESC, doc_id) AS rn "
+    "FROM k) WHERE rn <= 400), "
+    "tr AS (SELECT s.doc_id, s.lang, "
+    "CAST(len(list_slice(string_split_regex(trim(d.text), '\\s+'), 1, 96)) "
+    "AS BIGINT) AS kept FROM sel s JOIN documents d ON s.doc_id = d.doc_id), "
+    "g AS (SELECT *, " + _poly_shard_sql("doc_id", 4) + " AS shard "
+    "FROM tr), "
+    "p AS (SELECT lang, shard, doc_id, kept, CAST(FLOOR("
+    "(SUM(kept) OVER (PARTITION BY lang, shard ORDER BY doc_id) - kept) "
+    "/ 512.0) AS BIGINT) AS chunk FROM g) "
+    "SELECT lang, shard, chunk, count(*) AS n_docs, "
+    "CAST(SUM(kept) AS BIGINT) AS n_tokens, "
+    "CAST(SUM(doc_id) AS BIGINT) AS id_sum "
+    "FROM p GROUP BY lang, shard, chunk"
+)
 
 
 ORACLES["xpack_ffd_stats"] = (

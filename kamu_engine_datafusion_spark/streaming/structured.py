@@ -416,8 +416,12 @@ def _recover_state(state_dir: str) -> None:
 #: Commit-point file inside the staging dir: JSON {batch_id, apply, drop}.
 _INTENT = "_intent"
 
-#: Hive partition column carrying the key bucket (underscore-free so the
-#: parquet reader keeps it visible; readers of the live view drop it).
+#: Hive partition column carrying the key bucket. The ``__`` prefix is
+#: safe: Spark's file index hides ``_``/``.``-prefixed paths UNLESS the
+#: name contains ``=``, and a partition directory (``__bucket=3``)
+#: always does — so the dirs stay visible to partition discovery while
+#: the prefix keeps the column out of user-key namespace; readers of
+#: the live view drop it.
 _BUCKET_COL = "__bucket"
 
 

@@ -5,13 +5,16 @@ prior-knowledge HTTP/2 (gRPC never uses the HTTP/1.1 upgrade dance):
 
 - connection preface + SETTINGS exchange (+acks)
 - HEADERS (+CONTINUATION) with HPACK, DATA, PING, RST_STREAM, GOAWAY,
-  WINDOW_UPDATE / PRIORITY (accepted, not used for pacing)
+  WINDOW_UPDATE, PRIORITY (accepted, not used for pacing)
 - per-stream request assembly and a response API that sends response
   HEADERS, any number of DATA chunks, and HTTP trailers (the gRPC
   status channel)
 - receive-side flow control replenished via WINDOW_UPDATE; send side
-  stays within the 64 KiB default windows per write (engine responses
-  are tiny — file paths and offsets, never data pages)
+  tracks the cumulative per-stream AND connection windows (peer
+  WINDOW_UPDATEs and SETTINGS_INITIAL_WINDOW_SIZE honored) and raises
+  H2FlowControlError on overrun rather than blocking — the server is
+  synchronous and engine responses are tiny (file paths and offsets,
+  never data pages)
 
 Deliberately NOT covered: push promises, priorities, TLS — gRPC
 doesn't need them from a server in this deployment shape.
@@ -52,11 +55,21 @@ FLAG_ACK = 0x1
 #: SETTINGS_MAX_FRAME_SIZE stays the RFC default.
 _RECV_MAX_FRAME = 16384
 
-#: RFC 9113 default connection/stream send windows. We never advertise
-#: larger windows and never track WINDOW_UPDATEs on the send side, so a
-#: single response payload must fit the initial window (engine responses
-#: are tiny — paths and offsets); send_data asserts it loudly.
+#: RFC 9113 default connection/stream initial send windows. The send
+#: side tracks both cumulatively: DATA consumes them, peer
+#: WINDOW_UPDATEs and SETTINGS_INITIAL_WINDOW_SIZE replenish/adjust
+#: them, and a send that would overrun raises H2FlowControlError (a
+#: real exception — the server is synchronous, so it cannot block
+#: waiting for credit; engine responses are tiny, an overrun is a bug).
 _SEND_WINDOW = 65535
+
+
+class H2FlowControlError(RuntimeError):
+    """A DATA send would exceed the peer's advertised flow-control
+    credit (RFC 9113 §5.2). Raised instead of silently violating the
+    window: this synchronous server cannot park a response waiting for
+    WINDOW_UPDATE, and every legitimate engine response fits the
+    default windows."""
 
 
 def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
@@ -91,6 +104,35 @@ class H2Connection:
         self.streams: dict[int, _Stream] = {}
         self.send_lock = threading.Lock()
         self.max_frame_size = 16384
+        # send-side flow control (RFC 9113 §5.2): connection window +
+        # per-stream windows, consumed by DATA, replenished by peer
+        # WINDOW_UPDATEs; SETTINGS_INITIAL_WINDOW_SIZE re-bases every
+        # stream window by its delta (§6.9.2).
+        self.conn_send_window = _SEND_WINDOW
+        self.initial_stream_window = _SEND_WINDOW
+        self.stream_send_windows: dict[int, int] = {}
+
+    def _stream_window(self, stream_id: int) -> int:
+        return self.stream_send_windows.setdefault(
+            stream_id, self.initial_stream_window
+        )
+
+    def consume_send_window(self, stream_id: int, n: int) -> None:
+        """Debit ``n`` DATA bytes against BOTH send windows, raising
+        :class:`H2FlowControlError` if either lacks credit."""
+        sw = self._stream_window(stream_id)
+        if n > sw:
+            raise H2FlowControlError(
+                f"stream {stream_id}: DATA of {n}B exceeds the remaining "
+                f"stream send window ({sw}B)"
+            )
+        if n > self.conn_send_window:
+            raise H2FlowControlError(
+                f"DATA of {n}B exceeds the remaining connection send "
+                f"window ({self.conn_send_window}B)"
+            )
+        self.stream_send_windows[stream_id] = sw - n
+        self.conn_send_window -= n
 
     # -- io ---------------------------------------------------------------
     def _recv_exact(self, n: int) -> bytes:
@@ -152,16 +194,33 @@ class H2Connection:
                     ident, value = struct.unpack_from("!HI", payload, off)
                     if ident == 0x5:  # SETTINGS_MAX_FRAME_SIZE
                         self.max_frame_size = value
+                    elif ident == 0x4:  # SETTINGS_INITIAL_WINDOW_SIZE
+                        # §6.9.2: re-base every stream send window by
+                        # the delta (connection window is unaffected)
+                        delta = value - self.initial_stream_window
+                        self.initial_stream_window = value
+                        for sid in self.stream_send_windows:
+                            self.stream_send_windows[sid] += delta
                 self.send_frame(F_SETTINGS, FLAG_ACK, 0, b"")
         elif ftype == F_PING:
             if not flags & FLAG_ACK:
                 self.send_frame(F_PING, FLAG_ACK, 0, payload)
         elif ftype == F_GOAWAY:
             return False
-        elif ftype in (F_WINDOW_UPDATE, F_PRIORITY):
+        elif ftype == F_WINDOW_UPDATE:
+            if len(payload) == 4:
+                incr = struct.unpack("!I", payload)[0] & 0x7FFFFFFF
+                if stream_id == 0:
+                    self.conn_send_window += incr
+                else:
+                    self.stream_send_windows[stream_id] = (
+                        self._stream_window(stream_id) + incr
+                    )
+        elif ftype == F_PRIORITY:
             pass
         elif ftype == F_RST_STREAM:
             self.streams.pop(stream_id, None)
+            self.stream_send_windows.pop(stream_id, None)
         elif ftype == F_HEADERS:
             st = self.streams.setdefault(stream_id, _Stream())
             frag = self._strip_padding(payload, flags)
@@ -239,16 +298,13 @@ class ResponseWriter:
         )
 
     def send_data(self, data: bytes, end_stream: bool = False) -> None:
-        # Send-side flow control is deliberately untracked: this server
-        # never sends more than the RFC-default initial windows allow
-        # per response (engine responses are paths/offsets, not data
-        # pages). A response that could exceed the 64 KiB window must
-        # fail HERE, loudly, instead of silently violating RFC 9113.
-        assert len(data) <= _SEND_WINDOW, (
-            f"response payload {len(data)}B exceeds the untracked 64KiB "
-            "send window — implement WINDOW_UPDATE tracking before "
-            "sending bodies this large"
-        )
+        # Debit the cumulative per-stream + connection send windows
+        # (replenished by peer WINDOW_UPDATEs); raises
+        # H2FlowControlError — a real exception, not a strippable
+        # assert — if the peer hasn't extended enough credit.
+        self.conn.consume_send_window(self.stream_id, len(data))
+        if end_stream:
+            self.conn.stream_send_windows.pop(self.stream_id, None)
         mfs = self.conn.max_frame_size
         chunks = [data[i : i + mfs] for i in range(0, len(data), mfs)] or [b""]
         for i, chunk in enumerate(chunks):

@@ -539,3 +539,91 @@ def test_garbage_peer_gets_goaway_not_thread_crash(grpc_port, tmp_path):
     assert headers["grpc-status"] == "0"
     kind, _ = fb.decode_response(proto_unwrap(msgs[0]), "TransformResponseSuccess")
     assert kind == fb.UNION_SUCCESS
+
+
+# ---------------------------------------------------------------------------
+# send-side flow control (RFC 9113 §5.2 / §6.9) — r8 ADVICE regression
+# ---------------------------------------------------------------------------
+
+
+class _NullSock:
+    """Captures sends; enough socket for H2Connection's write path."""
+
+    def __init__(self):
+        self.sent = bytearray()
+
+    def sendall(self, b):
+        self.sent += b
+
+
+def _conn():
+    from kamu_engine_datafusion_spark.transport.http2 import H2Connection
+
+    return H2Connection(_NullSock(), handler=lambda *a: None)
+
+
+def test_send_window_cumulative_debit_and_overrun():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        H2FlowControlError,
+        ResponseWriter,
+    )
+
+    conn = _conn()
+    w = ResponseWriter(conn, 1)
+    w.send_data(b"x" * 40_000)
+    assert conn.stream_send_windows[1] == 65535 - 40_000
+    assert conn.conn_send_window == 65535 - 40_000
+    # second send on the SAME stream exceeds the remaining credit —
+    # the old per-call assert would have passed it (30k < 64k)
+    with pytest.raises(H2FlowControlError):
+        w.send_data(b"x" * 30_000)
+
+
+def test_connection_window_shared_across_streams():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        H2FlowControlError,
+        ResponseWriter,
+    )
+
+    conn = _conn()
+    ResponseWriter(conn, 1).send_data(b"x" * 60_000, end_stream=True)
+    # stream 3 has a fresh 64k stream window, but the CONNECTION window
+    # only has ~5.5k left — must refuse
+    with pytest.raises(H2FlowControlError):
+        ResponseWriter(conn, 3).send_data(b"x" * 10_000)
+    assert conn.conn_send_window == 65535 - 60_000
+
+
+def test_window_update_replenishes_send_credit():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_WINDOW_UPDATE,
+        ResponseWriter,
+    )
+
+    conn = _conn()
+    w = ResponseWriter(conn, 1)
+    w.send_data(b"x" * 60_000)
+    # peer grants 100k more on both the connection and the stream
+    incr = struct.pack("!I", 100_000)
+    conn._dispatch(F_WINDOW_UPDATE, 0, 0, incr)
+    conn._dispatch(F_WINDOW_UPDATE, 0, 1, incr)
+    w.send_data(b"x" * 80_000)  # now fits both windows
+    assert conn.conn_send_window == 65535 - 60_000 + 100_000 - 80_000
+    assert conn.stream_send_windows[1] == 65535 - 60_000 + 100_000 - 80_000
+
+
+def test_settings_initial_window_rebases_stream_windows():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_SETTINGS,
+        ResponseWriter,
+    )
+
+    conn = _conn()
+    ResponseWriter(conn, 1).send_data(b"x" * 1_000)
+    # peer shrinks the initial stream window to 2000: §6.9.2 — existing
+    # stream windows move by the delta (65535→2000 ⇒ −63535)
+    conn._dispatch(F_SETTINGS, 0, 0, struct.pack("!HI", 0x4, 2_000))
+    assert conn.initial_stream_window == 2_000
+    assert conn.stream_send_windows[1] == 2_000 - 1_000
+    # connection window unaffected by SETTINGS (§6.9.2)
+    assert conn.conn_send_window == 65535 - 1_000

@@ -558,3 +558,67 @@ def test_pack_group_size_guards_fail_loudly(spark):
         max_group_rows=10,
     ).count()
     assert n == 50
+
+
+def _dsir_corpora(spark):
+    rows = [
+        (i, "en" if i % 2 == 0 else "sw",
+         "tgt" if i < 40 else "raw",
+         " ".join(f"w{(i * 7 + j) % 23}" for j in range(12)))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "source", "text"])
+    return (df.filter(F.col("source") != "tgt"),
+            df.filter(F.col("source") == "tgt"))
+
+
+def test_dsir_null_text_scores_zero(spark):
+    """ADVICE r8: a NULL-text doc must score 0 (weight e^0), not NULL —
+    a NULL score would null the Gumbel key and silently drop the doc
+    from the draw, diverging from the oracle's COALESCE(score, 0)."""
+    from kamu_engine_datafusion_spark.operators.sampling import dsir_scores
+
+    raw, tgt = _dsir_corpora(spark)
+    with_null = raw.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 41, F.lit(None).cast("string")).otherwise(
+            F.col("text")
+        ),
+    )
+    scored = dsir_scores(with_null, tgt, buckets=64)
+    row = scored.filter(F.col("doc_id") == 41).collect()[0]
+    assert row["dsir_score"] == 0
+    assert scored.filter(F.col("dsir_score").isNull()).count() == 0
+
+
+def test_dsir_sample_stable_across_partitioning(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import dsir_sample
+
+    raw, tgt = _dsir_corpora(spark)
+    a = [r["doc_id"] for r in
+         dsir_sample(raw, tgt, n=25, buckets=64).select("doc_id").collect()]
+    b = [r["doc_id"] for r in
+         dsir_sample(raw.repartition(13), tgt, n=25, buckets=64)
+         .select("doc_id").collect()]
+    assert a == b and len(a) == 25
+
+
+def test_dsir_diagnostics_bounds(spark):
+    """ESS ∈ (0, n]; ess_ratio ∈ (0, 1]; topk_share ∈ (0, 1] and ≥ k/n
+    only when weights concentrate — uniform weights give ess ≈ n."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        dsir_diagnostics,
+    )
+
+    raw, tgt = _dsir_corpora(spark)
+    diag = {r["lang"]: r for r in
+            dsir_diagnostics(raw, tgt, group_col="lang", buckets=64).collect()}
+    assert set(diag) == {"en", "sw"}
+    for r in diag.values():
+        assert 0 < r["ess"] <= r["n_docs"] + 1e-9
+        assert 0 < r["ess_ratio"] <= 1.0
+        assert 0 < r["topk_share"] <= 1.0
+    # uniform-weight sanity: identical docs -> ESS == n exactly
+    uni = raw.withColumn("text", F.lit("a b c d"))
+    d = dsir_diagnostics(uni, tgt, group_col="lang", buckets=64).collect()[0]
+    assert abs(d["ess"] - d["n_docs"]) < 0.02
