@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import glob
 import os
+from collections.abc import Callable
 from dataclasses import dataclass, field
 from datetime import datetime
 
@@ -76,6 +77,16 @@ class IncrementalRunner:
     next_offset: int = 0
     last_watermark: datetime | None = None
     ticks: int = 0
+    #: How a tick's TransformRequest is executed. Default: in-process
+    #: ``execute_transform``. A remote coordinator swaps in a transport
+    #: shim with the same signature (e.g. gRPC via
+    #: ``transport.http_server.transform_request_to_dict`` + the
+    #: flatbuffers codec) — the runner's state machine is
+    #: transport-agnostic, exactly like the reference coordinator vs
+    #: ``src/grpc.rs``.
+    executor: Callable[[SparkSession, TransformRequest], TransformResponse] | None = (
+        None
+    )
 
     def tick(self, system_time: datetime) -> TransformResponse | None:
         """Run one micro-batch over each input's unread slice. Returns the
@@ -115,7 +126,8 @@ class IncrementalRunner:
 
         os.makedirs(self.output_dir, exist_ok=True)
         out_path = os.path.join(self.output_dir, f"part-{self.ticks:05d}.parquet")
-        resp = execute_transform(
+        run = self.executor or execute_transform
+        resp = run(
             self.spark,
             TransformRequest(
                 dataset_alias=self.dataset_alias,

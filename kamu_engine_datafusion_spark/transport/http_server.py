@@ -107,6 +107,70 @@ def parse_transform_request(body: dict) -> TransformRequest:
     )
 
 
+def transform_request_to_dict(req: TransformRequest) -> dict:
+    """Wire-shape serializer — the inverse of
+    :func:`parse_transform_request`, for a coordinator running in a
+    DIFFERENT process than the engine: a :class:`TransformRequest`
+    round-trips through this dict → flatbuffers/JSON → engine-side
+    parse unchanged (pinned by the coordinator soak test)."""
+
+    def _iso(dt: datetime) -> str:
+        return dt.isoformat()
+
+    return {
+        "dataset_id": req.dataset_id,
+        "dataset_alias": req.dataset_alias,
+        "system_time": _iso(req.system_time),
+        "next_offset": req.next_offset,
+        "vocab": {
+            "offset_column": req.vocab.offset_column,
+            "operation_type_column": req.vocab.operation_type_column,
+            "system_time_column": req.vocab.system_time_column,
+            "event_time_column": req.vocab.event_time_column,
+        },
+        "transform": {
+            "engine": "spark",
+            "queries": [
+                {"query": s.query, "alias": s.alias} for s in req.transform
+            ],
+        },
+        "query_inputs": [
+            {
+                "dataset_id": i.dataset_id,
+                "dataset_alias": i.dataset_alias,
+                "query_alias": i.query_alias,
+                "schema_file": i.schema_file,
+                "data_paths": list(i.data_paths),
+                "offset_interval": (
+                    {
+                        "start": i.offset_interval.start,
+                        "end": i.offset_interval.end,
+                    }
+                    if i.offset_interval
+                    else None
+                ),
+                "vocab": {
+                    "offset_column": i.vocab.offset_column,
+                    "operation_type_column": i.vocab.operation_type_column,
+                    "system_time_column": i.vocab.system_time_column,
+                    "event_time_column": i.vocab.event_time_column,
+                },
+                "explicit_watermarks": [
+                    {
+                        "system_time": _iso(w.system_time),
+                        "event_time": _iso(w.event_time),
+                    }
+                    for w in i.explicit_watermarks
+                ],
+            }
+            for i in req.inputs
+        ],
+        "prev_checkpoint_path": req.prev_checkpoint_path,
+        "new_checkpoint_path": req.new_checkpoint_path,
+        "new_data_path": req.new_data_path,
+    }
+
+
 def serve(spark: SparkSession, port: int = 2884) -> ThreadingHTTPServer:
     """Start the façade on a background thread; returns the server
     (call ``.shutdown()`` to stop). Port default mirrors the reference
