@@ -927,10 +927,17 @@ def dsir_scores(
         return F.split(F.trim(F.lower(c)), r"\s+")
 
     def _bigrams(c: Column) -> Column:
+        # zip_with of two slices, NOT transform+element_at(t, i+2): a
+        # lambda that references the outer token array re-evaluates the
+        # split per ELEMENT (no CSE inside interpreted HOFs) — O(n²)
+        # per doc, measured 10× slower on a 50k-doc corpus (SCALE.md
+        # r9). zip_with's lambda touches only its own element vars.
         t = _toks(c)
-        return F.transform(
-            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
-            lambda x, i: F.concat(x, F.lit(" "), F.element_at(t, i + F.lit(2))),
+        n1 = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, n1),
+            F.slice(t, 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
         )
 
     def _bucket_of(c: Column) -> Column:

@@ -150,6 +150,11 @@ def main() -> None:
         action="store_true",
         help="run the §2 bench queries on 10x TPC-H tables instead",
     )
+    ap.add_argument(
+        "--only",
+        default=None,
+        help="substring filter: run only ops whose name contains this",
+    )
     args = ap.parse_args()
 
     if args.tpch:
@@ -179,6 +184,8 @@ def main() -> None:
     events = load(spark, args.data_dir, "events")["events"]
 
     def t(name, fn, reps=2):
+        if args.only and args.only not in name:
+            return
         best = None
         for _ in range(reps):
             t0 = time.time()
@@ -386,6 +393,52 @@ def main() -> None:
         .mode("overwrite")
         .save()
         or docs32.count(),
+    )
+
+    # round-9: the r8 shard-bounded packers + DSIR at 10× (500k docs) —
+    # the r7 verdict's "done" criterion for the packing scale fix. The
+    # replica corpus is the worst case for packing too: each lang's
+    # row count is 10× the bench corpus, so an unsharded window would
+    # concentrate 10× the rows into one task.
+    from kamu_engine_datafusion_spark.operators import sampling as SA
+    from kamu_engine_datafusion_spark.operators import text as X
+
+    costed = docs.withColumn("__cost", X.token_count("text"))
+    t(
+        "pack_sequences_sharded_500k",
+        lambda: SA.pack_sequences(
+            costed, "doc_id", "__cost", budget=2048, part_col="lang",
+            shards=8, hash_fn="poly",
+        )
+        .groupBy("lang", "shard", "chunk")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or costed.count(),
+    )
+    t(
+        "pack_ffd_sharded_500k",
+        lambda: SA.pack_sequences_ffd(
+            costed, "doc_id", "__cost", budget=512, part_col="lang",
+            shards=8, hash_fn="poly",
+        )
+        .groupBy("lang", "shard", "chunk")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or costed.count(),
+    )
+    tgt = docs.filter(F.col("source") == "src1")
+    raw = docs.filter(F.col("source") != "src1")
+    t(
+        "dsir_sample_500k",
+        lambda: SA.dsir_sample(raw, tgt, n=150, buckets=512, hash_fn="poly")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or raw.count(),
     )
 
 
