@@ -145,15 +145,16 @@ def _bench_odf_transform(spark, sf_dir: str) -> float:
 
 def _bench_calibration(spark) -> list[float]:
     """Constant-work calibration: a fixed CPU-bound job whose cost is
-    independent of SF, the registry, and the disk — 576M codegen'd
-    xxhash64 rows reduced to one sum (~0.8s warm: long enough that
-    timer jitter is <2%, short enough to not pad the bench). Machine/JVM noise moves this and
+    independent of SF, the registry, and the disk — 2.3G codegen'd
+    xxhash64 rows reduced to one sum (~0.6s warm on an idle box: long
+    enough that scheduler jitter is <2%, short enough to not pad the
+    bench). Machine/JVM noise moves this and
     the real queries together, so round-over-round per-query drift can
     be attributed: a query delta that matches the calibration delta is
     the box, not the plan (r7/r8 verdicts: ±15% unexplained drift)."""
     def _one() -> None:
         (
-            spark.range(0, 576_000_000, 1, 32)
+            spark.range(0, 2_304_000_000, 1, 64)
             .selectExpr("xxhash64(id) % 1000 AS h")
             .selectExpr("sum(h) AS s")
             .write.format("noop")

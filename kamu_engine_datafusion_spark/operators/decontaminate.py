@@ -162,3 +162,93 @@ def fuzzy_flag_contaminated(
             ),
         )
     )
+
+
+def ngram_novelty(
+    corpus: DataFrame,
+    reference: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document NOVELTY against a reference corpus: the fraction of
+    the document's word n-grams never seen in ``reference`` — the
+    memorization/overlap metric a curation pipeline reports alongside
+    decontamination (which *drops*; this *measures*). Low novelty means
+    the doc mostly restates reference material; 1.0 means fully novel.
+
+    Returns ``(id_col, *keep_cols, n_ngrams, n_novel, novelty)``;
+    ``novelty`` is half-up 4dp, and a doc with fewer than ``n`` tokens
+    (zero n-grams) scores 1.0 by convention. N-grams are counted with
+    multiplicity (a repeated known phrase counts each time), tokens are
+    lowercased whitespace words — both exactly reproducible in SQL.
+
+    Scale: reference → distinct n-grams (benchmark-sized → broadcast);
+    corpus → explode + broadcast left join + partial-agg groupBy on the
+    id (the shuffle carries one pre-aggregated row per doc). No corpus
+    self-join, no window.
+    """
+    keep_cols = keep_cols or []
+
+    def grams(c) -> F.Column:
+        from kamu_engine_datafusion_spark.functions.columns import _let
+
+        t = F.split(F.trim(F.lower(c)), r"\s+")
+        if n == 2:
+            n1 = F.greatest(F.size(t) - 1, F.lit(0))
+            return F.zip_with(
+                F.slice(t, 1, n1),
+                F.slice(t, 2, n1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        # general n: let-bind the token array (HOF lambdas re-evaluate
+        # outer expressions per element — SCALE.md r9)
+        return _let(
+            t,
+            lambda tv: F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size(tv) - (n - 1), F.lit(0))
+                ),
+                lambda i: F.concat_ws(" ", F.slice(tv, i, n)),
+            ),
+        )
+
+    ref = F.broadcast(
+        reference.select(F.explode(grams(F.col(text_col))).alias("__ng"))
+        .distinct()
+        .withColumn("__known", F.lit(1))
+    )
+    doc_ng = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(grams(F.col(text_col))).alias("__ng"),
+    )
+    per_doc = (
+        doc_ng.join(ref, "__ng", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.col("__ng")).cast("long").alias("n_ngrams"),
+            F.sum(
+                F.when(
+                    F.col("__ng").isNotNull() & F.col("__known").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    novelty = F.when(F.col("n_ngrams") == 0, F.lit(1.0)).otherwise(
+        F.floor(F.col("n_novel") / F.col("n_ngrams") * 10000 + F.lit(0.5))
+        / 10000
+    )
+    return (
+        corpus.select(F.col(id_col), *keep_cols)
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            F.col(id_col),
+            *keep_cols,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            novelty.alias("novelty"),
+        )
+    )

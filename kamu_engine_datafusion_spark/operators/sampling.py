@@ -1104,3 +1104,94 @@ def dsir_diagnostics(
             4,
         ).alias("topk_share"),
     )
+
+
+def curriculum_stages(
+    df: DataFrame,
+    difficulty_col: Column | str,
+    n_stages: int = 4,
+    part_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Curriculum scheduling: split each ``part_col`` stratum into
+    ``n_stages`` equal-count difficulty stages (1 = easiest) — the
+    standard easy→hard ordering for curriculum training, stratified so
+    every language ramps difficulty on its own scale instead of
+    low-resource strata landing entirely in one global stage.
+
+    Appends ``stage`` via ``ntile(n_stages)`` over
+    ``(difficulty, id)`` within the stratum — deterministic (unique id
+    tiebreak) and engine-portable (ntile's equal-count split is
+    standard SQL).
+
+    Scale: one shuffle on the stratum key; the per-stratum sort is the
+    cost — for corpus-scale strata pre-shard the stratum (the
+    ``pack_sequences`` pattern) or use approx quantile boundaries
+    instead of exact ntile; exact ntile is the verifiable profile.
+    """
+    diff = (
+        F.col(difficulty_col)
+        if isinstance(difficulty_col, str)
+        else difficulty_col
+    )
+    w = Window.partitionBy(part_col).orderBy(diff.asc(), F.col(id_col).asc())
+    return df.withColumn("stage", F.ntile(n_stages).over(w))
+
+
+def packing_efficiency(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budgets: list[int],
+    part_col: str = "lang",
+    shards: int = 8,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Packer TUNING curve: for each candidate sequence ``budget``,
+    run the running-offset chunk assignment (exactly
+    :func:`pack_sequences` semantics, oversize rows excluded) and
+    report corpus-level packing efficiency — the fraction of chunk
+    capacity actually filled. The knob this answers: which training
+    sequence length wastes the least padding on THIS corpus.
+
+    One row per budget: ``budget``, ``n_docs`` (packable), ``n_chunks``,
+    ``total_cost``, ``efficiency`` = total_cost / (n_chunks · budget),
+    half-up 4dp.
+
+    Scale: per budget, one (part, shard)-keyed window (the
+    pack_sequences exchange, parallelism ∝ strata × shards) feeding a
+    two-level partial aggregate; budgets are evaluated independently
+    and unioned — a handful of passes over the scan, no corpus joins.
+    """
+    rows = []
+    for b in budgets:
+        d = df.filter(F.col(cost_col) <= F.lit(b))
+        packed = pack_sequences(
+            d, id_col, cost_col, budget=b, part_col=part_col,
+            shards=shards, hash_fn=hash_fn,
+        )
+        per_chunk = packed.groupBy(part_col, "shard", "chunk").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(cost_col).alias("__cost"),
+        )
+        rows.append(
+            per_chunk.agg(
+                F.lit(b).cast("long").alias("budget"),
+                F.sum("__n").cast("long").alias("n_docs"),
+                F.count(F.lit(1)).cast("long").alias("n_chunks"),
+                F.sum("__cost").cast("long").alias("total_cost"),
+                (
+                    F.floor(
+                        F.sum("__cost")
+                        / (F.count(F.lit(1)) * F.lit(b))
+                        * 10000
+                        + F.lit(0.5)
+                    )
+                    / 10000
+                ).alias("efficiency"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out

@@ -44,6 +44,9 @@ _PRIORITY_R9 = [
     # -- NEW in round 9 --
     "xpipeline_dsir",  # NEW: 4-stage DSIR curation e2e (chained oracle)
     "xdsir_diag",  # NEW: DSIR importance-weight ESS/concentration diag
+    "xngram_novelty",  # NEW: per-doc bigram novelty vs reference slice
+    "xcurriculum",  # NEW: per-lang equal-count difficulty stages
+    "xpack_efficiency",  # NEW: packing-efficiency curve over budgets
     # -- never driver-checked (landed after the r8 rotation) --
     "xdsir_sample",  # also impl changed r9: NULL-text score coalesced to 0
     "xpack_ffd_stats",

@@ -1292,6 +1292,75 @@ def q_xpipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc bigram NOVELTY vs the doc_id<200 reference slice (r9):
+    fraction of each corpus doc's bigrams never seen in the reference —
+    the memorization/overlap metric reported alongside decontamination
+    (``operators/decontaminate.py::ngram_novelty``)."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        ngram_novelty,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    return ngram_novelty(
+        docs.filter(F.col("doc_id") >= 200),
+        docs.filter(F.col("doc_id") < 200),
+        n=2,
+        keep_cols=["lang"],
+    )
+
+
+def q_xcurriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum scheduling (r9): 4 equal-count difficulty stages per
+    lang (difficulty = mean chars/token, half-up 4dp; easy→hard), with
+    per-(lang, stage) doc counts, token totals, and the stage's
+    difficulty range (``operators/sampling.py::curriculum_stages``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        X.token_count("text").cast("long").alias("__tc"),
+        F.length(F.trim("text")).cast("long").alias("__len"),
+    )
+    diff = (
+        F.floor(F.col("__len") / F.col("__tc") * 10000 + F.lit(0.5)) / 10000
+    )
+    staged = curriculum_stages(
+        d.withColumn("__diff", diff), "__diff", n_stages=4, part_col="lang"
+    )
+    return staged.groupBy("lang", "stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tc").cast("long").alias("n_tokens"),
+        F.min("__diff").alias("min_diff"),
+        F.max("__diff").alias("max_diff"),
+    )
+
+
+def q_xpack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packer tuning curve (r9): packing efficiency of the
+    running-offset chunker at budgets 256/512/1024/2048 over the
+    whitespace-token costs — which training sequence length wastes the
+    least padding on this corpus
+    (``operators/sampling.py::packing_efficiency``)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        packing_efficiency,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn(
+        "__cost", X.token_count("text").cast("long")
+    )
+    return packing_efficiency(
+        d, "doc_id", "__cost", budgets=[256, 512, 1024, 2048],
+        part_col="lang", shards=4, hash_fn="poly",
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -2240,6 +2309,9 @@ QUERIES = {
     "xdsir_sample": q_xdsir_sample,
     "xdsir_diag": q_xdsir_diag,
     "xpipeline_dsir": q_xpipeline_dsir,
+    "xngram_novelty": q_xngram_novelty,
+    "xcurriculum": q_xcurriculum,
+    "xpack_efficiency": q_xpack_efficiency,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -4321,6 +4393,70 @@ ORACLES["xdsir_diag"] = (
     "* 10000 + 0.5) / 10000 AS topk_share "
     "FROM wgt GROUP BY lang"
 )
+
+ORACLES["xngram_novelty"] = (
+    "WITH tk AS (SELECT doc_id, lang, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), "
+    "bg AS (SELECT doc_id, lang, "
+    "list_transform(generate_series(1, greatest(len(t) - 1, 0)), "
+    "i -> t[i] || ' ' || t[i + 1]) AS ngs FROM tk), "
+    "ref AS (SELECT DISTINCT unnest(ngs) AS ng FROM bg WHERE doc_id < 200), "
+    "docng AS (SELECT doc_id, unnest(ngs) AS ng FROM bg "
+    "WHERE doc_id >= 200), "
+    "cnt AS (SELECT d.doc_id, count(*) AS n_ngrams, "
+    "sum(CASE WHEN r.ng IS NULL THEN 1 ELSE 0 END) AS n_novel "
+    "FROM docng d LEFT JOIN ref r ON d.ng = r.ng GROUP BY d.doc_id) "
+    "SELECT b.doc_id, b.lang, "
+    "CAST(COALESCE(c.n_ngrams, 0) AS BIGINT) AS n_ngrams, "
+    "CAST(COALESCE(c.n_novel, 0) AS BIGINT) AS n_novel, "
+    "CASE WHEN COALESCE(c.n_ngrams, 0) = 0 THEN CAST(1 AS DOUBLE) "
+    "ELSE floor(CAST(c.n_novel AS DOUBLE) / c.n_ngrams * 10000 + 0.5) "
+    "/ 10000 END AS novelty "
+    "FROM bg b LEFT JOIN cnt c ON b.doc_id = c.doc_id WHERE b.doc_id >= 200"
+)
+
+ORACLES["xcurriculum"] = (
+    "WITH d AS (SELECT doc_id, lang, "
+    "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+    "AS tc, CAST(length(trim(text)) AS BIGINT) AS ln FROM documents), "
+    "sc AS (SELECT doc_id, lang, tc, "
+    "floor(CAST(ln AS DOUBLE) / tc * 10000 + 0.5) / 10000 AS diff FROM d), "
+    "st AS (SELECT lang, tc, diff, ntile(4) OVER (PARTITION BY lang "
+    "ORDER BY diff ASC, doc_id ASC) AS stage FROM sc) "
+    "SELECT lang, CAST(stage AS INTEGER) AS stage, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(tc) AS BIGINT) AS n_tokens, "
+    "min(diff) AS min_diff, max(diff) AS max_diff "
+    "FROM st GROUP BY lang, stage"
+)
+
+
+def _pack_efficiency_oracle(budgets: list[int], shards: int = 4) -> str:
+    base = (
+        "c AS (SELECT doc_id, lang, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS cost, " + _poly_shard_sql("doc_id", shards) + " AS shard "
+        "FROM documents)"
+    )
+    parts = []
+    for b in budgets:
+        parts.append(
+            f"(SELECT CAST({b} AS BIGINT) AS budget, "
+            "CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(count(DISTINCT (lang, shard, chunk)) AS BIGINT) "
+            "AS n_chunks, CAST(sum(cost) AS BIGINT) AS total_cost, "
+            "floor(CAST(sum(cost) AS DOUBLE) / "
+            f"(count(DISTINCT (lang, shard, chunk)) * {b}) * 10000 + 0.5) "
+            "/ 10000 AS efficiency FROM ("
+            "SELECT lang, shard, cost, CAST(FLOOR("
+            "(SUM(cost) OVER (PARTITION BY lang, shard ORDER BY doc_id) "
+            f"- cost) / {b}.0) AS BIGINT) AS chunk FROM c "
+            f"WHERE cost <= {b}))"
+        )
+    return "WITH " + base + " " + " UNION ALL ".join(parts)
+
+
+ORACLES["xpack_efficiency"] = _pack_efficiency_oracle([256, 512, 1024, 2048])
 
 ORACLES["xpipeline_dsir"] = (
     "WITH " + _dsir_ctes() + ", "

@@ -73,3 +73,30 @@ def test_fuzzy_decontamination_exact_dup_est_one(spark):
     corpus = spark.createDataFrame([(1, text)], ["doc_id", "text"])
     row = fuzzy_flag_contaminated(corpus, bench).collect()[0]
     assert row.max_est == 1.0 and row.contaminated is True
+
+
+def test_ngram_novelty_bounds_and_conventions(spark):
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        ngram_novelty,
+    )
+
+    ref = spark.createDataFrame(
+        [(1, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox"),      # all bigrams known -> 0.0
+            (11, "zebra xylophone quince"),   # disjoint -> 1.0
+            (12, "word"),                     # < 2 tokens -> 1.0, 0 ngrams
+            (13, "the quick zebra xylophone"),  # 1 of 3 known
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in ngram_novelty(corpus, ref, n=2).collect()
+    }
+    assert rows[10]["novelty"] == 0.0 and rows[10]["n_novel"] == 0
+    assert rows[11]["novelty"] == 1.0
+    assert rows[12]["n_ngrams"] == 0 and rows[12]["novelty"] == 1.0
+    assert rows[13]["n_ngrams"] == 3 and rows[13]["n_novel"] == 2
+    assert rows[13]["novelty"] == 0.6667  # half-up 4dp of 2/3

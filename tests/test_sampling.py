@@ -622,3 +622,65 @@ def test_dsir_diagnostics_bounds(spark):
     uni = raw.withColumn("text", F.lit("a b c d"))
     d = dsir_diagnostics(uni, tgt, group_col="lang", buckets=64).collect()[0]
     assert abs(d["ess"] - d["n_docs"]) < 0.02
+
+
+def test_curriculum_stages_equal_counts_and_monotonic(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "sw", float(i % 17)) for i in range(402)],
+        ["doc_id", "lang", "difficulty"],
+    )
+    out = curriculum_stages(df, "difficulty", n_stages=4, part_col="lang")
+    # equal-count split per stratum (sizes differ by at most 1)
+    sizes = {
+        (r["lang"], r["stage"]): r["n"]
+        for r in out.groupBy("lang", "stage")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang in ("en", "sw"):
+        per = [sizes[(lang, s)] for s in (1, 2, 3, 4)]
+        assert max(per) - min(per) <= 1
+    # stage boundaries are monotone in difficulty within each stratum
+    b = {
+        (r["lang"], r["stage"]): (r["lo"], r["hi"])
+        for r in out.groupBy("lang", "stage")
+        .agg(F.min("difficulty").alias("lo"), F.max("difficulty").alias("hi"))
+        .collect()
+    }
+    for lang in ("en", "sw"):
+        for s in (1, 2, 3):
+            assert b[(lang, s)][1] <= b[(lang, s + 1)][0] + 1e-9
+
+
+def test_packing_efficiency_curve_invariants(spark):
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "sw", 10 + (i * 37) % 300)
+         for i in range(3000)],
+        ["doc_id", "lang", "cost"],
+    )
+    rows = {
+        r["budget"]: r
+        for r in packing_efficiency(
+            df, "doc_id", "cost", budgets=[128, 512, 2048], shards=4
+        ).collect()
+    }
+    assert set(rows) == {128, 512, 2048}
+    for b, r in rows.items():
+        assert 0 < r["efficiency"] <= 1.0 + 1e-9
+        assert r["total_cost"] <= r["n_chunks"] * b + 300  # offset-chunking
+        assert r["n_docs"] > 0 and r["n_chunks"] > 0
+    # doc set grows with budget (fewer oversize exclusions)
+    assert rows[128]["n_docs"] <= rows[512]["n_docs"] <= rows[2048]["n_docs"]
+    # 512 and 2048 admit the SAME docs (max cost 309): bigger budget,
+    # fewer chunks over an identical doc set
+    assert rows[512]["n_docs"] == rows[2048]["n_docs"]
+    assert rows[512]["n_chunks"] > rows[2048]["n_chunks"]
+    assert rows[512]["total_cost"] == rows[2048]["total_cost"]
