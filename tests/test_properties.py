@@ -589,3 +589,86 @@ def test_debounce_matches_brute_force(spark, events, gap):
                 expect.append(i)
             prev = sec
     assert got == sorted(expect)
+
+
+_word = st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff", "gg"])
+_text = st.lists(_word, min_size=0, max_size=12).map(" ".join)
+
+
+@_slow
+@given(
+    ref_texts=st.lists(_text, min_size=1, max_size=6),
+    corpus_texts=st.lists(_text, min_size=1, max_size=10),
+)
+def test_ngram_novelty_matches_python_reference(
+    spark, ref_texts, corpus_texts
+):
+    """ngram_novelty ≡ a from-scratch python bigram computation for ANY
+    corpus: counts with multiplicity, zero-ngram docs → 1.0, half-up
+    4dp."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        ngram_novelty,
+    )
+
+    def bigrams(t):
+        # engine splits trim(lower(text)) on \s+: empty text -> [""]
+        toks = t.strip().lower().split() if t.strip() else [""]
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    ref_set = {g for t in ref_texts for g in bigrams(t)}
+    expected = {}
+    for i, t in enumerate(corpus_texts):
+        gs = bigrams(t)
+        novel = sum(1 for g in gs if g not in ref_set)
+        nov = (
+            1.0
+            if not gs
+            else math.floor(novel / len(gs) * 10000 + 0.5) / 10000
+        )
+        expected[i] = (len(gs), novel, nov)
+
+    ref_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ref_texts)], ["doc_id", "text"]
+    )
+    corpus_df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_ngrams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(corpus_df, ref_df, n=2).collect()
+    }
+    assert got == expected
+
+
+@_slow
+@given(
+    n=st.integers(min_value=1, max_value=50),
+    stages=st.integers(min_value=1, max_value=6),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+def test_curriculum_equal_counts_any_input(spark, n, stages, seed):
+    """ntile staging: stage sizes within a stratum differ by ≤1, stages
+    cover 1..min(stages, n), difficulty ordering respected."""
+    import random
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    rng = random.Random(seed)
+    rows = [(i, "g", float(rng.randint(0, 9))) for i in range(n)]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "difficulty"])
+    out = curriculum_stages(
+        df, "difficulty", n_stages=stages, part_col="lang"
+    ).collect()
+    per_stage: dict[int, list[float]] = {}
+    for r in out:
+        per_stage.setdefault(r["stage"], []).append(r["difficulty"])
+    sizes = [len(v) for v in per_stage.values()]
+    assert sum(sizes) == n
+    assert max(sizes) - min(sizes) <= 1
+    assert set(per_stage) == set(range(1, min(stages, n) + 1))
+    for s in sorted(per_stage)[:-1]:
+        assert max(per_stage[s]) <= min(per_stage[s + 1]) + 1e-9
