@@ -1361,6 +1361,56 @@ def q_xpack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xpipeline_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-9 curate→rebalance→schedule pipeline, fully oracle-checked
+    through all three stages: composite quality gate (score ≥ 0.7) →
+    token-budget mixture rebalance (25% of a 12k-token budget per
+    listed lang, keyed poly-hash row cut over the POST-gate corpus) →
+    4-stage per-lang curriculum (difficulty = mean chars/token, half-up
+    4dp). Output is per (lang, stage) doc/token totals with id_sum
+    pinning exact end-to-end membership — proves the r9 curriculum
+    operator composes with the mixture sampler under one hash.
+
+    Scale shape: stage 1 is a scan predicate; stage 2 a tiny per-lang
+    cost aggregate + broadcast cuts (no corpus shuffle); stage 3 one
+    lang-keyed window exchange (see ``curriculum_stages`` for the
+    corpus-scale sharding note)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_stages,
+        mix_to_budget,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = (
+        t["documents"]
+        .filter(X.quality_score("text") >= 0.7)
+        .select(
+            "doc_id",
+            "lang",
+            X.token_count("text").cast("long").alias("__tc"),
+            F.length(F.trim("text")).cast("long").alias("__len"),
+        )
+    )
+    mixed = mix_to_budget(
+        d, "doc_id", "lang", "__tc", _MIX_WEIGHTS, budget=12_000,
+        hash_fn="poly",
+    )
+    diff = (
+        F.floor(F.col("__len") / F.col("__tc") * 10000 + F.lit(0.5)) / 10000
+    )
+    staged = curriculum_stages(
+        mixed.withColumn("__diff", diff), "__diff", n_stages=4,
+        part_col="lang",
+    )
+    return staged.groupBy("lang", "stage").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__tc").cast("long").alias("n_tokens"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+        F.min("__diff").alias("min_diff"),
+        F.max("__diff").alias("max_diff"),
+    )
+
+
 #: BM25 demo query terms (mixed corpus frequency, lowercase).
 _BM25_TERMS = ["vector", "merge", "hash", "stream"]
 
@@ -2312,6 +2362,7 @@ QUERIES = {
     "xngram_novelty": q_xngram_novelty,
     "xcurriculum": q_xcurriculum,
     "xpack_efficiency": q_xpack_efficiency,
+    "xpipeline_curriculum": q_xpipeline_curriculum,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -4428,6 +4479,40 @@ ORACLES["xcurriculum"] = (
     "CAST(sum(tc) AS BIGINT) AS n_tokens, "
     "min(diff) AS min_diff, max(diff) AS max_diff "
     "FROM st GROUP BY lang, stage"
+)
+
+# Chained-CTE oracle for the 3-stage curate→rebalance→schedule pipeline:
+# quality CTE reused verbatim from the xtext_quality oracle, mixture cut
+# reproduced from the xmix_budget oracle (poly bucket of doc_id||'#0'),
+# ntile staging from the xcurriculum oracle — one hash over the result.
+ORACLES["xpipeline_curriculum"] = (
+    "WITH q AS (" + ORACLES["xtext_quality"] + "), "
+    "c AS (SELECT d.lang, d.doc_id, "
+    "CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) "
+    "AS cost, CAST(length(trim(d.text)) AS BIGINT) AS ln, "
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "string_split(CAST(d.doc_id AS VARCHAR) || '#0', ''), "
+    "ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 2147483647) % 10000 AS bkt "
+    "FROM documents d JOIN q ON d.doc_id = q.doc_id "
+    "WHERE q.quality >= 0.7), "
+    "s AS (SELECT lang, sum(cost) AS tok FROM c GROUP BY lang), "
+    "w(lang, w) AS (VALUES ('de', 0.25), ('en', 0.25), ('fr', 0.25), "
+    "('zh', 0.25)), "
+    "cuts AS (SELECT lang, CAST(floor(round("
+    "least(1.0, 12000.0 * w / tok) * 10000, 6)) AS BIGINT) AS cut "
+    "FROM s JOIN w USING (lang)), "
+    "m AS (SELECT c.* FROM c JOIN cuts USING (lang) WHERE bkt < cut), "
+    "st AS (SELECT *, floor(CAST(ln AS DOUBLE) / cost * 10000 + 0.5) "
+    "/ 10000 AS diff FROM m), "
+    "st2 AS (SELECT *, ntile(4) OVER (PARTITION BY lang "
+    "ORDER BY diff ASC, doc_id ASC) AS stage FROM st) "
+    "SELECT lang, CAST(stage AS INTEGER) AS stage, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(cost) AS BIGINT) AS n_tokens, "
+    "CAST(sum(doc_id) AS BIGINT) AS id_sum, "
+    "min(diff) AS min_diff, max(diff) AS max_diff "
+    "FROM st2 GROUP BY lang, stage"
 )
 
 
