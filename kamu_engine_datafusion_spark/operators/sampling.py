@@ -1112,6 +1112,8 @@ def curriculum_stages(
     n_stages: int = 4,
     part_col: str = "lang",
     id_col: str = "doc_id",
+    mode: str = "ntile",
+    accuracy: int = 10_000,
 ) -> DataFrame:
     """Curriculum scheduling: split each ``part_col`` stratum into
     ``n_stages`` equal-count difficulty stages (1 = easiest) — the
@@ -1119,21 +1121,52 @@ def curriculum_stages(
     every language ramps difficulty on its own scale instead of
     low-resource strata landing entirely in one global stage.
 
-    Appends ``stage`` via ``ntile(n_stages)`` over
-    ``(difficulty, id)`` within the stratum — deterministic (unique id
-    tiebreak) and engine-portable (ntile's equal-count split is
-    standard SQL).
+    ``mode="ntile"`` (default, the verifiable profile): appends
+    ``stage`` via ``ntile(n_stages)`` over ``(difficulty, id)`` within
+    the stratum — exact equal counts, deterministic (unique id
+    tiebreak), engine-portable (standard SQL). Cost: one shuffle on the
+    stratum key plus a per-stratum SORT — fine while a stratum fits a
+    task pipeline, wrong when one language is 30 TB.
 
-    Scale: one shuffle on the stratum key; the per-stratum sort is the
-    cost — for corpus-scale strata pre-shard the stratum (the
-    ``pack_sequences`` pattern) or use approx quantile boundaries
-    instead of exact ntile; exact ntile is the verifiable profile.
+    ``mode="quantile"`` (the corpus-scale path): per-stratum stage
+    BOUNDARIES via one ``percentile_approx`` aggregate (n_stages − 1
+    interior quantiles, Greenwald–Khanna sketch, error ∝ 1/``accuracy``),
+    broadcast back, stage assigned IN-ROW as
+    ``1 + #{boundaries < difficulty}``. No window, no per-stratum sort —
+    the stage column rides the scan and the only exchange is the tiny
+    partial+final boundary aggregate, so it survives strata of any
+    size. Counts are approximately equal (sketch error + boundary
+    ties); difficulty ordering across stages is exact by construction
+    (assignment is monotonic in difficulty). Boundary-equal rows go to
+    the LOWER stage. Not oracle-hashed (the sketch is engine-specific);
+    pinned instead by pytest invariants + a plan test asserting no
+    Window/sort node (``tests/test_sampling.py``).
     """
     diff = (
         F.col(difficulty_col)
         if isinstance(difficulty_col, str)
         else difficulty_col
     )
+    if mode == "quantile":
+        probs = [i / n_stages for i in range(1, n_stages)]
+        bounds = df.groupBy(part_col).agg(
+            F.percentile_approx(diff, probs, accuracy).alias("__bounds")
+        )
+        stage = (
+            F.lit(1)
+            + F.aggregate(
+                "__bounds",
+                F.lit(0),
+                lambda acc, b: acc + F.when(diff > b, 1).otherwise(0),
+            )
+        ).cast("int")
+        return (
+            df.join(F.broadcast(bounds), part_col)
+            .withColumn("stage", stage)
+            .drop("__bounds")
+        )
+    if mode != "ntile":
+        raise ValueError(f"unknown curriculum mode: {mode!r}")
     w = Window.partitionBy(part_col).orderBy(diff.asc(), F.col(id_col).asc())
     return df.withColumn("stage", F.ntile(n_stages).over(w))
 

@@ -684,3 +684,57 @@ def test_packing_efficiency_curve_invariants(spark):
     assert rows[512]["n_docs"] == rows[2048]["n_docs"]
     assert rows[512]["n_chunks"] > rows[2048]["n_chunks"]
     assert rows[512]["total_cost"] == rows[2048]["total_cost"]
+
+
+def test_curriculum_quantile_mode_windowless_and_consistent(spark):
+    """mode='quantile' (the corpus-scale path): no Window/sort in the
+    plan, stages ordered exactly, sizes near-equal at high accuracy,
+    and on distinct evenly-spread difficulties it matches ntile."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "sw", float((i * 7) % 401))
+         for i in range(402)],
+        ["doc_id", "lang", "difficulty"],
+    )
+    out = curriculum_stages(
+        df, "difficulty", n_stages=4, part_col="lang", mode="quantile"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "Sort" not in plan  # windowless AND sortless — rides the scan
+    rows = out.collect()
+    assert all(1 <= r["stage"] <= 4 for r in rows)
+    # exact difficulty ordering across stages (monotone assignment)
+    b: dict = {}
+    for r in rows:
+        lo, hi = b.get((r["lang"], r["stage"]), (float("inf"), float("-inf")))
+        b[(r["lang"], r["stage"])] = (
+            min(lo, r["difficulty"]), max(hi, r["difficulty"])
+        )
+    for lang in ("en", "sw"):
+        for s in (1, 2, 3):
+            if (lang, s) in b and (lang, s + 1) in b:
+                assert b[(lang, s)][1] <= b[(lang, s + 1)][0]
+    # near-equal sizes: every stage within 25% of the ideal quarter
+    from collections import Counter
+
+    sizes = Counter((r["lang"], r["stage"]) for r in rows)
+    totals = Counter(r["lang"] for r in rows)
+    for (lang, _s), n in sizes.items():
+        ideal = totals[lang] / 4
+        assert abs(n - ideal) <= max(2, 0.25 * ideal)
+
+
+def test_curriculum_unknown_mode_raises(spark):
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_stages,
+    )
+
+    df = spark.createDataFrame([(1, "en", 1.0)], ["doc_id", "lang", "d"])
+    with _pytest.raises(ValueError, match="curriculum mode"):
+        curriculum_stages(df, "d", mode="zipf")
