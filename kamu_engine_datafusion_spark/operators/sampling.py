@@ -190,11 +190,16 @@ def cap_per_group(
     subset of each group (not "first by id", which would bias toward old
     crawls). Ties broken by ``key_col``.
 
-    Scale: one shuffle on the group key; the rank window sorts only
-    within groups. A pathologically hot group serializes through one
-    task's sort — acceptable because the output of that sort is capped;
-    for extreme skew pre-filter with :func:`deterministic_sample` at a
-    fraction that bounds the hot group near ``cap``.
+    Scale: the ``row_number ≤ cap`` shape triggers Catalyst's
+    ``InferWindowGroupLimit`` — a *Partial* ``WindowGroupLimit`` runs
+    map-side BEFORE the group-key exchange, so even a pathologically
+    hot group ships at most ``cap`` rows per upstream partition and the
+    reducer sort input is ≤ ``cap × upstream partitions``, not the
+    group size. (Measured: an explicit two-phase sharded top-``cap``
+    was 3× SLOWER at 20M rows/one group — it adds an exchange the
+    optimizer's group limit makes redundant; plan pinned by pytest,
+    SCALE.md r9.) Don't add salting here; keep the rank filter in the
+    ``row_number().over(...) ≤ k`` form the rule recognizes.
     """
     w = Window.partitionBy(group_col).orderBy(
         _bucket(F.col(key_col), salt, hash_fn), F.col(key_col)
@@ -771,10 +776,11 @@ def weighted_sample_per_group(
     so every domain contributes a quality-weighted sample instead of
     the global draw being swallowed by the heaviest domain.
 
-    Scale: one shuffle on the group key; the per-group rank window
-    sorts only within groups and the survivors are capped at ``n`` per
-    group. Same hot-group caveat as :func:`cap_per_group`. Rows with
-    ``w <= 0`` or null are excluded.
+    Scale: one shuffle on the group key; the ``row_number ≤ n`` rank
+    filter triggers Catalyst's map-side Partial ``WindowGroupLimit``
+    exactly as in :func:`cap_per_group` (see its docstring and the
+    SCALE.md r9 measurement), so a hot group ships ≤ ``n`` rows per
+    upstream partition. Rows with ``w <= 0`` or null are excluded.
     """
     from kamu_engine_datafusion_spark.functions.columns import (
         _MERSENNE_31,

@@ -738,3 +738,32 @@ def test_curriculum_unknown_mode_raises(spark):
     df = spark.createDataFrame([(1, "en", 1.0)], ["doc_id", "lang", "d"])
     with _pytest.raises(ValueError, match="curriculum mode"):
         curriculum_stages(df, "d", mode="zipf")
+
+
+def test_rank_filters_get_partial_window_group_limit(spark):
+    """The hot-group safety of every ``row_number ≤ k`` operator rests
+    on Catalyst's InferWindowGroupLimit inserting a map-side Partial
+    WindowGroupLimit BEFORE the group exchange (so a hot group ships ≤
+    k rows per upstream partition, not its full size). Pin that plan
+    shape for cap_per_group and weighted_sample_per_group — if a future
+    refactor breaks the recognizable rank-filter form (or a Spark
+    upgrade drops the rule), this fails rather than silently
+    reintroducing the one-task-sorts-a-domain pathology. (Measured r9:
+    an explicit two-phase sharded top-cap was 3× slower at 20M rows in
+    one group than this optimizer path — SCALE.md.)"""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        cap_per_group,
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"d{i % 3}", float(1 + i % 7)) for i in range(600)],
+        ["doc_id", "domain", "w"],
+    )
+    for out in (
+        cap_per_group(df, "doc_id", "domain", 10),
+        weighted_sample_per_group(df, "w", "domain", 10),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "WindowGroupLimit" in plan and "Partial" in plan
+        assert out.count() == 30  # 3 groups × 10
