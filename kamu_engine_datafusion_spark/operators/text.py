@@ -835,6 +835,55 @@ def corpus_card(
     )
 
 
+def tokenizer_fertility(
+    df,
+    group_cols: list[str] | None = None,
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-group tokenizer fertility report — the standard multilingual
+    tokenizer evaluation (how many subwords the tokenizer spends per
+    word, and how many bytes each subword carries): ``n_docs``,
+    ``n_words`` (whitespace tokens), ``n_subwords`` (the BPE-ish
+    estimator), ``n_bytes`` (UTF-8 octets), ``fertility`` =
+    subwords/words and ``bytes_per_subword`` = bytes/subwords, both
+    half-up 4dp from exact integer sums (so the ratios are
+    engine-portable — no float accumulation order in play). High
+    fertility on a language flags an under-trained vocab for it; low
+    bytes/subword on CJK flags byte-level fallback blowup.
+
+    Scale: pure column math + one partial+final groupBy on the group
+    key; everything rides the scan.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    group_cols = group_cols or ["lang"]
+    g = (
+        df.withColumn("__w", token_count(text_col))
+        .withColumn("__s", bpe_ish_token_count(text_col))
+        .withColumn("__b", F.octet_length(text_col).cast("long"))
+        .groupBy(*group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__w").alias("n_words"),
+            F.sum("__s").alias("n_subwords"),
+            F.sum("__b").alias("n_bytes"),
+        )
+    )
+    return g.select(
+        *group_cols,
+        "n_docs",
+        "n_words",
+        "n_subwords",
+        "n_bytes",
+        half_up(F.col("n_subwords") / F.col("n_words"), 4).alias(
+            "fertility"
+        ),
+        half_up(F.col("n_bytes") / F.col("n_subwords"), 4).alias(
+            "bytes_per_subword"
+        ),
+    )
+
+
 def vocab_coverage(df, text_col: str = "text", top_v: int = 1000):
     """Cumulative token-coverage curve of the top-``top_v`` vocabulary:
     tokens ranked by corpus frequency with each rank's CUMULATIVE share

@@ -378,6 +378,14 @@ def q_xtext_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xtok_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang tokenizer fertility report (r9): subwords/word and
+    bytes/subword from exact integer sums — the standard multilingual
+    tokenizer eval (``operators/text.py::tokenizer_fertility``)."""
+    t = load(spark, sf_dir, "documents")
+    return X.tokenizer_fertility(t["documents"], ["lang"])
+
+
 def q_xsample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling without replacement
     (Efraimidis–Spirakis A-Res): top-200 by ln(u)/w with w = n_chars,
@@ -2363,6 +2371,7 @@ QUERIES = {
     "xcurriculum": q_xcurriculum,
     "xpack_efficiency": q_xpack_efficiency,
     "xpipeline_curriculum": q_xpipeline_curriculum,
+    "xtok_fertility": q_xtok_fertility,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -4205,6 +4214,21 @@ ORACLES = {
         "AS n_ws_tokens, "
         "CAST(len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS BIGINT) "
         "AS n_bpe_tokens FROM documents"
+    ),
+    "xtok_fertility": (
+        "WITH c AS (SELECT lang, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS w, "
+        "CAST(len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS BIGINT) "
+        "AS s, CAST(strlen(text) AS BIGINT) AS b FROM documents) "
+        "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(w) AS BIGINT) AS n_words, "
+        "CAST(sum(s) AS BIGINT) AS n_subwords, "
+        "CAST(sum(b) AS BIGINT) AS n_bytes, "
+        "floor(CAST(sum(s) AS DOUBLE) / sum(w) * 10000 + 0.5) / 10000 "
+        "AS fertility, "
+        "floor(CAST(sum(b) AS DOUBLE) / sum(s) * 10000 + 0.5) / 10000 "
+        "AS bytes_per_subword FROM c GROUP BY lang"
     ),
     "xdecontaminate": (
         "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
