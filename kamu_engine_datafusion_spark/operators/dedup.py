@@ -1477,6 +1477,70 @@ def dedup_cross_corpus(
     )
 
 
+def cross_source_overlap(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Pairwise CONTENT-overlap matrix between sources: for every
+    unordered source pair (a < b), how many distinct normalized texts
+    appear in BOTH, each side's distinct-content total, and the Jaccard
+    of the two content sets — the provenance-leakage audit a corpus
+    release runs before claiming sources are independent (mirrors /
+    crawls / re-posts show up as high-Jaccard pairs; the per-pair
+    numbers also predict how much :func:`exact_dedup` will shrink a
+    union of the sources).
+
+    Normalization matches :func:`exact_dedup`; ``hash_fn="md5"`` is the
+    plain-SQL-reproducible oracle form, ``"xxhash64"`` the fast JVM
+    profile (identical matrix either way — null texts are excluded
+    under the same guard as :func:`dedup_cross_corpus`).
+
+    Scale: hashes are computed scan-side (text never shuffles); one
+    distinct on (hash, source); the per-hash source set is bounded by
+    the source VOCABULARY (not the corpus), so the double explode emits
+    ≤ |sources|² rows per distinct text; per-source totals are a tiny
+    broadcast. Output is |sources|²-bounded.
+    """
+    n = normalize_text(F.col(text_col))
+    raw = F.md5(n) if hash_fn == "md5" else F.xxhash64(n).cast("string")
+    h = F.when(n.isNotNull(), raw)
+    hs = (
+        df.select(h.alias("__h"), F.col(group_col).alias("__s"))
+        .filter(F.col("__h").isNotNull())
+        .distinct()
+    )
+    totals = hs.groupBy("__s").agg(F.count(F.lit(1)).alias("__n"))
+    sets_ = (
+        hs.groupBy("__h")
+        .agg(F.collect_set("__s").alias("__ss"))
+        .filter(F.size("__ss") >= 2)
+    )
+    pairs = (
+        sets_.select(F.explode("__ss").alias("src_a"), "__ss")
+        .select("src_a", F.explode("__ss").alias("src_b"))
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    ta = F.broadcast(totals.select(F.col("__s").alias("src_a"), F.col("__n").alias("n_a")))
+    tb = F.broadcast(totals.select(F.col("__s").alias("src_b"), F.col("__n").alias("n_b")))
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared"))
+    return (
+        pairs.join(ta, "src_a")
+        .join(tb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            (F.floor(jac * 10000 + F.lit(0.5)) / 10000).alias("jaccard"),
+        )
+    )
+
+
 def minhash_lsh_report(
     df: DataFrame,
     text_col: str = "text",

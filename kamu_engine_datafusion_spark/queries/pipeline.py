@@ -610,6 +610,29 @@ def q_xcorpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.corpus_card(t["documents"])
 
 
+def q_xsource_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source content-overlap matrix (r9): shared distinct
+    normalized texts, per-side totals, and content-set Jaccard for
+    every source pair — the provenance-leakage audit
+    (``operators/dedup.py::cross_source_overlap``, md5 twin). The
+    testdata's sources share no text verbatim, so a deterministic
+    'mirror' source re-hosting every 7th doc is unioned in — the
+    audit's canonical positive case — keeping the matrix non-vacuous."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"].select("doc_id", "text", "source")
+    mirror = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .withColumn("source", F.lit("mirror"))
+    )
+    return cross_source_overlap(
+        docs.unionByName(mirror), "source", hash_fn="md5"
+    )
+
+
 def q_xdedup_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-corpus exact dedup: docs ≥200 whose normalized content
     hash appears in the doc_id<200 'released benchmark' slice are
@@ -2372,6 +2395,7 @@ QUERIES = {
     "xpack_efficiency": q_xpack_efficiency,
     "xpipeline_curriculum": q_xpipeline_curriculum,
     "xtok_fertility": q_xtok_fertility,
+    "xsource_overlap": q_xsource_overlap,
     "xsample_weighted": q_xsample_weighted,
     "xsample_temperature": q_xsample_temperature,
     "xcap_per_source": q_xcap_per_source,
@@ -4214,6 +4238,24 @@ ORACLES = {
         "AS n_ws_tokens, "
         "CAST(len(regexp_extract_all(text, '\\w{1,4}|[^\\w\\s]')) AS BIGINT) "
         "AS n_bpe_tokens FROM documents"
+    ),
+    "xsource_overlap": (
+        "WITH u AS (SELECT text, source FROM documents "
+        "UNION ALL SELECT text, 'mirror' AS source FROM documents "
+        "WHERE doc_id % 7 = 0), "
+        "h AS (SELECT DISTINCT source, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS hh "
+        "FROM u WHERE text IS NOT NULL), "
+        "tot AS (SELECT source, count(*) AS n FROM h GROUP BY source), "
+        "p AS (SELECT a.source AS src_a, b.source AS src_b, "
+        "count(*) AS n_shared FROM h a JOIN h b "
+        "ON a.hh = b.hh AND a.source < b.source GROUP BY 1, 2) "
+        "SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared, "
+        "CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b, "
+        "floor(CAST(p.n_shared AS DOUBLE) / (ta.n + tb.n - p.n_shared) "
+        "* 10000 + 0.5) / 10000 AS jaccard "
+        "FROM p JOIN tot ta ON p.src_a = ta.source "
+        "JOIN tot tb ON p.src_b = tb.source"
     ),
     "xtok_fertility": (
         "WITH c AS (SELECT lang, "
