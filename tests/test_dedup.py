@@ -120,3 +120,37 @@ def test_minhash_report_drop_set_matches_dedup(spark):
     for r in report:
         assert r["matched_id"] < r["dropped_id"]
         assert r["jaccard"] >= 0.6
+
+
+def test_cross_source_overlap_matrix(spark):
+    """Known content sets → exact matrix: shared counts, per-side
+    distinct totals (dup texts within a source count once), Jaccard,
+    null texts excluded, non-overlapping pairs absent, and the md5 /
+    xxhash64 profiles produce the identical matrix."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    rows = [
+        # a: {t1, t2, t3}  b: {t2, t3, t4}  c: {t9}  (t2 dup'd in a;
+        # whitespace/case variants must collapse; one null text)
+        (1, "a", "alpha beta"),        # t1
+        (2, "a", "Gamma  Delta"),      # t2
+        (3, "a", "gamma delta"),       # t2 (dup within a)
+        (4, "a", "epsilon"),           # t3
+        (5, "b", "GAMMA DELTA"),       # t2
+        (6, "b", "epsilon"),           # t3
+        (7, "b", "zeta"),              # t4
+        (8, "c", "omega"),             # t9
+        (9, "c", None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    for hash_fn in ("md5", "xxhash64"):
+        got = {
+            (r["src_a"], r["src_b"]): r
+            for r in cross_source_overlap(df, hash_fn=hash_fn).collect()
+        }
+        assert set(got) == {("a", "b")}
+        r = got[("a", "b")]
+        assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 3, 3)
+        assert r["jaccard"] == 0.5  # 2 / (3 + 3 - 2)

@@ -335,3 +335,31 @@ def test_vocab_coverage_curve_hand_computed(spark):
     assert out[2] == ("b", 3, round(7 / 9, 6))
     assert out[3] == ("c", 1, round(8 / 9, 6))
     assert len(out) == 3  # x cut by top_v
+
+
+def test_tokenizer_fertility_exact_math(spark):
+    """Hand-computed fertility on a 2-lang toy corpus, incl. a
+    multibyte row (bytes = UTF-8 octets, not chars)."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        tokenizer_fertility,
+    )
+
+    rows = [
+        # en: "hello world" -> 2 words; bpe \w{1,4}: hell+o+worl+d = 4
+        (1, "en", "hello world"),
+        # en: "hi" -> 1 word, 1 subword
+        (2, "en", "hi"),
+        # zh: 3-char CJK string, no spaces -> 1 word. Java regex \w is
+        # ASCII-only (like DuckDB's RE2 — the cross-engine agreement
+        # the oracle relies on), so each CJK char matches the
+        # punctuation class [^\w\s] -> 3 subwords; 9 UTF-8 bytes.
+        (3, "zh", "中文字"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    got = {r["lang"]: r for r in tokenizer_fertility(df).collect()}
+    en, zh = got["en"], got["zh"]
+    assert (en["n_docs"], en["n_words"], en["n_subwords"]) == (2, 3, 5)
+    assert en["n_bytes"] == len("hello world") + len("hi")
+    assert en["fertility"] == round(5 / 3, 4) or en["fertility"] == 1.6667
+    assert (zh["n_words"], zh["n_subwords"], zh["n_bytes"]) == (1, 3, 9)
+    assert zh["bytes_per_subword"] == 3.0
