@@ -672,3 +672,74 @@ def test_curriculum_equal_counts_any_input(spark, n, stages, seed):
     assert set(per_stage) == set(range(1, min(stages, n) + 1))
     for s in sorted(per_stage)[:-1]:
         assert max(per_stage[s]) <= min(per_stage[s + 1]) + 1e-9
+
+
+@_slow
+@given(
+    target_texts=st.lists(_text, min_size=1, max_size=6),
+    corpus_texts=st.lists(_text, min_size=1, max_size=10),
+)
+def test_dsir_scores_match_python_reference(
+    spark, target_texts, corpus_texts
+):
+    """dsir_scores ≡ a from-scratch python implementation of the
+    hashed-bigram importance score for ANY corpus: multiplicity bucket
+    counts, add-λ smoothing, 1e-9 fixed-point log-ratios, in-row fold —
+    bit-exact (the scores are integers)."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.sampling import dsir_scores
+
+    M31, BUCKETS, LAM = 2147483647, 16, 0.5
+
+    def ph(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % M31
+        return acc
+
+    def bigrams(t: str) -> list[str]:
+        toks = t.strip().lower().split() if t.strip() else [""]
+        return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+    def bucket_counts(texts: list[str]) -> dict[int, int]:
+        c: dict[int, int] = {}
+        for t in texts:
+            for g in bigrams(t):
+                b = ph(g) % BUCKETS
+                c[b] = c.get(b, 0) + 1
+        return c
+
+    ct, cr = bucket_counts(target_texts), bucket_counts(corpus_texts)
+    tt, tr, lb = sum(ct.values()), sum(cr.values()), LAM * BUCKETS
+    lr = [
+        int(
+            math.floor(
+                (
+                    math.log((ct.get(b, 0) + LAM) / (tt + lb))
+                    - math.log((cr.get(b, 0) + LAM) / (tr + lb))
+                )
+                * 1e9
+                + 0.5
+            )
+        )
+        for b in range(BUCKETS)
+    ]
+    expected = {
+        i: sum(lr[ph(g) % BUCKETS] for g in bigrams(t))
+        for i, t in enumerate(corpus_texts)
+    }
+
+    corpus = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus_texts)], ["doc_id", "text"]
+    )
+    tgt = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target_texts)], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: r["dsir_score"]
+        for r in dsir_scores(
+            corpus, tgt, buckets=BUCKETS, lam=LAM, hash_fn="poly"
+        ).collect()
+    }
+    assert got == expected
