@@ -743,3 +743,60 @@ def test_dsir_scores_match_python_reference(
         ).collect()
     }
     assert got == expected
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de", "fr", "xx"]),
+            st.integers(min_value=1, max_value=500),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    budget=st.integers(min_value=1, max_value=5000),
+)
+def test_mix_to_budget_matches_python_reference(spark, rows, budget):
+    """mix_to_budget ≡ a from-scratch python reference for ANY corpus
+    and budget: per-stratum cost totals, normalized weights, the
+    min(1, budget·w/tok) keep-fraction with the half-up 6dp snap before
+    the integer-bucket cut, keyed poly-hash membership, and unlisted
+    strata dropped."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        mix_to_budget,
+    )
+
+    WEIGHTS = {"en": 0.5, "de": 0.3, "fr": 0.2}  # 'xx' unlisted
+    M31, B = 2147483647, 10000
+
+    def ph(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % M31
+        return acc
+
+    data = [(i, lang, cost) for i, (lang, cost) in enumerate(rows)]
+    tot_w = sum(WEIGHTS.values())
+    toks: dict[str, int] = {}
+    for _i, lang, cost in data:
+        toks[lang] = toks.get(lang, 0) + cost
+    expected = set()
+    for i, lang, cost in data:
+        if lang not in WEIGHTS:
+            continue
+        frac = min(1.0, budget * (WEIGHTS[lang] / tot_w) / toks[lang])
+        # Spark round(x, 6) is half-up for positives; then floor
+        cut = math.floor(math.floor(frac * B * 1e6 + 0.5) / 1e6)
+        if ph(f"{i}#0") % B < cut:
+            expected.add(i)
+
+    df = spark.createDataFrame(data, ["doc_id", "lang", "cost"])
+    out = mix_to_budget(
+        df, "doc_id", "lang", "cost", WEIGHTS, budget=float(budget),
+        hash_fn="poly",
+    )
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == expected
