@@ -800,3 +800,58 @@ def test_mix_to_budget_matches_python_reference(spark, rows, budget):
     )
     got = {r["doc_id"] for r in out.collect()}
     assert got == expected
+
+
+@_slow
+@given(
+    costs=st.lists(
+        st.tuples(
+            st.sampled_from(["p", "q"]),
+            st.integers(min_value=0, max_value=300),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    budget=st.integers(min_value=1, max_value=500),
+    shards=st.sampled_from([None, 4]),
+)
+def test_pack_sequences_matches_python_reference(
+    spark, costs, budget, shards
+):
+    """pack_sequences ≡ a from-scratch python running-offset chunker
+    for ANY costs/budget, with and without the r8 id-hash sub-shards:
+    per (part[, shard]) group ordered by id, chunk = floor(exclusive
+    running cost / budget)."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    M31 = 2147483647
+
+    def ph(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % M31
+        return acc
+
+    data = [(i, part, c) for i, (part, c) in enumerate(costs)]
+    groups: dict[tuple, list[tuple[int, int]]] = {}
+    for i, part, c in data:
+        key = (part, ph(str(i)) % shards) if shards else (part,)
+        groups.setdefault(key, []).append((i, c))
+    expected = {}
+    for g in groups.values():
+        run = 0
+        for i, c in sorted(g):
+            expected[i] = math.floor(run / float(budget))
+            run += c
+
+    df = spark.createDataFrame(data, ["doc_id", "lang", "cost"])
+    out = pack_sequences(
+        df, "doc_id", "cost", budget=budget, part_col="lang",
+        shards=shards, hash_fn="poly",
+    )
+    got = {r["doc_id"]: r["chunk"] for r in out.collect()}
+    assert got == expected
