@@ -441,6 +441,45 @@ def main() -> None:
         or raw.count(),
     )
 
+    # r9: curriculum modes on a 20M-row SINGLE stratum — the ntile
+    # pathology (one task sorts everything) vs the windowless
+    # quantile-boundary mode. Recorded in SCALE.md (23.3s vs 2.6s).
+    one = (
+        spark.range(20_000_000, numPartitions=32)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.lit("en").alias("lang"),
+            (F.pmod(F.xxhash64("id"), F.lit(100000)) / 100.0).alias("diff"),
+        )
+    )
+    for mode in ("quantile", "ntile"):
+        t(
+            f"curriculum_{mode}_20M_one_stratum",
+            lambda mode=mode: SA.curriculum_stages(
+                one, "diff", n_stages=4, part_col="lang", mode=mode
+            )
+            .groupBy("stage")
+            .count()
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+            or 20_000_000,
+            reps=1 if mode == "ntile" else 2,
+        )
+    # r9: cap_per_group on the same hot stratum — fast WITHOUT manual
+    # sharding because Catalyst's Partial WindowGroupLimit bounds the
+    # sort map-side (SCALE.md r9; plan pinned in test_sampling.py)
+    t(
+        "cap_per_group_20M_one_group",
+        lambda: SA.cap_per_group(
+            one.withColumn("domain", F.lit("hot")), "doc_id", "domain", 1000
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or 20_000_000,
+    )
+
 
 if __name__ == "__main__":
     main()
