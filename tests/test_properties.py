@@ -855,3 +855,49 @@ def test_pack_sequences_matches_python_reference(
     )
     got = {r["doc_id"]: r["chunk"] for r in out.collect()}
     assert got == expected
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(st.sampled_from(["s1", "s2", "s3"]), _text),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_cross_source_overlap_matches_python_reference(spark, rows):
+    """cross_source_overlap ≡ python set math for ANY corpus: distinct
+    normalized content per source, pairwise intersections, Jaccard
+    half-up 4dp, pairs without overlap absent."""
+    import math
+    import re
+
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        cross_source_overlap,
+    )
+
+    sets_: dict[str, set] = {}
+    for src, text in rows:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        sets_.setdefault(src, set()).add(norm)
+    expected = {}
+    srcs = sorted(sets_)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            shared = len(sets_[a] & sets_[b])
+            if shared:
+                na, nb = len(sets_[a]), len(sets_[b])
+                jac = math.floor(shared / (na + nb - shared) * 10000 + 0.5) / 10000
+                expected[(a, b)] = (shared, na, nb, jac)
+
+    df = spark.createDataFrame(
+        [(i, s, t) for i, (s, t) in enumerate(rows)],
+        ["doc_id", "source", "text"],
+    )
+    got = {
+        (r["src_a"], r["src_b"]): (
+            r["n_shared"], r["n_a"], r["n_b"], r["jaccard"]
+        )
+        for r in cross_source_overlap(df).collect()
+    }
+    assert got == expected
