@@ -42,6 +42,7 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 _PRIORITY_R9 = [
     # ==== round-9 verification window (first ~50 keys) ====
     # -- NEW in round 9 --
+    "b18_approx_bounds",  # NEW: sketch-accuracy invariant projection
     "xsource_overlap",  # NEW: pairwise source content-overlap matrix
     "xtok_fertility",  # NEW: per-lang tokenizer fertility / bytes-per-subword
     "xpipeline_curriculum",  # NEW: gate→mix→curriculum e2e (chained oracle)

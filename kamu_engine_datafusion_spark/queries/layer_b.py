@@ -390,6 +390,47 @@ def q_b18_approx_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_b18_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B18 invariant projection (r9): converts the sketch family's
+    rows-only risk into a hash-checkable key, the ``xpack_ffd_stats``
+    pattern — exact distinct counts per group (fully hash-verified)
+    plus sketch-accuracy flags pinned against literal 1 in the oracle:
+    HLL++ distinct within 5% of exact (default rsd 0.05), TDigest-style
+    approx median inside the exact p40–p60 band. The raw sketch values
+    stay in ``b18_approx_agg`` (rows-only by design); this key proves
+    they are RIGHT, under one value hash."""
+    t = load(spark, sf_dir, "lineitem")
+    g = (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").cast("long").alias("n_parts_exact"),
+            F.approx_count_distinct("l_partkey").alias("__apx"),
+            F.percentile_approx(
+                "l_extendedprice", F.lit(0.5), F.lit(10000)
+            ).alias("__apx_med"),
+            F.expr("percentile(l_extendedprice, 0.4)").alias("__p40"),
+            F.expr("percentile(l_extendedprice, 0.6)").alias("__p60"),
+        )
+    )
+    return g.select(
+        "l_returnflag",
+        "n_parts_exact",
+        (
+            F.abs(F.col("__apx") - F.col("n_parts_exact"))
+            <= 0.05 * F.col("n_parts_exact")
+        )
+        .cast("long")
+        .alias("hll_within_5pct"),
+        (
+            (F.col("__apx_med") >= F.col("__p40"))
+            & (F.col("__apx_med") <= F.col("__p60"))
+        )
+        .cast("long")
+        .alias("apx_median_in_p40_p60"),
+    )
+
+
 def q_b19_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B19: statistical aggregates."""
     t = load(spark, sf_dir, "lineitem")
@@ -924,6 +965,7 @@ QUERIES = {
     "b16_groupby_agg": q_b16_groupby_agg,
     "b17_count_distinct": q_b17_count_distinct,
     "b18_approx_agg": q_b18_approx_agg,
+    "b18_approx_bounds": q_b18_approx_bounds,
     "b19_stats_agg": q_b19_stats_agg,
     "b19_percentile": q_b19_percentile,
     "b20_rollup": q_b20_rollup,
@@ -1089,7 +1131,16 @@ ORACLES = {
         "count(DISTINCT l_suppkey) AS n_supps, "
         "count(DISTINCT l_orderkey) AS n_orders FROM lineitem GROUP BY l_returnflag"
     ),
-    # b18: approx sketches are engine-specific — rows-only
+    # b18_approx_agg: raw approx sketches are engine-specific — rows-only.
+    # b18_approx_bounds: the invariant projection — exact distincts
+    # hash-checked, accuracy flags pinned against literal 1.
+    "b18_approx_bounds": (
+        "SELECT l_returnflag, "
+        "CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact, "
+        "CAST(1 AS BIGINT) AS hll_within_5pct, "
+        "CAST(1 AS BIGINT) AS apx_median_in_p40_p60 "
+        "FROM lineitem GROUP BY l_returnflag"
+    ),
     "b19_stats_agg": (
         "SELECT l_returnflag, round(stddev_samp(l_quantity), 4) AS sd_qty, "
         "round(var_samp(l_quantity), 4) AS var_qty, "
