@@ -256,6 +256,7 @@ def pack_sequences(
     shards: int | None = None,
     hash_fn: str = "xxhash64",
     max_group_rows: int | None = 50_000_000,
+    eager_guard: bool = False,
 ) -> DataFrame:
     """Sequence packing by running cost offset: rows (docs) are laid out
     in ``id_col`` order and assigned to fixed-``budget`` chunks by their
@@ -286,6 +287,11 @@ def pack_sequences(
     pass ``None`` to disable. (The guard rides on the ``chunk``
     expression, so a plan that prunes ``chunk`` away skips it — but a
     plan that never reads ``chunk`` also never pays the window.)
+    ``eager_guard=True`` closes that pruning hole for callers who want
+    the check regardless of what downstream reads: it runs one cheap
+    count-per-group aggregate NOW (a fraction of the packing window's
+    own exchange) and raises driver-side, naming the offending group,
+    before any window work is scheduled.
 
     ``id_col`` must be unique within each partition group: the frame is
     ROWS-based (the default RANGE frame would make duplicate ids peers
@@ -299,6 +305,22 @@ def pack_sequences(
             "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
         )
         keys.append("shard")
+    if eager_guard and max_group_rows is not None:
+        grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1))
+        hot = (
+            grouped.agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") > int(max_group_rows))
+            .head(1)
+        )
+        if hot:
+            row = hot[0].asDict()
+            n = row.pop("__n")
+            raise ValueError(
+                f"pack_sequences: packing group {row} has {n} rows, over "
+                f"max_group_rows={max_group_rows} — raise `shards` (or "
+                f"max_group_rows) instead of single-task-sorting a "
+                f"corpus slice"
+            )
     w = (
         Window.partitionBy(*keys)
         .orderBy(id_col)

@@ -767,3 +767,31 @@ def test_rank_filters_get_partial_window_group_limit(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "WindowGroupLimit" in plan and "Partial" in plan
         assert out.count() == 30  # 3 groups × 10
+
+
+def test_pack_sequences_eager_guard(spark):
+    """eager_guard=True raises driver-side (naming the hot group) even
+    when the caller's downstream plan would prune the chunk column —
+    the pruning hole the expression-riding guard documents; and it
+    passes through untouched when every group fits."""
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_sequences,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "sw", 10) for i in range(100)],
+        ["doc_id", "lang", "cost"],
+    )
+    with _pytest.raises(ValueError, match="'lang': 'en'"):
+        pack_sequences(
+            df, "doc_id", "cost", budget=64, part_col="lang",
+            max_group_rows=50, eager_guard=True,
+        )
+    ok = pack_sequences(
+        df, "doc_id", "cost", budget=64, part_col="lang",
+        max_group_rows=1000, eager_guard=True,
+    )
+    # a projection that never reads chunk — the exact pruning case
+    assert ok.select("doc_id").count() == 100
