@@ -901,3 +901,48 @@ def test_cross_source_overlap_matches_python_reference(spark, rows):
         for r in cross_source_overlap(df).collect()
     }
     assert got == expected
+
+
+@_slow
+@given(
+    langs=st.lists(
+        st.sampled_from(["en", "de", "fr"]), min_size=1, max_size=40
+    ),
+    frac=st.floats(min_value=0.05, max_value=0.95, allow_nan=False),
+)
+def test_stratified_exact_matches_python_reference(spark, langs, frac):
+    """stratified_sample_exact ≡ python: rows ranked per stratum by
+    (poly bucket, key), exactly ceil(frac·n) kept — for ANY strata mix
+    and fraction."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        stratified_sample_exact,
+    )
+
+    M31, B = 2147483647, 10000
+
+    def ph(s: str) -> int:
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % M31
+        return acc
+
+    data = [(i, lang) for i, lang in enumerate(langs)]
+    by_stratum: dict[str, list[int]] = {}
+    for i, lang in data:
+        by_stratum.setdefault(lang, []).append(i)
+    expected = set()
+    for members in by_stratum.values():
+        ranked = sorted(members, key=lambda i: (ph(f"{i}#0") % B, i))
+        keep = math.ceil(len(members) * float(frac))
+        expected.update(ranked[:keep])
+
+    df = spark.createDataFrame(data, ["doc_id", "lang"])
+    got = {
+        r["doc_id"]
+        for r in stratified_sample_exact(
+            df, "doc_id", "lang", float(frac), hash_fn="poly"
+        ).collect()
+    }
+    assert got == expected
