@@ -209,6 +209,11 @@ def main() -> int:
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")
     if failures:
         print("failures:", " ".join(failures))
+    if prefixes and n_pass + n_fail + n_rows_only == 0:
+        # A typo'd prefix (or a stale flag like --keys) would otherwise
+        # print "0 pass, 0 fail" and exit 0 — a false green.
+        print(f"ERROR: no registry key matches prefixes {prefixes}")
+        return 2
     return 1 if n_fail else 0
 
 
