@@ -351,6 +351,66 @@ def pack_sequences(
     return df.withColumn("chunk", chunk)
 
 
+def pack_layout(
+    df: DataFrame,
+    id_col: str,
+    cost_col: str,
+    budget: int,
+    part_col: str | None = None,
+    shards: int | None = None,
+    hash_fn: str = "xxhash64",
+    max_group_rows: int | None = 50_000_000,
+) -> DataFrame:
+    """The packed-batch MANIFEST a training loader consumes: one row
+    per document with its chunk assignment AND its within-chunk
+    ``start`` offset — exactly what's needed to lay token spans into
+    fixed-``budget`` sequences and build the block-diagonal attention
+    mask without re-deriving anything at load time.
+
+    Same contract as :func:`pack_sequences` — ``chunk`` is computed by
+    the identical formula and ``start`` is pure arithmetic on the same
+    running cost (``offset − chunk·budget``), so the two window
+    expressions dedup into ONE Window node (single exchange + sort;
+    plan-asserted in pytest): deterministic in (order, costs),
+    partition-independent, sharded the same way, same loud-fail
+    ``max_group_rows`` guard. A boundary-spanning row keeps ``start <
+    budget`` but may have ``start + cost_col > budget`` (the documented
+    overrun-by-one-row of offset chunking).
+    """
+    keys = [part_col] if part_col else []
+    if shards is not None:
+        df = df.withColumn(
+            "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
+        )
+        keys.append("shard")
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offset = F.sum(cost_col).over(w) - F.col(cost_col)
+    chunk = F.floor(offset / F.lit(float(budget))).cast("long")
+    start = (offset - chunk * F.lit(int(budget))).cast("long")
+    if max_group_rows is not None:
+        gw = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+        gcnt = F.count(F.lit(1)).over(
+            gw.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        )
+        chunk = F.when(
+            F.assert_true(
+                gcnt <= F.lit(int(max_group_rows)),
+                F.lit(
+                    f"pack_layout: a packing group exceeds "
+                    f"max_group_rows={max_group_rows} — raise `shards` "
+                    f"(or max_group_rows) instead of single-task-sorting "
+                    f"a corpus slice"
+                ),
+            ).isNull(),
+            chunk,
+        )
+    return df.withColumn("chunk", chunk).withColumn("start", start)
+
+
 def split_train_holdout(
     df: DataFrame, key_col: str, holdout_fraction: float = 0.01, salt: int = 0
 ) -> tuple[DataFrame, DataFrame]:

@@ -43,6 +43,7 @@ _PRIORITY_R9 = [
     # ==== round-9 verification window (first ~50 keys) ====
     # -- NEW in round 9 --
     "b18_approx_bounds",  # NEW: sketch-accuracy invariant projection
+    "xpack_layout",  # NEW: per-doc packed-batch manifest (chunk+start)
     "xsource_overlap",  # NEW: pairwise source content-overlap matrix
     "xtok_fertility",  # NEW: per-lang tokenizer fertility / bytes-per-subword
     "xpipeline_curriculum",  # NEW: gate→mix→curriculum e2e (chained oracle)

@@ -419,6 +419,26 @@ def q_xsample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xpack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packed-batch manifest (r9): per DOC chunk assignment + the
+    within-chunk start offset a training loader lays token spans with
+    (``operators/sampling.py::pack_layout`` — same window as
+    pack_sequences, start = running offset − chunk·budget)."""
+    from kamu_engine_datafusion_spark.operators.sampling import pack_layout
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].withColumn(
+        "__cost", X.token_count("text").cast("long")
+    )
+    return pack_layout(
+        d, "doc_id", "__cost", budget=512, part_col="lang", shards=4,
+        hash_fn="poly",
+    ).select(
+        "lang", "shard", "chunk", "doc_id",
+        "start", F.col("__cost").alias("length"),
+    )
+
+
 def q_xpack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing: whitespace-token costs, 2048-token chunks per
     (lang, shard) by running-offset assignment; per-chunk doc and token
@@ -2406,6 +2426,7 @@ QUERIES = {
     "xmix_budget": q_xmix_budget,
     "xpipeline_e2e": q_xpipeline_e2e,
     "xpack_sequences": q_xpack_sequences,
+    "xpack_layout": q_xpack_layout,
     "xvocab": q_xvocab,
     "xvocab_oov": q_xvocab_oov,
     "xlm_score": q_xlm_score,
@@ -3272,6 +3293,19 @@ ORACLES = {
         "SELECT lang, shard, chunk, count(*) AS n_docs, "
         "CAST(SUM(cost) AS BIGINT) AS n_tokens "
         "FROM p GROUP BY lang, shard, chunk"
+    ),
+    "xpack_layout": (
+        "WITH c AS (SELECT lang, doc_id, "
+        "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
+        "AS cost, "
+        + _poly_shard_sql("doc_id", 4)
+        + " AS shard FROM documents), "
+        "p AS (SELECT lang, shard, doc_id, cost, "
+        "SUM(cost) OVER (PARTITION BY lang, shard ORDER BY doc_id) - cost "
+        "AS off FROM c) "
+        "SELECT lang, shard, CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk, "
+        "doc_id, CAST(off - FLOOR(off / 512.0) * 512 AS BIGINT) AS start, "
+        "cost AS length FROM p"
     ),
     "xvocab": (
         "WITH tok AS (SELECT unnest(string_split_regex(trim(lower(text)), "

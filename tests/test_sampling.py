@@ -795,3 +795,31 @@ def test_pack_sequences_eager_guard(spark):
     )
     # a projection that never reads chunk — the exact pruning case
     assert ok.select("doc_id").count() == 100
+
+
+def test_pack_layout_manifest(spark):
+    """pack_layout: chunk matches pack_sequences exactly; start is the
+    within-chunk exclusive offset (0 for each chunk's first row,
+    < budget always, consecutive rows advance by cost except across a
+    chunk boundary); plan keeps ONE exchange (chunk+start share the
+    running-cost window)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_layout,
+        pack_sequences,
+    )
+
+    rows = [(i, "g", c) for i, c in enumerate([50, 60, 40, 100, 10, 95])]
+    df = spark.createDataFrame(rows, ["k", "grp", "cost"])
+    lay = pack_layout(df, "k", "cost", budget=100, part_col="grp")
+    # plan BEFORE execution: post-collect AQE prints final+initial plans
+    # and double-counts the exchange string
+    plan = lay._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    got = {r["k"]: (r["chunk"], r["start"]) for r in lay.collect()}
+    # offsets: 0,50,110,150,250,260 -> chunk 0,0,1,1,2,2; start = off-100*chunk
+    assert got == {0: (0, 0), 1: (0, 50), 2: (1, 10), 3: (1, 50),
+                   4: (2, 50), 5: (2, 60)}
+    seq = {r["k"]: r["chunk"] for r in
+           pack_sequences(df, "k", "cost", 100, "grp").collect()}
+    assert {k: v[0] for k, v in got.items()} == seq
+    assert all(0 <= s < 100 for _c, s in got.values())
