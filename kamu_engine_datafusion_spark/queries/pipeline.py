@@ -3303,8 +3303,10 @@ ORACLES = {
         "p AS (SELECT lang, shard, doc_id, cost, "
         "SUM(cost) OVER (PARTITION BY lang, shard ORDER BY doc_id) - cost "
         "AS off FROM c) "
-        "SELECT lang, shard, CAST(FLOOR(off / 512.0) AS BIGINT) AS chunk, "
-        "doc_id, CAST(off - FLOOR(off / 512.0) * 512 AS BIGINT) AS start, "
+        "SELECT lang, shard, "
+        "CAST(FLOOR(CAST(off AS DOUBLE) / 512.0) AS BIGINT) AS chunk, "
+        "doc_id, CAST(off - FLOOR(CAST(off AS DOUBLE) / 512.0) * 512 "
+        "AS BIGINT) AS start, "
         "cost AS length FROM p"
     ),
     "xvocab": (
