@@ -446,3 +446,145 @@ def confusion_matrix(
         F.col("n").cast("long").alias("n"),
         half_up(F.col("n") / F.sum("n").over(w), 4).alias("rate"),
     )
+
+
+def zone_map_audit(
+    df: DataFrame,
+    order_col: str,
+    keys: dict,
+    chunk_rows: int,
+    n_probes: int = 9,
+) -> DataFrame:
+    """Zone-map / clustering-quality audit for candidate layout keys —
+    the decision input for "should this 100 TB table be sorted (or
+    Z-ordered) by column X?".
+
+    ``order_col`` is the physical-position proxy (a dense monotonic id:
+    the ODF ``offset`` ledger column, or any ingestion sequence);
+    ``floor(order_col / chunk_rows)`` models the file/row-group a row
+    would land in under the current layout. For every candidate key in
+    ``keys`` (name → integral-valued Column) the audit builds the
+    per-chunk ``[min, max]`` zone map — exactly the footer statistics
+    Parquet keeps per row group and Delta/Iceberg keep per file — and
+    reports, per key:
+
+    - ``skip_frac`` for each of ``n_probes`` point probes placed at
+      equal fractions of the key's global range (probe k at
+      ``lo + floor((hi-lo)*k / (n_probes+1))``): the fraction of chunks
+      whose zone range excludes the probe, i.e. the fraction of files a
+      point predicate on that key would never read. ~1 - 1/n_chunks for
+      a perfectly clustered key; ~0 for a key uncorrelated with layout
+      (every chunk's range spans the domain, nothing prunes).
+    - ``interleave_frac``: with chunks ordered by ``zmin``, the
+      fraction whose range overlaps its predecessor's (``prev_max >=
+      zmin``) — 0 means chunk ranges tile disjointly (already sorted),
+      ~1 means fully interleaved (a rewrite would help).
+
+    Scale: the only corpus-touching work is ONE scan feeding a partial+
+    final aggregate keyed by chunk id (no join, no window over data
+    rows). Everything downstream — melt, probe cross, lag window — runs
+    over zone-map METADATA (``n_chunks × |keys|`` rows; at 100 TB with
+    1M-row chunks that is ~1e5 rows per key), the same footprint as the
+    table-format metadata layer itself. All probe/zone arithmetic is
+    integral, so the oracle reproduces values exactly; the two ratios
+    use half-up 6dp.
+
+    Returns ``(key_name, probe_idx, probe_value, n_chunks, n_skipped,
+    skip_frac, interleave_frac)``, one row per key × probe.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    key_names = list(keys)
+    aggs = []
+    for k in key_names:
+        kc = F.col(f"__key_{k}")
+        aggs.append(F.min(kc).alias(f"__min_{k}"))
+        aggs.append(F.max(kc).alias(f"__max_{k}"))
+    projected = df.select(
+        F.floor(F.col(order_col).cast("long") / F.lit(int(chunk_rows))).alias(
+            "__chunk"
+        ),
+        *[
+            (F.col(c) if isinstance(c, str) else c).cast("long").alias(f"__key_{k}")
+            for k, c in keys.items()
+        ],
+    )
+    zm_wide = projected.groupBy("__chunk").agg(*aggs)
+    stack_args = ", ".join(f"'{k}', __min_{k}, __max_{k}" for k in key_names)
+    # Three consumers read the zone map (bounds/probes, the skip join,
+    # the interleave window); without a barrier each would re-run the
+    # corpus scan. The zone map is metadata-sized, so cut lineage and
+    # materialize it once (the clustering.py localCheckpoint pattern —
+    # no cache-registry entry to leak).
+    zm = zm_wide.selectExpr(
+        "__chunk",
+        f"stack({len(key_names)}, {stack_args}) AS (key_name, zmin, zmax)",
+    ).localCheckpoint(eager=True)
+
+    bounds = zm.groupBy("key_name").agg(
+        F.min("zmin").alias("__lo"),
+        F.max("zmax").alias("__hi"),
+        F.count(F.lit(1)).alias("n_chunks"),
+    )
+    step = n_probes + 1
+    probes = bounds.select(
+        "key_name",
+        "n_chunks",
+        F.explode(F.sequence(F.lit(1), F.lit(n_probes))).alias("__k"),
+        "__lo",
+        "__hi",
+    ).select(
+        "key_name",
+        "n_chunks",
+        F.col("__k").cast("long").alias("probe_idx"),
+        (
+            F.col("__lo")
+            + F.floor(
+                (F.col("__hi") - F.col("__lo")) * F.col("__k") / F.lit(float(step))
+            ).cast("long")
+        ).alias("probe_value"),
+    )
+    skipped = (
+        zm.join(F.broadcast(probes), "key_name")
+        .groupBy("key_name", "probe_idx", "probe_value", "n_chunks")
+        .agg(
+            F.sum(
+                F.when(
+                    (F.col("zmin") <= F.col("probe_value"))
+                    & (F.col("probe_value") <= F.col("zmax")),
+                    F.lit(0),
+                ).otherwise(F.lit(1))
+            )
+            .cast("long")
+            .alias("n_skipped")
+        )
+    )
+
+    w = Window.partitionBy("key_name").orderBy("zmin", "zmax", "__chunk")
+    interleave = (
+        zm.withColumn("__prev_max", F.lag("zmax").over(w))
+        .groupBy("key_name")
+        .agg(
+            half_up(
+                F.sum(
+                    F.when(
+                        F.col("__prev_max").isNotNull()
+                        & (F.col("__prev_max") >= F.col("zmin")),
+                        F.lit(1),
+                    ).otherwise(F.lit(0))
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("interleave_frac")
+        )
+    )
+
+    return skipped.join(F.broadcast(interleave), "key_name").select(
+        "key_name",
+        "probe_idx",
+        "probe_value",
+        "n_chunks",
+        "n_skipped",
+        half_up(F.col("n_skipped") / F.col("n_chunks"), 6).alias("skip_frac"),
+        "interleave_frac",
+    )

@@ -2066,6 +2066,31 @@ def q_xprofile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xlayout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map clustering audit of `events` under its ingestion layout
+    (``operators/profile.py::zone_map_audit``): per-chunk min/max zone
+    maps over 50-row chunks of ``event_id`` (the physical-position
+    proxy), point-probe skip fractions + interleave for two candidate
+    sort keys — ``ts_ms`` (ingestion-correlated → prunes nearly
+    everything) vs ``user_id`` (random → prunes nothing). The
+    data-layout decision input: which key deserves the table's sort
+    order at 100 TB."""
+    from kamu_engine_datafusion_spark.operators.profile import zone_map_audit
+
+    t = load(spark, sf_dir, "events")
+    return zone_map_audit(
+        t["events"],
+        order_col="event_id",
+        # ts reads as TIMESTAMP_NTZ from the driver's parquet; session TZ
+        # is UTC so the cast is a type relabel (matches epoch_ms(ts))
+        keys={
+            "ts_ms": F.unix_millis(F.col("ts").cast("timestamp")),
+            "user_id": F.col("user_id"),
+        },
+        chunk_rows=50,
+    )
+
+
 def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules as boolean columns + the combined
     verdict, per document (``operators/text.py::gopher_rules``)."""
@@ -2466,6 +2491,7 @@ QUERIES = {
     "xsalted_agg": q_xsalted_agg,
     "xdedup_incremental": q_xdedup_incremental,
     "xprofile": q_xprofile,
+    "xlayout_zonemap": q_xlayout_zonemap,
     "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
@@ -3598,6 +3624,46 @@ ORACLES = {
         "UNION ALL SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem "
         "UNION ALL SELECT 'l_tax', CAST(l_tax AS DOUBLE) FROM lineitem"
         ") GROUP BY col"
+    ),
+    "xlayout_zonemap": (
+        # All zone/probe arithmetic integral (BIGINT); the two ratios use
+        # the half-up floor idiom mirroring the engine's half_up(…, 6).
+        # FLOOR divisors cast via a DOUBLE literal to mirror Spark's
+        # float division exactly (the xpack_layout rule).
+        "WITH zw AS (SELECT CAST(FLOOR(CAST(event_id AS DOUBLE) / 50.0) "
+        "AS BIGINT) AS chunk, "
+        "min(epoch_ms(ts)) AS min_ts, max(epoch_ms(ts)) AS max_ts, "
+        "min(CAST(user_id AS BIGINT)) AS min_uid, "
+        "max(CAST(user_id AS BIGINT)) AS max_uid "
+        "FROM events GROUP BY 1), "
+        "zm AS (SELECT chunk, 'ts_ms' AS key_name, min_ts AS zmin, "
+        "max_ts AS zmax FROM zw "
+        "UNION ALL SELECT chunk, 'user_id', min_uid, max_uid FROM zw), "
+        "b AS (SELECT key_name, min(zmin) AS lo, max(zmax) AS hi, "
+        "CAST(count(*) AS BIGINT) AS n_chunks FROM zm GROUP BY 1), "
+        "p AS (SELECT key_name, n_chunks, CAST(k.probe_idx AS BIGINT) "
+        "AS probe_idx, "
+        "lo + CAST(FLOOR(CAST((hi - lo) * k.probe_idx AS DOUBLE) / 10.0) "
+        "AS BIGINT) AS probe_value "
+        "FROM b CROSS JOIN (SELECT unnest(range(1, 10)) AS probe_idx) k), "
+        "s AS (SELECT p.key_name, p.probe_idx, p.probe_value, p.n_chunks, "
+        "CAST(sum(CASE WHEN m.zmin <= p.probe_value "
+        "AND p.probe_value <= m.zmax THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS n_skipped "
+        "FROM p JOIN zm m ON m.key_name = p.key_name "
+        "GROUP BY 1, 2, 3, 4), "
+        "i AS (SELECT key_name, "
+        "FLOOR(CAST(sum(CASE WHEN prev_max IS NOT NULL AND prev_max >= zmin "
+        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS interleave_frac FROM ("
+        "SELECT key_name, zmin, lag(zmax) OVER (PARTITION BY key_name "
+        "ORDER BY zmin, zmax, chunk) AS prev_max FROM zm) GROUP BY 1) "
+        "SELECT s.key_name, s.probe_idx, s.probe_value, s.n_chunks, "
+        "s.n_skipped, "
+        "FLOOR(CAST(s.n_skipped AS DOUBLE) / s.n_chunks * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS skip_frac, "
+        "i.interleave_frac "
+        "FROM s JOIN i ON i.key_name = s.key_name"
     ),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "

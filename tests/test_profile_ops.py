@@ -125,3 +125,61 @@ def test_population_stability_identical_and_shifted(spark):
     assert sum(r["n_new"] for r in drift) == 1000
     top = [r for r in drift if r["bin"] == 9][0]
     assert top["n_new"] > top["n_ref"]
+
+
+# ---------------------------------------------------------------------------
+# zone_map_audit
+# ---------------------------------------------------------------------------
+
+
+def _zm(spark, key_fn):
+    from kamu_engine_datafusion_spark.operators.profile import zone_map_audit
+
+    df = spark.createDataFrame(
+        [(i, key_fn(i)) for i in range(40)], "pos long, k long"
+    )
+    return {
+        (r["key_name"], r["probe_idx"]): r
+        for r in zone_map_audit(
+            df, "pos", {"k": F.col("k")}, chunk_rows=10
+        ).collect()
+    }
+
+
+def test_zone_map_audit_sorted_key_prunes(spark):
+    # key = 2*pos -> 4 disjoint chunk ranges [0,18][20,38][40,58][60,78];
+    # probe 5 lands at 39, in the gap between chunks -> skips all 4.
+    got = _zm(spark, lambda i: 2 * i)
+    assert len(got) == 9
+    for k in range(1, 10):
+        r = got[("k", k)]
+        assert r["n_chunks"] == 4
+        assert r["interleave_frac"] == 0.0
+        expect_skip = 1.0 if k == 5 else 0.75
+        assert r["skip_frac"] == expect_skip, (k, r)
+    assert got[("k", 1)]["probe_value"] == 7  # floor(78*1/10)
+    assert got[("k", 5)]["probe_value"] == 39
+
+
+def test_zone_map_audit_constant_key_never_prunes(spark):
+    # every chunk's range is [7,7]; probes all hit; ranges fully overlap
+    got = _zm(spark, lambda i: 7)
+    for k in range(1, 10):
+        r = got[("k", k)]
+        assert r["probe_value"] == 7
+        assert r["skip_frac"] == 0.0
+        assert r["interleave_frac"] == 0.75  # 3 of 4 overlap predecessor
+
+
+def test_zone_map_audit_interleaved_key_never_prunes(spark):
+    # key = pos % 10: every chunk spans [0,9] -> nothing prunes, full
+    # interleave; descending layouts are NOT penalized (order-agnostic)
+    got = _zm(spark, lambda i: i % 10)
+    for k in range(1, 10):
+        r = got[("k", k)]
+        assert r["skip_frac"] == 0.0
+        assert r["interleave_frac"] == 0.75
+    got_desc = _zm(spark, lambda i: 2 * (39 - i))
+    for k in range(1, 10):
+        assert got_desc[("k", k)]["interleave_frac"] == 0.0
+        assert got_desc[("k", k)]["skip_frac"] in (0.75, 1.0)
