@@ -43,6 +43,7 @@ _PRIORITY_R9 = [
     # ==== round-9 verification window (first ~50 keys) ====
     # -- NEW in round 9 --
     "xlayout_zonemap",  # NEW: zone-map clustering/skip-fraction audit
+    "xlayout_zorder",  # NEW: z-order rewrite audited via z-cell zone maps
     "b18_approx_bounds",  # NEW: sketch-accuracy invariant projection
     "xpack_layout",  # NEW: per-doc packed-batch manifest (chunk+start)
     "xsource_overlap",  # NEW: pairwise source content-overlap matrix

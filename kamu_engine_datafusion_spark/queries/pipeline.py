@@ -2091,6 +2091,36 @@ def q_xlayout_zonemap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xlayout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite the zone-map audit recommends, audited: Morton
+    z-order `events` on (ts_ms, user_id) (``sources/compact.py::
+    zorder_value`` — 16-bit min-max codes, bit-interleaved) and rerun
+    ``zone_map_audit`` with the z-value itself as the physical-position
+    proxy (chunk = z >> 24, i.e. a fixed-granularity z-cell = the
+    hyper-rectangle a z-ordered writer packs into one file). Where the
+    ingestion layout prunes only ts (`xlayout_zonemap`: ts skip ~0.99,
+    user_id ~0), the z-layout's per-chunk min/max spans ~1/16 of BOTH
+    domains, so point probes skip ~15/16 of chunks on EITHER key — the
+    OPTIMIZE...ZORDER before/after evidence at 100 TB, computed without
+    writing a byte."""
+    from kamu_engine_datafusion_spark.operators.profile import zone_map_audit
+    from kamu_engine_datafusion_spark.sources.compact import zorder_value
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("user_id").cast("long").alias("user_id"),
+    )
+    with_bounds, z = zorder_value(ev, ["ts_ms", "user_id"], bits_per_col=16)
+    zdf = with_bounds.select("ts_ms", "user_id", z.alias("zv"))
+    return zone_map_audit(
+        zdf,
+        order_col="zv",
+        keys={"ts_ms": F.col("ts_ms"), "user_id": F.col("user_id")},
+        chunk_rows=1 << 24,
+    )
+
+
 def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules as boolean columns + the combined
     verdict, per document (``operators/text.py::gopher_rules``)."""
@@ -2492,6 +2522,7 @@ QUERIES = {
     "xdedup_incremental": q_xdedup_incremental,
     "xprofile": q_xprofile,
     "xlayout_zonemap": q_xlayout_zonemap,
+    "xlayout_zorder": q_xlayout_zorder,
     "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
@@ -3210,6 +3241,74 @@ def _pipeline_embed_oracle(
     return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
+def _zorder_layout_oracle() -> str:
+    """Oracle for ``xlayout_zorder``: reproduces the Morton z-value
+    bit-for-bit (16-bit min-max codes over IEEE-double scaling in the
+    engine's exact expression order, then 32 disjoint-bit interleave
+    terms summed), chunks on ``z >> 24`` via the same
+    FLOOR(double/literal) idiom the engine's zone_map_audit uses, and
+    reruns the xlayout_zonemap zone-map CTEs over the z-chunks."""
+    interleave = " + ".join(
+        f"((({code} >> {bit}) & 1) << {2 * bit + ci})"
+        for bit in range(16)
+        for ci, code in enumerate(("ct", "cu"))
+    )
+    code_t = (
+        "CASE WHEN hi_t = lo_t THEN 0 ELSE COALESCE(LEAST(65535, "
+        "CAST(FLOOR((CAST(ts_ms AS DOUBLE) - lo_t) / (hi_t - lo_t) "
+        "* 65536) AS BIGINT)), 0) END"
+    )
+    code_u = (
+        "CASE WHEN hi_u = lo_u THEN 0 ELSE COALESCE(LEAST(65535, "
+        "CAST(FLOOR((CAST(user_id AS DOUBLE) - lo_u) / (hi_u - lo_u) "
+        "* 65536) AS BIGINT)), 0) END"
+    )
+    return (
+        "WITH src AS (SELECT epoch_ms(ts) AS ts_ms, "
+        "CAST(user_id AS BIGINT) AS user_id FROM events), "
+        "bd AS (SELECT min(CAST(ts_ms AS DOUBLE)) AS lo_t, "
+        "max(CAST(ts_ms AS DOUBLE)) AS hi_t, "
+        "min(CAST(user_id AS DOUBLE)) AS lo_u, "
+        "max(CAST(user_id AS DOUBLE)) AS hi_u FROM src), "
+        f"coded AS (SELECT ts_ms, user_id, {code_t} AS ct, {code_u} AS cu "
+        "FROM src, bd), "
+        f"zc AS (SELECT ts_ms, user_id, {interleave} AS zv FROM coded), "
+        "zw AS (SELECT CAST(FLOOR(CAST(zv AS DOUBLE) / 16777216.0) "
+        "AS BIGINT) AS chunk, "
+        "min(ts_ms) AS min_ts, max(ts_ms) AS max_ts, "
+        "min(user_id) AS min_uid, max(user_id) AS max_uid "
+        "FROM zc GROUP BY 1), "
+        "zm AS (SELECT chunk, 'ts_ms' AS key_name, min_ts AS zmin, "
+        "max_ts AS zmax FROM zw "
+        "UNION ALL SELECT chunk, 'user_id', min_uid, max_uid FROM zw), "
+        "b AS (SELECT key_name, min(zmin) AS lo, max(zmax) AS hi, "
+        "CAST(count(*) AS BIGINT) AS n_chunks FROM zm GROUP BY 1), "
+        "p AS (SELECT key_name, n_chunks, CAST(k.probe_idx AS BIGINT) "
+        "AS probe_idx, "
+        "lo + CAST(FLOOR(CAST((hi - lo) * k.probe_idx AS DOUBLE) / 10.0) "
+        "AS BIGINT) AS probe_value "
+        "FROM b CROSS JOIN (SELECT unnest(range(1, 10)) AS probe_idx) k), "
+        "s AS (SELECT p.key_name, p.probe_idx, p.probe_value, p.n_chunks, "
+        "CAST(sum(CASE WHEN m.zmin <= p.probe_value "
+        "AND p.probe_value <= m.zmax THEN 0 ELSE 1 END) AS BIGINT) "
+        "AS n_skipped "
+        "FROM p JOIN zm m ON m.key_name = p.key_name "
+        "GROUP BY 1, 2, 3, 4), "
+        "i AS (SELECT key_name, "
+        "FLOOR(CAST(sum(CASE WHEN prev_max IS NOT NULL AND prev_max >= zmin "
+        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS interleave_frac FROM ("
+        "SELECT key_name, zmin, lag(zmax) OVER (PARTITION BY key_name "
+        "ORDER BY zmin, zmax, chunk) AS prev_max FROM zm) GROUP BY 1) "
+        "SELECT s.key_name, s.probe_idx, s.probe_value, s.n_chunks, "
+        "s.n_skipped, "
+        "FLOOR(CAST(s.n_skipped AS DOUBLE) / s.n_chunks * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS skip_frac, "
+        "i.interleave_frac "
+        "FROM s JOIN i ON i.key_name = s.key_name"
+    )
+
+
 ORACLES = {
     "xdedup_minhash_sql": _minhash_sql_oracle(),
     "xdedup_simhash_sql": _simhash_sql_oracle(),
@@ -3665,6 +3764,7 @@ ORACLES = {
         "i.interleave_frac "
         "FROM s JOIN i ON i.key_name = s.key_name"
     ),
+    "xlayout_zorder": _zorder_layout_oracle(),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
         "string_split_regex(trim(text), '\\s+') AS w, "

@@ -183,3 +183,26 @@ def test_zone_map_audit_interleaved_key_never_prunes(spark):
     for k in range(1, 10):
         assert got_desc[("k", k)]["interleave_frac"] == 0.0
         assert got_desc[("k", k)]["skip_frac"] in (0.75, 1.0)
+
+
+def test_zone_map_audit_zorder_layout_prunes_both_dims(spark):
+    # 16x16 grid; 16-bit codes top-4-bit-chunked (z >> 24) puts each
+    # grid cell in its own chunk: every point probe on either dim hits
+    # exactly the 16 chunks of one grid line -> skip 240/256 = 0.9375.
+    from kamu_engine_datafusion_spark.operators.profile import zone_map_audit
+    from kamu_engine_datafusion_spark.sources.compact import zorder_value
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(16) for y in range(16)], "x long, y long"
+    )
+    with_bounds, z = zorder_value(df, ["x", "y"], bits_per_col=16)
+    got = zone_map_audit(
+        with_bounds.select("x", "y", z.alias("zv")),
+        "zv",
+        {"x": F.col("x"), "y": F.col("y")},
+        chunk_rows=1 << 24,
+    ).collect()
+    assert len(got) == 18
+    for r in got:
+        assert r["n_chunks"] == 256
+        assert r["skip_frac"] == 0.9375, r
