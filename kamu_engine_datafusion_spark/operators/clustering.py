@@ -193,3 +193,231 @@ def canonical_by_score(
         .select(F.col("node").alias(id_col))
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def kmeans_fixed_point(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 10_000,
+) -> DataFrame:
+    """Lloyd's k-means over an embedding column in fixed-point integer
+    arithmetic — the SemDeDup / cluster-then-curate building block,
+    made bit-reproducible across engines and partitionings.
+
+    Floating-point k-means is NOT reproducible on a cluster: the
+    centroid mean is a float sum whose value depends on partition
+    order. Here every vector is quantized once to ``floor(x*scale +
+    0.5)`` (half-up; never ``round`` — engines disagree on .5 ties),
+    so centroid sums are BIGINT — exactly associative, any partition
+    order — and centroid updates are ``floor(sum/count)``, identical
+    IEEE-double division everywhere. Squared L2 distances and the
+    argmin are pure integer math; ties break to the lowest centroid id
+    via the ``dist*k + cid`` encoding (single ``least``, no window).
+
+    Initialization is deterministic: the ``k`` lowest-``id_col``
+    vectors, in id order.
+
+    Scale shape (the Spark-first Lloyd's): per iteration, ONE partial+
+    final aggregate over the corpus producing ``k × (dim+1)`` longs
+    (the only shuffle — map-side combine reduces each task to ≤ k
+    rows), centroids collected to the driver (bounded: k·dim ints) and
+    re-broadcast as literals inside the next iteration's in-row
+    distance fold. Assignment never shuffles the corpus. The quantized
+    input is ``localCheckpoint``-ed once so the ``iters`` passes re-read
+    columnar cache, not parquet; at true 100 TB swap for
+    ``persist(MEMORY_AND_DISK)`` — same plan, spillable.
+
+    Returns ``(id_col, cluster, dist2q)``: final assignment and the
+    quantized squared distance to the winning centroid.
+    """
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
+                "long"
+            ),
+        ).alias("__qv"),
+    ).localCheckpoint(eager=True)
+
+    init = q.orderBy(id_col).limit(k).collect()
+    cents: list[list[int]] = [list(r["__qv"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(cents)}")
+
+    def enc_expr(centroids: list[list[int]]):
+        encs = []
+        for cid, vec in enumerate(centroids):
+            dist = F.aggregate(
+                F.zip_with(
+                    F.col("__qv"),
+                    F.array(*[F.lit(int(v)) for v in vec]),
+                    lambda a, b: (a - b) * (a - b),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            encs.append(dist * F.lit(k) + F.lit(cid))
+        return encs[0] if k == 1 else F.least(*encs)
+
+    for _ in range(iters):
+        enc = enc_expr(cents)
+        stats = (
+            q.withColumn("__cid", (enc % F.lit(k)).cast("long"))
+            .groupBy("__cid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__qv", j + 1)).alias(f"__s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cid = {int(r["__cid"]): r for r in stats}
+        import math
+
+        cents = [
+            [
+                int(math.floor(by_cid[cid][f"__s{j}"] / by_cid[cid]["__n"]))
+                for j in range(dim)
+            ]
+            if cid in by_cid
+            else cents[cid]  # empty cluster: keep previous centroid
+            for cid in range(k)
+        ]
+
+    enc = enc_expr(cents)
+    cid = (enc % F.lit(k)).cast("long")
+    return q.select(
+        F.col(id_col),
+        cid.alias("cluster"),
+        ((enc - cid) / F.lit(k)).cast("long").alias("dist2q"),
+    )
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 8,
+    iters: int = 3,
+    scale: int = 10_000,
+    sim_scale: int = 1_000,
+    tau2_num: int = 9_025,
+    tau2_den: int = 10_000,
+    max_cluster_rows: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic dedup by
+    clustering embeddings, then dropping near-duplicates WITHIN each
+    cluster — the clustering is what makes pairwise similarity
+    tractable, shrinking O(n²) to O(Σ cᵢ²).
+
+    Clustering is :func:`kmeans_fixed_point` (bit-reproducible). The
+    within-cluster similarity is a *quantized cosine*: vectors are
+    re-quantized at ``sim_scale`` and a pair is a near-dup iff
+    ``dot > 0`` and ``dot² · tau2_den ≥ tau2_num · ‖a‖²·‖b‖²`` — the
+    cosine² ≥ τ² test cleared of division and square roots, pure BIGINT
+    (defaults encode τ = 0.95: 9025/10000). ``sim_scale`` is smaller
+    than the clustering ``scale`` because the test squares a dot
+    product: with ``|x| ≤ ~0.6`` and dim 64, ``dot ≤ dim·(0.6·1e3)² ≈
+    2.3e7`` so ``dot²·tau2_den ≤ ~5e18`` stays inside BIGINT, which
+    ``scale=1e4`` would overflow. Inputs are assumed ≈unit-norm
+    (``|xᵢ| ≤ 1``-ish, the embedding-model convention); vectors with
+    much larger components overflow the τ² product and, with Spark's
+    ANSI mode on, fail LOUDLY (`ARITHMETIC_OVERFLOW`) instead of
+    silently wrapping — lower ``sim_scale`` for wide-range inputs.
+
+    A row is dropped when ANY lower-id row in its cluster is a near-dup
+    (the greedy keep-first-by-id rule of the paper — no transitive
+    closure). Returns ``(id_col, cluster, n_dups, is_kept)`` with
+    ``n_dups`` the count of lower-id near-dup partners and ``is_kept``
+    a 0/1 BIGINT.
+
+    Scale: the only quadratic work is the within-cluster self-join; its
+    budget is set by cluster granularity (at 100 TB, pick
+    ``k ≈ n / target_cluster_rows`` so each cluster is bounded — the
+    paper uses ~100k clusters for web-scale corpora). Pass
+    ``max_cluster_rows`` to fail loudly (driver-side, one k-row
+    aggregate) before any oversize cluster detonates the join.
+    """
+    assign = kmeans_fixed_point(df, id_col, vec_col, dim, k, iters, scale)
+    q2 = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(sim_scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("__q2"),
+    )
+    a = (
+        q2.join(assign.select(id_col, "cluster"), id_col)
+        .withColumn(
+            "__n2",
+            F.aggregate(
+                F.transform(F.col("__q2"), lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    if max_cluster_rows is not None:
+        sizes = a.groupBy("cluster").count().collect()
+        over = [(r["cluster"], r["count"]) for r in sizes if r["count"] > max_cluster_rows]
+        if over:
+            raise ValueError(
+                f"semdedup: clusters exceed max_cluster_rows={max_cluster_rows}: "
+                f"{over}; raise k to shrink clusters"
+            )
+    left = a.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__lid"),
+        F.col("__q2").alias("__lq"),
+        F.col("__n2").alias("__ln"),
+    )
+    right = a.select(
+        F.col("cluster"),
+        F.col(id_col).alias("__rid"),
+        F.col("__q2").alias("__rq"),
+        F.col("__n2").alias("__rn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__lq"), F.col("__rq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        left.join(right, "cluster")
+        .filter(F.col("__lid") < F.col("__rid"))
+        .withColumn("__dot", dot)
+        .filter(
+            (F.col("__dot") > 0)
+            & (
+                F.col("__dot") * F.col("__dot") * F.lit(tau2_den)
+                >= F.lit(tau2_num) * F.col("__ln") * F.col("__rn")
+            )
+        )
+        .groupBy("__rid")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dups"))
+    )
+    return (
+        a.join(dups, a[id_col] == dups["__rid"], "left")
+        .select(
+            F.col(id_col),
+            F.col("cluster"),
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+            F.when(F.col("__rid").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_kept"),
+        )
+    )

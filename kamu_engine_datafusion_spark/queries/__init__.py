@@ -44,6 +44,8 @@ _PRIORITY_R9 = [
     # -- NEW in round 9 --
     "xlayout_zonemap",  # NEW: zone-map clustering/skip-fraction audit
     "xlayout_zorder",  # NEW: z-order rewrite audited via z-cell zone maps
+    "xcluster_kmeans",  # NEW: fixed-point Lloyd's k-means over embeddings
+    "xcluster_semdedup",  # NEW: SemDeDup — within-cluster quantized-cosine dedup
     "b18_approx_bounds",  # NEW: sketch-accuracy invariant projection
     "xpack_layout",  # NEW: per-doc packed-batch manifest (chunk+start)
     "xsource_overlap",  # NEW: pairwise source content-overlap matrix

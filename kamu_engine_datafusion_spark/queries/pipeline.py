@@ -2121,6 +2121,45 @@ def q_xlayout_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xcluster_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd's k-means (k=8, 3 iterations) over the
+    embedding corpus (``operators/clustering.py::kmeans_fixed_point``)
+    — the SemDeDup cluster-then-curate step, bit-reproducible: integer
+    quantization makes centroid sums associative (partition-order-
+    free), so the DuckDB oracle replays the identical trajectory and
+    the per-vector assignment + quantized distance hash-match."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(
+        t["embeddings"], "vec_id", "embedding", dim=64, k=8, iters=3
+    )
+
+
+def q_xcluster_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup over the embedding corpus
+    (``operators/clustering.py::semdedup``): fixed-point k-means (k=8,
+    3 iters) restricts the quadratic near-dup scan to within-cluster
+    pairs; quantized-cosine τ=0.95 in pure BIGINT (dot²·10⁴ ≥
+    9025·‖a‖²‖b‖²) drops every vector with a lower-id near-dup in its
+    cluster. Per-vector (cluster, n_dups, is_kept), hash-exact."""
+    from kamu_engine_datafusion_spark.operators.clustering import semdedup
+
+    t = load(spark, sf_dir, "embeddings")
+    return semdedup(
+        t["embeddings"],
+        "vec_id",
+        "embedding",
+        dim=64,
+        k=8,
+        iters=3,
+        tau2_num=2_025,
+        max_cluster_rows=500_000,
+    )
+
+
 def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules as boolean columns + the combined
     verdict, per document (``operators/text.py::gopher_rules``)."""
@@ -2523,6 +2562,8 @@ QUERIES = {
     "xprofile": q_xprofile,
     "xlayout_zonemap": q_xlayout_zonemap,
     "xlayout_zorder": q_xlayout_zorder,
+    "xcluster_kmeans": q_xcluster_kmeans,
+    "xcluster_semdedup": q_xcluster_semdedup,
     "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
@@ -3241,6 +3282,104 @@ def _pipeline_embed_oracle(
     return "".join(parts) + " " + " UNION ALL ".join(selects)
 
 
+def _kmeans_ctes(
+    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 10_000
+) -> str:
+    """Shared CTE prefix replaying the engine's fixed-point Lloyd's
+    trajectory exactly — same half-up quantization, BIGINT
+    distance/argmin encoding (``dist*k + cid``), ``floor(sum/count)``
+    centroid updates (IEEE double division both engines), empty
+    clusters keeping the previous centroid via LEFT JOIN + COALESCE.
+    ``list_sum``/``sum`` results are cast from HUGEINT back to BIGINT
+    (the known DuckDB widening divergence). Ends with CTE
+    ``a{iters+1}(vec_id, enc)``: cluster = ``enc % k``, quantized
+    squared distance = ``(enc - enc % k) / k``."""
+    parts = [
+        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{float(scale)} + 0.5) AS BIGINT)) "
+        "AS qv FROM embeddings), "
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS BIGINT) AS cid, qv FROM (SELECT vec_id, qv FROM q "
+        f"ORDER BY vec_id LIMIT {k}))"
+    ]
+    dist = (
+        f"CAST(list_sum(list_transform(range(0, {dim}), "
+        "j -> (q.qv[j+1]-c.qv[j+1])*(q.qv[j+1]-c.qv[j+1]))) AS BIGINT)"
+    )
+    # engine loop = `iters` (assign -> update-centroids) cycles, then one
+    # final assignment with the post-loop centroids: a1..a{iters} feed
+    # updates c1..c{iters}; a{iters+1} is the emitted assignment.
+    for i in range(1, iters + 1):
+        parts.append(
+            f", a{i} AS (SELECT q.vec_id, q.qv, "
+            f"CAST(min({dist}*{k} + c.cid) AS BIGINT) AS enc "
+            f"FROM q, c{i - 1} c GROUP BY q.vec_id, q.qv)"
+            f", n{i} AS (SELECT cid, list(s ORDER BY j) AS qv FROM ("
+            f"SELECT a.enc % {k} AS cid, t.j, "
+            "CAST(FLOOR(CAST(CAST(sum(a.qv[t.j+1]) AS BIGINT) AS DOUBLE) "
+            "/ count(*)) AS BIGINT) AS s "
+            f"FROM a{i} a, range(0, {dim}) t(j) GROUP BY 1, 2) GROUP BY cid)"
+            f", c{i} AS (SELECT p.cid, COALESCE(n.qv, p.qv) AS qv "
+            f"FROM c{i - 1} p LEFT JOIN n{i} n ON n.cid = p.cid)"
+        )
+    fin = iters + 1
+    parts.append(
+        f", a{fin} AS (SELECT q.vec_id, "
+        f"CAST(min({dist}*{k} + c.cid) AS BIGINT) AS enc "
+        f"FROM q, c{iters} c GROUP BY q.vec_id)"
+    )
+    return "".join(parts)
+
+
+def _kmeans_oracle(
+    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 10_000
+) -> str:
+    """Oracle for ``xcluster_kmeans``: the shared trajectory CTEs plus
+    the per-vector (cluster, quantized-squared-distance) projection."""
+    return _kmeans_ctes(k, iters, dim, scale) + (
+        f" SELECT vec_id, CAST(enc % {k} AS BIGINT) AS cluster, "
+        f"CAST((enc - enc % {k}) / {k} AS BIGINT) AS dist2q "
+        f"FROM a{iters + 1}"
+    )
+
+
+def _semdedup_oracle(
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    scale: int = 10_000,
+    sim_scale: int = 1_000,
+    tau2_num: int = 9_025,
+    tau2_den: int = 10_000,
+) -> str:
+    """Oracle for ``xcluster_semdedup``: the k-means trajectory CTEs,
+    then the engine's within-cluster quantized-cosine pair test and the
+    greedy keep-first-by-id rule, all in BIGINT."""
+    fin = iters + 1
+    dot = (
+        f"CAST(list_sum(list_transform(range(0, {dim}), "
+        "j -> l.qv2[j+1]*r.qv2[j+1])) AS BIGINT)"
+    )
+    return _kmeans_ctes(k, iters, dim, scale) + (
+        ", q2 AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{float(sim_scale)} + 0.5) "
+        "AS BIGINT)) AS qv2 FROM embeddings)"
+        f", av AS (SELECT q2.vec_id, CAST(a.enc % {k} AS BIGINT) AS cluster, "
+        "q2.qv2, CAST(list_sum(list_transform(q2.qv2, x -> x*x)) AS BIGINT) "
+        f"AS n2 FROM q2 JOIN a{fin} a ON a.vec_id = q2.vec_id)"
+        ", d AS (SELECT rid, CAST(count(*) AS BIGINT) AS n_dups FROM ("
+        f"SELECT r.vec_id AS rid, {dot} AS dot, l.n2 AS ln, r.n2 AS rn "
+        "FROM av l JOIN av r ON l.cluster = r.cluster "
+        "AND l.vec_id < r.vec_id) "
+        f"WHERE dot > 0 AND dot*dot*{tau2_den} >= {tau2_num}*ln*rn "
+        "GROUP BY rid) "
+        "SELECT av.vec_id, av.cluster, "
+        "COALESCE(d.n_dups, CAST(0 AS BIGINT)) AS n_dups, "
+        "CAST(CASE WHEN d.rid IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+        "AS is_kept FROM av LEFT JOIN d ON d.rid = av.vec_id"
+    )
+
+
 def _zorder_layout_oracle() -> str:
     """Oracle for ``xlayout_zorder``: reproduces the Morton z-value
     bit-for-bit (16-bit min-max codes over IEEE-double scaling in the
@@ -3765,6 +3904,8 @@ ORACLES = {
         "FROM s JOIN i ON i.key_name = s.key_name"
     ),
     "xlayout_zorder": _zorder_layout_oracle(),
+    "xcluster_kmeans": _kmeans_oracle(),
+    "xcluster_semdedup": _semdedup_oracle(tau2_num=2_025),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
         "string_split_regex(trim(text), '\\s+') AS w, "

@@ -142,3 +142,117 @@ def test_canonical_by_score_keeps_best_member(spark):
     assert [
         r["doc_id"] for r in canonical_by_score(df2, pairs2, "quality").collect()
     ] == [1]
+
+
+# ---------------------------------------------------------------------------
+# kmeans_fixed_point
+# ---------------------------------------------------------------------------
+
+
+def _blob_df(spark, parts=None):
+    # two tight 2-d blobs around (0,0) and (10,10); ids interleave blobs
+    # so the k=2 lowest-id init picks one seed from each
+    rows = []
+    for i in range(20):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + (i % 5) * 0.01, base - (i % 3) * 0.01]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.repartition(parts) if parts else df
+
+
+def test_kmeans_separates_blobs_and_is_deterministic(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist2q"])
+        for r in kmeans_fixed_point(
+            _blob_df(spark), "vec_id", "embedding", dim=2, k=2, iters=3
+        ).collect()
+    }
+    assert len(got) == 20
+    # init: vec 0 (blob A) -> cid 0, vec 1 (blob B) -> cid 1; blobs are
+    # 10 apart vs intra-blob spread 0.05, so membership is by parity
+    for i in range(20):
+        assert got[i][0] == i % 2, (i, got[i])
+        assert got[i][1] < (10_000 // 10) ** 2  # well inside own blob
+
+    # partition-independence: BIGINT centroid sums are associative
+    got7 = {
+        r["vec_id"]: (r["cluster"], r["dist2q"])
+        for r in kmeans_fixed_point(
+            _blob_df(spark, parts=7), "vec_id", "embedding", dim=2, k=2, iters=3
+        ).collect()
+    }
+    assert got7 == got
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    # k=3 over data with only two real blobs: one centroid starves;
+    # the run must still return a total assignment over k<=3 ids
+    out = kmeans_fixed_point(
+        _blob_df(spark), "vec_id", "embedding", dim=2, k=3, iters=3
+    ).collect()
+    assert len(out) == 20
+    assert {r["cluster"] for r in out} <= {0, 1, 2}
+
+
+def test_kmeans_validates_inputs(spark):
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        kmeans_fixed_point,
+    )
+
+    with _pytest.raises(ValueError):
+        kmeans_fixed_point(_blob_df(spark), "vec_id", "embedding", dim=2, k=0)
+    with _pytest.raises(ValueError):
+        kmeans_fixed_point(
+            _blob_df(spark).limit(3), "vec_id", "embedding", dim=2, k=5
+        )
+
+
+def test_semdedup_drops_lower_id_near_dups_only(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import semdedup
+
+    # unit-circle blob pairs: ids (2i, 2i+1) are identical vectors ->
+    # cosine 1; distinct blobs are >=40 degrees apart (cos <= 0.77 <
+    # tau 0.95) so cross-blob pairs never trip the threshold
+    import math
+
+    rows = []
+    for i in range(8):
+        base = [math.cos(i * 0.7), math.sin(i * 0.7)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, list(base)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r["vec_id"]: (r["n_dups"], r["is_kept"])
+        for r in semdedup(
+            df, "vec_id", "embedding", dim=2, k=2, iters=2
+        ).collect()
+    }
+    assert len(got) == 16
+    for i in range(8):
+        assert got[2 * i][1] == 1  # lower id of each identical pair kept
+        assert got[2 * i + 1] == (1, 0)  # higher id dropped, 1 partner
+
+
+def test_semdedup_cluster_guard_raises(spark):
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.clustering import semdedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    with _pytest.raises(ValueError, match="max_cluster_rows"):
+        semdedup(
+            df, "vec_id", "embedding", dim=2, k=2, iters=1, max_cluster_rows=5
+        )
