@@ -421,3 +421,65 @@ def semdedup(
             .alias("is_kept"),
         )
     )
+
+
+def cluster_quality(
+    assign: DataFrame,
+    labels: DataFrame,
+    id_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Clustering-quality report against a ground-truth label column:
+    per cluster, member count, total quantized inertia (sum of
+    ``dist2q`` from :func:`kmeans_fixed_point`), the majority label
+    (ties break to the lowest label id), its member count, and purity
+    (majority/total, half-up 6dp) — the
+    did-the-clustering-find-the-classes check run before trusting a
+    cluster-level curation decision (SemDeDup pruning, per-cluster
+    sampling quotas).
+
+    ``assign`` is ``(id_col, cluster, dist2q)``; ``labels`` maps
+    ``id_col`` to ``label_col``. Scale: one corpus-cardinality equi-join
+    on ``id_col``, one partial+final aggregate to (cluster × label)
+    cardinality — bounded metadata — and windows/joins over that
+    metadata only.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    per = (
+        assign.join(
+            labels.select(
+                F.col(id_col), F.col(label_col).cast("long").alias("__lab")
+            ),
+            id_col,
+        )
+        .groupBy("cluster", "__lab")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("__n"),
+            F.sum("dist2q").cast("long").alias("__inertia"),
+        )
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.col("__n").desc(), F.col("__lab").asc()
+    )
+    maj = (
+        per.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "cluster",
+            F.col("__lab").alias("majority_label"),
+            F.col("__n").alias("n_majority"),
+        )
+    )
+    tot = per.groupBy("cluster").agg(
+        F.sum("__n").cast("long").alias("n"),
+        F.sum("__inertia").cast("long").alias("inertia_q"),
+    )
+    return tot.join(F.broadcast(maj), "cluster").select(
+        "cluster",
+        "n",
+        "inertia_q",
+        "majority_label",
+        "n_majority",
+        half_up(F.col("n_majority") / F.col("n"), 6).alias("purity"),
+    )

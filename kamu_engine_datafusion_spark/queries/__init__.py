@@ -46,6 +46,7 @@ _PRIORITY_R9 = [
     "xlayout_zorder",  # NEW: z-order rewrite audited via z-cell zone maps
     "xcluster_kmeans",  # NEW: fixed-point Lloyd's k-means over embeddings
     "xcluster_semdedup",  # NEW: SemDeDup — within-cluster quantized-cosine dedup
+    "xcluster_quality",  # NEW: per-cluster purity/inertia vs ground-truth label
     "b18_approx_bounds",  # NEW: sketch-accuracy invariant projection
     "xpack_layout",  # NEW: per-doc packed-batch manifest (chunk+start)
     "xsource_overlap",  # NEW: pairwise source content-overlap matrix

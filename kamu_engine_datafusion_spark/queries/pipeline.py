@@ -2160,6 +2160,24 @@ def q_xcluster_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xcluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality report for the fixed-point k-means run
+    against the embeddings table's ground-truth ``label``
+    (``operators/clustering.py::cluster_quality``): per cluster —
+    size, quantized inertia, majority label (ties → lowest), its
+    count, and purity (half-up 6dp). The trust-but-verify step before
+    any cluster-level curation decision."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cluster_quality,
+        kmeans_fixed_point,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    assign = kmeans_fixed_point(emb, "vec_id", "embedding", dim=64, k=8, iters=3)
+    return cluster_quality(assign, emb, "vec_id", "label")
+
+
 def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules as boolean columns + the combined
     verdict, per document (``operators/text.py::gopher_rules``)."""
@@ -2564,6 +2582,7 @@ QUERIES = {
     "xlayout_zorder": q_xlayout_zorder,
     "xcluster_kmeans": q_xcluster_kmeans,
     "xcluster_semdedup": q_xcluster_semdedup,
+    "xcluster_quality": q_xcluster_quality,
     "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
@@ -3380,6 +3399,31 @@ def _semdedup_oracle(
     )
 
 
+def _cluster_quality_oracle(k: int = 8, iters: int = 3) -> str:
+    """Oracle for ``xcluster_quality``: the k-means trajectory CTEs,
+    then the per-cluster majority-label/purity report with the same
+    (count desc, label asc) tie-break and half-up 6dp purity."""
+    fin = iters + 1
+    return _kmeans_ctes(k, iters) + (
+        f", pv AS (SELECT a.vec_id, CAST(a.enc % {k} AS BIGINT) AS cluster, "
+        f"CAST((a.enc - a.enc % {k}) / {k} AS BIGINT) AS dist2q, "
+        "CAST(e.label AS BIGINT) AS lab "
+        f"FROM a{fin} a JOIN embeddings e ON e.vec_id = a.vec_id)"
+        ", per AS (SELECT cluster, lab, CAST(count(*) AS BIGINT) AS n, "
+        "CAST(sum(dist2q) AS BIGINT) AS inertia FROM pv GROUP BY 1, 2)"
+        ", maj AS (SELECT cluster, lab AS majority_label, n AS n_majority "
+        "FROM (SELECT *, row_number() OVER (PARTITION BY cluster "
+        "ORDER BY n DESC, lab ASC) AS rn FROM per) WHERE rn = 1)"
+        ", tot AS (SELECT cluster, CAST(sum(n) AS BIGINT) AS n, "
+        "CAST(sum(inertia) AS BIGINT) AS inertia_q FROM per GROUP BY 1) "
+        "SELECT t.cluster, t.n, t.inertia_q, m.majority_label, "
+        "m.n_majority, "
+        "FLOOR(CAST(m.n_majority AS DOUBLE) / t.n * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS purity "
+        "FROM tot t JOIN maj m ON m.cluster = t.cluster"
+    )
+
+
 def _zorder_layout_oracle() -> str:
     """Oracle for ``xlayout_zorder``: reproduces the Morton z-value
     bit-for-bit (16-bit min-max codes over IEEE-double scaling in the
@@ -3906,6 +3950,7 @@ ORACLES = {
     "xlayout_zorder": _zorder_layout_oracle(),
     "xcluster_kmeans": _kmeans_oracle(),
     "xcluster_semdedup": _semdedup_oracle(tau2_num=2_025),
+    "xcluster_quality": _cluster_quality_oracle(),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
         "string_split_regex(trim(text), '\\s+') AS w, "

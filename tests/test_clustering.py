@@ -256,3 +256,54 @@ def test_semdedup_cluster_guard_raises(spark):
         semdedup(
             df, "vec_id", "embedding", dim=2, k=2, iters=1, max_cluster_rows=5
         )
+
+
+def test_cluster_quality_purity_and_tie_break(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cluster_quality,
+        kmeans_fixed_point,
+    )
+
+    df = _blob_df(spark)
+    assign = kmeans_fixed_point(df, "vec_id", "embedding", dim=2, k=2, iters=3)
+    # ground truth: blob parity, except vec 0 mislabeled -> cluster 0 is
+    # 9/10 pure; labels 7 (9 rows) vs 9 (1 row) exercise majority pick
+    labels = spark.createDataFrame(
+        [(i, 9 if i == 0 else 7 + (i % 2)) for i in range(20)],
+        "vec_id long, label long",
+    )
+    got = {
+        r["cluster"]: r
+        for r in cluster_quality(assign, labels, "vec_id", "label").collect()
+    }
+    assert set(got) == {0, 1}
+    c0, c1 = got[0], got[1]
+    assert (c0["n"], c0["majority_label"], c0["n_majority"]) == (10, 7, 9)
+    assert c0["purity"] == 0.9
+    assert (c1["n"], c1["majority_label"], c1["n_majority"]) == (10, 8, 10)
+    assert c1["purity"] == 1.0
+    # inertia_q is the sum of member dist2q
+    per_cluster = {}
+    for r in assign.collect():
+        per_cluster[r["cluster"]] = per_cluster.get(r["cluster"], 0) + r["dist2q"]
+    assert c0["inertia_q"] == per_cluster[0]
+    assert c1["inertia_q"] == per_cluster[1]
+
+
+def test_cluster_quality_majority_tie_breaks_to_lowest_label(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cluster_quality,
+    )
+    from pyspark.sql import functions as F  # noqa: N812
+
+    assign = spark.createDataFrame(
+        [(i, 0, 4) for i in range(6)], "vec_id long, cluster int, dist2q long"
+    ).select("vec_id", "cluster", F.col("dist2q"))
+    # labels 5 and 3 both have 3 members -> majority must be 3 (lowest)
+    labels = spark.createDataFrame(
+        [(i, 5 if i < 3 else 3) for i in range(6)], "vec_id long, label long"
+    )
+    row = cluster_quality(assign, labels, "vec_id", "label").collect()[0]
+    assert (row["majority_label"], row["n_majority"], row["n"]) == (3, 3, 6)
+    assert row["purity"] == 0.5
+    assert row["inertia_q"] == 24
