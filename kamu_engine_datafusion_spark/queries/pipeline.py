@@ -2178,6 +2178,64 @@ def q_xcluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_quality(assign, emb, "vec_id", "label")
 
 
+def _bigram_stream(docs, with_lang: bool = False):
+    """Exploded adjacent-bigram strings (``"w1 w2"``) of the documents
+    table — the element stream both sketch audits run on (in-row
+    zip_with over token slices; no join, no window)."""
+    from kamu_engine_datafusion_spark.functions.columns import tokens
+
+    tk = tokens("text")
+    n = F.size(tk)
+    bg = F.when(
+        n >= F.lit(2),
+        F.zip_with(
+            F.slice(tk, 1, n - 1),
+            F.slice(tk, 2, n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = (["lang"] if with_lang else []) + [F.explode(bg).alias("bigram")]
+    return docs.select(*cols)
+
+
+def q_xsketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog cardinality audit
+    (``operators/sketches.py::hll_distinct_report``): per lang —
+    exact distinct bigram-shingle count vs the 64-register HLL
+    estimate, zero-register count, relative error, and the
+    ``within_sigma`` 2-standard-error flag (pinned vs literal 1 in the
+    oracle). The shingle-cardinality estimate is what sizes a MinHash
+    dedup pass; at 100 TB the register fold replaces the exact
+    ``count(DISTINCT)``'s full key shuffle with a ≤64-longs-per-group
+    exchange."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        hll_distinct_report,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    bg = _bigram_stream(t["documents"], with_lang=True)
+    return hll_distinct_report(bg, ["lang"], "bigram", b=6, sigma_mult=2.0)
+
+
+def q_xsketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy-hitter audit
+    (``operators/sketches.py::cm_heavy_hitter_report``): exact top-20
+    corpus bigrams with their 4×256-grid estimates, the
+    ``is_overestimate`` theorem flag (pinned vs literal 1), and the
+    collision overshoot. The grid partial-aggregates to ≤1024 cells
+    per partition — head-of-Zipf frequencies at 100 TB without
+    shuffling the key space."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        cm_heavy_hitter_report,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    bg = _bigram_stream(t["documents"])
+    return cm_heavy_hitter_report(
+        bg, "bigram", top_k=20, depth=4, width=256, seed=7
+    )
+
+
 def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules as boolean columns + the combined
     verdict, per document (``operators/text.py::gopher_rules``)."""
@@ -2583,6 +2641,8 @@ QUERIES = {
     "xcluster_kmeans": q_xcluster_kmeans,
     "xcluster_semdedup": q_xcluster_semdedup,
     "xcluster_quality": q_xcluster_quality,
+    "xsketch_hll": q_xsketch_hll,
+    "xsketch_countmin": q_xsketch_countmin,
     "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
@@ -3424,6 +3484,99 @@ def _cluster_quality_oracle(k: int = 8, iters: int = 3) -> str:
     )
 
 
+def _poly31_sql(col: str) -> str:
+    """DuckDB twin of ``functions/columns.poly_hash31``: the 31-bit
+    polynomial char fold of ``col``."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+        f"string_split({col}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        "(a, b) -> (a * 31 + b) % 2147483647)"
+    )
+
+
+#: Bigram-shingle stream shared by both sketch oracles — the DuckDB
+#: twin of ``_bigram_stream``.
+_BG_CTES = (
+    "WITH t AS (SELECT lang, string_split_regex(trim(lower(text)), "
+    "'\\s+') AS toks FROM documents), "
+    "bgs AS (SELECT lang, z[1] || ' ' || z[2] AS bg FROM (SELECT lang, "
+    "unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z FROM t "
+    "WHERE len(toks) >= 2))"
+)
+
+
+def _hll_oracle(b: int = 6) -> str:
+    """Oracle for ``xsketch_hll``: replays the HLL registers exactly
+    (same poly hash, same integer trailing-zero rho) and the dyadic
+    register sum, then the estimate/error/flag report. ``2^-r`` terms
+    are exact doubles, so the float math is order-independent and
+    bit-identical to Spark's."""
+    m = 1 << b
+    cap = 31 - b + 1
+    return _BG_CTES + (
+        f", h AS (SELECT lang, bg, {_poly31_sql('bg')} AS h FROM bgs)"
+        f", rb AS (SELECT lang, h % {m} AS bucket, h >> {b} AS w FROM h)"
+        f", rho AS (SELECT lang, bucket, CASE WHEN w = 0 THEN {cap} "
+        "ELSE CAST(bit_count(CAST((w & -w) - 1 AS BIGINT)) AS BIGINT) + 1 "
+        "END AS rho FROM rb)"
+        ", regs AS (SELECT lang, bucket, max(rho) AS r FROM rho "
+        "GROUP BY 1, 2)"
+        ", agg AS (SELECT lang, CAST(count(*) AS BIGINT) AS nz, "
+        "sum(1.0 / CAST(1 << r AS DOUBLE)) AS sp FROM regs GROUP BY 1)"
+        f", est AS (SELECT lang, CAST({m} - nz AS BIGINT) AS zeros, "
+        f"0.709 * {float(m * m)} / (sp + CAST({m} - nz AS DOUBLE)) AS raw "
+        "FROM agg)"
+        ", exact AS (SELECT lang, CAST(count(DISTINCT bg) AS BIGINT) "
+        "AS exact_distinct FROM bgs GROUP BY 1) "
+        "SELECT x.lang, x.exact_distinct, e.zeros, "
+        "FLOOR(e.raw * 10000.0 + 0.5) / 10000.0 AS hll_est, "
+        "FLOOR(abs(e.raw - x.exact_distinct) / x.exact_distinct "
+        "* 1000000.0 + 0.5) / 1000000.0 AS rel_err, "
+        "CASE WHEN abs(e.raw - x.exact_distinct) <= "
+        f"(2 * 1.04 / {float(m) ** 0.5}) * x.exact_distinct "
+        "THEN 1 ELSE 0 END AS within_sigma "
+        "FROM exact x JOIN est e USING (lang)"
+    )
+
+
+def _cm_oracle(
+    depth: int = 4, width: int = 256, seed: int = 7, top_k: int = 20
+) -> str:
+    """Oracle for ``xsketch_countmin``: rebuilds the counter grid cell
+    by cell (same poly hash, same universal-family coefficients inlined
+    as literals) and pins the min-over-rows estimates, the overestimate
+    theorem flag, and the collision overshoot."""
+    from kamu_engine_datafusion_spark.functions.columns import minhash_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {c})"
+        for i, (a, c) in enumerate(minhash_coeffs(depth, seed))
+    )
+    return _BG_CTES + (
+        ", ex AS (SELECT bg, CAST(count(*) AS BIGINT) AS freq FROM bgs "
+        "GROUP BY 1)"
+        ", top AS (SELECT bg, freq FROM (SELECT bg, freq, row_number() "
+        "OVER (ORDER BY freq DESC, bg) AS rn FROM ex) "
+        f"WHERE rn <= {top_k})"
+        f", coeff(i, a, b) AS (VALUES {vals})"
+        f", h AS (SELECT {_poly31_sql('bg')} AS h FROM bgs)"
+        ", grid AS (SELECT c.i, ((h.h * c.a + c.b) % 2147483647) "
+        f"% {width} AS bucket, CAST(count(*) AS BIGINT) AS c "
+        "FROM h CROSS JOIN coeff c GROUP BY 1, 2)"
+        f", qh AS (SELECT bg, freq, {_poly31_sql('bg')} AS h FROM top)"
+        ", probes AS (SELECT q.bg, q.freq, c.i, "
+        f"((q.h * c.a + c.b) % 2147483647) % {width} AS bucket "
+        "FROM qh q CROSS JOIN coeff c)"
+        ", est AS (SELECT p.bg, p.freq, CAST(min(coalesce(g.c, 0)) "
+        "AS BIGINT) AS cm_est FROM probes p LEFT JOIN grid g "
+        "USING (i, bucket) GROUP BY 1, 2) "
+        "SELECT bg AS bigram, freq, cm_est, "
+        "CASE WHEN cm_est >= freq THEN 1 ELSE 0 END AS is_overestimate, "
+        "FLOOR(CAST(cm_est - freq AS DOUBLE) / freq * 1000000.0 + 0.5) "
+        "/ 1000000.0 AS rel_err FROM est"
+    )
+
+
 def _zorder_layout_oracle() -> str:
     """Oracle for ``xlayout_zorder``: reproduces the Morton z-value
     bit-for-bit (16-bit min-max codes over IEEE-double scaling in the
@@ -3951,6 +4104,8 @@ ORACLES = {
     "xcluster_kmeans": _kmeans_oracle(),
     "xcluster_semdedup": _semdedup_oracle(tau2_num=2_025),
     "xcluster_quality": _cluster_quality_oracle(),
+    "xsketch_hll": _hll_oracle(),
+    "xsketch_countmin": _cm_oracle(),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
         "string_split_regex(trim(text), '\\s+') AS w, "

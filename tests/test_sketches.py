@@ -1,0 +1,163 @@
+"""HyperLogLog + Count-Min sketches: python-reference register
+equality, estimate determinism, and the Count-Min overestimate
+theorem."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.functions.columns import minhash_coeffs
+from kamu_engine_datafusion_spark.operators.sketches import (
+    cm_counters,
+    cm_heavy_hitter_report,
+    cm_lookup,
+    hll_alpha,
+    hll_distinct_report,
+    hll_estimate,
+    hll_registers,
+)
+
+_M31 = 2_147_483_647
+
+
+def _poly(s: str) -> int:
+    acc = 0
+    for ch in s:
+        acc = (acc * 31 + ord(ch)) % _M31
+    return acc
+
+
+def _rho(w: int, cap: int) -> int:
+    if w == 0:
+        return cap
+    r = 1
+    while w % 2 == 0:
+        w //= 2
+        r += 1
+    return r
+
+
+# seeded-random words, NOT sequential "key0001"-style strings: the
+# 31-bit poly hash of consecutive strings differs only in low bits, so
+# h >> b collapses runs of 64 to one register update — a measured
+# adversarial case for trailing-zero HLL (estimate 109 vs 401 truth).
+# Real shingle streams hash fine (<4% error at every SF, SCALE.md).
+_rng = __import__("random").Random(0)
+_WORDS = [
+    "".join(_rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(8))
+    for _ in range(400)
+] + ["needle-a", "needle-b"] * 30
+
+
+def test_hll_registers_match_python_reference(spark):
+    b = 6
+    df = spark.createDataFrame([(w,) for w in _WORDS], ["k"]).withColumn(
+        "g", F.lit("all")
+    )
+    got = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(df, ["g"], "k", b=b).collect()
+    }
+    want: dict[int, int] = {}
+    for w in _WORDS:
+        h = _poly(w)
+        bucket, rest = h % (1 << b), h >> b
+        want[bucket] = max(want.get(bucket, 0), _rho(rest, 31 - b + 1))
+    assert got == want
+
+
+def test_hll_estimate_matches_python_float_math(spark):
+    b = 6
+    m = 1 << b
+    df = spark.createDataFrame([(w,) for w in _WORDS], ["k"]).withColumn(
+        "g", F.lit("all")
+    )
+    regs = hll_registers(df, ["g"], "k", b=b)
+    row = hll_estimate(regs, ["g"], b=b).collect()[0]
+    # python reference with the same dyadic terms — must be bit-equal,
+    # not approximately equal: every 2^-r is exact in a double
+    rs = [r["r"] for r in regs.collect()]
+    s = sum(1.0 / (1 << r) for r in rs) + float(m - len(rs))
+    assert row["zeros"] == m - len(rs)
+    assert row["hll_raw"] == hll_alpha(m) * m * m / s
+    # and the estimate is in a sane band for ~400 distinct keys
+    assert 250 < row["hll_raw"] < 650
+
+
+def test_hll_report_shape_and_exactness(spark):
+    df = spark.createDataFrame(
+        [(w, "g%d" % (i % 2)) for i, w in enumerate(_WORDS)], ["k", "g"]
+    )
+    rows = hll_distinct_report(df, ["g"], "k", b=6).collect()
+    assert {r["g"] for r in rows} == {"g0", "g1"}
+    truth = Counter()
+    for i, w in enumerate(_WORDS):
+        truth["g%d" % (i % 2)] = truth["g%d" % (i % 2)]
+    exact = {
+        g: len({w for i, w in enumerate(_WORDS) if "g%d" % (i % 2) == g})
+        for g in ("g0", "g1")
+    }
+    for r in rows:
+        assert r["exact_distinct"] == exact[r["g"]]
+        assert 0 <= r["zeros"] <= 64
+        assert r["within_sigma"] in (0, 1)
+
+
+def test_cm_overestimate_theorem_under_forced_collisions(spark):
+    # width=4 forces heavy collisions; the estimate must STILL never
+    # undercount — that's the sketch's defining invariant
+    df = spark.createDataFrame([(w,) for w in _WORDS], ["k"])
+    rep = cm_heavy_hitter_report(df, "k", top_k=50, depth=3, width=4, seed=7)
+    rows = rep.collect()
+    assert len(rows) == 50
+    truth = Counter(_WORDS)
+    for r in rows:
+        assert r["freq"] == truth[r["k"]]
+        assert r["cm_est"] >= r["freq"]
+        assert r["is_overestimate"] == 1
+
+
+def test_cm_exact_when_grid_is_collision_free(spark):
+    # 3 distinct keys, width 64, depth 4: astronomically unlikely to
+    # collide -> estimates equal exact counts
+    data = ["a"] * 5 + ["b"] * 3 + ["c"] * 2
+    df = spark.createDataFrame([(w,) for w in data], ["k"])
+    rep = {
+        r["k"]: r
+        for r in cm_heavy_hitter_report(
+            df, "k", top_k=3, depth=4, width=64, seed=7
+        ).collect()
+    }
+    assert {k: rep[k]["cm_est"] for k in rep} == {"a": 5, "b": 3, "c": 2}
+    assert all(r["rel_err"] == 0.0 for r in rep.values())
+
+
+def test_cm_lookup_absent_key_reads_zero_or_collisions(spark):
+    corpus = spark.createDataFrame([("a",), ("b",)], ["k"])
+    grid = cm_counters(corpus, "k", depth=4, width=1024, seed=7)
+    queries = spark.createDataFrame([("zzz-not-present",)], ["k"])
+    row = cm_lookup(grid, queries, "k", depth=4, width=1024, seed=7).collect()[
+        0
+    ]
+    # min over 4 rows of a 1024-wide grid holding 2 keys: at least one
+    # probed cell is empty with overwhelming probability -> 0; never
+    # negative, never above the total stream length
+    assert 0 <= row["cm_est"] <= 2
+
+
+def test_cm_counters_match_python_reference(spark):
+    depth, width, seed = 4, 32, 7
+    df = spark.createDataFrame([(w,) for w in _WORDS], ["k"])
+    got = {
+        (r["i"], r["bucket"]): r["c"]
+        for r in cm_counters(df, "k", depth, width, seed).collect()
+    }
+    want: Counter = Counter()
+    coeffs = minhash_coeffs(depth, seed)
+    for w in _WORDS:
+        h = _poly(w)
+        for i, (a, c) in enumerate(coeffs):
+            want[(i, (a * h + c) % _M31 % width)] += 1
+    assert got == dict(want)
