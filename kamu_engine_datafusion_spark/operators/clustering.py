@@ -195,6 +195,93 @@ def canonical_by_score(
     return df.join(losers, id_col, "left_anti")
 
 
+def quantize_vectors(
+    df: DataFrame, id_col: str, vec_col: str, scale: int = 10_000
+) -> DataFrame:
+    """Half-up fixed-point quantization of an embedding column to a
+    ``__qv`` BIGINT array (``floor(x·scale + 0.5)`` — never ``round``,
+    engines disagree on .5 ties), localCheckpoint-ed so iterative
+    consumers re-read columnar cache instead of parquet (swap for
+    ``persist(MEMORY_AND_DISK)`` at true 100 TB)."""
+    return df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("__qv"),
+    ).localCheckpoint(eager=True)
+
+
+def kmeans_enc_expr(centroids: list[list[int]], k: int, vec=None):
+    """Argmin-with-tie-encoding over a quantized vector column
+    (default ``__qv``; pass ``vec`` for a slice — the PQ subspace
+    case): quantized squared L2 distance to each centroid (broadcast
+    as literals — assignment never shuffles), encoded ``dist·k + cid``
+    so one ``least`` yields (distance, lowest-winning-cid) at once."""
+    if vec is None:
+        vec = F.col("__qv")
+    encs = []
+    for cid, c_vec in enumerate(centroids):
+        dist = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(int(v)) for v in c_vec]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        encs.append(dist * F.lit(k) + F.lit(cid))
+    return encs[0] if k == 1 else F.least(*encs)
+
+
+def lloyd_centroids(
+    q: DataFrame, id_col: str, dim: int, k: int, iters: int
+) -> list[list[int]]:
+    """The Lloyd's loop over a pre-quantized ``__qv`` frame: ``iters``
+    (assign → update) cycles from the deterministic k-lowest-id init,
+    returning the final integer centroids (bounded: k·dim ints on the
+    driver). Per iteration ONE partial+final aggregate emitting
+    ``k×(dim+1)`` longs — the only shuffle; empty clusters keep their
+    previous centroid."""
+    if k < 1 or iters < 1:
+        raise ValueError("k and iters must be >= 1")
+    init = q.orderBy(id_col).limit(k).collect()
+    cents: list[list[int]] = [list(r["__qv"]) for r in init]
+    if len(cents) < k:
+        raise ValueError(f"need at least k={k} rows, got {len(cents)}")
+
+    import math
+
+    for _ in range(iters):
+        enc = kmeans_enc_expr(cents, k)
+        stats = (
+            q.withColumn("__cid", (enc % F.lit(k)).cast("long"))
+            .groupBy("__cid")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                *[
+                    F.sum(F.element_at("__qv", j + 1)).alias(f"__s{j}")
+                    for j in range(dim)
+                ],
+            )
+            .collect()
+        )
+        by_cid = {int(r["__cid"]): r for r in stats}
+        cents = [
+            [
+                int(math.floor(by_cid[cid][f"__s{j}"] / by_cid[cid]["__n"]))
+                for j in range(dim)
+            ]
+            if cid in by_cid
+            else cents[cid]  # empty cluster: keep previous centroid
+            for cid in range(k)
+        ]
+    return cents
+
+
 def kmeans_fixed_point(
     df: DataFrame,
     id_col: str,
@@ -234,66 +321,9 @@ def kmeans_fixed_point(
     Returns ``(id_col, cluster, dist2q)``: final assignment and the
     quantized squared distance to the winning centroid.
     """
-    if k < 1 or iters < 1:
-        raise ValueError("k and iters must be >= 1")
-    q = df.select(
-        F.col(id_col),
-        F.transform(
-            F.col(vec_col),
-            lambda x: F.floor(x.cast("double") * F.lit(float(scale)) + F.lit(0.5)).cast(
-                "long"
-            ),
-        ).alias("__qv"),
-    ).localCheckpoint(eager=True)
-
-    init = q.orderBy(id_col).limit(k).collect()
-    cents: list[list[int]] = [list(r["__qv"]) for r in init]
-    if len(cents) < k:
-        raise ValueError(f"need at least k={k} rows, got {len(cents)}")
-
-    def enc_expr(centroids: list[list[int]]):
-        encs = []
-        for cid, vec in enumerate(centroids):
-            dist = F.aggregate(
-                F.zip_with(
-                    F.col("__qv"),
-                    F.array(*[F.lit(int(v)) for v in vec]),
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            )
-            encs.append(dist * F.lit(k) + F.lit(cid))
-        return encs[0] if k == 1 else F.least(*encs)
-
-    for _ in range(iters):
-        enc = enc_expr(cents)
-        stats = (
-            q.withColumn("__cid", (enc % F.lit(k)).cast("long"))
-            .groupBy("__cid")
-            .agg(
-                F.count(F.lit(1)).alias("__n"),
-                *[
-                    F.sum(F.element_at("__qv", j + 1)).alias(f"__s{j}")
-                    for j in range(dim)
-                ],
-            )
-            .collect()
-        )
-        by_cid = {int(r["__cid"]): r for r in stats}
-        import math
-
-        cents = [
-            [
-                int(math.floor(by_cid[cid][f"__s{j}"] / by_cid[cid]["__n"]))
-                for j in range(dim)
-            ]
-            if cid in by_cid
-            else cents[cid]  # empty cluster: keep previous centroid
-            for cid in range(k)
-        ]
-
-    enc = enc_expr(cents)
+    q = quantize_vectors(df, id_col, vec_col, scale)
+    cents = lloyd_centroids(q, id_col, dim, k, iters)
+    enc = kmeans_enc_expr(cents, k)
     cid = (enc % F.lit(k)).cast("long")
     return q.select(
         F.col(id_col),

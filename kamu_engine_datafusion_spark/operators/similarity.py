@@ -462,6 +462,120 @@ def topk_quantized(
     return topk_bruteforce(cand, query, k, vec_col, id_col, dim)
 
 
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    m_sub: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    scale: int = 10_000,
+    top_n: int = 10,
+) -> DataFrame:
+    """Product-quantization ADC top-k (Jégou, Douze, Schmid 2011,
+    public): split ``dim`` into ``m_sub`` subspaces, train a
+    ``k``-centroid codebook per subspace with the fixed-point Lloyd's
+    loop (:func:`~kamu_engine_datafusion_spark.operators.clustering.
+    lloyd_centroids` — bit-reproducible, so the oracle replays every
+    codebook), encode each vector as ``m_sub`` codes, then answer the
+    query (deterministically: the lowest-``id_col`` vector) by
+    Asymmetric Distance Computation — a driver-built lookup table of
+    quantized subspace distances, summed in-row per corpus vector.
+
+    Scale shape — the PQ serving plan verbatim: codebook training is
+    ``m_sub × iters`` bounded aggregates (k×(sub_dim+1) longs each);
+    encoding is in-row argmin against literal centroids at scan speed
+    (codes shrink a 64-float vector to ``m_sub`` bytes — the 100 TB
+    memory story); the LUT is ``m_sub·k`` ints broadcast as literals;
+    ADC scoring is ``m_sub`` array lookups + adds per row, no join, no
+    shuffle; top-n is TakeOrderedAndProject. ``true_dist2q`` (the
+    exact quantized distance) rides along so the output doubles as a
+    recall audit of the compression.
+
+    Returns ``(rank, id_col, c0..c{m_sub-1}, adc_dist2q,
+    true_dist2q)`` for the ``top_n`` lowest-ADC vectors (ties → id).
+    """
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        kmeans_enc_expr,
+        lloyd_centroids,
+        quantize_vectors,
+    )
+
+    if dim % m_sub != 0:
+        raise ValueError(f"dim={dim} not divisible by m_sub={m_sub}")
+    sub = dim // m_sub
+    q = quantize_vectors(df, id_col, vec_col, scale)
+
+    codebooks = [
+        lloyd_centroids(
+            q.select(
+                F.col(id_col), F.slice("__qv", s * sub + 1, sub).alias("__qv")
+            ),
+            id_col,
+            sub,
+            k,
+            iters,
+        )
+        for s in range(m_sub)
+    ]
+
+    qv = list(q.orderBy(id_col).limit(1).collect()[0]["__qv"])
+    luts = [
+        [
+            sum((a - b) * (a - b) for a, b in zip(qv[s * sub : (s + 1) * sub], c))
+            for c in codebooks[s]
+        ]
+        for s in range(m_sub)
+    ]
+
+    code_cols = [
+        (
+            kmeans_enc_expr(
+                codebooks[s], k, vec=F.slice("__qv", s * sub + 1, sub)
+            )
+            % F.lit(k)
+        )
+        .cast("long")
+        .alias(f"c{s}")
+        for s in range(m_sub)
+    ]
+    true_dist = F.aggregate(
+        F.zip_with(
+            F.col("__qv"),
+            F.array(*[F.lit(int(v)) for v in qv]),
+            lambda a, b: (a - b) * (a - b),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    coded = q.select(
+        F.col(id_col), *code_cols, true_dist.alias("true_dist2q")
+    )
+    adc = None
+    for s in range(m_sub):
+        term = F.element_at(
+            F.array(*[F.lit(int(d)) for d in luts[s]]),
+            (F.col(f"c{s}") + 1).cast("int"),
+        )
+        adc = term if adc is None else adc + term
+    top = (
+        coded.withColumn("adc_dist2q", adc.cast("long"))
+        .orderBy("adc_dist2q", id_col)
+        .limit(top_n)
+    )
+    w = Window.orderBy("adc_dist2q", id_col)
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        *[f"c{s}" for s in range(m_sub)],
+        "adc_dist2q",
+        "true_dist2q",
+    )
+
+
 def mmr_diversify(
     corpus: DataFrame,
     query: DataFrame,

@@ -49,6 +49,7 @@ _PRIORITY_R9 = [
     "xcluster_quality",  # NEW: per-cluster purity/inertia vs ground-truth label
     "xsketch_hll",  # NEW: HyperLogLog registers + estimate audit, bit-exact
     "xsketch_countmin",  # NEW: Count-Min grid + heavy-hitter overestimate audit
+    "xsim_pq",  # NEW: product-quantization ADC top-k, per-subspace codebooks
     "b18_approx_bounds",  # NEW: sketch-accuracy invariant projection
     "xpack_layout",  # NEW: per-doc packed-batch manifest (chunk+start)
     "xsource_overlap",  # NEW: pairwise source content-overlap matrix

@@ -2236,6 +2236,22 @@ def q_xsketch_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-10
+    (``operators/similarity.py::pq_topk``): 4 subspaces × 8 codes over
+    the 64-dim embeddings, fixed-point codebooks, query = lowest
+    vec_id; returns rank, codes, ADC distance, and the exact quantized
+    distance (the recall audit). Completes the ANN family: brute /
+    SRP-LSH / IVF / scalar-quantize / PQ."""
+    from kamu_engine_datafusion_spark.operators.similarity import pq_topk
+
+    t = load(spark, sf_dir, "embeddings")
+    return pq_topk(
+        t["embeddings"], "vec_id", "embedding", dim=64, m_sub=4, k=8,
+        iters=2, top_n=10,
+    )
+
+
 def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style quality rules as boolean columns + the combined
     verdict, per document (``operators/text.py::gopher_rules``)."""
@@ -2643,6 +2659,7 @@ QUERIES = {
     "xcluster_quality": q_xcluster_quality,
     "xsketch_hll": q_xsketch_hll,
     "xsketch_countmin": q_xsketch_countmin,
+    "xsim_pq": q_xsim_pq,
     "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
     "xtext_c4_filter": q_xtext_c4_filter,
@@ -3362,7 +3379,13 @@ def _pipeline_embed_oracle(
 
 
 def _kmeans_ctes(
-    k: int = 8, iters: int = 3, dim: int = 64, scale: int = 10_000
+    k: int = 8,
+    iters: int = 3,
+    dim: int = 64,
+    scale: int = 10_000,
+    sfx: str = "",
+    vec_expr: str = "embedding",
+    with_kw: bool = True,
 ) -> str:
     """Shared CTE prefix replaying the engine's fixed-point Lloyd's
     trajectory exactly — same half-up quantization, BIGINT
@@ -3371,14 +3394,19 @@ def _kmeans_ctes(
     clusters keeping the previous centroid via LEFT JOIN + COALESCE.
     ``list_sum``/``sum`` results are cast from HUGEINT back to BIGINT
     (the known DuckDB widening divergence). Ends with CTE
-    ``a{iters+1}(vec_id, enc)``: cluster = ``enc % k``, quantized
-    squared distance = ``(enc - enc % k) / k``."""
+    ``a{iters+1}{sfx}(vec_id, enc)``: cluster = ``enc % k``, quantized
+    squared distance = ``(enc - enc % k) / k``.
+
+    ``sfx``/``vec_expr``/``with_kw`` exist for the PQ oracle: one
+    suffixed trajectory per subspace slice (``embedding[1:16]`` etc.)
+    composed into a single WITH clause."""
     parts = [
-        "WITH q AS (SELECT vec_id, list_transform(embedding, "
+        ("WITH " if with_kw else ", ")
+        + f"q{sfx} AS (SELECT vec_id, list_transform({vec_expr}, "
         f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{float(scale)} + 0.5) AS BIGINT)) "
         "AS qv FROM embeddings), "
-        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
-        f"AS BIGINT) AS cid, qv FROM (SELECT vec_id, qv FROM q "
+        f"c0{sfx} AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        f"AS BIGINT) AS cid, qv FROM (SELECT vec_id, qv FROM q{sfx} "
         f"ORDER BY vec_id LIMIT {k}))"
     ]
     dist = (
@@ -3390,22 +3418,23 @@ def _kmeans_ctes(
     # updates c1..c{iters}; a{iters+1} is the emitted assignment.
     for i in range(1, iters + 1):
         parts.append(
-            f", a{i} AS (SELECT q.vec_id, q.qv, "
+            f", a{i}{sfx} AS (SELECT q.vec_id, q.qv, "
             f"CAST(min({dist}*{k} + c.cid) AS BIGINT) AS enc "
-            f"FROM q, c{i - 1} c GROUP BY q.vec_id, q.qv)"
-            f", n{i} AS (SELECT cid, list(s ORDER BY j) AS qv FROM ("
+            f"FROM q{sfx} q, c{i - 1}{sfx} c GROUP BY q.vec_id, q.qv)"
+            f", n{i}{sfx} AS (SELECT cid, list(s ORDER BY j) AS qv FROM ("
             f"SELECT a.enc % {k} AS cid, t.j, "
             "CAST(FLOOR(CAST(CAST(sum(a.qv[t.j+1]) AS BIGINT) AS DOUBLE) "
             "/ count(*)) AS BIGINT) AS s "
-            f"FROM a{i} a, range(0, {dim}) t(j) GROUP BY 1, 2) GROUP BY cid)"
-            f", c{i} AS (SELECT p.cid, COALESCE(n.qv, p.qv) AS qv "
-            f"FROM c{i - 1} p LEFT JOIN n{i} n ON n.cid = p.cid)"
+            f"FROM a{i}{sfx} a, range(0, {dim}) t(j) GROUP BY 1, 2) "
+            "GROUP BY cid)"
+            f", c{i}{sfx} AS (SELECT p.cid, COALESCE(n.qv, p.qv) AS qv "
+            f"FROM c{i - 1}{sfx} p LEFT JOIN n{i}{sfx} n ON n.cid = p.cid)"
         )
     fin = iters + 1
     parts.append(
-        f", a{fin} AS (SELECT q.vec_id, "
+        f", a{fin}{sfx} AS (SELECT q.vec_id, "
         f"CAST(min({dist}*{k} + c.cid) AS BIGINT) AS enc "
-        f"FROM q, c{iters} c GROUP BY q.vec_id)"
+        f"FROM q{sfx} q, c{iters}{sfx} c GROUP BY q.vec_id)"
     )
     return "".join(parts)
 
@@ -3575,6 +3604,81 @@ def _cm_oracle(
         "FLOOR(CAST(cm_est - freq AS DOUBLE) / freq * 1000000.0 + 0.5) "
         "/ 1000000.0 AS rel_err FROM est"
     )
+
+
+def _pq_oracle(
+    m_sub: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    scale: int = 10_000,
+    top_n: int = 10,
+) -> str:
+    """Oracle for ``xsim_pq``: one suffixed k-means trajectory per
+    subspace slice (replaying each codebook exactly), per-vector code
+    extraction from the final assignments, the query-side distance
+    LUTs rebuilt in SQL from the final centroids, ADC summation, the
+    exact full-dim quantized distance, and the deterministic
+    (adc, vec_id) top-``top_n``."""
+    sub = dim // m_sub
+    fin = iters + 1
+    parts = [
+        _kmeans_ctes(
+            k,
+            iters,
+            sub,
+            scale,
+            sfx=f"s{s}",
+            vec_expr=f"embedding[{s * sub + 1}:{(s + 1) * sub}]",
+            with_kw=(s == 0),
+        )
+        for s in range(m_sub)
+    ]
+    qv = (
+        ", qv AS (SELECT vec_id, list_transform(embedding, "
+        f"x -> CAST(FLOOR(CAST(x AS DOUBLE)*{float(scale)} + 0.5) "
+        "AS BIGINT)) AS qv FROM embeddings)"
+        ", qq AS (SELECT qv FROM qv ORDER BY vec_id LIMIT 1)"
+    )
+    code_join = " JOIN ".join(
+        f"a{fin}s{s} a{s}" + ("" if s == 0 else " USING (vec_id)")
+        for s in range(m_sub)
+    )
+    codes = (
+        ", codes AS (SELECT a0.vec_id, "
+        + ", ".join(f"CAST(a{s}.enc % {k} AS BIGINT) AS c{s}" for s in range(m_sub))
+        + f" FROM {code_join})"
+    )
+    luts = "".join(
+        f", lut{s} AS (SELECT c.cid, CAST(list_sum(list_transform("
+        f"range(0, {sub}), j -> (q.qv[{s * sub}+j+1]-c.qv[j+1])"
+        f"*(q.qv[{s * sub}+j+1]-c.qv[j+1]))) AS BIGINT) AS d "
+        f"FROM c{iters}s{s} c, qq q)"
+        for s in range(m_sub)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut{s} l{s} ON l{s}.cid = codes.c{s}" for s in range(m_sub)
+    )
+    adc_sum = " + ".join(f"l{s}.d" for s in range(m_sub))
+    scored = (
+        ", scored AS (SELECT codes.vec_id, "
+        + ", ".join(f"codes.c{s}" for s in range(m_sub))
+        + f", {adc_sum} AS adc_dist2q FROM codes {lut_joins})"
+        ", tru AS (SELECT v.vec_id, CAST(list_sum(list_transform("
+        f"range(0, {dim}), j -> (v.qv[j+1]-q.qv[j+1])"
+        "*(v.qv[j+1]-q.qv[j+1]))) AS BIGINT) AS true_dist2q "
+        "FROM qv v, qq q)"
+    )
+    final = (
+        " SELECT rank, vec_id, "
+        + ", ".join(f"c{s}" for s in range(m_sub))
+        + ", adc_dist2q, true_dist2q FROM ("
+        "SELECT CAST(row_number() OVER (ORDER BY s.adc_dist2q, s.vec_id) "
+        "AS BIGINT) AS rank, s.*, t.true_dist2q "
+        "FROM scored s JOIN tru t USING (vec_id)) "
+        f"WHERE rank <= {top_n}"
+    )
+    return "".join(parts) + qv + codes + luts + scored + final
 
 
 def _zorder_layout_oracle() -> str:
@@ -4106,6 +4210,7 @@ ORACLES = {
     "xcluster_quality": _cluster_quality_oracle(),
     "xsketch_hll": _hll_oracle(),
     "xsketch_countmin": _cm_oracle(),
+    "xsim_pq": _pq_oracle(),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
         "string_split_regex(trim(text), '\\s+') AS w, "

@@ -160,3 +160,72 @@ def test_quantize_degenerate_dimension(spark):
         .collect()
     )
     assert [r["deq"] for r in deq] == [[1.0, 5.0], [2.0, 5.0]]
+
+
+# ---------------------------------------------------------------------------
+# pq_topk (product quantization, ADC)
+# ---------------------------------------------------------------------------
+
+
+def _pq_blob_df(spark, parts=None):
+    # two tight 4-d blobs; ids interleave so the k-lowest-id init seeds
+    # both, mirroring the clustering test fixture
+    rows = []
+    for i in range(24):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append(
+            (
+                i,
+                [
+                    base + (i % 5) * 0.01,
+                    base - (i % 3) * 0.01,
+                    base + (i % 7) * 0.01,
+                    base - (i % 2) * 0.01,
+                ],
+            )
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    return df.repartition(parts) if parts else df
+
+
+def test_pq_topk_shape_monotone_and_query_exact(spark):
+    from kamu_engine_datafusion_spark.operators.similarity import pq_topk
+
+    out = pq_topk(
+        _pq_blob_df(spark), "vec_id", "embedding", dim=4, m_sub=2, k=2,
+        iters=2, top_n=8,
+    ).collect()
+    assert [r["rank"] for r in out] == list(range(1, 9))
+    adcs = [r["adc_dist2q"] for r in out]
+    assert adcs == sorted(adcs)
+    assert all(0 <= r["c0"] < 2 and 0 <= r["c1"] < 2 for r in out)
+    # the query (lowest id) must appear with exact distance 0
+    q = [r for r in out if r["vec_id"] == 0]
+    assert q and q[0]["true_dist2q"] == 0
+    # blob-0 members (even ids) must fill the top ranks: their ADC is
+    # near 0, blob-1 members' is ~2 * (10*scale)^2
+    top4 = {r["vec_id"] for r in out[:4]}
+    assert all(v % 2 == 0 for v in top4)
+
+
+def test_pq_topk_partition_independent(spark):
+    from kamu_engine_datafusion_spark.operators.similarity import pq_topk
+
+    a = pq_topk(
+        _pq_blob_df(spark), "vec_id", "embedding", dim=4, m_sub=2, k=2,
+        iters=2, top_n=8,
+    ).collect()
+    b = pq_topk(
+        _pq_blob_df(spark, parts=7), "vec_id", "embedding", dim=4,
+        m_sub=2, k=2, iters=2, top_n=8,
+    ).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
+def test_pq_topk_rejects_indivisible_dim(spark):
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.similarity import pq_topk
+
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_topk(_pq_blob_df(spark), "vec_id", "embedding", dim=4, m_sub=3)
