@@ -161,3 +161,43 @@ def test_cm_counters_match_python_reference(spark):
         for i, (a, c) in enumerate(coeffs):
             want[(i, (a * h + c) % _M31 % width)] += 1
     assert got == dict(want)
+
+
+def test_hll_registers_merge_by_elementwise_max(spark):
+    # THE defining sketch property: registers of (A ∪ B) == elementwise
+    # max of A's and B's registers — what makes a 100 TB fold correct
+    # (partial max per partition, merged by the same max)
+    half = len(_WORDS) // 2
+    a = spark.createDataFrame([(w,) for w in _WORDS[:half]], ["k"]).withColumn(
+        "g", F.lit("all")
+    )
+    b = spark.createDataFrame([(w,) for w in _WORDS[half:]], ["k"]).withColumn(
+        "g", F.lit("all")
+    )
+    u = spark.createDataFrame([(w,) for w in _WORDS], ["k"]).withColumn(
+        "g", F.lit("all")
+    )
+    regs = lambda df: {  # noqa: E731
+        r["bucket"]: r["r"] for r in hll_registers(df, ["g"], "k", b=6).collect()
+    }
+    ra, rb, ru = regs(a), regs(b), regs(u)
+    merged = {
+        k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)
+    }
+    assert merged == ru
+
+
+def test_cm_grids_merge_by_cellwise_sum(spark):
+    # Count-Min's mergeability: counters of (A ⊎ B) == cellwise sum
+    half = len(_WORDS) // 2
+    mk = lambda ws: spark.createDataFrame([(w,) for w in ws], ["k"])  # noqa: E731
+    grid = lambda df: {  # noqa: E731
+        (r["i"], r["bucket"]): r["c"]
+        for r in cm_counters(df, "k", 3, 64, 7).collect()
+    }
+    ga, gb, gu = grid(mk(_WORDS[:half])), grid(mk(_WORDS[half:])), grid(mk(_WORDS))
+    merged = Counter()
+    for g in (ga, gb):
+        for cell, c in g.items():
+            merged[cell] += c
+    assert dict(merged) == gu

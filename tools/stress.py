@@ -242,6 +242,89 @@ def main() -> None:
         ).count(),
     )
 
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        cm_heavy_hitter_report,
+        hll_distinct_report,
+    )
+    from kamu_engine_datafusion_spark.queries.pipeline import _bigram_stream
+
+    t(
+        "sketch_hll_bigrams",
+        lambda: hll_distinct_report(
+            _bigram_stream(docs, with_lang=True), ["lang"], "bigram", b=6
+        ).count(),
+    )
+    t(
+        "sketch_cm_top20",
+        lambda: cm_heavy_hitter_report(
+            _bigram_stream(docs), "bigram", top_k=20, depth=4, width=256
+        ).count(),
+    )
+    t(
+        "sketch_hll_bigrams_xxhash",
+        lambda: hll_distinct_report(
+            _bigram_stream(docs, with_lang=True),
+            ["lang"],
+            "bigram",
+            b=6,
+            hash_fn="xxhash64",
+        ).count(),
+    )
+    t(
+        "sketch_cm_top20_xxhash",
+        lambda: cm_heavy_hitter_report(
+            _bigram_stream(docs),
+            "bigram",
+            top_k=20,
+            depth=4,
+            width=256,
+            hash_fn="xxhash64",
+        ).count(),
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    # fold-only (no exact-count baseline): the production sketch path
+    t(
+        "sketch_hll_fold_only_poly",
+        lambda: hll_estimate(
+            hll_registers(
+                _bigram_stream(docs, with_lang=True), ["lang"], "bigram", b=6
+            ),
+            ["lang"],
+            b=6,
+        ).count(),
+    )
+    t(
+        "sketch_hll_fold_only_xxhash",
+        lambda: hll_estimate(
+            hll_registers(
+                _bigram_stream(docs, with_lang=True),
+                ["lang"],
+                "bigram",
+                b=6,
+                hash_fn="xxhash64",
+            ),
+            ["lang"],
+            b=6,
+        ).count(),
+    )
+    t(
+        "exact_count_distinct_baseline",
+        lambda: _bigram_stream(docs, with_lang=True)
+        .groupBy("lang")
+        .agg(F.count_distinct("bigram"))
+        .count(),
+    )
+    t(
+        "pq_topk",
+        lambda: S.pq_topk(
+            emb, "vec_id", "embedding", dim=64, m_sub=4, k=8, iters=2
+        ).count(),
+    )
+
     from kamu_engine_datafusion_spark.operators import retrieval as R
     from kamu_engine_datafusion_spark.operators import sampling as SA
 
