@@ -3558,9 +3558,10 @@ def _hll_oracle(b: int = 6) -> str:
         ", exact AS (SELECT lang, CAST(count(DISTINCT bg) AS BIGINT) "
         "AS exact_distinct FROM bgs GROUP BY 1) "
         "SELECT x.lang, x.exact_distinct, e.zeros, "
-        "FLOOR(e.raw * 10000.0 + 0.5) / 10000.0 AS hll_est, "
-        "FLOOR(abs(e.raw - x.exact_distinct) / x.exact_distinct "
-        "* 1000000.0 + 0.5) / 1000000.0 AS rel_err, "
+        "FLOOR(CAST(e.raw AS DOUBLE) * 10000.0 + 0.5) / 10000.0 "
+        "AS hll_est, "
+        "FLOOR(CAST(abs(e.raw - x.exact_distinct) AS DOUBLE) "
+        "/ x.exact_distinct * 1000000.0 + 0.5) / 1000000.0 AS rel_err, "
         "CASE WHEN abs(e.raw - x.exact_distinct) <= "
         f"(2 * 1.04 / {float(m) ** 0.5}) * x.exact_distinct "
         "THEN 1 ELSE 0 END AS within_sigma "

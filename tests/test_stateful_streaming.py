@@ -91,6 +91,17 @@ def test_debounce_stream_anchor_semantics_across_batches(spark, tmp_path):
     # batch 2: 1500s (gap 300 from anchor 1200? anchor is 800 -> gap 700 > 600: kept)
     # and user 2's first event: always kept
     write(str(d / "part-1.parquet"), [(4, 1, 1500), (5, 2, 100)])
+    # FileStreamSource orders micro-batches by file modification time;
+    # back-to-back writes can tie (observed flaky under full-suite
+    # load, where part-1 then processes FIRST and batch-1's anchor
+    # suppresses batch-0's events). The anchor semantics under test
+    # REQUIRE part-0 before part-1 — pin mtimes seconds apart.
+    import os
+    import time
+
+    now = time.time()
+    os.utime(str(d / "part-0.parquet"), (now - 10, now - 10))
+    os.utime(str(d / "part-1.parquet"), (now, now))
     schema = spark.read.parquet(str(d / "part-0.parquet")).schema
 
     stream = ledger_stream(spark, str(d), schema)
