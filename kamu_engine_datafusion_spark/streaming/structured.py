@@ -95,6 +95,35 @@ def session_window_counts(
     )
 
 
+def hll_register_stream(
+    stream: DataFrame,
+    group_cols: list[str],
+    key: str,
+    b: int = 6,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Streaming HyperLogLog: maintain per-group cardinality registers
+    incrementally as ledger batches arrive — the natural streaming use
+    of a mergeable sketch (register max is associative, commutative,
+    and idempotent, so replayed or reordered micro-batches can never
+    corrupt it; no watermark needed because state is BOUNDED at
+    ``2^b`` rows per group by construction, not by time eviction).
+
+    Plain streaming ``groupBy(group, bucket).max(rho)`` in update
+    mode: Spark's state store holds one long per (group, bucket) and
+    each micro-batch emits only the registers it changed. Feed the
+    updates to :func:`~kamu_engine_datafusion_spark.operators.sketches.
+    hll_estimate` batch-side for the running cardinality.
+    """
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        hll_registers,
+    )
+
+    # hll_registers is pure DataFrame ops (select + groupBy + max), so
+    # it lifts to a streaming frame unchanged
+    return hll_registers(stream, group_cols, key, b, hash_fn)
+
+
 def streaming_dedup(
     df: DataFrame,
     key_cols: list[str],

@@ -201,3 +201,65 @@ def test_cm_grids_merge_by_cellwise_sum(spark):
         for cell, c in g.items():
             merged[cell] += c
     assert dict(merged) == gu
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): invariants for ANY corpus
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_slow = settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_corpus = st.lists(
+    st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+        min_size=0,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=120,
+)
+
+
+@_slow
+@given(words=_corpus, b=st.integers(min_value=4, max_value=8))
+def test_hll_registers_any_corpus_match_python(spark, words, b):
+    df = spark.createDataFrame([(w,) for w in words], ["k"]).withColumn(
+        "g", F.lit("all")
+    )
+    got = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(df, ["g"], "k", b=b).collect()
+    }
+    want: dict[int, int] = {}
+    for w in words:
+        h = _poly(w)
+        want[h % (1 << b)] = max(
+            want.get(h % (1 << b), 0), _rho(h >> b, 31 - b + 1)
+        )
+    assert got == want
+
+
+@_slow
+@given(
+    words=_corpus,
+    depth=st.integers(min_value=1, max_value=5),
+    width=st.integers(min_value=2, max_value=64),
+)
+def test_cm_never_undercounts_any_corpus(spark, words, depth, width):
+    df = spark.createDataFrame([(w,) for w in words], ["k"])
+    rep = cm_heavy_hitter_report(
+        df, "k", top_k=len(set(words)), depth=depth, width=width, seed=7
+    ).collect()
+    truth = Counter(words)
+    assert len(rep) == len(set(words))
+    for r in rep:
+        assert r["freq"] == truth[r["k"]]
+        assert r["cm_est"] >= r["freq"]
+        assert r["is_overestimate"] == 1

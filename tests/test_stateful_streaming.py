@@ -118,3 +118,80 @@ def test_debounce_stream_anchor_semantics_across_batches(spark, tmp_path):
     # user 1: 0 (first), 2 (800s: 800-0 > 600), 4 (1500-800 > 600); 1, 3 suppressed
     # user 2: 5 (first)
     assert kept == [0, 2, 4, 5]
+
+
+def test_hll_register_stream_matches_batch_union(spark, tmp_path):
+    """Streaming HLL registers across two micro-batches must equal the
+    batch registers of the full union — register max is associative +
+    idempotent, so incremental maintenance is exact, not approximate-r."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        hll_register_stream,
+        ledger_stream,
+        run_to_memory,
+    )
+
+    words_a = [f"w{i * 37 % 101}x{i}" for i in range(200)]
+    words_b = [f"w{i * 37 % 101}x{i}" for i in range(150, 350)]  # overlap
+
+    d = tmp_path / "hllstream"
+    d.mkdir()
+
+    def write(path, words):
+        pq2.write_table(
+            pa.table({"k": pa.array(words, pa.string())}), path
+        )
+
+    write(str(d / "part-0.parquet"), words_a)
+    write(str(d / "part-1.parquet"), words_b)
+    now = time.time()
+    os.utime(str(d / "part-0.parquet"), (now - 10, now - 10))
+    os.utime(str(d / "part-1.parquet"), (now, now))
+
+    schema = spark.read.parquet(str(d / "part-0.parquet")).schema
+    stream = ledger_stream(spark, str(d), schema).withColumn(
+        "g", F.lit("all")
+    )
+    out = run_to_memory(
+        spark,
+        hll_register_stream(stream, ["g"], "k", b=6),
+        "hll_regs",
+        output_mode="update",
+    )
+    # update mode re-emits a (g, bucket) row whenever its max changes;
+    # the LAST emission per bucket is the maintained register
+    rows = out.collect()
+    streamed = {}
+    for r in rows:
+        streamed[r["bucket"]] = r["r"]
+
+    batch = spark.createDataFrame(
+        [(w,) for w in words_a + words_b], ["k"]
+    ).withColumn("g", F.lit("all"))
+    want = {
+        r["bucket"]: r["r"]
+        for r in hll_registers(batch, ["g"], "k", b=6).collect()
+    }
+    assert streamed == want
+
+    # ... and the estimate over the maintained registers is the batch
+    # estimate (bit-equal: same register multiset, dyadic-exact sum)
+    maintained = spark.createDataFrame(
+        [("all", bkt, r) for bkt, r in streamed.items()],
+        "g string, bucket long, r long",
+    )
+    got_est = hll_estimate(maintained, ["g"], b=6).collect()[0]["hll_raw"]
+    want_est = hll_estimate(
+        hll_registers(batch, ["g"], "k", b=6), ["g"], b=6
+    ).collect()[0]["hll_raw"]
+    assert got_est == want_est
