@@ -247,6 +247,31 @@ def shuffle_rank(
     return assign_offsets_distributed(ordered, "shuffle_rank", 0).drop("__b")
 
 
+def _eager_group_guard(
+    df: DataFrame, keys: list[str], max_group_rows: int, op: str
+) -> None:
+    """Driver-side oversize-packing-group check shared by the pack_*
+    family: ONE cheap count-per-group aggregate run NOW (a fraction of
+    the packing window's own exchange), raising with the offending
+    group named — independent of whether any downstream plan ever
+    evaluates the ``chunk`` expression the lazy guard rides on."""
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1))
+    hot = (
+        grouped.agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > int(max_group_rows))
+        .head(1)
+    )
+    if hot:
+        row = hot[0].asDict()
+        n = row.pop("__n")
+        raise ValueError(
+            f"{op}: packing group {row} has {n} rows, over "
+            f"max_group_rows={max_group_rows} — raise `shards` (or "
+            f"max_group_rows) instead of single-task-sorting a "
+            f"corpus slice"
+        )
+
+
 def pack_sequences(
     df: DataFrame,
     id_col: str,
@@ -306,21 +331,7 @@ def pack_sequences(
         )
         keys.append("shard")
     if eager_guard and max_group_rows is not None:
-        grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1))
-        hot = (
-            grouped.agg(F.count(F.lit(1)).alias("__n"))
-            .filter(F.col("__n") > int(max_group_rows))
-            .head(1)
-        )
-        if hot:
-            row = hot[0].asDict()
-            n = row.pop("__n")
-            raise ValueError(
-                f"pack_sequences: packing group {row} has {n} rows, over "
-                f"max_group_rows={max_group_rows} — raise `shards` (or "
-                f"max_group_rows) instead of single-task-sorting a "
-                f"corpus slice"
-            )
+        _eager_group_guard(df, keys, max_group_rows, "pack_sequences")
     w = (
         Window.partitionBy(*keys)
         .orderBy(id_col)
@@ -360,6 +371,7 @@ def pack_layout(
     shards: int | None = None,
     hash_fn: str = "xxhash64",
     max_group_rows: int | None = 50_000_000,
+    eager_guard: bool = False,
 ) -> DataFrame:
     """The packed-batch MANIFEST a training loader consumes: one row
     per document with its chunk assignment AND its within-chunk
@@ -383,6 +395,8 @@ def pack_layout(
             "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
         )
         keys.append("shard")
+    if eager_guard and max_group_rows is not None:
+        _eager_group_guard(df, keys, max_group_rows, "pack_layout")
     w = (
         Window.partitionBy(*keys)
         .orderBy(id_col)
@@ -901,6 +915,7 @@ def pack_sequences_ffd(
     shards: int | None = None,
     hash_fn: str = "xxhash64",
     max_group_rows: int = 5_000_000,
+    eager_guard: bool = False,
 ) -> DataFrame:
     """Sequence packing by FIRST-FIT DECREASING: within each
     ``part_col`` group, rows are sorted by (cost desc, id) and each is
@@ -941,6 +956,10 @@ def pack_sequences_ffd(
             "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
         )
         group_keys.append("shard")
+    if eager_guard:
+        _eager_group_guard(
+            df, group_keys, max_group_rows, "pack_sequences_ffd"
+        )
     out_schema = T.StructType(
         list(df.schema.fields) + [T.StructField("chunk", T.LongType())]
     )
@@ -1267,6 +1286,7 @@ def packing_efficiency(
     part_col: str = "lang",
     shards: int = 8,
     hash_fn: str = "poly",
+    eager_guard: bool = False,
 ) -> DataFrame:
     """Packer TUNING curve: for each candidate sequence ``budget``,
     run the running-offset chunk assignment (exactly
@@ -1284,6 +1304,17 @@ def packing_efficiency(
     two-level partial aggregate; budgets are evaluated independently
     and unioned — a handful of passes over the scan, no corpus joins.
     """
+    if eager_guard:
+        # One conservative pre-count on the UNFILTERED corpus covers
+        # every budget pass (each pass packs a cost-filtered subset).
+        _eager_group_guard(
+            df.withColumn(
+                "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
+            ),
+            [part_col, "shard"],
+            50_000_000,
+            "packing_efficiency",
+        )
     rows = []
     for b in budgets:
         d = df.filter(F.col(cost_col) <= F.lit(b))

@@ -85,7 +85,14 @@ def hll_registers(
 
     Scale: map-side partial ``max`` bounds per-partition state at
     ``m`` longs per group; the exchange carries sketches, not keys.
+
+    ``2 ≤ b ≤ 16``: below 2 the register rho can reach 31+ and the
+    estimate's ``2^-r`` terms need >32-bit shifts (handled — the fold
+    shifts a BIGINT — but the α_m table starts at m=4); above 16 the
+    sketch stops being smaller than a modest exact distinct.
     """
+    if not 2 <= b <= 16:
+        raise ValueError(f"hll_registers: b={b} outside [2, 16]")
     m = 1 << b
     cap = 31 - b + 1
     h = _hash31(F.col(key), hash_fn)
@@ -118,15 +125,21 @@ def hll_estimate(
     order-independent and the estimate is a deterministic function of
     the register multiset.
     """
+    if not 2 <= b <= 16:
+        raise ValueError(f"hll_estimate: b={b} outside [2, 16]")
     m = 1 << b
     alpha = hll_alpha(m)
     agg = regs.groupBy(*group_cols).agg(
         F.count(F.lit(1)).cast("long").alias("__nz"),
         # shiftleft with a COLUMN bit count only exists in SQL form
-        # (the python wrapper requires a literal int)
+        # (the python wrapper requires a literal int); the shifted 1 is
+        # BIGINT — an INT base overflows at r = 31 (reachable at b ≤ 1,
+        # and DuckDB's 1 << r is 64-bit, so the engines would diverge)
         F.sum(
             F.lit(1.0)
-            / F.expr("shiftleft(1, cast(r as int))").cast("double")
+            / F.expr(
+                "shiftleft(cast(1 as bigint), cast(r as int))"
+            ).cast("double")
         ).alias("__sp"),
     )
     zeros = (F.lit(m) - F.col("__nz")).cast("long")
@@ -158,6 +171,12 @@ def hll_distinct_report(
     """
     m = 1 << b
     se = sigma_mult * 1.04 / float(m) ** 0.5
+    # NULL keys are dropped up front: count(DISTINCT) ignores NULLs but
+    # the hash path would sketch them as a constant (inflating the
+    # estimate), and an all-NULL group would divide rel_err by
+    # exact_distinct = 0. With the filter such a group simply has no
+    # report row — defined behavior instead of NULL/garbage.
+    df = df.filter(F.col(key).isNotNull())
     est = hll_estimate(
         hll_registers(df, group_cols, key, b, hash_fn), group_cols, b
     )

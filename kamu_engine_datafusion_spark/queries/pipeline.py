@@ -432,7 +432,7 @@ def q_xpack_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return pack_layout(
         d, "doc_id", "__cost", budget=512, part_col="lang", shards=4,
-        hash_fn="poly",
+        hash_fn="poly", eager_guard=True,
     ).select(
         "lang", "shard", "chunk", "doc_id",
         "start", F.col("__cost").alias("length"),
@@ -457,7 +457,7 @@ def q_xpack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pack_sequences(
             d, "doc_id", "__cost", budget=2048, part_col="lang",
-            shards=8, hash_fn="poly",
+            shards=8, hash_fn="poly", eager_guard=True,
         )
         .groupBy("lang", "shard", "chunk")
         .agg(
@@ -1195,7 +1195,7 @@ def q_xpack_ffd(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pack_sequences_ffd(
             d, "doc_id", "__cost", budget=512, part_col="lang",
-            shards=8, hash_fn="poly",
+            shards=8, hash_fn="poly", eager_guard=True,
         )
         .groupBy("lang", "shard", "chunk")
         .agg(
@@ -1231,7 +1231,7 @@ def q_xpack_ffd_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     packed = pack_sequences_ffd(
         d, "doc_id", "__cost", budget=512, part_col="lang",
-        shards=8, hash_fn="poly",
+        shards=8, hash_fn="poly", eager_guard=True,
     )
     per = packed.groupBy("lang", "shard").agg(
         F.sum((F.col("chunk") >= 0).cast("long")).alias("n_rows"),
@@ -1408,7 +1408,7 @@ def q_xpack_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return packing_efficiency(
         d, "doc_id", "__cost", budgets=[256, 512, 1024, 2048],
-        part_col="lang", shards=4, hash_fn="poly",
+        part_col="lang", shards=4, hash_fn="poly", eager_guard=True,
     )
 
 
@@ -2142,9 +2142,13 @@ def q_xcluster_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup over the embedding corpus
     (``operators/clustering.py::semdedup``): fixed-point k-means (k=8,
     3 iters) restricts the quadratic near-dup scan to within-cluster
-    pairs; quantized-cosine τ=0.95 in pure BIGINT (dot²·10⁴ ≥
-    9025·‖a‖²‖b‖²) drops every vector with a lower-id near-dup in its
-    cluster. Per-vector (cluster, n_dups, is_kept), hash-exact."""
+    pairs; quantized-cosine τ=0.45 in pure BIGINT (dot²·10⁴ ≥
+    2025·‖a‖²‖b‖²) drops every vector with a lower-id near-dup in its
+    cluster. τ is loosened from the paper's ~0.95 because the test
+    embeddings are random (near-orthogonal) — at 0.95 the corpus has
+    zero near-dup pairs and the key would verify nothing; 0.45 yields
+    a non-trivial kept/dropped mix at every SF. Per-vector (cluster,
+    n_dups, is_kept), hash-exact."""
     from kamu_engine_datafusion_spark.operators.clustering import semdedup
 
     t = load(spark, sf_dir, "embeddings")

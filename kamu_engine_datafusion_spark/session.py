@@ -28,6 +28,11 @@ _RUNTIME_CONFS = {
     "spark.sql.caseSensitive": "true",
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MILLIS",
     "spark.sql.parquet.compression.codec": "snappy",
+    # Pinned, not assumed: ANSI is the default on Spark 4.x but OFF on
+    # 3.x, and overflow-loudness contracts (e.g. semdedup's BIGINT
+    # dot²·tau products) depend on it — without the pin a 3.x session
+    # would silently wrap instead of failing loudly.
+    "spark.sql.ansi.enabled": "true",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

@@ -210,12 +210,31 @@ class H2Connection:
         elif ftype == F_WINDOW_UPDATE:
             if len(payload) == 4:
                 incr = struct.unpack("!I", payload)[0] & 0x7FFFFFFF
+                if incr == 0:
+                    # §6.9: a 0 increment is a PROTOCOL_ERROR (stream
+                    # error for a stream, connection error for id 0);
+                    # tear the connection down either way — this server
+                    # is single-purpose and a 0-increment peer is broken
+                    self._goaway(0x1)  # PROTOCOL_ERROR
+                    return False
                 if stream_id == 0:
+                    if self.conn_send_window + incr > 0x7FFFFFFF:
+                        # §6.9.1: window past 2^31-1 = FLOW_CONTROL_ERROR
+                        self._goaway(0x3)  # FLOW_CONTROL_ERROR
+                        return False
                     self.conn_send_window += incr
-                else:
-                    self.stream_send_windows[stream_id] = (
-                        self._stream_window(stream_id) + incr
-                    )
+                elif stream_id in self.stream_send_windows:
+                    # stream_send_windows doubles as the open-for-
+                    # sending record (created at HEADERS, popped at
+                    # RST / END_STREAM): updates for already-finished
+                    # streams are ignored (§6.9 permits them briefly
+                    # after close) WITHOUT setdefault-ing an entry
+                    # nothing would remove — a per-connection leak
+                    nw = self.stream_send_windows[stream_id] + incr
+                    if nw > 0x7FFFFFFF:
+                        self._goaway(0x3)  # FLOW_CONTROL_ERROR
+                        return False
+                    self.stream_send_windows[stream_id] = nw
         elif ftype == F_PRIORITY:
             pass
         elif ftype == F_RST_STREAM:
@@ -223,6 +242,10 @@ class H2Connection:
             self.stream_send_windows.pop(stream_id, None)
         elif ftype == F_HEADERS:
             st = self.streams.setdefault(stream_id, _Stream())
+            # open the send-window record now: _complete pops
+            # self.streams before the handler writes its response, so
+            # WINDOW_UPDATE liveness must be tracked here instead
+            self._stream_window(stream_id)
             frag = self._strip_padding(payload, flags)
             if frag is None:
                 return False  # pad length exceeds the frame: PROTOCOL_ERROR

@@ -627,3 +627,50 @@ def test_settings_initial_window_rebases_stream_windows():
     assert conn.stream_send_windows[1] == 2_000 - 1_000
     # connection window unaffected by SETTINGS (§6.9.2)
     assert conn.conn_send_window == 65535 - 1_000
+
+
+def test_window_update_zero_increment_is_protocol_error():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_GOAWAY,
+        F_WINDOW_UPDATE,
+    )
+
+    # RFC 9113 §6.9: a 0 increment is a PROTOCOL_ERROR — the connection
+    # is torn down with a GOAWAY, not silently tolerated
+    conn = _conn()
+    alive = conn._dispatch(F_WINDOW_UPDATE, 0, 0, struct.pack("!I", 0))
+    assert alive is False
+    assert conn.sock.sent[3] == F_GOAWAY  # frame type byte of GOAWAY
+
+
+def test_window_update_overflow_is_flow_control_error():
+    from kamu_engine_datafusion_spark.transport.http2 import F_WINDOW_UPDATE
+
+    # §6.9.1: a window past 2^31-1 is a FLOW_CONTROL_ERROR (connection)
+    conn = _conn()
+    big = struct.pack("!I", 0x7FFFFFFF)
+    assert conn._dispatch(F_WINDOW_UPDATE, 0, 0, big) is False
+    # ... and on a live stream
+    conn2 = _conn()
+    from kamu_engine_datafusion_spark.transport.http2 import ResponseWriter
+
+    ResponseWriter(conn2, 1).send_data(b"x")  # opens the window record
+    assert conn2._dispatch(F_WINDOW_UPDATE, 0, 1, big) is False
+
+
+def test_window_update_for_finished_stream_does_not_leak():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_WINDOW_UPDATE,
+        ResponseWriter,
+    )
+
+    conn = _conn()
+    w = ResponseWriter(conn, 1)
+    w.send_data(b"x", end_stream=True)  # finishes: window record popped
+    assert 1 not in conn.stream_send_windows
+    # a late §6.9 WINDOW_UPDATE for the closed stream is ignored and
+    # must NOT re-create a stream_send_windows entry (per-conn leak)
+    assert conn._dispatch(
+        F_WINDOW_UPDATE, 0, 1, struct.pack("!I", 100)
+    ) is not False
+    assert 1 not in conn.stream_send_windows

@@ -32,9 +32,10 @@ def canon(v):
             return "NaN"
         return float(round(v, 9))
     if isinstance(v, datetime):
-        # strip tz: compare instants as naive UTC
+        # strip tz: compare instants as naive UTC (both engines run
+        # with UTC session timezones, so the wall time IS the instant)
         if v.tzinfo is not None:
-            v = v.astimezone(tz=None).replace(tzinfo=None) if False else v.replace(tzinfo=None)
+            v = v.replace(tzinfo=None)
         return v.isoformat()
     if isinstance(v, date):
         return v.isoformat()
