@@ -299,3 +299,301 @@ def cm_heavy_hitter_report(
             (F.col("cm_est") - F.col("freq")) / F.col("freq"), 6
         ).alias("rel_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch: deterministic hash-level sampling
+# ---------------------------------------------------------------------------
+#
+# The third member of the sketch layer (cardinality = HLL, frequency =
+# Count-Min, quantiles = this). Design: KLL-style LEVEL sampling
+# (Karnin-Lang-Liberty 2016 keeps ~k items where an item at level L
+# represents 2^L inputs), but with the level coin flips REPLACED by a
+# pure function of each row's id hash — level(x) = trailing zeros of
+# poly31(id) (geometric(1/2), Gibbons' distinct/level sampling device).
+# That one change makes the sketch a deterministic function of the
+# input SET:
+#
+# - order-independent: no compaction schedule to replay, so Spark's
+#   nondeterministic partition/arrival order can never change the
+#   result (sequential KLL's state depends on arrival order — a real
+#   hazard on a 1000-executor shuffle, and unreplayable by an oracle);
+# - EXACTLY mergeable: sketch(A ∪ B) == merge(sketch(A), sketch(B)),
+#   bit-for-bit, not just error-bound-preserving (proof at
+#   quantile_sketch_merge); the streaming fold is the same function;
+# - SQL-replayable: a DuckDB oracle rebuilds the retained set row for
+#   row (hash → level → threshold → filter).
+#
+# State per group: a threshold ``thr`` + the retained rows {lvl ≥ thr},
+# at most k of them once any level is excluded (the canonical threshold
+# is thr = 0 if |group| ≤ k else 1 + max{L : |{lvl ≥ L}| > k}, so the
+# retained count is ≤ k whenever thr > 0, and each retained row stands
+# for 2^thr input rows). Quantile estimate = rank selection over the
+# retained rows; with s survivors the rank error is the uniform-sample
+# bound O(sqrt(ln(1/δ)/s)) — worse than KLL's O(1/k) at equal k, the
+# price of determinism; size k accordingly.
+
+
+def _qsk_levels(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    hash_fn: str,
+    salt: str,
+) -> DataFrame:
+    """Per-row sampling level: trailing zeros of the 31-bit hash of the
+    row id's salted string form (31 when the hash is 0). P(lvl ≥ L) =
+    2^-L for a uniform hash — the geometric level law, derived from the
+    id rather than drawn, so it is replayable and merge-stable."""
+    h = _hash31(F.concat(F.col(id_col).cast("string"), F.lit(salt)), hash_fn)
+    lvl = F.when(h == F.lit(0), F.lit(31)).otherwise(
+        F.bit_count(h.bitwiseAND(-h) - F.lit(1))
+    )
+    return df.select(
+        *group_cols,
+        F.col(id_col),
+        F.col(val_col),
+        lvl.cast("long").alias("lvl"),
+    )
+
+
+def _qsk_retain(
+    rows: DataFrame, group_cols: list[str], k: int
+) -> DataFrame:
+    """Shared retain step of build and merge: pick each group's
+    canonical threshold from per-level counts and keep rows above it.
+    ``rows`` carries a per-row floor ``__fl`` (0 on a fresh build, the
+    carried threshold on a merge) — the threshold never goes below the
+    floor, because rows under a part's old threshold are already gone
+    and re-lowering would misreport the retained rows' weights.
+
+    Scale: per-(group, level) counts are ≤ 32 rows per group (ONE
+    partial+final aggregate — map-side combine caps each task's
+    contribution at 32 longs per group), the suffix-sum window runs
+    over that tiny frame, and the per-group threshold table broadcasts
+    back onto the scan — the corpus itself is never shuffled. With an
+    unbounded group-key domain swap the broadcast for a shuffle join;
+    the plan is otherwise unchanged.
+    """
+    from pyspark.sql import Window
+
+    cnt = rows.groupBy(*group_cols, "lvl").agg(
+        F.count(F.lit(1)).alias("__c"), F.max("__fl").alias("__f")
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(F.desc("lvl"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    suf = cnt.withColumn("__s", F.sum("__c").over(w))
+    thr = suf.groupBy(*group_cols).agg(
+        F.greatest(
+            F.coalesce(
+                F.max(F.when(F.col("__s") > F.lit(k), F.col("lvl")))
+                + F.lit(1),
+                F.lit(0),
+            ),
+            F.max("__f"),
+        )
+        .cast("long")
+        .alias("thr")
+    )
+    return (
+        rows.join(F.broadcast(thr), group_cols)
+        .filter(F.col("lvl") >= F.col("thr"))
+        .drop("__fl")
+    )
+
+
+def quantile_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    k: int = 256,
+    hash_fn: str = "poly",
+    salt: str = "#qsk",
+) -> DataFrame:
+    """Build the per-group quantile sketch: ``(group..., id, val, lvl,
+    thr)`` — the ≤ max(k, |group ∩ lvl=thr…|) retained rows whose
+    hash-derived level clears the group's canonical threshold, each
+    standing for ``2^thr`` input rows. ``id_col`` must be unique per
+    row (it is the sampling coin); NULL ids are rejected by the ANSI
+    concat→hash rather than silently leveled.
+
+    This is what ``percentile_approx``-shaped maintenance uses
+    incrementally at 100 TB: per-group state is bounded at ~k rows by
+    construction, folds across partitions/batches are exact merges
+    (see :func:`quantile_sketch_merge`), and winsorize / robust-outlier
+    / curriculum-quantile cut points read the retained rows instead of
+    re-sorting the corpus.
+    """
+    rows = _qsk_levels(df, group_cols, id_col, val_col, hash_fn, salt)
+    return _qsk_retain(
+        rows.withColumn("__fl", F.lit(0).cast("long")), group_cols, k
+    )
+
+
+def quantile_sketch_merge(
+    sketches: list[DataFrame], group_cols: list[str], k: int
+) -> DataFrame:
+    """Merge sketches of disjoint parts into THE sketch of the union —
+    exactly: ``merge([sketch(A), sketch(B)]) == sketch(A ∪ B)`` bit for
+    bit (pytest-pinned, plus a hypothesis property over random splits).
+
+    Why exact: levels are per-row intrinsic (hash of id), so a part's
+    sketch retains every row with lvl ≥ its threshold. For any L ≥
+    max(part thresholds) the union of sketches contains ALL full-data
+    rows with lvl ≥ L, so the per-level suffix counts — and hence the
+    canonical threshold and retained set — computed on the union of
+    sketches equal those computed on the full data (the full-data
+    threshold is ≥ every part threshold: below a part's threshold that
+    part alone already exceeded k).
+    """
+    parts = [
+        s.select(
+            *group_cols,
+            *[c for c in s.columns if c not in {*group_cols, "thr"}],
+            F.col("thr").alias("__fl"),
+        )
+        for s in sketches
+    ]
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return _qsk_retain(u, group_cols, k)
+
+
+def quantile_sketch_estimates(
+    sketch: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    qs: list[tuple[int, int]],
+) -> DataFrame:
+    """Per-group quantile estimates from the retained rows: for each
+    quantile ``q = num/den`` the value at 1-based rank
+    ``(num·(s−1)) div den + 1`` of the retained rows ordered by
+    ``(val, id)`` — lower-interpolation rank selection in pure INTEGER
+    arithmetic (no float rank math: a double ``0.99·(n−1)`` floors
+    differently from exact rational arithmetic near integers, and
+    engines disagree on double→int casts).
+
+    Output: ``(group..., thr, n_retained, q_<num>_<den>...)``. The
+    window is bounded: ≤ ~k rows per group by sketch construction.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(val_col, id_col)
+    ranked = (
+        sketch.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "__s",
+            F.count(F.lit(1)).over(
+                Window.partitionBy(*group_cols).rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+    )
+    aggs = [
+        F.max("thr").alias("thr"),
+        F.max("__s").cast("long").alias("n_retained"),
+    ]
+    for num, den in qs:
+        tgt = F.expr(f"({num} * (__s - 1)) div {den}") + F.lit(1)
+        aggs.append(
+            F.max(F.when(F.col("__rn") == tgt, F.col(val_col))).alias(
+                f"q_{num}_{den}"
+            )
+        )
+    return ranked.groupBy(*group_cols).agg(*aggs)
+
+
+def quantile_sketch_report(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    qs: list[tuple[int, int]] | None = None,
+    k: int = 256,
+    eps: float = 0.125,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Trust-the-sketch audit (the :func:`hll_distinct_report` shape
+    for quantiles): per group — exact row count, sketch threshold and
+    survivor count, and for each quantile ``q = num/den`` the sketch
+    estimate, the exact quantile (same integer rank selection over the
+    full data), the RANK error of the estimate in the full data, and
+    ``ok`` = 1 iff that rank error ≤ ``eps`` (pinned vs literal 1 in
+    the oracle — the sketch earning its keep at this k).
+
+    Rank error honors ties: with ``frac_lt``/``frac_le`` the fraction
+    of rows strictly below / at-or-below the estimate, the estimate
+    covers the rank interval [frac_lt, frac_le] and the error is
+    ``max(0, q − frac_le, frac_lt − q)`` (half-up 6dp).
+
+    The exact side sorts each full group — this is the AUDIT operator
+    run at small scale to size ``k`` before the sketch replaces exact
+    per-group sorts at 100 TB (same contract as the HLL and Count-Min
+    report ops).
+    """
+    from pyspark.sql import Window
+
+    qs = qs or [(1, 2), (9, 10), (99, 100)]
+    sk = quantile_sketch(df, group_cols, id_col, val_col, k, hash_fn)
+    est = quantile_sketch_estimates(sk, group_cols, id_col, val_col, qs)
+
+    w = Window.partitionBy(*group_cols).orderBy(val_col, id_col)
+    ranked = df.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n",
+        F.count(F.lit(1)).over(
+            Window.partitionBy(*group_cols).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ),
+    )
+    ex_aggs = [F.max("__n").cast("long").alias("n")]
+    for num, den in qs:
+        tgt = F.expr(f"({num} * (__n - 1)) div {den}") + F.lit(1)
+        ex_aggs.append(
+            F.max(F.when(F.col("__rn") == tgt, F.col(val_col))).alias(
+                f"ex_{num}_{den}"
+            )
+        )
+    exact = ranked.groupBy(*group_cols).agg(*ex_aggs)
+
+    # rank of each estimate in the full data: broadcast the tiny
+    # per-group estimate row back onto the scan, ONE conditional
+    # aggregate for all quantiles
+    probe = df.join(F.broadcast(est), group_cols)
+    acc_aggs = []
+    for num, den in qs:
+        e = F.col(f"q_{num}_{den}")
+        acc_aggs.append(
+            F.sum((F.col(val_col) < e).cast("long")).alias(f"lt_{num}_{den}")
+        )
+        acc_aggs.append(
+            F.sum((F.col(val_col) <= e).cast("long")).alias(f"le_{num}_{den}")
+        )
+    acc = probe.groupBy(*group_cols).agg(*acc_aggs)
+
+    out = exact.join(est, group_cols).join(acc, group_cols)
+    cols = [*group_cols, "n", "thr", "n_retained"]
+    for num, den in qs:
+        q = F.lit(num).cast("double") / F.lit(den).cast("double")
+        frac_lt = F.col(f"lt_{num}_{den}").cast("double") / F.col("n")
+        frac_le = F.col(f"le_{num}_{den}").cast("double") / F.col("n")
+        err = F.greatest(F.lit(0.0), q - frac_le, frac_lt - q)
+        tag = f"p{num}_{den}"
+        cols.append(F.col(f"q_{num}_{den}").alias(f"est_{tag}"))
+        cols.append(F.col(f"ex_{num}_{den}").alias(f"exact_{tag}"))
+        cols.append(half_up(err, 6).alias(f"err_{tag}"))
+        cols.append(
+            F.when(err <= F.lit(eps), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias(f"ok_{tag}")
+        )
+    return out.select(*cols)

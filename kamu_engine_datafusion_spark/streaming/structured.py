@@ -780,3 +780,144 @@ def maintained_distinct(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintained_countmin(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 7,
+    hash_fn: str = "poly",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 4,
+):
+    """Continuously-maintained Count-Min grid over an append stream —
+    the frequency twin of :func:`maintained_distinct` (cardinality) and
+    :func:`maintained_quantile_sketch` (quantiles). Counter addition is
+    associative and commutative like register max, so each micro-batch
+    reduces to its own ≤ depth·width-cell grid
+    (``operators.sketches.cm_counters`` — partial counts bound the
+    exchange) and the fold is cell-wise BIGINT addition with the stored
+    grid: per-tick cost O(increment + grid), state size ≤ depth·width
+    rows, estimates identical to the batch grid over the whole history
+    (pytest-pinned bit-equal). Exactly-once under crash-replay via the
+    bucketed intent/apply protocol.
+
+    Retractions are NOT supported (counters are insert-only); feed the
+    live/append stream. Current grid =
+    :func:`read_maintained_state`; point estimates via
+    ``operators.sketches.cm_lookup``.
+    """
+    from kamu_engine_datafusion_spark.operators.sketches import cm_counters
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_grid):
+        if state_subset is None:
+            return inc_grid
+        return (
+            state_subset.unionByName(inc_grid)
+            .groupBy("i", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # the grid's own keys (i, bucket) don't exist on raw ledger
+        # rows, so reduce the increment to its grid FIRST and bucket
+        # the state on the grid key; with a 4×256 grid every tick
+        # touches most cells, so the bucket count stays small
+        _fold_buckets(
+            cm_counters(batch_df, key_col, depth, width, seed, hash_fn),
+            batch_id,
+            state_dir,
+            ["i", "bucket"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def maintained_quantile_sketch(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    id_col: str,
+    val_col: str,
+    k: int = 256,
+    hash_fn: str = "poly",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 4,
+):
+    """Continuously-maintained per-group QUANTILE sketch over an append
+    stream — the incremental form of
+    ``operators.sketches.quantile_sketch``. Because the sketch's level
+    coin is a pure function of each row's id hash, the cross-batch fold
+    is an EXACT merge: after any number of ticks the stored state is
+    bit-identical to the batch sketch of the whole ledger
+    (pytest-pinned), so estimates never drift with micro-batch
+    boundaries. State per group is ≤ ~k retained rows + the threshold;
+    a tick levels its increment in-row, unions it with the touched
+    buckets' stored rows, and re-applies the canonical threshold with
+    the stored thresholds as floors (rows under a stored threshold are
+    gone — the floor keeps the reported weights honest).
+
+    Retractions are NOT supported (a dropped row's level cannot be
+    re-drawn); feed the live/append stream. Current sketch =
+    :func:`read_maintained_state`; estimates via
+    ``operators.sketches.quantile_sketch_estimates``.
+    """
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        _qsk_levels,
+        _qsk_retain,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, batch_df):
+        inc = _qsk_levels(
+            batch_df, group_cols, id_col, val_col, hash_fn, "#qsk"
+        ).withColumn("__fl", F.lit(0).cast("long"))
+        if state_subset is not None:
+            st = state_subset.select(
+                *group_cols,
+                id_col,
+                val_col,
+                "lvl",
+                F.col("thr").alias("__fl"),
+            )
+            inc = inc.unionByName(st)
+        return _qsk_retain(inc, group_cols, k)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df, batch_id, state_dir, group_cols, state_buckets, _merge
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -263,3 +263,171 @@ def test_cm_never_undercounts_any_corpus(spark, words, depth, width):
         assert r["freq"] == truth[r["k"]]
         assert r["cm_est"] >= r["freq"]
         assert r["is_overestimate"] == 1
+
+
+# ---------------------------------------------------------------------------
+# Quantile sketch: deterministic hash-level sampling
+# ---------------------------------------------------------------------------
+
+from kamu_engine_datafusion_spark.operators.sketches import (  # noqa: E402
+    quantile_sketch,
+    quantile_sketch_estimates,
+    quantile_sketch_merge,
+    quantile_sketch_report,
+)
+
+
+def _tz(h: int) -> int:
+    """Trailing zeros of a positive 31-bit hash (31 for h == 0)."""
+    if h == 0:
+        return 31
+    t = 0
+    while h % 2 == 0:
+        h //= 2
+        t += 1
+    return t
+
+
+def _py_qsketch(rows, k, salt="#qsk"):
+    """Pure-python reference: rows = [(grp, id, val)] → {grp: (thr,
+    {(id, val, lvl)})} via the same poly hash / trailing-zero level /
+    canonical threshold."""
+    from collections import defaultdict
+
+    by = defaultdict(list)
+    for g, i, v in rows:
+        by[g].append((str(i), v, _tz(_poly(str(i) + salt))))
+    out = {}
+    for g, rs in by.items():
+        if len(rs) <= k:
+            thr = 0
+        else:
+            thr = 1 + max(
+                L
+                for L in {lvl for _, _, lvl in rs}
+                if sum(1 for _, _, x in rs if x >= L) > k
+            )
+        out[g] = (thr, {(i, v, x) for i, v, x in rs if x >= thr})
+    return out
+
+
+def _mk_rows(n_a=900, n_b=40):
+    rng = __import__("random").Random(7)
+    rows = [("a", f"id{i:05d}", rng.randint(0, 10_000)) for i in range(n_a)]
+    rows += [("b", f"bx{i:05d}", rng.randint(0, 100)) for i in range(n_b)]
+    return rows
+
+
+def test_qsketch_matches_python_reference(spark):
+    rows = _mk_rows()
+    df = spark.createDataFrame(rows, "g string, rid string, val long")
+    sk = quantile_sketch(df, ["g"], "rid", "val", k=64)
+    got = {}
+    for r in sk.collect():
+        got.setdefault(r["g"], (r["thr"], set()))[1].add(
+            (r["rid"], r["val"], r["lvl"])
+        )
+        assert r["thr"] == got[r["g"]][0]  # thr constant per group
+    assert got == _py_qsketch(rows, 64)
+
+
+def test_qsketch_retained_is_always_bounded_by_k(spark):
+    # S_thr <= k by construction of the canonical threshold (and when
+    # thr = 0 the whole group fits) — so n_retained <= k ALWAYS
+    rows = _mk_rows(n_a=2000, n_b=3)
+    df = spark.createDataFrame(rows, "g string, rid string, val long")
+    for k in (8, 64, 256):
+        per = (
+            quantile_sketch(df, ["g"], "rid", "val", k=k)
+            .groupBy("g")
+            .count()
+            .collect()
+        )
+        assert all(r["count"] <= k for r in per)
+
+
+def test_qsketch_small_group_is_exact(spark):
+    # n <= k: threshold 0, every row retained, estimates = exact
+    # quantiles of the data itself
+    rows = [("s", f"r{i}", v) for i, v in enumerate([5, 1, 9, 3, 7])]
+    df = spark.createDataFrame(rows, "g string, rid string, val long")
+    sk = quantile_sketch(df, ["g"], "rid", "val", k=16)
+    assert sk.count() == 5 and sk.agg(F.max("thr")).first()[0] == 0
+    est = quantile_sketch_estimates(
+        sk, ["g"], "rid", "val", qs=[(1, 2), (99, 100)]
+    ).first()
+    # sorted vals [1,3,5,7,9]: p50 idx = (1*4)//2+1 = 3 -> 5;
+    # p99 idx = (99*4)//100+1 = 4 -> 7 (lower interpolation)
+    assert est["q_1_2"] == 5 and est["q_99_100"] == 7
+
+
+def test_qsketch_merge_equals_batch_sketch(spark):
+    rows = _mk_rows(n_a=1200, n_b=30)
+    df = spark.createDataFrame(rows, "g string, rid string, val long")
+    parts = [
+        df.filter(F.pmod(F.xxhash64("rid"), F.lit(3)) == i) for i in range(3)
+    ]
+    full = quantile_sketch(df, ["g"], "rid", "val", k=32)
+    merged = quantile_sketch_merge(
+        [quantile_sketch(p, ["g"], "rid", "val", k=32) for p in parts],
+        ["g"],
+        32,
+    )
+    cols = sorted(full.columns)
+    a = sorted(tuple(r[c] for c in cols) for r in full.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in merged.collect())
+    assert a == b and len(a) > 0
+
+
+def test_qsketch_report_flags_on_uniform_data(spark):
+    rows = _mk_rows(n_a=3000, n_b=0)
+    df = spark.createDataFrame(rows, "g string, rid string, val long")
+    rep = quantile_sketch_report(
+        df, ["g"], "rid", "val", qs=[(1, 2), (9, 10)], k=256, eps=0.125
+    ).first()
+    assert rep["n"] == 3000 and rep["n_retained"] <= 256
+    assert rep["ok_p1_2"] == 1 and rep["ok_p9_10"] == 1
+    # the exact side really is the rank-selected element
+    vals = sorted(v for _, _, v in rows)
+    assert rep["exact_p1_2"] == vals[(1 * (3000 - 1)) // 2]
+
+
+@_slow
+@given(
+    vals=st.lists(
+        st.integers(min_value=-1000, max_value=1000),
+        min_size=1,
+        max_size=150,
+    ),
+    k=st.integers(min_value=2, max_value=32),
+    cut=st.integers(min_value=0, max_value=149),
+)
+def test_qsketch_merge_exact_any_corpus(spark, vals, k, cut):
+    """merge(sketch(A), sketch(B)) == sketch(A ∪ B) bit-for-bit, for
+    ANY values, ANY k, ANY split point — the property the streaming
+    fold and every distributed partial depend on."""
+    rows = [("g", f"v{i:04d}", v) for i, v in enumerate(vals)]
+    cut = min(cut, len(rows))
+    df = spark.createDataFrame(rows, "g string, rid string, val long")
+    pa_, pb_ = rows[:cut], rows[cut:]
+    parts = []
+    for p in (pa_, pb_):
+        if p:
+            parts.append(
+                quantile_sketch(
+                    spark.createDataFrame(
+                        p, "g string, rid string, val long"
+                    ),
+                    ["g"], "rid", "val", k=k,
+                )
+            )
+    merged = (
+        quantile_sketch_merge(parts, ["g"], k)
+        if len(parts) > 1
+        else parts[0]
+    )
+    full = quantile_sketch(df, ["g"], "rid", "val", k=k)
+    cols = sorted(full.columns)
+    a = sorted(tuple(r[c] for c in cols) for r in full.collect())
+    b = sorted(tuple(r[c] for c in cols) for r in merged.collect())
+    assert a == b

@@ -971,3 +971,132 @@ def test_bucketed_state_read_partition_prunes(spark, tmp_path):
     assert pf and "IN (3,7)" in pf[0].replace(" ", "").replace(
         "IN(3,7)", "IN (3,7)"
     ), plan
+
+
+def test_maintained_countmin_equals_batch_grid(spark, tmp_path):
+    """Count-Min grid folded across 3 ticks must be BIT-EQUAL to the
+    one-shot grid over the full ledger (counter addition is associative
+    and commutative), and point estimates from the maintained grid must
+    equal the batch estimates."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        cm_counters,
+        cm_lookup,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_countmin,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "cmledger")
+    state_dir = os.path.join(str(tmp_path), "cmstate")
+    ck = os.path.join(str(tmp_path), "cmck")
+    os.makedirs(ledger_dir)
+    schema = "k string"
+
+    def tick(rows):
+        spark.createDataFrame([(w,) for w in rows], schema).coalesce(
+            1
+        ).write.mode("append").parquet(ledger_dir)
+        q = maintained_countmin(
+            ledger_dir, state_dir, ck, "k", depth=3, width=32, seed=7,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    t1 = ["apple"] * 5 + ["pear", "plum"]
+    t2 = ["apple"] * 3 + ["fig"] * 4
+    t3 = ["plum"] * 2 + ["apple"]
+    for t in (t1, t2, t3):
+        tick(t)
+
+    full = spark.createDataFrame([(w,) for w in t1 + t2 + t3], schema)
+    want = sorted(
+        tuple(r)
+        for r in cm_counters(full, "k", depth=3, width=32, seed=7).collect()
+    )
+    state = read_maintained_state(spark, state_dir)
+    got = sorted(tuple(r) for r in state.select("i", "bucket", "c").collect())
+    assert got == want  # the grids, cell for cell
+
+    qdf = spark.createDataFrame([("apple",), ("fig",), ("kiwi",)], schema)
+    est_m = {
+        r["k"]: r["cm_est"]
+        for r in cm_lookup(state, qdf, "k", depth=3, width=32, seed=7).collect()
+    }
+    est_b = {
+        r["k"]: r["cm_est"]
+        for r in cm_lookup(
+            cm_counters(full, "k", depth=3, width=32, seed=7),
+            qdf, "k", depth=3, width=32, seed=7,
+        ).collect()
+    }
+    assert est_m == est_b
+    assert est_m["apple"] >= 9 and est_m["fig"] >= 4  # never undercounts
+
+
+def test_maintained_quantile_sketch_equals_batch(spark, tmp_path):
+    """Quantile-sketch state folded across 3 ticks must be BIT-EQUAL
+    to the one-shot sketch over the full ledger — including a tick
+    that forces a group's threshold UP (the state-shrink path) — and
+    estimates from the maintained state must equal batch estimates."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_estimates,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_quantile_sketch,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "qsledger")
+    state_dir = os.path.join(str(tmp_path), "qsstate")
+    ck = os.path.join(str(tmp_path), "qsck")
+    os.makedirs(ledger_dir)
+    schema = "g string, rid string, val long"
+    rng = __import__("random").Random(3)
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_quantile_sketch(
+            ledger_dir, state_dir, ck, ["g"], "rid", "val", k=16,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    # tick 1: small groups (thr 0, everything retained)
+    t1 = [("a", f"a{i:04d}", rng.randint(0, 999)) for i in range(10)]
+    t1 += [("b", f"b{i:04d}", rng.randint(0, 99)) for i in range(5)]
+    # tick 2: group a grows past k — its threshold must RISE and the
+    # stored state must shed rows below the new threshold
+    t2 = [("a", f"a{i:04d}", rng.randint(0, 999)) for i in range(10, 200)]
+    # tick 3: more of both (b stays under k)
+    t3 = [("a", f"a{i:04d}", rng.randint(0, 999)) for i in range(200, 260)]
+    t3 += [("b", f"b{i:04d}", rng.randint(0, 99)) for i in range(5, 9)]
+    for t in (t1, t2, t3):
+        tick(t)
+
+    full = spark.createDataFrame(t1 + t2 + t3, schema)
+    want_df = quantile_sketch(full, ["g"], "rid", "val", k=16)
+    cols = sorted(want_df.columns)
+    state = read_maintained_state(spark, state_dir)
+    got = sorted(tuple(r[c] for c in cols) for r in state.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in want_df.collect())
+    assert got == want and len(got) > 0
+    assert max(r["thr"] for r in state.collect()) > 0  # the rise happened
+
+    qs = [(1, 2), (9, 10)]
+    est_m = sorted(
+        tuple(r)
+        for r in quantile_sketch_estimates(
+            state, ["g"], "rid", "val", qs
+        ).collect()
+    )
+    est_b = sorted(
+        tuple(r)
+        for r in quantile_sketch_estimates(
+            want_df, ["g"], "rid", "val", qs
+        ).collect()
+    )
+    assert est_m == est_b
