@@ -146,6 +146,96 @@ def connected_components(
     )
 
 
+def cc_increment(
+    state: DataFrame | None,
+    new_pairs: DataFrame,
+    max_iterations: int = 20,
+    strict: bool = False,
+) -> DataFrame:
+    """Fold NEW near-dup edges into an existing ``(node, component)``
+    star forest WITHOUT recomputing the closure — the incremental
+    companion of :func:`connected_components` for the persisted-index
+    dedup path (``operators/dedup.py::dedup_increment_against_index``
+    emits increment-vs-corpus edges; this folds them into component
+    state across ticks).
+
+    Algorithm: contract each new edge to its endpoints' CURRENT roots
+    (absent endpoints root themselves), drop the now-internal edges
+    (both endpoints in one component — the common case for re-crawled
+    duplicates), and run star contraction on the CONTRACTED graph only
+    — its size is bounded by the increment, never the history. The
+    resulting relabel map (old root → merged root) is increment-
+    bounded, so it broadcasts onto one pass over the state; rows of
+    untouched components stream through unchanged.
+
+    Correctness: each state root is the MIN id of its old component,
+    and the contracted closure labels each merged component with the
+    min of its member roots — so labels equal the global min-id
+    labeling, i.e. exactly ``connected_components(all edges ever)``
+    (pytest-pinned across ticks incl. component merges; the
+    ``xdedup_cc_incremental`` oracle replays the full closure as a
+    recursive CTE against the incremental fold).
+
+    Scale: per tick — one increment-broadcast lookup join against the
+    state, a closure over an increment-sized graph, one broadcast
+    relabel pass over the state. O(state) is touched only by the final
+    pass-through union (unavoidable for a returned full frame; the
+    bucketed maintenance below rewrites only touched buckets).
+    """
+    if state is None:
+        return connected_components(
+            new_pairs, max_iterations=max_iterations, strict=strict
+        )
+    edges = _oriented(
+        new_pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    )
+    # resolve endpoints to current roots (new nodes root themselves)
+    def _root(side: str) -> DataFrame:
+        return (
+            edges.select(F.col(side).alias("node"))
+            .distinct()
+            .join(state, "node", "left")
+            .select(
+                F.col("node"),
+                F.coalesce("component", "node").alias(f"r_{side}"),
+            )
+        )
+
+    contracted = (
+        edges.join(_root("u").withColumnRenamed("node", "u"), "u")
+        .join(_root("v").withColumnRenamed("node", "v"), "v")
+        .select(F.col("r_u").alias("id_a"), F.col("r_v").alias("id_b"))
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    # closure over the contracted (increment-sized) graph only
+    relabel = connected_components(
+        contracted, max_iterations=max_iterations, strict=strict
+    ).select(F.col("node").alias("__old"), F.col("component").alias("__new"))
+    # new nodes enter the state rooted at themselves, then relabel
+    # (a new node always carries an edge, so it appears in contracted
+    # unless its whole edge collapsed — impossible: its self-root is
+    # unique). Existing nodes keep their row; only touched roots remap.
+    new_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionByName(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .join(state, "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return (
+        state.unionByName(new_nodes)
+        .join(
+            F.broadcast(relabel),
+            F.col("component") == F.col("__old"),
+            "left",
+        )
+        .select(
+            "node",
+            F.coalesce("__new", "component").alias("component"),
+        )
+    )
+
+
 def dedup_by_components(
     df: DataFrame,
     pairs: DataFrame,

@@ -174,6 +174,35 @@ def q_xdedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xdedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components
+    (``operators/clustering.py::cc_increment``): the ``xdedup_cluster``
+    token-Jaccard pair set arrives in THREE deterministic ticks
+    (``(id_a + id_b) mod 3``) and each tick folds into the persisted
+    ``(node, component)`` star forest by contracting the increment to
+    current roots and closing only the increment-sized graph — never
+    recomputing history. The oracle replays the FULL closure over all
+    pairs as a recursive CTE, so a hash match proves incremental ≡
+    from-scratch. Output: every clustered node with its component
+    root."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cc_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    sub = t["documents"].filter(F.col("doc_id") < 300)
+    pairs = D.ngram_jaccard_pairs(
+        sub, block_cols="lang", threshold=0.6
+    ).select("id_a", "id_b")
+    state = None
+    for tick in range(3):
+        inc = pairs.filter(
+            F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == tick
+        )
+        state = cc_increment(state, inc).localCheckpoint(eager=True)
+    return state.select("node", "component")
+
+
 def q_xsnapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot-to-changelog CDC: diff two derived states of ``orders``
     (drops, inserts, +1.0 price corrections) into ODF ops — appends for
@@ -2709,6 +2738,7 @@ QUERIES = {
     "xdedup_simhash": q_xdedup_simhash,
     "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
     "xdedup_cluster": q_xdedup_cluster,
+    "xdedup_cc_incremental": q_xdedup_cc_incremental,
     "xdedup_canonical": q_xdedup_canonical,
     "xhybrid_rrf": q_xhybrid_rrf,
     "xsnapshot_diff": q_xsnapshot_diff,
@@ -4845,6 +4875,24 @@ ORACLES = {
         "FROM kept GROUP BY doc_id) "
         "SELECT d.doc_id, coalesce(re.text, '') AS text "
         "FROM d LEFT JOIN re USING (doc_id)"
+    ),
+    "xdedup_cc_incremental": (
+        # full-closure replay: if the engine's three-tick incremental
+        # fold diverges from the from-scratch components of ALL pairs,
+        # the (node, component) hash goes red
+        "WITH RECURSIVE toks AS (SELECT doc_id, lang, "
+        f"{_NORM_TOKENS} AS tok FROM documents WHERE doc_id < 300), "
+        "pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM toks a "
+        "JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id "
+        "WHERE CAST(len(list_intersect(a.tok, b.tok)) AS DOUBLE) / "
+        "(len(a.tok) + len(b.tok) - len(list_intersect(a.tok, b.tok))) >= 0.6), "
+        "edges AS (SELECT id_a AS src, id_b AS dst FROM pairs "
+        "UNION SELECT id_b, id_a FROM pairs), "
+        "nodes AS (SELECT DISTINCT src AS node FROM edges), "
+        "reach AS (SELECT node, node AS r FROM nodes "
+        "UNION SELECT e.src, reach.r FROM edges e "
+        "JOIN reach ON e.dst = reach.node) "
+        "SELECT node, min(r) AS component FROM reach GROUP BY node"
     ),
     "xdedup_cluster": (
         "WITH RECURSIVE toks AS (SELECT doc_id, lang, "

@@ -921,3 +921,133 @@ def maintained_quantile_sketch(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintained_components(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 16,
+):
+    """Continuously-maintained CONNECTED COMPONENTS over a stream of
+    near-dup edges — the dedup stack's last batch-only piece made
+    incremental: new edges (e.g. from
+    ``operators/dedup.py::dedup_increment_against_index``) merge into
+    the persisted ``(node, component)`` star forest without ever
+    recomputing the closure (``operators/clustering.py::cc_increment``
+    semantics, pytest-pinned equal to a full recompute across ticks
+    including component merges).
+
+    Per tick: resolve the increment's endpoints to their current roots
+    (one increment-vs-state lookup join — this scan cannot
+    partition-prune, node→bucket(component) is unknowable), drop the
+    edges that became internal, run star contraction on the CONTRACTED
+    increment-sized graph only, and rewrite ONLY the touched
+    components' buckets — state is hive-bucketed by ``component`` (like
+    :func:`maintained_snapshot` by key), and every row that can change
+    lives in a touched root's bucket: the merged root is the min of the
+    touched roots, so relabeled rows land in touched buckets by
+    construction. Exactly-once via the bucketed intent/apply protocol.
+
+    Edge retraction is NOT supported (component splits need the full
+    edge history); feed the append pair stream. Live view =
+    :func:`read_maintained_state`.
+    """
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        connected_components,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, exploded):
+        edges = exploded.select("id_a", "id_b").distinct()
+        relabel = connected_components(
+            edges, max_iterations=max_iterations
+        ).select(
+            F.col("node").alias("__old"), F.col("component").alias("__new")
+        )
+        # a touched root with no self-row in the touched buckets is a
+        # NEW node (every existing component root carries its (r, r)
+        # row, and all rows of touched components live in these
+        # buckets); it enters rooted at itself, then relabels
+        roots = exploded.select(F.col("component").alias("node")).distinct()
+        if state_subset is None:
+            base = roots.select("node", F.col("node").alias("component"))
+        else:
+            fresh = roots.join(state_subset, "node", "left_anti").select(
+                "node", F.col("node").alias("component")
+            )
+            base = state_subset.unionByName(fresh)
+        return base.join(
+            F.broadcast(relabel),
+            F.col("component") == F.col("__old"),
+            "left",
+        ).select(
+            "node", F.coalesce("__new", "component").alias("component")
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        sess = batch_df.sparkSession
+        edges = (
+            batch_df.select(
+                F.greatest(id_a, id_b).alias("u"),
+                F.least(id_a, id_b).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        state = None
+        if os.path.isdir(state_dir) and any(
+            e.startswith(_BUCKET_COL) for e in os.listdir(state_dir)
+        ):
+            state = read_maintained_state(sess, state_dir)
+
+        def _root(side: str) -> DataFrame:
+            nodes = edges.select(F.col(side).alias("node")).distinct()
+            if state is None:
+                return nodes.select(
+                    "node", F.col("node").alias(f"r_{side}")
+                )
+            return nodes.join(state, "node", "left").select(
+                "node", F.coalesce("component", "node").alias(f"r_{side}")
+            )
+
+        contracted = (
+            edges.join(_root("u").withColumnRenamed("node", "u"), "u")
+            .join(_root("v").withColumnRenamed("node", "v"), "v")
+            .select(F.col("r_u").alias("id_a"), F.col("r_v").alias("id_b"))
+            .filter(F.col("id_a") != F.col("id_b"))
+            .distinct()
+        )
+        # key every contracted edge by BOTH touched roots, so the
+        # touched-bucket set covers every row that can change
+        exploded = contracted.select(
+            F.col("id_a").alias("component"), "id_a", "id_b"
+        ).unionByName(
+            contracted.select(
+                F.col("id_b").alias("component"), "id_a", "id_b"
+            )
+        )
+        _fold_buckets(
+            exploded, batch_id, state_dir, ["component"], state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -307,3 +307,68 @@ def test_cluster_quality_majority_tie_breaks_to_lowest_label(spark):
     assert (row["majority_label"], row["n_majority"], row["n"]) == (3, 3, 6)
     assert row["purity"] == 0.5
     assert row["inertia_q"] == 24
+
+
+# ---------------------------------------------------------------------------
+# incremental connected components
+# ---------------------------------------------------------------------------
+
+
+def _cc_dict(df):
+    return {r["node"]: r["component"] for r in df.collect()}
+
+
+def test_cc_increment_matches_full_recompute_across_ticks(spark):
+    """Folding edge ticks through cc_increment must equal a from-scratch
+    closure over all edges so far — including tick 3, which MERGES two
+    previously-separate components through a brand-new node."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cc_increment,
+    )
+
+    ticks = [
+        # tick 1: two chains -> components rooted at 1 and 10
+        [(1, 2), (2, 3), (10, 11)],
+        # tick 2: grow each component + a fresh pair (20, 21)
+        [(3, 4), (11, 12), (20, 21)],
+        # tick 3: a NEW node 99 bridges components 1 and 10; plus an
+        # internal edge (1, 4) that must be a no-op
+        [(4, 99), (99, 10), (1, 4)],
+    ]
+    state = None
+    seen = []
+    for t in ticks:
+        seen += t
+        state = cc_increment(
+            state, spark.createDataFrame(t, "id_a long, id_b long")
+        ).localCheckpoint(eager=True)
+        want = connected_components(
+            spark.createDataFrame(seen, "id_a long, id_b long")
+        )
+        assert _cc_dict(state) == _cc_dict(want)
+    # the merge really happened: 1..4, 10..12, 99 all share root 1
+    final = _cc_dict(state)
+    assert {final[n] for n in (1, 2, 3, 4, 10, 11, 12, 99)} == {1}
+    assert final[20] == final[21] == 20
+
+
+def test_cc_increment_random_graphs_match(spark):
+    import random
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cc_increment,
+    )
+
+    rng = random.Random(11)
+    es = [(rng.randrange(40), rng.randrange(40)) for _ in range(50)]
+    es = [(a, b) for a, b in es if a != b]
+    state = None
+    for i in range(0, len(es), 10):  # 5 ticks
+        state = cc_increment(
+            state,
+            spark.createDataFrame(es[i : i + 10], "id_a long, id_b long"),
+        ).localCheckpoint(eager=True)
+    want = connected_components(
+        spark.createDataFrame(es, "id_a long, id_b long")
+    )
+    assert _cc_dict(state) == _cc_dict(want)

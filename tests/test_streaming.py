@@ -1100,3 +1100,56 @@ def test_maintained_quantile_sketch_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert est_m == est_b
+
+
+def test_maintained_components_equals_full_recompute(spark, tmp_path):
+    """Component state folded across 3 edge ticks must equal the
+    from-scratch closure of all edges — tick 3 merges two existing
+    components through a brand-new node, the relabel-across-buckets
+    path the contracted fold exists for."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        connected_components,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_components,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "ccledger")
+    state_dir = os.path.join(str(tmp_path), "ccstate")
+    ck = os.path.join(str(tmp_path), "ccck")
+    os.makedirs(ledger_dir)
+    schema = "id_a long, id_b long"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_components(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    ticks = [
+        [(1, 2), (2, 3), (10, 11)],
+        [(3, 4), (11, 12), (20, 21)],
+        [(4, 99), (99, 10), (1, 4)],  # merge via new node + internal edge
+    ]
+    seen = []
+    for t in ticks:
+        seen += t
+        tick(t)
+        got = {
+            r["node"]: r["component"]
+            for r in read_maintained_state(spark, state_dir).collect()
+        }
+        want = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                spark.createDataFrame(seen, schema)
+            ).collect()
+        }
+        assert got == want
+    assert {got[n] for n in (1, 2, 3, 4, 10, 11, 12, 99)} == {1}
+    assert got[20] == got[21] == 20
