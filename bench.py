@@ -235,23 +235,36 @@ def main() -> None:
     normalized = {k: round(v / cal, 2) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    # Two lines, diagnostics FIRST: the driver tail-captures stdout and
-    # parses the LAST JSON line, and in round 6 the single ever-growing
-    # line (spreads + rep policy) outgrew that capture → parsed: null.
-    # The final line stays compact (totals + per-query mins only); the
-    # warm-spread diagnostics travel on the preceding line and in
-    # SCALE.md.
+    # Three lines, most-expendable FIRST: the driver tail-captures
+    # stdout and parses the LAST JSON line, and its capture window is
+    # finite (round 6 lost the whole line; round 9's full-spreads line
+    # was clipped at ~2.9k chars, cutting per-query warm medians out of
+    # the record). So: full spreads go first (clippable), a COMPACT
+    # warm-median/normalized line second (must survive the tail), and
+    # the compact totals line last (must be parsed).
     print(
         json.dumps(
             {
-                "diagnostics": "query_spreads",
+                "diagnostics": "query_spreads_full",
                 "query_spreads": spreads,
                 "reps_per_query": {
                     "min": MIN_REPS,
                     "max": MAX_REPS,
                     "improve_tol": IMPROVE_TOL,
                 },
-                "queries_normalized": normalized,
+            }
+        )
+    )
+    print(
+        json.dumps(
+            {
+                "diagnostics": "warm",
+                # per query: [warm_median_sec, warm_spread_sec]
+                "warm": {
+                    k: [v["warm_median"], v["warm_spread"]]
+                    for k, v in spreads.items()
+                },
+                "norm": normalized,
             }
         )
     )

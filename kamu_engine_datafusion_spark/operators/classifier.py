@@ -119,9 +119,19 @@ def train_quality_classifier(
     scale).
     """
     scale = 1 << scale_bits
+    # hash/tokenize ONCE: the checkpointed base carries the distinct
+    # bucket ARRAY per row, so each iteration's margin is a plain array
+    # fold over pre-hashed ints — re-tokenizing + re-hashing text every
+    # iteration measured 46.6s for 12 iterations on 50k docs vs ~3×
+    # less with the prehashed array (SCALE.md r10)
     base = df.select(
         F.col(id_col).alias("__rid"),
-        F.col(text_col).alias("__t"),
+        F.array_distinct(
+            F.transform(
+                _tokens(F.col(text_col)),
+                lambda t: _bucket_of(t, buckets, hash_fn),
+            )
+        ).alias("__bs"),
         F.col(label_col).cast("long").alias("__y"),
     ).localCheckpoint(eager=True)
     n = base.count()
@@ -130,15 +140,7 @@ def train_quality_classifier(
     # presence features: distinct buckets per row, plus the always-on
     # bias feature j = buckets
     exploded = (
-        base.select(
-            "__rid",
-            F.explode(_tokens(F.col("__t"))).alias("__tok"),
-        )
-        .select(
-            "__rid",
-            _bucket_of(F.col("__tok"), buckets, hash_fn).alias("__j"),
-        )
-        .distinct()
+        base.select("__rid", F.explode("__bs").alias("__j"))
         .unionByName(
             base.select("__rid", F.lit(buckets).cast("long").alias("__j"))
         )
@@ -149,7 +151,15 @@ def train_quality_classifier(
     traj = [list(w)]
     lim = clamp * scale
     for it in range(1, iters + 1):
-        z = _margin_expr(F.col("__t"), w, buckets, hash_fn)
+        warr = F.array(*[F.lit(int(x)).cast("long") for x in w[:-1]])
+        z = F.coalesce(
+            F.aggregate(
+                F.col("__bs"),
+                F.lit(0).cast("long"),
+                lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
+            ),
+            F.lit(0),
+        ) + F.lit(int(w[-1])).cast("long")
         zc = F.greatest(F.least(z, F.lit(lim)), F.lit(-lim)).cast("long")
         az = F.abs(zc)
         res = base.select(

@@ -39,6 +39,65 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
+_PRIORITY_R10 = [
+    # ==== round-10 verification window (first ~50 keys) ====
+    # -- NEW in round 10 --
+    "xsketch_quantile",  # NEW: mergeable hash-level quantile sketch audit
+    "xdedup_cc_incremental",  # NEW: incremental CC ≡ full-closure replay
+    "xquality_classifier",  # NEW: fixed-point GD quality gate, trajectory replay
+    # -- implementation changed in round 10 (re-verify) --
+    "xsketch_hll",  # BIGINT shift + NULL-key guard in hll_distinct_report
+    "xpack_layout",  # eager_guard=True at the registry call site
+    "xpack_sequences",  # eager_guard=True
+    "xpack_ffd",  # eager_guard=True (rows-only key)
+    "xpack_ffd_stats",  # eager_guard=True
+    "xpack_efficiency",  # eager_guard pre-count before the budget loop
+    # -- r03/r04 rows-only keys (oldest driver data of all) --
+    "xdedup_minhash",
+    "xdedup_simhash",
+    # -- the 38-key r05-stale block (retire it: last green 5 rounds ago) --
+    "xchangelog_agg",
+    "xoutliers",
+    "xtext_clean",
+    "xcollocations",
+    "xbigram_lm",
+    "xdq_checks",
+    "xwinsorize",
+    "xrolling_time",
+    "xfuzzy_join",
+    "xkey_skew",
+    "xmm_phash",
+    "xskipgram",
+    "xtransitions",
+    "xcorr_matrix",
+    "xquantile_bins",
+    "xstandardize",
+    "xunpivot",
+    "xmerge_intervals",
+    "xcdc_ingest",
+    "xdedup_minhash_sql",
+    "xdedup_incremental",
+    "xdedup_simhash_sql",
+    "xdedup_embcos",
+    "xdedup_semantic",
+    "xdedup_ngram_jaccard",
+    "xdedup_cluster",
+    "xdedup_spans",
+    "xdedup_span_removal",
+    "xdedup_lines",
+    "xsim_quantize",
+    "xsim_quantized_topk",
+    "xdecontaminate_fuzzy",
+    "xrollup_gapfill",
+    "xfunnel",
+    "xretention",
+    "xshuffle",
+    "xbm25",
+    "xtfidf",
+    # -- fill to 50 from the (now-oldest) r06 block --
+    "xvocab",
+]
+
 _PRIORITY_R9 = [
     # ==== round-9 verification window (first ~50 keys) ====
     # -- NEW in round 9 --
@@ -388,14 +447,14 @@ _PRIORITY_R6 = [
     "b39_explode",
 ]
 
-#: The driver-facing order: the round-9 window first, then every other
-#: registered key in its round-7-then-round-6 order (keys already
-#: placed in a newer window are filtered out — the composition stays
-#: duplicate-free and exhaustive by the entry-contract test).
+#: The driver-facing order: the round-10 window first, then the prior
+#: windows oldest-last (keys already placed in a newer window are
+#: filtered out — the composition stays duplicate-free and exhaustive
+#: by the entry-contract test).
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R9 + _PRIORITY_R7 + _PRIORITY_R6
+    for k in _PRIORITY_R10 + _PRIORITY_R9 + _PRIORITY_R7 + _PRIORITY_R6
     if not (k in _seen or _seen.add(k))
 ]
 

@@ -563,6 +563,80 @@ def main() -> None:
         or 20_000_000,
     )
 
+    # r10: mergeable quantile sketch at 20M rows / 3 groups (the
+    # percentile_approx-replacement path), plus the classifier and the
+    # incremental-CC tick against a corpus-sized star forest
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_report,
+    )
+
+    big = spark.range(20_000_000).select(
+        (F.col("id") % 3).cast("string").alias("grp"),
+        F.col("id").alias("rid"),
+        F.pmod(F.xxhash64("id"), F.lit(100_000)).alias("val"),
+    )
+    t(
+        "qsketch_build_20M",
+        lambda: quantile_sketch(
+            big, ["grp"], "rid", "val", k=1024, hash_fn="xxhash64"
+        )
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or 20_000_000,
+    )
+    t(
+        "qsketch_report_20M_incl_exact",
+        lambda: quantile_sketch_report(
+            big, ["grp"], "rid", "val", k=1024, hash_fn="xxhash64"
+        ).count(),
+    )
+    t(
+        "exact_quantiles_20M_baseline",
+        lambda: big.groupBy("grp")
+        .agg(*[F.expr(f"percentile(val, {q})") for q in (0.5, 0.9, 0.99)])
+        .count(),
+    )
+
+    from kamu_engine_datafusion_spark.operators.classifier import (
+        train_quality_classifier,
+    )
+
+    lbl = docs.select(
+        "doc_id",
+        "text",
+        F.array_contains(
+            F.split(F.trim(F.lower("text")), r"\s+"), "vector"
+        ).cast("int").alias("y"),
+    )
+    t(
+        "classifier_train_50k_12it",
+        lambda: len(
+            train_quality_classifier(lbl, "doc_id", "text", "y")
+        ),
+        reps=1,
+    )
+
+    from kamu_engine_datafusion_spark.operators.clustering import cc_increment
+
+    # 1M-row component state (100k components x 10 members), 10k-edge
+    # increment that merges component pairs — the per-tick shape
+    state_1m = spark.range(1_000_000).select(
+        F.col("id").alias("node"), (F.col("id") % 100_000).alias("component")
+    ).localCheckpoint(eager=True)
+    inc = spark.range(10_000).select(
+        (F.col("id") * 2).alias("id_a"), (F.col("id") * 2 + 1).alias("id_b")
+    )
+    t(
+        "cc_increment_1M_state_10k_edges",
+        lambda: cc_increment(state_1m, inc)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or 1_000_000,
+    )
+
 
 if __name__ == "__main__":
     main()
