@@ -1286,6 +1286,7 @@ def packing_efficiency(
     part_col: str = "lang",
     shards: int = 8,
     hash_fn: str = "poly",
+    max_group_rows: int = 50_000_000,
     eager_guard: bool = False,
 ) -> DataFrame:
     """Packer TUNING curve: for each candidate sequence ``budget``,
@@ -1312,7 +1313,7 @@ def packing_efficiency(
                 "shard", _shard(F.col(id_col), shards, hash_fn).cast("long")
             ),
             [part_col, "shard"],
-            50_000_000,
+            max_group_rows,
             "packing_efficiency",
         )
     rows = []

@@ -350,7 +350,14 @@ def _qsk_levels(
     lvl = F.when(h == F.lit(0), F.lit(31)).otherwise(
         F.bit_count(h.bitwiseAND(-h) - F.lit(1))
     )
-    return df.select(
+    # NULL id or NULL value rows are dropped up front, explicitly: a
+    # NULL id would hash to a NULL level and vanish SILENTLY in the
+    # threshold filter, and a NULL value would sort below every real
+    # value and skew low-quantile rank selection. Same defined-behavior
+    # policy as hll_distinct_report's NULL-key filter.
+    return df.filter(
+        F.col(id_col).isNotNull() & F.col(val_col).isNotNull()
+    ).select(
         *group_cols,
         F.col(id_col),
         F.col(val_col),
@@ -419,8 +426,8 @@ def quantile_sketch(
     thr)`` — the ≤ max(k, |group ∩ lvl=thr…|) retained rows whose
     hash-derived level clears the group's canonical threshold, each
     standing for ``2^thr`` input rows. ``id_col`` must be unique per
-    row (it is the sampling coin); NULL ids are rejected by the ANSI
-    concat→hash rather than silently leveled.
+    row (it is the sampling coin); rows with NULL id or NULL value are
+    dropped up front (documented defined behavior — see _qsk_levels).
 
     This is what ``percentile_approx``-shaped maintenance uses
     incrementally at 100 TB: per-group state is bounded at ~k rows by
@@ -542,6 +549,11 @@ def quantile_sketch_report(
     from pyspark.sql import Window
 
     qs = qs or [(1, 2), (9, 10), (99, 100)]
+    # the sketch drops NULL id/value rows (see _qsk_levels); the exact
+    # side and the rank probes must see the same population
+    df = df.filter(
+        F.col(id_col).isNotNull() & F.col(val_col).isNotNull()
+    )
     sk = quantile_sketch(df, group_cols, id_col, val_col, k, hash_fn)
     est = quantile_sketch_estimates(sk, group_cols, id_col, val_col, qs)
 

@@ -290,3 +290,36 @@ def test_interleave_distributed_no_windows(spark):
         df, "doc_id", "lang", {"en": 3.0, "de": 1.0}, mode="serial"
     )
     assert "Window" in ser._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quantile_sketch_broadcast_threshold_partial_counts(spark):
+    """r10 quantile sketch: the per-(group, level) count aggregate is
+    partial+final (map-side combine caps per-task state at ≤32 longs
+    per group) and the tiny per-group threshold table joins back via
+    BROADCAST — the corpus is never hash-shuffled by the sketch build."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    li = (
+        spark.read.parquet(f"{SF}/lineitem.parquet")
+        .select(
+            F.col("l_returnflag").alias("grp"),
+            F.concat("l_orderkey", F.lit("-"), "l_linenumber").alias("rid"),
+            F.col("l_quantity").cast("long").alias("val"),
+        )
+    )
+    sk = quantile_sketch(li, ["grp"], "rid", "val", k=64)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sk.explain("formatted")
+    p = buf.getvalue()
+    assert "BroadcastHashJoin" in p  # threshold table broadcasts back
+    assert "HashAggregate" in p and "partial_count" in p.lower() or (
+        "Partial" in p
+    )
+    # the retained-row side must NOT hashpartition the corpus on grp:
+    # the only corpus-wide operator is the scan + in-row level project
+    assert p.count("Exchange hashpartitioning(grp") <= 2  # count agg only

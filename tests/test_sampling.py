@@ -823,3 +823,42 @@ def test_pack_layout_manifest(spark):
            pack_sequences(df, "k", "cost", 100, "grp").collect()}
     assert {k: v[0] for k, v in got.items()} == seq
     assert all(0 <= s < 100 for _c, s in got.values())
+
+
+def test_pack_layout_and_ffd_eager_guard(spark):
+    """r10: the eager oversize-group guard now covers the whole pack_*
+    family (the registry q_xpack_* keys all run with it on)."""
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        pack_layout,
+        pack_sequences_ffd,
+        packing_efficiency,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "en" if i < 90 else "sw", 10) for i in range(100)],
+        ["doc_id", "lang", "cost"],
+    )
+    with _pytest.raises(ValueError, match="pack_layout.*'lang': 'en'"):
+        pack_layout(
+            df, "doc_id", "cost", budget=64, part_col="lang",
+            max_group_rows=50, eager_guard=True,
+        )
+    with _pytest.raises(ValueError, match="pack_sequences_ffd.*'en'"):
+        pack_sequences_ffd(
+            df, "doc_id", "cost", budget=64, part_col="lang",
+            max_group_rows=50, eager_guard=True,
+        )
+    with _pytest.raises(ValueError, match="packing_efficiency"):
+        packing_efficiency(
+            df.withColumn("doc_id", F.col("doc_id").cast("long")),
+            "doc_id", "cost", budgets=[64], part_col="lang", shards=1,
+            max_group_rows=50, eager_guard=True,
+        )
+    # all pass untouched when groups fit
+    ok = pack_layout(
+        df, "doc_id", "cost", budget=64, part_col="lang",
+        max_group_rows=1000, eager_guard=True,
+    )
+    assert ok.count() == 100

@@ -431,3 +431,21 @@ def test_qsketch_merge_exact_any_corpus(spark, vals, k, cut):
     a = sorted(tuple(r[c] for c in cols) for r in full.collect())
     b = sorted(tuple(r[c] for c in cols) for r in merged.collect())
     assert a == b
+
+
+def test_qsketch_null_id_and_value_rows_are_dropped_defined(spark):
+    # NULL id would hash to a NULL level (silent vanish); NULL value
+    # would sort below every real value — both are dropped UP FRONT,
+    # and the report's exact side sees the same population
+    rows = [
+        ("g", "a", 5), ("g", "b", 1), ("g", None, 9), ("g", "d", None),
+    ]
+    df = spark.createDataFrame(rows, "g string, rid string, val long")
+    sk = quantile_sketch(df, ["g"], "rid", "val", k=8)
+    got = {(r["rid"], r["val"]) for r in sk.collect()}
+    assert got == {("a", 5), ("b", 1)}
+    rep = quantile_sketch_report(
+        df, ["g"], "rid", "val", qs=[(1, 2)], k=8, eps=0.5
+    ).first()
+    assert rep["n"] == 2  # exact side matches the sketch population
+    assert rep["exact_p1_2"] == 1  # rank over [1, 5] -> idx 1

@@ -1153,3 +1153,45 @@ def test_maintained_components_equals_full_recompute(spark, tmp_path):
         assert got == want
     assert {got[n] for n in (1, 2, 3, 4, 10, 11, 12, 99)} == {1}
     assert got[20] == got[21] == 20
+
+
+def test_maintained_components_replayed_batch_is_skipped(spark, tmp_path):
+    """Crash-replay safety for the component fold: re-delivering an
+    already-folded edge batch must not disturb state (idempotence also
+    holds mathematically — re-contracting folded edges yields self-loops
+    — but the marker must short-circuit before any work)."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _last_folded_batch,
+        maintained_components,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "ccrledger")
+    state_dir = os.path.join(str(tmp_path), "ccrstate")
+    ck = os.path.join(str(tmp_path), "ccrck")
+    os.makedirs(ledger_dir)
+    schema = "id_a long, id_b long"
+    spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], schema
+    ).coalesce(1).write.mode("append").parquet(ledger_dir)
+    sch = spark.read.parquet(ledger_dir).schema
+    q = maintained_components(
+        ledger_dir, state_dir, ck, schema=sch, spark=spark
+    )
+    q.awaitTermination()
+    before = sorted(
+        tuple(r) for r in read_maintained_state(spark, state_dir).collect()
+    )
+    assert _last_folded_batch(state_dir) >= 0
+
+    import shutil
+
+    shutil.rmtree(ck)  # lose the checkpoint: batch 0 re-delivers
+    q2 = maintained_components(
+        ledger_dir, state_dir, ck, schema=sch, spark=spark
+    )
+    q2.awaitTermination()
+    after = sorted(
+        tuple(r) for r in read_maintained_state(spark, state_dir).collect()
+    )
+    assert after == before
