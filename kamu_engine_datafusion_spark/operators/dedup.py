@@ -384,12 +384,23 @@ def verified_jaccard(
     return (
         pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
         .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        # |A∪B| = |A| + |B| − |A∩B| (arrays are array_distinct'd sets):
+        # skipping array_union avoids ALLOCATING a union array per pair
+        # just to take its size — measured 25% off the verify stage on
+        # the 10× replica corpus (SCALE.md r10)
+        .select(
+            "id_a",
+            "id_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("__i"),
+            F.size("sh_a").alias("__sa"),
+            F.size("sh_b").alias("__sb"),
+        )
         .select(
             "id_a",
             "id_b",
             (
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b"))
+                F.col("__i")
+                / (F.col("__sa") + F.col("__sb") - F.col("__i"))
             ).alias("jaccard"),
         )
     )
@@ -652,9 +663,18 @@ def ngram_jaccard_pairs(
         .select(
             F.col("a.__id").alias("id_a"),
             F.col("b.__id").alias("id_b"),
+            # |A∪B| via |A|+|B|−|A∩B| — no union-array allocation per
+            # pair, and the same operand shape the DuckDB oracles use
+            F.size(F.array_intersect("a.__tok", "b.__tok")).alias("__i"),
+            F.size("a.__tok").alias("__sa"),
+            F.size("b.__tok").alias("__sb"),
+        )
+        .select(
+            "id_a",
+            "id_b",
             (
-                F.size(F.array_intersect("a.__tok", "b.__tok"))
-                / F.size(F.array_union("a.__tok", "b.__tok"))
+                F.col("__i")
+                / (F.col("__sa") + F.col("__sb") - F.col("__i"))
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
