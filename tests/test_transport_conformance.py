@@ -299,3 +299,129 @@ _GOLDEN_RESPONSE_HEX = (
     "08000000000000000e0000000000000088d820c88c0100001000000008001800"
     "08001000000000000c000000000000000a000000000000000c00000000000000"
 )
+
+
+# ---------------------------------------------------------------------------
+# property tests: codec round-trips over arbitrary inputs
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_prop = settings(
+    max_examples=50,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_hname = hst.text(
+    alphabet="abcdefghijklmnopqrstuvwxyz0123456789-", min_size=1, max_size=24
+)
+_hvalue = hst.text(
+    alphabet=hst.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    min_size=0,
+    max_size=64,
+)
+
+
+@_prop
+@given(data=hst.binary(min_size=0, max_size=256))
+def test_huffman_roundtrip_any_bytes(data):
+    from kamu_engine_datafusion_spark.transport.hpack import (
+        huffman_decode,
+        huffman_encode,
+    )
+
+    assert huffman_decode(huffman_encode(data)) == data
+
+
+@_prop
+@given(headers=hst.lists(hst.tuples(_hname, _hvalue), min_size=0, max_size=12))
+def test_hpack_roundtrip_any_headers(headers):
+    from kamu_engine_datafusion_spark.transport.hpack import (
+        HpackDecoder,
+        encode_headers,
+    )
+
+    block = encode_headers(headers)
+    assert HpackDecoder().decode(block) == headers
+
+
+@_prop
+@given(
+    blocks=hst.lists(
+        hst.lists(hst.tuples(_hname, _hvalue), min_size=0, max_size=6),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_hpack_decoder_context_survives_across_blocks(blocks):
+    # one connection-lifetime decoder over several header blocks (the
+    # HTTP/2 contract): dynamic-table state from earlier blocks must
+    # never corrupt later ones
+    from kamu_engine_datafusion_spark.transport.hpack import (
+        HpackDecoder,
+        encode_headers,
+    )
+
+    dec = HpackDecoder()
+    for hs in blocks:
+        assert dec.decode(encode_headers(hs)) == hs
+
+
+@_prop
+@given(
+    alias=hst.text(
+        alphabet=hst.characters(min_codepoint=0x20, max_codepoint=0x7E),
+        min_size=0, max_size=32,
+    ),
+    off=hst.integers(min_value=0, max_value=2**62),
+    q=hst.text(
+        alphabet=hst.characters(min_codepoint=0x20, max_codepoint=0x2FFF),
+        min_size=0, max_size=80,
+    ),
+    start=hst.integers(min_value=0, max_value=2**31),
+    end=hst.integers(min_value=0, max_value=2**31),
+)
+def test_flatbuffers_transform_request_roundtrip(alias, off, q, start, end):
+    from kamu_engine_datafusion_spark.transport import odf_flatbuffers as fb
+
+    req = {
+        "dataset_alias": alias,
+        "system_time": "2024-01-02T03:04:05Z",
+        "next_offset": off,
+        "transform": {
+            "kind": "Sql",
+            "engine": "spark",
+            "queries": [{"query": q, "alias": "step"}],
+        },
+        "query_inputs": [
+            {
+                "dataset_alias": alias or "in",
+                "query_alias": "in",
+                "offset_interval": {"start": start, "end": end},
+                "schema_file": "/s.parquet",
+                "data_paths": ["/p0.parquet"],
+                "vocab": {
+                    "offset_column": "offset",
+                    "operation_type_column": "op",
+                    "system_time_column": "system_time",
+                    "event_time_column": "event_time",
+                },
+            }
+        ],
+        "new_data_path": "/out.parquet",
+        "vocab": {
+            "offset_column": "offset",
+            "operation_type_column": "op",
+            "system_time_column": "system_time",
+            "event_time_column": "event_time",
+        },
+    }
+    rt = fb.decode_transform_request(fb.encode_transform_request(req))
+    assert rt["dataset_alias"] == alias
+    assert rt["next_offset"] == off
+    assert rt["transform"]["queries"][0]["query"] == q
+    assert rt["query_inputs"][0]["offset_interval"] == {
+        "start": start, "end": end,
+    }
