@@ -122,8 +122,8 @@ def train_quality_classifier(
     # hash/tokenize ONCE: the checkpointed base carries the distinct
     # bucket ARRAY per row, so each iteration's margin is a plain array
     # fold over pre-hashed ints — re-tokenizing + re-hashing text every
-    # iteration measured 46.6s for 12 iterations on 50k docs vs ~3×
-    # less with the prehashed array (SCALE.md r10)
+    # iteration measured 46.6s for 12 iterations on 50k docs vs 19.4s
+    # (2.4×) with the prehashed array (SCALE.md r10)
     base = df.select(
         F.col(id_col).alias("__rid"),
         F.array_distinct(
