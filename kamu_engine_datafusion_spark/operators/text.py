@@ -924,3 +924,170 @@ def vocab_coverage(df, text_col: str = "text", top_v: int = 1000):
             ).alias("cum_share"),
         )
     )
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams via zip_with over n slices of the
+    token array (never transform + outer element_at — interpreted HOFs
+    do no CSE, so an outer-array reference re-evaluates the split per
+    element: O(tokens²), measured 10×; SCALE.md r9)."""
+    t = tokens(text)
+    m = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
+    out = F.slice(t, 1, m)
+    for i in range(1, n):
+        out = F.zip_with(
+            out,
+            F.slice(t, i + 1, m),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return out
+
+
+def repetition_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple = (2, 3, 4),
+    dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+    dp: int = 6,
+) -> DataFrame:
+    """Within-document REPETITION signals — the other half of the Gopher
+    quality table (Rae et al. 2021, Table A1) that :func:`gopher_rules`
+    (the length/symbol/bullet rules) does not cover. Repetitive
+    documents (boilerplate, templated spam, scraper loops) pass
+    length-based rules while being low-value; these are the standard
+    signals that catch them. Per document:
+
+    - ``dup_line_frac`` — 1 − distinct lines / lines;
+    - ``dup_line_char_frac`` — characters on repeat occurrences of a
+      line (occurrences beyond each line's first) / total line chars;
+    - ``top_{n}gram_char_frac`` (n ∈ ``top_ns``) — chars covered by the
+      single most frequent word n-gram, ``count·len(gram)`` /
+      ``len(text)`` (ties → lexicographically smallest gram, so the
+      choice is deterministic);
+    - ``dup_{n}gram_char_frac`` (n ∈ ``dup_ns``) — chars on occurrences
+      of REPEATED n-grams, ``Σ_{g: count≥2} count·len(g)`` /
+      ``len(text)``, capped at 1.0 (overlapping occurrences counted in
+      full — an upper-bound variant of the paper's position-marking
+      form, chosen because it is exact integer math and
+      SQL-replayable).
+
+    All ratios half-up ``dp`` decimals. Documents with no lines/tokens
+    report 0 for the affected signals (defined, not NULL).
+
+    Scale shape: ONE explode per n over the corpus feeding a two-level
+    partial+final aggregate — (doc, gram) counts then per-doc sums; the
+    shuffle is keyed on the uniform doc id (no hot keys), per-task state
+    is bounded by distinct grams per partition, and the corpus text
+    itself is scanned once per n (Catalyst prunes to the two used
+    columns). Line stats are pure in-row column math at scan speed.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    ids = df.select(F.col(id_col), F.col(text_col))
+    tlen = F.length(F.coalesce(F.col(text_col), F.lit("")))
+
+    # ---- line stats: in-row --------------------------------------------
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    total_line_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    )
+    # chars on repeat occurrences = total − chars of one copy of each
+    # distinct line
+    dist_line_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda a, l: a + F.length(l),
+    )
+    out = ids.select(
+        F.col(id_col),
+        tlen.alias("__tlen"),
+        half_up(
+            F.when(
+                n_lines > 0,
+                (n_lines - n_dist).cast("double") / n_lines,
+            ).otherwise(F.lit(0.0)),
+            dp,
+        ).alias("dup_line_frac"),
+        half_up(
+            F.when(
+                total_line_chars > 0,
+                (total_line_chars - dist_line_chars).cast("double")
+                / total_line_chars,
+            ).otherwise(F.lit(0.0)),
+            dp,
+        ).alias("dup_line_char_frac"),
+    )
+
+    # ---- n-gram stats: explode → (doc, gram) counts → per-doc sums ----
+    for n in sorted({*top_ns, *dup_ns}):
+        grams = ids.select(
+            F.col(id_col),
+            F.explode(_word_ngrams(F.col(text_col), n)).alias("__g"),
+        )
+        cnt = grams.groupBy(id_col, "__g").agg(
+            F.count(F.lit(1)).cast("long").alias("__c")
+        )
+        aggs = []
+        if n in top_ns:
+            # deterministic argmax via min(struct(-count, gram, load)):
+            # smallest -count = highest count, count ties break to the
+            # lexicographically smallest gram — fully ordered, so the
+            # reported char load never depends on aggregation order
+            aggs.append(
+                F.min(
+                    F.struct(
+                        (-F.col("__c")).alias("__nc"),
+                        F.col("__g").alias("__g2"),
+                        (F.col("__c") * F.length("__g")).alias("__load"),
+                    )
+                ).alias("__top")
+            )
+        if n in dup_ns:
+            aggs.append(
+                F.sum(
+                    F.when(
+                        F.col("__c") >= 2, F.col("__c") * F.length("__g")
+                    ).otherwise(F.lit(0))
+                )
+                .cast("long")
+                .alias("__dupload")
+            )
+        per_doc = cnt.groupBy(id_col).agg(*aggs)
+        sel = [F.col(id_col)]
+        if n in top_ns:
+            sel.append(F.col("__top.__load").alias(f"__topload_{n}"))
+        if n in dup_ns:
+            sel.append(F.col("__dupload").alias(f"__dupload_{n}"))
+        out = out.join(per_doc.select(*sel), id_col, "left")
+
+    cols = [F.col(id_col), "dup_line_frac", "dup_line_char_frac"]
+    for n in sorted(top_ns):
+        cols.append(
+            half_up(
+                F.least(
+                    F.coalesce(F.col(f"__topload_{n}"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.greatest(F.col("__tlen"), F.lit(1)),
+                    F.lit(1.0),
+                ),
+                dp,
+            ).alias(f"top_{n}gram_char_frac")
+        )
+    for n in sorted(dup_ns):
+        cols.append(
+            half_up(
+                F.least(
+                    F.coalesce(F.col(f"__dupload_{n}"), F.lit(0)).cast(
+                        "double"
+                    )
+                    / F.greatest(F.col("__tlen"), F.lit(1)),
+                    F.lit(1.0),
+                ),
+                dp,
+            ).alias(f"dup_{n}gram_char_frac")
+        )
+    return out.select(*cols)

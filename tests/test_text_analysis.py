@@ -363,3 +363,89 @@ def test_tokenizer_fertility_exact_math(spark):
     assert en["fertility"] == round(5 / 3, 4) or en["fertility"] == 1.6667
     assert (zh["n_words"], zh["n_subwords"], zh["n_bytes"]) == (1, 3, 9)
     assert zh["bytes_per_subword"] == 3.0
+
+
+# ---------------------------------------------------------------------------
+# r10: within-document repetition signals (the Gopher Table-A1 other half)
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_report_hand_computed(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        repetition_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # doc 1: "ab ab ab ab" — bigram "ab ab" occurs 3x (len 5),
+            # text len 11; 4 lines, 2 distinct ("x" dup, "y" dup)
+            (1, "x\nx\ny\ny"),
+            # doc 2: no repetition at all
+            (2, "alpha beta gamma delta"),
+            # doc 3: empty text — every signal defined 0
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    rep = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_report(
+            docs, top_ns=(2,), dup_ns=(2,)
+        ).collect()
+    }
+    # doc 1: lines [x, x, y, y]: dup_line_frac = (4-2)/4 = 0.5;
+    # line chars 4 total, 2 on repeats -> 0.5
+    assert rep[1]["dup_line_frac"] == 0.5
+    assert rep[1]["dup_line_char_frac"] == 0.5
+    # doc 2: no REPEATS anywhere — but the top-gram signal counts the
+    # most frequent gram even at count 1 (the paper's definition; its
+    # thresholds assume long docs dilute singleton grams): top bigram
+    # "alpha beta" = 10 chars of 22
+    import math
+
+    assert rep[2]["dup_line_frac"] == 0.0
+    assert rep[2]["top_2gram_char_frac"] == (
+        math.floor(10 / 22 * 1e6 + 0.5) / 1e6
+    )
+    assert rep[2]["dup_2gram_char_frac"] == 0.0
+    # doc 3: defined zeros, not NULLs
+    assert rep[3]["dup_line_frac"] == 0.0
+    assert rep[3]["dup_2gram_char_frac"] == 0.0
+
+
+def test_repetition_report_ngram_fractions(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        repetition_report,
+    )
+
+    # "ab ab ab cd": bigrams = ["ab ab","ab ab","ab cd"]; top bigram
+    # "ab ab" count 2, len 5 -> load 10; text len 11 -> 10/11
+    # dup load: only "ab ab" repeats -> 2*5=10 -> 10/11
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd")], "doc_id long, text string"
+    )
+    r = repetition_report(docs, top_ns=(2,), dup_ns=(2,)).first()
+    import math
+
+    want = math.floor(10 / 11 * 1e6 + 0.5) / 1e6
+    assert r["top_2gram_char_frac"] == want
+    assert r["dup_2gram_char_frac"] == want
+
+
+def test_repetition_report_tie_breaks_deterministic(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        repetition_report,
+    )
+
+    # two bigrams tie at count 2: "b c" and... construct: "b c b c"
+    # has bigrams [b c, c b, b c] -> top is "b c" (count 2).
+    # "zz a zz a zz" bigrams: [zz a, a zz, zz a, a zz] — "a zz" and
+    # "zz a" tie at 2; smallest gram lexicographically is "a zz"
+    # (len 4, load 8), text len 13
+    docs = spark.createDataFrame(
+        [(1, "zz a zz a zz")], "doc_id long, text string"
+    )
+    r = repetition_report(docs, top_ns=(2,), dup_ns=(2,)).first()
+    import math
+
+    assert r["top_2gram_char_frac"] == math.floor(8 / 12 * 1e6 + 0.5) / 1e6
