@@ -637,6 +637,19 @@ def main() -> None:
         or 1_000_000,
     )
 
+    from kamu_engine_datafusion_spark.operators.text import (
+        repetition_report,
+    )
+
+    t(
+        "repetition_report_50k",
+        lambda: repetition_report(docs)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or 50_000,
+    )
+
 
 if __name__ == "__main__":
     main()
