@@ -449,3 +449,57 @@ def test_repetition_report_tie_breaks_deterministic(spark):
     import math
 
     assert r["top_2gram_char_frac"] == math.floor(8 / 12 * 1e6 + 0.5) / 1e6
+
+
+def test_source_token_tvd_hand_computed(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        source_token_tvd,
+    )
+
+    # srcA: tokens a a b   -> p = {a: 2/3, b: 1/3}
+    # srcB: tokens a c c c -> q = {a: 1/4, c: 3/4}
+    # TVD = 0.5*(|2/3-1/4| + 1/3 + 3/4) = 0.5*(5/12 + 4/12 + 9/12) = 0.75
+    docs = spark.createDataFrame(
+        [("A", "a a b"), ("B", "a c c c")], "source string, text string"
+    )
+    r = source_token_tvd(docs, top_v=10).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["src_a"], row["src_b"]) == ("A", "B")
+    assert (row["n_tokens_a"], row["n_tokens_b"]) == (3, 4)
+    assert row["tvd"] == 0.75
+
+
+def test_source_token_tvd_identical_and_disjoint(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        source_token_tvd,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            ("A", "x y z"), ("B", "x y z"),  # identical -> 0
+            ("C", "q q q"),                  # disjoint from A/B -> 1
+        ],
+        "source string, text string",
+    )
+    got = {
+        (r["src_a"], r["src_b"]): r["tvd"]
+        for r in source_token_tvd(docs, top_v=10).collect()
+    }
+    assert got[("A", "B")] == 0.0
+    assert got[("A", "C")] == 1.0 and got[("B", "C")] == 1.0
+
+
+def test_source_token_tvd_vocab_restriction(spark):
+    from kamu_engine_datafusion_spark.operators.text import (
+        source_token_tvd,
+    )
+
+    # top_v=1 keeps only the corpus-most-frequent token ("a", 5 hits);
+    # within that vocab both sources are 100% "a" -> TVD 0
+    docs = spark.createDataFrame(
+        [("A", "a a rare1"), ("B", "a a a rare2 rare3")],
+        "source string, text string",
+    )
+    r = source_token_tvd(docs, top_v=1).first()
+    assert r["tvd"] == 0.0 and r["n_tokens_a"] == 2 and r["n_tokens_b"] == 3

@@ -650,6 +650,19 @@ def main() -> None:
         or 50_000,
     )
 
+    from kamu_engine_datafusion_spark.operators.text import (
+        source_token_tvd,
+    )
+
+    t(
+        "source_token_tvd_50k",
+        lambda: source_token_tvd(docs, "source", "text", top_v=1000)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+        or 50_000,
+    )
+
 
 if __name__ == "__main__":
     main()
