@@ -286,14 +286,20 @@ def canonical_by_score(
 
 
 def quantize_vectors(
-    df: DataFrame, id_col: str, vec_col: str, scale: int = 10_000
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    scale: int = 10_000,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Half-up fixed-point quantization of an embedding column to a
     ``__qv`` BIGINT array (``floor(x·scale + 0.5)`` — never ``round``,
     engines disagree on .5 ties), localCheckpoint-ed so iterative
     consumers re-read columnar cache instead of parquet (swap for
-    ``persist(MEMORY_AND_DISK)`` at true 100 TB)."""
+    ``persist(MEMORY_AND_DISK)`` at true 100 TB). ``keep_cols`` carries
+    extra columns (e.g. a group key) through unchanged."""
     return df.select(
+        *[F.col(c) for c in (keep_cols or [])],
         F.col(id_col),
         F.transform(
             F.col(vec_col),
@@ -602,4 +608,110 @@ def cluster_quality(
         "majority_label",
         "n_majority",
         half_up(F.col("n_majority") / F.col("n"), 6).alias("purity"),
+    )
+
+
+def group_centroid_shift(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    dp: int = 6,
+) -> DataFrame:
+    """Pairwise embedding-DISTRIBUTION shift between groups (sources,
+    labels, time slices): quantized per-group centroids and, for every
+    ``grp_a < grp_b`` pair, the squared L2 distance between them plus
+    both groups' mean squared radius (within-group spread) — the
+    embedding-space companion of the token-space
+    ``text.source_token_tvd``, and the drift check run before mixing a
+    new crawl slice into a corpus (a centroid shift ≫ the radii means
+    the new slice is a different population, not more of the same).
+
+    Exact math end to end: vectors quantize half-up to ``scale``
+    (:func:`quantize_vectors`), centroid coordinates are
+    ``floor(sum/count)`` ints (the Lloyd-loop discipline), and both the
+    pairwise distance and the radii are BIGINT sums with ONE final
+    division — hash-verifiable by an oracle replaying the same integer
+    arithmetic. ``shift2_norm`` = dist² / (scale² · dim), half-up
+    ``dp``; radii are normalized the same way, so shift ≈ radius reads
+    directly off the report.
+
+    Scale: ONE partial+final aggregate over the corpus emitting
+    ``groups × (dim + 2)`` longs (the k-means stats shape) — centroids
+    collect to the driver (bounded), every pairwise number is computed
+    on that metadata; the corpus is scanned once, never shuffled
+    (map-side partials carry the sums).
+    """
+    import math
+
+    q = quantize_vectors(
+        df.select(F.col(group_col).alias("__grp"), F.col(id_col), F.col(vec_col)),
+        id_col,
+        vec_col,
+        scale,
+        keep_cols=["__grp"],
+    )
+    stats = (
+        q.groupBy("__grp")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            *[
+                F.sum(F.element_at("__qv", j + 1)).alias(f"__s{j}")
+                for j in range(dim)
+            ],
+            F.sum(
+                F.aggregate(
+                    F.transform("__qv", lambda x: x * x),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x,
+                )
+            ).alias("__ss"),
+        )
+        .collect()
+    )
+    rows = []
+    cents = {}
+    for r in stats:
+        g, n = r["__grp"], int(r["__n"])
+        c = [int(math.floor(int(r[f"__s{j}"]) / n)) for j in range(dim)]
+        # mean squared radius around the integer centroid:
+        # E|x − c|² = (Σ|x|² − 2·c·Σx + n·|c|²) / n — exact ints
+        ss = int(r["__ss"])
+        sx = [int(r[f"__s{j}"]) for j in range(dim)]
+        num = ss - 2 * sum(c[j] * sx[j] for j in range(dim)) + n * sum(
+            v * v for v in c
+        )
+        cents[g] = (n, c, num)
+    norm = float(scale) * float(scale) * dim
+
+    def _hu(x: float) -> float:
+        return math.floor(x * 10**dp + 0.5) / 10**dp
+
+    for ga in sorted(cents):
+        for gb in sorted(cents):
+            if str(ga) >= str(gb):
+                continue
+            na, ca, ra = cents[ga]
+            nb, cb, rb = cents[gb]
+            d2 = sum((ca[j] - cb[j]) ** 2 for j in range(dim))
+            rows.append(
+                (
+                    ga,
+                    gb,
+                    na,
+                    nb,
+                    _hu(d2 / norm),
+                    _hu(ra / (na * norm)),
+                    _hu(rb / (nb * norm)),
+                )
+            )
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows,
+        f"grp_a {'string' if isinstance(list(cents)[0], str) else 'long'}, "
+        f"grp_b {'string' if isinstance(list(cents)[0], str) else 'long'}, "
+        "n_a long, n_b long, shift2_norm double, radius2_a double, "
+        "radius2_b double",
     )

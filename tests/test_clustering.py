@@ -372,3 +372,48 @@ def test_cc_increment_random_graphs_match(spark):
         spark.createDataFrame(es, "id_a long, id_b long")
     )
     assert _cc_dict(state) == _cc_dict(want)
+
+
+def test_group_centroid_shift_hand_computed(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        group_centroid_shift,
+    )
+
+    # group A: vectors (0,0) and (2,0) -> centroid (1,0), radius² = 1
+    # group B: vectors (5,0) and (5,2) -> centroid (5,1), radius² = 1
+    # shift² = (1-5)² + (0-1)² = 17; normalized by scale²·dim
+    rows = [
+        ("A", 1, [0.0, 0.0]), ("A", 2, [2.0, 0.0]),
+        ("B", 3, [5.0, 0.0]), ("B", 4, [5.0, 2.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, vec_id long, embedding array<double>"
+    )
+    r = group_centroid_shift(
+        df, "grp", "vec_id", "embedding", dim=2, scale=1
+    ).first()
+    assert (r["grp_a"], r["grp_b"], r["n_a"], r["n_b"]) == ("A", "B", 2, 2)
+    assert r["shift2_norm"] == 8.5  # 17 / (1·2)
+    assert r["radius2_a"] == 0.5 and r["radius2_b"] == 0.5  # 1/(1·2)
+
+
+def test_group_centroid_shift_same_distribution_reads_zero(spark):
+    import random
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        group_centroid_shift,
+    )
+
+    rng = random.Random(9)
+    rows = []
+    for i in range(400):
+        v = [rng.gauss(0, 1) for _ in range(8)]
+        rows.append(("A" if i % 2 else "B", i, v))
+    df = spark.createDataFrame(
+        rows, "grp string, vec_id long, embedding array<double>"
+    )
+    r = group_centroid_shift(
+        df, "grp", "vec_id", "embedding", dim=8
+    ).first()
+    # same population: centroid shift ≪ within-group spread
+    assert r["shift2_norm"] < 0.1 * min(r["radius2_a"], r["radius2_b"])
