@@ -663,6 +663,18 @@ def main() -> None:
         or 50_000,
     )
 
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        group_centroid_shift,
+    )
+
+    t(
+        "group_centroid_shift_50k",
+        lambda: group_centroid_shift(
+            emb.withColumn("grp", F.pmod("vec_id", F.lit(8))),
+            "grp", "vec_id", "embedding", dim=64,
+        ).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
