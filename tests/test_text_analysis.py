@@ -503,3 +503,46 @@ def test_source_token_tvd_vocab_restriction(spark):
     )
     r = source_token_tvd(docs, top_v=1).first()
     assert r["tvd"] == 0.0 and r["n_tokens_a"] == 2 and r["n_tokens_b"] == 3
+
+
+def test_source_token_tvd_matches_python_reference(spark):
+    import random
+    from collections import Counter
+    from fractions import Fraction
+
+    from kamu_engine_datafusion_spark.operators.text import (
+        source_token_tvd,
+    )
+
+    rng = random.Random(21)
+    vocab_words = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        src = f"s{i % 4}"
+        toks = [rng.choice(vocab_words) for _ in range(rng.randint(3, 25))]
+        rows.append((src, " ".join(toks)))
+    df = spark.createDataFrame(rows, "source string, text string")
+    got = {
+        (r["src_a"], r["src_b"]): r["tvd"]
+        for r in source_token_tvd(df, top_v=30).collect()
+    }
+    # python reference in exact rationals
+    counts: dict[str, Counter] = {}
+    for src, t in rows:
+        counts.setdefault(src, Counter()).update(t.split())
+    import math
+
+    srcs = sorted(counts)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            ta, tb = sum(counts[a].values()), sum(counts[b].values())
+            tvd = Fraction(1, 2) * sum(
+                abs(
+                    Fraction(counts[a].get(w, 0), ta)
+                    - Fraction(counts[b].get(w, 0), tb)
+                )
+                for w in set(counts[a]) | set(counts[b])
+            )
+            want = math.floor(float(tvd) * 1e6 + 0.5) / 1e6
+            assert abs(got[(a, b)] - want) <= 1e-6, (a, b)
+            assert 0.0 <= got[(a, b)] <= 1.0
