@@ -252,3 +252,190 @@ def ngram_novelty(
             novelty.alias("novelty"),
         )
     )
+
+
+_M31 = 2_147_483_647
+
+
+def bloom_build(
+    benchmark: DataFrame,
+    text_col: str = "text",
+    shingle_len: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 17,
+    hash_fn: str = "xxhash64",
+) -> list[int]:
+    """Build a Bloom-filter bitmap over the benchmark's distinct
+    shingles: a python list of ``m_bits/64`` longs (driver-side —
+    bounded by the BENCHMARK, the small side by the same contract as
+    :func:`flag_contaminated`'s broadcast set). Bit positions are the
+    MinHash universal family over the 31-bit poly hash, so an oracle
+    can rebuild the exact bitmap in SQL.
+
+    Size by the standard fpr ≈ (1 − e^{−k·n/m})^k: the 2^20-bit
+    default holds ~100k shingles at k=4 under ~1% fpr in 128 KiB —
+    orders of magnitude below broadcasting the shingle strings.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import (
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(k_hashes, seed)
+    sh = benchmark.select(
+        F.explode(
+            F.array_distinct(word_shingles(tokens(text_col), shingle_len))
+        ).alias("__sh")
+    ).distinct()
+    h = _sh_hash31(F.col("__sh"), hash_fn)
+    pos = sh.select(
+        F.explode(
+            F.array(
+                *[
+                    (h * F.lit(a) + F.lit(b)) % F.lit(_M31) % F.lit(m_bits)
+                    for a, b in coeffs
+                ]
+            )
+        ).alias("__p")
+    ).distinct()
+    bitmap = [0] * ((m_bits + 63) // 64)
+    for r in pos.collect():
+        p = int(r["__p"])
+        bitmap[p >> 6] |= 1 << (p & 63)
+    # bit 63 pushes a python int past the signed 64-bit range a JVM
+    # long literal can hold — store the two's-complement view (getbit
+    # reads the raw bits either way)
+    return [w - (1 << 64) if w >= (1 << 63) else w for w in bitmap]
+
+
+def _sh_hash31(sh, hash_fn: str):
+    """31-bit shingle hash: ``xxhash64`` (JVM-codegen'd, the production
+    profile) or ``poly`` (the SQL-replayable char fold for oracles)."""
+    from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+
+    if hash_fn == "poly":
+        return poly_hash31(sh)
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(sh), F.lit(_M31))
+    raise ValueError(f"unknown hash_fn: {hash_fn!r}")
+
+
+def _bloom_member_h(h, bm, coeffs: list, m_bits: int):
+    """In-row Bloom membership given a PRE-COMPUTED 31-bit hash: every
+    universal-family bit is set. The hash must be computed once per
+    shingle OUTSIDE the k-condition expression — interpreted HOF
+    lambdas do no CSE, so inlining it here would re-run the hash k
+    times per shingle (measured 100× vs the direct join before this
+    split; see SCALE.md r10). ``getbit(word, bit)`` takes a COLUMN
+    position (unlike the shiftleft/shiftright python wrappers)."""
+    cond = None
+    for a, b in coeffs:
+        p = (h * F.lit(a) + F.lit(b)) % F.lit(_M31) % F.lit(m_bits)
+        word = F.element_at(
+            bm, (F.floor(p / F.lit(64)) + F.lit(1)).cast("int")
+        )
+        c = F.getbit(word, F.pmod(p, F.lit(64)).cast("int")) == F.lit(1)
+        cond = c if cond is None else (cond & c)
+    return cond
+
+
+def bloom_flag_contaminated(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    threshold: int = 1,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 17,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Two-phase decontamination, EXACTLY equal to
+    :func:`flag_contaminated` (pytest-pinned equivalence) but built for
+    benchmark shingle sets too big to broadcast as strings:
+
+    1. **Bloom prefilter, in-row**: each document's distinct shingles
+       filter against the ``m_bits`` bitmap (a literal long array —
+       128 KiB at the default) INSIDE the scan; documents with zero
+       Bloom-positive shingles — the vast majority of a clean corpus —
+       never leave the scan stage. A Bloom filter has no false
+       negatives, so nothing contaminated can slip past the prefilter.
+    2. **Exact verify**: only the Bloom-positive shingles of the
+       candidate documents join the true benchmark set (the broadcast
+       the direct operator pays for its WHOLE corpus explode), which
+       eliminates the false positives. The join input is the
+       candidate sliver, not the corpus.
+
+    Returns ``(id_col, n_overlaps, contaminated)`` over the FULL
+    corpus, exactly like :func:`flag_contaminated`.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import (
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(k_hashes, seed)
+    bitmap = bloom_build(
+        benchmark, text_col, shingle_len, m_bits, k_hashes, seed, hash_fn
+    )
+    # the bitmap enters the plan as DATA (one broadcast row), NOT as a
+    # 16k-literal CreateArray expression: an outer EXPRESSION inside an
+    # interpreted HOF lambda re-evaluates per element (the r9
+    # transform+element_at lesson) — as a literal array the membership
+    # test measured ~80× slower than this attribute-bound form; an
+    # attribute is just a row-value read
+    spark = corpus.sparkSession
+    bm_df = spark.createDataFrame(
+        [(bitmap,)], "__bm array<bigint>"
+    )
+    # hash each shingle ONCE (a transform), THEN test membership on the
+    # precomputed hash — never inside the k-way condition (no CSE in
+    # interpreted HOF lambdas)
+    hashed = F.transform(
+        F.array_distinct(word_shingles(tokens(text_col), shingle_len)),
+        lambda s: F.struct(
+            s.alias("s"), _sh_hash31(s, hash_fn).alias("h")
+        ),
+    )
+    cand = (
+        corpus.crossJoin(F.broadcast(bm_df))
+        .select(
+            F.col(id_col).alias("__id"),
+            F.transform(
+                F.filter(
+                    hashed,
+                    lambda q: _bloom_member_h(
+                        q["h"], F.col("__bm"), coeffs, m_bits
+                    ),
+                ),
+                lambda q: q["s"],
+            ).alias("__cand"),
+        )
+        .filter(F.size("__cand") > 0)
+    )
+    bench_shingles = F.broadcast(
+        benchmark.select(
+            F.explode(
+                F.array_distinct(word_shingles(tokens(text_col), shingle_len))
+            ).alias("__sh")
+        ).distinct()
+    )
+    overlaps = (
+        cand.select("__id", F.explode("__cand").alias("__sh"))
+        .join(bench_shingles, "__sh")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("n_overlaps"))
+    )
+    return (
+        corpus.select(F.col(id_col))
+        .join(overlaps, corpus[id_col] == overlaps["__id"], "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_overlaps"), F.lit(0)).cast("long").alias(
+                "n_overlaps"
+            ),
+            (F.coalesce(F.col("n_overlaps"), F.lit(0)) >= threshold).alias(
+                "contaminated"
+            ),
+        )
+    )

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from kamu_engine_datafusion_spark.operators.decontaminate import (
     flag_contaminated,
     remove_contaminated,
@@ -100,3 +102,79 @@ def test_ngram_novelty_bounds_and_conventions(spark):
     assert rows[12]["n_ngrams"] == 0 and rows[12]["novelty"] == 1.0
     assert rows[13]["n_ngrams"] == 3 and rows[13]["n_novel"] == 2
     assert rows[13]["novelty"] == 0.6667  # half-up 4dp of 2/3
+
+
+def test_bloom_flag_equals_direct_flag(spark):
+    """The Bloom prefilter + exact verify must equal flag_contaminated
+    EXACTLY — no false negatives by Bloom's construction, no false
+    positives after the verify join — on the real fixture corpus with
+    a real overlapping benchmark slice."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        bloom_flag_contaminated,
+        flag_contaminated,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    corpus = docs.filter(F.col("doc_id") % 7 != 0)
+    direct = sorted(
+        tuple(r)
+        for r in flag_contaminated(corpus, bench, threshold=2).collect()
+    )
+    bloom = sorted(
+        tuple(r)
+        for r in bloom_flag_contaminated(
+            corpus, bench, threshold=2
+        ).collect()
+    )
+    assert bloom == direct and len(bloom) > 0
+    # ... including with a DELIBERATELY undersized, collision-heavy
+    # bitmap (high fpr): the verify stage must still kill every false
+    # positive
+    tiny = sorted(
+        tuple(r)
+        for r in bloom_flag_contaminated(
+            corpus, bench, threshold=2, m_bits=1 << 10, k_hashes=2
+        ).collect()
+    )
+    assert tiny == direct
+
+
+def test_bloom_prefilter_passes_all_members(spark):
+    """No false negatives: every benchmark shingle must test positive
+    against the bitmap built from it."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        minhash_coeffs,
+        tokens,
+        word_shingles,
+    )
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        _bloom_member_h,
+        _sh_hash31,
+        bloom_build,
+    )
+
+    bench = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("pack my box with five dozen liquor jugs",)],
+        "text string",
+    )
+    m_bits, k = 1 << 12, 3
+    bm_list = bloom_build(bench, m_bits=m_bits, k_hashes=k)
+    bm = F.array(*[F.lit(w).cast("long") for w in bm_list])
+    coeffs = minhash_coeffs(k, 17)
+    hits = bench.select(
+        F.size(
+            F.filter(
+                F.transform(
+                    F.array_distinct(word_shingles(tokens("text"), 3)),
+                    lambda s: _sh_hash31(s, "xxhash64"),
+                ),
+                lambda h: _bloom_member_h(h, bm, coeffs, m_bits),
+            )
+        ).alias("n_pos"),
+        F.size(
+            F.array_distinct(word_shingles(tokens("text"), 3))
+        ).alias("n_all"),
+    ).collect()
+    assert all(r["n_pos"] == r["n_all"] for r in hits)

@@ -675,6 +675,22 @@ def main() -> None:
         ).count(),
     )
 
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        bloom_flag_contaminated,
+        flag_contaminated,
+    )
+
+    bench_slice = docs.filter(F.col("doc_id") % 11 == 0).select("text")
+    corp_slice = docs.filter(F.col("doc_id") % 11 != 0)
+    t(
+        "decontaminate_direct_50k",
+        lambda: flag_contaminated(corp_slice, bench_slice).count(),
+    )
+    t(
+        "decontaminate_bloom_50k",
+        lambda: bloom_flag_contaminated(corp_slice, bench_slice).count(),
+    )
+
 
 if __name__ == "__main__":
     main()
