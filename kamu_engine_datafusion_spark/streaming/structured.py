@@ -1051,3 +1051,123 @@ def maintained_components(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def maintained_bloom(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    shingle_len: int = 3,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 17,
+    hash_fn: str = "xxhash64",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 4,
+):
+    """Continuously-maintained BLOOM FILTER over a benchmark/reference
+    ledger stream — the decontamination prefilter
+    (``operators/decontaminate.py::bloom_flag_contaminated``) kept
+    up to date as new eval sets land, without rebuilding over history.
+    Bitmap OR is associative, commutative, and IDEMPOTENT, so replayed
+    or reordered micro-batches can never corrupt the filter, and the
+    maintained state is bit-identical to a one-shot build over the
+    whole ledger (pytest-pinned).
+
+    State: one row per non-zero bitmap WORD ``(i, w)`` (≤ m_bits/64
+    rows), bucketed like the other maintained folds; a tick reduces its
+    increment to its own word set (≤ k·shingles positions) and ORs into
+    the touched buckets. Read back with :func:`read_bloom_state` for
+    the scan-side membership test.
+    """
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        _sh_hash31,
+    )
+    from kamu_engine_datafusion_spark.functions.columns import (
+        minhash_coeffs,
+        tokens,
+        word_shingles,
+    )
+
+    m31 = 2_147_483_647
+    coeffs = minhash_coeffs(k_hashes, seed)
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _words(batch_df: DataFrame) -> DataFrame:
+        h = _sh_hash31(F.col("__sh"), hash_fn)
+        pos = (
+            batch_df.select(
+                F.explode(
+                    F.array_distinct(
+                        word_shingles(tokens(text_col), shingle_len)
+                    )
+                ).alias("__sh")
+            )
+            .select(
+                F.explode(
+                    F.array(
+                        *[
+                            (h * F.lit(a) + F.lit(b))
+                            % F.lit(m31)
+                            % F.lit(m_bits)
+                            for a, b in coeffs
+                        ]
+                    )
+                ).alias("__p")
+            )
+            .distinct()
+        )
+        # per-word OR of the tick's bit positions: shiftleft needs a
+        # literal count in the python API — build the single-bit word
+        # with the SQL form, then fold bits of the same word together
+        return (
+            pos.select(
+                F.floor(F.col("__p") / F.lit(64)).cast("long").alias("i"),
+                F.expr(
+                    "shiftleft(cast(1 as bigint), "
+                    "cast(pmod(__p, 64) as int))"
+                ).alias("__bit"),
+            )
+            .groupBy("i")
+            .agg(F.bit_or("__bit").alias("w"))
+        )
+
+    def _merge(state_subset, inc_words):
+        if state_subset is None:
+            return inc_words
+        return (
+            state_subset.unionByName(inc_words)
+            .groupBy("i")
+            .agg(F.bit_or("w").alias("w"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            _words(batch_df), batch_id, state_dir, ["i"], state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_bloom_state(
+    spark: SparkSession, state_dir: str, m_bits: int = 1 << 20
+) -> list[int]:
+    """Materialize the maintained Bloom state back to the dense word
+    list ``bloom_flag_contaminated``'s scan-side test consumes."""
+    bitmap = [0] * ((m_bits + 63) // 64)
+    for r in read_maintained_state(spark, state_dir).collect():
+        bitmap[int(r["i"])] = int(r["w"])
+    return bitmap
