@@ -417,3 +417,49 @@ def test_group_centroid_shift_same_distribution_reads_zero(spark):
     ).first()
     # same population: centroid shift ≪ within-group spread
     assert r["shift2_norm"] < 0.1 * min(r["radius2_a"], r["radius2_b"])
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as hst  # noqa: E402
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    edges=hst.lists(
+        hst.tuples(
+            hst.integers(min_value=0, max_value=25),
+            hst.integers(min_value=0, max_value=25),
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    n_ticks=hst.integers(min_value=1, max_value=4),
+)
+def test_cc_increment_any_graph_any_tick_split(spark, edges, n_ticks):
+    """For ANY edge multiset split into ANY number of ticks, the
+    incremental fold must equal the batch closure of all edges — the
+    property every persisted-dedup-state consumer depends on."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cc_increment,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    per = max(1, len(edges) // n_ticks)
+    state = None
+    for i in range(0, len(edges), per):
+        state = cc_increment(
+            state,
+            spark.createDataFrame(
+                edges[i : i + per], "id_a long, id_b long"
+            ),
+        ).localCheckpoint(eager=True)
+    want = connected_components(
+        spark.createDataFrame(edges, "id_a long, id_b long")
+    )
+    assert _cc_dict(state) == _cc_dict(want)
