@@ -588,3 +588,51 @@ def zone_map_audit(
         half_up(F.col("n_skipped") / F.col("n_chunks"), 6).alias("skip_frac"),
         "interleave_frac",
     )
+
+
+def winsorize_from_sketch(
+    df: DataFrame,
+    sketch: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    id_col: str,
+    lower: tuple[int, int] = (1, 100),
+    upper: tuple[int, int] = (99, 100),
+) -> DataFrame:
+    """Winsorize against cut points read from a MERGEABLE QUANTILE
+    SKETCH (``operators/sketches.py::quantile_sketch`` or the
+    continuously-maintained ``streaming.maintained_quantile_sketch``
+    state) instead of re-aggregating percentiles over the corpus — the
+    incremental form :func:`winsorize` can't offer: at 100 TB the
+    per-run percentile aggregate re-reads ALL history every time, while
+    the sketch state is ≤ k rows per group, folded forward tick by
+    tick, and this clip is ONE broadcast join + in-row ``least/
+    greatest`` over the scan.
+
+    ``lower``/``upper`` are (num, den) rationals — the sketch
+    estimator's integer rank selection, no float quantile args.
+    Accuracy is the sketch's rank-error bound (audited by
+    ``quantile_sketch_report``); same null semantics as
+    :func:`winsorize` (nulls stay null).
+    """
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch_estimates,
+    )
+
+    lo_tag = f"q_{lower[0]}_{lower[1]}"
+    hi_tag = f"q_{upper[0]}_{upper[1]}"
+    cuts = quantile_sketch_estimates(
+        sketch, group_cols, id_col, value_col, qs=[lower, upper]
+    ).select(
+        *group_cols,
+        F.col(lo_tag).alias("__wlo"),
+        F.col(hi_tag).alias("__whi"),
+    )
+    joined = df.join(F.broadcast(cuts), group_cols)
+    clipped = F.when(
+        F.col(value_col).isNotNull(),
+        F.least(F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")),
+    )
+    return joined.withColumn(
+        f"{value_col}_winsorized", clipped
+    ).drop("__wlo", "__whi")

@@ -76,3 +76,75 @@ def test_rolling_plan_single_window_single_exchange(spark):
         .toString()
     )
     assert plan.count("Window") == 1  # all three aggs share one frame
+
+
+def test_winsorize_from_maintained_sketch_tracks_exact(spark, tmp_path):
+    """The incremental path end to end: quantile-sketch state folded
+    across ledger ticks feeds winsorize cut points; the clipped values
+    must track the exact winsorize within the sketch's rank-error
+    bound, and clip EXACTLY at the sketch's own estimates."""
+    import os
+    import random
+
+    from kamu_engine_datafusion_spark.operators.profile import (
+        winsorize_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_quantile_sketch,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "wledger")
+    state_dir = os.path.join(str(tmp_path), "wstate")
+    ck = os.path.join(str(tmp_path), "wck")
+    os.makedirs(ledger_dir)
+    schema = "g string, rid long, val long"
+    rng = random.Random(13)
+    rows_all = []
+
+    def tick(n0, n1):
+        rows = [
+            ("a", i, rng.randint(0, 10_000)) for i in range(n0, n1)
+        ]
+        rows_all.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_quantile_sketch(
+            ledger_dir, state_dir, ck, ["g"], "rid", "val", k=512,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    tick(0, 2000)
+    tick(2000, 5000)
+    full = spark.createDataFrame(rows_all, schema)
+    state = read_maintained_state(spark, state_dir)
+    got = winsorize_from_sketch(
+        full, state, "val", ["g"], "rid", lower=(1, 10), upper=(9, 10)
+    )
+    g = {r["rid"]: r["val_winsorized"] for r in got.collect()}
+    # the sketch cuts must sit within the rank-error band of the true
+    # percentiles: the fraction of rows the sketch path CLIPS per tail
+    # stays near the 10% target. (Comparing clipped VALUES row-by-row
+    # against exact winsorize is the wrong metric — any cut difference
+    # changes every clipped row's value, ~20% of rows at p10/p90.)
+    vals = {rid: v for _, rid, v in rows_all}
+    n = len(vals)
+    lo_clipped = sum(1 for k in g if g[k] > vals[k]) / n
+    hi_clipped = sum(1 for k in g if g[k] < vals[k]) / n
+    assert abs(lo_clipped - 0.10) < 0.05, lo_clipped
+    assert abs(hi_clipped - 0.10) < 0.05, hi_clipped
+    # unclipped rows pass through untouched
+    assert any(g[k] == vals[k] for k in g)
+    # and the sketch path's cut points are ITS estimates exactly:
+    # min/max of clipped values equal the estimate columns
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch_estimates,
+    )
+
+    est = quantile_sketch_estimates(
+        state, ["g"], "rid", "val", qs=[(1, 10), (9, 10)]
+    ).first()
+    assert min(g.values()) == est["q_1_10"]
+    assert max(g.values()) == est["q_9_10"]
