@@ -178,3 +178,60 @@ def test_bloom_prefilter_passes_all_members(spark):
         ).alias("n_all"),
     ).collect()
     assert all(r["n_pos"] == r["n_all"] for r in hits)
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as hst
+
+_words = hst.lists(
+    hst.text(alphabet="abcdefghij", min_size=1, max_size=5),
+    min_size=3,
+    max_size=30,
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=hst.lists(_words, min_size=1, max_size=6),
+       m_pow=hst.integers(min_value=8, max_value=14),
+       k=hst.integers(min_value=1, max_value=5))
+def test_bloom_no_false_negatives_any_corpus(spark, docs, m_pow, k):
+    """For ANY benchmark corpus and ANY (m, k): every member shingle
+    tests positive against the bitmap built from it — the property the
+    exact-equivalence of the two-phase operator rests on."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        minhash_coeffs,
+        tokens,
+        word_shingles,
+    )
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        _bloom_member_h,
+        _sh_hash31,
+        bloom_build,
+    )
+
+    bench = spark.createDataFrame(
+        [(" ".join(ws),) for ws in docs], "text string"
+    )
+    m_bits = 1 << m_pow
+    bm_list = bloom_build(bench, m_bits=m_bits, k_hashes=k)
+    bm = F.array(*[F.lit(w).cast("long") for w in bm_list])
+    coeffs = minhash_coeffs(k, 17)
+    rows = bench.select(
+        F.size(
+            F.filter(
+                F.transform(
+                    F.array_distinct(word_shingles(tokens("text"), 3)),
+                    lambda s: _sh_hash31(s, "xxhash64"),
+                ),
+                lambda h: _bloom_member_h(h, bm, coeffs, m_bits),
+            )
+        ).alias("n_pos"),
+        F.size(
+            F.array_distinct(word_shingles(tokens("text"), 3))
+        ).alias("n_all"),
+    ).collect()
+    assert all(r["n_pos"] == r["n_all"] for r in rows)
