@@ -1179,7 +1179,8 @@ def dedup_increment_against_index(
     num_bands: int = 8,
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
-) -> tuple[DataFrame, DataFrame]:
+    emit_pairs: bool = False,
+) -> tuple[DataFrame, ...]:
     """Dedup an increment against a persisted index and within itself.
 
     Returns ``(survivors, new_index_rows)``: the increment rows that
@@ -1187,6 +1188,13 @@ def dedup_increment_against_index(
     the index rows to append for them (so the next increment sees this
     one). Matching is banded-LSH candidates + signature-estimate
     verification; corpus text is never read.
+
+    ``emit_pairs=True`` returns ``(survivors, new_index_rows, pairs)``
+    with the verified near-dup EDGES ``(id_a, id_b)`` — indexed-doc vs
+    new and new vs new — the increment feed for the persisted component
+    state (``clustering.cc_increment`` / ``streaming.
+    maintained_components``): fold the pairs forward and the duplicate
+    CLUSTERS stay queryable across ticks, not just the survivor set.
 
     Scale: one shuffle to signature the increment, one band-key join of
     the (small) increment bands against the index — with the index
@@ -1226,39 +1234,46 @@ def dedup_increment_against_index(
     )
 
     # vs index: any new doc whose estimated jaccard to an indexed doc
-    # clears the threshold is a duplicate
-    vs_index = (
+    # clears the threshold is a duplicate (pairs carry BOTH ids so the
+    # component-state feed can reuse the same joins)
+    vs_index_pairs = (
         capped.alias("n")
         .join(index_capped.alias("i"), F.col("n.__band") == F.col("i.__band"))
         .select(
-            F.col("n.__id").alias("new_id"),
+            F.col("i.doc_id").alias("id_a"),
+            F.col("n.__id").alias("id_b"),
             estimated_jaccard(
                 F.col("n.__sig"), F.col("i.sig"), num_hashes
             ).alias("est"),
         )
         .filter(F.col("est") >= threshold)
-        .select("new_id")
+        .select("id_a", "id_b")
         .distinct()
     )
+    vs_index = vs_index_pairs.select(
+        F.col("id_b").alias("new_id")
+    ).distinct()
 
     # within increment: lower-id survivor wins, same estimate
     a, b = capped.alias("a"), capped.alias("b")
-    within = (
+    within_pairs = (
         a.join(
             b,
             (F.col("a.__band") == F.col("b.__band"))
             & (F.col("a.__id") < F.col("b.__id")),
         )
         .select(
-            F.col("b.__id").alias("new_id"),
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
             estimated_jaccard(
                 F.col("a.__sig"), F.col("b.__sig"), num_hashes
             ).alias("est"),
         )
         .filter(F.col("est") >= threshold)
-        .select("new_id")
+        .select("id_a", "id_b")
         .distinct()
     )
+    within = within_pairs.select(F.col("id_b").alias("new_id")).distinct()
 
     # dead feeds both survivors and new_index_rows; persist the small id
     # set so the LSH joins replay once, not per consumer
@@ -1277,6 +1292,12 @@ def dedup_increment_against_index(
             "__band",
         )
     )
+    if emit_pairs:
+        return (
+            survivors,
+            new_index_rows,
+            vs_index_pairs.unionByName(within_pairs).distinct(),
+        )
     return survivors, new_index_rows
 
 
