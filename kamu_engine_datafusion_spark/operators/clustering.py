@@ -675,7 +675,10 @@ def group_centroid_shift(
     cents = {}
     for r in stats:
         g, n = r["__grp"], int(r["__n"])
-        c = [int(math.floor(int(r[f"__s{j}"]) / n)) for j in range(dim)]
+        # Python // is exact integer floor at any magnitude — a float
+        # quotient (int(sum)/n) loses precision past 2^53 and can floor
+        # to the wrong integer, breaking the exact-BIGINT contract.
+        c = [int(r[f"__s{j}"]) // n for j in range(dim)]
         # mean squared radius around the integer centroid:
         # E|x − c|² = (Σ|x|² − 2·c·Σx + n·|c|²) / n — exact ints
         ss = int(r["__ss"])
@@ -689,10 +692,12 @@ def group_centroid_shift(
     def _hu(x: float) -> float:
         return math.floor(x * 10**dp + 0.5) / 10**dp
 
-    for ga in sorted(cents):
-        for gb in sorted(cents):
-            if str(ga) >= str(gb):
-                continue
+    # Index pairs i<j over the NATIVELY sorted keys — a string compare
+    # breaks the documented grp_a < grp_b ordering for numeric ids ≥ 10
+    # (pair (2, 10) would emit as (10, 2)).
+    keys = sorted(cents)
+    for i, ga in enumerate(keys):
+        for gb in keys[i + 1 :]:
             na, ca, ra = cents[ga]
             nb, cb, rb = cents[gb]
             d2 = sum((ca[j] - cb[j]) ** 2 for j in range(dim))
@@ -708,10 +713,19 @@ def group_centroid_shift(
                 )
             )
     spark = df.sparkSession
+    # Key type from the INPUT schema, not list(cents)[0] — the latter
+    # raises IndexError on an empty frame; schema-driven typing also
+    # keeps the empty result's schema stable.
+    from pyspark.sql.types import StringType
+
+    ktype = (
+        "string"
+        if isinstance(df.schema[group_col].dataType, StringType)
+        else "long"
+    )
     return spark.createDataFrame(
         rows,
-        f"grp_a {'string' if isinstance(list(cents)[0], str) else 'long'}, "
-        f"grp_b {'string' if isinstance(list(cents)[0], str) else 'long'}, "
+        f"grp_a {ktype}, grp_b {ktype}, "
         "n_a long, n_b long, shift2_norm double, radius2_a double, "
         "radius2_b double",
     )

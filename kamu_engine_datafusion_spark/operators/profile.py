@@ -628,10 +628,20 @@ def winsorize_from_sketch(
         F.col(lo_tag).alias("__wlo"),
         F.col(hi_tag).alias("__whi"),
     )
-    joined = df.join(F.broadcast(cuts), group_cols)
+    # LEFT join: a group present in the increment but absent from the
+    # sketch state (first appearance before the next sketch fold) must
+    # pass through UNCLIPPED, not be dropped — the winsorize family's
+    # contract is "clamped, not dropped; row counts are unaffected".
+    joined = df.join(F.broadcast(cuts), group_cols, "left")
     clipped = F.when(
         F.col(value_col).isNotNull(),
-        F.least(F.greatest(F.col(value_col), F.col("__wlo")), F.col("__whi")),
+        F.least(
+            F.greatest(
+                F.col(value_col),
+                F.coalesce(F.col("__wlo"), F.col(value_col)),
+            ),
+            F.coalesce(F.col("__whi"), F.col(value_col)),
+        ),
     )
     return joined.withColumn(
         f"{value_col}_winsorized", clipped

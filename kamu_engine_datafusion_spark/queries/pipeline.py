@@ -2324,12 +2324,19 @@ def q_xquality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load(spark, sf_dir, "documents")
+    # Coalesce the label to 0: array_contains over NULL text yields
+    # NULL (not 0), which would silently drop those rows from the
+    # gradient/accuracy sums while the DuckDB oracle coalesces — agree
+    # on NULL-text documents by construction, not by fixture luck.
     d = t["documents"].select(
         "doc_id",
         "text",
-        F.array_contains(
-            F.split(F.trim(F.lower("text")), r"\s+"), "vector"
-        ).cast("int").alias("y"),
+        F.coalesce(
+            F.array_contains(
+                F.split(F.trim(F.lower("text")), r"\s+"), "vector"
+            ).cast("int"),
+            F.lit(0),
+        ).alias("y"),
     )
     w = train_quality_classifier(d, "doc_id", "text", "y")[-1]
     stats = (

@@ -111,6 +111,11 @@ class H2Connection:
         self.conn_send_window = _SEND_WINDOW
         self.initial_stream_window = _SEND_WINDOW
         self.stream_send_windows: dict[int, int] = {}
+        # highest client-initiated stream id seen at HEADERS — lets
+        # WINDOW_UPDATE distinguish a recently-CLOSED stream (§6.9
+        # permits, ignore) from an IDLE never-opened one (§5.1:
+        # connection PROTOCOL_ERROR)
+        self.max_client_stream = 0
 
     def _stream_window(self, stream_id: int) -> int:
         return self.stream_send_windows.setdefault(
@@ -160,6 +165,18 @@ class H2Connection:
             )
         except OSError:
             pass  # peer already gone; the close below is all that's left
+
+    def _rst_stream(self, stream_id: int, error_code: int) -> None:
+        """Per-stream error (RFC 9113 §5.4.2): RST_STREAM the one
+        stream and drop its state; the connection stays up."""
+        try:
+            self.send_frame(
+                F_RST_STREAM, 0, stream_id, struct.pack("!I", error_code)
+            )
+        except OSError:
+            pass
+        self.streams.pop(stream_id, None)
+        self.stream_send_windows.pop(stream_id, None)
 
     # -- main loop --------------------------------------------------------
     def run(self) -> None:
@@ -211,13 +228,13 @@ class H2Connection:
             if len(payload) == 4:
                 incr = struct.unpack("!I", payload)[0] & 0x7FFFFFFF
                 if incr == 0:
-                    # §6.9: a 0 increment is a PROTOCOL_ERROR (stream
-                    # error for a stream, connection error for id 0);
-                    # tear the connection down either way — this server
-                    # is single-purpose and a 0-increment peer is broken
-                    self._goaway(0x1)  # PROTOCOL_ERROR
-                    return False
-                if stream_id == 0:
+                    # §6.9: 0 increment — connection PROTOCOL_ERROR on
+                    # stream 0, STREAM error (RST_STREAM) otherwise
+                    if stream_id == 0:
+                        self._goaway(0x1)  # PROTOCOL_ERROR
+                        return False
+                    self._rst_stream(stream_id, 0x1)  # PROTOCOL_ERROR
+                elif stream_id == 0:
                     if self.conn_send_window + incr > 0x7FFFFFFF:
                         # §6.9.1: window past 2^31-1 = FLOW_CONTROL_ERROR
                         self._goaway(0x3)  # FLOW_CONTROL_ERROR
@@ -226,15 +243,22 @@ class H2Connection:
                 elif stream_id in self.stream_send_windows:
                     # stream_send_windows doubles as the open-for-
                     # sending record (created at HEADERS, popped at
-                    # RST / END_STREAM): updates for already-finished
-                    # streams are ignored (§6.9 permits them briefly
-                    # after close) WITHOUT setdefault-ing an entry
+                    # RST / END_STREAM) WITHOUT setdefault-ing an entry
                     # nothing would remove — a per-connection leak
                     nw = self.stream_send_windows[stream_id] + incr
                     if nw > 0x7FFFFFFF:
-                        self._goaway(0x3)  # FLOW_CONTROL_ERROR
-                        return False
-                    self.stream_send_windows[stream_id] = nw
+                        # §6.9.1: per-stream overflow is a STREAM error
+                        self._rst_stream(stream_id, 0x3)
+                    else:
+                        self.stream_send_windows[stream_id] = nw
+                elif stream_id > self.max_client_stream:
+                    # §5.1: any frame on an IDLE never-opened stream is
+                    # a connection PROTOCOL_ERROR …
+                    self._goaway(0x1)
+                    return False
+                # … while updates for recently-CLOSED streams
+                # (id ≤ max seen, window record popped) are ignored —
+                # §6.9 permits them briefly after close
         elif ftype == F_PRIORITY:
             pass
         elif ftype == F_RST_STREAM:
@@ -242,6 +266,8 @@ class H2Connection:
             self.stream_send_windows.pop(stream_id, None)
         elif ftype == F_HEADERS:
             st = self.streams.setdefault(stream_id, _Stream())
+            if stream_id > self.max_client_stream:
+                self.max_client_stream = stream_id
             # open the send-window record now: _complete pops
             # self.streams before the handler writes its response, so
             # WINDOW_UPDATE liveness must be tracked here instead

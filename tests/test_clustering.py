@@ -397,6 +397,44 @@ def test_group_centroid_shift_hand_computed(spark):
     assert r["radius2_a"] == 0.5 and r["radius2_b"] == 0.5  # 1/(1·2)
 
 
+def test_group_centroid_shift_numeric_keys_order_natively(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        group_centroid_shift,
+    )
+
+    # numeric group ids spanning the 1-digit/2-digit boundary: the
+    # grp_a < grp_b contract must hold NATIVELY (a string compare
+    # would emit pair (2, 10) as grp_a=10, grp_b=2)
+    rows = [
+        (2, 1, [0.0]), (2, 2, [2.0]),
+        (10, 3, [5.0]), (10, 4, [7.0]),
+    ]
+    df = spark.createDataFrame(
+        rows, "grp long, vec_id long, embedding array<double>"
+    )
+    out = group_centroid_shift(
+        df, "grp", "vec_id", "embedding", dim=1, scale=1
+    ).collect()
+    assert len(out) == 1
+    assert (out[0]["grp_a"], out[0]["grp_b"]) == (2, 10)
+
+
+def test_group_centroid_shift_empty_input(spark):
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        group_centroid_shift,
+    )
+
+    df = spark.createDataFrame(
+        [], "grp string, vec_id long, embedding array<double>"
+    )
+    out = group_centroid_shift(df, "grp", "vec_id", "embedding", dim=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "grp_a", "grp_b", "n_a", "n_b",
+        "shift2_norm", "radius2_a", "radius2_b",
+    ]
+
+
 def test_group_centroid_shift_same_distribution_reads_zero(spark):
     import random
 

@@ -562,6 +562,18 @@ def _conn():
     return H2Connection(_NullSock(), handler=lambda *a: None)
 
 
+def _parse_frames(buf: bytes) -> list[tuple[int, int, bytes]]:
+    """Split a captured send buffer into (type, stream_id, payload)."""
+    out, i = [], 0
+    while i + 9 <= len(buf):
+        ln = int.from_bytes(buf[i : i + 3], "big")
+        ftype = buf[i + 3]
+        sid = int.from_bytes(buf[i + 5 : i + 9], "big") & 0x7FFFFFFF
+        out.append((ftype, sid, bytes(buf[i + 9 : i + 9 + ln])))
+        i += 9 + ln
+    return out
+
+
 def test_send_window_cumulative_debit_and_overrun():
     from kamu_engine_datafusion_spark.transport.http2 import (
         H2FlowControlError,
@@ -644,18 +656,63 @@ def test_window_update_zero_increment_is_protocol_error():
 
 
 def test_window_update_overflow_is_flow_control_error():
-    from kamu_engine_datafusion_spark.transport.http2 import F_WINDOW_UPDATE
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_RST_STREAM,
+        F_WINDOW_UPDATE,
+    )
 
-    # §6.9.1: a window past 2^31-1 is a FLOW_CONTROL_ERROR (connection)
+    # §6.9.1: a window past 2^31-1 on stream 0 is a CONNECTION
+    # FLOW_CONTROL_ERROR (GOAWAY)
     conn = _conn()
     big = struct.pack("!I", 0x7FFFFFFF)
     assert conn._dispatch(F_WINDOW_UPDATE, 0, 0, big) is False
-    # ... and on a live stream
+    # ... but on a live stream it is a STREAM error: RST_STREAM
+    # (FLOW_CONTROL_ERROR), the connection stays up (§5.4.2)
     conn2 = _conn()
     from kamu_engine_datafusion_spark.transport.http2 import ResponseWriter
 
+    conn2.max_client_stream = 1  # HEADERS would have recorded this
     ResponseWriter(conn2, 1).send_data(b"x")  # opens the window record
-    assert conn2._dispatch(F_WINDOW_UPDATE, 0, 1, big) is False
+    assert conn2._dispatch(F_WINDOW_UPDATE, 0, 1, big) is not False
+    ftype, _sid, payload = _parse_frames(conn2.sock.sent)[-1]
+    assert ftype == F_RST_STREAM
+    assert struct.unpack("!I", payload)[0] == 0x3
+    assert 1 not in conn2.stream_send_windows  # stream state dropped
+
+
+def test_window_update_zero_increment_on_stream_is_stream_error():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_RST_STREAM,
+        F_WINDOW_UPDATE,
+        ResponseWriter,
+    )
+
+    # §6.9: 0 increment on a non-zero stream is a STREAM error —
+    # RST_STREAM(PROTOCOL_ERROR), connection survives
+    conn = _conn()
+    conn.max_client_stream = 1
+    ResponseWriter(conn, 1).send_data(b"x")
+    assert conn._dispatch(
+        F_WINDOW_UPDATE, 0, 1, struct.pack("!I", 0)
+    ) is not False
+    ftype, _sid, payload = _parse_frames(conn.sock.sent)[-1]
+    assert ftype == F_RST_STREAM
+    assert struct.unpack("!I", payload)[0] == 0x1
+
+
+def test_window_update_on_idle_stream_is_connection_error():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_GOAWAY,
+        F_WINDOW_UPDATE,
+    )
+
+    # §5.1: a WINDOW_UPDATE for a stream NEVER opened (id above the
+    # highest HEADERS seen) is a connection PROTOCOL_ERROR
+    conn = _conn()
+    assert conn._dispatch(
+        F_WINDOW_UPDATE, 0, 7, struct.pack("!I", 100)
+    ) is False
+    assert conn.sock.sent[3] == F_GOAWAY
 
 
 def test_window_update_for_finished_stream_does_not_leak():
@@ -665,6 +722,7 @@ def test_window_update_for_finished_stream_does_not_leak():
     )
 
     conn = _conn()
+    conn.max_client_stream = 1  # HEADERS would have recorded this
     w = ResponseWriter(conn, 1)
     w.send_data(b"x", end_stream=True)  # finishes: window record popped
     assert 1 not in conn.stream_send_windows

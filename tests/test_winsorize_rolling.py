@@ -78,6 +78,39 @@ def test_rolling_plan_single_window_single_exchange(spark):
     assert plan.count("Window") == 1  # all three aggs share one frame
 
 
+def test_winsorize_from_sketch_unknown_group_passes_through(spark):
+    """A group present in the increment but absent from the sketch
+    state (first appearance before the next fold) must pass through
+    UNCLIPPED — never be dropped: the winsorize contract is 'clamped,
+    not dropped; row counts are unaffected'."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        winsorize_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    known = spark.createDataFrame(
+        [("a", i, i) for i in range(100)], "g string, rid long, val long"
+    )
+    sketch = quantile_sketch(known, ["g"], "rid", "val", k=64)
+    inc = spark.createDataFrame(
+        [("a", 200, 999), ("b", 201, -5), ("b", 202, 12345)],
+        "g string, rid long, val long",
+    )
+    got = {
+        (r["g"], r["rid"]): r["val_winsorized"]
+        for r in winsorize_from_sketch(
+            inc, sketch, "val", ["g"], "rid"
+        ).collect()
+    }
+    assert len(got) == 3  # nothing dropped
+    # known group clips against its sketch cuts
+    assert got[("a", 200)] < 999
+    # unknown group passes through unclipped
+    assert got[("b", 201)] == -5 and got[("b", 202)] == 12345
+
+
 def test_winsorize_from_maintained_sketch_tracks_exact(spark, tmp_path):
     """The incremental path end to end: quantile-sketch state folded
     across ledger ticks feeds winsorize cut points; the clipped values
