@@ -2699,7 +2699,101 @@ def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xtext_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition signals
+    (``operators/text.py::repetition_report``) — the other half of the
+    Gopher quality table (Rae et al. 2021, Table A1) beyond
+    ``gopher_rules``: dup-line fraction, dup-line CHAR fraction, chars
+    covered by the single most frequent word {2,3}-gram (deterministic
+    argmax: count desc, gram asc), and chars on repeated {5,10}-grams
+    (count ≥ 2, capped at 1.0) — the boilerplate/templated-spam signals
+    that pass length-based rules. All half-up 6dp; empty docs report
+    defined zeros. Scale: one explode per n into a two-level
+    partial+final aggregate keyed on the uniform doc id; line stats are
+    in-row at scan speed."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        repetition_report,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return repetition_report(
+        t["documents"], "doc_id", "text", top_ns=(2, 3), dup_ns=(5, 10)
+    )
+
+
+def q_xsource_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source token-distribution divergence
+    (``operators/text.py::source_token_tvd``): total variation distance
+    over relative token frequencies restricted to the corpus top-500
+    vocabulary, for every src_a < src_b pair — the DoReMi-style
+    mixture-design signal (distribution shift, not content overlap).
+    TVD deliberately over KL/JSD: ``Σ|c·T_b − d·T_a| / (2·T_a·T_b)``
+    is exact BIGINT until ONE final division (no libm), so the oracle
+    replays it bit-for-bit. Scale: one corpus explode into a
+    (source, token) partial+final count; everything downstream runs on
+    the bounded ≤ top_v·#sources count frame."""
+    from kamu_engine_datafusion_spark.operators.text import source_token_tvd
+
+    t = load(spark, sf_dir, "documents")
+    return source_token_tvd(t["documents"], "source", "text", top_v=500)
+
+
+def q_xcentroid_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise group embedding-centroid shift
+    (``operators/clustering.py::group_centroid_shift``): per-label
+    quantized centroids (half-up ×10⁴, floor-div BIGINT coordinates —
+    the Lloyd-loop discipline) and, for every grp_a < grp_b pair, the
+    normalized squared centroid distance plus both groups' mean squared
+    radius — the drift gate run before mixing a new crawl slice into a
+    corpus (shift ≫ radius = different population). Exact BIGINT until
+    the final normalizations (half-up 6dp). Scale: ONE partial+final
+    aggregate emitting groups × (dim+2) longs; the corpus is scanned
+    once and never shuffled."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        group_centroid_shift,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        F.col("label").cast("long").alias("grp"), "vec_id", "embedding"
+    )
+    return group_centroid_shift(
+        emb, "grp", "vec_id", "embedding", dim=64, scale=10_000, dp=6
+    )
+
+
+def q_xdecontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact decontamination
+    (``operators/decontaminate.py::bloom_flag_contaminated``): the
+    benchmark's distinct 5-gram shingles build a 2¹⁶-bit Bloom bitmap
+    (universal-family bit positions over xxhash64) that filters each
+    corpus document's shingles IN-ROW at scan speed; only the
+    Bloom-positive sliver joins the true benchmark set, which kills the
+    false positives. A Bloom filter has no false negatives, so the
+    result is EXACTLY ``flag_contaminated`` — the oracle replays the
+    direct exact rule, so the hash match PROVES the two-phase path
+    drops nothing. The deliberately small 2¹⁶ bitmap (~4% fpr at
+    sf0.01) exercises the verify stage. At 100 TB the bitmap is 8 KiB
+    of broadcast DATA (never literals inside an interpreted lambda —
+    the 22× rule) and a clean corpus never leaves the scan stage."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        bloom_flag_contaminated,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    corpus = t["documents"].filter(F.col("doc_id") < 400)
+    bench = t["documents"].filter(F.col("doc_id") >= 450)
+    return bloom_flag_contaminated(
+        corpus, bench, shingle_len=5, threshold=1,
+        m_bits=1 << 16, k_hashes=4, hash_fn="xxhash64",
+    )
+
+
 QUERIES = {
+    "xtext_repetition_report": q_xtext_repetition_report,
+    "xsource_tvd": q_xsource_tvd,
+    "xcentroid_shift": q_xcentroid_shift,
+    "xdecontaminate_bloom": q_xdecontaminate_bloom,
     "xunpivot": q_xunpivot,
     "xmerge_intervals": q_xmerge_intervals,
     "xpipeline_embed": q_xpipeline_embed,
@@ -5648,4 +5742,166 @@ ORACLES["xvocab_coverage"] = (
     "floor(sum(freq) OVER (ORDER BY freq DESC, token "
     "ROWS UNBOUNDED PRECEDING) / total * 1000000 + 0.5) / 1000000 "
     "AS cum_share FROM top, tot"
+)
+
+
+def _repetition_report_oracle(
+    top_ns: tuple = (2, 3), dup_ns: tuple = (5, 10)
+) -> str:
+    """Oracle for ``xtext_repetition_report``: replays the line stats
+    in list functions and, per n, the (doc, gram) counts with the same
+    deterministic argmax (count desc, gram asc via QUALIFY) and the
+    same repeated-gram char loads — all integer until the final
+    half-up divisions."""
+    ctes = [
+        "WITH tq AS (SELECT doc_id, coalesce(text, '') AS tx, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS t "
+        "FROM documents)",
+        # line stats: Spark splits on the regex '\n'
+        "ls AS (SELECT doc_id, length(tx) AS tlen, "
+        "string_split_regex(tx, '\\n') AS lines FROM tq)",
+        "lstat AS (SELECT doc_id, tlen, len(lines) AS nl, "
+        "len(list_distinct(lines)) AS nd, "
+        "CAST(coalesce(list_sum(list_transform(lines, "
+        "l -> length(l))), 0) AS BIGINT) AS tot, "
+        "CAST(coalesce(list_sum(list_transform(list_distinct(lines), "
+        "l -> length(l))), 0) AS BIGINT) AS dst FROM ls)",
+    ]
+    sel = [
+        "lstat.doc_id",
+        "CASE WHEN nl > 0 THEN floor((nl - nd) / CAST(nl AS DOUBLE) "
+        "* 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_line_frac",
+        "CASE WHEN tot > 0 THEN floor((tot - dst) / CAST(tot AS DOUBLE) "
+        "* 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_line_char_frac",
+    ]
+    joins = []
+    for n in sorted({*top_ns, *dup_ns}):
+        # word n-grams: m = greatest(len(t) - n + 1, 0) grams (empty
+        # for short docs — matches _word_ngrams, NOT word_shingles)
+        ctes.append(
+            f"g{n} AS (SELECT doc_id, unnest(list_transform("
+            f"range(1, greatest(len(t) - {n - 1}, 0) + 1), "
+            f"i -> array_to_string(t[i:i+{n - 1}], ' '))) AS g FROM tq)"
+        )
+        ctes.append(
+            f"c{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n} "
+            "GROUP BY doc_id, g)"
+        )
+        if n in top_ns:
+            ctes.append(
+                f"t{n} AS (SELECT doc_id, CAST(c * length(g) AS BIGINT) "
+                f"AS load FROM c{n} QUALIFY row_number() OVER ("
+                "PARTITION BY doc_id ORDER BY c DESC, g ASC) = 1)"
+            )
+            joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = lstat.doc_id")
+        if n in dup_ns:
+            ctes.append(
+                f"d{n} AS (SELECT doc_id, CAST(sum(CASE WHEN c >= 2 "
+                "THEN c * length(g) ELSE 0 END) AS BIGINT) AS dupload "
+                f"FROM c{n} GROUP BY doc_id)"
+            )
+            joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = lstat.doc_id")
+    for n in sorted(top_ns):
+        sel.append(
+            f"floor(least(CAST(coalesce(t{n}.load, 0) AS DOUBLE) "
+            "/ greatest(tlen, 1), 1.0) * 1000000 + 0.5) / 1000000 "
+            f"AS top_{n}gram_char_frac"
+        )
+    for n in sorted(dup_ns):
+        sel.append(
+            f"floor(least(CAST(coalesce(d{n}.dupload, 0) AS DOUBLE) "
+            "/ greatest(tlen, 1), 1.0) * 1000000 + 0.5) / 1000000 "
+            f"AS dup_{n}gram_char_frac"
+        )
+    return (
+        ", ".join(ctes)
+        + " SELECT "
+        + ", ".join(sel)
+        + " FROM lstat "
+        + " ".join(joins)
+    )
+
+
+ORACLES["xtext_repetition_report"] = _repetition_report_oracle()
+
+ORACLES["xsource_tvd"] = (
+    "WITH tok AS (SELECT source AS src, "
+    "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token "
+    "FROM documents), "
+    "vocab AS (SELECT token FROM (SELECT token, count(*) AS freq "
+    "FROM tok GROUP BY token) ORDER BY freq DESC, token LIMIT 500), "
+    "counts AS (SELECT src, token, CAST(count(*) AS BIGINT) AS c "
+    "FROM tok JOIN vocab USING (token) GROUP BY src, token), "
+    "tot AS (SELECT src, CAST(sum(c) AS BIGINT) AS t FROM counts "
+    "GROUP BY src), "
+    "pairs AS (SELECT x.src AS src_a, x.t AS ta, y.src AS src_b, "
+    "y.t AS tb FROM tot x JOIN tot y ON x.src < y.src), "
+    "legs AS ("
+    "SELECT p.src_a, p.src_b, p.ta, p.tb, c.token, c.c AS ca, "
+    "CAST(0 AS BIGINT) AS cb FROM pairs p JOIN counts c ON c.src = p.src_a "
+    "UNION ALL "
+    "SELECT p.src_a, p.src_b, p.ta, p.tb, c.token, CAST(0 AS BIGINT), c.c "
+    "FROM pairs p JOIN counts c ON c.src = p.src_b), "
+    "pertok AS (SELECT src_a, src_b, ta, tb, token, "
+    "CAST(sum(ca) AS BIGINT) AS ca, CAST(sum(cb) AS BIGINT) AS cb "
+    "FROM legs GROUP BY src_a, src_b, ta, tb, token), "
+    "agg AS (SELECT src_a, src_b, ta, tb, "
+    "CAST(sum(abs(ca * tb - cb * ta)) AS BIGINT) AS num FROM pertok "
+    "GROUP BY src_a, src_b, ta, tb) "
+    "SELECT src_a, src_b, ta AS n_tokens_a, tb AS n_tokens_b, "
+    "floor(CAST(num AS DOUBLE) / (2.0 * CAST(ta AS DOUBLE) "
+    "* CAST(tb AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS tvd FROM agg"
+)
+
+# norm = scale² · dim = 10000² · 64; centroid floor division spells out
+# the negative branch (DuckDB // truncates toward zero, Python // floors)
+ORACLES["xcentroid_shift"] = (
+    "WITH e AS (SELECT CAST(label AS BIGINT) AS grp, vec_id, "
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv "
+    "FROM embeddings), "
+    "x AS (SELECT grp, vec_id, unnest(qv) AS v, "
+    "generate_subscripts(qv, 1) AS j FROM e), "
+    "s AS (SELECT grp, j, CAST(sum(v) AS BIGINT) AS s FROM x "
+    "GROUP BY grp, j), "
+    "nn AS (SELECT grp, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(ss) AS BIGINT) AS ss FROM (SELECT grp, vec_id, "
+    "list_sum(list_transform(qv, v -> v * v)) AS ss FROM e) "
+    "GROUP BY grp), "
+    "c AS (SELECT s.grp, j, s, CASE WHEN s >= 0 THEN s // n "
+    "ELSE -((-s + n - 1) // n) END AS c FROM s JOIN nn USING (grp)), "
+    "r AS (SELECT grp, CAST(sum(c * s) AS BIGINT) AS cs, "
+    "CAST(sum(c * c) AS BIGINT) AS cc FROM c GROUP BY grp), "
+    "st AS (SELECT nn.grp, nn.n, "
+    "CAST(nn.ss - 2 * r.cs + nn.n * r.cc AS BIGINT) AS rnum "
+    "FROM nn JOIN r USING (grp)), "
+    "d AS (SELECT a.grp AS grp_a, b.grp AS grp_b, "
+    "CAST(sum((a.c - b.c) * (a.c - b.c)) AS BIGINT) AS d2 "
+    "FROM c a JOIN c b ON a.j = b.j AND a.grp < b.grp "
+    "GROUP BY a.grp, b.grp) "
+    "SELECT d.grp_a, d.grp_b, sa.n AS n_a, sb.n AS n_b, "
+    "floor(CAST(d2 AS DOUBLE) / 6400000000.0 * 1000000 + 0.5) / 1000000 "
+    "AS shift2_norm, "
+    "floor(CAST(sa.rnum AS DOUBLE) / (CAST(sa.n AS DOUBLE) "
+    "* 6400000000.0) * 1000000 + 0.5) / 1000000 AS radius2_a, "
+    "floor(CAST(sb.rnum AS DOUBLE) / (CAST(sb.n AS DOUBLE) "
+    "* 6400000000.0) * 1000000 + 0.5) / 1000000 AS radius2_b "
+    "FROM d JOIN st sa ON sa.grp = d.grp_a JOIN st sb ON sb.grp = d.grp_b"
+)
+
+# the Bloom path is EXACTLY flag_contaminated (no false negatives +
+# exact verify), so the oracle replays the DIRECT exact rule at n=5 —
+# the hash match proves the two-phase prefilter drops nothing
+ORACLES["xdecontaminate_bloom"] = (
+    "WITH sh AS (SELECT doc_id, unnest(list_distinct(list_transform("
+    "generate_series(1, greatest(1, len(t) - 4)), "
+    "i -> array_to_string(t[i:i+4], ' ')))) AS s FROM "
+    "(SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t "
+    "FROM documents)), "
+    "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id >= 450), "
+    "ov AS (SELECT sh.doc_id, count(*) AS n FROM sh JOIN bench USING (s) "
+    "WHERE sh.doc_id < 400 GROUP BY sh.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(ov.n, 0) AS BIGINT) AS n_overlaps, "
+    "coalesce(ov.n, 0) >= 1 AS contaminated FROM documents d "
+    "LEFT JOIN ov ON d.doc_id = ov.doc_id WHERE d.doc_id < 400"
 )
