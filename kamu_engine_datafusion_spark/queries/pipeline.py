@@ -2699,6 +2699,75 @@ def q_xunpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-quantile-sketch MERGE path, driver-verified: the
+    lineitem stream is split into three disjoint ticks, each sketched
+    independently (``operators/sketches.py::quantile_sketch``) and
+    folded into the running state with ``quantile_sketch_merge`` — the
+    same exact-merge law ``streaming/structured.py::
+    maintained_quantile_sketch``'s per-tick fold applies. The oracle
+    builds the batch sketch of the FULL table, so a hash match proves
+    merge ≡ from-scratch build bit-for-bit through the driver
+    (previously only a pytest/Hypothesis property). Returns the
+    retained state rows themselves: (grp, rid, val, lvl, thr)."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.concat("l_orderkey", F.lit("-"), "l_linenumber").alias("rid"),
+        F.col("l_quantity").cast("long").alias("val"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3).alias("__tick"),
+    )
+    state = None
+    for i in range(3):
+        part = quantile_sketch(
+            li.filter(F.col("__tick") == i).drop("__tick"),
+            ["grp"], "rid", "val", k=256,
+        )
+        state = (
+            part
+            if state is None
+            else quantile_sketch_merge([state, part], ["grp"], k=256)
+        )
+    return state.select("grp", "rid", "val", "lvl", "thr")
+
+
+def q_xsketch_cm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-Count-Min MERGE path, driver-verified: documents
+    split into three ticks, each reduced to its own 4×256 counter grid
+    (``operators/sketches.py::cm_counters``) and folded by cell-wise
+    BIGINT addition — exactly ``streaming/structured.py::
+    maintained_countmin``'s per-tick fold. The oracle rebuilds the grid
+    over the FULL corpus, so the hash match proves fold ≡ one-shot
+    grid. At 100 TB each tick's exchange carries ≤ depth·width longs,
+    never the key space."""
+    from kamu_engine_datafusion_spark.operators.sketches import cm_counters
+
+    t = load(spark, sf_dir, "documents")
+    state = None
+    for i in range(3):
+        tick = t["documents"].filter(F.col("doc_id") % 3 == i)
+        grid = cm_counters(
+            _bigram_stream(tick), "bigram", depth=4, width=256, seed=7
+        )
+        state = (
+            grid
+            if state is None
+            else state.unionByName(grid)
+            .groupBy("i", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+    return state.select(
+        F.col("i").cast("long").alias("i"),
+        F.col("bucket").cast("long").alias("bucket"),
+        "c",
+    )
+
+
 def q_xtext_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals
     (``operators/text.py::repetition_report``) — the other half of the
@@ -2790,6 +2859,8 @@ def q_xdecontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "xsketch_quantile_merge": q_xsketch_quantile_merge,
+    "xsketch_cm_merge": q_xsketch_cm_merge,
     "xtext_repetition_report": q_xtext_repetition_report,
     "xsource_tvd": q_xsource_tvd,
     "xcentroid_shift": q_xcentroid_shift,
@@ -5905,3 +5976,61 @@ ORACLES["xdecontaminate_bloom"] = (
     "coalesce(ov.n, 0) >= 1 AS contaminated FROM documents d "
     "LEFT JOIN ov ON d.doc_id = ov.doc_id WHERE d.doc_id < 400"
 )
+
+
+def _qsketch_merge_oracle(k: int = 256) -> str:
+    """Oracle for ``xsketch_quantile_merge``: the BATCH hash-level
+    sketch of the full lineitem stream (same salted poly hash, same
+    trailing-zero level, same canonical threshold) — the merge fold on
+    the Spark side must reproduce this retained set bit-for-bit."""
+    hash_sql = _poly31_sql(
+        "CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR) || '#qsk'"
+    )
+    return (
+        "WITH li AS (SELECT l_returnflag AS grp, "
+        "CAST(l_quantity AS BIGINT) AS val, "
+        "CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR) AS rid, "
+        f"{hash_sql} AS h FROM lineitem)"
+        ", lv AS (SELECT grp, val, rid, CASE WHEN h = 0 THEN 31 "
+        "ELSE CAST(bit_count(CAST((h & -h) - 1 AS BIGINT)) AS BIGINT) "
+        "END AS lvl FROM li)"
+        ", cnt AS (SELECT grp, lvl, count(*) AS c FROM lv GROUP BY 1, 2)"
+        ", suf AS (SELECT grp, lvl, sum(c) OVER (PARTITION BY grp "
+        "ORDER BY lvl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS s FROM cnt)"
+        f", thr AS (SELECT grp, CAST(coalesce(max(lvl) "
+        f"FILTER (WHERE s > {k}) + 1, 0) AS BIGINT) AS thr "
+        "FROM suf GROUP BY 1) "
+        "SELECT l.grp, l.rid, l.val, l.lvl, t.thr FROM lv l "
+        "JOIN thr t ON l.grp = t.grp WHERE l.lvl >= t.thr"
+    )
+
+
+ORACLES["xsketch_quantile_merge"] = _qsketch_merge_oracle()
+
+
+def _cm_merge_oracle(depth: int = 4, width: int = 256, seed: int = 7) -> str:
+    """Oracle for ``xsketch_cm_merge``: the one-shot Count-Min grid
+    over the full corpus (same poly hash, same universal-family
+    coefficients) — cell-wise identical to the Spark side's three-tick
+    fold by counter associativity."""
+    from kamu_engine_datafusion_spark.functions.columns import minhash_coeffs
+
+    vals = ", ".join(
+        f"({i}, {a}, {c})"
+        for i, (a, c) in enumerate(minhash_coeffs(depth, seed))
+    )
+    return _BG_CTES + (
+        f", coeff(i, a, b) AS (VALUES {vals})"
+        f", h AS (SELECT {_poly31_sql('bg')} AS h FROM bgs)"
+        ", grid AS (SELECT c.i, ((h.h * c.a + c.b) % 2147483647) "
+        f"% {width} AS bucket, CAST(count(*) AS BIGINT) AS c "
+        "FROM h CROSS JOIN coeff c GROUP BY 1, 2) "
+        "SELECT CAST(i AS BIGINT) AS i, CAST(bucket AS BIGINT) AS bucket, "
+        "c FROM grid"
+    )
+
+
+ORACLES["xsketch_cm_merge"] = _cm_merge_oracle()
