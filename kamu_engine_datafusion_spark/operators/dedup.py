@@ -535,29 +535,59 @@ def simhash_near_dups(
             "__block", F.shiftright(F.col("__fp"), sig_bits - block_bits)
         )
     else:
-        if max_hamming > num_blocks - 1:
-            raise ValueError(
-                f"pigeonhole blocking guarantees recall only for "
-                f"max_hamming <= num_blocks-1 ({num_blocks - 1}); "
-                f"got max_hamming={max_hamming}. Raise num_blocks."
-            )
-        # k disjoint chunks; chunk i gets an even share of the bits plus
-        # the remainder on the last chunk. The join key is (chunk index,
-        # chunk value) — a struct, so chunk values never collide across
-        # positions.
-        w = sig_bits // num_blocks
-        chunks = []
-        for i in range(num_blocks):
-            start = i * w
-            width = w if i < num_blocks - 1 else sig_bits - start
-            val = F.shiftright(F.col("__fp"), start).bitwiseAND(
-                F.lit((1 << width) - 1)
-            )
-            chunks.append(F.struct(F.lit(i).alias("i"), val.alias("v")))
-        fp = fps.withColumn("__block", F.explode(F.array(*chunks)))
-    # the fingerprint pipeline (tokenize + 64 bit-sum aggregates) feeds
-    # both self-join legs; persist so it runs once, not per leg —
-    # released at the next dedup call like every LSH intermediate
+        fp = fps.withColumn(
+            "__block",
+            F.explode(
+                F.array(
+                    *_pigeonhole_chunks(sig_bits, max_hamming, num_blocks)
+                )
+            ),
+        )
+    # pigeonhole mode can find a pair via several chunks
+    return _blocked_hamming_pairs(
+        fp, max_hamming, dedup=num_blocks is not None
+    )
+
+
+def _pigeonhole_chunks(
+    sig_bits: int, max_hamming: int, num_blocks: int, fp_col: str = "__fp"
+) -> list:
+    """The Manku/Charikar pigeonhole block keys over a ``sig_bits``-bit
+    fingerprint column: k disjoint chunks — chunk i gets an even share
+    of the bits plus the remainder on the last chunk; two fingerprints
+    within Hamming distance ``k-1`` MUST agree on at least one whole
+    chunk, so recall is guaranteed for ``max_hamming <= k-1``. The join
+    key is (chunk index, chunk value) — a struct, so chunk values never
+    collide across positions. Arithmetic shiftright is safe even for a
+    negative (bit-63-set) fingerprint: the width mask clears the
+    sign-fill bits."""
+    if max_hamming > num_blocks - 1:
+        raise ValueError(
+            f"pigeonhole blocking guarantees recall only for "
+            f"max_hamming <= num_blocks-1 ({num_blocks - 1}); "
+            f"got max_hamming={max_hamming}. Raise num_blocks."
+        )
+    w = sig_bits // num_blocks
+    chunks = []
+    for i in range(num_blocks):
+        start = i * w
+        width = w if i < num_blocks - 1 else sig_bits - start
+        val = F.shiftright(F.col(fp_col), start).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        chunks.append(F.struct(F.lit(i).alias("i"), val.alias("v")))
+    return chunks
+
+
+def _blocked_hamming_pairs(
+    fp: DataFrame, max_hamming: int, dedup: bool
+) -> DataFrame:
+    """Shared verify tail of the Hamming near-dup family: self-join
+    ``(__id, __fp, __block)`` on the block key, exact popcount-of-XOR
+    verification, optional pair dedup (pigeonhole mode can find a pair
+    via several chunks). The fingerprint pipeline feeds both join legs;
+    persist so it runs once, not per leg — released at the next dedup
+    call like every LSH intermediate."""
     fp = fp.persist()
     fp.count()  # populate before the two join legs race through it
     _DEFERRED.append(fp)
@@ -575,8 +605,48 @@ def simhash_near_dups(
         )
         .filter(F.col("hamming") <= max_hamming)
     )
-    # pigeonhole mode can find a pair via several chunks
-    return pairs.distinct() if num_blocks is not None else pairs
+    return pairs.distinct() if dedup else pairs
+
+
+def phash_near_dups(
+    media: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Image near-duplicate pairs over 64-bit perceptual hashes
+    (``operators/multimodal.py::perceptual_hash``'s 16-char hex
+    output): parse the hex fingerprint, register each image once per
+    pigeonhole chunk, equi-join on (chunk index, chunk value), and
+    verify with the exact 64-bit Hamming distance — recall is
+    GUARANTEED for ``max_hamming <= num_blocks - 1`` (a pair within
+    that distance must agree on a whole chunk), completing the
+    multimodal dedup story: ``perceptual_hash`` buckets exact dups,
+    this finds the near ones.
+
+    The hex parse goes through two 32-bit halves (a full 64-bit
+    ``conv`` would overflow the signed BIGINT for bit-63 hashes);
+    chunk extraction and popcount operate on the reassembled signed
+    long, where the width masks make sign-fill harmless.
+
+    Scale: identical shape to :func:`simhash_near_dups` pigeonhole
+    mode — ``num_blocks`` join keys per image, block sizes are
+    ~uniform under a well-mixed hash, and the only corpus-sized
+    exchange is the block-key shuffle of (id, fp, block) triples.
+    """
+    _release_deferred()
+    hi = F.conv(F.substring(phash_col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(phash_col, 9, 8), 16, 10).cast("long")
+    fps = media.select(
+        F.col(id_col).alias("__id"),
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("__fp"),
+    )
+    fp = fps.withColumn(
+        "__block",
+        F.explode(F.array(*_pigeonhole_chunks(64, max_hamming, num_blocks))),
+    )
+    return _blocked_hamming_pairs(fp, max_hamming, dedup=True)
 
 
 def ngram_jaccard_pairs(

@@ -1971,6 +1971,59 @@ def q_xmm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.perceptual_hash(media, use_real_codecs=False)
 
 
+def q_xmm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs over perceptual hashes
+    (``operators/dedup.py::phash_near_dups``): the sha256-stub pHashes
+    of docs < 200 plus, for each, a synthetic near-duplicate twin
+    (id + 100000) whose hash differs in exactly 2 known bits — flipped
+    hex-side on the 32-bit halves, so the corpus has a KNOWN ground
+    truth. Pigeonhole blocking (4 chunks) guarantees recall at
+    Hamming ≤ 3, so the blocked result must equal the oracle's
+    brute-force all-pairs scan — the hash match proves both the hex
+    fingerprint parse and the guaranteed-recall block join."""
+    from kamu_engine_datafusion_spark.operators.dedup import phash_near_dups
+
+    t = load(spark, sf_dir, "documents")
+    media = M.synthesize_media(
+        t["documents"].filter(F.col("doc_id") < 200), "doc_id", "text"
+    )
+    base = M.perceptual_hash(media, use_real_codecs=False)
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
+    b1 = F.pmod(F.col("media_id"), F.lit(64))
+    b2 = F.pmod(F.col("media_id") + F.lit(31), F.lit(64))
+    # bit masks per 32-bit half (shiftleft needs an INT column via expr)
+    mhi = F.when(
+        b1 >= 32,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id, 64) - 32 AS INT))"),
+    ).otherwise(F.lit(0)) + F.when(
+        b2 >= 32,
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(pmod(media_id + 31, 64) - 32 AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    mlo = F.when(
+        b1 < 32,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id, 64) AS INT))"),
+    ).otherwise(F.lit(0)) + F.when(
+        b2 < 32,
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id + 31, 64) AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    twins = base.select(
+        (F.col("media_id") + F.lit(100_000)).alias("media_id"),
+        F.format_string(
+            "%08x%08x", hi.bitwiseXOR(mhi), lo.bitwiseXOR(mlo)
+        ).alias("phash"),
+    )
+    corpus = base.select("media_id", "phash").unionByName(twins)
+    return phash_near_dups(
+        corpus, "media_id", "phash", max_hamming=3, num_blocks=4
+    )
+
+
 def q_xskipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Skip-gram co-occurrence PMI (window 3): every ordered pair
     within 3 positions — the word2vec context statistic
@@ -2935,6 +2988,7 @@ QUERIES = {
     "xfuzzy_join": q_xfuzzy_join,
     "xkey_skew": q_xkey_skew,
     "xmm_phash": q_xmm_phash,
+    "xmm_phash_neardup": q_xmm_phash_neardup,
     "xskipgram": q_xskipgram,
     "xtransitions": q_xtransitions,
     "xcorr_matrix": q_xcorr_matrix,
@@ -6034,3 +6088,44 @@ def _cm_merge_oracle(depth: int = 4, width: int = 256, seed: int = 7) -> str:
 
 
 ORACLES["xsketch_cm_merge"] = _cm_merge_oracle()
+
+
+# pigeonhole recall is guaranteed at Hamming <= num_blocks-1, so the
+# blocked Spark result must equal this brute-force all-pairs scan; the
+# Hamming distance sums popcounts of the two 32-bit halves (no signed
+# 64-bit reassembly needed)
+ORACLES["xmm_phash_neardup"] = (
+    "WITH m AS (SELECT doc_id, sha256(text) AS d1 FROM documents "
+    "WHERE doc_id < 200), "
+    "mm AS (SELECT doc_id, d1 || sha256(d1) AS hx FROM m), "
+    "px AS (SELECT doc_id, i, "
+    "CAST(('0x' || substr(hx, CAST(2 * i + 1 AS INT), 2)) AS INT) AS p "
+    "FROM mm CROSS JOIN range(0, 64) r(i)), "
+    "st AS (SELECT doc_id, avg(p) AS mean FROM px GROUP BY doc_id), "
+    "bits AS (SELECT px.doc_id, i, "
+    "CASE WHEN p > mean THEN 1 ELSE 0 END AS b "
+    "FROM px JOIN st USING (doc_id)), "
+    "v AS (SELECT doc_id, "
+    "CAST(sum(CASE WHEN i >= 32 THEN CAST(b AS BIGINT) * "
+    "(CAST(1 AS BIGINT) << CAST(i - 32 AS INT)) ELSE 0 END) AS BIGINT) "
+    "AS hi, "
+    "CAST(sum(CASE WHEN i < 32 THEN CAST(b AS BIGINT) * "
+    "(CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS BIGINT) AS lo "
+    "FROM bits GROUP BY doc_id), "
+    "tw AS (SELECT doc_id + 100000 AS doc_id, "
+    "xor(hi, (CASE WHEN doc_id % 64 >= 32 THEN "
+    "(CAST(1 AS BIGINT) << CAST(doc_id % 64 - 32 AS INT)) ELSE 0 END) + "
+    "(CASE WHEN (doc_id + 31) % 64 >= 32 THEN "
+    "(CAST(1 AS BIGINT) << CAST((doc_id + 31) % 64 - 32 AS INT)) "
+    "ELSE 0 END)) AS hi, "
+    "xor(lo, (CASE WHEN doc_id % 64 < 32 THEN "
+    "(CAST(1 AS BIGINT) << CAST(doc_id % 64 AS INT)) ELSE 0 END) + "
+    "(CASE WHEN (doc_id + 31) % 64 < 32 THEN "
+    "(CAST(1 AS BIGINT) << CAST((doc_id + 31) % 64 AS INT)) "
+    "ELSE 0 END)) AS lo FROM v), "
+    "u AS (SELECT * FROM v UNION ALL SELECT * FROM tw) "
+    "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+    "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) "
+    "AS hamming FROM u a JOIN u b ON a.doc_id < b.doc_id "
+    "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"
+)

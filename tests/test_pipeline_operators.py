@@ -647,3 +647,49 @@ def test_perceptual_hash_groups_exact_duplicates(spark):
         for r in M.perceptual_hash(media, use_real_codecs=False).collect()
     }
     assert h[1] == h[2] != h[3]
+
+
+def test_phash_near_dups_recall_on_perturbed_corpus(spark):
+    """phash_near_dups over a perturbed-fixture corpus: each base image
+    gets a twin whose 64-bit hash differs in exactly d known bits; with
+    num_blocks=4 every pair at Hamming <= 3 MUST be found (pigeonhole
+    recall), pairs at Hamming 4 must not. Also pins the hex fingerprint
+    parse (including a bit-63 twin, the signed-long corner)."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    expected = set()
+    for i in range(30):
+        fp = rng.getrandbits(64)
+        rows.append((i, format(fp, "016x")))
+        d = i % 5  # twins at Hamming 0..4
+        bits = rng.sample(range(64), d) if d else []
+        if i == 7:  # force the signed-long corner: flip bit 63
+            d, bits = 1, [63]
+        tfp = fp
+        for b in bits:
+            tfp ^= 1 << b
+        rows.append((1000 + i, format(tfp, "016x")))
+        if d <= 3:
+            expected.add((i, 1000 + i, d))
+    media = spark.createDataFrame(rows, ["media_id", "phash"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.phash_near_dups(
+            media, max_hamming=3, num_blocks=4
+        ).collect()
+    }
+    # brute-force ground truth over ALL pairs (base fps are random
+    # 64-bit, so cross pairs land at ~32 bits — but verify anyway)
+    fps = {mid: int(h, 16) for mid, h in rows}
+    brute = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert got == brute
+    assert expected <= got
+    with pytest.raises(ValueError, match="pigeonhole"):
+        D.phash_near_dups(media, max_hamming=4, num_blocks=4)
