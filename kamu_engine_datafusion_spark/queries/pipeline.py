@@ -2821,6 +2821,74 @@ def q_xsketch_cm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xwinsorize_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-fed winsorization
+    (``operators/profile.py::winsorize_from_sketch``): p10/p90 cut
+    points read from the mergeable quantile sketch's retained rows
+    (integer rank selection over (val, id) order) instead of a
+    re-aggregated percentile — the incremental clip path: at 100 TB the
+    cuts come from ≤k rows of folded state per group and the clip is
+    one broadcast join + in-row least/greatest over the scan. The
+    oracle rebuilds the sketch AND the clip, so the exact cut points —
+    not just the clip behavior — are hash-verified. Rows are clamped,
+    never dropped (left join + pass-through for sketch-less groups)."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        winsorize_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.concat("l_orderkey", F.lit("-"), "l_linenumber").alias("rid"),
+        F.col("l_quantity").cast("long").alias("val"),
+    )
+    sk = quantile_sketch(li, ["grp"], "rid", "val", k=256)
+    out = winsorize_from_sketch(
+        li, sk, "val", ["grp"], "rid", lower=(1, 10), upper=(9, 10)
+    )
+    return out.select("grp", "rid", "val", "val_winsorized")
+
+
+def q_xdedup_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup EDGE set of the incremental index dedup
+    (``operators/dedup.py::dedup_increment_against_index`` with
+    ``emit_pairs=True``): docs < 150 form the persisted MinHash index,
+    docs 150–299 the increment; pairs are banded-LSH candidates
+    (index-vs-new AND new-vs-new, reusing the same joins the survivor
+    set pays for) verified by the 16-hash agreement estimate ≥ 0.7.
+    These edges feed the persisted component state
+    (``cc_increment`` / ``maintained_components``) — their exact
+    content deserves a driver hash, not just the survivor counts
+    (``xdedup_incremental``) or the closed components
+    (``xdedup_cc_incremental``). Poly-hash profile so the oracle
+    replays signatures, banding, and the estimate."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_increment_against_index,
+        minhash_index,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    base = t["documents"].filter(F.col("doc_id") < 150)
+    inc = t["documents"].filter(
+        (F.col("doc_id") >= 150) & (F.col("doc_id") < 300)
+    )
+    index = minhash_index(base, num_hashes=16, num_bands=4, base_hash="poly")
+    _, _, pairs = dedup_increment_against_index(
+        inc,
+        index,
+        threshold=0.7,
+        num_hashes=16,
+        num_bands=4,
+        max_bucket_size=None,
+        base_hash="poly",
+        emit_pairs=True,
+    )
+    return pairs
+
+
 def q_xtext_repetition_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document repetition signals
     (``operators/text.py::repetition_report``) — the other half of the
@@ -2914,6 +2982,8 @@ def q_xdecontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "xsketch_quantile_merge": q_xsketch_quantile_merge,
     "xsketch_cm_merge": q_xsketch_cm_merge,
+    "xwinsorize_sketch": q_xwinsorize_sketch,
+    "xdedup_index_pairs": q_xdedup_index_pairs,
     "xtext_repetition_report": q_xtext_repetition_report,
     "xsource_tvd": q_xsource_tvd,
     "xcentroid_shift": q_xcentroid_shift,
@@ -6129,3 +6199,118 @@ ORACLES["xmm_phash_neardup"] = (
     "AS hamming FROM u a JOIN u b ON a.doc_id < b.doc_id "
     "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"
 )
+
+
+def _winsorize_sketch_oracle(
+    k: int = 256, lower=(1, 10), upper=(9, 10)
+) -> str:
+    """Oracle for ``xwinsorize_sketch``: rebuilds the hash-level sketch
+    (same CTEs as the quantile-sketch oracles), selects the cut points
+    with the same integer rank arithmetic over (val, rid) order, and
+    applies the same least/greatest clip — cut points AND clip are both
+    hash-verified."""
+    hash_sql = _poly31_sql(
+        "CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR) || '#qsk'"
+    )
+    lo_n, lo_d = lower
+    hi_n, hi_d = upper
+    return (
+        "WITH li AS (SELECT l_returnflag AS grp, "
+        "CAST(l_quantity AS BIGINT) AS val, "
+        "CAST(l_orderkey AS VARCHAR) || '-' || "
+        "CAST(l_linenumber AS VARCHAR) AS rid, "
+        f"{hash_sql} AS h FROM lineitem)"
+        ", lv AS (SELECT grp, val, rid, CASE WHEN h = 0 THEN 31 "
+        "ELSE CAST(bit_count(CAST((h & -h) - 1 AS BIGINT)) AS BIGINT) "
+        "END AS lvl FROM li)"
+        ", cnt AS (SELECT grp, lvl, count(*) AS c FROM lv GROUP BY 1, 2)"
+        ", suf AS (SELECT grp, lvl, sum(c) OVER (PARTITION BY grp "
+        "ORDER BY lvl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        "CURRENT ROW) AS s FROM cnt)"
+        f", thr AS (SELECT grp, CAST(coalesce(max(lvl) "
+        f"FILTER (WHERE s > {k}) + 1, 0) AS BIGINT) AS thr "
+        "FROM suf GROUP BY 1)"
+        ", ret AS (SELECT l.grp, l.rid, l.val FROM lv l "
+        "JOIN thr t ON l.grp = t.grp WHERE l.lvl >= t.thr)"
+        ", rk AS (SELECT grp, rid, val, row_number() OVER (PARTITION BY "
+        "grp ORDER BY val, rid) AS rn, count(*) OVER (PARTITION BY grp) "
+        "AS s FROM ret)"
+        ", cuts AS (SELECT grp, "
+        f"max(CASE WHEN rn = ({lo_n} * (s - 1)) // {lo_d} + 1 "
+        "THEN val END) AS lo, "
+        f"max(CASE WHEN rn = ({hi_n} * (s - 1)) // {hi_d} + 1 "
+        "THEN val END) AS hi FROM rk GROUP BY grp) "
+        "SELECT li.grp, li.rid, li.val, "
+        "least(greatest(li.val, c.lo), c.hi) AS val_winsorized "
+        "FROM li JOIN cuts c ON li.grp = c.grp"
+    )
+
+
+ORACLES["xwinsorize_sketch"] = _winsorize_sketch_oracle()
+
+
+def _index_pairs_oracle() -> str:
+    """Oracle for ``xdedup_index_pairs``: the same poly-hash signature
+    / band-fold CTEs as ``_incremental_dedup_oracle``, emitting the
+    verified EDGES — index-vs-new (id_a = indexed doc) plus new-vs-new
+    (id_a < id_b) — instead of the survivor rollup."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31 as M,
+        _SHINGLE_PRIME as P,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(16, seed=42)
+    mins = ", ".join(
+        f"min((hv * {a} + {b}) % {M}) AS m{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    bands = []
+    for band in range(4):
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(4):
+            acc = f"(({acc}) * {P} + m{band * 4 + i}) % {M}"
+        bands.append(
+            f"SELECT doc_id, {band} AS bandpos, {acc} AS bandkey FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END" for j in range(16)
+        )
+        + ") / 16.0"
+    )
+    return (
+        "WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 300), "
+        "tq AS (SELECT doc_id, string_split_regex(trim(lower(text)), "
+        "'\\s+') AS t FROM d), "
+        "shl AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 2)), "
+        "i -> array_to_string(t[i:i+2], ' '))) AS shs FROM tq), "
+        "sh AS (SELECT doc_id, unnest(shs) AS s FROM shl), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(s, ''), "
+        "ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {M}) AS hv FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({bands_sql}), "
+        "cand AS ("
+        "SELECT DISTINCT i.doc_id AS id_a, n.doc_id AS id_b "
+        "FROM bands n JOIN bands i ON n.bandpos = i.bandpos "
+        "AND n.bandkey = i.bandkey "
+        "WHERE n.doc_id >= 150 AND i.doc_id < 150 "
+        "UNION "
+        "SELECT DISTINCT a.doc_id, b.doc_id "
+        "FROM bands a JOIN bands b ON a.bandpos = b.bandpos "
+        "AND a.bandkey = b.bandkey "
+        "WHERE a.doc_id >= 150 AND b.doc_id >= 150 "
+        "AND a.doc_id < b.doc_id) "
+        "SELECT c.id_a, c.id_b FROM cand c "
+        "JOIN sig x ON x.doc_id = c.id_a JOIN sig y ON y.doc_id = c.id_b "
+        f"WHERE {est} >= 0.7"
+    )
+
+
+ORACLES["xdedup_index_pairs"] = _index_pairs_oracle()
