@@ -453,6 +453,12 @@ _INTENT = "_intent"
 #: the live view drop it.
 _BUCKET_COL = "__bucket"
 
+#: Sibling root of a maintained-components state dir holding the
+#: node-bucketed ``(node, component)`` root index — same rows as the
+#: component-bucketed state, hive-bucketed BY NODE so the per-tick
+#: endpoint→root lookup partition-prunes instead of scanning state.
+_NODE_IDX_SUFFIX = ".nodeidx"
+
 
 def _bucket_of(key_cols: list[str], n: int):
     return F.pmod(F.xxhash64(*key_cols), F.lit(n)).cast("int")
@@ -944,15 +950,26 @@ def maintained_components(
     including component merges).
 
     Per tick: resolve the increment's endpoints to their current roots
-    (one increment-vs-state lookup join — this scan cannot
-    partition-prune, node→bucket(component) is unknowable), drop the
-    edges that became internal, run star contraction on the CONTRACTED
-    increment-sized graph only, and rewrite ONLY the touched
-    components' buckets — state is hive-bucketed by ``component`` (like
-    :func:`maintained_snapshot` by key), and every row that can change
-    lives in a touched root's bucket: the merged root is the min of the
-    touched roots, so relabeled rows land in touched buckets by
-    construction. Exactly-once via the bucketed intent/apply protocol.
+    via the NODE-BUCKETED root index (a second ``(node, component)``
+    map under ``state_dir + ".nodeidx"``, hive-bucketed BY NODE — so
+    the lookup reads O(touched node buckets), never the full state:
+    node→bucket(component) is unknowable, but node→bucket(node) is
+    free), drop the edges that became internal, run star contraction on
+    the CONTRACTED increment-sized graph only, and rewrite ONLY the
+    touched components' buckets — state is hive-bucketed by
+    ``component`` (like :func:`maintained_snapshot` by key), and every
+    row that can change lives in a touched root's bucket: the merged
+    root is the min of the touched roots, so relabeled rows land in
+    touched buckets by construction. After the component fold, the
+    membership rows of the tick's final roots (read back
+    partition-pruned from the touched component buckets) upsert into
+    the node index — O(touched components), not O(state). Exactly-once
+    via the bucketed intent/apply protocol on BOTH roots: the index
+    folds after the component state under the same batch id, and any
+    marker mismatch (a crash between the two folds, or a pre-index
+    state layout) falls back to a full-scan resolve plus a one-time
+    full index rebuild — correctness never depends on the index being
+    fresh.
 
     Edge retraction is NOT supported (component splits need the full
     edge history); feed the append pair stream. Live view =
@@ -996,10 +1013,26 @@ def maintained_components(
             "node", F.coalesce("__new", "component").alias("component")
         )
 
+    def _node_upsert(state_subset, rows):
+        # node-index merge: replace each touched node's row, keep the
+        # bucket's other nodes
+        if state_subset is None:
+            return rows
+        keep = state_subset.join(
+            rows.select("node").distinct(), "node", "left_anti"
+        )
+        return keep.unionByName(rows)
+
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         import os
 
         sess = batch_df.sparkSession
+        node_dir = state_dir + _NODE_IDX_SUFFIX
+        # heal interrupted prior ticks BEFORE reading either marker —
+        # a committed-but-unapplied intent means the fold logically
+        # completed and its marker must be visible to the sync check
+        _apply_intent(state_dir)
+        _apply_intent(node_dir)
         edges = (
             batch_df.select(
                 F.greatest(id_a, id_b).alias("u"),
@@ -1008,25 +1041,61 @@ def maintained_components(
             .filter(F.col("u") != F.col("v"))
             .distinct()
         )
-        state = None
-        if os.path.isdir(state_dir) and any(
+        have_state = os.path.isdir(state_dir) and any(
             e.startswith(_BUCKET_COL) for e in os.listdir(state_dir)
-        ):
-            state = read_maintained_state(sess, state_dir)
-
-        def _root(side: str) -> DataFrame:
-            nodes = edges.select(F.col(side).alias("node")).distinct()
-            if state is None:
-                return nodes.select(
-                    "node", F.col("node").alias(f"r_{side}")
-                )
-            return nodes.join(state, "node", "left").select(
-                "node", F.coalesce("component", "node").alias(f"r_{side}")
+        )
+        # the node index is usable only when it folded the same batch
+        # the component state did (a crash between the two folds, or a
+        # pre-index layout, de-syncs them → full-scan fallback + rebuild)
+        node_ok = (
+            have_state
+            and _last_folded_batch(node_dir) == _last_folded_batch(state_dir)
+            and os.path.isdir(node_dir)
+        )
+        nodes_all = (
+            edges.select(F.col("u").alias("node"))
+            .unionByName(edges.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        if not have_state:
+            resolved = nodes_all.select(
+                "node", F.col("node").alias("__root")
             )
-
+        else:
+            if node_ok:
+                # O(touched node buckets): prune the node index to the
+                # buckets the increment's endpoints hash into
+                nb = sorted(
+                    r[0]
+                    for r in nodes_all.select(
+                        _bucket_of(["node"], state_buckets).alias("b")
+                    )
+                    .distinct()
+                    .collect()
+                )
+                idx = (
+                    sess.read.parquet(node_dir)
+                    .filter(F.col(_BUCKET_COL).isin([int(b) for b in nb]))
+                    .drop(_BUCKET_COL)
+                )
+            else:
+                idx = read_maintained_state(sess, state_dir)
+            resolved = nodes_all.join(idx, "node", "left").select(
+                "node", F.coalesce("component", "node").alias("__root")
+            )
         contracted = (
-            edges.join(_root("u").withColumnRenamed("node", "u"), "u")
-            .join(_root("v").withColumnRenamed("node", "v"), "v")
+            edges.join(
+                resolved.select(
+                    F.col("node").alias("u"), F.col("__root").alias("r_u")
+                ),
+                "u",
+            )
+            .join(
+                resolved.select(
+                    F.col("node").alias("v"), F.col("__root").alias("r_v")
+                ),
+                "v",
+            )
             .select(F.col("r_u").alias("id_a"), F.col("r_v").alias("id_b"))
             .filter(F.col("id_a") != F.col("id_b"))
             .distinct()
@@ -1043,6 +1112,56 @@ def maintained_components(
         _fold_buckets(
             exploded, batch_id, state_dir, ["component"], state_buckets,
             _merge,
+        )
+        # ---- node-index maintenance (after the component fold, so a
+        # crash-replay that skips the fold still reads the right rows) --
+        empty_rows = batch_df.select(
+            F.col(id_a).alias("node"), F.col(id_a).alias("component")
+        ).limit(0)
+        if not node_ok:
+            # one-time rebuild (first tick, post-crash, or migration):
+            # re-bucket the whole post-fold state by node
+            rows_new = (
+                read_maintained_state(sess, state_dir)
+                if os.path.isdir(state_dir)
+                and any(
+                    e.startswith(_BUCKET_COL) for e in os.listdir(state_dir)
+                )
+                else empty_rows
+            )
+        else:
+            touched = sorted(
+                r[0]
+                for r in exploded.select(
+                    _bucket_of(["component"], state_buckets).alias("b")
+                )
+                .distinct()
+                .collect()
+            )
+            if touched:
+                # the tick's final roots: every contracted-graph node
+                # relabels to one of these (deterministic recompute)
+                final_roots = (
+                    connected_components(
+                        contracted, max_iterations=max_iterations
+                    )
+                    .select(F.col("component"))
+                    .distinct()
+                )
+                rows_new = (
+                    sess.read.parquet(state_dir)
+                    .filter(
+                        F.col(_BUCKET_COL).isin([int(b) for b in touched])
+                    )
+                    .drop(_BUCKET_COL)
+                    .join(F.broadcast(final_roots), "component")
+                    .select("node", "component")
+                )
+            else:
+                rows_new = empty_rows
+        _fold_buckets(
+            rows_new, batch_id, node_dir, ["node"], state_buckets,
+            _node_upsert,
         )
 
     return (

@@ -1238,3 +1238,113 @@ def test_maintained_bloom_equals_one_shot_build(spark, tmp_path):
     want = bloom_build(bench, m_bits=m_bits, k_hashes=k)
     assert got == want  # word for word — OR is order/replay-proof
     assert sum(1 for w in got if w) > 0
+
+
+def test_maintained_components_node_index_mirrors_state(spark, tmp_path):
+    """The node-bucketed root index must carry EXACTLY the component
+    state's (node, component) rows after every tick — same content,
+    different bucketing — so the per-tick endpoint→root lookup can
+    partition-prune on node hash instead of scanning state."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _NODE_IDX_SUFFIX,
+        _last_folded_batch,
+        maintained_components,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "nledger")
+    state_dir = os.path.join(str(tmp_path), "nstate")
+    ck = os.path.join(str(tmp_path), "nck")
+    os.makedirs(ledger_dir)
+    schema = "id_a long, id_b long"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_components(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    for rows in [
+        [(1, 2), (2, 3), (10, 11)],
+        [(3, 4), (20, 21)],
+        [(4, 10), (21, 1)],  # merges everything but nothing else
+    ]:
+        tick(rows)
+        state = sorted(
+            tuple(r)
+            for r in read_maintained_state(spark, state_dir).collect()
+        )
+        idx = sorted(
+            tuple(r)
+            for r in read_maintained_state(
+                spark, state_dir + _NODE_IDX_SUFFIX
+            ).collect()
+        )
+        assert idx == state
+        # markers stay in lockstep — the pruned-lookup precondition
+        assert _last_folded_batch(state_dir + _NODE_IDX_SUFFIX) == (
+            _last_folded_batch(state_dir)
+        )
+
+
+def test_maintained_components_node_index_desync_rebuilds(spark, tmp_path):
+    """A de-synced node index (crash between the two folds, or a
+    pre-index state layout) must NOT corrupt results: the next tick
+    falls back to the full-scan resolve, rebuilds the index wholesale,
+    and the state still equals the from-scratch closure."""
+    import shutil
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        connected_components,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _NODE_IDX_SUFFIX,
+        maintained_components,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "dledger")
+    state_dir = os.path.join(str(tmp_path), "dstate")
+    ck = os.path.join(str(tmp_path), "dck")
+    os.makedirs(ledger_dir)
+    schema = "id_a long, id_b long"
+    seen = []
+
+    def tick(rows):
+        seen.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_components(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    tick([(1, 2), (2, 3), (10, 11)])
+    # simulate the pre-index layout / a lost index: delete it entirely
+    shutil.rmtree(state_dir + _NODE_IDX_SUFFIX)
+    tick([(3, 4), (11, 1)])  # merge across the two components
+    got = {
+        r["node"]: r["component"]
+        for r in read_maintained_state(spark, state_dir).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(seen, schema)
+        ).collect()
+    }
+    assert got == want
+    # and the rebuilt index mirrors the state again
+    idx = {
+        r["node"]: r["component"]
+        for r in read_maintained_state(
+            spark, state_dir + _NODE_IDX_SUFFIX
+        ).collect()
+    }
+    assert idx == got
