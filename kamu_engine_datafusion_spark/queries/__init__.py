@@ -39,6 +39,74 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
+_PRIORITY_R11 = [
+    # ==== round-11 verification window (first ~50 keys) ====
+    # -- NEW in round 11: the four staged r10 families --
+    "xtext_repetition_report",  # NEW: Gopher dup-line/n-gram repetition
+    "xsource_tvd",  # NEW: pairwise source token-distribution TVD
+    "xcentroid_shift",  # NEW: pairwise group centroid drift gate
+    "xdecontaminate_bloom",  # NEW: Bloom prefilter ≡ exact rule, proven
+    # -- NEW in round 11: maintained-fold merge laws driver-verified --
+    "xsketch_quantile_merge",  # NEW: 3-tick fold == batch sketch
+    "xsketch_cm_merge",  # NEW: cell-wise grid fold == one-shot grid
+    # -- NEW in round 11: multimodal near-dup + key-less integrations --
+    "xmm_phash_neardup",  # NEW: pHash pigeonhole Hamming pairs
+    "xwinsorize_sketch",  # NEW: sketch-fed winsorize cut points
+    "xdedup_index_pairs",  # NEW: emit_pairs edge set (feeds cc state)
+    # -- implementation changed in round 11 (re-verify) --
+    "xquality_classifier",  # NULL-text label coalesce (advice fix)
+    "xdedup_simhash",  # pigeonhole/verify tail extracted (rows-only)
+    "xdedup_simhash_sql",  # same refactor, hash-verified twin
+    # -- the r06-stale block (oldest greens; retire in ≤2 rounds) --
+    "xvocab_oov",
+    "xscd2",
+    "xlm_score",
+    "xchunk_docs",
+    "xquality_gate",
+    "xsim_topk_batch",
+    "xdecontaminate_13",
+    "xsample_temperature",
+    "xcap_per_source",
+    "xsplit_by_group",
+    "xmix_budget",
+    "xhistogram",
+    "xdrift_psi",
+    "xtext_entropy",
+    "xmmr",
+    "xpipeline_embed",
+    "xbpe",
+    "xbpe_encode",
+    "xlength_buckets",
+    "xdedup_canonical",
+    "xsnapshot_diff",
+    "xchangelog_merge",
+    "xsnapshot_merge",
+    "a13_offsets_distributed",
+    "a14_system_columns",
+    "b04_parquet_sink",
+    "b17_count_distinct",
+    "b03_information_schema",
+    "b23_ranking",
+    "b30_subqueries",
+    "b38_conditional",
+    "b39_array",
+    "b40_struct_map",
+    "b41_json",
+    "xasof_join",
+    "xdecontaminate",
+    "xdedup_exact",
+    "xdedup_paragraph",
+    # ---- window boundary (~50: 9 new + 3 changed + the head of the
+    # 43-key r06-stale block. The r06 tail just below the cut
+    # (xmm_features xmm_frames xpivot xrollup_time xsessionize) rotates
+    # to the r12 head — the block retires fully next round.) ----
+    "xmm_features",
+    "xmm_frames",
+    "xpivot",
+    "xrollup_time",
+    "xsessionize",
+]
+
 _PRIORITY_R10 = [
     # ==== round-10 verification window (first ~50 keys) ====
     # -- NEW in round 10 --
@@ -447,14 +515,18 @@ _PRIORITY_R6 = [
     "b39_explode",
 ]
 
-#: The driver-facing order: the round-10 window first, then the prior
+#: The driver-facing order: the round-11 window first, then the prior
 #: windows oldest-last (keys already placed in a newer window are
 #: filtered out — the composition stays duplicate-free and exhaustive
 #: by the entry-contract test).
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R10 + _PRIORITY_R9 + _PRIORITY_R7 + _PRIORITY_R6
+    for k in _PRIORITY_R11
+    + _PRIORITY_R10
+    + _PRIORITY_R9
+    + _PRIORITY_R7
+    + _PRIORITY_R6
     if not (k in _seen or _seen.add(k))
 ]
 
