@@ -534,6 +534,42 @@ def percentile_gate(
     )
 
 
+def ares_key(
+    key_col: str, weight_col: str, salt: int, hash_fn: str
+):
+    """The Efraimidis–Spirakis A-Res reservoir key ``ln(u) / w`` with
+    ``u ∈ (0, 1]`` from a keyed hash of the row id — shared by
+    :func:`weighted_sample`, :func:`weighted_sample_per_group`, and the
+    streaming ``maintained_weighted_sample`` fold, which must agree
+    bit-for-bit for the maintained sample to equal the batch draw.
+
+    ``ln(u)/w`` is the monotone log form of the textbook ``u^(1/w)``
+    (one transcendental, no pow); keys are half-up 9dp with the id as
+    tie-break downstream so cross-engine libm last-ulp differences
+    cannot reorder the cut. Because ``u`` derives from the id hash —
+    never ``rand()`` — the top-n cut is a pure function of the input
+    SET: reproducible across runs, partitionings, engines, and tick
+    boundaries (the merge-exactness that makes the maintained fold an
+    exact merge, same device as the quantile sketch's hash levels).
+    """
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31,
+        half_up,
+        poly_hash31,
+    )
+
+    key = F.col(key_col)
+    if hash_fn == "poly":
+        h = poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}")))
+    else:
+        h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
+    u = (h + 1) / F.lit(float(_MERSENNE_31 + 1))
+    w = F.col(weight_col).cast("double")
+    # half-up, not the engines' round(): exact .5 halves disagree
+    # between Spark and DuckDB and this IS a rank sort key
+    return half_up(F.log(u) / w, 9)
+
+
 def weighted_sample(
     df: DataFrame,
     weight_col: str,
@@ -558,26 +594,12 @@ def weighted_sample(
     sampled). Scale: a single corpus scan into TakeOrderedAndProject —
     no shuffle, no per-group state; the reservoir IS the top-n heap.
     """
-    from kamu_engine_datafusion_spark.functions.columns import (
-        _MERSENNE_31,
-        half_up,
-        poly_hash31,
-    )
-
-    key = F.col(key_col)
-    if hash_fn == "poly":
-        h = poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}")))
-    else:
-        h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
-    u = (h + 1) / F.lit(float(_MERSENNE_31 + 1))
     w = F.col(weight_col).cast("double")
-    # half-up, not the engines' round(): exact .5 halves disagree
-    # between Spark and DuckDB and this IS a rank sort key
-    res_key = half_up(F.log(u) / w, 9)
+    res_key = ares_key(key_col, weight_col, salt, hash_fn)
     return (
         df.filter(w > 0)
         .withColumn("__akey", res_key)
-        .orderBy(F.col("__akey").desc(), key)
+        .orderBy(F.col("__akey").desc(), F.col(key_col))
         .limit(n)
         .drop("__akey")
     )
@@ -878,24 +900,10 @@ def weighted_sample_per_group(
     SCALE.md r9 measurement), so a hot group ships ≤ ``n`` rows per
     upstream partition. Rows with ``w <= 0`` or null are excluded.
     """
-    from kamu_engine_datafusion_spark.functions.columns import (
-        _MERSENNE_31,
-        half_up,
-        poly_hash31,
-    )
-
-    key = F.col(key_col)
-    if hash_fn == "poly":
-        h = poly_hash31(F.concat(key.cast("string"), F.lit(f"#{salt}")))
-    else:
-        h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
-    u = (h + 1) / F.lit(float(_MERSENNE_31 + 1))
     w = F.col(weight_col).cast("double")
-    # half-up, not the engines' round(): exact .5 halves disagree
-    # between Spark and DuckDB and this IS a rank sort key
-    res_key = half_up(F.log(u) / w, 9)
+    res_key = ares_key(key_col, weight_col, salt, hash_fn)
     rank_w = Window.partitionBy(group_col).orderBy(
-        F.col("__akey").desc(), key
+        F.col("__akey").desc(), F.col(key_col)
     )
     return (
         df.filter(w > 0)

@@ -929,6 +929,90 @@ def maintained_quantile_sketch(
     )
 
 
+def maintained_weighted_sample(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    weight_col: str,
+    group_col: str,
+    n: int,
+    key_col: str = "doc_id",
+    salt: int = 0,
+    hash_fn: str = "poly",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 4,
+):
+    """Continuously-maintained per-group WEIGHTED SAMPLE over an append
+    stream — the incremental form of
+    ``operators/sampling.py::weighted_sample_per_group``. Because the
+    Efraimidis–Spirakis A-Res key derives from each row's id hash
+    (``sampling.ares_key`` — never ``rand()``), the per-group top-n cut
+    is a pure function of the input SET, so the cross-tick fold is an
+    EXACT merge: ``topn(A ∪ B) == topn(topn(A) ∪ topn(B))``, and after
+    any number of ticks the stored state equals the batch draw over the
+    whole ledger row-for-row (pytest-pinned) — the reservoir never
+    drifts with micro-batch boundaries. The sketch-layer device
+    (quantile sketch: hash levels; here: hash reservoir keys) applied
+    to sampling.
+
+    State per group is exactly ≤ n rows ``(group, id, weight, __akey)``;
+    a tick keys its increment in-row, unions it with the touched
+    buckets' stored rows, and re-takes the per-group top-n — per-tick
+    cost O(increment + touched state), the corpus is never re-read.
+    Retractions are NOT supported (a removed row's reservoir slot
+    cannot be refilled without history); feed the live/append stream.
+    Current sample = :func:`read_maintained_state`.
+    """
+    from kamu_engine_datafusion_spark.operators.sampling import ares_key
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, batch_df):
+        w = F.col(weight_col).cast("double")
+        inc = (
+            batch_df.filter(w > 0)
+            .select(
+                F.col(group_col),
+                F.col(key_col),
+                F.col(weight_col),
+                ares_key(key_col, weight_col, salt, hash_fn).alias(
+                    "__akey"
+                ),
+            )
+        )
+        if state_subset is not None:
+            inc = inc.unionByName(state_subset)
+        from pyspark.sql import Window
+
+        rank_w = Window.partitionBy(group_col).orderBy(
+            F.col("__akey").desc(), F.col(key_col)
+        )
+        return (
+            inc.withColumn("__rn", F.row_number().over(rank_w))
+            .filter(F.col("__rn") <= n)
+            .drop("__rn")
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df, batch_id, state_dir, [group_col], state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_components(
     ledger_dir: str,
     state_dir: str,

@@ -1348,3 +1348,70 @@ def test_maintained_components_node_index_desync_rebuilds(spark, tmp_path):
         ).collect()
     }
     assert idx == got
+
+
+def test_maintained_weighted_sample_equals_batch_draw(spark, tmp_path):
+    """The per-group weighted sample folded across 3 ticks must equal
+    the batch weighted_sample_per_group over the whole ledger
+    row-for-row — the A-Res key is a pure function of the row id, so
+    the cross-tick top-n fold is an exact merge (reservoir never
+    drifts with micro-batch boundaries)."""
+    import random
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_weighted_sample,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "wsledger")
+    state_dir = os.path.join(str(tmp_path), "wsstate")
+    ck = os.path.join(str(tmp_path), "wsck")
+    os.makedirs(ledger_dir)
+    schema = "grp string, doc_id long, w long"
+    rng = random.Random(5)
+    rows_all = []
+
+    def tick(n0, n1):
+        rows = [
+            (rng.choice(["a", "b", "c"]), i, rng.randint(0, 50))
+            for i in range(n0, n1)  # w=0 rows: excluded on both paths
+        ]
+        rows_all.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_weighted_sample(
+            ledger_dir, state_dir, ck, "w", "grp", n=20,
+            key_col="doc_id",
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    for bounds in [(0, 300), (300, 700), (700, 1200)]:
+        tick(*bounds)
+        got = sorted(
+            (r["grp"], r["doc_id"], r["w"])
+            for r in read_maintained_state(spark, state_dir)
+            .select("grp", "doc_id", "w")
+            .collect()
+        )
+        want = sorted(
+            (r["grp"], r["doc_id"], r["w"])
+            for r in weighted_sample_per_group(
+                spark.createDataFrame(rows_all, schema),
+                "w", "grp", n=20, key_col="doc_id", hash_fn="poly",
+            ).collect()
+        )
+        assert got == want
+        # the state is EXACTLY <= n rows per group
+        sizes = {
+            r["grp"]: r["c"]
+            for r in read_maintained_state(spark, state_dir)
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .collect()
+        }
+        assert all(c <= 20 for c in sizes.values())
