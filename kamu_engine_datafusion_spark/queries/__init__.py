@@ -57,6 +57,8 @@ _PRIORITY_R11 = [
     "xquality_classifier",  # NULL-text label coalesce (advice fix)
     "xdedup_simhash",  # pigeonhole/verify tail extracted (rows-only)
     "xdedup_simhash_sql",  # same refactor, hash-verified twin
+    "xsample_weighted",  # ares_key helper extracted (shared w/ streaming)
+    "xsample_weighted_group",  # same refactor
     # -- the r06-stale block (oldest greens; retire in ≤2 rounds) --
     "xvocab_oov",
     "xscd2",
@@ -94,12 +96,13 @@ _PRIORITY_R11 = [
     "b41_json",
     "xasof_join",
     "xdecontaminate",
+    # ---- window boundary (~50: 9 new + 5 changed + the head of the
+    # 43-key r06-stale block. The r06 tail just below the cut
+    # (xdedup_exact xdedup_paragraph xmm_features xmm_frames xpivot
+    # xrollup_time xsessionize) rotates to the r12 head — the block
+    # retires fully next round.) ----
     "xdedup_exact",
     "xdedup_paragraph",
-    # ---- window boundary (~50: 9 new + 3 changed + the head of the
-    # 43-key r06-stale block. The r06 tail just below the cut
-    # (xmm_features xmm_frames xpivot xrollup_time xsessionize) rotates
-    # to the r12 head — the block retires fully next round.) ----
     "xmm_features",
     "xmm_frames",
     "xpivot",
