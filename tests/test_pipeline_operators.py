@@ -693,3 +693,44 @@ def test_phash_near_dups_recall_on_perturbed_corpus(spark):
     assert expected <= got
     with pytest.raises(ValueError, match="pigeonhole"):
         D.phash_near_dups(media, max_hamming=4, num_blocks=4)
+
+
+from hypothesis import HealthCheck, given, settings as _hsettings  # noqa: E402
+from hypothesis import strategies as _hst  # noqa: E402
+
+
+@_hsettings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    fps=_hst.lists(
+        _hst.integers(min_value=0, max_value=(1 << 64) - 1),
+        min_size=2,
+        max_size=40,
+    ),
+    num_blocks=_hst.integers(min_value=2, max_value=8),
+)
+def test_phash_near_dups_recall_property(spark, fps, num_blocks):
+    """Pigeonhole recall law for ANY 64-bit fingerprints and ANY block
+    count: the blocked pair set at max_hamming = num_blocks-1 equals
+    the brute-force all-pairs scan — no pair within the radius can
+    straddle every chunk."""
+    max_h = num_blocks - 1
+    rows = [(i, format(fp, "016x")) for i, fp in enumerate(fps)]
+    media = spark.createDataFrame(rows, ["media_id", "phash"])
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.phash_near_dups(
+            media, max_hamming=max_h, num_blocks=num_blocks
+        ).collect()
+    }
+    vals = {mid: int(h, 16) for mid, h in rows}
+    brute = {
+        (a, b, bin(vals[a] ^ vals[b]).count("1"))
+        for a in vals
+        for b in vals
+        if a < b and bin(vals[a] ^ vals[b]).count("1") <= max_h
+    }
+    assert got == brute

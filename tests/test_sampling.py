@@ -862,3 +862,57 @@ def test_pack_layout_and_ffd_eager_guard(spark):
         max_group_rows=1000, eager_guard=True,
     )
     assert ok.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): the A-Res fold is an exact merge for
+# ANY weights, ANY n, ANY split — the invariant maintained_weighted_
+# sample and every distributed partial depend on
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings as _hsettings  # noqa: E402
+from hypothesis import strategies as _st  # noqa: E402
+
+
+@_hsettings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ws=_st.lists(
+        _st.integers(min_value=0, max_value=500), min_size=1, max_size=80
+    ),
+    n=_st.integers(min_value=1, max_value=20),
+    cut=_st.integers(min_value=0, max_value=79),
+)
+def test_weighted_sample_topn_merge_exact_any_corpus(spark, ws, n, cut):
+    """topn(A ∪ B) == topn(topn(A) ∪ topn(B)) row-for-row for any
+    weights (incl. zero-weight exclusions), any n, any split point —
+    the reservoir is a pure function of the input set because the
+    A-Res key derives from the row id hash."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    rows = [("g", i, w) for i, w in enumerate(ws)]
+    cut = min(cut, len(rows))
+    schema = "grp string, doc_id long, w long"
+
+    def draw(rs):
+        if not rs:
+            return []
+        return weighted_sample_per_group(
+            spark.createDataFrame(rs, schema),
+            "w", "grp", n=n, key_col="doc_id", hash_fn="poly",
+        ).collect()
+
+    full = sorted(tuple(r) for r in draw(rows))
+    part_union = [tuple(r) for r in draw(rows[:cut])] + [
+        tuple(r) for r in draw(rows[cut:])
+    ]
+    refold = sorted(
+        tuple(r)
+        for r in draw([(g, i, w) for g, i, w in part_union])
+    )
+    assert refold == full
