@@ -691,6 +691,77 @@ def main() -> None:
         lambda: bloom_flag_contaminated(corp_slice, bench_slice).count(),
     )
 
+    # -- maintained-state flatness (r11): per-tick fold cost must be
+    # bounded by increment + touched buckets, flat in TOTAL state.
+    # Each scenario builds state at 1x and 10x and times the SECOND
+    # tick only; the two numbers printing ~equal IS the result.
+    import shutil
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_components,
+        maintained_weighted_sample,
+        read_maintained_state,
+    )
+
+    def _cc_tick_cost(n_nodes: int) -> float:
+        base = f"{args.data_dir}/__cc_{n_nodes}"
+        shutil.rmtree(base, ignore_errors=True)
+        ledger, state, ck = f"{base}/l", f"{base}/s", f"{base}/c"
+        os.makedirs(ledger)
+        spark.range(n_nodes).selectExpr(
+            "id as id_a", "(id - id % 10) as id_b"
+        ).write.mode("append").parquet(ledger)
+        sch = spark.read.parquet(ledger).schema
+        maintained_components(
+            ledger, state, ck, schema=sch, spark=spark
+        ).awaitTermination()
+        spark.range(10_000).selectExpr(
+            "id * 20 as id_a", "id * 20 + 10 as id_b"
+        ).write.mode("append").parquet(ledger)
+        t0 = time.time()
+        maintained_components(
+            ledger, state, ck, schema=sch, spark=spark
+        ).awaitTermination()
+        dt = time.time() - t0
+        assert read_maintained_state(spark, state).count() >= n_nodes
+        return dt
+
+    def _ws_tick_cost(inc_rows: int) -> float:
+        base = f"{args.data_dir}/__ws_{inc_rows}"
+        shutil.rmtree(base, ignore_errors=True)
+        ledger, state, ck = f"{base}/l", f"{base}/s", f"{base}/c"
+        os.makedirs(ledger)
+
+        def tick(lo, hi):
+            spark.range(lo, hi).selectExpr(
+                "concat('g', id % 1000) as grp", "id as doc_id",
+                "1 + id % 97 as w",
+            ).write.mode("append").parquet(ledger)
+            sch = spark.read.parquet(ledger).schema
+            t0 = time.time()
+            maintained_weighted_sample(
+                ledger, state, ck, "w", "grp", n=100, key_col="doc_id",
+                hash_fn="xxhash64", schema=sch, spark=spark,
+            ).awaitTermination()
+            return time.time() - t0
+
+        tick(0, inc_rows)
+        return tick(inc_rows, 2 * inc_rows)
+
+    if not args.only or "maintained" in args.only:
+        for nn in (100_000, 1_000_000):
+            print(
+                f"maintained_components_tick_state{nn}: "
+                f"{_cc_tick_cost(nn):.2f}s",
+                flush=True,
+            )
+        for inc in (100_000, 1_000_000):
+            print(
+                f"maintained_wsample_tick_inc{inc}: "
+                f"{_ws_tick_cost(inc):.2f}s",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()
