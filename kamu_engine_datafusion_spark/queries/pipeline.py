@@ -6053,7 +6053,7 @@ ORACLES["xsource_tvd"] = (
 ORACLES["xcentroid_shift"] = (
     "WITH e AS (SELECT CAST(label AS BIGINT) AS grp, vec_id, "
     "list_transform(CAST(embedding AS DOUBLE[]), "
-    "x -> CAST(floor(x * 10000.0 + 0.5) AS BIGINT)) AS qv "
+    "x -> CAST(floor(x * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) AS qv "
     "FROM embeddings), "
     "x AS (SELECT grp, vec_id, unnest(qv) AS v, "
     "generate_subscripts(qv, 1) AS j FROM e), "
