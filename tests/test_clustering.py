@@ -501,3 +501,84 @@ def test_cc_increment_any_graph_any_tick_split(spark, edges, n_ticks):
         spark.createDataFrame(edges, "id_a long, id_b long")
     )
     assert _cc_dict(state) == _cc_dict(want)
+
+
+def test_top_principal_component_matches_numpy(spark):
+    """The fixed-point L∞ power iteration must find the same top
+    direction as numpy's exact eigendecomposition (cosine > 0.99 after
+    sign alignment) on a corpus with a planted dominant direction, and
+    the Rayleigh variance share must match the eigenvalue ratio."""
+    import numpy as np
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        top_principal_component,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 16
+    direction = rng.normal(size=d)
+    direction /= np.linalg.norm(direction)
+    # 400 points: strong variance along `direction`, weak isotropic noise
+    coords = rng.normal(scale=3.0, size=400)
+    pts = np.outer(coords, direction) + rng.normal(scale=0.3, size=(400, d))
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = top_principal_component(
+        df, "vec_id", "embedding", dim=d, iters=10
+    )
+    got = {r["j"]: r["v"] for r in out.collect()}
+    v = np.array([got[j] for j in range(d)], dtype=float)
+    centered = pts - pts.mean(axis=0)
+    evals, evecs = np.linalg.eigh(centered.T @ centered)
+    top = evecs[:, -1]
+    cos = abs(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top))
+    assert cos > 0.99, cos
+    share = out.first()["var_share"]
+    want_share = evals[-1] / evals.sum()
+    assert abs(share - want_share) < 0.02, (share, want_share)
+    # sign pin: first nonzero component positive
+    first_nonzero = next(got[j] for j in range(d) if got[j] != 0)
+    assert first_nonzero > 0
+
+
+def test_top_principal_component_deterministic_and_guarded(spark):
+    import numpy as np
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        top_principal_component,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = sorted(
+        tuple(r)
+        for r in top_principal_component(
+            df, "vec_id", "embedding", dim=8
+        ).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in top_principal_component(
+            df.repartition(7), "vec_id", "embedding", dim=8
+        ).collect()
+    )
+    assert a == b  # partition-independent: exact integer trajectory
+    # the overflow bound raises loudly with guidance, not mid-sum ANSI
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="weighted_sample"):
+        top_principal_component(
+            df, "vec_id", "embedding", dim=8, scale=10_000_000,
+            v_scale=10_000_000,
+        )
+    # empty input: empty frame, stable schema
+    empty = top_principal_component(
+        df.filter(F.col("vec_id") < 0), "vec_id", "embedding", dim=8
+    )
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "j", "v", "n_rows", "var_share",
+    ]
