@@ -114,3 +114,151 @@ def test_increment_pairs_feed_component_state(spark):
     # the transitive cluster really formed: 1, 10, 20 share root 1
     assert got[1] == got[10] == got[20] == 1
     assert got[2] == got[21] == 2
+
+
+def test_incremental_curation_chain_end_to_end(spark):
+    """The whole incremental-curation story composed across 3 ingest
+    ticks, every stage maintained as state and never re-reading
+    history — then every piece of end state checked against its batch
+    twin over the full history:
+
+      tick ──> index dedup (emit_pairs) ──> survivors
+                 │                            ├─> quantile-sketch fold
+                 └─> component-state fold     ├─> winsorize vs PRIOR
+                                              │   tick's sketch state
+                                              └─> weighted-sample fold
+
+    Asserts: component state ≡ from-scratch closure of all pairs;
+    sketch state ≡ batch sketch of all survivor lengths; sample state
+    ≡ batch per-group draw over all survivors; and the increment
+    winsorize clamps-never-drops even for groups unseen by the prior
+    sketch state."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        cc_increment,
+        connected_components,
+    )
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_increment_against_index,
+        minhash_index,
+    )
+    from kamu_engine_datafusion_spark.operators.profile import (
+        winsorize_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    import random
+
+    rng = random.Random(23)
+    words = [f"tok{i}" for i in range(30)]
+
+    def doc(i, dup_of=None):
+        if dup_of is not None:
+            base = list(dup_of.split())
+            base[-1] = rng.choice(words)  # near-dup: one word changed
+            return (i, " ".join(base))
+        return (i, " ".join(rng.choice(words) for _ in range(12)))
+
+    schema = "doc_id long, text string"
+    base_rows = [doc(i) for i in range(10)]
+    ticks, prev = [], base_rows
+    nid = 100
+    for _ in range(3):
+        rows = []
+        for _ in range(6):
+            rows.append(doc(nid)); nid += 1
+        # plant near-dups of earlier docs (cross-tick clusters)
+        rows.append(doc(nid, dup_of=prev[0][1])); nid += 1
+        rows.append(doc(nid, dup_of=base_rows[1][1])); nid += 1
+        ticks.append(rows); prev = rows
+
+    index = minhash_index(
+        spark.createDataFrame(base_rows, schema), base_hash="poly"
+    )
+    comp_state, sketch_state, sample_state = None, None, None
+    all_pairs, all_survivors = [], []
+    for rows in ticks:
+        inc = spark.createDataFrame(rows, schema)
+        surv, new_rows, pairs = dedup_increment_against_index(
+            inc, index, threshold=0.5, base_hash="poly", emit_pairs=True
+        )
+        surv = surv.select(
+            "doc_id", "text",
+            (F.col("doc_id") % 2).cast("string").alias("grp"),
+            F.length("text").cast("long").alias("len"),
+        ).localCheckpoint(eager=True)
+        # winsorize THIS tick's survivors against the PRIOR sketch
+        # state (the real increment ordering): rows always survive
+        if sketch_state is not None:
+            wz = winsorize_from_sketch(
+                surv, sketch_state, "len", ["grp"], "doc_id"
+            )
+            assert wz.count() == surv.count()  # clamped, never dropped
+        # fold every maintained state forward
+        all_pairs += [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+        all_survivors += [tuple(r) for r in surv.collect()]
+        comp_state = cc_increment(comp_state, pairs).localCheckpoint(
+            eager=True
+        )
+        tick_sketch = quantile_sketch(surv, ["grp"], "doc_id", "len", k=16)
+        sketch_state = (
+            tick_sketch
+            if sketch_state is None
+            else quantile_sketch_merge([sketch_state, tick_sketch], ["grp"], 16)
+        ).localCheckpoint(eager=True)
+        tick_sample = weighted_sample_per_group(
+            surv.select("grp", "doc_id", "len"), "len", "grp", n=5,
+            key_col="doc_id", hash_fn="poly",
+        ).localCheckpoint(eager=True)
+        sample_state = (
+            tick_sample
+            if sample_state is None
+            else weighted_sample_per_group(
+                sample_state.unionByName(tick_sample), "len", "grp", n=5,
+                key_col="doc_id", hash_fn="poly",
+            )
+        ).localCheckpoint(eager=True)
+        index = index.unionByName(new_rows).localCheckpoint(eager=True)
+
+    surv_schema = "doc_id long, text string, grp string, len long"
+    full_surv = spark.createDataFrame(all_survivors, surv_schema)
+    # 1. component state ≡ from-scratch closure of every pair emitted
+    assert len(all_pairs) > 0, "fixture produced no near-dup pairs"
+    got_cc = {r["node"]: r["component"] for r in comp_state.collect()}
+    want_cc = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(all_pairs, "id_a long, id_b long")
+        ).collect()
+    }
+    assert got_cc == want_cc
+    # 2. sketch state ≡ batch sketch of all survivor lengths
+    a = sorted(
+        tuple(r[c] for c in sorted(sketch_state.columns))
+        for r in sketch_state.collect()
+    )
+    full_sketch = quantile_sketch(full_surv, ["grp"], "doc_id", "len", k=16)
+    b = sorted(
+        tuple(r[c] for c in sorted(full_sketch.columns))
+        for r in full_sketch.collect()
+    )
+    assert a == b and len(a) > 0
+    # 3. sample state ≡ batch draw over all survivors
+    got_s = sorted(
+        (r["grp"], r["doc_id"], r["len"]) for r in sample_state.collect()
+    )
+    want_s = sorted(
+        (r["grp"], r["doc_id"], r["len"])
+        for r in weighted_sample_per_group(
+            full_surv.select("grp", "doc_id", "len"), "len", "grp", n=5,
+            key_col="doc_id", hash_fn="poly",
+        ).collect()
+    )
+    assert got_s == want_s and len(got_s) > 0
