@@ -1718,3 +1718,114 @@ def minhash_lsh_report(
         h.unpersist(blocking=True)
     _DEFERRED.append(rep)
     return rep
+
+
+def phash_index(
+    media: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+) -> DataFrame:
+    """Build the persistable pHash index: one row per (pigeonhole
+    chunk, image), carrying the full 64-bit fingerprint for exact
+    Hamming verification — the image twin of :func:`minhash_index`
+    (same continuous-ingestion contract: write with
+    ``df.write.parquet(path)``, partition by ``__block`` if
+    block-aligned files matter; ~8+ bytes per image per chunk, a
+    vanishing shadow of the blobs themselves).
+    """
+    hi = F.conv(F.substring(phash_col, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(phash_col, 9, 8), 16, 10).cast("long")
+    fps = media.select(
+        F.col(id_col).alias("media_id"),
+        F.shiftleft(hi, 32).bitwiseOR(lo).alias("fp"),
+    )
+    chunks = _pigeonhole_chunks(64, max_hamming, num_blocks, fp_col="fp")
+    return fps.withColumn("__block", F.explode(F.array(*chunks)))
+
+
+def phash_increment_against_index(
+    new_media: DataFrame,
+    index: DataFrame,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    emit_pairs: bool = False,
+) -> tuple[DataFrame, ...]:
+    """Dedup an IMAGE increment against a persisted pHash index and
+    within itself — the multimodal leg of the continuous-ingestion
+    dedup path (:func:`dedup_increment_against_index` for text): blobs
+    are never re-decoded; matching is pigeonhole block join + exact
+    64-bit Hamming ≤ ``max_hamming`` (recall GUARANTEED for
+    ``max_hamming <= num_blocks - 1``), survivor policy is
+    lower-id-wins within the increment, any-index-match-dies against
+    the index.
+
+    Returns ``(survivors, new_index_rows)`` — or with
+    ``emit_pairs=True`` also the verified near-dup EDGES (indexed-vs-
+    new and new-vs-new), the feed for the persisted component state
+    exactly like the text path.
+
+    Scale: one block-key join of the (small) increment's chunk rows
+    against the index — stored partitioned by ``__block``, only
+    matching partitions are read; the increment's internal dedup
+    reuses the same chunk rows.
+    """
+    _release_deferred()
+    inc = phash_index(
+        new_media, id_col, phash_col, max_hamming, num_blocks
+    ).persist()
+    inc.count()  # populate before the join legs fan out
+    _DEFERRED.append(inc)
+
+    vs_index_pairs = (
+        inc.alias("n")
+        .join(index.alias("i"), F.col("n.__block") == F.col("i.__block"))
+        .select(
+            F.col("i.media_id").alias("id_a"),
+            F.col("n.media_id").alias("id_b"),
+            hamming64(F.col("n.fp"), F.col("i.fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a, b = inc.alias("a"), inc.alias("b")
+    within_pairs = (
+        a.join(
+            b,
+            (F.col("a.__block") == F.col("b.__block"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming64(F.col("a.fp"), F.col("b.fp")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    dead = (
+        vs_index_pairs.select(F.col("id_b").alias("media_id"))
+        .unionByName(within_pairs.select(F.col("id_b").alias("media_id")))
+        .distinct()
+        .persist()
+    )
+    dead.count()  # populate before survivors + new_index_rows fan out
+    _DEFERRED.append(dead)
+    survivors = new_media.join(
+        dead.withColumnRenamed("media_id", id_col), id_col, "left_anti"
+    )
+    new_index_rows = inc.join(dead, "media_id", "left_anti").select(
+        "media_id", "fp", "__block"
+    )
+    if emit_pairs:
+        return (
+            survivors,
+            new_index_rows,
+            vs_index_pairs.unionByName(within_pairs).distinct(),
+        )
+    return survivors, new_index_rows

@@ -262,3 +262,49 @@ def test_incremental_curation_chain_end_to_end(spark):
         ).collect()
     )
     assert got_s == want_s and len(got_s) > 0
+
+
+def test_phash_increment_against_index(spark):
+    """The image leg of the continuous-ingestion dedup path: an
+    increment's pHashes probe the persisted chunk index (any match
+    dies), dedup within itself lower-id-wins, survivors' chunk rows
+    extend the index so the NEXT identical increment is fully dead —
+    and the emitted pairs feed component state like the text path."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        phash_increment_against_index,
+        phash_index,
+    )
+
+    def hx(v):
+        return format(v, "016x")
+
+    base = [(1, hx(0xDEADBEEF12345678)), (2, hx(0x0123456789ABCDEF))]
+    index = phash_index(spark.createDataFrame(base, ["media_id", "phash"]))
+    inc = [
+        # Hamming 2 from indexed image 1 -> dies vs index
+        (10, hx(0xDEADBEEF12345678 ^ (1 << 3) ^ (1 << 40))),
+        # novel -> survives (random far fingerprint)
+        (11, hx(0x5555AAAA33337777)),
+        # two copies of each other (Hamming 1) -> lower id survives
+        (12, hx(0x1111222233334444)),
+        (13, hx(0x1111222233334444 ^ (1 << 63))),  # sign-bit corner
+    ]
+    survivors, new_rows, pairs = phash_increment_against_index(
+        spark.createDataFrame(inc, ["media_id", "phash"]),
+        index,
+        emit_pairs=True,
+    )
+    assert sorted(r["media_id"] for r in survivors.collect()) == [11, 12]
+    got_pairs = sorted(
+        (r["id_a"], r["id_b"]) for r in pairs.collect()
+    )
+    assert got_pairs == [(1, 10), (12, 13)]
+    # self-extending index: re-sending the increment kills everything
+    index2 = index.unionByName(new_rows)
+    survivors2, _ = phash_increment_against_index(
+        spark.createDataFrame(
+            [(20, inc[1][1]), (21, inc[2][1])], ["media_id", "phash"]
+        ),
+        index2,
+    )
+    assert survivors2.count() == 0
