@@ -1256,6 +1256,104 @@ def maintained_components(
     )
 
 
+def maintained_phash_index(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    id_col: str = "media_id",
+    phash_col: str = "phash",
+    max_hamming: int = 3,
+    num_blocks: int = 4,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained pHash DEDUP INDEX over an image stream —
+    the multimodal twin of the text path's persisted MinHash index,
+    with the exactly-once bucketed protocol: each tick's images probe
+    the stored chunk rows (any Hamming-≤-``max_hamming`` match against
+    an already-indexed image means duplicate → not indexed), dedup
+    within the tick lower-id-wins, and ONLY the survivors' chunk rows
+    enter the state. The index is therefore always a survivor set:
+    replaying a tick cannot double-register an image (marker skip), and
+    re-sent duplicates die against their earlier copy.
+
+    The key property making this a BUCKETED fold: the state subset a
+    tick must consult — every stored row sharing a chunk key with the
+    increment — lives exactly in the buckets the increment's OWN chunk
+    rows hash to, so ``_fold_buckets``' touched-bucket read IS the
+    probe: per-tick cost O(increment + matching buckets), never the
+    full index. State rows: ``(media_id, fp, __block)`` hive-bucketed
+    by the chunk struct. Retractions unsupported (an un-indexed
+    duplicate's rows were never stored); live index =
+    :func:`read_maintained_state`, probe it batch-side with
+    ``operators/dedup.py::phash_increment_against_index``.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import hamming64
+    from kamu_engine_datafusion_spark.operators.dedup import phash_index
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_chunks):
+        vs_index = (
+            inc_chunks.alias("n")
+            .join(
+                state_subset.alias("i"),
+                F.col("n.__block") == F.col("i.__block"),
+            )
+            .select(
+                F.col("n.media_id").alias("media_id"),
+                hamming64(F.col("n.fp"), F.col("i.fp")).alias("__h"),
+            )
+            .filter(F.col("__h") <= max_hamming)
+            .select("media_id")
+            .distinct()
+            if state_subset is not None
+            else None
+        )
+        a, b = inc_chunks.alias("a"), inc_chunks.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.__block") == F.col("b.__block"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("b.media_id").alias("media_id"),
+                hamming64(F.col("a.fp"), F.col("b.fp")).alias("__h"),
+            )
+            .filter(F.col("__h") <= max_hamming)
+            .select("media_id")
+            .distinct()
+        )
+        dead = within if vs_index is None else vs_index.unionByName(within)
+        new_rows = inc_chunks.join(dead.distinct(), "media_id", "left_anti")
+        if state_subset is None:
+            return new_rows
+        return state_subset.unionByName(new_rows)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        inc_chunks = phash_index(
+            batch_df, id_col, phash_col, max_hamming, num_blocks
+        )
+        _fold_buckets(
+            inc_chunks, batch_id, state_dir, ["__block"], state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_bloom(
     ledger_dir: str,
     state_dir: str,

@@ -1415,3 +1415,61 @@ def test_maintained_weighted_sample_equals_batch_draw(spark, tmp_path):
             .collect()
         }
         assert all(c <= 20 for c in sizes.values())
+
+
+def test_maintained_phash_index_dedups_across_ticks(spark, tmp_path):
+    """The maintained image-dedup index: only survivors' chunk rows
+    enter state; duplicates die against EARLIER ticks' survivors (the
+    chunk-bucketed fold's touched buckets are exactly the probe set);
+    the final index equals the batch increment path run tick by tick."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_phash_index,
+        read_maintained_state,
+    )
+
+    def hx(v):
+        return format(v, "016x")
+
+    ledger_dir = os.path.join(str(tmp_path), "pledger")
+    state_dir = os.path.join(str(tmp_path), "pstate")
+    ck = os.path.join(str(tmp_path), "pck")
+    os.makedirs(ledger_dir)
+    schema = "media_id long, phash string"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_phash_index(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    base_fp = 0xDEADBEEF12345678
+    tick([(1, hx(base_fp)), (2, hx(0x0123456789ABCDEF))])
+    tick([
+        # Hamming 2 from tick-1's image 1 -> must NOT be indexed
+        (10, hx(base_fp ^ (1 << 5) ^ (1 << 50))),
+        # novel -> indexed (incl. the bit-63 signed corner)
+        (11, hx(0x8000111122223333)),
+        # within-tick pair: lower id wins
+        (12, hx(0x4444555566667777)),
+        (13, hx(0x4444555566667777 ^ (1 << 0))),
+    ])
+    indexed = sorted(
+        set(
+            r["media_id"]
+            for r in read_maintained_state(spark, state_dir).collect()
+        )
+    )
+    assert indexed == [1, 2, 11, 12]
+    # a replayed duplicate of an indexed survivor still dies
+    tick([(20, hx(base_fp ^ (1 << 9)))])
+    indexed2 = sorted(
+        set(
+            r["media_id"]
+            for r in read_maintained_state(spark, state_dir).collect()
+        )
+    )
+    assert indexed2 == [1, 2, 11, 12]
