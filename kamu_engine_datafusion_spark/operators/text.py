@@ -1208,3 +1208,154 @@ def source_token_tvd(
             dp,
         ).alias("tvd"),
     )
+
+
+def stupid_backoff_score(
+    df: DataFrame,
+    reference: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Per-document average trigram STUPID BACKOFF log-score against a
+    REFERENCE corpus — the counts-only LM scoring scheme built for the
+    web-corpus regime (Brants et al. 2007, "Large Language Models in
+    Machine Translation"): no discounting, no normalization constants,
+    just relative frequencies with a fixed backoff penalty —
+
+        S(w3 | w1 w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) > 0
+                      = α · c(w2w3)/c(w2)            elif c(w2w3) > 0
+                      = α² · (c(w3)+1)/(N+V)         otherwise
+
+    with ``α = alpha_num/alpha_den`` (0.4 in the paper) and counts from
+    ``reference`` (e.g. the curated/target-domain slice — the CCNet
+    perplexity-filter shape: score crawl text by how target-like it
+    reads). The last line add-one-floors the unigram so OOV words get a
+    finite score instead of ``ln 0`` (documented extension; Brants
+    leaves unseen unigrams undefined). ``reference=None`` scores the
+    corpus against itself — then every trigram is attested and only the
+    first branch fires (useful as a boilerplate/repetition signal, not
+    a novelty one).
+
+    Returns ``(id, n_trigrams, avg_logscore)`` — ``avg_logscore`` null
+    for docs with < 3 tokens, half-up ``dp``. The backoff CASE compares
+    exact BIGINT counts; the only float math is the final ``ln`` and
+    the average.
+
+    Scale: the three reference count tables partial-aggregate before
+    their exchanges (vocab-/bigram-/trigram-sized, never corpus-sized);
+    the scored position stream joins them on uniformly-hashed Zipf
+    keys; position extraction is in-row slice+zip — no window, no
+    self-join.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    ref = reference if reference is not None else df
+
+    def _toked(frame):
+        return frame.select(tokens(text_col).alias("__tok"))
+
+    def _ngrams(frame, n, keep_id=False):
+        t = (
+            frame.select(
+                F.col(id_col).alias("__id"), tokens(text_col).alias("__tok")
+            )
+            if keep_id
+            else frame.select(tokens(text_col).alias("__tok"))
+        )
+        sz = F.size("__tok")
+        arr = F.when(
+            sz >= n,
+            F.arrays_zip(
+                *[F.slice("__tok", i + 1, sz - (n - 1)) for i in range(n)]
+            ),
+        ).otherwise(F.array())
+        cols = [F.col("__g").getField(str(i)).alias(f"w{i+1}") for i in range(n)]
+        base = t.select(
+            *(["__id"] if keep_id else []), F.explode(arr).alias("__g")
+        )
+        return base.select(*(["__id"] if keep_id else []), *cols)
+
+    uni = _ngrams(ref, 1).groupBy("w1").agg(
+        F.count(F.lit(1)).cast("long").alias("c1")
+    )
+    big = _ngrams(ref, 2).groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    tri = _ngrams(ref, 3).groupBy("w1", "w2", "w3").agg(
+        F.count(F.lit(1)).cast("long").alias("c3")
+    )
+    nv = uni.agg(
+        F.sum("c1").cast("long").alias("N"),
+        F.count(F.lit(1)).cast("long").alias("V"),
+    )
+    pos = _ngrams(df, 3, keep_id=True)
+    alpha = float(alpha_num) / float(alpha_den)
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            big.select(
+                F.col("w1"), F.col("w2"), F.col("c2").alias("c12")
+            ),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("c2").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w2"), F.col("c1").alias("cw2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w3"), F.col("c1").alias("cw3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "__id",
+            F.when(
+                F.coalesce(F.col("c3"), F.lit(0)) > 0,
+                F.log(F.col("c3").cast("double") / F.col("c12")),
+            )
+            .when(
+                F.coalesce(F.col("c23"), F.lit(0)) > 0,
+                F.log(
+                    F.lit(alpha) * F.col("c23").cast("double")
+                    / F.col("cw2")
+                ),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(alpha * alpha)
+                    * (F.coalesce(F.col("cw3"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("N") + F.col("V"))
+                )
+            )
+            .alias("__ls"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        half_up(F.sum("__ls") / F.count(F.lit(1)), dp).alias(
+            "avg_logscore"
+        ),
+    )
+    return df.select(F.col(id_col)).join(
+        per_doc, df[id_col] == per_doc["__id"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        "avg_logscore",
+    )

@@ -75,3 +75,64 @@ def test_bigram_lm_plan_has_no_window(spark):
         bigram_lm_score(df)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Window" not in plan
+
+
+def test_stupid_backoff_exact_reference(spark):
+    """Hand-replayable fixture: every branch of the backoff CASE fires
+    — attested trigram, backed-off bigram, backed-off (seen and OOV)
+    unigram — and the scores match an exact python reference."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.text import (
+        stupid_backoff_score,
+    )
+
+    ref_rows = [
+        (100, "a b c a b c a b d"),
+        (101, "c a b x y"),
+    ]
+    tgt_rows = [
+        (1, "a b c"),      # attested trigram
+        (2, "b c x"),      # trigram unseen, bigram c x unseen, x seen
+        (3, "a b zzz"),    # zzz OOV -> add-one unigram floor
+        (4, "b d x"),      # trigram unseen, bigram d x unseen, x seen
+        (5, "hi"),         # < 3 tokens: no trigrams, null score
+    ]
+    ref = spark.createDataFrame(ref_rows, ["doc_id", "text"])
+    tgt = spark.createDataFrame(tgt_rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_trigrams"], r["avg_logscore"])
+        for r in stupid_backoff_score(tgt, ref).collect()
+    }
+
+    # python reference over the same counts
+    ref_toks = [t.split() for _, t in ref_rows]
+    c1, c2, c3 = {}, {}, {}
+    for ts in ref_toks:
+        for w in ts:
+            c1[w] = c1.get(w, 0) + 1
+        for i in range(len(ts) - 1):
+            c2[(ts[i], ts[i + 1])] = c2.get((ts[i], ts[i + 1]), 0) + 1
+        for i in range(len(ts) - 2):
+            k = (ts[i], ts[i + 1], ts[i + 2])
+            c3[k] = c3.get(k, 0) + 1
+    N, V, a = sum(c1.values()), len(c1), 0.4
+
+    def score(w1, w2, w3):
+        if c3.get((w1, w2, w3), 0) > 0:
+            return math.log(c3[(w1, w2, w3)] / c2[(w1, w2)])
+        if c2.get((w2, w3), 0) > 0:
+            return math.log(a * c2[(w2, w3)] / c1[w2])
+        return math.log(a * a * (c1.get(w3, 0) + 1) / (N + V))
+
+    def hu(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    for doc_id, text in tgt_rows[:4]:
+        ts = text.split()
+        want = [score(ts[i], ts[i + 1], ts[i + 2]) for i in range(len(ts) - 2)]
+        assert got[doc_id][0] == len(want)
+        assert got[doc_id][1] == hu(sum(want) / len(want)), doc_id
+    assert got[5] == (0, None)
+    # ordering sanity: the attested trigram outscores the OOV path
+    assert got[1][1] > got[3][1]
