@@ -136,3 +136,46 @@ def test_stupid_backoff_exact_reference(spark):
     assert got[5] == (0, None)
     # ordering sanity: the attested trigram outscores the OOV path
     assert got[1][1] > got[3][1]
+
+
+def test_distinctive_tokens_finds_planted_vocabulary(spark):
+    """Fightin'-Words log-odds: each source's planted marker words must
+    top its list; shared filler must not; a z-score computed by an
+    exact python replay of the same formula must match half-up 6dp."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.text import (
+        distinctive_tokens,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append((i, "srcA", "common words here plus alpha alpha"))
+    for i in range(40, 80):
+        rows.append((i, "srcB", "common words here plus beta beta"))
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    out = distinctive_tokens(df, "source", "text", top_k=3)
+    got = {
+        (r["grp"], r["token"]): (r["n_in"], r["n_rest"], r["zeta"])
+        for r in out.collect()
+    }
+    top_a = [t for (g, t) in got if g == "srcA"]
+    top_b = [t for (g, t) in got if g == "srcB"]
+    assert "alpha" in top_a and "beta" not in top_a
+    assert "beta" in top_b and "alpha" not in top_b
+
+    # exact replay of zeta for ('srcA', 'alpha'), counts derived from
+    # the fixture rows
+    toks = [(s, w) for _, s, t in rows for w in t.split()]
+    y_in = float(sum(1 for s, w in toks if s == "srcA" and w == "alpha"))
+    y_all = float(sum(1 for _, w in toks if w == "alpha"))
+    n_i = float(sum(1 for s, _ in toks if s == "srcA"))
+    n_all = float(len(toks))
+    a0 = 0.01 * n_all
+    pr = a0 * y_all / n_all
+    yi, di = y_in + pr, n_i + a0 - (y_in + pr)
+    yj, dj = (y_all - y_in) + pr, (n_all - n_i) + a0 - ((y_all - y_in) + pr)
+    delta = math.log(yi / di) - math.log(yj / dj)
+    zeta = delta / math.sqrt(1.0 / yi + 1.0 / yj)
+    want = math.floor(zeta * 1e6 + 0.5) / 1e6
+    assert got[("srcA", "alpha")] == (int(y_in), int(y_all - y_in), want)

@@ -1473,3 +1473,46 @@ def test_maintained_phash_index_dedups_across_ticks(spark, tmp_path):
         )
     )
     assert indexed2 == [1, 2, 11, 12]
+
+
+def test_maintained_phash_index_replayed_batch_is_skipped(spark, tmp_path):
+    """Crash-replay safety for the image index: re-delivering an
+    already-folded tick must not double-register chunk rows (the
+    marker short-circuits before any probe work)."""
+    import shutil
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_phash_index,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "prledger")
+    state_dir = os.path.join(str(tmp_path), "prstate")
+    ck = os.path.join(str(tmp_path), "prck")
+    os.makedirs(ledger_dir)
+    spark.createDataFrame(
+        [(1, format(0xABCDEF0123456789, "016x")),
+         (2, format(0x1111222233334444, "016x"))],
+        "media_id long, phash string",
+    ).coalesce(1).write.mode("append").parquet(ledger_dir)
+    sch = spark.read.parquet(ledger_dir).schema
+    maintained_phash_index(
+        ledger_dir, state_dir, ck, schema=sch, spark=spark
+    ).awaitTermination()
+    before = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("media_id", "fp")
+        .collect()
+    )
+    shutil.rmtree(ck)  # lose the checkpoint: batch 0 re-delivers
+    maintained_phash_index(
+        ledger_dir, state_dir, ck, schema=sch, spark=spark
+    ).awaitTermination()
+    after = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("media_id", "fp")
+        .collect()
+    )
+    assert after == before
