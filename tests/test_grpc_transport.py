@@ -732,3 +732,50 @@ def test_window_update_for_finished_stream_does_not_leak():
         F_WINDOW_UPDATE, 0, 1, struct.pack("!I", 100)
     ) is not False
     assert 1 not in conn.stream_send_windows
+
+
+def test_window_update_errors_over_live_connection(grpc_port):
+    """Socket-level conformance for the §6.9 error paths: a 0-increment
+    WINDOW_UPDATE on stream 0 and a WINDOW_UPDATE on a never-opened
+    stream must each draw GOAWAY + close — and the server must keep
+    serving new connections afterwards."""
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_GOAWAY,
+        F_SETTINGS,
+        F_WINDOW_UPDATE,
+        pack_frame,
+    )
+
+    def frames_until_close(payload_frame):
+        s = socket.create_connection(("127.0.0.1", grpc_port))
+        s.sendall(b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n")
+        s.sendall(pack_frame(F_SETTINGS, 0, 0, b""))
+        s.sendall(payload_frame)
+        s.settimeout(5)
+        got = bytearray()
+        try:
+            while True:
+                chunk = s.recv(4096)
+                if not chunk:
+                    break
+                got += chunk
+        except TimeoutError:
+            pass
+        s.close()
+        types, pos = [], 0
+        while pos + 9 <= len(got):
+            ln = int.from_bytes(got[pos : pos + 3], "big")
+            types.append(got[pos + 3])
+            pos += 9 + ln
+        return types
+
+    # 0 increment on the connection window: PROTOCOL_ERROR GOAWAY
+    t1 = frames_until_close(
+        pack_frame(F_WINDOW_UPDATE, 0, 0, struct.pack("!I", 0))
+    )
+    assert F_GOAWAY in t1, t1
+    # WINDOW_UPDATE on an idle, never-opened stream: GOAWAY (§5.1)
+    t2 = frames_until_close(
+        pack_frame(F_WINDOW_UPDATE, 0, 7, struct.pack("!I", 100))
+    )
+    assert F_GOAWAY in t2, t2
