@@ -1070,32 +1070,35 @@ def maintained_components(
         ).parquet(ledger_dir)
     )
 
-    def _merge(state_subset, exploded):
-        edges = exploded.select("id_a", "id_b").distinct()
-        relabel = connected_components(
-            edges, max_iterations=max_iterations
-        ).select(
-            F.col("node").alias("__old"), F.col("component").alias("__new")
-        )
-        # a touched root with no self-row in the touched buckets is a
-        # NEW node (every existing component root carries its (r, r)
-        # row, and all rows of touched components live in these
-        # buckets); it enters rooted at itself, then relabels
-        roots = exploded.select(F.col("component").alias("node")).distinct()
-        if state_subset is None:
-            base = roots.select("node", F.col("node").alias("component"))
-        else:
-            fresh = roots.join(state_subset, "node", "left_anti").select(
-                "node", F.col("node").alias("component")
+    def _make_merge(relabel):
+        # `relabel` (old root → merged root) is computed ONCE per tick
+        # in _fold and checkpointed — recomputing the closure inside
+        # the merge (and again for the node-index maintenance) measured
+        # 2× per-tick cost at 1M state
+        def _merge(state_subset, exploded):
+            # a touched root with no self-row in the touched buckets is
+            # a NEW node (every existing component root carries its
+            # (r, r) row, and all rows of touched components live in
+            # these buckets); it enters rooted at itself, then relabels
+            roots = exploded.select(
+                F.col("component").alias("node")
+            ).distinct()
+            if state_subset is None:
+                base = roots.select("node", F.col("node").alias("component"))
+            else:
+                fresh = roots.join(state_subset, "node", "left_anti").select(
+                    "node", F.col("node").alias("component")
+                )
+                base = state_subset.unionByName(fresh)
+            return base.join(
+                F.broadcast(relabel),
+                F.col("component") == F.col("__old"),
+                "left",
+            ).select(
+                "node", F.coalesce("__new", "component").alias("component")
             )
-            base = state_subset.unionByName(fresh)
-        return base.join(
-            F.broadcast(relabel),
-            F.col("component") == F.col("__old"),
-            "left",
-        ).select(
-            "node", F.coalesce("__new", "component").alias("component")
-        )
+
+        return _merge
 
     def _node_upsert(state_subset, rows):
         # node-index merge: replace each touched node's row, keep the
@@ -1183,6 +1186,26 @@ def maintained_components(
             .select(F.col("r_u").alias("id_a"), F.col("r_v").alias("id_b"))
             .filter(F.col("id_a") != F.col("id_b"))
             .distinct()
+            # increment-sized; checkpoint so the resolve join runs once,
+            # not once per downstream consumer (touched-bucket collects,
+            # merge, node-index maintenance — measured 2× at 1M state)
+            .localCheckpoint(eager=True)
+        )
+        has_edges = bool(contracted.head(1))
+        # the tick's relabel map (old root → merged root): computed
+        # ONCE, shared by the component merge and the node-index
+        # maintenance (it used to be recomputed in both)
+        relabel = (
+            connected_components(
+                contracted, max_iterations=max_iterations
+            )
+            .select(
+                F.col("node").alias("__old"),
+                F.col("component").alias("__new"),
+            )
+            .localCheckpoint(eager=True)
+            if has_edges
+            else None
         )
         # key every contracted edge by BOTH touched roots, so the
         # touched-bucket set covers every row that can change
@@ -1195,7 +1218,7 @@ def maintained_components(
         )
         _fold_buckets(
             exploded, batch_id, state_dir, ["component"], state_buckets,
-            _merge,
+            _make_merge(relabel),
         )
         # ---- node-index maintenance (after the component fold, so a
         # crash-replay that skips the fold still reads the right rows) --
@@ -1213,7 +1236,7 @@ def maintained_components(
                 )
                 else empty_rows
             )
-        else:
+        elif has_edges:
             touched = sorted(
                 r[0]
                 for r in exploded.select(
@@ -1222,27 +1245,22 @@ def maintained_components(
                 .distinct()
                 .collect()
             )
-            if touched:
-                # the tick's final roots: every contracted-graph node
-                # relabels to one of these (deterministic recompute)
-                final_roots = (
-                    connected_components(
-                        contracted, max_iterations=max_iterations
-                    )
-                    .select(F.col("component"))
-                    .distinct()
+            # the tick's final roots: every contracted-graph node
+            # relabels to one of these
+            final_roots = relabel.select(
+                F.col("__new").alias("component")
+            ).distinct()
+            rows_new = (
+                sess.read.parquet(state_dir)
+                .filter(
+                    F.col(_BUCKET_COL).isin([int(b) for b in touched])
                 )
-                rows_new = (
-                    sess.read.parquet(state_dir)
-                    .filter(
-                        F.col(_BUCKET_COL).isin([int(b) for b in touched])
-                    )
-                    .drop(_BUCKET_COL)
-                    .join(F.broadcast(final_roots), "component")
-                    .select("node", "component")
-                )
-            else:
-                rows_new = empty_rows
+                .drop(_BUCKET_COL)
+                .join(F.broadcast(final_roots), "component")
+                .select("node", "component")
+            )
+        else:
+            rows_new = empty_rows
         _fold_buckets(
             rows_new, batch_id, node_dir, ["node"], state_buckets,
             _node_upsert,
