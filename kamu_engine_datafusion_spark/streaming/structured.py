@@ -1023,6 +1023,7 @@ def maintained_components(
     schema: T.StructType | None = None,
     spark: SparkSession | None = None,
     state_buckets: int = 16,
+    node_index: bool = True,
 ):
     """Continuously-maintained CONNECTED COMPONENTS over a stream of
     near-dup edges — the dedup stack's last batch-only piece made
@@ -1053,7 +1054,12 @@ def maintained_components(
     marker mismatch (a crash between the two folds, or a pre-index
     state layout) falls back to a full-scan resolve plus a one-time
     full index rebuild — correctness never depends on the index being
-    fresh.
+    fresh. ``node_index=False`` skips the index entirely and always
+    full-scan-resolves: the right mode when total state is small
+    enough that a scan is cheaper than the index's extra per-tick
+    orchestration (measured locally at 1M rows — see SCALE.md r11;
+    the index pays for itself when state-scan BYTES dominate, i.e.
+    the multi-executor regime it exists for).
 
     Edge retraction is NOT supported (component splits need the full
     edge history); feed the append pair stream. Live view =
@@ -1135,7 +1141,8 @@ def maintained_components(
         # the component state did (a crash between the two folds, or a
         # pre-index layout, de-syncs them → full-scan fallback + rebuild)
         node_ok = (
-            have_state
+            node_index
+            and have_state
             and _last_folded_batch(node_dir) == _last_folded_batch(state_dir)
             and os.path.isdir(node_dir)
         )
@@ -1222,6 +1229,8 @@ def maintained_components(
         )
         # ---- node-index maintenance (after the component fold, so a
         # crash-replay that skips the fold still reads the right rows) --
+        if not node_index:
+            return
         empty_rows = batch_df.select(
             F.col(id_a).alias("node"), F.col(id_a).alias("component")
         ).limit(0)

@@ -1516,3 +1516,45 @@ def test_maintained_phash_index_replayed_batch_is_skipped(spark, tmp_path):
         .collect()
     )
     assert after == before
+
+
+def test_maintained_components_node_index_opt_out(spark, tmp_path):
+    """node_index=False: pure full-scan resolve, no .nodeidx dir ever
+    created, results identical to the indexed mode."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        connected_components,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _NODE_IDX_SUFFIX,
+        maintained_components,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "oledger")
+    state_dir = os.path.join(str(tmp_path), "ostate")
+    ck = os.path.join(str(tmp_path), "ock")
+    os.makedirs(ledger_dir)
+    schema = "id_a long, id_b long"
+    seen = []
+    for rows in [[(1, 2), (10, 11)], [(2, 10), (20, 21)]]:
+        seen.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_components(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+            node_index=False,
+        ).awaitTermination()
+    got = {
+        r["node"]: r["component"]
+        for r in read_maintained_state(spark, state_dir).collect()
+    }
+    want = {
+        r["node"]: r["component"]
+        for r in connected_components(
+            spark.createDataFrame(seen, schema)
+        ).collect()
+    }
+    assert got == want
+    assert not os.path.isdir(state_dir + _NODE_IDX_SUFFIX)
