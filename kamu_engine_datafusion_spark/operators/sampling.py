@@ -1356,3 +1356,107 @@ def packing_efficiency(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 4,
+    salt: int = 0,
+    hash_fn: str = "poly",
+    mode: str = "sharded",
+    shards: int = 32,
+) -> DataFrame:
+    """Deterministic NEGATIVE sampling for contrastive training: for
+    every anchor row, ``k`` pseudo-random other rows — via the HASH
+    RING: order ids by a keyed hash and take each anchor's next ``k``
+    ring neighbors (wrap-around). Because the hash is uniform and
+    content-independent, ring neighbors are as-if-random negatives,
+    yet the pairing is a pure function of (id set, salt): reproducible
+    across runs, partitionings, and engines, never ``rand()`` — and
+    re-salting gives a fresh independent draw per epoch.
+
+    Output: ``(anchor=id, neg_id, slot 1..k)``. Requires more than
+    ``k`` rows per ring (raises otherwise — a smaller corpus cannot
+    supply k distinct negatives; in sharded mode each shard's ring
+    must clear k, which holds w.h.p. for any real corpus).
+
+    ``mode="serial"``: ONE global ring — exact and shuffle-light but a
+    single-partition window (bounded-input use only, the A13 pattern).
+    ``mode="sharded"`` (default): ids ring WITHIN each of ``shards``
+    hash shards — every window is partitioned, negatives stay uniform
+    (shard assignment is itself a hash), and the shuffle is keyed on
+    the uniform shard id; the scale path.
+    """
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31,
+        poly_hash31,
+    )
+
+    key = F.col(id_col)
+    if hash_fn == "poly":
+        # Two poly31 pitfalls, both order-degeneracies on sequential
+        # ids: (a) same-length strings hash monotone in their trailing
+        # chars, so the ring would be id order — REVERSE the id string
+        # first (most-significant hash terms from least-significant
+        # digits); (b) a salt embedded as a char shifts every
+        # same-length hash by the same CONSTANT — same order again —
+        # so the salt enters as a MULTIPLICATIVE mix mod M31 instead,
+        # which permutes residues. (xxhash64 needs none of this.)
+        k_salt = (1103515245 * (salt + 1) + 12345) % _MERSENNE_31 or 1
+        h = F.pmod(
+            poly_hash31(F.reverse(key.cast("string"))) * F.lit(k_salt),
+            F.lit(_MERSENNE_31),
+        )
+    else:
+        h = F.pmod(F.xxhash64(key, F.lit(salt)), F.lit(_MERSENNE_31))
+    base = df.select(key.alias("anchor"), h.alias("__h"))
+    if mode == "serial":
+        base = base.withColumn("__shard", F.lit(0))
+        w = Window.orderBy("__h", "anchor")
+    elif mode == "sharded":
+        base = base.withColumn("__shard", F.pmod(F.col("__h"), F.lit(shards)))
+        w = Window.partitionBy("__shard").orderBy("__h", "anchor")
+    else:
+        raise ValueError(f"unknown mode: {mode!r}")
+    ring = base.withColumn("__rn", F.row_number().over(w))
+    sizes = ring.groupBy("__shard").agg(F.count(F.lit(1)).alias("__n"))
+    too_small = sizes.filter(F.col("__n") <= k).limit(1).collect()
+    if too_small:
+        raise ValueError(
+            f"negative_samples: a ring has <= k={k} members "
+            f"(shard {too_small[0]['__shard']}, n={too_small[0]['__n']}); "
+            "lower k or shards, or use mode='serial'"
+        )
+    neighbors = ring.select(
+        "__shard",
+        F.col("anchor").alias("neg_id"),
+        F.col("__rn").alias("__pos"),
+    )
+    slots = ring.join(F.broadcast(sizes), "__shard").select(
+        "anchor",
+        "__shard",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(k)),
+                lambda i: F.struct(
+                    i.cast("long").alias("slot"),
+                    (
+                        F.pmod(F.col("__rn") - 1 + i, F.col("__n")) + 1
+                    ).alias("pos"),
+                ),
+            )
+        ).alias("__s"),
+    )
+    return (
+        slots.select(
+            "anchor",
+            "__shard",
+            F.col("__s.slot").alias("slot"),
+            F.col("__s.pos").alias("__pos"),
+        )
+        .join(neighbors, ["__shard", "__pos"])
+        .select("anchor", "neg_id", "slot")
+    )

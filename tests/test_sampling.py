@@ -916,3 +916,73 @@ def test_weighted_sample_topn_merge_exact_any_corpus(spark, ws, n, cut):
         for r in draw([(g, i, w) for g, i, w in part_union])
     )
     assert refold == full
+
+
+def test_negative_samples_ring_properties(spark):
+    """Ring negatives: exactly k per anchor, never self, deterministic
+    across partitionings, serial mode matches a python ring replay, and
+    re-salting changes the draw."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    ids = list(range(30))
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    out = negative_samples(df, "doc_id", k=3, mode="serial", hash_fn="poly")
+    rows = [(r["anchor"], r["neg_id"], r["slot"]) for r in out.collect()]
+    per_anchor = {}
+    for a, n, s in rows:
+        assert a != n
+        per_anchor.setdefault(a, set()).add((s, n))
+    assert set(per_anchor) == set(ids)
+    assert all(len(v) == 3 for v in per_anchor.values())
+
+    # python replay of the serial ring
+    from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+
+    k_salt = (1103515245 * 1 + 12345) % 2_147_483_647
+    hdf = spark.createDataFrame([(i,) for i in ids], "doc_id long").select(
+        "doc_id",
+        F.pmod(
+            poly_hash31(F.reverse(F.col("doc_id").cast("string")))
+            * F.lit(k_salt),
+            F.lit(2_147_483_647),
+        ).alias("h"),
+    )
+    hs = {r["doc_id"]: r["h"] for r in hdf.collect()}
+    ring = sorted(ids, key=lambda i: (hs[i], i))
+    want = set()
+    for pos, a in enumerate(ring):
+        for s in (1, 2, 3):
+            want.add((a, ring[(pos + s) % len(ring)], s))
+    assert set(rows) == want
+
+    # sharded mode: same guarantees (k per anchor, no self), and
+    # partition-independence
+    sh = negative_samples(
+        df.repartition(7), "doc_id", k=3, mode="sharded", shards=4,
+        hash_fn="poly",
+    )
+    a1 = sorted(tuple(r) for r in sh.collect())
+    a2 = sorted(
+        tuple(r)
+        for r in negative_samples(
+            df, "doc_id", k=3, mode="sharded", shards=4, hash_fn="poly"
+        ).collect()
+    )
+    assert a1 == a2
+    assert len(a1) == 90 and all(a != n for a, n, _ in a1)
+    # re-salt -> different draw
+    b = sorted(
+        tuple(r)
+        for r in negative_samples(
+            df, "doc_id", k=3, mode="serial", salt=1, hash_fn="poly"
+        ).collect()
+    )
+    assert b != sorted(rows)
+    # too-small ring raises loudly
+    import pytest as _pytest
+
+    tiny = spark.createDataFrame([(1,), (2,)], "doc_id long")
+    with _pytest.raises(ValueError, match="ring has"):
+        negative_samples(tiny, "doc_id", k=3, mode="serial")
