@@ -73,3 +73,52 @@ def test_dedup_by_url_keeps_lowest_id_per_canonical(spark):
     df = spark.createDataFrame(rows, ["doc_id", "url"])
     kept = sorted(r["doc_id"] for r in dedup_by_url(df).collect())
     assert kept == [1, 4, 5]
+
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_label = st.text(
+    alphabet="abcdefghijklmnopqrstuvwxyzABC0123456789-", min_size=1,
+    max_size=8,
+).filter(lambda s: not s.startswith("-") and not s.endswith("-"))
+_urls = st.builds(
+    lambda scheme, labels, port, path, params, frag: (
+        f"{scheme}://{'.'.join(labels)}"
+        + (f":{port}" if port else "")
+        + ("/" + "/".join(path) if path else "")
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + (f"#{frag}" if frag else "")
+    ),
+    scheme=st.sampled_from(["http", "https", "HTTP", "HtTpS"]),
+    labels=st.lists(_label, min_size=1, max_size=4),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    path=st.lists(_label, min_size=0, max_size=3),
+    params=st.lists(
+        st.tuples(
+            st.sampled_from(["id", "page", "utm_source", "fbclid", "q"]),
+            _label,
+        ),
+        min_size=0,
+        max_size=4,
+    ),
+    frag=st.sampled_from([None, "top", "sec-2"]),
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(urls=st.lists(_urls, min_size=1, max_size=25))
+def test_canonicalize_url_idempotent(spark, urls):
+    """canon(canon(u)) == canon(u) for ANY structured URL — the core
+    canonicalization contract (a non-idempotent canonicalizer makes
+    dedup keys depend on how many passes ran)."""
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    once = df.select(canonicalize_url("url").alias("c1"))
+    twice = once.select(canonicalize_url("c1").alias("c2"))
+    a = [r["c1"] for r in once.collect()]
+    b = [r["c2"] for r in twice.collect()]
+    assert sorted(a) == sorted(b)
