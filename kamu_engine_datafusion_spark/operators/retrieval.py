@@ -258,3 +258,106 @@ def hybrid_rrf(
     return fused.filter(F.col("rank") <= top_k).select(
         id_col, "sparse_rank", "dense_rank", "rrf_score", "rank"
     )
+
+
+#: Reserved stats key inside the maintained term-stats state. Contains a
+#: SPACE, which no whitespace-split token can ever carry — collision-free
+#: by construction of the pipeline tokenizer.
+CORPUS_STATS_KEY = "corpus stats"
+
+
+def term_stats_increment(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One tick's additive term statistics: per-term document frequency
+    rows plus the reserved corpus-scalars row (doc count, total token
+    length) — everything BM25's idf/avgdl needs, all ADDITIVE, so the
+    cross-tick fold is plain summation and the maintained state equals
+    the batch statistics of the whole ledger exactly."""
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(text_col)).alias("__len"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    per_term = tok.select("__id", "term").distinct().groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("tot_len"),
+    )
+    scalars = df.select(F.size(tokens(text_col)).alias("__l")).agg(
+        F.lit(CORPUS_STATS_KEY).alias("term"),
+        F.lit(0).cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__l").cast("long").alias("tot_len"),
+    )
+    return per_term.unionByName(scalars)
+
+
+def bm25_from_stats(
+    df: DataFrame,
+    query_terms: list[str],
+    stats: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 against MAINTAINED corpus statistics instead of a corpus
+    rescan — the incremental retrieval path: ``stats`` is the folded
+    ``(term, df, n_docs, tot_len)`` state (``streaming.structured.
+    maintained_term_stats`` or one :func:`term_stats_increment`), so a
+    new tick's documents score with corpus-consistent idf/avgdl while
+    only the TICK is tokenized. With stats built over the same corpus
+    this is EXACTLY :func:`bm25_scores` (pytest-pinned).
+
+    Scale: the query's ≤|terms| df rows and the one scalars row
+    broadcast; the scored frame's exploded tokens filter to the query
+    terms before the per-doc aggregate — history is never re-read.
+    """
+    terms = sorted(set(t.lower() for t in query_terms))
+    dfreq = stats.filter(
+        (F.col("term") != CORPUS_STATS_KEY) & F.col("term").isin(terms)
+    ).select("term", F.col("df").alias("__df"))
+    scalars = stats.filter(F.col("term") == CORPUS_STATS_KEY).select(
+        F.col("n_docs").alias("__N"),
+        # when-guarded: the scalars row always has n_docs > 0, but the
+        # projection can be pushed into the stats union's per-term leg
+        # (n_docs = 0 there) and ANSI mode faults the speculative
+        # division before the filter drops those rows
+        F.when(
+            F.col("n_docs") > 0,
+            F.col("tot_len").cast("double") / F.col("n_docs"),
+        ).alias("__avgdl"),
+    )
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.size(tokens(text_col)).alias("__len"),
+        F.explode(tokens(text_col)).alias("term"),
+    ).filter(F.col("term").isin(terms))
+    tf = tok.groupBy("__id", "term").agg(
+        F.count(F.lit(1)).alias("__tf"), F.first("__len").alias("__len")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("__tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("__tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("__len") / F.col("__avgdl"))
+        )
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("__id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(contrib).alias("score"),
+        )
+        .withColumnRenamed("__id", id_col)
+    )

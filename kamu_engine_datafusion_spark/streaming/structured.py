@@ -1283,6 +1283,76 @@ def maintained_components(
     )
 
 
+def maintained_term_stats(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained CORPUS TERM STATISTICS over a document
+    stream — the retrieval leg of the incremental story: per-term
+    document frequency plus the corpus scalars (doc count, total token
+    length) that BM25's idf/avgdl read
+    (``operators/retrieval.py::bm25_from_stats``). Everything is
+    ADDITIVE (df, N, Σlen all sum across disjoint ticks), so the fold
+    is plain per-key summation and the maintained state equals the
+    batch ``term_stats_increment`` of the whole ledger exactly
+    (pytest-pinned) — a new tick's documents score with
+    corpus-consistent statistics while only the tick is tokenized.
+
+    State: one row per distinct term ``(term, df, 0, 0)`` +
+    the reserved ``CORPUS_STATS_KEY`` row ``(·, 0, N, Σlen)`` —
+    vocab-sized, hive-bucketed by term. Retractions are NOT supported
+    (df cannot decrement without per-doc term sets); feed the
+    append/live stream. Exactly-once via the bucketed intent/apply
+    protocol.
+    """
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        term_stats_increment,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc):
+        if state_subset is None:
+            return inc
+        return (
+            state_subset.unionByName(inc)
+            .groupBy("term")
+            .agg(
+                F.sum("df").cast("long").alias("df"),
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("tot_len").cast("long").alias("tot_len"),
+            )
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            term_stats_increment(batch_df, text_col, id_col),
+            batch_id,
+            state_dir,
+            ["term"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_phash_index(
     ledger_dir: str,
     state_dir: str,

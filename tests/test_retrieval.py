@@ -252,3 +252,98 @@ def test_mmr_pool_cap_guard(spark):
     query = corpus.filter(F.col("vec_id") == 0).select("embedding")
     with pytest.raises(ValueError, match="pool"):
         mmr_diversify(corpus, query, k=2, pool=10_001)
+
+
+def test_bm25_from_stats_equals_batch_bm25(spark):
+    """bm25_from_stats over a one-shot term_stats_increment must equal
+    bm25_scores exactly — same idf, same avgdl, same contributions."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_from_stats,
+        bm25_scores,
+        term_stats_increment,
+    )
+
+    rows = [
+        (1, "spark engines process parquet files with spark sql"),
+        (2, "query engines and storage engines differ"),
+        (3, "completely unrelated text about gardens"),
+        (4, "spark spark spark everywhere"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    q = ["spark", "engines"]
+    want = sorted(
+        (r["doc_id"], r["n_terms_matched"], round(r["score"], 9))
+        for r in bm25_scores(df, q).collect()
+    )
+    stats = term_stats_increment(df)
+    got = sorted(
+        (r["doc_id"], r["n_terms_matched"], round(r["score"], 9))
+        for r in bm25_from_stats(df, q, stats).collect()
+    )
+    assert got == want and len(got) == 3  # doc 3 matches nothing
+
+
+def test_maintained_term_stats_equals_batch(spark, tmp_path):
+    """Term stats folded across 3 document ticks must equal the batch
+    increment of the whole ledger row-for-row (everything additive),
+    and scoring a NEW tick against the maintained stats must equal
+    scoring it with batch stats."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_from_stats,
+        term_stats_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_term_stats,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "tsledger")
+    state_dir = os.path.join(str(tmp_path), "tsstate")
+    ck = os.path.join(str(tmp_path), "tsck")
+    os.makedirs(ledger_dir)
+    schema = "doc_id long, text string"
+    all_rows = []
+
+    def tick(rows):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        q = maintained_term_stats(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    tick([(1, "alpha beta gamma"), (2, "beta beta delta")])
+    tick([(3, "alpha epsilon"), (4, "zeta")])
+    tick([(5, "beta alpha alpha")])
+    state = read_maintained_state(spark, state_dir)
+    got = sorted(tuple(r) for r in state.collect())
+    want = sorted(
+        tuple(r)
+        for r in term_stats_increment(
+            spark.createDataFrame(all_rows, schema)
+        ).collect()
+    )
+    assert got == want
+    # score a brand-new tick against the MAINTAINED stats: identical to
+    # scoring with batch stats of the full history
+    new_tick = spark.createDataFrame(
+        [(10, "alpha beta beta"), (11, "gamma gamma zeta")], schema
+    )
+    q = ["alpha", "beta", "zeta"]
+    a = sorted(
+        (r["doc_id"], r["n_terms_matched"], round(r["score"], 9))
+        for r in bm25_from_stats(new_tick, q, state).collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["n_terms_matched"], round(r["score"], 9))
+        for r in bm25_from_stats(
+            new_tick, q,
+            term_stats_increment(spark.createDataFrame(all_rows, schema)),
+        ).collect()
+    )
+    assert a == b and len(a) == 2
