@@ -872,6 +872,25 @@ def top_principal_component(
         F.lit(0).cast("long"),
         lambda a, x: a + x,
     )
+    # The Rayleigh numerator Σ__s² is NOT covered by the w-sum
+    # precheck (worst case n·(dim·max|x'|·v_scale)², far above it, but
+    # the a-priori bound is so loose it would reject realistic
+    # corpora). Check the TRUE max|__s| instead — one cheap aggregate
+    # over the checkpointed ints — so the squared sum fails helpfully,
+    # not with a raw ANSI overflow.
+    m_s = int(
+        qc.select(s.alias("__s"))
+        .agg(F.max(F.abs(F.col("__s"))))
+        .collect()[0][0]
+        or 0
+    )
+    if n * m_s * m_s >= (1 << 62):
+        raise ValueError(
+            "top_principal_component: the variance-share sum "
+            f"n·max|x'·v|² = {n * m_s * m_s} would overflow BIGINT; "
+            "run on a smaller (weighted_sample'd) slice or lower "
+            "scale/v_scale"
+        )
     fin = (
         qc.select(s.alias("__s"), "__qc")
         .agg(

@@ -283,12 +283,17 @@ def term_stats_increment(
         F.count(F.lit(1)).cast("long").alias("df"),
         F.lit(0).cast("long").alias("n_docs"),
         F.lit(0).cast("long").alias("tot_len"),
+        F.lit(0).cast("long").alias("n_len"),
     )
+    # n_len counts only rows with a non-NULL token length: bm25_scores'
+    # F.avg ignores NULL lengths, so avgdl must divide Σlen by the
+    # non-null count, not by n_docs (which counts NULL-text rows too).
     scalars = df.select(F.size(tokens(text_col)).alias("__l")).agg(
         F.lit(CORPUS_STATS_KEY).alias("term"),
         F.lit(0).cast("long").alias("df"),
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("__l").cast("long").alias("tot_len"),
+        F.count("__l").cast("long").alias("n_len"),
     )
     return per_term.unionByName(scalars)
 
@@ -320,13 +325,15 @@ def bm25_from_stats(
     ).select("term", F.col("df").alias("__df"))
     scalars = stats.filter(F.col("term") == CORPUS_STATS_KEY).select(
         F.col("n_docs").alias("__N"),
-        # when-guarded: the scalars row always has n_docs > 0, but the
-        # projection can be pushed into the stats union's per-term leg
-        # (n_docs = 0 there) and ANSI mode faults the speculative
-        # division before the filter drops those rows
+        # avgdl divides by n_len (non-NULL-text doc count) to match
+        # bm25_scores' F.avg, which skips NULL lengths; when-guarded:
+        # the scalars row always has n_len > 0, but the projection can
+        # be pushed into the stats union's per-term leg (n_len = 0
+        # there) and ANSI mode faults the speculative division before
+        # the filter drops those rows
         F.when(
-            F.col("n_docs") > 0,
-            F.col("tot_len").cast("double") / F.col("n_docs"),
+            F.col("n_len") > 0,
+            F.col("tot_len").cast("double") / F.col("n_len"),
         ).alias("__avgdl"),
     )
     tok = df.select(

@@ -1410,6 +1410,27 @@ def distinctive_tokens(
     )
     tot = cnt.groupBy("grp").agg(F.sum("y").cast("long").alias("n"))
     n_all = cnt.agg(F.sum("y").cast("long").alias("N")).first()["N"]
+    if n_all is None or n_all == 0:
+        # empty input (or all-NULL text): sum() is NULL — return the
+        # empty result with the output schema instead of a TypeError.
+        # grp keeps the input group column's type (schema-driven, the
+        # group_centroid_shift discipline).
+        import pyspark.sql.types as T
+
+        return df.sparkSession.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "grp", df.schema[group_col].dataType, True
+                    ),
+                    T.StructField("token", T.StringType(), True),
+                    T.StructField("n_in", T.LongType(), True),
+                    T.StructField("n_rest", T.LongType(), True),
+                    T.StructField("zeta", T.DoubleType(), True),
+                ]
+            ),
+        )
     alpha0 = float(alpha_num) / float(alpha_den) * float(n_all)
     # one row per (group, token in corpus vocab): tokens absent from a
     # group still score (their y_iw = 0 side) — right join on the vocab

@@ -19,7 +19,10 @@ from pyspark.sql import functions as F
 #: distinct pages).
 _TRACKING_PARAMS = [
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
-    "fbclid", "gclid", "msclkid", "mc_eid", "ref",
+    "fbclid", "gclid", "msclkid", "mc_eid",
+    # NOT "ref": it is load-bearing on major sites (GitHub's
+    # ?ref=<branch> selects content) — stripping it would merge
+    # distinct pages, the exact failure this list exists to avoid.
 ]
 
 #: Common multi-label public suffixes for the registered-domain

@@ -1304,8 +1304,8 @@ def maintained_term_stats(
     (pytest-pinned) — a new tick's documents score with
     corpus-consistent statistics while only the tick is tokenized.
 
-    State: one row per distinct term ``(term, df, 0, 0)`` +
-    the reserved ``CORPUS_STATS_KEY`` row ``(·, 0, N, Σlen)`` —
+    State: one row per distinct term ``(term, df, 0, 0, 0)`` +
+    the reserved ``CORPUS_STATS_KEY`` row ``(·, 0, N, Σlen, N_nonnull)`` —
     vocab-sized, hive-bucketed by term. Retractions are NOT supported
     (df cannot decrement without per-doc term sets); feed the
     append/live stream. Exactly-once via the bucketed intent/apply
@@ -1332,6 +1332,7 @@ def maintained_term_stats(
                 F.sum("df").cast("long").alias("df"),
                 F.sum("n_docs").cast("long").alias("n_docs"),
                 F.sum("tot_len").cast("long").alias("tot_len"),
+                F.sum("n_len").cast("long").alias("n_len"),
             )
         )
 

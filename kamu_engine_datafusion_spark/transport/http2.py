@@ -227,6 +227,17 @@ class H2Connection:
         elif ftype == F_WINDOW_UPDATE:
             if len(payload) == 4:
                 incr = struct.unpack("!I", payload)[0] & 0x7FFFFFFF
+                if (
+                    stream_id != 0
+                    and stream_id not in self.stream_send_windows
+                    and stream_id > self.max_client_stream
+                ):
+                    # §5.1: any frame on an IDLE never-opened stream is
+                    # a connection PROTOCOL_ERROR — checked BEFORE the
+                    # 0-increment branch, because RST_STREAM on an idle
+                    # stream is itself a protocol violation
+                    self._goaway(0x1)
+                    return False
                 if incr == 0:
                     # §6.9: 0 increment — connection PROTOCOL_ERROR on
                     # stream 0, STREAM error (RST_STREAM) otherwise
@@ -251,14 +262,10 @@ class H2Connection:
                         self._rst_stream(stream_id, 0x3)
                     else:
                         self.stream_send_windows[stream_id] = nw
-                elif stream_id > self.max_client_stream:
-                    # §5.1: any frame on an IDLE never-opened stream is
-                    # a connection PROTOCOL_ERROR …
-                    self._goaway(0x1)
-                    return False
-                # … while updates for recently-CLOSED streams
-                # (id ≤ max seen, window record popped) are ignored —
-                # §6.9 permits them briefly after close
+                # updates for recently-CLOSED streams (id ≤ max seen,
+                # window record popped) are ignored — §6.9 permits
+                # them briefly after close; the idle case was handled
+                # above before any increment inspection
         elif ftype == F_PRIORITY:
             pass
         elif ftype == F_RST_STREAM:

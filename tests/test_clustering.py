@@ -582,3 +582,26 @@ def test_top_principal_component_deterministic_and_guarded(spark):
     assert [f.name for f in empty.schema.fields] == [
         "j", "v", "n_rows", "var_share",
     ]
+
+
+def test_top_principal_component_rayleigh_overflow_guard(spark):
+    """The variance-share sum Σ(x'·v)² has its own (exact, a-posteriori)
+    overflow check: data crafted so the w-sum precheck passes but the
+    Rayleigh numerator would overflow BIGINT must raise with guidance,
+    not a raw ANSI fault."""
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        top_principal_component,
+    )
+
+    # one dominant axis: quantized |x'| ≈ 7.07e6 (scale=10000), so the
+    # w-sum bound 10·8·(7.07e6)²·1000 ≈ 4.0e18 < 2^62 passes, while the
+    # converged projection |x'·v| ≈ 7.07e9 gives n·m_s² ≈ 5e20 ≥ 2^62
+    rows = [
+        (i, [707.1 if i % 2 == 0 else -707.1] + [0.0] * 7)
+        for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="variance-share"):
+        top_principal_component(df, "vec_id", "embedding", dim=8)

@@ -715,6 +715,23 @@ def test_window_update_on_idle_stream_is_connection_error():
     assert conn.sock.sent[3] == F_GOAWAY
 
 
+def test_window_update_zero_increment_on_idle_stream_is_connection_error():
+    from kamu_engine_datafusion_spark.transport.http2 import (
+        F_GOAWAY,
+        F_WINDOW_UPDATE,
+    )
+
+    # §5.1 beats §6.9: a 0-increment WINDOW_UPDATE on a NEVER-opened
+    # stream is a connection PROTOCOL_ERROR (GOAWAY) — it must NOT take
+    # the 0-increment RST_STREAM branch, because RST_STREAM on an idle
+    # stream is itself a protocol violation
+    conn = _conn()
+    assert conn._dispatch(
+        F_WINDOW_UPDATE, 0, 7, struct.pack("!I", 0)
+    ) is False
+    assert conn.sock.sent[3] == F_GOAWAY
+
+
 def test_window_update_for_finished_stream_does_not_leak():
     from kamu_engine_datafusion_spark.transport.http2 import (
         F_WINDOW_UPDATE,

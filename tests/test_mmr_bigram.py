@@ -179,3 +179,25 @@ def test_distinctive_tokens_finds_planted_vocabulary(spark):
     zeta = delta / math.sqrt(1.0 / yi + 1.0 / yj)
     want = math.floor(zeta * 1e6 + 0.5) / 1e6
     assert got[("srcA", "alpha")] == (int(y_in), int(y_all - y_in), want)
+
+
+def test_distinctive_tokens_empty_input(spark):
+    """An empty (or all-NULL-text) frame returns an empty result with
+    the output schema — sum() yields NULL and must not TypeError."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        distinctive_tokens,
+    )
+
+    df = spark.createDataFrame(
+        [], "doc_id long, source string, text string"
+    )
+    out = distinctive_tokens(df, "source", "text", top_k=3)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "grp", "token", "n_in", "n_rest", "zeta",
+    ]
+    # all-NULL text behaves the same (explode of NULL emits nothing)
+    df2 = spark.createDataFrame(
+        [(1, "srcA", None)], "doc_id long, source string, text string"
+    )
+    assert distinctive_tokens(df2, "source", "text").count() == 0

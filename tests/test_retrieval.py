@@ -268,8 +268,12 @@ def test_bm25_from_stats_equals_batch_bm25(spark):
         (2, "query engines and storage engines differ"),
         (3, "completely unrelated text about gardens"),
         (4, "spark spark spark everywhere"),
+        # NULL text: bm25_scores' F.avg skips its NULL length, so the
+        # stats path must divide Σlen by the NON-NULL count (n_len),
+        # not n_docs — this row pins the avgdl denominators equal.
+        (5, None),
     ]
-    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    df = spark.createDataFrame(rows, "doc_id long, text string")
     q = ["spark", "engines"]
     want = sorted(
         (r["doc_id"], r["n_terms_matched"], round(r["score"], 9))
