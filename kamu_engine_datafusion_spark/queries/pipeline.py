@@ -38,23 +38,27 @@ def q_xdedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xdedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dedup survivors per lang (xxhash64-based —
-    deterministic but engine-specific → rows-only)."""
+    """MinHash+LSH near-dedup SURVIVOR SET (xxhash64-based —
+    deterministic but engine-specific → rows-only; survivor-set-sized
+    so the driver's row count carries regression signal, not a 5-row
+    per-lang rollup)."""
     t = load(spark, sf_dir, "documents")
-    return (
-        D.minhash_lsh_dedup(t["documents"], threshold=0.7)
-        .groupBy("lang")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
+    return D.minhash_lsh_dedup(t["documents"], threshold=0.7).select(
+        "doc_id", "lang"
     )
 
 
 def q_xdedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pair stats (rows-only: engine-specific hashing)."""
+    """SimHash near-dup SURVIVOR SET, lower-id-wins (rows-only:
+    engine-specific hashing; survivor-set-sized so the driver's row
+    count carries regression signal instead of a single stats row)."""
     t = load(spark, sf_dir, "documents")
     pairs = D.simhash_near_dups(t["documents"], max_hamming=8)
-    return pairs.agg(
-        F.count(F.lit(1)).alias("n_pairs"),
-        F.min("hamming").alias("min_hamming"),
+    dead = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    return (
+        t["documents"]
+        .join(dead, "doc_id", "left_anti")
+        .select("doc_id", "lang")
     )
 
 
@@ -1984,41 +1988,9 @@ def q_xmm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamu_engine_datafusion_spark.operators.dedup import phash_near_dups
 
     t = load(spark, sf_dir, "documents")
-    media = M.synthesize_media(
-        t["documents"].filter(F.col("doc_id") < 200), "doc_id", "text"
+    corpus = _phash_twin_corpus(
+        t["documents"].filter(F.col("doc_id") < 200)
     )
-    base = M.perceptual_hash(media, use_real_codecs=False)
-    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
-    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
-    b1 = F.pmod(F.col("media_id"), F.lit(64))
-    b2 = F.pmod(F.col("media_id") + F.lit(31), F.lit(64))
-    # bit masks per 32-bit half (shiftleft needs an INT column via expr)
-    mhi = F.when(
-        b1 >= 32,
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id, 64) - 32 AS INT))"),
-    ).otherwise(F.lit(0)) + F.when(
-        b2 >= 32,
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), "
-            "CAST(pmod(media_id + 31, 64) - 32 AS INT))"
-        ),
-    ).otherwise(F.lit(0))
-    mlo = F.when(
-        b1 < 32,
-        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id, 64) AS INT))"),
-    ).otherwise(F.lit(0)) + F.when(
-        b2 < 32,
-        F.expr(
-            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id + 31, 64) AS INT))"
-        ),
-    ).otherwise(F.lit(0))
-    twins = base.select(
-        (F.col("media_id") + F.lit(100_000)).alias("media_id"),
-        F.format_string(
-            "%08x%08x", hi.bitwiseXOR(mhi), lo.bitwiseXOR(mlo)
-        ).alias("phash"),
-    )
-    corpus = base.select("media_id", "phash").unionByName(twins)
     return phash_near_dups(
         corpus, "media_id", "phash", max_hamming=3, num_blocks=4
     )
@@ -2979,7 +2951,351 @@ def q_xdecontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xsample_weighted_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained-weighted-sample MERGE LAW, driver-verified: the
+    documents stream is split into three disjoint ticks; each tick's
+    rows get their Efraimidis–Spirakis A-Res keys
+    (``operators/sampling.py::ares_key`` — id-hash uniforms, never
+    ``rand()``) and the per-lang top-50 state is re-taken after each
+    union — exactly ``streaming/structured.py::
+    maintained_weighted_sample``'s per-tick fold. Because the key is a
+    pure function of the row id, ``topn(A ∪ B) == topn(topn(A) ∪ B)``,
+    so the oracle draws directly from the FULL ledger
+    (the ``xsample_weighted_group`` oracle) and a hash match proves
+    fold ≡ batch draw row-for-row through the driver. State per group
+    never exceeds n rows — per-tick cost O(increment + state)."""
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.operators.sampling import ares_key
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    w = F.col("n_chars").cast("double")
+    rank_w = Window.partitionBy("lang").orderBy(
+        F.col("__akey").desc(), F.col("doc_id")
+    )
+    state = None
+    for i in range(3):
+        inc = (
+            d.filter((F.col("doc_id") % 3 == i) & (w > 0))
+            .select(
+                "doc_id", "lang", "n_chars",
+                ares_key("doc_id", "n_chars", 0, "poly").alias("__akey"),
+            )
+        )
+        merged = inc if state is None else inc.unionByName(state)
+        state = (
+            merged.withColumn("__rn", F.row_number().over(rank_w))
+            .filter(F.col("__rn") <= 50)
+            .drop("__rn")
+        )
+    return state.select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+
+
+def q_xbm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 from MAINTAINED corpus statistics, driver-verified: the
+    corpus is split into three ticks, each reduced to its additive
+    term-stats increment (``operators/retrieval.py::
+    term_stats_increment``) and folded by per-term summation — exactly
+    ``streaming/structured.py::maintained_term_stats``'s fold — then
+    the whole corpus is scored with ``bm25_from_stats`` against the
+    folded state. The oracle is the direct batch BM25 (the ``xbm25``
+    formula), so the hash match proves fold ≡ batch stats AND
+    from-stats scoring ≡ corpus-rescan scoring through the driver. At
+    100 TB only the tick is ever tokenized; state is vocab-sized."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_from_stats,
+        term_stats_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    stats = None
+    for i in range(3):
+        inc = term_stats_increment(d.filter(F.col("doc_id") % 3 == i))
+        if stats is None:
+            stats = inc
+        else:
+            stats = (
+                stats.unionByName(inc)
+                .groupBy("term")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("tot_len").cast("long").alias("tot_len"),
+                    F.sum("n_len").cast("long").alias("n_len"),
+                )
+            )
+    out = bm25_from_stats(d, _BM25_TERMS, stats)
+    return out.select(
+        "doc_id", "n_terms_matched", F.round("score", 4).alias("score")
+    )
+
+
+def q_xlm_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid Backoff trigram LM scoring (Brants et al. 2007) of the
+    whole corpus against the doc_id < 250 reference slice — the CCNet
+    perplexity-filter shape with counts-only backoff. Docs outside the
+    reference exercise all three backoff branches (attested trigram /
+    backed-off bigram / add-one-floored unigram); the oracle replays
+    the exact count CTEs + backoff CASE
+    (``operators/text.py::stupid_backoff_score``)."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        stupid_backoff_score,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    return stupid_backoff_score(d, reference=d.filter(F.col("doc_id") < 250))
+
+
+def q_xdistinctive_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fightin' Words distinctive vocabulary per lang (Monroe, Colaresi
+    & Quinn 2008): Dirichlet-smoothed log-odds z-scores, top-10 tokens
+    per group — counts exact BIGINT, ln/sqrt the same-machine-libm
+    class (``operators/text.py::distinctive_tokens``)."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        distinctive_tokens,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return distinctive_tokens(t["documents"], "lang", "text", top_k=10)
+
+
+def q_xnegative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-ring negative sampling for contrastive training
+    (``operators/sampling.py::negative_samples``): each doc's 4 ring
+    neighbors in keyed-poly-hash order within 8 hash shards — join-free
+    as-if-random negatives, a pure function of (id set, salt). The
+    oracle replays the ring: h = (poly31(reverse(id)) · k_salt) mod
+    M31 — the REVERSE + multiplicative salt mix is load-bearing
+    (poly31 of same-length strings is monotone in trailing chars)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        negative_samples,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    return negative_samples(
+        t["documents"], "doc_id", k=4, salt=0, hash_fn="poly",
+        mode="sharded", shards=8,
+    )
+
+
+def q_xtop_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-principal-component anisotropy diagnostic over the
+    embeddings corpus (``operators/clustering.py::
+    top_principal_component``): 8 fixed-point L∞ power iterations, all
+    integer (quantize scale=1000 per the recorded overflow bound), so
+    the ENTIRE trajectory — init mix, floor-div normalize with the
+    negative-quotient branch, sign pin — replays exactly in the
+    oracle's 8 unrolled MATERIALIZED CTE iterations. var_share is the
+    one float division, half-up 6dp."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        top_principal_component,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    return top_principal_component(
+        t["embeddings"], "vec_id", "embedding", dim=64, scale=1000
+    )
+
+
+def _phash_twin_corpus(docs: DataFrame) -> DataFrame:
+    """(media_id, phash) corpus with a KNOWN near-dup ground truth:
+    the sha256-stub pHashes of ``docs`` plus, for each, a synthetic
+    twin (id + 100000) whose hash differs in exactly 2 known bits —
+    flipped hex-side on the 32-bit halves. Shared by
+    ``xmm_phash_neardup`` and ``xmm_phash_incremental``."""
+    base = M.perceptual_hash(
+        M.synthesize_media(docs, "doc_id", "text"), use_real_codecs=False
+    )
+    hi = F.conv(F.substring("phash", 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring("phash", 9, 8), 16, 10).cast("long")
+    b1 = F.pmod(F.col("media_id"), F.lit(64))
+    b2 = F.pmod(F.col("media_id") + F.lit(31), F.lit(64))
+    # bit masks per 32-bit half (shiftleft needs an INT column via expr)
+    mhi = F.when(
+        b1 >= 32,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id, 64) - 32 AS INT))"),
+    ).otherwise(F.lit(0)) + F.when(
+        b2 >= 32,
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), "
+            "CAST(pmod(media_id + 31, 64) - 32 AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    mlo = F.when(
+        b1 < 32,
+        F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id, 64) AS INT))"),
+    ).otherwise(F.lit(0)) + F.when(
+        b2 < 32,
+        F.expr(
+            "shiftleft(CAST(1 AS BIGINT), CAST(pmod(media_id + 31, 64) AS INT))"
+        ),
+    ).otherwise(F.lit(0))
+    twins = base.select(
+        (F.col("media_id") + F.lit(100_000)).alias("media_id"),
+        F.format_string(
+            "%08x%08x", hi.bitwiseXOR(mhi), lo.bitwiseXOR(mlo)
+        ).alias("phash"),
+    )
+    return base.select("media_id", "phash").unionByName(twins)
+
+
+def q_xmm_phash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image dedup against a persisted pHash index
+    (``operators/dedup.py::phash_index`` +
+    ``phash_increment_against_index``): the twin corpus's ids < 100
+    form the index; the increment (docs 100–199 + ALL twins) dedups
+    against it and within itself — any-index-match dies,
+    lower-id-wins within. Blobs are never re-decoded; the probe is a
+    pigeonhole-block equi-join with guaranteed recall at Hamming ≤ 3.
+    The oracle replays the fingerprints and brute-forces every pair,
+    so the hash match proves the incremental path drops exactly the
+    true near-dups. Survivors: the 100 non-twin increment docs."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        phash_increment_against_index,
+        phash_index,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    corpus = _phash_twin_corpus(
+        t["documents"].filter(F.col("doc_id") < 200)
+    )
+    idx = phash_index(
+        corpus.filter(F.col("media_id") < 100),
+        "media_id", "phash", max_hamming=3, num_blocks=4,
+    )
+    survivors, _new_rows = phash_increment_against_index(
+        corpus.filter(F.col("media_id") >= 100), idx,
+        "media_id", "phash", max_hamming=3, num_blocks=4,
+    )
+    return survivors.select("media_id")
+
+
+def _with_synthetic_urls(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic ``url`` column over the documents table
+    (documents carries no url — the ``xtext_redact_pii`` synthesized-
+    column pattern): the CANONICAL form is a pure function of
+    ``g = doc_id % 120`` (scheme, host, multi-label TLD, path, the
+    load-bearing ``id`` param), while per-row noise that
+    canonicalization must remove — scheme/host case, explicit default
+    ports, utm_* tracking params, fragments, a bare-host trailing
+    slash — is keyed on ``doc_id`` itself, so rows in the same group
+    present DIFFERENT raw urls with the SAME canonical form."""
+    d = F.col("doc_id")
+    g = d % 120
+    scheme = F.when(g % 2 == 0, F.lit("https")).otherwise(F.lit("http"))
+    host = F.concat(
+        F.when(g % 3 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"),
+        (g % 40).cast("string"),
+        F.when(g % 4 == 0, F.lit(".co.uk"))
+        .when(g % 4 == 1, F.lit(".com"))
+        .when(g % 4 == 2, F.lit(".org"))
+        .otherwise(F.lit(".io")),
+    )
+    scheme_raw = F.when(d % 5 == 0, F.upper(scheme)).otherwise(scheme)
+    host_raw = F.when(d % 5 == 0, F.upper(host)).otherwise(host)
+    port = F.when(
+        d % 3 == 0,
+        F.when(g % 2 == 0, F.lit(":443")).otherwise(F.lit(":80")),
+    ).otherwise(F.lit(""))
+    pathq = F.when(
+        g % 5 == 0,
+        # bare-host group: no query; half the rows carry the trailing
+        # slash canonicalization strips
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+    ).otherwise(
+        F.concat(
+            F.lit("/p/"),
+            (g % 9).cast("string"),
+            F.lit("?utm_source=s"),
+            (d % 4).cast("string"),
+            F.lit("&id="),
+            (g % 7).cast("string"),
+            F.when(d % 2 == 0, F.lit("&utm_campaign=c")).otherwise(
+                F.lit("")
+            ),
+        )
+    )
+    frag = F.when(
+        d % 4 == 0, F.concat(F.lit("#sec"), (d % 6).cast("string"))
+    ).otherwise(F.lit(""))
+    return docs.withColumn(
+        "url",
+        F.concat(scheme_raw, F.lit("://"), host_raw, port, pathq, frag),
+    )
+
+
+def q_xurl_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-exact dedup after conservative canonicalization
+    (``operators/url.py`` — the Dolma/RefinedWeb first pass): raw urls
+    synthesized with case/port/tracking-param/fragment/trailing-slash
+    noise collapse to their canonical form; lowest doc_id per
+    canonical survives, and the survivors report canonical url +
+    registered (pay-level) domain incl. the multi-label-TLD branch.
+    Pure column regexps, zero UDFs; the oracle constructs the
+    canonical form directly from the synthesis arithmetic."""
+    from kamu_engine_datafusion_spark.operators.url import (
+        canonicalize_url,
+        dedup_by_url,
+        registered_domain,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    u = _with_synthetic_urls(t["documents"])
+    surv = dedup_by_url(u, "url", "doc_id")
+    return surv.select(
+        "doc_id",
+        canonicalize_url("url").alias("canon_url"),
+        registered_domain("url").alias("domain"),
+    )
+
+
+def q_xdomain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap + domain-mix data card — the actual
+    RefinedWeb first pass, composed from ``registered_domain`` →
+    ``cap_per_group`` (keyed-hash order, map-side WindowGroupLimit) →
+    ``corpus_card`` grouped by domain: no registered domain
+    contributes more than 5 docs, and the card reports each surviving
+    domain's doc/token counts, length profile, and exact dup rate."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        cap_per_group,
+    )
+    from kamu_engine_datafusion_spark.operators.text import corpus_card
+    from kamu_engine_datafusion_spark.operators.url import (
+        registered_domain,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    u = _with_synthetic_urls(t["documents"]).withColumn(
+        "domain", registered_domain("url")
+    )
+    capped = cap_per_group(u, "doc_id", "domain", cap=5, hash_fn="poly")
+    return corpus_card(capped, group_cols=["domain"]).select(
+        "domain",
+        "n_docs",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_tokens",
+        "pct_short",
+        "n_distinct_texts",
+        "dup_rate",
+    )
+
+
 QUERIES = {
+    "xsample_weighted_merge": q_xsample_weighted_merge,
+    "xbm25_incremental": q_xbm25_incremental,
+    "xlm_backoff": q_xlm_backoff,
+    "xdistinctive_tokens": q_xdistinctive_tokens,
+    "xnegative_samples": q_xnegative_samples,
+    "xtop_pc": q_xtop_pc,
+    "xmm_phash_incremental": q_xmm_phash_incremental,
+    "xurl_dedup": q_xurl_dedup,
+    "xdomain_cap": q_xdomain_cap,
     "xsketch_quantile_merge": q_xsketch_quantile_merge,
     "xsketch_cm_merge": q_xsketch_cm_merge,
     "xwinsorize_sketch": q_xwinsorize_sketch,
@@ -6164,7 +6480,10 @@ ORACLES["xsketch_cm_merge"] = _cm_merge_oracle()
 # blocked Spark result must equal this brute-force all-pairs scan; the
 # Hamming distance sums popcounts of the two 32-bit halves (no signed
 # 64-bit reassembly needed)
-ORACLES["xmm_phash_neardup"] = (
+#: Shared DuckDB CTE prefix for the pHash twin corpus (the SQL twin of
+#: ``_phash_twin_corpus``): fingerprints (hi, lo) of docs < 200 plus
+#: their 2-bit-flipped twins at doc_id + 100000, as view ``u``.
+_PHASH_TWIN_CTES = (
     "WITH m AS (SELECT doc_id, sha256(text) AS d1 FROM documents "
     "WHERE doc_id < 200), "
     "mm AS (SELECT doc_id, d1 || sha256(d1) AS hx FROM m), "
@@ -6193,11 +6512,31 @@ ORACLES["xmm_phash_neardup"] = (
     "(CASE WHEN (doc_id + 31) % 64 < 32 THEN "
     "(CAST(1 AS BIGINT) << CAST((doc_id + 31) % 64 AS INT)) "
     "ELSE 0 END)) AS lo FROM v), "
-    "u AS (SELECT * FROM v UNION ALL SELECT * FROM tw) "
+    "u AS (SELECT * FROM v UNION ALL SELECT * FROM tw)"
+)
+
+ORACLES["xmm_phash_neardup"] = (
+    _PHASH_TWIN_CTES + " "
     "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
     "CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS INT) "
     "AS hamming FROM u a JOIN u b ON a.doc_id < b.doc_id "
     "WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3"
+)
+
+ORACLES["xmm_phash_incremental"] = (
+    _PHASH_TWIN_CTES + ", "
+    # brute-force replay of the incremental path: index = ids < 100,
+    # increment = the rest; any-index-match dies, lower-id-wins within
+    "idx AS (SELECT * FROM u WHERE doc_id < 100), "
+    "inc AS (SELECT * FROM u WHERE doc_id >= 100), "
+    "dead AS (SELECT DISTINCT doc_id FROM ("
+    "SELECT n.doc_id FROM inc n JOIN idx i ON "
+    "bit_count(xor(n.hi, i.hi)) + bit_count(xor(n.lo, i.lo)) <= 3 "
+    "UNION ALL "
+    "SELECT b.doc_id FROM inc a JOIN inc b ON a.doc_id < b.doc_id "
+    "AND bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3)) "
+    "SELECT inc.doc_id AS media_id FROM inc "
+    "WHERE inc.doc_id NOT IN (SELECT doc_id FROM dead)"
 )
 
 
@@ -6314,3 +6653,237 @@ def _index_pairs_oracle() -> str:
 
 
 ORACLES["xdedup_index_pairs"] = _index_pairs_oracle()
+
+
+# merge-law keys score against the very oracle their batch twins use:
+# the fold must equal the one-shot draw / the corpus-rescan statistics
+ORACLES["xsample_weighted_merge"] = ORACLES["xsample_weighted_group"]
+ORACLES["xbm25_incremental"] = ORACLES["xbm25"]
+
+ORACLES["xlm_backoff"] = (
+    # Stupid Backoff replay: exact BIGINT n-gram counts from the
+    # doc_id < 250 reference, the same three-branch CASE, the same
+    # float ops in the same order (alpha2 as 0.4 * 0.4 so both engines
+    # compute the identical IEEE product)
+    "WITH tq AS (SELECT doc_id, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS t FROM documents), "
+    "ref AS (SELECT * FROM tq WHERE doc_id < 250), "
+    "uni AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM "
+    "(SELECT unnest(t) AS w1 FROM ref) GROUP BY w1), "
+    "big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM "
+    "(SELECT t[i] AS w1, t[i + 1] AS w2 FROM ref, "
+    "unnest(generate_series(1, len(t) - 1)) AS u(i)) GROUP BY w1, w2), "
+    "tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c3 FROM "
+    "(SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 FROM ref, "
+    "unnest(generate_series(1, len(t) - 2)) AS u(i)) "
+    "GROUP BY w1, w2, w3), "
+    "nv AS (SELECT CAST(sum(c1) AS BIGINT) AS n, "
+    "CAST(count(*) AS BIGINT) AS v FROM uni), "
+    "pos AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3 "
+    "FROM tq, unnest(generate_series(1, len(t) - 2)) AS u(i)), "
+    "sc AS (SELECT p.doc_id, "
+    "CASE WHEN coalesce(tr.c3, 0) > 0 "
+    "THEN ln(CAST(tr.c3 AS DOUBLE) / b12.c2) "
+    "WHEN coalesce(b23.c2, 0) > 0 "
+    "THEN ln(0.4 * CAST(b23.c2 AS DOUBLE) / u2.c1) "
+    "ELSE ln((0.4 * 0.4) * CAST(coalesce(u3.c1, 0) + 1 AS DOUBLE) "
+    "/ (nv.n + nv.v)) END AS ls "
+    "FROM pos p "
+    "LEFT JOIN tri tr ON tr.w1 = p.w1 AND tr.w2 = p.w2 AND tr.w3 = p.w3 "
+    "LEFT JOIN big b12 ON b12.w1 = p.w1 AND b12.w2 = p.w2 "
+    "LEFT JOIN big b23 ON b23.w1 = p.w2 AND b23.w2 = p.w3 "
+    "LEFT JOIN uni u2 ON u2.w1 = p.w2 "
+    "LEFT JOIN uni u3 ON u3.w1 = p.w3 "
+    "CROSS JOIN nv), "
+    "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
+    "floor(sum(ls) / count(*) * 1000000.0 + 0.5) / 1000000.0 "
+    "AS avg_logscore FROM sc GROUP BY doc_id) "
+    "SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams, "
+    "per.avg_logscore FROM documents d LEFT JOIN per USING (doc_id)"
+)
+
+ORACLES["xdistinctive_tokens"] = (
+    # Fightin' Words replay: exact counts, then the identical float
+    # expression tree (a0 = (1/100)*N, prior = a0*y_all/N, the same
+    # parenthesization as the Column expressions) and half-up 6dp
+    "WITH tok AS (SELECT lang AS grp, "
+    "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token "
+    "FROM documents), "
+    "cnt AS (SELECT grp, token, CAST(count(*) AS BIGINT) AS y "
+    "FROM tok GROUP BY grp, token), "
+    "corpus AS (SELECT token, CAST(sum(y) AS BIGINT) AS y_all "
+    "FROM cnt GROUP BY token), "
+    "tot AS (SELECT grp, CAST(sum(y) AS BIGINT) AS n FROM cnt "
+    "GROUP BY grp), "
+    "al AS (SELECT (CAST(1 AS DOUBLE) / CAST(100 AS DOUBLE)) "
+    "* CAST(sum(y) AS DOUBLE) AS a0, CAST(sum(y) AS DOUBLE) AS nd "
+    "FROM cnt), "
+    "grid AS (SELECT t.grp, c.token, "
+    "CAST(coalesce(x.y, 0) AS BIGINT) AS y_in, c.y_all, t.n "
+    "FROM tot t CROSS JOIN corpus c "
+    "LEFT JOIN cnt x ON x.grp = t.grp AND x.token = c.token), "
+    "g2 AS (SELECT grp, token, y_in, y_all, n, a0, nd, "
+    "a0 * y_all / nd AS pr FROM grid CROSS JOIN al), "
+    "g3 AS (SELECT grp, token, y_in, y_all, "
+    "y_in + pr AS yi, (n + a0) - (y_in + pr) AS di, "
+    "(y_all - y_in) + pr AS yj, "
+    "((nd - n) + a0) - ((y_all - y_in) + pr) AS dj FROM g2), "
+    "g4 AS (SELECT grp, token, y_in, "
+    "CAST(y_all - y_in AS BIGINT) AS n_rest, "
+    "floor((ln(yi / di) - ln(yj / dj)) / sqrt(1.0 / yi + 1.0 / yj) "
+    "* 1000000.0 + 0.5) / 1000000.0 AS zeta FROM g3), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY grp "
+    "ORDER BY zeta DESC, token) AS rn FROM g4) "
+    "SELECT grp, token, y_in AS n_in, n_rest, zeta FROM r WHERE rn <= 10"
+)
+
+ORACLES["xnegative_samples"] = (
+    # hash-ring replay: h = (poly31(reverse(id)) * k_salt) mod M31 with
+    # k_salt = (1103515245 * (0 + 1) + 12345) % M31 = 1103527590; ring
+    # position within 8 hash shards, next-4 neighbors with wrap-around
+    "WITH h AS (SELECT doc_id AS anchor, "
+    "(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform("
+    "string_split(reverse(CAST(doc_id AS VARCHAR)), ''), "
+    "ch -> CAST(ascii(ch) AS BIGINT))), "
+    "(a, b) -> (a * 31 + b) % 2147483647) * 1103527590) % 2147483647 "
+    "AS hv FROM documents), "
+    "r AS (SELECT anchor, hv, hv % 8 AS shard FROM h), "
+    "rn AS (SELECT *, row_number() OVER (PARTITION BY shard "
+    "ORDER BY hv, anchor) AS pos, "
+    "count(*) OVER (PARTITION BY shard) AS n FROM r), "
+    "s AS (SELECT anchor, shard, pos, n, "
+    "unnest(generate_series(1, 4)) AS slot FROM rn), "
+    "p AS (SELECT anchor, shard, slot, "
+    "((pos - 1 + slot) % n) + 1 AS tpos FROM s) "
+    "SELECT p.anchor, nb.anchor AS neg_id, CAST(p.slot AS BIGINT) AS slot "
+    "FROM p JOIN rn nb ON nb.shard = p.shard AND nb.pos = p.tpos"
+)
+
+ORACLES["xurl_dedup"] = (
+    # the synthesis arithmetic constructs the CANONICAL form directly
+    # (the raw-url noise — case, ports, utm params, fragments, bare
+    # slash — is definitionally what canonicalization removes)
+    "WITH u AS (SELECT doc_id, doc_id % 120 AS g FROM documents), "
+    "c AS (SELECT doc_id, "
+    "(CASE WHEN g % 2 = 0 THEN 'https' ELSE 'http' END) || '://' || "
+    "(CASE WHEN g % 3 = 0 THEN 'www.' ELSE '' END) || 'site' || "
+    "CAST(g % 40 AS VARCHAR) || "
+    "(CASE WHEN g % 4 = 0 THEN '.co.uk' WHEN g % 4 = 1 THEN '.com' "
+    "WHEN g % 4 = 2 THEN '.org' ELSE '.io' END) || "
+    "(CASE WHEN g % 5 = 0 THEN '' ELSE '/p/' || CAST(g % 9 AS VARCHAR) "
+    "|| '?id=' || CAST(g % 7 AS VARCHAR) END) AS canon_url, "
+    "'site' || CAST(g % 40 AS VARCHAR) || "
+    "(CASE WHEN g % 4 = 0 THEN '.co.uk' WHEN g % 4 = 1 THEN '.com' "
+    "WHEN g % 4 = 2 THEN '.org' ELSE '.io' END) AS domain FROM u) "
+    "SELECT min(doc_id) AS doc_id, canon_url, domain FROM c "
+    "GROUP BY canon_url, domain"
+)
+
+ORACLES["xdomain_cap"] = (
+    # registered_domain from the synthesis arithmetic, cap_per_group's
+    # keyed-hash order (poly31(id || '#0') % 10000, id), then the
+    # corpus_card aggregate over the survivors
+    "WITH u AS (SELECT doc_id, text, doc_id % 120 AS g FROM documents), "
+    "dom AS (SELECT doc_id, text, 'site' || CAST(g % 40 AS VARCHAR) || "
+    "(CASE WHEN g % 4 = 0 THEN '.co.uk' WHEN g % 4 = 1 THEN '.com' "
+    "WHEN g % 4 = 2 THEN '.org' ELSE '.io' END) AS domain FROM u), "
+    "b AS (SELECT *, "
+    + _poly31_sql("CAST(doc_id AS VARCHAR) || '#0'")
+    + " % 10000 AS bk FROM dom), "
+    "r AS (SELECT *, row_number() OVER (PARTITION BY domain "
+    "ORDER BY bk, doc_id) AS rn FROM b), "
+    "k AS (SELECT domain, text FROM r WHERE rn <= 5), "
+    "c AS (SELECT domain, "
+    "len(string_split_regex(trim(lower(text)), '\\s+')) AS tc, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM k) "
+    "SELECT domain, count(*) AS n_docs, "
+    "CAST(sum(tc) AS BIGINT) AS n_tokens, "
+    "floor(CAST(sum(tc) AS DOUBLE) / count(*) * 100 + 0.5) / 100 "
+    "AS avg_tokens, "
+    "floor(CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS DOUBLE) "
+    "/ count(*) * 10000 + 0.5) / 10000 AS pct_short, "
+    "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts, "
+    "floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)) "
+    "* 10000 + 0.5) / 10000 AS dup_rate "
+    "FROM c GROUP BY domain"
+)
+
+
+def _top_pc_oracle(
+    dim: int = 64,
+    scale: int = 1000,
+    v_scale: int = 1000,
+    iters: int = 8,
+    dp: int = 6,
+) -> str:
+    """DuckDB replay of ``top_principal_component``'s exact integer
+    trajectory: quantize half-up, center with python-floor division
+    (the negative-quotient branch spelled out — DuckDB ``//``
+    truncates), the Knuth-mix init, ``iters`` unrolled MATERIALIZED
+    power iterations with the L∞ floor-div normalize (HUGEINT inside
+    the normalize so ``w·v_scale`` cannot overflow BIGINT mid-
+    expression), the first-nonzero sign pin, and the one float
+    division for var_share (half-up ``dp``)."""
+
+    def pyfloor(a: str, b: str) -> str:
+        # python // FLOORS; DuckDB // truncates toward zero
+        return (
+            f"(CASE WHEN ({a}) >= 0 THEN ({a}) // ({b}) "
+            f"ELSE -((-({a}) + ({b}) - 1) // ({b})) END)"
+        )
+
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT vec_id, i AS j, "
+        f"CAST(floor(CAST(embedding[CAST(i AS INT) + 1] AS DOUBLE) "
+        f"* {float(scale)} + 0.5) AS BIGINT) AS x "
+        f"FROM embeddings CROSS JOIN range(0, {dim}) r(i)), "
+        "cnt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings), "
+        "cent AS (SELECT j, "
+        + pyfloor("CAST(sum(x) AS BIGINT)", "(SELECT n FROM cnt)")
+        + " AS c FROM q GROUP BY j), "
+        "ctr AS MATERIALIZED (SELECT q.vec_id, q.j, q.x - c.c AS x "
+        "FROM q JOIN cent c USING (j)), "
+        f"v0 AS (SELECT j, (j * 2654435761) % {2 * v_scale + 1} "
+        f"- {v_scale} AS v FROM range(0, {dim}) r(j))"
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", s{i} AS MATERIALIZED (SELECT c.vec_id, "
+            "CAST(sum(c.x * v.v) AS BIGINT) AS s "
+            f"FROM ctr c JOIN v{i - 1} v USING (j) GROUP BY c.vec_id)"
+            f", w{i} AS MATERIALIZED (SELECT c.j, "
+            "CAST(sum(s.s * c.x) AS BIGINT) AS w "
+            f"FROM ctr c JOIN s{i} s USING (vec_id) GROUP BY c.j)"
+            f", m{i} AS (SELECT max(abs(w)) AS m FROM w{i})"
+            f", v{i} AS MATERIALIZED (SELECT w.j, "
+            "CAST(CASE WHEN m.m = 0 THEN v.v ELSE "
+            + pyfloor(
+                f"CAST(w.w AS HUGEINT) * {v_scale}", "CAST(m.m AS HUGEINT)"
+            )
+            + " END AS BIGINT) AS v "
+            f"FROM w{i} w JOIN v{i - 1} v USING (j) CROSS JOIN m{i} m)"
+        )
+    parts.append(
+        ", sgn AS (SELECT CASE WHEN coalesce((SELECT v FROM "
+        f"v{iters} WHERE v <> 0 ORDER BY j LIMIT 1), 1) < 0 "
+        "THEN -1 ELSE 1 END AS s), "
+        f"vf AS MATERIALIZED (SELECT j, v * sg.s AS v FROM v{iters} "
+        "CROSS JOIN sgn sg), "
+        "sf AS (SELECT c.vec_id, CAST(sum(c.x * v.v) AS BIGINT) AS s "
+        "FROM ctr c JOIN vf v USING (j) GROUP BY c.vec_id), "
+        "fin AS (SELECT (SELECT CAST(sum(s * s) AS BIGINT) FROM sf) "
+        "AS sv2, (SELECT CAST(sum(x * x) AS BIGINT) FROM ctr) AS tot, "
+        "(SELECT CAST(sum(v * v) AS BIGINT) FROM vf) AS vv) "
+        "SELECT v.j AS j, CAST(v.v AS BIGINT) AS v, "
+        "(SELECT n FROM cnt) AS n_rows, "
+        "CASE WHEN vv > 0 AND tot > 0 THEN "
+        "floor(CAST(sv2 AS DOUBLE) / (CAST(vv AS DOUBLE) "
+        f"* CAST(tot AS DOUBLE)) * {float(10 ** dp)} + 0.5) "
+        f"/ {float(10 ** dp)} ELSE 0.0 END AS var_share "
+        "FROM vf v CROSS JOIN fin"
+    )
+    return "".join(parts)
+
+
+ORACLES["xtop_pc"] = _top_pc_oracle()
