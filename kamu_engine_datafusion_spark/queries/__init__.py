@@ -39,6 +39,70 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
+_PRIORITY_R12 = [
+    # ==== round-12 verification window (first ~50 keys) ====
+    # -- the r06 tail (oldest greens on disk; retires the r06 block) --
+    "xdedup_exact",
+    "xdedup_paragraph",
+    "xmm_features",
+    "xmm_frames",
+    "xpivot",
+    "xrollup_time",
+    "xsessionize",
+    # -- NEW in round 12: the nine staged families, all with oracles --
+    "xsample_weighted_merge",  # NEW: 3-tick A-Res fold == batch draw
+    "xbm25_incremental",  # NEW: folded term stats + bm25_from_stats
+    "xlm_backoff",  # NEW: Stupid Backoff trigram LM scoring
+    "xdistinctive_tokens",  # NEW: Fightin' Words log-odds z top-k
+    "xnegative_samples",  # NEW: hash-ring contrastive negatives
+    "xtop_pc",  # NEW: fixed-point power iteration, 8 CTE iterations
+    "xmm_phash_incremental",  # NEW: image dedup vs persisted pHash index
+    "xurl_dedup",  # NEW: URL canonicalization dedup (synthesized urls)
+    "xdomain_cap",  # NEW: registered_domain → cap → data card compose
+    # -- implementation changed in round 12 (re-verify) --
+    "xmm_phash_neardup",  # twin-corpus construction shared w/ incremental
+    "xdedup_minhash",  # reshaped: survivor set, non-vacuous row count
+    "xdedup_simhash",  # reshaped: survivor set, non-vacuous row count
+    # -- the r08-stale head (oldest cohort once r06 retires) --
+    "xupsample_repeat",
+    "xhybrid_rrf",
+    "xinterleave",
+    "xinterleave_dist",
+    "xledger_compact",
+    "xtext_truncate",
+    "xcorpus_card",
+    "xdedup_cross",
+    "xpipeline_curate",
+    "xdebounce",
+    "xlangid_eval",
+    "xdedup_report",
+    "xvocab_coverage",
+    "xsim_ivf",
+    "xsim_srp_lsh",
+    "xsim_topk_brute",
+    "xskyline",
+    "xsalted_agg",
+    "xsnapshot",
+    "xtext_c4_filter",
+    "xtext_fingerprint",
+    "xtext_gopher",
+    "xtext_langid",
+    "xtext_quality",
+    "xtext_redact_pii",
+    "xtext_repetition",
+    "xtext_tokens",
+    "xsample",
+    "xrange_join",
+    "xmm_decode",
+    "xprofile",
+    # ---- window boundary (50 = 7 r06-tail + 9 new + 3 changed + the
+    # 31-key head of the r08-stale cohort. The r08 tail just below the
+    # cut (b06_filter, b16_groupby_agg, b26_tpch_q3alike,
+    # b10_tpch_q5alike, b01/b02, a03/a04/a06/a08, b05/b07/b08/b09,
+    # b10_join_inner/shuffle, b11_join_left, …) rotates to the r13
+    # head.) ----
+]
+
 _PRIORITY_R11 = [
     # ==== round-11 verification window (first ~50 keys) ====
     # -- NEW in round 11: the four staged r10 families --
@@ -518,14 +582,15 @@ _PRIORITY_R6 = [
     "b39_explode",
 ]
 
-#: The driver-facing order: the round-11 window first, then the prior
+#: The driver-facing order: the round-12 window first, then the prior
 #: windows oldest-last (keys already placed in a newer window are
 #: filtered out — the composition stays duplicate-free and exhaustive
 #: by the entry-contract test).
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R11
+    for k in _PRIORITY_R12
+    + _PRIORITY_R11
     + _PRIORITY_R10
     + _PRIORITY_R9
     + _PRIORITY_R7
