@@ -6696,7 +6696,7 @@ ORACLES["xlm_backoff"] = (
     "LEFT JOIN uni u3 ON u3.w1 = p.w3 "
     "CROSS JOIN nv), "
     "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
-    "floor(sum(ls) / count(*) * 1000000.0 + 0.5) / 1000000.0 "
+    "floor(sum(ls) / count(*) * 1000000 + 0.5) / 1000000.0 "
     "AS avg_logscore FROM sc GROUP BY doc_id) "
     "SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams, "
     "per.avg_logscore FROM documents d LEFT JOIN per USING (doc_id)"
@@ -6731,7 +6731,7 @@ ORACLES["xdistinctive_tokens"] = (
     "g4 AS (SELECT grp, token, y_in, "
     "CAST(y_all - y_in AS BIGINT) AS n_rest, "
     "floor((ln(yi / di) - ln(yj / dj)) / sqrt(1.0 / yi + 1.0 / yj) "
-    "* 1000000.0 + 0.5) / 1000000.0 AS zeta FROM g3), "
+    "* 1000000 + 0.5) / 1000000.0 AS zeta FROM g3), "
     "r AS (SELECT *, row_number() OVER (PARTITION BY grp "
     "ORDER BY zeta DESC, token) AS rn FROM g4) "
     "SELECT grp, token, y_in AS n_in, n_rest, zeta FROM r WHERE rn <= 10"

@@ -509,6 +509,8 @@ def _apply_intent(state_dir: str) -> None:
         return
     with open(intent_path) as f:
         intent = json.loads(f.read())
+    if "append" in intent:
+        return  # an append-fold intent: _apply_append_intent owns it
     os.makedirs(state_dir, exist_ok=True)
     for b in intent["apply"]:
         src = os.path.join(stage, f"{_BUCKET_COL}={b}")
@@ -520,6 +522,119 @@ def _apply_intent(state_dir: str) -> None:
         shutil.rmtree(
             os.path.join(state_dir, f"{_BUCKET_COL}={b}"), ignore_errors=True
         )
+    _write_root_marker(state_dir, intent["batch_id"])
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+def _fold_buckets_append(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_dir: str,
+    key_cols: list[str],
+    n_buckets: int,
+    new_rows_fn,
+) -> None:
+    """APPEND-ONLY bucketed fold for purely-additive state (rows, once
+    stored, never change — the pHash dedup index: survivors stay
+    survivors forever). ``new_rows_fn(state_subset_or_None, batch_df)``
+    returns ONLY the rows to add; they are staged per bucket and MOVED
+    into the live bucket dirs as new files under deterministic
+    ``b{batch_id}-{i}.parquet`` names — the write is O(increment), not
+    O(touched state), which is what keeps a 10k-image tick flat
+    against a ≥1M-fingerprint index (the rewrite fold's touched-bucket
+    rewrite is O(state) once a uniform increment touches every
+    bucket). Exactly-once: replayed batches skip on the root marker;
+    a crash mid-move re-applies idempotently (deterministic dst names,
+    ``os.replace`` per file, already-moved sources are gone)."""
+    import json
+    import os
+    import shutil
+
+    _apply_intent(state_dir)  # heal any interrupted prior tick first
+    _apply_append_intent(state_dir)
+    if _last_folded_batch(state_dir) >= batch_id:
+        return  # crash-replayed batch: already folded into state
+    sess = batch_df.sparkSession
+    bucket = _bucket_of(key_cols, n_buckets)
+    touched = sorted(
+        r[0]
+        for r in batch_df.select(bucket.alias(_BUCKET_COL)).distinct().collect()
+    )
+    if not touched:  # empty increment: just advance the marker
+        os.makedirs(state_dir, exist_ok=True)
+        _write_root_marker(state_dir, batch_id)
+        return
+    state_subset = None
+    have_state = any(
+        os.path.isdir(os.path.join(state_dir, f"{_BUCKET_COL}={b}"))
+        for b in touched
+    )
+    if have_state:
+        state_subset = (
+            sess.read.parquet(state_dir)
+            .filter(F.col(_BUCKET_COL).isin([int(b) for b in touched]))
+            .drop(_BUCKET_COL)
+        )
+    new_rows = new_rows_fn(state_subset, batch_df)
+    stage = _stage_dir(state_dir)
+    shutil.rmtree(stage, ignore_errors=True)  # stale uncommitted staging
+    (
+        new_rows.withColumn(_BUCKET_COL, _bucket_of(key_cols, n_buckets))
+        .repartition(len(touched), _BUCKET_COL)
+        .write.partitionBy(_BUCKET_COL)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    moves: list[list[str]] = []
+    for b in touched:
+        bdir = os.path.join(stage, f"{_BUCKET_COL}={b}")
+        if not os.path.isdir(bdir):
+            continue
+        files = sorted(
+            f for f in os.listdir(bdir)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+        moves.extend(
+            [
+                os.path.join(f"{_BUCKET_COL}={b}", f),
+                os.path.join(f"{_BUCKET_COL}={b}", f"b{batch_id}-{i}.parquet"),
+            ]
+            for i, f in enumerate(files)
+        )
+    tmp = os.path.join(stage, _INTENT + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(
+            json.dumps(
+                {"batch_id": batch_id, "append": moves, "apply": [], "drop": []}
+            )
+        )
+    os.replace(tmp, os.path.join(stage, _INTENT))  # commit point
+    _apply_append_intent(state_dir)
+
+
+def _apply_append_intent(state_dir: str) -> None:
+    """Idempotently move a committed append staging's files into the
+    live bucket dirs. Re-runnable from any crash point: an
+    already-moved file's source is gone (skipped), destination names
+    are deterministic so a re-run cannot double-append."""
+    import json
+    import os
+    import shutil
+
+    stage = _stage_dir(state_dir)
+    intent_path = os.path.join(stage, _INTENT)
+    if not os.path.isfile(intent_path):
+        return
+    with open(intent_path) as f:
+        intent = json.loads(f.read())
+    if "append" not in intent:
+        return  # a rewrite-fold intent: _apply_intent owns it
+    for src_rel, dst_rel in intent["append"]:
+        src = os.path.join(stage, src_rel)
+        dst = os.path.join(state_dir, dst_rel)
+        if os.path.isfile(src):
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.replace(src, dst)
     _write_root_marker(state_dir, intent["batch_id"])
     shutil.rmtree(stage, ignore_errors=True)
 
@@ -1430,16 +1545,16 @@ def maintained_phash_index(
             .distinct()
         )
         dead = within if vs_index is None else vs_index.unionByName(within)
-        new_rows = inc_chunks.join(dead.distinct(), "media_id", "left_anti")
-        if state_subset is None:
-            return new_rows
-        return state_subset.unionByName(new_rows)
+        # ONLY the new survivor rows: the index is purely additive
+        # (a stored survivor never changes), so the fold APPENDS —
+        # per-tick write cost O(increment), never O(touched state)
+        return inc_chunks.join(dead.distinct(), "media_id", "left_anti")
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         inc_chunks = phash_index(
             batch_df, id_col, phash_col, max_hamming, num_blocks
         )
-        _fold_buckets(
+        _fold_buckets_append(
             inc_chunks, batch_id, state_dir, ["__block"], state_buckets,
             _merge,
         )

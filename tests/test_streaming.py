@@ -1518,6 +1518,83 @@ def test_maintained_phash_index_replayed_batch_is_skipped(spark, tmp_path):
     assert after == before
 
 
+def test_phash_append_intent_heals_at_every_crash_point(spark, tmp_path):
+    """The append-only fold's crash protocol: a committed append intent
+    left by a crash (a) is NOT destroyed by the rewrite fold's
+    _apply_intent, (b) applies idempotently — re-running
+    _apply_append_intent moves nothing twice (deterministic dst names,
+    moved sources gone), and the state equals the uncrashed run's."""
+    import shutil
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _apply_append_intent,
+        _apply_intent,
+        _stage_dir,
+        maintained_phash_index,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "paledger")
+    state_dir = os.path.join(str(tmp_path), "pastate")
+    ck = os.path.join(str(tmp_path), "pack")
+    os.makedirs(ledger_dir)
+    spark.createDataFrame(
+        [(1, format(0xABCDEF0123456789, "016x")),
+         (2, format(0x1111222233334444, "016x"))],
+        "media_id long, phash string",
+    ).coalesce(1).write.mode("append").parquet(ledger_dir)
+    sch = spark.read.parquet(ledger_dir).schema
+    maintained_phash_index(
+        ledger_dir, state_dir, ck, schema=sch, spark=spark
+    ).awaitTermination()
+    want = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("media_id", "fp")
+        .collect()
+    )
+    # simulate the crash: reconstruct a committed-but-unapplied append
+    # intent by moving one live bucket file back into a staging dir
+    import json
+
+    stage = _stage_dir(state_dir)
+    os.makedirs(stage, exist_ok=True)
+    moved = None
+    for bdir in sorted(os.listdir(state_dir)):
+        full = os.path.join(state_dir, bdir)
+        if not (bdir.startswith("__bucket") and os.path.isdir(full)):
+            continue
+        files = sorted(f for f in os.listdir(full) if f.endswith(".parquet"))
+        if files:
+            os.makedirs(os.path.join(stage, bdir), exist_ok=True)
+            os.replace(
+                os.path.join(full, files[0]),
+                os.path.join(stage, bdir, "part-crash.parquet"),
+            )
+            moved = (
+                os.path.join(bdir, "part-crash.parquet"),
+                os.path.join(bdir, files[0]),
+            )
+            break
+    assert moved is not None
+    with open(os.path.join(stage, "_intent"), "w") as f:
+        f.write(json.dumps({"batch_id": 0, "append": [list(moved)]}))
+    # (a) the rewrite fold's healer must leave the append intent alone
+    _apply_intent(state_dir)
+    assert os.path.isdir(stage)
+    # (b) the append healer applies it — and is idempotent
+    _apply_append_intent(state_dir)
+    assert not os.path.isdir(stage)
+    _apply_append_intent(state_dir)
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("media_id", "fp")
+        .collect()
+    )
+    assert got == want
+
+
 def test_maintained_components_node_index_opt_out(spark, tmp_path):
     """node_index=False: pure full-scan resolve, no .nodeidx dir ever
     created, results identical to the indexed mode."""
