@@ -646,3 +646,67 @@ def winsorize_from_sketch(
     return joined.withColumn(
         f"{value_col}_winsorized", clipped
     ).drop("__wlo", "__whi")
+
+
+def rater_agreement(
+    df: DataFrame, col_a: str, col_b: str, dp: int = 6
+) -> DataFrame:
+    """Cohen's kappa between two per-row label columns (Cohen 1960) —
+    the label-QA companion of :func:`confusion_matrix`: how much two
+    raters (a human pass vs a classifier, two classifier versions, a
+    heuristic vs a model) agree BEYOND chance. ``κ = (p_o − p_e) /
+    (1 − p_e)`` with observed agreement ``p_o = Σ_i n_ii / n`` and
+    chance agreement ``p_e = Σ_i (row_i · col_i) / n²``.
+
+    Returns ONE row ``(n_rows, n_agree, po, pe, kappa)`` — counts
+    exact BIGINT, the three ratios half-up ``dp`` from exact integer
+    sums, so the whole row is engine-portable (no float accumulation
+    order in play). Rows where either label is NULL are excluded
+    (agreement over missing labels is undefined). Degenerate corpus
+    (p_e = 1: both raters constant and equal) returns κ = 1.0 if they
+    agree everywhere — the standard convention — via a when-guard
+    instead of 0/0.
+
+    Scale: one |A|×|B|-sized groupBy count; everything after runs on
+    that bounded table.
+    """
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    cells = (
+        df.filter(F.col(col_a).isNotNull() & F.col(col_b).isNotNull())
+        .groupBy(
+            F.col(col_a).cast("string").alias("__a"),
+            F.col(col_b).cast("string").alias("__b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    row_tot = cells.groupBy("__a").agg(F.sum("__n").alias("__ra"))
+    col_tot = cells.groupBy("__b").agg(F.sum("__n").alias("__cb"))
+    # Σ row_i·col_i over the LABEL UNIVERSE = join on equal label value
+    chance = (
+        row_tot.join(col_tot, F.col("__a") == F.col("__b"))
+        .agg(F.sum(F.col("__ra") * F.col("__cb")).alias("__pe_num"))
+        .select(F.coalesce("__pe_num", F.lit(0)).alias("__pe_num"))
+    )
+    totals = cells.agg(
+        F.sum("__n").cast("long").alias("n_rows"),
+        F.coalesce(
+            F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_agree"),
+    )
+    j = totals.crossJoin(F.broadcast(chance))
+    po = F.col("n_agree") / F.col("n_rows")
+    pe = F.col("__pe_num") / (F.col("n_rows") * F.col("n_rows"))
+    kappa = F.when(pe == 1.0, F.when(po == 1.0, F.lit(1.0)).otherwise(
+        F.lit(0.0)
+    )).otherwise((po - pe) / (F.lit(1.0) - pe))
+    return j.select(
+        "n_rows",
+        "n_agree",
+        half_up(po, dp).alias("po"),
+        half_up(pe, dp).alias("pe"),
+        half_up(kappa, dp).alias("kappa"),
+    )

@@ -703,3 +703,104 @@ def mmr_diversify(
     return corpus.sparkSession.createDataFrame(
         out_rows, f"rank long, {id_col} long, rel double, mmr double"
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    anchors: DataFrame,
+    k: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    round_dp: int = 4,
+    max_anchor_rows: int = 10_000,
+) -> DataFrame:
+    """HARD negative mining for contrastive training: for each anchor,
+    the ``k`` most-similar corpus vectors with a DIFFERENT label —
+    the standard upgrade over random negatives (ring sampling,
+    ``operators/sampling.py::negative_samples``): negatives that are
+    near the anchor in embedding space but belong to another class
+    carry the gradient signal random ones don't (Robinson et al. 2021,
+    "Contrastive Learning with Hard Negative Samples").
+
+    Same execution contract as :func:`topk_batch` (one corpus pass,
+    anchors ride the closure — bounded by ``max_anchor_rows``, raises
+    loudly beyond it): each Arrow batch is scored with one numpy
+    matmul, same-label candidates and the anchor itself are masked
+    OUT, the batch reduces to its local top-k per anchor (exact
+    prune), and only ``anchors × k × batches`` survivor rows reach the
+    global rank window. Ordering ``(round(cosine, round_dp) DESC, id)``
+    — reproducible across engines, ties on id.
+
+    Returns ``(anchor_id, neg_id, neg_label, cosine, rank)``.
+    """
+    import numpy as np
+    import pandas as pd
+
+    n_anchor = anchors.count()
+    if n_anchor > max_anchor_rows:
+        raise ValueError(
+            f"hard_negatives: {n_anchor} anchors exceed max_anchor_rows="
+            f"{max_anchor_rows}; mine in batches (the anchor matrix rides "
+            "the task closure)"
+        )
+    arows = (
+        anchors.select(id_col, vec_col, label_col).orderBy(id_col).collect()
+    )
+    if not arows:
+        schema = (
+            "anchor_id long, neg_id long, neg_label long, "
+            "cosine double, rank long"
+        )
+        return corpus.sparkSession.createDataFrame([], schema)
+    aids = np.array([r[id_col] for r in arows], dtype=np.int64)
+    alab = np.array([r[label_col] for r in arows], dtype=np.int64)
+    am = np.array(
+        [list(map(float, r[vec_col])) for r in arows], dtype=np.float64
+    )
+    an = np.linalg.norm(am, axis=1, keepdims=True)
+    am = np.where(an == 0.0, 0.0, am / np.where(an == 0.0, 1.0, an))
+
+    def score(batches):
+        for pdf in batches:
+            vn = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            ids = pdf[id_col].to_numpy()
+            labs = pdf[label_col].to_numpy()
+            norms = np.linalg.norm(vn, axis=1, keepdims=True)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = np.where(norms == 0.0, 0.0, vn / norms) @ am.T
+            cos = np.round(cos, round_dp)
+            # mask: same label or the anchor row itself can never be a
+            # negative — drop below any reachable cosine
+            cos[labs[:, None] == alab[None, :]] = -2.0
+            cos[ids[:, None] == aids[None, :]] = -2.0
+            take = min(k, cos.shape[0])
+            out_a, out_id, out_lab, out_c = [], [], [], []
+            for j in range(cos.shape[1]):
+                order = np.lexsort((ids, -cos[:, j]))[:take]
+                keep = order[cos[order, j] > -2.0]
+                out_a.append(np.full(len(keep), aids[j]))
+                out_id.append(ids[keep])
+                out_lab.append(labs[keep])
+                out_c.append(cos[keep, j])
+            yield pd.DataFrame(
+                {
+                    "anchor_id": np.concatenate(out_a),
+                    "neg_id": np.concatenate(out_id),
+                    "neg_label": np.concatenate(out_lab),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    from pyspark.sql import Window
+
+    survivors = corpus.select(id_col, vec_col, label_col).mapInPandas(
+        score,
+        "anchor_id long, neg_id long, neg_label long, cosine double",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("neg_id")
+    )
+    return survivors.withColumn(
+        "rank", F.row_number().over(w).cast("long")
+    ).filter(F.col("rank") <= k)

@@ -1044,6 +1044,62 @@ def maintained_quantile_sketch(
     )
 
 
+def maintained_kmv(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    key_col: str,
+    k: int = 256,
+    hash_fn: str = "poly",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 4,
+):
+    """Continuously-maintained per-group KMV DISTINCT-COUNT sketch over
+    an append stream (``operators/sketches.py::kmv_sketch``). The KMV
+    state — the k smallest distinct key hashes — is a pure function of
+    the input SET, so the per-tick fold (union the tick's sketch with
+    the touched buckets' state, re-take the k smallest) is an EXACT
+    merge: after any number of ticks the stored state equals the batch
+    sketch of the whole ledger row-for-row, and
+    ``kmv_estimate(read_maintained_state(...))`` is the live distinct
+    count. Duplicate re-deliveries are harmless (hv is idempotent
+    under distinct). State ≤ k longs per group; per-tick cost
+    O(increment + touched buckets). Retractions unsupported (a removed
+    key's hash cannot be un-retained); feed the append/live stream."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, batch_df):
+        inc = kmv_sketch(batch_df, [group_col], key_col, k, hash_fn)
+        if state_subset is None:
+            return inc
+        return kmv_merge([state_subset, inc], [group_col], k)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df, batch_id, state_dir, [group_col], state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_weighted_sample(
     ledger_dir: str,
     state_dir: str,

@@ -206,3 +206,60 @@ def test_zone_map_audit_zorder_layout_prunes_both_dims(spark):
     for r in got:
         assert r["n_chunks"] == 256
         assert r["skip_frac"] == 0.9375, r
+
+
+def test_rater_agreement_matches_python_kappa(spark):
+    """Cohen's kappa replayed exactly in python from the same counts
+    (the recorded oracle design: cell counts → row/col totals joined
+    on equal label → one float row, half-up 6dp)."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.profile import (
+        rater_agreement,
+    )
+
+    # deliberately asymmetric label universes: rater b never says 'c',
+    # rater a never says 'd' — p_e joins on the COMMON labels only
+    rows = (
+        [("a", "a")] * 40 + [("a", "b")] * 10 + [("b", "b")] * 25
+        + [("b", "a")] * 5 + [("c", "a")] * 7 + [("a", "d")] * 3
+    )
+    df = spark.createDataFrame(rows, "r1 string, r2 string")
+    got = rater_agreement(df, "r1", "r2").first()
+    n = len(rows)
+    agree = sum(1 for x, y in rows if x == y)
+    po = agree / n
+    labels = set(x for x, _ in rows) | set(y for _, y in rows)
+    pe = sum(
+        sum(1 for x, _ in rows if x == lb) * sum(1 for _, y in rows if y == lb)
+        for lb in labels
+    ) / (n * n)
+    kappa = (po - pe) / (1.0 - pe)
+    hu = lambda v: math.floor(v * 1e6 + 0.5) / 1e6  # noqa: E731
+    assert (got["n_rows"], got["n_agree"]) == (n, agree)
+    assert (got["po"], got["pe"], got["kappa"]) == (hu(po), hu(pe), hu(kappa))
+
+
+def test_rater_agreement_edges(spark):
+    from kamu_engine_datafusion_spark.operators.profile import (
+        rater_agreement,
+    )
+
+    # constant equal raters: p_e = 1, p_o = 1 -> kappa 1.0 by the
+    # documented convention (not 0/0)
+    same = spark.createDataFrame([("x", "x")] * 9, "r1 string, r2 string")
+    r = rater_agreement(same, "r1", "r2").first()
+    assert (r["po"], r["pe"], r["kappa"]) == (1.0, 1.0, 1.0)
+    # NULL labels excluded from every count
+    withnull = spark.createDataFrame(
+        [("x", "x"), ("x", None), (None, "x"), ("y", "x")],
+        "r1 string, r2 string",
+    )
+    r2 = rater_agreement(withnull, "r1", "r2").first()
+    assert (r2["n_rows"], r2["n_agree"]) == (2, 1)
+    # disjoint label universes: p_e = 0, kappa == po
+    disj = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "r1 string, r2 string"
+    )
+    r3 = rater_agreement(disj, "r1", "r2").first()
+    assert (r3["pe"], r3["kappa"]) == (0.0, r3["po"])

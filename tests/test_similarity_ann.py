@@ -229,3 +229,74 @@ def test_pq_topk_rejects_indivisible_dim(spark):
 
     with pytest.raises(ValueError, match="not divisible"):
         pq_topk(_pq_blob_df(spark), "vec_id", "embedding", dim=4, m_sub=3)
+
+
+def test_hard_negatives_matches_numpy_replay(spark):
+    """Per anchor: the k nearest OTHER-label vectors, (rounded cosine
+    desc, id) order — replayed exactly in numpy (the recorded oracle
+    design: bounded anchor set cross-joined in SQL, same rounding)."""
+    import numpy as np
+
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)], i % 3)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    anchors = df.filter(F.col("vec_id") < 5)
+    got = sorted(
+        (r["anchor_id"], r["rank"], r["neg_id"], r["neg_label"], r["cosine"])
+        for r in hard_negatives(df, anchors, k=4).collect()
+    )
+    m = np.array([v for _, v, _ in rows])
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    want = []
+    for a in range(5):
+        cos = np.round(m @ m[a], 4)
+        cand = [
+            (-cos[j], j) for j in range(60) if rows[j][2] != rows[a][2]
+        ]
+        for rk, (negc, j) in enumerate(sorted(cand)[:4], start=1):
+            want.append((a, rk, j, rows[j][2], -negc))
+    assert got == sorted(want)
+    # self/same-label never appear even at rank boundaries
+    assert all(lab != rows[a][2] for a, _, _, lab, _ in got)
+
+
+def test_hard_negatives_partition_independent_and_guarded(spark):
+    import numpy as np
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    rng = np.random.default_rng(12)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=4)], i % 2)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label long"
+    )
+    anchors = df.filter(F.col("vec_id") < 3)
+    a = sorted(tuple(r) for r in hard_negatives(df, anchors, k=3).collect())
+    b = sorted(
+        tuple(r)
+        for r in hard_negatives(df.repartition(7), anchors, k=3).collect()
+    )
+    assert a == b and len(a) == 9
+    with pytest.raises(ValueError, match="max_anchor_rows"):
+        hard_negatives(df, df, k=2, max_anchor_rows=10)
+    # empty anchors: empty result, stable schema
+    empty = hard_negatives(df, df.filter(F.col("vec_id") < 0), k=2)
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        "anchor_id", "neg_id", "neg_label", "cosine", "rank",
+    ]

@@ -449,3 +449,148 @@ def test_qsketch_null_id_and_value_rows_are_dropped_defined(spark):
     ).first()
     assert rep["n"] == 2  # exact side matches the sketch population
     assert rep["exact_p1_2"] == 1  # rank over [1, 5] -> idx 1
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch (r12: staged for an r13 driver key)
+# ---------------------------------------------------------------------------
+
+
+def test_kmv_state_matches_python_reference(spark):
+    """The retained rows ARE the k smallest distinct poly hashes of
+    key || '#kmv' per group — replayed exactly in python (the recorded
+    DuckDB-oracle design: distinct → row_number ≤ k over (grp, hv))."""
+    from kamu_engine_datafusion_spark.operators.sketches import kmv_sketch
+
+    rows = [(w[0], w) for w in _WORDS]
+    df = spark.createDataFrame(rows, "g string, key string")
+    got = sorted(
+        (r["g"], r["hv"])
+        for r in kmv_sketch(df, ["g"], "key", k=16).collect()
+    )
+    want = []
+    bygroup: dict[str, set[int]] = {}
+    for g, w in rows:
+        bygroup.setdefault(g, set()).add(_poly(w + "#kmv"))
+    for g, hvs in bygroup.items():
+        want.extend((g, hv) for hv in sorted(hvs)[:16])
+    assert got == sorted(want)
+
+
+def test_kmv_merge_equals_batch_sketch(spark):
+    """The exact merge law: merge of per-part sketches == the sketch
+    of the union, row-for-row — disjoint AND overlapping parts (hv is
+    idempotent under distinct)."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [(w[0], w) for w in _WORDS]
+    df = spark.createDataFrame(rows, "g string, key string")
+    full = kmv_sketch(df, ["g"], "key", k=16)
+    parts = [
+        df.filter(F.pmod(F.xxhash64("key"), F.lit(3)) == i)
+        for i in range(3)
+    ]
+    merged = kmv_merge(
+        [kmv_sketch(p, ["g"], "key", k=16) for p in parts], ["g"], 16
+    )
+    a = sorted(tuple(r) for r in full.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b and len(a) > 0
+    # overlapping parts: re-merging the full sketch with one part
+    # changes nothing
+    again = kmv_merge([full, kmv_sketch(parts[0], ["g"], "key", 16)],
+                      ["g"], 16)
+    c = sorted(tuple(r) for r in again.collect())
+    assert c == a
+
+
+def test_kmv_estimate_exact_below_k_and_close_above(spark):
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    rows = [("small", f"s{i}") for i in range(40)] + [
+        ("big", w) for w in _WORDS
+    ]
+    df = spark.createDataFrame(rows, "g string, key string")
+    est = {
+        r["g"]: (r["n_state"], r["dv_est"])
+        for r in kmv_estimate(
+            kmv_sketch(df, ["g"], "key", k=64), ["g"], k=64
+        ).collect()
+    }
+    # below k: exact
+    assert est["small"] == (40, 40.0)
+    # above k: within 25% of the true distinct count at k=64
+    truth = len(set(w for g, w in rows if g == "big"))
+    n_state, dv = est["big"]
+    assert n_state == 64 and abs(dv - truth) / truth < 0.25
+
+
+def test_kmv_partition_independent_and_null_keys_dropped(spark):
+    from kamu_engine_datafusion_spark.operators.sketches import kmv_sketch
+
+    rows = [("g", w) for w in _WORDS] + [("g", None)] * 5
+    df = spark.createDataFrame(rows, "g string, key string")
+    a = sorted(tuple(r) for r in kmv_sketch(df, ["g"], "key", 8).collect())
+    b = sorted(
+        tuple(r)
+        for r in kmv_sketch(df.repartition(7), ["g"], "key", 8).collect()
+    )
+    assert a == b and len(a) == 8
+
+
+def test_maintained_kmv_equals_batch(spark, tmp_path):
+    """3-tick maintained fold == the batch KMV sketch of the whole
+    ledger row-for-row (the exact merge law through the bucketed
+    exactly-once protocol), and the live estimate reads from state."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_kmv,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "kledger")
+    state_dir = os.path.join(str(tmp_path), "kstate")
+    ck = os.path.join(str(tmp_path), "kck")
+    os.makedirs(ledger_dir)
+    schema = "g string, key string"
+    all_rows = []
+
+    def tick(rows):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_kmv(
+            ledger_dir, state_dir, ck, "g", "key", k=16,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    ws = list(_WORDS)
+    tick([(w[0], w) for w in ws[:150]])
+    tick([(w[0], w) for w in ws[150:300]])
+    tick([(w[0], w) for w in ws[300:]] + [("zz", "dup"), ("zz", "dup")])
+    state = read_maintained_state(spark, state_dir).select("g", "hv")
+    got = sorted(tuple(r) for r in state.collect())
+    want = sorted(
+        tuple(r)
+        for r in kmv_sketch(
+            spark.createDataFrame(all_rows, schema), ["g"], "key", k=16
+        ).collect()
+    )
+    assert got == want
+    est = {
+        r["g"]: r["dv_est"]
+        for r in kmv_estimate(state, ["g"], k=16).collect()
+    }
+    assert est["zz"] == 1.0  # dup counted once, exact below k

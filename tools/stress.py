@@ -828,19 +828,119 @@ def main() -> None:
         assert n_indexed > n_index  # the tick's novel images landed
         return dt
 
-    if not args.only or "maintained" in args.only:
+    # -- r12-staged families (r13 driver-key candidates) --
+    from kamu_engine_datafusion_spark.operators.profile import (
+        rater_agreement,
+    )
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        hard_negatives,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    t(
+        "kmv_sketch_5m_1000groups",
+        lambda: kmv_estimate(
+            kmv_sketch(
+                spark.range(5_000_000).selectExpr(
+                    "concat('g', id % 1000) AS grp",
+                    "concat('k', id % 800000) AS key",
+                ),
+                ["grp"], "key", k=256, hash_fn="xxhash64",
+            ),
+            ["grp"], k=256,
+        ).count(),
+    )
+    t(
+        "hard_negatives_200k_corpus_100anchors",
+        lambda: hard_negatives(
+            spark.range(200_000).selectExpr(
+                "id AS vec_id",
+                "transform(sequence(1, 16), j -> "
+                "cast(pmod(xxhash64(id, j), 1000) - 500 AS DOUBLE)) "
+                "AS embedding",
+                "cast(id % 10 AS BIGINT) AS label",
+            ),
+            spark.range(200_000).selectExpr(
+                "id AS vec_id",
+                "transform(sequence(1, 16), j -> "
+                "cast(pmod(xxhash64(id, j), 1000) - 500 AS DOUBLE)) "
+                "AS embedding",
+                "cast(id % 10 AS BIGINT) AS label",
+            ).filter("vec_id < 100"),
+            k=4,
+        ).count(),
+    )
+    t(
+        "rater_agreement_5m",
+        lambda: rater_agreement(
+            spark.range(5_000_000).selectExpr(
+                "concat('l', id % 7) AS r1",
+                "concat('l', (id + CASE WHEN id % 5 = 0 THEN 1 "
+                "ELSE 0 END) % 7) AS r2",
+            ),
+            "r1", "r2",
+        ).count(),
+    )
+
+    def _kmv_tick_cost(n_keys: int) -> float:
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            maintained_kmv,
+        )
+
+        base = f"{args.data_dir}/__kmv_{n_keys}"
+        shutil.rmtree(base, ignore_errors=True)
+        ledger, state, ck = f"{base}/l", f"{base}/s", f"{base}/c"
+        os.makedirs(ledger)
+        spark.range(n_keys).selectExpr(
+            "concat('g', id % 100) AS grp", "concat('k', id) AS key"
+        ).write.mode("append").parquet(ledger)
+        sch = spark.read.parquet(ledger).schema
+        maintained_kmv(
+            ledger, state, ck, "grp", "key", k=256, hash_fn="xxhash64",
+            schema=sch, spark=spark,
+        ).awaitTermination()
+        spark.range(n_keys, n_keys + 100_000).selectExpr(
+            "concat('g', id % 100) AS grp", "concat('k', id) AS key"
+        ).write.mode("append").parquet(ledger)
+        t0 = time.time()
+        maintained_kmv(
+            ledger, state, ck, "grp", "key", k=256, hash_fn="xxhash64",
+            schema=sch, spark=spark,
+        ).awaitTermination()
+        dt = time.time() - t0
+        assert (
+            read_maintained_state(spark, state).count() <= 256 * 100
+        )  # state stays ≤ k rows per group regardless of ledger size
+        return dt
+
+    def _want(name: str) -> bool:
+        return not args.only or args.only in name
+
+    if _want("maintained_kmv"):
+        for nn in (1_000_000, 10_000_000):
+            print(
+                f"maintained_kmv_tick_keys{nn}: "
+                f"{_kmv_tick_cost(nn):.2f}s",
+                flush=True,
+            )
+    if _want("maintained_components"):
         for nn in (100_000, 1_000_000):
             print(
                 f"maintained_components_tick_state{nn}: "
                 f"{_cc_tick_cost(nn):.2f}s",
                 flush=True,
             )
+    if _want("maintained_wsample"):
         for inc in (100_000, 1_000_000):
             print(
                 f"maintained_wsample_tick_inc{inc}: "
                 f"{_ws_tick_cost(inc):.2f}s",
                 flush=True,
             )
+    if _want("maintained_phash"):
         for nn in (100_000, 1_000_000):
             print(
                 f"maintained_phash_tick_state{nn}: "
