@@ -705,3 +705,71 @@ def kmv_estimate(
         .otherwise(half_up(F.lit(float(k - 1)) / u_k, dp))
         .alias("dv_est"),
     )
+
+
+def kmv_pairwise_jaccard(
+    sketch: DataFrame, group_col: str, k: int, dp: int = 4
+) -> DataFrame:
+    """Pairwise Jaccard overlap estimates between ALL groups computed
+    from their KMV sketches ALONE (Beyer et al. 2007 §5: set-operation
+    estimates from k-minimum-values synopses) — the cross-source
+    overlap matrix (``cross_source_overlap`` re-scans content; this
+    reads vocab-sized state, so it runs on the MAINTAINED sketch
+    without touching the corpus).
+
+    For groups ``a < b``: take the k smallest hashes of the pair's
+    UNION (both sketches merged — exact, the KMV merge law), and
+    estimate ``J(A, B) ≈ |{h ∈ K : h ∈ sk(A) ∧ h ∈ sk(B)}| / |K|``.
+    Deterministic given the hash function (the oracle replays it
+    exactly); standard error ~1/√k.
+
+    Returns ``(grp_a, grp_b, n_union_sketch, n_both, jaccard_est)``
+    for every unordered pair, natively-ordered ``grp_a < grp_b``.
+
+    Scale: the input is the SKETCH (≤ k rows per group — metadata,
+    never the corpus), so the pair fan-out is bounded by |groups|²·k;
+    the rank filter per pair gets the map-side WindowGroupLimit.
+    """
+    from pyspark.sql import Window
+
+    groups = sketch.select(F.col(group_col).alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("grp_a"))
+        .crossJoin(groups.select(F.col("__g").alias("grp_b")))
+        .filter(F.col("grp_a") < F.col("grp_b"))
+    )
+    rows = sketch.select(F.col(group_col).alias("__g"), "hv")
+    member = (
+        rows.join(
+            F.broadcast(pairs),
+            (F.col("__g") == F.col("grp_a"))
+            | (F.col("__g") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "hv")
+        .agg(
+            F.max((F.col("__g") == F.col("grp_a")).cast("int")).alias(
+                "__in_a"
+            ),
+            F.max((F.col("__g") == F.col("grp_b")).cast("int")).alias(
+                "__in_b"
+            ),
+        )
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hv")
+    topk = member.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    return topk.groupBy("grp_a", "grp_b").agg(
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+        F.sum(
+            (F.col("__in_a") + F.col("__in_b") == 2).cast("long")
+        ).alias("n_both"),
+    ).select(
+        "grp_a",
+        "grp_b",
+        "n_union_sketch",
+        "n_both",
+        half_up(
+            F.col("n_both") / F.col("n_union_sketch"), dp
+        ).alias("jaccard_est"),
+    )
