@@ -874,22 +874,31 @@ def top_principal_component(
     )
     # The Rayleigh numerator Σ__s² is NOT covered by the w-sum
     # precheck (worst case n·(dim·max|x'|·v_scale)², far above it, but
-    # the a-priori bound is so loose it would reject realistic
-    # corpora). Check the TRUE max|__s| instead — one cheap aggregate
-    # over the checkpointed ints — so the squared sum fails helpfully,
-    # not with a raw ANSI overflow.
-    m_s = int(
+    # every a-priori bound — even n·max|x'·v|² — is loose enough to
+    # reject realistic corpora). Check the ACTUAL magnitudes instead,
+    # one cheap aggregate over the checkpointed ints: the exact
+    # max|__s| guards the single squared term, and a double-precision
+    # Σ__s² estimate (relative error ~1e-15, margin 10%) guards the
+    # sum — so the exact BIGINT aggregate below fails helpfully, never
+    # with a raw ANSI overflow.
+    chk = (
         qc.select(s.alias("__s"))
-        .agg(F.max(F.abs(F.col("__s"))))
-        .collect()[0][0]
-        or 0
+        .agg(
+            F.max(F.abs(F.col("__s"))).alias("__m"),
+            F.sum(
+                F.col("__s").cast("double") * F.col("__s").cast("double")
+            ).alias("__est"),
+        )
+        .collect()[0]
     )
-    if n * m_s * m_s >= (1 << 62):
+    m_s = int(chk["__m"] or 0)
+    est = float(chk["__est"] or 0.0)
+    if m_s * m_s >= (1 << 62) or est >= 0.9 * float(1 << 63):
         raise ValueError(
             "top_principal_component: the variance-share sum "
-            f"n·max|x'·v|² = {n * m_s * m_s} would overflow BIGINT; "
-            "run on a smaller (weighted_sample'd) slice or lower "
-            "scale/v_scale"
+            f"Σ(x'·v)² ≈ {est:.3e} (max term {m_s}²) would overflow "
+            "BIGINT; run on a smaller (weighted_sample'd) slice or "
+            "lower scale/v_scale"
         )
     fin = (
         qc.select(s.alias("__s"), "__qc")
