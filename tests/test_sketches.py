@@ -643,3 +643,44 @@ def test_kmv_pairwise_jaccard_matches_python_and_truth(spark):
     # estimator accuracy: true J(A,B) = 600/1400; error bound ~3/sqrt(k)
     assert abs(got[("A", "B")][2] - 600 / 1400) < 3 / math.sqrt(128)
     assert got[("A", "C")][2] == 0.0 and got[("B", "C")][2] == 0.0
+
+
+@_slow
+@given(
+    keys=st.lists(
+        st.text(
+            alphabet="abcdefgh", min_size=1, max_size=6
+        ),
+        min_size=1,
+        max_size=120,
+    ),
+    k=st.integers(min_value=1, max_value=24),
+    cut=st.integers(min_value=0, max_value=119),
+)
+def test_kmv_merge_exact_any_corpus(spark, keys, k, cut):
+    """merge(kmv(A), kmv(B)) == kmv(A ∪ B) row-for-row, for ANY key
+    multiset, ANY k, ANY split point — duplicates across the split
+    included (hv is idempotent under distinct); the property the
+    maintained fold depends on."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    rows = [("g", w) for w in keys]
+    cut = min(cut, len(rows))
+    df = spark.createDataFrame(rows, "g string, key string")
+    parts = []
+    for p in (rows[:cut], rows[cut:]):
+        if p:
+            parts.append(
+                kmv_sketch(
+                    spark.createDataFrame(p, "g string, key string"),
+                    ["g"], "key", k=k,
+                )
+            )
+    merged = kmv_merge(parts, ["g"], k) if len(parts) > 1 else parts[0]
+    full = kmv_sketch(df, ["g"], "key", k=k)
+    a = sorted(tuple(r) for r in full.collect())
+    b = sorted(tuple(r) for r in merged.collect())
+    assert a == b
