@@ -773,3 +773,79 @@ def kmv_pairwise_jaccard(
             F.col("n_both") / F.col("n_union_sketch"), dp
         ).alias("jaccard_est"),
     )
+
+
+def verified_heavy_hitters(
+    df: DataFrame,
+    key: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 7,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """EXACT φ-heavy hitters (every key with frequency ≥ ⌈φ·N⌉) via
+    Count-Min candidates + an exact verify pass — the two-phase
+    sketch-then-verify device (``bloom_flag_contaminated``'s shape
+    applied to frequency): pass 1 reduces the corpus to the
+    ``depth × width`` grid and keeps only keys whose CM estimate
+    clears the threshold; pass 2 exactly counts THAT sliver. The CM
+    overestimate theorem (``cm_est ≥ freq`` always) means phase 1 has
+    NO false negatives, so the result EQUALS the direct ``GROUP BY
+    HAVING freq ≥ ⌈φN⌉`` rule — oracle-provably, the same way the
+    Bloom path equals the exact decontamination rule. False positives
+    only cost verify work, bounded by the collision rate the width is
+    sized against.
+
+    Returns ``(key, freq, n_total)`` for every true heavy hitter,
+    exact counts. ``φ = phi_num/phi_den`` with the integer-exact
+    threshold ``thr = ceil(φ·N) = (phi_num·N + phi_den − 1) //
+    phi_den`` — no float in the cut.
+
+    Scale: phase 1's exchange is ≤ depth·width longs per partition
+    (never the key space); the candidate set is ≤ 1/φ true hitters +
+    collision noise — broadcast-small by construction — so phase 2 is
+    a broadcast semi-join + a partial count only over rows whose key
+    survived. The full-key-space groupBy of the direct rule never
+    happens.
+    """
+    n_total = df.count()
+    thr = (phi_num * n_total + phi_den - 1) // phi_den
+    grid = cm_counters(df, key, depth, width, seed, hash_fn)
+    # The grid rides as ONE broadcast row of nested arrays (bounded at
+    # depth·width longs by construction) so the candidate filter runs
+    # PER ROW at scan speed — element_at lookups in codegen, never a
+    # full-key-space distinct/groupBy, and never literals inside an
+    # interpreted lambda (the 22× rule).
+    cells = [[0] * width for _ in range(depth)]
+    for r in grid.collect():
+        cells[int(r["i"])][int(r["bucket"])] = int(r["c"])
+    cells_df = df.sparkSession.createDataFrame(
+        [(cells,)], "cells array<array<bigint>>"
+    )
+    buckets = _cm_buckets(F.col(key), depth, width, seed, hash_fn)
+    est = F.least(
+        *[
+            F.element_at(
+                F.element_at("cells", i + 1), (b + 1).cast("int")
+            )
+            for i, b in enumerate(buckets)
+        ]
+    )
+    cand = (
+        df.select(key)
+        .crossJoin(F.broadcast(cells_df))
+        .filter(est >= thr)
+        .select(key)
+        .distinct()
+    )
+    exact = (
+        df.join(F.broadcast(cand), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+        .filter(F.col("freq") >= thr)
+    )
+    return exact.select(
+        key, "freq", F.lit(n_total).cast("long").alias("n_total")
+    )

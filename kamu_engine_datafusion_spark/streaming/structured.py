@@ -1100,6 +1100,195 @@ def maintained_kmv(
     )
 
 
+def maintained_corpus_card(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    k: int = 256,
+    short_doc_tokens: int = 20,
+    hash_fn: str = "poly",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 4,
+):
+    """Continuously-maintained per-group CORPUS DATA CARD — the
+    composition capstone of the maintained layer: the card's counting
+    side (docs, tokens, short docs) is ADDITIVE (plain summation
+    fold), and its distinct side (distinct normalized texts → dup
+    rate) — the one non-additive statistic in
+    ``operators/text.py::corpus_card`` — rides a KMV sketch, whose
+    exact merge law makes the whole state a pure function of the
+    ledger SET. After any number of ticks the state equals the
+    one-shot build (pytest-pinned), and when a group's distinct count
+    never fills its k slots the KMV side is EXACT, so the read-back
+    card equals the batch ``corpus_card`` value for value.
+
+    State per group: one scalars row ``(grp, 's', NULL, n_docs,
+    n_tokens, n_short)`` + ≤ k KMV rows ``(grp, 'k', hv, 0, 0, 0)``
+    over the md5-normalized text (the exact_dedup normalization, same
+    as corpus_card). Read back with :func:`read_maintained_corpus_card`.
+    Retractions unsupported; feed the append/live stream.
+    """
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.text import token_count
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _increment(batch_df: DataFrame) -> DataFrame:
+        tc = token_count(text_col)
+        norm = F.md5(
+            F.trim(
+                F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
+            )
+        )
+        scalars = (
+            batch_df.withColumn("__tc", tc)
+            .groupBy(F.col(group_col).alias("grp"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("__tc").cast("long").alias("n_tokens"),
+                F.sum(
+                    (F.col("__tc") < short_doc_tokens).cast("long")
+                ).alias("n_short"),
+            )
+            .select(
+                "grp",
+                F.lit("s").alias("kind"),
+                F.lit(None).cast("long").alias("hv"),
+                "n_docs",
+                "n_tokens",
+                "n_short",
+            )
+        )
+        sk = kmv_sketch(
+            batch_df.select(
+                F.col(group_col).alias("grp"), norm.alias("__h")
+            ),
+            ["grp"], "__h", k, hash_fn,
+        ).select(
+            "grp",
+            F.lit("k").alias("kind"),
+            "hv",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_short"),
+        )
+        return scalars.unionByName(sk)
+
+    def _merge(state_subset, batch_df):
+        inc = _increment(batch_df)
+        if state_subset is None:
+            return inc
+        u = state_subset.unionByName(inc)
+        scal = (
+            u.filter(F.col("kind") == "s")
+            .groupBy("grp", "kind")
+            .agg(
+                F.sum("n_docs").cast("long").alias("n_docs"),
+                F.sum("n_tokens").cast("long").alias("n_tokens"),
+                F.sum("n_short").cast("long").alias("n_short"),
+            )
+            .select(
+                "grp", "kind", F.lit(None).cast("long").alias("hv"),
+                "n_docs", "n_tokens", "n_short",
+            )
+        )
+        kmv = kmv_merge(
+            [
+                u.filter(F.col("kind") == "k").select("grp", "hv"),
+            ],
+            ["grp"],
+            k,
+        ).select(
+            "grp",
+            F.lit("k").alias("kind"),
+            "hv",
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("n_short"),
+        )
+        return scal.unionByName(kmv)
+
+    # _fold_buckets buckets on key_cols of the BATCH frame (group_col),
+    # but merge output keys are named 'grp' — rename via a wrapper so
+    # the bucket column derives identically on both sides
+    def _fold_named(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df.withColumnRenamed(group_col, "grp")
+            if group_col != "grp"
+            else batch_df,
+            batch_id,
+            state_dir,
+            ["grp"],
+            state_buckets,
+            lambda st, b: _merge(st, b.withColumnRenamed("grp", group_col))
+            if group_col != "grp"
+            else _merge(st, b),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold_named)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_maintained_corpus_card(
+    spark: SparkSession, state_dir: str, k: int = 256, dp: int = 4
+) -> DataFrame:
+    """Materialize the live data card from ``maintained_corpus_card``
+    state: ``(grp, n_docs, n_tokens, avg_tokens, pct_short,
+    est_distinct_texts, dup_rate_est)`` — ratios half-up ``dp``;
+    the distinct side is the KMV estimate (EXACT — and equal to the
+    batch ``corpus_card`` — whenever the group never filled its k
+    slots)."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+    )
+
+    state = read_maintained_state(spark, state_dir)
+    scal = state.filter(F.col("kind") == "s").select(
+        "grp", "n_docs", "n_tokens", "n_short"
+    )
+    est = kmv_estimate(
+        state.filter(F.col("kind") == "k").select("grp", "hv"),
+        ["grp"], k, dp,
+    ).select("grp", F.col("dv_est").alias("est_distinct_texts"))
+    j = scal.join(est, "grp")
+    return j.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        half_up(F.col("n_tokens") / F.col("n_docs"), 2).alias(
+            "avg_tokens"
+        ),
+        half_up(F.col("n_short") / F.col("n_docs"), dp).alias(
+            "pct_short"
+        ),
+        "est_distinct_texts",
+        half_up(
+            F.greatest(
+                F.lit(0.0),
+                F.lit(1.0)
+                - F.col("est_distinct_texts") / F.col("n_docs"),
+            ),
+            dp,
+        ).alias("dup_rate_est"),
+    )
+
+
 def maintained_weighted_sample(
     ledger_dir: str,
     state_dir: str,

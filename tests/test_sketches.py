@@ -684,3 +684,108 @@ def test_kmv_merge_exact_any_corpus(spark, keys, k, cut):
     a = sorted(tuple(r) for r in full.collect())
     b = sorted(tuple(r) for r in merged.collect())
     assert a == b
+
+
+def test_verified_heavy_hitters_equals_direct_rule(spark):
+    """CM candidates + exact verify == GROUP BY HAVING freq >= ceil(phi*N)
+    exactly (no false negatives: the overestimate theorem guarantees
+    recall; verify kills the false positives) — including under FORCED
+    collisions (width=4) and at the exact threshold boundary."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        verified_heavy_hitters,
+    )
+
+    rows = (
+        [("hot1",)] * 30 + [("hot2",)] * 12 + [("edge",)] * 10
+        + [(f"tail{i}",) for i in range(948)]
+    )
+    # N = 1000, phi = 1/100 -> thr = 10: edge (exactly 10) is IN
+    df = spark.createDataFrame(rows, "k string")
+    for width in (256, 4):  # 4 forces heavy collisions
+        got = sorted(
+            (r["k"], r["freq"], r["n_total"])
+            for r in verified_heavy_hitters(
+                df, "k", 1, 100, width=width
+            ).collect()
+        )
+        assert got == [
+            ("edge", 10, 1000), ("hot1", 30, 1000), ("hot2", 12, 1000),
+        ]
+    # integer threshold: phi_num*N not divisible -> ceil, not floor
+    # N = 1000, phi = 3/250 -> thr = 12: edge(10) out, hot2(12) in
+    got2 = sorted(
+        r["k"]
+        for r in verified_heavy_hitters(df, "k", 3, 250).collect()
+    )
+    assert got2 == ["hot1", "hot2"]
+
+
+def test_maintained_corpus_card_equals_batch_card(spark, tmp_path):
+    """The maintained data card: scalars fold additively, the distinct
+    side folds by the KMV merge law — after 3 ticks the read-back card
+    EQUALS the batch corpus_card (k sized above every group's distinct
+    count, so the KMV side is exact), dup_rate included."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.text import corpus_card
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_corpus_card,
+        read_maintained_corpus_card,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "ccledger")
+    state_dir = os.path.join(str(tmp_path), "ccstate")
+    ck = os.path.join(str(tmp_path), "ccck")
+    os.makedirs(ledger_dir)
+    schema = "doc_id long, source string, text string"
+    all_rows = []
+
+    def tick(rows):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_corpus_card(
+            ledger_dir, state_dir, ck, "source", "text", k=64,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    # srcA: 6 docs, 2 exact dups (after normalization) spread ACROSS
+    # ticks — only the maintained distinct side can see that
+    tick([
+        (1, "srcA", "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "srcA", "short doc"),
+        (3, "srcB", "one two three four five six seven eight nine ten "
+                    "eleven twelve thirteen fourteen fifteen sixteen "
+                    "seventeen eighteen nineteen twenty twentyone"),
+    ])
+    tick([
+        (4, "srcA", "ALPHA   beta gamma delta epsilon zeta eta theta"),
+        (5, "srcB", "unique words here"),
+    ])
+    tick([
+        (6, "srcA", "short doc"),
+        (7, "srcA", "fresh content entirely"),
+        (8, "srcA", "more fresh content"),
+    ])
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_corpus_card(
+            spark, state_dir, k=64
+        ).collect()
+    )
+    batch = corpus_card(
+        spark.createDataFrame(all_rows, schema), ["source"], "text"
+    )
+    want = sorted(
+        (
+            r["source"], r["n_docs"], r["n_tokens"], r["avg_tokens"],
+            r["pct_short"], float(r["n_distinct_texts"]), r["dup_rate"],
+        )
+        for r in batch.collect()
+    )
+    assert got == want
+    # the cross-tick dups were actually detected
+    card = {r[0]: r for r in got}
+    assert card["srcA"][1] == 6 and card["srcA"][5] == 4.0
+    assert card["srcA"][6] > 0.0

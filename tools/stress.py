@@ -916,8 +916,62 @@ def main() -> None:
         )  # state stays ≤ k rows per group regardless of ledger size
         return dt
 
+    t(
+        "verified_heavy_hitters_5m",
+        lambda: __import__(
+            "kamu_engine_datafusion_spark.operators.sketches",
+            fromlist=["verified_heavy_hitters"],
+        ).verified_heavy_hitters(
+            spark.range(5_000_000).selectExpr(
+                # Zipf-ish: a few hot keys + a long tail
+                "concat('k', CAST(CASE WHEN id % 10 < 3 THEN id % 7 "
+                "ELSE id % 400000 END AS STRING)) AS k"
+            ),
+            "k", 1, 100, hash_fn="xxhash64",
+        ).count(),
+    )
+
     def _want(name: str) -> bool:
         return not args.only or args.only in name
+
+    def _card_tick_cost(n_rows: int) -> float:
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            maintained_corpus_card,
+            read_maintained_corpus_card,
+        )
+
+        base = f"{args.data_dir}/__card_{n_rows}"
+        shutil.rmtree(base, ignore_errors=True)
+        ledger, state, ck = f"{base}/l", f"{base}/s", f"{base}/c"
+        os.makedirs(ledger)
+
+        def tick(lo, hi):
+            spark.range(lo, hi).selectExpr(
+                "id AS doc_id",
+                "concat('s', id % 20) AS source",
+                "concat('words repeated for doc ', "
+                "CAST(id % 500000 AS STRING)) AS text",
+            ).write.mode("append").parquet(ledger)
+            sch = spark.read.parquet(ledger).schema
+            t0 = time.time()
+            maintained_corpus_card(
+                ledger, state, ck, "source", "text", k=256,
+                hash_fn="xxhash64", schema=sch, spark=spark,
+            ).awaitTermination()
+            return time.time() - t0
+
+        tick(0, n_rows)
+        dt = tick(n_rows, n_rows + 100_000)
+        assert read_maintained_corpus_card(spark, state).count() == 20
+        return dt
+
+    if _want("maintained_card"):
+        for nn in (1_000_000, 10_000_000):
+            print(
+                f"maintained_card_tick_rows{nn}: "
+                f"{_card_tick_cost(nn):.2f}s",
+                flush=True,
+            )
 
     if _want("maintained_kmv"):
         for nn in (1_000_000, 10_000_000):
