@@ -789,3 +789,41 @@ def test_maintained_corpus_card_equals_batch_card(spark, tmp_path):
     card = {r[0]: r for r in got}
     assert card["srcA"][1] == 6 and card["srcA"][5] == 4.0
     assert card["srcA"][6] > 0.0
+
+
+@_slow
+@given(
+    keys=st.lists(
+        st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "h"]),
+        min_size=1,
+        max_size=120,
+    ),
+    phi_num=st.integers(min_value=1, max_value=4),
+    phi_den=st.integers(min_value=4, max_value=20),
+    width=st.sampled_from([2, 8, 64]),
+)
+def test_verified_heavy_hitters_exact_any_corpus(
+    spark, keys, phi_num, phi_den, width
+):
+    """For ANY key multiset, ANY φ, ANY grid width (2 forces brutal
+    collisions): verified_heavy_hitters == the direct GROUP BY HAVING
+    freq >= ceil(φN) rule — exactness is a theorem, not a tendency."""
+    from collections import Counter
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        verified_heavy_hitters,
+    )
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = sorted(
+        (r["k"], r["freq"], r["n_total"])
+        for r in verified_heavy_hitters(
+            df, "k", phi_num, phi_den, width=width
+        ).collect()
+    )
+    n = len(keys)
+    thr = (phi_num * n + phi_den - 1) // phi_den
+    want = sorted(
+        (k, c, n) for k, c in Counter(keys).items() if c >= thr
+    )
+    assert got == want
