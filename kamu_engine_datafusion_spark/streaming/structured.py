@@ -1812,6 +1812,123 @@ def maintained_phash_index(
     )
 
 
+def maintained_minhash_index(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.7,
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    max_bucket_size: int | None = 200,
+    base_hash: str = "xxhash64",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained MinHash DEDUP INDEX over a document
+    stream — the TEXT twin of :func:`maintained_phash_index`, and the
+    bucketed exactly-once upgrade of
+    :func:`streaming_dedup_against_index` (which reads the WHOLE index
+    per tick and appends at-least-once): the band key doubles as the
+    state bucket key, so the touched-bucket read IS the banded-LSH
+    probe (per-tick read O(increment + matching band buckets), never
+    the full index), and because a stored survivor's rows never change
+    the fold APPENDS (``_fold_buckets_append`` — per-tick write
+    O(increment), crash-idempotent, replay-skipped).
+
+    Semantics match ``operators/dedup.py::
+    dedup_increment_against_index`` exactly: banded candidates with
+    the ``max_bucket_size`` cap on BOTH sides, signature-estimate
+    verification at ``threshold``, any-index-match dies,
+    lower-id-wins within the tick; only survivors' band rows enter
+    state (``(doc_id, sig, __band)``). Live index =
+    :func:`read_maintained_state`; probe it batch-side with
+    ``dedup_increment_against_index``. Retractions unsupported.
+    """
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        _cap_buckets,
+        estimated_jaccard,
+        minhash_index,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_rows):
+        capped = (
+            _cap_buckets(inc_rows, "__band", max_bucket_size)
+            if max_bucket_size
+            else inc_rows
+        )
+        dead = None
+        if state_subset is not None:
+            idx = (
+                _cap_buckets(state_subset, "__band", max_bucket_size)
+                if max_bucket_size
+                else state_subset
+            )
+            dead = (
+                capped.alias("n")
+                .join(
+                    idx.alias("i"),
+                    F.col("n.__band") == F.col("i.__band"),
+                )
+                .select(
+                    F.col("n.doc_id").alias("doc_id"),
+                    estimated_jaccard(
+                        F.col("n.sig"), F.col("i.sig"), num_hashes
+                    ).alias("__est"),
+                )
+                .filter(F.col("__est") >= threshold)
+                .select("doc_id")
+                .distinct()
+            )
+        a, b = capped.alias("a"), capped.alias("b")
+        within = (
+            a.join(
+                b,
+                (F.col("a.__band") == F.col("b.__band"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("b.doc_id").alias("doc_id"),
+                estimated_jaccard(
+                    F.col("a.sig"), F.col("b.sig"), num_hashes
+                ).alias("__est"),
+            )
+            .filter(F.col("__est") >= threshold)
+            .select("doc_id")
+            .distinct()
+        )
+        dead = within if dead is None else dead.unionByName(within)
+        # ONLY the new survivor rows — the append fold's contract
+        return inc_rows.join(dead.distinct(), "doc_id", "left_anti")
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        inc_rows = minhash_index(
+            batch_df, text_col, id_col, shingle_len, num_hashes,
+            num_bands, base_hash,
+        )
+        _fold_buckets_append(
+            inc_rows, batch_id, state_dir, ["__band"], state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_bloom(
     ledger_dir: str,
     state_dir: str,

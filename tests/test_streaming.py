@@ -1635,3 +1635,97 @@ def test_maintained_components_node_index_opt_out(spark, tmp_path):
     }
     assert got == want
     assert not os.path.isdir(state_dir + _NODE_IDX_SUFFIX)
+
+
+def test_maintained_minhash_index_equals_batch_increment_path(
+    spark, tmp_path
+):
+    """The maintained text index: tick-by-tick state equals the batch
+    incremental path (dedup_increment_against_index) run tick by tick;
+    cross-tick near-dups die against earlier survivors; replay skips."""
+    import shutil
+
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_increment_against_index,
+        minhash_index,
+        minhash_lsh_dedup,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_minhash_index,
+        read_maintained_state,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest tonight"
+    )
+    ledger_dir = os.path.join(str(tmp_path), "mmledger")
+    state_dir = os.path.join(str(tmp_path), "mmstate")
+    ck = os.path.join(str(tmp_path), "mmck")
+    os.makedirs(ledger_dir)
+    schema = "doc_id long, text string"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_minhash_index(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    t1 = [
+        (1, base),
+        (2, "completely different words about database engines and "
+            "storage formats for analytical queries at scale"),
+    ]
+    t2 = [
+        (10, base + " extra"),  # near-dup of 1 -> dies vs index
+        (11, "novel content the third entirely fresh document with "
+             "many unique words nobody else used before"),
+        (12, "twin pair first copy sharing every single shingle with "
+             "its sibling in the same tick exactly"),
+        (13, "twin pair first copy sharing every single shingle with "
+             "its sibling in the same tick exactly!"),  # dies within
+    ]
+    tick(t1)
+    tick(t2)
+    got = sorted(
+        set(
+            r["doc_id"]
+            for r in read_maintained_state(spark, state_dir).collect()
+        )
+    )
+    # batch replay: the same ticks through the batch incremental path
+    d1 = spark.createDataFrame(t1, schema)
+    s1 = minhash_lsh_dedup(d1, text_col="text", id_col="doc_id")
+    idx = minhash_index(s1, "text", "doc_id")
+    s2, new_rows = dedup_increment_against_index(
+        spark.createDataFrame(t2, schema), idx, "text", "doc_id"
+    )
+    want = sorted(
+        set(r["doc_id"] for r in idx.collect())
+        | set(r["doc_id"] for r in new_rows.collect())
+    )
+    assert got == want
+    assert 10 not in got and 13 not in got
+    assert {1, 2, 11, 12} <= set(got)
+    # crash-replay: losing the checkpoint must not double-register
+    before = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("doc_id", "__band")
+        .collect()
+    )
+    shutil.rmtree(ck)
+    maintained_minhash_index(
+        ledger_dir, state_dir, ck,
+        schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+    ).awaitTermination()
+    after = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("doc_id", "__band")
+        .collect()
+    )
+    assert after == before

@@ -1002,6 +1002,57 @@ def main() -> None:
                 flush=True,
             )
 
+    def _mmh_tick_cost(n_index: int) -> float:
+        """Per-tick cost of a 10k-doc tick against a maintained
+        MinHash index holding n_index docs — the text twin of
+        _ph_tick_cost (append-only fold, probe = touched band
+        buckets). Synthetic docs: unique word streams, no near-dups,
+        so the tick cost is pure probe + signature work."""
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            maintained_minhash_index,
+        )
+
+        base = f"{args.data_dir}/__mmh_{n_index}"
+        shutil.rmtree(base, ignore_errors=True)
+        ledger, state, ck = f"{base}/l", f"{base}/s", f"{base}/c"
+        os.makedirs(ledger)
+
+        def doc_expr():
+            return (
+                "concat_ws(' ', transform(sequence(1, 20), j -> "
+                "concat('w', CAST(xxhash64(id, j) % 1000000 AS STRING)"
+                "))) AS text"
+            )
+
+        spark.range(n_index).selectExpr(
+            "id AS doc_id", doc_expr()
+        ).write.mode("append").parquet(ledger)
+        sch = spark.read.parquet(ledger).schema
+        maintained_minhash_index(
+            ledger, state, ck, schema=sch, spark=spark
+        ).awaitTermination()
+        spark.range(n_index, n_index + 10_000).selectExpr(
+            "id AS doc_id", doc_expr()
+        ).write.mode("append").parquet(ledger)
+        t0 = time.time()
+        maintained_minhash_index(
+            ledger, state, ck, schema=sch, spark=spark
+        ).awaitTermination()
+        dt = time.time() - t0
+        n_indexed = read_maintained_state(spark, state).select(
+            "doc_id"
+        ).distinct().count()
+        assert n_indexed > n_index
+        return dt
+
+    if _want("maintained_mmh"):
+        for nn in (100_000, 1_000_000):
+            print(
+                f"maintained_mmh_tick_state{nn}: "
+                f"{_mmh_tick_cost(nn):.2f}s",
+                flush=True,
+            )
+
 
 if __name__ == "__main__":
     main()
