@@ -533,6 +533,7 @@ def _fold_buckets_append(
     key_cols: list[str],
     n_buckets: int,
     new_rows_fn,
+    read_state: bool = True,
 ) -> None:
     """APPEND-ONLY bucketed fold for purely-additive state (rows, once
     stored, never change — the pHash dedup index: survivors stay
@@ -565,7 +566,7 @@ def _fold_buckets_append(
         _write_root_marker(state_dir, batch_id)
         return
     state_subset = None
-    have_state = any(
+    have_state = read_state and any(
         os.path.isdir(os.path.join(state_dir, f"{_BUCKET_COL}={b}"))
         for b in touched
     )
@@ -1827,6 +1828,7 @@ def maintained_minhash_index(
     schema: T.StructType | None = None,
     spark: SparkSession | None = None,
     state_buckets: int = 8,
+    sig_buckets: int = 8,
 ):
     """Continuously-maintained MinHash DEDUP INDEX over a document
     stream — the TEXT twin of :func:`maintained_phash_index`, and the
@@ -1834,20 +1836,38 @@ def maintained_minhash_index(
     :func:`streaming_dedup_against_index` (which reads the WHOLE index
     per tick and appends at-least-once): the band key doubles as the
     state bucket key, so the touched-bucket read IS the banded-LSH
-    probe (per-tick read O(increment + matching band buckets), never
-    the full index), and because a stored survivor's rows never change
-    the fold APPENDS (``_fold_buckets_append`` — per-tick write
-    O(increment), crash-idempotent, replay-skipped).
+    probe, and because a stored survivor's rows never change both
+    state parts fold APPEND-ONLY (per-tick write O(increment),
+    crash-idempotent, replay-skipped).
+
+    SPLIT state layout (the probe-bytes fix the combined layout
+    measured against — 10.80 s/tick at a 1M-doc index because band
+    rows carried the 32-long signature 8×): ``state_dir`` holds band
+    rows ``(doc_id, __band)`` (~16 B each, hive-bucketed by band);
+    ``state_dir + ".sigs"`` holds ONE ``(doc_id, sig)`` row per
+    survivor, bucketed by doc-id hash. The probe reads the touched
+    band buckets (small), and only verification CANDIDATES' signatures
+    are read — a partition-pruned sidecar lookup on the candidates'
+    id-hash buckets.
 
     Semantics match ``operators/dedup.py::
     dedup_increment_against_index`` exactly: banded candidates with
     the ``max_bucket_size`` cap on BOTH sides, signature-estimate
     verification at ``threshold``, any-index-match dies,
-    lower-id-wins within the tick; only survivors' band rows enter
-    state (``(doc_id, sig, __band)``). Live index =
-    :func:`read_maintained_state`; probe it batch-side with
-    ``dedup_increment_against_index``. Retractions unsupported.
+    lower-id-wins within the tick; only survivors enter state.
+
+    Crash protocol: sig rows append FIRST (their own marker), band
+    rows second (the authoritative marker the outer skip reads). A
+    crash between the two replays the tick: the dead set recomputes
+    identically (band state unchanged until the band append lands),
+    the sig append self-skips on its marker, the band append
+    completes. Sig rows whose band rows never landed are unreachable
+    garbage (candidates arise only from band rows), never a
+    correctness hazard. Live index for batch probing =
+    :func:`read_maintained_minhash_index`. Retractions unsupported.
     """
+    import os
+
     from kamu_engine_datafusion_spark.operators.dedup import (
         _cap_buckets,
         estimated_jaccard,
@@ -1855,41 +1875,100 @@ def maintained_minhash_index(
     )
 
     spark = spark or SparkSession.getActiveSession()
+    sig_dir = state_dir + _SIG_SUFFIX
     stream = (
         spark.readStream.schema(
             schema or spark.read.parquet(ledger_dir).schema
         ).parquet(ledger_dir)
     )
 
-    def _merge(state_subset, inc_rows):
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        _apply_append_intent(sig_dir)
+        _apply_append_intent(state_dir)
+        if _last_folded_batch(state_dir) >= batch_id:
+            return
+        inc = minhash_index(
+            batch_df, text_col, id_col, shingle_len, num_hashes,
+            num_bands, base_hash,
+        ).persist()
+        inc.count()  # populate before the probe legs fan out
+        bucket = _bucket_of(["__band"], state_buckets)
+        touched = [
+            int(r[0])
+            for r in inc.select(bucket.alias("__b")).distinct().collect()
+        ]
+        state_bands = None
+        if any(
+            os.path.isdir(os.path.join(state_dir, f"{_BUCKET_COL}={b}"))
+            for b in touched
+        ):
+            state_bands = (
+                sess.read.parquet(state_dir)
+                .filter(F.col(_BUCKET_COL).isin(touched))
+                .drop(_BUCKET_COL)
+            )
         capped = (
-            _cap_buckets(inc_rows, "__band", max_bucket_size)
+            _cap_buckets(inc, "__band", max_bucket_size)
             if max_bucket_size
-            else inc_rows
+            else inc
         )
         dead = None
-        if state_subset is not None:
-            idx = (
-                _cap_buckets(state_subset, "__band", max_bucket_size)
+        if state_bands is not None:
+            idx_b = (
+                _cap_buckets(state_bands, "__band", max_bucket_size)
                 if max_bucket_size
-                else state_subset
+                else state_bands
             )
-            dead = (
+            cand = (
                 capped.alias("n")
                 .join(
-                    idx.alias("i"),
+                    idx_b.alias("i"),
                     F.col("n.__band") == F.col("i.__band"),
                 )
                 .select(
-                    F.col("n.doc_id").alias("doc_id"),
-                    estimated_jaccard(
-                        F.col("n.sig"), F.col("i.sig"), num_hashes
-                    ).alias("__est"),
+                    F.col("i.doc_id").alias("idx_id"),
+                    F.col("n.doc_id").alias("new_id"),
+                    F.col("n.sig").alias("nsig"),
                 )
-                .filter(F.col("__est") >= threshold)
-                .select("doc_id")
                 .distinct()
+                .persist()
             )
+            # partition-pruned sidecar lookup: only the candidates'
+            # id-hash buckets are read — this is where the split
+            # layout pays (bounded distinct-bucket collect ≤
+            # sig_buckets ints)
+            cand_buckets = [
+                int(r[0])
+                for r in cand.select(
+                    F.pmod(F.xxhash64("idx_id"), F.lit(sig_buckets))
+                    .cast("int")
+                    .alias("__b")
+                )
+                .distinct()
+                .collect()
+            ]
+            if cand_buckets:
+                sigs = (
+                    sess.read.parquet(sig_dir)
+                    .filter(F.col(_BUCKET_COL).isin(cand_buckets))
+                    .drop(_BUCKET_COL)
+                    .withColumnRenamed("doc_id", "idx_id")
+                    .withColumnRenamed("sig", "isig")
+                )
+                dead = (
+                    cand.join(sigs, "idx_id")
+                    .select(
+                        F.col("new_id").alias("doc_id"),
+                        estimated_jaccard(
+                            F.col("nsig"), F.col("isig"), num_hashes
+                        ).alias("__est"),
+                    )
+                    .filter(F.col("__est") >= threshold)
+                    .select("doc_id")
+                    .distinct()
+                )
+            cand.unpersist()
         a, b = capped.alias("a"), capped.alias("b")
         within = (
             a.join(
@@ -1908,18 +1987,25 @@ def maintained_minhash_index(
             .distinct()
         )
         dead = within if dead is None else dead.unionByName(within)
-        # ONLY the new survivor rows — the append fold's contract
-        return inc_rows.join(dead.distinct(), "doc_id", "left_anti")
-
-    def _fold(batch_df: DataFrame, batch_id: int) -> None:
-        inc_rows = minhash_index(
-            batch_df, text_col, id_col, shingle_len, num_hashes,
-            num_bands, base_hash,
+        dead = dead.distinct().persist()
+        dead.count()  # populate before the two append legs fan out
+        surv = inc.join(dead, "doc_id", "left_anti").persist()
+        surv.count()
+        # sigs FIRST (own marker; skipped on replay), bands SECOND
+        # (the authoritative marker) — see the crash protocol above
+        _fold_buckets_append(
+            surv.select("doc_id", "sig").distinct(),
+            batch_id, sig_dir, ["doc_id"], sig_buckets,
+            lambda st, frame: frame, read_state=False,
         )
         _fold_buckets_append(
-            inc_rows, batch_id, state_dir, ["__band"], state_buckets,
-            _merge,
+            surv.select("doc_id", "__band"),
+            batch_id, state_dir, ["__band"], state_buckets,
+            lambda st, frame: frame, read_state=False,
         )
+        surv.unpersist()
+        dead.unpersist()
+        inc.unpersist()
 
     return (
         stream.writeStream.foreachBatch(_fold)
@@ -1927,6 +2013,29 @@ def maintained_minhash_index(
         .trigger(availableNow=True)
         .start()
     )
+
+
+#: Sidecar suffix for the signature table of the split MinHash index.
+_SIG_SUFFIX = ".sigs"
+
+
+def read_maintained_minhash_index(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """Materialize the classic ``(doc_id, sig, __band)`` index frame
+    from the split layout — the format
+    ``operators/dedup.py::dedup_increment_against_index`` probes
+    batch-side."""
+    bands = read_maintained_state(spark, state_dir).select(
+        "doc_id", "__band"
+    )
+    sigs = (
+        spark.read.parquet(state_dir + _SIG_SUFFIX)
+        .drop(_BUCKET_COL)
+        .select("doc_id", "sig")
+        .distinct()
+    )
+    return bands.join(sigs, "doc_id").select("doc_id", "sig", "__band")
 
 
 def maintained_bloom(

@@ -1710,6 +1710,25 @@ def test_maintained_minhash_index_equals_batch_increment_path(
     assert got == want
     assert 10 not in got and 13 not in got
     assert {1, 2, 11, 12} <= set(got)
+    # the split layout materializes back to the CLASSIC index frame,
+    # row-for-row equal to the batch path's index rows
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        read_maintained_minhash_index,
+    )
+
+    classic = sorted(
+        (r["doc_id"], tuple(r["sig"]), r["__band"])
+        for r in read_maintained_minhash_index(spark, state_dir).collect()
+    )
+    batch_rows = sorted(
+        (r["doc_id"], tuple(r["sig"]), r["__band"])
+        for r in idx.unionByName(new_rows).collect()
+    )
+    assert classic == batch_rows
+    # sidecar holds exactly ONE sig row per survivor
+    sig_rows = spark.read.parquet(state_dir + ".sigs")
+    assert sig_rows.select("doc_id").distinct().count() == len(got)
+    assert sig_rows.count() == len(got)
     # crash-replay: losing the checkpoint must not double-register
     before = sorted(
         tuple(r)
