@@ -849,3 +849,73 @@ def verified_heavy_hitters(
     return exact.select(
         key, "freq", F.lit(n_total).cast("long").alias("n_total")
     )
+
+
+def kmv_pairwise_containment(
+    sketch: DataFrame, group_col: str, k: int, dp: int = 4
+) -> DataFrame:
+    """Pairwise ASYMMETRIC containment estimates between all groups
+    from their KMV sketches alone — the directional companion of
+    :func:`kmv_pairwise_jaccard`: ``C(A→B) = |A ∩ B| / |A|`` detects
+    a source that is mostly a SUBSET of another (wrapper sites, quoted
+    reposts, mirrored subcorpora), which the symmetric Jaccard dilutes
+    whenever the superset side is large.
+
+    Estimator (bottom-k set-operation form, Cohen & Kaplan 2007 /
+    Beyer et al. 2007): over the k smallest hashes of the pair's
+    UNION, ``C(A→B) ≈ |{h ∈ K : h ∈ sk(A) ∧ h ∈ sk(B)}| /
+    |{h ∈ K : h ∈ sk(A)}|`` — both counts read the same union-top-k
+    membership frame, so the whole matrix is one pass over
+    ``|groups|²·k`` METADATA rows (never the corpus). Deterministic
+    given the hash function; NULL when the union-top-k contains no
+    hash of the denominator side (an empty group's direction is
+    undefined).
+
+    Returns one row per ORDERED pair ``(grp_a, grp_b, n_a_in_union,
+    n_both, containment_a_in_b)`` for ``grp_a != grp_b``.
+    """
+    from pyspark.sql import Window
+
+    groups = sketch.select(F.col(group_col).alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("grp_a"))
+        .crossJoin(groups.select(F.col("__g").alias("grp_b")))
+        .filter(F.col("grp_a") != F.col("grp_b"))
+    )
+    rows = sketch.select(F.col(group_col).alias("__g"), "hv")
+    member = (
+        rows.join(
+            F.broadcast(pairs),
+            (F.col("__g") == F.col("grp_a"))
+            | (F.col("__g") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "hv")
+        .agg(
+            F.max((F.col("__g") == F.col("grp_a")).cast("int")).alias(
+                "__in_a"
+            ),
+            F.max((F.col("__g") == F.col("grp_b")).cast("int")).alias(
+                "__in_b"
+            ),
+        )
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hv")
+    topk = member.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = topk.groupBy("grp_a", "grp_b").agg(
+        F.sum(F.col("__in_a").cast("long")).alias("n_a_in_union"),
+        F.sum(
+            (F.col("__in_a") + F.col("__in_b") == 2).cast("long")
+        ).alias("n_both"),
+    )
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "n_a_in_union",
+        "n_both",
+        F.when(
+            F.col("n_a_in_union") > 0,
+            half_up(F.col("n_both") / F.col("n_a_in_union"), dp),
+        ).alias("containment_a_in_b"),
+    )

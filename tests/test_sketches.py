@@ -827,3 +827,64 @@ def test_verified_heavy_hitters_exact_any_corpus(
         (k, c, n) for k, c in Counter(keys).items() if c >= thr
     )
     assert got == want
+
+
+def test_kmv_pairwise_containment_detects_subset_source(spark):
+    """Directional containment from sketches: a source that is 90% a
+    subset of a bigger one reads C(sub→big) ≈ 0.9 while C(big→sub) and
+    the symmetric Jaccard stay small — replayed exactly in python."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_pairwise_containment,
+        kmv_sketch,
+    )
+
+    # seeded-random keys, NOT sequential strings — poly31 of
+    # same-length sequential strings clusters into a tight low-hash
+    # band (the documented adversarial fixture class), which would
+    # over-represent one side in any bottom-k sample
+    rng = __import__("random").Random(7)
+
+    def rk(n):
+        return [
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(10)
+            )
+            for _ in range(n)
+        ]
+
+    shared_keys, big_own, sub_own = rk(450), rk(1550), rk(50)
+    big = [("BIG", k) for k in shared_keys + big_own]
+    # SUB: 450 keys shared with BIG + 50 own -> true C(SUB->BIG) = 0.9
+    sub = [("SUB", k) for k in shared_keys + sub_own]
+    df = spark.createDataFrame(big + sub, "g string, key string")
+    sk = kmv_sketch(df, ["g"], "key", k=256)
+    got = {
+        (r["grp_a"], r["grp_b"]): (
+            r["n_a_in_union"], r["n_both"], r["containment_a_in_b"]
+        )
+        for r in kmv_pairwise_containment(sk, "g", k=256).collect()
+    }
+    # python replay from the same sketches
+    hv = {
+        g: sorted(
+            {_poly(key + "#kmv") for gg, key in big + sub if gg == g}
+        )[:256]
+        for g in ("BIG", "SUB")
+    }
+    for ga, gb in [("SUB", "BIG"), ("BIG", "SUB")]:
+        union_k = sorted(set(hv[ga]) | set(hv[gb]))[:256]
+        n_a = sum(1 for h in union_k if h in set(hv[ga]))
+        n_both = sum(
+            1 for h in union_k if h in set(hv[ga]) and h in set(hv[gb])
+        )
+        want = (
+            n_a,
+            n_both,
+            math.floor(n_both / n_a * 1e4 + 0.5) / 1e4 if n_a else None,
+        )
+        assert got[(ga, gb)] == want
+    # estimator accuracy: true C(SUB->BIG) = 0.9, C(BIG->SUB) = 450/2000
+    assert abs(got[("SUB", "BIG")][2] - 0.9) < 3 / math.sqrt(256) + 0.05
+    assert got[("BIG", "SUB")][2] < 0.45
