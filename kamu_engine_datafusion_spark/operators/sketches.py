@@ -810,6 +810,12 @@ def verified_heavy_hitters(
     survived. The full-key-space groupBy of the direct rule never
     happens.
     """
+    # NULL keys are dropped up front (defined behavior): a NULL key
+    # hashes to NULL buckets so the CM path could never surface it,
+    # while the direct rule's GROUP BY would — excluding NULLs from
+    # BOTH the count and the candidates keeps the two-phase result
+    # exactly equal to the direct rule over non-NULL keys.
+    df = df.filter(F.col(key).isNotNull())
     n_total = df.count()
     thr = (phi_num * n_total + phi_den - 1) // phi_den
     grid = cm_counters(df, key, depth, width, seed, hash_fn)

@@ -718,6 +718,16 @@ def test_verified_heavy_hitters_equals_direct_rule(spark):
         for r in verified_heavy_hitters(df, "k", 3, 250).collect()
     )
     assert got2 == ["hot1", "hot2"]
+    # NULL keys are excluded from N AND the candidates (defined
+    # behavior; a NULL key can't ride the CM path)
+    withnull = df.unionByName(
+        spark.createDataFrame([(None,)] * 500, "k string")
+    )
+    r = sorted(
+        (x["k"], x["n_total"])
+        for x in verified_heavy_hitters(withnull, "k", 1, 100).collect()
+    )
+    assert r == [("edge", 1000), ("hot1", 1000), ("hot2", 1000)]
 
 
 def test_maintained_corpus_card_equals_batch_card(spark, tmp_path):
