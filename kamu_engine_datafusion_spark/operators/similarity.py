@@ -732,7 +732,9 @@ def hard_negatives(
     global rank window. Ordering ``(round(cosine, round_dp) DESC, id)``
     — reproducible across engines, ties on id.
 
-    Returns ``(anchor_id, neg_id, neg_label, cosine, rank)``.
+    Returns ``(anchor_id, neg_id, neg_label, cosine, rank)``. Labels
+    must be integer-typed (the embeddings-table contract; cast string
+    classes upstream).
     """
     import numpy as np
     import pandas as pd
