@@ -255,7 +255,9 @@ def main() -> None:
         "min": cal,
         "max": round(max(cal_times), 3),
         "spread": round(max(cal_times) - min(cal_times), 3),
-        "warm_spread": 0.0,
+        "warm_spread": round(
+            (lambda w: w[-1] - w[0])(sorted(cal_times[1:] or cal_times)), 3
+        ),
         "warm_median": round(sorted(cal_times[1:] or cal_times)[
             len(cal_times[1:] or cal_times) // 2
         ], 3),
@@ -267,7 +269,12 @@ def main() -> None:
         "min": cal_scan,
         "max": round(max(scan_times), 3),
         "spread": round(max(scan_times) - min(scan_times), 3),
-        "warm_spread": 0.0,
+        # computed from the warm reps like record() — this datum exists
+        # for I/O-drift attribution, so a fabricated 0.0 would
+        # understate run-to-run scan variance
+        "warm_spread": round(
+            (lambda w: w[-1] - w[0])(sorted(scan_times[1:] or scan_times)), 3
+        ),
         "warm_median": round(sorted(scan_times[1:] or scan_times)[
             len(scan_times[1:] or scan_times) // 2
         ], 3),

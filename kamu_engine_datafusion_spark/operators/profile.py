@@ -689,7 +689,7 @@ def rater_agreement(
         .select(F.coalesce("__pe_num", F.lit(0)).alias("__pe_num"))
     )
     totals = cells.agg(
-        F.sum("__n").cast("long").alias("n_rows"),
+        F.coalesce(F.sum("__n"), F.lit(0)).cast("long").alias("n_rows"),
         F.coalesce(
             F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__n"))),
             F.lit(0),
@@ -698,8 +698,16 @@ def rater_agreement(
         .alias("n_agree"),
     )
     j = totals.crossJoin(F.broadcast(chance))
-    po = F.col("n_agree") / F.col("n_rows")
-    pe = F.col("__pe_num") / (F.col("n_rows") * F.col("n_rows"))
+    # Empty / all-NULL-label input: n_rows 0, counts 0, and the three
+    # ratios NULL (agreement over zero jointly-labeled rows is
+    # undefined) — never a NULL n_rows or a 0/0.
+    po = F.when(
+        F.col("n_rows") > 0, F.col("n_agree") / F.col("n_rows")
+    )
+    pe = F.when(
+        F.col("n_rows") > 0,
+        F.col("__pe_num") / (F.col("n_rows") * F.col("n_rows")),
+    )
     kappa = F.when(pe == 1.0, F.when(po == 1.0, F.lit(1.0)).otherwise(
         F.lit(0.0)
     )).otherwise((po - pe) / (F.lit(1.0) - pe))

@@ -739,6 +739,21 @@ def hard_negatives(
     import numpy as np
     import pandas as pd
 
+    from pyspark.sql import types as T
+
+    # Loud schema check: the kernel builds int64 label arrays, so a
+    # string/float label column would otherwise die as a numpy cast
+    # error deep inside mapInPandas — fail at entry instead.
+    for side, frame in (("corpus", corpus), ("anchors", anchors)):
+        lt = frame.schema[label_col].dataType
+        if not isinstance(
+            lt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            raise ValueError(
+                f"hard_negatives: {side}.{label_col} must be an integer "
+                f"type (got {lt.simpleString()}); cast string classes "
+                "upstream (e.g. dense_rank over the class column)"
+            )
     n_anchor = anchors.count()
     if n_anchor > max_anchor_rows:
         raise ValueError(

@@ -831,14 +831,12 @@ def verified_heavy_hitters(
         [(cells,)], "cells array<array<bigint>>"
     )
     buckets = _cm_buckets(F.col(key), depth, width, seed, hash_fn)
-    est = F.least(
-        *[
-            F.element_at(
-                F.element_at("cells", i + 1), (b + 1).cast("int")
-            )
-            for i, b in enumerate(buckets)
-        ]
-    )
+    lookups = [
+        F.element_at(F.element_at("cells", i + 1), (b + 1).cast("int"))
+        for i, b in enumerate(buckets)
+    ]
+    # depth=1 is a single lookup — F.least requires ≥2 args
+    est = lookups[0] if depth == 1 else F.least(*lookups)
     cand = (
         df.select(key)
         .crossJoin(F.broadcast(cells_df))

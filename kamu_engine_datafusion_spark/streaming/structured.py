@@ -1250,10 +1250,16 @@ def read_maintained_corpus_card(
 ) -> DataFrame:
     """Materialize the live data card from ``maintained_corpus_card``
     state: ``(grp, n_docs, n_tokens, avg_tokens, pct_short,
-    est_distinct_texts, dup_rate_est)`` — ratios half-up ``dp``;
-    the distinct side is the KMV estimate (EXACT — and equal to the
-    batch ``corpus_card`` — whenever the group never filled its k
-    slots)."""
+    est_distinct_texts, dup_rate_est, is_exact)`` — ratios half-up
+    ``dp``. ``is_exact`` tells the consumer which regime the distinct
+    side of THIS group is in: true when the group never filled its k
+    KMV slots, so ``est_distinct_texts``/``dup_rate_est`` are exact
+    (and equal to the batch ``corpus_card``); false when they are the
+    (k−1)/u_k estimate. A group whose every text is NULL has a scalars
+    row but no KMV rows — it still surfaces (left join), with
+    ``est_distinct_texts`` 0.0 (the distinct count of zero non-NULL
+    texts, exact) and a NULL ``dup_rate_est`` (a dup rate over no
+    hashable texts is undefined, not 1.0)."""
     from kamu_engine_datafusion_spark.functions.columns import half_up
     from kamu_engine_datafusion_spark.operators.sketches import (
         kmv_estimate,
@@ -1266,8 +1272,12 @@ def read_maintained_corpus_card(
     est = kmv_estimate(
         state.filter(F.col("kind") == "k").select("grp", "hv"),
         ["grp"], k, dp,
-    ).select("grp", F.col("dv_est").alias("est_distinct_texts"))
-    j = scal.join(est, "grp")
+    ).select(
+        "grp",
+        F.col("n_state").alias("__n_state"),
+        F.col("dv_est").alias("est_distinct_texts"),
+    )
+    j = scal.join(est, "grp", "left")
     return j.select(
         "grp",
         "n_docs",
@@ -1278,15 +1288,21 @@ def read_maintained_corpus_card(
         half_up(F.col("n_short") / F.col("n_docs"), dp).alias(
             "pct_short"
         ),
-        "est_distinct_texts",
-        half_up(
-            F.greatest(
-                F.lit(0.0),
-                F.lit(1.0)
-                - F.col("est_distinct_texts") / F.col("n_docs"),
+        F.coalesce("est_distinct_texts", F.lit(0.0)).alias(
+            "est_distinct_texts"
+        ),
+        F.when(
+            F.col("est_distinct_texts").isNotNull(),
+            half_up(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.col("est_distinct_texts") / F.col("n_docs"),
+                ),
+                dp,
             ),
-            dp,
         ).alias("dup_rate_est"),
+        (F.coalesce("__n_state", F.lit(0)) < k).alias("is_exact"),
     )
 
 
@@ -1686,6 +1702,19 @@ def maintained_term_stats(
     def _merge(state_subset, inc):
         if state_subset is None:
             return inc
+        if "n_len" not in state_subset.columns:
+            # State persisted by the pre-n_len version of this fold
+            # cannot be migrated in place: n_len counts the non-NULL
+            # documents each tick contributed, and that count was never
+            # recorded. Defaulting it would silently skew avgdl, so
+            # fail loudly instead of at unionByName's unresolved-column
+            # error.
+            raise ValueError(
+                "maintained_term_stats: state at this state_dir predates "
+                "the n_len column (non-NULL doc count for avgdl) and "
+                "cannot be migrated — rebuild the state by re-folding "
+                "the ledger into a fresh state_dir/checkpoint_dir"
+            )
         return (
             state_subset.unionByName(inc)
             .groupBy("term")

@@ -263,3 +263,15 @@ def test_rater_agreement_edges(spark):
     )
     r3 = rater_agreement(disj, "r1", "r2").first()
     assert (r3["pe"], r3["kappa"]) == (0.0, r3["po"])
+    # empty / all-NULL-label input: zero counts, NULL ratios — never a
+    # NULL n_rows or a 0/0
+    allnull = spark.createDataFrame(
+        [("x", None), (None, "y")], "r1 string, r2 string"
+    )
+    r4 = rater_agreement(allnull, "r1", "r2").first()
+    assert (r4["n_rows"], r4["n_agree"]) == (0, 0)
+    assert r4["po"] is None and r4["pe"] is None and r4["kappa"] is None
+    empty = spark.createDataFrame([], "r1 string, r2 string")
+    r5 = rater_agreement(empty, "r1", "r2").first()
+    assert (r5["n_rows"], r5["n_agree"]) == (0, 0)
+    assert r5["kappa"] is None

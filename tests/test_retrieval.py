@@ -351,3 +351,55 @@ def test_maintained_term_stats_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert a == b and len(a) == 2
+
+
+def test_maintained_term_stats_rejects_pre_n_len_state(spark, tmp_path):
+    """State persisted by the pre-n_len version of the fold (no
+    non-NULL doc count) cannot be migrated — the next tick must fail
+    with the targeted rebuild message, not unionByName's
+    unresolved-column error."""
+    import glob
+    import os
+    import shutil
+
+    import pytest
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_term_stats,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "mledger")
+    state_dir = os.path.join(str(tmp_path), "mstate")
+    ck = os.path.join(str(tmp_path), "mck")
+    os.makedirs(ledger_dir)
+    schema = "doc_id long, text string"
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_term_stats(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    tick([(1, "alpha beta"), (2, "beta gamma")])
+    # simulate legacy state: rewrite every bucket without n_len,
+    # leaving the batch markers in place
+    legacy = (
+        spark.read.parquet(state_dir)
+        .drop("n_len")
+        .withColumnRenamed("__bucket", "__b")
+    )
+    tmp_out = os.path.join(str(tmp_path), "legacy_state")
+    (
+        legacy.withColumnRenamed("__b", "__bucket")
+        .write.partitionBy("__bucket")
+        .parquet(tmp_out)
+    )
+    for d in glob.glob(os.path.join(state_dir, "__bucket=*")):
+        shutil.rmtree(d)
+    for d in glob.glob(os.path.join(tmp_out, "__bucket=*")):
+        shutil.move(d, os.path.join(state_dir, os.path.basename(d)))
+    with pytest.raises(Exception, match="rebuild"):
+        tick([(3, "alpha delta")])

@@ -300,3 +300,8 @@ def test_hard_negatives_partition_independent_and_guarded(spark):
     assert [f.name for f in empty.schema.fields] == [
         "anchor_id", "neg_id", "neg_label", "cosine", "rank",
     ]
+    # non-integer label column fails loudly at entry, not as a numpy
+    # cast error deep inside the kernel
+    strlab = df.withColumn("label", F.col("label").cast("string"))
+    with pytest.raises(ValueError, match="must be an integer"):
+        hard_negatives(strlab, strlab.filter(F.col("vec_id") < 3), k=2)

@@ -791,6 +791,7 @@ def test_maintained_corpus_card_equals_batch_card(spark, tmp_path):
         (
             r["source"], r["n_docs"], r["n_tokens"], r["avg_tokens"],
             r["pct_short"], float(r["n_distinct_texts"]), r["dup_rate"],
+            True,  # k=64 above every group's distinct count -> exact
         )
         for r in batch.collect()
     )
@@ -799,6 +800,85 @@ def test_maintained_corpus_card_equals_batch_card(spark, tmp_path):
     card = {r[0]: r for r in got}
     assert card["srcA"][1] == 6 and card["srcA"][5] == 4.0
     assert card["srcA"][6] > 0.0
+
+
+def test_maintained_corpus_card_regimes_and_null_groups(spark, tmp_path):
+    """is_exact flags the regime per group (k smaller than one group's
+    distinct count -> estimate regime, flag false), and a group whose
+    every text is NULL still surfaces on the card (left join): exact
+    zero distinct texts, NULL dup rate."""
+    import os
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_corpus_card,
+        read_maintained_corpus_card,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "rledger")
+    state_dir = os.path.join(str(tmp_path), "rstate")
+    ck = os.path.join(str(tmp_path), "rck")
+    os.makedirs(ledger_dir)
+    schema = "doc_id long, source string, text string"
+    rows = (
+        # big: 12 distinct texts > k=8 -> estimate regime
+        [(i, "big", f"doc number {i} words {i * 7}") for i in range(12)]
+        # small: 3 docs, 2 distinct -> exact regime
+        + [(100, "small", "same text"), (101, "small", "same text"),
+           (102, "small", "other text")]
+        # ghost: only NULL texts -> scalars row, zero KMV rows
+        + [(200, "ghost", None), (201, "ghost", None)]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ledger_dir)
+    maintained_corpus_card(
+        ledger_dir, state_dir, ck, "source", "text", k=8,
+        schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+    ).awaitTermination()
+    card = {
+        r["grp"]: r
+        for r in read_maintained_corpus_card(spark, state_dir, k=8).collect()
+    }
+    assert set(card) == {"big", "small", "ghost"}
+    assert card["big"]["is_exact"] is False
+    assert card["small"]["is_exact"] is True
+    assert card["small"]["est_distinct_texts"] == 2.0
+    g = card["ghost"]
+    assert g["n_docs"] == 2 and g["is_exact"] is True
+    assert g["est_distinct_texts"] == 0.0
+    assert g["dup_rate_est"] is None
+
+
+def test_verified_heavy_hitters_depth_one(spark):
+    """depth=1 is a single CM row — the estimate is the lone lookup,
+    not a one-arg least() (which raises at plan time); the two-phase
+    result still equals the direct rule (overestimate theorem holds
+    per row)."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        verified_heavy_hitters,
+    )
+
+    rows = [("a",)] * 30 + [("b",)] * 9 + [(f"t{i}",) for i in range(20)]
+    df = spark.createDataFrame(rows, "k string")
+    got = {
+        (r["k"], r["freq"])
+        for r in verified_heavy_hitters(
+            df, "k", phi_num=1, phi_den=8, depth=1, width=64
+        ).collect()
+    }
+    n = len(rows)
+    thr = (n + 7) // 8
+    direct = {
+        (k, c)
+        for k, c in (
+            (r["k"], r["cnt"])
+            for r in df.groupBy("k")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        )
+        if c >= thr
+    }
+    assert got == direct and ("a", 30) in got
 
 
 @_slow
