@@ -1239,9 +1239,44 @@ def minhash_index(
     )
 
 
+def minhash_index_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    num_hashes: int = 32,
+    num_bands: int = 8,
+    base_hash: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Build the SPLIT persistable index: ``(bands, sigs)`` —
+    ``bands`` one narrow row per (band key, doc) ``(doc_id, __band)``
+    (~16 B each), ``sigs`` ONE ``(doc_id, sig)`` row per doc. The
+    combined layout (:func:`minhash_index`) duplicates the
+    ``num_hashes``-long signature across all ``num_bands`` band rows,
+    so at 100 TB the probe join ships ~``num_bands``× the signature
+    bytes it needs; the split layout probes band rows and reads
+    signatures only for verification CANDIDATES — the same ~8×
+    probe-byte reduction the maintained fold measured
+    (``streaming/structured.py::maintained_minhash_index``). Persist
+    as two tables (bands partitioned/bucketed by ``__band``, sigs by
+    id hash) and feed the tuple to
+    :func:`dedup_increment_against_index`."""
+    rows_per_band = num_hashes // num_bands
+    sigs = minhash_signatures(
+        df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+    )
+    banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash)
+    return (
+        banded.select(F.col("__id").alias("doc_id"), "__band"),
+        sigs.select(
+            F.col("__id").alias("doc_id"), F.col("__sig").alias("sig")
+        ),
+    )
+
+
 def dedup_increment_against_index(
     new_docs: DataFrame,
-    index: DataFrame,
+    index: DataFrame | tuple[DataFrame, DataFrame],
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.7,
@@ -1254,10 +1289,18 @@ def dedup_increment_against_index(
 ) -> tuple[DataFrame, ...]:
     """Dedup an increment against a persisted index and within itself.
 
+    ``index`` is either the combined frame (:func:`minhash_index` —
+    ``(doc_id, sig, __band)``) or the split ``(bands, sigs)`` tuple
+    (:func:`minhash_index_split`). With the split layout the band-key
+    probe joins only the 16-byte band rows and signatures are joined
+    in for verification candidates alone — the scale path.
+
     Returns ``(survivors, new_index_rows)``: the increment rows that
     duplicate neither an indexed doc nor an earlier increment doc, and
     the index rows to append for them (so the next increment sees this
-    one). Matching is banded-LSH candidates + signature-estimate
+    one) — ``new_index_rows`` mirrors the input layout: a combined
+    frame for a combined index, a ``(bands, sigs)`` tuple for a split
+    index. Matching is banded-LSH candidates + signature-estimate
     verification; corpus text is never read.
 
     ``emit_pairs=True`` returns ``(survivors, new_index_rows, pairs)``
@@ -1298,29 +1341,77 @@ def dedup_increment_against_index(
     # mega-bucket (boilerplate shared by thousands of indexed docs)
     # multiplies against every increment row it matches — measured 2x+
     # slowdowns at 45k indexed docs before this guard.
-    index_capped = (
-        _cap_buckets(index, "__band", max_bucket_size)
-        if max_bucket_size
-        else index
-    )
-
-    # vs index: any new doc whose estimated jaccard to an indexed doc
-    # clears the threshold is a duplicate (pairs carry BOTH ids so the
-    # component-state feed can reuse the same joins)
-    vs_index_pairs = (
-        capped.alias("n")
-        .join(index_capped.alias("i"), F.col("n.__band") == F.col("i.__band"))
-        .select(
-            F.col("i.doc_id").alias("id_a"),
-            F.col("n.__id").alias("id_b"),
-            estimated_jaccard(
-                F.col("n.__sig"), F.col("i.sig"), num_hashes
-            ).alias("est"),
+    split_index = isinstance(index, tuple)
+    if split_index:
+        idx_bands, idx_sigs = index
+        idx_bands_capped = (
+            _cap_buckets(idx_bands, "__band", max_bucket_size)
+            if max_bucket_size
+            else idx_bands
         )
-        .filter(F.col("est") >= threshold)
-        .select("id_a", "id_b")
-        .distinct()
-    )
+        # split probe: the band join ships only (doc_id, __band) rows;
+        # signatures are joined in for verification CANDIDATES alone —
+        # with the sig table stored bucketed by id hash this read is
+        # partition-pruned to the candidates' buckets
+        cand = (
+            capped.alias("n")
+            .join(
+                idx_bands_capped.alias("i"),
+                F.col("n.__band") == F.col("i.__band"),
+            )
+            .select(
+                F.col("i.doc_id").alias("id_a"),
+                F.col("n.__id").alias("id_b"),
+                F.col("n.__sig").alias("__nsig"),
+            )
+            .distinct()
+        )
+        vs_index_pairs = (
+            cand.join(
+                idx_sigs.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("sig").alias("__isig"),
+                ),
+                "id_a",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                estimated_jaccard(
+                    F.col("__nsig"), F.col("__isig"), num_hashes
+                ).alias("est"),
+            )
+            .filter(F.col("est") >= threshold)
+            .select("id_a", "id_b")
+            .distinct()
+        )
+    else:
+        index_capped = (
+            _cap_buckets(index, "__band", max_bucket_size)
+            if max_bucket_size
+            else index
+        )
+
+        # vs index: any new doc whose estimated jaccard to an indexed
+        # doc clears the threshold is a duplicate (pairs carry BOTH ids
+        # so the component-state feed can reuse the same joins)
+        vs_index_pairs = (
+            capped.alias("n")
+            .join(
+                index_capped.alias("i"),
+                F.col("n.__band") == F.col("i.__band"),
+            )
+            .select(
+                F.col("i.doc_id").alias("id_a"),
+                F.col("n.__id").alias("id_b"),
+                estimated_jaccard(
+                    F.col("n.__sig"), F.col("i.sig"), num_hashes
+                ).alias("est"),
+            )
+            .filter(F.col("est") >= threshold)
+            .select("id_a", "id_b")
+            .distinct()
+        )
     vs_index = vs_index_pairs.select(
         F.col("id_b").alias("new_id")
     ).distinct()
@@ -1354,15 +1445,24 @@ def dedup_increment_against_index(
     survivors = new_docs.join(
         dead.withColumnRenamed("new_id", id_col), id_col, "left_anti"
     )
-    new_index_rows = (
-        banded.join(
-            dead, banded["__id"] == dead["new_id"], "left_anti"
-        ).select(
+    surv_banded = banded.join(
+        dead, banded["__id"] == dead["new_id"], "left_anti"
+    )
+    if split_index:
+        new_index_rows = (
+            surv_banded.select(F.col("__id").alias("doc_id"), "__band"),
+            sigs.join(
+                dead, sigs["__id"] == dead["new_id"], "left_anti"
+            ).select(
+                F.col("__id").alias("doc_id"), F.col("__sig").alias("sig")
+            ),
+        )
+    else:
+        new_index_rows = surv_banded.select(
             F.col("__id").alias("doc_id"),
             F.col("__sig").alias("sig"),
             "__band",
         )
-    )
     if emit_pairs:
         return (
             survivors,

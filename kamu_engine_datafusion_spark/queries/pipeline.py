@@ -2443,10 +2443,14 @@ def q_xdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental dedup against a persisted signature index (the
     continuous-ingestion shape: corpus text never re-read; duplicates
     decided by the MinHash agreement estimate). Poly-hash variant so the
-    DuckDB oracle replicates signatures, banding, and the estimate."""
+    DuckDB oracle replicates signatures, banding, and the estimate.
+    r13: probes the SPLIT index layout (``minhash_index_split`` —
+    narrow band rows in the LSH join, signatures joined for
+    verification candidates only), re-certified by this key's hash
+    staying green across the format change."""
     from kamu_engine_datafusion_spark.operators.dedup import (
         dedup_increment_against_index,
-        minhash_index,
+        minhash_index_split,
     )
 
     t = load(spark, sf_dir, "documents")
@@ -2454,7 +2458,7 @@ def q_xdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = t["documents"].filter(
         (F.col("doc_id") >= 150) & (F.col("doc_id") < 300)
     )
-    index = minhash_index(
+    index = minhash_index_split(
         base, num_hashes=16, num_bands=4, base_hash="poly"
     )
     survivors, _ = dedup_increment_against_index(
@@ -2836,10 +2840,13 @@ def q_xdedup_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     content deserves a driver hash, not just the survivor counts
     (``xdedup_incremental``) or the closed components
     (``xdedup_cc_incremental``). Poly-hash profile so the oracle
-    replays signatures, banding, and the estimate."""
+    replays signatures, banding, and the estimate. r13: the persisted
+    index rides the SPLIT layout (``minhash_index_split`` — 16 B band
+    rows probed, signatures joined for candidates only), re-certified
+    by this key's hash staying green across the format change."""
     from kamu_engine_datafusion_spark.operators.dedup import (
         dedup_increment_against_index,
-        minhash_index,
+        minhash_index_split,
     )
 
     t = load(spark, sf_dir, "documents")
@@ -2847,7 +2854,9 @@ def q_xdedup_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     inc = t["documents"].filter(
         (F.col("doc_id") >= 150) & (F.col("doc_id") < 300)
     )
-    index = minhash_index(base, num_hashes=16, num_bands=4, base_hash="poly")
+    index = minhash_index_split(
+        base, num_hashes=16, num_bands=4, base_hash="poly"
+    )
     _, _, pairs = dedup_increment_against_index(
         inc,
         index,

@@ -1101,6 +1101,151 @@ def maintained_kmv(
     )
 
 
+def corpus_card_increment(
+    batch_df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 256,
+    short_doc_tokens: int = 20,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """One tick's contribution to the maintained corpus-card state:
+    the additive scalars row per group + the tick's own KMV sketch of
+    the md5-normalized texts (the ``exact_dedup`` normalization, same
+    as ``operators/text.py::corpus_card``). Module-level so the
+    driver-verified batch replay (`queries/pipeline.py::
+    q_xcorpus_card_maintained`) folds the SAME code the stream folds."""
+    from kamu_engine_datafusion_spark.operators.sketches import kmv_sketch
+    from kamu_engine_datafusion_spark.operators.text import token_count
+
+    tc = token_count(text_col)
+    norm = F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    )
+    scalars = (
+        batch_df.withColumn("__tc", tc)
+        .groupBy(F.col(group_col).alias("grp"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("__tc").cast("long").alias("n_tokens"),
+            F.sum(
+                (F.col("__tc") < short_doc_tokens).cast("long")
+            ).alias("n_short"),
+        )
+        .select(
+            "grp",
+            F.lit("s").alias("kind"),
+            F.lit(None).cast("long").alias("hv"),
+            "n_docs",
+            "n_tokens",
+            "n_short",
+        )
+    )
+    sk = kmv_sketch(
+        batch_df.select(F.col(group_col).alias("grp"), norm.alias("__h")),
+        ["grp"], "__h", k, hash_fn,
+    ).select(
+        "grp",
+        F.lit("k").alias("kind"),
+        "hv",
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_short"),
+    )
+    return scalars.unionByName(sk)
+
+
+def corpus_card_fold(
+    state_subset: DataFrame | None, inc: DataFrame, k: int = 256
+) -> DataFrame:
+    """Fold one tick's increment into the maintained corpus-card
+    state: scalars sum additively, KMV rows re-take the k smallest per
+    group (the exact merge law) — so after any number of ticks the
+    state is a pure function of the ledger SET."""
+    from kamu_engine_datafusion_spark.operators.sketches import kmv_merge
+
+    if state_subset is None:
+        return inc
+    u = state_subset.unionByName(inc)
+    scal = (
+        u.filter(F.col("kind") == "s")
+        .groupBy("grp", "kind")
+        .agg(
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_short").cast("long").alias("n_short"),
+        )
+        .select(
+            "grp", "kind", F.lit(None).cast("long").alias("hv"),
+            "n_docs", "n_tokens", "n_short",
+        )
+    )
+    kmv = kmv_merge(
+        [u.filter(F.col("kind") == "k").select("grp", "hv")],
+        ["grp"],
+        k,
+    ).select(
+        "grp",
+        F.lit("k").alias("kind"),
+        "hv",
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(0).cast("long").alias("n_tokens"),
+        F.lit(0).cast("long").alias("n_short"),
+    )
+    return scal.unionByName(kmv)
+
+
+def corpus_card_from_state(state: DataFrame, k: int = 256, dp: int = 4):
+    """The card projection over a (possibly batch-folded) corpus-card
+    state frame — the shared read path of
+    :func:`read_maintained_corpus_card` and the driver-verified batch
+    replay. See ``read_maintained_corpus_card`` for column semantics
+    (incl. the ``is_exact`` regime flag and all-NULL-text groups)."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+    )
+
+    scal = state.filter(F.col("kind") == "s").select(
+        "grp", "n_docs", "n_tokens", "n_short"
+    )
+    est = kmv_estimate(
+        state.filter(F.col("kind") == "k").select("grp", "hv"),
+        ["grp"], k, dp,
+    ).select(
+        "grp",
+        F.col("n_state").alias("__n_state"),
+        F.col("dv_est").alias("est_distinct_texts"),
+    )
+    j = scal.join(est, "grp", "left")
+    return j.select(
+        "grp",
+        "n_docs",
+        "n_tokens",
+        half_up(F.col("n_tokens") / F.col("n_docs"), 2).alias(
+            "avg_tokens"
+        ),
+        half_up(F.col("n_short") / F.col("n_docs"), dp).alias(
+            "pct_short"
+        ),
+        F.coalesce("est_distinct_texts", F.lit(0.0)).alias(
+            "est_distinct_texts"
+        ),
+        F.when(
+            F.col("est_distinct_texts").isNotNull(),
+            half_up(
+                F.greatest(
+                    F.lit(0.0),
+                    F.lit(1.0)
+                    - F.col("est_distinct_texts") / F.col("n_docs"),
+                ),
+                dp,
+            ),
+        ).alias("dup_rate_est"),
+        (F.coalesce("__n_state", F.lit(0)) < k).alias("is_exact"),
+    )
+
+
 def maintained_corpus_card(
     ledger_dir: str,
     state_dir: str,
@@ -1132,12 +1277,6 @@ def maintained_corpus_card(
     as corpus_card). Read back with :func:`read_maintained_corpus_card`.
     Retractions unsupported; feed the append/live stream.
     """
-    from kamu_engine_datafusion_spark.operators.sketches import (
-        kmv_merge,
-        kmv_sketch,
-    )
-    from kamu_engine_datafusion_spark.operators.text import token_count
-
     spark = spark or SparkSession.getActiveSession()
     stream = (
         spark.readStream.schema(
@@ -1145,80 +1284,15 @@ def maintained_corpus_card(
         ).parquet(ledger_dir)
     )
 
-    def _increment(batch_df: DataFrame) -> DataFrame:
-        tc = token_count(text_col)
-        norm = F.md5(
-            F.trim(
-                F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-            )
-        )
-        scalars = (
-            batch_df.withColumn("__tc", tc)
-            .groupBy(F.col(group_col).alias("grp"))
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("n_docs"),
-                F.sum("__tc").cast("long").alias("n_tokens"),
-                F.sum(
-                    (F.col("__tc") < short_doc_tokens).cast("long")
-                ).alias("n_short"),
-            )
-            .select(
-                "grp",
-                F.lit("s").alias("kind"),
-                F.lit(None).cast("long").alias("hv"),
-                "n_docs",
-                "n_tokens",
-                "n_short",
-            )
-        )
-        sk = kmv_sketch(
-            batch_df.select(
-                F.col(group_col).alias("grp"), norm.alias("__h")
-            ),
-            ["grp"], "__h", k, hash_fn,
-        ).select(
-            "grp",
-            F.lit("k").alias("kind"),
-            "hv",
-            F.lit(0).cast("long").alias("n_docs"),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(0).cast("long").alias("n_short"),
-        )
-        return scalars.unionByName(sk)
-
     def _merge(state_subset, batch_df):
-        inc = _increment(batch_df)
-        if state_subset is None:
-            return inc
-        u = state_subset.unionByName(inc)
-        scal = (
-            u.filter(F.col("kind") == "s")
-            .groupBy("grp", "kind")
-            .agg(
-                F.sum("n_docs").cast("long").alias("n_docs"),
-                F.sum("n_tokens").cast("long").alias("n_tokens"),
-                F.sum("n_short").cast("long").alias("n_short"),
-            )
-            .select(
-                "grp", "kind", F.lit(None).cast("long").alias("hv"),
-                "n_docs", "n_tokens", "n_short",
-            )
-        )
-        kmv = kmv_merge(
-            [
-                u.filter(F.col("kind") == "k").select("grp", "hv"),
-            ],
-            ["grp"],
+        return corpus_card_fold(
+            state_subset,
+            corpus_card_increment(
+                batch_df, group_col, text_col, k, short_doc_tokens,
+                hash_fn,
+            ),
             k,
-        ).select(
-            "grp",
-            F.lit("k").alias("kind"),
-            "hv",
-            F.lit(0).cast("long").alias("n_docs"),
-            F.lit(0).cast("long").alias("n_tokens"),
-            F.lit(0).cast("long").alias("n_short"),
         )
-        return scal.unionByName(kmv)
 
     # _fold_buckets buckets on key_cols of the BATCH frame (group_col),
     # but merge output keys are named 'grp' — rename via a wrapper so
@@ -1260,49 +1334,8 @@ def read_maintained_corpus_card(
     ``est_distinct_texts`` 0.0 (the distinct count of zero non-NULL
     texts, exact) and a NULL ``dup_rate_est`` (a dup rate over no
     hashable texts is undefined, not 1.0)."""
-    from kamu_engine_datafusion_spark.functions.columns import half_up
-    from kamu_engine_datafusion_spark.operators.sketches import (
-        kmv_estimate,
-    )
-
-    state = read_maintained_state(spark, state_dir)
-    scal = state.filter(F.col("kind") == "s").select(
-        "grp", "n_docs", "n_tokens", "n_short"
-    )
-    est = kmv_estimate(
-        state.filter(F.col("kind") == "k").select("grp", "hv"),
-        ["grp"], k, dp,
-    ).select(
-        "grp",
-        F.col("n_state").alias("__n_state"),
-        F.col("dv_est").alias("est_distinct_texts"),
-    )
-    j = scal.join(est, "grp", "left")
-    return j.select(
-        "grp",
-        "n_docs",
-        "n_tokens",
-        half_up(F.col("n_tokens") / F.col("n_docs"), 2).alias(
-            "avg_tokens"
-        ),
-        half_up(F.col("n_short") / F.col("n_docs"), dp).alias(
-            "pct_short"
-        ),
-        F.coalesce("est_distinct_texts", F.lit(0.0)).alias(
-            "est_distinct_texts"
-        ),
-        F.when(
-            F.col("est_distinct_texts").isNotNull(),
-            half_up(
-                F.greatest(
-                    F.lit(0.0),
-                    F.lit(1.0)
-                    - F.col("est_distinct_texts") / F.col("n_docs"),
-                ),
-                dp,
-            ),
-        ).alias("dup_rate_est"),
-        (F.coalesce("__n_state", F.lit(0)) < k).alias("is_exact"),
+    return corpus_card_from_state(
+        read_maintained_state(spark, state_dir), k, dp
     )
 
 

@@ -59,6 +59,53 @@ def test_index_rows_shape(spark):
     assert {len(r["sig"]) for r in rows} == {32}
 
 
+def test_split_index_equals_combined(spark, tmp_path):
+    """The SPLIT index layout (16 B band rows + one sig row per doc)
+    must decide exactly the same survivors/pairs as the combined
+    layout, and its new_index_rows tuple must self-extend the two
+    tables the same way the combined rows do."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        minhash_index_split,
+    )
+
+    corpus = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    inc = spark.createDataFrame(INCREMENT, ["doc_id", "text"])
+    combined = minhash_index(corpus)
+    bands, sigs = minhash_index_split(corpus)
+    # the split parts are exactly the combined frame's projections
+    assert sorted(
+        (r["doc_id"], r["__band"]) for r in bands.collect()
+    ) == sorted((r["doc_id"], r["__band"]) for r in combined.collect())
+    assert sigs.count() == 3
+
+    surv_c, _, pairs_c = dedup_increment_against_index(
+        inc, combined, threshold=0.9, emit_pairs=True
+    )
+    surv_s, new_rows_s, pairs_s = dedup_increment_against_index(
+        inc, (bands, sigs), threshold=0.9, emit_pairs=True
+    )
+    assert sorted(r["doc_id"] for r in surv_s.collect()) == sorted(
+        r["doc_id"] for r in surv_c.collect()
+    )
+    assert sorted(tuple(r) for r in pairs_s.collect()) == sorted(
+        tuple(r) for r in pairs_c.collect()
+    )
+    # new_index_rows mirrors the split layout and self-extends it
+    new_bands, new_sigs = new_rows_s
+    assert sorted(r["doc_id"] for r in new_sigs.collect()) == [11, 12]
+    bands2 = bands.unionByName(new_bands)
+    sigs2 = sigs.unionByName(new_sigs)
+    surv2, _ = dedup_increment_against_index(
+        spark.createDataFrame(
+            [(20, INCREMENT[1][1]), (21, INCREMENT[2][1])],
+            ["doc_id", "text"],
+        ),
+        (bands2, sigs2),
+        threshold=0.9,
+    )
+    assert surv2.count() == 0
+
+
 def test_increment_pairs_feed_component_state(spark):
     """The verdict-described pipeline end to end: each ingest tick
     dedups against the persisted MinHash index with ``emit_pairs=True``,
