@@ -39,6 +39,71 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
+_PRIORITY_R13 = [
+    # ==== round-13 verification window (first ~50 keys) ====
+    # -- the r08 tail (oldest greens on disk; retires the r08 block) --
+    "b06_filter",
+    "b16_groupby_agg",
+    "b26_tpch_q3alike",
+    "b10_tpch_q5alike",
+    "b01_parquet_scan",
+    "b02_view_scan",
+    "a03_empty_input",
+    "a04_offset_slice",
+    "a06_multi_step",
+    "a08_normalize_ts",
+    "b05_projection",
+    "b07_cast",
+    "b08_literals",
+    "b09_case_predicates",
+    "b10_join_inner",
+    "b10_join_shuffle",
+    "b11_join_left",
+    # -- NEW in round 13: the staged families, all with oracles --
+    "xsketch_kmv",  # NEW: KMV distinct estimate, both CASE regimes
+    "xsketch_kmv_merge",  # NEW: 3-tick fold == batch sketch rows
+    "xkmv_overlap",  # NEW: Jaccard + containment from sketches alone
+    "xheavy_hitters",  # NEW: CM+verify == direct ceil(phi*N) rule
+    "xcorpus_card_maintained",  # NEW: additive+KMV card fold, is_exact
+    "xhard_negatives",  # NEW: label-masked ANN negatives
+    "xrater_kappa",  # NEW: Cohen's kappa, lang vs langid
+    "xminhash_index_maintained",  # NEW: 3-tick index state, sig CSVs
+    # -- implementation changed in round 13 (re-verify: split layout) --
+    "xdedup_incremental",
+    "xdedup_index_pairs",
+    # -- the r09-stale head (oldest cohort once r08 retires) --
+    "xlayout_zonemap",
+    "xlayout_zorder",
+    "xcluster_kmeans",
+    "xcluster_semdedup",
+    "xcluster_quality",
+    "xsketch_countmin",
+    "xsim_pq",
+    "b18_approx_bounds",
+    "xsource_overlap",
+    "xtok_fertility",
+    "xpipeline_curriculum",
+    "xpipeline_dsir",
+    "xdsir_diag",
+    "xngram_novelty",
+    "xcurriculum",
+    "xdsir_sample",
+    "xpipeline_e2e",
+    "xsample_stratified",
+    "b11_join_full",
+    "b12_semi_anti",
+    "b13_cross_join",
+    "b14_theta_join",
+    "b18_approx_agg",
+    # ---- window boundary (50 = 17-key r08 tail + 8 new + 2 changed
+    # (split-index port) + the 23-key head of the r09-stale cohort.
+    # The r09 tail just below the cut (b19_stats_agg, b19_percentile,
+    # b20_rollup, b20_grouping_sets, b21_collect_agg, b22_distinct,
+    # b23_topk_per_group, b24_analytic, b25_window_frames, b26_orderby,
+    # b27_limit_offset, b28_union_all, b29_setops, b31–b37, b39_explode,
+    # …) rotates to the r14 head.) ----
+]
+
 _PRIORITY_R12 = [
     # ==== round-12 verification window (first ~50 keys) ====
     # -- the r06 tail (oldest greens on disk; retires the r06 block) --
@@ -582,14 +647,15 @@ _PRIORITY_R6 = [
     "b39_explode",
 ]
 
-#: The driver-facing order: the round-12 window first, then the prior
+#: The driver-facing order: the round-13 window first, then the prior
 #: windows oldest-last (keys already placed in a newer window are
 #: filtered out — the composition stays duplicate-free and exhaustive
 #: by the entry-contract test).
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R12
+    for k in _PRIORITY_R13
+    + _PRIORITY_R12
     + _PRIORITY_R11
     + _PRIORITY_R10
     + _PRIORITY_R9

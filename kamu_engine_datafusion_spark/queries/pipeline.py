@@ -3295,7 +3295,275 @@ def q_xdomain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _norm_md5():
+    """md5 of the whitespace-normalized text — the exact_dedup
+    normalization; effectively seeded-random KMV keys (the fixture
+    class the poly31 bottom-k estimators need: sequential strings
+    cluster the hash into a low band)."""
+    return F.md5(
+        F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    )
+
+
+def q_xsketch_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-lang KMV distinct-count sketch estimate over md5-normalized
+    texts (``operators/sketches.py::kmv_sketch``/``kmv_estimate``,
+    Bar-Yossef 2002 / Beyer 2007): k=100 puts en (218 distinct texts
+    at sf0.01) in the (k−1)/u_k estimate regime and the other langs in
+    the below-k exact regime — both branches of the estimate CASE are
+    hash-verified. At 100 TB the state is ≤ k longs per group: the
+    distinct count of an arbitrary-cardinality key column maintained
+    without a full key shuffle."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        F.col("lang").alias("grp"), _norm_md5().alias("__h")
+    )
+    sk = kmv_sketch(d, ["grp"], "__h", k=100, hash_fn="poly")
+    return kmv_estimate(sk, ["grp"], k=100, dp=4)
+
+
+def q_xsketch_kmv_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV MERGE LAW, driver-verified: documents split into three
+    disjoint ticks, each sketched independently
+    (``operators/sketches.py::kmv_sketch``) and folded with
+    ``kmv_merge`` — exactly ``streaming/structured.py::
+    maintained_kmv``'s per-tick fold. The KMV state (the k smallest
+    distinct key hashes) is a pure function of the input SET, so the
+    oracle builds the batch sketch of the FULL table: a hash match
+    proves fold ≡ from-scratch build row-for-row through the driver
+    (previously a pytest/Hypothesis property). Returns the retained
+    state rows themselves: (grp, hv)."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id", F.col("lang").alias("grp"), _norm_md5().alias("__h")
+    )
+    state = None
+    for i in range(3):
+        part = kmv_sketch(
+            d.filter(F.col("doc_id") % 3 == i),
+            ["grp"], "__h", k=100, hash_fn="poly",
+        )
+        state = (
+            part if state is None else kmv_merge([state, part], ["grp"], 100)
+        )
+    return state.select("grp", "hv")
+
+
+def q_xkmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Jaccard AND directional containment between corpora
+    computed from their KMV sketches ALONE (Beyer et al. 2007 §5 /
+    Cohen & Kaplan 2007 bottom-k set-operation estimates;
+    ``operators/sketches.py::kmv_pairwise_jaccard`` /
+    ``kmv_pairwise_containment``): both matrices read the same
+    union-top-k membership frame over ≤ k state rows per group — the
+    cross-source overlap monitor that never re-touches the corpus.
+    Three synthetic corpora with KNOWN overlap are built from doc-id
+    slices ('all' = every doc, 'even' = doc_id % 2 = 0, 'low' =
+    doc_id < 250; keys = md5-normalized text, the seeded-random
+    class), so containment exposes the subset sources ('even'⊂'all',
+    'low'⊂'all' near 1.0) that the symmetric Jaccard (~0.5) dilutes."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_pairwise_containment,
+        kmv_pairwise_jaccard,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    base = t["documents"].select("doc_id", _norm_md5().alias("__h"))
+    d = (
+        base.withColumn("grp", F.lit("all"))
+        .unionByName(
+            base.filter(F.col("doc_id") % 2 == 0).withColumn(
+                "grp", F.lit("even")
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") < 250).withColumn(
+                "grp", F.lit("low")
+            )
+        )
+    )
+    sk = kmv_sketch(d, ["grp"], "__h", k=128, hash_fn="poly")
+    con = kmv_pairwise_containment(sk, "grp", k=128, dp=4)
+    jac = kmv_pairwise_jaccard(sk, "grp", k=128, dp=4).select(
+        F.col("grp_a").alias("__ja"),
+        F.col("grp_b").alias("__jb"),
+        "n_union_sketch",
+        "jaccard_est",
+    )
+    return con.join(
+        jac,
+        (F.least("grp_a", "grp_b") == F.col("__ja"))
+        & (F.greatest("grp_a", "grp_b") == F.col("__jb")),
+    ).select(
+        "grp_a",
+        "grp_b",
+        "n_a_in_union",
+        "n_both",
+        "containment_a_in_b",
+        "n_union_sketch",
+        "jaccard_est",
+    )
+
+
+def q_xheavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT φ-heavy hitters over the corpus bigram stream via
+    Count-Min candidates + exact verify (``operators/sketches.py::
+    verified_heavy_hitters``): the CM overestimate theorem makes phase
+    1 false-negative-free, so the two-phase result EQUALS the direct
+    ``GROUP BY HAVING freq ≥ ⌈φN⌉`` rule — which IS the oracle
+    (hash-independent, the ``bloom_flag_contaminated`` proof shape
+    applied to frequency). φ=1/800 over ~27k bigrams (916 distinct at
+    sf0.01, vs the 4×256 grid → real collision noise for the verify
+    pass to prune; non-vacuous at every SF: 206/227/19 hitters). At 100 TB phase 1's exchange is ≤ depth·width
+    longs per partition and phase 2 counts only the broadcast-small
+    candidate sliver — the full-key-space groupBy never happens."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        verified_heavy_hitters,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    bg = _bigram_stream(t["documents"])
+    return verified_heavy_hitters(
+        bg, "bigram", phi_num=1, phi_den=800, depth=4, width=256,
+        seed=7, hash_fn="poly",
+    )
+
+
+def q_xcorpus_card_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained CORPUS DATA CARD fold, driver-verified
+    (``streaming/structured.py::corpus_card_increment`` /
+    ``corpus_card_fold`` / ``corpus_card_from_state`` — the exact
+    code ``maintained_corpus_card`` folds per tick): documents split
+    into three ticks; scalars fold additively, the distinct-texts side
+    folds by the KMV merge law; the read-back card reports per-lang
+    docs/tokens/short-rate plus the dup-rate estimate and the
+    ``is_exact`` regime flag (k=100: en rides the KMV estimate, the
+    other langs are exact). The oracle replays the whole composition —
+    the card a 100 TB curation pipeline keeps live without re-scanning
+    history."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        corpus_card_fold,
+        corpus_card_from_state,
+        corpus_card_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = corpus_card_increment(
+            d.filter(F.col("doc_id") % 3 == i), "lang", "text",
+            k=100, short_doc_tokens=20, hash_fn="poly",
+        )
+        state = corpus_card_fold(state, inc, k=100)
+    return corpus_card_from_state(state, k=100, dp=4)
+
+
+def q_xhard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN hard-negative mining for contrastive training
+    (``operators/similarity.py::hard_negatives``, Robinson et al.
+    2021): for each of 5 anchors, the 4 most-similar corpus vectors
+    with a DIFFERENT label — one corpus pass, anchors ride the closure
+    under the loud cap, same-label and self candidates masked in the
+    Arrow kernel, exact per-batch top-k prune. Ordering bridged across
+    engines by 4dp cosine rounding + id tie-break (the
+    ``xsim_topk_batch`` class)."""
+    from kamu_engine_datafusion_spark.operators.similarity import (
+        hard_negatives,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=4)
+
+
+def q_xrater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's-kappa agreement between the labeled ``lang`` column and
+    the stopword langid prediction (``operators/profile.py::
+    rater_agreement``, Cohen 1960) — chance-corrected label QA, the
+    scalar companion of the ``xlangid_eval`` confusion matrix: exact
+    BIGINT cells → po/pe/κ half-up 6dp from exact integer sums, so the
+    one-row result is engine-portable. Scale: one |labels|²-sized
+    groupBy; everything after runs on that bounded table."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        rater_agreement,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    preds = t["documents"].select(
+        "lang", X.language_id("text").alias("pred_lang")
+    )
+    return rater_agreement(preds, "lang", "pred_lang", dp=6)
+
+
+def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained MinHash dedup index, driver-verified: three
+    id-ordered ticks fold through ``dedup_increment_against_index``
+    with the accumulating SPLIT index — the exact batch semantics of
+    ``streaming/structured.py::maintained_minhash_index``'s per-tick
+    fold (tick-by-tick ≡ batch incremental path is pytest-pinned; this
+    key hashes the batch path through the driver). Returns the final
+    index state in ``read_maintained_minhash_index``'s classic frame —
+    every surviving doc's band rows with the signature as a CSV string
+    — so the stored state itself (band keys AND signatures), not just
+    survivor counts, is hash-verified against an oracle that replays
+    signatures, banding, the agreement estimate, and the three-tick
+    any-index-match-dies / lower-id-wins-within chain."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_increment_against_index,
+        minhash_index_split,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    # empty split index of the right shape
+    bands, sigs = minhash_index_split(
+        d.filter(F.col("doc_id") < 0),
+        num_hashes=16, num_bands=4, base_hash="poly",
+    )
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        tick = d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        _, (new_bands, new_sigs) = dedup_increment_against_index(
+            tick,
+            (bands, sigs),
+            threshold=0.7,
+            num_hashes=16,
+            num_bands=4,
+            max_bucket_size=None,
+            base_hash="poly",
+        )
+        bands = bands.unionByName(new_bands)
+        sigs = sigs.unionByName(new_sigs)
+    classic = bands.join(sigs, "doc_id")
+    return classic.select(
+        "doc_id",
+        F.col("__band").alias("band_key"),
+        F.array_join(
+            F.transform(F.col("sig"), lambda c: c.cast("string")), ","
+        ).alias("sig_csv"),
+    )
+
+
 QUERIES = {
+    "xsketch_kmv": q_xsketch_kmv,
+    "xsketch_kmv_merge": q_xsketch_kmv_merge,
+    "xkmv_overlap": q_xkmv_overlap,
+    "xheavy_hitters": q_xheavy_hitters,
+    "xcorpus_card_maintained": q_xcorpus_card_maintained,
+    "xhard_negatives": q_xhard_negatives,
+    "xrater_kappa": q_xrater_kappa,
+    "xminhash_index_maintained": q_xminhash_index_maintained,
     "xsample_weighted_merge": q_xsample_weighted_merge,
     "xbm25_incremental": q_xbm25_incremental,
     "xlm_backoff": q_xlm_backoff,
@@ -6896,3 +7164,250 @@ def _top_pc_oracle(
 
 
 ORACLES["xtop_pc"] = _top_pc_oracle()
+
+
+#: Shared CTE chain of the KMV oracles: md5-normalized text keys and
+#: their salted poly31 KMV hashes (the exact Spark-side derivation:
+#: ``_norm_md5`` → ``sketches._hash31(h || '#kmv')``).
+def _kmv_hv_sql(src: str = "documents") -> str:
+    return (
+        f"nrm AS (SELECT doc_id, lang, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+        f"FROM {src})"
+    )
+
+
+def _kmv_rank_sql(rows_cte: str, k: int) -> str:
+    """distinct (grp, hv) → per-group rank ≤ k: the KMV state rule."""
+    poly = _poly31_sql("(h || '#kmv')")
+    return (
+        f"hvs AS (SELECT DISTINCT grp, {poly} "
+        f"AS hv FROM {rows_cte} WHERE h IS NOT NULL), "
+        "rk AS (SELECT grp, hv, row_number() OVER ("
+        "PARTITION BY grp ORDER BY hv) AS rn FROM hvs)"
+    )
+
+
+def _kmv_est_case(k: int, dp: int = 4) -> str:
+    """The kmv_estimate CASE: below-k exact, else half-up (k−1)/u_k."""
+    return (
+        f"CASE WHEN n_state < {k} THEN CAST(n_state AS DOUBLE) "
+        f"ELSE floor({float(k - 1)} / ((hk + 1) / 2147483648.0) "
+        f"* {float(10 ** dp)} + 0.5) / {float(10 ** dp)} END"
+    )
+
+
+ORACLES["xsketch_kmv"] = (
+    "WITH " + _kmv_hv_sql() + ", "
+    "g AS (SELECT lang AS grp, h FROM nrm), "
+    + _kmv_rank_sql("g", 100) + ", "
+    "st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_state, "
+    "max(hv) AS hk FROM rk WHERE rn <= 100 GROUP BY grp) "
+    "SELECT grp, n_state, " + _kmv_est_case(100) + " AS dv_est FROM st"
+)
+
+ORACLES["xsketch_kmv_merge"] = (
+    "WITH " + _kmv_hv_sql() + ", "
+    "g AS (SELECT lang AS grp, h FROM nrm), "
+    + _kmv_rank_sql("g", 100) + " "
+    "SELECT grp, hv FROM rk WHERE rn <= 100"
+)
+
+ORACLES["xkmv_overlap"] = (
+    "WITH " + _kmv_hv_sql() + ", "
+    "g AS (SELECT 'all' AS grp, h FROM nrm "
+    "UNION ALL SELECT 'even', h FROM nrm WHERE doc_id % 2 = 0 "
+    "UNION ALL SELECT 'low', h FROM nrm WHERE doc_id < 250), "
+    + _kmv_rank_sql("g", 128) + ", "
+    "sk AS (SELECT grp, hv FROM rk WHERE rn <= 128), "
+    "gs AS (SELECT DISTINCT grp FROM sk), "
+    "pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b FROM gs a "
+    "CROSS JOIN gs b WHERE a.grp <> b.grp), "
+    "member AS (SELECT p.grp_a, p.grp_b, s.hv, "
+    "max(CASE WHEN s.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a, "
+    "max(CASE WHEN s.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b "
+    "FROM sk s JOIN pairs p ON s.grp = p.grp_a OR s.grp = p.grp_b "
+    "GROUP BY 1, 2, 3), "
+    "tk AS (SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b "
+    "ORDER BY hv) AS rn FROM member), "
+    "agg AS (SELECT grp_a, grp_b, "
+    "CAST(sum(in_a) AS BIGINT) AS n_a_in_union, "
+    "CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_both, CAST(count(*) AS BIGINT) AS n_union_sketch "
+    "FROM tk WHERE rn <= 128 GROUP BY 1, 2) "
+    "SELECT grp_a, grp_b, n_a_in_union, n_both, "
+    "CASE WHEN n_a_in_union > 0 THEN "
+    "floor(n_both / CAST(n_a_in_union AS DOUBLE) * 10000.0 + 0.5) "
+    "/ 10000.0 END AS containment_a_in_b, "
+    "n_union_sketch, "
+    "floor(n_both / CAST(n_union_sketch AS DOUBLE) * 10000.0 + 0.5) "
+    "/ 10000.0 AS jaccard_est FROM agg"
+)
+
+# The heavy-hitter oracle IS the direct rule — the CM-candidates +
+# exact-verify path must equal it for ANY hash function (overestimate
+# theorem: no false negatives; verify kills false positives).
+ORACLES["xheavy_hitters"] = (
+    _BG_CTES + ", "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM bgs) "
+    "SELECT bg AS bigram, CAST(count(*) AS BIGINT) AS freq, "
+    "tot.n AS n_total FROM bgs, tot GROUP BY bg, tot.n "
+    "HAVING count(*) >= (tot.n + 799) // 800"
+)
+
+ORACLES["xcorpus_card_maintained"] = (
+    "WITH c AS (SELECT lang AS grp, "
+    "len(string_split_regex(trim(lower(text)), '\\s+')) AS tc, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM documents), "
+    "scal AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(tc) AS BIGINT) AS n_tokens, "
+    "CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_short FROM c GROUP BY grp), "
+    + _kmv_rank_sql("c", 100) + ", "
+    "st AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_state, "
+    "max(hv) AS hk FROM rk WHERE rn <= 100 GROUP BY grp), "
+    "est AS (SELECT grp, n_state, " + _kmv_est_case(100)
+    + " AS e FROM st) "
+    "SELECT s.grp, s.n_docs, s.n_tokens, "
+    "floor(s.n_tokens / CAST(s.n_docs AS DOUBLE) * 100.0 + 0.5) / 100.0 "
+    "AS avg_tokens, "
+    "floor(s.n_short / CAST(s.n_docs AS DOUBLE) * 10000.0 + 0.5) "
+    "/ 10000.0 AS pct_short, "
+    "coalesce(e.e, 0.0) AS est_distinct_texts, "
+    "CASE WHEN e.e IS NOT NULL THEN "
+    "floor(greatest(0.0, 1.0 - e.e / s.n_docs) * 10000.0 + 0.5) "
+    "/ 10000.0 END AS dup_rate_est, "
+    "coalesce(e.n_state, 0) < 100 AS is_exact "
+    "FROM scal s LEFT JOIN est e USING (grp)"
+)
+
+ORACLES["xhard_negatives"] = (
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, "
+    "label FROM embeddings), "
+    "q AS (SELECT vec_id AS qid, emb AS qe, label AS qlab FROM e "
+    "WHERE vec_id < 5), "
+    "s AS (SELECT q.qid AS anchor_id, e.vec_id AS neg_id, "
+    "CAST(e.label AS BIGINT) AS neg_label, "
+    "round(list_dot_product(e.emb, q.qe) / "
+    "(sqrt(list_dot_product(e.emb, e.emb)) * "
+    "sqrt(list_dot_product(q.qe, q.qe))), 4) AS cosine "
+    "FROM e JOIN q ON e.label <> q.qlab AND e.vec_id <> q.qid) "
+    "SELECT anchor_id, neg_id, neg_label, cosine, rank FROM ("
+    "SELECT *, CAST(row_number() OVER (PARTITION BY anchor_id "
+    "ORDER BY cosine DESC, neg_id) AS BIGINT) AS rank FROM s) "
+    "WHERE rank <= 4"
+)
+
+ORACLES["xrater_kappa"] = (
+    "WITH p AS (" + ORACLES["xtext_langid"] + "), "
+    "cells AS (SELECT CAST(lang AS VARCHAR) AS a, "
+    "CAST(pred_lang AS VARCHAR) AS b, "
+    "CAST(count(*) AS BIGINT) AS n FROM p "
+    "WHERE lang IS NOT NULL AND pred_lang IS NOT NULL GROUP BY 1, 2), "
+    "tot AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) AS n_rows, "
+    "CAST(coalesce(sum(CASE WHEN a = b THEN n END), 0) AS BIGINT) "
+    "AS n_agree FROM cells), "
+    "rt AS (SELECT a, CAST(sum(n) AS BIGINT) AS ra FROM cells "
+    "GROUP BY a), "
+    "ct AS (SELECT b, CAST(sum(n) AS BIGINT) AS cb FROM cells "
+    "GROUP BY b), "
+    "ch AS (SELECT CAST(coalesce(sum(ra * cb), 0) AS BIGINT) "
+    "AS pe_num FROM rt JOIN ct ON rt.a = ct.b), "
+    "r AS (SELECT n_rows, n_agree, "
+    "CASE WHEN n_rows > 0 THEN n_agree / CAST(n_rows AS DOUBLE) END "
+    "AS po, "
+    "CASE WHEN n_rows > 0 THEN pe_num / CAST(n_rows * n_rows AS DOUBLE) "
+    "END AS pe FROM tot CROSS JOIN ch) "
+    "SELECT n_rows, n_agree, "
+    "floor(po * 1000000.0 + 0.5) / 1000000.0 AS po, "
+    "floor(pe * 1000000.0 + 0.5) / 1000000.0 AS pe, "
+    "floor((CASE WHEN pe = 1.0 THEN "
+    "(CASE WHEN po = 1.0 THEN 1.0 ELSE 0.0 END) "
+    "ELSE (po - pe) / (1.0 - pe) END) * 1000000.0 + 0.5) / 1000000.0 "
+    "AS kappa FROM r"
+)
+
+
+def _maintained_minhash_oracle() -> str:
+    """Oracle for ``xminhash_index_maintained``: replays poly
+    signatures, band-position-qualified fold keys, the 16-hash
+    agreement estimate, and the three-tick fold chain — tick 0 dedups
+    within itself (lower-id-wins, dead or alive), ticks 1–2 die on any
+    match to an EARLIER-TICK SURVIVOR or any lower-id tick-mate — then
+    emits every survivor's band rows with the signature CSV: the
+    stored index state itself."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31 as M,
+        _SHINGLE_PRIME as P,
+        minhash_coeffs,
+    )
+
+    coeffs = minhash_coeffs(16, seed=42)
+    mins = ", ".join(
+        f"min((hv * {a} + {b}) % {M}) AS m{j}"
+        for j, (a, b) in enumerate(coeffs)
+    )
+    bands = []
+    for band in range(4):
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(4):
+            acc = f"(({acc}) * {P} + m{band * 4 + i}) % {M}"
+        bands.append(
+            f"SELECT doc_id, {band} AS bandpos, {acc} AS bandkey FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    est = (
+        "("
+        + " + ".join(
+            f"CASE WHEN x.m{j} = y.m{j} THEN 1 ELSE 0 END"
+            for j in range(16)
+        )
+        + ") / 16.0"
+    )
+    sig_csv = " || ',' || ".join(
+        f"CAST(g.m{j} AS VARCHAR)" for j in range(16)
+    )
+    return (
+        "WITH d AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id < 300), "
+        "tq AS (SELECT doc_id, "
+        "string_split_regex(trim(lower(text)), '\\s+') AS t FROM d), "
+        "shl AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 2)), "
+        "i -> array_to_string(t[i:i+2], ' '))) AS shs FROM tq), "
+        "sh AS (SELECT doc_id, unnest(shs) AS s FROM shl), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend("
+        "CAST(0 AS BIGINT), list_transform(string_split(s, ''), "
+        f"ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {M}) AS hv FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({bands_sql}), "
+        "mv AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb "
+        "FROM bands a JOIN bands b ON a.bandpos = b.bandpos "
+        "AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id "
+        "JOIN sig x ON x.doc_id = a.doc_id "
+        "JOIN sig y ON y.doc_id = b.doc_id "
+        f"WHERE {est} >= 0.7), "
+        "s0 AS (SELECT doc_id FROM d WHERE doc_id < 100 "
+        "AND doc_id NOT IN (SELECT idb FROM mv WHERE idb < 100)), "
+        "s1 AS (SELECT doc_id FROM d WHERE doc_id >= 100 "
+        "AND doc_id < 200 AND doc_id NOT IN ("
+        "SELECT idb FROM mv WHERE idb >= 100 AND idb < 200 "
+        "AND (ida IN (SELECT doc_id FROM s0) "
+        "OR (ida >= 100 AND ida < 200)))), "
+        "s2 AS (SELECT doc_id FROM d WHERE doc_id >= 200 "
+        "AND doc_id NOT IN (SELECT idb FROM mv WHERE idb >= 200 "
+        "AND (ida IN (SELECT doc_id FROM s0) "
+        "OR ida IN (SELECT doc_id FROM s1) OR ida >= 200))), "
+        "surv AS (SELECT doc_id FROM s0 UNION ALL "
+        "SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2) "
+        "SELECT b.doc_id, CAST(b.bandpos AS VARCHAR) || ':' || "
+        "CAST(b.bandkey AS VARCHAR) AS band_key, "
+        f"{sig_csv} AS sig_csv "
+        "FROM bands b JOIN sig g ON g.doc_id = b.doc_id "
+        "JOIN surv s ON s.doc_id = b.doc_id"
+    )
+
+
+ORACLES["xminhash_index_maintained"] = _maintained_minhash_oracle()
