@@ -549,6 +549,130 @@ def semdedup(
     )
 
 
+def semdedup_state_rows(
+    df: DataFrame,
+    centroids: list[list[int]],
+    id_col: str,
+    vec_col: str,
+    scale: int = 10_000,
+    sim_scale: int = 1_000,
+) -> DataFrame:
+    """Assign rows to FIXED centroids and attach the quantized
+    similarity payload — the state/probe row shape of the incremental
+    SemDeDup path: ``(id_col, cluster, q2, n2)`` with ``q2`` the
+    ``sim_scale``-quantized vector and ``n2`` its squared norm (both
+    BIGINT; see :func:`semdedup` for the overflow envelope).
+    Assignment uses the same integer argmin as
+    :func:`kmeans_fixed_point` (``dist·k + cid`` least over broadcast
+    literal centroids — in-row, never a shuffle), so a frozen centroid
+    list reproduces the batch clustering bit-for-bit."""
+    k = len(centroids)
+    q = df.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("__qv"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                x.cast("double") * F.lit(float(sim_scale)) + F.lit(0.5)
+            ).cast("long"),
+        ).alias("q2"),
+    )
+    enc = kmeans_enc_expr(centroids, k)
+    return q.select(
+        F.col(id_col),
+        (enc % F.lit(k)).cast("long").alias("cluster"),
+        "q2",
+        F.aggregate(
+            F.transform(F.col("q2"), lambda x: x * x),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("n2"),
+    )
+
+
+def _semdedup_neardup(dot, ln, rn, tau2_num: int, tau2_den: int):
+    """The division-free cosine² ≥ τ² test of :func:`semdedup`:
+    positive dot AND dot²·tau2_den ≥ tau2_num·‖a‖²·‖b‖²."""
+    return (dot > 0) & (
+        dot * dot * F.lit(tau2_den) >= F.lit(tau2_num) * ln * rn
+    )
+
+
+def semdedup_increment_against_index(
+    inc_rows: DataFrame,
+    state_rows: DataFrame | None,
+    id_col: str = "vec_id",
+    tau2_num: int = 9_025,
+    tau2_den: int = 10_000,
+) -> DataFrame:
+    """One SemDeDup increment against the persisted per-cluster
+    survivor index — the embedding leg of the continuous-ingestion
+    family (``dedup_increment_against_index`` / `phash_increment_
+    against_index` applied to semantic near-dups): both inputs are
+    :func:`semdedup_state_rows` frames; an increment row DIES if any
+    INDEXED SURVIVOR in its cluster is a quantized-cosine near-dup, or
+    any lower-id increment row in its cluster is (dead or alive — with
+    the whole corpus as one increment and ``state_rows=None`` this is
+    exactly :func:`semdedup`'s greedy keep-first-by-id rule,
+    pytest-pinned). Returns the SURVIVOR state rows to append.
+
+    Scale: the only joins are cluster equi-joins — increment × touched
+    clusters' state and increment × itself — so the quadratic budget
+    is per-cluster, as in the batch paper shape; the corpus is never
+    re-read and survivors never re-verify."""
+    near = lambda: _semdedup_neardup(  # noqa: E731
+        F.col("__dot"), F.col("__ln"), F.col("__rn"), tau2_num, tau2_den
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("__lq"), F.col("__rq"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    right = inc_rows.select(
+        "cluster",
+        F.col(id_col).alias("__rid"),
+        F.col("q2").alias("__rq"),
+        F.col("n2").alias("__rn"),
+    )
+    dead = None
+    if state_rows is not None:
+        left_idx = state_rows.select(
+            "cluster",
+            F.col("q2").alias("__lq"),
+            F.col("n2").alias("__ln"),
+        )
+        dead = (
+            left_idx.join(right, "cluster")
+            .withColumn("__dot", dot)
+            .filter(near())
+            .select(F.col("__rid").alias("__dead"))
+            .distinct()
+        )
+    left_inc = inc_rows.select(
+        "cluster",
+        F.col(id_col).alias("__lid"),
+        F.col("q2").alias("__lq"),
+        F.col("n2").alias("__ln"),
+    )
+    within = (
+        left_inc.join(right, "cluster")
+        .filter(F.col("__lid") < F.col("__rid"))
+        .withColumn("__dot", dot)
+        .filter(near())
+        .select(F.col("__rid").alias("__dead"))
+        .distinct()
+    )
+    dead = within if dead is None else dead.unionByName(within).distinct()
+    return inc_rows.join(
+        dead.withColumnRenamed("__dead", id_col), id_col, "left_anti"
+    )
+
+
 def cluster_quality(
     assign: DataFrame,
     labels: DataFrame,

@@ -2100,6 +2100,84 @@ def read_maintained_minhash_index(
     return bands.join(sigs, "doc_id").select("doc_id", "sig", "__band")
 
 
+def maintained_semdedup_index(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    centroids: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = 10_000,
+    sim_scale: int = 1_000,
+    tau2_num: int = 9_025,
+    tau2_den: int = 10_000,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained SEMANTIC dedup index over an embedding
+    stream — SemDeDup (Abbas et al. 2023) at the maintained layer, the
+    embedding twin of :func:`maintained_phash_index` /
+    :func:`maintained_minhash_index`: the CLUSTER is both the probe
+    key and the state bucket key, so the touched-bucket read IS the
+    per-cluster candidate set, and because survivors never change the
+    state folds APPEND-ONLY (per-tick write O(increment)).
+
+    ``centroids`` are FROZEN integer centroids
+    (``operators/clustering.py::lloyd_centroids`` over a seed corpus,
+    or any fixed codebook) — re-clustering would re-bucket history, so
+    the streaming contract pins them; assignment replays
+    ``kmeans_fixed_point``'s integer argmin exactly. A tick's rows are
+    assigned in-row (broadcast literal centroids, no shuffle), probed
+    against the touched clusters' stored survivors with the
+    division-free quantized cosine² ≥ τ² test, deduped within the tick
+    lower-id-wins (``operators/clustering.py::
+    semdedup_increment_against_index`` — the exact code this fold
+    runs), and only survivors append. One-tick fold over a whole
+    corpus equals batch :func:`~kamu_engine_datafusion_spark.operators
+    .clustering.semdedup`'s keep set (pytest-pinned). State row:
+    ``(id, cluster, q2, n2)`` — read back with
+    :func:`read_maintained_state`; retractions unsupported."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        semdedup_increment_against_index,
+        semdedup_state_rows,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _new_rows(state_subset, inc_frame):
+        return semdedup_increment_against_index(
+            inc_frame, state_subset, id_col, tau2_num, tau2_den
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # assign clusters FIRST: the cluster is the bucket key, so the
+        # fold's touched-bucket set derives from the assigned frame
+        inc = semdedup_state_rows(
+            batch_df, centroids, id_col, vec_col, scale, sim_scale
+        ).persist()
+        try:
+            inc.count()  # populate before touched-collect + probe fan out
+            _fold_buckets_append(
+                inc, batch_id, state_dir, ["cluster"], state_buckets,
+                _new_rows, read_state=True,
+            )
+        finally:
+            inc.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_bloom(
     ledger_dir: str,
     state_dir: str,

@@ -605,3 +605,135 @@ def test_top_principal_component_rayleigh_overflow_guard(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     with _pytest.raises(ValueError, match="variance-share"):
         top_principal_component(df, "vec_id", "embedding", dim=8)
+
+
+def test_semdedup_increment_one_shot_equals_batch(spark):
+    """The incremental SemDeDup core with the whole corpus as ONE
+    increment and no index equals batch semdedup's greedy
+    keep-first-by-id rule exactly (same frozen centroids)."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        lloyd_centroids,
+        quantize_vectors,
+        semdedup,
+        semdedup_increment_against_index,
+        semdedup_state_rows,
+    )
+
+    rows = []
+    for i in range(8):
+        base = [math.cos(i * 0.7), math.sin(i * 0.7)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, list(base)))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = lloyd_centroids(
+        quantize_vectors(df, "vec_id", "embedding", 10_000),
+        "vec_id", dim=2, k=2, iters=2,
+    )
+    inc = semdedup_state_rows(df, cents, "vec_id", "embedding")
+    surv = semdedup_increment_against_index(inc, None)
+    got = sorted(r["vec_id"] for r in surv.collect())
+    want = sorted(
+        r["vec_id"]
+        for r in semdedup(
+            df, "vec_id", "embedding", dim=2, k=2, iters=2
+        ).collect()
+        if r["is_kept"] == 1
+    )
+    assert got == want == [2 * i for i in range(8)]
+    # clusters in the state rows match the batch assignment
+    batch_clusters = {
+        r["vec_id"]: r["cluster"]
+        for r in semdedup(
+            df, "vec_id", "embedding", dim=2, k=2, iters=2
+        ).collect()
+    }
+    for r in surv.collect():
+        assert batch_clusters[r["vec_id"]] == r["cluster"]
+
+
+def test_maintained_semdedup_index_folds_and_replays(spark, tmp_path):
+    """Tick-by-tick maintained fold == the batch incremental path run
+    tick by tick: near-dups die vs prior-tick SURVIVORS and within a
+    tick lower-id-wins; survivors-only state; a replayed (no-new-data)
+    run changes nothing."""
+    import math
+    import os
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        lloyd_centroids,
+        quantize_vectors,
+        semdedup_increment_against_index,
+        semdedup_state_rows,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_semdedup_index,
+        read_maintained_state,
+    )
+
+    def vec(i, eps=0.0):
+        return [math.cos(i * 0.7) + eps, math.sin(i * 0.7)]
+
+    ticks = [
+        # tick 0: 4 distinct blobs + an exact dup of blob 0 (id 100)
+        [(0, vec(0)), (1, vec(1)), (2, vec(2)), (3, vec(3)),
+         (100, vec(0))],
+        # tick 1: dup of a tick-0 SURVIVOR (dies), fresh blob (lives),
+        # within-tick pair (lower id lives)
+        [(200, vec(1)), (201, vec(4)), (202, vec(5)), (203, vec(5))],
+        # tick 2: dup of the tick-1 survivor 202 (dies) + fresh (lives)
+        [(300, vec(5)), (301, vec(6))],
+    ]
+    schema = "vec_id long, embedding array<double>"
+    all_df = spark.createDataFrame(
+        [r for t in ticks for r in t], schema
+    )
+    cents = lloyd_centroids(
+        quantize_vectors(all_df, "vec_id", "embedding", 10_000),
+        "vec_id", dim=2, k=3, iters=2,
+    )
+
+    ledger = os.path.join(str(tmp_path), "sdledger")
+    state = os.path.join(str(tmp_path), "sdstate")
+    ck = os.path.join(str(tmp_path), "sdck")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_semdedup_index(
+            ledger, state, ck, cents,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    batch_state = None
+    for t in ticks:
+        spark.createDataFrame(t, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+        # batch replay of the same tick with the same module-level core
+        inc = semdedup_state_rows(
+            spark.createDataFrame(t, schema), cents, "vec_id", "embedding"
+        )
+        new = semdedup_increment_against_index(inc, batch_state)
+        batch_state = new if batch_state is None else (
+            batch_state.unionByName(new)
+        )
+        got = sorted(
+            (r["vec_id"], r["cluster"], tuple(r["q2"]), r["n2"])
+            for r in read_maintained_state(spark, state).collect()
+        )
+        want = sorted(
+            (r["vec_id"], r["cluster"], tuple(r["q2"]), r["n2"])
+            for r in batch_state.collect()
+        )
+        assert got == want
+    ids = {r[0] for r in got}
+    assert ids == {0, 1, 2, 3, 201, 202, 301}
+    # replay with no new data: state unchanged
+    run()
+    again = sorted(
+        (r["vec_id"], r["cluster"], tuple(r["q2"]), r["n2"])
+        for r in read_maintained_state(spark, state).collect()
+    )
+    assert again == got

@@ -1053,6 +1053,77 @@ def main() -> None:
                 flush=True,
             )
 
+    def _batch_index_layout(n_index: int) -> None:
+        """BATCH index-layout A/B (the r13 split port): persist a
+        combined vs split MinHash index of n_index docs to parquet,
+        probe each with the same 10k-doc increment
+        (dedup_increment_against_index, xxhash64 production profile),
+        and report on-disk index bytes + warm probe seconds (min of 2)
+        per layout. Same synthetic unique-word docs as the maintained
+        stress, so the probe cost is pure candidate/verify work."""
+        from kamu_engine_datafusion_spark.operators.dedup import (
+            dedup_increment_against_index,
+            minhash_index,
+            minhash_index_split,
+        )
+
+        base = f"{args.data_dir}/__bidx_{n_index}"
+        shutil.rmtree(base, ignore_errors=True)
+        os.makedirs(base)
+
+        def doc_expr():
+            return (
+                "concat_ws(' ', transform(sequence(1, 20), j -> "
+                "concat('w', CAST(xxhash64(id, j) % 1000000 AS STRING)"
+                "))) AS text"
+            )
+
+        corpus = spark.range(n_index).selectExpr("id AS doc_id", doc_expr())
+        inc = spark.range(n_index, n_index + 10_000).selectExpr(
+            "id AS doc_id", doc_expr()
+        )
+        minhash_index(corpus).write.parquet(f"{base}/combined")
+        bands, sigs = minhash_index_split(corpus)
+        bands.write.parquet(f"{base}/bands")
+        sigs.write.parquet(f"{base}/sigs")
+
+        def du(path: str) -> int:
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(path)
+                for f in fs
+            )
+
+        def probe(index) -> float:
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.time()
+                surv, _ = dedup_increment_against_index(inc, index)
+                surv.count()
+                best = min(best, time.time() - t0)
+            return best
+
+        t_comb = probe(spark.read.parquet(f"{base}/combined"))
+        t_split = probe(
+            (
+                spark.read.parquet(f"{base}/bands"),
+                spark.read.parquet(f"{base}/sigs"),
+            )
+        )
+        print(
+            f"batch_index_layout_{n_index}: combined "
+            f"{du(f'{base}/combined') / 1e6:.1f}MB {t_comb:.2f}s | "
+            f"split {(du(f'{base}/bands') + du(f'{base}/sigs')) / 1e6:.1f}MB "
+            f"(bands {du(f'{base}/bands') / 1e6:.1f} + "
+            f"sigs {du(f'{base}/sigs') / 1e6:.1f}) {t_split:.2f}s",
+            flush=True,
+        )
+        shutil.rmtree(base, ignore_errors=True)
+
+    if _want("batch_index_layout"):
+        for nn in (100_000, 1_000_000):
+            _batch_index_layout(nn)
+
 
 if __name__ == "__main__":
     main()
