@@ -1286,6 +1286,82 @@ def curriculum_stages(
     return df.withColumn("stage", F.ntile(n_stages).over(w))
 
 
+def curriculum_from_sketch(
+    df: DataFrame,
+    sketch: DataFrame,
+    difficulty_col: str,
+    group_cols: list[str],
+    id_col: str,
+    n_stages: int = 4,
+) -> DataFrame:
+    """Curriculum stage assignment against boundaries read from a
+    MERGEABLE QUANTILE SKETCH (``operators/sketches.py::
+    quantile_sketch`` or the continuously-maintained
+    ``streaming.maintained_quantile_sketch`` state) — the incremental,
+    ORACLE-HASHABLE form of :func:`curriculum_stages`: ``mode="ntile"``
+    needs a per-stratum sort (wrong when one language is 30 TB) and
+    ``mode="quantile"`` rides the engine-specific ``percentile_approx``
+    (not replayable cross-engine), while the hash-level sketch is a
+    deterministic function of the input SET, so BOTH the stage
+    boundaries and the assignment are SQL-replayable — the winsorize
+    companion (:func:`profile.winsorize_from_sketch`) applied to
+    curriculum scheduling.
+
+    Boundaries: the ``n_stages − 1`` interior quantiles of the
+    retained rows (integer rank selection over ``(difficulty, id)``
+    order — see ``quantile_sketch_estimates``); assignment is in-row
+    ``stage = 1 + #{boundaries < difficulty}`` with boundary-equal
+    rows going to the LOWER stage (the :func:`curriculum_stages`
+    ``mode="quantile"`` convention). Counts per stage are near-equal
+    (sketch rank error + boundary ties); difficulty ordering across
+    stages is exact by construction.
+
+    A group absent from the sketch (first appearance before the next
+    maintained fold) or a NULL difficulty gets stage NULL — loudly
+    unscheduled, never silently "easy" (the winsorize family passes
+    rows through; a curriculum must not fabricate a schedule it
+    doesn't have).
+
+    Scale: one ≤ k-rows-per-group estimate aggregate on the SKETCH,
+    broadcast back onto the scan, stage computed in-row — no window,
+    no per-stratum sort, no shuffle of the corpus; at 100 TB the
+    boundaries come from maintained state, so even the sketch build
+    is already paid for.
+    """
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch_estimates,
+    )
+
+    if n_stages < 2:
+        raise ValueError(f"n_stages must be >= 2, got {n_stages}")
+    cuts = quantile_sketch_estimates(
+        sketch,
+        group_cols,
+        id_col,
+        difficulty_col,
+        qs=[(i, n_stages) for i in range(1, n_stages)],
+    ).select(
+        *group_cols,
+        *[
+            F.col(f"q_{i}_{n_stages}").alias(f"__cut{i}")
+            for i in range(1, n_stages)
+        ],
+    )
+    joined = df.join(F.broadcast(cuts), group_cols, "left")
+    expr = F.lit(1)
+    for i in range(1, n_stages):
+        expr = expr + F.when(
+            F.col(difficulty_col) > F.col(f"__cut{i}"), 1
+        ).otherwise(0)
+    stage = F.when(
+        F.col(difficulty_col).isNotNull() & F.col("__cut1").isNotNull(),
+        expr,
+    ).cast("int")
+    return joined.withColumn("stage", stage).drop(
+        *[f"__cut{i}" for i in range(1, n_stages)]
+    )
+
+
 def packing_efficiency(
     df: DataFrame,
     id_col: str,

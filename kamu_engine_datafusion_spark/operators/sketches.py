@@ -923,3 +923,81 @@ def kmv_pairwise_containment(
             half_up(F.col("n_both") / F.col("n_a_in_union"), dp),
         ).alias("containment_a_in_b"),
     )
+
+
+def kmv_overlap_monitor(
+    sketch: DataFrame, group_col: str, k: int, dp: int = 4
+) -> DataFrame:
+    """The combined cross-source overlap matrix — pairwise Jaccard AND
+    directional containment — from the KMV sketches alone, in ONE pass
+    over the union-top-k membership frame (:func:`kmv_pairwise_jaccard`
+    and :func:`kmv_pairwise_containment` each build their own frame;
+    the monitor shares it, halving the metadata scan). This is the
+    read-side of the continuously-maintained overlap monitor
+    (``streaming.read_maintained_kmv_overlap``): the maintained KMV
+    state IS the batch sketch (exact merge law), so the live matrix
+    never touches the corpus — it reads ≤ k rows per group of folded
+    state.
+
+    One row per ORDERED pair ``(grp_a, grp_b, n_a_in_union, n_both,
+    containment_a_in_b, n_union_sketch, jaccard_est)`` for
+    ``grp_a != grp_b``; the symmetric Jaccard repeats on both
+    orientations of a pair (pytest-pinned equal to the two separate
+    estimators row-for-row). ``containment_a_in_b`` is NULL when the
+    union-top-k holds no hash of side a (empty-group direction
+    undefined, same convention as the standalone estimator).
+
+    Scale: input is the sketch (≤ k rows/group — metadata); pair
+    fan-out bounded by |groups|²·k; the per-pair rank filter gets the
+    map-side WindowGroupLimit. The corpus is never re-read.
+    """
+    from pyspark.sql import Window
+
+    groups = sketch.select(F.col(group_col).alias("__g")).distinct()
+    pairs = (
+        groups.select(F.col("__g").alias("grp_a"))
+        .crossJoin(groups.select(F.col("__g").alias("grp_b")))
+        .filter(F.col("grp_a") != F.col("grp_b"))
+    )
+    rows = sketch.select(F.col(group_col).alias("__g"), "hv")
+    member = (
+        rows.join(
+            F.broadcast(pairs),
+            (F.col("__g") == F.col("grp_a"))
+            | (F.col("__g") == F.col("grp_b")),
+        )
+        .groupBy("grp_a", "grp_b", "hv")
+        .agg(
+            F.max((F.col("__g") == F.col("grp_a")).cast("int")).alias(
+                "__in_a"
+            ),
+            F.max((F.col("__g") == F.col("grp_b")).cast("int")).alias(
+                "__in_b"
+            ),
+        )
+    )
+    w = Window.partitionBy("grp_a", "grp_b").orderBy("hv")
+    topk = member.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") <= k
+    )
+    agg = topk.groupBy("grp_a", "grp_b").agg(
+        F.sum(F.col("__in_a").cast("long")).alias("n_a_in_union"),
+        F.sum(
+            (F.col("__in_a") + F.col("__in_b") == 2).cast("long")
+        ).alias("n_both"),
+        F.count(F.lit(1)).cast("long").alias("n_union_sketch"),
+    )
+    return agg.select(
+        "grp_a",
+        "grp_b",
+        "n_a_in_union",
+        "n_both",
+        F.when(
+            F.col("n_a_in_union") > 0,
+            half_up(F.col("n_both") / F.col("n_a_in_union"), dp),
+        ).alias("containment_a_in_b"),
+        "n_union_sketch",
+        half_up(
+            F.col("n_both") / F.col("n_union_sketch"), dp
+        ).alias("jaccard_est"),
+    )

@@ -3371,10 +3371,14 @@ def q_xkmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices ('all' = every doc, 'even' = doc_id % 2 = 0, 'low' =
     doc_id < 250; keys = md5-normalized text, the seeded-random
     class), so containment exposes the subset sources ('even'⊂'all',
-    'low'⊂'all' near 1.0) that the symmetric Jaccard (~0.5) dilutes."""
+    'low'⊂'all' near 1.0) that the symmetric Jaccard (~0.5) dilutes.
+    r13: rides the one-pass ``kmv_overlap_monitor`` (both estimators
+    share ONE union-top-k membership frame) — identical output,
+    re-certified by this key's hash staying green across the change;
+    the monitor is also the read-side of the maintained overlap
+    monitor (``streaming.read_maintained_kmv_overlap``)."""
     from kamu_engine_datafusion_spark.operators.sketches import (
-        kmv_pairwise_containment,
-        kmv_pairwise_jaccard,
+        kmv_overlap_monitor,
         kmv_sketch,
     )
 
@@ -3394,26 +3398,7 @@ def q_xkmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sk = kmv_sketch(d, ["grp"], "__h", k=128, hash_fn="poly")
-    con = kmv_pairwise_containment(sk, "grp", k=128, dp=4)
-    jac = kmv_pairwise_jaccard(sk, "grp", k=128, dp=4).select(
-        F.col("grp_a").alias("__ja"),
-        F.col("grp_b").alias("__jb"),
-        "n_union_sketch",
-        "jaccard_est",
-    )
-    return con.join(
-        jac,
-        (F.least("grp_a", "grp_b") == F.col("__ja"))
-        & (F.greatest("grp_a", "grp_b") == F.col("__jb")),
-    ).select(
-        "grp_a",
-        "grp_b",
-        "n_a_in_union",
-        "n_both",
-        "containment_a_in_b",
-        "n_union_sketch",
-        "jaccard_est",
-    )
+    return kmv_overlap_monitor(sk, "grp", k=128, dp=4)
 
 
 def q_xheavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -7276,8 +7261,8 @@ ORACLES["xcorpus_card_maintained"] = (
     "/ 10000.0 AS pct_short, "
     "coalesce(e.e, 0.0) AS est_distinct_texts, "
     "CASE WHEN e.e IS NOT NULL THEN "
-    "floor(greatest(0.0, 1.0 - e.e / s.n_docs) * 10000.0 + 0.5) "
-    "/ 10000.0 END AS dup_rate_est, "
+    "floor(greatest(0.0, 1.0 - e.e / CAST(s.n_docs AS DOUBLE)) "
+    "* 10000.0 + 0.5) / 10000.0 END AS dup_rate_est, "
     "coalesce(e.n_state, 0) < 100 AS is_exact "
     "FROM scal s LEFT JOIN est e USING (grp)"
 )
@@ -7320,11 +7305,12 @@ ORACLES["xrater_kappa"] = (
     "CASE WHEN n_rows > 0 THEN pe_num / CAST(n_rows * n_rows AS DOUBLE) "
     "END AS pe FROM tot CROSS JOIN ch) "
     "SELECT n_rows, n_agree, "
-    "floor(po * 1000000.0 + 0.5) / 1000000.0 AS po, "
-    "floor(pe * 1000000.0 + 0.5) / 1000000.0 AS pe, "
+    "floor(po * CAST(1000000.0 AS DOUBLE) + 0.5) / 1000000.0 AS po, "
+    "floor(pe * CAST(1000000.0 AS DOUBLE) + 0.5) / 1000000.0 AS pe, "
     "floor((CASE WHEN pe = 1.0 THEN "
     "(CASE WHEN po = 1.0 THEN 1.0 ELSE 0.0 END) "
-    "ELSE (po - pe) / (1.0 - pe) END) * 1000000.0 + 0.5) / 1000000.0 "
+    "ELSE (po - pe) / (1.0 - pe) END) "
+    "* CAST(1000000.0 AS DOUBLE) + 0.5) / 1000000.0 "
     "AS kappa FROM r"
 )
 

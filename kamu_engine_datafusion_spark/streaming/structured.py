@@ -1339,6 +1339,37 @@ def read_maintained_corpus_card(
     )
 
 
+def read_maintained_kmv_overlap(
+    spark: SparkSession,
+    state_dir: str,
+    group_col: str,
+    k: int = 256,
+    dp: int = 4,
+) -> DataFrame:
+    """Materialize the LIVE cross-source overlap matrix — pairwise
+    Jaccard + directional containment per ordered source pair — from
+    :func:`maintained_kmv` state, without touching the corpus: the
+    maintained state equals the batch KMV sketch of the whole ledger
+    row-for-row (exact merge law, pytest-pinned), so the matrix read
+    off state is IDENTICAL to the batch
+    ``operators.sketches.kmv_overlap_monitor`` over all history. This
+    is the standing overlap monitor a 100 TB multi-source ingest runs
+    after every tick: per-tick cost is the KMV fold (O(increment +
+    touched buckets)), and the matrix read is |groups|²·k METADATA
+    rows. Detects a source draining into another (containment → 1)
+    long before symmetric Jaccard moves. Columns: ``(grp_a, grp_b,
+    n_a_in_union, n_both, containment_a_in_b, n_union_sketch,
+    jaccard_est)``."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_overlap_monitor,
+    )
+
+    state = read_maintained_state(spark, state_dir).select(
+        group_col, "hv"
+    )
+    return kmv_overlap_monitor(state, group_col, k, dp)
+
+
 def maintained_weighted_sample(
     ledger_dir: str,
     state_dir: str,

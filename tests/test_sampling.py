@@ -986,3 +986,193 @@ def test_negative_samples_ring_properties(spark):
     tiny = spark.createDataFrame([(1,), (2,)], "doc_id long")
     with _pytest.raises(ValueError, match="ring has"):
         negative_samples(tiny, "doc_id", k=3, mode="serial")
+
+
+def _qsk_python(rows, k, n_stages):
+    """Python replay of the hash-level quantile sketch + curriculum
+    cuts: rows = [(grp, rid, val)]; returns {grp: [cut1, ...]}."""
+    M31 = 2_147_483_647
+
+    def poly(s):
+        acc = 0
+        for ch in s:
+            acc = (acc * 31 + ord(ch)) % M31
+        return acc
+
+    def lvl(rid):
+        h = poly(rid + "#qsk")
+        if h == 0:
+            return 31
+        r = 0
+        while h % 2 == 0:
+            h //= 2
+            r += 1
+        return r
+
+    by_grp = {}
+    for g, rid, val in rows:
+        if rid is None or val is None:
+            continue
+        by_grp.setdefault(g, []).append((rid, val, lvl(rid)))
+    cuts = {}
+    for g, rs in by_grp.items():
+        if len(rs) <= k:
+            thr = 0
+        else:
+            thr = 0
+            for L in range(31, -1, -1):
+                if sum(1 for _, _, lv in rs if lv >= L) > k:
+                    thr = L + 1
+                    break
+        ret = sorted(
+            ((val, rid) for rid, val, lv in rs if lv >= thr),
+        )
+        s = len(ret)
+        cuts[g] = [
+            ret[(i * (s - 1)) // n_stages][0] for i in range(1, n_stages)
+        ]
+    return cuts
+
+
+def test_curriculum_from_sketch_matches_python_replay(spark):
+    """Sketch-fed curriculum: boundaries = integer rank selection over
+    the retained rows, stage = 1 + #{cuts < difficulty} with
+    boundary-equal rows in the LOWER stage — replayed exactly in
+    python (cuts AND assignment), partition-independent."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    rng = __import__("random").Random(5)
+    rows = [
+        (
+            "en" if i % 3 else "sw",
+            f"d{i:04d}x{rng.randrange(1000):03d}",
+            rng.randrange(0, 500),
+        )
+        for i in range(900)
+    ]
+    df = spark.createDataFrame(rows, "lang string, rid string, diff long")
+    sk = quantile_sketch(df, ["lang"], "rid", "diff", k=64)
+    out = curriculum_from_sketch(
+        df.repartition(13), sk, "diff", ["lang"], "rid", n_stages=4
+    )
+    got = {r["rid"]: r["stage"] for r in out.collect()}
+    cuts = _qsk_python(rows, k=64, n_stages=4)
+    for g, rid, val in rows:
+        want = 1 + sum(1 for c in cuts[g] if val > c)
+        assert got[rid] == want, (g, rid, val, cuts[g])
+    # the stages are a real split at this k (not all one stage)
+    assert len(set(got.values())) == 4
+
+
+def test_curriculum_from_sketch_unscheduled_is_null(spark):
+    """A group absent from the sketch state and a NULL difficulty both
+    get stage NULL — loudly unscheduled, never silently stage 1; row
+    count is unaffected (assignment never drops)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    base = spark.createDataFrame(
+        [("en", f"r{i}", i) for i in range(40)],
+        "lang string, rid string, diff long",
+    )
+    sk = quantile_sketch(base, ["lang"], "rid", "diff", k=16)
+    probe = base.unionByName(
+        spark.createDataFrame(
+            [("xx", "new1", 7), ("en", "nulldiff", None)],
+            "lang string, rid string, diff long",
+        )
+    )
+    out = curriculum_from_sketch(probe, sk, "diff", ["lang"], "rid", 3)
+    got = {r["rid"]: r["stage"] for r in out.collect()}
+    assert len(got) == 42
+    assert got["new1"] is None and got["nulldiff"] is None
+    assert all(v is not None for k, v in got.items()
+               if k not in ("new1", "nulldiff"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_from_sketch(probe, sk, "diff", ["lang"], "rid", 1)
+
+
+def test_curriculum_from_sketch_over_maintained_state(spark, tmp_path):
+    """Stage assignment against 3-tick maintained_quantile_sketch
+    state == against the batch sketch of the whole ledger (the exact
+    merge law carried to the curriculum): boundaries come from folded
+    state, the corpus is never re-sorted."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_quantile_sketch,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "cledger")
+    state_dir = os.path.join(str(tmp_path), "cstate")
+    ck = os.path.join(str(tmp_path), "cck")
+    os.makedirs(ledger_dir)
+    schema = "lang string, rid string, diff long"
+    rng = __import__("random").Random(9)
+    all_rows = [
+        ("en" if i % 2 else "de", f"q{i:04d}", rng.randrange(0, 300))
+        for i in range(600)
+    ]
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_quantile_sketch(
+            ledger_dir, state_dir, ck, ["lang"], "rid", "diff", k=32,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    tick(all_rows[:200])
+    tick(all_rows[200:450])
+    tick(all_rows[450:])
+    full = spark.createDataFrame(all_rows, schema)
+    state = read_maintained_state(spark, state_dir).select(
+        "lang", "rid", "diff", "lvl", "thr"
+    )
+    got = sorted(
+        (r["rid"], r["stage"])
+        for r in curriculum_from_sketch(
+            full, state, "diff", ["lang"], "rid", n_stages=5
+        ).collect()
+    )
+    want = sorted(
+        (r["rid"], r["stage"])
+        for r in curriculum_from_sketch(
+            full,
+            quantile_sketch(full, ["lang"], "rid", "diff", k=32),
+            "diff",
+            ["lang"],
+            "rid",
+            n_stages=5,
+        ).collect()
+    )
+    assert got == want
+    # monotone: within a lang, stage never decreases as diff rises
+    rows = curriculum_from_sketch(
+        full, state, "diff", ["lang"], "rid", n_stages=5
+    ).collect()
+    for lang in ("en", "de"):
+        seq = sorted(
+            (r["diff"], r["stage"]) for r in rows if r["lang"] == lang
+        )
+        stages = [s for _, s in seq]
+        assert stages == sorted(stages)

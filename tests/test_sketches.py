@@ -978,3 +978,125 @@ def test_kmv_pairwise_containment_detects_subset_source(spark):
     # estimator accuracy: true C(SUB->BIG) = 0.9, C(BIG->SUB) = 450/2000
     assert abs(got[("SUB", "BIG")][2] - 0.9) < 3 / math.sqrt(256) + 0.05
     assert got[("BIG", "SUB")][2] < 0.45
+
+
+def test_kmv_overlap_monitor_equals_both_estimators(spark):
+    """The one-pass combined matrix == the join of the two standalone
+    estimators row-for-row (same union-top-k membership frame, computed
+    once instead of twice), on a corpus with planted overlap + a
+    planted subset source."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_overlap_monitor,
+        kmv_pairwise_containment,
+        kmv_pairwise_jaccard,
+        kmv_sketch,
+    )
+
+    rng = __import__("random").Random(3)
+
+    def rk(n):
+        return [
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(10)
+            )
+            for _ in range(n)
+        ]
+
+    shared, a_own, b_own, c_own = rk(300), rk(200), rk(700), rk(150)
+    rows = (
+        [("A", k) for k in shared + a_own]
+        + [("B", k) for k in shared + b_own]
+        + [("C", k) for k in c_own]
+    )
+    df = spark.createDataFrame(rows, "g string, key string")
+    sk = kmv_sketch(df, ["g"], "key", k=64)
+    got = {
+        (r["grp_a"], r["grp_b"]): tuple(r)[2:]
+        for r in kmv_overlap_monitor(sk, "g", k=64).collect()
+    }
+    con = {
+        (r["grp_a"], r["grp_b"]): (
+            r["n_a_in_union"], r["n_both"], r["containment_a_in_b"]
+        )
+        for r in kmv_pairwise_containment(sk, "g", k=64).collect()
+    }
+    jac = {
+        (r["grp_a"], r["grp_b"]): (r["n_union_sketch"], r["jaccard_est"])
+        for r in kmv_pairwise_jaccard(sk, "g", k=64).collect()
+    }
+    assert set(got) == set(con) and len(got) == 6
+    for (ga, gb), vals in got.items():
+        ja, jb = min(ga, gb), max(ga, gb)
+        assert vals == con[(ga, gb)] + jac[(ja, jb)]
+
+
+def test_read_maintained_kmv_overlap_equals_batch(spark, tmp_path):
+    """The live overlap matrix read from 3-tick maintained KMV state
+    == the batch kmv_overlap_monitor over the whole ledger (the exact
+    merge law carried through to the matrix): the monitor never
+    re-reads the corpus, only folded state."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_overlap_monitor,
+        kmv_sketch,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_kmv,
+        read_maintained_kmv_overlap,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "oledger")
+    state_dir = os.path.join(str(tmp_path), "ostate")
+    ck = os.path.join(str(tmp_path), "ock")
+    os.makedirs(ledger_dir)
+    schema = "g string, key string"
+    all_rows = []
+
+    rng = __import__("random").Random(11)
+
+    def rk(n):
+        return [
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(9)
+            )
+            for _ in range(n)
+        ]
+
+    shared, x_own, y_own = rk(120), rk(80), rk(300)
+    # X mostly a subset of Y; ticks split each source mid-overlap so
+    # the matrix must see hashes folded across tick boundaries
+    x = [("X", k) for k in shared + x_own]
+    y = [("Y", k) for k in shared + y_own]
+    ticks = [x[:100] + y[:150], x[100:] + y[150:300], y[300:]]
+
+    def tick(rows):
+        all_rows.extend(rows)
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_kmv(
+            ledger_dir, state_dir, ck, "g", "key", k=64,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    for t in ticks:
+        tick(t)
+    live = sorted(
+        tuple(r)
+        for r in read_maintained_kmv_overlap(
+            spark, state_dir, "g", k=64
+        ).collect()
+    )
+    batch_sk = kmv_sketch(
+        spark.createDataFrame(all_rows, schema), ["g"], "key", k=64
+    )
+    want = sorted(
+        tuple(r) for r in kmv_overlap_monitor(batch_sk, "g", k=64).collect()
+    )
+    assert live == want and len(live) == 2
+    # the planted subset is visible from state alone: C(X->Y) high,
+    # Jaccard diluted by Y's size
+    by_pair = {(r[0], r[1]): r for r in live}
+    assert by_pair[("X", "Y")][4] > 0.5  # containment_a_in_b
+    assert by_pair[("X", "Y")][6] < by_pair[("X", "Y")][4]  # jaccard <
