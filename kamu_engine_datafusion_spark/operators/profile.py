@@ -423,6 +423,107 @@ def population_stability(
     )
 
 
+def histogram_fixed_grid(
+    df: DataFrame,
+    value_col: str,
+    lo: float,
+    hi: float,
+    num_bins: int = 10,
+) -> DataFrame:
+    """Fixed-grid equi-width counts ``(bin, n)`` — the INCREMENT
+    function of the maintained drift monitor
+    (``streaming.maintained_histogram``): the grid is CALLER-FROZEN
+    (the monitoring convention — the reference snapshot fixes the
+    ruler once; drift moves the counts, never the bins), so per-bin
+    counts are ADDITIVE and the cross-tick fold is exact by
+    construction. Binning rule is bit-identical to
+    :func:`population_stability`'s (NULLs dropped, degenerate
+    ``hi == lo`` puts everything in bin 0, out-of-range values clamp
+    into the edge bins — they ARE drift and must count), so the PSI
+    read off maintained state equals the batch operator row-for-row
+    (pytest-pinned).
+
+    Scale: one scan + one ≤ ``num_bins``-row aggregate (map-side
+    partials cap each task's contribution at num_bins longs)."""
+    v = F.col(value_col).cast("double")
+    width = (hi - lo) / num_bins
+    b = (
+        F.when(v.isNull(), F.lit(None))
+        .when(F.lit(hi) == F.lit(lo), F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0),
+                F.least(
+                    F.lit(num_bins - 1),
+                    F.floor((v - F.lit(lo)) / F.lit(width)),
+                ),
+            )
+        )
+        .cast("long")
+    )
+    return (
+        df.withColumn("__bin", b)
+        .filter(F.col("__bin").isNotNull())
+        .groupBy(F.col("__bin").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def psi_from_histograms(
+    ref_hist: DataFrame,
+    new_hist: DataFrame,
+    lo: float,
+    hi: float,
+    num_bins: int = 10,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Per-bin PSI contributions from two fixed-grid count frames
+    (``(bin, n)`` — :func:`histogram_fixed_grid` output or
+    ``maintained_histogram`` state) — the READ side of the maintained
+    drift monitor: identical output schema AND values to
+    :func:`population_stability` when the grid equals the reference
+    bounds (pytest-pinned), but computed from ≤ ``num_bins`` METADATA
+    rows per side. At 100 TB the batch operator re-scans both
+    populations every run; this reads two folded count tables, so the
+    after-every-tick drift check costs nothing corpus-shaped."""
+    width = (hi - lo) / num_bins
+    spark = ref_hist.sparkSession
+    grid = spark.range(num_bins).select(
+        F.col("id").cast("long").alias("bin")
+    )
+    r = ref_hist.select("bin", F.col("n").alias("n_ref"))
+    n = new_hist.select("bin", F.col("n").alias("n_new"))
+    j = (
+        grid.join(r, "bin", "left")
+        .join(n, "bin", "left")
+        .withColumn("n_ref", F.coalesce("n_ref", F.lit(0)))
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)))
+    )
+    tot_ref = F.sum("n_ref").over(Window.partitionBy())
+    tot_new = F.sum("n_new").over(Window.partitionBy())
+    p_ref = (F.col("n_ref") + smoothing) / (tot_ref + smoothing * num_bins)
+    p_new = (F.col("n_new") + smoothing) / (tot_new + smoothing * num_bins)
+    return (
+        j.withColumn("p_ref", p_ref)
+        .withColumn("p_new", p_new)
+        .select(
+            "bin",
+            (F.lit(lo) + F.col("bin") * F.lit(width)).alias("bin_lo"),
+            (F.lit(lo) + (F.col("bin") + 1) * F.lit(width)).alias(
+                "bin_hi"
+            ),
+            F.col("n_ref").cast("long").alias("n_ref"),
+            F.col("n_new").cast("long").alias("n_new"),
+            "p_ref",
+            "p_new",
+            (
+                (F.col("p_new") - F.col("p_ref"))
+                * F.log(F.col("p_new") / F.col("p_ref"))
+            ).alias("psi"),
+        )
+    )
+
+
 def confusion_matrix(
     df: DataFrame, label_col: str, pred_col: str
 ) -> DataFrame:

@@ -275,3 +275,114 @@ def test_rater_agreement_edges(spark):
     r5 = rater_agreement(empty, "r1", "r2").first()
     assert (r5["n_rows"], r5["n_agree"]) == (0, 0)
     assert r5["kappa"] is None
+
+
+def test_psi_from_histograms_equals_population_stability(spark):
+    """The metadata-side PSI (two fixed-grid count frames) equals the
+    batch population_stability row-for-row — bit-exact doubles, same
+    clamp/NULL/degenerate rules — when the grid is the reference
+    bounds. This is the equivalence the maintained drift monitor
+    rides."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        histogram_fixed_grid,
+        population_stability,
+        psi_from_histograms,
+    )
+
+    rng = __import__("random").Random(7)
+    ref_rows = [(rng.uniform(0.0, 100.0),) for _ in range(2_000)]
+    # new: shifted + out-of-range high values (must clamp into the top
+    # bin, they ARE drift) + NULLs (dropped)
+    new_rows = (
+        [(rng.uniform(20.0, 140.0),) for _ in range(1_500)]
+        + [(None,)] * 7
+    )
+    ref = spark.createDataFrame(ref_rows, "v double")
+    new = spark.createDataFrame(new_rows, "v double")
+    want = sorted(
+        tuple(r) for r in population_stability(ref, new, "v", 10).collect()
+    )
+    b = ref.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = float(b["lo"]), float(b["hi"])
+    got = sorted(
+        tuple(r)
+        for r in psi_from_histograms(
+            histogram_fixed_grid(ref, "v", lo, hi, 10),
+            histogram_fixed_grid(new, "v", lo, hi, 10),
+            lo,
+            hi,
+            10,
+        ).collect()
+    )
+    assert got == want
+    # the shift is detected: total PSI well above the 0.25 bar
+    assert sum(r[7] for r in got) > 0.25
+
+
+def test_maintained_histogram_psi_equals_batch(spark, tmp_path):
+    """3-tick maintained histogram fold == the batch fixed-grid counts
+    of the whole ledger (additive fold, exact), and the live PSI read
+    equals batch population_stability(ref, ledger-so-far) — the drift
+    alarm never re-scans either population."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.profile import (
+        histogram_fixed_grid,
+        population_stability,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_histogram,
+        read_maintained_psi,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "hledger")
+    state_dir = os.path.join(str(tmp_path), "hstate")
+    ck = os.path.join(str(tmp_path), "hck")
+    os.makedirs(ledger_dir)
+    rng = __import__("random").Random(13)
+    ref = spark.createDataFrame(
+        [(rng.uniform(0.0, 50.0),) for _ in range(1_000)], "v double"
+    )
+    b = ref.agg(F.min("v").alias("lo"), F.max("v").alias("hi")).collect()[0]
+    lo, hi = float(b["lo"]), float(b["hi"])
+    all_rows = (
+        [(rng.uniform(10.0, 80.0),) for _ in range(900)] + [(None,)] * 5
+    )
+
+    def tick(rows):
+        spark.createDataFrame(rows, "v double").coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_histogram(
+            ledger_dir, state_dir, ck, "v", lo, hi, 10,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    tick(all_rows[:300])
+    tick(all_rows[300:700])
+    tick(all_rows[700:])
+    full = spark.createDataFrame(all_rows, "v double")
+    state = sorted(
+        (r["bin"], r["n"])
+        for r in read_maintained_state(spark, state_dir)
+        .select("bin", "n")
+        .collect()
+    )
+    batch = sorted(
+        (r["bin"], r["n"])
+        for r in histogram_fixed_grid(full, "v", lo, hi, 10).collect()
+    )
+    assert state == batch and sum(n for _, n in state) == 900
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_psi(
+            spark, state_dir, histogram_fixed_grid(ref, "v", lo, hi, 10),
+            lo, hi, 10,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in population_stability(ref, full, "v", 10).collect()
+    )
+    assert got == want
