@@ -817,16 +817,39 @@ def verified_heavy_hitters(
     # exactly equal to the direct rule over non-NULL keys.
     df = df.filter(F.col(key).isNotNull())
     n_total = df.count()
-    thr = (phi_num * n_total + phi_den - 1) // phi_den
     grid = cm_counters(df, key, depth, width, seed, hash_fn)
-    # The grid rides as ONE broadcast row of nested arrays (bounded at
-    # depth·width longs by construction) so the candidate filter runs
-    # PER ROW at scan speed — element_at lookups in codegen, never a
-    # full-key-space distinct/groupBy, and never literals inside an
-    # interpreted lambda (the 22× rule).
     cells = [[0] * width for _ in range(depth)]
     for r in grid.collect():
         cells[int(r["i"])][int(r["bucket"])] = int(r["c"])
+    return _hh_verify_from_cells(
+        df, key, cells, n_total, phi_num, phi_den, depth, width, seed,
+        hash_fn,
+    )
+
+
+def _hh_verify_from_cells(
+    df: DataFrame,
+    key: str,
+    cells: list,
+    n_total: int,
+    phi_num: int,
+    phi_den: int,
+    depth: int,
+    width: int,
+    seed: int,
+    hash_fn: str,
+) -> DataFrame:
+    """Shared phase 2 of :func:`verified_heavy_hitters` and
+    :func:`heavy_hitters_from_state`: candidate filter against the
+    driver-side ``cells`` grid + exact verify. ``df`` must already be
+    NULL-key-filtered and be the SAME population the grid counted.
+
+    The grid rides as ONE broadcast row of nested arrays (bounded at
+    depth·width longs by construction) so the candidate filter runs
+    PER ROW at scan speed — element_at lookups in codegen, never a
+    full-key-space distinct/groupBy, and never literals inside an
+    interpreted lambda (the 22× rule)."""
+    thr = (phi_num * n_total + phi_den - 1) // phi_den
     cells_df = df.sparkSession.createDataFrame(
         [(cells,)], "cells array<array<bigint>>"
     )
@@ -852,6 +875,51 @@ def verified_heavy_hitters(
     )
     return exact.select(
         key, "freq", F.lit(n_total).cast("long").alias("n_total")
+    )
+
+
+def heavy_hitters_from_grid(
+    grid: DataFrame,
+    df: DataFrame,
+    key: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 7,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """EXACT φ-heavy hitters with the Count-Min GRID supplied — the
+    read side of the continuously-maintained heavy-hitter monitor
+    (``streaming.maintained_countmin`` state, or any
+    :func:`cm_counters` output): phase 1's corpus pass (building the
+    grid) is already paid for by the maintained fold, so the whole
+    query is ONE scan of ``df`` — candidate filter at scan speed +
+    the broadcast-semi-join verify. Result EQUALS
+    :func:`verified_heavy_hitters` over the same population
+    row-for-row (additive CM fold ⇒ identical grid ⇒ identical
+    candidates; the overestimate theorem still guarantees recall) —
+    pytest-pinned across a 3-tick maintained fold.
+
+    ``df`` must be the population the grid counted (the ledger the
+    maintained fold consumed). ``N`` is read off the grid itself —
+    every occurrence lands in exactly one cell per row, so the row-0
+    cell sum IS the non-NULL-key count: no ``df.count()`` pass.
+    NULL-bucket cells (NULL keys fold to NULL buckets in a raw
+    ``cm_counters`` grid) are excluded, matching the batch operator's
+    NULL-key drop."""
+    rows = (
+        grid.filter(F.col("bucket").isNotNull())
+        .select("i", "bucket", "c")
+        .collect()
+    )  # ≤ depth·width rows — bounded broadcast DATA (the 22× rule)
+    cells = [[0] * width for _ in range(depth)]
+    for r in rows:
+        cells[int(r["i"])][int(r["bucket"])] = int(r["c"])
+    n_total = sum(cells[0])
+    return _hh_verify_from_cells(
+        df.filter(F.col(key).isNotNull()), key, cells, n_total,
+        phi_num, phi_den, depth, width, seed, hash_fn,
     )
 
 

@@ -974,6 +974,42 @@ def maintained_countmin(
     )
 
 
+def read_maintained_heavy_hitters(
+    spark: SparkSession,
+    state_dir: str,
+    ledger_df: DataFrame,
+    key_col: str,
+    phi_num: int = 1,
+    phi_den: int = 100,
+    depth: int = 4,
+    width: int = 256,
+    seed: int = 7,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """EXACT φ-heavy hitters with phase 1 read from
+    :func:`maintained_countmin` state instead of re-built: the CM fold
+    is cell-wise addition, so the stored grid equals the batch grid
+    over the whole ledger — identical candidates, and the overestimate
+    theorem still guarantees no false negatives. The whole query is
+    therefore ONE scan of ``ledger_df`` (scan-speed candidate filter +
+    broadcast-semi-join exact verify) instead of the batch operator's
+    two (grid build + verify) — the after-every-tick heavy-hitter
+    alarm at 100 TB. Result ≡
+    ``operators.sketches.verified_heavy_hitters(ledger)`` row-for-row
+    (pytest-pinned across a 3-tick fold); ``ledger_df`` must be the
+    population the maintained fold consumed, and the grid geometry /
+    seed / hash must match the fold's."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        heavy_hitters_from_grid,
+    )
+
+    grid = read_maintained_state(spark, state_dir)
+    return heavy_hitters_from_grid(
+        grid, ledger_df, key_col, phi_num, phi_den, depth, width, seed,
+        hash_fn,
+    )
+
+
 def maintained_quantile_sketch(
     ledger_dir: str,
     state_dir: str,

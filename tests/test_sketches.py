@@ -1100,3 +1100,74 @@ def test_read_maintained_kmv_overlap_equals_batch(spark, tmp_path):
     by_pair = {(r[0], r[1]): r for r in live}
     assert by_pair[("X", "Y")][4] > 0.5  # containment_a_in_b
     assert by_pair[("X", "Y")][6] < by_pair[("X", "Y")][4]  # jaccard <
+
+
+def test_read_maintained_heavy_hitters_equals_batch(spark, tmp_path):
+    """Heavy hitters with phase 1 read from 3-tick maintained_countmin
+    state == the batch verified_heavy_hitters over the whole ledger ==
+    the direct GROUP BY HAVING ceil(phi*N) rule: the CM fold is
+    cell-wise addition so the stored grid IS the batch grid, and the
+    whole live query is one ledger scan. NULL keys excluded on both
+    paths (the NULL-bucket cells the raw fold stores are dropped)."""
+    import math
+    import os
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        verified_heavy_hitters,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_countmin,
+        read_maintained_heavy_hitters,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "hhledger")
+    state_dir = os.path.join(str(tmp_path), "hhstate")
+    ck = os.path.join(str(tmp_path), "hhck")
+    os.makedirs(ledger_dir)
+    rng = __import__("random").Random(21)
+    # skewed key stream: a few hot keys + a long tail + NULLs
+    all_rows = (
+        [("hot1",)] * 300
+        + [("hot2",)] * 150
+        + [(f"t{rng.randrange(400)}",) for _ in range(1_000)]
+        + [(None,)] * 9
+    )
+    rng.shuffle(all_rows)
+
+    def tick(rows):
+        spark.createDataFrame(rows, "key string").coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_countmin(
+            ledger_dir, state_dir, ck, "key", depth=4, width=64, seed=7,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    tick(all_rows[:500])
+    tick(all_rows[500:1_000])
+    tick(all_rows[1_000:])
+    full = spark.createDataFrame(all_rows, "key string")
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_heavy_hitters(
+            spark, state_dir, full, "key", phi_num=1, phi_den=20,
+            depth=4, width=64, seed=7,
+        ).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in verified_heavy_hitters(
+            full, "key", phi_num=1, phi_den=20, depth=4, width=64, seed=7
+        ).collect()
+    )
+    assert got == want and len(got) >= 2  # hot1 + hot2 at least
+    # and both equal the direct rule over non-NULL keys
+    n = 1_450
+    thr = math.ceil(n / 20)
+    from collections import Counter
+
+    cnt = Counter(k for (k,) in all_rows if k is not None)
+    direct = sorted(
+        (k, c, n) for k, c in cnt.items() if c >= thr
+    )
+    assert got == direct
