@@ -1006,6 +1006,130 @@ def pack_sequences_ffd(
     return df.groupBy(*group_keys).applyInPandas(fold, out_schema)
 
 
+def _dsir_toks(c: Column) -> Column:
+    return F.split(F.trim(F.lower(c)), r"\s+")
+
+
+def _dsir_bigrams(c: Column) -> Column:
+    # zip_with of two slices, NOT transform+element_at(t, i+2): a
+    # lambda that references the outer token array re-evaluates the
+    # split per ELEMENT (no CSE inside interpreted HOFs) — O(n²)
+    # per doc, measured 10× slower on a 50k-doc corpus (SCALE.md
+    # r9). zip_with's lambda touches only its own element vars.
+    t = _dsir_toks(c)
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+
+
+def _dsir_bucket(c: Column, buckets: int, hash_fn: str) -> Column:
+    from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+
+    if hash_fn == "poly":
+        return F.pmod(poly_hash31(c), F.lit(buckets))
+    return F.pmod(F.xxhash64(c), F.lit(buckets))
+
+
+def dsir_bucket_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    buckets: int = 512,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """Hashed-bigram bucket counts ``(b, c)`` — the DSIR model-building
+    aggregate as a FRAME: the per-tick INCREMENT of
+    ``streaming.maintained_dsir_stats`` (counts are additive, so the
+    cross-tick fold is exact) and the input of
+    :func:`dsir_scores_from_stats`. Bounded at ≤ ``buckets`` rows by
+    construction (partial counts cap the exchange)."""
+    return (
+        df.select(F.explode(_dsir_bigrams(F.col(text_col))).alias("__ng"))
+        .select(_dsir_bucket(F.col("__ng"), buckets, hash_fn).alias("b"))
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def _dsir_score_with_counts(
+    df: DataFrame,
+    ct: dict,
+    cr: dict,
+    text_col: str,
+    buckets: int,
+    lam: float,
+    hash_fn: str,
+) -> DataFrame:
+    """Shared scoring stage of :func:`dsir_scores` and
+    :func:`dsir_scores_from_stats`: build the 1e-9 fixed-point
+    log-ratio literal array from the two bucket-count dicts and fold
+    it over each doc's hashed bigrams in-row at scan speed."""
+    import math
+
+    tt = float(sum(ct.values()))
+    tr = float(sum(cr.values()))
+    lb = lam * buckets
+    lr_ints = []
+    for b in range(buckets):
+        x = math.log((ct.get(b, 0) + lam) / (tt + lb)) - math.log(
+            (cr.get(b, 0) + lam) / (tr + lb)
+        )
+        lr_ints.append(int(math.floor(x * 1e9 + 0.5)))
+    arr = F.array(*[F.lit(v).cast("long") for v in lr_ints])
+
+    # NULL text must score 0, not NULL: F.aggregate over a NULL bigram
+    # array yields NULL, which would both diverge from the oracle's
+    # COALESCE(score, 0) and null out the Gumbel key (dropping the doc
+    # from the draw entirely instead of ranking it at weight e^0).
+    score = F.coalesce(
+        F.aggregate(
+            _dsir_bigrams(F.col(text_col)),
+            F.lit(0).cast("long"),
+            lambda acc, ng: acc
+            + F.element_at(
+                arr,
+                (_dsir_bucket(ng, buckets, hash_fn) + F.lit(1)).cast(
+                    "int"
+                ),
+            ),
+        ),
+        F.lit(0).cast("long"),
+    )
+    return df.withColumn("dsir_score", score)
+
+
+def dsir_scores_from_stats(
+    df: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    text_col: str = "text",
+    buckets: int = 512,
+    lam: float = 0.5,
+    hash_fn: str = "poly",
+) -> DataFrame:
+    """DSIR importance scoring against PRE-AGGREGATED bucket-count
+    frames (:func:`dsir_bucket_counts` output, or
+    ``streaming.maintained_dsir_stats`` state) — the incremental form
+    :func:`dsir_scores` can't offer: at 100 TB the raw-corpus model
+    ``q`` re-counts ALL history every scoring run, while the
+    maintained counts fold forward tick by tick and scoring a new
+    tick touches only the tick's own bigrams. Scores are IDENTICAL to
+    the batch operator over the same populations (the count tables
+    are exact integer folds and the log-ratio snap is the same 1e-9
+    fixed-point — pytest-pinned).
+
+    Both count frames are ≤ ``buckets`` rows by construction and ride
+    to the driver as bounded broadcast DATA (the 22× rule —
+    documented bounded-collect class)."""
+    ct = {int(r["b"]): int(r["c"]) for r in target_counts.collect()}
+    cr = {int(r["b"]): int(r["c"]) for r in raw_counts.collect()}
+    return _dsir_score_with_counts(
+        df, ct, cr, text_col, buckets, lam, hash_fn
+    )
+
+
 def dsir_scores(
     df: DataFrame,
     target: DataFrame,
@@ -1032,71 +1156,22 @@ def dsir_scores(
     Scale: two bounded bucket-count aggregates (≤ ``buckets`` rows
     each, collected — bounded by construction) build a literal
     log-ratio array; scoring is then an in-row fold at scan speed —
-    no corpus shuffle, no join.
+    no corpus shuffle, no join. For the incremental form (count
+    tables folded forward instead of re-aggregated) see
+    :func:`dsir_scores_from_stats`.
     """
-    import math
 
-    from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+    def _counts(d: DataFrame) -> dict:
+        return {
+            int(r["b"]): int(r["c"])
+            for r in dsir_bucket_counts(
+                d, text_col, buckets, hash_fn
+            ).collect()
+        }
 
-    def _toks(c: Column) -> Column:
-        return F.split(F.trim(F.lower(c)), r"\s+")
-
-    def _bigrams(c: Column) -> Column:
-        # zip_with of two slices, NOT transform+element_at(t, i+2): a
-        # lambda that references the outer token array re-evaluates the
-        # split per ELEMENT (no CSE inside interpreted HOFs) — O(n²)
-        # per doc, measured 10× slower on a 50k-doc corpus (SCALE.md
-        # r9). zip_with's lambda touches only its own element vars.
-        t = _toks(c)
-        n1 = F.greatest(F.size(t) - 1, F.lit(0))
-        return F.zip_with(
-            F.slice(t, 1, n1),
-            F.slice(t, 2, n1),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        )
-
-    def _bucket_of(c: Column) -> Column:
-        if hash_fn == "poly":
-            return F.pmod(poly_hash31(c), F.lit(buckets))
-        return F.pmod(F.xxhash64(c), F.lit(buckets))
-
-    def _bucket_counts(d: DataFrame) -> dict[int, int]:
-        rows = (
-            d.select(F.explode(_bigrams(F.col(text_col))).alias("__ng"))
-            .select(_bucket_of(F.col("__ng")).alias("__b"))
-            .groupBy("__b")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .collect()
-        )
-        return {int(r["__b"]): int(r["__c"]) for r in rows}
-
-    ct = _bucket_counts(target)
-    cr = _bucket_counts(df)
-    tt = float(sum(ct.values()))
-    tr = float(sum(cr.values()))
-    lb = lam * buckets
-    lr_ints = []
-    for b in range(buckets):
-        x = math.log((ct.get(b, 0) + lam) / (tt + lb)) - math.log(
-            (cr.get(b, 0) + lam) / (tr + lb)
-        )
-        lr_ints.append(int(math.floor(x * 1e9 + 0.5)))
-    arr = F.array(*[F.lit(v).cast("long") for v in lr_ints])
-
-    # NULL text must score 0, not NULL: F.aggregate over a NULL bigram
-    # array yields NULL, which would both diverge from the oracle's
-    # COALESCE(score, 0) and null out the Gumbel key (dropping the doc
-    # from the draw entirely instead of ranking it at weight e^0).
-    score = F.coalesce(
-        F.aggregate(
-            _bigrams(F.col(text_col)),
-            F.lit(0).cast("long"),
-            lambda acc, ng: acc
-            + F.element_at(arr, (_bucket_of(ng) + F.lit(1)).cast("int")),
-        ),
-        F.lit(0).cast("long"),
+    return _dsir_score_with_counts(
+        df, _counts(target), _counts(df), text_col, buckets, lam, hash_fn
     )
-    return df.withColumn("dsir_score", score)
 
 
 def dsir_sample(

@@ -974,6 +974,70 @@ def maintained_countmin(
     )
 
 
+def maintained_dsir_stats(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    buckets: int = 512,
+    hash_fn: str = "poly",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 1,
+):
+    """Continuously-maintained DSIR bucket-count model over an append
+    corpus stream (``operators/sampling.py::dsir_bucket_counts``):
+    hashed-bigram bucket counts are additive, so the per-tick fold is
+    cell-wise BIGINT addition and state after any ticks equals the
+    batch counts of the whole ledger (pytest-pinned). This is the
+    incremental half of DSIR importance scoring: the raw-corpus model
+    ``q`` (and, if the target also streams, ``p``) folds forward tick
+    by tick, and ``dsir_scores_from_stats`` scores each NEW tick with
+    corpus-consistent log-ratios while touching only the tick's own
+    bigrams — the ``bm25_from_stats`` device applied to data
+    selection. State ≤ ``buckets`` rows. Retractions unsupported
+    (counts only add); feed the append/live stream."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        dsir_bucket_counts,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_counts):
+        if state_subset is None:
+            return inc_counts
+        return (
+            inc_counts.unionByName(state_subset.select("b", "c"))
+            .groupBy("b")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # the bucket key (b) doesn't exist on raw ledger rows — reduce
+        # the increment to its ≤ buckets count rows FIRST (the
+        # maintained_countmin pattern)
+        _fold_buckets(
+            dsir_bucket_counts(batch_df, text_col, buckets, hash_fn),
+            batch_id,
+            state_dir,
+            ["b"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_maintained_heavy_hitters(
     spark: SparkSession,
     state_dir: str,

@@ -1176,3 +1176,96 @@ def test_curriculum_from_sketch_over_maintained_state(spark, tmp_path):
         )
         stages = [s for _, s in seq]
         assert stages == sorted(stages)
+
+
+def test_dsir_from_stats_equals_batch_and_maintained(spark, tmp_path):
+    """dsir_scores_from_stats over pre-aggregated count frames ==
+    dsir_scores recomputing from the corpora, bit-for-bit; and over
+    3-tick maintained_dsir_stats state == over batch counts of the
+    whole ledger — scoring a new tick never re-counts history."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        dsir_bucket_counts,
+        dsir_scores,
+        dsir_scores_from_stats,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_dsir_stats,
+        read_maintained_state,
+    )
+
+    rng = __import__("random").Random(17)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+
+    def doc(i, bias):
+        n = rng.randrange(3, 12)
+        ws = [
+            words[min(len(words) - 1, rng.randrange(bias))]
+            for _ in range(n)
+        ]
+        return (i, " ".join(ws))
+
+    raw_rows = [doc(i, 7) for i in range(300)] + [(9001, None)]
+    tgt_rows = [doc(10_000 + i, 3) for i in range(120)]
+    raw = spark.createDataFrame(raw_rows, "doc_id long, text string")
+    tgt = spark.createDataFrame(tgt_rows, "doc_id long, text string")
+
+    want = sorted(
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_scores(raw, tgt, buckets=64).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_scores_from_stats(
+            raw,
+            dsir_bucket_counts(tgt, buckets=64),
+            dsir_bucket_counts(raw, buckets=64),
+            buckets=64,
+        ).collect()
+    )
+    assert got == want
+
+    # maintained raw-model fold: 3 ticks == batch counts, and scoring
+    # the LAST tick with folded stats == scoring it with batch stats
+    ledger_dir = os.path.join(str(tmp_path), "dledger")
+    state_dir = os.path.join(str(tmp_path), "dstate")
+    ck = os.path.join(str(tmp_path), "dck")
+    os.makedirs(ledger_dir)
+
+    def tick(rows):
+        spark.createDataFrame(
+            rows, "doc_id long, text string"
+        ).coalesce(1).write.mode("append").parquet(ledger_dir)
+        maintained_dsir_stats(
+            ledger_dir, state_dir, ck, "text", buckets=64,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    tick(raw_rows[:100])
+    tick(raw_rows[100:220])
+    tick(raw_rows[220:])
+    state = read_maintained_state(spark, state_dir).select("b", "c")
+    assert sorted(tuple(r) for r in state.collect()) == sorted(
+        tuple(r) for r in dsir_bucket_counts(raw, buckets=64).collect()
+    )
+    new_tick = spark.createDataFrame(
+        raw_rows[220:], "doc_id long, text string"
+    )
+    live = sorted(
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_scores_from_stats(
+            new_tick, dsir_bucket_counts(tgt, buckets=64), state,
+            buckets=64,
+        ).collect()
+    )
+    batch = sorted(
+        (r["doc_id"], r["dsir_score"])
+        for r in dsir_scores_from_stats(
+            new_tick,
+            dsir_bucket_counts(tgt, buckets=64),
+            dsir_bucket_counts(raw, buckets=64),
+            buckets=64,
+        ).collect()
+    )
+    assert live == batch
