@@ -915,7 +915,18 @@ def heavy_hitters_from_grid(
     )  # ≤ depth·width rows — bounded broadcast DATA (the 22× rule)
     cells = [[0] * width for _ in range(depth)]
     for r in rows:
-        cells[int(r["i"])][int(r["bucket"])] = int(r["c"])
+        i, b = int(r["i"]), int(r["bucket"])
+        if i >= depth or b >= width:
+            # loud, not silent: a grid built under a different
+            # geometry would otherwise read as zeros and UNDER-count
+            # candidates — a correctness failure the overestimate
+            # theorem can't save
+            raise ValueError(
+                f"grid cell (i={i}, bucket={b}) outside the supplied "
+                f"depth={depth}/width={width} — the maintained fold's "
+                "grid geometry must match this call's"
+            )
+        cells[i][b] = int(r["c"])
     n_total = sum(cells[0])
     return _hh_verify_from_cells(
         df.filter(F.col(key).isNotNull()), key, cells, n_total,

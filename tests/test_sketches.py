@@ -1171,3 +1171,26 @@ def test_read_maintained_heavy_hitters_equals_batch(spark, tmp_path):
         (k, c, n) for k, c in cnt.items() if c >= thr
     )
     assert got == direct
+
+
+def test_heavy_hitters_from_grid_geometry_mismatch_raises(spark):
+    """A grid folded under one geometry read back under another would
+    silently under-count candidates (missing cells read as 0) — the
+    reader raises loudly instead."""
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        cm_counters,
+        heavy_hitters_from_grid,
+    )
+
+    df = spark.createDataFrame([(w,) for w in _WORDS], ["key"])
+    grid = cm_counters(df, "key", depth=4, width=64, seed=7)
+    with _pytest.raises(ValueError, match="grid geometry"):
+        heavy_hitters_from_grid(
+            grid, df, "key", 1, 100, depth=4, width=32, seed=7
+        ).collect()
+    with _pytest.raises(ValueError, match="grid geometry"):
+        heavy_hitters_from_grid(
+            grid, df, "key", 1, 100, depth=2, width=64, seed=7
+        ).collect()
