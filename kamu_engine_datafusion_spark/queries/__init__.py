@@ -39,6 +39,15 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
+# r14 ROTATION PLAN (build _PRIORITY_R14 with CORRECTNESS_r13 in
+# hand): (1) any key this window turns red, (2) the SIX r13-staged
+# families as new keys with their COVERAGE-recorded oracle designs —
+# maintained SemDeDup index, maintained KMV overlap monitor,
+# sketch-fed curriculum (curriculum_from_sketch), maintained drift
+# monitor (histogram fold + PSI read), maintained heavy hitters
+# (heavy_hitters_from_grid), incremental DSIR
+# (dsir_scores_from_stats) — (3) then the oldest-green cohort below
+# this window's cut (the r09 block from position ~50 down).
 _PRIORITY_R13 = [
     # ==== round-13 verification window (first ~50 keys) ====
     # -- the r08 tail (oldest greens on disk; retires the r08 block) --
