@@ -855,6 +855,130 @@ def group_centroid_shift(
     )
 
 
+def centroid_stats(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+) -> DataFrame:
+    """The ADDITIVE sufficient statistics of
+    :func:`group_centroid_shift`'s aggregate, as a frame:
+    ``(grp, n, sv array<long>, ss)`` — row count, per-dimension
+    quantized coordinate sums, and the summed squared norm. Merging two
+    stats rows of the same group is element-wise BIGINT addition, so
+    this is the per-tick INCREMENT of
+    ``streaming.maintained_centroid_stats`` (the cross-tick fold is
+    exact by construction) and the input of
+    :func:`centroid_shift_from_stats`. Kept deliberately separate from
+    the batch operator's inlined aggregate so the hash-verified
+    ``xcentroid_shift`` code path stays byte-identical; the two are
+    pinned equal by pytest instead.
+
+    Scale: ONE partial+final aggregate emitting groups × (dim + 2)
+    longs; the corpus is scanned once, never shuffled."""
+    q = quantize_vectors(
+        df.select(
+            F.col(group_col).alias("grp"), F.col(id_col), F.col(vec_col)
+        ),
+        id_col,
+        vec_col,
+        scale,
+        keep_cols=["grp"],
+    )
+    agg = q.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.element_at("__qv", j + 1)).alias(f"__s{j}")
+            for j in range(dim)
+        ],
+        F.sum(
+            F.aggregate(
+                F.transform("__qv", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            )
+        ).cast("long").alias("ss"),
+    )
+    return agg.select(
+        "grp",
+        "n",
+        F.array(*[f"__s{j}" for j in range(dim)]).alias("sv"),
+        "ss",
+    )
+
+
+def centroid_shift_from_stats(
+    stats: DataFrame,
+    dim: int,
+    scale: int = 10_000,
+    dp: int = 6,
+) -> DataFrame:
+    """The pairwise centroid-shift matrix read from a
+    :func:`centroid_stats` frame (or ``maintained_centroid_stats``
+    state) ALONE — identical output to :func:`group_centroid_shift`
+    over the corpus the stats summarize (same integer centroid floor,
+    same exact-BIGINT radius identity E|x−c|² = (Σ|x|² − 2·c·Σx +
+    n·|c|²)/n, same half-up normalization; pytest-pinned row-for-row).
+    At 100 TB the batch operator re-scans the corpus per drift check,
+    while the maintained stats fold forward and this read touches
+    groups × (dim + 2) longs of METADATA — the embedding-space leg of
+    the maintained drift monitor (PSI watches scalar columns, this
+    watches the embedding distribution per source/slice)."""
+    import math
+
+    rows = stats.select("grp", "n", "sv", "ss").collect()
+    # bounded: groups × (dim + 2) longs — broadcast-DATA class
+    cents = {}
+    for r in rows:
+        g, n = r["grp"], int(r["n"])
+        sx = [int(v) for v in r["sv"]]
+        c = [sx[j] // n for j in range(dim)]
+        ss = int(r["ss"])
+        num = ss - 2 * sum(c[j] * sx[j] for j in range(dim)) + n * sum(
+            v * v for v in c
+        )
+        cents[g] = (n, c, num)
+    norm = float(scale) * float(scale) * dim
+
+    def _hu(x: float) -> float:
+        return math.floor(x * 10**dp + 0.5) / 10**dp
+
+    out = []
+    keys = sorted(cents)
+    for i, ga in enumerate(keys):
+        for gb in keys[i + 1 :]:
+            na, ca, ra = cents[ga]
+            nb, cb, rb = cents[gb]
+            d2 = sum((ca[j] - cb[j]) ** 2 for j in range(dim))
+            out.append(
+                (
+                    ga,
+                    gb,
+                    na,
+                    nb,
+                    _hu(d2 / norm),
+                    _hu(ra / (na * norm)),
+                    _hu(rb / (nb * norm)),
+                )
+            )
+    from pyspark.sql.types import StringType
+
+    spark = stats.sparkSession
+    ktype = (
+        "string"
+        if isinstance(stats.schema["grp"].dataType, StringType)
+        else "long"
+    )
+    return spark.createDataFrame(
+        out,
+        f"grp_a {ktype}, grp_b {ktype}, "
+        "n_a long, n_b long, shift2_norm double, radius2_a double, "
+        "radius2_b double",
+    )
+
+
 def top_principal_component(
     df: DataFrame,
     id_col: str,

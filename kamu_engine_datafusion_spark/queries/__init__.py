@@ -46,7 +46,8 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # sketch-fed curriculum (curriculum_from_sketch), maintained drift
 # monitor (histogram fold + PSI read), maintained heavy hitters
 # (heavy_hitters_from_grid), incremental DSIR
-# (dsir_scores_from_stats) — (3) then the oldest-green cohort below
+# (dsir_scores_from_stats), maintained centroid-shift drift
+# (centroid_shift_from_stats) — (3) then the oldest-green cohort below
 # this window's cut (the r09 block from position ~50 down).
 _PRIORITY_R13 = [
     # ==== round-13 verification window (first ~50 keys) ====

@@ -974,6 +974,76 @@ def maintained_countmin(
     )
 
 
+def maintained_centroid_stats(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    scale: int = 10_000,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 1,
+):
+    """Continuously-maintained per-group embedding centroid statistics
+    over an append stream (``operators/clustering.py::centroid_stats``)
+    — the embedding-space leg of the maintained drift monitor: counts,
+    per-dimension quantized sums, and summed squared norms are all
+    ADDITIVE, so the per-tick fold is element-wise BIGINT addition
+    (``zip_with`` on the sum arrays) and state after any ticks equals
+    the batch stats of the whole ledger (pytest-pinned). The live
+    pairwise shift matrix (``centroid_shift_from_stats`` over
+    :func:`read_maintained_state`) then equals batch
+    ``group_centroid_shift`` over all history while reading
+    groups × (dim + 2) longs of metadata. State ≤ groups rows.
+    Retractions unsupported; feed the append/live stream."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        centroid_stats,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_stats):
+        if state_subset is None:
+            return inc_stats
+        u = inc_stats.unionByName(state_subset.select("grp", "n", "sv", "ss"))
+        return u.groupBy("grp").agg(
+            F.sum("n").cast("long").alias("n"),
+            F.aggregate(
+                F.collect_list("sv"),
+                F.array(*[F.lit(0).cast("long") for _ in range(dim)]),
+                lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+            ).alias("sv"),
+            F.sum("ss").cast("long").alias("ss"),
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # the group key exists only after the stats aggregate — reduce
+        # the increment FIRST (the maintained_countmin pattern)
+        _fold_buckets(
+            centroid_stats(batch_df, group_col, id_col, vec_col, dim, scale),
+            batch_id,
+            state_dir,
+            ["grp"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_dsir_stats(
     ledger_dir: str,
     state_dir: str,

@@ -737,3 +737,94 @@ def test_maintained_semdedup_index_folds_and_replays(spark, tmp_path):
         for r in read_maintained_state(spark, state).collect()
     )
     assert again == got
+
+
+def test_centroid_shift_from_stats_equals_batch_and_maintained(
+    spark, tmp_path
+):
+    """The shift matrix read from the additive stats frame (and from
+    3-tick maintained_centroid_stats state) == batch
+    group_centroid_shift over the whole ledger row-for-row — the
+    embedding-space drift monitor never re-scans the corpus."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        centroid_shift_from_stats,
+        centroid_stats,
+        group_centroid_shift,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_centroid_stats,
+        read_maintained_state,
+    )
+
+    rng = __import__("random").Random(31)
+    dim = 6
+
+    def vec(center):
+        return [center + rng.uniform(-0.5, 0.5) for _ in range(dim)]
+
+    all_rows = (
+        [("web", i, vec(0.0)) for i in range(120)]
+        + [("books", 1000 + i, vec(0.3)) for i in range(80)]
+        + [("crawl", 2000 + i, vec(2.0)) for i in range(60)]
+    )
+    rng.shuffle(all_rows)
+    schema = "grp string, vec_id long, embedding array<double>"
+    full = spark.createDataFrame(all_rows, schema)
+
+    want = sorted(
+        tuple(r)
+        for r in group_centroid_shift(
+            full, "grp", "vec_id", "embedding", dim=dim
+        ).collect()
+    )
+    got_batch = sorted(
+        tuple(r)
+        for r in centroid_shift_from_stats(
+            centroid_stats(full, "grp", "vec_id", "embedding", dim=dim),
+            dim=dim,
+        ).collect()
+    )
+    assert got_batch == want and len(want) == 3
+
+    ledger_dir = os.path.join(str(tmp_path), "csledger")
+    state_dir = os.path.join(str(tmp_path), "csstate")
+    ck = os.path.join(str(tmp_path), "csck")
+    os.makedirs(ledger_dir)
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_centroid_stats(
+            ledger_dir, state_dir, ck, "grp", "vec_id", "embedding",
+            dim=dim, schema=spark.read.parquet(ledger_dir).schema,
+            spark=spark,
+        ).awaitTermination()
+
+    tick(all_rows[:90])
+    tick(all_rows[90:180])
+    tick(all_rows[180:])
+    state = read_maintained_state(spark, state_dir).select(
+        "grp", "n", "sv", "ss"
+    )
+    # fold == batch stats value-for-value
+    canon = lambda rs: sorted(  # noqa: E731
+        (r["grp"], r["n"], tuple(r["sv"]), r["ss"]) for r in rs
+    )
+    assert canon(state.collect()) == canon(
+        centroid_stats(
+            full, "grp", "vec_id", "embedding", dim=dim
+        ).collect()
+    )
+    got_live = sorted(
+        tuple(r)
+        for r in centroid_shift_from_stats(state, dim=dim).collect()
+    )
+    assert got_live == want
+    # the planted far-away source reads as drift: crawl vs web shift
+    # far above both radii
+    by_pair = {(r[0], r[1]): r for r in got_live}
+    cw = by_pair[("crawl", "web")]
+    assert cw[4] > 10 * max(cw[5], cw[6])
