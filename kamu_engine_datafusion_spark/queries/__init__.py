@@ -40,7 +40,7 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
 # r14 ROTATION PLAN (build _PRIORITY_R14 with CORRECTNESS_r13 in
-# hand): (1) any key this window turns red, (2) the SIX r13-staged
+# hand): (1) any key this window turns red, (2) the SEVEN r13-staged
 # families as new keys with their COVERAGE-recorded oracle designs —
 # maintained SemDeDup index, maintained KMV overlap monitor,
 # sketch-fed curriculum (curriculum_from_sketch), maintained drift
