@@ -1044,6 +1044,103 @@ def maintained_centroid_stats(
     )
 
 
+def read_maintained_ann_topk(
+    spark: SparkSession,
+    state_dir: str,
+    centroids: list[list[int]],
+    query_vec: list[float],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    scale: int = 10_000,
+    sim_scale: int = 1_000,
+    state_buckets: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Approximate-nearest-neighbor TOP-K served from
+    :func:`maintained_semdedup_index` state — ONE maintained store,
+    TWO reads: the dedup fold probes a tick's clusters; this searches
+    them. The state is an IVF index by construction (cluster == list,
+    cluster == bucket key), so a query reads ONLY the bucket files
+    holding its ``nprobe`` nearest lists — the ``ivf_write``
+    partition-pruning dial carried to the maintained layer: at 100 TB
+    the query cost is ``nprobe/nlist`` of the SURVIVOR store, and the
+    store is already deduped (a search never returns six copies of
+    the same boilerplate — SemDeDup killed them at fold time).
+
+    Probe selection replays :func:`~kamu_engine_datafusion_spark.
+    operators.clustering.kmeans_enc_expr`'s integer rule in python —
+    ``scale``-quantized query, squared-L2 to the frozen centroids,
+    ``dist·k + cid`` encoding so ties break toward the lower cluster
+    id EXACTLY like the fold's assignment. Scoring is exact cosine
+    over the stored ``sim_scale``-quantized payload ``(q2, n2)``:
+    integer dot product (the literal query array rides a broadcast
+    one-row frame, never inside an interpreted lambda — the 22×
+    rule), one double division, half-up ``dp``; order
+    ``(cosine DESC, id)``, limit ``k``. Fully SQL-replayable — the
+    xdedup_semantic oracle class.
+
+    ``centroids``/``scale``/``sim_scale``/``state_buckets`` must
+    match the fold's (same contract as
+    :func:`read_maintained_heavy_hitters`'s grid geometry)."""
+    import math
+
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    nlist = len(centroids)
+    qs = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
+    enc = sorted(
+        (
+            sum((qs[j] - c[j]) ** 2 for j in range(len(c))) * nlist + cid,
+            cid,
+        )
+        for cid, c in enumerate(centroids)
+    )
+    probed = [cid for _, cid in enc[:nprobe]]
+    # cluster is BIGINT in the state rows; xxhash64 is type-sensitive,
+    # so the probe frame must hash the same type the fold bucketed on
+    buckets = sorted(
+        {
+            int(r[0])
+            for r in spark.createDataFrame(
+                [(c,) for c in probed], "cluster bigint"
+            )
+            .select(_bucket_of(["cluster"], state_buckets))
+            .collect()
+        }
+    )
+    qq = [int(math.floor(float(x) * sim_scale + 0.5)) for x in query_vec]
+    qn2 = sum(v * v for v in qq)
+    qrow = spark.createDataFrame(
+        [(qq, qn2)], "__qq array<bigint>, __qn2 bigint"
+    )
+    state = (
+        spark.read.parquet(state_dir)
+        .filter(F.col(_BUCKET_COL).isin(buckets))  # partition pruning
+        .filter(F.col("cluster").isin(probed))
+        .drop(_BUCKET_COL)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("q2"), F.col("__qq"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    cos = F.when(
+        (F.col("n2") > 0) & (F.col("__qn2") > 0),
+        half_up(
+            dot
+            / F.sqrt(F.col("n2").cast("double") * F.col("__qn2")),
+            dp,
+        ),
+    ).otherwise(F.lit(0.0))
+    return (
+        state.crossJoin(F.broadcast(qrow))
+        .select(F.col(id_col), F.col("cluster"), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def maintained_dsir_stats(
     ledger_dir: str,
     state_dir: str,

@@ -828,3 +828,108 @@ def test_centroid_shift_from_stats_equals_batch_and_maintained(
     by_pair = {(r[0], r[1]): r for r in got_live}
     cw = by_pair[("crawl", "web")]
     assert cw[4] > 10 * max(cw[5], cw[6])
+
+
+def test_read_maintained_ann_topk_from_semdedup_state(spark, tmp_path):
+    """ANN search served from the maintained SemDeDup store: with
+    nprobe == nlist the result equals a python brute-force cosine
+    top-k over the ENTIRE stored payload (full recall); with a small
+    nprobe it equals the same replay restricted to the integer-rule
+    probe lists — and every returned row belongs to a probed cluster
+    (the pruning actually prunes). One store, two reads."""
+    import math
+    import os
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        lloyd_centroids,
+        quantize_vectors,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_semdedup_index,
+        read_maintained_ann_topk,
+        read_maintained_state,
+    )
+
+    rng = __import__("random").Random(41)
+    dim = 8
+
+    def vec(center):
+        return [
+            math.cos(center + j) + rng.uniform(-0.3, 0.3)
+            for j in range(dim)
+        ]
+
+    rows = [(i, vec(i % 5)) for i in range(300)]
+    schema = "vec_id long, embedding array<double>"
+    df = spark.createDataFrame(rows, schema)
+    cents = lloyd_centroids(
+        quantize_vectors(df, "vec_id", "embedding", 10_000),
+        "vec_id", dim=dim, k=5, iters=3,
+    )
+    ledger = os.path.join(str(tmp_path), "annledger")
+    state = os.path.join(str(tmp_path), "annstate")
+    ck = os.path.join(str(tmp_path), "annck")
+    os.makedirs(ledger)
+    df.coalesce(1).write.mode("append").parquet(ledger)
+    maintained_semdedup_index(
+        ledger, state, ck, cents,
+        schema=spark.read.parquet(ledger).schema, spark=spark,
+    ).awaitTermination()
+
+    stored = [
+        (r["vec_id"], r["cluster"], list(r["q2"]), r["n2"])
+        for r in read_maintained_state(spark, state).collect()
+    ]
+    assert stored  # survivors exist
+
+    query = vec(2)
+    qq = [int(math.floor(x * 1_000 + 0.5)) for x in query]
+    qn2 = sum(v * v for v in qq)
+
+    def replay(clusters=None):
+        out = []
+        for vid, cl, q2, n2 in stored:
+            if clusters is not None and cl not in clusters:
+                continue
+            dot = sum(a * b for a, b in zip(q2, qq))
+            c = (
+                math.floor(
+                    dot / math.sqrt(float(n2) * qn2) * 1e6 + 0.5
+                )
+                / 1e6
+                if n2 > 0 and qn2 > 0
+                else 0.0
+            )
+            out.append((vid, cl, c))
+        out.sort(key=lambda t: (-t[2], t[0]))
+        return out[:7]
+
+    # full recall: nprobe == nlist
+    got_full = [
+        tuple(r)
+        for r in read_maintained_ann_topk(
+            spark, state, cents, query, k=7, nprobe=5
+        ).collect()
+    ]
+    assert got_full == replay()
+
+    # nprobe=2: the integer probe rule (scale-quantized query,
+    # dist*k + cid encoding — lower cid wins ties)
+    qs = [int(math.floor(x * 10_000 + 0.5)) for x in query]
+    enc = sorted(
+        (
+            sum((qs[j] - c[j]) ** 2 for j in range(dim)) * len(cents)
+            + cid,
+            cid,
+        )
+        for cid, c in enumerate(cents)
+    )
+    probed = {cid for _, cid in enc[:2]}
+    got2 = [
+        tuple(r)
+        for r in read_maintained_ann_topk(
+            spark, state, cents, query, k=7, nprobe=2
+        ).collect()
+    ]
+    assert got2 == replay(probed)
+    assert got2 and all(cl in probed for _, cl, _c in got2)

@@ -386,3 +386,52 @@ def test_maintained_histogram_psi_equals_batch(spark, tmp_path):
         for r in population_stability(ref, full, "v", 10).collect()
     )
     assert got == want
+
+
+def test_maintained_histogram_replayed_batch_is_skipped(spark, tmp_path):
+    """Crash-replay safety for the drift monitor's fold: wiping the
+    stream checkpoint re-delivers already-folded batch ids; the
+    bucketed batch-id markers must skip them (an additive count fold
+    would silently DOUBLE on replay — the worst failure mode for a
+    drift alarm, reading as a 2× population jump)."""
+    import os
+    import shutil
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_histogram,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "rhled")
+    state_dir = os.path.join(str(tmp_path), "rhstate")
+    ck = os.path.join(str(tmp_path), "rhck")
+    os.makedirs(ledger_dir)
+    rows = [(float(v),) for v in range(100)]
+    spark.createDataFrame(rows, "v double").coalesce(1).write.mode(
+        "append"
+    ).parquet(ledger_dir)
+    sch = spark.read.parquet(ledger_dir).schema
+
+    def run():
+        maintained_histogram(
+            ledger_dir, state_dir, ck, "v", 0.0, 100.0, 10,
+            schema=sch, spark=spark,
+        ).awaitTermination()
+
+    run()
+    before = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("bin", "n")
+        .collect()
+    )
+    assert sum(n for _, n in before) == 100
+    shutil.rmtree(ck)  # lose the checkpoint -> batch 0 re-delivers
+    run()
+    after = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir)
+        .select("bin", "n")
+        .collect()
+    )
+    assert after == before  # counts did NOT double
