@@ -1210,6 +1210,161 @@ def source_token_tvd(
     )
 
 
+def lm_ngram_counts(
+    reference: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """The Stupid-Backoff reference model as ONE unified ADDITIVE
+    frame: ``(n, w1, w2, w3, c)`` — unigram/bigram/trigram counts with
+    ``''`` sentinels in unused slots (a token can never be empty:
+    ``tokens()`` splits on whitespace). Counts are additive, so this
+    is the per-tick INCREMENT of ``streaming.maintained_lm_counts``
+    (cross-tick fold = cell-wise BIGINT addition) and the input of
+    :func:`backoff_score_from_counts`; ``N``/``V`` for the OOV floor
+    derive from the ``n = 1`` rows, so no extra state is needed.
+
+    Scale: three partial-aggregated count tables (vocab-/bigram-/
+    trigram-sized, never corpus-sized) unioned; one exchange each."""
+    t = reference.select(tokens(text_col).alias("__tok"))
+    sz = F.size("__tok")
+
+    def grams(n):
+        arr = F.when(
+            sz >= n,
+            F.arrays_zip(
+                *[F.slice("__tok", i + 1, sz - (n - 1)) for i in range(n)]
+            ),
+        ).otherwise(F.array())
+        cols = [
+            F.col("__g").getField(str(i)).alias(f"w{i+1}")
+            for i in range(n)
+        ] + [F.lit("").alias(f"w{i+1}") for i in range(n, 3)]
+        return (
+            t.select(F.explode(arr).alias("__g"))
+            .select(*cols)
+            .groupBy("w1", "w2", "w3")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+            .select(F.lit(n).cast("int").alias("n"), "w1", "w2", "w3", "c")
+        )
+
+    return grams(1).unionByName(grams(2)).unionByName(grams(3))
+
+
+def backoff_score_from_counts(
+    df: DataFrame,
+    counts: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha_num: int = 4,
+    alpha_den: int = 10,
+    dp: int = 6,
+) -> DataFrame:
+    """Stupid-Backoff scoring against PRE-AGGREGATED n-gram counts
+    (:func:`lm_ngram_counts` output or
+    ``streaming.maintained_lm_counts`` state) — the incremental form
+    of :func:`stupid_backoff_score`: at 100 TB the batch operator
+    re-tokenizes the whole REFERENCE corpus per scoring run, while
+    the maintained counts fold forward and scoring a new tick
+    tokenizes only the tick. Output is identical to the batch
+    operator over the same populations bit-for-bit (exact integer
+    count folds, the same backoff CASE, the same half-up — pytest-
+    pinned, OOV branch included). The batch operator's code path is
+    deliberately untouched (its `xlm_backoff` driver hash stays
+    certified); the two are pinned equal by test instead of refactor,
+    the `centroid_stats` discipline."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    uni = counts.filter(F.col("n") == 1).select(
+        "w1", F.col("c").alias("c1")
+    )
+    big = counts.filter(F.col("n") == 2).select(
+        "w1", "w2", F.col("c").alias("c2")
+    )
+    tri = counts.filter(F.col("n") == 3).select(
+        "w1", "w2", "w3", F.col("c").alias("c3")
+    )
+    nv = uni.agg(
+        F.sum("c1").cast("long").alias("N"),
+        F.count(F.lit(1)).cast("long").alias("V"),
+    )
+    t = df.select(
+        F.col(id_col).alias("__id"), tokens(text_col).alias("__tok")
+    )
+    sz = F.size("__tok")
+    arr = F.when(
+        sz >= 3,
+        F.arrays_zip(*[F.slice("__tok", i + 1, sz - 2) for i in range(3)]),
+    ).otherwise(F.array())
+    pos = t.select("__id", F.explode(arr).alias("__g")).select(
+        "__id",
+        *[F.col("__g").getField(str(i)).alias(f"w{i+1}") for i in range(3)],
+    )
+    alpha = float(alpha_num) / float(alpha_den)
+    scored = (
+        pos.join(tri, ["w1", "w2", "w3"], "left")
+        .join(
+            big.select(F.col("w1"), F.col("w2"), F.col("c2").alias("c12")),
+            ["w1", "w2"],
+            "left",
+        )
+        .join(
+            big.select(
+                F.col("w1").alias("w2"), F.col("w2").alias("w3"),
+                F.col("c2").alias("c23"),
+            ),
+            ["w2", "w3"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w2"), F.col("c1").alias("cw2")),
+            ["w2"],
+            "left",
+        )
+        .join(
+            uni.select(F.col("w1").alias("w3"), F.col("c1").alias("cw3")),
+            ["w3"],
+            "left",
+        )
+        .crossJoin(F.broadcast(nv))
+        .select(
+            "__id",
+            F.when(
+                F.coalesce(F.col("c3"), F.lit(0)) > 0,
+                F.log(F.col("c3").cast("double") / F.col("c12")),
+            )
+            .when(
+                F.coalesce(F.col("c23"), F.lit(0)) > 0,
+                F.log(
+                    F.lit(alpha) * F.col("c23").cast("double")
+                    / F.col("cw2")
+                ),
+            )
+            .otherwise(
+                F.log(
+                    F.lit(alpha * alpha)
+                    * (F.coalesce(F.col("cw3"), F.lit(0)) + F.lit(1)).cast(
+                        "double"
+                    )
+                    / (F.col("N") + F.col("V"))
+                )
+            )
+            .alias("__ls"),
+        )
+    )
+    per_doc = scored.groupBy("__id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_trigrams"),
+        half_up(F.sum("__ls") / F.count(F.lit(1)), dp).alias(
+            "avg_logscore"
+        ),
+    )
+    return df.select(F.col(id_col)).join(
+        per_doc, df[id_col] == per_doc["__id"], "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("n_trigrams", F.lit(0)).cast("long").alias("n_trigrams"),
+        "avg_logscore",
+    )
+
+
 def stupid_backoff_score(
     df: DataFrame,
     reference: DataFrame | None = None,

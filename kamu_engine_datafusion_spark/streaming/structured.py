@@ -1044,6 +1044,70 @@ def maintained_centroid_stats(
     )
 
 
+def maintained_lm_counts(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained Stupid-Backoff n-gram model over an
+    append REFERENCE stream (``operators/text.py::lm_ngram_counts``):
+    unigram/bigram/trigram counts fold cell-wise (additive), so state
+    after any ticks equals the batch counts of the whole reference
+    ledger (pytest-pinned) and
+    ``backoff_score_from_counts(tick, read_maintained_state(...))``
+    scores each new crawl tick with a reference-consistent LM while
+    tokenizing only the tick — the CCNet perplexity-filter shape at
+    the maintained layer (the `maintained_term_stats`/BM25 device
+    applied to LM scoring). State is vocab-/bigram-/trigram-sized,
+    never corpus-sized. Retractions unsupported; feed the
+    append/live stream."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        lm_ngram_counts,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_counts):
+        if state_subset is None:
+            return inc_counts
+        return (
+            inc_counts.unionByName(
+                state_subset.select("n", "w1", "w2", "w3", "c")
+            )
+            .groupBy("n", "w1", "w2", "w3")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # the n-gram key doesn't exist on raw ledger rows — reduce the
+        # increment to its count rows FIRST (the maintained_countmin
+        # pattern)
+        _fold_buckets(
+            lm_ngram_counts(batch_df, text_col),
+            batch_id,
+            state_dir,
+            ["n", "w1", "w2", "w3"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_maintained_ann_topk(
     spark: SparkSession,
     state_dir: str,

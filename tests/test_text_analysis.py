@@ -546,3 +546,83 @@ def test_source_token_tvd_matches_python_reference(spark):
             want = math.floor(float(tvd) * 1e6 + 0.5) / 1e6
             assert abs(got[(a, b)] - want) <= 1e-6, (a, b)
             assert 0.0 <= got[(a, b)] <= 1.0
+
+
+def test_backoff_from_counts_equals_batch_and_maintained(spark, tmp_path):
+    """backoff_score_from_counts over the unified counts frame ==
+    stupid_backoff_score bit-for-bit (all three backoff branches
+    exercised: attested trigram, bigram backoff, OOV floor); and over
+    3-tick maintained_lm_counts state == over batch counts — scoring
+    a new crawl tick never re-tokenizes the reference."""
+    import os
+
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from kamu_engine_datafusion_spark.operators.text import (
+        backoff_score_from_counts,
+        lm_ngram_counts,
+        stupid_backoff_score,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_lm_counts,
+        read_maintained_state,
+    )
+
+    rng = __import__("random").Random(23)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far"]
+
+    def doc(i, vv):
+        return (i, " ".join(rng.choice(vv) for _ in range(rng.randrange(2, 15))))
+
+    ref_rows = [doc(i, vocab) for i in range(200)]
+    # scored corpus: reference-like docs + OOV words (floor branch) +
+    # a short doc (< 3 tokens -> NULL score)
+    score_rows = (
+        [doc(1000 + i, vocab) for i in range(60)]
+        + [(2000, "the cat zzyzx"), (2001, "qwfp arst zxcv gggg")]
+        + [(2002, "hi")]
+    )
+    ref = spark.createDataFrame(ref_rows, "doc_id long, text string")
+    crawl = spark.createDataFrame(score_rows, "doc_id long, text string")
+
+    want = sorted(
+        tuple(r) for r in stupid_backoff_score(crawl, ref).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in backoff_score_from_counts(
+            crawl, lm_ngram_counts(ref)
+        ).collect()
+    )
+    assert got == want
+    by_id = dict((r[0], r) for r in got)
+    assert by_id[2002][1] == 0 and by_id[2002][2] is None
+
+    ledger_dir = os.path.join(str(tmp_path), "lmled")
+    state_dir = os.path.join(str(tmp_path), "lmstate")
+    ck = os.path.join(str(tmp_path), "lmck")
+    os.makedirs(ledger_dir)
+
+    def tick(rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(ledger_dir)
+        maintained_lm_counts(
+            ledger_dir, state_dir, ck, "text",
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    tick(ref_rows[:70])
+    tick(ref_rows[70:150])
+    tick(ref_rows[150:])
+    state = read_maintained_state(spark, state_dir).select(
+        "n", "w1", "w2", "w3", "c"
+    )
+    assert sorted(tuple(r) for r in state.collect()) == sorted(
+        tuple(r) for r in lm_ngram_counts(ref).collect()
+    )
+    live = sorted(
+        tuple(r)
+        for r in backoff_score_from_counts(crawl, state).collect()
+    )
+    assert live == want
