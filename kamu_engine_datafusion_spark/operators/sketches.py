@@ -927,6 +927,35 @@ def heavy_hitters_from_grid(
                 "grid geometry must match this call's"
             )
         cells[i][b] = int(r["c"])
+    # the reverse mismatch (grid folded under a SMALLER depth than this
+    # call's) passes the per-cell bound but leaves whole rows at zero —
+    # the min-over-rows candidate filter would then silently return
+    # nothing. A CM grid counts every occurrence once per row, so a
+    # non-empty grid must populate EVERY row index 0..depth-1; missing
+    # rows mean the fold's depth was smaller. (A smaller fold WIDTH is
+    # not detectable from cell positions alone — bucket values are
+    # simply a subset of the range — so width agreement stays part of
+    # the caller contract, per the docstring.)
+    if rows:
+        seen_i = {int(r["i"]) for r in rows}
+        missing = set(range(depth)) - seen_i
+        if missing:
+            raise ValueError(
+                f"grid has no cells for row index(es) {sorted(missing)} "
+                f"— it was folded under a smaller depth than this "
+                f"call's depth={depth}; the maintained fold's grid "
+                "geometry must match this call's"
+            )
+        # every row counts every occurrence exactly once, so row sums
+        # must agree — a cheap integrity check that also catches a
+        # partially-applied fold
+        sums = {sum(row) for row in cells}
+        if len(sums) > 1:
+            raise ValueError(
+                f"grid row sums disagree ({sorted(sums)}) — a CM grid "
+                "counts every occurrence once per row; this grid is "
+                "corrupt or partially folded"
+            )
     n_total = sum(cells[0])
     return _hh_verify_from_cells(
         df.filter(F.col(key).isNotNull()), key, cells, n_total,

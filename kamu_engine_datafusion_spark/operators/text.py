@@ -1215,8 +1215,14 @@ def lm_ngram_counts(
 ) -> DataFrame:
     """The Stupid-Backoff reference model as ONE unified ADDITIVE
     frame: ``(n, w1, w2, w3, c)`` — unigram/bigram/trigram counts with
-    ``''`` sentinels in unused slots (a token can never be empty:
-    ``tokens()`` splits on whitespace). Counts are additive, so this
+    ``''`` sentinels in unused slots. The sentinel is safe because the
+    ``n`` column discriminates levels, NOT because empty tokens are
+    impossible: an empty/whitespace-only doc tokenizes to ``['']``, so
+    its ``w1 = ''`` unigram row shares the sentinel VALUE — but it
+    carries ``n = 1`` while sentinel slots only appear in ``w2``/``w3``
+    of lower-order rows, and the batch twin
+    (:func:`stupid_backoff_score`) counts the same ``''`` unigram, so
+    the two stay bit-equal. Counts are additive, so this
     is the per-tick INCREMENT of ``streaming.maintained_lm_counts``
     (cross-tick fold = cell-wise BIGINT addition) and the input of
     :func:`backoff_score_from_counts`; ``N``/``V`` for the OOV floor

@@ -956,9 +956,20 @@ def maintained_countmin(
         # the grid's own keys (i, bucket) don't exist on raw ledger
         # rows, so reduce the increment to its grid FIRST and bucket
         # the state on the grid key; with a 4×256 grid every tick
-        # touches most cells, so the bucket count stays small
+        # touches most cells, so the bucket count stays small.
+        # NULL keys are dropped BEFORE counting (mirroring
+        # verified_heavy_hitters): under hash_fn='poly' a NULL key
+        # hashes to NULL buckets and falls out anyway, but Spark's
+        # xxhash64(NULL) returns the seed — without this filter an
+        # xxhash64 grid would count NULL-key rows into a real cell,
+        # inflating n_total and contaminating one column of cells,
+        # breaking the documented row-for-row equality between
+        # heavy_hitters_from_grid and verified_heavy_hitters.
         _fold_buckets(
-            cm_counters(batch_df, key_col, depth, width, seed, hash_fn),
+            cm_counters(
+                batch_df.filter(F.col(key_col).isNotNull()),
+                key_col, depth, width, seed, hash_fn,
+            ),
             batch_id,
             state_dir,
             ["i", "bucket"],

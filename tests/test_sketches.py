@@ -1194,3 +1194,11 @@ def test_heavy_hitters_from_grid_geometry_mismatch_raises(spark):
         heavy_hitters_from_grid(
             grid, df, "key", 1, 100, depth=2, width=64, seed=7
         ).collect()
+    # the REVERSE mismatch (fold depth SMALLER than the read's) passes
+    # the per-cell bound but leaves whole rows at zero — r13 advice:
+    # must also raise, not silently return no candidates
+    small = cm_counters(df, "key", depth=2, width=64, seed=7)
+    with _pytest.raises(ValueError, match="smaller depth"):
+        heavy_hitters_from_grid(
+            small, df, "key", 1, 100, depth=4, width=64, seed=7
+        ).collect()

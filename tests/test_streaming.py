@@ -1034,6 +1034,79 @@ def test_maintained_countmin_equals_batch_grid(spark, tmp_path):
     assert est_m["apple"] >= 9 and est_m["fig"] >= 4  # never undercounts
 
 
+def test_maintained_countmin_drops_null_keys_under_xxhash64(
+    spark, tmp_path
+):
+    """r13 advice (medium): Spark's xxhash64(NULL) returns the seed, so
+    without the fold's NULL-key filter an xxhash64 maintained grid
+    counts NULL-key rows into a REAL cell — inflating n_total and
+    contaminating one cell, breaking heavy_hitters_from_grid ≡
+    verified_heavy_hitters (which drops NULL keys). The fold must
+    filter NULLs so the state equals the batch grid over non-NULL
+    keys and the from-grid read equals the batch two-phase result."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        cm_counters,
+        heavy_hitters_from_grid,
+        verified_heavy_hitters,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_countmin,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "cmnledger")
+    state_dir = os.path.join(str(tmp_path), "cmnstate")
+    ck = os.path.join(str(tmp_path), "cmnck")
+    os.makedirs(ledger_dir)
+    schema = "k string"
+
+    def tick(rows):
+        spark.createDataFrame([(w,) for w in rows], schema).coalesce(
+            1
+        ).write.mode("append").parquet(ledger_dir)
+        q = maintained_countmin(
+            ledger_dir, state_dir, ck, "k", depth=3, width=32, seed=7,
+            hash_fn="xxhash64",
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        )
+        q.awaitTermination()
+
+    t1 = ["apple"] * 5 + [None, "pear"]
+    t2 = [None, None, "apple", "fig", "fig"]
+    for t in (t1, t2):
+        tick(t)
+
+    full = spark.createDataFrame([(w,) for w in t1 + t2], schema)
+    want = sorted(
+        tuple(r)
+        for r in cm_counters(
+            full.filter(F.col("k").isNotNull()), "k",
+            depth=3, width=32, seed=7, hash_fn="xxhash64",
+        ).collect()
+    )
+    state = read_maintained_state(spark, state_dir)
+    got = sorted(
+        tuple(r) for r in state.select("i", "bucket", "c").collect()
+    )
+    assert got == want  # NULL rows never entered any cell
+
+    from_grid = sorted(
+        tuple(r)
+        for r in heavy_hitters_from_grid(
+            state, full, "k", 1, 4, depth=3, width=32, seed=7,
+            hash_fn="xxhash64",
+        ).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in verified_heavy_hitters(
+            full, "k", 1, 4, depth=3, width=32, seed=7,
+            hash_fn="xxhash64",
+        ).collect()
+    )
+    assert from_grid == batch and len(batch) > 0
+
+
 def test_maintained_quantile_sketch_equals_batch(spark, tmp_path):
     """Quantile-sketch state folded across 3 ticks must be BIT-EQUAL
     to the one-shot sketch over the full ledger — including a tick
