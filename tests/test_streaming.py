@@ -1821,3 +1821,198 @@ def test_maintained_minhash_index_equals_batch_increment_path(
         .collect()
     )
     assert after == before
+
+
+def test_compact_state_append_fold(spark, tmp_path):
+    """r13 verdict item 4: `compact_state` rewrites a bucket dir's
+    accumulated per-tick `b{batch}-{i}.parquet` files into one file
+    per bucket WITHOUT changing content, the marker, or replay
+    semantics — fold -> compact -> fold -> crash-replay all green, and
+    a bucket already at one file stays byte-identical (not rewritten)."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        lloyd_centroids,
+        quantize_vectors,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _BATCH_MARKER,
+        compact_state,
+        maintained_semdedup_index,
+        read_maintained_state,
+    )
+
+    def vec(i, eps=0.0):
+        return [math.cos(i * 0.7) + eps, math.sin(i * 0.7)]
+
+    schema = "vec_id long, embedding array<double>"
+    ticks = [
+        [(0, vec(0)), (1, vec(1)), (2, vec(2)), (3, vec(3))],
+        [(10, vec(4)), (11, vec(5))],
+        [(20, vec(6)), (21, vec(1))],  # 21 dies vs tick-0 survivor 1
+    ]
+    all_df = spark.createDataFrame([r for t in ticks for r in t], schema)
+    cents = lloyd_centroids(
+        quantize_vectors(all_df, "vec_id", "embedding", 10_000),
+        "vec_id", dim=2, k=3, iters=2,
+    )
+    ledger = os.path.join(str(tmp_path), "csledger")
+    state = os.path.join(str(tmp_path), "csstate")
+    ck = os.path.join(str(tmp_path), "csck")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_semdedup_index(
+            ledger, state, ck, cents,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    def snap():
+        return sorted(
+            (r["vec_id"], r["cluster"], tuple(r["q2"]), r["n2"])
+            for r in read_maintained_state(spark, state).collect()
+        )
+
+    def bucket_listing():
+        out = {}
+        for d in sorted(os.listdir(state)):
+            if d.startswith("__bucket="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(state, d))
+                    if f.endswith(".parquet")
+                )
+        return out
+
+    # three ticks -> multi-file buckets
+    for i, t in enumerate(ticks[:3]):
+        spark.createDataFrame(t, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+    pre_rows = snap()
+    pre_marker = open(os.path.join(state, _BATCH_MARKER)).read()
+    listing = bucket_listing()
+    assert any(len(fs) > 1 for fs in listing.values()), listing
+    single = {d for d, fs in listing.items() if len(fs) == 1}
+    pre_bytes = {
+        d: open(
+            os.path.join(state, d, bucket_listing()[d][0]), "rb"
+        ).read()
+        for d in single
+    }
+
+    stats = compact_state(spark, state)
+    assert stats["buckets_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    post = bucket_listing()
+    assert all(len(fs) == 1 for fs in post.values()), post
+    assert snap() == pre_rows  # content-neutral
+    assert open(os.path.join(state, _BATCH_MARKER)).read() == pre_marker
+    for d in single:  # untouched single-file buckets not rewritten
+        assert (
+            open(os.path.join(state, d, post[d][0]), "rb").read()
+            == pre_bytes[d]
+        )
+
+    # compaction is invisible to the protocol: a fourth tick folds,
+    # and its content matches folding without compaction
+    t4 = [(30, vec(8)), (31, vec(6))]  # 31 dies vs tick-2 survivor 20
+    spark.createDataFrame(t4, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(ledger)
+    run()
+    ids = {r[0] for r in snap()}
+    assert ids == {0, 1, 2, 3, 10, 11, 20, 30}
+    # replay with no new data after compaction: marker skip, no change
+    final = snap()
+    run()
+    assert snap() == final
+    # tick 4 appended new per-tick files; compact again, and THEN a
+    # further compaction is a no-op (nothing above one file per bucket)
+    compact_state(spark, state)
+    assert snap() == final
+    stats2 = compact_state(spark, state)
+    assert stats2["buckets_compacted"] == 0
+    assert stats2["files_after"] == stats2["files_before"]
+
+
+def test_compact_state_heals_interrupted_compaction(spark, tmp_path):
+    """A crash between the compaction's intent commit and the bucket
+    applies must heal on the next entry (same `_apply_intent` path as
+    the folds); a crash BEFORE the intent leaves stale staging that is
+    simply discarded."""
+    from kamu_engine_datafusion_spark.operators.sketches import cm_counters
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _stage_dir,
+        _write_intent,
+        compact_state,
+        maintained_countmin,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "ccledger")
+    state_dir = os.path.join(str(tmp_path), "ccstate")
+    ck = os.path.join(str(tmp_path), "ccck")
+    os.makedirs(ledger_dir)
+    schema = "k string"
+
+    def tick(rows):
+        spark.createDataFrame([(w,) for w in rows], schema).coalesce(
+            1
+        ).write.mode("append").parquet(ledger_dir)
+        maintained_countmin(
+            ledger_dir, state_dir, ck, "k", depth=2, width=8, seed=7,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    tick(["a"] * 3 + ["b"])
+    tick(["a", "c", "c"])
+    want = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir).collect()
+    )
+
+    # crash BEFORE intent: stale staging dir with junk — discarded
+    stage = _stage_dir(state_dir)
+    os.makedirs(os.path.join(stage, "__bucket=0"), exist_ok=True)
+    with open(os.path.join(stage, "__bucket=0", "junk.parquet"), "w") as f:
+        f.write("not parquet")
+    stats = compact_state(spark, state_dir)
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir).collect()
+    )
+    assert got == want and not os.path.isdir(stage)
+
+    # crash AFTER intent, before apply: stage a real compaction by
+    # hand (copy of the current state content), write the intent, and
+    # "crash" — the next compact_state entry must apply it
+    full = cm_counters(
+        spark.read.parquet(ledger_dir), "k", depth=2, width=8, seed=7
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _bucket_of,
+        _last_folded_batch,
+    )
+
+    marker = _last_folded_batch(state_dir)
+    (
+        full.withColumn("__bucket", _bucket_of(["i", "bucket"], 4))
+        .repartition(4, "__bucket")
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(stage)
+    )
+    staged = [
+        int(d.split("=", 1)[1])
+        for d in os.listdir(stage)
+        if d.startswith("__bucket=")
+    ]
+    _write_intent(state_dir, marker, staged, [])
+    compact_state(spark, state_dir)  # heals, then finds nothing to do
+    got2 = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state_dir).collect()
+    )
+    assert got2 == want
+    assert _last_folded_batch(state_dir) == marker
