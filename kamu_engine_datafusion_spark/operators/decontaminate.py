@@ -370,14 +370,47 @@ def bloom_flag_contaminated(
     Returns ``(id_col, n_overlaps, contaminated)`` over the FULL
     corpus, exactly like :func:`flag_contaminated`.
     """
+    bitmap = bloom_build(
+        benchmark, text_col, shingle_len, m_bits, k_hashes, seed, hash_fn
+    )
+    return bloom_flag_with_bitmap(
+        corpus, benchmark, bitmap, text_col, id_col, shingle_len,
+        threshold, m_bits, k_hashes, seed, hash_fn,
+    )
+
+
+def bloom_flag_with_bitmap(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    bitmap: list[int],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_len: int = 3,
+    threshold: int = 1,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 4,
+    seed: int = 17,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Phases 1+2 of :func:`bloom_flag_contaminated` with the bitmap
+    SUPPLIED — the read side of the continuously-maintained
+    decontamination filter (``streaming.maintained_bloom`` state via
+    ``read_bloom_state``): as new eval sets land on the benchmark
+    ledger the bitmap folds forward (bitwise OR — associative,
+    commutative, IDEMPOTENT), so flagging a new corpus tick skips the
+    benchmark re-shingle the batch operator pays for phase 1; phase
+    2's exact verify still joins the benchmark ledger, but only for
+    the Bloom-positive candidate sliver. Result EQUALS
+    :func:`bloom_flag_contaminated` ≡ :func:`flag_contaminated` over
+    the same populations (no false negatives + exact verify;
+    pytest-pinned across a 3-tick maintained fold). ``bitmap`` and
+    the geometry params must match the fold's (the
+    ``read_maintained_heavy_hitters`` contract)."""
     from kamu_engine_datafusion_spark.functions.columns import (
         minhash_coeffs,
     )
 
     coeffs = minhash_coeffs(k_hashes, seed)
-    bitmap = bloom_build(
-        benchmark, text_col, shingle_len, m_bits, k_hashes, seed, hash_fn
-    )
     # the bitmap enters the plan as DATA (one broadcast row), NOT as a
     # 16k-literal CreateArray expression: an outer EXPRESSION inside an
     # interpreted HOF lambda re-evaluates per element (the r9

@@ -187,6 +187,96 @@ def gopher_rules(text: Column | str) -> dict[str, Column]:
     }
 
 
+def quality_rule_counts(
+    df,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> "DataFrame":
+    """Per-group Gopher rule-hit counters as one ADDITIVE frame —
+    the increment function of the maintained quality-rate monitor
+    (``streaming.maintained_quality_rates``): ``(grp, n_docs,
+    c_<rule>…, c_pass_all)`` with one BIGINT pass-count per
+    :func:`gopher_rules` rule. Counts are additive, so the cross-tick
+    fold is cell-wise addition and state after any ticks equals the
+    batch counters of the whole ledger; the rates read
+    (:func:`quality_rates_from_counts`) then touches |groups| metadata
+    rows — the per-source quality dashboard a 100 TB crawl ingest
+    keeps live without re-scanning history (a source whose pass rate
+    drops tick-over-tick is a feed gone bad, caught at ingest).
+
+    NULL-text rows count in ``n_docs`` but in no ``c_`` column (the
+    rule expressions are NULL on NULL text and ``sum`` skips NULLs) —
+    i.e. a NULL doc FAILS every rule; deterministic, and identical in
+    the batch twin since both sides aggregate the same expressions.
+
+    Scale: ONE partial+final aggregate over the scan — the counters
+    are |groups| × (rules + 2) longs; no shuffle of the corpus."""
+    rules = gopher_rules(text_col)
+    passes = None
+    for v in rules.values():
+        passes = v if passes is None else (passes & v)
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
+    aggs += [
+        F.sum(v.cast("long")).cast("long").alias(f"c_{k}")
+        for k, v in rules.items()
+    ]
+    aggs.append(F.sum(passes.cast("long")).cast("long").alias("c_pass_all"))
+    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+
+
+def quality_rates_from_counts(counts, dp: int = 4) -> "DataFrame":
+    """Per-group PASS RATES read from a :func:`quality_rule_counts`
+    frame (or ``maintained_quality_rates`` state) ALONE: each ``c_*``
+    counter becomes ``rate_* = c_* / n_docs`` (half-up ``dp``). At
+    100 TB this is the after-every-tick read of the quality monitor —
+    |groups| metadata rows, the corpus never re-read; identical to
+    computing the rates over the whole ledger because the counters
+    fold exactly (pytest-pinned)."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    sel = [F.col("grp"), F.col("n_docs")]
+    for c in counts.columns:
+        if c.startswith("c_"):
+            sel.append(
+                half_up(F.col(c) / F.col("n_docs"), dp).alias(
+                    "rate_" + c[2:]
+                )
+            )
+    return counts.select(*sel)
+
+
+def term_counts(df, text_col: str = "text") -> "DataFrame":
+    """The wordcount frame ``(token, freq)`` as an ADDITIVE increment —
+    the per-tick function of ``streaming.maintained_term_counts``:
+    counts fold cell-wise, so state after any ticks equals the batch
+    counts of the whole ledger and :func:`vocabulary_from_counts`
+    reads the induced vocabulary from vocab-sized state instead of
+    re-exploding 100 TB of text. Bounded at |vocab| rows (map-side
+    partial counts cap each task's exchange at one long per distinct
+    token)."""
+    return (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def vocabulary_from_counts(counts, top_v: int = 1000) -> "DataFrame":
+    """Top-``top_v`` vocabulary read from a :func:`term_counts` frame
+    (or ``maintained_term_counts`` state) ALONE — identical output to
+    :func:`vocabulary` over the corpus the counts summarize (same
+    (freq desc, token asc) rank; pytest-pinned row-for-row; the batch
+    path stays byte-identical — the ``centroid_stats`` discipline).
+    The downstream consumers (:func:`oov_rate`,
+    :func:`unigram_logprob`) take the vocabulary frame as-is, so the
+    whole OOV-coverage report runs from maintained state."""
+    from pyspark.sql import Window
+
+    top = counts.orderBy(F.col("freq").desc(), "token").limit(top_v)
+    w = Window.orderBy(F.col("freq").desc(), "token")
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def c4_line_filter(
     text: Column | str,
     min_words_per_line: int = 3,

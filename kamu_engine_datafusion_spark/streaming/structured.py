@@ -1214,6 +1214,122 @@ def maintained_lm_counts(
     )
 
 
+def maintained_quality_rates(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_col: str = "source",
+    text_col: str = "text",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 1,
+):
+    """Continuously-maintained per-source QUALITY-RATE monitor over an
+    append corpus stream (``operators/text.py::quality_rule_counts``):
+    Gopher rule-hit counters are additive, so the per-tick fold is
+    cell-wise BIGINT addition and state after any ticks equals the
+    batch counters of the whole ledger (pytest-pinned). The live read
+    (``quality_rates_from_counts`` over :func:`read_maintained_state`)
+    is the per-source quality dashboard — |groups| metadata rows, the
+    corpus never re-scanned; a source whose pass rate drops
+    tick-over-tick is a feed gone bad, caught at ingest. State ≤
+    |groups| rows. Retractions unsupported; feed the append stream."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        quality_rule_counts,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_counts):
+        if state_subset is None:
+            return inc_counts
+        cols = [c for c in inc_counts.columns if c != "grp"]
+        return (
+            inc_counts.unionByName(state_subset.select("grp", *cols))
+            .groupBy("grp")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # the group key exists only after the counters aggregate —
+        # reduce the increment FIRST (the maintained_countmin pattern)
+        _fold_buckets(
+            quality_rule_counts(batch_df, group_col, text_col),
+            batch_id,
+            state_dir,
+            ["grp"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def maintained_term_counts(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained corpus TERM COUNTS over an append stream
+    (``operators/text.py::term_counts`` — the wordcount frame): counts
+    fold cell-wise, so state after any ticks equals the batch counts of
+    the whole ledger (pytest-pinned) and the induced vocabulary
+    (``vocabulary_from_counts`` over :func:`read_maintained_state`),
+    OOV coverage (``oov_rate``), and unigram log-prob scoring all read
+    vocab-sized state instead of re-exploding 100 TB of text — the
+    tokenizer-vocabulary twin of ``maintained_term_stats`` (which
+    keeps the BM25 df/avgdl statistics). State is |vocab| rows.
+    Retractions unsupported; feed the append stream."""
+    from kamu_engine_datafusion_spark.operators.text import term_counts
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc_counts):
+        if state_subset is None:
+            return inc_counts
+        return (
+            inc_counts.unionByName(state_subset.select("token", "freq"))
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            term_counts(batch_df, text_col),
+            batch_id,
+            state_dir,
+            ["token"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_maintained_ann_topk(
     spark: SparkSession,
     state_dir: str,

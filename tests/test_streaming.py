@@ -2016,3 +2016,220 @@ def test_compact_state_heals_interrupted_compaction(spark, tmp_path):
     )
     assert got2 == want
     assert _last_folded_batch(state_dir) == marker
+
+
+def test_maintained_quality_rates_equals_batch(spark, tmp_path):
+    """r14 staged: per-source Gopher rule-hit counters folded across
+    3 ticks must equal the batch counters of the whole ledger
+    value-for-value, and the rates read from state must equal the
+    rates computed over the full corpus — including a NULL-text row
+    (counts in n_docs, passes nothing)."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        quality_rates_from_counts,
+        quality_rule_counts,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_quality_rates,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "qrledger")
+    state_dir = os.path.join(str(tmp_path), "qrstate")
+    ck = os.path.join(str(tmp_path), "qrck")
+    os.makedirs(ledger_dir)
+    schema = "source string, text string"
+    good = " ".join(f"word{i}" for i in range(60))  # passes word count
+    short = "too short"
+    symbols = " ".join(["###"] * 60)
+
+    ticks = [
+        [("a", good), ("a", short), ("b", good)],
+        [("a", good), ("b", symbols), ("b", None)],
+        [("c", short), ("a", good)],
+    ]
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_quality_rates(
+            ledger_dir, state_dir, ck, "source",
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    for t in ticks:
+        tick(t)
+
+    full = spark.createDataFrame([r for t in ticks for r in t], schema)
+    want_counts = sorted(
+        tuple(r) for r in quality_rule_counts(full, "source").collect()
+    )
+    state = read_maintained_state(spark, state_dir)
+    got_counts = sorted(
+        tuple(r)
+        for r in state.select(
+            *[f.name for f in quality_rule_counts(full, "source").schema]
+        ).collect()
+    )
+    assert got_counts == want_counts
+    want_rates = sorted(
+        tuple(r)
+        for r in quality_rates_from_counts(
+            quality_rule_counts(full, "source")
+        ).collect()
+    )
+    got_rates = sorted(
+        tuple(r) for r in quality_rates_from_counts(state).collect()
+    )
+    assert got_rates == want_rates
+    by_grp = {r[0]: r for r in got_rates}
+    assert by_grp["c"][1] == 1  # n_docs
+    # NULL text counts in n_docs and passes nothing: source b has 3
+    # docs of which the NULL passes no rule
+    assert by_grp["b"][1] == 3
+
+
+def test_maintained_term_counts_vocab_and_oov(spark, tmp_path):
+    """r14 staged: the wordcount state folded across 3 ticks equals
+    batch term_counts of the whole ledger; vocabulary_from_counts over
+    the state equals batch vocabulary() row-for-row (same rank order);
+    and oov_rate of a new tick against the from-state vocabulary
+    equals the batch path."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        oov_rate,
+        term_counts,
+        vocabulary,
+        vocabulary_from_counts,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_term_counts,
+        read_maintained_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "tcledger")
+    state_dir = os.path.join(str(tmp_path), "tcstate")
+    ck = os.path.join(str(tmp_path), "tcck")
+    os.makedirs(ledger_dir)
+    schema = "doc_id long, text string"
+    ticks = [
+        [(0, "alpha beta gamma alpha"), (1, "beta beta delta")],
+        [(2, "alpha epsilon zeta"), (3, "beta alpha alpha")],
+        [(4, "eta theta beta")],
+    ]
+
+    def tick(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger_dir)
+        maintained_term_counts(
+            ledger_dir, state_dir, ck,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    for t in ticks:
+        tick(t)
+
+    full = spark.createDataFrame([r for t in ticks for r in t], schema)
+    want = sorted(tuple(r) for r in term_counts(full).collect())
+    state = read_maintained_state(spark, state_dir)
+    got = sorted(
+        tuple(r) for r in state.select("token", "freq").collect()
+    )
+    assert got == want
+
+    v_state = sorted(
+        tuple(r) for r in vocabulary_from_counts(state, top_v=4).collect()
+    )
+    v_batch = sorted(
+        tuple(r) for r in vocabulary(full, top_v=4).collect()
+    )
+    assert v_state == v_batch and len(v_state) == 4
+
+    new_tick = spark.createDataFrame(
+        [(10, "alpha omega beta"), (11, "psi omega")], schema
+    )
+    o_state = sorted(
+        tuple(r)
+        for r in oov_rate(
+            new_tick, vocabulary_from_counts(state, top_v=4)
+        ).collect()
+    )
+    o_batch = sorted(
+        tuple(r)
+        for r in oov_rate(new_tick, vocabulary(full, top_v=4)).collect()
+    )
+    assert o_state == o_batch
+
+
+def test_bloom_flag_with_bitmap_from_maintained_state(spark, tmp_path):
+    """r14 staged: decontaminating a new corpus tick with the bitmap
+    read from maintained_bloom state must equal bloom_flag_contaminated
+    (fresh bitmap) AND the direct exact rule over the same
+    populations — the maintained filter never re-shingles the
+    benchmark for phase 1."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        bloom_flag_contaminated,
+        bloom_flag_with_bitmap,
+        flag_contaminated,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_bloom,
+        read_bloom_state,
+    )
+
+    ledger_dir = os.path.join(str(tmp_path), "bfledger")
+    state_dir = os.path.join(str(tmp_path), "bfstate")
+    ck = os.path.join(str(tmp_path), "bfck")
+    os.makedirs(ledger_dir)
+    schema = "text string"
+    m_bits, k = 1 << 10, 3  # deliberately tiny -> real false positives
+
+    bench_ticks = [
+        ["the quick brown fox jumps over the lazy dog"],
+        ["pack my box with five dozen liquor jugs"],
+        ["sphinx of black quartz judge my vow today"],
+    ]
+
+    def tick(rows):
+        spark.createDataFrame([(t,) for t in rows], schema).coalesce(
+            1
+        ).write.mode("append").parquet(ledger_dir)
+        maintained_bloom(
+            ledger_dir, state_dir, ck, m_bits=m_bits, k_hashes=k,
+            schema=spark.read.parquet(ledger_dir).schema, spark=spark,
+        ).awaitTermination()
+
+    for t in bench_ticks:
+        tick(t)
+
+    bench = spark.createDataFrame(
+        [(t,) for tk in bench_ticks for t in tk], schema
+    ).withColumn("doc_id", F.monotonically_increasing_id())
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog entirely"),
+            (1, "completely unrelated text about gardening and soil"),
+            (2, "pack my box with five dozen liquor jugs please"),
+            (3, "another clean document with no overlap whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    bitmap = read_bloom_state(spark, state_dir, m_bits)
+    got = sorted(
+        tuple(r)
+        for r in bloom_flag_with_bitmap(
+            corpus, bench, bitmap, m_bits=m_bits, k_hashes=k
+        ).collect()
+    )
+    fresh = sorted(
+        tuple(r)
+        for r in bloom_flag_contaminated(
+            corpus, bench, m_bits=m_bits, k_hashes=k
+        ).collect()
+    )
+    direct = sorted(
+        tuple(r)
+        for r in flag_contaminated(corpus, bench).collect()
+    )
+    assert got == fresh == direct
+    assert {r[0] for r in got if r[2]} == {0, 2}
