@@ -4295,10 +4295,11 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
     UNION ALL — mechanical but exact (same 6dp half-up-rounded inputs
     and id tie-break as the operator; half-up ``floor(x·1e6+0.5)/1e6``
     because the engines' round() builtins disagree on exact halves)."""
-    cos = (
-        "floor(list_dot_product({a}, {b}) / "
+    cos = _fhu(
+        "list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * "
-        "sqrt(list_dot_product({b}, {b}))) * 1000000 + 0.5) / 1000000"
+        "sqrt(list_dot_product({b}, {b})))",
+        6,
     )
     parts = [
         "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv "
@@ -4330,7 +4331,7 @@ def _mmr_oracle(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
         )
     selects = [
         f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, rel, "
-        f"floor(mmr * 1000000 + 0.5) / 1000000 AS mmr FROM p{i}"
+        + _fhu("mmr", 6) + f" AS mmr FROM p{i}"
         for i in range(1, k + 1)
     ]
     return "".join(parts) + " " + " UNION ALL ".join(selects)
@@ -4406,7 +4407,7 @@ def _minhash_report_oracle() -> str:
         "hit AS (SELECT id_a, id_b, j, row_number() OVER ("
         "PARTITION BY id_b ORDER BY id_a) AS rn FROM verp WHERE j >= 0.7) "
         "SELECT id_b AS dropped_id, id_a AS matched_id, "
-        "floor(j * 1000000 + 0.5) / 1000000 AS jaccard "
+        + _fhu("j", 6) + " AS jaccard "
         "FROM hit WHERE rn = 1"
     )
 
@@ -4712,10 +4713,11 @@ def _pipeline_embed_oracle(
     # - cos (half-up floor(x·1e6+0.5)/1e6) for the rel VALUES, pairwise
     #   sims, and greedy mmr — mmr_diversify switched to half-up because
     #   the engines' round() builtins disagree on exact halves.
-    cos = (
-        "floor(list_dot_product({a}, {b}) / "
+    cos = _fhu(
+        "list_dot_product({a}, {b}) / "
         "(sqrt(list_dot_product({a}, {a})) * "
-        "sqrt(list_dot_product({b}, {b}))) * 1000000 + 0.5) / 1000000"
+        "sqrt(list_dot_product({b}, {b})))",
+        6,
     )
     cos_round = (
         "round(list_dot_product({a}, {b}) / "
@@ -4925,8 +4927,7 @@ def _cluster_quality_oracle(k: int = 8, iters: int = 3) -> str:
         "CAST(sum(inertia) AS BIGINT) AS inertia_q FROM per GROUP BY 1) "
         "SELECT t.cluster, t.n, t.inertia_q, m.majority_label, "
         "m.n_majority, "
-        "FLOOR(CAST(m.n_majority AS DOUBLE) / t.n * 1000000.0 + 0.5) "
-        "/ 1000000.0 AS purity "
+        + _fhu("CAST(m.n_majority AS DOUBLE) / t.n", 6) + " AS purity "
         "FROM tot t JOIN maj m ON m.cluster = t.cluster"
     )
 
@@ -4990,10 +4991,13 @@ def _hll_oracle(b: int = 6) -> str:
         ", exact AS (SELECT lang, CAST(count(DISTINCT bg) AS BIGINT) "
         "AS exact_distinct FROM bgs GROUP BY 1) "
         "SELECT x.lang, x.exact_distinct, e.zeros, "
-        "FLOOR(CAST(e.raw AS DOUBLE) * 10000.0 + 0.5) / 10000.0 "
-        "AS hll_est, "
-        "FLOOR(CAST(abs(e.raw - x.exact_distinct) AS DOUBLE) "
-        "/ x.exact_distinct * 1000000.0 + 0.5) / 1000000.0 AS rel_err, "
+        + _fhu("CAST(e.raw AS DOUBLE)", 4) + " AS hll_est, "
+        + _fhu(
+            "CAST(abs(e.raw - x.exact_distinct) AS DOUBLE) "
+            "/ x.exact_distinct",
+            6,
+        )
+        + " AS rel_err, "
         "CASE WHEN abs(e.raw - x.exact_distinct) <= "
         f"(2 * 1.04 / {float(m) ** 0.5}) * x.exact_distinct "
         "THEN 1 ELSE 0 END AS within_sigma "
@@ -5034,8 +5038,7 @@ def _cm_oracle(
         "USING (i, bucket) GROUP BY 1, 2) "
         "SELECT bg AS bigram, freq, cm_est, "
         "CASE WHEN cm_est >= freq THEN 1 ELSE 0 END AS is_overestimate, "
-        "FLOOR(CAST(cm_est - freq AS DOUBLE) / freq * 1000000.0 + 0.5) "
-        "/ 1000000.0 AS rel_err FROM est"
+        + _fhu("CAST(cm_est - freq AS DOUBLE) / freq", 6) + " AS rel_err FROM est"
     )
 
 
@@ -5078,7 +5081,7 @@ def _qsketch_oracle(
         err = f"greatest(CAST(0 AS DOUBLE), {q} - {fle}, {flt} - {q})"
         out_sel.append(
             f"e.est_{tag}, x.ex_{tag} AS exact_{tag}, "
-            f"FLOOR({err} * 1000000.0 + 0.5) / 1000000.0 AS err_{tag}, "
+            + _fhu(err, 6) + f" AS err_{tag}, "
             f"1 AS ok_{tag}"
         )
     return (
@@ -5194,8 +5197,7 @@ def _quality_clf_oracle(
     )
     parts.append(
         f" SELECT w.j, w.w, nn.n AS n_docs, "
-        "FLOOR(CAST(acc.correct AS DOUBLE) / nn.n * 10000.0 + 0.5) "
-        "/ 10000.0 AS acc_4dp, 1 AS acc_ok "
+        + _fhu("CAST(acc.correct AS DOUBLE) / nn.n", 4) + " AS acc_4dp, 1 AS acc_ok "
         f"FROM w{iters} w CROSS JOIN nn CROSS JOIN acc"
     )
     return "".join(parts)
@@ -5330,15 +5332,17 @@ def _zorder_layout_oracle() -> str:
         "FROM p JOIN zm m ON m.key_name = p.key_name "
         "GROUP BY 1, 2, 3, 4), "
         "i AS (SELECT key_name, "
-        "FLOOR(CAST(sum(CASE WHEN prev_max IS NOT NULL AND prev_max >= zmin "
-        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000.0 + 0.5) "
-        "/ 1000000.0 AS interleave_frac FROM ("
+        + _fhu(
+            "CAST(sum(CASE WHEN prev_max IS NOT NULL AND prev_max >= "
+            "zmin THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+            6,
+        )
+        + " AS interleave_frac FROM ("
         "SELECT key_name, zmin, lag(zmax) OVER (PARTITION BY key_name "
         "ORDER BY zmin, zmax, chunk) AS prev_max FROM zm) GROUP BY 1) "
         "SELECT s.key_name, s.probe_idx, s.probe_value, s.n_chunks, "
         "s.n_skipped, "
-        "FLOOR(CAST(s.n_skipped AS DOUBLE) / s.n_chunks * 1000000.0 + 0.5) "
-        "/ 1000000.0 AS skip_frac, "
+        + _fhu("CAST(s.n_skipped AS DOUBLE) / s.n_chunks", 6) + " AS skip_frac, "
         "i.interleave_frac "
         "FROM s JOIN i ON i.key_name = s.key_name"
     )
@@ -5438,7 +5442,7 @@ ORACLES = {
         "FROM documents WHERE n_chars > 0) "
         "SELECT doc_id, n_chars FROM ("
         "SELECT doc_id, n_chars, "
-        "floor(ln((hv + 1) / 2147483648.0) / w * 1000000000.0 + 0.5) / 1000000000.0 AS k FROM h) "
+        + _fhu("ln((hv + 1) / 2147483648.0) / w", 9) + " AS k FROM h) "
         "ORDER BY k DESC, doc_id LIMIT 200"
     ),
     "xpack_sequences": (
@@ -5787,15 +5791,17 @@ ORACLES = {
         "FROM p JOIN zm m ON m.key_name = p.key_name "
         "GROUP BY 1, 2, 3, 4), "
         "i AS (SELECT key_name, "
-        "FLOOR(CAST(sum(CASE WHEN prev_max IS NOT NULL AND prev_max >= zmin "
-        "THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000.0 + 0.5) "
-        "/ 1000000.0 AS interleave_frac FROM ("
+        + _fhu(
+            "CAST(sum(CASE WHEN prev_max IS NOT NULL AND prev_max >= "
+            "zmin THEN 1 ELSE 0 END) AS DOUBLE) / count(*)",
+            6,
+        )
+        + " AS interleave_frac FROM ("
         "SELECT key_name, zmin, lag(zmax) OVER (PARTITION BY key_name "
         "ORDER BY zmin, zmax, chunk) AS prev_max FROM zm) GROUP BY 1) "
         "SELECT s.key_name, s.probe_idx, s.probe_value, s.n_chunks, "
         "s.n_skipped, "
-        "FLOOR(CAST(s.n_skipped AS DOUBLE) / s.n_chunks * 1000000.0 + 0.5) "
-        "/ 1000000.0 AS skip_frac, "
+        + _fhu("CAST(s.n_skipped AS DOUBLE) / s.n_chunks", 6) + " AS skip_frac, "
         "i.interleave_frac "
         "FROM s JOIN i ON i.key_name = s.key_name"
     ),
@@ -6174,7 +6180,7 @@ ORACLES = {
         "round(quantile_cont(abs(value - m), 0.5), 6) AS d "
         "FROM j GROUP BY event_type) "
         "SELECT j.event_id, j.event_type, round(j.value, 6) AS value, "
-        "floor(0.6745 * (j.value - j.m) / mad.d * 10000 + 0.5) / 10000 "
+        + _fhu("0.6745 * (j.value - j.m) / mad.d", 4) + " "
         "AS mscore "
         "FROM j JOIN mad USING (event_type) "
         "WHERE mad.d > 0 AND abs(0.6745 * (j.value - j.m) / mad.d) > 3.5"
@@ -6421,7 +6427,7 @@ ORACLES = {
         "* tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))"
         ") AS score FROM m JOIN dfq USING (t) CROSS JOIN st GROUP BY doc_id), "
         "s AS (SELECT doc_id, CAST(row_number() OVER ("
-        "ORDER BY floor(score * 10000 + 0.5) / 10000 DESC, doc_id) "
+        "ORDER BY " + _fhu("score", 4) + " DESC, doc_id) "
         "AS BIGINT) AS sparse_rank FROM bm), "
         "q AS (SELECT CAST(embedding AS DOUBLE[]) AS emb_d "
         "FROM embeddings WHERE vec_id = 0), "
@@ -6433,12 +6439,15 @@ ORACLES = {
         "sqrt(list_dot_product(q.emb_d, q.emb_d))), 6) AS cosine "
         "FROM e, q) ORDER BY cosine DESC, doc_id LIMIT 50), "
         "d AS (SELECT doc_id, CAST(row_number() OVER ("
-        "ORDER BY floor(cosine * 10000 + 0.5) / 10000 DESC, doc_id) "
+        "ORDER BY " + _fhu("cosine", 4) + " DESC, doc_id) "
         "AS BIGINT) AS dense_rank FROM dn), "
         "f AS (SELECT doc_id, sparse_rank, dense_rank, "
-        "floor((coalesce(1.0 / (60 + sparse_rank), 0) + "
-        "coalesce(1.0 / (60 + dense_rank), 0)) * 1000000 + 0.5) / 1000000 "
-        "AS rrf_score "
+        + _fhu(
+            "(coalesce(1.0 / (60 + sparse_rank), 0) + "
+            "coalesce(1.0 / (60 + dense_rank), 0))",
+            6,
+        )
+        + " AS rrf_score "
         "FROM s FULL JOIN d USING (doc_id)) "
         "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM ("
         "SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) "
@@ -6515,8 +6524,11 @@ ORACLES = {
         "ON a.hh = b.hh AND a.source < b.source GROUP BY 1, 2) "
         "SELECT p.src_a, p.src_b, CAST(p.n_shared AS BIGINT) AS n_shared, "
         "CAST(ta.n AS BIGINT) AS n_a, CAST(tb.n AS BIGINT) AS n_b, "
-        "floor(CAST(p.n_shared AS DOUBLE) / (ta.n + tb.n - p.n_shared) "
-        "* 10000 + 0.5) / 10000 AS jaccard "
+        + _fhu(
+            "CAST(p.n_shared AS DOUBLE) / (ta.n + tb.n - p.n_shared)",
+            4,
+        )
+        + " AS jaccard "
         "FROM p JOIN tot ta ON p.src_a = ta.source "
         "JOIN tot tb ON p.src_b = tb.source"
     ),
@@ -6530,9 +6542,9 @@ ORACLES = {
         "CAST(sum(w) AS BIGINT) AS n_words, "
         "CAST(sum(s) AS BIGINT) AS n_subwords, "
         "CAST(sum(b) AS BIGINT) AS n_bytes, "
-        "floor(CAST(sum(s) AS DOUBLE) / sum(w) * 10000 + 0.5) / 10000 "
+        + _fhu("CAST(sum(s) AS DOUBLE) / sum(w)", 4) + " "
         "AS fertility, "
-        "floor(CAST(sum(b) AS DOUBLE) / sum(s) * 10000 + 0.5) / 10000 "
+        + _fhu("CAST(sum(b) AS DOUBLE) / sum(s)", 4) + " "
         "AS bytes_per_subword FROM c GROUP BY lang"
     ),
     "xdecontaminate": (
@@ -6627,7 +6639,7 @@ ORACLES["xsample_weighted_group"] = (
     "(a, b) -> (a * 31 + b) % 2147483647) AS hv "
     "FROM documents WHERE n_chars > 0), "
     "k AS (SELECT doc_id, lang, n_chars, "
-    "floor(ln((hv + 1) / 2147483648.0) / w * 1000000000.0 + 0.5) / 1000000000.0 AS akey FROM h) "
+    + _fhu("ln((hv + 1) / 2147483648.0) / w", 9) + " AS akey FROM h) "
     "SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars FROM ("
     "SELECT *, row_number() OVER (PARTITION BY lang "
     "ORDER BY akey DESC, doc_id) AS rn FROM k) WHERE rn <= 50"
@@ -6649,13 +6661,19 @@ ORACLES["xcorpus_card"] = (
     "FROM documents) "
     "SELECT source, lang, count(*) AS n_docs, "
     "CAST(sum(tc) AS BIGINT) AS n_tokens, "
-    "floor(CAST(sum(tc) AS DOUBLE) / count(*) * 100 + 0.5) / 100 "
+    + _fhu("CAST(sum(tc) AS DOUBLE) / count(*)", 2) + " "
     "AS avg_tokens, "
-    "floor(CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS DOUBLE) "
-    "/ count(*) * 10000 + 0.5) / 10000 AS pct_short, "
+    + _fhu(
+        "CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*)",
+        4,
+    )
+    + " AS pct_short, "
     "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts, "
-    "floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)) "
-    "* 10000 + 0.5) / 10000 AS dup_rate "
+    + _fhu(
+        "(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*))", 4
+    )
+    + " AS dup_rate "
     "FROM c GROUP BY source, lang"
 )
 
@@ -6764,13 +6782,16 @@ ORACLES["xdsir_diag"] = (
     "wgt AS (SELECT lang, doc_id, dsir_score, rn, "
     "exp((dsir_score - mx) / 1000000000.0) AS w FROM m) "
     "SELECT lang, count(*) AS n_docs, "
-    "floor(CAST(sum(dsir_score) AS DOUBLE) / count(*) / 1000000000.0 "
-    "* 10000 + 0.5) / 10000 AS mean_lw, "
-    "floor(sum(w) * sum(w) / sum(w * w) * 100 + 0.5) / 100 AS ess, "
-    "floor(sum(w) * sum(w) / sum(w * w) / count(*) * 10000 + 0.5) "
-    "/ 10000 AS ess_ratio, "
-    "floor(sum(CASE WHEN rn <= 10 THEN w ELSE 0 END) / sum(w) "
-    "* 10000 + 0.5) / 10000 AS topk_share "
+    + _fhu(
+        "CAST(sum(dsir_score) AS DOUBLE) / count(*) / 1000000000.0", 4
+    )
+    + " AS mean_lw, "
+    + _fhu("sum(w) * sum(w) / sum(w * w)", 2) + " AS ess, "
+    + _fhu("sum(w) * sum(w) / sum(w * w) / count(*)", 4) + " AS ess_ratio, "
+    + _fhu(
+        "sum(CASE WHEN rn <= 10 THEN w ELSE 0 END) / sum(w)", 4
+    )
+    + " AS topk_share "
     "FROM wgt GROUP BY lang"
 )
 
@@ -6790,8 +6811,7 @@ ORACLES["xngram_novelty"] = (
     "CAST(COALESCE(c.n_ngrams, 0) AS BIGINT) AS n_ngrams, "
     "CAST(COALESCE(c.n_novel, 0) AS BIGINT) AS n_novel, "
     "CASE WHEN COALESCE(c.n_ngrams, 0) = 0 THEN CAST(1 AS DOUBLE) "
-    "ELSE floor(CAST(c.n_novel AS DOUBLE) / c.n_ngrams * 10000 + 0.5) "
-    "/ 10000 END AS novelty "
+    "ELSE " + _fhu("CAST(c.n_novel AS DOUBLE) / c.n_ngrams", 4) + " END AS novelty "
     "FROM bg b LEFT JOIN cnt c ON b.doc_id = c.doc_id WHERE b.doc_id >= 200"
 )
 
@@ -6800,7 +6820,7 @@ ORACLES["xcurriculum"] = (
     "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) "
     "AS tc, CAST(length(trim(text)) AS BIGINT) AS ln FROM documents), "
     "sc AS (SELECT doc_id, lang, tc, "
-    "floor(CAST(ln AS DOUBLE) / tc * 10000 + 0.5) / 10000 AS diff FROM d), "
+    + _fhu("CAST(ln AS DOUBLE) / tc", 4) + " AS diff FROM d), "
     "st AS (SELECT lang, tc, diff, ntile(4) OVER (PARTITION BY lang "
     "ORDER BY diff ASC, doc_id ASC) AS stage FROM sc) "
     "SELECT lang, CAST(stage AS INTEGER) AS stage, "
@@ -6832,8 +6852,7 @@ ORACLES["xpipeline_curriculum"] = (
     "least(1.0, 12000.0 * w / tok) * 10000, 6)) AS BIGINT) AS cut "
     "FROM s JOIN w USING (lang)), "
     "m AS (SELECT c.* FROM c JOIN cuts USING (lang) WHERE bkt < cut), "
-    "st AS (SELECT *, floor(CAST(ln AS DOUBLE) / cost * 10000 + 0.5) "
-    "/ 10000 AS diff FROM m), "
+    "st AS (SELECT *, " + _fhu("CAST(ln AS DOUBLE) / cost", 4) + " AS diff FROM m), "
     "st2 AS (SELECT *, ntile(4) OVER (PARTITION BY lang "
     "ORDER BY diff ASC, doc_id ASC) AS stage FROM st) "
     "SELECT lang, CAST(stage AS INTEGER) AS stage, "
@@ -6859,9 +6878,12 @@ def _pack_efficiency_oracle(budgets: list[int], shards: int = 4) -> str:
             "CAST(count(*) AS BIGINT) AS n_docs, "
             "CAST(count(DISTINCT (lang, shard, chunk)) AS BIGINT) "
             "AS n_chunks, CAST(sum(cost) AS BIGINT) AS total_cost, "
-            "floor(CAST(sum(cost) AS DOUBLE) / "
-            f"(count(DISTINCT (lang, shard, chunk)) * {b}) * 10000 + 0.5) "
-            "/ 10000 AS efficiency FROM ("
+            + _fhu(
+                "CAST(sum(cost) AS DOUBLE) / "
+                f"(count(DISTINCT (lang, shard, chunk)) * {b})",
+                4,
+            )
+            + " AS efficiency FROM ("
             "SELECT lang, shard, cost, CAST(FLOOR("
             "(SUM(cost) OVER (PARTITION BY lang, shard ORDER BY doc_id) "
             f"- cost) / {b}.0) AS BIGINT) AS chunk FROM c "
@@ -6928,8 +6950,10 @@ ORACLES["xlangid_eval"] = (
     "g AS (SELECT lang, pred_lang, count(*) AS n "
     "FROM p GROUP BY lang, pred_lang) "
     "SELECT lang, pred_lang, CAST(n AS BIGINT) AS n, "
-    "floor(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) "
-    "* 10000 + 0.5) / 10000 AS rate FROM g"
+    + _fhu(
+        "CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang)", 4
+    )
+    + " AS rate FROM g"
 )
 
 ORACLES["xdedup_report"] = _minhash_report_oracle()
@@ -6942,9 +6966,12 @@ ORACLES["xvocab_coverage"] = (
     "top AS (SELECT token, freq FROM c ORDER BY freq DESC, token LIMIT 50) "
     "SELECT token, CAST(freq AS BIGINT) AS freq, "
     "CAST(row_number() OVER (ORDER BY freq DESC, token) AS BIGINT) AS rank, "
-    "floor(sum(freq) OVER (ORDER BY freq DESC, token "
-    "ROWS UNBOUNDED PRECEDING) / total * 1000000 + 0.5) / 1000000 "
-    "AS cum_share FROM top, tot"
+    + _fhu(
+        "sum(freq) OVER (ORDER BY freq DESC, token "
+        "ROWS UNBOUNDED PRECEDING) / total",
+        6,
+    )
+    + " AS cum_share FROM top, tot"
 )
 
 
@@ -6972,10 +6999,12 @@ def _repetition_report_oracle(
     ]
     sel = [
         "lstat.doc_id",
-        "CASE WHEN nl > 0 THEN floor((nl - nd) / CAST(nl AS DOUBLE) "
-        "* 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_line_frac",
-        "CASE WHEN tot > 0 THEN floor((tot - dst) / CAST(tot AS DOUBLE) "
-        "* 1000000 + 0.5) / 1000000 ELSE 0.0 END AS dup_line_char_frac",
+        "CASE WHEN nl > 0 THEN "
+        + _fhu("(nl - nd) / CAST(nl AS DOUBLE)", 6)
+        + " ELSE 0.0 END AS dup_line_frac",
+        "CASE WHEN tot > 0 THEN "
+        + _fhu("(tot - dst) / CAST(tot AS DOUBLE)", 6)
+        + " ELSE 0.0 END AS dup_line_char_frac",
     ]
     joins = []
     for n in sorted({*top_ns, *dup_ns}):
@@ -7006,15 +7035,21 @@ def _repetition_report_oracle(
             joins.append(f"LEFT JOIN d{n} ON d{n}.doc_id = lstat.doc_id")
     for n in sorted(top_ns):
         sel.append(
-            f"floor(least(CAST(coalesce(t{n}.load, 0) AS DOUBLE) "
-            "/ greatest(tlen, 1), 1.0) * 1000000 + 0.5) / 1000000 "
-            f"AS top_{n}gram_char_frac"
+            _fhu(
+                f"least(CAST(coalesce(t{n}.load, 0) AS DOUBLE) "
+                "/ greatest(tlen, 1), 1.0)",
+                6,
+            )
+            + f" AS top_{n}gram_char_frac"
         )
     for n in sorted(dup_ns):
         sel.append(
-            f"floor(least(CAST(coalesce(d{n}.dupload, 0) AS DOUBLE) "
-            "/ greatest(tlen, 1), 1.0) * 1000000 + 0.5) / 1000000 "
-            f"AS dup_{n}gram_char_frac"
+            _fhu(
+                f"least(CAST(coalesce(d{n}.dupload, 0) AS DOUBLE) "
+                "/ greatest(tlen, 1), 1.0)",
+                6,
+            )
+            + f" AS dup_{n}gram_char_frac"
         )
     return (
         ", ".join(ctes)
@@ -7052,8 +7087,12 @@ ORACLES["xsource_tvd"] = (
     "CAST(sum(abs(ca * tb - cb * ta)) AS BIGINT) AS num FROM pertok "
     "GROUP BY src_a, src_b, ta, tb) "
     "SELECT src_a, src_b, ta AS n_tokens_a, tb AS n_tokens_b, "
-    "floor(CAST(num AS DOUBLE) / (2.0 * CAST(ta AS DOUBLE) "
-    "* CAST(tb AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS tvd FROM agg"
+    + _fhu(
+        "CAST(num AS DOUBLE) / (2.0 * CAST(ta AS DOUBLE) "
+        "* CAST(tb AS DOUBLE))",
+        6,
+    )
+    + " AS tvd FROM agg"
 )
 
 # norm = scale² · dim = 10000² · 64; centroid floor division spells out
@@ -7083,12 +7122,20 @@ ORACLES["xcentroid_shift"] = (
     "FROM c a JOIN c b ON a.j = b.j AND a.grp < b.grp "
     "GROUP BY a.grp, b.grp) "
     "SELECT d.grp_a, d.grp_b, sa.n AS n_a, sb.n AS n_b, "
-    "floor(CAST(d2 AS DOUBLE) / 6400000000.0 * 1000000 + 0.5) / 1000000 "
+    + _fhu("CAST(d2 AS DOUBLE) / 6400000000.0", 6) + " "
     "AS shift2_norm, "
-    "floor(CAST(sa.rnum AS DOUBLE) / (CAST(sa.n AS DOUBLE) "
-    "* 6400000000.0) * 1000000 + 0.5) / 1000000 AS radius2_a, "
-    "floor(CAST(sb.rnum AS DOUBLE) / (CAST(sb.n AS DOUBLE) "
-    "* 6400000000.0) * 1000000 + 0.5) / 1000000 AS radius2_b "
+    + _fhu(
+        "CAST(sa.rnum AS DOUBLE) / (CAST(sa.n AS DOUBLE) "
+        "* 6400000000.0)",
+        6,
+    )
+    + " AS radius2_a, "
+    + _fhu(
+        "CAST(sb.rnum AS DOUBLE) / (CAST(sb.n AS DOUBLE) "
+        "* 6400000000.0)",
+        6,
+    )
+    + " AS radius2_b "
     "FROM d JOIN st sa ON sa.grp = d.grp_a JOIN st sb ON sb.grp = d.grp_b"
 )
 
@@ -7388,7 +7435,7 @@ ORACLES["xlm_backoff"] = (
     "LEFT JOIN uni u3 ON u3.w1 = p.w3 "
     "CROSS JOIN nv), "
     "per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_trigrams, "
-    "floor(sum(ls) / count(*) * 1000000 + 0.5) / 1000000.0 "
+    + _fhu("sum(ls) / count(*)", 6) + " "
     "AS avg_logscore FROM sc GROUP BY doc_id) "
     "SELECT d.doc_id, coalesce(per.n_trigrams, 0) AS n_trigrams, "
     "per.avg_logscore FROM documents d LEFT JOIN per USING (doc_id)"
@@ -7422,8 +7469,10 @@ ORACLES["xdistinctive_tokens"] = (
     "((nd - n) + a0) - ((y_all - y_in) + pr) AS dj FROM g2), "
     "g4 AS (SELECT grp, token, y_in, "
     "CAST(y_all - y_in AS BIGINT) AS n_rest, "
-    "floor((ln(yi / di) - ln(yj / dj)) / sqrt(1.0 / yi + 1.0 / yj) "
-    "* 1000000 + 0.5) / 1000000.0 AS zeta FROM g3), "
+    + _fhu(
+        "(ln(yi / di) - ln(yj / dj)) / sqrt(1.0 / yi + 1.0 / yj)", 6
+    )
+    + " AS zeta FROM g3), "
     "r AS (SELECT *, row_number() OVER (PARTITION BY grp "
     "ORDER BY zeta DESC, token) AS rn FROM g4) "
     "SELECT grp, token, y_in AS n_in, n_rest, zeta FROM r WHERE rn <= 10"
@@ -7491,13 +7540,19 @@ ORACLES["xdomain_cap"] = (
     "FROM k) "
     "SELECT domain, count(*) AS n_docs, "
     "CAST(sum(tc) AS BIGINT) AS n_tokens, "
-    "floor(CAST(sum(tc) AS DOUBLE) / count(*) * 100 + 0.5) / 100 "
+    + _fhu("CAST(sum(tc) AS DOUBLE) / count(*)", 2) + " "
     "AS avg_tokens, "
-    "floor(CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS DOUBLE) "
-    "/ count(*) * 10000 + 0.5) / 10000 AS pct_short, "
+    + _fhu(
+        "CAST(sum(CASE WHEN tc < 20 THEN 1 ELSE 0 END) AS DOUBLE) "
+        "/ count(*)",
+        4,
+    )
+    + " AS pct_short, "
     "CAST(count(DISTINCT h) AS BIGINT) AS n_distinct_texts, "
-    "floor((1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*)) "
-    "* 10000 + 0.5) / 10000 AS dup_rate "
+    + _fhu(
+        "(1.0 - CAST(count(DISTINCT h) AS DOUBLE) / count(*))", 4
+    )
+    + " AS dup_rate "
     "FROM c GROUP BY domain"
 )
 
@@ -7652,11 +7707,9 @@ ORACLES["xkmv_overlap"] = (
     "FROM tk WHERE rn <= 128 GROUP BY 1, 2) "
     "SELECT grp_a, grp_b, n_a_in_union, n_both, "
     "CASE WHEN n_a_in_union > 0 THEN "
-    "floor(n_both / CAST(n_a_in_union AS DOUBLE) * 10000.0 + 0.5) "
-    "/ 10000.0 END AS containment_a_in_b, "
+    + _fhu("n_both / CAST(n_a_in_union AS DOUBLE)", 4) + " END AS containment_a_in_b, "
     "n_union_sketch, "
-    "floor(n_both / CAST(n_union_sketch AS DOUBLE) * 10000.0 + 0.5) "
-    "/ 10000.0 AS jaccard_est FROM agg"
+    + _fhu("n_both / CAST(n_union_sketch AS DOUBLE)", 4) + " AS jaccard_est FROM agg"
 )
 
 # The heavy-hitter oracle IS the direct rule — the CM-candidates +
@@ -7685,14 +7738,15 @@ ORACLES["xcorpus_card_maintained"] = (
     "est AS (SELECT grp, n_state, " + _kmv_est_case(100)
     + " AS e FROM st) "
     "SELECT s.grp, s.n_docs, s.n_tokens, "
-    "floor(s.n_tokens / CAST(s.n_docs AS DOUBLE) * 100.0 + 0.5) / 100.0 "
+    + _fhu("s.n_tokens / CAST(s.n_docs AS DOUBLE)", 2) + " "
     "AS avg_tokens, "
-    "floor(s.n_short / CAST(s.n_docs AS DOUBLE) * 10000.0 + 0.5) "
-    "/ 10000.0 AS pct_short, "
+    + _fhu("s.n_short / CAST(s.n_docs AS DOUBLE)", 4) + " AS pct_short, "
     "coalesce(e.e, 0.0) AS est_distinct_texts, "
     "CASE WHEN e.e IS NOT NULL THEN "
-    "floor(greatest(0.0, 1.0 - e.e / CAST(s.n_docs AS DOUBLE)) "
-    "* 10000.0 + 0.5) / 10000.0 END AS dup_rate_est, "
+    + _fhu(
+        "greatest(0.0, 1.0 - e.e / CAST(s.n_docs AS DOUBLE))", 4
+    )
+    + " END AS dup_rate_est, "
     "coalesce(e.n_state, 0) < 100 AS is_exact "
     "FROM scal s LEFT JOIN est e USING (grp)"
 )
@@ -7735,13 +7789,14 @@ ORACLES["xrater_kappa"] = (
     "CASE WHEN n_rows > 0 THEN pe_num / CAST(n_rows * n_rows AS DOUBLE) "
     "END AS pe FROM tot CROSS JOIN ch) "
     "SELECT n_rows, n_agree, "
-    "floor(po * CAST(1000000.0 AS DOUBLE) + 0.5) / 1000000.0 AS po, "
-    "floor(pe * CAST(1000000.0 AS DOUBLE) + 0.5) / 1000000.0 AS pe, "
-    "floor((CASE WHEN pe = 1.0 THEN "
-    "(CASE WHEN po = 1.0 THEN 1.0 ELSE 0.0 END) "
-    "ELSE (po - pe) / (1.0 - pe) END) "
-    "* CAST(1000000.0 AS DOUBLE) + 0.5) / 1000000.0 "
-    "AS kappa FROM r"
+    + _fhu("po", 6) + " AS po, "
+    + _fhu("pe", 6) + " AS pe, "
+    + _fhu(
+        "(CASE WHEN pe = 1.0 THEN (CASE WHEN po = 1.0 THEN 1.0 "
+        "ELSE 0.0 END) ELSE (po - pe) / (1.0 - pe) END)",
+        6,
+    )
+    + " AS kappa FROM r"
 )
 
 
@@ -7911,10 +7966,13 @@ ORACLES["xann_semdedup_topk"] = (
     "probe AS (SELECT cid FROM pe ORDER BY enc LIMIT 3), "
     "sc AS (SELECT s.vec_id, s.cluster, "
     "CASE WHEN s.n2 > 0 AND qv0.qn2 > 0 THEN "
-    "floor(CAST(list_sum(list_transform(range(0, 64), "
-    "j -> s.q2[j+1]*qv0.q2[j+1])) AS BIGINT) "
-    "/ sqrt(CAST(s.n2 AS DOUBLE) * CAST(qv0.qn2 AS DOUBLE)) "
-    "* 1000000.0 + 0.5) / 1000000.0 ELSE 0.0 END AS cosine "
+    + _fhu(
+        "CAST(list_sum(list_transform(range(0, 64), "
+        "j -> s.q2[j+1]*qv0.q2[j+1])) AS BIGINT) "
+        "/ sqrt(CAST(s.n2 AS DOUBLE) * CAST(qv0.qn2 AS DOUBLE))",
+        6,
+    )
+    + " ELSE 0.0 END AS cosine "
     "FROM surv s JOIN probe p ON p.cid = s.cluster CROSS JOIN qv0) "
     "SELECT vec_id, cluster, cosine FROM sc "
     "ORDER BY cosine DESC, vec_id LIMIT 10"

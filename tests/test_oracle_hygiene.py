@@ -32,7 +32,9 @@ from kamu_engine_datafusion_spark.queries import oracles
 #: - xquality_gate: count(*) * 0.25 — 0.25 is a power of two, exactly
 #:   representable in float64, so BIGINT*DECIMAL (exact) and
 #:   double(n)*0.25 (also exact for n < 2^52) agree everywhere.
-_FLOOR_LITERAL_WHITELIST = {"xoutliers", "xquality_gate"}
+# xoutliers left this list in r14: its 0.6745 MAD constant now rides
+# inside _fhu's DOUBLE-cast operand, so the literal gate passes it
+_FLOOR_LITERAL_WHITELIST = {"xquality_gate"}
 
 
 def _floor_exprs(sql: str):
@@ -141,11 +143,11 @@ def test_whitelist_entries_still_exhibit_the_pattern():
 # r14 (verdict item 5): the inline floor-half-up construction has now
 # produced oracle divergences three times (r8 xupsample_repeat, two r13
 # staged drafts, two r14 drafts — the last four caught pre-driver by
-# the tests above). New SQL must use queries.pipeline._fhu(), which is
-# correct by construction; this ratchet pins the legacy inline count
-# and fails on any NEW hand-written site. Lower the pin when legacy
-# sites are converted — never raise it.
-_INLINE_FLOOR_HALF_UP_PIN = 60
+# the tests above). ALL legacy sites were converted to
+# queries.pipeline._fhu() in r14 (every affected oracle re-verified
+# hash-green at sf0.001 + sf0.01); this ratchet holds the inline count
+# at ZERO — any new hand-written site fails here. Write _fhu(expr, dp).
+_INLINE_FLOOR_HALF_UP_PIN = 0
 
 
 def test_inline_floor_half_up_ratchet():
@@ -164,7 +166,10 @@ def test_inline_floor_half_up_ratchet():
     # split across adjacent string literals; quantization floors
     # (`+ 0.5) AS BIGINT`, no divide) are a different idiom and the
     # cast gate above polices their literals
-    n = len(re.findall(r'\+ 0\.5\) ["]?\s*["]?/ \d', src))
+    # divisor must terminate at a non-identifier boundary so the
+    # python-side math.floor replays (10_000) and the _fhu docstring
+    # (10^d) don't count — only SQL-text constructions do
+    n = len(re.findall(r'\+ 0\.5\) ["]?\s*["]?/ \d+(?:\.\d+)?(?![\w^.])', src))
     assert n <= _INLINE_FLOOR_HALF_UP_PIN, (
         f"{n} inline floor-half-up constructions in pipeline.py "
         f"(pin: {_INLINE_FLOOR_HALF_UP_PIN}) — write new rounding "
