@@ -368,3 +368,111 @@ def bm25_from_stats(
         )
         .withColumnRenamed("__id", id_col)
     )
+
+
+def postings_increment(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """One tick's INVERTED-INDEX postings: ``(term, doc_id, tf, dl)``
+    — one row per (term, doc) with the in-doc term frequency and the
+    doc's token length denormalized onto every row. On an append
+    ledger (a doc id never re-appears) postings are APPEND-ONLY state:
+    the cross-tick fold is pure accumulation
+    (``streaming.maintained_postings`` — the
+    ``maintained_minhash_index`` protocol applied to retrieval), and
+    with ``term`` as the state bucket key a query's read is
+    partition-pruned to its own terms' buckets — the serving-side
+    inverted index a 100 TB corpus exposes without ever re-tokenizing
+    history. ``df`` per term is exactly the postings-row count, so
+    :func:`bm25_topk_from_postings` needs no separate df state.
+
+    Scale: one exploded-token aggregate per tick (map-side partials
+    cap the exchange at |tick vocab × docs-touched| rows); the
+    postings shuffle key (term, doc) is the uniform Zipf-hashed pair,
+    never a global sort."""
+    tok = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(tokens(text_col)).alias("__len"),
+        F.explode(tokens(text_col)).alias("term"),
+    )
+    return tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tf"),
+        F.first("__len").cast("long").alias("dl"),
+    )
+
+
+def bm25_topk_from_postings(
+    postings: DataFrame,
+    stats: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    dp: int = 6,
+) -> DataFrame:
+    """BM25 TOP-K served from the inverted index ALONE — the query
+    path that never touches a document: ``postings`` is the (pruned)
+    :func:`postings_increment` state, ``stats`` supplies the corpus
+    scalars row (``streaming.maintained_term_stats`` state or one
+    :func:`term_stats_increment`); per-term df is the postings-row
+    count, idf/avgdl are corpus-consistent, and the score is the
+    exact :func:`bm25_scores` sum (pytest-pinned equal over the same
+    corpus). Returns ``(rank, doc_id, n_terms_matched, score)`` with
+    ``score`` half-up ``dp`` and rank ordered (score DESC, id) — the
+    deterministic, oracle-replayable serving cut.
+
+    Scale: with postings state bucketed by term, the read is
+    nprobe-style — only the query terms' buckets are opened (≤ the
+    postings of |terms| vocabulary entries, Zipf-bounded); everything
+    after runs on that sliver. The corpus itself is NEVER read — the
+    difference from :func:`bm25_from_stats`, which still tokenizes
+    the frame it scores."""
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    p = postings.filter(F.col("term").isin(terms))
+    dfreq = p.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("__df")
+    )
+    scalars = stats.filter(F.col("term") == CORPUS_STATS_KEY).select(
+        F.col("n_docs").alias("__N"),
+        F.when(
+            F.col("n_len") > 0,
+            F.col("tot_len").cast("double") / F.col("n_len"),
+        ).alias("__avgdl"),
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__N") - F.col("__df") + F.lit(0.5))
+        / (F.col("__df") + F.lit(0.5))
+    )
+    contrib = idf * (
+        F.col("tf")
+        * F.lit(k1 + 1.0)
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("__avgdl"))
+        )
+    )
+    scored = (
+        p.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(scalars))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_matched"),
+            half_up(F.sum(contrib), dp).alias("score"),
+        )
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    top = (
+        scored.orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+    )
+    return top.select(
+        "rank", F.col("doc_id").alias(id_col), "n_terms_matched", "score"
+    )

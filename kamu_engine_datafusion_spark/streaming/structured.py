@@ -534,6 +534,7 @@ def _fold_buckets_append(
     n_buckets: int,
     new_rows_fn,
     read_state: bool = True,
+    sort_cols: list[str] | None = None,
 ) -> None:
     """APPEND-ONLY bucketed fold for purely-additive state (rows, once
     stored, never change — the pHash dedup index: survivors stay
@@ -579,10 +580,19 @@ def _fold_buckets_append(
     new_rows = new_rows_fn(state_subset, batch_df)
     stage = _stage_dir(state_dir)
     shutil.rmtree(stage, ignore_errors=True)  # stale uncommitted staging
+    staged_rows = new_rows.withColumn(
+        _BUCKET_COL, _bucket_of(key_cols, n_buckets)
+    ).repartition(len(touched), _BUCKET_COL)
+    if sort_cols:
+        # sort within each bucket file so parquet row-group min/max
+        # stats prune READS below the bucket level (the zone-map
+        # lesson applied to maintained state: a query for a few keys
+        # of a bucket skips the row groups holding everyone else's)
+        staged_rows = staged_rows.sortWithinPartitions(
+            _BUCKET_COL, *sort_cols
+        )
     (
-        new_rows.withColumn(_BUCKET_COL, _bucket_of(key_cols, n_buckets))
-        .repartition(len(touched), _BUCKET_COL)
-        .write.partitionBy(_BUCKET_COL)
+        staged_rows.write.partitionBy(_BUCKET_COL)
         .mode("overwrite")
         .parquet(stage)
     )
@@ -715,6 +725,7 @@ def compact_state(
     spark: SparkSession,
     state_dir: str,
     max_files_per_bucket: int = 1,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Rewrite a bucketed maintained-state root's accumulated per-tick
     files into ``max_files_per_bucket`` (default one) per bucket —
@@ -783,14 +794,22 @@ def compact_state(
         }
     stage = _stage_dir(state_dir)
     shutil.rmtree(stage, ignore_errors=True)  # stale uncommitted staging
-    (
+    rows = (
         spark.read.parquet(state_dir)
         .filter(F.col(_BUCKET_COL).isin([int(b) for b in todo]))
         # partitionBy writes one file per bucket per task partition;
         # hashing on the bucket col puts each bucket's rows in exactly
         # one partition -> exactly one file per compacted bucket dir
         .repartition(len(todo), _BUCKET_COL)
-        .write.partitionBy(_BUCKET_COL)
+    )
+    if sort_cols:
+        # compaction is WHERE layout pays: per-tick files are small,
+        # the compacted file is the big one — sorting it by the probe
+        # key makes parquet row-group stats prune sub-bucket reads
+        # (pass the fold's sort_cols, e.g. ["term"] for postings)
+        rows = rows.sortWithinPartitions(_BUCKET_COL, *sort_cols)
+    (
+        rows.write.partitionBy(_BUCKET_COL)
         .mode("overwrite")
         .parquet(stage)
     )
@@ -1211,6 +1230,116 @@ def maintained_lm_counts(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def maintained_postings(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 16,
+):
+    """Continuously-maintained INVERTED INDEX over an append corpus
+    stream (``operators/retrieval.py::postings_increment``): on an
+    append ledger a doc id never re-appears, so postings rows are
+    APPEND-ONLY state — the ``maintained_minhash_index`` protocol
+    applied to retrieval: per-tick cost O(increment), existing
+    postings never rewritten, exactly-once via the append-intent
+    crash protocol. State is bucketed by TERM, so a query's read
+    (:func:`read_maintained_bm25_topk`) opens only its own terms'
+    buckets — the nprobe dial for text retrieval — and each staged
+    file is SORTED by term, so parquet row-group min/max stats prune
+    reads below the bucket level (measured: the sorted layout flips
+    the 2M-doc selective query from losing to the corpus rescan to
+    beating it). Pair with :func:`maintained_term_stats` (the
+    corpus-scalars row feeds idf/avgdl). Run
+    ``compact_state(spark, dir, sort_cols=["term"])`` between ticks
+    at whatever cadence bounds the per-bucket file count — sorted
+    compaction is where the layout pays most (the big file gets the
+    prunable row groups). Retractions unsupported; feed the append
+    stream."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        postings_increment,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets_append(
+            postings_increment(batch_df, text_col, id_col),
+            batch_id,
+            state_dir,
+            ["term"],
+            state_buckets,
+            lambda state_subset, inc: inc,
+            read_state=False,
+            sort_cols=["term"],
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_maintained_bm25_topk(
+    spark: SparkSession,
+    postings_dir: str,
+    stats_dir: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    dp: int = 6,
+    state_buckets: int = 16,
+) -> DataFrame:
+    """BM25 top-k served from :func:`maintained_postings` +
+    :func:`maintained_term_stats` state — the retrieval read that
+    NEVER touches a document: the postings read is partition-pruned to
+    the query terms' buckets (term is the bucket key, so the probe
+    list is computed driver-side exactly like
+    ``read_maintained_ann_topk``'s cluster probe), df per term is the
+    pruned postings-row count, and idf/avgdl come from the stats
+    state's corpus-scalars row. Result ≡
+    ``operators.retrieval.bm25_topk_from_postings`` over the full
+    batch postings (pytest-pinned), which in turn scores ≡
+    ``bm25_scores`` over the corpus. ``state_buckets`` must match the
+    fold's (the ``read_maintained_heavy_hitters`` contract)."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_topk_from_postings,
+    )
+
+    terms = sorted(set(t.lower() for t in query_terms))
+    buckets = sorted(
+        {
+            int(r[0])
+            for r in spark.createDataFrame(
+                [(t,) for t in terms], "term string"
+            )
+            .select(_bucket_of(["term"], state_buckets))
+            .collect()
+        }
+    )
+    postings = (
+        spark.read.parquet(postings_dir)
+        .filter(F.col(_BUCKET_COL).isin(buckets))  # partition pruning
+        .drop(_BUCKET_COL)
+    )
+    stats = read_maintained_state(spark, stats_dir)
+    return bm25_topk_from_postings(
+        postings, stats, terms, k, k1, b, id_col, dp
     )
 
 

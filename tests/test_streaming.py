@@ -2233,3 +2233,116 @@ def test_bloom_flag_with_bitmap_from_maintained_state(spark, tmp_path):
     )
     assert got == fresh == direct
     assert {r[0] for r in got if r[2]} == {0, 2}
+
+
+def test_maintained_postings_bm25_topk(spark, tmp_path):
+    """r14 staged: the maintained inverted index — 3-tick append fold
+    of postings rows equals batch postings_increment of the whole
+    ledger; the partition-pruned BM25 top-k read equals the batch
+    from-postings ranking, which equals a python half-up replay of
+    bm25_scores; and compact_state on the postings root is
+    content-neutral."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_scores,
+        bm25_topk_from_postings,
+        postings_increment,
+        term_stats_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        compact_state,
+        maintained_postings,
+        maintained_term_stats,
+        read_maintained_bm25_topk,
+        read_maintained_state,
+    )
+
+    docs = [
+        (0, "vector hash stream merge vector"),
+        (1, "hash hash hash join probe"),
+        (2, "stream stream merge window state"),
+        (3, "completely unrelated words here"),
+        (4, "vector merge"),
+        (5, "the quick brown fox"),
+        (6, "vector vector vector stream"),
+        (7, "merge sort hash partition"),
+    ]
+    schema = "doc_id long, text string"
+    ticks = [docs[0:3], docs[3:6], docs[6:8]]
+    pledger = os.path.join(str(tmp_path), "poledger")
+    pstate = os.path.join(str(tmp_path), "postate")
+    pck = os.path.join(str(tmp_path), "pock")
+    sstate = os.path.join(str(tmp_path), "ststate")
+    sck = os.path.join(str(tmp_path), "stck")
+    os.makedirs(pledger)
+
+    for t in ticks:
+        spark.createDataFrame(t, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(pledger)
+        maintained_postings(
+            pledger, pstate, pck,
+            schema=spark.read.parquet(pledger).schema, spark=spark,
+        ).awaitTermination()
+        maintained_term_stats(
+            pledger, sstate, sck,
+            schema=spark.read.parquet(pledger).schema, spark=spark,
+        ).awaitTermination()
+
+    full = spark.createDataFrame(docs, schema)
+    want_postings = sorted(
+        tuple(r) for r in postings_increment(full).collect()
+    )
+    got_postings = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, pstate)
+        .select("term", "doc_id", "tf", "dl")
+        .collect()
+    )
+    assert got_postings == want_postings
+
+    terms = ["vector", "merge", "hash", "stream"]
+    got = [
+        tuple(r)
+        for r in read_maintained_bm25_topk(
+            spark, pstate, sstate, terms, k=5
+        ).collect()
+    ]
+    batch = [
+        tuple(r)
+        for r in bm25_topk_from_postings(
+            postings_increment(full), term_stats_increment(full), terms,
+            k=5,
+        ).collect()
+    ]
+    assert got == batch
+
+    # python replay of bm25_scores: half-up 6dp + (score desc, id) cut
+    ref = {
+        r["doc_id"]: (r["n_terms_matched"], r["score"])
+        for r in bm25_scores(full, terms).collect()
+    }
+    replay = sorted(
+        (
+            -(math.floor(s * 1e6 + 0.5) / 1e6),
+            d,
+            n,
+        )
+        for d, (n, s) in ref.items()
+    )[:5]
+    want = [
+        (i + 1, d, n, -negs) for i, (negs, d, n) in enumerate(replay)
+    ]
+    assert got == want
+
+    # compaction (term-sorted) is content-neutral on the postings root
+    stats = compact_state(spark, pstate, sort_cols=["term"])
+    assert stats["files_after"] <= stats["files_before"]
+    after = [
+        tuple(r)
+        for r in read_maintained_bm25_topk(
+            spark, pstate, sstate, terms, k=5
+        ).collect()
+    ]
+    assert after == got
