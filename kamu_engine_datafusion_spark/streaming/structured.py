@@ -1233,6 +1233,144 @@ def maintained_lm_counts(
     )
 
 
+#: Sibling root of a maintained-sessions state dir holding the
+#: append-only closed-sessions log.
+_CLOSED_SUFFIX = ".closed"
+
+
+def maintained_sessions(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    gap_sec: int = 1800,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained gap-based SESSIONIZATION over an append
+    event stream (``operators/sessions.py::session_fold_increment``) —
+    the stateful event-time operator of the maintained layer: per-user
+    open sessions are rewrite-fold state (one row per active user,
+    user-bucketed), closed sessions append to the ``state_dir +
+    ".closed"`` log exactly once, and ``closed ∪ open``
+    (:func:`read_maintained_sessions`) equals the batch lag+cumsum
+    sessionizer over the whole ledger row-for-row (pytest-pinned) —
+    at 100 TB the ledger is never re-windowed; a tick pays one
+    (user)-keyed window over ``touched state ∪ tick``.
+
+    PRECONDITION: ticks arrive in per-user event-time order (the
+    append-ledger contract); the fold raises loudly otherwise.
+
+    Crash protocol (the ``maintained_minhash_index`` two-root
+    sequencing): the closed log appends FIRST under its own marker,
+    the open-state rewrite lands SECOND under the authoritative
+    marker. A crash between the two replays the tick: the closed
+    append self-skips on its marker, and the state rewrite recomputes
+    from the UNCHANGED old state + the same batch — deterministic,
+    so the closed rows it would have emitted are exactly the ones
+    already in the log."""
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        session_fold_increment,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    closed_dir = state_dir + _CLOSED_SUFFIX
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        sess = batch_df.sparkSession
+        _apply_append_intent(closed_dir)
+        _apply_intent(state_dir)
+        if _last_folded_batch(state_dir) >= batch_id:
+            return
+        touched = [
+            int(r[0])
+            for r in batch_df.select(
+                _bucket_of([user_col], state_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        state_subset = None
+        if any(
+            os.path.isdir(os.path.join(state_dir, f"{_BUCKET_COL}={b}"))
+            for b in touched
+        ):
+            state_subset = (
+                sess.read.parquet(state_dir)
+                .filter(F.col(_BUCKET_COL).isin(touched))
+                .drop(_BUCKET_COL)
+            )
+        closed, _ = session_fold_increment(
+            state_subset, batch_df, gap_sec, user_col, ts_col, id_col
+        )
+        closed = closed.localCheckpoint(eager=True)
+        # closed log FIRST (own marker; replay self-skips)
+        _fold_buckets_append(
+            closed,
+            batch_id,
+            closed_dir,
+            ["user_id"],
+            state_buckets,
+            lambda s, d: d,
+            read_state=False,
+        )
+        # open-state rewrite SECOND (authoritative marker); merge_fn
+        # recomputes deterministically from the same old state + batch
+        _fold_buckets(
+            batch_df,
+            batch_id,
+            state_dir,
+            [user_col],
+            state_buckets,
+            lambda ss, b: session_fold_increment(
+                ss, b, gap_sec, user_col, ts_col, id_col
+            )[1],
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_maintained_sessions(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The live sessions view of :func:`maintained_sessions`:
+    closed-log ∪ open-state in the batch sessionizer's frame
+    (``operators/sessions.py::sessions_read``)."""
+    import os
+
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        sessions_read,
+    )
+
+    closed_dir = state_dir + _CLOSED_SUFFIX
+    closed = None
+    if os.path.isdir(closed_dir) and any(
+        d.startswith(f"{_BUCKET_COL}=") for d in os.listdir(closed_dir)
+    ):
+        closed = read_maintained_state(spark, closed_dir)
+    state = None
+    if os.path.isdir(state_dir) and any(
+        d.startswith(f"{_BUCKET_COL}=") for d in os.listdir(state_dir)
+    ):
+        state = read_maintained_state(spark, state_dir)
+    return sessions_read(closed, state)
+
+
 def maintained_postings(
     ledger_dir: str,
     state_dir: str,

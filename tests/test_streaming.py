@@ -2346,3 +2346,112 @@ def test_maintained_postings_bm25_topk(spark, tmp_path):
         ).collect()
     ]
     assert after == got
+
+
+def test_maintained_sessions_equals_batch(spark, tmp_path):
+    """r14 staged: gap-based sessionization folded tick by tick (open
+    state + append-only closed log) must equal the batch lag+cumsum
+    sessionizer over the whole ledger row-for-row — including a user
+    idle across a whole tick (state passes through untouched), a
+    session spanning a tick boundary, multiple sessions inside one
+    tick, and a replayed no-new-data run. Out-of-order ticks fail
+    loudly (the append-ledger contract)."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        session_fold_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_sessions,
+        read_maintained_sessions,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60,
+                        tzinfo=timezone.utc)
+
+    gap = 1800  # 30 min
+    # user 1: session A spans ticks 0-1; long gap; session B in tick 2
+    # user 2: two sessions inside tick 0; idle through tick 1; extends
+    #         the open one in tick 2 (gap < 30m from its last event)
+    # user 3: appears first in tick 2
+    ticks = [
+        [(1, t(0), 100), (1, t(10), 101), (2, t(0), 102),
+         (2, t(5), 103), (2, t(120), 104)],
+        [(1, t(25), 105), (1, t(40), 106)],
+        [(1, t(200), 107), (2, t(140), 108), (3, t(0), 109)],
+    ]
+    schema = "user_id long, ts timestamp, event_id long"
+    ledger = os.path.join(str(tmp_path), "ssledger")
+    state = os.path.join(str(tmp_path), "ssstate")
+    ck = os.path.join(str(tmp_path), "ssck")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_sessions(
+            ledger, state, ck, gap_sec=gap,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    def batch_sessions():
+        from pyspark.sql import Window
+
+        ev = spark.read.parquet(ledger)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        flagged = ev.select(
+            "user_id", "ts", "event_id",
+            F.when(
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w) > gap,
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("ns"),
+        )
+        sess = flagged.withColumn(
+            "session_id",
+            F.sum("ns").over(
+                w.rowsBetween(Window.unboundedPreceding, 0)
+            ).cast("long"),
+        )
+        return sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.floor(
+                (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+                / 1000
+            ).cast("long").alias("duration_sec"),
+        )
+
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_sessions(spark, state).collect()
+    )
+    want = sorted(tuple(r) for r in batch_sessions().collect())
+    assert got == want
+    # shape sanity: user 1 chains min 0-40 into one session then
+    # breaks at 200 (2 sessions); user 2 has 2; user 3 has 1
+    import collections
+
+    per_user = collections.Counter(u for (u, *_id) in got)
+    assert per_user == {1: 2, 2: 2, 3: 1}
+
+    # replay with no new data: nothing changes
+    run()
+    again = sorted(
+        tuple(r)
+        for r in read_maintained_sessions(spark, state).collect()
+    )
+    assert again == got
+
+    # out-of-order tick: an event BEFORE user 1's open last_ms raises
+    bad = spark.createDataFrame([(1, t(100), 999)], schema)
+    st = spark.read.parquet(state).drop("__bucket")
+    with _pytest.raises(ValueError, match="event-time order"):
+        c, n = session_fold_increment(st, bad, gap)
+        c.collect()
