@@ -946,3 +946,101 @@ def test_stratified_exact_matches_python_reference(spark, langs, frac):
         ).collect()
     }
     assert got == expected
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),  # user
+            st.integers(min_value=0, max_value=500_000),  # ts ms offset
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=59), min_size=0, max_size=3
+    ),
+    gap=st.integers(min_value=1, max_value=120),
+)
+def test_session_fold_tick_boundary_invariance(spark, events, cuts, gap):
+    """r14 sessions family: for ANY event stream and ANY event-time-
+    ordered split into ticks, the fold (closed ∪ open) equals the
+    batch lag+cumsum sessionizer — tick boundaries must be invisible,
+    including boundaries INSIDE a session and ticks that skip users.
+    Sub-second resolution is exercised (ms offsets with a seconds-
+    truncated break rule — the divergence the 6M-event stress caught)."""
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        session_fold_increment,
+        sessions_read,
+    )
+
+    base = 1_700_000_000_000
+    rows = [
+        (u, base + ms, i) for i, (u, ms) in enumerate(events)
+    ]
+    # event-time-ordered ticks: sort globally by (ts, id), cut at
+    # arbitrary positions
+    ordered = sorted(rows, key=lambda r: (r[1], r[2]))
+    bounds = sorted({min(c, len(ordered)) for c in cuts})
+    ticks, prev = [], 0
+    for b in bounds + [len(ordered)]:
+        if b > prev:
+            ticks.append(ordered[prev:b])
+            prev = b
+    schema = "user_id long, ms long, event_id long"
+
+    def frame(part):
+        return spark.createDataFrame(part, schema).select(
+            "user_id",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "event_id",
+        )
+
+    state, closed_all = None, None
+    for tk in ticks:
+        closed, state = session_fold_increment(
+            state, frame(tk), gap_sec=gap
+        )
+        state = state.localCheckpoint(eager=True)
+        closed = closed.localCheckpoint(eager=True)
+        closed_all = (
+            closed
+            if closed_all is None
+            else closed_all.unionByName(closed)
+        )
+    got = sorted(
+        tuple(r) for r in sessions_read(closed_all, state).collect()
+    )
+
+    ev = frame(rows)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w) > gap,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("ns"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+                / F.lit(1000)
+            ).cast("long").alias("duration_sec"),
+        )
+        .collect()
+    )
+    assert got == want
