@@ -233,3 +233,88 @@ def debounce_events(
         .filter(F.col("__gap_ok"))
         .drop("__gap_ok")
     )
+
+
+def activity_increment(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+) -> DataFrame:
+    """One tick's per-user ACTIVITY SUMMARY — the increment function of
+    the maintained retention monitor (``streaming.
+    maintained_activity``): ``(user_id, cohort_ms, wks)`` with
+    ``cohort_ms`` the epoch-ms of the user's earliest ``bucket``
+    truncation in the tick and ``wks`` the sorted distinct bucket
+    epochs. Both fold laws are order- AND replay-insensitive (min and
+    set-union are idempotent semilattice merges — stronger than the
+    additive folds: even a double-applied tick cannot corrupt this
+    state), so ticks may arrive in any order and the folded state
+    equals the batch summary of the whole ledger. Bounded at
+    users × (span/bucket) entries.
+
+    Scale: one user-keyed aggregate with map-side MIN/collect_set
+    partials; rows with NULL user or NULL ts are dropped (defined
+    behavior, matching :func:`retention_cohorts`'s groupBy/min)."""
+    tb = F.unix_millis(F.date_trunc(bucket, F.col(ts_col)))
+    return (
+        events.filter(
+            F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()
+        )
+        .groupBy(F.col(user_col).alias("user_id"))
+        .agg(
+            F.min(tb).cast("long").alias("cohort_ms"),
+            F.array_sort(F.collect_set(tb)).alias("wks"),
+        )
+    )
+
+
+def activity_merge(state: DataFrame, inc: DataFrame) -> DataFrame:
+    """Semilattice merge of two activity frames of the same users:
+    cohort = min, active buckets = set union (sorted). The exact
+    cross-tick fold of ``maintained_activity`` — exposed module-level
+    so driver keys replay the stream's code."""
+    u = inc.unionByName(state.select("user_id", "cohort_ms", "wks"))
+    return u.groupBy("user_id").agg(
+        F.min("cohort_ms").cast("long").alias("cohort_ms"),
+        F.array_sort(
+            F.array_distinct(
+                F.flatten(F.collect_list("wks"))
+            )
+        ).alias("wks"),
+    )
+
+
+def retention_from_activity(
+    state: DataFrame, bucket: str = "week"
+) -> DataFrame:
+    """The cohort-retention matrix read from maintained activity state
+    ALONE — identical output to :func:`retention_cohorts` over the
+    ledger the state summarizes (same date_trunc cohorts, same
+    datediff/period arithmetic; pytest-pinned row-for-row): explode
+    the per-user bucket sets, bucket by (cohort, period), count. At
+    100 TB the batch operator re-dedups the whole event ledger per
+    report; this reads users × (span/bucket) metadata rows."""
+    days = {"day": 1, "week": 7}[bucket]
+    return (
+        state.select(
+            F.timestamp_millis(F.col("cohort_ms")).alias("__cohort"),
+            F.explode("wks").alias("__wk_ms"),
+        )
+        .select(
+            "__cohort",
+            (
+                F.datediff(
+                    F.timestamp_millis(F.col("__wk_ms")), F.col("__cohort")
+                )
+                / days
+            )
+            .cast("long")
+            .alias("period"),
+        )
+        .groupBy("__cohort", "period")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            F.col("__cohort").alias("cohort_start"), "period", "n_users"
+        )
+    )

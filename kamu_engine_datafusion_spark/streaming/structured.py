@@ -1233,6 +1233,81 @@ def maintained_lm_counts(
     )
 
 
+def maintained_activity(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "week",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained per-user ACTIVITY state over an append
+    event stream (``operators/funnel.py::activity_increment`` /
+    ``activity_merge``): cohort = min first-bucket, active buckets =
+    set union — both IDEMPOTENT semilattice merges, so ticks may
+    arrive in any order and even a replayed tick cannot corrupt state
+    (the strongest replay class in the maintained layer; the marker
+    skip is an optimization here, not a correctness requirement).
+    The live retention matrix (``retention_from_activity`` over
+    :func:`read_maintained_state`) equals batch
+    ``retention_cohorts`` over the whole ledger row-for-row
+    (pytest-pinned) while reading users × (span/bucket) metadata
+    rows. State ≤ one row per user. Retractions unsupported."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        activity_increment,
+        activity_merge,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc):
+        if state_subset is None:
+            return inc
+        return activity_merge(state_subset, inc)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # the user key exists only after the activity aggregate —
+        # reduce the increment FIRST (the maintained_countmin pattern)
+        _fold_buckets(
+            activity_increment(batch_df, user_col, ts_col, bucket),
+            batch_id,
+            state_dir,
+            ["user_id"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_maintained_retention(
+    spark: SparkSession, state_dir: str, bucket: str = "week"
+) -> DataFrame:
+    """The live cohort-retention matrix of
+    :func:`maintained_activity` state
+    (``operators/funnel.py::retention_from_activity``)."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        retention_from_activity,
+    )
+
+    return retention_from_activity(
+        read_maintained_state(spark, state_dir), bucket
+    )
+
+
 #: Sibling root of a maintained-sessions state dir holding the
 #: append-only closed-sessions log.
 _CLOSED_SUFFIX = ".closed"

@@ -2455,3 +2455,84 @@ def test_maintained_sessions_equals_batch(spark, tmp_path):
     with _pytest.raises(ValueError, match="event-time order"):
         c, n = session_fold_increment(st, bad, gap)
         c.collect()
+
+
+def test_maintained_activity_retention_equals_batch(spark, tmp_path):
+    """r14 staged: per-user activity state (min cohort + bucket-set
+    union — idempotent semilattice merges) folded across 3 ticks must
+    yield a retention matrix identical to batch retention_cohorts over
+    the whole ledger — including OUT-OF-ORDER ticks (a user's earliest
+    week arriving last must retroactively move their cohort) and a
+    double-applied increment (idempotence: merging a tick twice
+    changes nothing)."""
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        activity_increment,
+        activity_merge,
+        retention_cohorts,
+        retention_from_activity,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_activity,
+        read_maintained_retention,
+    )
+
+    def d(day):
+        return datetime(2024, 1, day, 12, 0, tzinfo=timezone.utc)
+
+    schema = "user_id long, ts timestamp, event_id long"
+    # weeks of Jan 2024: 1st(Mon) / 8th / 15th / 22nd
+    ticks = [
+        [(1, d(8), 0), (1, d(9), 1), (2, d(8), 2)],     # wk2 activity
+        [(1, d(15), 3), (2, d(22), 4), (3, d(15), 5)],  # later weeks
+        [(1, d(1), 6), (2, d(16), 7)],  # OUT-OF-ORDER: user 1's TRUE
+                                        # first week (wk1) arrives last
+    ]
+    ledger = os.path.join(str(tmp_path), "raledger")
+    state = os.path.join(str(tmp_path), "rastate")
+    ck = os.path.join(str(tmp_path), "rack")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_activity(
+            ledger, state, ck,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    full = spark.createDataFrame(
+        [r for tk in ticks for r in tk], schema
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_retention(spark, state).collect()
+    )
+    want = sorted(
+        tuple(r) for r in retention_cohorts(full).collect()
+    )
+    assert got == want
+    # user 1's cohort must be week 1 despite it arriving in tick 3
+    # (collected timestamps come back session-local naive)
+    wk1 = datetime(2024, 1, 1)
+    per0 = {
+        (r["cohort_start"], r["period"]): r["n_users"] for r in
+        read_maintained_retention(spark, state).collect()
+    }
+    assert per0[(wk1, 0)] == 1 and per0[(wk1, 2)] == 1
+
+    # idempotence: merging an already-folded tick AGAIN changes nothing
+    inc = activity_increment(spark.createDataFrame(ticks[1], schema))
+    st = spark.read.parquet(state).drop("__bucket")
+    again = sorted(
+        tuple(r)
+        for r in retention_from_activity(
+            activity_merge(st, inc)
+        ).collect()
+    )
+    assert again == got
