@@ -40,17 +40,24 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
 # r15 ROTATION PLAN (build _PRIORITY_R15 with CORRECTNESS_r14 in
-# hand): (1) any key this window turns red, (2) the r14-staged
-# families as new keys with their COVERAGE-recorded oracle designs,
-# (3) then the oldest-green cohort below this window's cut — the
-# remaining 25 r10-stale keys (xpack_efficiency, xpack_ffd,
-# xpack_ffd_stats, xpack_layout, xpack_sequences, xquantile_bins,
-# xretention, xrolling_time, xrollup_gapfill, xshuffle,
-# xsim_quantize, xsim_quantized_topk, xsketch_hll, xsketch_quantile,
-# xskipgram, xstandardize, xtext_clean, xtfidf, xtransitions,
-# xunpivot, xvocab, xwinsorize, xkey_skew, xmerge_intervals,
-# xmm_phash, xoutliers — whichever were not absorbed below), then
-# the oldest r11 keys.
+# hand): (1) any key this window turns red, (2) the SIX r14-staged
+# families as new keys with their COVERAGE-recorded oracle designs —
+# maintained quality-rate monitor (quality_rule_counts fold + rates
+# read), maintained term-count vocabulary/OOV (vocabulary_from_counts
+# + oov_rate from state), maintained-Bloom decontamination read
+# (bloom_flag_with_bitmap), maintained inverted index + BM25 top-k
+# serving (postings fold + bm25_topk_from_postings), maintained
+# sessionization (session_fold_increment, closed ∪ open vs the
+# xsessionize SQL), maintained cohort retention
+# (activity_increment/merge vs the xretention SQL) — (3) then the
+# oldest-green cohort below this window's cut — the remaining 25
+# r10-stale keys (xpack_efficiency, xpack_ffd, xpack_ffd_stats,
+# xpack_layout, xpack_sequences, xquantile_bins, xretention,
+# xrolling_time, xrollup_gapfill, xshuffle, xsim_quantize,
+# xsim_quantized_topk, xsketch_hll, xsketch_quantile, xskipgram,
+# xstandardize, xtext_clean, xtfidf, xtransitions, xunpivot, xvocab,
+# xwinsorize, xkey_skew, xmerge_intervals, xoutliers), then the
+# oldest r11 keys.
 _PRIORITY_R14 = [
     # ==== round-14 verification window (first 50 keys) ====
     # -- the r09-stale cohort (oldest greens on disk; retires r09) --
