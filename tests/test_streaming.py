@@ -2536,3 +2536,105 @@ def test_maintained_activity_retention_equals_batch(spark, tmp_path):
         ).collect()
     )
     assert again == got
+
+
+def test_maintained_sessions_heals_crash_between_roots(spark, tmp_path):
+    """The sessions fold's two-root sequencing under a crash BETWEEN
+    the closed-log append and the open-state rewrite: simulate the
+    half-applied tick by hand (closed append lands under its marker,
+    state rewrite never runs), then deliver the same batch through the
+    streaming wrapper — the closed append must self-skip on its marker
+    (no double rows) and the state rewrite must recompute from the
+    UNCHANGED old state, leaving closed ∪ open equal to the batch
+    sessionizer."""
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        session_fold_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _CLOSED_SUFFIX,
+        _fold_buckets_append,
+        maintained_sessions,
+        read_maintained_sessions,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60,
+                        tzinfo=timezone.utc)
+
+    schema = "user_id long, ts timestamp, event_id long"
+    ticks = [
+        [(1, t(0), 0), (2, t(0), 1)],
+        [(1, t(10), 2), (2, t(120), 3)],   # user 2's session closes
+        [(1, t(300), 4), (2, t(130), 5)],  # user 1's closes
+    ]
+    ledger = os.path.join(str(tmp_path), "scledger")
+    state = os.path.join(str(tmp_path), "scstate")
+    ck = os.path.join(str(tmp_path), "scck")
+    closed_dir = state + _CLOSED_SUFFIX
+    os.makedirs(ledger)
+
+    def run():
+        maintained_sessions(
+            ledger, state, ck, gap_sec=1800,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks[:2]:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    # tick 3 lands on the ledger; CRASH-SIMULATION: apply ONLY the
+    # closed append (batch_id 2 — the checkpoint's next sequential id)
+    batch3 = spark.createDataFrame(ticks[2], schema)
+    batch3.coalesce(1).write.mode("append").parquet(ledger)
+    old_state = spark.read.parquet(state).drop("__bucket")
+    closed3, _ = session_fold_increment(old_state, batch3, 1800)
+    _fold_buckets_append(
+        closed3.localCheckpoint(eager=True), 2, closed_dir,
+        ["user_id"], 8, lambda s, d: d, read_state=False,
+    )
+    n_closed_half = spark.read.parquet(closed_dir).count()
+    assert n_closed_half > 0
+
+    # recovery: the wrapper re-delivers batch 2
+    run()
+    assert spark.read.parquet(closed_dir).count() == n_closed_half  # no dup
+
+    # final view == batch sessionizer over the whole ledger
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(ledger)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("ns"),
+    )
+    sess = flagged.withColumn(
+        "session_id",
+        F.sum("ns").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("long"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in sess.groupBy("user_id", "session_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.floor(
+                (F.unix_millis(F.max("ts")) - F.unix_millis(F.min("ts")))
+                / 1000
+            ).cast("long").alias("duration_sec"),
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_sessions(spark, state).collect()
+    )
+    assert got == want
