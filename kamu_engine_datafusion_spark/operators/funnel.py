@@ -23,41 +23,24 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def funnel_counts(
-    events: DataFrame,
-    steps: list[str],
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
-    within_seconds: int | None = None,
-) -> DataFrame:
-    """Per-step funnel completion counts.
-
-    Returns ``(step, event_type, n_users)``, one row per funnel step:
-    ``n_users`` = users whose greedy walk reached at least that step
-    (step k requires a ``steps[k-1]`` event strictly after the matched
-    step k-1 event; with ``within_seconds``, no later than the matched
-    step-1 event plus the window).
-    """
-    nsteps = len(steps)
-    step_names = F.array(*[F.lit(s) for s in steps])
-    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    evs = (
-        events.filter(F.col(type_col).isin(steps))
-        .select(
-            F.col(user_col).alias("__u"),
-            F.struct(ts_us.alias("t"), F.col(type_col).alias("tp")).alias(
-                "__e"
-            ),
-        )
-        .groupBy("__u")
-        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
-    )
-    zero = F.struct(
+def _funnel_zero():
+    """The greedy funnel walk's starting accumulator — module-level so
+    the incremental fold resumes EXACTLY where the batch walk would be
+    (a function, not a constant: Columns need an active session)."""
+    return F.struct(
         F.lit(0).alias("depth"),
         F.lit(None).cast("long").alias("t1"),
         F.lit(None).cast("long").alias("tprev"),
     )
+
+
+def _funnel_advance(steps: list[str], within_seconds: int | None):
+    """The greedy per-event step of :func:`funnel_counts`'s walk,
+    factored module-level (pure code motion — the batch path is
+    byte-identical) so :func:`funnel_fold_increment` folds new ticks
+    from a stored accumulator with the same lambda."""
+    nsteps = len(steps)
+    step_names = F.array(*[F.lit(s) for s in steps])
 
     def advance(acc, e):
         qualifies = (
@@ -80,6 +63,41 @@ def funnel_counts(
                 e["t"].alias("tprev"),
             ),
         ).otherwise(acc)
+
+    return advance
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """Per-step funnel completion counts.
+
+    Returns ``(step, event_type, n_users)``, one row per funnel step:
+    ``n_users`` = users whose greedy walk reached at least that step
+    (step k requires a ``steps[k-1]`` event strictly after the matched
+    step k-1 event; with ``within_seconds``, no later than the matched
+    step-1 event plus the window).
+    """
+    nsteps = len(steps)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    evs = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("__u"),
+            F.struct(ts_us.alias("t"), F.col(type_col).alias("tp")).alias(
+                "__e"
+            ),
+        )
+        .groupBy("__u")
+        .agg(F.array_sort(F.collect_list("__e")).alias("__evs"))
+    )
+    zero = _funnel_zero()
+    advance = _funnel_advance(steps, within_seconds)
 
     depths = evs.select(
         F.aggregate(F.col("__evs"), zero, advance)["depth"].alias("__depth")
@@ -317,4 +335,146 @@ def retention_from_activity(
         .select(
             F.col("__cohort").alias("cohort_start"), "period", "n_users"
         )
+    )
+
+
+def funnel_fold_increment(
+    state: DataFrame | None,
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+) -> DataFrame:
+    """One funnel tick against the per-user walk state — the stateful
+    companion of :func:`funnel_counts`: state rows are the greedy
+    walk's accumulator ``(user_id, depth, t1_us, tprev_us, last_us)``
+    (``last_us`` = latest funnel-relevant event seen, for the order
+    contract), a tick folds its per-user (t, tp)-sorted events forward
+    with the SAME :func:`_funnel_advance` lambda the batch walk uses,
+    and because the walk is a left fold over the time-sorted sequence,
+    event-time-ordered ticks decompose it exactly: after any ticks the
+    state equals the batch walk of the whole ledger and
+    :func:`funnel_from_state` equals :func:`funnel_counts`
+    (pytest-pinned). State users without tick events pass through;
+    tick users without state start at the zero accumulator.
+
+    PRECONDITION (loud): tick events at ``ts`` strictly BEFORE a
+    user's ``last_us`` raise (the append-ledger event-time contract).
+    Equal-timestamp events split ACROSS ticks fold in arrival order,
+    which can differ from the batch walk's (t, event_type) tie order —
+    same-microsecond cross-tick ties are the one documented
+    divergence; feeds with meaningful simultaneous events should
+    carry a sequence column as ``ts``.
+
+    Scale: one user-keyed aggregate over the tick + a user-keyed join
+    against the touched state rows; history is never re-walked."""
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    tick = (
+        events.filter(F.col(type_col).isin(steps))
+        .select(
+            F.col(user_col).alias("user_id"),
+            F.struct(ts_us.alias("t"), F.col(type_col).alias("tp")).alias(
+                "__e"
+            ),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.array_sort(F.collect_list("__e")).alias("__evs"),
+            F.min(F.col("__e")["t"]).cast("long").alias("__tick_min"),
+            F.max(F.col("__e")["t"]).cast("long").alias("__tick_max"),
+        )
+    )
+    if state is None:
+        acc0 = _funnel_zero()
+        joined = tick.select(
+            "user_id", "__evs", "__tick_max",
+            F.lit(None).cast("long").alias("__st_last"),
+            acc0.alias("__acc0"),
+        )
+    else:
+        st = state.select(
+            "user_id",
+            F.struct(
+                # stored depth is BIGINT; the walk's element_at and the
+                # zero accumulator are INT — cast so coalesce unifies
+                F.col("depth").cast("int").alias("depth"),
+                F.col("t1_us").alias("t1"),
+                F.col("tprev_us").alias("tprev"),
+            ).alias("__st_acc"),
+            F.col("last_us").alias("__st_last"),
+        )
+        joined = tick.join(st, "user_id", "full_outer")
+        viol = joined.filter(
+            F.col("__tick_min").isNotNull()
+            & F.col("__st_last").isNotNull()
+            & (F.col("__tick_min") < F.col("__st_last"))
+        ).count()
+        if viol:
+            raise ValueError(
+                f"funnel_fold_increment: {viol} user(s) have tick "
+                "events before their walk's last seen event — ticks "
+                "must arrive in per-user event-time order (the "
+                "append-ledger contract)"
+            )
+        joined = joined.select(
+            "user_id",
+            "__evs",
+            "__tick_max",
+            "__st_last",
+            F.coalesce(F.col("__st_acc"), _funnel_zero()).alias("__acc0"),
+        )
+    advance = _funnel_advance(steps, within_seconds)
+    acc = F.aggregate(
+        F.coalesce(
+            F.col("__evs"),
+            F.array().cast("array<struct<t:bigint,tp:string>>"),
+        ),
+        F.col("__acc0"),
+        advance,
+    )
+    return joined.select(
+        "user_id",
+        acc["depth"].cast("long").alias("depth"),
+        acc["t1"].cast("long").alias("t1_us"),
+        acc["tprev"].cast("long").alias("tprev_us"),
+        F.greatest(
+            F.coalesce(F.col("__tick_max"), F.lit(-(1 << 62))),
+            F.coalesce(F.col("__st_last"), F.lit(-(1 << 62))),
+        )
+        .cast("long")
+        .alias("last_us"),
+    )
+
+
+def funnel_from_state(state: DataFrame, steps: list[str]) -> DataFrame:
+    """Per-step funnel completion counts read from
+    :func:`funnel_fold_increment` state ALONE — identical output to
+    :func:`funnel_counts` over the ledger the state summarizes (same
+    depth ≥ k counting, same all-steps frame with zero rows;
+    pytest-pinned). At 100 TB the batch walk re-sorts every user's
+    whole history per report; this reads one accumulator row per
+    funnel-active user."""
+    nsteps = len(steps)
+    counts = state.agg(
+        *[
+            F.sum((F.col("depth") >= k + 1).cast("long")).alias(f"__n{k}")
+            for k in range(nsteps)
+        ]
+    )
+    per_step = F.array(
+        *[
+            F.struct(
+                F.lit(k + 1).alias("step"),
+                F.lit(steps[k]).alias("event_type"),
+                F.coalesce(F.col(f"__n{k}"), F.lit(0)).alias("n_users"),
+            )
+            for k in range(nsteps)
+        ]
+    )
+    return counts.select(F.explode(per_step).alias("__s")).select(
+        F.col("__s.step").alias("step"),
+        F.col("__s.event_type").alias("event_type"),
+        F.col("__s.n_users").alias("n_users"),
     )

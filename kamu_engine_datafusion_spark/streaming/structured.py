@@ -1293,6 +1293,80 @@ def maintained_activity(
     )
 
 
+def maintained_funnel(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: int | None = None,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained FUNNEL progress over an append event
+    stream (``operators/funnel.py::funnel_fold_increment``): per-user
+    greedy-walk accumulators are rewrite-fold state (one row per
+    funnel-active user), ticks fold forward with the batch walk's own
+    advance lambda, and the live per-step counts
+    (:func:`read_maintained_funnel`) equal batch ``funnel_counts``
+    over the whole ledger (pytest-pinned) — at 100 TB the batch walk
+    re-sorts every user's history per report; a tick here pays one
+    user-keyed aggregate over the tick plus the touched-bucket join.
+    PRECONDITION: per-user event-time-ordered ticks (loud ValueError
+    otherwise); same-microsecond ties split across ticks are the one
+    documented divergence. Retractions unsupported."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        funnel_fold_increment,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # only funnel-relevant events touch state; key the buckets on
+        # the USER column of the filtered increment
+        inc = batch_df.filter(F.col(type_col).isin(steps))
+        _fold_buckets(
+            inc.withColumnRenamed(user_col, "user_id"),
+            batch_id,
+            state_dir,
+            ["user_id"],
+            state_buckets,
+            lambda ss, b: funnel_fold_increment(
+                ss, b, steps, "user_id", type_col, ts_col,
+                within_seconds,
+            ),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_maintained_funnel(
+    spark: SparkSession, state_dir: str, steps: list[str]
+) -> DataFrame:
+    """The live per-step funnel counts of :func:`maintained_funnel`
+    state (``operators/funnel.py::funnel_from_state``)."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        funnel_from_state,
+    )
+
+    return funnel_from_state(
+        read_maintained_state(spark, state_dir), steps
+    )
+
+
 def read_maintained_retention(
     spark: SparkSession, state_dir: str, bucket: str = "week"
 ) -> DataFrame:

@@ -2638,3 +2638,88 @@ def test_maintained_sessions_heals_crash_between_roots(spark, tmp_path):
         for r in read_maintained_sessions(spark, state).collect()
     )
     assert got == want
+
+
+def test_maintained_funnel_equals_batch(spark, tmp_path):
+    """r14 staged: per-user greedy-walk funnel state folded across 3
+    event-time-ordered ticks must yield per-step counts identical to
+    batch funnel_counts over the whole ledger — including a user whose
+    step-2 event arrives ticks after step 1, a user who repeats step 1
+    (no double-advance), an out-of-order-step user who never advances,
+    and idle-user pass-through. Out-of-order ticks raise loudly."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        funnel_counts,
+        funnel_fold_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_funnel,
+        read_maintained_funnel,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60,
+                        tzinfo=timezone.utc)
+
+    steps = ["view", "click", "purchase"]
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    ticks = [
+        # u1 completes step 1; u2 starts; u3 does steps OUT OF ORDER
+        [(1, t(0), "view", 0), (2, t(1), "view", 1),
+         (3, t(0), "click", 2), (3, t(2), "purchase", 3)],
+        # u1 repeats step 1 (no advance) then clicks; u2 idle;
+        # u4 appears and views; noise event type ignored
+        [(1, t(10), "view", 4), (1, t(11), "click", 5),
+         (4, t(10), "view", 6), (1, t(12), "error", 7)],
+        # u1 purchases (full funnel); u2 clicks; u3 views (step 1 at
+        # last — depth becomes 1 only now)
+        [(1, t(20), "purchase", 8), (2, t(21), "click", 9),
+         (3, t(22), "view", 10)],
+    ]
+    ledger = os.path.join(str(tmp_path), "fnledger")
+    state = os.path.join(str(tmp_path), "fnstate")
+    ck = os.path.join(str(tmp_path), "fnck")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_funnel(
+            ledger, state, ck, steps,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    full = spark.createDataFrame(
+        [r for tk in ticks for r in tk], schema
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_funnel(spark, state, steps).collect()
+    )
+    want = sorted(
+        tuple(r) for r in funnel_counts(full, steps).collect()
+    )
+    assert got == want
+    by_step = {r[0]: r[2] for r in got}
+    # u1 full funnel; u2 view+click; u3 view only (late); u4 view only
+    assert by_step == {1: 4, 2: 2, 3: 1}
+
+    # replay no-op
+    run()
+    assert sorted(
+        tuple(r)
+        for r in read_maintained_funnel(spark, state, steps).collect()
+    ) == got
+
+    # out-of-order tick raises
+    st = spark.read.parquet(state).drop("__bucket")
+    bad = spark.createDataFrame([(1, t(5), "click", 99)], schema)
+    with _pytest.raises(ValueError, match="event-time order"):
+        funnel_fold_increment(st, bad, steps).collect()
