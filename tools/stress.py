@@ -1124,6 +1124,363 @@ def main() -> None:
         for nn in (100_000, 1_000_000):
             _batch_index_layout(nn)
 
+    # ---- r14 staged-family stresses (reproduce the COVERAGE rows) ----
+
+    def _sessions_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.sessions import (
+            session_fold_increment,
+            sessions_read,
+        )
+
+        led = "/tmp/stress_sess_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        state = None
+        closed_all = None
+        times = []
+        for i in range(12):
+            ev = spark.range(500_000).select(
+                (F.xxhash64("id", F.lit(i)) % 100_000).alias("user_id"),
+                F.timestamp_millis(
+                    (
+                        F.lit(i * 3600_000)
+                        + F.pmod(
+                            F.xxhash64("id", F.lit(i + 77)),
+                            F.lit(3600_000),
+                        )
+                        + F.lit(1704067200000)
+                    ).cast("long")
+                ).alias("ts"),
+                (F.col("id") + i * 500_000).alias("event_id"),
+            ).filter(F.pmod(F.col("user_id") + i, F.lit(4)) != 0)
+            t0 = time.time()
+            closed, state = session_fold_increment(state, ev, 1800)
+            state = state.localCheckpoint(eager=True)
+            closed = closed.localCheckpoint(eager=True)
+            closed_all = (
+                closed
+                if closed_all is None
+                else closed_all.unionByName(closed)
+            )
+            times.append(round(time.time() - t0, 2))
+            ev.write.mode("append").parquet(led)
+        live = sessions_read(closed_all, state)
+        from pyspark.sql import Window
+
+        evall = spark.read.parquet(led)
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        t0 = time.time()
+        flg = evall.select(
+            "user_id", "ts", "event_id",
+            F.when(
+                F.col("ts").cast("long")
+                - F.lag(F.col("ts").cast("long")).over(w) > 1800,
+                F.lit(1),
+            ).otherwise(F.lit(0)).alias("ns"),
+        )
+        batch = (
+            flg.withColumn(
+                "session_id",
+                F.sum("ns").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ).cast("long"),
+            )
+            .groupBy("user_id", "session_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_events"),
+                (
+                    (
+                        F.unix_millis(F.max("ts"))
+                        - F.unix_millis(F.min("ts"))
+                    )
+                    / F.lit(1000)
+                ).cast("long").alias("duration_sec"),
+            )
+        )
+        nb = batch.count()
+        tb = time.time() - t0
+        diff = (
+            live.exceptAll(batch).count() + batch.exceptAll(live).count()
+        )
+        print(
+            f"maintained_sessions: per-tick {times} | batch re-window "
+            f"{tb:.2f}s ({nb} sessions) | diff={diff}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_sessions"):
+        _sessions_stress()
+
+    def _retention_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.funnel import (
+            activity_increment,
+            activity_merge,
+            retention_cohorts,
+            retention_from_activity,
+        )
+
+        led = "/tmp/stress_ret_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        state = None
+        times = []
+        for i in range(10):
+            ev = spark.range(1_000_000).select(
+                (F.xxhash64("id", F.lit(i)) % 200_000).alias("user_id"),
+                F.timestamp_millis(
+                    (
+                        F.lit(1704067200000)
+                        + F.pmod(
+                            F.xxhash64("id", F.lit(i + 5)),
+                            F.lit(26 * 7 * 86400000),
+                        )
+                    ).cast("long")
+                ).alias("ts"),
+                (F.col("id") + i * 1_000_000).alias("event_id"),
+            )
+            t0 = time.time()
+            inc = activity_increment(ev)
+            state = inc if state is None else activity_merge(state, inc)
+            state = state.localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            ev.write.mode("append").parquet(led)
+        t0 = time.time()
+        live = retention_from_activity(state)
+        live.count()
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = retention_cohorts(spark.read.parquet(led))
+        batch.count()
+        tb = time.time() - t0
+        diff = (
+            live.exceptAll(batch).count() + batch.exceptAll(live).count()
+        )
+        print(
+            f"maintained_retention: per-tick {times} | read {tr:.2f}s "
+            f"vs batch re-dedup {tb:.2f}s | diff={diff}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_retention"):
+        _retention_stress()
+
+    def _funnel_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.funnel import (
+            funnel_counts,
+            funnel_fold_increment,
+            funnel_from_state,
+        )
+
+        led = "/tmp/stress_fun_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        steps = ["view", "click", "purchase"]
+        types = F.array(
+            F.lit("view"), F.lit("click"), F.lit("purchase"),
+            F.lit("error"), F.lit("signup"),
+        )
+        state = None
+        times = []
+        for i in range(10):
+            ev = spark.range(1_000_000).select(
+                (F.xxhash64("id", F.lit(i)) % 300_000).alias("user_id"),
+                F.timestamp_millis(
+                    (
+                        F.lit(1704067200000)
+                        + F.lit(i * 86400000)
+                        + F.pmod(
+                            F.xxhash64("id", F.lit(i + 3)),
+                            F.lit(86400000),
+                        )
+                    ).cast("long")
+                ).alias("ts"),
+                F.element_at(
+                    types,
+                    (
+                        F.pmod(F.xxhash64("id", F.lit(i + 9)), F.lit(5))
+                        + 1
+                    ).cast("int"),
+                ).alias("event_type"),
+                (F.col("id") + i * 1_000_000).alias("event_id"),
+            )
+            t0 = time.time()
+            state = funnel_fold_increment(state, ev, steps)
+            state = state.localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            ev.write.mode("append").parquet(led)
+        t0 = time.time()
+        live = sorted(
+            tuple(r) for r in funnel_from_state(state, steps).collect()
+        )
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = sorted(
+            tuple(r)
+            for r in funnel_counts(
+                spark.read.parquet(led), steps
+            ).collect()
+        )
+        tb = time.time() - t0
+        print(
+            f"maintained_funnel: per-tick {times} | read {tr:.2f}s vs "
+            f"batch re-walk {tb:.2f}s | match={live == batch}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_funnel"):
+        _funnel_stress()
+
+    def _postings_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.retrieval import (
+            bm25_scores,
+            bm25_topk_from_postings,
+            postings_increment,
+            term_stats_increment,
+        )
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            _bucket_of,
+        )
+
+        corp = "/tmp/stress_bm25corpus"
+        idx = "/tmp/stress_postings"
+        gen = spark.range(2_000_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.lit("a"), (F.xxhash64("id") % 10000).cast("string")
+                ),
+                F.concat(
+                    F.lit("b"),
+                    (F.xxhash64("id", F.lit(1)) % 1000).cast("string"),
+                ),
+                F.concat(
+                    F.lit("c"),
+                    (F.xxhash64("id", F.lit(2)) % 100).cast("string"),
+                ),
+                F.lit(
+                    "vector merge common filler words and more padding "
+                    "text here"
+                ),
+            ).alias("text"),
+        )
+        gen.write.mode("overwrite").parquet(corp)
+        docs2 = spark.read.parquet(corp)
+        (
+            postings_increment(docs2)
+            .withColumn("__bucket", _bucket_of(["term"], 16))
+            .repartition(16, "__bucket")
+            .sortWithinPartitions("__bucket", "term")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(idx)
+        )
+        st = term_stats_increment(docs2)
+        st_rows = spark.createDataFrame(st.collect(), st.schema)
+        sel = ["a9991", "b997", "c97"]
+
+        def q_index():
+            bks = sorted(
+                {
+                    int(r[0])
+                    for r in spark.createDataFrame(
+                        [(x,) for x in sel], "term string"
+                    )
+                    .select(_bucket_of(["term"], 16))
+                    .collect()
+                }
+            )
+            pr = (
+                spark.read.parquet(idx)
+                .filter(F.col("__bucket").isin(bks))
+                .drop("__bucket")
+            )
+            return bm25_topk_from_postings(pr, st_rows, sel, k=10).collect()
+
+        def q_scan():
+            return (
+                bm25_scores(docs2, sel)
+                .orderBy(F.col("score").desc(), "doc_id")
+                .limit(10)
+                .collect()
+            )
+
+        def best(f, n=3):
+            b = 1e9
+            for _ in range(n):
+                t0 = time.time()
+                f()
+                b = min(b, time.time() - t0)
+            return b
+
+        print(
+            f"maintained_postings: term-sorted index query "
+            f"{best(q_index):.2f}s vs disk-corpus rescan "
+            f"{best(q_scan):.2f}s (selective terms)",
+            flush=True,
+        )
+        shutil.rmtree(corp, ignore_errors=True)
+        shutil.rmtree(idx, ignore_errors=True)
+
+    if _want("maintained_postings"):
+        _postings_stress()
+
+    def _compact_state_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            _fold_buckets_append,
+            compact_state,
+            read_maintained_state,
+        )
+
+        st = "/tmp/stress_cs_state"
+        shutil.rmtree(st, ignore_errors=True)
+        for b in range(400):
+            inc = spark.range(b * 2000, (b + 1) * 2000).select(
+                F.col("id").alias("doc_id"),
+                (F.col("id") % 97).alias("k"),
+                (F.xxhash64("id") % 100000).alias("payload"),
+            )
+            _fold_buckets_append(
+                inc, b, st, ["doc_id"], 8, lambda s, d: d,
+                read_state=False,
+            )
+
+        def read_time():
+            b = 1e9
+            for _ in range(3):
+                t0 = time.time()
+                read_maintained_state(spark, st).groupBy("k").agg(
+                    F.count("*"), F.sum("payload")
+                ).collect()
+                b = min(b, time.time() - t0)
+            return b
+
+        pre = read_time()
+        t0 = time.time()
+        stats = compact_state(spark, st)
+        tc = time.time() - t0
+        post = read_time()
+        print(
+            f"compact_state: {stats['files_before']} files -> "
+            f"{stats['files_after']} in {tc:.1f}s | state read "
+            f"{pre:.2f}s -> {post:.2f}s",
+            flush=True,
+        )
+        shutil.rmtree(st, ignore_errors=True)
+
+    if _want("compact_state"):
+        _compact_state_stress()
+
 
 if __name__ == "__main__":
     main()
