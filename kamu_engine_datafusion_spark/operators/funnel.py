@@ -478,3 +478,110 @@ def funnel_from_state(state: DataFrame, steps: list[str]) -> DataFrame:
         F.col("__s.event_type").alias("event_type"),
         F.col("__s.n_users").alias("n_users"),
     )
+
+
+def transitions_increment(
+    last: DataFrame | None,
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+) -> tuple[DataFrame, DataFrame]:
+    """One Markov-transition tick against the per-user LAST-EVENT
+    state: returns ``(pair_counts, new_last)``.
+
+    ``last`` rows are ``(user_id, last_type, last_us, last_id)`` — the
+    final event each user has emitted so far (None for the first
+    tick). The tick's pair counts are its within-tick consecutive
+    pairs PLUS one boundary pair per continuing user (stored last →
+    first tick event), so summed across event-time-ordered ticks the
+    counts equal the batch :func:`event_transitions` pair counts of
+    the whole ledger exactly (pytest-pinned): pairing is adjacency in
+    the time-sorted sequence, and ordered ticks partition that
+    sequence. Counts are ADDITIVE (the cross-tick fold is plain
+    summation, |types|² rows); ``new_last`` carries every touched or
+    pass-through user's final event.
+
+    PRECONDITION (loud): tick events at ``ts`` strictly before a
+    user's ``last_us`` raise; same-microsecond ties split across
+    ticks order by arrival (the funnel-family caveat).
+
+    Scale: one user-keyed window over the tick + a user-keyed join
+    against touched state; history is never re-paired."""
+    ev = events.select(
+        F.col(user_col).alias("user_id"),
+        F.col(type_col).alias("__tp"),
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+        F.col(order_tiebreak).cast("long").alias("__eid"),
+    )
+    w = Window.partitionBy("user_id").orderBy("__us", "__eid")
+    seq = ev.select(
+        "*",
+        F.lead("__tp").over(w).alias("__next"),
+        F.row_number().over(w).alias("__rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy("user_id").rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("__cnt"),
+    )
+    within = (
+        seq.filter(F.col("__next").isNotNull())
+        .groupBy(
+            F.col("__tp").alias("from_type"),
+            F.col("__next").alias("to_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    firsts = seq.filter(F.col("__rn") == 1).select(
+        "user_id",
+        F.col("__tp").alias("__first_tp"),
+        F.col("__us").alias("__first_us"),
+    )
+    lasts = seq.filter(F.col("__rn") == F.col("__cnt")).select(
+        "user_id",
+        F.col("__tp").alias("last_type"),
+        F.col("__us").alias("last_us"),
+        F.col("__eid").alias("last_id"),
+    )
+    if last is None:
+        return within, lasts
+    st = last.select("user_id", "last_type", "last_us", "last_id")
+    joined = firsts.join(st, "user_id", "inner")
+    viol = joined.filter(F.col("__first_us") < F.col("last_us")).count()
+    if viol:
+        raise ValueError(
+            f"transitions_increment: {viol} user(s) have tick events "
+            "before their stored last event — ticks must arrive in "
+            "per-user event-time order (the append-ledger contract)"
+        )
+    boundary = joined.groupBy(
+        F.col("last_type").alias("from_type"),
+        F.col("__first_tp").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    counts = (
+        within.unionByName(boundary)
+        .groupBy("from_type", "to_type")
+        .agg(F.sum("n").cast("long").alias("n"))
+    )
+    # pass-through: state users without tick events keep their last
+    new_last = lasts.unionByName(
+        st.join(lasts.select("user_id"), "user_id", "left_anti")
+    )
+    return counts, new_last
+
+
+def transitions_from_counts(counts: DataFrame) -> DataFrame:
+    """The row-stochastic transition matrix read from folded pair
+    counts ALONE — identical to :func:`event_transitions` over the
+    ledger the counts summarize (same per-source normalization;
+    pytest-pinned): |types|² metadata rows, the ledger never
+    re-paired."""
+    per_src = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") / F.sum("n").over(per_src)).alias("p"),
+    )

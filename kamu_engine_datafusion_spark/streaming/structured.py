@@ -1353,6 +1353,146 @@ def maintained_funnel(
     )
 
 
+#: Sibling root of a maintained-transitions state dir holding the
+#: additive (from_type, to_type, n) pair counts.
+_PAIRS_SUFFIX = ".pairs"
+
+
+def maintained_transitions(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    order_tiebreak: str = "event_id",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+    pair_buckets: int = 1,
+):
+    """Continuously-maintained first-order Markov TRANSITION counts
+    over an append event stream (``operators/funnel.py::
+    transitions_increment``) — the path-analysis leg of the
+    maintained events family (sessions = when, retention = who comes
+    back, funnel = how far, transitions = where they go): per-user
+    last-event rows are rewrite-fold state (``state_dir``, the
+    cross-tick boundary pair source), pair counts fold additively in
+    the ``state_dir + ".pairs"`` sibling (|types|² rows), and the live
+    matrix (:func:`read_maintained_transitions`) equals batch
+    ``event_transitions`` over the whole ledger (pytest-pinned) —
+    at 100 TB the ledger is never re-paired; a tick pays one
+    user-keyed window over itself plus the touched-bucket join.
+
+    PRECONDITION: per-user event-time-ordered ticks (loud ValueError);
+    same-microsecond cross-tick ties order by arrival. Crash protocol
+    (the sessions two-root sequencing): pair counts fold FIRST — they
+    read the OLD last-event state and self-skip on their own marker —
+    then the last-event rewrite lands under the authoritative marker;
+    a crash between replays deterministically."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        transitions_increment,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    pairs_dir = state_dir + _PAIRS_SUFFIX
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        sess = batch_df.sparkSession
+        _apply_intent(pairs_dir)
+        _apply_intent(state_dir)
+        if _last_folded_batch(state_dir) >= batch_id:
+            return
+        touched = [
+            int(r[0])
+            for r in batch_df.select(
+                _bucket_of([user_col], state_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        old_last = None
+        if any(
+            os.path.isdir(os.path.join(state_dir, f"{_BUCKET_COL}={b}"))
+            for b in touched
+        ):
+            old_last = (
+                sess.read.parquet(state_dir)
+                .filter(F.col(_BUCKET_COL).isin(touched))
+                .drop(_BUCKET_COL)
+            )
+        pair_inc, _ = transitions_increment(
+            old_last, batch_df, user_col, type_col, ts_col,
+            order_tiebreak,
+        )
+        pair_inc = pair_inc.localCheckpoint(eager=True)
+
+        def _merge_pairs(state_subset, inc):
+            if state_subset is None:
+                return inc
+            return (
+                inc.unionByName(
+                    state_subset.select("from_type", "to_type", "n")
+                )
+                .groupBy("from_type", "to_type")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+
+        # pair counts FIRST (own marker; reads the OLD last state)
+        _fold_buckets(
+            pair_inc,
+            batch_id,
+            pairs_dir,
+            ["from_type", "to_type"],
+            pair_buckets,
+            _merge_pairs,
+        )
+        # last-event rewrite SECOND (authoritative marker); merge_fn
+        # recomputes deterministically from the same old state + batch.
+        # The increment's output key is always "user_id", so normalize
+        # the batch's user column first (bucket hashes are value-based
+        # — renaming cannot move a user between buckets)
+        _fold_buckets(
+            batch_df.withColumnRenamed(user_col, "user_id"),
+            batch_id,
+            state_dir,
+            ["user_id"],
+            state_buckets,
+            lambda ss, b: transitions_increment(
+                ss, b, "user_id", type_col, ts_col, order_tiebreak
+            )[1],
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_maintained_transitions(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The live transition matrix of :func:`maintained_transitions`
+    state (``operators/funnel.py::transitions_from_counts`` over the
+    ``.pairs`` sibling)."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        transitions_from_counts,
+    )
+
+    return transitions_from_counts(
+        read_maintained_state(spark, state_dir + _PAIRS_SUFFIX)
+    )
+
+
 def read_maintained_funnel(
     spark: SparkSession, state_dir: str, steps: list[str]
 ) -> DataFrame:

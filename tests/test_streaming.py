@@ -2723,3 +2723,83 @@ def test_maintained_funnel_equals_batch(spark, tmp_path):
     bad = spark.createDataFrame([(1, t(5), "click", 99)], schema)
     with _pytest.raises(ValueError, match="event-time order"):
         funnel_fold_increment(st, bad, steps).collect()
+
+
+def test_maintained_transitions_equals_batch(spark, tmp_path):
+    """r14 staged: Markov pair counts folded tick by tick (within-tick
+    adjacent pairs + one boundary pair per continuing user against the
+    stored last event) must equal batch event_transitions over the
+    whole ledger row-for-row — including a boundary pair spanning a
+    tick, an idle user whose last event survives two ticks before
+    pairing, and a replayed no-new-data run. Out-of-order ticks raise."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        event_transitions,
+        transitions_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_transitions,
+        read_maintained_transitions,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60,
+                        tzinfo=timezone.utc)
+
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    ticks = [
+        [(1, t(0), "view", 0), (1, t(1), "click", 1),
+         (2, t(0), "view", 2)],
+        # u1 boundary pair click->view; u2 idle; u3 appears
+        [(1, t(10), "view", 3), (3, t(10), "signup", 4)],
+        # u2's boundary pair view->purchase spans TWO ticks of idling
+        [(2, t(20), "purchase", 5), (1, t(21), "click", 6),
+         (3, t(20), "view", 7)],
+    ]
+    ledger = os.path.join(str(tmp_path), "trledger")
+    state = os.path.join(str(tmp_path), "trstate")
+    ck = os.path.join(str(tmp_path), "trck")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_transitions(
+            ledger, state, ck,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    full = spark.createDataFrame(
+        [r for tk in ticks for r in tk], schema
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_transitions(spark, state).collect()
+    )
+    want = sorted(
+        tuple(r) for r in event_transitions(full).collect()
+    )
+    assert got == want
+    m = {(a, b): n for (a, b, n, _p) in got}
+    assert m[("view", "purchase")] == 1  # u2's two-tick-idle boundary
+    assert m[("click", "view")] == 1     # u1's tick-1/2 boundary
+
+    # replay no-op
+    run()
+    assert sorted(
+        tuple(r)
+        for r in read_maintained_transitions(spark, state).collect()
+    ) == got
+
+    # out-of-order tick raises against the stored last event
+    st = spark.read.parquet(state).drop("__bucket")
+    bad = spark.createDataFrame([(1, t(5), "view", 99)], schema)
+    with _pytest.raises(ValueError, match="event-time order"):
+        transitions_increment(st, bad)[0].collect()
