@@ -1481,6 +1481,80 @@ def main() -> None:
     if _want("compact_state"):
         _compact_state_stress()
 
+    def _transitions_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.funnel import (
+            event_transitions,
+            transitions_from_counts,
+            transitions_increment,
+        )
+
+        led = "/tmp/stress_tr_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        types = F.array(
+            F.lit("view"), F.lit("click"), F.lit("purchase"),
+            F.lit("error"), F.lit("signup"),
+        )
+        last = None
+        counts = None
+        times = []
+        for i in range(10):
+            ev = spark.range(1_000_000).select(
+                (F.xxhash64("id", F.lit(i)) % 300_000).alias("user_id"),
+                F.timestamp_millis(
+                    (
+                        F.lit(1704067200000)
+                        + F.lit(i * 86400000)
+                        + F.pmod(
+                            F.xxhash64("id", F.lit(i + 3)),
+                            F.lit(86400000),
+                        )
+                    ).cast("long")
+                ).alias("ts"),
+                F.element_at(
+                    types,
+                    (
+                        F.pmod(F.xxhash64("id", F.lit(i + 9)), F.lit(5))
+                        + 1
+                    ).cast("int"),
+                ).alias("event_type"),
+                (F.col("id") + i * 1_000_000).alias("event_id"),
+            )
+            t0 = time.time()
+            inc, last = transitions_increment(last, ev)
+            last = last.localCheckpoint(eager=True)
+            counts = (
+                inc
+                if counts is None
+                else inc.unionByName(counts)
+                .groupBy("from_type", "to_type")
+                .agg(F.sum("n").cast("long").alias("n"))
+            )
+            counts = counts.localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            ev.write.mode("append").parquet(led)
+        t0 = time.time()
+        live = transitions_from_counts(counts)
+        live.count()
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = event_transitions(spark.read.parquet(led))
+        batch.count()
+        tb = time.time() - t0
+        diff = (
+            live.exceptAll(batch).count() + batch.exceptAll(live).count()
+        )
+        print(
+            f"maintained_transitions: per-tick {times} | read {tr:.2f}s "
+            f"vs batch re-pair {tb:.2f}s | diff={diff}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_transitions"):
+        _transitions_stress()
+
 
 if __name__ == "__main__":
     main()
