@@ -1044,3 +1044,93 @@ def test_session_fold_tick_boundary_invariance(spark, events, cuts, gap):
         .collect()
     )
     assert got == want
+
+
+@_slow
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=100_000),  # ts ms
+            st.integers(min_value=0, max_value=4),  # type index
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=49), min_size=0, max_size=3
+    ),
+)
+def test_funnel_and_transitions_tick_boundary_invariance(
+    spark, events, cuts
+):
+    """r14 funnel + transitions families: for ANY event stream and ANY
+    event-time-ordered split into ticks, the folds equal their batch
+    twins — funnel per-step counts and the full Markov pair matrix.
+    Duplicate (ts, id) collisions are avoided by construction (ids are
+    the global sequence); cross-tick ties at the same ms are allowed
+    and must still match because the tie-break id follows arrival."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        event_transitions,
+        funnel_counts,
+        funnel_fold_increment,
+        funnel_from_state,
+        transitions_from_counts,
+        transitions_increment,
+    )
+
+    types = ["view", "click", "purchase", "error", "signup"]
+    steps = ["view", "click", "purchase"]
+    base = 1_700_000_000_000
+    rows = [
+        (u, base + ms, types[ti], i)
+        for i, (u, ms, ti) in enumerate(events)
+    ]
+    ordered = sorted(rows, key=lambda r: (r[1], r[3]))
+    bounds = sorted({min(c, len(ordered)) for c in cuts})
+    ticks, prev = [], 0
+    for b in bounds + [len(ordered)]:
+        if b > prev:
+            ticks.append(ordered[prev:b])
+            prev = b
+    schema = "user_id long, ms long, event_type string, event_id long"
+
+    def frame(part):
+        return spark.createDataFrame(part, schema).select(
+            "user_id",
+            F.timestamp_millis(F.col("ms")).alias("ts"),
+            "event_type",
+            "event_id",
+        )
+
+    fstate, tlast, tcounts = None, None, None
+    for tk in ticks:
+        f = frame(tk)
+        fstate = funnel_fold_increment(fstate, f, steps)
+        fstate = fstate.localCheckpoint(eager=True)
+        inc, tlast = transitions_increment(tlast, f)
+        tlast = tlast.localCheckpoint(eager=True)
+        tcounts = (
+            inc
+            if tcounts is None
+            else inc.unionByName(tcounts)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+        tcounts = tcounts.localCheckpoint(eager=True)
+
+    full = frame(rows)
+    got_f = sorted(
+        tuple(r) for r in funnel_from_state(fstate, steps).collect()
+    )
+    want_f = sorted(
+        tuple(r) for r in funnel_counts(full, steps).collect()
+    )
+    assert got_f == want_f
+    got_t = sorted(
+        tuple(r) for r in transitions_from_counts(tcounts).collect()
+    )
+    want_t = sorted(
+        tuple(r) for r in event_transitions(full).collect()
+    )
+    assert got_t == want_t
