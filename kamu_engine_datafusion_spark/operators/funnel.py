@@ -585,3 +585,79 @@ def transitions_from_counts(counts: DataFrame) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n") / F.sum("n").over(per_src)).alias("p"),
     )
+
+
+def debounce_increment(
+    last: DataFrame | None,
+    events: DataFrame,
+    time_col: str = "ts",
+    gap_seconds: float = 600.0,
+    group_cols: list[str] | None = None,
+    order_tiebreak: str = "event_id",
+) -> tuple[DataFrame, DataFrame]:
+    """One debounce tick against the per-group LAST-RAW-EVENT state:
+    returns ``(kept_rows, new_last)``.
+
+    ``last`` rows are ``(group_cols…, last_us)`` — the final RAW event
+    time each group has emitted so far. A tick event survives iff it
+    arrives more than ``gap_seconds`` after its immediate predecessor
+    (previous tick event, or the stored ``last_us`` for each group's
+    first tick event) — exactly :func:`debounce_events`' lag rule, so
+    on event-time-ordered ticks the union of kept rows equals the
+    batch debounce of the whole ledger row-for-row (pytest-pinned):
+    suppression depends only on the previous RAW event, and ordered
+    ticks partition the per-group sequence. Kept rows are therefore
+    APPEND-ONLY output (a survivor never un-survives) and state is one
+    row per group.
+
+    PRECONDITION (loud): a tick event before its group's ``last_us``
+    raises (the append-ledger contract); same-microsecond cross-tick
+    ties order by arrival (the funnel-family caveat).
+
+    Scale: one group-keyed window over the tick + the touched-state
+    join; history is never re-scanned."""
+    group_cols = group_cols or ["user_id", "event_type"]
+    us = F.unix_micros(F.col(time_col).cast("timestamp"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(time_col), F.col(order_tiebreak)
+    )
+    seq = events.withColumn("__us", us).withColumn(
+        "__prev", F.lag("__us").over(w)
+    )
+    if last is not None:
+        st = last.select(*group_cols, F.col("last_us").alias("__st_us"))
+        seq = seq.join(st, group_cols, "left")
+        viol = seq.filter(
+            F.col("__prev").isNull()
+            & F.col("__st_us").isNotNull()
+            & (F.col("__us") < F.col("__st_us"))
+        ).count()
+        if viol:
+            raise ValueError(
+                f"debounce_increment: {viol} group(s) have tick events "
+                "before their stored last event — ticks must arrive in "
+                "per-group event-time order (the append-ledger "
+                "contract)"
+            )
+        seq = seq.withColumn(
+            "__prev", F.coalesce("__prev", "__st_us")
+        ).drop("__st_us")
+    # the same float-seconds comparison as the batch lag rule
+    kept = seq.filter(
+        F.col("__prev").isNull()
+        | (
+            F.col("__us") / F.lit(1e6) - F.col("__prev") / F.lit(1e6)
+            > gap_seconds
+        )
+    ).drop("__us", "__prev")
+    ticklast = seq.groupBy(*group_cols).agg(
+        F.max("__us").cast("long").alias("last_us")
+    )
+    if last is None:
+        return kept, ticklast
+    new_last = ticklast.unionByName(
+        last.select(*group_cols, "last_us").join(
+            ticklast.select(*group_cols), group_cols, "left_anti"
+        )
+    )
+    return kept, new_last

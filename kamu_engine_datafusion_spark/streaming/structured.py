@@ -1353,6 +1353,119 @@ def maintained_funnel(
     )
 
 
+#: Sibling root of a maintained-debounce state dir holding the
+#: append-only kept-events log.
+_KEPT_SUFFIX = ".kept"
+
+
+def maintained_debounce(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    time_col: str = "ts",
+    gap_seconds: float = 600.0,
+    group_cols: list[str] | None = None,
+    order_tiebreak: str = "event_id",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained burst DEBOUNCE over an append event
+    stream (``operators/funnel.py::debounce_increment``): per-group
+    last-raw-event rows are rewrite-fold state, surviving events
+    append exactly-once to the ``state_dir + ".kept"`` log (a survivor
+    never un-survives — the lag rule depends only on the previous RAW
+    event, so ordered ticks partition the per-group sequence), and
+    the kept log equals batch ``debounce_events`` over the whole
+    ledger row-for-row (pytest-pinned). The telemetry-cleanup stage a
+    100 TB ingest runs AT the ledger instead of re-debouncing history
+    per consumer. Crash protocol (the sessions two-root sequencing):
+    kept rows append FIRST under their own marker, the last-event
+    rewrite lands second under the authoritative one.
+    PRECONDITION: per-group event-time-ordered ticks (loud
+    ValueError). Retractions unsupported."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        debounce_increment,
+    )
+
+    group_cols = group_cols or ["user_id", "event_type"]
+    spark = spark or SparkSession.getActiveSession()
+    kept_dir = state_dir + _KEPT_SUFFIX
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        sess = batch_df.sparkSession
+        _apply_append_intent(kept_dir)
+        _apply_intent(state_dir)
+        if _last_folded_batch(state_dir) >= batch_id:
+            return
+        touched = [
+            int(r[0])
+            for r in batch_df.select(
+                _bucket_of(group_cols, state_buckets).alias("__b")
+            )
+            .distinct()
+            .collect()
+        ]
+        old_last = None
+        if any(
+            os.path.isdir(os.path.join(state_dir, f"{_BUCKET_COL}={b}"))
+            for b in touched
+        ):
+            old_last = (
+                sess.read.parquet(state_dir)
+                .filter(F.col(_BUCKET_COL).isin(touched))
+                .drop(_BUCKET_COL)
+            )
+        kept, _ = debounce_increment(
+            old_last, batch_df, time_col, gap_seconds, group_cols,
+            order_tiebreak,
+        )
+        kept = kept.localCheckpoint(eager=True)
+        # kept log FIRST (own marker; replay self-skips)
+        _fold_buckets_append(
+            kept,
+            batch_id,
+            kept_dir,
+            group_cols,
+            state_buckets,
+            lambda s, d: d,
+            read_state=False,
+        )
+        # last-event rewrite SECOND (authoritative marker)
+        _fold_buckets(
+            batch_df,
+            batch_id,
+            state_dir,
+            group_cols,
+            state_buckets,
+            lambda ss, b: debounce_increment(
+                ss, b, time_col, gap_seconds, group_cols, order_tiebreak
+            )[1],
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_maintained_debounce(
+    spark: SparkSession, state_dir: str
+) -> DataFrame:
+    """The live debounced stream of :func:`maintained_debounce`: the
+    append-only kept-events log."""
+    return read_maintained_state(spark, state_dir + _KEPT_SUFFIX)
+
+
 #: Sibling root of a maintained-transitions state dir holding the
 #: additive (from_type, to_type, n) pair counts.
 _PAIRS_SUFFIX = ".pairs"

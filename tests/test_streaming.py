@@ -2803,3 +2803,92 @@ def test_maintained_transitions_equals_batch(spark, tmp_path):
     bad = spark.createDataFrame([(1, t(5), "view", 99)], schema)
     with _pytest.raises(ValueError, match="event-time order"):
         transitions_increment(st, bad)[0].collect()
+
+
+def test_maintained_debounce_equals_batch(spark, tmp_path):
+    """r14 staged: the debounce fold's kept log across 3 ticks must
+    equal batch debounce_events over the whole ledger row-for-row —
+    including a burst that spans a tick boundary (the first event of
+    tick 2 suppressed by the stored last RAW event, kept or not), a
+    chain of sub-gap events collapsing to the burst head, and a
+    replayed no-new-data run. Out-of-order ticks raise."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        debounce_events,
+        debounce_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_debounce,
+        read_maintained_debounce,
+    )
+
+    def t(sec):
+        return datetime(2024, 1, 1, sec // 3600, (sec % 3600) // 60,
+                        sec % 60, tzinfo=timezone.utc)
+
+    gap = 600.0
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    ticks = [
+        # u1 burst: 0, 30, 90 (all sub-gap after the head) -> keep t0
+        [(1, t(0), "click", 0), (1, t(30), "click", 1),
+         (1, t(90), "click", 2), (2, t(0), "view", 3)],
+        # u1's 650 is 560s after RAW 90 -> suppressed (sub-gap);
+        # u2's 700 is 700s after 0 -> kept
+        [(1, t(650), "click", 4), (2, t(700), "view", 5)],
+        # u1's 1600 is 950s after RAW 650 -> kept (even though 650
+        # itself was suppressed — the lag-vs-RAW semantics)
+        [(1, t(1600), "click", 6)],
+    ]
+    ledger = os.path.join(str(tmp_path), "dbledger")
+    state = os.path.join(str(tmp_path), "dbstate")
+    ck = os.path.join(str(tmp_path), "dbck")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_debounce(
+            ledger, state, ck, gap_seconds=gap,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    full = spark.createDataFrame(
+        [r for tk in ticks for r in tk], schema
+    )
+    cols = ["user_id", "ts", "event_type", "event_id"]
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_debounce(spark, state)
+        .select(*cols)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in debounce_events(full, gap_seconds=gap)
+        .select(*cols)
+        .collect()
+    )
+    assert got == want
+    assert {r[3] for r in got} == {0, 3, 5, 6}
+
+    # replay no-op
+    run()
+    assert sorted(
+        tuple(r)
+        for r in read_maintained_debounce(spark, state)
+        .select(*cols)
+        .collect()
+    ) == got
+
+    # out-of-order tick raises
+    st = spark.read.parquet(state).drop("__bucket")
+    bad = spark.createDataFrame([(1, t(100), "click", 99)], schema)
+    with _pytest.raises(ValueError, match="event-time order"):
+        debounce_increment(st, bad, gap_seconds=gap)[0].collect()
