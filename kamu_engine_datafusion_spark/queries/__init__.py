@@ -40,7 +40,7 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
 # r15 ROTATION PLAN (build _PRIORITY_R15 with CORRECTNESS_r14 in
-# hand): (1) any key this window turns red, (2) the EIGHT r14-staged
+# hand): (1) any key this window turns red, (2) the NINE r14-staged
 # families as new keys with their COVERAGE-recorded oracle designs —
 # maintained quality-rate monitor (quality_rule_counts fold + rates
 # read), maintained term-count vocabulary/OOV (vocabulary_from_counts
@@ -52,8 +52,9 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # (activity_increment/merge vs the xretention SQL), maintained funnel
 # progress (funnel_fold_increment/funnel_from_state vs the xfunnel
 # SQL), maintained Markov transitions
-# (transitions_increment/from_counts vs the xtransitions SQL) —
-# (3) then the
+# (transitions_increment/from_counts vs the xtransitions SQL),
+# maintained burst debounce (debounce_increment's kept log vs the
+# xdebounce SQL) — (3) then the
 # oldest-green cohort below this window's cut — the remaining 25
 # r10-stale keys (xpack_efficiency, xpack_ffd, xpack_ffd_stats,
 # xpack_layout, xpack_sequences, xquantile_bins, xretention,

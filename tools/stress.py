@@ -1555,6 +1555,81 @@ def main() -> None:
     if _want("maintained_transitions"):
         _transitions_stress()
 
+    def _debounce_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.funnel import (
+            debounce_events,
+            debounce_increment,
+        )
+
+        led = "/tmp/stress_db_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        types2 = F.array(F.lit("view"), F.lit("click"))
+        last = None
+        kept_all = None
+        times = []
+        for i in range(10):
+            ev = spark.range(1_000_000).select(
+                (F.xxhash64("id", F.lit(i)) % 50_000).alias("user_id"),
+                F.timestamp_millis(
+                    (
+                        F.lit(1704067200000)
+                        + F.lit(i * 3600_000)
+                        + F.pmod(
+                            F.xxhash64("id", F.lit(i + 3)),
+                            F.lit(3600_000),
+                        )
+                    ).cast("long")
+                ).alias("ts"),
+                F.element_at(
+                    types2,
+                    (
+                        F.pmod(F.xxhash64("id", F.lit(i + 9)), F.lit(2))
+                        + 1
+                    ).cast("int"),
+                ).alias("event_type"),
+                (F.col("id") + i * 1_000_000).alias("event_id"),
+            )
+            t0 = time.time()
+            kept, last = debounce_increment(
+                last, ev, gap_seconds=120.0
+            )
+            last = last.localCheckpoint(eager=True)
+            kept = kept.localCheckpoint(eager=True)
+            kept_all = (
+                kept
+                if kept_all is None
+                else kept_all.unionByName(kept)
+            )
+            times.append(round(time.time() - t0, 2))
+            ev.write.mode("append").parquet(led)
+        nk = kept_all.count()
+        t0 = time.time()
+        batch = debounce_events(
+            spark.read.parquet(led), gap_seconds=120.0
+        )
+        nb = batch.count()
+        tb = time.time() - t0
+        cols = ["user_id", "ts", "event_type", "event_id"]
+        diff = (
+            kept_all.select(*cols)
+            .exceptAll(batch.select(*cols))
+            .count()
+            + batch.select(*cols)
+            .exceptAll(kept_all.select(*cols))
+            .count()
+        )
+        print(
+            f"maintained_debounce: per-tick {times} | kept {nk} vs "
+            f"batch {nb} in {tb:.2f}s | diff={diff}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_debounce"):
+        _debounce_stress()
+
 
 if __name__ == "__main__":
     main()
