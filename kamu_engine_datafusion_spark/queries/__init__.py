@@ -39,30 +39,85 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
-# r15 ROTATION PLAN (build _PRIORITY_R15 with CORRECTNESS_r14 in
-# hand): (1) any key this window turns red, (2) the NINE r14-staged
-# families as new keys with their COVERAGE-recorded oracle designs —
-# maintained quality-rate monitor (quality_rule_counts fold + rates
-# read), maintained term-count vocabulary/OOV (vocabulary_from_counts
-# + oov_rate from state), maintained-Bloom decontamination read
-# (bloom_flag_with_bitmap), maintained inverted index + BM25 top-k
-# serving (postings fold + bm25_topk_from_postings), maintained
-# sessionization (session_fold_increment, closed ∪ open vs the
-# xsessionize SQL), maintained cohort retention
-# (activity_increment/merge vs the xretention SQL), maintained funnel
-# progress (funnel_fold_increment/funnel_from_state vs the xfunnel
-# SQL), maintained Markov transitions
-# (transitions_increment/from_counts vs the xtransitions SQL),
-# maintained burst debounce (debounce_increment's kept log vs the
-# xdebounce SQL) — (3) then the
-# oldest-green cohort below this window's cut — the remaining 25
-# r10-stale keys (xpack_efficiency, xpack_ffd, xpack_ffd_stats,
-# xpack_layout, xpack_sequences, xquantile_bins, xretention,
-# xrolling_time, xrollup_gapfill, xshuffle, xsim_quantize,
-# xsim_quantized_topk, xsketch_hll, xsketch_quantile, xskipgram,
-# xstandardize, xtext_clean, xtfidf, xtransitions, xunpivot, xvocab,
-# xwinsorize, xkey_skew, xmerge_intervals, xoutliers), then the
-# oldest r11 keys.
+# r16 ROTATION PLAN (build _PRIORITY_R16 with CORRECTNESS_r15 in
+# hand): (1) any key this window turns red, (2) newly staged families
+# registered as keys (see the r15 staging list in COVERAGE.md), (3)
+# the oldest-green cohort — the r11 remainder below this window's cut
+# (b04_parquet_sink, b03_information_schema, xdecontaminate, and the
+# r11-window x keys: xquality_classifier, xdedup_simhash_sql,
+# xsample_weighted, xsample_weighted_group, xvocab_oov, xscd2,
+# xlm_score, xchunk_docs, xquality_gate, xsim_topk_batch,
+# xdecontaminate_13, xsample_temperature, xcap_per_source,
+# xsplit_by_group, xmix_budget, xhistogram, xdrift_psi, xtext_entropy,
+# xmmr, xpipeline_embed, xbpe, xbpe_encode, xlength_buckets,
+# xdedup_canonical, xsnapshot_diff, xchangelog_merge, xsnapshot_merge,
+# xtext_repetition_report, xsource_tvd, xcentroid_shift,
+# xsketch_quantile_merge, xsketch_cm_merge, xmm_phash_neardup,
+# xwinsorize_sketch), then the oldest r12 keys.
+_PRIORITY_R15 = [
+    # ==== round-15 verification window (first 50 keys) ====
+    # -- NEW in round 15: the nine r14-staged maintained families,
+    #    each with its COVERAGE-recorded oracle design --
+    "xsessions_maintained",  # NEW: 3-tick session fold, closed ∪ open
+    "xretention_maintained",  # NEW: semilattice activity fold + matrix
+    "xfunnel_maintained",  # NEW: walk-accumulator fold + counts read
+    "xtransitions_maintained",  # NEW: pair-count fold + matrix read
+    "xdebounce_maintained",  # NEW: kept-log fold, id-sum fingerprint
+    "xquality_rates_maintained",  # NEW: Gopher counter fold + rates
+    "xvocab_maintained",  # NEW: term-count fold + top-20 vocab read
+    "xbloom_decontaminate_maintained",  # NEW: OR-folded bitmap read
+    "xbm25_postings_maintained",  # NEW: postings fold + top-k serving
+    # -- NEW in round 15: tick-structured STATE verification for the
+    #    two r14 twin-oracle keys (VERDICT item 5) --
+    "xcentroid_stats_state",  # NEW: folded (n, sv, ss) rows hashed
+    "xlm_counts_state",  # NEW: folded (n, w1..w3, c) frame hashed
+    # -- the 25 remaining r10-stale keys (oldest greens on disk) --
+    "xpack_efficiency",
+    "xpack_ffd",
+    "xpack_ffd_stats",
+    "xpack_layout",
+    "xpack_sequences",
+    "xquantile_bins",
+    "xretention",
+    "xrolling_time",
+    "xrollup_gapfill",
+    "xshuffle",
+    "xsim_quantize",
+    "xsim_quantized_topk",
+    "xsketch_hll",
+    "xsketch_quantile",
+    "xskipgram",
+    "xstandardize",
+    "xtext_clean",
+    "xtfidf",
+    "xtransitions",
+    "xunpivot",
+    "xvocab",
+    "xwinsorize",
+    "xkey_skew",
+    "xmerge_intervals",
+    "xoutliers",
+    # -- the r11-stale head (oldest once r10 retires; the rest of the
+    #    r11 cohort queues for r16) --
+    "a13_offsets_distributed",
+    "a14_system_columns",
+    "b17_count_distinct",
+    "b23_ranking",
+    "b30_subqueries",
+    "b38_conditional",
+    "b39_array",
+    "b40_struct_map",
+    "b41_json",
+    "xasof_join",
+    "xdedup_incremental",
+    "xdedup_index_pairs",
+    "xdedup_simhash",
+    "xdedup_minhash",
+    # ---- window boundary (50 = 11 new + 25 r10-stale + 14 r11-stale.
+    # The r11 tail just below the cut rotates to the r16 head — see
+    # the r16 rotation plan above.) ----
+]
+
 _PRIORITY_R14 = [
     # ==== round-14 verification window (first 50 keys) ====
     # -- the r09-stale cohort (oldest greens on disk; retires r09) --
@@ -729,14 +784,15 @@ _PRIORITY_R6 = [
     "b39_explode",
 ]
 
-#: The driver-facing order: the round-13 window first, then the prior
+#: The driver-facing order: the round-15 window first, then the prior
 #: windows oldest-last (keys already placed in a newer window are
 #: filtered out — the composition stays duplicate-free and exhaustive
 #: by the entry-contract test).
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R14
+    for k in _PRIORITY_R15
+    + _PRIORITY_R14
     + _PRIORITY_R13
     + _PRIORITY_R12
     + _PRIORITY_R11

@@ -3947,6 +3947,442 @@ def q_xlm_backoff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return backoff_score_from_counts(d, counts)
 
 
+def _event_time_ticks(ev: DataFrame) -> list[DataFrame]:
+    """Three LITERAL event-time slices of an events frame — the tick
+    construction of the maintained-events driver keys (sessions,
+    retention, funnel, transitions, debounce): the January 2024 ledger
+    splits at Jan 11 / Jan 21, so ticks PARTITION event time and the
+    per-user/per-group event-time-ordered append contract of the
+    increment functions holds by construction at every SF."""
+    ts = F.col("ts").cast("timestamp")
+    b1 = F.lit("2024-01-11 00:00:00").cast("timestamp")
+    b2 = F.lit("2024-01-21 00:00:00").cast("timestamp")
+    return [
+        ev.filter(ts < b1),
+        ev.filter((ts >= b1) & (ts < b2)),
+        ev.filter(ts >= b2),
+    ]
+
+
+def q_xsessions_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained gap-sessionizer, driver-verified — the stateful
+    EVENT-TIME operator of the maintained layer: three literal
+    event-time ticks (Jan 11 / Jan 21 splits) of the user_id < 100
+    population fold through ``operators/sessions.py::
+    session_fold_increment`` (per-user open-session rewrite state +
+    append-only closed rows — exactly ``streaming/structured.py::
+    maintained_sessions``'s per-tick fold, pytest-pinned tick-by-tick
+    incl. the two-root crash protocol) and the live view is
+    ``sessions_read(closed ∪ open)``. The output rows ARE the folded
+    state + closed log rendered in the batch frame, so the stored
+    sessionization itself is hash-verified against the batch
+    lag+cumsum ``xsessionize`` SQL over the whole ledger — fold ≡
+    batch ROW-FOR-ROW through the driver, including the
+    second-truncated break rule vs ms-derived durations (the
+    divergence the 6M-event stress caught at staging time)."""
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        session_fold_increment,
+        sessions_read,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("user_id") < 100)
+    closed_logs = []
+    state = None
+    for tick in _event_time_ticks(ev):
+        closed, state = session_fold_increment(state, tick, gap_sec=1800)
+        closed_logs.append(closed)
+    log = closed_logs[0]
+    for c in closed_logs[1:]:
+        log = log.unionByName(c)
+    return sessions_read(log, state)
+
+
+def q_xretention_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained cohort-retention monitor, driver-verified:
+    per-user activity state ``(user_id, cohort_ms, wks)`` folds over
+    three event-time ticks via ``operators/funnel.py::
+    activity_increment`` + ``activity_merge`` — both IDEMPOTENT
+    semilattice merges (cohort = min, buckets = set union), exactly
+    ``streaming/structured.py::maintained_activity``'s fold — and the
+    cohort matrix is ``retention_from_activity``'s metadata-rows read.
+    Oracle: the batch ``xretention`` SQL over the full ledger — fold ≡
+    batch is exact because min/union over a partition of the ledger
+    equals min/union over the whole (pytest-pinned incl. out-of-order
+    cohort arrival and double-merge idempotence)."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        activity_increment,
+        activity_merge,
+        retention_from_activity,
+    )
+
+    t = load(spark, sf_dir, "events")
+    state = None
+    for tick in _event_time_ticks(t["events"]):
+        inc = activity_increment(tick, bucket="week")
+        state = inc if state is None else activity_merge(state, inc)
+    out = retention_from_activity(state, bucket="week")
+    return out.select(
+        F.unix_micros("cohort_start").alias("cohort_us"),
+        "period",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def q_xfunnel_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained funnel-progress monitor, driver-verified:
+    per-user greedy-walk accumulators ``(depth, t1_us, tprev_us,
+    last_us)`` fold over three event-time ticks via
+    ``operators/funnel.py::funnel_fold_increment`` — the batch walk's
+    own ``_funnel_advance`` lambda advanced tick-by-tick (a left fold
+    over the time-sorted sequence decomposes exactly on ordered
+    ticks), exactly ``streaming/structured.py::maintained_funnel``'s
+    fold — and the counts read is ``funnel_from_state``'s one-row
+    aggregate over the accumulator state. Oracle: the batch
+    ``xfunnel`` SQL (sequential conditional mins) over the full
+    ledger."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        funnel_fold_increment,
+        funnel_from_state,
+    )
+
+    steps = ["view", "click", "purchase"]
+    t = load(spark, sf_dir, "events")
+    state = None
+    for tick in _event_time_ticks(t["events"]):
+        state = funnel_fold_increment(
+            state, tick, steps, within_seconds=72 * 3600
+        )
+    out = funnel_from_state(state, steps)
+    return out.select(
+        F.col("step").cast("long").alias("step"),
+        "event_type",
+        F.col("n_users").cast("long").alias("n_users"),
+    )
+
+
+def q_xtransitions_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained Markov-transition monitor, driver-verified:
+    additive |types|² pair counts + per-user last-event state fold
+    over three event-time ticks via ``operators/funnel.py::
+    transitions_increment`` (within-tick adjacencies + one boundary
+    pair per continuing user — ordered ticks partition the time-sorted
+    sequence, so summed counts equal the batch pairing exactly;
+    exactly ``streaming/structured.py::maintained_transitions``'s
+    fold) and the row-stochastic matrix is
+    ``transitions_from_counts``'s metadata-rows read. Oracle: the
+    batch ``xtransitions`` lead-window SQL over the full ledger."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        transitions_from_counts,
+        transitions_increment,
+    )
+
+    t = load(spark, sf_dir, "events")
+    counts = None
+    last = None
+    for tick in _event_time_ticks(t["events"]):
+        inc, last = transitions_increment(last, tick)
+        counts = (
+            inc
+            if counts is None
+            else inc.unionByName(counts)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    out = transitions_from_counts(counts)
+    return out.select(
+        "from_type", "to_type", "n", F.round("p", 9).alias("p")
+    )
+
+
+def q_xdebounce_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained burst-debounce stage, driver-verified: per-group
+    last-RAW-event state + an APPEND-ONLY kept-events log fold over
+    three event-time ticks of the user_id < 200 population via
+    ``operators/funnel.py::debounce_increment`` (survival depends only
+    on the immediate raw predecessor — previous tick event or the
+    stored ``last_us`` — so ordered ticks partition each group's
+    sequence and the kept union equals the batch debounce row-for-row;
+    exactly ``streaming/structured.py::maintained_debounce``'s fold).
+    Oracle: the batch ``xdebounce`` lag-rule SQL over the full
+    ledger, aggregated per event_type with the id-sum fingerprint so
+    the kept SET itself is hash-verified."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        debounce_increment,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].filter(F.col("user_id") < 200)
+    kept_logs = []
+    last = None
+    for tick in _event_time_ticks(ev):
+        kept, last = debounce_increment(
+            last, tick, "ts", gap_seconds=600.0,
+            group_cols=["user_id", "event_type"],
+        )
+        kept_logs.append(kept)
+    log = kept_logs[0]
+    for k in kept_logs[1:]:
+        log = log.unionByName(k)
+    return log.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("event_id").cast("long").alias("id_sum"),
+    )
+
+
+def q_xquality_rates_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained per-source quality-rate monitor, driver-verified
+    — the feed-gone-bad alarm a 100 TB crawl ingest runs after every
+    tick: Gopher rule-hit counters ``(grp, n_docs, c_<rule>…,
+    c_pass_all)`` fold cell-wise over three doc-id ticks via
+    ``operators/text.py::quality_rule_counts`` — exactly
+    ``streaming/structured.py::maintained_quality_rates``'s per-tick
+    fold — and the dashboard is ``quality_rates_from_counts`` over
+    |sources| metadata rows, the corpus never re-read. Oracle: the
+    ``xtext_gopher`` rule expressions aggregated per source with
+    half-up 4dp rates — the folded counter cells surface directly in
+    ``n_docs`` and every rate, so the state is hash-verified."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        quality_rates_from_counts,
+        quality_rule_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = quality_rule_counts(
+            d.filter(F.col("doc_id") % 3 == i), "source"
+        )
+        if state is None:
+            state = inc
+        else:
+            csum = [
+                F.sum(c).cast("long").alias(c)
+                for c in inc.columns
+                if c != "grp"
+            ]
+            state = inc.unionByName(state).groupBy("grp").agg(*csum)
+    return quality_rates_from_counts(state, dp=4)
+
+
+def q_xvocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained corpus term-count state, driver-verified via its
+    vocabulary read: the wordcount frame ``(token, freq)`` folds
+    cell-wise over three doc-id ticks via ``operators/text.py::
+    term_counts`` — exactly ``streaming/structured.py::
+    maintained_term_counts``'s per-tick fold — and
+    ``vocabulary_from_counts`` reads the induced top-20 vocabulary
+    from vocab-sized state with the batch rank rule (freq desc, token
+    asc). The output ``freq`` values ARE folded state cells, so the
+    state itself is hash-verified against the batch ``xvocab`` SQL
+    over the full ledger; the downstream OOV/logprob reads consume
+    this vocabulary frame unchanged (pytest-pinned)."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        term_counts,
+        vocabulary_from_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = term_counts(d.filter(F.col("doc_id") % 3 == i))
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+    return vocabulary_from_counts(state, top_v=20)
+
+
+def q_xbloom_decontaminate_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained-Bloom decontamination READ, driver-verified: the
+    benchmark (doc_id ≥ 450) folds into the 2¹⁶-bit bitmap over three
+    benchmark ticks via ``operators/decontaminate.py::bloom_build`` +
+    bitwise OR — the OR fold is associative/commutative/IDEMPOTENT, so
+    the maintained bitmap is bit-identical to the one-shot build
+    (exactly ``streaming/structured.py::maintained_bloom``'s fold,
+    pytest-pinned) — then the corpus tick (doc_id < 400) flags via
+    ``bloom_flag_with_bitmap`` WITHOUT re-shingling the benchmark for
+    phase 1. No false negatives + exact phase-2 verify ⇒ result ≡
+    ``flag_contaminated``; the oracle replays the direct exact rule,
+    so the hash match proves the from-state read drops nothing."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        bloom_build,
+        bloom_flag_with_bitmap,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    corpus = d.filter(F.col("doc_id") < 400)
+    bench = d.filter(F.col("doc_id") >= 450)
+    bitmap = None
+    for i in range(3):
+        inc = bloom_build(
+            bench.filter(F.col("doc_id") % 3 == i),
+            shingle_len=5, m_bits=1 << 16, k_hashes=4,
+            hash_fn="xxhash64",
+        )
+        # python ints carry two's-complement semantics, so signed-view
+        # OR is exactly the 64-bit bitwise OR of the raw bitmaps
+        bitmap = (
+            inc if bitmap is None else [a | b for a, b in zip(bitmap, inc)]
+        )
+    return bloom_flag_with_bitmap(
+        corpus, bench, bitmap, shingle_len=5, threshold=1,
+        m_bits=1 << 16, k_hashes=4, hash_fn="xxhash64",
+    )
+
+
+def q_xbm25_postings_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """BM25 top-k served from the MAINTAINED inverted index,
+    driver-verified: postings ``(term, doc_id, tf, dl)`` accumulate
+    append-only over three doc-id ticks via
+    ``operators/retrieval.py::postings_increment`` (a doc id never
+    re-appears on an append ledger — exactly
+    ``streaming/structured.py::maintained_postings``'s fold, where
+    term == bucket key makes the read partition-pruned and term-sorted
+    files add row-group pruning), the corpus scalars fold via
+    ``term_stats_increment`` summation, and the serving cut is
+    ``bm25_topk_from_postings``: df from the postings rows themselves,
+    idf/avgdl from the scalars row, half-up 6dp score, (score DESC,
+    doc_id) rank, top 10 — the corpus is NEVER read at query time.
+    Oracle: the ``xbm25`` count/idf CTE chain with the same half-up
+    6dp + rank + LIMIT — tf/dl/df state cells all surface in the
+    score, so the folded index itself is hash-verified."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_topk_from_postings,
+        postings_increment,
+        term_stats_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    postings = None
+    stats = None
+    for i in range(3):
+        tick = d.filter(F.col("doc_id") % 3 == i)
+        pinc = postings_increment(tick)
+        postings = (
+            pinc if postings is None else postings.unionByName(pinc)
+        )
+        sinc = term_stats_increment(tick)
+        if stats is None:
+            stats = sinc
+        else:
+            stats = (
+                stats.unionByName(sinc)
+                .groupBy("term")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("tot_len").cast("long").alias("tot_len"),
+                    F.sum("n_len").cast("long").alias("n_len"),
+                )
+            )
+    return bm25_topk_from_postings(
+        postings, stats, _BM25_TERMS, k=10, dp=6
+    )
+
+
+def q_xcentroid_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded centroid-drift STATE ROWS themselves,
+    driver-verified — closing the read-vs-state gap of
+    ``xcentroid_from_stats`` (whose oracle is the batch matrix): the
+    per-label sufficient statistics ``(grp, n, sv, ss)`` fold
+    element-wise over three vec-id ticks via
+    ``operators/clustering.py::centroid_stats`` — exactly
+    ``streaming/structured.py::maintained_centroid_stats``'s per-tick
+    fold — and this key returns the state frame itself (``sv`` as a
+    CSV string, the ``xminhash_index_maintained`` device). The oracle
+    rebuilds the stats from TICK-STRUCTURED count CTEs (per-tick sums,
+    then the cross-tick additive fold in SQL), so the hash match
+    proves the folded state — not just a read over it — is right."""
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        centroid_stats,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"].select(
+        F.col("label").cast("long").alias("grp"), "vec_id", "embedding"
+    )
+    dim = 64
+    state = None
+    for i in range(3):
+        inc = centroid_stats(
+            emb.filter(F.col("vec_id") % 3 == i),
+            "grp", "vec_id", "embedding", dim,
+        )
+        if state is None:
+            state = inc
+        else:
+            state = (
+                inc.unionByName(state.select("grp", "n", "sv", "ss"))
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.aggregate(
+                        F.collect_list("sv"),
+                        F.array(
+                            *[F.lit(0).cast("long") for _ in range(dim)]
+                        ),
+                        lambda acc, v: F.zip_with(
+                            acc, v, lambda a, b: a + b
+                        ),
+                    ).alias("sv"),
+                    F.sum("ss").cast("long").alias("ss"),
+                )
+            )
+    return state.select(
+        "grp",
+        "n",
+        F.array_join(
+            F.transform(F.col("sv"), lambda c: c.cast("string")), ","
+        ).alias("sv_csv"),
+        "ss",
+    )
+
+
+def q_xlm_counts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded Stupid-Backoff COUNT FRAME itself, driver-verified —
+    closing the read-vs-state gap of ``xlm_backoff_incremental``
+    (whose oracle is the batch scoring): the unified ``(n, w1, w2, w3,
+    c)`` n-gram counts of the doc_id < 250 reference fold cell-wise
+    over three doc-id ticks via ``operators/text.py::lm_ngram_counts``
+    — exactly ``streaming/structured.py::maintained_lm_counts``'s
+    per-tick fold — and this key returns the count frame itself. The
+    oracle rebuilds it from TICK-STRUCTURED count CTEs (per-tick
+    unigram/bigram/trigram counts, then the cross-tick additive fold
+    in SQL), so the hash match proves the folded model state — not
+    just scores read through it — is right."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        lm_ngram_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    ref = t["documents"].filter(F.col("doc_id") < 250)
+    counts = None
+    for i in range(3):
+        inc = lm_ngram_counts(ref.filter(F.col("doc_id") % 3 == i))
+        counts = (
+            inc
+            if counts is None
+            else inc.unionByName(counts)
+            .groupBy("n", "w1", "w2", "w3")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+    return counts
+
+
 QUERIES = {
     "xsketch_kmv": q_xsketch_kmv,
     "xsketch_kmv_merge": q_xsketch_kmv_merge,
@@ -3965,6 +4401,17 @@ QUERIES = {
     "xdsir_incremental": q_xdsir_incremental,
     "xcentroid_from_stats": q_xcentroid_from_stats,
     "xlm_backoff_incremental": q_xlm_backoff_incremental,
+    "xsessions_maintained": q_xsessions_maintained,
+    "xretention_maintained": q_xretention_maintained,
+    "xfunnel_maintained": q_xfunnel_maintained,
+    "xtransitions_maintained": q_xtransitions_maintained,
+    "xdebounce_maintained": q_xdebounce_maintained,
+    "xquality_rates_maintained": q_xquality_rates_maintained,
+    "xvocab_maintained": q_xvocab_maintained,
+    "xbloom_decontaminate_maintained": q_xbloom_decontaminate_maintained,
+    "xbm25_postings_maintained": q_xbm25_postings_maintained,
+    "xcentroid_stats_state": q_xcentroid_stats_state,
+    "xlm_counts_state": q_xlm_counts_state,
     "xsample_weighted_merge": q_xsample_weighted_merge,
     "xbm25_incremental": q_xbm25_incremental,
     "xlm_backoff": q_xlm_backoff,
@@ -8099,3 +8546,141 @@ ORACLES["xdsir_incremental"] = (
 )
 ORACLES["xcentroid_from_stats"] = ORACLES["xcentroid_shift"]
 ORACLES["xlm_backoff_incremental"] = ORACLES["xlm_backoff"]
+
+# The maintained-events quintet + vocab + Bloom read fold exactly to
+# the batch answer over the whole ledger (ordered ticks partition the
+# per-user/per-group sequences; the count/min/union folds are exact),
+# so each key's oracle IS its driver-green batch twin's SQL — and for
+# sessions/debounce the hashed rows ARE the folded state + append log,
+# so the state itself is verified, not just a read over it.
+ORACLES["xsessions_maintained"] = ORACLES["xsessionize"]
+ORACLES["xretention_maintained"] = ORACLES["xretention"]
+ORACLES["xfunnel_maintained"] = ORACLES["xfunnel"]
+ORACLES["xtransitions_maintained"] = ORACLES["xtransitions"]
+ORACLES["xdebounce_maintained"] = ORACLES["xdebounce"]
+ORACLES["xvocab_maintained"] = ORACLES["xvocab"]
+ORACLES["xbloom_decontaminate_maintained"] = ORACLES["xdecontaminate_bloom"]
+
+# the xtext_gopher rule expressions VERBATIM, aggregated per source:
+# counters sum CAST(rule AS INT) so NULL text counts in n_docs but in
+# no c_ column (sum skips NULL — the Spark side's exact contract)
+ORACLES["xquality_rates_maintained"] = (
+    "WITH d AS (SELECT source, text, "
+    "string_split_regex(trim(text), '\\s+') AS w, "
+    "string_split(text, chr(10)) AS lns FROM documents), "
+    "r AS (SELECT source, "
+    "CAST(len(w) >= 50 AND len(w) <= 100000 AS INT) AS r_wc, "
+    "CAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) "
+    "/ len(w) >= 3.0 AND "
+    "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) "
+    "/ len(w) <= 10.0 AS INT) AS r_mwl, "
+    "CAST(CAST(length(text) - length(regexp_replace(text, '[#…]', '', "
+    "'g')) AS DOUBLE) / len(w) < 0.1 AS INT) AS r_sym, "
+    "CAST(CAST(len(list_filter(lns, l -> regexp_matches(l, "
+    "'^\\s*[-\\*•]'))) AS DOUBLE) / len(lns) < 0.9 AS INT) AS r_bul, "
+    "CAST(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "AS DOUBLE) / len(w) >= 0.8 AS INT) AS r_alpha "
+    "FROM d), "
+    "c AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(r_wc) AS BIGINT) AS c_wc, "
+    "CAST(sum(r_mwl) AS BIGINT) AS c_mwl, "
+    "CAST(sum(r_sym) AS BIGINT) AS c_sym, "
+    "CAST(sum(r_bul) AS BIGINT) AS c_bul, "
+    "CAST(sum(r_alpha) AS BIGINT) AS c_alpha, "
+    "CAST(sum(r_wc * r_mwl * r_sym * r_bul * r_alpha) AS BIGINT) "
+    "AS c_pass FROM r GROUP BY source) "
+    "SELECT grp, n_docs, "
+    + _fhu("CAST(c_wc AS DOUBLE) / n_docs", 4)
+    + " AS rate_rule_word_count, "
+    + _fhu("CAST(c_mwl AS DOUBLE) / n_docs", 4)
+    + " AS rate_rule_mean_word_len, "
+    + _fhu("CAST(c_sym AS DOUBLE) / n_docs", 4)
+    + " AS rate_rule_symbol_ratio, "
+    + _fhu("CAST(c_bul AS DOUBLE) / n_docs", 4)
+    + " AS rate_rule_bullet_lines, "
+    + _fhu("CAST(c_alpha AS DOUBLE) / n_docs", 4)
+    + " AS rate_rule_alpha_words, "
+    + _fhu("CAST(c_pass AS DOUBLE) / n_docs", 4)
+    + " AS rate_pass_all FROM c"
+)
+
+# the xbm25 count/idf CTE chain with the serving cut's exact float
+# expression tree (idf * (tf·2.2 / denom) — the Spark association),
+# explicit Σlen/count avgdl (one exact-BIGINT division, never avg()),
+# half-up 6dp, (score DESC, doc_id) rank, LIMIT 10
+ORACLES["xbm25_postings_maintained"] = (
+    "WITH tok AS (SELECT doc_id, "
+    "len(string_split_regex(trim(lower(text)), '\\s+')) AS dl, "
+    "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t "
+    "FROM documents), "
+    "m AS (SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl "
+    "FROM tok WHERE t IN ('hash', 'merge', 'stream', 'vector') "
+    "GROUP BY doc_id, t), "
+    "s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) "
+    "AS DOUBLE) / count(*) AS avgdl FROM documents), "
+    "d AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM m GROUP BY t), "
+    "sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_matched, "
+    + _fhu(
+        "sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) "
+        "* (tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) "
+        "+ 0.75 * dl / avgdl))))",
+        6,
+    )
+    + " AS score FROM m JOIN d USING (t) CROSS JOIN s GROUP BY doc_id) "
+    "SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) "
+    "AS BIGINT) AS rank, doc_id, n_terms_matched, score FROM sc "
+    "ORDER BY rank LIMIT 10"
+)
+
+# tick-structured state verification (the xsketch_kmv_merge device):
+# per-tick sums FIRST, then the cross-tick additive fold in SQL — a
+# hash match proves the folded stats frame itself, closing the r14
+# read-vs-state gap of xcentroid_from_stats
+ORACLES["xcentroid_stats_state"] = (
+    "WITH e AS (SELECT CAST(label AS BIGINT) AS grp, "
+    "vec_id % 3 AS tick, "
+    "list_transform(CAST(embedding AS DOUBLE[]), "
+    "x -> CAST(floor(x * CAST(10000.0 AS DOUBLE) + 0.5) AS BIGINT)) "
+    "AS qv FROM embeddings), "
+    "x AS (SELECT grp, tick, unnest(qv) AS v, "
+    "generate_subscripts(qv, 1) AS j FROM e), "
+    "pt AS (SELECT grp, tick, j, CAST(sum(v) AS BIGINT) AS s FROM x "
+    "GROUP BY grp, tick, j), "
+    "s AS (SELECT grp, j, CAST(sum(s) AS BIGINT) AS s FROM pt "
+    "GROUP BY grp, j), "
+    "sv AS (SELECT grp, string_agg(CAST(s AS VARCHAR), ',' ORDER BY j) "
+    "AS sv_csv FROM s GROUP BY grp), "
+    "pn AS (SELECT grp, tick, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(list_sum(list_transform(qv, v -> v * v))) AS BIGINT) "
+    "AS ss FROM e GROUP BY grp, tick), "
+    "nn AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n, "
+    "CAST(sum(ss) AS BIGINT) AS ss FROM pn GROUP BY grp) "
+    "SELECT nn.grp, nn.n, sv.sv_csv, nn.ss FROM nn JOIN sv USING (grp)"
+)
+
+# same device for the Stupid-Backoff count frame: per-tick n-gram
+# counts, then the additive fold — verifies the xlm_backoff_
+# incremental key's folded MODEL, not just scores read through it
+ORACLES["xlm_counts_state"] = (
+    "WITH tq AS (SELECT doc_id % 3 AS tick, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS t "
+    "FROM documents WHERE doc_id < 250), "
+    "u_t AS (SELECT tick, w1, count(*) AS c FROM "
+    "(SELECT tick, unnest(t) AS w1 FROM tq) GROUP BY tick, w1), "
+    "uni AS (SELECT CAST(1 AS INTEGER) AS n, w1, '' AS w2, '' AS w3, "
+    "CAST(sum(c) AS BIGINT) AS c FROM u_t GROUP BY w1), "
+    "b_t AS (SELECT tick, t[i] AS w1, t[i + 1] AS w2, count(*) AS c "
+    "FROM tq, unnest(generate_series(1, len(t) - 1)) AS u(i) "
+    "GROUP BY tick, w1, w2), "
+    "big AS (SELECT CAST(2 AS INTEGER) AS n, w1, w2, '' AS w3, "
+    "CAST(sum(c) AS BIGINT) AS c FROM b_t GROUP BY w1, w2), "
+    "t_t AS (SELECT tick, t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3, "
+    "count(*) AS c FROM tq, "
+    "unnest(generate_series(1, len(t) - 2)) AS u(i) "
+    "GROUP BY tick, w1, w2, w3), "
+    "tri AS (SELECT CAST(3 AS INTEGER) AS n, w1, w2, w3, "
+    "CAST(sum(c) AS BIGINT) AS c FROM t_t GROUP BY w1, w2, w3) "
+    "SELECT * FROM uni UNION ALL SELECT * FROM big "
+    "UNION ALL SELECT * FROM tri"
+)
