@@ -194,6 +194,58 @@ def _bench_calibration_scan(spark, sf_dir: str) -> list[float]:
     return _run_reps(_one)
 
 
+def _bench_calibration_hof(spark) -> list[float]:
+    """Interpreted-HOF calibration: a fixed-work ``transform`` /
+    ``zip_with`` / ``aggregate`` lambda job over a constant generated
+    frame — the ``xsim_topk_brute`` dot-product shape with the corpus
+    replaced by ``range`` — reduced to one sum. Higher-order-function
+    lambdas run on Spark's INTERPRETED expression path (no whole-stage
+    codegen), an engine subsystem the scalar-CPU and scan kernels
+    cannot see by construction: the r14 driver bench swung +63% raw
+    almost entirely in the two HOF-heavy kernels (xdedup_minhash,
+    xsim_topk_brute) and the host attribution needed an out-of-band
+    worktree A/B of the prior commit (SCALE.md round-14). This datum
+    moves WITH the interpreted-lambda engine path, so future HOF-pair
+    drift is normalizable in-artifact: a HOF-query delta matching the
+    calibration_hof delta is the host's lambda-execution speed, not a
+    plan change. Work is SF-independent and deterministic (id-derived
+    integers, no rand())."""
+
+    def _one() -> None:
+        (
+            spark.range(0, 400_000, 1, 64)
+            .selectExpr(
+                "transform(sequence(0, 63), j -> "
+                "CAST((id % 997) * (j + 1) % 1013 AS DOUBLE)) AS u",
+                "transform(sequence(0, 63), j -> "
+                "CAST((id % 991) * (j + 7) % 1009 AS DOUBLE)) AS v",
+            )
+            .selectExpr(
+                "aggregate(zip_with(u, v, (a, b) -> a * b), "
+                "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) AS d"
+            )
+            .selectExpr("sum(d) AS s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    return _run_reps(_one)
+
+
+def _cal_spread(times: list[float]) -> dict[str, float]:
+    """The record()-shaped spread row for a calibration kernel."""
+    warm = sorted(times[1:]) or sorted(times)
+    return {
+        "min": round(min(times), 3),
+        "max": round(max(times), 3),
+        "spread": round(max(times) - min(times), 3),
+        "warm_spread": round(warm[-1] - warm[0], 3),
+        "warm_median": round(warm[len(warm) // 2], 3),
+        "n": len(times),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -251,35 +303,17 @@ def main() -> None:
     # (query_sec / calibration_sec) go on the diagnostics line.
     cal_times = _bench_calibration(spark)
     cal = round(min(cal_times), 3)
-    spreads["calibration_range_hash"] = {
-        "min": cal,
-        "max": round(max(cal_times), 3),
-        "spread": round(max(cal_times) - min(cal_times), 3),
-        "warm_spread": round(
-            (lambda w: w[-1] - w[0])(sorted(cal_times[1:] or cal_times)), 3
-        ),
-        "warm_median": round(sorted(cal_times[1:] or cal_times)[
-            len(cal_times[1:] or cal_times) // 2
-        ], 3),
-        "n": len(cal_times),
-    }
+    spreads["calibration_range_hash"] = _cal_spread(cal_times)
+    # computed from the warm reps like record() — the scan datum exists
+    # for I/O-drift attribution and the HOF datum for interpreted-
+    # lambda-drift attribution, so a fabricated 0.0 would understate
+    # run-to-run variance on either
     scan_times = _bench_calibration_scan(spark, sf_dir)
     cal_scan = round(min(scan_times), 3)
-    spreads["calibration_scan"] = {
-        "min": cal_scan,
-        "max": round(max(scan_times), 3),
-        "spread": round(max(scan_times) - min(scan_times), 3),
-        # computed from the warm reps like record() — this datum exists
-        # for I/O-drift attribution, so a fabricated 0.0 would
-        # understate run-to-run scan variance
-        "warm_spread": round(
-            (lambda w: w[-1] - w[0])(sorted(scan_times[1:] or scan_times)), 3
-        ),
-        "warm_median": round(sorted(scan_times[1:] or scan_times)[
-            len(scan_times[1:] or scan_times) // 2
-        ], 3),
-        "n": len(scan_times),
-    }
+    spreads["calibration_scan"] = _cal_spread(scan_times)
+    hof_times = _bench_calibration_hof(spark)
+    cal_hof = round(min(hof_times), 3)
+    spreads["calibration_hof"] = _cal_spread(hof_times)
     normalized = {k: round(v / cal, 2) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -326,6 +360,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "calibration_sec": cal,
                 "calibration_scan_sec": cal_scan,
+                "calibration_hof_sec": cal_hof,
                 "value_normalized": round(total / cal, 2),
                 "value_normalized_scan": round(total / cal_scan, 2),
             }

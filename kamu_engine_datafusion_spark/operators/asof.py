@@ -79,3 +79,96 @@ def asof_join(
     if how == "inner":
         out = out.filter(F.col(f"right_{right_value_cols[0]}").isNotNull())
     return out
+
+
+def asof_state_increment(
+    state: DataFrame | None,
+    right_tick: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """One tick of the maintained AS-OF serving state — per-key LATEST
+    right row ``(key…, ts, value…)`` (``streaming.structured.
+    maintained_asof_state``'s merge law): the fold keeps, per key, the
+    maximum-``(ts, tiebreak)`` row of ``state ∪ tick``. Max over a
+    total order is an idempotent semilattice merge (the retention
+    class): ticks may arrive in ANY order, and even a double-applied
+    tick cannot corrupt the state — after any ticks the state equals
+    the per-key latest of the whole right ledger.
+
+    ``tiebreak_col`` disambiguates equal-``ts`` rows (pass the ledger
+    offset/event id); without it, feeds must carry at most one right
+    row per (key, ts) — the funnel-family simultaneous-events caveat,
+    loud here in the docstring because a silent arbitrary winner
+    would leak into every downstream probe."""
+    sel = [*key_cols, ts_col, *value_cols] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+    rows = right_tick.select(*sel)
+    if state is not None:
+        rows = rows.unionByName(state.select(*sel))
+    order = [F.col(ts_col).desc()] + (
+        [F.col(tiebreak_col).desc()] if tiebreak_col else []
+    )
+    w = Window.partitionBy(*key_cols).orderBy(*order)
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_probe_from_state(
+    left: DataFrame,
+    state: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """AS-OF join served from maintained per-key-latest state ALONE —
+    the serving read of :func:`asof_join` for the head-of-ledger case
+    (enrich a NEW tick with the latest known dimension values): under
+    the probe contract — every left row's ``ts`` ≥ its key's stored
+    right ``ts``, i.e. the probe frame is event-time-current, the
+    append-ledger shape — the latest right row ≤ ``left.ts`` IS the
+    stored row, so this equi-join equals
+    ``asof_join(left, right_full_history)`` row-for-row
+    (pytest-pinned). A left row whose ``ts`` precedes its key's stored
+    right ``ts`` RAISES: state only keeps the latest right row per
+    key, so the true as-of match may have been discarded — serving it
+    silently would be wrong; replay the batch operator over history
+    instead.
+
+    Scale: at 100 TB the batch as-of pays a union + per-key sort over
+    the WHOLE right history every run; this reads keys-sized state and
+    runs one equi-join (broadcast when the dimension is small, plain
+    hash join otherwise) — history is never re-sorted. Output frame
+    matches :func:`asof_join`: left columns + ``right_<c>``;
+    ``how='inner'`` drops unmatched left rows, ``how='left'`` keeps
+    them with nulls."""
+    st = state.select(
+        *key_cols,
+        F.col(ts_col).alias("__r_ts"),
+        *[F.col(c).alias(f"right_{c}") for c in right_value_cols],
+    )
+    j = left.join(st, key_cols, "left")
+    viol = j.filter(
+        F.col("__r_ts").isNotNull() & (F.col(ts_col) < F.col("__r_ts"))
+    ).count()
+    if viol:
+        raise ValueError(
+            f"asof_probe_from_state: {viol} left row(s) precede their "
+            "key's stored right ts — the per-key-latest state cannot "
+            "answer historical as-of probes (the discarded older right "
+            "rows may be the true matches); probe with event-time-"
+            "current ticks or run the batch asof_join over history"
+        )
+    out = j.drop("__r_ts")
+    if how == "inner":
+        out = out.filter(
+            F.col(f"right_{right_value_cols[0]}").isNotNull()
+        )
+    return out

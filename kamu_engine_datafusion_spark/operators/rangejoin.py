@@ -120,3 +120,82 @@ def merge_intervals(
         .withColumnRenamed("__island", "island")
         .withColumn("island", F.col("island").cast("long"))
     )
+
+
+def intervals_increment(
+    state: DataFrame | None,
+    tick: DataFrame,
+    start_col: str,
+    end_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """One consolidation tick against per-group disjoint-island state —
+    the maintained form of :func:`merge_intervals` (``streaming.
+    structured.maintained_intervals``'s merge law): ``state`` rows are
+    consolidated islands ``(group…, island, start, end, n_merged)``
+    (None for the first tick), ``tick`` is a new batch of raw
+    intervals, and the output is the REPLACEMENT island rows for every
+    group present in either input.
+
+    The fold law: interval-union geometry is a pure function of the
+    input SET — ``consolidate(A ∪ B) == consolidate(consolidate(A) ∪
+    B)`` — so ticks may arrive in ANY order and the folded islands
+    equal the batch :func:`merge_intervals` of the whole ledger
+    row-for-row, island ids included (ids renumber by start order,
+    which is exactly the batch running-break index). Geometry is
+    therefore semilattice-safe (even a double-applied tick cannot move
+    an island boundary); ``n_merged`` is ADDITIVE — state islands
+    re-enter the consolidation WEIGHTED by their original-interval
+    counts (tick rows weigh 1), so exactly-once for the count column
+    rides the fold protocol's replay marker, like every additive
+    frame. Inverted tick rows (end < start) are dropped up front,
+    exactly like the batch operator.
+
+    Scale: one group-keyed shuffle over ``touched state ∪ tick`` —
+    state is islands-sized (bounded by the consolidated geometry, not
+    the ledger), and history is never re-merged."""
+    group_cols = group_cols or []
+    s, e = F.col(start_col), F.col(end_col)
+    rows = tick.filter(e >= s).select(
+        *group_cols, start_col, end_col,
+        F.lit(1).cast("long").alias("__w"),
+    )
+    if state is not None:
+        rows = rows.unionByName(
+            state.select(
+                *group_cols, start_col, end_col,
+                F.col("n_merged").cast("long").alias("__w"),
+            )
+        )
+    w = Window.partitionBy(*group_cols).orderBy(s, e)
+    prev_max_end = F.max(e).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = rows.withColumn(
+        "__new_island",
+        F.when(prev_max_end.isNull() | (s > prev_max_end), 1).otherwise(0),
+    )
+    island = F.sum("__new_island").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("__island", island)
+        .groupBy(*group_cols, "__island")
+        .agg(
+            F.min(s).alias(start_col),
+            F.max(e).alias(end_col),
+            F.sum("__w").cast("long").alias("n_merged"),
+        )
+        # islands are disjoint per group, so start order IS the batch
+        # operator's running-break numbering
+        .withColumn(
+            "island",
+            F.row_number()
+            .over(
+                Window.partitionBy(*group_cols).orderBy(F.col(start_col))
+            )
+            .cast("long"),
+        )
+        .drop("__island")
+        .select(*group_cols, "island", start_col, end_col, "n_merged")
+    )

@@ -657,6 +657,7 @@ def _fold_buckets(
     key_cols: list[str],
     n_buckets: int,
     merge_fn,
+    sort_cols: list[str] | None = None,
 ) -> None:
     """Shared bucketed fold: stage merged touched buckets, commit, apply.
 
@@ -665,7 +666,18 @@ def _fold_buckets(
     contain ``key_cols``. ``state_subset`` arrives WITHOUT the bucket
     column and covers exactly the touched buckets (partition-pruned
     scan — untouched bucket files are never read).
-    """
+
+    ``sort_cols`` sorts each rewritten bucket file (the append fold's
+    zone-map option carried to the rewrite fold): because the rewrite
+    replaces a touched bucket WHOLESALE every tick, a sorted layout
+    here is self-maintaining — no compaction needed for the pruning to
+    hold. Worth it ONLY for states read with LITERAL predicates on a
+    within-bucket column (``maintained_term_stats``: BM25 reads filter
+    ``term IN (...)`` + the scalars-key equality, which parquet
+    row-group min/max stats prune under a term-sorted layout); the
+    join-probed indexes (MinHash bands, pHash chunks, SemDeDup
+    clusters) gain nothing — a join carries no static predicate for
+    the scan to prune on (audited r15, SCALE.md)."""
     import os
     import shutil
 
@@ -696,10 +708,15 @@ def _fold_buckets(
     merged = merge_fn(state_subset, batch_df)
     stage = _stage_dir(state_dir)
     shutil.rmtree(stage, ignore_errors=True)  # stale uncommitted staging
+    staged_rows = merged.withColumn(
+        _BUCKET_COL, _bucket_of(key_cols, n_buckets)
+    ).repartition(len(touched), _BUCKET_COL)
+    if sort_cols:
+        staged_rows = staged_rows.sortWithinPartitions(
+            _BUCKET_COL, *sort_cols
+        )
     (
-        merged.withColumn(_BUCKET_COL, _bucket_of(key_cols, n_buckets))
-        .repartition(len(touched), _BUCKET_COL)
-        .write.partitionBy(_BUCKET_COL)
+        staged_rows.write.partitionBy(_BUCKET_COL)
         .mode("overwrite")
         .parquet(stage)
     )
@@ -823,6 +840,59 @@ def compact_state(
         "files_before": files_before,
         "files_after": files_after,
     }
+
+
+def compact_state_if_needed(
+    spark: SparkSession,
+    state_dir: str,
+    trigger_files_per_bucket: int = 64,
+    max_files_per_bucket: int = 1,
+    sort_cols: list[str] | None = None,
+) -> dict | None:
+    """The COMPACTION CADENCE: run :func:`compact_state` only when some
+    bucket's file count crosses ``trigger_files_per_bucket`` — the
+    between-ticks maintenance call a long-horizon deployment makes
+    after every fold (append folds and the ``.closed`` session/debounce
+    logs grow one file per touched bucket per tick; rewrite folds
+    accumulate across engine restarts). Returns ``compact_state``'s
+    stats dict when a compaction ran, else ``None`` (the cheap path: a
+    directory listing, no Spark job, no files touched).
+
+    Why a threshold instead of always-compact: compaction rewrites
+    O(touched state), so running it every tick would turn the append
+    fold's O(increment) write cost back into the rewrite fold's. At
+    the default 64 the steady-state read pays at most 64 file opens
+    per bucket (~one listing page) while compaction amortizes to once
+    per 64 ticks; size it DOWN for read-heavy serving state (postings)
+    and UP for write-heavy archival logs. Single-writer discipline —
+    call it from the fold loop, never concurrently with a tick."""
+    import os
+
+    if not os.path.isdir(state_dir):
+        return None
+
+    def nfiles(d: str) -> int:
+        p = os.path.join(state_dir, d)
+        return sum(
+            1
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+
+    worst = max(
+        (
+            nfiles(d)
+            for d in os.listdir(state_dir)
+            if d.startswith(f"{_BUCKET_COL}=")
+            and os.path.isdir(os.path.join(state_dir, d))
+        ),
+        default=0,
+    )
+    if worst <= trigger_files_per_bucket:
+        return None
+    return compact_state(
+        spark, state_dir, max_files_per_bucket, sort_cols
+    )
 
 
 def maintained_view(
@@ -1771,6 +1841,165 @@ def read_maintained_sessions(
     ):
         state = read_maintained_state(spark, state_dir)
     return sessions_read(closed, state)
+
+
+def maintained_asof_state(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_cols: list[str],
+    ts_col: str,
+    value_cols: list[str],
+    tiebreak_col: str | None = None,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained AS-OF SERVING STATE over an append
+    dimension stream (``operators/asof.py::asof_state_increment``):
+    per-key latest right row, so a new fact tick enriches against the
+    latest known dimension values via
+    :func:`operators.asof.asof_probe_from_state` /
+    :func:`read_asof_probe` WITHOUT the batch as-of's union + per-key
+    sort over the whole dimension history. The merge (per-key max over
+    ``(ts, tiebreak)``) is an idempotent semilattice — ticks in any
+    order, double-apply-safe, the retention replay class — and after
+    any ticks the state equals the per-key latest of the whole ledger
+    (pytest-pinned ≡ the batch ``asof_join`` under the probe
+    contract). Retractions unsupported; feed the append stream.
+
+    Scale: per-tick cost O(tick ∪ touched-key state rows); state is
+    keys-sized; probes are one equi-join against it."""
+    from kamu_engine_datafusion_spark.operators.asof import (
+        asof_state_increment,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+    sel = [*key_cols, ts_col, *value_cols] + (
+        [tiebreak_col] if tiebreak_col else []
+    )
+
+    def _merge(state_subset, inc):
+        return asof_state_increment(
+            state_subset, inc, key_cols, ts_col, value_cols, tiebreak_col
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df.select(*sel),
+            batch_id,
+            state_dir,
+            key_cols,
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_asof_probe(
+    spark: SparkSession,
+    state_dir: str,
+    left: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    right_value_cols: list[str],
+    how: str = "inner",
+) -> DataFrame:
+    """AS-OF enrich a fact frame against :func:`maintained_asof_state`
+    state (``operators/asof.py::asof_probe_from_state`` over the live
+    state view) — equals ``asof_join(left, right_history)`` under the
+    event-time-current probe contract; raises on a historical probe."""
+    from kamu_engine_datafusion_spark.operators.asof import (
+        asof_probe_from_state,
+    )
+
+    return asof_probe_from_state(
+        left,
+        read_maintained_state(spark, state_dir),
+        key_cols,
+        ts_col,
+        right_value_cols,
+        how,
+    )
+
+
+def maintained_intervals(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    group_cols: list[str] | None = None,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained INTERVAL CONSOLIDATION over an append
+    stream of raw spans (``operators/rangejoin.py::
+    intervals_increment``) — the interval-algebra normalizer run AT
+    the ledger (maintenance windows, activity spans, span-dedup
+    output) instead of re-consolidated per consumer: state is one row
+    per disjoint island per group, and after any ticks it equals the
+    batch :func:`operators.rangejoin.merge_intervals` of the whole
+    ledger row-for-row (pytest-pinned), island ids included.
+
+    The strongest replay class in the maintained layer next to
+    retention: the GEOMETRY fold is an idempotent set function (ticks
+    in any order; even a double-applied tick cannot move an island
+    boundary) — only the additive ``n_merged`` count column needs the
+    marker skip for exactly-once. Live view =
+    :func:`read_maintained_state`. Retractions unsupported (removing
+    a span could split an island whose constituents were discarded);
+    feed the append stream.
+
+    Scale: per-tick cost O(tick ∪ touched-group islands) — one
+    group-keyed shuffle; the consolidated state is geometry-bounded
+    (a group's islands can only MERGE as spans accumulate), and the
+    ledger is never re-read."""
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        intervals_increment,
+    )
+
+    group_cols = group_cols or ["user_id"]
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc):
+        return intervals_increment(
+            state_subset, inc, start_col, end_col, group_cols
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df.select(*group_cols, start_col, end_col),
+            batch_id,
+            state_dir,
+            group_cols,
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def maintained_postings(
@@ -3145,6 +3374,12 @@ def maintained_term_stats(
         )
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # term-sorted bucket files: BM25 reads carry LITERAL term
+        # predicates (IN-list + the scalars-key equality), so parquet
+        # row-group min/max stats prune the vocab-sized state below
+        # the bucket level; the rewrite replaces touched buckets
+        # wholesale, so the layout is self-maintaining (r15 A/B in
+        # SCALE.md)
         _fold_buckets(
             term_stats_increment(batch_df, text_col, id_col),
             batch_id,
@@ -3152,6 +3387,7 @@ def maintained_term_stats(
             ["term"],
             state_buckets,
             _merge,
+            sort_cols=["term"],
         )
 
     return (

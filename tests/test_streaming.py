@@ -2892,3 +2892,370 @@ def test_maintained_debounce_equals_batch(spark, tmp_path):
     bad = spark.createDataFrame([(1, t(100), "click", 99)], schema)
     with _pytest.raises(ValueError, match="event-time order"):
         debounce_increment(st, bad, gap_seconds=gap)[0].collect()
+
+
+def test_compact_state_if_needed_cadence_and_closed_log(spark, tmp_path):
+    """r14 verdict item 7: the compaction CADENCE helper and the
+    `.closed` append-log coverage — below the trigger it is a pure
+    listing (None, zero files touched); above it, it compacts the
+    sessions closed log (which rides the same bucket layout as every
+    append fold), the live closed ∪ open read is unchanged, the
+    closed log's own marker survives, and the next fold + replay both
+    still work."""
+    from datetime import datetime, timezone
+
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _last_folded_batch,
+        compact_state_if_needed,
+        maintained_sessions,
+        read_maintained_sessions,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60,
+                        tzinfo=timezone.utc)
+
+    schema = "user_id long, ts timestamp, event_id long"
+    # each later tick closes the previous session of BOTH users, so
+    # the closed log appends a file to the same user buckets per tick
+    ticks = [
+        [(1, t(0), 1), (2, t(0), 2)],
+        [(1, t(100), 3), (2, t(100), 4)],
+        [(1, t(300), 5), (2, t(300), 6)],
+    ]
+    ledger = os.path.join(str(tmp_path), "ccledger")
+    state = os.path.join(str(tmp_path), "ccstate")
+    ck = os.path.join(str(tmp_path), "ccck")
+    closed = state + ".closed"
+    os.makedirs(ledger)
+
+    def run():
+        maintained_sessions(
+            ledger, state, ck, gap_sec=1800,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    def closed_files():
+        out = []
+        for d in sorted(os.listdir(closed)):
+            if not d.startswith("__bucket="):
+                continue
+            p = os.path.join(closed, d)
+            out.extend(
+                os.path.join(d, f)
+                for f in sorted(os.listdir(p))
+                if f.endswith(".parquet")
+            )
+        return out
+
+    before_files = closed_files()
+    assert len(before_files) >= 2  # two closes appended per user bucket
+    live_before = sorted(
+        tuple(r) for r in read_maintained_sessions(spark, state).collect()
+    )
+    marker_before = _last_folded_batch(closed)
+
+    # below the trigger: cheap no-op, nothing touched
+    assert (
+        compact_state_if_needed(spark, closed, trigger_files_per_bucket=64)
+        is None
+    )
+    assert closed_files() == before_files
+
+    # above the trigger: compacts to one file per bucket, content-,
+    # marker-, and read-neutral
+    stats = compact_state_if_needed(
+        spark, closed, trigger_files_per_bucket=1
+    )
+    assert stats is not None and stats["buckets_compacted"] >= 1
+    assert stats["files_after"] < stats["files_before"]
+    assert _last_folded_batch(closed) == marker_before
+    live_after = sorted(
+        tuple(r) for r in read_maintained_sessions(spark, state).collect()
+    )
+    assert live_after == live_before
+
+    # the fold continues over the compacted log: one more tick closes
+    # the open sessions again; replay stays a no-op
+    spark.createDataFrame(
+        [(1, t(500), 7), (2, t(500), 8)], schema
+    ).coalesce(1).write.mode("append").parquet(ledger)
+    run()
+    live_next = sorted(
+        tuple(r) for r in read_maintained_sessions(spark, state).collect()
+    )
+    assert len(live_next) == len(live_before) + 2  # two more closes
+    run()  # replay: no new data, nothing changes
+    assert (
+        sorted(
+            tuple(r)
+            for r in read_maintained_sessions(spark, state).collect()
+        )
+        == live_next
+    )
+
+
+def test_maintained_term_stats_sorted_layout(spark, tmp_path):
+    """r14 verdict item 6: the term-stats rewrite fold writes each
+    bucket file SORTED by term (BM25 reads carry literal term
+    predicates, so parquet row-group min/max stats can prune the
+    vocab-sized state below the bucket level) — and the sorted layout
+    is content-neutral: state ≡ the batch increment of the whole
+    ledger."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        term_stats_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_term_stats,
+        read_maintained_state,
+    )
+
+    docs = [
+        (0, "vector hash stream merge vector"),
+        (1, "hash hash hash join probe"),
+        (2, "stream stream merge window state"),
+        (3, "zebra apple mango banana"),
+        (4, "vector merge"),
+    ]
+    schema = "doc_id long, text string"
+    ledger = os.path.join(str(tmp_path), "tsledger")
+    state = os.path.join(str(tmp_path), "tsstate")
+    ck = os.path.join(str(tmp_path), "tsck")
+    os.makedirs(ledger)
+    for tk in (docs[0:3], docs[3:5]):
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        maintained_term_stats(
+            ledger, state, ck,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    # every bucket file's term column is sorted (row-group stats are
+    # tight, disjoint ranges a literal IN-filter can prune against)
+    n_checked = 0
+    for d in sorted(os.listdir(state)):
+        if not d.startswith("__bucket="):
+            continue
+        p = os.path.join(state, d)
+        for f in sorted(os.listdir(p)):
+            if f.endswith(".parquet"):
+                col = pq.read_table(
+                    os.path.join(p, f), columns=["term"]
+                )["term"].to_pylist()
+                assert col == sorted(col)
+                n_checked += 1
+    assert n_checked >= 1
+
+    # content-neutral: fold ≡ batch increment of the whole ledger
+    full = spark.createDataFrame(docs, schema)
+    want = sorted(tuple(r) for r in term_stats_increment(full).collect())
+    got = sorted(
+        tuple(r) for r in read_maintained_state(spark, state).collect()
+    )
+    assert got == want
+
+
+def test_maintained_intervals_equals_batch(spark, tmp_path):
+    """r15 staged: per-group interval-consolidation state folded tick
+    by tick must equal the batch merge_intervals of the whole ledger
+    row-for-row (island ids included) — including an island grown
+    across ticks, a touching-endpoint merge ([1,5]+[5,9]), two islands
+    fusing when a later tick bridges them, an untouched group passing
+    through a touched bucket unchanged, and an inverted tick row
+    dropped. The geometry fold is order-insensitive: the module-level
+    increment applied in REVERSE tick order produces the identical
+    state. Replay is a no-op via the marker (n_merged is additive)."""
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        intervals_increment,
+        merge_intervals,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_intervals,
+        read_maintained_state,
+    )
+
+    schema = "user_id long, start_us long, end_us long"
+    # u1: [0,10] grows to [0,25] (overlap), then [5,9] inside; [40,50]
+    #     and [60,70] separate islands, bridged by [45,65] in tick 2
+    # u2: [1,5] + [5,9] touching-endpoint merge; [100,110] separate
+    # u3: only in tick 0 (passes through later ticks untouched)
+    ticks = [
+        [(1, 0, 10), (1, 40, 50), (2, 1, 5), (3, 7, 8)],
+        [(1, 15, 25), (1, 5, 9), (1, 60, 70), (2, 5, 9), (1, 9, 16)],
+        [(1, 45, 65), (2, 100, 110), (2, 50, 40)],  # last row inverted
+    ]
+    ledger = os.path.join(str(tmp_path), "ivledger")
+    state = os.path.join(str(tmp_path), "ivstate")
+    ck = os.path.join(str(tmp_path), "ivck")
+    os.makedirs(ledger)
+
+    def run():
+        maintained_intervals(
+            ledger, state, ck,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        run()
+
+    full = spark.createDataFrame([r for t in ticks for r in t], schema)
+    want = sorted(
+        tuple(r)
+        for r in merge_intervals(
+            full, "start_us", "end_us", ["user_id"]
+        )
+        .select("user_id", "island", "start_us", "end_us", "n_merged")
+        .collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state)
+        .select("user_id", "island", "start_us", "end_us", "n_merged")
+        .collect()
+    )
+    assert got == want
+    # the bridge fused u1's [40,50]+[60,70] via [45,65]
+    u1 = [r for r in got if r[0] == 1]
+    assert (1, 2, 40, 70, 3) in u1
+
+    # replay with no new data: nothing changes (marker skip)
+    run()
+    assert (
+        sorted(
+            tuple(r)
+            for r in read_maintained_state(spark, state)
+            .select("user_id", "island", "start_us", "end_us", "n_merged")
+            .collect()
+        )
+        == got
+    )
+
+    # order-insensitive: the module-level fold in REVERSE tick order
+    # lands on the identical state (geometry is a set function;
+    # n_merged is additive, so any exactly-once order agrees)
+    st = None
+    for tk in reversed(ticks):
+        st = intervals_increment(
+            st, spark.createDataFrame(tk, schema),
+            "start_us", "end_us", ["user_id"],
+        )
+    rev = sorted(tuple(r) for r in st.collect())
+    assert rev == [
+        (u, i, s, e, n) for (u, i, s, e, n) in want
+    ]
+
+
+def test_maintained_asof_state_probe_equals_batch(spark, tmp_path):
+    """r15 staged: per-key-latest as-of serving state folded tick by
+    tick (idempotent max-merge — ticks in any order, double-apply
+    safe) must answer an event-time-current probe exactly like the
+    batch asof_join over the WHOLE right history — including a key
+    whose latest update landed two ticks ago, an equal-ts match (<=
+    semantics), and an unmatched key under both how='inner' and
+    how='left'. A historical probe (left ts before its key's stored
+    right ts) raises loudly."""
+    from datetime import datetime, timezone
+
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.asof import (
+        asof_join,
+        asof_state_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_asof_state,
+        read_asof_probe,
+    )
+
+    def t(minute):
+        return datetime(2024, 1, 1, minute // 60, minute % 60,
+                        tzinfo=timezone.utc)
+
+    rschema = "key long, ts timestamp, price double, rid long"
+    # key 1 updates every tick; key 2 only in tick 0; key 3 twice in
+    # tick 1 (latest wins via ts; rid is the tiebreak column)
+    rticks = [
+        [(1, t(0), 10.0, 1), (2, t(5), 20.0, 2)],
+        [(1, t(60), 11.0, 3), (3, t(61), 30.0, 4), (3, t(62), 31.0, 5)],
+        [(1, t(120), 12.0, 6)],
+    ]
+    ledger = os.path.join(str(tmp_path), "asledger")
+    state = os.path.join(str(tmp_path), "asstate")
+    ck = os.path.join(str(tmp_path), "asck")
+    os.makedirs(ledger)
+
+    for tk in rticks:
+        spark.createDataFrame(tk, rschema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        maintained_asof_state(
+            ledger, state, ck, ["key"], "ts", ["price"],
+            tiebreak_col="rid",
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    # probe: all left rows at/after the head (key 1 equal-ts tie at
+    # t(120) matches <=; key 2's latest is two ticks old; key 4 has no
+    # dimension row at all)
+    lschema = "key long, ts timestamp, qty long"
+    left = spark.createDataFrame(
+        [(1, t(120), 7), (1, t(200), 8), (2, t(130), 9), (4, t(140), 1)],
+        lschema,
+    )
+    right_full = spark.createDataFrame(
+        [r for tk in rticks for r in tk], rschema
+    ).select("key", "ts", "price")
+
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in read_asof_probe(
+                spark, state, left, ["key"], "ts", ["price"], how=how
+            )
+            .select("key", "ts", "qty", "right_price")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in asof_join(
+                left, right_full, ["key"], "ts", ["price"], how=how
+            )
+            .select("key", "ts", "qty", "right_price")
+            .collect()
+        )
+        assert got == want, how
+    # the two-tick-old key actually matched
+    assert any(k == 2 and p == 20.0 for (k, _ts, _q, p) in got)
+
+    # fold order-insensitivity + double-apply idempotence: reversed
+    # ticks with one tick applied twice land on the identical state
+    st = None
+    for tk in [rticks[2], rticks[0], rticks[0], rticks[1]]:
+        st = asof_state_increment(
+            st, spark.createDataFrame(tk, rschema),
+            ["key"], "ts", ["price"], "rid",
+        )
+    rev = sorted(tuple(r) for r in st.collect())
+    live = sorted(
+        tuple(r)
+        for r in spark.read.parquet(state)
+        .drop("__bucket")
+        .select("key", "ts", "price", "rid")
+        .collect()
+    )
+    assert rev == live
+
+    # historical probe raises: key 1's stored ts is t(120)
+    old = spark.createDataFrame([(1, t(30), 5)], lschema)
+    with _pytest.raises(ValueError, match="event-time-current"):
+        read_asof_probe(spark, state, old, ["key"], "ts", ["price"])

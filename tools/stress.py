@@ -1433,6 +1433,96 @@ def main() -> None:
     if _want("maintained_postings"):
         _postings_stress()
 
+    def _term_stats_sorted_stress() -> None:
+        """r15 A/B for `maintained_term_stats(sort_cols=['term'])`: the
+        BM25 stats lookup filters LITERAL terms (IN-list + the scalars
+        key), so term-sorted bucket files let parquet row-group min/max
+        stats prune the vocab-sized state below the bucket level. The
+        8 MiB block size emulates the at-scale shape (a 100 TB
+        deployment's per-bucket stats files span many row groups; the
+        default 128 MiB block would put this whole stress state in one
+        group and hide the mechanism being measured)."""
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.retrieval import (
+            CORPUS_STATS_KEY,
+            term_stats_increment,
+        )
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            _bucket_of,
+        )
+
+        corp = "/tmp/stress_tscorpus"
+        gen = spark.range(4_000_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(
+                    F.lit("t"),
+                    (F.xxhash64("id") % 4_000_000).cast("string"),
+                ),
+                F.concat(
+                    F.lit("u"),
+                    (F.xxhash64("id", F.lit(1)) % 4_000_000).cast("string"),
+                ),
+                F.concat(
+                    F.lit("v"),
+                    (F.xxhash64("id", F.lit(2)) % 4_000_000).cast("string"),
+                ),
+                F.lit("vector merge"),
+            ).alias("text"),
+        )
+        gen.write.mode("overwrite").parquet(corp)
+        stats = term_stats_increment(spark.read.parquet(corp)).persist()
+        n_terms = stats.count()
+        roots = {}
+        for name, sort in (("unsorted", False), ("sorted", True)):
+            root = f"/tmp/stress_tsstate_{name}"
+            staged = stats.withColumn(
+                "__bucket", _bucket_of(["term"], 8)
+            ).repartition(8, "__bucket")
+            if sort:
+                staged = staged.sortWithinPartitions("__bucket", "term")
+            (
+                staged.write.partitionBy("__bucket")
+                .option("parquet.block.size", 8 * 1024 * 1024)
+                .mode("overwrite")
+                .parquet(root)
+            )
+            roots[name] = root
+        stats.unpersist()
+        sel = ["t3999991", "u39997", "v1999", "merge", CORPUS_STATS_KEY]
+
+        def lookup(root):
+            return (
+                spark.read.parquet(root)
+                .filter(F.col("term").isin(sel))
+                .collect()
+            )
+
+        def best(f, n=4):
+            b = 1e9
+            for _ in range(n):
+                t0 = time.time()
+                f()
+                b = min(b, time.time() - t0)
+            return b
+
+        tu = best(lambda: lookup(roots["unsorted"]))
+        ts_ = best(lambda: lookup(roots["sorted"]))
+        print(
+            f"maintained_term_stats: literal-terms lookup over "
+            f"{n_terms} stats rows — sorted {ts_:.2f}s vs unsorted "
+            f"{tu:.2f}s (8 MiB row groups)",
+            flush=True,
+        )
+        shutil.rmtree(corp, ignore_errors=True)
+        for root in roots.values():
+            shutil.rmtree(root, ignore_errors=True)
+
+    if _want("maintained_term_stats"):
+        _term_stats_sorted_stress()
+
     def _compact_state_stress() -> None:
         import shutil
 
