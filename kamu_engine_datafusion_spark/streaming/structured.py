@@ -2364,6 +2364,150 @@ def ann_topk_from_state_rows(
     )
 
 
+def mmr_from_state_rows(
+    state: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    id_col: str = "vec_id",
+    sim_scale: int = 1_000,
+    dp: int = 6,
+) -> DataFrame:
+    """Maximal-Marginal-Relevance DIVERSIFIED top-k served from
+    SemDeDup-store state rows (``semdedup_state_rows`` shape: ``id,
+    cluster, q2, n2``) — the third read over the ONE maintained
+    embedding store (fold = dedup, :func:`ann_topk_from_state_rows` =
+    search, this = diversified re-rank), the serving path of
+    ``operators/similarity.py::mmr_diversify`` that never touches the
+    corpus: phase 1 is the distributed exact-cosine top-``pool`` over
+    the stored ``sim_scale``-quantized payload (the ANN read's scoring
+    expression verbatim — integer dot, one division, half-up ``dp``),
+    phase 2 runs the batch operator's EXACT greedy walk (first pick =
+    pure relevance; then ``lam·rel − (1−lam)·max-sim-to-selected``;
+    argmax ties → ascending id; pairwise sims half-up 6dp) on the
+    driver over the bounded pool, with pairwise cosines computed from
+    the stored integer payloads — deterministic and SQL-replayable,
+    the ``xmmr``/``xann_semdedup_topk`` oracle class. Returns
+    ``(rank, id, rel, mmr)`` like the batch operator.
+
+    Scale: with the store IVF-bucketed by cluster, pair with
+    :func:`read_maintained_mmr` so phase 1 reads ``nprobe/nlist`` of
+    the ALREADY-DEDUPED store (MMR after SemDeDup is the right order:
+    exact duplicates died at fold time, MMR handles the near-redundancy
+    that survived); only the ``pool`` rows ever reach the driver."""
+    import math
+
+    if pool > 10_000:
+        raise ValueError(
+            f"mmr_from_state_rows: pool={pool} exceeds the driver-side "
+            "cap (10000) — the greedy walk is O(pool²) on the driver; "
+            "tighten nprobe or pre-filter instead of a huge pool"
+        )
+    pool_df = ann_topk_from_state_rows(
+        state.select(F.col(id_col), "cluster", "q2", "n2"),
+        query_vec,
+        k=pool,
+        id_col=id_col,
+        sim_scale=sim_scale,
+        dp=dp,
+    ).join(state.select(F.col(id_col), "q2", "n2"), id_col)
+    rows = pool_df.orderBy(F.col("cosine").desc(), F.col(id_col)).collect()
+
+    def _r6(x: float) -> float:
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    ids = [r[id_col] for r in rows]
+    rel = [r["cosine"] for r in rows]
+    vecs = [[int(x) for x in r["q2"]] for r in rows]
+    n2 = [int(r["n2"]) for r in rows]
+    n = len(rows)
+    sim = [
+        [
+            _r6(
+                sum(a * b for a, b in zip(vecs[i], vecs[j]))
+                / math.sqrt(float(n2[i]) * float(n2[j]))
+            )
+            if n2[i] and n2[j]
+            else 0.0
+            for j in range(n)
+        ]
+        for i in range(n)
+    ]
+    # the batch operator's greedy walk verbatim (mmr_diversify's
+    # phase 2 — kept textually separate so the driver-green xmmr code
+    # path stays byte-identical; the walks are pinned equal by pytest)
+    selected: list[int] = []
+    out_rows = []
+    while rows and len(selected) < k and len(selected) < n:
+        best = None
+        for i in range(n):
+            if i in selected:
+                continue
+            if not selected:
+                score = rel[i]
+            else:
+                score = lam * rel[i] - (1.0 - lam) * max(
+                    sim[i][j] for j in selected
+                )
+            if best is None or score > best[0] or (
+                score == best[0] and ids[i] < ids[best[1]]
+            ):
+                best = (score, i)
+        selected.append(best[1])
+        out_rows.append(
+            (len(selected), ids[best[1]], rel[best[1]], _r6(best[0]))
+        )
+    return state.sparkSession.createDataFrame(
+        out_rows, f"rank long, {id_col} long, rel double, mmr double"
+    )
+
+
+def read_maintained_mmr(
+    spark: SparkSession,
+    state_dir: str,
+    centroids: list[list[int]],
+    query_vec: list[float],
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    scale: int = 10_000,
+    sim_scale: int = 1_000,
+    state_buckets: int = 8,
+    dp: int = 6,
+) -> DataFrame:
+    """Diversified top-k from :func:`maintained_semdedup_index` state:
+    :func:`ann_probe_clusters`' integer probe rule selects the
+    ``nprobe`` nearest IVF lists (cluster == bucket key ⇒ partition
+    pruning), then :func:`mmr_from_state_rows` pools and re-ranks —
+    the MMR twin of :func:`read_maintained_ann_topk`, same geometry
+    contract (``centroids``/``scale``/``sim_scale``/``state_buckets``
+    must match the fold's)."""
+    probed = ann_probe_clusters(centroids, query_vec, nprobe, scale)
+    buckets = sorted(
+        {
+            int(r[0])
+            for r in spark.createDataFrame(
+                [(c,) for c in probed], "cluster bigint"
+            )
+            .select(_bucket_of(["cluster"], state_buckets))
+            .collect()
+        }
+    )
+    state = (
+        spark.read.parquet(state_dir)
+        .filter(F.col(_BUCKET_COL).isin(buckets))  # partition pruning
+        .filter(F.col("cluster").isin(probed))
+        .drop(_BUCKET_COL)
+    )
+    return mmr_from_state_rows(
+        state, query_vec, k=k, pool=pool, lam=lam,
+        id_col=id_col, sim_scale=sim_scale, dp=dp,
+    )
+
+
 def maintained_dsir_stats(
     ledger_dir: str,
     state_dir: str,

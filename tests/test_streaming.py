@@ -3259,3 +3259,118 @@ def test_maintained_asof_state_probe_equals_batch(spark, tmp_path):
     old = spark.createDataFrame([(1, t(30), 5)], lschema)
     with _pytest.raises(ValueError, match="event-time-current"):
         read_asof_probe(spark, state, old, ["key"], "ts", ["price"])
+
+
+def test_mmr_from_semdedup_store(spark, tmp_path):
+    """r15 staged: MMR diversified top-k served from SemDeDup-store
+    state rows — the pool stage must equal the ANN read's scoring
+    (same expression, same half-up, same order), the greedy walk must
+    match an INDEPENDENT python replay of the MMR rule (first pick =
+    pure relevance; lam·rel − (1−lam)·max-sim; ties → ascending id),
+    and the nprobe read must only surface rows from probed clusters."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        semdedup_state_rows,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        _bucket_of,
+        ann_probe_clusters,
+        ann_topk_from_state_rows,
+        mmr_from_state_rows,
+        read_maintained_mmr,
+    )
+
+    def vec(i):
+        return [math.cos(i * 0.9), math.sin(i * 0.9)]
+
+    schema = "vec_id long, embedding array<double>"
+    emb = spark.createDataFrame([(i, vec(i)) for i in range(14)], schema)
+    cents = [
+        [int(math.floor(v * 10_000 + 0.5)) for v in vec(0)],
+        [int(math.floor(v * 10_000 + 0.5)) for v in vec(3)],
+    ]
+    state = semdedup_state_rows(emb, cents, "vec_id", "embedding")
+    qvec = vec(1)
+
+    got = [
+        tuple(r)
+        for r in mmr_from_state_rows(
+            state, qvec, k=4, pool=8, lam=0.7
+        ).collect()
+    ]
+
+    # independent replay from the raw state rows
+    rows = {
+        r["vec_id"]: ([int(x) for x in r["q2"]], int(r["n2"]))
+        for r in state.collect()
+    }
+    qq = [int(math.floor(v * 1000 + 0.5)) for v in qvec]
+    qn2 = sum(v * v for v in qq)
+
+    def r6(x):
+        return math.floor(x * 1e6 + 0.5) / 1e6
+
+    rel = {
+        i: r6(
+            sum(a * b for a, b in zip(q2, qq))
+            / math.sqrt(float(n2) * qn2)
+        )
+        for i, (q2, n2) in rows.items()
+    }
+    pool = sorted(rows, key=lambda i: (-rel[i], i))[:8]
+
+    def sim(a, b):
+        (qa, na), (qb, nb) = rows[a], rows[b]
+        return r6(
+            sum(x * y for x, y in zip(qa, qb))
+            / math.sqrt(float(na) * float(nb))
+        )
+
+    sel, want = [], []
+    while len(sel) < 4:
+        best = None
+        for i in pool:
+            if i in sel:
+                continue
+            s = (
+                rel[i]
+                if not sel
+                else 0.7 * rel[i] - 0.3 * max(sim(i, j) for j in sel)
+            )
+            if best is None or s > best[0] or (
+                s == best[0] and i < best[1]
+            ):
+                best = (s, i)
+        sel.append(best[1])
+        want.append((len(sel), best[1], rel[best[1]], r6(best[0])))
+    assert got == want
+
+    # the pool stage IS the ANN read's scoring
+    ann = [
+        (r["vec_id"], r["cosine"])
+        for r in ann_topk_from_state_rows(state, qvec, k=8).collect()
+    ]
+    assert ann == [(i, rel[i]) for i in pool]
+
+    # nprobe pruning via the bucketed store: only probed clusters
+    store = os.path.join(str(tmp_path), "mmrstore")
+    (
+        state.withColumn("__bucket", _bucket_of(["cluster"], 8))
+        .repartition(2, "__bucket")
+        .write.partitionBy("__bucket")
+        .mode("overwrite")
+        .parquet(store)
+    )
+    probed = ann_probe_clusters(cents, qvec, nprobe=1)
+    pruned = [
+        tuple(r)
+        for r in read_maintained_mmr(
+            spark, store, cents, qvec, k=4, pool=8, nprobe=1
+        ).collect()
+    ]
+    in_cluster = {
+        r["vec_id"]
+        for r in state.filter(F.col("cluster").isin(probed)).collect()
+    }
+    assert pruned and all(i in in_cluster for (_rk, i, _r, _m) in pruned)

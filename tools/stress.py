@@ -1523,6 +1523,229 @@ def main() -> None:
     if _want("maintained_term_stats"):
         _term_stats_sorted_stress()
 
+    def _intervals_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.rangejoin import (
+            intervals_increment,
+            merge_intervals,
+        )
+
+        led = "/tmp/stress_iv_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        state = None
+        times = []
+        for i in range(10):
+            iv = spark.range(1_000_000).select(
+                (F.xxhash64("id", F.lit(i)) % 100_000).alias("grp"),
+                F.pmod(
+                    F.xxhash64("id", F.lit(i + 3)), F.lit(10_000_000)
+                ).alias("start_us"),
+            ).select(
+                "grp",
+                "start_us",
+                (
+                    F.col("start_us")
+                    + 1
+                    + F.pmod(F.xxhash64("start_us"), F.lit(200_000))
+                ).alias("end_us"),
+            )
+            t0 = time.time()
+            state = intervals_increment(
+                state, iv, "start_us", "end_us", ["grp"]
+            ).localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            iv.write.mode("append").parquet(led)
+
+        def fp(df):
+            return tuple(
+                df.agg(
+                    F.count(F.lit(1)),
+                    F.sum("start_us"),
+                    F.sum("end_us"),
+                    F.sum("n_merged"),
+                    F.sum(F.col("grp") * F.col("island")),
+                ).collect()[0]
+            )
+
+        t0 = time.time()
+        live = fp(state)
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = fp(
+            merge_intervals(
+                spark.read.parquet(led), "start_us", "end_us", ["grp"]
+            )
+        )
+        tb = time.time() - t0
+        print(
+            f"maintained_intervals: per-tick {times} | islands "
+            f"{live[0]} | read {tr:.2f}s vs batch re-merge of "
+            f"{10_000_000} spans {tb:.2f}s | match={live == batch}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_intervals"):
+        _intervals_stress()
+
+    def _asof_state_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.asof import (
+            asof_join,
+            asof_probe_from_state,
+            asof_state_increment,
+        )
+
+        led = "/tmp/stress_as_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        state = None
+        times = []
+        for i in range(10):
+            dim = spark.range(1_000_000).select(
+                (F.xxhash64("id", F.lit(i)) % 200_000).alias("key"),
+                F.timestamp_millis(
+                    (
+                        F.lit(1704067200000)
+                        + F.lit(i * 86400000)
+                        + F.pmod(
+                            F.xxhash64("id", F.lit(i + 3)),
+                            F.lit(86400000),
+                        )
+                    ).cast("long")
+                ).alias("ts"),
+                (F.pmod(F.xxhash64("id", F.lit(i + 7)), F.lit(100000))
+                 / 100.0).alias("price"),
+                (F.col("id") + i * 1_000_000).alias("rid"),
+            )
+            t0 = time.time()
+            state = asof_state_increment(
+                state, dim, ["key"], "ts", ["price"], "rid"
+            ).localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            dim.write.mode("append").parquet(led)
+        facts = spark.range(1_000_000).select(
+            (F.xxhash64("id", F.lit(99)) % 250_000).alias("key"),
+            F.timestamp_millis(
+                (
+                    F.lit(1704067200000)
+                    + F.lit(11 * 86400000)
+                    + F.pmod(F.xxhash64("id", F.lit(98)), F.lit(86400000))
+                ).cast("long")
+            ).alias("ts"),
+        ).localCheckpoint(eager=True)
+
+        def fp(df):
+            return tuple(
+                df.agg(
+                    F.count(F.lit(1)),
+                    F.sum("key"),
+                    F.round(F.sum("right_price"), 2),
+                ).collect()[0]
+            )
+
+        t0 = time.time()
+        live = fp(
+            asof_probe_from_state(
+                facts, state, ["key"], "ts", ["price"]
+            )
+        )
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = fp(
+            asof_join(
+                facts,
+                spark.read.parquet(led).select("key", "ts", "price"),
+                ["key"],
+                "ts",
+                ["price"],
+            )
+        )
+        tb = time.time() - t0
+        print(
+            f"maintained_asof_state: per-tick {times} | probe 1M facts "
+            f"from state {tr:.2f}s vs batch asof over 10M-row history "
+            f"{tb:.2f}s | match={live == batch}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_asof_state"):
+        _asof_state_stress()
+
+    def _mmr_store_stress() -> None:
+        import math
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.clustering import (
+            semdedup_state_rows,
+        )
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            _bucket_of,
+            read_maintained_mmr,
+        )
+
+        store = "/tmp/stress_mmr_store"
+        dim = 32
+        big = spark.range(1_000_000).select(
+            F.col("id").alias("vec_id"),
+            F.array(
+                *[
+                    (
+                        F.pmod(
+                            F.xxhash64("id", F.lit(j)), F.lit(2_000)
+                        )
+                        - 1_000
+                    ).cast("double")
+                    / 1_000.0
+                    for j in range(dim)
+                ]
+            ).alias("embedding"),
+        )
+        cents = [
+            [
+                int(
+                    math.floor(
+                        ((((i * 2654435761 + j * 40503) % 2000) - 1000)
+                         / 1000.0) * 10_000 + 0.5
+                    )
+                )
+                for j in range(dim)
+            ]
+            for i in range(8)
+        ]
+        (
+            semdedup_state_rows(big, cents, "vec_id", "embedding")
+            .withColumn("__bucket", _bucket_of(["cluster"], 8))
+            .repartition(8, "__bucket")
+            .write.partitionBy("__bucket")
+            .mode("overwrite")
+            .parquet(store)
+        )
+        qvec = [(((j * 7919) % 2000) - 1000) / 1000.0 for j in range(dim)]
+
+        def run(nprobe):
+            t0 = time.time()
+            rows = read_maintained_mmr(
+                spark, store, cents, qvec, k=10, pool=100,
+                nprobe=nprobe,
+            ).collect()
+            return time.time() - t0, rows
+
+        t_full, full_rows = run(8)
+        t_pr, pr_rows = run(2)
+        print(
+            f"mmr_from_semdedup_store: 1M x {dim}-dim store — nprobe=2 "
+            f"{t_pr:.2f}s vs full 8-list {t_full:.2f}s; top-1 "
+            f"agree={full_rows[0]['vec_id'] == pr_rows[0]['vec_id']}",
+            flush=True,
+        )
+        shutil.rmtree(store, ignore_errors=True)
+
+    if _want("mmr_from_semdedup_store"):
+        _mmr_store_stress()
+
     def _compact_state_stress() -> None:
         import shutil
 
