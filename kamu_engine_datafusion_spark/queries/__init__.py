@@ -116,6 +116,12 @@ _PRIORITY_R15 = [
     # ---- window boundary (50 = 11 new + 25 r10-stale + 14 r11-stale.
     # The r11 tail just below the cut rotates to the r16 head — see
     # the r16 rotation plan above.) ----
+    # -- registered r15 BELOW the window with full oracles (locally
+    #    sweep-green at 3 SFs): the three r15-staged families, queued
+    #    as the r16 window head alongside the rotation above --
+    "xintervals_maintained",
+    "xasof_maintained",
+    "xmmr_semdedup",
 ]
 
 _PRIORITY_R14 = [

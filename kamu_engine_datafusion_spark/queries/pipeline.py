@@ -4294,6 +4294,136 @@ def q_xbm25_postings_maintained(
     )
 
 
+def q_xintervals_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained interval-consolidation state, driver-verified
+    (registered r15 BELOW the driver window; r16 window head): the
+    ``xmerge_intervals`` span population (user_id < 200 activity
+    spans) folds over three event-id ticks through
+    ``operators/rangejoin.py::intervals_increment`` — exactly
+    ``streaming/structured.py::maintained_intervals``'s per-tick merge
+    (pytest-pinned tick-by-tick AND order-insensitive: island geometry
+    is an idempotent set function, n_merged folds weighted) — and the
+    returned rows ARE the folded island state, so the state itself is
+    hash-verified against the batch ``xmerge_intervals`` SQL over the
+    whole span ledger (fold ≡ batch row-for-row, island ids
+    included)."""
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        intervals_increment,
+    )
+
+    t = load(spark, sf_dir, "events")
+    iv = t["events"].filter(F.col("user_id") < 200).select(
+        "user_id",
+        F.col("event_id").alias("__eid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start_us"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.round(F.col("value") * 60, 0)).cast("long") * 1_000_000
+        ).alias("end_us"),
+    )
+    state = None
+    for i in range(3):
+        tick = iv.filter(F.col("__eid") % 3 == i).drop("__eid")
+        state = intervals_increment(
+            state, tick, "start_us", "end_us", ["user_id"]
+        )
+    return state.select(
+        "user_id", "island", "start_us", "end_us", "n_merged"
+    )
+
+
+def q_xasof_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained AS-OF serving read, driver-verified (registered
+    r15 below the window; r16 head): the ``xasof_join`` purchase
+    dimension (deduped per (user, ts)) folds over three event-id ticks
+    through ``operators/asof.py::asof_state_increment`` — the per-key
+    max-merge, order-insensitive, exactly ``streaming/structured.py::
+    maintained_asof_state``'s merge — and the EVENT-TIME-CURRENT click
+    slice (clicks at/after their user's latest purchase: the head-of-
+    ledger serving population, derivable in SQL so the oracle replays
+    the slice rule too) probes the state via ``asof_probe_from_state``.
+    Under that contract the probe ≡ the batch as-of join against the
+    WHOLE purchase history (pytest-pinned), which is exactly what the
+    oracle's ASOF JOIN computes — so the hash proves fold ≡ latest
+    AND probe ≡ batch through the driver."""
+    from kamu_engine_datafusion_spark.operators.asof import (
+        asof_probe_from_state,
+        asof_state_increment,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"]
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("purchase_event_id"))
+    )
+    state = None
+    for i in range(3):
+        tick = purchases.filter(
+            F.col("purchase_event_id") % 3 == i
+        )
+        state = asof_state_increment(
+            state, tick, ["user_id"], "ts", ["purchase_event_id"]
+        )
+    latest = purchases.groupBy("user_id").agg(F.max("ts").alias("__mts"))
+    head = (
+        ev.filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts")
+        .join(latest, "user_id")
+        .filter(F.col("ts") >= F.col("__mts"))
+        .drop("__mts")
+    )
+    out = asof_probe_from_state(
+        head, state, ["user_id"], "ts", ["purchase_event_id"],
+        how="inner",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("right_purchase_event_id").alias("purchase_event_id"),
+    )
+
+
+def q_xmmr_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR diversified top-k FROM the maintained SemDeDup store,
+    driver-verified (registered r15 below the window; r16 head): the
+    ``_semdedup_fold`` 3-tick store (shared with
+    ``xsemdedup_incremental`` / ``xann_semdedup_topk`` — ONE store,
+    now THREE hash-verified reads), probed at nprobe=3 of 8 with the
+    fold's integer argmin rule, pooled top-20 by the ANN read's exact
+    integer cosine, then ``streaming/structured.py::
+    mmr_from_state_rows``' greedy walk (λ=0.7, k=5; first pick = pure
+    relevance; ties → ascending id; half-up 6dp) over the stored
+    quantized payloads. The oracle replays the survivor kill chain,
+    the probe rule, the pool cut, the pairwise integer cosines, AND
+    five unrolled greedy-argmax iterations (the ``xmmr``/``xtop_pc``
+    device) — the pruning, the pool, and the walk are all
+    hash-verified through the driver."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        ann_probe_clusters,
+        mmr_from_state_rows,
+    )
+
+    t = load(spark, sf_dir, "embeddings")
+    emb = t["embeddings"]
+    cents, state = _semdedup_fold(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    ]
+    probed = ann_probe_clusters(cents, qvec, nprobe=3, scale=10_000)
+    return mmr_from_state_rows(
+        state.filter(F.col("cluster").isin(probed)),
+        qvec,
+        k=5,
+        pool=20,
+        lam=0.7,
+        sim_scale=1_000,
+        dp=6,
+    )
+
+
 def q_xcentroid_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The folded centroid-drift STATE ROWS themselves,
     driver-verified — closing the read-vs-state gap of
@@ -4412,6 +4542,11 @@ QUERIES = {
     "xbm25_postings_maintained": q_xbm25_postings_maintained,
     "xcentroid_stats_state": q_xcentroid_stats_state,
     "xlm_counts_state": q_xlm_counts_state,
+    # registered r15 BELOW the driver window (locally sweep-green at 3
+    # SFs); the r16 rotation plan puts them at the window head
+    "xintervals_maintained": q_xintervals_maintained,
+    "xasof_maintained": q_xasof_maintained,
+    "xmmr_semdedup": q_xmmr_semdedup,
     "xsample_weighted_merge": q_xsample_weighted_merge,
     "xbm25_incremental": q_xbm25_incremental,
     "xlm_backoff": q_xlm_backoff,
@@ -8632,6 +8767,116 @@ ORACLES["xbm25_postings_maintained"] = (
     "AS BIGINT) AS rank, doc_id, n_terms_matched, score FROM sc "
     "ORDER BY rank LIMIT 10"
 )
+
+# the intervals fold ≡ batch row-for-row (island geometry is a set
+# function; island ids renumber to the batch running-break index;
+# n_merged folds weighted) — and the key's rows ARE the folded state,
+# so the batch-twin oracle hash-verifies the state itself
+ORACLES["xintervals_maintained"] = ORACLES["xmerge_intervals"]
+
+# the as-of probe contract made SQL-replayable: the head slice (clicks
+# at/after their user's latest purchase) is derived in the oracle too,
+# and under that contract probe-from-latest-state ≡ ASOF JOIN against
+# the whole purchase history
+ORACLES["xasof_maintained"] = (
+    "WITH purchases AS (SELECT user_id, ts, max(event_id) "
+    "AS purchase_event_id FROM events WHERE event_type = 'purchase' "
+    "GROUP BY user_id, ts), "
+    "latest AS (SELECT user_id, max(ts) AS mts FROM purchases "
+    "GROUP BY user_id), "
+    "head AS (SELECT c.event_id, c.user_id, c.ts FROM "
+    "(SELECT event_id, user_id, ts FROM events "
+    "WHERE event_type = 'click') c "
+    "JOIN latest l USING (user_id) WHERE c.ts >= l.mts) "
+    "SELECT h.event_id, h.user_id, p.purchase_event_id "
+    "FROM head h ASOF JOIN purchases p "
+    "ON h.user_id = p.user_id AND h.ts >= p.ts"
+)
+
+
+def _mmr_semdedup_oracle(
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.7,
+    nprobe: int = 3,
+    nlist: int = 8,
+    dim: int = 64,
+    dp: int = 6,
+) -> str:
+    """Oracle for ``xmmr_semdedup``: the ``_semdedup_inc_ctes`` kill
+    chain (the store), the ``xann_semdedup_topk`` probe + integer-
+    cosine rel rule (the pool), quantized pairwise cosines, and ``k``
+    unrolled greedy-argmax CTE iterations (the ``xmmr`` device) — the
+    λ-complement is written ``(1.0 - 0.7)`` so DuckDB computes the
+    same IEEE double the python walk's ``1.0 - lam`` produces, and
+    every rel/sab input is half-up ``dp`` before the walk, so the
+    argmax trees are bit-identical across engines."""
+    rel = _fhu(
+        f"CAST(list_sum(list_transform(range(0, {dim}), "
+        "j -> s.q2[j+1]*qv0.q2[j+1])) AS BIGINT) "
+        "/ sqrt(CAST(s.n2 AS DOUBLE) * CAST(qv0.qn2 AS DOUBLE))",
+        dp,
+    )
+    sab = _fhu(
+        f"CAST(list_sum(list_transform(range(0, {dim}), "
+        "j -> a.q2[j+1]*b.q2[j+1])) AS BIGINT) "
+        "/ sqrt(CAST(a.n2 AS DOUBLE) * CAST(b.n2 AS DOUBLE))",
+        6,
+    )
+    parts = [
+        _semdedup_inc_ctes(),
+        ", qv0 AS (SELECT qv, q2, "
+        "CAST(list_sum(list_transform(q2, x -> x * x)) AS BIGINT) "
+        "AS qn2 FROM q WHERE vec_id = 0), "
+        f"pe AS (SELECT c.cid, CAST(list_sum(list_transform("
+        f"range(0, {dim}), "
+        "j -> (qv0.qv[j+1]-c.qv[j+1])*(qv0.qv[j+1]-c.qv[j+1]))) "
+        f"AS BIGINT) * {nlist} + c.cid AS enc FROM c0 c, qv0), "
+        f"probe AS (SELECT cid FROM pe ORDER BY enc LIMIT {nprobe}), "
+        # MATERIALIZED (the _top_pc_oracle device) is load-bearing
+        # here: DuckDB inlines plain CTEs, so every re-reference of
+        # pool/pw through the unrolled greedy levels would re-expand
+        # the whole SemDeDup kill chain — exponentially many
+        # evaluations of the fr×fr pair join (observed as a hang at
+        # sf0.001 before the hints)
+        "sc AS MATERIALIZED (SELECT s.vec_id, s.q2, s.n2, "
+        "CASE WHEN s.n2 > 0 AND qv0.qn2 > 0 THEN "
+        + rel
+        + " ELSE 0.0 END AS rel "
+        "FROM surv s JOIN probe p ON p.cid = s.cluster CROSS JOIN qv0), "
+        f"pool AS MATERIALIZED (SELECT vec_id, q2, n2, rel FROM sc "
+        f"ORDER BY rel DESC, vec_id LIMIT {pool}), "
+        "pw AS MATERIALIZED (SELECT a.vec_id AS ia, b.vec_id AS ib, "
+        "CASE WHEN a.n2 > 0 AND b.n2 > 0 THEN "
+        + sab
+        + " ELSE 0.0 END AS sab FROM pool a CROSS JOIN pool b), "
+        "p1 AS MATERIALIZED (SELECT vec_id, rel, rel AS mmr FROM pool "
+        "ORDER BY rel DESC, vec_id LIMIT 1), "
+        "sel1 AS MATERIALIZED (SELECT vec_id FROM p1)",
+    ]
+    for i in range(2, k + 1):
+        parts.append(
+            f", c{i} AS MATERIALIZED (SELECT p.vec_id, p.rel, "
+            f"{lam} * p.rel - (1.0 - {lam}) * max(pw.sab) AS mmr "
+            f"FROM pool p JOIN pw ON pw.ia = p.vec_id "
+            f"JOIN sel{i-1} ON pw.ib = sel{i-1}.vec_id "
+            f"WHERE p.vec_id NOT IN (SELECT vec_id FROM sel{i-1}) "
+            f"GROUP BY p.vec_id, p.rel), "
+            f"p{i} AS MATERIALIZED (SELECT vec_id, rel, mmr FROM c{i} "
+            f"ORDER BY mmr DESC, vec_id LIMIT 1), "
+            f"sel{i} AS MATERIALIZED (SELECT vec_id FROM sel{i-1} "
+            f"UNION ALL SELECT vec_id FROM p{i})"
+        )
+    selects = [
+        f"SELECT CAST({i} AS BIGINT) AS rank, vec_id, rel, "
+        + _fhu("mmr", 6)
+        + f" AS mmr FROM p{i}"
+        for i in range(1, k + 1)
+    ]
+    return "".join(parts) + " " + " UNION ALL ".join(selects)
+
+
+ORACLES["xmmr_semdedup"] = _mmr_semdedup_oracle()
 
 # tick-structured state verification (the xsketch_kmv_merge device):
 # per-tick sums FIRST, then the cross-tick additive fold in SQL — a

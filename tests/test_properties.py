@@ -1134,3 +1134,174 @@ def test_funnel_and_transitions_tick_boundary_invariance(
         tuple(r) for r in event_transitions(full).collect()
     )
     assert got_t == want_t
+
+
+@_slow
+@given(
+    spans=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.integers(min_value=0, max_value=1_000),  # start
+            st.integers(min_value=-5, max_value=200),  # length (neg -> inverted, dropped)
+        ),
+        min_size=1,
+        max_size=60,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=59), min_size=0, max_size=3
+    ),
+    order=st.randoms(use_true_random=False),
+)
+def test_intervals_fold_partition_invariance(spark, spans, cuts, order):
+    """r15 intervals family: for ANY span multiset and ANY partition
+    into ticks in ANY order (geometry is an idempotent set function —
+    ticks need not be event-time-ordered), the fold equals the batch
+    merge_intervals of everything, island ids and weighted n_merged
+    included — including inverted rows dropped identically, touching
+    endpoints, and islands bridged across ticks."""
+    from kamu_engine_datafusion_spark.operators.rangejoin import (
+        intervals_increment,
+        merge_intervals,
+    )
+
+    rows = [(g, s, s + ln) for (g, s, ln) in spans]
+    shuffled = list(rows)
+    order.shuffle(shuffled)
+    bounds = sorted({min(c, len(shuffled)) for c in cuts})
+    ticks, prev = [], 0
+    for b in bounds + [len(shuffled)]:
+        if b > prev:
+            ticks.append(shuffled[prev:b])
+            prev = b
+    schema = "grp long, start_us long, end_us long"
+    state = None
+    for tk in ticks:
+        state = intervals_increment(
+            state, spark.createDataFrame(tk, schema),
+            "start_us", "end_us", ["grp"],
+        ).localCheckpoint(eager=True)
+    got = sorted(tuple(r) for r in state.collect())
+    want = sorted(
+        tuple(r)
+        for r in merge_intervals(
+            spark.createDataFrame(rows, schema),
+            "start_us", "end_us", ["grp"],
+        )
+        .select("grp", "island", "start_us", "end_us", "n_merged")
+        .collect()
+    )
+    assert got == want
+
+
+@_slow
+@given(
+    updates=st.dictionaries(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # key
+            st.integers(min_value=0, max_value=10_000),  # ts ms
+        ),
+        st.integers(min_value=0, max_value=999),  # value
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=39), min_size=0, max_size=3
+    ),
+    order=st.randoms(use_true_random=False),
+    extras=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),  # probe key (may miss)
+            st.integers(min_value=0, max_value=500),  # ms after key max
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_asof_state_fold_and_probe_invariance(
+    spark, updates, cuts, order, extras
+):
+    """r15 as-of family: for ANY dimension stream (unique (key, ts) —
+    the documented tie contract) split into ticks in ANY order, the
+    max-merge fold equals the per-key latest of everything, and an
+    event-time-current probe (every left ts ≥ its key's max right ts,
+    equal-ts included) equals the batch asof_join over the WHOLE
+    history — for both how='inner' and how='left', including probe
+    keys with no dimension rows at all."""
+    from kamu_engine_datafusion_spark.operators.asof import (
+        asof_join,
+        asof_probe_from_state,
+        asof_state_increment,
+    )
+
+    base = 1_700_000_000_000
+    rows = [
+        (k, base + ms, float(v), i)
+        for i, ((k, ms), v) in enumerate(sorted(updates.items()))
+    ]
+    shuffled = list(rows)
+    order.shuffle(shuffled)
+    bounds = sorted({min(c, len(shuffled)) for c in cuts})
+    ticks, prev = [], 0
+    for b in bounds + [len(shuffled)]:
+        if b > prev:
+            ticks.append(shuffled[prev:b])
+            prev = b
+    rschema = "key long, ms long, price double, rid long"
+
+    def rframe(part):
+        return spark.createDataFrame(part, rschema).select(
+            "key", F.timestamp_millis(F.col("ms")).alias("ts"),
+            "price", "rid",
+        )
+
+    state = None
+    for tk in ticks:
+        state = asof_state_increment(
+            state, rframe(tk), ["key"], "ts", ["price"], "rid"
+        ).localCheckpoint(eager=True)
+
+    latest = {}
+    for (k, ms), v in updates.items():
+        if k not in latest or ms > latest[k][0]:
+            latest[k] = (ms, float(v))
+    got_state = sorted(
+        (r["key"], r["ts"], r["price"]) for r in state.collect()
+    )
+    want_state = sorted(
+        (k, datetime.fromtimestamp((base + ms) / 1000, tz=timezone.utc)
+            .replace(tzinfo=None),
+         v)
+        for k, (ms, v) in latest.items()
+    )
+    assert [(k, p) for (k, _t, p) in got_state] == [
+        (k, p) for (k, _t, p) in want_state
+    ]
+
+    key_max = {k: ms for k, (ms, _v) in latest.items()}
+    lrows = [
+        (k, base + key_max.get(k, 0) + extra, i)
+        for i, (k, extra) in enumerate(extras)
+    ]
+    lschema = "key long, ms long, qty long"
+    left = spark.createDataFrame(lrows, lschema).select(
+        "key", F.timestamp_millis(F.col("ms")).alias("ts"), "qty"
+    )
+    right_full = rframe(rows).select("key", "ts", "price")
+    for how in ("inner", "left"):
+        got = sorted(
+            tuple(r)
+            for r in asof_probe_from_state(
+                left, state, ["key"], "ts", ["price"], how=how
+            )
+            .select("key", "qty", "right_price")
+            .collect()
+        )
+        want = sorted(
+            tuple(r)
+            for r in asof_join(
+                left, right_full, ["key"], "ts", ["price"], how=how
+            )
+            .select("key", "qty", "right_price")
+            .collect()
+        )
+        assert got == want, how

@@ -169,6 +169,7 @@ def run_tpch(data_dir: str) -> None:
         head[key] = round(best, 3)
     cal = round(min(B._bench_calibration(spark)), 3)
     cal_scan = round(min(B._bench_calibration_scan(spark, data_dir)), 3)
+    cal_hof = round(min(B._bench_calibration_hof(spark)), 3)
     print(
         json.dumps(
             {
@@ -178,6 +179,7 @@ def run_tpch(data_dir: str) -> None:
                 "queries": head,
                 "calibration_sec": cal,
                 "calibration_scan_sec": cal_scan,
+                "calibration_hof_sec": cal_hof,
             }
         ),
         flush=True,
