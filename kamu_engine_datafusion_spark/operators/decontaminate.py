@@ -472,3 +472,116 @@ def bloom_flag_with_bitmap(
             ),
         )
     )
+
+
+def word_ngrams_expr(text, n: int = 2):
+    """Word n-grams of a text column as an array column — the
+    :func:`ngram_novelty` gram rule, exposed module-level for the
+    maintained reference-set path (:func:`ngram_set_increment` /
+    ``streaming.maintained_ngram_set``). Kept textually separate from
+    the driver-green batch operator's inline helper; the two are
+    pinned equal by the novelty-equivalence pytest."""
+    from kamu_engine_datafusion_spark.functions.columns import _let
+
+    c = F.col(text) if isinstance(text, str) else text
+    t = F.split(F.trim(F.lower(c)), r"\s+")
+    if n == 2:
+        n1 = F.greatest(F.size(t) - 1, F.lit(0))
+        return F.zip_with(
+            F.slice(t, 1, n1),
+            F.slice(t, 2, n1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return _let(
+        t,
+        lambda tv: F.transform(
+            F.sequence(
+                F.lit(1), F.greatest(F.size(tv) - (n - 1), F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(tv, i, n)),
+        ),
+    )
+
+
+def ngram_set_increment(
+    state: DataFrame | None,
+    tick: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+) -> DataFrame:
+    """One tick of the maintained REFERENCE N-GRAM SET — the new
+    distinct n-grams a benchmark/reference tick contributes
+    (``streaming.maintained_ngram_set``'s merge law): tick n-grams,
+    deduped, left-anti the stored set. Set union is an idempotent
+    semilattice (the retention/as-of replay class — ticks in any
+    order; the marker skip is an optimization, not a correctness
+    need, because an already-stored n-gram can never re-append), so
+    after any ticks the state IS the distinct n-gram set of the whole
+    reference ledger, and :func:`novelty_against_ngrams` scores new
+    corpus ticks without re-sharding the reference."""
+    inc = (
+        tick.select(
+            F.explode(word_ngrams_expr(text_col, n)).alias("__ng")
+        )
+        .distinct()
+    )
+    if state is None:
+        return inc
+    return inc.join(state.select("__ng"), "__ng", "left_anti")
+
+
+def novelty_against_ngrams(
+    corpus: DataFrame,
+    ngrams: DataFrame,
+    n: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-document novelty scored against a PRE-BUILT distinct
+    n-gram frame (``maintained_ngram_set`` state or one
+    :func:`ngram_set_increment`) — the read side of the maintained
+    reference set, identical output to :func:`ngram_novelty` over the
+    reference the set summarizes (same gram rule, same with-
+    multiplicity counting, same half-up 4dp, same <n-token = 1.0
+    convention; pytest-pinned row-for-row — the batch operator stays
+    byte-identical). At 100 TB the batch path re-shingles the whole
+    reference per scoring run; this broadcasts the stored set."""
+    keep_cols = keep_cols or []
+    ref = F.broadcast(
+        ngrams.select("__ng").distinct().withColumn("__known", F.lit(1))
+    )
+    doc_ng = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.explode_outer(word_ngrams_expr(text_col, n)).alias("__ng"),
+    )
+    per_doc = (
+        doc_ng.join(ref, "__ng", "left")
+        .groupBy("__id")
+        .agg(
+            F.count(F.col("__ng")).cast("long").alias("n_ngrams"),
+            F.sum(
+                F.when(
+                    F.col("__ng").isNotNull() & F.col("__known").isNull(),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    novelty = F.when(F.col("n_ngrams") == 0, F.lit(1.0)).otherwise(
+        F.floor(F.col("n_novel") / F.col("n_ngrams") * 10000 + F.lit(0.5))
+        / 10000
+    )
+    return (
+        corpus.select(F.col(id_col), *keep_cols)
+        .join(per_doc, F.col(id_col) == F.col("__id"), "left")
+        .select(
+            F.col(id_col),
+            *keep_cols,
+            F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+            F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+            novelty.alias("novelty"),
+        )
+    )

@@ -819,3 +819,107 @@ def rater_agreement(
         half_up(pe, dp).alias("pe"),
         half_up(kappa, dp).alias("kappa"),
     )
+
+
+def moment_counts(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Per-group FIXED-POINT sufficient moments ``(grp…, n, s1, s2)``
+    — the additive increment of the maintained feature-scaler
+    (``streaming.maintained_moments``), the ``centroid_stats``
+    discipline applied 1-D: values quantize half-up at ``scale``
+    (``q = floor(x·scale + 0.5)``, BIGINT), and ``n``/``Σq``/``Σq²``
+    are exact integers, so the cross-tick fold is cell-wise BIGINT
+    addition and state after any ticks equals the batch moments of
+    the whole ledger BIT-EXACTLY — float sums would be
+    summation-order-sensitive and could never hash across engines.
+    NULL values are dropped (defined behavior, matching
+    :func:`standardize`'s avg/stddev NULL-skipping).
+
+    Overflow envelope: ``Σq² ≤ n·(scale·|x|max)²`` — at the default
+    1e6 scale, |x| ≤ 100 holds ~90k rows per group under BIGINT;
+    size ``scale`` down for wide-range features (the
+    :func:`~kamu_engine_datafusion_spark.operators.clustering.semdedup`
+    envelope note applies).
+
+    Scale: ONE partial+final aggregate emitting groups × 3 longs."""
+    group_cols = group_cols or []
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    rows = df.filter(F.col(value_col).isNotNull())
+    gb = rows.groupBy(*group_cols) if group_cols else rows.groupBy()
+    return gb.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(q).cast("long").alias("s1"),
+        F.sum(q * q).cast("long").alias("s2"),
+    )
+
+
+def zscore_from_moments(
+    df: DataFrame,
+    moments: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 1_000_000,
+    dp: int = 6,
+    outlier_z: float | None = None,
+) -> DataFrame:
+    """Z-score a frame against MAINTAINED moments state ALONE — the
+    feature-normalization serving read (train-time statistics applied
+    to new ticks, the classic scaler contract): mean and sample
+    variance derive from the exact integer ``(n, s1, s2)`` in ONE
+    defined float expression tree (``mu_q = s1/n``, ``var_q = (s2 −
+    s1²/n)/(n−1)`` — s1² computed in double, never BIGINT, so big
+    groups cannot overflow), the row's quantized value z-scores as
+    ``(q − mu_q)/sqrt(var_q)`` half-up ``dp``, NULL when the group
+    has < 2 rows or zero variance (exactly :func:`standardize`'s
+    convention — the quantized z equals the float z up to the
+    1/scale quantization, which is the DOCUMENTED contract, not a
+    bug: it is what makes the state foldable and the read
+    hash-verifiable). ``outlier_z`` appends ``is_outlier = |z| >
+    outlier_z`` (NULL z ⇒ false) — the serving form of an outlier
+    gate that never re-scans history.
+
+    Scale: the moments frame is groups-sized (broadcast); the scored
+    frame is touched once, no shuffle beyond the join."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    group_cols = group_cols or []
+    st = moments.select(
+        *group_cols,
+        F.col("n").cast("double").alias("__n"),
+        F.col("s1").cast("double").alias("__s1"),
+        F.col("s2").cast("double").alias("__s2"),
+    )
+    joined = (
+        df.join(F.broadcast(st), group_cols)
+        if group_cols
+        else df.crossJoin(F.broadcast(st))
+    )
+    q = F.floor(
+        F.col(value_col).cast("double") * F.lit(float(scale)) + F.lit(0.5)
+    ).cast("long")
+    mu = F.col("__s1") / F.col("__n")
+    var = (F.col("__s2") - F.col("__s1") * F.col("__s1") / F.col("__n")) / (
+        F.col("__n") - F.lit(1.0)
+    )
+    z = F.when(
+        (F.col("__n") >= 2) & (var > 0),
+        half_up((q.cast("double") - mu) / F.sqrt(var), dp),
+    )
+    out = joined.withColumn(f"{value_col}_z", z).drop(
+        "__n", "__s1", "__s2"
+    )
+    if outlier_z is not None:
+        out = out.withColumn(
+            "is_outlier",
+            F.coalesce(
+                F.abs(F.col(f"{value_col}_z")) > F.lit(float(outlier_z)),
+                F.lit(False),
+            ),
+        )
+    return out

@@ -1716,3 +1716,65 @@ def distinctive_tokens(
         .filter(F.col("__rn") <= top_k)
         .drop("__rn")
     )
+
+
+def pair_counts(df, text_col: str = "text", window: int = 1) -> "DataFrame":
+    """The co-occurrence count frame ``(w1, w2, c)`` as an ADDITIVE
+    increment — the per-tick function of
+    ``streaming.maintained_pair_counts`` and the pair half of the
+    maintained-collocation story (:func:`term_counts` keeps the
+    unigram half): counts fold cell-wise, so state after any ticks
+    equals the batch pair counts of the whole ledger and
+    :func:`collocations_from_counts` reads the PMI ranking from
+    state instead of re-pairing 100 TB of text. Pairs are
+    :func:`skipgram_pairs`' in-row stream (gap ≤ ``window``); state is
+    bounded by the OBSERVED vocabulary² (Zipf — far below the bound),
+    with map-side partials capping each exchange."""
+    return (
+        skipgram_pairs(
+            df.select(tokens(text_col).alias("__tok")), window
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def collocations_from_counts(
+    pairs, unis, min_count: int = 5, top_k: int = 100
+) -> "DataFrame":
+    """Top-k PMI collocations read from MAINTAINED count frames ALONE
+    (:func:`pair_counts` + :func:`term_counts` state) — identical
+    output to :func:`collocations` over the corpus the counts
+    summarize (same N/B totals, the same float expression tree, the
+    same (pmi desc, w1, w2) cut; pytest-pinned row-for-row; the batch
+    path stays byte-identical — the ``centroid_stats`` discipline).
+    At 100 TB the batch operator re-explodes and re-pairs the corpus
+    per report; this reads two vocab-bounded count frames."""
+    totals = unis.agg(F.sum("freq").cast("double").alias("N"))
+    b_total = pairs.agg(F.sum("c").cast("double").alias("B"))
+    bg = pairs.filter(F.col("c") >= min_count).select(
+        "w1", "w2", F.col("c").alias("n_pair")
+    )
+    uni = unis.select(F.col("token").alias("w"), F.col("freq").alias("c"))
+    scored = (
+        bg.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            F.log(
+                (F.col("n_pair") / F.col("B"))
+                / ((F.col("c1") / F.col("N")) * (F.col("c2") / F.col("N")))
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)

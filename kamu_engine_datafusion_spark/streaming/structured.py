@@ -2228,6 +2228,199 @@ def maintained_term_counts(
     )
 
 
+def maintained_pair_counts(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    window: int = 1,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 16,
+):
+    """Continuously-maintained co-occurrence PAIR COUNTS over an
+    append corpus stream (``operators/text.py::pair_counts`` — the
+    skip-gram/bigram frame): counts fold cell-wise, so state after
+    any ticks equals the batch pair counts of the whole ledger
+    (pytest-pinned) and the PMI collocation ranking
+    (``collocations_from_counts`` over this state +
+    ``maintained_term_counts``' unigram state) reads two
+    vocab-bounded frames instead of re-pairing 100 TB of text — the
+    collocation leg of the maintained text-statistics family
+    (term_counts = vocabulary, term_stats = BM25, lm_counts =
+    backoff LM, pair_counts = PMI). Retractions unsupported; feed
+    the append stream."""
+    from kamu_engine_datafusion_spark.operators.text import pair_counts
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc):
+        if state_subset is None:
+            return inc
+        return (
+            inc.unionByName(state_subset.select("w1", "w2", "c"))
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            pair_counts(batch_df, text_col, window),
+            batch_id,
+            state_dir,
+            ["w1", "w2"],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def maintained_ngram_set(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    n: int = 2,
+    text_col: str = "text",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 16,
+):
+    """Continuously-maintained distinct REFERENCE N-GRAM SET over an
+    append benchmark/reference stream
+    (``operators/decontaminate.py::ngram_set_increment``): each tick
+    appends only its new-to-state n-grams (tick distinct, left-anti
+    the touched buckets — the ``maintained_minhash_index`` append
+    protocol, and set union is an idempotent semilattice on top of
+    the marker), so the state IS the distinct n-gram set of the whole
+    reference ledger and ``novelty_against_ngrams`` scores new corpus
+    ticks against it without re-shingling the reference — the
+    MEASURING twin of ``maintained_bloom`` (which drops; novelty
+    reports). State is one row per distinct reference n-gram,
+    bucketed by n-gram hash. Retractions unsupported."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        word_ngrams_expr,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        # the bucket key is the n-gram, so the tick reduces to its
+        # distinct n-gram frame FIRST (touched buckets derive from
+        # it); the merge is then the increment's left-anti on the
+        # touched state — exactly ngram_set_increment's law
+        inc = batch_df.select(
+            F.explode(word_ngrams_expr(text_col, n)).alias("__ng")
+        ).distinct()
+        _fold_buckets_append(
+            inc,
+            batch_id,
+            state_dir,
+            ["__ng"],
+            state_buckets,
+            lambda state_subset, frame: (
+                frame
+                if state_subset is None
+                else frame.join(
+                    state_subset.select("__ng"), "__ng", "left_anti"
+                )
+            ),
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def maintained_moments(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    scale: int = 1_000_000,
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained per-group FIXED-POINT MOMENTS over an
+    append stream (``operators/profile.py::moment_counts`` — exact
+    BIGINT ``(n, Σq, Σq²)``): the fold is cell-wise addition, exact
+    by construction (float sums would be summation-order-sensitive),
+    so state after any ticks equals the batch moments of the whole
+    ledger bit-for-bit, and ``zscore_from_moments`` serves the
+    feature-scaler read — z-score/outlier-gate NEW ticks against
+    train-time statistics from groups × 3 longs of state, history
+    never re-scanned. Retractions unsupported (moments only add);
+    feed the append stream."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        moment_counts,
+    )
+
+    if not group_cols:
+        raise ValueError(
+            "maintained_moments: group_cols must be non-empty — the "
+            "bucketed fold keys state by group; for a global scaler "
+            "pass a constant group column"
+        )
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc):
+        if state_subset is None:
+            return inc
+        return (
+            inc.unionByName(
+                state_subset.select(*group_cols, "n", "s1", "s2")
+            )
+            .groupBy(*group_cols)
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s1").cast("long").alias("s1"),
+                F.sum("s2").cast("long").alias("s2"),
+            )
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            moment_counts(batch_df, value_col, group_cols, scale),
+            batch_id,
+            state_dir,
+            group_cols,
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def read_maintained_ann_topk(
     spark: SparkSession,
     state_dir: str,

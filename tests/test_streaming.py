@@ -3374,3 +3374,235 @@ def test_mmr_from_semdedup_store(spark, tmp_path):
         for r in state.filter(F.col("cluster").isin(probed)).collect()
     }
     assert pruned and all(i in in_cluster for (_rk, i, _r, _m) in pruned)
+
+
+def test_maintained_pair_counts_and_collocations(spark, tmp_path):
+    """r15 staged: co-occurrence pair counts folded tick by tick must
+    equal the batch pair_counts of the whole ledger, and the PMI
+    collocation ranking read from the two maintained count frames
+    (pairs + unigrams) must equal the batch collocations operator
+    ROW-FOR-ROW — same N/B totals, same float tree, same cut."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        collocations,
+        collocations_from_counts,
+        pair_counts,
+        term_counts,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_pair_counts,
+        maintained_term_counts,
+        read_maintained_state,
+    )
+
+    docs = [
+        (0, "big data big data pipeline"),
+        (1, "big data stream engine"),
+        (2, "stream engine big data"),
+        (3, "data pipeline stream engine big data"),
+        (4, "unrelated words entirely here"),
+    ]
+    schema = "doc_id long, text string"
+    ledger = os.path.join(str(tmp_path), "pcledger")
+    pstate = os.path.join(str(tmp_path), "pcstate")
+    pck = os.path.join(str(tmp_path), "pcck")
+    tstate = os.path.join(str(tmp_path), "pctstate")
+    tck = os.path.join(str(tmp_path), "pctck")
+    os.makedirs(ledger)
+    for tk in (docs[0:2], docs[2:4], docs[4:5]):
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        maintained_pair_counts(
+            ledger, pstate, pck,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+        maintained_term_counts(
+            ledger, tstate, tck,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    full = spark.createDataFrame(docs, schema)
+    want_pairs = sorted(tuple(r) for r in pair_counts(full).collect())
+    got_pairs = sorted(
+        tuple(r) for r in read_maintained_state(spark, pstate).collect()
+    )
+    assert got_pairs == want_pairs
+
+    got = [
+        tuple(r)
+        for r in collocations_from_counts(
+            read_maintained_state(spark, pstate),
+            read_maintained_state(spark, tstate),
+            min_count=2, top_k=5,
+        ).collect()
+    ]
+    want = [
+        tuple(r)
+        for r in collocations(full, min_count=2, top_k=5).collect()
+    ]
+    assert got == want and len(got) > 0
+
+
+def test_maintained_ngram_set_novelty(spark, tmp_path):
+    """r15 staged: the maintained distinct reference-bigram set folded
+    tick by tick must equal the distinct grams of the whole reference
+    ledger (appends are new-to-state only), and novelty scored
+    against the state must equal the batch ngram_novelty against the
+    full reference ROW-FOR-ROW — including a doc with < n tokens
+    (novelty 1.0 by convention) and with-multiplicity counting. The
+    module-level increment applied in reverse order lands on the
+    identical set (union is a semilattice)."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        ngram_novelty,
+        ngram_set_increment,
+        novelty_against_ngrams,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_ngram_set,
+        read_maintained_state,
+    )
+
+    ref_ticks = [
+        [(100, "the quick brown fox jumps")],
+        [(101, "brown fox likes data"), (102, "the quick brown fox")],
+        [(103, "streams of data flow fast")],
+    ]
+    corpus = [
+        (0, "the quick brown fox jumps high"),  # mostly known
+        (1, "entirely novel content right here"),  # fully novel
+        (2, "data flow data flow data flow"),  # repeated known pair
+        (3, "single"),  # < 2 tokens -> novelty 1.0
+    ]
+    schema = "doc_id long, text string"
+    ledger = os.path.join(str(tmp_path), "ngledger")
+    state = os.path.join(str(tmp_path), "ngstate")
+    ck = os.path.join(str(tmp_path), "ngck")
+    os.makedirs(ledger)
+    for tk in ref_ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        maintained_ngram_set(
+            ledger, state, ck,
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    full_ref = spark.createDataFrame(
+        [r for t in ref_ticks for r in t], schema
+    )
+    want_set = sorted(
+        r[0]
+        for r in ngram_set_increment(None, full_ref).collect()
+    )
+    got_set = sorted(
+        r[0] for r in read_maintained_state(spark, state).collect()
+    )
+    assert got_set == want_set
+
+    cdf = spark.createDataFrame(corpus, schema)
+    got = sorted(
+        tuple(r)
+        for r in novelty_against_ngrams(
+            cdf, read_maintained_state(spark, state)
+        ).collect()
+    )
+    want = sorted(
+        tuple(r) for r in ngram_novelty(cdf, full_ref).collect()
+    )
+    assert got == want
+    by_id = {t[0]: t for t in got}
+    assert by_id[3][3] == 1.0 and by_id[1][3] == 1.0
+
+    # reverse-order module-level fold lands on the identical set
+    st = None
+    for tk in reversed(ref_ticks):
+        inc = ngram_set_increment(
+            st, spark.createDataFrame(tk, schema)
+        )
+        st = inc if st is None else st.unionByName(inc)
+        st = st.localCheckpoint(eager=True)
+    assert sorted(r[0] for r in st.collect()) == want_set
+
+
+def test_maintained_moments_zscore(spark, tmp_path):
+    """r15 staged: fixed-point per-group moments folded tick by tick
+    must equal the batch moment_counts of the whole ledger BIT-EXACTLY
+    (integer sums — no float summation-order noise), and the z-score
+    serving read must match an independent python replay of the
+    defined rule (quantize half-up, mu = s1/n, var = (s2 − s1²/n)/
+    (n−1) in double, half-up 6dp, NULL for singleton/zero-variance
+    groups, outlier flag at |z| > 2 with NULL ⇒ false). NULL values
+    drop from the moments like standardize's avg."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.profile import (
+        moment_counts,
+        zscore_from_moments,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_moments,
+        read_maintained_state,
+    )
+
+    rows = [
+        ("a", 1.25), ("a", 2.5), ("a", 3.75), ("a", None), ("a", 100.0),
+        ("b", 7.0),                      # singleton -> NULL z
+        ("c", 5.0), ("c", 5.0),          # zero variance -> NULL z
+        ("d", -3.3), ("d", 0.0), ("d", 9.9),
+    ]
+    schema = "grp string, x double"
+    ledger = os.path.join(str(tmp_path), "moledger")
+    state = os.path.join(str(tmp_path), "mostate")
+    ck = os.path.join(str(tmp_path), "mock")
+    os.makedirs(ledger)
+    for tk in (rows[0:4], rows[4:8], rows[8:]):
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        maintained_moments(
+            ledger, state, ck, "x", ["grp"],
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    full = spark.createDataFrame(rows, schema)
+    want_m = sorted(
+        tuple(r) for r in moment_counts(full, "x", ["grp"]).collect()
+    )
+    got_m = sorted(
+        tuple(r) for r in read_maintained_state(spark, state).collect()
+    )
+    assert got_m == want_m
+
+    probe = [("a", 2.0), ("a", 50.0), ("b", 7.0), ("c", 5.0), ("d", 1.1)]
+    got = sorted(
+        tuple(r)
+        for r in zscore_from_moments(
+            spark.createDataFrame(probe, schema),
+            read_maintained_state(spark, state),
+            "x", ["grp"], outlier_z=2.0,
+        ).collect()
+    )
+
+    # independent replay
+    m = {g: (n, s1, s2) for (g, n, s1, s2) in want_m}
+
+    def replay(g, x):
+        n, s1, s2 = m[g]
+        q = math.floor(x * 1e6 + 0.5)
+        if n < 2:
+            return None
+        var = (s2 - s1 * s1 / n) / (n - 1.0)
+        if var <= 0:
+            return None
+        z = (q - s1 / n) / math.sqrt(var)
+        return math.floor(z * 1e6 + 0.5) / 1e6
+
+    want = sorted(
+        (g, x, replay(g, x),
+         (replay(g, x) is not None and abs(replay(g, x)) > 2.0))
+        for (g, x) in probe
+    )
+    assert got == want
+    by = {(g, x): z for (g, x, z, _o) in got}
+    assert by[("b", 7.0)] is None and by[("c", 5.0)] is None
+    assert by[("a", 50.0)] is not None

@@ -1748,6 +1748,239 @@ def main() -> None:
     if _want("mmr_from_semdedup_store"):
         _mmr_store_stress()
 
+    def _pair_counts_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.text import (
+            collocations,
+            collocations_from_counts,
+            pair_counts,
+            term_counts,
+        )
+
+        led = "/tmp/stress_pc_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        pstate, tstate = None, None
+        times = []
+        for i in range(4):
+            d = spark.range(500_000).select(
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit("w"),
+                            (
+                                F.pmod(
+                                    F.xxhash64("id", F.lit(i * 20 + j)),
+                                    F.lit(20_000),
+                                )
+                            ).cast("string"),
+                        )
+                        for j in range(12)
+                    ],
+                ).alias("text")
+            )
+            t0 = time.time()
+            pinc = pair_counts(d)
+            pstate = (
+                pinc
+                if pstate is None
+                else pinc.unionByName(pstate)
+                .groupBy("w1", "w2")
+                .agg(F.sum("c").cast("long").alias("c"))
+            ).localCheckpoint(eager=True)
+            tinc = term_counts(d)
+            tstate = (
+                tinc
+                if tstate is None
+                else tinc.unionByName(tstate)
+                .groupBy("token")
+                .agg(F.sum("freq").cast("long").alias("freq"))
+            ).localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            d.write.mode("append").parquet(led)
+        t0 = time.time()
+        live = [
+            tuple(r)
+            for r in collocations_from_counts(
+                pstate, tstate, min_count=5, top_k=50
+            ).collect()
+        ]
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = [
+            tuple(r)
+            for r in collocations(
+                spark.read.parquet(led), min_count=5, top_k=50
+            ).collect()
+        ]
+        tb = time.time() - t0
+        print(
+            f"maintained_pair_counts: per-tick {times} | pairs "
+            f"{pstate.count()} | PMI top-50 read {tr:.2f}s vs batch "
+            f"re-pair of 2M docs {tb:.2f}s | match={live == batch}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_pair_counts"):
+        _pair_counts_stress()
+
+    def _ngram_set_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.decontaminate import (
+            ngram_novelty,
+            ngram_set_increment,
+            novelty_against_ngrams,
+        )
+
+        led = "/tmp/stress_ng_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        state = None
+        times = []
+        for i in range(4):
+            ref = spark.range(125_000).select(
+                (F.col("id") + i * 125_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit("r"),
+                            (
+                                F.pmod(
+                                    F.xxhash64("id", F.lit(i * 16 + j)),
+                                    F.lit(50_000),
+                                )
+                            ).cast("string"),
+                        )
+                        for j in range(10)
+                    ],
+                ).alias("text"),
+            )
+            t0 = time.time()
+            inc = ngram_set_increment(state, ref)
+            state = (
+                inc if state is None else state.unionByName(inc)
+            ).localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            ref.write.mode("append").parquet(led)
+        corpus = spark.range(2_000_000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                *[
+                    F.concat(
+                        F.lit("r"),
+                        (
+                            F.pmod(
+                                F.xxhash64("id", F.lit(100 + j)),
+                                F.lit(80_000),
+                            )
+                        ).cast("string"),
+                    )
+                    for j in range(10)
+                ],
+            ).alias("text"),
+        ).localCheckpoint(eager=True)
+
+        def fp(df):
+            return tuple(
+                df.agg(
+                    F.count(F.lit(1)),
+                    F.sum("n_ngrams"),
+                    F.sum("n_novel"),
+                    F.round(F.sum("novelty"), 2),
+                ).collect()[0]
+            )
+
+        t0 = time.time()
+        live = fp(novelty_against_ngrams(corpus, state))
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = fp(ngram_novelty(corpus, spark.read.parquet(led)))
+        tb = time.time() - t0
+        print(
+            f"maintained_ngram_set: per-tick {times} | ref set "
+            f"{state.count()} bigrams | 2M-doc novelty from state "
+            f"{tr:.2f}s vs batch re-shingle {tb:.2f}s | "
+            f"match={live == batch}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_ngram_set"):
+        _ngram_set_stress()
+
+    def _moments_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.profile import (
+            moment_counts,
+            zscore_from_moments,
+        )
+
+        led = "/tmp/stress_mo_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        state = None
+        times = []
+        for i in range(10):
+            d = spark.range(1_000_000).select(
+                (F.xxhash64("id", F.lit(i)) % 100_000).alias("grp"),
+                (
+                    F.pmod(
+                        F.xxhash64("id", F.lit(i + 5)), F.lit(100_000)
+                    )
+                    / 1_000.0
+                ).alias("x"),
+            )
+            t0 = time.time()
+            inc = moment_counts(d, "x", ["grp"])
+            state = (
+                inc
+                if state is None
+                else inc.unionByName(state)
+                .groupBy("grp")
+                .agg(
+                    F.sum("n").cast("long").alias("n"),
+                    F.sum("s1").cast("long").alias("s1"),
+                    F.sum("s2").cast("long").alias("s2"),
+                )
+            ).localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            d.write.mode("append").parquet(led)
+        probe = spark.range(1_000_000).select(
+            (F.xxhash64("id", F.lit(99)) % 100_000).alias("grp"),
+            (
+                F.pmod(F.xxhash64("id", F.lit(98)), F.lit(100_000))
+                / 1_000.0
+            ).alias("x"),
+        ).localCheckpoint(eager=True)
+        t0 = time.time()
+        n_out = (
+            zscore_from_moments(
+                probe, state, "x", ["grp"], outlier_z=3.0
+            )
+            .filter(F.col("is_outlier"))
+            .count()
+        )
+        tr = time.time() - t0
+        t0 = time.time()
+        nb = moment_counts(
+            spark.read.parquet(led), "x", ["grp"]
+        ).count()
+        tb = time.time() - t0
+        print(
+            f"maintained_moments: per-tick {times} | z-score+gate 1M "
+            f"probe rows from {nb}-group state {tr:.2f}s (outliers "
+            f"{n_out}) vs batch moments recount of 10M rows {tb:.2f}s",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_moments"):
+        _moments_stress()
+
     def _compact_state_stress() -> None:
         import shutil
 
