@@ -40,8 +40,16 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
 # r16 ROTATION PLAN (build _PRIORITY_R16 with CORRECTNESS_r15 in
-# hand): (1) any key this window turns red, (2) newly staged families
-# registered as keys (see the r15 staging list in COVERAGE.md), (3)
+# hand): (1) any key this window turns red, (2) the three keys
+# registered r15 BELOW the window (xintervals_maintained,
+# xasof_maintained, xmmr_semdedup — oracles already shipped and
+# locally hash-green at 3 SFs, zero registration work left) plus the
+# three r15-staged families as NEW keys with their COVERAGE-recorded
+# oracle designs — maintained PMI pair counts (xcollocations batch
+# twin), maintained reference n-gram set + novelty read
+# (xngram_novelty twin), maintained fixed-point moments + z-score
+# serving (tick-structured integer-sum CTEs for the state, the
+# defined z expression for the read), (3)
 # the oldest-green cohort — the r11 remainder below this window's cut
 # (b04_parquet_sink, b03_information_schema, xdecontaminate, and the
 # r11-window x keys: xquality_classifier, xdedup_simhash_sql,

@@ -1305,3 +1305,124 @@ def test_asof_state_fold_and_probe_invariance(
             .collect()
         )
         assert got == want, how
+
+
+@_slow
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group
+            st.floats(
+                min_value=-100.0,
+                max_value=100.0,
+                allow_nan=False,
+                allow_infinity=False,
+            ),
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=49), min_size=0, max_size=3
+    ),
+    order=st.randoms(use_true_random=False),
+)
+def test_moments_fold_partition_invariance(spark, rows, cuts, order):
+    """r15 moments family: for ANY value stream and ANY partition into
+    ticks in ANY order, the cell-wise BIGINT fold of the fixed-point
+    moments equals the batch moment_counts of everything BIT-EXACTLY —
+    the property float sums could never satisfy (summation order would
+    leak); quantization happens per row, so tick boundaries are
+    invisible by construction and this pins it."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        moment_counts,
+    )
+
+    shuffled = list(rows)
+    order.shuffle(shuffled)
+    bounds = sorted({min(c, len(shuffled)) for c in cuts})
+    ticks, prev = [], 0
+    for b in bounds + [len(shuffled)]:
+        if b > prev:
+            ticks.append(shuffled[prev:b])
+            prev = b
+    schema = "grp long, x double"
+    state = None
+    for tk in ticks:
+        inc = moment_counts(
+            spark.createDataFrame(tk, schema), "x", ["grp"]
+        )
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("grp")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s1").cast("long").alias("s1"),
+                F.sum("s2").cast("long").alias("s2"),
+            )
+        )
+    got = sorted(tuple(r) for r in state.collect())
+    want = sorted(
+        tuple(r)
+        for r in moment_counts(
+            spark.createDataFrame(rows, schema), "x", ["grp"]
+        ).collect()
+    )
+    assert got == want
+
+
+@_slow
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd", "ee"]),
+            min_size=0,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=29), min_size=0, max_size=3
+    ),
+    order=st.randoms(use_true_random=False),
+)
+def test_pair_counts_fold_partition_invariance(spark, texts, cuts, order):
+    """r15 pair-counts family: for ANY doc multiset and ANY partition
+    into ticks in ANY order, the cell-wise fold of the skip-gram pair
+    counts equals the batch pair_counts of everything — counts are
+    exact integers, so tick boundaries are invisible by construction
+    and this pins it (incl. empty and single-token docs, which emit
+    no pairs)."""
+    from kamu_engine_datafusion_spark.operators.text import pair_counts
+
+    rows = [(" ".join(t),) for t in texts]
+    shuffled = list(rows)
+    order.shuffle(shuffled)
+    bounds = sorted({min(c, len(shuffled)) for c in cuts})
+    ticks, prev = [], 0
+    for b in bounds + [len(shuffled)]:
+        if b > prev:
+            ticks.append(shuffled[prev:b])
+            prev = b
+    schema = "text string"
+    state = None
+    for tk in ticks:
+        inc = pair_counts(spark.createDataFrame(tk, schema))
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+    got = sorted(tuple(r) for r in state.collect())
+    want = sorted(
+        tuple(r)
+        for r in pair_counts(
+            spark.createDataFrame(rows, schema)
+        ).collect()
+    )
+    assert got == want

@@ -1981,6 +1981,97 @@ def main() -> None:
     if _want("maintained_moments"):
         _moments_stress()
 
+    def _cadence_stress() -> None:
+        """Long-horizon integration of the compaction CADENCE with a
+        real maintained fold: 50 postings ticks through the ACTUAL
+        streaming wrapper with compact_state_if_needed(trigger=8)
+        called between ticks — per-bucket file counts stay bounded at
+        the trigger, the serving read stays flat, and the final state
+        equals the batch postings of the whole ledger."""
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.retrieval import (
+            postings_increment,
+        )
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            compact_state_if_needed,
+            maintained_postings,
+            read_maintained_state,
+        )
+
+        led = "/tmp/stress_cad_ledger"
+        st = "/tmp/stress_cad_state"
+        ck = "/tmp/stress_cad_ck"
+        for d in (led, st, ck):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(led)
+        n_compactions = 0
+        max_files_seen = 0
+
+        def bucket_files():
+            worst = 0
+            for d in os.listdir(st):
+                if not d.startswith("__bucket="):
+                    continue
+                p = os.path.join(st, d)
+                worst = max(
+                    worst,
+                    sum(
+                        1
+                        for f in os.listdir(p)
+                        if f.endswith(".parquet")
+                    ),
+                )
+            return worst
+
+        for i in range(50):
+            tick = spark.range(20_000).select(
+                (F.col("id") + i * 20_000).alias("doc_id"),
+                F.concat_ws(
+                    " ",
+                    *[
+                        F.concat(
+                            F.lit("t"),
+                            (
+                                F.pmod(
+                                    F.xxhash64("id", F.lit(i * 8 + j)),
+                                    F.lit(30_000),
+                                )
+                            ).cast("string"),
+                        )
+                        for j in range(8)
+                    ],
+                ).alias("text"),
+            )
+            tick.coalesce(1).write.mode("append").parquet(led)
+            maintained_postings(
+                led, st, ck,
+                schema=spark.read.parquet(led).schema, spark=spark,
+            ).awaitTermination()
+            max_files_seen = max(max_files_seen, bucket_files())
+            if compact_state_if_needed(
+                spark, st, trigger_files_per_bucket=8,
+                sort_cols=["term"],
+            ):
+                n_compactions += 1
+        t0 = time.time()
+        n_state = read_maintained_state(spark, st).count()
+        tr = time.time() - t0
+        n_batch = postings_increment(spark.read.parquet(led)).count()
+        print(
+            f"compaction_cadence: 50 ticks, trigger=8 -> "
+            f"{n_compactions} compactions, max files/bucket ever "
+            f"{max_files_seen}, final {bucket_files()} | state read "
+            f"{tr:.2f}s | rows {n_state} == batch {n_batch}: "
+            f"{n_state == n_batch}",
+            flush=True,
+        )
+        for d in (led, st, ck):
+            shutil.rmtree(d, ignore_errors=True)
+
+    if _want("compaction_cadence"):
+        _cadence_stress()
+
     def _compact_state_stress() -> None:
         import shutil
 
