@@ -1611,3 +1611,63 @@ def negative_samples(
         .join(neighbors, ["__shard", "__pos"])
         .select("anchor", "neg_id", "slot")
     )
+
+
+def temperature_cuts_from_counts(
+    counts: DataFrame,
+    stratum_col: str,
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+) -> DataFrame:
+    """The per-stratum temperature-sampling CUT TABLE read from a
+    maintained count frame ALONE (``streaming.maintained_group_counts``
+    state, or any ``(stratum, n)`` frame) — exactly
+    :func:`temperature_sample`'s cut rule (``share^alpha`` weights,
+    target allocation capped at 100%, the same 6dp round before the
+    integer-bucket cut; pytest-pinned: cuts-from-state sampling of the
+    same corpus equals the batch operator ROW-FOR-ROW, the batch path
+    untouched). At 100 TB the batch operator recounts the corpus per
+    run; this reads |strata| metadata rows — the training-mix monitor
+    a multilingual pipeline keeps live, re-sampling each incoming tick
+    with corpus-consistent temperature cuts via
+    :func:`sample_with_cuts`."""
+    tot = counts.agg(
+        F.sum("n").alias("__tot"),
+        F.sum(F.pow("n", F.lit(float(alpha)))).alias("__z"),
+    )
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(float(target_fraction))
+        * F.col("__tot")
+        * F.pow("n", F.lit(float(alpha)))
+        / F.col("__z")
+        / F.col("n"),
+    )
+    cut = F.floor(F.round(frac * _BUCKETS, 6)).cast("long")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        stratum_col, cut.alias("__cut")
+    )
+
+
+def sample_with_cuts(
+    df: DataFrame,
+    cuts: DataFrame,
+    key_col: str,
+    stratum_col: str,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Apply a :func:`temperature_cuts_from_counts` cut table to a
+    frame — :func:`temperature_sample`'s keyed-hash row filter with
+    the cuts SUPPLIED (broadcast |strata| rows; the frame is touched
+    once, in-row, never shuffled). With cuts built from the counts of
+    the same corpus this equals the batch operator exactly
+    (pytest-pinned); in the maintained loop each tick samples against
+    the CURRENT folded counts — the corpus-consistent streaming
+    semantic of ``dsir_scores_from_stats``, documented rather than
+    hidden: cuts evolve as the corpus grows."""
+    return (
+        df.join(F.broadcast(cuts), stratum_col)
+        .filter(_bucket(F.col(key_col), salt, hash_fn) < F.col("__cut"))
+        .drop("__cut")
+    )

@@ -2228,6 +2228,66 @@ def maintained_term_counts(
     )
 
 
+def maintained_group_counts(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    group_cols: list[str],
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained per-group ROW COUNTS over an append
+    stream — the simplest additive frame ``(grp…, n)`` and the state
+    behind the maintained TRAINING-MIX monitor: per-stratum corpus
+    counts fold cell-wise (state ≡ batch counts of the whole ledger,
+    pytest-pinned), and ``operators/sampling.py::
+    temperature_cuts_from_counts`` reads the temperature-sampling cut
+    table from |strata| metadata rows, so each incoming tick samples
+    with corpus-consistent cuts (``sample_with_cuts``) while the
+    corpus is never recounted. Retractions unsupported; feed the
+    append stream (a retractable feed wants ``maintained_view``'s
+    signed fold instead)."""
+    if not group_cols:
+        raise ValueError(
+            "maintained_group_counts: group_cols must be non-empty"
+        )
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, inc):
+        if state_subset is None:
+            return inc
+        return (
+            inc.unionByName(state_subset.select(*group_cols, "n"))
+            .groupBy(*group_cols)
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df.groupBy(*group_cols).agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+            batch_id,
+            state_dir,
+            group_cols,
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_pair_counts(
     ledger_dir: str,
     state_dir: str,

@@ -3606,3 +3606,79 @@ def test_maintained_moments_zscore(spark, tmp_path):
     by = {(g, x): z for (g, x, z, _o) in got}
     assert by[("b", 7.0)] is None and by[("c", 5.0)] is None
     assert by[("a", 50.0)] is not None
+
+
+def test_maintained_group_counts_temperature_mix(spark, tmp_path):
+    """r15 staged: per-stratum counts folded tick by tick must equal
+    the batch counts of the whole ledger, and temperature-sampling
+    cuts read from the state + applied via sample_with_cuts must
+    reproduce the batch temperature_sample of the same corpus
+    ROW-FOR-ROW (same alpha/target/salt/hash, same 6dp-round cut,
+    same 100% cap for an under-resourced stratum)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        sample_with_cuts,
+        temperature_cuts_from_counts,
+        temperature_sample,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_group_counts,
+        read_maintained_state,
+    )
+
+    rows = [(i, "en" if i % 10 < 7 else ("de" if i % 10 < 9 else "yo"))
+            for i in range(300)]
+    schema = "doc_id long, lang string"
+    ledger = os.path.join(str(tmp_path), "gcledger")
+    state = os.path.join(str(tmp_path), "gcstate")
+    ck = os.path.join(str(tmp_path), "gcck")
+    os.makedirs(ledger)
+    for tk in (rows[0:100], rows[100:220], rows[220:]):
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        maintained_group_counts(
+            ledger, state, ck, ["lang"],
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    full = spark.createDataFrame(rows, schema)
+    want_counts = sorted(
+        tuple(r)
+        for r in full.groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .collect()
+    )
+    got_counts = sorted(
+        tuple(r) for r in read_maintained_state(spark, state).collect()
+    )
+    assert got_counts == want_counts
+
+    cuts = temperature_cuts_from_counts(
+        read_maintained_state(spark, state), "lang",
+        alpha=0.5, target_fraction=0.4,
+    )
+    got = sorted(
+        tuple(r)
+        for r in sample_with_cuts(full, cuts, "doc_id", "lang")
+        .select("doc_id", "lang")
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in temperature_sample(
+            full, "doc_id", "lang", alpha=0.5, target_fraction=0.4
+        )
+        .select("doc_id", "lang")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+    # the tiny stratum is upsampled relative to its share (temperature
+    # flattening), and never past 100%
+    kept = {}
+    tot = {}
+    for (_i, lang) in rows:
+        tot[lang] = tot.get(lang, 0) + 1
+    for (_i, lang) in got:
+        kept[lang] = kept.get(lang, 0) + 1
+    assert kept.get("yo", 0) <= tot["yo"]
+    assert kept["yo"] / tot["yo"] > kept["en"] / tot["en"]

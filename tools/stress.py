@@ -2072,6 +2072,71 @@ def main() -> None:
     if _want("compaction_cadence"):
         _cadence_stress()
 
+    def _temperature_mix_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.sampling import (
+            sample_with_cuts,
+            temperature_cuts_from_counts,
+            temperature_sample,
+        )
+
+        led = "/tmp/stress_tm_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        langs = F.array(
+            *[F.lit(x) for x in
+              ("en", "en", "en", "en", "en", "en", "de", "de", "fr",
+               "yo")]
+        )
+        state = None
+        times = []
+        for i in range(10):
+            d = spark.range(1_000_000).select(
+                (F.col("id") + i * 1_000_000).alias("doc_id"),
+                F.element_at(
+                    langs,
+                    (
+                        F.pmod(F.xxhash64("id", F.lit(i)), F.lit(10)) + 1
+                    ).cast("int"),
+                ).alias("lang"),
+            )
+            t0 = time.time()
+            inc = d.groupBy("lang").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            )
+            state = (
+                inc
+                if state is None
+                else inc.unionByName(state)
+                .groupBy("lang")
+                .agg(F.sum("n").cast("long").alias("n"))
+            ).localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            d.write.mode("append").parquet(led)
+        full = spark.read.parquet(led)
+        t0 = time.time()
+        cuts = temperature_cuts_from_counts(
+            state, "lang", alpha=0.5, target_fraction=0.3
+        )
+        n_live = sample_with_cuts(full, cuts, "doc_id", "lang").count()
+        tr = time.time() - t0
+        t0 = time.time()
+        n_batch = temperature_sample(
+            full, "doc_id", "lang", alpha=0.5, target_fraction=0.3
+        ).count()
+        tb = time.time() - t0
+        print(
+            f"maintained_group_counts: per-tick {times} | mix sample "
+            f"of 10M docs from 4-row cut state {tr:.2f}s vs batch "
+            f"recount+sample {tb:.2f}s | kept {n_live} == {n_batch}: "
+            f"{n_live == n_batch}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_group_counts"):
+        _temperature_mix_stress()
+
     def _compact_state_stress() -> None:
         import shutil
 
