@@ -40,16 +40,13 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
 # r16 ROTATION PLAN (build _PRIORITY_R16 with CORRECTNESS_r15 in
-# hand): (1) any key this window turns red, (2) the three keys
+# hand): (1) any key this window turns red, (2) the EIGHT keys
 # registered r15 BELOW the window (xintervals_maintained,
-# xasof_maintained, xmmr_semdedup — oracles already shipped and
-# locally hash-green at 3 SFs, zero registration work left) plus the
-# three r15-staged families as NEW keys with their COVERAGE-recorded
-# oracle designs — maintained PMI pair counts (xcollocations batch
-# twin), maintained reference n-gram set + novelty read
-# (xngram_novelty twin), maintained fixed-point moments + z-score
-# serving (tick-structured integer-sum CTEs for the state, the
-# defined z expression for the read), (3)
+# xasof_maintained, xmmr_semdedup, xcollocations_maintained,
+# xnovelty_maintained, xmoments_state, xzscore_maintained,
+# xtemperature_maintained — oracles already shipped and locally
+# hash-green at 3 SFs, zero registration work left: move them above
+# the cut), (3)
 # the oldest-green cohort — the r11 remainder below this window's cut
 # (b04_parquet_sink, b03_information_schema, xdecontaminate, and the
 # r11-window x keys: xquality_classifier, xdedup_simhash_sql,
@@ -130,6 +127,11 @@ _PRIORITY_R15 = [
     "xintervals_maintained",
     "xasof_maintained",
     "xmmr_semdedup",
+    "xcollocations_maintained",
+    "xnovelty_maintained",
+    "xmoments_state",
+    "xzscore_maintained",
+    "xtemperature_maintained",
 ]
 
 _PRIORITY_R14 = [

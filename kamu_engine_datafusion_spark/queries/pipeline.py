@@ -4424,6 +4424,230 @@ def q_xmmr_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xcollocations_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained PMI collocation read, driver-verified
+    (registered r15 below the window; r16 head): pair + unigram count
+    frames fold cell-wise over three doc-id ticks (``operators/
+    text.py::pair_counts`` / ``term_counts`` — exactly
+    ``streaming/structured.py::maintained_pair_counts`` /
+    ``maintained_term_counts``'s folds, pytest-pinned) and the top-100
+    ranking is ``collocations_from_counts`` over the two maintained
+    frames with the batch ``q_xcollocations`` pipeline's exact
+    6dp-rounded re-rank. Oracle: the batch ``xcollocations`` SQL over
+    the full ledger — fold ≡ batch counts makes the batch oracle the
+    incremental key's oracle, and every count cell surfaces in
+    n_pair/pmi."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        collocations_from_counts,
+        pair_counts,
+        term_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    pairs, unis = None, None
+    for i in range(3):
+        tick = d.filter(F.col("doc_id") % 3 == i)
+        pinc = pair_counts(tick)
+        pairs = (
+            pinc
+            if pairs is None
+            else pinc.unionByName(pairs)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        tinc = term_counts(tick)
+        unis = (
+            tinc
+            if unis is None
+            else tinc.unionByName(unis)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+    out = collocations_from_counts(
+        pairs, unis, min_count=5, top_k=10_000_000
+    )
+    return (
+        out.select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(100)
+    )
+
+
+def q_xnovelty_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained reference n-gram set's novelty read,
+    driver-verified (registered r15 below the window; r16 head): the
+    doc_id < 200 reference's distinct-bigram set folds append-only
+    over three doc-id ticks (``operators/decontaminate.py::
+    ngram_set_increment`` — exactly ``streaming/structured.py::
+    maintained_ngram_set``'s merge, new-to-state rows only, and set
+    union is a semilattice so the folded set IS the reference's
+    distinct grams) and the doc_id ≥ 200 corpus scores via
+    ``novelty_against_ngrams`` — pinned ≡ the batch ``ngram_novelty``
+    row-for-row. Oracle: the batch ``xngram_novelty`` SQL."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        ngram_set_increment,
+        novelty_against_ngrams,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    ref = d.filter(F.col("doc_id") < 200)
+    state = None
+    for i in range(3):
+        inc = ngram_set_increment(
+            state, ref.filter(F.col("doc_id") % 3 == i)
+        )
+        state = inc if state is None else state.unionByName(inc)
+    return novelty_against_ngrams(
+        d.filter(F.col("doc_id") >= 200), state, n=2, keep_cols=["lang"]
+    )
+
+
+def q_xmoments_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded fixed-point MOMENTS state itself, driver-verified
+    (registered r15 below the window; r16 head): per-event-type
+    ``(n, Σq, Σq²)`` of the events ``value`` column (q half-up at
+    scale 1000 — sized so Σq² stays in BIGINT at 10× data) folds
+    cell-wise over three event-id ticks via ``operators/profile.py::
+    moment_counts`` — exactly ``streaming/structured.py::
+    maintained_moments``'s fold. The oracle rebuilds the state from
+    TICK-STRUCTURED integer-sum CTEs then folds them additively in
+    SQL (the ``xcentroid_stats_state`` device), so the driver hash
+    proves the folded scaler state itself."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        moment_counts,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.col("event_type").alias("grp"), "event_id", "value"
+    )
+    state = None
+    for i in range(3):
+        inc = moment_counts(
+            ev.filter(F.col("event_id") % 3 == i), "value", ["grp"],
+            scale=1_000,
+        )
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("grp")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s1").cast("long").alias("s1"),
+                F.sum("s2").cast("long").alias("s2"),
+            )
+        )
+    return state
+
+
+def q_xzscore_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained feature-scaler SERVING read, driver-verified
+    (registered r15 below the window; r16 head): the ``event_id % 3
+    == 0`` slice (a "new tick") z-scores against the full-ledger
+    moments state of ``q_xmoments_state``'s fold via
+    ``operators/profile.py::zscore_from_moments`` — the defined
+    fixed-point rule (q at scale 1000, mu/var from one double tree,
+    half-up 6dp, NULL for singleton/zero-variance groups) with the
+    ``|z| > 2`` outlier gate (NULL ⇒ false). The oracle replays the
+    tick-structured state CTEs AND the exact z expression, so the
+    hash proves fold ≡ batch moments AND the serving read's every
+    branch through the driver."""
+    from kamu_engine_datafusion_spark.operators.profile import (
+        moment_counts,
+        zscore_from_moments,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = t["events"].select(
+        F.col("event_type").alias("grp"), "event_id", "value"
+    )
+    state = None
+    for i in range(3):
+        inc = moment_counts(
+            ev.filter(F.col("event_id") % 3 == i), "value", ["grp"],
+            scale=1_000,
+        )
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("grp")
+            .agg(
+                F.sum("n").cast("long").alias("n"),
+                F.sum("s1").cast("long").alias("s1"),
+                F.sum("s2").cast("long").alias("s2"),
+            )
+        )
+    out = zscore_from_moments(
+        ev.filter(F.col("event_id") % 3 == 0),
+        state,
+        "value",
+        ["grp"],
+        scale=1_000,
+        dp=6,
+        outlier_z=2.0,
+    )
+    # value passes through RAW (both engines read the same parquet
+    # doubles bit-for-bit; rounding would only add a half-tie hazard)
+    return out.select(
+        "grp", "event_id", "value", "value_z", "is_outlier"
+    )
+
+
+def q_xtemperature_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The maintained training-mix temperature monitor,
+    driver-verified (registered r15 below the window; r16 head):
+    per-lang counts fold cell-wise over three doc-id ticks — exactly
+    ``streaming/structured.py::maintained_group_counts``'s fold — the
+    cut table reads from the folded state
+    (``operators/sampling.py::temperature_cuts_from_counts``, the
+    batch cut rule verbatim), and the whole corpus samples in-row via
+    ``sample_with_cuts`` (poly hash — SQL-replayable). Identical
+    output to the batch ``temperature_sample`` because cuts from the
+    full-ledger counts ARE the batch cuts (pytest-pinned). Oracle:
+    the batch ``xsample_temperature`` SQL — per-lang survivor counts
+    with the id_sum membership fingerprint."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        sample_with_cuts,
+        temperature_cuts_from_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = (
+            d.filter(F.col("doc_id") % 3 == i)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("lang")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    cuts = temperature_cuts_from_counts(
+        state, "lang", alpha=0.5, target_fraction=0.4
+    )
+    return (
+        sample_with_cuts(d, cuts, "doc_id", "lang", hash_fn="poly")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_id").alias("id_sum"),
+        )
+    )
+
+
 def q_xcentroid_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The folded centroid-drift STATE ROWS themselves,
     driver-verified — closing the read-vs-state gap of
@@ -4547,6 +4771,11 @@ QUERIES = {
     "xintervals_maintained": q_xintervals_maintained,
     "xasof_maintained": q_xasof_maintained,
     "xmmr_semdedup": q_xmmr_semdedup,
+    "xcollocations_maintained": q_xcollocations_maintained,
+    "xnovelty_maintained": q_xnovelty_maintained,
+    "xmoments_state": q_xmoments_state,
+    "xzscore_maintained": q_xzscore_maintained,
+    "xtemperature_maintained": q_xtemperature_maintained,
     "xsample_weighted_merge": q_xsample_weighted_merge,
     "xbm25_incremental": q_xbm25_incremental,
     "xlm_backoff": q_xlm_backoff,
@@ -8877,6 +9106,57 @@ def _mmr_semdedup_oracle(
 
 
 ORACLES["xmmr_semdedup"] = _mmr_semdedup_oracle()
+
+# fold ≡ batch counts makes the driver-green batch twins the oracles
+# for the read-through keys; every folded cell surfaces in the output
+ORACLES["xcollocations_maintained"] = ORACLES["xcollocations"]
+ORACLES["xnovelty_maintained"] = ORACLES["xngram_novelty"]
+ORACLES["xtemperature_maintained"] = ORACLES["xsample_temperature"]
+
+#: shared tick-structured CTE chain of the moments-state pair: per
+#: (grp, event-id-tick) integer sums first, then the additive fold —
+#: the xcentroid_stats_state device applied to the 1-D scaler state
+_MOMENTS_CTES = (
+    "WITH e AS (SELECT event_type AS grp, event_id % 3 AS tick, "
+    "CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q "
+    "FROM events WHERE value IS NOT NULL), "
+    "pt AS (SELECT grp, tick, CAST(count(*) AS BIGINT) AS n, "
+    "CAST(sum(q) AS BIGINT) AS s1, CAST(sum(q * q) AS BIGINT) AS s2 "
+    "FROM e GROUP BY grp, tick), "
+    "st AS (SELECT grp, CAST(sum(n) AS BIGINT) AS n, "
+    "CAST(sum(s1) AS BIGINT) AS s1, CAST(sum(s2) AS BIGINT) AS s2 "
+    "FROM pt GROUP BY grp)"
+)
+
+ORACLES["xmoments_state"] = (
+    _MOMENTS_CTES + " SELECT grp, n, s1, s2 FROM st"
+)
+
+# the serving read: the tick slice z-scored against the folded state
+# with the EXACT double expression tree of zscore_from_moments
+# (q − s1/n over sqrt((s2 − s1²/n)/(n−1)), half-up 6dp, NULL for
+# singleton/zero-variance groups, outlier gate with NULL ⇒ false)
+_Z_VAR = (
+    "(CAST(st.s2 AS DOUBLE) - CAST(st.s1 AS DOUBLE) "
+    "* CAST(st.s1 AS DOUBLE) / CAST(st.n AS DOUBLE)) "
+    "/ (CAST(st.n AS DOUBLE) - 1.0)"
+)
+ORACLES["xzscore_maintained"] = (
+    _MOMENTS_CTES
+    + ", tick AS (SELECT event_type AS grp, event_id, value, "
+    "CAST(floor(CAST(value AS DOUBLE) * 1000.0 + 0.5) AS BIGINT) AS q "
+    "FROM events WHERE event_id % 3 = 0), "
+    "z AS (SELECT t.grp, t.event_id, t.value, "
+    f"CASE WHEN st.n >= 2 AND {_Z_VAR} > 0 THEN "
+    + _fhu(
+        "(CAST(t.q AS DOUBLE) - CAST(st.s1 AS DOUBLE) "
+        "/ CAST(st.n AS DOUBLE)) / sqrt(" + _Z_VAR + ")",
+        6,
+    )
+    + " END AS value_z FROM tick t JOIN st ON st.grp = t.grp) "
+    "SELECT grp, event_id, value, value_z, "
+    "coalesce(abs(value_z) > 2.0, false) AS is_outlier FROM z"
+)
 
 # tick-structured state verification (the xsketch_kmv_merge device):
 # per-tick sums FIRST, then the cross-tick additive fold in SQL — a
