@@ -1671,3 +1671,43 @@ def sample_with_cuts(
         .filter(_bucket(F.col(key_col), salt, hash_fn) < F.col("__cut"))
         .drop("__cut")
     )
+
+
+def cap_state_increment(
+    state: DataFrame | None,
+    tick: DataFrame,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """One tick of the maintained PER-GROUP CAP state — the
+    RefinedWeb-style anti-dominance cap run AT the ledger
+    (``streaming.maintained_cap``'s merge law): keep, per group, the
+    ``cap`` smallest rows of ``state ∪ tick`` under
+    :func:`cap_per_group`'s exact order (keyed-hash bucket, then
+    ``key_col``). Top-n of a total order satisfies the merge law
+    ``topn(topn(A) ∪ B) == topn(A ∪ B)`` (the
+    ``maintained_weighted_sample`` device with hash order instead of
+    A-Res keys), so DISJOINT ticks fold in any order and the state
+    equals the batch cap of the whole ledger row-for-row
+    (pytest-pinned). Exactly-once rides the fold marker — a
+    double-applied tick would double-count its keys in the rank
+    (multiset semantics), unlike the idempotent set merges; the
+    marker is load-bearing here, as for every additive frame.
+
+    Scale: state is ≤ cap rows per group; a tick pays one group-keyed
+    top-cap over ``touched state ∪ tick`` (the ``row_number ≤ cap``
+    shape keeps Catalyst's partial WindowGroupLimit in play)."""
+    rows = tick if state is None else tick.unionByName(
+        state.select(*tick.columns)
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        _bucket(F.col(key_col), salt, hash_fn), F.col(key_col)
+    )
+    return (
+        rows.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )

@@ -40,11 +40,12 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
 # r16 ROTATION PLAN (build _PRIORITY_R16 with CORRECTNESS_r15 in
-# hand): (1) any key this window turns red, (2) the EIGHT keys
+# hand): (1) any key this window turns red, (2) the NINE keys
 # registered r15 BELOW the window (xintervals_maintained,
 # xasof_maintained, xmmr_semdedup, xcollocations_maintained,
 # xnovelty_maintained, xmoments_state, xzscore_maintained,
-# xtemperature_maintained — oracles already shipped and locally
+# xtemperature_maintained, xcap_maintained — oracles shipped,
+# locally
 # hash-green at 3 SFs, zero registration work left: move them above
 # the cut), (3)
 # the oldest-green cohort — the r11 remainder below this window's cut
@@ -132,6 +133,7 @@ _PRIORITY_R15 = [
     "xmoments_state",
     "xzscore_maintained",
     "xtemperature_maintained",
+    "xcap_maintained",
 ]
 
 _PRIORITY_R14 = [

@@ -4648,6 +4648,40 @@ def q_xtemperature_maintained(
     )
 
 
+def q_xcap_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The maintained per-source CAP state, driver-verified
+    (registered r15 below the window; r16 head): the documents ledger
+    folds over three doc-id ticks through ``operators/sampling.py::
+    cap_state_increment`` — the top-n merge law under
+    ``cap_per_group``'s exact (poly-hash bucket, id) order, exactly
+    ``streaming/structured.py::maintained_cap``'s fold (pytest-pinned
+    incl. survivor eviction and reverse-order invariance) — and the
+    output is the batch ``q_xcap_per_source`` rollup of the folded
+    state (per-source n_docs + the id_sum membership fingerprint), so
+    the stored survivor SET itself is hash-verified against the batch
+    ``xcap_per_source`` oracle."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        cap_state_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select("doc_id", "source")
+    state = None
+    for i in range(3):
+        state = cap_state_increment(
+            state,
+            d.filter(F.col("doc_id") % 3 == i),
+            "doc_id",
+            "source",
+            cap=15,
+            hash_fn="poly",
+        )
+    return state.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
 def q_xcentroid_stats_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The folded centroid-drift STATE ROWS themselves,
     driver-verified — closing the read-vs-state gap of
@@ -4776,6 +4810,7 @@ QUERIES = {
     "xmoments_state": q_xmoments_state,
     "xzscore_maintained": q_xzscore_maintained,
     "xtemperature_maintained": q_xtemperature_maintained,
+    "xcap_maintained": q_xcap_maintained,
     "xsample_weighted_merge": q_xsample_weighted_merge,
     "xbm25_incremental": q_xbm25_incremental,
     "xlm_backoff": q_xlm_backoff,
@@ -9112,6 +9147,7 @@ ORACLES["xmmr_semdedup"] = _mmr_semdedup_oracle()
 ORACLES["xcollocations_maintained"] = ORACLES["xcollocations"]
 ORACLES["xnovelty_maintained"] = ORACLES["xngram_novelty"]
 ORACLES["xtemperature_maintained"] = ORACLES["xsample_temperature"]
+ORACLES["xcap_maintained"] = ORACLES["xcap_per_source"]
 
 #: shared tick-structured CTE chain of the moments-state pair: per
 #: (grp, event-id-tick) integer sums first, then the additive fold —

@@ -2228,6 +2228,68 @@ def maintained_term_counts(
     )
 
 
+def maintained_cap(
+    ledger_dir: str,
+    state_dir: str,
+    checkpoint_dir: str,
+    key_col: str,
+    group_col: str,
+    cap: int,
+    salt: int = 0,
+    hash_fn: str = "xxhash64",
+    schema: T.StructType | None = None,
+    spark: SparkSession | None = None,
+    state_buckets: int = 8,
+):
+    """Continuously-maintained PER-GROUP CAP over an append stream
+    (``operators/sampling.py::cap_state_increment``): the
+    RefinedWeb-style per-domain/per-source document cap kept live AT
+    the ledger — state is the ≤ ``cap`` keyed-hash-smallest rows per
+    group, the fold is the exact top-n merge law (disjoint ticks in
+    any order; the marker carries exactly-once), and after any ticks
+    the state equals the batch :func:`~kamu_engine_datafusion_spark.
+    operators.sampling.cap_per_group` of the whole ledger ROW-FOR-ROW
+    (pytest-pinned) — the corpus is never re-ranked. NOTE the cap
+    semantics at the maintained layer: a later arrival with a smaller
+    hash key EVICTS a stored survivor (state rewrites, exactly like
+    the batch operator re-run on the longer ledger) — downstream
+    consumers wanting append-only survivorship should snapshot.
+    Live view = :func:`read_maintained_state`. Retractions
+    unsupported; feed the append stream."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        cap_state_increment,
+    )
+
+    spark = spark or SparkSession.getActiveSession()
+    stream = (
+        spark.readStream.schema(
+            schema or spark.read.parquet(ledger_dir).schema
+        ).parquet(ledger_dir)
+    )
+
+    def _merge(state_subset, tick):
+        return cap_state_increment(
+            state_subset, tick, key_col, group_col, cap, salt, hash_fn
+        )
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        _fold_buckets(
+            batch_df,
+            batch_id,
+            state_dir,
+            [group_col],
+            state_buckets,
+            _merge,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def maintained_group_counts(
     ledger_dir: str,
     state_dir: str,

@@ -3682,3 +3682,77 @@ def test_maintained_group_counts_temperature_mix(spark, tmp_path):
         kept[lang] = kept.get(lang, 0) + 1
     assert kept.get("yo", 0) <= tot["yo"]
     assert kept["yo"] / tot["yo"] > kept["en"] / tot["en"]
+
+
+def test_maintained_cap_equals_batch(spark, tmp_path):
+    """r15 staged: the per-group cap state folded tick by tick must
+    equal the batch cap_per_group of the whole ledger ROW-FOR-ROW —
+    including a later tick EVICTING a stored survivor whose hash key
+    is larger (the documented rewrite semantic), a group under its
+    cap, and disjoint ticks folded in reverse order landing on the
+    identical state."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        cap_per_group,
+        cap_state_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        maintained_cap,
+        read_maintained_state,
+    )
+
+    rows = [(i, "s" + str(i % 3)) for i in range(60)] + [
+        (100 + i, "rare") for i in range(2)
+    ]
+    schema = "doc_id long, source string"
+    ledger = os.path.join(str(tmp_path), "capledger")
+    state = os.path.join(str(tmp_path), "capstate")
+    ck = os.path.join(str(tmp_path), "capck")
+    os.makedirs(ledger)
+    ticks = (rows[0:20], rows[20:45], rows[45:])
+    for tk in ticks:
+        spark.createDataFrame(tk, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(ledger)
+        maintained_cap(
+            ledger, state, ck, "doc_id", "source", cap=5,
+            hash_fn="poly",
+            schema=spark.read.parquet(ledger).schema, spark=spark,
+        ).awaitTermination()
+
+    full = spark.createDataFrame(rows, schema)
+    want = sorted(
+        tuple(r)
+        for r in cap_per_group(
+            full, "doc_id", "source", cap=5, hash_fn="poly"
+        ).collect()
+    )
+    got = sorted(
+        tuple(r)
+        for r in read_maintained_state(spark, state)
+        .select("doc_id", "source")
+        .collect()
+    )
+    assert got == want
+    # under-cap group kept whole; capped groups at exactly 5
+    import collections
+
+    per = collections.Counter(s for (_i, s) in got)
+    assert per["rare"] == 2 and all(per["s" + str(j)] == 5 for j in range(3))
+    # eviction actually happened: some tick-0 survivor is gone
+    tick0_state = {
+        tuple(r)
+        for r in cap_per_group(
+            spark.createDataFrame(ticks[0], schema),
+            "doc_id", "source", cap=5, hash_fn="poly",
+        ).collect()
+    }
+    assert not tick0_state.issubset(set(got))
+
+    # reverse-order module-level fold lands on the identical state
+    st = None
+    for tk in reversed(ticks):
+        st = cap_state_increment(
+            st, spark.createDataFrame(tk, schema),
+            "doc_id", "source", 5, hash_fn="poly",
+        ).localCheckpoint(eager=True)
+    assert sorted(tuple(r) for r in st.collect()) == want

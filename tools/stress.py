@@ -2137,6 +2137,54 @@ def main() -> None:
     if _want("maintained_group_counts"):
         _temperature_mix_stress()
 
+    def _cap_stress() -> None:
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.sampling import (
+            cap_per_group,
+            cap_state_increment,
+        )
+
+        led = "/tmp/stress_cap_ledger"
+        shutil.rmtree(led, ignore_errors=True)
+        state = None
+        times = []
+        for i in range(10):
+            d = spark.range(1_000_000).select(
+                (F.col("id") + i * 1_000_000).alias("doc_id"),
+                (F.xxhash64("id", F.lit(i)) % 100_000).alias("domain"),
+            )
+            t0 = time.time()
+            state = cap_state_increment(
+                state, d, "doc_id", "domain", 10
+            ).localCheckpoint(eager=True)
+            times.append(round(time.time() - t0, 2))
+            d.write.mode("append").parquet(led)
+        t0 = time.time()
+        live = state.agg(
+            F.count(F.lit(1)), F.sum("doc_id")
+        ).collect()[0]
+        tr = time.time() - t0
+        t0 = time.time()
+        batch = (
+            cap_per_group(
+                spark.read.parquet(led), "doc_id", "domain", 10
+            )
+            .agg(F.count(F.lit(1)), F.sum("doc_id"))
+            .collect()[0]
+        )
+        tb = time.time() - t0
+        print(
+            f"maintained_cap: per-tick {times} | survivors "
+            f"{live[0]} | state read {tr:.2f}s vs batch re-cap of 10M "
+            f"rows {tb:.2f}s | match={tuple(live) == tuple(batch)}",
+            flush=True,
+        )
+        shutil.rmtree(led, ignore_errors=True)
+
+    if _want("maintained_cap"):
+        _cap_stress()
+
     def _compact_state_stress() -> None:
         import shutil
 
