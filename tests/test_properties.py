@@ -1426,3 +1426,55 @@ def test_pair_counts_fold_partition_invariance(spark, texts, cuts, order):
         ).collect()
     )
     assert got == want
+
+
+@_slow
+@given(
+    ids=st.lists(
+        st.integers(min_value=0, max_value=10_000),
+        min_size=1,
+        max_size=50,
+        unique=True,
+    ),
+    cuts=st.lists(
+        st.integers(min_value=0, max_value=49), min_size=0, max_size=3
+    ),
+    order=st.randoms(use_true_random=False),
+    cap=st.integers(min_value=1, max_value=6),
+)
+def test_cap_fold_partition_invariance(spark, ids, cuts, order, cap):
+    """r15 cap family: for ANY unique-id stream and ANY partition into
+    disjoint ticks in ANY order, the top-cap fold equals the batch
+    cap_per_group of everything — the top-n-of-a-total-order merge
+    law, including caps larger than a group (kept whole) and eviction
+    of early survivors by later smaller-hash arrivals."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        cap_per_group,
+        cap_state_increment,
+    )
+
+    rows = [(i, i % 3) for i in ids]
+    shuffled = list(rows)
+    order.shuffle(shuffled)
+    bounds = sorted({min(c, len(shuffled)) for c in cuts})
+    ticks, prev = [], 0
+    for b in bounds + [len(shuffled)]:
+        if b > prev:
+            ticks.append(shuffled[prev:b])
+            prev = b
+    schema = "doc_id long, grp long"
+    state = None
+    for tk in ticks:
+        state = cap_state_increment(
+            state, spark.createDataFrame(tk, schema),
+            "doc_id", "grp", cap, hash_fn="poly",
+        ).localCheckpoint(eager=True)
+    got = sorted(tuple(r) for r in state.collect())
+    want = sorted(
+        tuple(r)
+        for r in cap_per_group(
+            spark.createDataFrame(rows, schema),
+            "doc_id", "grp", cap, hash_fn="poly",
+        ).collect()
+    )
+    assert got == want
