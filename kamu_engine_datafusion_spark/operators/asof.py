@@ -127,6 +127,7 @@ def asof_probe_from_state(
     ts_col: str,
     right_value_cols: list[str],
     how: str = "inner",
+    validate: str = "lazy",
 ) -> DataFrame:
     """AS-OF join served from maintained per-key-latest state ALONE —
     the serving read of :func:`asof_join` for the head-of-ledger case
@@ -148,23 +149,61 @@ def asof_probe_from_state(
     hash join otherwise) — history is never re-sorted. Output frame
     matches :func:`asof_join`: left columns + ``right_<c>``;
     ``how='inner'`` drops unmatched left rows, ``how='left'`` keeps
-    them with nulls."""
+    them with nulls.
+
+    ``validate`` controls HOW the probe contract is enforced:
+    ``"lazy"`` (default) rides a ``raise_error`` guard on the first
+    ``right_<c>`` column inside the returned plan — the join is
+    evaluated ONCE, when the caller consumes it, and a historical
+    probe row aborts the job loudly at that point (caveat: a consumer
+    that prunes away EVERY right column also prunes the guard — but
+    such a consumer never reads the potentially-wrong values either).
+    ``"eager"`` runs a separate validation count up front and raises
+    ``ValueError`` at call time — the join is computed twice; use it
+    when a call-time error is worth the extra pass. ``"off"`` skips
+    the check (caller has already proven event-time-currency)."""
     st = state.select(
         *key_cols,
         F.col(ts_col).alias("__r_ts"),
         *[F.col(c).alias(f"right_{c}") for c in right_value_cols],
     )
     j = left.join(st, key_cols, "left")
-    viol = j.filter(
-        F.col("__r_ts").isNotNull() & (F.col(ts_col) < F.col("__r_ts"))
-    ).count()
-    if viol:
+    viol_cond = F.col("__r_ts").isNotNull() & (
+        F.col(ts_col) < F.col("__r_ts")
+    )
+    if validate == "eager":
+        viol = j.filter(viol_cond).count()
+        if viol:
+            raise ValueError(
+                f"asof_probe_from_state: {viol} left row(s) precede "
+                "their key's stored right ts — the probe frame is not "
+                "event-time-current and the per-key-latest state "
+                "cannot answer historical as-of probes (the discarded "
+                "older right rows may be the true matches); probe "
+                "with event-time-current ticks or run the batch "
+                "asof_join over history"
+            )
+    elif validate == "lazy":
+        rv0 = f"right_{right_value_cols[0]}"
+        j = j.withColumn(
+            rv0,
+            F.when(
+                viol_cond,
+                F.raise_error(
+                    F.lit(
+                        "asof_probe_from_state: left row precedes its "
+                        "key's stored right ts — the probe frame is "
+                        "not event-time-current and the per-key-"
+                        "latest state cannot answer historical as-of "
+                        "probes; run the batch asof_join over history"
+                    )
+                ),
+            ).otherwise(F.col(rv0)),
+        )
+    elif validate != "off":
         raise ValueError(
-            f"asof_probe_from_state: {viol} left row(s) precede their "
-            "key's stored right ts — the per-key-latest state cannot "
-            "answer historical as-of probes (the discarded older right "
-            "rows may be the true matches); probe with event-time-"
-            "current ticks or run the batch asof_join over history"
+            f"asof_probe_from_state: unknown validate={validate!r} "
+            "(expected 'lazy', 'eager', or 'off')"
         )
     out = j.drop("__r_ts")
     if how == "inner":

@@ -203,15 +203,20 @@ def ngram_novelty(
                 lambda a, b: F.concat(a, F.lit(" "), b),
             )
         # general n: let-bind the token array (HOF lambdas re-evaluate
-        # outer expressions per element — SCALE.md r9)
+        # outer expressions per element — SCALE.md r9). Guarded: a doc
+        # with fewer than n tokens has ZERO n-grams — without the
+        # when(), sequence(1, size-(n-1)) with size<n produces a
+        # DESCENDING [1, 0] and slice(tv, 0, n) throws
+        # INVALID_PARAMETER_VALUE.START at runtime.
         return _let(
             t,
-            lambda tv: F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size(tv) - (n - 1), F.lit(0))
+            lambda tv: F.when(
+                F.size(tv) >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tv) - (n - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(tv, i, n)),
                 ),
-                lambda i: F.concat_ws(" ", F.slice(tv, i, n)),
-            ),
+            ).otherwise(F.array().cast("array<string>")),
         )
 
     ref = F.broadcast(
@@ -492,14 +497,19 @@ def word_ngrams_expr(text, n: int = 2):
             F.slice(t, 2, n1),
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
+    # Guarded like ngram_novelty's helper: a doc with fewer than n
+    # tokens has ZERO n-grams — without the when(), sequence(1,
+    # size-(n-1)) with size<n yields a DESCENDING [1, 0] and
+    # slice(tv, 0, n) throws INVALID_PARAMETER_VALUE.START at runtime.
     return _let(
         t,
-        lambda tv: F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(tv) - (n - 1), F.lit(0))
+        lambda tv: F.when(
+            F.size(tv) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(tv) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(tv, i, n)),
             ),
-            lambda i: F.concat_ws(" ", F.slice(tv, i, n)),
-        ),
+        ).otherwise(F.array().cast("array<string>")),
     )
 
 

@@ -839,11 +839,19 @@ def moment_counts(
     NULL values are dropped (defined behavior, matching
     :func:`standardize`'s avg/stddev NULL-skipping).
 
-    Overflow envelope: ``Σq² ≤ n·(scale·|x|max)²`` — at the default
-    1e6 scale, |x| ≤ 100 holds ~90k rows per group under BIGINT;
-    size ``scale`` down for wide-range features (the
+    Overflow envelope: ``Σq² ≤ n·(scale·|x|max)²``, so BIGINT holds
+    ``n ≤ 9.2e18 / (scale·|x|max)²`` rows per group — at the default
+    1e6 scale that is ~922 rows for |x| ≤ 100 and ~92k rows only for
+    |x| ≤ 10; size ``scale`` down for wide-range features (the
     :func:`~kamu_engine_datafusion_spark.operators.clustering.semdedup`
-    envelope note applies).
+    envelope note applies). The ``Σq²`` aggregate itself accumulates
+    in DECIMAL(38,0) and raises in-plan if the group total leaves the
+    BIGINT range — a loud error instead of Spark's silent non-ANSI
+    ``sum(long)`` wrap, which would corrupt every downstream
+    z-score/outlier gate (:func:`zscore_from_moments`) undetectably.
+    The cross-TICK fold envelope is the caller's to size (the fold is
+    cell-wise BIGINT addition over per-tick values this guard already
+    certified ≤ 2⁶³−1).
 
     Scale: ONE partial+final aggregate emitting groups × 3 longs."""
     group_cols = group_cols or []
@@ -852,10 +860,25 @@ def moment_counts(
     ).cast("long")
     rows = df.filter(F.col(value_col).isNotNull())
     gb = rows.groupBy(*group_cols) if group_cols else rows.groupBy()
+    s2d = F.sum((q * q).cast("decimal(38,0)"))
+    long_max = F.lit(9223372036854775807).cast("decimal(38,0)")
     return gb.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(q).cast("long").alias("s1"),
-        F.sum(q * q).cast("long").alias("s2"),
+        F.when(s2d <= long_max, s2d.cast("long"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "moment_counts: sum(q*q) exceeds BIGINT for a "
+                        "group — reduce `scale` (envelope n <= "
+                        "9.2e18/(scale*|x|max)^2); got "
+                    ),
+                    s2d.cast("string"),
+                )
+            ).cast("long")
+        )
+        .alias("s2"),
     )
 
 

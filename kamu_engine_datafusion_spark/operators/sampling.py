@@ -1656,6 +1656,7 @@ def sample_with_cuts(
     stratum_col: str,
     salt: int = 0,
     hash_fn: str = "xxhash64",
+    default_cut: int | None = None,
 ) -> DataFrame:
     """Apply a :func:`temperature_cuts_from_counts` cut table to a
     frame — :func:`temperature_sample`'s keyed-hash row filter with
@@ -1665,10 +1666,22 @@ def sample_with_cuts(
     (pytest-pinned); in the maintained loop each tick samples against
     the CURRENT folded counts — the corpus-consistent streaming
     semantic of ``dsir_scores_from_stats``, documented rather than
-    hidden: cuts evolve as the corpus grows."""
+    hidden: cuts evolve as the corpus grows.
+
+    A stratum ABSENT from the cut table (a brand-new language in a
+    tick the counts fold has not seen yet) keeps ``default_cut``
+    buckets — the default ``None`` means ALL buckets, i.e. unseen
+    strata pass at 100%, matching temperature sampling's intent of
+    upholding tiny strata (an inner join would silently drop exactly
+    the rows the alpha-exponent exists to protect). Pass ``0`` to
+    get the drop-unseen behavior explicitly."""
+    keep = _BUCKETS if default_cut is None else int(default_cut)
     return (
-        df.join(F.broadcast(cuts), stratum_col)
-        .filter(_bucket(F.col(key_col), salt, hash_fn) < F.col("__cut"))
+        df.join(F.broadcast(cuts), stratum_col, "left")
+        .filter(
+            _bucket(F.col(key_col), salt, hash_fn)
+            < F.coalesce(F.col("__cut"), F.lit(keep))
+        )
         .drop("__cut")
     )
 

@@ -1915,11 +1915,14 @@ def read_asof_probe(
     ts_col: str,
     right_value_cols: list[str],
     how: str = "inner",
+    validate: str = "lazy",
 ) -> DataFrame:
     """AS-OF enrich a fact frame against :func:`maintained_asof_state`
     state (``operators/asof.py::asof_probe_from_state`` over the live
     state view) — equals ``asof_join(left, right_history)`` under the
-    event-time-current probe contract; raises on a historical probe."""
+    event-time-current probe contract; raises on a historical probe
+    (in-plan by default — ``validate="eager"`` for a call-time
+    ``ValueError`` at the cost of a second join evaluation)."""
     from kamu_engine_datafusion_spark.operators.asof import (
         asof_probe_from_state,
     )
@@ -1931,6 +1934,7 @@ def read_asof_probe(
         ts_col,
         right_value_cols,
         how,
+        validate=validate,
     )
 
 
@@ -2773,8 +2777,11 @@ def mmr_from_state_rows(
         out_rows.append(
             (len(selected), ids[best[1]], rel[best[1]], _r6(best[0]))
         )
+    # the id field's type follows the store's (string doc ids work the
+    # same as longs — the walk never assumes numeric ids)
+    id_type = state.schema[id_col].dataType.simpleString()
     return state.sparkSession.createDataFrame(
-        out_rows, f"rank long, {id_col} long, rel double, mmr double"
+        out_rows, f"rank long, {id_col} {id_type}, rel double, mmr double"
     )
 
 

@@ -235,3 +235,40 @@ def test_bloom_no_false_negatives_any_corpus(spark, docs, m_pow, k):
         ).alias("n_all"),
     ).collect()
     assert all(r["n_pos"] == r["n_all"] for r in rows)
+
+
+def test_word_ngrams_short_docs_general_n(spark):
+    """r16 advice fix: the general-n (n>=3) gram path must yield ZERO
+    n-grams for documents shorter than n tokens (empty text included)
+    instead of throwing INVALID_PARAMETER_VALUE.START from the
+    descending sequence(1, 0) + slice(tv, 0, n) it used to build —
+    and ngram_novelty's inline helper shares the guard (short docs
+    score 1.0 by the zero-gram convention)."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        ngram_novelty,
+        word_ngrams_expr,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a"), (3, ""), (4, "x y"), (5, "a b c")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["g"]
+        for r in df.select(
+            "doc_id", word_ngrams_expr("text", 3).alias("g")
+        ).collect()
+    }
+    assert got[1] == ["a b c", "b c d"]
+    assert got[5] == ["a b c"]
+    assert got[2] == [] and got[3] == [] and got[4] == []
+
+    ref = spark.createDataFrame([(10, "a b c")], "doc_id long, text string")
+    nov = {
+        r["doc_id"]: (r["n_ngrams"], r["novelty"])
+        for r in ngram_novelty(df, ref, n=3).collect()
+    }
+    assert nov[1] == (2, 0.5)  # 'a b c' known, 'b c d' novel
+    assert nov[2] == (0, 1.0)
+    assert nov[3] == (0, 1.0)
+    assert nov[4] == (0, 1.0)

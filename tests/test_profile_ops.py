@@ -435,3 +435,36 @@ def test_maintained_histogram_replayed_batch_is_skipped(spark, tmp_path):
         .collect()
     )
     assert after == before  # counts did NOT double
+
+
+def test_moment_counts_overflow_raises_not_wraps(spark):
+    """r16 advice fix: sum(q*q) past the BIGINT envelope must raise
+    in-plan (USER_RAISED_EXCEPTION), never wrap silently — at
+    scale=1e6 and |x|=100, q²=1e16 so ~922 rows/group is the true
+    BIGINT bound (the old docstring claimed ~90k). In-envelope
+    results are unchanged longs."""
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.profile import (
+        moment_counts,
+    )
+
+    ok = moment_counts(
+        spark.createDataFrame([(1, 2.5), (1, 3.5)], "g long, v double"),
+        "v",
+        ["g"],
+        scale=1000,
+    ).collect()
+    assert [tuple(r) for r in ok] == [(1, 2, 6000, 18500000)]
+    schema = moment_counts(
+        spark.createDataFrame([(1, 1.0)], "g long, v double"), "v", ["g"]
+    ).schema
+    assert [f.dataType.simpleString() for f in schema.fields] == [
+        "bigint", "bigint", "bigint", "bigint"
+    ]
+
+    big = spark.range(2000).select(
+        F.lit(1).alias("g"), F.lit(100.0).alias("v")
+    )
+    with pytest.raises(Exception, match="moment_counts"):
+        moment_counts(big, "v", ["g"], scale=1_000_000).collect()

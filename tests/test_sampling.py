@@ -1269,3 +1269,37 @@ def test_dsir_from_stats_equals_batch_and_maintained(spark, tmp_path):
         ).collect()
     )
     assert live == batch
+
+
+def test_sample_with_cuts_unseen_stratum_kept(spark):
+    """r16 advice fix: a stratum absent from the cut table (a
+    brand-new language in a tick the counts fold has not seen) is
+    KEPT at 100% by default — temperature sampling exists to uphold
+    tiny strata, so the old inner join silently dropping them was the
+    opposite of the operator's intent. default_cut=0 restores the
+    drop-unseen behavior explicitly; seen strata honor their cut
+    either way."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        _BUCKETS,
+        sample_with_cuts,
+    )
+
+    cuts = spark.createDataFrame(
+        [("en", 0), ("fr", int(_BUCKETS))], "lang string, __cut long"
+    )
+    data = spark.createDataFrame(
+        [(i, "en") for i in range(10)]
+        + [(100 + i, "fr") for i in range(10)]
+        + [(200 + i, "xx") for i in range(10)],
+        "doc_id long, lang string",
+    )
+    kept = sample_with_cuts(data, cuts, "doc_id", "lang").collect()
+    by_lang = {}
+    for r in kept:
+        by_lang[r["lang"]] = by_lang.get(r["lang"], 0) + 1
+    assert by_lang == {"fr": 10, "xx": 10}  # en cut 0; unseen xx kept
+
+    dropped = sample_with_cuts(
+        data, cuts, "doc_id", "lang", default_cut=0
+    ).collect()
+    assert sorted({r["lang"] for r in dropped}) == ["fr"]

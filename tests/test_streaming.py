@@ -3255,10 +3255,19 @@ def test_maintained_asof_state_probe_equals_batch(spark, tmp_path):
     )
     assert rev == live
 
-    # historical probe raises: key 1's stored ts is t(120)
+    # historical probe raises: key 1's stored ts is t(120).
+    # Default lazy mode raises IN-PLAN at consumption (the join is
+    # evaluated once); eager mode raises ValueError at call time.
     old = spark.createDataFrame([(1, t(30), 5)], lschema)
+    with _pytest.raises(Exception, match="event-time-current"):
+        read_asof_probe(
+            spark, state, old, ["key"], "ts", ["price"]
+        ).collect()
     with _pytest.raises(ValueError, match="event-time-current"):
-        read_asof_probe(spark, state, old, ["key"], "ts", ["price"])
+        read_asof_probe(
+            spark, state, old, ["key"], "ts", ["price"],
+            validate="eager",
+        )
 
 
 def test_mmr_from_semdedup_store(spark, tmp_path):
@@ -3756,3 +3765,40 @@ def test_maintained_cap_equals_batch(spark, tmp_path):
             "doc_id", "source", 5, hash_fn="poly",
         ).localCheckpoint(eager=True)
     assert sorted(tuple(r) for r in st.collect()) == want
+
+
+def test_mmr_from_state_rows_string_ids(spark):
+    """r16 advice fix: the MMR serving read derives its result-schema
+    id type from the store (string doc ids work like longs —
+    ann_topk_from_state_rows never restricted the type; the walk
+    itself is id-type-agnostic). Ranks, ties, and scores follow the
+    same greedy rule, with argmax ties breaking to the ASCENDING id."""
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        mmr_from_state_rows,
+    )
+
+    # q2 = scaled vectors (sim_scale=1000), n2 = |q2|²
+    def row(doc, vec):
+        q2 = [int(x * 1000) for x in vec]
+        return (doc, 0, q2, sum(v * v for v in q2))
+
+    state = spark.createDataFrame(
+        [
+            row("docA", [1.0, 0.0]),
+            row("docB", [0.99, 0.14]),   # near-dup of docA
+            row("docC", [0.3, 0.95]),    # diverse, modest relevance
+        ],
+        "vec_id string, cluster long, q2 array<bigint>, n2 bigint",
+    )
+    out = mmr_from_state_rows(
+        state, [1.0, 0.0], k=2, pool=3, lam=0.3
+    ).collect()
+    assert [f.dataType.simpleString() for f in
+            mmr_from_state_rows(
+                state, [1.0, 0.0], k=1, pool=3
+            ).schema.fields] == ["bigint", "string", "double", "double"]
+    got = [(r["rank"], r["vec_id"]) for r in out]
+    # first pick = pure relevance (docA); second = diversity (at
+    # lam=0.3 the near-dup docB's max-sim penalty outweighs its
+    # relevance edge, so docC wins the second slot)
+    assert got == [(1, "docA"), (2, "docC")]
