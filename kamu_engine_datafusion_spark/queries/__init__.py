@@ -39,27 +39,96 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # is the oldest, then the recently-verified remainder. Every key's
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
-# r16 ROTATION PLAN (build _PRIORITY_R16 with CORRECTNESS_r15 in
-# hand): (1) any key this window turns red, (2) the NINE keys
-# registered r15 BELOW the window (xintervals_maintained,
-# xasof_maintained, xmmr_semdedup, xcollocations_maintained,
-# xnovelty_maintained, xmoments_state, xzscore_maintained,
-# xtemperature_maintained, xcap_maintained — oracles shipped,
-# locally
-# hash-green at 3 SFs, zero registration work left: move them above
-# the cut), (3)
-# the oldest-green cohort — the r11 remainder below this window's cut
-# (b04_parquet_sink, b03_information_schema, xdecontaminate, and the
-# r11-window x keys: xquality_classifier, xdedup_simhash_sql,
-# xsample_weighted, xsample_weighted_group, xvocab_oov, xscd2,
-# xlm_score, xchunk_docs, xquality_gate, xsim_topk_batch,
-# xdecontaminate_13, xsample_temperature, xcap_per_source,
-# xsplit_by_group, xmix_budget, xhistogram, xdrift_psi, xtext_entropy,
-# xmmr, xpipeline_embed, xbpe, xbpe_encode, xlength_buckets,
-# xdedup_canonical, xsnapshot_diff, xchangelog_merge, xsnapshot_merge,
-# xtext_repetition_report, xsource_tvd, xcentroid_shift,
-# xsketch_quantile_merge, xsketch_cm_merge, xmm_phash_neardup,
-# xwinsorize_sketch), then the oldest r12 keys.
+# r17 ROTATION PLAN (build _PRIORITY_R17 with CORRECTNESS_r16 in
+# hand): (1) any key this window turns red, (2) any r16-staged
+# families registered below the window, (3) xwinsorize_sketch (the
+# one r11-era key squeezed out of the r16 window by xdedup_minhash's
+# backend re-verify — first in line), then the oldest-green cohort:
+# the r12 window (xdedup_exact, xdedup_paragraph, xmm_features,
+# xmm_frames, xpivot, xrollup_time, xsessionize,
+# xsample_weighted_merge, xbm25_incremental, xlm_backoff,
+# xdistinctive_tokens, xnegative_samples, xtop_pc,
+# xmm_phash_incremental, xurl_dedup, xdomain_cap, xupsample_repeat,
+# xhybrid_rrf, xinterleave, xinterleave_dist, xledger_compact,
+# xtext_truncate, xcorpus_card, xdedup_cross, xpipeline_curate,
+# xdebounce, xlangid_eval, xdedup_report, xvocab_coverage, xsim_ivf,
+# xsim_srp_lsh, xsim_topk_brute, xskyline, xsalted_agg, xsnapshot,
+# xtext_c4_filter, xtext_fingerprint, xtext_gopher, xtext_langid,
+# xtext_quality, xtext_redact_pii, xtext_repetition, xtext_tokens,
+# xsample, xrange_join, xmm_decode, xprofile), then the r13 keys.
+_PRIORITY_R16 = [
+    # ==== round-16 verification window (first 50 keys) ====
+    # -- the nine r15-registered below-window keys (the only
+    #    registered capability the driver has never certified;
+    #    locally hash-green at sf0.001/0.01/0.1 since r15) — five of
+    #    them also carry this round's advice fixes (lazy as-of
+    #    validation, moment-overflow guard, unseen-strata cuts, MMR
+    #    id typing, general-n gram guard), so head placement doubles
+    #    as their re-verify --
+    "xintervals_maintained",
+    "xasof_maintained",  # CHANGED r16: lazy in-plan probe validation
+    "xmmr_semdedup",  # CHANGED r16: id type derived from store schema
+    "xcollocations_maintained",
+    "xnovelty_maintained",  # CHANGED r16: general-n gram guard
+    "xmoments_state",  # CHANGED r16: decimal-summed overflow guard
+    "xzscore_maintained",  # CHANGED r16: same guard upstream
+    "xtemperature_maintained",  # CHANGED r16: left-join cut table
+    "xcap_maintained",
+    # -- NEW in round 16: folded-STATE verification for the remaining
+    #    twin-oracle maintained families (VERDICT r15 item 3 — the
+    #    xmoments_state device; tick-structured oracles replaying the
+    #    fold's own merge law) --
+    "xretention_state",  # NEW: per-user min/union activity rows
+    "xtransitions_state",  # NEW: additive pair-count frame
+    "xvocab_state",  # NEW: full term-count frame, no top-k read
+    "xcollocations_state",  # NEW: pair + unigram frames joined
+    # -- implementation changed in round 16 (vectorized signature
+    #    backend; rows-only key — row count must hold) --
+    "xdedup_minhash",
+    # -- the r11-stale remainder (oldest greens on disk; retires the
+    #    r11 cohort except xwinsorize_sketch, first in the r17 head) --
+    "b04_parquet_sink",
+    "b03_information_schema",
+    "xdecontaminate",
+    "xquality_classifier",
+    "xdedup_simhash_sql",
+    "xsample_weighted",
+    "xsample_weighted_group",
+    "xvocab_oov",
+    "xscd2",
+    "xlm_score",
+    "xchunk_docs",
+    "xquality_gate",
+    "xsim_topk_batch",
+    "xdecontaminate_13",
+    "xsample_temperature",
+    "xcap_per_source",
+    "xsplit_by_group",
+    "xmix_budget",
+    "xhistogram",
+    "xdrift_psi",
+    "xtext_entropy",
+    "xmmr",
+    "xpipeline_embed",
+    "xbpe",
+    "xbpe_encode",
+    "xlength_buckets",
+    "xdedup_canonical",
+    "xsnapshot_diff",
+    "xchangelog_merge",
+    "xsnapshot_merge",
+    "xtext_repetition_report",
+    "xsource_tvd",
+    "xcentroid_shift",
+    "xsketch_quantile_merge",
+    "xsketch_cm_merge",
+    "xmm_phash_neardup",
+    # ---- window boundary (50 = 9 rotated + 4 new state keys + 1
+    # backend re-verify + 36 r11-remainder keys). xwinsorize_sketch
+    # sits first below the cut — the r17 head. ----
+    "xwinsorize_sketch",
+]
+
 _PRIORITY_R15 = [
     # ==== round-15 verification window (first 50 keys) ====
     # -- NEW in round 15: the nine r14-staged maintained families,
@@ -809,7 +878,8 @@ _PRIORITY_R6 = [
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R15
+    for k in _PRIORITY_R16
+    + _PRIORITY_R15
     + _PRIORITY_R14
     + _PRIORITY_R13
     + _PRIORITY_R12

@@ -4599,6 +4599,138 @@ def q_xzscore_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xretention_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded per-user ACTIVITY state itself, driver-verified (NEW
+    r16 — the ``xmoments_state`` device applied to the retention
+    family, closing its read-vs-state gap): ``(user_id, cohort_ms,
+    wks)`` after three event-time ticks of ``operators/funnel.py::
+    activity_increment`` + ``activity_merge`` — exactly
+    ``streaming/structured.py::maintained_activity``'s semilattice
+    fold (cohort = min, buckets = set union). The week-set renders as
+    a CSV string (the ``xcentroid_stats_state`` ``sv`` device) so the
+    per-user state ROWS hash through the driver, not just the cohort
+    matrix read over them. Oracle: tick-structured per-(user, tick)
+    min/set CTEs merged with min/union in SQL — the fold replayed, not
+    the batch shortcut."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        activity_increment,
+        activity_merge,
+    )
+
+    t = load(spark, sf_dir, "events")
+    state = None
+    for tick in _event_time_ticks(t["events"]):
+        inc = activity_increment(tick, bucket="week")
+        state = inc if state is None else activity_merge(state, inc)
+    return state.select(
+        "user_id",
+        "cohort_ms",
+        F.array_join(
+            F.transform("wks", lambda x: x.cast("string")), ","
+        ).alias("wks_csv"),
+    )
+
+
+def q_xtransitions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded Markov PAIR-COUNT state itself, driver-verified (NEW
+    r16): the additive ``(from_type, to_type, n)`` frame after three
+    event-time ticks of ``operators/funnel.py::transitions_increment``
+    (within-tick adjacencies + one boundary pair per continuing user —
+    exactly ``streaming/structured.py::maintained_transitions``'s
+    fold), returned RAW instead of through the row-stochastic matrix
+    read. Oracle: genuinely tick-structured — within-tick pair counts
+    per tick and cross-boundary pair counts as separate CTEs, folded
+    additively in SQL, mirroring the increment's two-part construction
+    rather than the batch lead-window shortcut."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        transitions_increment,
+    )
+
+    t = load(spark, sf_dir, "events")
+    counts = None
+    last = None
+    for tick in _event_time_ticks(t["events"]):
+        inc, last = transitions_increment(last, tick)
+        counts = (
+            inc
+            if counts is None
+            else inc.unionByName(counts)
+            .groupBy("from_type", "to_type")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    return counts
+
+
+def q_xvocab_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded corpus TERM-COUNT state itself, driver-verified (NEW
+    r16): the FULL ``(token, freq)`` wordcount frame after three
+    doc-id ticks of ``operators/text.py::term_counts`` — exactly
+    ``streaming/structured.py::maintained_term_counts``'s cell-wise
+    additive fold — with no top-k read in front of it, so every state
+    cell hashes through the driver (and the frame needs no window at
+    all, unlike the top-20 vocabulary read). Oracle: per-tick token
+    counts folded additively in SQL."""
+    from kamu_engine_datafusion_spark.operators.text import term_counts
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = term_counts(d.filter(F.col("doc_id") % 3 == i))
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+    return state
+
+
+def q_xcollocations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded collocation COUNT states themselves, driver-verified
+    (NEW r16): the pair frame ``(w1, w2, c)`` and the unigram frame
+    ``(token, freq)`` after three doc-id ticks of ``operators/
+    text.py::pair_counts`` / ``term_counts`` (exactly ``streaming/
+    structured.py::maintained_pair_counts`` /
+    ``maintained_term_counts``'s folds), surfaced as one row per
+    stored PAIR cell with both endpoint unigram cells joined on —
+    every cell of BOTH maintained frames hashes through the driver,
+    with no PMI ranking in front. Oracle: per-tick bigram + unigram
+    counts folded additively in SQL, joined the same way."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        pair_counts,
+        term_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    pairs, unis = None, None
+    for i in range(3):
+        tick = d.filter(F.col("doc_id") % 3 == i)
+        pinc = pair_counts(tick)
+        pairs = (
+            pinc
+            if pairs is None
+            else pinc.unionByName(pairs)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        tinc = term_counts(tick)
+        unis = (
+            tinc
+            if unis is None
+            else tinc.unionByName(unis)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+    u1 = unis.select(F.col("token").alias("w1"), F.col("freq").alias("f1"))
+    u2 = unis.select(F.col("token").alias("w2"), F.col("freq").alias("f2"))
+    return pairs.join(u1, "w1").join(u2, "w2").select(
+        "w1", "w2", "c", "f1", "f2"
+    )
+
+
 def q_xtemperature_maintained(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4809,6 +4941,10 @@ QUERIES = {
     "xnovelty_maintained": q_xnovelty_maintained,
     "xmoments_state": q_xmoments_state,
     "xzscore_maintained": q_xzscore_maintained,
+    "xretention_state": q_xretention_state,
+    "xtransitions_state": q_xtransitions_state,
+    "xvocab_state": q_xvocab_state,
+    "xcollocations_state": q_xcollocations_state,
     "xtemperature_maintained": q_xtemperature_maintained,
     "xcap_maintained": q_xcap_maintained,
     "xsample_weighted_merge": q_xsample_weighted_merge,
@@ -9244,4 +9380,83 @@ ORACLES["xlm_counts_state"] = (
     "CAST(sum(c) AS BIGINT) AS c FROM t_t GROUP BY w1, w2, w3) "
     "SELECT * FROM uni UNION ALL SELECT * FROM big "
     "UNION ALL SELECT * FROM tri"
+)
+
+# r16 state-verification keys (VERDICT r15 item 3): the remaining
+# twin-oracle maintained families get their folded STATE driver-hashed
+# via the xmoments_state/xcentroid_stats_state device — per-tick CTEs
+# replaying the fold's structure, merged with the fold's own law
+# (min/union for the semilattice, addition for the counters) in SQL.
+
+# per-(user, event-time-tick) min-cohort/week-set first, then the
+# semilattice merge — wks renders as the CSV device so the set hashes
+_RET_TICK = (
+    "CASE WHEN ts < TIMESTAMP '2024-01-11 00:00:00' THEN 0 "
+    "WHEN ts < TIMESTAMP '2024-01-21 00:00:00' THEN 1 ELSE 2 END"
+)
+ORACLES["xretention_state"] = (
+    "WITH e AS (SELECT user_id, " + _RET_TICK + " AS tick, "
+    "epoch_ms(date_trunc('week', ts)) AS wk FROM events "
+    "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+    "pt AS (SELECT user_id, tick, CAST(min(wk) AS BIGINT) AS cohort_ms, "
+    "list_sort(list(DISTINCT wk)) AS wks FROM e GROUP BY user_id, tick), "
+    "st AS (SELECT user_id, CAST(min(cohort_ms) AS BIGINT) AS cohort_ms, "
+    "list_sort(list_distinct(flatten(list(wks)))) AS w FROM pt "
+    "GROUP BY user_id) "
+    "SELECT user_id, cohort_ms, "
+    "array_to_string(list_transform(w, x -> CAST(x AS VARCHAR)), ',') "
+    "AS wks_csv FROM st"
+)
+
+# within-tick adjacency counts per tick + cross-boundary pairs as a
+# separate CTE, folded additively — transitions_increment's two-part
+# construction replayed in SQL (not the batch lead-window shortcut)
+ORACLES["xtransitions_state"] = (
+    "WITH e AS (SELECT user_id, event_type, ts, event_id, "
+    + _RET_TICK + " AS tick FROM events), "
+    "seq AS (SELECT user_id, tick, event_type, "
+    "lead(event_type) OVER w AS nxt, lead(tick) OVER w AS nxt_tick "
+    "FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "wt AS (SELECT tick, event_type AS from_type, nxt AS to_type, "
+    "count(*) AS n FROM seq WHERE nxt IS NOT NULL AND nxt_tick = tick "
+    "GROUP BY 1, 2, 3), "
+    "bt AS (SELECT nxt_tick AS tick, event_type AS from_type, "
+    "nxt AS to_type, count(*) AS n FROM seq "
+    "WHERE nxt IS NOT NULL AND nxt_tick <> tick GROUP BY 1, 2, 3) "
+    "SELECT from_type, to_type, CAST(sum(n) AS BIGINT) AS n "
+    "FROM (SELECT * FROM wt UNION ALL SELECT * FROM bt) "
+    "GROUP BY from_type, to_type"
+)
+
+# per-doc-id-tick token counts folded additively — the full wordcount
+# state, no vocabulary read in front
+ORACLES["xvocab_state"] = (
+    "WITH tok AS (SELECT doc_id % 3 AS tick, "
+    "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token "
+    "FROM documents), "
+    "pt AS (SELECT tick, token, count(*) AS freq FROM tok "
+    "GROUP BY tick, token) "
+    "SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM pt "
+    "GROUP BY token"
+)
+
+# per-tick bigram + unigram counts folded additively, pair cells
+# joined to both endpoint unigram cells — both maintained frames hash
+ORACLES["xcollocations_state"] = (
+    "WITH t AS (SELECT doc_id % 3 AS tick, "
+    "string_split_regex(trim(lower(text)), '\\s+') AS toks "
+    "FROM documents), "
+    "bg_t AS (SELECT tick, z[1] AS w1, z[2] AS w2, count(*) AS c FROM "
+    "(SELECT tick, unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z "
+    "FROM t WHERE len(toks) >= 2) GROUP BY tick, w1, w2), "
+    "bg AS (SELECT w1, w2, CAST(sum(c) AS BIGINT) AS c FROM bg_t "
+    "GROUP BY w1, w2), "
+    "u_t AS (SELECT tick, unnest(toks) AS token FROM t), "
+    "uc_t AS (SELECT tick, token, count(*) AS freq FROM u_t "
+    "GROUP BY tick, token), "
+    "uc AS (SELECT token, CAST(sum(freq) AS BIGINT) AS freq FROM uc_t "
+    "GROUP BY token) "
+    "SELECT bg.w1, bg.w2, bg.c, u1.freq AS f1, u2.freq AS f2 "
+    "FROM bg JOIN uc u1 ON bg.w1 = u1.token "
+    "JOIN uc u2 ON bg.w2 = u2.token"
 )
