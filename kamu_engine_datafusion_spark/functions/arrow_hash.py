@@ -1,0 +1,330 @@
+"""Vectorized (Arrow/numpy) twins of the JVM-side hash pipeline.
+
+Why this exists: Spark's higher-order functions (``transform`` /
+``zip_with`` / ``aggregate``) evaluate INTERPRETED — outside
+whole-stage codegen — so the MinHash signature expression
+(token-hash → shingle-fold → per-hash minima) rides the engine's
+slowest expression path and dominates the dedup kernels' wall time
+(26% of the sf0.1 bench, ~75% at sf1; SCALE.md rounds 13-15). It is
+also the one subsystem whose throughput drifts with JVM host state,
+which is what ``bench.py``'s ``calibration_hof`` measures.
+
+This module computes the SAME signatures in numpy inside an
+Arrow-batched pandas UDF — the sanctioned slow-path escape (the
+``semantic_dedup`` ``cosine_backend="arrow"`` template): one padded
+byte-matrix xxhash64 over the batch's distinct tokens, one flat
+ragged-range shingle fold, and ``num_hashes`` vectorized min-reduces.
+Bit-exact with the JVM path by construction:
+
+- :func:`xxhash64_bytes` reproduces Spark's ``XxHash64`` (canonical
+  XXH64, little-endian word reads, seed 42 — the published xxHash
+  spec, same algorithm DataFusion/DuckDB ship) — pinned against
+  ``F.xxhash64`` by a hypothesis property test;
+- tokenization mirrors ``functions.columns.tokens`` (lower → Java
+  ``trim`` (strip of all chars ≤ U+0020) → split on Java ``\\s+`` =
+  ``[ \\t\\n\\x0b\\f\\r]+``);
+- the shingle fold and universal-hash minima use the exact integer
+  recurrences of ``shingle_hash_array`` / ``minhash_signatures``
+  (all values < 2³¹, products < 2⁶² — int64-safe on both engines).
+
+Scale shape: ZERO shuffle — signatures are computed in-row per Arrow
+batch, so parallelism comes from the input splits (the right shape on
+a many-split 100 TB corpus, where the explode→groupBy formulation
+pays a corpus-sized exchange). The JVM variants stay as correctness
+twins; equivalence is pytest-pinned on the documents corpus.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+
+from kamu_engine_datafusion_spark.functions.columns import (
+    _MERSENNE_31,
+    _SHINGLE_PRIME,
+    minhash_coeffs,
+)
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_MASK = (1 << 64) - 1
+
+#: Java regex ``\s`` (no UNICODE_CHARACTER_CLASS): exactly these six.
+_JAVA_WS = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def java_tokens(s: str) -> list[str]:
+    """Python twin of ``functions.columns.tokens``:
+    ``split(trim(lower(s)), '\\s+')`` with Spark/Java semantics —
+    Spark ``trim`` strips SPACES (U+0020) only, not tabs/newlines/
+    control chars, and Java ``Pattern.split`` with the default
+    ``limit=-1`` KEEPS leading/trailing empty strings exposed by
+    non-space whitespace at the ends (Python ``re.split`` matches
+    that). An empty/space-only string yields ``['']`` — one empty
+    token, exactly like Java ``"".split(regex)`` (pinned by the
+    tokens-parity pytest against live Spark)."""
+    return _JAVA_WS.split(s.lower().strip(" "))
+
+
+def _rotl(x, r):
+    import numpy as np
+
+    return (x << np.uint64(r)) | (x >> np.uint64(64 - r))
+
+
+def xxhash64_bytes(byte_rows: list[bytes], seed: int = 42):
+    """Vectorized XXH64 of each bytes row (Spark ``F.xxhash64`` on a
+    string column = XXH64 of its UTF-8 bytes, seed 42). Returns an
+    int64 numpy array of signed hashes — bit-exact with the JVM
+    (property-pinned). One padded (rows × width) byte matrix; stripes,
+    word/4-byte/byte tails, and the avalanche all run as masked
+    whole-matrix ops, so cost is O(rows × longest-row) with numpy
+    constants. Callers hash DISTINCT tokens, so width stays word-sized
+    on natural text."""
+    import numpy as np
+
+    k = len(byte_rows)
+    if k == 0:
+        return np.empty(0, dtype=np.int64)
+    lens = np.fromiter(
+        (len(b) for b in byte_rows), dtype=np.int64, count=k
+    )
+    lmax = int(lens.max())
+    width = max(8, ((lmax + 7) // 8) * 8)
+    mat = np.zeros((k, width), dtype=np.uint8)
+    for i, b in enumerate(byte_rows):
+        if b:
+            mat[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
+    words = mat.view("<u8")  # (k, width/8) little-endian
+    ulens = lens.astype(np.uint64)
+    useed = np.uint64(seed)
+
+    with np.errstate(over="ignore"):
+        # --- 32-byte stripes (len >= 32), masked per stripe ---
+        h = np.full(k, (seed + _P5) & _MASK, dtype=np.uint64)
+        big = lens >= 32
+        if big.any():
+            v1 = np.full(k, (seed + _P1 + _P2) & _MASK, dtype=np.uint64)
+            v2 = np.full(k, (seed + _P2) & _MASK, dtype=np.uint64)
+            v3 = np.full(k, useed, dtype=np.uint64)
+            v4 = np.full(k, (seed - _P1) & _MASK, dtype=np.uint64)
+            n_stripes = width // 32
+            for s in range(n_stripes):
+                m = lens >= 32 * (s + 1)
+                if not m.any():
+                    break
+                for lane, v in enumerate((v1, v2, v3, v4)):
+                    w = words[:, s * 4 + lane]
+                    nv = _rotl(
+                        v + w * np.uint64(_P2), 31
+                    ) * np.uint64(_P1)
+                    v[m] = nv[m]
+            hb = (
+                _rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12) + _rotl(v4, 18)
+            )
+            for v in (v1, v2, v3, v4):
+                hb ^= _rotl(v * np.uint64(_P2), 31) * np.uint64(_P1)
+                hb = hb * np.uint64(_P1) + np.uint64(_P4)
+            h[big] = hb[big]
+        h = h + ulens
+
+        # --- remaining full 8-byte words (≤ 3 after the stripes) ---
+        woff = (lens & -32).astype(np.int64)  # byte offset past stripes
+        rows = np.arange(k)
+        nwords = words.shape[1]
+        for t in range(3):
+            valid = woff + 8 * t + 8 <= lens
+            if not valid.any():
+                break
+            wi = np.minimum(woff // 8 + t, nwords - 1)
+            k1 = _rotl(words[rows, wi] * np.uint64(_P2), 31) * np.uint64(
+                _P1
+            )
+            nh = _rotl(h ^ k1, 27) * np.uint64(_P1) + np.uint64(_P4)
+            h[valid] = nh[valid]
+
+        # --- one 4-byte word (len % 8 >= 4; offset len & ~7 is
+        #     word-aligned, so it is the LOW half of that word) ---
+        off4 = (lens & -8).astype(np.int64)
+        has4 = off4 + 4 <= lens
+        if has4.any():
+            wi = np.minimum(off4 // 8, nwords - 1)
+            u32 = words[rows, wi] & np.uint64(0xFFFFFFFF)
+            nh = _rotl(h ^ (u32 * np.uint64(_P1)), 23) * np.uint64(
+                _P2
+            ) + np.uint64(_P3)
+            h[has4] = nh[has4]
+
+        # --- byte tail (≤ 3 bytes either way) ---
+        bstart = np.where(has4, off4 + 4, off4)
+        for j in range(3):
+            pos = bstart + j
+            valid = pos < lens
+            if not valid.any():
+                break
+            bj = mat[rows, np.minimum(pos, width - 1)].astype(np.uint64)
+            nh = _rotl(h ^ (bj * np.uint64(_P5)), 11) * np.uint64(_P1)
+            h[valid] = nh[valid]
+
+        # --- avalanche ---
+        h ^= h >> np.uint64(33)
+        h *= np.uint64(_P2)
+        h ^= h >> np.uint64(29)
+        h *= np.uint64(_P3)
+        h ^= h >> np.uint64(32)
+    return h.view(np.int64)
+
+
+def _shingle_hashes_flat(texts, n: int):
+    """Shared vectorized front half of the signature/shingle-set UDFs:
+    tokenize, distinct-token xxhash64 (padded byte matrix), and the
+    flat ragged-range shingle fold (the ``shingle_hash_array``
+    recurrence: ``acc·P + next_hash mod M31`` with 0 pads past the
+    doc end, ``m = max(1, len−n+1)`` shingles per doc). Returns
+    ``(tok_lists, acc, sh_offsets)`` — ``tok_lists`` aligned with
+    ``texts`` (None for null docs), ``acc`` the flat int64 shingle
+    hashes of the non-null docs, ``sh_offsets`` their per-doc starts —
+    or ``(tok_lists, None, None)`` when every doc is null."""
+    import numpy as np
+    import pandas as pd
+
+    tok_lists = [
+        java_tokens(s) if isinstance(s, str) else None for s in texts
+    ]
+    docs = [t for t in tok_lists if t is not None]
+    if not docs:
+        return tok_lists, None, None
+    flat = [w for t in docs for w in t]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh64 = xxhash64_bytes([u.encode("utf-8") for u in uniques])
+    m31 = np.int64(_MERSENNE_31)
+    uh = uh64 % m31  # numpy floored mod == Spark pmod for b > 0
+    h_flat = uh[codes]
+
+    lens = np.fromiter((len(t) for t in docs), dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    ends = offsets + lens
+    m = np.maximum(1, lens - (n - 1))
+    sh_offsets = np.concatenate(([0], np.cumsum(m)[:-1]))
+    total = int(m.sum())
+    # flat index of each shingle's first token hash
+    pos = np.repeat(offsets, m) + (
+        np.arange(total) - np.repeat(sh_offsets, m)
+    )
+    sh_ends = np.repeat(ends, m)
+    acc = h_flat[pos].copy()
+    prime = np.int64(_SHINGLE_PRIME)
+    for j in range(1, n):
+        idx = pos + j
+        nxt = np.where(
+            idx < sh_ends, h_flat[np.minimum(idx, len(h_flat) - 1)], 0
+        )
+        acc = (acc * prime + nxt) % m31
+    return tok_lists, acc, sh_offsets
+
+
+def minhash_signatures_batch(
+    texts,
+    shingle_len: int,
+    coeffs: list[tuple[int, int]],
+):
+    """Signatures for one batch of texts (an iterable with None for
+    null docs). Returns a list aligned with ``texts``: each element a
+    list of ``len(coeffs)`` ints, or None for null text (the explode
+    formulation drops null docs; callers filter).
+
+    One ``minimum.reduceat`` per hash function over the flat shingle
+    hashes. Distinctness of shingles is NOT applied — min over a
+    multiset equals min over its support (the explode path dedups only
+    to shrink its exchange, which this path does not have)."""
+    import numpy as np
+
+    tok_lists, acc, sh_offsets = _shingle_hashes_flat(texts, shingle_len)
+    if acc is None:
+        return [None] * len(tok_lists)
+    m31 = np.int64(_MERSENNE_31)
+    sig_cols = []
+    for a, b in coeffs:
+        v = (acc * np.int64(a) + np.int64(b)) % m31
+        sig_cols.append(np.minimum.reduceat(v, sh_offsets))
+    sig_mat = np.stack(sig_cols, axis=1)  # (docs, num_hashes)
+
+    out: list = []
+    d = 0
+    for t in tok_lists:
+        if t is None:
+            out.append(None)
+        else:
+            out.append([int(x) for x in sig_mat[d]])
+            d += 1
+    return out
+
+
+def shingle_hash_sets_batch(texts, shingle_len: int):
+    """DISTINCT shingle-hash sets for one batch of texts — the
+    vectorized twin of ``array_distinct(shingle_hash_array(...))``
+    (``verified_jaccard``'s per-candidate-doc set build): the same
+    flat fold, then one per-doc ``np.unique``. Order within a set
+    differs from the JVM array (sets — intersection/size consumers
+    only); None for null docs."""
+    import numpy as np
+
+    tok_lists, acc, sh_offsets = _shingle_hashes_flat(texts, shingle_len)
+    if acc is None:
+        return [None] * len(tok_lists)
+    bounds = list(sh_offsets[1:]) + [len(acc)]
+    out: list = []
+    d = 0
+    for t in tok_lists:
+        if t is None:
+            out.append(None)
+        else:
+            lo = int(sh_offsets[d])
+            hi = int(bounds[d])
+            out.append([int(x) for x in np.unique(acc[lo:hi])])
+            d += 1
+    return out
+
+
+def minhash_signature_udf(
+    shingle_len: int = 3, num_hashes: int = 32, seed: int = 42
+) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<long>`` producing the
+    EXACT signatures of ``minhash_signatures(base_hash='xxhash64')``
+    (equivalence pytest-pinned on the documents corpus + hypothesis
+    strings). NULL text → NULL signature (callers filter, matching the
+    explode path's drop)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    coeffs = minhash_coeffs(num_hashes, seed)
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _sig(texts):
+        return pd.Series(
+            minhash_signatures_batch(texts, shingle_len, coeffs)
+        )
+
+    return pandas_udf(_sig, "array<long>", PandasUDFType.SCALAR)
+
+
+def shingle_hash_set_udf(shingle_len: int = 3) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<long>`` producing each
+    doc's DISTINCT shingle-hash set — value-identical (as a set) to
+    ``array_distinct(shingle_hash_array(tokens(text), n))``, the
+    build ``verified_jaccard`` runs per candidate doc on the
+    interpreted HOF path. NULL text → NULL."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _sets(texts):
+        return pd.Series(shingle_hash_sets_batch(texts, shingle_len))
+
+    return pandas_udf(_sets, "array<long>", PandasUDFType.SCALAR)

@@ -121,9 +121,12 @@ def minhash_signatures(
     seed: int = 42,
     base_hash: str = "xxhash64",
     layout: str = "explode",
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signatures via the scalable explode→groupBy
     formulation: shingles are hashed WITHOUT materializing strings
+    (``layout="arrow"`` computes the SAME signatures vectorized in
+    numpy instead — see below)
     (:func:`shingle_hash_array`), one row per (doc, distinct shingle
     hash), then ``num_hashes`` MIN aggregates (map-side partials do most
     of the work, the shuffle carries only num_hashes longs per doc).
@@ -150,7 +153,45 @@ def minhash_signatures(
     fan the single input partition out to 32 cores. Default stays
     ``"explode"``; both layouts produce identical signatures
     (equivalence pytest).
+
+    ``layout="arrow"`` (xxhash64 only) computes bit-identical
+    signatures in ONE Arrow-batched pandas UDF
+    (``functions.arrow_hash.minhash_signature_udf``): distinct-token
+    numpy xxhash64 + flat shingle fold + vectorized minima. This takes
+    the whole tokenize→shingle→min pipeline OFF Spark's interpreted
+    HOF path — the r13–r15 host-drift class ``bench.py``'s
+    ``calibration_hof`` measures — and, like ``inrow``, needs ZERO
+    shuffle (parallelism from the input splits; at 100 TB the explode
+    path's corpus-sized exchange disappears). Equivalence is
+    pytest-pinned on the documents corpus + edge docs.
     """
+    if layout == "arrow":
+        if base_hash != "xxhash64":
+            raise ValueError(
+                "minhash_signatures: layout='arrow' supports only "
+                "base_hash='xxhash64' (the poly variant exists for "
+                "SQL-oracle replay and stays on the JVM path)"
+            )
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            minhash_signature_udf,
+        )
+
+        udf = minhash_signature_udf(shingle_len, num_hashes, seed)
+        narrow = df.select(
+            F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
+        )
+        if fan_out:
+            # the UDF's parallelism comes from the input splits; a
+            # SINGLE-FILE local ledger gives it one task, so fan the
+            # narrow (id, text) projection out first. At 100 TB the
+            # scan has plentiful splits — leave fan_out=None there
+            # (measured: sf1 single-file 10.2s → 5.8s at fan_out=8;
+            # many-split inputs need no shuffle at all).
+            narrow = narrow.repartition(fan_out)
+        return narrow.select(
+            "__id",
+            udf(F.col("__t")).alias("__sig"),
+        ).filter(F.col("__sig").isNotNull())
     if base_hash == "poly":
         hash_arr = F.transform(
             word_shingles(tokens(text_col), shingle_len),
@@ -262,6 +303,8 @@ def minhash_lsh_candidates(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
+    signature_layout: str = "explode",
+    signature_fan_out: int | None = None,
     _cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
@@ -280,7 +323,14 @@ def minhash_lsh_candidates(
         _release_deferred()
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
-        df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+        df,
+        text_col,
+        id_col,
+        shingle_len,
+        num_hashes,
+        base_hash=base_hash,
+        layout=signature_layout,
+        fan_out=signature_fan_out,
     )
     band_fn = lsh_band_keys_fold if base_hash == "poly" else lsh_band_keys
     banded = sigs.select(
@@ -341,6 +391,8 @@ def verified_jaccard(
     id_col: str = "doc_id",
     shingle_len: int = 3,
     use_hashed_shingles: bool = True,
+    shingle_backend: str = "jvm",
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: join the shingle
     sets back onto the (small) candidate pair set and compare.
@@ -358,6 +410,13 @@ def verified_jaccard(
     intersect/union runs on longs, which measures ~4× faster than
     string arrays. Set it False for the SQL-oracle (poly-hash) variant,
     which replicates string shingles verbatim.
+
+    ``shingle_backend="arrow"`` (hashed shingles only) builds the
+    distinct shingle-hash sets in the vectorized numpy pipeline
+    (``functions.arrow_hash.shingle_hash_set_udf``) instead of the
+    interpreted ``shingle_hash_array`` HOF — value-identical sets
+    (equivalence pytest); the set-intersection itself already runs
+    codegen'd on longs either way.
     """
     cand_ids = (
         pairs.select(F.col("id_a").alias("__cid"))
@@ -367,17 +426,38 @@ def verified_jaccard(
     pruned = df.join(
         F.broadcast(cand_ids), df[id_col] == F.col("__cid"), "left_semi"
     )
-    shingle_set = (
-        shingle_hash_array(tokens(text_col), shingle_len)
-        if use_hashed_shingles
-        else word_shingles(tokens(text_col), shingle_len)
-    )
+    if fan_out:
+        # the set build's parallelism follows df's input splits; on a
+        # single-file local ledger that is ONE task over every
+        # candidate doc (the sf1 replica corpus makes ~all docs
+        # candidates — measured +4.7s). At 100 TB the pruned frame
+        # inherits plentiful splits — leave None there.
+        pruned = pruned.select(id_col, text_col).repartition(fan_out)
+    if shingle_backend == "arrow":
+        if not use_hashed_shingles:
+            raise ValueError(
+                "verified_jaccard: shingle_backend='arrow' requires "
+                "use_hashed_shingles=True (string shingles exist for "
+                "SQL-oracle replay and stay on the JVM path)"
+            )
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            shingle_hash_set_udf,
+        )
+
+        sh_col = shingle_hash_set_udf(shingle_len)(F.col(text_col))
+    else:
+        shingle_set = (
+            shingle_hash_array(tokens(text_col), shingle_len)
+            if use_hashed_shingles
+            else word_shingles(tokens(text_col), shingle_len)
+        )
+        sh_col = F.array_distinct(shingle_set)
     # both join legs consume the shingle sets; persist so the prune +
     # tokenize + shingle work runs once (candidate-sized — tiny), released
     # at the next dedup call like every LSH intermediate
     sh = pruned.select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(shingle_set).alias("__sh"),
+        sh_col.alias("__sh"),
     ).persist()
     sh.count()  # populate before the two join legs race through it
     _DEFERRED.append(sh)
@@ -417,6 +497,8 @@ def minhash_lsh_dedup(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
+    signature_layout: str = "explode",
+    signature_fan_out: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
     threshold → drop every doc that matches a lower-id survivor.
@@ -446,6 +528,8 @@ def minhash_lsh_dedup(
         max_bucket_size,
         base_hash,
         bucket_cap_mode,
+        signature_layout,
+        signature_fan_out,
         _cleanup=handles,
     ).persist()
     # populate the pair cache before verification fans out over it
@@ -459,6 +543,12 @@ def minhash_lsh_dedup(
             id_col,
             shingle_len,
             use_hashed_shingles=(base_hash != "poly"),
+            shingle_backend=(
+                "arrow"
+                if signature_layout == "arrow" and base_hash != "poly"
+                else "jvm"
+            ),
+            fan_out=signature_fan_out,
         )
         .filter(F.col("jaccard") >= threshold)
         .select(F.col("id_b").alias(id_col))
@@ -1223,6 +1313,7 @@ def minhash_index(
     num_hashes: int = 32,
     num_bands: int = 8,
     base_hash: str = "xxhash64",
+    signature_layout: str = "explode",
 ) -> DataFrame:
     """Build the persistable signature index: one row per (band key,
     doc), carrying the full signature for estimate-based verification.
@@ -1232,7 +1323,13 @@ def minhash_index(
     """
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
-        df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+        df,
+        text_col,
+        id_col,
+        shingle_len,
+        num_hashes,
+        base_hash=base_hash,
+        layout=signature_layout,
     )
     return _banded_sigs(sigs, num_bands, rows_per_band, base_hash).select(
         F.col("__id").alias("doc_id"), F.col("__sig").alias("sig"), "__band"
@@ -1247,6 +1344,7 @@ def minhash_index_split(
     num_hashes: int = 32,
     num_bands: int = 8,
     base_hash: str = "xxhash64",
+    signature_layout: str = "explode",
 ) -> tuple[DataFrame, DataFrame]:
     """Build the SPLIT persistable index: ``(bands, sigs)`` —
     ``bands`` one narrow row per (band key, doc) ``(doc_id, __band)``
@@ -1263,7 +1361,13 @@ def minhash_index_split(
     :func:`dedup_increment_against_index`."""
     rows_per_band = num_hashes // num_bands
     sigs = minhash_signatures(
-        df, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+        df,
+        text_col,
+        id_col,
+        shingle_len,
+        num_hashes,
+        base_hash=base_hash,
+        layout=signature_layout,
     )
     banded = _banded_sigs(sigs, num_bands, rows_per_band, base_hash)
     return (
@@ -1783,6 +1887,8 @@ def minhash_lsh_report(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
+    signature_layout: str = "explode",
+    signature_fan_out: int | None = None,
 ) -> DataFrame:
     """Audit companion to :func:`minhash_lsh_dedup`: one row per
     DROPPED document with its lowest-id matching partner and the
@@ -1810,6 +1916,8 @@ def minhash_lsh_report(
         max_bucket_size,
         base_hash,
         bucket_cap_mode,
+        signature_layout,
+        signature_fan_out,
         _cleanup=handles,
     ).persist()
     cand.count()
@@ -1820,6 +1928,12 @@ def minhash_lsh_report(
         id_col,
         shingle_len,
         use_hashed_shingles=(base_hash != "poly"),
+        shingle_backend=(
+            "arrow"
+            if signature_layout == "arrow" and base_hash != "poly"
+            else "jvm"
+        ),
+        fan_out=signature_fan_out,
     ).filter(F.col("jaccard") >= threshold)
     w = Window.partitionBy("id_b").orderBy(F.col("id_a"))
     rep = (
@@ -1948,3 +2062,73 @@ def phash_increment_against_index(
             vs_index_pairs.unionByName(within_pairs).distinct(),
         )
     return survivors, new_index_rows
+
+
+def dedup_trajectory_increment(
+    state: DataFrame | None,
+    tick: DataFrame,
+    tick_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dp: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """One tick of the maintained DEDUP-RATE TRAJECTORY (r17 staging:
+    "dedup-rate trajectory") — the curation health metric a 100 TB
+    ingest dashboards per tick: how much of each arriving batch is
+    already-seen content. Returns ``(stats, new_state)``:
+
+    - ``stats``: ONE row ``(tick, n_docs, n_kept, n_dup, dup_rate)``
+      — ``n_kept`` counts the tick's docs that are the FIRST
+      occurrence of their normalized content (hash not yet in the
+      index AND lowest ``id_col`` among the tick's same-hash docs —
+      first-ARRIVAL wins across ticks, the ingestion-order semantic,
+      vs the batch :func:`exact_dedup`'s global-min-id rule);
+      ``dup_rate = n_dup / n_docs``, half-up ``dp``.
+    - ``new_state``: the content-hash index after the tick — one
+      ``__h`` row per distinct normalized content seen so far
+      (append-only set union: idempotent semilattice, double-apply
+      safe; NULL texts share one hash group, the
+      :func:`exact_dedup` convention).
+
+    A rising trajectory is the crawl-loop alarm (the feed is
+    re-serving known content); a falling one measures dedup debt paid
+    down. Scale: per tick one hash-keyed aggregate over the tick ∪ a
+    hash-join against the index — O(tick + touched state); the stats
+    log is ticks-sized; history is never re-hashed."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    h = tick.select(
+        F.col(id_col).alias("__id"),
+        F.xxhash64(normalize_text(text_col)).alias("__h"),
+    )
+    w = Window.partitionBy("__h").orderBy("__id")
+    ranked = h.withColumn("__rn", F.row_number().over(w))
+    if state is not None:
+        ranked = ranked.join(
+            state.select("__h").withColumn("__known", F.lit(1)),
+            "__h",
+            "left",
+        )
+    else:
+        ranked = ranked.withColumn("__known", F.lit(None).cast("int"))
+    kept_flag = (F.col("__rn") == 1) & F.col("__known").isNull()
+    stats = ranked.agg(
+        F.lit(tick_id).cast("long").alias("tick"),
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(kept_flag.cast("long")).cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum(kept_flag.cast("long")))
+        .cast("long")
+        .alias("n_dup"),
+        half_up(
+            (F.count(F.lit(1)) - F.sum(kept_flag.cast("long")))
+            / F.count(F.lit(1)),
+            dp,
+        ).alias("dup_rate"),
+    )
+    inc = h.select("__h").distinct()
+    new_state = (
+        inc
+        if state is None
+        else inc.unionByName(state.select("__h")).distinct()
+    )
+    return stats, new_state

@@ -205,3 +205,99 @@ def sessions_read(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def gap_sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    gap_sec: int = 1800,
+) -> DataFrame:
+    """Batch gap sessionizer as a module-level operator (the
+    ``xsessionize`` key's lag + cumulative-break-flag pipeline,
+    extracted for composition): per-user event stream split at
+    ``> gap_sec`` second gaps, events labeled ``(user, session_id)``
+    with 0-based per-user session ids. Returns the EVENT frame with
+    the session label attached — aggregate for the session table, or
+    feed :func:`session_quality` for the per-session health read.
+
+    Scale: ONE user-keyed window (the single-shuffle sessionizer);
+    the break rule compares epoch seconds (second-truncated, the
+    pytest-pinned convention shared with the maintained fold)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    flagged = events.withColumn(
+        "__new_sess",
+        F.when(
+            F.col(ts_col).cast("long")
+            - F.lag(F.col(ts_col).cast("long")).over(w)
+            > gap_sec,
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    return flagged.withColumn(
+        "session_id",
+        F.sum("__new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long"),
+    ).drop("__new_sess")
+
+
+def session_quality(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_sec: int = 1800,
+    error_type: str = "error",
+    max_error_rate: float = 0.5,
+    dp: int = 4,
+) -> DataFrame:
+    """Per-session QUALITY report (r17 staging: "session-quality
+    join"): gap-sessionize, then score each session — the
+    agent-trajectory/telemetry health gate a training pipeline runs
+    before admitting interaction logs as data: a session dominated by
+    error events (or a single-event stub) is a broken trajectory, not
+    a training example.
+
+    Output: ``(user, session_id, n_events, n_errors, n_types,
+    duration_sec, error_rate, ok)`` — ``error_rate`` half-up ``dp``,
+    ``ok`` = error_rate ≤ ``max_error_rate``. Deterministic and fully
+    SQL-replayable (counts, second-truncated duration, one division).
+
+    Scale: the sessionizer's one user-keyed window, then a
+    (user, session) aggregate riding the SAME partitioning — no
+    second shuffle beyond the label groupBy's map-side partials."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    labeled = gap_sessionize(
+        events, user_col, ts_col, tiebreak_col, gap_sec
+    )
+    agg = labeled.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (F.col(type_col) == error_type).cast("long")
+        ).alias("n_errors"),
+        F.count_distinct(F.col(type_col)).cast("long").alias("n_types"),
+        (
+            (
+                F.unix_millis(F.max(ts_col))
+                - F.unix_millis(F.min(ts_col))
+            )
+            / F.lit(1000)
+        )
+        .cast("long")
+        .alias("duration_sec"),
+    )
+    rate = half_up(F.col("n_errors") / F.col("n_events"), dp)
+    return agg.select(
+        user_col,
+        "session_id",
+        "n_events",
+        "n_errors",
+        "n_types",
+        "duration_sec",
+        rate.alias("error_rate"),
+        (rate <= F.lit(float(max_error_rate))).alias("ok"),
+    )

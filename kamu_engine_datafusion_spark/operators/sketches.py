@@ -1109,3 +1109,129 @@ def kmv_overlap_monitor(
             F.col("n_both") / F.col("n_union_sketch"), dp
         ).alias("jaccard_est"),
     )
+
+
+def ks_from_sketches(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    group_cols: list[str],
+    val_col: str = "val",
+    dp: int = 6,
+) -> DataFrame:
+    """Per-group Kolmogorov–Smirnov drift statistic computed from two
+    maintained quantile-sketch states ALONE (r17 staging: "KS drift
+    from quantile sketches") — the distribution-shift alarm a 100 TB
+    ingest runs per tick WITHOUT re-scanning either population: both
+    inputs are :func:`quantile_sketch` retained-row frames (reference
+    window vs current tick), and because every retained row of a
+    group's sketch stands for the same ``2^thr`` input rows, the
+    sketch ECDF is ``rank/size`` over the retained rows — the 2^thr
+    weights cancel. KS = max over the union's distinct values of
+    |ECDF_a − ECDF_b|, with the sketch's rank-error bound (ε ≈ 1/k
+    per side) bounding the drift estimate's error.
+
+    Exact-integer discipline (the hash-verifiable sketch-family
+    contract): the max runs on |cumA·sB − cumB·sA| (BIGINT, bounded by
+    retained² ≤ ~(2k)²) and divides by ``sA·sB`` ONCE at the end,
+    half-up ``dp`` — no float accumulations to disagree across
+    engines. ``ks_at`` reports the SMALLEST value attaining the max
+    (deterministic tiebreak).
+
+    Output: one row per group present in BOTH sketches —
+    ``(group…, n_a, n_b, ks, ks_at)`` with ``n_a``/``n_b`` the
+    retained sizes. Scale: input frames are sketch-sized (≤ ~2k rows
+    per group — metadata); one group-keyed window over ≤ 2k distinct
+    values per group; the corpora are never touched."""
+    from pyspark.sql import Window
+
+    ua = sketch_a.select(
+        *group_cols, F.col(val_col).alias("__v"), F.lit(1).alias("__sd")
+    )
+    ub = sketch_b.select(
+        *group_cols, F.col(val_col).alias("__v"), F.lit(0).alias("__sd")
+    )
+    per_val = (
+        ua.unionByName(ub)
+        .groupBy(*group_cols, "__v")
+        .agg(
+            F.sum("__sd").cast("long").alias("__ca"),
+            F.sum(1 - F.col("__sd")).cast("long").alias("__cb"),
+        )
+    )
+    w = Window.partitionBy(*group_cols).orderBy("__v")
+    wg = Window.partitionBy(*group_cols)
+    cum = per_val.select(
+        *group_cols,
+        "__v",
+        F.sum("__ca").over(w).alias("__cuma"),
+        F.sum("__cb").over(w).alias("__cumb"),
+        F.sum("__ca").over(wg).alias("__sa"),
+        F.sum("__cb").over(wg).alias("__sb"),
+    )
+    scored = cum.withColumn(
+        "__d",
+        F.abs(
+            F.col("__cuma") * F.col("__sb")
+            - F.col("__cumb") * F.col("__sa")
+        ),
+    ).withColumn("__dm", F.max("__d").over(wg))
+    return (
+        scored.filter((F.col("__sa") > 0) & (F.col("__sb") > 0))
+        .groupBy(*group_cols)
+        .agg(
+            F.max("__sa").cast("long").alias("n_a"),
+            F.max("__sb").cast("long").alias("n_b"),
+            half_up(
+                F.max("__d") / (F.max("__sa") * F.max("__sb")), dp
+            ).alias("ks"),
+            F.min(
+                F.when(F.col("__d") == F.col("__dm"), F.col("__v"))
+            ).alias("ks_at"),
+        )
+    )
+
+
+def kmv_overlap_delta(
+    prev: DataFrame,
+    cur: DataFrame,
+    alarm_delta: float = 0.05,
+    dp: int = 4,
+) -> DataFrame:
+    """Tick-over-tick OVERLAP DRIFT alarm from two
+    :func:`kmv_overlap_monitor` matrices (r17 staging: "KMV overlap
+    delta alarm") — the provenance-leakage tripwire a multi-source
+    ingest runs per tick: a source pair whose content Jaccard JUMPS
+    between ticks means one feed started mirroring another (or a
+    contaminated dump landed), and the KMV states make the check
+    metadata-sized.
+
+    Full-outer join on the ordered pair: ``(grp_a, grp_b, j_prev,
+    j_cur, delta, alarm)`` — ``delta = |j_cur − j_prev|`` half-up
+    ``dp`` (inputs are already half-up from the monitor), ``alarm`` =
+    delta > ``alarm_delta``; a pair present on only ONE side gets a
+    NULL delta and ``alarm = true`` (a pair appearing or vanishing IS
+    the alarm — documented, not hidden).
+
+    Scale: both inputs are |groups|²-bounded metadata frames; one
+    pair-keyed join, the corpora never touched."""
+    p = prev.select(
+        "grp_a", "grp_b", F.col("jaccard_est").alias("j_prev")
+    )
+    c = cur.select(
+        "grp_a", "grp_b", F.col("jaccard_est").alias("j_cur")
+    )
+    joined = p.join(c, ["grp_a", "grp_b"], "full_outer")
+    delta = F.when(
+        F.col("j_prev").isNotNull() & F.col("j_cur").isNotNull(),
+        half_up(F.abs(F.col("j_cur") - F.col("j_prev")), dp),
+    )
+    return joined.select(
+        "grp_a",
+        "grp_b",
+        "j_prev",
+        "j_cur",
+        delta.alias("delta"),
+        F.coalesce(
+            delta > F.lit(float(alarm_delta)), F.lit(True)
+        ).alias("alarm"),
+    )

@@ -1778,3 +1778,71 @@ def collocations_from_counts(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top_k)
+
+
+def ppmi_from_counts(
+    pairs,
+    unis,
+    shift_k: int = 2,
+    min_count: int = 5,
+    top_k: int = 100,
+    dp: int = 6,
+) -> "DataFrame":
+    """Top-k SHIFTED POSITIVE PMI collocations read from maintained
+    count frames alone (r17 staging: "shifted-PPMI at window>1") —
+    the word-embedding-factorization statistic (Levy & Goldberg 2014:
+    SGNS implicitly factorizes the ``PMI − ln k`` matrix):
+    ``sppmi = max(0, ln((c12/B)/((c1/N)(c2/N))) − ln shift_k)``,
+    half-up ``dp``; rows below ``min_count`` pairs pruned; order
+    ``(sppmi desc, w1, w2)``.
+
+    Built for the ``pair_counts(window=k)`` skip-gram frame (gap ≤ k
+    co-occurrence — the word2vec context statistic), while
+    :func:`collocations_from_counts` stays the window=1 Church&Hanks
+    reader with no shift. Same maintained-state story: both count
+    frames fold cell-wise across ticks (``maintained_pair_counts`` /
+    ``maintained_term_counts``), so at 100 TB the SPPMI matrix reads
+    two vocab-bounded frames instead of re-pairing the corpus.
+
+    Scale: totals are two one-row aggregates broadcast onto the
+    pruned pair frame; two vocab-sized joins; one bounded top-k."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    totals = unis.agg(F.sum("freq").cast("double").alias("N"))
+    b_total = pairs.agg(F.sum("c").cast("double").alias("B"))
+    bg = pairs.filter(F.col("c") >= min_count).select(
+        "w1", "w2", F.col("c").alias("n_pair")
+    )
+    uni = unis.select(F.col("token").alias("w"), F.col("freq").alias("c"))
+    scored = (
+        bg.join(
+            uni.select(F.col("w").alias("w1"), F.col("c").alias("c1")),
+            "w1",
+        )
+        .join(
+            uni.select(F.col("w").alias("w2"), F.col("c").alias("c2")),
+            "w2",
+        )
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(b_total))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long").alias("n_pair"),
+            half_up(
+                F.greatest(
+                    F.lit(0.0),
+                    F.log(
+                        (F.col("n_pair") / F.col("B"))
+                        / (
+                            (F.col("c1") / F.col("N"))
+                            * (F.col("c2") / F.col("N"))
+                        )
+                    )
+                    - F.log(F.lit(float(shift_k))),
+                ),
+                dp,
+            ).alias("sppmi"),
+        )
+    )
+    return scored.orderBy(F.col("sppmi").desc(), "w1", "w2").limit(top_k)

@@ -41,11 +41,24 @@ def q_xdedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dedup SURVIVOR SET (xxhash64-based —
     deterministic but engine-specific → rows-only; survivor-set-sized
     so the driver's row count carries regression signal, not a 5-row
-    per-lang rollup)."""
+    per-lang rollup). r16: signatures ride the vectorized Arrow/numpy
+    backend (``functions/arrow_hash.py``) — bit-identical to the
+    explode formulation (equivalence pytest; survivor set unchanged),
+    but off Spark's interpreted-HOF path, which was the bench's most
+    expensive kernel and its one host-drift-sensitive subsystem
+    (r13–r15 adjudications)."""
     t = load(spark, sf_dir, "documents")
-    return D.minhash_lsh_dedup(t["documents"], threshold=0.7).select(
-        "doc_id", "lang"
-    )
+    # fan_out=8: the local test ledgers are SINGLE parquet files, so
+    # the signature UDF would otherwise get one task; at 100 TB the
+    # scan has plentiful splits and the operator default (no
+    # repartition) is the right shape. Measured best at both local
+    # scales (sf0.1 2.0s, sf1 5.8s vs 2.3/10.2 unfanned).
+    return D.minhash_lsh_dedup(
+        t["documents"],
+        threshold=0.7,
+        signature_layout="arrow",
+        signature_fan_out=8,
+    ).select("doc_id", "lang")
 
 
 def q_xdedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

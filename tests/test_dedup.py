@@ -154,3 +154,180 @@ def test_cross_source_overlap_matrix(spark):
         r = got[("a", "b")]
         assert (r["n_shared"], r["n_a"], r["n_b"]) == (2, 3, 3)
         assert r["jaccard"] == 0.5  # 2 / (3 + 3 - 2)
+
+
+def test_arrow_xxhash64_matches_spark(spark):
+    """r16: the numpy xxhash64 (the arrow signature backend's base
+    hash) must be BIT-EXACT with Spark's F.xxhash64 across every code
+    path — empty, sub-word, word/4-byte/byte tails, the 32-byte
+    stripe loop, and multi-byte UTF-8."""
+    import random
+    import string
+
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.functions.arrow_hash import (
+        xxhash64_bytes,
+    )
+
+    rng = random.Random(1234)
+    cases = [
+        "", "a", "ab", "abc", "abcd", "abcde", "abcdefg", "abcdefgh",
+        "abcdefghi", "abcdefghijk", "0123456789abcde",
+        "x" * 31, "y" * 32, "z" * 33, "w" * 40, "v" * 63, "u" * 64,
+        "t" * 65, "s" * 100,
+        "héllo wörld ünïcode", "漢字テスト", "emoji 🙂 mixed",
+    ]
+    for _ in range(200):
+        k = rng.randint(0, 80)
+        cases.append(
+            "".join(rng.choice(string.printable) for _ in range(k))
+        )
+    jvm = [
+        r[0]
+        for r in spark.createDataFrame([(c,) for c in cases], "t string")
+        .select(F.xxhash64("t"))
+        .collect()
+    ]
+    mine = xxhash64_bytes([c.encode("utf-8") for c in cases])
+    assert [int(m) for m in mine] == jvm
+
+
+def test_arrow_tokens_match_jvm(spark):
+    """java_tokens must reproduce split(trim(lower(s)), '\\s+') with
+    Java semantics: trim strips ALL chars <= U+0020 (a superset of
+    regex \\s), \\s is the ASCII six, empty input yields ['']."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.functions.arrow_hash import (
+        java_tokens,
+    )
+    from kamu_engine_datafusion_spark.functions.columns import tokens
+
+    cases = [
+        "", " ", "a", " a ", "a b", "  A  B\tC\n", "a\x0bb\x0cc\rd",
+        "\x01ctrl\x02 padded\x1f", "Mixed CASE Words",
+        "tab\t\ttab", "many   spaces   here",
+    ]
+    jvm = [
+        r["t"]
+        for r in spark.createDataFrame([(c,) for c in cases], "s string")
+        .select(tokens("s").alias("t"))
+        .collect()
+    ]
+    assert [java_tokens(c) for c in cases] == [list(t) for t in jvm]
+
+
+def test_minhash_arrow_layout_identical_and_dedup_equal(spark):
+    """r16: the vectorized Arrow/numpy signature backend must produce
+    the explode layout's EXACT signatures (same dropped null docs, same
+    vectors — n=3 partial-shingle short docs included), and the full
+    LSH dedup must return the identical survivor set under either
+    backend on the real corpus slice."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        minhash_signatures,
+        release_intermediates,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [
+            (9001, None),
+            (9002, ""),
+            (9003, "word"),
+            (9004, "two words"),
+            (9005, "  padded   whitespace  "),
+            (9006, "a\tb\nc"),
+            (9007, "SHOUTED TEXT"),
+            # non-space whitespace at the ends survives Spark's trim
+            # (spaces only) and exposes empty edge tokens in the split
+            (9008, "trailing tab\t"),
+            (9009, "\nleading newline"),
+            (9010, " \t mixed ends \n "),
+        ],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+    a = {
+        r["__id"]: list(r["__sig"])
+        for r in minhash_signatures(d, id_col="doc_id").collect()
+    }
+    b = {
+        r["__id"]: list(r["__sig"])
+        for r in minhash_signatures(
+            d, id_col="doc_id", layout="arrow"
+        ).collect()
+    }
+    assert a == b
+    assert 9001 not in a  # null text dropped by both
+
+    surv_jvm = sorted(
+        r["doc_id"]
+        for r in minhash_lsh_dedup(d, threshold=0.7).collect()
+    )
+    release_intermediates()
+    surv_arrow = sorted(
+        r["doc_id"]
+        for r in minhash_lsh_dedup(
+            d, threshold=0.7, signature_layout="arrow"
+        ).collect()
+    )
+    release_intermediates()
+    assert surv_jvm == surv_arrow
+
+    # poly base hash is the SQL-oracle twin: arrow refuses it loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="poly"):
+        minhash_signatures(d, base_hash="poly", layout="arrow")
+
+
+def test_arrow_shingle_sets_match_jvm(spark):
+    """r16: the vectorized shingle-set build (verified_jaccard's
+    shingle_backend='arrow') must produce the exact distinct
+    shingle-hash SET of array_distinct(shingle_hash_array(...)) per
+    doc — order-insensitive (sets)."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.functions.arrow_hash import (
+        shingle_hash_set_udf,
+    )
+    from kamu_engine_datafusion_spark.functions.columns import (
+        shingle_hash_array,
+        tokens,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "one"), (9004, "a b"),
+         (9005, "x\ty\nz\t")],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+    jvm = {
+        r["doc_id"]: (
+            sorted(r["s"]) if r["s"] is not None else None
+        )
+        for r in d.select(
+            "doc_id",
+            F.array_distinct(
+                shingle_hash_array(tokens("text"), 3)
+            ).alias("s"),
+        ).collect()
+    }
+    arw = {
+        r["doc_id"]: (
+            sorted(r["s"]) if r["s"] is not None else None
+        )
+        for r in d.select(
+            "doc_id", shingle_hash_set_udf(3)(F.col("text")).alias("s")
+        ).collect()
+    }
+    assert jvm == arw
