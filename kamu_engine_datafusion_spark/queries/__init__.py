@@ -127,6 +127,14 @@ _PRIORITY_R16 = [
     # backend re-verify + 36 r11-remainder keys). xwinsorize_sketch
     # sits first below the cut — the r17 head. ----
     "xwinsorize_sketch",
+    # -- registered r16 BELOW the window with full oracles (locally
+    #    sweep-green at 3 SFs): the five r16-staged families, queued
+    #    as the r17 window head alongside the rotation above --
+    "xks_drift_sketch",
+    "xppmi_window",
+    "xdedup_trajectory",
+    "xsession_quality",
+    "xkmv_overlap_delta",
 ]
 
 _PRIORITY_R15 = [

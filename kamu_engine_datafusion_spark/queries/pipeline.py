@@ -4744,6 +4744,186 @@ def q_xcollocations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov distribution drift read from maintained
+    quantile-sketch states ALONE (r16 staged, registered below the
+    window for the r17 head): the lineitem quantity stream splits into
+    three (orderkey+linenumber)%3 ticks — ticks 0+1 fold into the
+    REFERENCE sketch via ``operators/sketches.py::quantile_sketch`` +
+    ``quantile_sketch_merge`` (the exact merge law the driver
+    certified in ``xsketch_quantile_merge``), tick 2 is the CURRENT
+    sketch — and ``ks_from_sketches`` computes per-returnflag KS from
+    the ≤2k retained rows per group (2^thr weights cancel in the
+    ECDF; integer cross-products, ONE division half-up 6dp,
+    smallest-argmax tiebreak). Oracle: both sketch CTE chains (tick
+    filters) + the same integer KS SQL. At 100 TB the drift alarm
+    reads two metadata-sized states; neither population is
+    re-scanned."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        ks_from_sketches,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.concat("l_orderkey", F.lit("-"), "l_linenumber").alias("rid"),
+        F.col("l_quantity").cast("long").alias("val"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3).alias(
+            "__tick"
+        ),
+    )
+    parts = [
+        quantile_sketch(
+            li.filter(F.col("__tick") == i).drop("__tick"),
+            ["grp"], "rid", "val", k=256,
+        )
+        for i in range(3)
+    ]
+    ref = quantile_sketch_merge([parts[0], parts[1]], ["grp"], k=256)
+    return ks_from_sketches(ref, parts[2], ["grp"])
+
+
+def q_xppmi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shifted positive PMI at skip-gram window 2 read from maintained
+    count frames (r16 staged, registered below the window): gap-≤2
+    pair counts and unigram counts fold cell-wise over three doc-id
+    ticks (``operators/text.py::pair_counts(window=2)`` /
+    ``term_counts`` — the ``maintained_pair_counts`` /
+    ``maintained_term_counts`` folds) and ``ppmi_from_counts`` reads
+    the top-100 ``max(0, pmi − ln 2)`` matrix (Levy & Goldberg 2014 —
+    the statistic SGNS implicitly factorizes), half-up 6dp. Oracle:
+    the gap-1 ∪ gap-2 pair stream + the same shifted-clamped float
+    tree in SQL. At 100 TB the SPPMI read touches two vocab-bounded
+    frames, never the corpus."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        pair_counts,
+        ppmi_from_counts,
+        term_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    pairs, unis = None, None
+    for i in range(3):
+        tick = d.filter(F.col("doc_id") % 3 == i)
+        pinc = pair_counts(tick, window=2)
+        pairs = (
+            pinc
+            if pairs is None
+            else pinc.unionByName(pairs)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        tinc = term_counts(tick)
+        unis = (
+            tinc
+            if unis is None
+            else tinc.unionByName(unis)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+    return ppmi_from_counts(
+        pairs, unis, shift_k=2, min_count=5, top_k=100
+    )
+
+
+def q_xdedup_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tick DEDUP-RATE TRAJECTORY (r16 staged, registered below
+    the window): three doc-id ticks fold through
+    ``operators/dedup.py::dedup_trajectory_increment`` — each tick
+    reports ``(tick, n_docs, n_kept, n_dup, dup_rate)`` under the
+    first-ARRIVAL-wins rule (content hash not yet indexed + lowest id
+    within the tick), the index folds as an append-only hash set
+    (idempotent semilattice; NULL texts share one group, the
+    exact_dedup convention). Oracle: global
+    ``row_number() OVER (PARTITION BY normalized_text ORDER BY tick,
+    doc_id)`` — rank 1 IS first arrival — aggregated per tick with
+    half-up-4dp rates. The curation dashboard a 100 TB crawl ingest
+    keeps live: per tick one hash aggregate + an index join, history
+    never re-hashed."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        dedup_trajectory_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    stats_rows = []
+    for i in range(3):
+        stats, state = dedup_trajectory_increment(
+            state, d.filter(F.col("doc_id") % 3 == i), i
+        )
+        stats_rows.append(stats)
+    out = stats_rows[0]
+    for s in stats_rows[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def q_xsession_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-session QUALITY gate over the user_id < 100 event stream
+    (r16 staged, registered below the window): gap-sessionize at 30
+    minutes (``operators/sessions.py::gap_sessionize`` — the
+    xsessionize lag+cumsum pipeline as a module operator) and score
+    each session — events, errors, distinct types, second-truncated
+    duration, half-up-4dp error rate, ``ok`` = rate ≤ 0.25
+    (``session_quality``). The trajectory-health gate an
+    interaction-log training pipeline runs before admitting sessions
+    as data. Oracle: the xsessionize CTEs + the same counters and
+    gate. Scale: ONE user-keyed window, the session aggregate rides
+    its partitioning."""
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        session_quality,
+    )
+
+    t = load(spark, sf_dir, "events")
+    ev = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    return session_quality(
+        ev, gap_sec=1800, error_type="error", max_error_rate=0.25
+    )
+
+
+def q_xkmv_overlap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tick-over-tick cross-source OVERLAP DRIFT alarm from KMV states
+    (r16 staged, registered below the window): the per-source KMV
+    sketch of the ticks-0+1 corpus vs the full corpus (the state
+    before/after tick 2 lands — ``kmv_sketch`` on md5-normalized
+    text, poly profile), each read into the one-pass
+    ``kmv_overlap_monitor`` matrix, then
+    ``operators/sketches.py::kmv_overlap_delta`` emits ``(pair,
+    j_prev, j_cur, delta, alarm)`` with alarm = Δ > 0.02 and
+    vanished/appeared pairs alarming on NULL delta. Oracle: the
+    certified xkmv_overlap CTE chain replayed on BOTH slices + the
+    same full-outer delta SQL. The provenance tripwire of the
+    maintained overlap monitor — both matrices are |sources|²
+    metadata; the corpus is never re-read."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_overlap_delta,
+        kmv_overlap_monitor,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id", F.col("source").alias("grp"), _norm_md5().alias("__h")
+    )
+    prev_rows = d.filter(F.col("doc_id") % 3 < 2)
+    k = 128
+    prev_m = kmv_overlap_monitor(
+        kmv_sketch(prev_rows, ["grp"], "__h", k=k), "grp", k=k, dp=4
+    )
+    cur_m = kmv_overlap_monitor(
+        kmv_sketch(d, ["grp"], "__h", k=k), "grp", k=k, dp=4
+    )
+    return kmv_overlap_delta(prev_m, cur_m, alarm_delta=0.02, dp=4)
+
+
 def q_xtemperature_maintained(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -4958,6 +5138,11 @@ QUERIES = {
     "xtransitions_state": q_xtransitions_state,
     "xvocab_state": q_xvocab_state,
     "xcollocations_state": q_xcollocations_state,
+    "xks_drift_sketch": q_xks_drift_sketch,
+    "xppmi_window": q_xppmi_window,
+    "xdedup_trajectory": q_xdedup_trajectory,
+    "xsession_quality": q_xsession_quality,
+    "xkmv_overlap_delta": q_xkmv_overlap_delta,
     "xtemperature_maintained": q_xtemperature_maintained,
     "xcap_maintained": q_xcap_maintained,
     "xsample_weighted_merge": q_xsample_weighted_merge,
@@ -9472,4 +9657,195 @@ ORACLES["xcollocations_state"] = (
     "SELECT bg.w1, bg.w2, bg.c, u1.freq AS f1, u2.freq AS f2 "
     "FROM bg JOIN uc u1 ON bg.w1 = u1.token "
     "JOIN uc u2 ON bg.w2 = u2.token"
+)
+
+# r16-staged families, registered BELOW the driver window (the r17
+# head): oracles replay the sketch/fold constructions and the exact
+# float trees.
+
+# -- xks_drift_sketch: both quantile-sketch chains (tick filters) +
+#    the integer-cross-product KS --
+_KS_SKETCH_HASH = _poly31_sql(
+    "(CAST(l_orderkey AS VARCHAR) || '-' || "
+    "CAST(l_linenumber AS VARCHAR) || '#qsk')"
+)
+
+
+def _ks_sketch_slice(pred: str, p: str, k: int = 256) -> str:
+    """One hash-level sketch CTE chain over the ``lv`` rows (aliased
+    ``l``) matching ``pred``, CTE names prefixed ``p`` — the certified
+    _qsketch_merge_oracle chain parameterized by slice (the exact
+    merge law makes the per-tick fold equal this direct build)."""
+    return (
+        f"{p}c AS (SELECT l.grp, l.lvl, count(*) AS c FROM lv l "
+        f"WHERE {pred} GROUP BY 1, 2), "
+        f"{p}s AS (SELECT grp, lvl, sum(c) OVER (PARTITION BY grp "
+        "ORDER BY lvl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+        f"CURRENT ROW) AS s FROM {p}c), "
+        f"{p}t AS (SELECT grp, CAST(coalesce(max(lvl) "
+        f"FILTER (WHERE s > {k}) + 1, 0) AS BIGINT) AS thr "
+        f"FROM {p}s GROUP BY 1), "
+        f"{p}r AS (SELECT l.grp, l.val FROM lv l JOIN {p}t t "
+        f"ON l.grp = t.grp WHERE {pred} AND l.lvl >= t.thr)"
+    )
+
+
+ORACLES["xks_drift_sketch"] = (
+    "WITH li AS (SELECT l_returnflag AS grp, "
+    "CAST(l_quantity AS BIGINT) AS val, "
+    "(l_orderkey + l_linenumber) % 3 AS tick, "
+    f"{_KS_SKETCH_HASH} AS h FROM lineitem), "
+    "lv AS (SELECT grp, val, tick, CASE WHEN h = 0 THEN 31 "
+    "ELSE CAST(bit_count(CAST((h & -h) - 1 AS BIGINT)) AS BIGINT) "
+    "END AS lvl FROM li), "
+    + _ks_sketch_slice("l.tick < 2", "ref")
+    + ", "
+    + _ks_sketch_slice("l.tick = 2", "cur")
+    + ", "
+    "u AS (SELECT grp, val, 1 AS sd FROM refr "
+    "UNION ALL SELECT grp, val, 0 AS sd FROM curr), "
+    "pv AS (SELECT grp, val, CAST(sum(sd) AS BIGINT) AS ca, "
+    "CAST(sum(1 - sd) AS BIGINT) AS cb FROM u GROUP BY 1, 2), "
+    "cum AS (SELECT grp, val, sum(ca) OVER w1 AS cuma, "
+    "sum(cb) OVER w1 AS cumb, sum(ca) OVER w2 AS sa, "
+    "sum(cb) OVER w2 AS sb FROM pv "
+    "WINDOW w1 AS (PARTITION BY grp ORDER BY val), "
+    "w2 AS (PARTITION BY grp)), "
+    "dd AS (SELECT grp, val, abs(cuma * sb - cumb * sa) AS d, sa, sb "
+    "FROM cum), "
+    "mm AS (SELECT grp, max(d) AS dm FROM dd GROUP BY grp) "
+    "SELECT d.grp, CAST(max(d.sa) AS BIGINT) AS n_a, "
+    "CAST(max(d.sb) AS BIGINT) AS n_b, "
+    + _fhu("max(d.d) / (CAST(max(d.sa) AS DOUBLE) * max(d.sb))", 6)
+    + " AS ks, "
+    "min(CASE WHEN d.d = m.dm THEN d.val END) AS ks_at "
+    "FROM dd d JOIN mm m USING (grp) "
+    "WHERE d.sa > 0 AND d.sb > 0 GROUP BY d.grp"
+)
+
+# -- xppmi_window: gap-1 ∪ gap-2 skip-gram stream + shifted-clamped
+#    PMI (fold ≡ batch counts makes the batch stream the oracle) --
+ORACLES["xppmi_window"] = (
+    "WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') "
+    "AS toks FROM documents), "
+    "bg AS (SELECT z[1] AS w1, z[2] AS w2 FROM (SELECT "
+    "unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z FROM t "
+    "WHERE len(toks) >= 2) "
+    "UNION ALL SELECT z[1], z[2] FROM (SELECT "
+    "unnest(list_zip(toks[:len(toks)-2], toks[3:])) AS z FROM t "
+    "WHERE len(toks) >= 3)), "
+    "uni AS (SELECT unnest(toks) AS w FROM t), "
+    "uc AS (SELECT w, count(*) AS c FROM uni GROUP BY w), "
+    "nt AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM uni), "
+    "bt AS (SELECT CAST(count(*) AS DOUBLE) AS b FROM bg), "
+    "bc AS (SELECT w1, w2, count(*) AS n_pair FROM bg GROUP BY 1, 2 "
+    "HAVING count(*) >= 5) "
+    "SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, "
+    + _fhu(
+        "greatest(CAST(0 AS DOUBLE), "
+        "ln((n_pair / bt.b) / ((u1.c / nt.n) * (u2.c / nt.n))) "
+        "- ln(2.0))",
+        6,
+    )
+    + " AS sppmi "
+    "FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w "
+    "CROSS JOIN nt CROSS JOIN bt "
+    "ORDER BY sppmi DESC, w1, w2 LIMIT 100"
+)
+
+# -- xdedup_trajectory: global first-arrival rank per normalized
+#    content (rank 1 over (tick, doc_id) IS the increment's keep
+#    rule), aggregated per tick --
+ORACLES["xdedup_trajectory"] = (
+    "WITH d AS (SELECT doc_id, doc_id % 3 AS tick, "
+    "trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm "
+    "FROM documents), "
+    "r AS (SELECT tick, row_number() OVER (PARTITION BY norm "
+    "ORDER BY tick, doc_id) AS rn FROM d) "
+    "SELECT CAST(tick AS BIGINT) AS tick, "
+    "CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_kept, "
+    "CAST(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_dup, "
+    + _fhu(
+        "(count(*) - sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)) "
+        "/ CAST(count(*) AS DOUBLE)",
+        4,
+    )
+    + " AS dup_rate FROM r GROUP BY tick"
+)
+
+# -- xsession_quality: the xsessionize CTEs + the quality counters --
+_SQ_RATE = _fhu("n_errors / CAST(n_events AS DOUBLE)", 4)
+ORACLES["xsession_quality"] = (
+    "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 "
+    "ELSE 0 END AS new_sess FROM events WHERE user_id < 100 "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT user_id, ts, event_type, "
+    "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, "
+    "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS session_id FROM flagged), "
+    "agg AS (SELECT user_id, session_id, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_errors, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, "
+    "CAST((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000 AS BIGINT) "
+    "AS duration_sec FROM sess GROUP BY 1, 2) "
+    "SELECT user_id, session_id, n_events, n_errors, n_types, "
+    f"duration_sec, {_SQ_RATE} AS error_rate, "
+    f"{_SQ_RATE} <= 0.25 AS ok FROM agg"
+)
+
+
+# -- xkmv_overlap_delta: the certified xkmv_overlap chain on BOTH
+#    corpus slices + the full-outer delta --
+def _kmv_matrix_cte(pred: str, p: str, k: int = 128) -> str:
+    poly = _poly31_sql("(h || '#kmv')")
+    return (
+        f"{p}hvs AS (SELECT DISTINCT grp, {poly} AS hv FROM nrm2 "
+        f"WHERE h IS NOT NULL AND ({pred})), "
+        f"{p}rk AS (SELECT grp, hv, row_number() OVER (PARTITION BY "
+        f"grp ORDER BY hv) AS rn FROM {p}hvs), "
+        f"{p}sk AS (SELECT grp, hv FROM {p}rk WHERE rn <= {k}), "
+        f"{p}gs AS (SELECT DISTINCT grp FROM {p}sk), "
+        f"{p}pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b "
+        f"FROM {p}gs a CROSS JOIN {p}gs b WHERE a.grp <> b.grp), "
+        f"{p}member AS (SELECT p.grp_a, p.grp_b, s.hv, "
+        "max(CASE WHEN s.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a, "
+        "max(CASE WHEN s.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b "
+        f"FROM {p}sk s JOIN {p}pairs p ON s.grp = p.grp_a "
+        "OR s.grp = p.grp_b GROUP BY 1, 2, 3), "
+        f"{p}tk AS (SELECT *, row_number() OVER (PARTITION BY grp_a, "
+        f"grp_b ORDER BY hv) AS rn FROM {p}member), "
+        f"{p}agg AS (SELECT grp_a, grp_b, "
+        "CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_both, CAST(count(*) AS BIGINT) AS n_u "
+        f"FROM {p}tk WHERE rn <= {k} GROUP BY 1, 2), "
+        f"{p}mat AS (SELECT grp_a, grp_b, "
+        + _fhu("n_both / CAST(n_u AS DOUBLE)", 4)
+        + f" AS j FROM {p}agg)"
+    )
+
+
+_KMVD_DELTA = _fhu("abs(c.j - p.j)", 4)
+ORACLES["xkmv_overlap_delta"] = (
+    "WITH nrm2 AS (SELECT doc_id, source AS grp, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM documents), "
+    + _kmv_matrix_cte("doc_id % 3 < 2", "p")
+    + ", "
+    + _kmv_matrix_cte("1 = 1", "c")
+    + " "
+    "SELECT coalesce(p.grp_a, c.grp_a) AS grp_a, "
+    "coalesce(p.grp_b, c.grp_b) AS grp_b, "
+    "p.j AS j_prev, c.j AS j_cur, "
+    "CASE WHEN p.j IS NOT NULL AND c.j IS NOT NULL THEN "
+    f"{_KMVD_DELTA} END AS delta, "
+    "coalesce(CASE WHEN p.j IS NOT NULL AND c.j IS NOT NULL THEN "
+    f"{_KMVD_DELTA} > 0.02 END, true) AS alarm "
+    "FROM pmat p FULL OUTER JOIN cmat c "
+    "ON p.grp_a = c.grp_a AND p.grp_b = c.grp_b"
 )

@@ -2382,6 +2382,157 @@ def main() -> None:
     if _want("maintained_debounce"):
         _debounce_stress()
 
+    # ---- r16-staged families (r17 window head): 10×-scale rows ----
+
+    def _ks_drift_stress() -> None:
+        from kamu_engine_datafusion_spark.operators.sketches import (
+            ks_from_sketches,
+            quantile_sketch,
+            quantile_sketch_merge,
+        )
+
+        ev = events.select(
+            F.col("event_type").alias("grp"),
+            F.col("event_id").cast("string").alias("rid"),
+            F.floor(F.col("value") * 1000 + 0.5).cast("long").alias(
+                "val"
+            ),
+            (F.col("event_id") % 3).alias("__tick"),
+        )
+        t0 = time.time()
+        parts = [
+            quantile_sketch(
+                ev.filter(F.col("__tick") == i).drop("__tick"),
+                ["grp"], "rid", "val", k=256,
+            )
+            for i in range(3)
+        ]
+        ref = quantile_sketch_merge(
+            [parts[0], parts[1]], ["grp"], k=256
+        )
+        rows = ks_from_sketches(ref, parts[2], ["grp"]).collect()
+        dt = time.time() - t0
+        ok = all(0.0 <= r["ks"] <= 1.0 for r in rows)
+        print(
+            f"ks_drift_sketch: {len(rows)} groups in {dt:.2f}s | "
+            f"ks in [0,1]: {ok} | "
+            f"max ks {max(r['ks'] for r in rows):.4f}",
+            flush=True,
+        )
+
+    if _want("ks_drift_sketch"):
+        _ks_drift_stress()
+
+    def _ppmi_stress() -> None:
+        from kamu_engine_datafusion_spark.operators.text import (
+            pair_counts,
+            ppmi_from_counts,
+            term_counts,
+        )
+
+        t0 = time.time()
+        pairs = pair_counts(docs, window=2)
+        unis = term_counts(docs)
+        n = ppmi_from_counts(
+            pairs, unis, shift_k=2, min_count=5, top_k=100
+        ).count()
+        print(
+            f"ppmi_window2: top-{n} from the gap-2 stream of "
+            f"{docs.count()} docs in {time.time() - t0:.2f}s",
+            flush=True,
+        )
+
+    if _want("ppmi_window2"):
+        _ppmi_stress()
+
+    def _trajectory_stress() -> None:
+        from kamu_engine_datafusion_spark.operators.dedup import (
+            dedup_trajectory_increment,
+        )
+
+        state = None
+        per_tick = []
+        rates = []
+        for i in range(5):
+            tick = docs.filter(F.col("doc_id") % 5 == i)
+            t0 = time.time()
+            stats, state = dedup_trajectory_increment(state, tick, i)
+            r = stats.collect()[0]
+            state = state.localCheckpoint(eager=True)
+            per_tick.append(round(time.time() - t0, 2))
+            rates.append(r["dup_rate"])
+        print(
+            f"dedup_trajectory: 5 ticks over {docs.count()} docs | "
+            f"per-tick {per_tick} | rates {rates} | "
+            f"index {state.count()} hashes",
+            flush=True,
+        )
+
+    if _want("dedup_trajectory"):
+        _trajectory_stress()
+
+    def _session_quality_stress() -> None:
+        from kamu_engine_datafusion_spark.operators.sessions import (
+            session_quality,
+        )
+
+        t0 = time.time()
+        sq = session_quality(
+            events.withColumn("ts", F.col("ts").cast("timestamp")),
+            gap_sec=1800,
+        )
+        agg = sq.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("ok").cast("long")).alias("n_ok"),
+        ).collect()[0]
+        print(
+            f"session_quality: {agg['n']} sessions "
+            f"({agg['n_ok']} ok) from {events.count()} events in "
+            f"{time.time() - t0:.2f}s",
+            flush=True,
+        )
+
+    if _want("session_quality"):
+        _session_quality_stress()
+
+    def _kmv_delta_stress() -> None:
+        from kamu_engine_datafusion_spark.operators.sketches import (
+            kmv_overlap_delta,
+            kmv_overlap_monitor,
+            kmv_sketch,
+        )
+
+        d = docs.select(
+            "doc_id",
+            F.col("source").alias("grp"),
+            F.md5(
+                F.trim(
+                    F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+                )
+            ).alias("__h"),
+        )
+        k = 128
+        t0 = time.time()
+        prev_m = kmv_overlap_monitor(
+            kmv_sketch(
+                d.filter(F.col("doc_id") % 3 < 2), ["grp"], "__h", k=k
+            ),
+            "grp", k=k,
+        )
+        cur_m = kmv_overlap_monitor(
+            kmv_sketch(d, ["grp"], "__h", k=k), "grp", k=k
+        )
+        rows = kmv_overlap_delta(prev_m, cur_m, alarm_delta=0.02).collect()
+        n_alarm = sum(1 for r in rows if r["alarm"])
+        print(
+            f"kmv_overlap_delta: {len(rows)} pairs "
+            f"({n_alarm} alarms) in {time.time() - t0:.2f}s",
+            flush=True,
+        )
+
+    if _want("kmv_overlap_delta"):
+        _kmv_delta_stress()
+
 
 if __name__ == "__main__":
     main()
