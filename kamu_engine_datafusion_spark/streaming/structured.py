@@ -1453,7 +1453,14 @@ def maintained_debounce(
     kept rows append FIRST under their own marker, the last-event
     rewrite lands second under the authoritative one.
     PRECONDITION: per-group event-time-ordered ticks (loud
-    ValueError). Retractions unsupported."""
+    ValueError). Retractions unsupported.
+
+    Long-horizon usage: the ``.kept`` log appends one file per
+    touched bucket per tick forever — call
+    ``compact_state_if_needed(spark, state_dir + ".kept")`` between
+    ticks (the sessions-cadence discipline: a directory listing when
+    under the trigger, a touched-bucket rewrite once crossed; markers
+    untouched)."""
     from kamu_engine_datafusion_spark.operators.funnel import (
         debounce_increment,
     )
@@ -1743,7 +1750,22 @@ def maintained_sessions(
     append self-skips on its marker, and the state rewrite recomputes
     from the UNCHANGED old state + the same batch — deterministic,
     so the closed rows it would have emitted are exactly the ones
-    already in the log."""
+    already in the log.
+
+    Long-horizon usage — the documented cadence: the ``.closed`` log
+    APPENDS one file per touched bucket per tick forever, so a
+    deployment calls ``compact_state_if_needed(spark, state_dir +
+    ".closed")`` (and the same on ``state_dir`` across engine
+    restarts) between ticks — a directory listing when under the
+    trigger, a touched-bucket rewrite once any bucket crosses it;
+    the marker/replay protocol is untouched either way
+    (``tools/stress.py --only sessions_cadence`` demonstrates the
+    loop: file counts stay bounded, ``closed ∪ open`` ≡ batch)::
+
+        maintained_sessions(ledger, state, ck, ...).awaitTermination()
+        compact_state_if_needed(spark, state + ".closed",
+                                trigger_files_per_bucket=64)
+    """
     from kamu_engine_datafusion_spark.operators.sessions import (
         session_fold_increment,
     )

@@ -2533,6 +2533,105 @@ def main() -> None:
     if _want("kmv_overlap_delta"):
         _kmv_delta_stress()
 
+    def _sessions_cadence_stress() -> None:
+        """The compact_state_if_needed cadence on a SECOND family
+        (r15 verdict #8): maintained_sessions' append-only ``.closed``
+        log compacted between ticks — file counts stay bounded, the
+        marker/replay protocol is untouched, and closed ∪ open still
+        equals the batch sessionizer row-for-row at the end."""
+        import os
+        import shutil
+
+        from kamu_engine_datafusion_spark.operators.sessions import (
+            gap_sessionize,
+        )
+        from kamu_engine_datafusion_spark.streaming.structured import (
+            _BUCKET_COL,
+            compact_state_if_needed,
+            maintained_sessions,
+            read_maintained_sessions,
+        )
+
+        led = "/tmp/stress_sc_ledger"
+        st = "/tmp/stress_sc_state"
+        ck = "/tmp/stress_sc_ck"
+        for d in (led, st, st + ".closed", ck):
+            shutil.rmtree(d, ignore_errors=True)
+        os.makedirs(led)
+
+        def closed_files() -> int:
+            root = st + ".closed"
+            if not os.path.isdir(root):
+                return 0
+            worst = 0
+            for d in os.listdir(root):
+                p = os.path.join(root, d)
+                if d.startswith(f"{_BUCKET_COL}=") and os.path.isdir(p):
+                    worst = max(
+                        worst,
+                        sum(
+                            1
+                            for f in os.listdir(p)
+                            if f.endswith(".parquet")
+                        ),
+                    )
+            return worst
+
+        n_ticks, per_tick = 30, 200_000
+        n_compactions, max_files = 0, 0
+        for i in range(n_ticks):
+            ev = spark.range(per_tick).select(
+                F.pmod(F.xxhash64("id", F.lit(i)), F.lit(20_000)).alias(
+                    "user_id"
+                ),
+                F.timestamp_millis(
+                    (
+                        F.lit(1704067200000)
+                        + F.lit(i * 3_600_000)
+                        + F.pmod(
+                            F.xxhash64("id", F.lit(i + 5)),
+                            F.lit(3_600_000),
+                        )
+                    ).cast("long")
+                ).alias("ts"),
+                (F.col("id") + i * per_tick).alias("event_id"),
+            )
+            ev.coalesce(1).write.mode("append").parquet(led)
+            maintained_sessions(
+                led, st, ck, gap_sec=120,
+                schema=spark.read.parquet(led).schema, spark=spark,
+            ).awaitTermination()
+            max_files = max(max_files, closed_files())
+            if compact_state_if_needed(
+                spark, st + ".closed", trigger_files_per_bucket=8
+            ):
+                n_compactions += 1
+        t0 = time.time()
+        live = read_maintained_sessions(spark, st)
+        n_live = live.count()
+        tr = time.time() - t0
+        batch = (
+            gap_sessionize(
+                spark.read.parquet(led), gap_sec=120
+            )
+            .groupBy("user_id", "session_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .count()
+        )
+        print(
+            f"sessions_cadence: {n_ticks} ticks x {per_tick} events, "
+            f"trigger=8 -> {n_compactions} compactions, max "
+            f"closed-files/bucket ever {max_files}, final "
+            f"{closed_files()} | read {tr:.2f}s | sessions {n_live} "
+            f"== batch {batch}: {n_live == batch}",
+            flush=True,
+        )
+        for d in (led, st, st + ".closed", ck):
+            shutil.rmtree(d, ignore_errors=True)
+
+    if _want("sessions_cadence"):
+        _sessions_cadence_stress()
+
 
 if __name__ == "__main__":
     main()
