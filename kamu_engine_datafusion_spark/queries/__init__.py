@@ -135,6 +135,10 @@ _PRIORITY_R16 = [
     "xdedup_trajectory",
     "xsession_quality",
     "xkmv_overlap_delta",
+    # -- r16 state-verification extensions (funnel walk accumulators,
+    #    reference n-gram set) — also below-window, r17 head --
+    "xfunnel_state",
+    "xnovelty_state",
 ]
 
 _PRIORITY_R15 = [

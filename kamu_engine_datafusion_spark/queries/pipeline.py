@@ -4744,6 +4744,57 @@ def q_xcollocations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xfunnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded per-user funnel WALK-ACCUMULATOR state itself,
+    driver-verified (r16, the xmoments_state device applied to the
+    funnel family): ``(user_id, depth, t1_us, tprev_us, last_us)``
+    after three event-time ticks of ``operators/funnel.py::
+    funnel_fold_increment`` — exactly ``streaming/structured.py::
+    maintained_funnel``'s fold. The oracle re-derives every
+    accumulator column in SQL from the greedy walk's closed form
+    (first qualifying event per step = sequential conditional mins;
+    tprev = the event that reached the current depth; last = max
+    funnel-relevant event), so the hash proves the stored walk rows,
+    not just the counts read over them."""
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        funnel_fold_increment,
+    )
+
+    steps = ["view", "click", "purchase"]
+    t = load(spark, sf_dir, "events")
+    state = None
+    for tick in _event_time_ticks(t["events"]):
+        state = funnel_fold_increment(
+            state, tick, steps, within_seconds=72 * 3600
+        )
+    return state
+
+
+def q_xnovelty_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded reference N-GRAM SET state itself, driver-verified
+    (r16): the distinct-bigram frame after three doc-id ticks of
+    ``operators/decontaminate.py::ngram_set_increment`` over the
+    doc_id < 200 reference — exactly ``streaming/structured.py::
+    maintained_ngram_set``'s append-only merge. Set union is an
+    idempotent semilattice, so the folded state IS the reference's
+    distinct gram set — which is what the oracle computes directly;
+    the hash proves the stored set row-for-row (the novelty READ over
+    it is ``xnovelty_maintained``'s key)."""
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        ngram_set_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    ref = t["documents"].filter(F.col("doc_id") < 200)
+    state = None
+    for i in range(3):
+        inc = ngram_set_increment(
+            state, ref.filter(F.col("doc_id") % 3 == i)
+        )
+        state = inc if state is None else state.unionByName(inc)
+    return state.select(F.col("__ng").alias("ng"))
+
+
 def q_xks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kolmogorov–Smirnov distribution drift read from maintained
     quantile-sketch states ALONE (r16 staged, registered below the
@@ -5138,6 +5189,8 @@ QUERIES = {
     "xtransitions_state": q_xtransitions_state,
     "xvocab_state": q_xvocab_state,
     "xcollocations_state": q_xcollocations_state,
+    "xfunnel_state": q_xfunnel_state,
+    "xnovelty_state": q_xnovelty_state,
     "xks_drift_sketch": q_xks_drift_sketch,
     "xppmi_window": q_xppmi_window,
     "xdedup_trajectory": q_xdedup_trajectory,
@@ -9848,4 +9901,43 @@ ORACLES["xkmv_overlap_delta"] = (
     f"{_KMVD_DELTA} > 0.02 END, true) AS alarm "
     "FROM pmat p FULL OUTER JOIN cmat c "
     "ON p.grp_a = c.grp_a AND p.grp_b = c.grp_b"
+)
+
+
+# -- r16 state-verification extensions: the funnel walk accumulators
+#    re-derived from the greedy walk's closed form (sequential
+#    conditional mins), and the reference n-gram set directly (set
+#    union is idempotent — the distinct set IS the fold) --
+ORACLES["xfunnel_state"] = (
+    "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus "
+    "FROM events WHERE event_type IN ('view', 'click', 'purchase')), "
+    "u1 AS (SELECT user_id, CAST(min(tus) AS BIGINT) AS t1 FROM e "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "u2 AS (SELECT e.user_id, CAST(min(tus) AS BIGINT) AS t2 FROM e "
+    "JOIN u1 USING (user_id) WHERE event_type = 'click' "
+    "AND tus > t1 AND tus <= t1 + 259200000000 GROUP BY e.user_id), "
+    "u3 AS (SELECT e.user_id, CAST(min(e.tus) AS BIGINT) AS t3 FROM e "
+    "JOIN u2 USING (user_id) JOIN u1 USING (user_id) "
+    "WHERE e.event_type = 'purchase' AND e.tus > u2.t2 "
+    "AND e.tus <= u1.t1 + 259200000000 GROUP BY e.user_id), "
+    "l AS (SELECT user_id, CAST(max(tus) AS BIGINT) AS last_us "
+    "FROM e GROUP BY user_id) "
+    "SELECT l.user_id, "
+    "CAST(CASE WHEN u3.t3 IS NOT NULL THEN 3 "
+    "WHEN u2.t2 IS NOT NULL THEN 2 "
+    "WHEN u1.t1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth, "
+    "u1.t1 AS t1_us, "
+    "CASE WHEN u3.t3 IS NOT NULL THEN u3.t3 "
+    "WHEN u2.t2 IS NOT NULL THEN u2.t2 ELSE u1.t1 END AS tprev_us, "
+    "l.last_us "
+    "FROM l LEFT JOIN u1 USING (user_id) "
+    "LEFT JOIN u2 USING (user_id) LEFT JOIN u3 USING (user_id)"
+)
+
+ORACLES["xnovelty_state"] = (
+    "WITH t AS (SELECT string_split_regex(trim(lower(text)), '\\s+') "
+    "AS toks FROM documents WHERE doc_id < 200) "
+    "SELECT DISTINCT z[1] || ' ' || z[2] AS ng FROM "
+    "(SELECT unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z "
+    "FROM t WHERE len(toks) >= 2)"
 )
