@@ -242,6 +242,15 @@ def main() -> None:
 
     t("exact_dedup", lambda: D.exact_dedup(docs).count())
     t("minhash_lsh_dedup", lambda: D.minhash_lsh_dedup(docs, threshold=0.7).count())
+    t(
+        "minhash_lsh_dedup_arrow",
+        lambda: D.minhash_lsh_dedup(
+            docs,
+            threshold=0.7,
+            signature_layout="arrow",
+            signature_fan_out=8,
+        ).count(),
+    )
     t("simhash", lambda: D.simhash_near_dups(docs, max_hamming=3).count())
     t("paragraph", lambda: D.paragraph_dedup(docs, sep=" the ").count())
     t(
