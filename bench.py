@@ -233,6 +233,43 @@ def _bench_calibration_hof(spark) -> list[float]:
     return _run_reps(_one)
 
 
+def _bench_calibration_arrow(spark) -> list[float]:
+    """Arrow/pandas-UDF calibration: a fixed-work vectorized-numpy job
+    through a scalar pandas UDF over a constant generated frame — the
+    subsystem the r16 MinHash kernel moved ONTO (Arrow batch transfer
+    + Python-worker scheduling + numpy throughput), which neither the
+    scalar-CPU, scan, nor interpreted-HOF kernels can see. A future
+    arrow-kernel delta matching the calibration_arrow delta is the
+    host's Python-worker/Arrow speed, not a plan change. Work is
+    SF-independent and deterministic (id-derived integers)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 strings break pandas_udf resolution
+    def _work(ids):
+        import numpy as np
+
+        v = ids.to_numpy(dtype=np.int64)
+        acc = v % 997
+        for j in range(1, 33):
+            acc = (acc * 1_000_003 + (v % (991 + j))) % 2_147_483_647
+        return pd.Series(acc)
+
+    udf = pandas_udf(_work, "long", PandasUDFType.SCALAR)
+
+    def _one() -> None:
+        (
+            spark.range(0, 2_000_000, 1, 16)
+            .select(udf("id").alias("h"))
+            .selectExpr("sum(h) AS s")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+
+    return _run_reps(_one)
+
+
 def _cal_spread(times: list[float]) -> dict[str, float]:
     """The record()-shaped spread row for a calibration kernel."""
     warm = sorted(times[1:]) or sorted(times)
@@ -314,6 +351,9 @@ def main() -> None:
     hof_times = _bench_calibration_hof(spark)
     cal_hof = round(min(hof_times), 3)
     spreads["calibration_hof"] = _cal_spread(hof_times)
+    arrow_times = _bench_calibration_arrow(spark)
+    cal_arrow = round(min(arrow_times), 3)
+    spreads["calibration_arrow"] = _cal_spread(arrow_times)
     normalized = {k: round(v / cal, 2) for k, v in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -361,6 +401,7 @@ def main() -> None:
                 "calibration_sec": cal,
                 "calibration_scan_sec": cal_scan,
                 "calibration_hof_sec": cal_hof,
+                "calibration_arrow_sec": cal_arrow,
                 "value_normalized": round(total / cal, 2),
                 "value_normalized_scan": round(total / cal_scan, 2),
             }

@@ -170,6 +170,7 @@ def run_tpch(data_dir: str) -> None:
     cal = round(min(B._bench_calibration(spark)), 3)
     cal_scan = round(min(B._bench_calibration_scan(spark, data_dir)), 3)
     cal_hof = round(min(B._bench_calibration_hof(spark)), 3)
+    cal_arrow = round(min(B._bench_calibration_arrow(spark)), 3)
     print(
         json.dumps(
             {
@@ -180,6 +181,7 @@ def run_tpch(data_dir: str) -> None:
                 "calibration_sec": cal,
                 "calibration_scan_sec": cal_scan,
                 "calibration_hof_sec": cal_hof,
+                "calibration_arrow_sec": cal_arrow,
             }
         ),
         flush=True,
