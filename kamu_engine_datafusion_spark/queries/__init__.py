@@ -143,6 +143,10 @@ _PRIORITY_R16 = [
     #    reference n-gram set) — also below-window, r17 head --
     "xfunnel_state",
     "xnovelty_state",
+    # -- r16 flagship serving composition: hybrid retrieval from TWO
+    #    maintained stores (postings BM25 + SemDeDup-store ANN, RRF
+    #    fused) — below-window, r17 head --
+    "xhybrid_maintained",
 ]
 
 _PRIORITY_R15 = [

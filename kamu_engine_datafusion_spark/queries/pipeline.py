@@ -4795,6 +4795,84 @@ def q_xnovelty_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return state.select(F.col("__ng").alias("ng"))
 
 
+def q_xhybrid_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID retrieval served ENTIRELY from maintained state (r16
+    staged, registered below the window): the sparse candidate list is
+    BM25 top-50 from the folded inverted index + corpus scalars
+    (``bm25_topk_from_postings`` — the xbm25_postings_maintained fold,
+    corpus never read), the dense list is exact-cosine top-50 from the
+    probed SemDeDup store (``ann_topk_from_state_rows`` over
+    ``ann_probe_clusters``'s integer argmin — the xann_semdedup_topk
+    machinery, nprobe=3 of 8 IVF lists), and
+    ``operators/retrieval.py::hybrid_rrf`` fuses them with reciprocal
+    rank fusion (k=60, half-up-4dp rank keys, top 10). The serving
+    story in one key: a query answered by TWO maintained stores and a
+    zero-tuning fuser without touching documents OR embeddings.
+    Oracle: the postings-score chain (6dp, LIMIT 50) + the semdedup
+    kill-chain/probe/scoring chain (6dp, LIMIT 50) + the RRF CTE —
+    every stage replayed."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_topk_from_postings,
+        hybrid_rrf,
+        postings_increment,
+        term_stats_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        ann_probe_clusters,
+        ann_topk_from_state_rows,
+    )
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    d = t["documents"]
+    postings = None
+    stats = None
+    for i in range(3):
+        tick = d.filter(F.col("doc_id") % 3 == i)
+        pinc = postings_increment(tick)
+        postings = (
+            pinc if postings is None else postings.unionByName(pinc)
+        )
+        sinc = term_stats_increment(tick)
+        if stats is None:
+            stats = sinc
+        else:
+            stats = (
+                stats.unionByName(sinc)
+                .groupBy("term")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("tot_len").cast("long").alias("tot_len"),
+                    F.sum("n_len").cast("long").alias("n_len"),
+                )
+            )
+    sparse = bm25_topk_from_postings(
+        postings, stats, _BM25_TERMS, k=50, dp=6
+    ).select("doc_id", "score")
+
+    emb = t["embeddings"]
+    cents, state = _semdedup_fold(spark, sf_dir)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0][
+            "embedding"
+        ]
+    ]
+    probed = ann_probe_clusters(cents, qvec, nprobe=3, scale=10_000)
+    dense = (
+        ann_topk_from_state_rows(
+            state.filter(F.col("cluster").isin(probed)),
+            qvec,
+            k=50,
+            sim_scale=1_000,
+            dp=6,
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "cosine")
+    )
+    return hybrid_rrf(sparse, dense, k_rrf=60, top_k=10)
+
+
 def q_xks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kolmogorov–Smirnov distribution drift read from maintained
     quantile-sketch states ALONE (r16 staged, registered below the
@@ -5191,6 +5269,7 @@ QUERIES = {
     "xcollocations_state": q_xcollocations_state,
     "xfunnel_state": q_xfunnel_state,
     "xnovelty_state": q_xnovelty_state,
+    "xhybrid_maintained": q_xhybrid_maintained,
     "xks_drift_sketch": q_xks_drift_sketch,
     "xppmi_window": q_xppmi_window,
     "xdedup_trajectory": q_xdedup_trajectory,
@@ -9940,4 +10019,72 @@ ORACLES["xnovelty_state"] = (
     "SELECT DISTINCT z[1] || ' ' || z[2] AS ng FROM "
     "(SELECT unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z "
     "FROM t WHERE len(toks) >= 2)"
+)
+
+# -- xhybrid_maintained: the semdedup kill-chain/probe/scoring chain
+#    (dense top-50), the postings-score chain (sparse top-50), and the
+#    RRF fusion — three certified oracle chains composed; bm25 CTEs
+#    carry an h prefix and the ANN scoring CTE is renamed against the
+#    xbm25 chain's names --
+ORACLES["xhybrid_maintained"] = (
+    _semdedup_inc_ctes()
+    + ", qv0 AS (SELECT qv, q2, "
+    "CAST(list_sum(list_transform(q2, x -> x * x)) AS BIGINT) AS qn2 "
+    "FROM q WHERE vec_id = 0), "
+    "pe AS (SELECT c.cid, CAST(list_sum(list_transform(range(0, 64), "
+    "j -> (qv0.qv[j+1]-c.qv[j+1])*(qv0.qv[j+1]-c.qv[j+1]))) AS BIGINT) "
+    "* 8 + c.cid AS enc FROM c0 c, qv0), "
+    "probe AS (SELECT cid FROM pe ORDER BY enc LIMIT 3), "
+    "annsc AS (SELECT s.vec_id, "
+    "CASE WHEN s.n2 > 0 AND qv0.qn2 > 0 THEN "
+    + _fhu(
+        "CAST(list_sum(list_transform(range(0, 64), "
+        "j -> s.q2[j+1]*qv0.q2[j+1])) AS BIGINT) "
+        "/ sqrt(CAST(s.n2 AS DOUBLE) * CAST(qv0.qn2 AS DOUBLE))",
+        6,
+    )
+    + " ELSE 0.0 END AS cosine "
+    "FROM surv s JOIN probe p ON p.cid = s.cluster CROSS JOIN qv0), "
+    "dn AS (SELECT vec_id AS doc_id, cosine FROM annsc "
+    "ORDER BY cosine DESC, vec_id LIMIT 50), "
+    "drank AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+    + _fhu("cosine", 4)
+    + " DESC, doc_id) AS BIGINT) AS dense_rank FROM dn), "
+    "htok AS (SELECT doc_id, "
+    "len(string_split_regex(trim(lower(text)), '\\s+')) AS dl, "
+    "unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t "
+    "FROM documents), "
+    "hm AS (SELECT doc_id, t, count(*) AS tf, any_value(dl) AS dl "
+    "FROM htok WHERE t IN ('hash', 'merge', 'stream', 'vector') "
+    "GROUP BY doc_id, t), "
+    "hs AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+    "CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) "
+    "AS DOUBLE) / count(*) AS avgdl FROM documents), "
+    "hd AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM hm "
+    "GROUP BY t), "
+    "hsc AS (SELECT doc_id, "
+    + _fhu(
+        "sum(ln(1.0 + (n - df + 0.5) / (df + 0.5)) "
+        "* (tf * (1.2 + 1.0) / (tf + 1.2 * ((1.0 - 0.75) "
+        "+ 0.75 * dl / avgdl))))",
+        6,
+    )
+    + " AS score FROM hm JOIN hd USING (t) CROSS JOIN hs "
+    "GROUP BY doc_id), "
+    "sp AS (SELECT doc_id, score FROM hsc "
+    "ORDER BY score DESC, doc_id LIMIT 50), "
+    "srank AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY "
+    + _fhu("score", 4)
+    + " DESC, doc_id) AS BIGINT) AS sparse_rank FROM sp), "
+    "f AS (SELECT doc_id, sparse_rank, dense_rank, "
+    + _fhu(
+        "(coalesce(1.0 / (60 + sparse_rank), 0) + "
+        "coalesce(1.0 / (60 + dense_rank), 0))",
+        6,
+    )
+    + " AS rrf_score "
+    "FROM srank FULL JOIN drank USING (doc_id)) "
+    "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM ("
+    "SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, "
+    "doc_id) AS BIGINT) AS rank FROM f) WHERE rank <= 10"
 )

