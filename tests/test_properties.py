@@ -1478,3 +1478,52 @@ def test_cap_fold_partition_invariance(spark, ids, cuts, order, cap):
         ).collect()
     )
     assert got == want
+
+
+@_slow
+@given(
+    a_vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+    b_vals=st.lists(
+        st.integers(min_value=-50, max_value=50), min_size=1, max_size=40
+    ),
+)
+def test_ks_from_sketches_property(spark, a_vals, b_vals):
+    """For ANY two integer populations small enough that the k=256
+    sketch retains every row, sketch-KS must equal the exact
+    two-sample KS (per-distinct-value ECDF compare, half-up 6dp,
+    smallest-argmax tiebreak) — ties, negatives, duplicates, and
+    singleton populations included."""
+    import math
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        ks_from_sketches,
+        quantile_sketch,
+    )
+
+    fa = spark.createDataFrame(
+        [("g", f"a{i}", v) for i, v in enumerate(a_vals)],
+        "grp string, rid string, val long",
+    )
+    fb = spark.createDataFrame(
+        [("g", f"b{i}", v) for i, v in enumerate(b_vals)],
+        "grp string, rid string, val long",
+    )
+    r = ks_from_sketches(
+        quantile_sketch(fa, ["grp"], "rid", "val", k=256),
+        quantile_sketch(fb, ["grp"], "rid", "val", k=256),
+        ["grp"],
+    ).collect()[0]
+
+    sa, sb = len(a_vals), len(b_vals)
+    best, best_at = -1, None
+    for x in sorted(set(a_vals) | set(b_vals)):
+        ca = sum(1 for v in a_vals if v <= x)
+        cb = sum(1 for v in b_vals if v <= x)
+        d = abs(ca * sb - cb * sa)
+        if d > best:
+            best, best_at = d, x
+    assert (r["n_a"], r["n_b"]) == (sa, sb)
+    assert r["ks"] == math.floor(best / (sa * sb) * 1e6 + 0.5) / 1e6
+    assert r["ks_at"] == best_at
