@@ -953,6 +953,7 @@ def embedding_near_dups(
     max_bucket_size: int | None = 1000,
     cosine_backend: str = "jvm",
     signature_backend: str = "jvm",
+    fan_out: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates.
 
@@ -993,7 +994,14 @@ def embedding_near_dups(
         dim = head[0] if head else None
     base = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).withColumn("__nrm", l2_norm(F.col("__v"), dim))
+    )
+    if fan_out:
+        # the arrow band-key matmul (and the verify pass) inherit the
+        # input's splits; a single-file local ledger gives them one
+        # task — the minhash signature_fan_out lesson. At 100 TB the
+        # scan has plentiful splits: leave None.
+        base = base.repartition(fan_out)
+    base = base.withColumn("__nrm", l2_norm(F.col("__v"), dim))
 
     def band_key(j: int) -> Column:
         key = F.lit(j * (1 << bits_per_band)).cast("long")  # band offset
@@ -1130,6 +1138,7 @@ def semantic_dedup(
     seeds: DataFrame | None = None,
     max_cluster_size: int | None = None,
     cosine_backend: str = "jvm",
+    fan_out: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: partition the corpus into
     embedding clusters, verify pairwise cosine ONLY within a cluster,
@@ -1180,7 +1189,13 @@ def semantic_dedup(
     base = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),
-    ).withColumn("__nrm", l2_norm(F.col("__v")))
+    )
+    if fan_out:
+        # the arrow nearest-seed matmul inherits the input's splits; a
+        # single-file local ledger gives it one task (the minhash
+        # signature_fan_out lesson). At 100 TB: leave None.
+        base = base.repartition(fan_out)
+    base = base.withColumn("__nrm", l2_norm(F.col("__v")))
     seed_src = base if seeds is None else seeds.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).cast("array<double>").alias("__v"),

@@ -270,6 +270,17 @@ def main() -> None:
         ).count(),
     )
     t(
+        "embcos_srp_arrow_fan8",
+        lambda: D.embedding_near_dups(
+            emb,
+            threshold=0.4,
+            dim=64,
+            signature_backend="arrow",
+            cosine_backend="arrow",
+            fan_out=8,
+        ).count(),
+    )
+    t(
         "semantic_dedup_jvm",
         lambda: D.semantic_dedup(
             emb, threshold=0.4, num_seeds=64, max_cluster_size=4000
