@@ -1196,6 +1196,7 @@ def kmv_overlap_delta(
     cur: DataFrame,
     alarm_delta: float = 0.05,
     dp: int = 4,
+    metric: str = "jaccard_est",
 ) -> DataFrame:
     """Tick-over-tick OVERLAP DRIFT alarm from two
     :func:`kmv_overlap_monitor` matrices (r17 staging: "KMV overlap
@@ -1212,13 +1213,21 @@ def kmv_overlap_delta(
     NULL delta and ``alarm = true`` (a pair appearing or vanishing IS
     the alarm — documented, not hidden).
 
+    ``metric`` selects the monitor column to diff: ``"jaccard_est"``
+    (default — the symmetric signal) or ``"containment_a_in_b"`` (the
+    DIRECTIONAL alarm: one feed ABSORBING another moves
+    containment(victim→absorber) toward 1 before the symmetric
+    Jaccard reacts, because Jaccard is diluted by the absorber's
+    size). A NULL containment (empty-side direction, the monitor's
+    convention) behaves like a missing pair: NULL delta, alarm=true.
+
     Scale: both inputs are |groups|²-bounded metadata frames; one
     pair-keyed join, the corpora never touched."""
     p = prev.select(
-        "grp_a", "grp_b", F.col("jaccard_est").alias("j_prev")
+        "grp_a", "grp_b", F.col(metric).alias("j_prev")
     )
     c = cur.select(
-        "grp_a", "grp_b", F.col("jaccard_est").alias("j_cur")
+        "grp_a", "grp_b", F.col(metric).alias("j_cur")
     )
     joined = p.join(c, ["grp_a", "grp_b"], "full_outer")
     delta = F.when(

@@ -147,6 +147,8 @@ _PRIORITY_R16 = [
     #    maintained stores (postings BM25 + SemDeDup-store ANN, RRF
     #    fused) — below-window, r17 head --
     "xhybrid_maintained",
+    # -- r16 directional twin of the overlap delta --
+    "xkmv_containment_delta",
 ]
 
 _PRIORITY_R15 = [

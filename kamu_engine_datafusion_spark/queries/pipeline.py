@@ -5053,6 +5053,42 @@ def q_xkmv_overlap_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_overlap_delta(prev_m, cur_m, alarm_delta=0.02, dp=4)
 
 
+def q_xkmv_containment_delta(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tick-over-tick DIRECTIONAL containment drift from KMV states
+    (r16 staged, registered below the window — the asymmetric twin of
+    ``xkmv_overlap_delta``): the same two corpus slices and KMV
+    monitor matrices, but the delta runs on ``containment_a_in_b`` —
+    the alarm that fires when one feed starts ABSORBING another
+    (containment(victim→absorber) → 1) before the size-diluted
+    symmetric Jaccard moves. NULL containments (empty-side direction)
+    alarm like missing pairs. Oracle: the dual-slice KMV chain with
+    the containment column + the same full-outer delta."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_overlap_delta,
+        kmv_overlap_monitor,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        "doc_id", F.col("source").alias("grp"), _norm_md5().alias("__h")
+    )
+    prev_rows = d.filter(F.col("doc_id") % 3 < 2)
+    k = 128
+    prev_m = kmv_overlap_monitor(
+        kmv_sketch(prev_rows, ["grp"], "__h", k=k), "grp", k=k, dp=4
+    )
+    cur_m = kmv_overlap_monitor(
+        kmv_sketch(d, ["grp"], "__h", k=k), "grp", k=k, dp=4
+    )
+    return kmv_overlap_delta(
+        prev_m, cur_m, alarm_delta=0.02, dp=4,
+        metric="containment_a_in_b",
+    )
+
+
 def q_xtemperature_maintained(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -5275,6 +5311,7 @@ QUERIES = {
     "xdedup_trajectory": q_xdedup_trajectory,
     "xsession_quality": q_xsession_quality,
     "xkmv_overlap_delta": q_xkmv_overlap_delta,
+    "xkmv_containment_delta": q_xkmv_containment_delta,
     "xtemperature_maintained": q_xtemperature_maintained,
     "xcap_maintained": q_xcap_maintained,
     "xsample_weighted_merge": q_xsample_weighted_merge,
@@ -9934,8 +9971,18 @@ ORACLES["xsession_quality"] = (
 
 # -- xkmv_overlap_delta: the certified xkmv_overlap chain on BOTH
 #    corpus slices + the full-outer delta --
-def _kmv_matrix_cte(pred: str, p: str, k: int = 128) -> str:
+def _kmv_matrix_cte(
+    pred: str, p: str, k: int = 128, metric: str = "jaccard"
+) -> str:
     poly = _poly31_sql("(h || '#kmv')")
+    if metric == "jaccard":
+        j = _fhu("n_both / CAST(n_u AS DOUBLE)", 4)
+    else:  # directional containment a-in-b; NULL when side a empty
+        j = (
+            "CASE WHEN n_a > 0 THEN "
+            + _fhu("n_both / CAST(n_a AS DOUBLE)", 4)
+            + " END"
+        )
     return (
         f"{p}hvs AS (SELECT DISTINCT grp, {poly} AS hv FROM nrm2 "
         f"WHERE h IS NOT NULL AND ({pred})), "
@@ -9953,12 +10000,11 @@ def _kmv_matrix_cte(pred: str, p: str, k: int = 128) -> str:
         f"{p}tk AS (SELECT *, row_number() OVER (PARTITION BY grp_a, "
         f"grp_b ORDER BY hv) AS rn FROM {p}member), "
         f"{p}agg AS (SELECT grp_a, grp_b, "
+        "CAST(sum(in_a) AS BIGINT) AS n_a, "
         "CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) "
         "AS BIGINT) AS n_both, CAST(count(*) AS BIGINT) AS n_u "
         f"FROM {p}tk WHERE rn <= {k} GROUP BY 1, 2), "
-        f"{p}mat AS (SELECT grp_a, grp_b, "
-        + _fhu("n_both / CAST(n_u AS DOUBLE)", 4)
-        + f" AS j FROM {p}agg)"
+        f"{p}mat AS (SELECT grp_a, grp_b, {j} AS j FROM {p}agg)"
     )
 
 
@@ -10087,4 +10133,26 @@ ORACLES["xhybrid_maintained"] = (
     "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM ("
     "SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, "
     "doc_id) AS BIGINT) AS rank FROM f) WHERE rank <= 10"
+)
+
+
+# -- xkmv_containment_delta: the same dual-slice chain, containment
+#    column — a NULL containment alarms like a missing pair --
+ORACLES["xkmv_containment_delta"] = (
+    "WITH nrm2 AS (SELECT doc_id, source AS grp, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM documents), "
+    + _kmv_matrix_cte("doc_id % 3 < 2", "p", metric="containment")
+    + ", "
+    + _kmv_matrix_cte("1 = 1", "c", metric="containment")
+    + " "
+    "SELECT coalesce(p.grp_a, c.grp_a) AS grp_a, "
+    "coalesce(p.grp_b, c.grp_b) AS grp_b, "
+    "p.j AS j_prev, c.j AS j_cur, "
+    "CASE WHEN p.j IS NOT NULL AND c.j IS NOT NULL THEN "
+    f"{_KMVD_DELTA} END AS delta, "
+    "coalesce(CASE WHEN p.j IS NOT NULL AND c.j IS NOT NULL THEN "
+    f"{_KMVD_DELTA} > 0.02 END, true) AS alarm "
+    "FROM pmat p FULL OUTER JOIN cmat c "
+    "ON p.grp_a = c.grp_a AND p.grp_b = c.grp_b"
 )

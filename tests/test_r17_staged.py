@@ -338,3 +338,49 @@ def test_hybrid_maintained_rrf_matches_python_replay(spark):
     # the fused order is (rrf desc, doc_id)
     keys = [(-g[4], g[1]) for g in got]
     assert keys == sorted(keys)
+
+
+def test_kmv_containment_delta_fires_before_jaccard(spark):
+    """The directional containment delta catches ABSORPTION a
+    size-diluted Jaccard misses: a big source swallowing a small one
+    moves containment(small→big) to ~1 while symmetric Jaccard only
+    reaches |small|/|big∪small|. Same machinery, metric knob."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_overlap_delta,
+        kmv_overlap_monitor,
+        kmv_sketch,
+    )
+
+    small = [("s1", f"uniq-{i}") for i in range(40)]
+    big = [("s2", f"other-{i}") for i in range(400)]
+    df1 = spark.createDataFrame(
+        small + big, "source string, text string"
+    )
+    # tick 2: the big source absorbs every small-source doc
+    df2 = spark.createDataFrame(
+        small + big + [("s2", f"uniq-{i}") for i in range(40)],
+        "source string, text string",
+    )
+    k = 256
+    m1 = kmv_overlap_monitor(
+        kmv_sketch(df1, ["source"], "text", k=k), "source", k
+    )
+    m2 = kmv_overlap_monitor(
+        kmv_sketch(df2, ["source"], "text", k=k), "source", k
+    )
+    thr = 0.2
+    cont = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_overlap_delta(
+            m1, m2, alarm_delta=thr, metric="containment_a_in_b"
+        ).collect()
+    }
+    jac = {
+        (r["grp_a"], r["grp_b"]): r
+        for r in kmv_overlap_delta(m1, m2, alarm_delta=thr).collect()
+    }
+    # containment(s1 -> s2) jumps ~0 -> ~1 and alarms
+    r = cont[("s1", "s2")]
+    assert r["j_cur"] > 0.9 and r["alarm"]
+    # the symmetric jaccard stays under the same threshold: no alarm
+    assert not jac[("s1", "s2")]["alarm"]
