@@ -4914,6 +4914,56 @@ def q_xks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ks_from_sketches(ref, parts[2], ["grp"])
 
 
+def q_xks_drift_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tick KS drift ALARM LOG (r16 staged, registered below the
+    window — the dedup-trajectory device applied to drift): each
+    arriving tick KS-tests against the ACCUMULATED reference sketch
+    (tick 1 vs sketch(tick 0); tick 2 vs the exact-law merge of ticks
+    0+1), appending ``(tick, grp, n_a, n_b, ks, ks_at, alarmed)``
+    with ``alarmed = ks > 0.05`` — the monitoring loop a 100 TB
+    ingest runs per tick, reading only metadata-sized sketch states.
+    Oracle: two tick-filtered sketch-chain + KS blocks unioned with
+    their tick labels."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        ks_from_sketches,
+        quantile_sketch,
+        quantile_sketch_merge,
+    )
+
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.concat("l_orderkey", F.lit("-"), "l_linenumber").alias("rid"),
+        F.col("l_quantity").cast("long").alias("val"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3).alias(
+            "__tick"
+        ),
+    )
+    parts = [
+        quantile_sketch(
+            li.filter(F.col("__tick") == i).drop("__tick"),
+            ["grp"], "rid", "val", k=256,
+        )
+        for i in range(3)
+    ]
+    ref = parts[0]
+    logs = []
+    for k in (1, 2):
+        row = ks_from_sketches(ref, parts[k], ["grp"]).select(
+            F.lit(k).cast("long").alias("tick"),
+            "grp",
+            "n_a",
+            "n_b",
+            "ks",
+            "ks_at",
+            (F.col("ks") > 0.05).alias("alarmed"),
+        )
+        logs.append(row)
+        if k < 2:
+            ref = quantile_sketch_merge([ref, parts[k]], ["grp"], k=256)
+    return logs[0].unionByName(logs[1])
+
+
 def q_xppmi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shifted positive PMI at skip-gram window 2 read from maintained
     count frames (r16 staged, registered below the window): gap-≤2
@@ -5307,6 +5357,7 @@ QUERIES = {
     "xnovelty_state": q_xnovelty_state,
     "xhybrid_maintained": q_xhybrid_maintained,
     "xks_drift_sketch": q_xks_drift_sketch,
+    "xks_drift_log": q_xks_drift_log,
     "xppmi_window": q_xppmi_window,
     "xdedup_trajectory": q_xdedup_trajectory,
     "xsession_quality": q_xsession_quality,
@@ -10155,4 +10206,58 @@ ORACLES["xkmv_containment_delta"] = (
     f"{_KMVD_DELTA} > 0.02 END, true) AS alarm "
     "FROM pmat p FULL OUTER JOIN cmat c "
     "ON p.grp_a = c.grp_a AND p.grp_b = c.grp_b"
+)
+
+
+# -- xks_drift_log: two tick-filtered sketch+KS blocks unioned with
+#    their tick labels (ref for tick 1 = sketch(tick 0); ref for tick
+#    2 = the ticks-0+1 sketch — exact by the merge law) --
+
+
+def _ks_log_block(ref_pred: str, cur_pred: str, tick: int, p: str) -> str:
+    """One (reference, current) KS block over the shared ``lv`` rows:
+    the two slice chains + the integer KS, all CTEs prefixed ``p``,
+    emitting the log row shape with the literal tick label."""
+    return (
+        _ks_sketch_slice(ref_pred, f"{p}a")
+        + ", "
+        + _ks_sketch_slice(cur_pred, f"{p}b")
+        + ", "
+        f"{p}u AS (SELECT grp, val, 1 AS sd FROM {p}ar "
+        f"UNION ALL SELECT grp, val, 0 AS sd FROM {p}br), "
+        f"{p}pv AS (SELECT grp, val, CAST(sum(sd) AS BIGINT) AS ca, "
+        f"CAST(sum(1 - sd) AS BIGINT) AS cb FROM {p}u GROUP BY 1, 2), "
+        f"{p}cum AS (SELECT grp, val, sum(ca) OVER w1 AS cuma, "
+        "sum(cb) OVER w1 AS cumb, sum(ca) OVER w2 AS sa, "
+        f"sum(cb) OVER w2 AS sb FROM {p}pv "
+        "WINDOW w1 AS (PARTITION BY grp ORDER BY val), "
+        "w2 AS (PARTITION BY grp)), "
+        f"{p}dd AS (SELECT grp, val, abs(cuma * sb - cumb * sa) AS d, "
+        f"sa, sb FROM {p}cum), "
+        f"{p}mm AS (SELECT grp, max(d) AS dm FROM {p}dd GROUP BY grp), "
+        f"{p}out AS (SELECT CAST({tick} AS BIGINT) AS tick, d.grp, "
+        "CAST(max(d.sa) AS BIGINT) AS n_a, "
+        "CAST(max(d.sb) AS BIGINT) AS n_b, "
+        + _fhu("max(d.d) / (CAST(max(d.sa) AS DOUBLE) * max(d.sb))", 6)
+        + " AS ks, "
+        "min(CASE WHEN d.d = m.dm THEN d.val END) AS ks_at "
+        f"FROM {p}dd d JOIN {p}mm m USING (grp) "
+        "WHERE d.sa > 0 AND d.sb > 0 GROUP BY d.grp)"
+    )
+
+
+ORACLES["xks_drift_log"] = (
+    "WITH li AS (SELECT l_returnflag AS grp, "
+    "CAST(l_quantity AS BIGINT) AS val, "
+    "(l_orderkey + l_linenumber) % 3 AS tick, "
+    f"{_KS_SKETCH_HASH} AS h FROM lineitem), "
+    "lv AS (SELECT grp, val, tick, CASE WHEN h = 0 THEN 31 "
+    "ELSE CAST(bit_count(CAST((h & -h) - 1 AS BIGINT)) AS BIGINT) "
+    "END AS lvl FROM li), "
+    + _ks_log_block("l.tick = 0", "l.tick = 1", 1, "k1")
+    + ", "
+    + _ks_log_block("l.tick < 2", "l.tick = 2", 2, "k2")
+    + " "
+    "SELECT tick, grp, n_a, n_b, ks, ks_at, ks > 0.05 AS alarmed "
+    "FROM (SELECT * FROM k1out UNION ALL SELECT * FROM k2out)"
 )
