@@ -1244,3 +1244,36 @@ def kmv_overlap_delta(
             delta > F.lit(float(alarm_delta)), F.lit(True)
         ).alias("alarm"),
     )
+
+
+def quantile_sketch_collapse(
+    sketch: DataFrame,
+    group_cols: list[str],
+    drop_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Collapse a FINER-grouped sketch frame into a coarser grouping —
+    the sliding-window RETIREMENT read (r18 staging: keep one
+    quantile sketch per (group, time-bucket); the reference sketch of
+    any bucket window is the collapse over the SELECTED buckets, and
+    old data retires by not being selected — no rebuild, no delete
+    pass): project the ``drop_cols`` (the bucket keys) away, treat
+    each fine sketch's threshold as the retained rows' floor level,
+    and re-retain at the coarse grouping. By the exact merge law
+    (:func:`quantile_sketch_merge` — per-bucket sketches are sketches
+    of disjoint parts) the result equals the sketch built directly
+    over the window's rows BIT-FOR-BIT (pytest-pinned).
+
+    Scale: input is |groups × buckets| × ~k metadata rows; one
+    group-keyed re-retain. The corpus is never touched — the whole
+    point: a drift reference that follows the window at sketch
+    cost."""
+    keep = [
+        c
+        for c in sketch.columns
+        if c not in {*group_cols, *drop_cols, "thr"}
+    ]
+    u = sketch.select(
+        *group_cols, *keep, F.col("thr").alias("__fl")
+    )
+    return _qsk_retain(u, group_cols, k)

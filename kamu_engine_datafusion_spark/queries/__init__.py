@@ -40,11 +40,12 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # latest driver-green should be at most a couple of rounds old after
 # each rotation.
 # r17 ROTATION PLAN (build _PRIORITY_R17 with CORRECTNESS_r16 in
-# hand): (1) any key this window turns red, (2) the TEN keys
+# hand): (1) any key this window turns red, (2) the ELEVEN keys
 # registered r16 BELOW the window (xks_drift_sketch, xppmi_window,
 # xdedup_trajectory, xsession_quality, xkmv_overlap_delta,
 # xfunnel_state, xnovelty_state, xhybrid_maintained,
-# xkmv_containment_delta, xks_drift_log — oracles shipped, locally hash-green at
+# xkmv_containment_delta, xks_drift_log, xsketch_window_collapse —
+# oracles shipped, locally hash-green at
 # 3 SFs, zero registration work left: move them above the cut),
 # (3) xwinsorize_sketch (the one r11-era key squeezed out of the r16
 # window by xdedup_minhash's backend re-verify — first in line after
@@ -153,6 +154,9 @@ _PRIORITY_R16 = [
     # -- r16 per-tick drift alarm log (the trajectory device applied
     #    to KS drift) --
     "xks_drift_log",
+    # -- r16 sliding-window sketch retirement (collapse == direct
+    #    window build by the exact merge law) --
+    "xsketch_window_collapse",
 ]
 
 _PRIORITY_R15 = [

@@ -4873,6 +4873,41 @@ def q_xhybrid_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hybrid_rrf(sparse, dense, k_rrf=60, top_k=10)
 
 
+def q_xsketch_window_collapse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window sketch RETIREMENT, driver-verified (r16 staged,
+    registered below the window): quantile sketches kept per
+    (returnflag, tick-bucket) collapse over the ticks ≥ 1 window via
+    ``operators/sketches.py::quantile_sketch_collapse`` — the oldest
+    bucket RETIRES by deselection, no rebuild, no delete pass — and
+    by the exact merge law the collapsed window equals the sketch
+    built directly over the window's rows bit-for-bit, which is what
+    the oracle builds. The returned rows ARE the collapsed state
+    (grp, rid, val, lvl, thr), so the key is state-verifying by
+    construction. At 100 TB a drift reference follows the window at
+    sketch cost; history is never re-scanned."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_collapse,
+    )
+
+    t = load(spark, sf_dir, "lineitem")
+    li = t["lineitem"].select(
+        F.col("l_returnflag").alias("grp"),
+        F.concat("l_orderkey", F.lit("-"), "l_linenumber").alias("rid"),
+        F.col("l_quantity").cast("long").alias("val"),
+        ((F.col("l_orderkey") + F.col("l_linenumber")) % 3).alias(
+            "bucket"
+        ),
+    )
+    fine = quantile_sketch(li, ["grp", "bucket"], "rid", "val", k=256)
+    win = quantile_sketch_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k=256
+    )
+    return win.select("grp", "rid", "val", "lvl", "thr")
+
+
 def q_xks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kolmogorov–Smirnov distribution drift read from maintained
     quantile-sketch states ALONE (r16 staged, registered below the
@@ -5358,6 +5393,7 @@ QUERIES = {
     "xhybrid_maintained": q_xhybrid_maintained,
     "xks_drift_sketch": q_xks_drift_sketch,
     "xks_drift_log": q_xks_drift_log,
+    "xsketch_window_collapse": q_xsketch_window_collapse,
     "xppmi_window": q_xppmi_window,
     "xdedup_trajectory": q_xdedup_trajectory,
     "xsession_quality": q_xsession_quality,
@@ -10260,4 +10296,28 @@ ORACLES["xks_drift_log"] = (
     + " "
     "SELECT tick, grp, n_a, n_b, ks, ks_at, ks > 0.05 AS alarmed "
     "FROM (SELECT * FROM k1out UNION ALL SELECT * FROM k2out)"
+)
+
+
+# -- xsketch_window_collapse: the direct hash-level sketch build over
+#    the ticks >= 1 window (the merge law makes collapse == direct) --
+ORACLES["xsketch_window_collapse"] = (
+    "WITH li AS (SELECT l_returnflag AS grp, "
+    "CAST(l_quantity AS BIGINT) AS val, "
+    "CAST(l_orderkey AS VARCHAR) || '-' || "
+    "CAST(l_linenumber AS VARCHAR) AS rid, "
+    f"{_KS_SKETCH_HASH} AS h FROM lineitem "
+    "WHERE (l_orderkey + l_linenumber) % 3 >= 1), "
+    "lv AS (SELECT grp, val, rid, CASE WHEN h = 0 THEN 31 "
+    "ELSE CAST(bit_count(CAST((h & -h) - 1 AS BIGINT)) AS BIGINT) "
+    "END AS lvl FROM li), "
+    "cnt AS (SELECT grp, lvl, count(*) AS c FROM lv GROUP BY 1, 2), "
+    "suf AS (SELECT grp, lvl, sum(c) OVER (PARTITION BY grp "
+    "ORDER BY lvl DESC ROWS BETWEEN UNBOUNDED PRECEDING AND "
+    "CURRENT ROW) AS s FROM cnt), "
+    "thr AS (SELECT grp, CAST(coalesce(max(lvl) "
+    "FILTER (WHERE s > 256) + 1, 0) AS BIGINT) AS thr "
+    "FROM suf GROUP BY 1) "
+    "SELECT l.grp, l.rid, l.val, l.lvl, t.thr FROM lv l "
+    "JOIN thr t ON l.grp = t.grp WHERE l.lvl >= t.thr"
 )

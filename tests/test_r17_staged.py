@@ -384,3 +384,49 @@ def test_kmv_containment_delta_fires_before_jaccard(spark):
     assert r["j_cur"] > 0.9 and r["alarm"]
     # the symmetric jaccard stays under the same threshold: no alarm
     assert not jac[("s1", "s2")]["alarm"]
+
+
+def test_quantile_sketch_collapse_equals_direct_window_build(spark):
+    """Sliding-window retirement: per-(grp, bucket) sketches collapsed
+    over a bucket WINDOW must equal the sketch built directly over the
+    window's rows BIT-FOR-BIT (the exact merge law through the
+    grouped-frame form) — including after 'retiring' the oldest
+    bucket by deselection."""
+    import random
+
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        quantile_sketch,
+        quantile_sketch_collapse,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        ("g%d" % (i % 2), "r%d" % i, rng.randint(0, 10_000), i % 3)
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, rid string, val long, bucket long"
+    )
+    k = 64
+    fine = quantile_sketch(df, ["grp", "bucket"], "rid", "val", k=k)
+
+    def rows_of(frame):
+        return sorted(
+            (r["grp"], r["rid"], r["val"], r["lvl"], r["thr"])
+            for r in frame.collect()
+        )
+
+    # full window: collapse(all buckets) == direct build over all rows
+    got = quantile_sketch_collapse(fine, ["grp"], ["bucket"], k)
+    want = quantile_sketch(df, ["grp"], "rid", "val", k=k)
+    assert rows_of(got) == rows_of(want)
+
+    # retirement: drop bucket 0 from the selection — the collapsed
+    # window equals the direct build over buckets {1, 2}
+    got2 = quantile_sketch_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k
+    )
+    want2 = quantile_sketch(
+        df.filter(F.col("bucket") >= 1), ["grp"], "rid", "val", k=k
+    )
+    assert rows_of(got2) == rows_of(want2)
