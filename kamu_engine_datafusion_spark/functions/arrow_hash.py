@@ -66,7 +66,19 @@ def java_tokens(s: str) -> list[str]:
     non-space whitespace at the ends (Python ``re.split`` matches
     that). An empty/space-only string yields ``['']`` — one empty
     token, exactly like Java ``"".split(regex)`` (pinned by the
-    tokens-parity pytest against live Spark)."""
+    tokens-parity pytest against live Spark).
+
+    Locale caveat (documented contract): for non-ASCII input Spark's
+    ``lower()`` falls back to JVM ``String.toLowerCase()`` under the
+    DEFAULT locale, while Python ``str.lower()`` is the Unicode
+    default (root-locale) mapping. The two agree for every locale
+    except the handful with special casing rules (Turkish/Azeri
+    dotted-I, Lithuanian accents); the parity pytest pins agreement
+    on non-ASCII corpora under this container's root-equivalent
+    locale. Running executors under ``tr_TR``-style JVM locales
+    breaks the arrow/JVM signature bit-parity — set
+    ``-Duser.language=en`` (or any non-special-casing locale) on the
+    executors, or use ``signature_backend='jvm'`` there."""
     return _JAVA_WS.split(s.lower().strip(" "))
 
 

@@ -152,16 +152,25 @@ def asof_probe_from_state(
     them with nulls.
 
     ``validate`` controls HOW the probe contract is enforced:
-    ``"lazy"`` (default) rides a ``raise_error`` guard on the first
-    ``right_<c>`` column inside the returned plan — the join is
-    evaluated ONCE, when the caller consumes it, and a historical
+    ``"lazy"`` (default) rides a ``raise_error`` guard on EVERY
+    ``right_<c>`` column inside the returned plan (the violation
+    condition is shared, so Catalyst evaluates it once per row
+    regardless of how many right columns survive pruning) — the join
+    is evaluated ONCE, when the caller consumes it, and a historical
     probe row aborts the job loudly at that point (caveat: a consumer
     that prunes away EVERY right column also prunes the guard — but
-    such a consumer never reads the potentially-wrong values either).
+    such a consumer never reads the potentially-wrong values either;
+    a consumer that keeps ANY right column keeps the guard).
     ``"eager"`` runs a separate validation count up front and raises
     ``ValueError`` at call time — the join is computed twice; use it
     when a call-time error is worth the extra pass. ``"off"`` skips
     the check (caller has already proven event-time-currency)."""
+    if not right_value_cols:
+        raise ValueError(
+            "asof_probe_from_state: right_value_cols must be "
+            "non-empty — the serving read exists to attach right "
+            "values (and the inner/validation semantics key off them)"
+        )
     st = state.select(
         *key_cols,
         F.col(ts_col).alias("__r_ts"),
@@ -184,21 +193,26 @@ def asof_probe_from_state(
                 "asof_join over history"
             )
     elif validate == "lazy":
-        rv0 = f"right_{right_value_cols[0]}"
-        j = j.withColumn(
-            rv0,
-            F.when(
-                viol_cond,
-                F.raise_error(
-                    F.lit(
-                        "asof_probe_from_state: left row precedes its "
-                        "key's stored right ts — the probe frame is "
-                        "not event-time-current and the per-key-"
-                        "latest state cannot answer historical as-of "
-                        "probes; run the batch asof_join over history"
-                    )
-                ),
-            ).otherwise(F.col(rv0)),
+        guard_err = F.raise_error(
+            F.lit(
+                "asof_probe_from_state: left row precedes its "
+                "key's stored right ts — the probe frame is "
+                "not event-time-current and the per-key-"
+                "latest state cannot answer historical as-of "
+                "probes; run the batch asof_join over history"
+            )
+        )
+        # Guard EVERY right_<c>: Catalyst prunes projections per
+        # column, so a single guarded column would silently lose the
+        # check for consumers selecting a different right value.
+        j = j.select(
+            *[c for c in j.columns if not c.startswith("right_")],
+            *[
+                F.when(viol_cond, guard_err)
+                .otherwise(F.col(f"right_{c}"))
+                .alias(f"right_{c}")
+                for c in right_value_cols
+            ],
         )
     elif validate != "off":
         raise ValueError(

@@ -11,7 +11,7 @@ O(n²) candidate generation):
 - :func:`ngram_jaccard_pairs` — token-set Jaccard within blocks.
 - :func:`embedding_near_dups` — cosine near-duplicates within SRP bands.
 - :func:`semantic_dedup` — SemDeDup-style: embedding clusters + within-
-  cluster cosine prune (optional vectorized ``cosine_backend="arrow"``).
+  cluster cosine prune (vectorized ``cosine_backend="arrow"`` default).
 - :func:`paragraph_dedup` — first global occurrence of each paragraph.
 - :func:`minhash_index` / :func:`dedup_increment_against_index` —
   continuous ingestion against a persisted signature index.
@@ -112,6 +112,18 @@ def exact_dedup(
     )
 
 
+def _resolve_sig_layout(layout: str | None, base_hash: str) -> str:
+    """r17: the vectorized arrow signature backend is the OPERATOR
+    DEFAULT (``layout=None`` → ``"arrow"`` for xxhash64) after two
+    driver windows certified it bit-exact; the poly base hash exists
+    for SQL-oracle replay and stays on the JVM explode path. Pass an
+    explicit layout to pin a backend (``"explode"``/``"inrow"`` are
+    the pytest-pinned correctness twins)."""
+    if layout is not None:
+        return layout
+    return "arrow" if base_hash == "xxhash64" else "explode"
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -120,7 +132,7 @@ def minhash_signatures(
     num_hashes: int = 32,
     seed: int = 42,
     base_hash: str = "xxhash64",
-    layout: str = "explode",
+    layout: str | None = None,
     fan_out: int | None = None,
 ) -> DataFrame:
     """Per-document MinHash signatures via the scalable explode→groupBy
@@ -164,7 +176,12 @@ def minhash_signatures(
     shuffle (parallelism from the input splits; at 100 TB the explode
     path's corpus-sized exchange disappears). Equivalence is
     pytest-pinned on the documents corpus + edge docs.
+
+    Default layout is ``None`` → resolved by :func:`_resolve_sig_layout`
+    (``"arrow"`` for xxhash64 since r17 — two driver windows certified
+    bit-parity; ``"explode"`` for poly).
     """
+    layout = _resolve_sig_layout(layout, base_hash)
     if layout == "arrow":
         if base_hash != "xxhash64":
             raise ValueError(
@@ -303,7 +320,7 @@ def minhash_lsh_candidates(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
-    signature_layout: str = "explode",
+    signature_layout: str | None = None,
     signature_fan_out: int | None = None,
     _cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
@@ -391,7 +408,7 @@ def verified_jaccard(
     id_col: str = "doc_id",
     shingle_len: int = 3,
     use_hashed_shingles: bool = True,
-    shingle_backend: str = "jvm",
+    shingle_backend: str | None = None,
     fan_out: int | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: join the shingle
@@ -433,6 +450,11 @@ def verified_jaccard(
         # candidates — measured +4.7s). At 100 TB the pruned frame
         # inherits plentiful splits — leave None there.
         pruned = pruned.select(id_col, text_col).repartition(fan_out)
+    if shingle_backend is None:
+        # r17 default: arrow (driver-certified bit-parity) whenever the
+        # hashed-shingle form is in play; string shingles (SQL-oracle
+        # replay) stay on the JVM path.
+        shingle_backend = "arrow" if use_hashed_shingles else "jvm"
     if shingle_backend == "arrow":
         if not use_hashed_shingles:
             raise ValueError(
@@ -497,7 +519,7 @@ def minhash_lsh_dedup(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
-    signature_layout: str = "explode",
+    signature_layout: str | None = None,
     signature_fan_out: int | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
@@ -545,7 +567,8 @@ def minhash_lsh_dedup(
             use_hashed_shingles=(base_hash != "poly"),
             shingle_backend=(
                 "arrow"
-                if signature_layout == "arrow" and base_hash != "poly"
+                if _resolve_sig_layout(signature_layout, base_hash)
+                == "arrow"
                 else "jvm"
             ),
             fan_out=signature_fan_out,
@@ -951,8 +974,8 @@ def embedding_near_dups(
     num_bands: int = 4,
     bits_per_band: int = 8,
     max_bucket_size: int | None = 1000,
-    cosine_backend: str = "jvm",
-    signature_backend: str = "jvm",
+    cosine_backend: str = "arrow",
+    signature_backend: str = "arrow",
     fan_out: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via SRP-LSH candidates.
@@ -974,19 +997,22 @@ def embedding_near_dups(
     keep ``max_bucket_size`` as the guard against degenerate buckets
     (e.g. zero-vector pile-ups).
 
-    ``cosine_backend``: ``"jvm"`` (default) = bit-exact oracle-matching
-    left-to-right double cosine; ``"arrow"`` = vectorized numpy Pandas
-    UDF for the verification pass — see :func:`semantic_dedup`.
+    ``cosine_backend``: ``"arrow"`` (default since r17 — the 10× A/B
+    held pair-set-identical) = vectorized numpy Pandas UDF for the
+    verification pass — see :func:`semantic_dedup`; ``"jvm"`` =
+    bit-exact oracle-matching left-to-right double cosine (the
+    hash-verified oracle keys pin it — SIMD summation order can move
+    the 6dp-rounded cosine by one ulp on half-boundary values).
 
-    ``signature_backend``: ``"jvm"`` (default) computes the
-    ``num_bands × bits_per_band`` plane dots as interpreted Column
-    folds — bit-exact against the SQL oracle; ``"arrow"`` computes ALL
+    ``signature_backend``: ``"arrow"`` (default since r17) computes ALL
     band keys in one numpy matmul per Arrow batch (corpus × planes) —
     the 100 TB path (measured 2.4× full-pipeline at 50k vectors; the
-    signature stage itself is ~30×). The two backends can disagree only
-    on a plane dot that lands exactly on 0.0 under a different
-    summation order — a measure-zero recall difference; verification
-    stays exact either way.
+    signature stage itself is ~30×); ``"jvm"`` computes the
+    ``num_bands × bits_per_band`` plane dots as interpreted Column
+    folds — bit-exact against the SQL oracle. The two backends can
+    disagree only on a plane dot that lands exactly on 0.0 under a
+    different summation order — a measure-zero recall difference;
+    verification stays exact either way.
     """
     _release_deferred()
     if dim is None:
@@ -1137,7 +1163,7 @@ def semantic_dedup(
     num_seeds: int = 16,
     seeds: DataFrame | None = None,
     max_cluster_size: int | None = None,
-    cosine_backend: str = "jvm",
+    cosine_backend: str = "arrow",
     fan_out: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic dedup: partition the corpus into
@@ -1176,14 +1202,15 @@ def semantic_dedup(
     closest to the centroid; lower-id-wins is deterministic under
     re-partitioning, which matters more in a ledger engine.)
 
-    ``cosine_backend``: ``"jvm"`` (default) computes assignment and
+    ``cosine_backend``: ``"arrow"`` (default since r17) runs
+    BOTH passes as vectorized numpy Pandas UDFs (matmul assignment,
+    einsum verify — ~100× less per-pair CPU) — the 100 TB path.
+    ``"jvm"`` computes assignment and
     verification with the left-to-right double dot product —
     bit-identical to the DuckDB oracle, but higher-order lambdas
-    evaluate interpreted (~3-4 µs per 64-dim cosine). ``"arrow"`` runs
-    BOTH passes as vectorized numpy Pandas UDFs (matmul assignment,
-    einsum verify — ~100× less per-pair CPU) — the 100 TB path; SIMD
+    evaluate interpreted (~3-4 µs per 64-dim cosine); SIMD
     summation order may flip near-tie assignments or pairs within float
-    rounding of the threshold, so the oracle demo stays on ``"jvm"``.
+    rounding of the threshold, so the oracle demo pins ``"jvm"``.
     """
     _release_deferred()
     base = df.select(
@@ -1328,7 +1355,7 @@ def minhash_index(
     num_hashes: int = 32,
     num_bands: int = 8,
     base_hash: str = "xxhash64",
-    signature_layout: str = "explode",
+    signature_layout: str | None = None,
 ) -> DataFrame:
     """Build the persistable signature index: one row per (band key,
     doc), carrying the full signature for estimate-based verification.
@@ -1359,7 +1386,7 @@ def minhash_index_split(
     num_hashes: int = 32,
     num_bands: int = 8,
     base_hash: str = "xxhash64",
-    signature_layout: str = "explode",
+    signature_layout: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Build the SPLIT persistable index: ``(bands, sigs)`` —
     ``bands`` one narrow row per (band key, doc) ``(doc_id, __band)``
@@ -1902,7 +1929,7 @@ def minhash_lsh_report(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
-    signature_layout: str = "explode",
+    signature_layout: str | None = None,
     signature_fan_out: int | None = None,
 ) -> DataFrame:
     """Audit companion to :func:`minhash_lsh_dedup`: one row per
@@ -1945,7 +1972,8 @@ def minhash_lsh_report(
         use_hashed_shingles=(base_hash != "poly"),
         shingle_backend=(
             "arrow"
-            if signature_layout == "arrow" and base_hash != "poly"
+            if _resolve_sig_layout(signature_layout, base_hash)
+            == "arrow"
             else "jvm"
         ),
         fan_out=signature_fan_out,

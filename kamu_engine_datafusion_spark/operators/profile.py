@@ -844,14 +844,17 @@ def moment_counts(
     1e6 scale that is ~922 rows for |x| ≤ 100 and ~92k rows only for
     |x| ≤ 10; size ``scale`` down for wide-range features (the
     :func:`~kamu_engine_datafusion_spark.operators.clustering.semdedup`
-    envelope note applies). The ``Σq²`` aggregate itself accumulates
-    in DECIMAL(38,0) and raises in-plan if the group total leaves the
-    BIGINT range — a loud error instead of Spark's silent non-ANSI
-    ``sum(long)`` wrap, which would corrupt every downstream
-    z-score/outlier gate (:func:`zscore_from_moments`) undetectably.
-    The cross-TICK fold envelope is the caller's to size (the fold is
-    cell-wise BIGINT addition over per-tick values this guard already
-    certified ≤ 2⁶³−1).
+    envelope note applies). ``q²`` is squared in DECIMAL(19,0) —
+    never BIGINT — so a single row with ``scale·|x| > ~3.03e9``
+    cannot wrap silently inside the multiply (any BIGINT ``q``
+    squares exactly into DECIMAL(38,0)); the ``Σq²`` aggregate then
+    accumulates in DECIMAL(38,0) and raises in-plan if the group
+    total leaves the BIGINT range — a loud error instead of Spark's
+    silent non-ANSI ``sum(long)`` wrap, which would corrupt every
+    downstream z-score/outlier gate (:func:`zscore_from_moments`)
+    undetectably. The cross-TICK fold envelope is the caller's to
+    size (the fold is cell-wise BIGINT addition over per-tick values
+    this guard already certified ≤ 2⁶³−1).
 
     Scale: ONE partial+final aggregate emitting groups × 3 longs."""
     group_cols = group_cols or []
@@ -860,7 +863,8 @@ def moment_counts(
     ).cast("long")
     rows = df.filter(F.col(value_col).isNotNull())
     gb = rows.groupBy(*group_cols) if group_cols else rows.groupBy()
-    s2d = F.sum((q * q).cast("decimal(38,0)"))
+    qd = q.cast("decimal(19,0)")
+    s2d = F.sum((qd * qd).cast("decimal(38,0)"))
     long_max = F.lit(9223372036854775807).cast("decimal(38,0)")
     return gb.agg(
         F.count(F.lit(1)).cast("long").alias("n"),

@@ -62,6 +62,88 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # xtext_c4_filter, xtext_fingerprint, xtext_gopher, xtext_langid,
 # xtext_quality, xtext_redact_pii, xtext_repetition, xtext_tokens,
 # xsample, xrange_join, xmm_decode, xprofile), then the r13 keys.
+# r18 ROTATION PLAN (build _PRIORITY_R18 with CORRECTNESS_r17 in
+# hand): (1) any key this window turns red, (2) keys staged r17
+# below the window (see the tail of _PRIORITY_R17), (3) the r12
+# remainder (xdedup_report, xvocab_coverage, xsim_ivf, xsim_srp_lsh,
+# xsim_topk_brute, xskyline, xsalted_agg, xsnapshot, xtext_c4_filter,
+# xtext_fingerprint, xtext_gopher, xtext_langid, xtext_quality,
+# xtext_redact_pii, xtext_repetition, xtext_tokens, xsample,
+# xrange_join, xmm_decode, xprofile — the 20 oldest greens once this
+# window retires the r12 head), then the r13 cohort.
+_PRIORITY_R17 = [
+    # ==== round-17 verification window (first 50 keys) ====
+    # -- the ELEVEN r16 below-window registrations (the only
+    #    registered capability the driver has never certified;
+    #    locally hash-green at 3 SFs since r16) --
+    "xks_drift_sketch",
+    "xppmi_window",
+    "xdedup_trajectory",
+    "xsession_quality",
+    "xkmv_overlap_delta",
+    "xfunnel_state",
+    "xnovelty_state",
+    "xhybrid_maintained",
+    "xkmv_containment_delta",
+    "xks_drift_log",
+    "xsketch_window_collapse",
+    # -- the TWO r11-stale keys (oldest greens on disk; the r16
+    #    verdict caught xdecontaminate_bloom missing from the plan) --
+    "xwinsorize_sketch",
+    "xdecontaminate_bloom",
+    # -- NEW in round 17: the folded-state verification tail (the
+    #    xmoments_state device applied to the last two twin-oracle
+    #    maintained families) --
+    "xquality_rates_state",  # NEW: Gopher counter frame hashed
+    "xtemperature_state",  # NEW: count frame + induced cut cells
+    # -- implementation changed in round 17 (re-verify): the three
+    #    ADVICE fixes (decimal-squared moments guard, every-column
+    #    as-of lazy guard) and the arrow-backend DEFAULT flip
+    #    (minhash/verify layouts resolve to arrow for xxhash64;
+    #    embedding cosine/signature backends default arrow with jvm
+    #    pinned at the oracle-exact call sites) --
+    "xmoments_state",  # CHANGED r17: per-row decimal q² square
+    "xzscore_maintained",  # CHANGED r17: same guard upstream
+    "xasof_maintained",  # CHANGED r17: guard on EVERY right_<c>
+    "xdedup_minhash",  # CHANGED r17: arrow now the operator default
+    "xdedup_embcos",  # CHANGED r17: jvm backends pinned at call site
+    "xdedup_semantic",  # CHANGED r17: jvm cosine pinned at call site
+    "xpipeline_embed",  # CHANGED r17: jvm backends pinned at call site
+    "xminhash_index_maintained",  # CHANGED r17: arrow default upstream
+    # -- the r12-stale cohort head (27 oldest greens; the 20-key r12
+    #    remainder rotates to the r18 head) --
+    "xdedup_exact",
+    "xdedup_paragraph",
+    "xmm_features",
+    "xmm_frames",
+    "xpivot",
+    "xrollup_time",
+    "xsessionize",
+    "xsample_weighted_merge",
+    "xbm25_incremental",
+    "xlm_backoff",
+    "xdistinctive_tokens",
+    "xnegative_samples",
+    "xtop_pc",
+    "xmm_phash_incremental",
+    "xurl_dedup",
+    "xdomain_cap",
+    "xupsample_repeat",
+    "xhybrid_rrf",
+    "xinterleave",
+    "xinterleave_dist",
+    "xledger_compact",
+    "xtext_truncate",
+    "xcorpus_card",
+    "xdedup_cross",
+    "xpipeline_curate",
+    "xdebounce",
+    "xlangid_eval",
+    # ---- window boundary (50 = 11 rotated + 2 r11-stale + 2 new
+    # state keys + 8 changed re-verifies + 27 r12-stale head). Keys
+    # staged during r17 register BELOW this line as the r18 head. ----
+]
+
 _PRIORITY_R16 = [
     # ==== round-16 verification window (first 50 keys) ====
     # -- the nine r15-registered below-window keys (the only
@@ -908,7 +990,8 @@ _PRIORITY_R6 = [
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R16
+    for k in _PRIORITY_R17
+    + _PRIORITY_R16
     + _PRIORITY_R15
     + _PRIORITY_R14
     + _PRIORITY_R13

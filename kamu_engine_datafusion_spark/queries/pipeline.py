@@ -165,7 +165,9 @@ def q_xdedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "embeddings")
     sub = t["embeddings"].filter(F.col("vec_id") < 2000)
     return (
-        D.semantic_dedup(sub, threshold=0.4, num_seeds=16)
+        D.semantic_dedup(
+            sub, threshold=0.4, num_seeds=16, cosine_backend="jvm"
+        )
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_vecs"))
     )
@@ -300,8 +302,13 @@ def q_xdedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings top out near cosine 0.51, so the demo runs
     # at threshold 0.4 with a high-recall band layout (8 bands x 4 bits);
     # production near-dup thresholds (0.9+) use the operator defaults.
+    # jvm backends pinned: this key is hash-verified against a DuckDB
+    # oracle replaying the exact left-to-right double arithmetic (the
+    # r17 operator default is the arrow numpy path, pair-set-identical
+    # but not bit-identical in the 6dp-rounded cosine).
     return D.embedding_near_dups(
-        sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4
+        sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4,
+        cosine_backend="jvm", signature_backend="jvm",
     )
 
 
@@ -2621,7 +2628,8 @@ def q_xpipeline_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = t["embeddings"]
     sub = emb.filter(F.col("vec_id") < 2000)
     pairs = DD.embedding_near_dups(
-        sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4
+        sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4,
+        cosine_backend="jvm", signature_backend="jvm",
     )
     dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     surv = sub.join(dups, "vec_id", "left_anti")
@@ -4744,6 +4752,87 @@ def q_xcollocations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xquality_rates_state(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The folded Gopher RULE-COUNTER state itself, driver-verified
+    (NEW r17 — the xmoments_state device applied to the quality-rate
+    family, closing the r16 verdict's folded-state tail): the
+    additive counter frame ``(grp, n_docs, c_<rule>…, c_pass_all)``
+    after three doc-id ticks of ``operators/text.py::
+    quality_rule_counts`` — exactly ``streaming/structured.py::
+    maintained_quality_rates``'s cell-wise fold — with NO rates read
+    in front of it, so every stored counter cell hashes through the
+    driver (the ``xquality_rates_maintained`` key verifies the rates
+    READ; this one verifies the state). Oracle: per-(source, tick)
+    rule-hit partials folded additively in SQL — tick-structured,
+    replaying the fold's own merge law, not the batch shortcut."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        quality_rule_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = quality_rule_counts(
+            d.filter(F.col("doc_id") % 3 == i), "source"
+        )
+        if state is None:
+            state = inc
+        else:
+            csum = [
+                F.sum(c).cast("long").alias(c)
+                for c in inc.columns
+                if c != "grp"
+            ]
+            state = inc.unionByName(state).groupBy("grp").agg(*csum)
+    return state
+
+
+def q_xtemperature_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The folded training-mix GROUP-COUNT state itself plus its
+    derived cut cells, driver-verified (NEW r17 — the xmoments_state
+    device applied to the temperature family): the per-lang count
+    frame ``(lang, n)`` after three doc-id ticks — exactly
+    ``streaming/structured.py::maintained_group_counts``'s additive
+    fold — surfaced WITH the integer cut each state cell induces
+    (``operators/sampling.py::temperature_cuts_from_counts``, the
+    batch cut rule verbatim), so both the stored counts AND the
+    entire derived sampling policy hash through the driver (the
+    ``xtemperature_maintained`` key verifies the sampling READ; this
+    one verifies the state and the cut table). Oracle: per-(lang,
+    tick) counts folded additively, then the exact cut float tree
+    (``least(1, 0.4·tot·n^0.5/z/n)``, round 6dp, floor ×10000 —
+    the green ``xsample_temperature`` expression)."""
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        temperature_cuts_from_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = (
+            d.filter(F.col("doc_id") % 3 == i)
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        )
+        state = (
+            inc
+            if state is None
+            else inc.unionByName(state)
+            .groupBy("lang")
+            .agg(F.sum("n").cast("long").alias("n"))
+        )
+    cuts = temperature_cuts_from_counts(
+        state, "lang", alpha=0.5, target_fraction=0.4
+    )
+    return state.join(cuts, "lang").select(
+        "lang", "n", F.col("__cut").alias("cut")
+    )
+
+
 def q_xfunnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The folded per-user funnel WALK-ACCUMULATOR state itself,
     driver-verified (r16, the xmoments_state device applied to the
@@ -5388,6 +5477,8 @@ QUERIES = {
     "xtransitions_state": q_xtransitions_state,
     "xvocab_state": q_xvocab_state,
     "xcollocations_state": q_xcollocations_state,
+    "xquality_rates_state": q_xquality_rates_state,
+    "xtemperature_state": q_xtemperature_state,
     "xfunnel_state": q_xfunnel_state,
     "xnovelty_state": q_xnovelty_state,
     "xhybrid_maintained": q_xhybrid_maintained,
@@ -10120,6 +10211,58 @@ ORACLES["xkmv_overlap_delta"] = (
 #    re-derived from the greedy walk's closed form (sequential
 #    conditional mins), and the reference n-gram set directly (set
 #    union is idempotent — the distinct set IS the fold) --
+# r17 folded-state tail: the quality-rate counter frame itself,
+# tick-structured (per-(source, tick) partials, then the additive fold)
+ORACLES["xquality_rates_state"] = (
+    "WITH d AS (SELECT source, doc_id % 3 AS tick, text, "
+    "string_split_regex(trim(text), '\\s+') AS w, "
+    "string_split(text, chr(10)) AS lns FROM documents), "
+    "r AS (SELECT source, tick, "
+    "CAST(len(w) >= 50 AND len(w) <= 100000 AS INT) AS r_wc, "
+    "CAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) "
+    "/ len(w) >= 3.0 AND "
+    "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) "
+    "/ len(w) <= 10.0 AS INT) AS r_mwl, "
+    "CAST(CAST(length(text) - length(regexp_replace(text, '[#…]', '', "
+    "'g')) AS DOUBLE) / len(w) < 0.1 AS INT) AS r_sym, "
+    "CAST(CAST(len(list_filter(lns, l -> regexp_matches(l, "
+    "'^\\s*[-\\*•]'))) AS DOUBLE) / len(lns) < 0.9 AS INT) AS r_bul, "
+    "CAST(CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) "
+    "AS DOUBLE) / len(w) >= 0.8 AS INT) AS r_alpha "
+    "FROM d), "
+    "pt AS (SELECT source, tick, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(r_wc) AS BIGINT) AS c_wc, "
+    "CAST(sum(r_mwl) AS BIGINT) AS c_mwl, "
+    "CAST(sum(r_sym) AS BIGINT) AS c_sym, "
+    "CAST(sum(r_bul) AS BIGINT) AS c_bul, "
+    "CAST(sum(r_alpha) AS BIGINT) AS c_alpha, "
+    "CAST(sum(r_wc * r_mwl * r_sym * r_bul * r_alpha) AS BIGINT) "
+    "AS c_pass FROM r GROUP BY source, tick) "
+    "SELECT source AS grp, CAST(sum(n_docs) AS BIGINT) AS n_docs, "
+    "CAST(sum(c_wc) AS BIGINT) AS c_rule_word_count, "
+    "CAST(sum(c_mwl) AS BIGINT) AS c_rule_mean_word_len, "
+    "CAST(sum(c_sym) AS BIGINT) AS c_rule_symbol_ratio, "
+    "CAST(sum(c_bul) AS BIGINT) AS c_rule_bullet_lines, "
+    "CAST(sum(c_alpha) AS BIGINT) AS c_rule_alpha_words, "
+    "CAST(sum(c_pass) AS BIGINT) AS c_pass_all "
+    "FROM pt GROUP BY source"
+)
+
+# r17 folded-state tail: the group-count state + its induced cut cells
+# (the exact green xsample_temperature cut float tree over folded n)
+ORACLES["xtemperature_state"] = (
+    "WITH pt AS (SELECT lang, doc_id % 3 AS tick, "
+    "CAST(count(*) AS BIGINT) AS n FROM documents "
+    "GROUP BY lang, doc_id % 3), "
+    "st AS (SELECT lang, CAST(sum(n) AS BIGINT) AS n FROM pt "
+    "GROUP BY lang), "
+    "t AS (SELECT sum(CAST(n AS DOUBLE)) AS tot, "
+    "sum(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM st) "
+    "SELECT lang, n, CAST(floor(round(least(1.0, "
+    "0.4 * tot * pow(CAST(n AS DOUBLE), 0.5) / z / CAST(n AS DOUBLE)) "
+    "* 10000, 6)) AS BIGINT) AS cut FROM st CROSS JOIN t"
+)
+
 ORACLES["xfunnel_state"] = (
     "WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS tus "
     "FROM events WHERE event_type IN ('view', 'click', 'purchase')), "

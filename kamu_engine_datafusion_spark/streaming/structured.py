@@ -2333,7 +2333,12 @@ def maintained_group_counts(
     temperature_cuts_from_counts`` reads the temperature-sampling cut
     table from |strata| metadata rows, so each incoming tick samples
     with corpus-consistent cuts (``sample_with_cuts``) while the
-    corpus is never recounted. Retractions unsupported; feed the
+    corpus is never recounted. BEHAVIOR NOTE (changed r16): a
+    stratum in the tick that the counts fold has not seen yet is now
+    KEPT at 100% by ``sample_with_cuts``'s default (left join +
+    ``default_cut=None``) — previously the inner join dropped it;
+    pass ``default_cut=0`` for the old drop-unseen behavior.
+    Retractions unsupported; feed the
     append stream (a retractable feed wants ``maintained_view``'s
     signed fold instead)."""
     if not group_cols:

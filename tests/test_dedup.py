@@ -208,6 +208,17 @@ def test_arrow_tokens_match_jvm(spark):
         "", " ", "a", " a ", "a b", "  A  B\tC\n", "a\x0bb\x0cc\rd",
         "\x01ctrl\x02 padded\x1f", "Mixed CASE Words",
         "tab\t\ttab", "many   spaces   here",
+        # non-ASCII casing parity (JVM default-locale toLowerCase vs
+        # Python str.lower — must agree under this container's
+        # root-equivalent locale; arrow_hash.java_tokens docstring
+        # documents the tr_TR-style caveat):
+        "Élan ÉLAN Über STRASSE Straße",
+        "ΣΊΣΥΦΟΣ ὈΔΥΣΣΕΎΣ",  # Greek incl. final-sigma mapping
+        "МОСКВА Москва ЇЖАК",  # Cyrillic
+        "İstanbul I ı İ i",  # dotted/dotless I data (en locale)
+        "ＦＵＬＬＷＩＤＴＨ　ＴＥＸＴ",  # fullwidth + ideographic space
+        "日本語 テキスト 中文",  # CJK (no casing)
+        "café CAFÉ ﬁ ﬂ",  # ligatures (lower is identity)
     ]
     jvm = [
         r["t"]

@@ -468,3 +468,32 @@ def test_moment_counts_overflow_raises_not_wraps(spark):
     )
     with pytest.raises(Exception, match="moment_counts"):
         moment_counts(big, "v", ["g"], scale=1_000_000).collect()
+
+
+def test_moment_counts_per_row_square_cannot_wrap(spark):
+    """r17 advice fix: a SINGLE row with scale*|x| > ~3.03e9 used to
+    square in BIGINT (q*q wraps silently, the wrapped value passes
+    the <= LONG_MAX group guard and corrupts s2 undetectably); the
+    square now runs in DECIMAL(19,0) so any BIGINT q squares exactly.
+    q = 4e9 -> q^2 = 1.6e19 > LONG_MAX: the group guard must now SEE
+    the true decimal total and raise, never return a wrapped long."""
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.profile import (
+        moment_counts,
+    )
+
+    one_big = spark.createDataFrame([(1, 4000.0)], "g long, v double")
+    with pytest.raises(Exception, match="moment_counts"):
+        moment_counts(one_big, "v", ["g"], scale=1_000_000).collect()
+
+    # just inside the per-row envelope: q = 3e9, q^2 = 9e18 < 2^63-1
+    ok = moment_counts(
+        spark.createDataFrame([(1, 3000.0)], "g long, v double"),
+        "v",
+        ["g"],
+        scale=1_000_000,
+    ).collect()
+    assert [tuple(r) for r in ok] == [
+        (1, 1, 3_000_000_000, 9_000_000_000_000_000_000)
+    ]

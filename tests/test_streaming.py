@@ -3802,3 +3802,42 @@ def test_mmr_from_state_rows_string_ids(spark):
     # lam=0.3 the near-dup docB's max-sim penalty outweighs its
     # relevance edge, so docC wins the second slot)
     assert got == [(1, "docA"), (2, "docC")]
+
+
+def test_asof_probe_lazy_guard_on_every_right_column(spark):
+    """r17 advice fix: the lazy raise_error guard must survive
+    per-column projection pruning — a consumer selecting ONLY a
+    non-first right_<c> still hits the guard on a historical probe
+    (previously only right_<first> was guarded, so that consumer
+    silently read potentially-wrong values). Also: empty
+    right_value_cols raises ValueError up front, and a clean probe
+    returns every right column unmodified."""
+    import pytest as _pytest
+
+    from kamu_engine_datafusion_spark.operators.asof import (
+        asof_probe_from_state,
+    )
+
+    state = spark.createDataFrame(
+        [(1, 100, 9.5, "a")], "key long, ts long, price double, tag string"
+    )
+    old = spark.createDataFrame([(1, 30)], "key long, ts long")
+
+    # selecting ONLY the second right column must still raise
+    probed = asof_probe_from_state(
+        old, state, ["key"], "ts", ["price", "tag"]
+    )
+    with _pytest.raises(Exception, match="event-time-current"):
+        probed.select("right_tag").collect()
+    with _pytest.raises(Exception, match="event-time-current"):
+        probed.select("right_price").collect()
+
+    # a current probe passes with both columns intact
+    cur = spark.createDataFrame([(1, 200)], "key long, ts long")
+    rows = asof_probe_from_state(
+        cur, state, ["key"], "ts", ["price", "tag"]
+    ).collect()
+    assert [tuple(r) for r in rows] == [(1, 200, 9.5, "a")]
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        asof_probe_from_state(old, state, ["key"], "ts", [])
