@@ -682,6 +682,46 @@ def kmv_merge(
     )
 
 
+def kmv_collapse(
+    sketch: DataFrame,
+    group_cols: list[str],
+    drop_cols: list[str],
+    k: int,
+) -> DataFrame:
+    """Collapse a FINER-grouped KMV frame into a coarser grouping —
+    the sliding-window RETIREMENT read for distinct counting (r17
+    staging: the ``quantile_sketch_collapse`` device applied to KMV;
+    keep one KMV sketch per (group, time-bucket); the reference
+    sketch of any bucket window is the collapse over the SELECTED
+    buckets, and old data retires by not being selected — no rebuild,
+    no delete pass): project the ``drop_cols`` (the bucket keys)
+    away, re-distinct (the same key hashes into multiple buckets),
+    and re-take the k smallest per coarse group. Because the KMV
+    state is a pure set function with the bottom-k merge law
+    (``topk_min(A ∪ B) == topk_min(topk_min(A) ∪ topk_min(B))``,
+    see :func:`kmv_merge`), the collapsed window equals the sketch
+    built DIRECTLY over the window's rows row-for-row
+    (driver-verified: the ``xkmv_window_collapse`` oracle builds the
+    direct sketch).
+
+    Scale: input is |groups × buckets| × ≤k metadata rows; one
+    group-keyed re-retain with the map-side WindowGroupLimit. The
+    corpus is never touched — a distinct-count drift reference that
+    follows the window at sketch cost."""
+    from pyspark.sql import Window
+
+    u = sketch.select(
+        *[c for c in sketch.columns if c not in set(drop_cols)]
+    )
+    w = Window.partitionBy(*group_cols).orderBy("hv")
+    return (
+        u.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def kmv_estimate(
     sketch: DataFrame, group_cols: list[str], k: int, dp: int = 4
 ) -> DataFrame:

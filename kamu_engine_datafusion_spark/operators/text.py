@@ -1846,3 +1846,72 @@ def ppmi_from_counts(
         )
     )
     return scored.orderBy(F.col("sppmi").desc(), "w1", "w2").limit(top_k)
+
+def sppmi_drift_summary(
+    ref_top,
+    cur_top,
+    tick: int,
+    jaccard_alarm: float = 0.5,
+    dp: int = 4,
+) -> "DataFrame":
+    """One COLLOCATION-SHIFT alarm row for a tick (r17 staging: "PPMI
+    drift" — the ``xks_drift_log`` shape over the SPPMI matrix): the
+    tick's top-k SPPMI read (:func:`ppmi_from_counts` over the tick's
+    own counts) diffs against the ACCUMULATED reference's — pairs are
+    set-compared, common pairs score ``max |Δsppmi|`` — emitting
+    ``(tick, n_ref, n_cur, n_common, n_new, n_dropped,
+    overlap_jaccard, max_abs_delta, alarmed)`` with
+    ``overlap_jaccard`` half-up ``dp``, ``max_abs_delta`` half-up 6dp
+    over the 6dp-rounded sppmi inputs (NULL when no pair is common),
+    and ``alarmed = overlap_jaccard < jaccard_alarm`` — a tick whose
+    collocation structure departs from the corpus-to-date is a feed
+    shift (new domain, new template, new language) caught at ingest.
+
+    Scale: both inputs are top-k frames (≤ k rows — metadata); the
+    full-outer join and the one-row aggregate are trivially bounded.
+    The maintained loop folds the tick's counts into the reference
+    AFTER the diff, so history is never re-paired."""
+    from kamu_engine_datafusion_spark.functions.columns import half_up
+
+    r = ref_top.select("w1", "w2", F.col("sppmi").alias("__s_ref"))
+    c = cur_top.select("w1", "w2", F.col("sppmi").alias("__s_cur"))
+    j = r.join(c, ["w1", "w2"], "full")
+    agg = j.agg(
+        F.count("__s_ref").cast("long").alias("n_ref"),
+        F.count("__s_cur").cast("long").alias("n_cur"),
+        F.sum(
+            (
+                F.col("__s_ref").isNotNull()
+                & F.col("__s_cur").isNotNull()
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("n_common"),
+        F.max(
+            F.when(
+                F.col("__s_ref").isNotNull()
+                & F.col("__s_cur").isNotNull(),
+                half_up(
+                    F.abs(F.col("__s_cur") - F.col("__s_ref")), 6
+                ),
+            )
+        ).alias("max_abs_delta"),
+    )
+    jac = half_up(
+        F.col("n_common")
+        / (F.col("n_ref") + F.col("n_cur") - F.col("n_common")),
+        dp,
+    )
+    return agg.select(
+        F.lit(tick).cast("long").alias("tick"),
+        "n_ref",
+        "n_cur",
+        "n_common",
+        (F.col("n_cur") - F.col("n_common")).cast("long").alias("n_new"),
+        (F.col("n_ref") - F.col("n_common"))
+        .cast("long")
+        .alias("n_dropped"),
+        jac.alias("overlap_jaccard"),
+        "max_abs_delta",
+        (jac < F.lit(float(jaccard_alarm))).alias("alarmed"),
+    )

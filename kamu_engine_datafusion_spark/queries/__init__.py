@@ -142,6 +142,17 @@ _PRIORITY_R17 = [
     # ---- window boundary (50 = 11 rotated + 2 r11-stale + 2 new
     # state keys + 8 changed re-verifies + 27 r12-stale head). Keys
     # staged during r17 register BELOW this line as the r18 head. ----
+    # -- registered r17 BELOW the window with full oracles (locally
+    #    sweep-green): the four r17-staged families from the r16
+    #    candidate list — KMV sliding-window retirement (bottom-k
+    #    merge law), per-tick SPPMI collocation-shift alarm log,
+    #    session-quality × maintained quality-rates admission gate,
+    #    hybrid serving with per-store freshness (2-tick ANN store,
+    #    tick scalars derived from the stores) --
+    "xkmv_window_collapse",
+    "xppmi_drift",
+    "xsession_rates_gate",
+    "xhybrid_freshness",
 ]
 
 _PRIORITY_R16 = [

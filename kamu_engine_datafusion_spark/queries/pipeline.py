@@ -3561,7 +3561,9 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_fold(spark: SparkSession, sf_dir: str):
+def _semdedup_fold(
+    spark: SparkSession, sf_dir: str, n_ticks: int = 3
+):
     """Shared 3-tick incremental-SemDeDup fold of ``xsemdedup_
     incremental`` and ``xann_semdedup_topk`` — ONE maintained store,
     TWO reads. Frozen centroids are the first 8 vectors by vec_id,
@@ -3569,7 +3571,9 @@ def _semdedup_fold(spark: SparkSession, sf_dir: str):
     collect); ticks are ``vec_id % 3``; survivors accumulate exactly
     like ``streaming/structured.py::maintained_semdedup_index``'s
     per-tick fold (pytest-pinned tick-by-tick ≡ this batch path).
-    Returns ``(centroids, state_rows)``."""
+    ``n_ticks`` folds only the first n ticks — the per-store
+    freshness key builds a deliberately STALER ANN store from 2 of
+    the 3 ticks. Returns ``(centroids, state_rows)``."""
     from kamu_engine_datafusion_spark.operators.clustering import (
         quantize_vectors,
         semdedup_increment_against_index,
@@ -3586,7 +3590,7 @@ def _semdedup_fold(spark: SparkSession, sf_dir: str):
         .collect()
     ]
     state = None
-    for i in range(3):
+    for i in range(n_ticks):
         inc = semdedup_state_rows(
             emb.filter(F.col("vec_id") % 3 == i),
             cents,
@@ -5435,6 +5439,274 @@ def q_xlm_counts_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts
 
 
+
+# ---------------------------------------------------------------------------
+# r17-staged families (registered BELOW the r17 window — the r18 head)
+# ---------------------------------------------------------------------------
+
+
+def q_xkmv_window_collapse(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sliding-window KMV RETIREMENT, r17 staged (registered below
+    the window): per-(lang, tick-bucket) KMV sketches of the
+    md5-normalized texts collapse over the buckets ≥ 1 window via
+    ``operators/sketches.py::kmv_collapse`` — the oldest bucket
+    RETIRES by deselection, no rebuild, no delete pass — and by the
+    bottom-k merge law the collapsed window equals the KMV sketch
+    built DIRECTLY over the window's rows row-for-row, which is what
+    the oracle builds. The returned rows ARE the collapsed state
+    (grp, hv), so the key is state-verifying by construction. At
+    100 TB a windowed distinct-count reference follows the stream at
+    ≤ k longs per (group, bucket); history is never re-hashed."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_collapse,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        F.col("lang").alias("grp"),
+        (F.col("doc_id") % 3).alias("bucket"),
+        _norm_md5().alias("__h"),
+    )
+    fine = kmv_sketch(
+        d, ["grp", "bucket"], "__h", k=100, hash_fn="poly"
+    )
+    win = kmv_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k=100
+    )
+    return win.select("grp", "hv")
+
+
+def q_xppmi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tick COLLOCATION-SHIFT alarm log, r17 staged (registered
+    below the window — the ``xks_drift_log`` shape over the SPPMI
+    matrix): ticks 1 and 2 each read their own top-100 shifted-PPMI
+    matrix (``operators/text.py::ppmi_from_counts`` over the tick's
+    pair/unigram counts) and diff it against the ACCUMULATED
+    reference's via ``sppmi_drift_summary`` — pair sets compared,
+    common pairs scored ``max |Δsppmi|``, ``alarmed`` when the
+    overlap Jaccard drops below 0.5 — then the tick's counts fold
+    into the reference (``maintained_pair_counts`` /
+    ``maintained_term_counts``'s cell-wise law), so history is never
+    re-paired. Oracle: two tick-filtered SPPMI CTE chains per tick,
+    full-outer joined with the same integer/float tree, unioned with
+    their tick labels."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        pair_counts,
+        ppmi_from_counts,
+        sppmi_drift_summary,
+        term_counts,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"]
+    tick0 = d.filter(F.col("doc_id") % 3 == 0)
+    pairs_st = pair_counts(tick0, window=2)
+    unis_st = term_counts(tick0)
+    out = None
+    for tk in (1, 2):
+        tick = d.filter(F.col("doc_id") % 3 == tk)
+        cur_p = pair_counts(tick, window=2)
+        cur_u = term_counts(tick)
+        ref_top = ppmi_from_counts(
+            pairs_st, unis_st, shift_k=2, min_count=3, top_k=100
+        )
+        cur_top = ppmi_from_counts(
+            cur_p, cur_u, shift_k=2, min_count=3, top_k=100
+        )
+        row = sppmi_drift_summary(
+            ref_top, cur_top, tk, jaccard_alarm=0.5
+        )
+        out = row if out is None else out.unionByName(row)
+        pairs_st = (
+            cur_p.unionByName(pairs_st)
+            .groupBy("w1", "w2")
+            .agg(F.sum("c").cast("long").alias("c"))
+        )
+        unis_st = (
+            cur_u.unionByName(unis_st)
+            .groupBy("token")
+            .agg(F.sum("freq").cast("long").alias("freq"))
+        )
+    return out
+
+
+def q_xsession_rates_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Session-quality × maintained quality-rates JOIN read, r17
+    staged (registered below the window): each scored session
+    (``operators/sessions.py::session_quality`` over the user_id <
+    100 event stream) joins its traffic source's LIVE health from the
+    folded Gopher counter state (``quality_rates_from_counts`` over
+    the 3-tick ``quality_rule_counts`` fold — the
+    xquality_rates_maintained chain) via the deterministic
+    user→source mapping ``src_rank = user_id % |sources| + 1`` (rank
+    = dense source order) — and a session is ADMITTED as training
+    data only when its own gate passes AND its source's pass-all rate
+    clears 0.2: the composed admission rule an interaction-log
+    pipeline runs per tick, reading |sources| metadata rows for the
+    health side. Oracle: the certified xsessionize CTEs + the
+    certified rate CTEs + the same rank join."""
+    from pyspark.sql import Window
+
+    from kamu_engine_datafusion_spark.operators.sessions import (
+        session_quality,
+    )
+    from kamu_engine_datafusion_spark.operators.text import (
+        quality_rates_from_counts,
+        quality_rule_counts,
+    )
+
+    t = load(spark, sf_dir, "documents", "events")
+    ev = (
+        t["events"]
+        .filter(F.col("user_id") < 100)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    sq = session_quality(
+        ev, gap_sec=1800, error_type="error", max_error_rate=0.25
+    )
+    d = t["documents"]
+    state = None
+    for i in range(3):
+        inc = quality_rule_counts(
+            d.filter(F.col("doc_id") % 3 == i), "source"
+        )
+        if state is None:
+            state = inc
+        else:
+            csum = [
+                F.sum(c).cast("long").alias(c)
+                for c in inc.columns
+                if c != "grp"
+            ]
+            state = inc.unionByName(state).groupBy("grp").agg(*csum)
+    rates = quality_rates_from_counts(state, dp=4).select(
+        "grp", "rate_pass_all"
+    )
+    # |sources| metadata rows: the rank window and the count scalar
+    # are both bounded by the source cardinality (documented
+    # bounded-window class)
+    ranked = rates.withColumn(
+        "src_rank",
+        F.row_number().over(Window.orderBy("grp")).cast("long"),
+    )
+    k_df = ranked.agg(F.count(F.lit(1)).cast("long").alias("__k"))
+    return (
+        sq.crossJoin(F.broadcast(k_df))
+        .withColumn("src_rank", F.col("user_id") % F.col("__k") + 1)
+        .join(F.broadcast(ranked), "src_rank")
+        .select(
+            "user_id",
+            "session_id",
+            "n_events",
+            "n_errors",
+            "n_types",
+            "duration_sec",
+            "error_rate",
+            "ok",
+            F.col("grp").alias("source"),
+            "rate_pass_all",
+            (F.col("ok") & (F.col("rate_pass_all") >= F.lit(0.2)))
+            .alias("admitted"),
+        )
+    )
+
+
+def q_xhybrid_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid serving with PER-STORE FRESHNESS, r17 staged
+    (registered below the window — the xhybrid_maintained read
+    extended with staleness metadata): the postings store folds all
+    THREE document ticks while the SemDeDup ANN store deliberately
+    folds only ticks 0–1, and the fused read reports which store lags
+    — ``postings_tick`` / ``ann_tick`` DERIVED from the stores
+    themselves (max folded tick id per store, a one-row aggregate
+    each, never a hand-written literal) with ``store_lag`` their
+    difference. The RRF list is genuinely served from the STALER ANN
+    store (the oracle replays the 2-tick survivor chain), so the key
+    pins both the staleness arithmetic and the fact that a lagging
+    store changes the fused ranking. At 100 TB this is the
+    serving-side monitoring contract: every hybrid answer carries the
+    tick-age of each store it consulted."""
+    from kamu_engine_datafusion_spark.operators.retrieval import (
+        bm25_topk_from_postings,
+        hybrid_rrf,
+        postings_increment,
+        term_stats_increment,
+    )
+    from kamu_engine_datafusion_spark.streaming.structured import (
+        ann_probe_clusters,
+        ann_topk_from_state_rows,
+    )
+
+    t = load(spark, sf_dir, "documents", "embeddings")
+    d = t["documents"]
+    postings = None
+    stats = None
+    for i in range(3):
+        tick = d.filter(F.col("doc_id") % 3 == i)
+        pinc = postings_increment(tick)
+        postings = (
+            pinc if postings is None else postings.unionByName(pinc)
+        )
+        sinc = term_stats_increment(tick)
+        if stats is None:
+            stats = sinc
+        else:
+            stats = (
+                stats.unionByName(sinc)
+                .groupBy("term")
+                .agg(
+                    F.sum("df").cast("long").alias("df"),
+                    F.sum("n_docs").cast("long").alias("n_docs"),
+                    F.sum("tot_len").cast("long").alias("tot_len"),
+                    F.sum("n_len").cast("long").alias("n_len"),
+                )
+            )
+    sparse = bm25_topk_from_postings(
+        postings, stats, _BM25_TERMS, k=50, dp=6
+    ).select("doc_id", "score")
+
+    emb = t["embeddings"]
+    cents, state = _semdedup_fold(spark, sf_dir, n_ticks=2)
+    qvec = [
+        float(v)
+        for v in emb.filter(F.col("vec_id") == 0).collect()[0][
+            "embedding"
+        ]
+    ]
+    probed = ann_probe_clusters(cents, qvec, nprobe=3, scale=10_000)
+    dense = (
+        ann_topk_from_state_rows(
+            state.filter(F.col("cluster").isin(probed)),
+            qvec,
+            k=50,
+            sim_scale=1_000,
+            dp=6,
+        )
+        .withColumnRenamed("vec_id", "doc_id")
+        .select("doc_id", "cosine")
+    )
+    fused = hybrid_rrf(sparse, dense, k_rrf=60, top_k=10)
+    pt = postings.agg(
+        F.max(F.col("doc_id") % 3).cast("long").alias("postings_tick")
+    )
+    at = state.agg(
+        F.max(F.col("vec_id") % 3).cast("long").alias("ann_tick")
+    )
+    return (
+        fused.crossJoin(F.broadcast(pt))
+        .crossJoin(F.broadcast(at))
+        .withColumn(
+            "store_lag",
+            (F.col("postings_tick") - F.col("ann_tick")).cast("long"),
+        )
+    )
+
+
 QUERIES = {
     "xsketch_kmv": q_xsketch_kmv,
     "xsketch_kmv_merge": q_xsketch_kmv_merge,
@@ -5485,6 +5757,10 @@ QUERIES = {
     "xks_drift_sketch": q_xks_drift_sketch,
     "xks_drift_log": q_xks_drift_log,
     "xsketch_window_collapse": q_xsketch_window_collapse,
+    "xkmv_window_collapse": q_xkmv_window_collapse,
+    "xppmi_drift": q_xppmi_drift,
+    "xsession_rates_gate": q_xsession_rates_gate,
+    "xhybrid_freshness": q_xhybrid_freshness,
     "xppmi_window": q_xppmi_window,
     "xdedup_trajectory": q_xdedup_trajectory,
     "xsession_quality": q_xsession_quality,
@@ -9418,6 +9694,7 @@ def _semdedup_inc_ctes(
     sim_scale: int = 1_000,
     tau2_num: int = 2_025,
     tau2_den: int = 10_000,
+    max_tick: int = 2,
 ) -> str:
     """Shared CTE chain of the ``xsemdedup_incremental`` /
     ``xann_semdedup_topk`` oracles — the xdedup_semantic oracle class
@@ -9468,12 +9745,16 @@ def _semdedup_inc_ctes(
         "s1 AS (SELECT vec_id, cluster, q2, n2 FROM fr WHERE tick = 1 "
         "AND vec_id NOT IN (SELECT ib FROM e WHERE tb = 1 AND ("
         "(ta = 1 AND ia < ib) OR ia IN (SELECT vec_id FROM s0)))), "
-        "s2 AS (SELECT vec_id, cluster, q2, n2 FROM fr WHERE tick = 2 "
-        "AND vec_id NOT IN (SELECT ib FROM e WHERE tb = 2 AND ("
-        "(ta = 2 AND ia < ib) OR ia IN (SELECT vec_id FROM s0) "
-        "OR ia IN (SELECT vec_id FROM s1)))), "
-        "surv AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 "
-        "UNION ALL SELECT * FROM s2)"
+        + (
+            "s2 AS (SELECT vec_id, cluster, q2, n2 FROM fr WHERE tick = 2 "
+            "AND vec_id NOT IN (SELECT ib FROM e WHERE tb = 2 AND ("
+            "(ta = 2 AND ia < ib) OR ia IN (SELECT vec_id FROM s0) "
+            "OR ia IN (SELECT vec_id FROM s1)))), "
+            "surv AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1 "
+            "UNION ALL SELECT * FROM s2)"
+            if max_tick >= 2
+            else "surv AS (SELECT * FROM s0 UNION ALL SELECT * FROM s1)"
+        )
     )
 
 
@@ -10302,9 +10583,11 @@ ORACLES["xnovelty_state"] = (
 #    RRF fusion — three certified oracle chains composed; bm25 CTEs
 #    carry an h prefix and the ANN scoring CTE is renamed against the
 #    xbm25 chain's names --
-ORACLES["xhybrid_maintained"] = (
-    _semdedup_inc_ctes()
-    + ", qv0 AS (SELECT qv, q2, "
+#: shared RRF chain of the hybrid-serving oracles: everything from
+#: the ANN probe through the fused frame ``f`` (consumes the
+#: ``surv`` CTE of a ``_semdedup_inc_ctes`` prefix)
+_HYBRID_RRF_CTES = (
+    ", qv0 AS (SELECT qv, q2, "
     "CAST(list_sum(list_transform(q2, x -> x * x)) AS BIGINT) AS qn2 "
     "FROM q WHERE vec_id = 0), "
     "pe AS (SELECT c.cid, CAST(list_sum(list_transform(range(0, 64), "
@@ -10360,10 +10643,171 @@ ORACLES["xhybrid_maintained"] = (
     )
     + " AS rrf_score "
     "FROM srank FULL JOIN drank USING (doc_id)) "
-    "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM ("
+)
+
+ORACLES["xhybrid_maintained"] = (
+    _semdedup_inc_ctes()
+    + _HYBRID_RRF_CTES
+    + "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank FROM ("
     "SELECT *, CAST(row_number() OVER (ORDER BY rrf_score DESC, "
     "doc_id) AS BIGINT) AS rank FROM f) WHERE rank <= 10"
 )
+
+# -- r17-staged: the direct KMV build over the buckets >= 1 window
+#    (the bottom-k merge law makes collapse == direct) --
+ORACLES["xkmv_window_collapse"] = (
+    "WITH " + _kmv_hv_sql() + ", "
+    "g AS (SELECT lang AS grp, h FROM nrm WHERE doc_id % 3 >= 1), "
+    + _kmv_rank_sql("g", 100) + " "
+    "SELECT grp, hv FROM rk WHERE rn <= 100"
+)
+
+
+def _sppmi_top_sql(
+    sfx: str, where: str, min_count: int = 3, top_k: int = 100
+) -> str:
+    """One tick-filtered top-k SPPMI CTE chain (the certified
+    xppmi_window chain with suffixed CTE names), ending at
+    ``top{sfx}(w1, w2, sppmi)``."""
+    return (
+        f"t{sfx} AS (SELECT string_split_regex(trim(lower(text)), "
+        f"'\\s+') AS toks FROM documents WHERE {where}), "
+        f"bg{sfx} AS (SELECT z[1] AS w1, z[2] AS w2 FROM (SELECT "
+        f"unnest(list_zip(toks[:len(toks)-1], toks[2:])) AS z "
+        f"FROM t{sfx} WHERE len(toks) >= 2) "
+        "UNION ALL SELECT z[1], z[2] FROM (SELECT "
+        f"unnest(list_zip(toks[:len(toks)-2], toks[3:])) AS z "
+        f"FROM t{sfx} WHERE len(toks) >= 3)), "
+        f"uni{sfx} AS (SELECT unnest(toks) AS w FROM t{sfx}), "
+        f"uc{sfx} AS (SELECT w, count(*) AS c FROM uni{sfx} "
+        "GROUP BY w), "
+        f"nt{sfx} AS (SELECT CAST(count(*) AS DOUBLE) AS n "
+        f"FROM uni{sfx}), "
+        f"bt{sfx} AS (SELECT CAST(count(*) AS DOUBLE) AS b "
+        f"FROM bg{sfx}), "
+        f"bc{sfx} AS (SELECT w1, w2, count(*) AS n_pair FROM bg{sfx} "
+        f"GROUP BY 1, 2 HAVING count(*) >= {min_count}), "
+        f"top{sfx} AS (SELECT w1, w2, "
+        + _fhu(
+            f"greatest(CAST(0 AS DOUBLE), ln((n_pair / bt{sfx}.b) / "
+            f"((u1.c / nt{sfx}.n) * (u2.c / nt{sfx}.n))) - ln(2.0))",
+            6,
+        )
+        + " AS sppmi "
+        f"FROM bc{sfx} JOIN uc{sfx} u1 ON bc{sfx}.w1 = u1.w "
+        f"JOIN uc{sfx} u2 ON bc{sfx}.w2 = u2.w "
+        f"CROSS JOIN nt{sfx} CROSS JOIN bt{sfx} "
+        f"ORDER BY sppmi DESC, w1, w2 LIMIT {top_k})"
+    )
+
+
+def _sppmi_drift_row_sql(tick: int) -> str:
+    """One drift summary row: top{r<tick>} (reference, ticks < tick)
+    full-outer joined to top{c<tick>} (the tick), the
+    sppmi_drift_summary arithmetic replayed."""
+    r, c = f"topr{tick}", f"topc{tick}"
+    jac = _fhu(
+        "n_common / CAST(n_ref + n_cur - n_common AS DOUBLE)", 4
+    )
+    return (
+        f"SELECT CAST({tick} AS BIGINT) AS tick, n_ref, n_cur, "
+        "n_common, CAST(n_cur - n_common AS BIGINT) AS n_new, "
+        "CAST(n_ref - n_common AS BIGINT) AS n_dropped, "
+        + jac + " AS overlap_jaccard, max_abs_delta, "
+        + jac + " < 0.5 AS alarmed FROM ("
+        "SELECT CAST(count(r.sppmi) AS BIGINT) AS n_ref, "
+        "CAST(count(c.sppmi) AS BIGINT) AS n_cur, "
+        "CAST(sum(CASE WHEN r.sppmi IS NOT NULL AND c.sppmi IS NOT "
+        "NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_common, "
+        "max(CASE WHEN r.sppmi IS NOT NULL AND c.sppmi IS NOT NULL "
+        "THEN " + _fhu("abs(c.sppmi - r.sppmi)", 6) + " END) "
+        "AS max_abs_delta "
+        f"FROM {r} r FULL OUTER JOIN {c} c "
+        "ON r.w1 = c.w1 AND r.w2 = c.w2)"
+    )
+
+
+ORACLES["xppmi_drift"] = (
+    "WITH "
+    + _sppmi_top_sql("r1", "doc_id % 3 < 1") + ", "
+    + _sppmi_top_sql("c1", "doc_id % 3 = 1") + ", "
+    + _sppmi_top_sql("r2", "doc_id % 3 < 2") + ", "
+    + _sppmi_top_sql("c2", "doc_id % 3 = 2") + " "
+    + _sppmi_drift_row_sql(1)
+    + " UNION ALL "
+    + _sppmi_drift_row_sql(2)
+)
+
+# -- r17-staged: the certified session CTEs + the certified rate CTEs
+#    + the deterministic user->source rank join --
+ORACLES["xsession_rates_gate"] = (
+    "WITH flagged AS (SELECT user_id, ts, event_id, event_type, "
+    "CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 "
+    "ELSE 0 END AS new_sess FROM events WHERE user_id < 100 "
+    "WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+    "sess AS (SELECT user_id, ts, event_type, "
+    "CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, "
+    "event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+    "AS BIGINT) AS session_id FROM flagged), "
+    "agg AS (SELECT user_id, session_id, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) "
+    "AS BIGINT) AS n_errors, "
+    "CAST(count(DISTINCT event_type) AS BIGINT) AS n_types, "
+    "CAST((epoch_ms(max(ts)) - epoch_ms(min(ts))) // 1000 AS BIGINT) "
+    "AS duration_sec FROM sess GROUP BY 1, 2), "
+    "sq AS (SELECT user_id, session_id, n_events, n_errors, n_types, "
+    f"duration_sec, {_SQ_RATE} AS error_rate, "
+    f"{_SQ_RATE} <= 0.25 AS ok FROM agg), "
+    "d AS (SELECT source, text, "
+    "string_split_regex(trim(text), '\\s+') AS w, "
+    "string_split(text, chr(10)) AS lns FROM documents), "
+    "r AS (SELECT source, "
+    "CAST(len(w) >= 50 AND len(w) <= 100000 AS INT) AS r_wc, "
+    "CAST(CAST(length(regexp_replace(text, '\\s+', '', 'g')) "
+    "AS DOUBLE) / len(w) >= 3.0 AND "
+    "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) "
+    "/ len(w) <= 10.0 AS INT) AS r_mwl, "
+    "CAST(CAST(length(text) - length(regexp_replace(text, '[#…]', "
+    "'', 'g')) AS DOUBLE) / len(w) < 0.1 AS INT) AS r_sym, "
+    "CAST(CAST(len(list_filter(lns, l -> regexp_matches(l, "
+    "'^\\s*[-\\*•]'))) AS DOUBLE) / len(lns) < 0.9 AS INT) AS r_bul, "
+    "CAST(CAST(len(list_filter(w, x -> regexp_matches(x, "
+    "'[A-Za-z]'))) AS DOUBLE) / len(w) >= 0.8 AS INT) AS r_alpha "
+    "FROM d), "
+    "c AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(sum(r_wc * r_mwl * r_sym * r_bul * r_alpha) AS BIGINT) "
+    "AS c_pass FROM r GROUP BY source), "
+    "rates AS (SELECT grp, "
+    + _fhu("CAST(c_pass AS DOUBLE) / n_docs", 4)
+    + " AS rate_pass_all, CAST(row_number() OVER (ORDER BY grp) "
+    "AS BIGINT) AS src_rank FROM c), "
+    "kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM rates) "
+    "SELECT sq.user_id, sq.session_id, sq.n_events, sq.n_errors, "
+    "sq.n_types, sq.duration_sec, sq.error_rate, sq.ok, "
+    "rates.grp AS source, rates.rate_pass_all, "
+    "sq.ok AND rates.rate_pass_all >= 0.2 AS admitted "
+    "FROM sq CROSS JOIN kk "
+    "JOIN rates ON sq.user_id % kk.k + 1 = rates.src_rank"
+)
+
+# -- r17-staged: the hybrid chain over the 2-tick (STALER) ANN store
+#    + the per-store tick scalars derived from the stores --
+ORACLES["xhybrid_freshness"] = (
+    _semdedup_inc_ctes(max_tick=1)
+    + _HYBRID_RRF_CTES
+    + ", pt AS (SELECT CAST(max(doc_id % 3) AS BIGINT) "
+    "AS postings_tick FROM documents), "
+    "at AS (SELECT CAST(max(vec_id % 3) AS BIGINT) AS ann_tick "
+    "FROM surv) "
+    "SELECT doc_id, sparse_rank, dense_rank, rrf_score, rank, "
+    "pt.postings_tick, at.ann_tick, "
+    "CAST(pt.postings_tick - at.ann_tick AS BIGINT) AS store_lag "
+    "FROM (SELECT *, CAST(row_number() OVER (ORDER BY rrf_score "
+    "DESC, doc_id) AS BIGINT) AS rank FROM f) "
+    "CROSS JOIN pt CROSS JOIN at WHERE rank <= 10"
+)
+
 
 
 # -- xkmv_containment_delta: the same dual-slice chain, containment

@@ -1,0 +1,210 @@
+"""r18-staged families (r17 staging pipeline): KMV sliding-window
+retirement, per-tick SPPMI collocation-shift alarm, session-quality ×
+maintained quality-rates admission gate, hybrid serving with per-store
+freshness — each pinned against an independent replay before
+registration."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_kmv_collapse_equals_direct_window_build(spark):
+    """The bottom-k merge law, per-bucket: collapsing per-(grp, bucket)
+    KMV sketches over the buckets >= 1 window must equal the KMV
+    sketch built DIRECTLY over the window's rows row-for-row — and the
+    retired bucket's exclusive hashes must be gone."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_collapse,
+        kmv_sketch,
+    )
+
+    rows = [
+        ("g", i % 3, f"key-{i % 40}") for i in range(200)
+    ] + [("h", i % 3, f"k{i}") for i in range(30)]
+    df = spark.createDataFrame(
+        rows, "grp string, bucket long, key string"
+    )
+    fine = kmv_sketch(df, ["grp", "bucket"], "key", k=8, hash_fn="poly")
+    win = kmv_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k=8
+    )
+    direct = kmv_sketch(
+        df.filter(F.col("bucket") >= 1), ["grp"], "key", k=8,
+        hash_fn="poly",
+    )
+    got = sorted(tuple(r) for r in win.collect())
+    want = sorted(tuple(r) for r in direct.collect())
+    assert got == want and got
+
+    # retirement: a bucket-0-exclusive key's hash must not survive the
+    # window collapse even though it is in the full-history collapse
+    full = kmv_collapse(fine, ["grp"], ["bucket"], k=10_000)
+    full_hv = {
+        (r["grp"], r["hv"]) for r in full.collect()
+    }
+    win_all = kmv_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"],
+        k=10_000,
+    )
+    win_hv = {(r["grp"], r["hv"]) for r in win_all.collect()}
+    assert win_hv < full_hv  # bucket 0 had exclusive keys ("h" grp)
+
+
+def test_kmv_collapse_overlapping_buckets_idempotent(spark):
+    """The same key hashing into MULTIPLE buckets must collapse to one
+    state row (hv is idempotent under the re-distinct) — the overlap
+    case kmv_merge documents, exercised through the collapse path."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_collapse,
+        kmv_sketch,
+    )
+
+    rows = [("g", b, f"key-{i}") for b in (1, 2) for i in range(10)]
+    df = spark.createDataFrame(
+        rows, "grp string, bucket long, key string"
+    )
+    fine = kmv_sketch(df, ["grp", "bucket"], "key", k=64, hash_fn="poly")
+    win = kmv_collapse(fine, ["grp"], ["bucket"], k=64)
+    assert win.count() == 10  # 10 distinct keys, not 20
+    direct = kmv_sketch(df, ["grp"], "key", k=64, hash_fn="poly")
+    assert sorted(tuple(r) for r in win.collect()) == sorted(
+        tuple(r) for r in direct.collect()
+    )
+
+
+def _py_sppmi_drift(ref_pairs, cur_pairs):
+    """Python replay of sppmi_drift_summary over {(w1,w2): sppmi}."""
+    common = set(ref_pairs) & set(cur_pairs)
+    n_ref, n_cur, n_common = len(ref_pairs), len(cur_pairs), len(common)
+    jac = math.floor(
+        n_common / (n_ref + n_cur - n_common) * 1e4 + 0.5
+    ) / 1e4
+    mad = (
+        max(
+            math.floor(abs(cur_pairs[p] - ref_pairs[p]) * 1e6 + 0.5)
+            / 1e6
+            for p in common
+        )
+        if common
+        else None
+    )
+    return n_ref, n_cur, n_common, jac, mad
+
+
+def test_sppmi_drift_summary_matches_python_replay(spark):
+    """The drift row's set arithmetic, rounded Jaccard, max |Δsppmi|
+    over common pairs, and the alarm gate must match an independent
+    python replay — including the no-common-pairs NULL case."""
+    from kamu_engine_datafusion_spark.operators.text import (
+        sppmi_drift_summary,
+    )
+
+    ref = {("a", "b"): 1.25, ("b", "c"): 0.5, ("c", "d"): 2.0}
+    cur = {("a", "b"): 1.0, ("c", "d"): 2.125, ("x", "y"): 3.0,
+           ("y", "z"): 0.25}
+    rdf = spark.createDataFrame(
+        [(w1, w2, 1, s) for (w1, w2), s in ref.items()],
+        "w1 string, w2 string, n_pair long, sppmi double",
+    )
+    cdf = spark.createDataFrame(
+        [(w1, w2, 1, s) for (w1, w2), s in cur.items()],
+        "w1 string, w2 string, n_pair long, sppmi double",
+    )
+    r = sppmi_drift_summary(rdf, cdf, 7, jaccard_alarm=0.5).collect()[0]
+    n_ref, n_cur, n_common, jac, mad = _py_sppmi_drift(ref, cur)
+    assert (r["tick"], r["n_ref"], r["n_cur"], r["n_common"]) == (
+        7, n_ref, n_cur, n_common,
+    )
+    assert (r["n_new"], r["n_dropped"]) == (
+        n_cur - n_common, n_ref - n_common,
+    )
+    assert r["overlap_jaccard"] == jac
+    assert r["max_abs_delta"] == mad
+    assert r["alarmed"] == (jac < 0.5) is True
+
+    # disjoint top-k lists: jaccard 0, NULL delta, alarmed
+    r2 = sppmi_drift_summary(
+        rdf,
+        spark.createDataFrame(
+            [("p", "q", 1, 1.0)],
+            "w1 string, w2 string, n_pair long, sppmi double",
+        ),
+        1,
+    ).collect()[0]
+    assert (r2["n_common"], r2["overlap_jaccard"]) == (0, 0.0)
+    assert r2["max_abs_delta"] is None and r2["alarmed"]
+
+    # identical lists: jaccard 1, delta 0, quiet
+    r3 = sppmi_drift_summary(rdf, rdf, 2).collect()[0]
+    assert (r3["overlap_jaccard"], r3["max_abs_delta"]) == (1.0, 0.0)
+    assert not r3["alarmed"]
+
+
+def test_session_rates_gate_composition(spark):
+    """The composed admission rule: every output row's `admitted` must
+    equal ok AND rate_pass_all >= 0.2, the user→source mapping must be
+    user_id % |sources| deterministic, and the session columns must be
+    exactly the xsession_quality rows (the certified chain)."""
+    from kamu_engine_datafusion_spark.queries.pipeline import (
+        q_xsession_quality,
+        q_xsession_rates_gate,
+    )
+
+    out = q_xsession_rates_gate(spark, SF).collect()
+    assert out
+    srcs = sorted({r["source"] for r in out})
+    for r in out:
+        assert r["admitted"] == (
+            r["ok"] and r["rate_pass_all"] >= 0.2
+        )
+        assert r["source"] == srcs[r["user_id"] % len(srcs)]
+    base = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["n_errors"], r["n_types"],
+            r["duration_sec"], r["error_rate"], r["ok"],
+        )
+        for r in q_xsession_quality(spark, SF).collect()
+    }
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["n_events"], r["n_errors"], r["n_types"],
+            r["duration_sec"], r["error_rate"], r["ok"],
+        )
+        for r in out
+    }
+    assert got == base  # one gate row per session, sessions unchanged
+
+
+def test_hybrid_freshness_staleness_is_real(spark):
+    """The freshness key must (a) derive postings_tick=2 / ann_tick=1 /
+    store_lag=1 from the stores themselves, (b) serve its dense leg
+    ONLY from tick-0/1 vectors (the staler store is really what's
+    probed), and (c) share the sparse leg with the fresh
+    xhybrid_maintained read (postings identical) while the ANN lists
+    differ."""
+    from kamu_engine_datafusion_spark.queries.pipeline import (
+        q_xhybrid_freshness,
+        q_xhybrid_maintained,
+    )
+
+    out = q_xhybrid_freshness(spark, SF).collect()
+    assert out
+    for r in out:
+        assert (r["postings_tick"], r["ann_tick"], r["store_lag"]) == (
+            2, 1, 1,
+        )
+        if r["dense_rank"] is not None:
+            assert r["doc_id"] % 3 < 2  # dense hits only from ticks 0/1
+    fresh = q_xhybrid_maintained(spark, SF).collect()
+    dense_fresh = {
+        r["doc_id"] for r in fresh if r["dense_rank"] is not None
+    }
+    dense_stale = {
+        r["doc_id"] for r in out if r["dense_rank"] is not None
+    }
+    assert dense_stale != dense_fresh  # the lagging store changes lists
