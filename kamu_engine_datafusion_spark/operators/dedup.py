@@ -1712,6 +1712,101 @@ def duplicate_spans(
     return spans
 
 
+
+def span_dedup_increment(
+    state: DataFrame | None,
+    tick: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_len: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """One tick of MAINTAINED substring-span dedup (r17 staging: the
+    novelty-set device applied to :func:`duplicate_spans`): the state
+    is the gram FIRST-OCCURRENCE index — the set of ``min_len``-token
+    rolling-window hashes seen in all prior ticks, an append-only
+    idempotent set fold — and the tick's duplicated windows are those
+    whose gram is either already IN the state (an earlier tick holds
+    the canonical copy) or not the first occurrence within the tick
+    itself (the in-tick ``row_number`` rule). Window starts merge into
+    maximal spans exactly as in the batch operator.
+
+    CONTRACT (the append-ledger shape): ticks must arrive in the
+    batch operator's canonical (doc id, pos) order — i.e. each tick's
+    doc ids follow every prior tick's (contiguous id ranges, the way
+    a ledger grows). Under that order the per-tick spans union to the
+    batch :func:`duplicate_spans` of the whole corpus ROW-FOR-ROW
+    (driver-verified: ``xspan_dedup_maintained``'s oracle IS the
+    batch span oracle); a doc-id-MODULO split breaks the canonical
+    order and the law deliberately does not hold there.
+
+    Returns ``(spans, new_state)`` — spans as in
+    :func:`duplicate_spans`; state one ``h`` row per distinct gram
+    hash ever seen (O(corpus tokens) hashes — the inherent cost of
+    substring-level dedup, 8 bytes per token instead of the text;
+    bucket it by hash for pruned per-tick probes at 100 TB).
+
+    Scale per tick: one gram explode over the TICK only, one
+    uniform-hash rank within the tick, one semi-join against the
+    (bucketable) state — history text is never re-tokenized."""
+    tok = tokens(text_col)
+    grams = (
+        tick.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(shingle_hash_array(tok, min_len)).alias(
+                "__p0", "__h"
+            ),
+        )
+        .filter(F.size(tok) >= min_len)
+        .select("__id", (F.col("__p0") + 1).alias("__pos"), "__h")
+    )
+    wg = Window.partitionBy("__h").orderBy("__id", "__pos")
+    intra = (
+        grams.withColumn("__rn", F.row_number().over(wg))
+        .filter(F.col("__rn") > 1)
+        .select("__id", "__pos")
+    )
+    if state is None:
+        dup_pos = intra
+        new_state = grams.select(F.col("__h").alias("h")).distinct()
+    else:
+        seen = state.select(F.col("h").alias("__h"))
+        in_state = grams.join(seen, "__h", "left_semi").select(
+            "__id", "__pos"
+        )
+        dup_pos = intra.unionByName(in_state).distinct()
+        new_state = (
+            state.unionByName(grams.select(F.col("__h").alias("h")))
+            .distinct()
+        )
+    wd = Window.partitionBy("__id").orderBy("__pos")
+    spans = (
+        dup_pos.withColumn("__prev", F.lag("__pos").over(wd))
+        .withColumn(
+            "__brk",
+            F.when(
+                F.col("__prev").isNull()
+                | (F.col("__pos") - F.col("__prev") > min_len),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("__isl", F.sum("__brk").over(wd))
+        .groupBy("__id", "__isl")
+        .agg(
+            F.min("__pos").alias("span_start"),
+            (F.max("__pos") + min_len - 1).alias("span_end"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias(
+                "span_tokens"
+            ),
+        )
+    )
+    return spans, new_state
+
+
 def remove_duplicate_spans(
     df: DataFrame,
     text_col: str = "text",

@@ -153,6 +153,9 @@ _PRIORITY_R17 = [
     "xppmi_drift",
     "xsession_rates_gate",
     "xhybrid_freshness",
+    # -- the fifth r17-staged family: maintained substring-span dedup
+    #    (gram first-occurrence index fold; append-order contract) --
+    "xspan_dedup_maintained",
 ]
 
 _PRIORITY_R16 = [

@@ -5707,6 +5707,41 @@ def q_xhybrid_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_xspan_dedup_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAINTAINED substring-span dedup, r17 staged (registered below
+    the window): the doc_id < 300 corpus folds through three
+    CONTIGUOUS-RANGE ticks ([0,100), [100,200), [200,300) — the
+    append-ledger order the fold law requires) via
+    ``operators/dedup.py::span_dedup_increment``: each tick marks
+    windows whose 8-gram is in the maintained first-occurrence index
+    OR repeated within the tick, merges them into maximal spans, and
+    folds its gram hashes into the index. Under the append order the
+    unioned per-tick spans equal the batch ``duplicate_spans`` of the
+    whole slice ROW-FOR-ROW — the oracle IS the certified batch span
+    oracle (``_span_oracle(k=8)``), so a hash match proves the fold
+    law through the driver. At 100 TB each tick re-tokenizes only
+    itself and probes the hash-bucketed gram index; history text is
+    never re-read."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        span_dedup_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].filter(F.col("doc_id") < 300)
+    state = None
+    out = None
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        tick = d.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        spans, state = span_dedup_increment(state, tick, min_len=8)
+        out = spans if out is None else out.unionByName(spans)
+    return out
+
+
 QUERIES = {
     "xsketch_kmv": q_xsketch_kmv,
     "xsketch_kmv_merge": q_xsketch_kmv_merge,
@@ -5761,6 +5796,7 @@ QUERIES = {
     "xppmi_drift": q_xppmi_drift,
     "xsession_rates_gate": q_xsession_rates_gate,
     "xhybrid_freshness": q_xhybrid_freshness,
+    "xspan_dedup_maintained": q_xspan_dedup_maintained,
     "xppmi_window": q_xppmi_window,
     "xdedup_trajectory": q_xdedup_trajectory,
     "xsession_quality": q_xsession_quality,
@@ -10790,6 +10826,10 @@ ORACLES["xsession_rates_gate"] = (
     "FROM sq CROSS JOIN kk "
     "JOIN rates ON sq.user_id % kk.k + 1 = rates.src_rank"
 )
+
+# -- r17-staged: fold == batch under the append order, so the oracle
+#    IS the certified batch span oracle --
+ORACLES["xspan_dedup_maintained"] = _span_oracle(k=8, removal=False)
 
 # -- r17-staged: the hybrid chain over the 2-tick (STALER) ANN store
 #    + the per-store tick scalars derived from the stores --

@@ -208,3 +208,53 @@ def test_hybrid_freshness_staleness_is_real(spark):
         r["doc_id"] for r in out if r["dense_rank"] is not None
     }
     assert dense_stale != dense_fresh  # the lagging store changes lists
+
+
+def test_span_dedup_increment_fold_equals_batch(spark):
+    """The maintained gram-index fold: under the append (contiguous
+    doc-range) order, unioned per-tick spans must equal the batch
+    duplicate_spans row-for-row — including a passage whose canonical
+    copy lives in an EARLIER tick (the cross-tick duplicate the index
+    exists to catch), and a fresh passage repeated only WITHIN the
+    later tick."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        duplicate_spans,
+        span_dedup_increment,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    other = "one two three four five six seven eight"
+    rows = [
+        (1, f"{passage} filler0 tail0 pad0 end0"),
+        (2, f"{other} filler1 tail1 pad1 end1"),
+        # tick 2: cross-tick dup of doc 1's passage + an intra-tick pair
+        (10, f"{passage} unique2 words2 here2 now2"),
+        (11, "intra intra2 intra3 intra4 intra5 intra6 intra7 intra8 x"),
+        (12, "intra intra2 intra3 intra4 intra5 intra6 intra7 intra8 y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state, out = None, None
+    for lo, hi in ((0, 10), (10, 20)):
+        tick = df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        spans, state = span_dedup_increment(state, tick, min_len=8)
+        out = spans if out is None else out.unionByName(spans)
+    got = sorted(tuple(r) for r in out.collect())
+    want = sorted(
+        tuple(r) for r in duplicate_spans(df, min_len=8).collect()
+    )
+    assert got == want and got
+    # the cross-tick dup (doc 10) and the intra-tick dup (doc 12, not
+    # 11 — lower id is canonical) are both flagged; canonicals are not
+    flagged = {r[0] for r in got}
+    assert 10 in flagged and 12 in flagged
+    assert 1 not in flagged and 11 not in flagged
+
+    # the state is the full distinct gram-hash set (idempotent fold:
+    # re-folding the last tick changes nothing)
+    n = state.count()
+    _, state2 = span_dedup_increment(
+        state, df.filter(F.col("doc_id") >= 10), min_len=8
+    )
+    assert state2.count() == n
