@@ -1824,7 +1824,31 @@ def remove_duplicate_spans(
     positions — one broadcast-or-shuffle join of docs against their
     span lists, no pairwise work.
     """
-    spans = duplicate_spans(df, text_col, id_col, min_len)
+    return remove_spans(
+        df, duplicate_spans(df, text_col, id_col, min_len),
+        text_col, id_col,
+    )
+
+
+def remove_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut an ARBITRARY span table ``(id_col, span_start, span_end)``
+    (1-based inclusive token positions) out of its documents and
+    reassemble the remaining tokens — the cut stage of
+    :func:`remove_duplicate_spans`, exposed so the MAINTAINED span
+    pipeline (``span_dedup_increment``) can apply each tick's spans
+    to that tick's docs without recomputing them from scratch.
+    Returns ``(id_col, text_col)`` for ALL input docs (docs with no
+    span row pass through re-joined; fully-spanned docs reduce to '').
+
+    Scale: spans per doc collect into one small array (bounded by
+    doc length / min span length), then the cut is an in-row filter
+    over token positions — one broadcast-or-shuffle join of docs
+    against their span lists, no pairwise work."""
     span_lists = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans")
     )

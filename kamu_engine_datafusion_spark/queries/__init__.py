@@ -156,6 +156,12 @@ _PRIORITY_R17 = [
     # -- the fifth r17-staged family: maintained substring-span dedup
     #    (gram first-occurrence index fold; append-order contract) --
     "xspan_dedup_maintained",
+    # -- r17-staged second wave: the removal serving twin, the
+    #    window-shift KS self-drift (both inputs collapsed windows),
+    #    and the windowed cross-source overlap matrix --
+    "xspan_removal_maintained",
+    "xks_window_drift",
+    "xkmv_window_overlap",
 ]
 
 _PRIORITY_R16 = [

@@ -5742,6 +5742,116 @@ def q_xspan_dedup_maintained(
     return out
 
 
+
+def q_xspan_removal_maintained(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MAINTAINED span REMOVAL serving read, r17 staged (the cut twin
+    of ``xspan_dedup_maintained``): each contiguous-range tick's spans
+    come from the maintained gram index (``span_dedup_increment``)
+    and are cut from THAT TICK's docs alone via
+    ``operators/dedup.py::remove_spans`` — the canonical first
+    occurrence (possibly in an earlier tick) survives untouched, and
+    under the append order the unioned cleaned ticks equal the batch
+    ``remove_duplicate_spans`` of the whole slice row-for-row. Oracle:
+    the certified batch removal oracle verbatim. At 100 TB each tick
+    cleans itself against the hash-bucketed index; cleaned history is
+    never rewritten."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        remove_spans,
+        span_dedup_increment,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].filter(F.col("doc_id") < 300).select(
+        "doc_id", "text"
+    )
+    state = None
+    out = None
+    for lo, hi in ((0, 100), (100, 200), (200, 300)):
+        tick = d.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        spans, state = span_dedup_increment(state, tick, min_len=8)
+        cleaned = remove_spans(tick, spans)
+        out = cleaned if out is None else out.unionByName(cleaned)
+    return out
+
+
+def q_xks_window_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-shift SELF-DRIFT over collapsed quantile sketches, r17
+    staged (the ``xsketch_window_collapse`` retirement read feeding
+    BOTH KS inputs): per-(source, tick-bucket) sketches of the
+    token-length distribution collapse into the trailing window
+    (buckets {0,1}) and the shifted window (buckets {1,2}) — the
+    before/after of one retirement step — and ``ks_from_sketches``
+    reads the distribution shift per source from two metadata-sized
+    collapsed states. By the exact merge law each collapse equals the
+    direct window build, so the oracle builds both windows directly
+    and replays the integer-cross-product KS. The monitoring question
+    a sliding drift reference answers after every retirement: did
+    dropping the oldest bucket and admitting the newest move the
+    distribution?"""
+    from kamu_engine_datafusion_spark.functions.columns import tokens
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        ks_from_sketches,
+        quantile_sketch,
+        quantile_sketch_collapse,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        F.col("source").alias("grp"),
+        F.col("doc_id").cast("string").alias("rid"),
+        F.size(tokens("text")).cast("long").alias("val"),
+        (F.col("doc_id") % 3).alias("bucket"),
+    )
+    fine = quantile_sketch(d, ["grp", "bucket"], "rid", "val", k=256)
+    before = quantile_sketch_collapse(
+        fine.filter(F.col("bucket") < 2), ["grp"], ["bucket"], k=256
+    )
+    after = quantile_sketch_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k=256
+    )
+    return ks_from_sketches(before, after, ["grp"])
+
+
+def q_xkmv_window_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WINDOWED cross-source overlap matrix, r17 staged
+    (``kmv_collapse`` feeding the combined overlap monitor): per-
+    (source, tick-bucket) KMV sketches of the md5-normalized texts
+    collapse into the buckets ≥ 1 window per source, and
+    ``kmv_overlap_monitor`` reads pairwise Jaccard AND directional
+    containment between the WINDOW slices of every source pair from
+    the collapsed states alone — recency-scoped overlap (is source A
+    still feeding us source B's recent content?) instead of the
+    all-history matrix. Oracle: the direct window KMV chains + the
+    certified one-pass union-top-k monitor SQL. At 100 TB both
+    matrices read ≤ k state rows per source; neither corpus slice is
+    re-hashed."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_collapse,
+        kmv_overlap_monitor,
+        kmv_sketch,
+    )
+
+    t = load(spark, sf_dir, "documents")
+    d = t["documents"].select(
+        F.col("source").alias("grp"),
+        (F.col("doc_id") % 3).alias("bucket"),
+        _norm_md5().alias("__h"),
+    )
+    fine = kmv_sketch(
+        d, ["grp", "bucket"], "__h", k=128, hash_fn="poly"
+    )
+    win = kmv_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k=128
+    )
+    return kmv_overlap_monitor(win, "grp", k=128, dp=4)
+
+
 QUERIES = {
     "xsketch_kmv": q_xsketch_kmv,
     "xsketch_kmv_merge": q_xsketch_kmv_merge,
@@ -5797,6 +5907,9 @@ QUERIES = {
     "xsession_rates_gate": q_xsession_rates_gate,
     "xhybrid_freshness": q_xhybrid_freshness,
     "xspan_dedup_maintained": q_xspan_dedup_maintained,
+    "xspan_removal_maintained": q_xspan_removal_maintained,
+    "xks_window_drift": q_xks_window_drift,
+    "xkmv_window_overlap": q_xkmv_window_overlap,
     "xppmi_window": q_xppmi_window,
     "xdedup_trajectory": q_xdedup_trajectory,
     "xsession_quality": q_xsession_quality,
@@ -10830,6 +10943,80 @@ ORACLES["xsession_rates_gate"] = (
 # -- r17-staged: fold == batch under the append order, so the oracle
 #    IS the certified batch span oracle --
 ORACLES["xspan_dedup_maintained"] = _span_oracle(k=8, removal=False)
+
+# -- r17-staged: the cut twin — fold == batch under the append order,
+#    so the oracle IS the certified batch removal oracle --
+ORACLES["xspan_removal_maintained"] = _span_oracle(k=8, removal=True)
+
+# -- r17-staged: window-shift self-drift — both KS inputs are window
+#    collapses; the merge law makes each equal its direct build --
+_KSW_HASH = _poly31_sql("(CAST(doc_id AS VARCHAR) || '#qsk')")
+ORACLES["xks_window_drift"] = (
+    "WITH li AS (SELECT source AS grp, "
+    "CAST(len(string_split_regex(trim(lower(text)), '\\s+')) "
+    "AS BIGINT) AS val, "
+    "doc_id % 3 AS tick, "
+    f"{_KSW_HASH} AS h FROM documents), "
+    "lv AS (SELECT grp, val, tick, CASE WHEN h = 0 THEN 31 "
+    "ELSE CAST(bit_count(CAST((h & -h) - 1 AS BIGINT)) AS BIGINT) "
+    "END AS lvl FROM li), "
+    + _ks_sketch_slice("l.tick < 2", "ref")
+    + ", "
+    + _ks_sketch_slice("l.tick >= 1", "cur")
+    + ", "
+    "u AS (SELECT grp, val, 1 AS sd FROM refr "
+    "UNION ALL SELECT grp, val, 0 AS sd FROM curr), "
+    "pv AS (SELECT grp, val, CAST(sum(sd) AS BIGINT) AS ca, "
+    "CAST(sum(1 - sd) AS BIGINT) AS cb FROM u GROUP BY 1, 2), "
+    "cum AS (SELECT grp, val, sum(ca) OVER w1 AS cuma, "
+    "sum(cb) OVER w1 AS cumb, sum(ca) OVER w2 AS sa, "
+    "sum(cb) OVER w2 AS sb FROM pv "
+    "WINDOW w1 AS (PARTITION BY grp ORDER BY val), "
+    "w2 AS (PARTITION BY grp)), "
+    "dd AS (SELECT grp, val, abs(cuma * sb - cumb * sa) AS d, sa, sb "
+    "FROM cum), "
+    "mm AS (SELECT grp, max(d) AS dm FROM dd GROUP BY grp) "
+    "SELECT d.grp, CAST(max(d.sa) AS BIGINT) AS n_a, "
+    "CAST(max(d.sb) AS BIGINT) AS n_b, "
+    + _fhu("max(d.d) / (CAST(max(d.sa) AS DOUBLE) * max(d.sb))", 6)
+    + " AS ks, "
+    "min(CASE WHEN d.d = m.dm THEN d.val END) AS ks_at "
+    "FROM dd d JOIN mm m USING (grp) "
+    "WHERE d.sa > 0 AND d.sb > 0 GROUP BY d.grp"
+)
+
+# -- r17-staged: the windowed overlap matrix — the certified
+#    union-top-k monitor SQL over the direct window KMV chains --
+ORACLES["xkmv_window_overlap"] = (
+    "WITH nrm AS (SELECT doc_id, source, "
+    "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS h "
+    "FROM documents), "
+    "g AS (SELECT source AS grp, h FROM nrm WHERE doc_id % 3 >= 1), "
+    + _kmv_rank_sql("g", 128) + ", "
+    "sk AS (SELECT grp, hv FROM rk WHERE rn <= 128), "
+    "gs AS (SELECT DISTINCT grp FROM sk), "
+    "pairs AS (SELECT a.grp AS grp_a, b.grp AS grp_b FROM gs a "
+    "CROSS JOIN gs b WHERE a.grp <> b.grp), "
+    "member AS (SELECT p.grp_a, p.grp_b, s.hv, "
+    "max(CASE WHEN s.grp = p.grp_a THEN 1 ELSE 0 END) AS in_a, "
+    "max(CASE WHEN s.grp = p.grp_b THEN 1 ELSE 0 END) AS in_b "
+    "FROM sk s JOIN pairs p ON s.grp = p.grp_a OR s.grp = p.grp_b "
+    "GROUP BY 1, 2, 3), "
+    "tk AS (SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b "
+    "ORDER BY hv) AS rn FROM member), "
+    "agg AS (SELECT grp_a, grp_b, "
+    "CAST(sum(in_a) AS BIGINT) AS n_a_in_union, "
+    "CAST(sum(CASE WHEN in_a + in_b = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_both, CAST(count(*) AS BIGINT) AS n_union_sketch "
+    "FROM tk WHERE rn <= 128 GROUP BY 1, 2) "
+    "SELECT grp_a, grp_b, n_a_in_union, n_both, "
+    "CASE WHEN n_a_in_union > 0 THEN "
+    + _fhu("n_both / CAST(n_a_in_union AS DOUBLE)", 4)
+    + " END AS containment_a_in_b, "
+    "n_union_sketch, "
+    + _fhu("n_both / CAST(n_union_sketch AS DOUBLE)", 4)
+    + " AS jaccard_est FROM agg"
+)
 
 # -- r17-staged: the hybrid chain over the 2-tick (STALER) ANN store
 #    + the per-store tick scalars derived from the stores --

@@ -258,3 +258,111 @@ def test_span_dedup_increment_fold_equals_batch(spark):
         state, df.filter(F.col("doc_id") >= 10), min_len=8
     )
     assert state2.count() == n
+
+
+def test_span_removal_maintained_equals_batch_removal(spark):
+    """The cut twin's fold law: per-tick remove_spans over the
+    maintained-index spans, unioned across append-ordered ticks, must
+    equal the batch remove_duplicate_spans row-for-row — including
+    the cross-tick case where a later tick's copy is cut while the
+    earlier canonical survives with its text intact."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        remove_duplicate_spans,
+        remove_spans,
+        span_dedup_increment,
+    )
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [
+        (1, f"{passage} end1 here1 now1 ok1"),
+        (2, "totally different words with no repeats at all today"),
+        (10, f"{passage} other2 stuff2 pad2 fin2"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    state, out = None, None
+    for lo, hi in ((0, 10), (10, 20)):
+        tick = df.filter(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        )
+        spans, state = span_dedup_increment(state, tick, min_len=8)
+        cleaned = remove_spans(tick, spans)
+        out = cleaned if out is None else out.unionByName(cleaned)
+    got = {r["doc_id"]: r["text"] for r in out.collect()}
+    want = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_spans(df, min_len=8).collect()
+    }
+    assert got == want
+    assert got[1].startswith("alpha")  # canonical copy untouched
+    assert "alpha" not in got[10]  # later copy cut
+
+
+def test_ks_window_drift_shift_semantics(spark):
+    """Window-shift KS: identical per-bucket distributions → KS 0 for
+    the shifted window; a bucket-2 distribution far from bucket 0's →
+    a large KS (the retirement step visibly moved the reference)."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        ks_from_sketches,
+        quantile_sketch,
+        quantile_sketch_collapse,
+    )
+
+    same = [
+        ("g", b, f"r{b}-{i}", v)
+        for b in range(3)
+        for i, v in enumerate([1, 2, 3, 4, 5] * 4)
+    ]
+    shifted = [
+        ("h", b, f"s{b}-{i}", (1000 if b == 2 else 0) + i % 7)
+        for b in range(3)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        same + shifted, "grp string, bucket long, rid string, val long"
+    )
+    fine = quantile_sketch(df, ["grp", "bucket"], "rid", "val", k=256)
+    before = quantile_sketch_collapse(
+        fine.filter(F.col("bucket") < 2), ["grp"], ["bucket"], k=256
+    )
+    after = quantile_sketch_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k=256
+    )
+    got = {
+        r["grp"]: r["ks"]
+        for r in ks_from_sketches(before, after, ["grp"]).collect()
+    }
+    assert got["g"] == 0.0  # identical buckets: no shift
+    assert got["h"] >= 0.4  # half the shifted window moved to ~1000
+
+
+def test_kmv_window_overlap_scopes_to_window(spark):
+    """The windowed matrix must see only buckets >= 1: two sources
+    identical in bucket 0 but disjoint in buckets 1/2 read as ZERO
+    window overlap, while sources sharing bucket-1 content read >0."""
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        kmv_collapse,
+        kmv_overlap_monitor,
+        kmv_sketch,
+    )
+
+    rows = (
+        [("a", 0, f"shared-{i}") for i in range(20)]
+        + [("b", 0, f"shared-{i}") for i in range(20)]
+        + [("a", 1, f"a-only-{i}") for i in range(20)]
+        + [("b", 1, f"b-only-{i}") for i in range(20)]
+        + [("a", 2, f"w-{i}") for i in range(10)]
+        + [("c", 1, f"a-only-{i}") for i in range(20)]
+    )
+    df = spark.createDataFrame(
+        rows, "grp string, bucket long, key string"
+    )
+    fine = kmv_sketch(df, ["grp", "bucket"], "key", k=64, hash_fn="poly")
+    win = kmv_collapse(
+        fine.filter(F.col("bucket") >= 1), ["grp"], ["bucket"], k=64
+    )
+    m = {
+        (r["grp_a"], r["grp_b"]): r["jaccard_est"]
+        for r in kmv_overlap_monitor(win, "grp", k=64).collect()
+    }
+    assert m[("a", "b")] == 0.0  # bucket-0 overlap retired with bucket 0
+    assert m[("a", "c")] > 0.3  # in-window shared content visible
