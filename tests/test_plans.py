@@ -72,18 +72,30 @@ def test_topk_similarity_no_corpus_shuffle(spark):
 
 
 def test_minhash_signatures_partial_aggregation(spark):
-    """The signature stage is codegen'd MIN aggregates with map-side
-    partials (the exchange carries num_hashes longs per doc) — the
-    formulation that beat in-row higher-order lambdas 2.2× at 50k docs
-    (interpreted evaluation; SCALE.md round-5)."""
+    """The explode-layout signature stage is codegen'd MIN aggregates
+    with map-side partials (the exchange carries num_hashes longs per
+    doc) — the formulation that beat in-row higher-order lambdas 2.2×
+    at 50k docs (interpreted evaluation; SCALE.md round-5). Pinned
+    explicitly since r17: the OPERATOR default resolves to the arrow
+    backend (one ArrowEvalPython, zero shuffle), asserted below."""
     from kamu_engine_datafusion_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
-        minhash_signatures(docs).explain("formatted")
+        minhash_signatures(docs, layout="explode").explain("formatted")
     p = buf.getvalue()
     assert p.count("HashAggregate") >= 2  # partial + final min aggregates
+
+    # r17 default (layout=None → arrow for xxhash64): one vectorized
+    # ArrowEvalPython node, no aggregate and no exchange at all.
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        minhash_signatures(docs).explain("formatted")
+    p = buf.getvalue()
+    assert "ArrowEvalPython" in p
+    assert "HashAggregate" not in p
+    assert "Exchange" not in p
 
 
 def test_semantic_dedup_assignment_no_exchange_before_grouping(spark):
