@@ -265,13 +265,19 @@ def minhash_signatures_batch(
         sig_cols.append(np.minimum.reduceat(v, sh_offsets))
     sig_mat = np.stack(sig_cols, axis=1)  # (docs, num_hashes)
 
+    # rows ride out as int64 numpy views (Arrow list<int64> conversion
+    # handles ndarray cells natively) — materializing Python int lists
+    # costs num_docs × num_hashes object allocations per batch (r17:
+    # measured ~15% of the signature stage at sf0.1, more at sf1)
+    if len(tok_lists) == len(sig_mat):
+        return list(sig_mat)
     out: list = []
     d = 0
     for t in tok_lists:
         if t is None:
             out.append(None)
         else:
-            out.append([int(x) for x in sig_mat[d]])
+            out.append(sig_mat[d])
             d += 1
     return out
 
@@ -297,7 +303,9 @@ def shingle_hash_sets_batch(texts, shingle_len: int):
         else:
             lo = int(sh_offsets[d])
             hi = int(bounds[d])
-            out.append([int(x) for x in np.unique(acc[lo:hi])])
+            # int64 ndarray out (see minhash_signatures_batch) — the
+            # distinct sets are the big payload of the verify stage
+            out.append(np.unique(acc[lo:hi]))
             d += 1
     return out
 

@@ -124,6 +124,63 @@ def _resolve_sig_layout(layout: str | None, base_hash: str) -> str:
     return "arrow" if base_hash == "xxhash64" else "explode"
 
 
+def _resolve_fan_out(
+    narrow: DataFrame, fan_out, target_bytes: int = 2 * 1024 * 1024
+) -> int | None:
+    """Resolve a fan-out knob for the zero-shuffle arrow kernels.
+
+    ``fan_out="auto"`` (r17) derives the repartition width from the
+    INPUT SIZE instead of a hand-tuned constant (guide §2: make
+    partitioning scale-adaptive): one task per ``target_bytes`` of
+    underlying file bytes, capped at the cluster's default parallelism,
+    and NO repartition at all when the scan's own splits already give
+    at least that many tasks — on a many-split 100 TB corpus this
+    resolves to None (the operator's natural shape), on the local
+    single-file sf0.1 ledger to None as well (the kernel is cheaper
+    than the shuffle: measured 2.61→2.07 s on the full dedup), and on
+    the single-file sf1 replica corpus to ~12 (where the 1-task kernel
+    was the bottleneck: 10.2→5.8 s measured at fan 8, r16).
+    Ints and None pass through unchanged."""
+    if fan_out != "auto":
+        return fan_out
+    try:
+        import pyarrow.parquet as pq
+
+        files = [
+            f[len("file:"):] if f.startswith("file:") else f
+            for f in narrow.inputFiles()
+        ]
+        if not files:
+            return None
+        # UNCOMPRESSED footer bytes, not file sizes: a replica-heavy
+        # corpus compresses 10:1 and would under-fan exactly where the
+        # kernel is slowest. Footer-only reads; sampled + extrapolated
+        # so a many-file input costs O(16) metadata reads.
+        sample = files[:16]
+        uncomp = 0
+        for path in sample:
+            md = pq.ParquetFile(path).metadata
+            uncomp += sum(
+                md.row_group(i).total_byte_size
+                for i in range(md.num_row_groups)
+            )
+        size = uncomp * len(files) // len(sample)
+    except Exception:
+        return None
+    if size <= 0:
+        return None
+    sc = narrow.sparkSession.sparkContext
+    want = min(sc.defaultParallelism, max(1, size // target_bytes))
+    if want <= 1:
+        return None
+    try:
+        if narrow.rdd.getNumPartitions() >= want:
+            return None  # the scan already fans out enough
+    except Exception:
+        pass
+    return int(want)
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -133,7 +190,7 @@ def minhash_signatures(
     seed: int = 42,
     base_hash: str = "xxhash64",
     layout: str | None = None,
-    fan_out: int | None = None,
+    fan_out: int | str | None = None,
 ) -> DataFrame:
     """Per-document MinHash signatures via the scalable explode→groupBy
     formulation: shingles are hashed WITHOUT materializing strings
@@ -197,13 +254,15 @@ def minhash_signatures(
         narrow = df.select(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
         )
+        fan_out = _resolve_fan_out(narrow, fan_out)
         if fan_out:
             # the UDF's parallelism comes from the input splits; a
             # SINGLE-FILE local ledger gives it one task, so fan the
             # narrow (id, text) projection out first. At 100 TB the
             # scan has plentiful splits — leave fan_out=None there
             # (measured: sf1 single-file 10.2s → 5.8s at fan_out=8;
-            # many-split inputs need no shuffle at all).
+            # many-split inputs need no shuffle at all). "auto"
+            # derives the width from the input size (r17, guide §2).
             narrow = narrow.repartition(fan_out)
         return narrow.select(
             "__id",
@@ -321,7 +380,7 @@ def minhash_lsh_candidates(
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
     signature_layout: str | None = None,
-    signature_fan_out: int | None = None,
+    signature_fan_out: int | str | None = None,
     _cleanup: list[DataFrame] | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs via banded MinHash LSH.
@@ -409,7 +468,7 @@ def verified_jaccard(
     shingle_len: int = 3,
     use_hashed_shingles: bool = True,
     shingle_backend: str | None = None,
-    fan_out: int | None = None,
+    fan_out: int | str | None = None,
 ) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs: join the shingle
     sets back onto the (small) candidate pair set and compare.
@@ -443,12 +502,15 @@ def verified_jaccard(
     pruned = df.join(
         F.broadcast(cand_ids), df[id_col] == F.col("__cid"), "left_semi"
     )
+    fan_out = _resolve_fan_out(df.select(id_col, text_col), fan_out)
     if fan_out:
         # the set build's parallelism follows df's input splits; on a
         # single-file local ledger that is ONE task over every
         # candidate doc (the sf1 replica corpus makes ~all docs
         # candidates — measured +4.7s). At 100 TB the pruned frame
-        # inherits plentiful splits — leave None there.
+        # inherits plentiful splits — leave None there. "auto" derives
+        # the width from the BASE corpus size (an upper bound on the
+        # pruned set — r17, guide §2).
         pruned = pruned.select(id_col, text_col).repartition(fan_out)
     if shingle_backend is None:
         # r17 default: arrow (driver-certified bit-parity) whenever the
@@ -520,7 +582,7 @@ def minhash_lsh_dedup(
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
     signature_layout: str | None = None,
-    signature_fan_out: int | None = None,
+    signature_fan_out: int | str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dedup: candidates → verified Jaccard ≥
     threshold → drop every doc that matches a lower-id survivor.
@@ -2049,7 +2111,7 @@ def minhash_lsh_report(
     base_hash: str = "xxhash64",
     bucket_cap_mode: str = "collect",
     signature_layout: str | None = None,
-    signature_fan_out: int | None = None,
+    signature_fan_out: int | str | None = None,
 ) -> DataFrame:
     """Audit companion to :func:`minhash_lsh_dedup`: one row per
     DROPPED document with its lowest-id matching partner and the

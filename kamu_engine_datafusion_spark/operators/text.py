@@ -71,36 +71,56 @@ def bpe_ish_token_count(text: Column | str) -> Column:
     return F.regexp_count(c, F.lit(r"\w{1,4}|[^\w\s]")).cast("long")
 
 
-def quality_features(text: Column | str) -> dict[str, Column]:
-    """Raw quality signals for a document."""
+def quality_signals(text: Column | str) -> dict[str, Column]:
+    """The four EXPENSIVE raw count signals (one ``length``, one token
+    split, five regexp scans) every quality feature derives from. Kept
+    separate from :func:`quality_features_from_signals` so a consumer
+    that needs several features (or features + score) can materialize
+    these once in their own projection and derive the rest as cheap
+    arithmetic — a single fused projection re-evaluates each regexp per
+    reference (CollapseProject inlines aliases; measured 2× the scan
+    cost on the sf0.1 corpus, r17)."""
     c = F.col(text) if isinstance(text, str) else text
-    n_chars = F.length(c).cast("double")
-    toks = tokens(c)
-    n_tokens = F.size(toks).cast("double")
-    n_punct = F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double")
-    n_stop = sum(
-        (stopword_hits(c, lang) for lang in sorted(STOPWORDS)),
-        F.lit(0),
-    ).cast("double")
-    mean_word_len = F.when(n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens).otherwise(
-        F.lit(0.0)
-    )
+    return {
+        "n_chars": F.length(c).cast("double"),
+        "n_tokens": F.size(tokens(c)).cast("double"),
+        "n_punct": F.regexp_count(c, F.lit(r"[^\w\s]")).cast("double"),
+        "n_stop": sum(
+            (stopword_hits(c, lang) for lang in sorted(STOPWORDS)),
+            F.lit(0),
+        ).cast("double"),
+    }
+
+
+def quality_features_from_signals(s: dict[str, Column]) -> dict[str, Column]:
+    """Derive the feature columns from (already-computed) signal
+    columns — pure arithmetic, bit-identical to :func:`quality_features`
+    by construction (same expressions over the same values)."""
+    n_chars, n_tokens = s["n_chars"], s["n_tokens"]
+    mean_word_len = F.when(
+        n_tokens > 0, (n_chars - (n_tokens - 1)) / n_tokens
+    ).otherwise(F.lit(0.0))
     return {
         "n_chars": n_chars,
         "n_tokens": n_tokens,
-        "punct_ratio": F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)),
-        "stopword_ratio": F.when(n_tokens > 0, n_stop / n_tokens).otherwise(
+        "punct_ratio": F.when(n_chars > 0, s["n_punct"] / n_chars).otherwise(
+            F.lit(0.0)
+        ),
+        "stopword_ratio": F.when(n_tokens > 0, s["n_stop"] / n_tokens).otherwise(
             F.lit(0.0)
         ),
         "mean_word_len": mean_word_len,
     }
 
 
-def quality_score(text: Column | str) -> Column:
-    """Composite [0,1] quality score: rewards reasonable length, some
-    stopwords (i.e. natural language), a sane mean word length, and low
-    punctuation density. Weights are heuristic and documented in code."""
-    f = quality_features(text)
+def quality_features(text: Column | str) -> dict[str, Column]:
+    """Raw quality signals for a document."""
+    return quality_features_from_signals(quality_signals(text))
+
+
+def quality_score_from_features(f: dict[str, Column]) -> Column:
+    """The composite score from (already-computed) feature columns —
+    the arithmetic of :func:`quality_score` verbatim."""
     length_ok = F.least(f["n_tokens"] / F.lit(20.0), F.lit(1.0))
     stop_ok = F.least(f["stopword_ratio"] * 5.0, F.lit(1.0))
     word_ok = F.when(
@@ -110,6 +130,13 @@ def quality_score(text: Column | str) -> Column:
     return F.round(
         0.3 * length_ok + 0.3 * stop_ok + 0.2 * word_ok + 0.2 * punct_ok, 6
     )
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: rewards reasonable length, some
+    stopwords (i.e. natural language), a sane mean word length, and low
+    punctuation density. Weights are heuristic and documented in code."""
+    return quality_score_from_features(quality_features(text))
 
 
 def repetition_ratio(text: Column | str, n: int = 3) -> Column:

@@ -572,25 +572,62 @@ def q_b22_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_b23_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B23: ranking windows (ties broken by unique key → deterministic)."""
+    """B23: ranking windows (ties broken by unique key → deterministic).
+
+    r17 restructure (row- and schema-identical — pytest-pinned against
+    the direct six-function window, oracle unchanged): the original
+    form computed rank/dense_rank/ntile/percent_rank/cume_dist over a
+    FIVE-partition window, which serializes the whole table through 5
+    tasks and blocks the WindowGroupLimit pushdown (guide §2.5: hot
+    partition keys). Because the window order ends on the unique
+    ``o_orderkey``, ties are impossible, so for the surviving rows
+    (rn ≤ 5) every other function is arithmetic in (rn, n):
+    rank = dense_rank = rn, percent_rank = (rn−1)/(n−1), cume_dist =
+    rn/n, and ntile(4) follows its documented fill rule (first n mod 4
+    tiles get ⌈n/4⌉ rows). The rewritten plan is a rank-ONLY window —
+    Spark inserts partial+final WindowGroupLimit, so each map task
+    ships only its local top-5 per priority instead of the full table —
+    plus a 5-row broadcast of the per-priority counts. Measured
+    0.44→0.33 s warm at sf0.1; at scale the full-table 5-task sort
+    disappears entirely."""
     t = load(spark, sf_dir, "orders")
     w = Window.partitionBy("o_orderpriority").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey")
     )
-    return (
+    cnt = (
         t["orders"]
-        .select(
-            "o_orderpriority",
-            "o_orderkey",
-            "o_totalprice",
-            F.row_number().over(w).alias("rn"),
-            F.rank().over(w).alias("rk"),
-            F.dense_rank().over(w).alias("drk"),
-            F.ntile(4).over(w).alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
-        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    top = (
+        t["orders"]
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
+    )
+    n, rn = F.col("__n"), F.col("rn")
+    # ntile(4): q = n div 4 rows per tile, the first r = n mod 4 tiles
+    # carry one extra. Exact integer arithmetic (div/pmod — no doubles).
+    quartile = F.when(
+        rn <= F.expr("(__n % 4) * (__n div 4 + 1)"),
+        F.expr("(rn - 1) div (__n div 4 + 1) + 1"),
+    ).otherwise(
+        F.expr("__n % 4 + (rn - (__n % 4) * (__n div 4 + 1) - 1) div (__n div 4) + 1")
+    )
+    pct_rank = F.when(
+        n > 1, (rn.cast("double") - 1.0) / (n.cast("double") - 1.0)
+    ).otherwise(F.lit(0.0))
+    cume = rn.cast("double") / n.cast("double")
+    return top.join(F.broadcast(cnt), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_orderkey",
+        "o_totalprice",
+        "rn",
+        rn.alias("rk"),
+        rn.alias("drk"),
+        quartile.cast("int").alias("quartile"),
+        F.round(pct_rank, 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
     )
 
 

@@ -48,16 +48,19 @@ def q_xdedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     expensive kernel and its one host-drift-sensitive subsystem
     (r13–r15 adjudications)."""
     t = load(spark, sf_dir, "documents")
-    # fan_out=8: the local test ledgers are SINGLE parquet files, so
-    # the signature UDF would otherwise get one task; at 100 TB the
-    # scan has plentiful splits and the operator default (no
-    # repartition) is the right shape. Measured best at both local
-    # scales (sf0.1 2.0s, sf1 5.8s vs 2.3/10.2 unfanned).
+    # fan_out="auto" (r17): the local test ledgers are SINGLE parquet
+    # files, so the kernels would otherwise get one task; "auto"
+    # derives the repartition width from the input size (guide §2 —
+    # scale-adaptive, not a constant tuned for one box): sf0.1 resolves
+    # to None (kernel cheaper than the shuffle — full dedup measured
+    # 2.61→2.07 s vs the old fan_out=8), the 10× replica corpus to ~12
+    # (where the 1-task kernel was the bottleneck), and a many-split
+    # 100 TB scan to None (its splits already fan out).
     return D.minhash_lsh_dedup(
         t["documents"],
         threshold=0.7,
         signature_layout="arrow",
-        signature_fan_out=8,
+        signature_fan_out="auto",
     ).select("doc_id", "lang")
 
 
@@ -408,16 +411,39 @@ def q_xtext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xtext_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality scoring: length/punct/stopword/word-length signals."""
+    """Quality scoring: length/punct/stopword/word-length signals.
+
+    r17: two-stage projection — the expensive count signals (token
+    split + five regexp scans) materialize ONCE in a first Project,
+    the features/score derive from them as arithmetic in a second.
+    The fused single-Project form re-evaluated every regexp per
+    reference (10 regexp_extract_all nodes in the plan vs 5 now);
+    measured 1.16→0.71s warm at sf0.1, output row-identical (same
+    expressions over the same values — pytest-pinned)."""
     t = load(spark, sf_dir, "documents")
-    f = X.quality_features("text")
-    return t["documents"].select(
+    sig = X.quality_signals("text")
+    base = t["documents"].select(
+        "doc_id",
+        sig["n_chars"].alias("__n_chars"),
+        sig["n_tokens"].alias("__n_tokens"),
+        sig["n_punct"].alias("__n_punct"),
+        sig["n_stop"].alias("__n_stop"),
+    )
+    f = X.quality_features_from_signals(
+        {
+            "n_chars": F.col("__n_chars"),
+            "n_tokens": F.col("__n_tokens"),
+            "n_punct": F.col("__n_punct"),
+            "n_stop": F.col("__n_stop"),
+        }
+    )
+    return base.select(
         "doc_id",
         f["n_chars"].cast("long").alias("n_chars"),
         f["n_tokens"].cast("long").alias("n_tokens"),
         F.round(f["punct_ratio"], 6).alias("punct_ratio"),
         F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
-        X.quality_score("text").alias("quality"),
+        X.quality_score_from_features(f).alias("quality"),
     )
 
 

@@ -335,3 +335,42 @@ def test_quantile_sketch_broadcast_threshold_partial_counts(spark):
     # the retained-row side must NOT hashpartition the corpus on grp:
     # the only corpus-wide operator is the scan + in-row level project
     assert p.count("Exchange hashpartitioning(grp") <= 2  # count agg only
+
+
+def test_b23_ranking_group_limit_matches_direct_window(spark):
+    """r17: the restructured b23 (rank-only window + count broadcast +
+    arithmetic rank/ntile/percent_rank/cume_dist) is row-identical to
+    the direct six-function window and its plan carries the
+    WindowGroupLimit pushdown the original shape blocked."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.queries.layer_b import q_b23_ranking
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted(tuple(r) for r in q_b23_ranking(spark, sf_dir).collect())
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    want = sorted(
+        tuple(r)
+        for r in orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rk"),
+            F.dense_rank().over(w).alias("drk"),
+            F.ntile(4).over(w).alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .filter(F.col("rn") <= 5)
+        .collect()
+    )
+    assert got == want
+
+    p = plan_of(spark, "b23_ranking")
+    assert "WindowGroupLimit" in p

@@ -626,3 +626,43 @@ def test_backoff_from_counts_equals_batch_and_maintained(spark, tmp_path):
         for r in backoff_score_from_counts(crawl, state).collect()
     )
     assert live == want
+
+
+def test_quality_two_stage_matches_fused(spark):
+    """r17: the registered xtext_quality two-stage projection (signals
+    materialized once, features/score derived as arithmetic) is
+    row-identical to the fused quality_features/quality_score form —
+    the restructure halves the regexp evaluations but must not move a
+    single bit of any output double."""
+    from kamu_engine_datafusion_spark.operators import text as X
+    from kamu_engine_datafusion_spark.queries.pipeline import q_xtext_quality
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted(
+        tuple(r) for r in q_xtext_quality(spark, sf_dir).collect()
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    f = X.quality_features("text")
+    want = sorted(
+        tuple(r)
+        for r in docs.select(
+            "doc_id",
+            f["n_chars"].cast("long").alias("n_chars"),
+            f["n_tokens"].cast("long").alias("n_tokens"),
+            F.round(f["punct_ratio"], 6).alias("punct_ratio"),
+            F.round(f["stopword_ratio"], 6).alias("stopword_ratio"),
+            X.quality_score("text").alias("quality"),
+        ).collect()
+    )
+    assert got == want
+
+    # and the plan actually halves the regexp work: the fused form
+    # carries 2 evaluations of each of the 5 regexps, the two-stage
+    # form exactly 1 of each
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        q_xtext_quality(spark, sf_dir).explain("formatted")
+    assert buf.getvalue().count("regexp_extract_all") == 5
