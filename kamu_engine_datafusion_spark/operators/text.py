@@ -15,7 +15,7 @@ scoring 100 TB of documents:
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kamu_engine_datafusion_spark.functions.columns import tokens
@@ -39,6 +39,24 @@ def stopword_hits(text: Column | str, lang: str) -> Column:
     return F.regexp_count(F.lower(c), F.lit(_word_regex(STOPWORDS[lang])))
 
 
+def language_id_from_hits(hits: dict[str, Column]) -> Column:
+    """:func:`language_id`'s decision arithmetic over already-computed
+    per-language hit counts. Consumers scoring large corpora should
+    materialize :func:`stopword_hits` per language in their own
+    projection and apply this on the columns: inlined into one fused
+    expression the CASE chain references each regexp up to 9× (36
+    regexp nodes in the plan vs 4 — r17)."""
+    best_count = F.greatest(*hits.values())
+    result = F.lit("und")
+    # later (reverse-sorted) languages only win strictly greater counts —
+    # earlier code order wins ties
+    for lang in sorted(hits, reverse=True):
+        result = F.when(
+            (hits[lang] == best_count) & (best_count > 0), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
 def language_id(text: Column | str) -> Column:
     """Heuristic language guess: the language whose stopword list hits
     most often; ties and zero hits fall back to ``und`` (undetermined).
@@ -47,15 +65,31 @@ def language_id(text: Column | str) -> Column:
     a greatest-hits scan.
     """
     hits = {lang: stopword_hits(text, lang) for lang in sorted(STOPWORDS)}
-    best_count = F.greatest(*hits.values())
-    result = F.lit("und")
-    # later (reverse-sorted) languages only win strictly greater counts —
-    # earlier code order wins ties
-    for lang in sorted(STOPWORDS, reverse=True):
-        result = F.when(
-            (hits[lang] == best_count) & (best_count > 0), F.lit(lang)
-        ).otherwise(result)
-    return result
+    return language_id_from_hits(hits)
+
+
+def predict_language(
+    df: DataFrame,
+    text_col: str = "text",
+    keep_cols: tuple[str, ...] = (),
+    out_col: str = "pred_lang",
+) -> DataFrame:
+    """DataFrame-level :func:`language_id`: per-language hit counts
+    materialize ONCE in a first projection, the arg-max decision runs
+    on the counted columns in a second (r17 — the two-stage shape that
+    keeps each stopword regexp to one evaluation; value-identical to
+    the fused column form by construction)."""
+    base = df.select(
+        *keep_cols,
+        *[
+            stopword_hits(text_col, lang).alias(f"__h_{lang}")
+            for lang in sorted(STOPWORDS)
+        ],
+    )
+    hits = {lang: F.col(f"__h_{lang}") for lang in sorted(STOPWORDS)}
+    return base.select(
+        *keep_cols, language_id_from_hits(hits).alias(out_col)
+    )
 
 
 def token_count(text: Column | str) -> Column:
@@ -238,17 +272,30 @@ def quality_rule_counts(
 
     Scale: ONE partial+final aggregate over the scan — the counters
     are |groups| × (rules + 2) longs; no shuffle of the corpus."""
+    # r17: the rule BOOLEANS materialize once in their own projection;
+    # the sums aggregate plain columns. Inlining the rules into the
+    # aggregate expressions re-evaluated the split/regexp pipeline per
+    # reference (216 split + 72 regexp nodes in the maintained keys'
+    # plans vs 4 + 3 now; pass_all alone re-ran all five rules).
+    # Identical counts: same boolean values, NULL semantics unchanged
+    # (NULL text → NULL rules → sum skips; pass_all AND over the same
+    # three-valued columns).
     rules = gopher_rules(text_col)
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        *[v.alias(f"__r_{k}") for k, v in rules.items()],
+    )
     passes = None
-    for v in rules.values():
-        passes = v if passes is None else (passes & v)
+    for k in rules:
+        c = F.col(f"__r_{k}")
+        passes = c if passes is None else (passes & c)
     aggs = [F.count(F.lit(1)).cast("long").alias("n_docs")]
     aggs += [
-        F.sum(v.cast("long")).cast("long").alias(f"c_{k}")
-        for k, v in rules.items()
+        F.sum(F.col(f"__r_{k}").cast("long")).cast("long").alias(f"c_{k}")
+        for k in rules
     ]
     aggs.append(F.sum(passes.cast("long")).cast("long").alias("c_pass_all"))
-    return df.groupBy(F.col(group_col).alias("grp")).agg(*aggs)
+    return base.groupBy("grp").agg(*aggs)
 
 
 def quality_rates_from_counts(counts, dp: int = 4) -> "DataFrame":

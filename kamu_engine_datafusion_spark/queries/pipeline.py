@@ -403,10 +403,12 @@ def q_xsim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_xtext_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-heuristic language ID per document."""
+    """Stopword-heuristic language ID per document (r17: two-stage —
+    the 4 stopword regexps count once, the arg-max runs on columns;
+    the fused form carried 36 regexp nodes, see text.py)."""
     t = load(spark, sf_dir, "documents")
-    return t["documents"].select(
-        "doc_id", "lang", X.language_id("text").alias("pred_lang")
+    return X.predict_language(
+        t["documents"], "text", keep_cols=("doc_id", "lang")
     )
 
 
@@ -1220,9 +1222,7 @@ def q_xlangid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load(spark, sf_dir, "documents")
-    preds = t["documents"].select(
-        "lang", X.language_id("text").alias("pred_lang")
-    )
+    preds = X.predict_language(t["documents"], "text", keep_cols=("lang",))
     return confusion_matrix(preds, "lang", "pred_lang")
 
 
@@ -2460,11 +2460,16 @@ def q_xtext_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     verdict, per document (``operators/text.py::gopher_rules``)."""
     t = load(spark, sf_dir, "documents")
     rules = X.gopher_rules("text")
-    cols = [v.alias(k) for k, v in rules.items()]
+    # r17 two-stage: rule booleans evaluate once; pass_all is an AND
+    # over the materialized columns (the fused form re-ran the whole
+    # split/regexp pipeline inside pass_all — 18 split nodes vs 4)
+    base = t["documents"].select(
+        "doc_id", *[v.alias(k) for k, v in rules.items()]
+    )
     passes = None
-    for v in rules.values():
-        passes = v if passes is None else (passes & v)
-    return t["documents"].select("doc_id", *cols, passes.alias("pass_all"))
+    for k in rules:
+        passes = F.col(k) if passes is None else (passes & F.col(k))
+    return base.select("doc_id", *rules.keys(), passes.alias("pass_all"))
 
 
 def q_xtext_c4_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3533,9 +3538,7 @@ def q_xrater_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     t = load(spark, sf_dir, "documents")
-    preds = t["documents"].select(
-        "lang", X.language_id("text").alias("pred_lang")
-    )
+    preds = X.predict_language(t["documents"], "text", keep_cols=("lang",))
     return rater_agreement(preds, "lang", "pred_lang", dp=6)
 
 

@@ -374,3 +374,33 @@ def test_b23_ranking_group_limit_matches_direct_window(spark):
 
     p = plan_of(spark, "b23_ranking")
     assert "WindowGroupLimit" in p
+
+
+def test_b17_branches_match_fused_count_distinct(spark):
+    """r17: the three-branch b17 (per-key distinct→count, joined on the
+    group key) is row-identical to the fused three-countDistinct
+    aggregate whose Expand it replaces."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.queries.layer_b import (
+        q_b17_count_distinct,
+    )
+
+    sf_dir = "/root/testdata/sf0.01"
+    got = sorted(
+        tuple(r) for r in q_b17_count_distinct(spark, sf_dir).collect()
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    want = sorted(
+        tuple(r)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .collect()
+    )
+    assert got == want
+    # the Expand (row-tripling) operator is gone from the plan
+    assert "Expand" not in plan_of(spark, "b17_count_distinct")
