@@ -1090,12 +1090,16 @@ def vocab_coverage(df, text_col: str = "text", top_v: int = 1000):
     )
 
 
-def _word_ngrams(text: Column, n: int) -> Column:
-    """Space-joined word n-grams via zip_with over n slices of the
-    token array (never transform + outer element_at — interpreted HOFs
-    do no CSE, so an outer-array reference re-evaluates the split per
-    element: O(tokens²), measured 10×; SCALE.md r9)."""
-    t = tokens(text)
+def _word_ngrams_from_tokens(t: Column, n: int) -> Column:
+    """Space-joined word n-grams from an ALREADY-TOKENIZED array via
+    zip_with over n slices (never transform + outer element_at —
+    interpreted HOFs do no CSE, so an outer-array reference re-evaluates
+    its expression per element: O(tokens²), measured 10×; SCALE.md r9).
+    Take the token array as a materialized attribute when building
+    several n simultaneously: CollapseProject will not inline a
+    non-cheap alias referenced more than once (the r17 two-stage
+    projection device), so the split runs once per row, not once per
+    slice reference."""
     m = F.greatest(F.size(t) - F.lit(n - 1), F.lit(0))
     out = F.slice(t, 1, m)
     for i in range(1, n):
@@ -1105,6 +1109,11 @@ def _word_ngrams(text: Column, n: int) -> Column:
             lambda a, b: F.concat(a, F.lit(" "), b),
         )
     return out
+
+
+def _word_ngrams(text: Column, n: int) -> Column:
+    """Space-joined word n-grams of a text column (tokenize + ngrams)."""
+    return _word_ngrams_from_tokens(tokens(text), n)
 
 
 def repetition_report(
@@ -1139,93 +1148,147 @@ def repetition_report(
     All ratios half-up ``dp`` decimals. Documents with no lines/tokens
     report 0 for the affected signals (defined, not NULL).
 
-    Scale shape: ONE explode per n over the corpus feeding a two-level
-    partial+final aggregate — (doc, gram) counts then per-doc sums; the
-    shuffle is keyed on the uniform doc id (no hot keys), per-task state
-    is bounded by distinct grams per partition, and the corpus text
-    itself is scanned once per n (Catalyst prunes to the two used
-    columns). Line stats are pure in-row column math at scan speed.
+    Scale shape (r17 single-pass restructure): the corpus is scanned
+    and tokenized ONCE; every n's gram array is built from the one
+    materialized token array and a single ``posexplode`` + ``explode``
+    pair emits (doc, n-index, gram) rows for ALL n simultaneously. One
+    two-level partial+final aggregate follows — (doc, n, gram) counts,
+    then per-doc conditional aggregates (``min(when(n=…, struct))`` /
+    ``sum(when(n=…, load))``) — so the whole report costs one scan, two
+    exchanges keyed on the uniform doc id, and ONE join with the in-row
+    line stats, versus one scan + two exchanges + one join PER n in the
+    per-n formulation (measured at sf0.1: 24 Exchange / 48 split nodes
+    → 2 Exchange / 2 split nodes for the registered 4-n report). Line
+    stats are pure in-row column math at scan speed.
     """
     from kamu_engine_datafusion_spark.functions.columns import half_up
 
     ids = df.select(F.col(id_col), F.col(text_col))
     tlen = F.length(F.coalesce(F.col(text_col), F.lit("")))
 
-    # ---- line stats: in-row --------------------------------------------
-    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), r"\n")
-    n_lines = F.size(lines)
-    n_dist = F.size(F.array_distinct(lines))
-    total_line_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
+    # ---- line stats: in-row, staged projections so the `\n` split and
+    # array_distinct run once per row instead of once per reference
+    # (alias inlining duplicated the split ~8× in the fused form;
+    # CollapseProject keeps a non-cheap alias referenced >1× staged) ---
+    n_lines = F.size(F.col("__lines"))
+    n_dist = F.size(F.col("__dlines"))
+    line_chars = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0).cast("long"), lambda a, l: a + F.length(l)
     )
-    # chars on repeat occurrences = total − chars of one copy of each
-    # distinct line
-    dist_line_chars = F.aggregate(
-        F.array_distinct(lines),
-        F.lit(0).cast("long"),
-        lambda a, l: a + F.length(l),
-    )
-    out = ids.select(
-        F.col(id_col),
-        tlen.alias("__tlen"),
-        half_up(
-            F.when(
-                n_lines > 0,
-                (n_lines - n_dist).cast("double") / n_lines,
-            ).otherwise(F.lit(0.0)),
-            dp,
-        ).alias("dup_line_frac"),
-        half_up(
-            F.when(
-                total_line_chars > 0,
-                (total_line_chars - dist_line_chars).cast("double")
-                / total_line_chars,
-            ).otherwise(F.lit(0.0)),
-            dp,
-        ).alias("dup_line_char_frac"),
+    out = (
+        ids.select(
+            F.col(id_col),
+            tlen.alias("__tlen"),
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), r"\n"
+            ).alias("__lines"),
+        )
+        .select(
+            F.col(id_col),
+            "__tlen",
+            "__lines",
+            F.array_distinct("__lines").alias("__dlines"),
+        )
+        .select(
+            F.col(id_col),
+            "__tlen",
+            n_lines.alias("__nl"),
+            n_dist.alias("__nd"),
+            line_chars(F.col("__lines")).alias("__lchars"),
+            # chars on repeat occurrences = total − chars of one copy
+            # of each distinct line
+            line_chars(F.col("__dlines")).alias("__dchars"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__tlen"),
+            half_up(
+                F.when(
+                    F.col("__nl") > 0,
+                    (F.col("__nl") - F.col("__nd")).cast("double")
+                    / F.col("__nl"),
+                ).otherwise(F.lit(0.0)),
+                dp,
+            ).alias("dup_line_frac"),
+            half_up(
+                F.when(
+                    F.col("__lchars") > 0,
+                    (F.col("__lchars") - F.col("__dchars")).cast("double")
+                    / F.col("__lchars"),
+                ).otherwise(F.lit(0.0)),
+                dp,
+            ).alias("dup_line_char_frac"),
+        )
     )
 
-    # ---- n-gram stats: explode → (doc, gram) counts → per-doc sums ----
-    for n in sorted({*top_ns, *dup_ns}):
-        grams = ids.select(
+    # ---- n-gram stats: ONE tokenize → ONE tagged explode for all n →
+    # (doc, n, gram) counts → per-doc conditional aggregates ----------
+    ns = sorted({*top_ns, *dup_ns})
+    toks = ids.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
+    )
+    # posexplode the array-of-gram-arrays (one per n), then explode each
+    # gram array: two Generate nodes over ONE materialized token array —
+    # the n is recovered from the position, so no per-element struct
+    # tagging is needed.
+    ng = (
+        toks.select(
             F.col(id_col),
-            F.explode(_word_ngrams(F.col(text_col), n)).alias("__g"),
+            F.posexplode(
+                F.array(
+                    *[
+                        _word_ngrams_from_tokens(F.col("__toks"), n)
+                        for n in ns
+                    ]
+                )
+            ).alias("__i", "__arr"),
         )
-        cnt = grams.groupBy(id_col, "__g").agg(
-            F.count(F.lit(1)).cast("long").alias("__c")
-        )
-        aggs = []
-        if n in top_ns:
-            # deterministic argmax via min(struct(-count, gram, load)):
-            # smallest -count = highest count, count ties break to the
-            # lexicographically smallest gram — fully ordered, so the
-            # reported char load never depends on aggregation order
-            aggs.append(
-                F.min(
+        .select(F.col(id_col), "__i", F.explode("__arr").alias("__g"))
+    )
+    cnt = ng.groupBy(id_col, "__i", "__g").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    aggs = []
+    for n in sorted(top_ns):
+        # deterministic argmax via min(struct(-count, gram, load)):
+        # smallest -count = highest count, count ties break to the
+        # lexicographically smallest gram — fully ordered, so the
+        # reported char load never depends on aggregation order.
+        # min() ignores rows of other n (when → NULL), exactly the
+        # per-n grouping of the per-n formulation.
+        aggs.append(
+            F.min(
+                F.when(
+                    F.col("__i") == ns.index(n),
                     F.struct(
                         (-F.col("__c")).alias("__nc"),
                         F.col("__g").alias("__g2"),
                         (F.col("__c") * F.length("__g")).alias("__load"),
-                    )
-                ).alias("__top")
-            )
-        if n in dup_ns:
-            aggs.append(
-                F.sum(
-                    F.when(
-                        F.col("__c") >= 2, F.col("__c") * F.length("__g")
-                    ).otherwise(F.lit(0))
+                    ),
                 )
-                .cast("long")
-                .alias("__dupload")
+            ).alias(f"__top_{n}")
+        )
+    for n in sorted(dup_ns):
+        # sum over this n's repeated grams; all-NULL (no repeats or no
+        # grams of this n) yields NULL, coalesced to 0 below — the same
+        # final value the per-n otherwise(0) produced.
+        aggs.append(
+            F.sum(
+                F.when(
+                    (F.col("__i") == ns.index(n)) & (F.col("__c") >= 2),
+                    F.col("__c") * F.length("__g"),
+                )
             )
-        per_doc = cnt.groupBy(id_col).agg(*aggs)
-        sel = [F.col(id_col)]
-        if n in top_ns:
-            sel.append(F.col("__top.__load").alias(f"__topload_{n}"))
-        if n in dup_ns:
-            sel.append(F.col("__dupload").alias(f"__dupload_{n}"))
-        out = out.join(per_doc.select(*sel), id_col, "left")
+            .cast("long")
+            .alias(f"__dupload_{n}")
+        )
+    per_doc = cnt.groupBy(id_col).agg(*aggs)
+    sel = [F.col(id_col)]
+    for n in sorted(top_ns):
+        sel.append(F.col(f"__top_{n}.__load").alias(f"__topload_{n}"))
+    for n in sorted(dup_ns):
+        sel.append(F.col(f"__dupload_{n}"))
+    out = out.join(per_doc.select(*sel), id_col, "left")
 
     cols = [F.col(id_col), "dup_line_frac", "dup_line_char_frac"]
     for n in sorted(top_ns):
