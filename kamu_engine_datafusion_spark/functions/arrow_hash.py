@@ -333,6 +333,77 @@ def minhash_signature_udf(
     return pandas_udf(_sig, "array<long>", PandasUDFType.SCALAR)
 
 
+def poly31_batch(strings):
+    """Vectorized twin of ``functions.columns.poly_hash31``: the 31-bit
+    polynomial fold ``acc = (acc*31 + codepoint) mod M31`` over each
+    string's characters (Spark ``ascii`` on a 1-char string is the code
+    point — probed live incl. supplementary planes). Returns
+    ``(hashes int64 ndarray, null_mask bool ndarray)`` aligned with the
+    input.
+
+    Shape: one utf-32 decode of the batch's concatenated chars, one
+    positional-power Horner product (``h = Σ c_k·31^(L−1−k) mod M31``
+    — precomputed power table, so no per-char Python), one
+    ``add.reduceat`` per batch. Exact: codepoint·31^j mod M31 <
+    2^21·2^31 = 2^52 and per-string sums < len·2^31 — int64-safe.
+    """
+    import numpy as np
+
+    k = len(strings)
+    null_mask = np.fromiter(
+        (not isinstance(s, str) for s in strings), dtype=bool, count=k
+    )
+    h = np.zeros(k, dtype=np.int64)
+    ss = [s for s in strings if isinstance(s, str)]
+    if not ss:
+        return h, null_mask
+    lens = np.fromiter((len(s) for s in ss), dtype=np.int64, count=len(ss))
+    total = int(lens.sum())
+    if total == 0:
+        return h, null_mask
+    codes = np.frombuffer(
+        "".join(ss).encode("utf-32-le"), dtype="<u4"
+    ).astype(np.int64)
+    m31 = np.int64(_MERSENNE_31)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    maxlen = int(lens.max())
+    pow31 = np.empty(maxlen, dtype=np.int64)
+    pow31[0] = 1
+    for j in range(1, maxlen):
+        pow31[j] = (pow31[j - 1] * 31) % _MERSENNE_31
+    # exponent of char k in string i: (end_i - 1) - k
+    exp = np.repeat(offsets + lens, lens) - 1 - np.arange(total)
+    prod = (codes * pow31[exp]) % m31
+    nz = lens > 0
+    hv = np.zeros(len(ss), dtype=np.int64)
+    if nz.any():
+        hv[nz] = np.add.reduceat(prod, offsets[nz]) % m31
+    h[~null_mask] = hv
+    return h, null_mask
+
+
+def poly31_hash_udf() -> "callable":
+    """Arrow-batched pandas UDF ``string -> long`` producing the EXACT
+    values of ``poly_hash31`` (parity pytest incl. unicode/empty/null).
+    NULL in → NULL out. This is the corpus-scan backend of the "poly"
+    (oracle-replayable) hash profile — the Column form is an
+    interpreted per-char HOF fold (~2.2 µs/row) that dominated every
+    sketch build (r17, guide §4)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _poly(texts):
+        h, null_mask = poly31_batch(texts)
+        out = pd.Series(h, dtype="Int64")
+        if null_mask.any():
+            out[null_mask] = None
+        return out
+
+    return pandas_udf(_poly, "long", PandasUDFType.SCALAR)
+
+
 def shingle_hash_set_udf(shingle_len: int = 3) -> "callable":
     """Arrow-batched pandas UDF ``text -> array<long>`` producing each
     doc's DISTINCT shingle-hash set — value-identical (as a set) to

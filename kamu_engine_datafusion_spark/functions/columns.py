@@ -83,8 +83,17 @@ def poly_hash31(col: Column) -> Column:
 
     Weaker than xxhash64 but expressible identically in ANSI-ish SQL
     (DuckDB ``list_reduce`` over ``string_split(s, '')``) — used by the
-    cross-engine-verifiable MinHash variant.
-    """
+    cross-engine-verifiable MinHash variant and every "poly"-profile
+    sketch/sampling operator.
+
+    This is the interpreted-HOF form (~2.2 µs/row on 15-char ids). Two
+    things keep it off hot paths (r17): multi-reference call sites
+    let-bind or stage the result (no codegen CSE exists for HOFs), and
+    corpus-scale scans use the bit-exact vectorized twin
+    ``functions/arrow_hash.py::poly31_hash_udf``. An unrolled
+    substring/ascii codegen chain was tried and REJECTED: 48 steps
+    exceed JIT method limits (measured 2.3× slower standalone, 8×
+    slower under ``_let``)."""
     chars = F.filter(F.split(col, ""), lambda x: x != "")
     return F.aggregate(
         chars,

@@ -292,14 +292,24 @@ def bloom_build(
             F.array_distinct(word_shingles(tokens(text_col), shingle_len))
         ).alias("__sh")
     ).distinct()
+    from kamu_engine_datafusion_spark.functions.columns import _let
+
+    # Let-bind the shingle hash: the k_hashes rehashes each reference
+    # it, and the poly profile's char fold is an interpreted HOF with
+    # no codegen CSE — unbound, every rehash re-runs the fold (r17).
     h = _sh_hash31(F.col("__sh"), hash_fn)
     pos = sh.select(
         F.explode(
-            F.array(
-                *[
-                    (h * F.lit(a) + F.lit(b)) % F.lit(_M31) % F.lit(m_bits)
-                    for a, b in coeffs
-                ]
+            _let(
+                h,
+                lambda hv: F.array(
+                    *[
+                        (hv * F.lit(a) + F.lit(b))
+                        % F.lit(_M31)
+                        % F.lit(m_bits)
+                        for a, b in coeffs
+                    ]
+                ),
             )
         ).alias("__p")
     ).distinct()

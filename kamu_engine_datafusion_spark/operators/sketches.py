@@ -42,13 +42,78 @@ from kamu_engine_datafusion_spark.functions.columns import (
 
 _M31 = 2_147_483_647
 
+#: Persisted metadata-sized merge/collapse intermediates (see
+#: :func:`release_sketch_intermediates`). Same deferred-release ledger
+#: discipline as ``operators/system_columns._DEFERRED``.
+_DEFERRED: list[DataFrame] = []
+
+
+def release_sketch_intermediates(blocking: bool = False) -> None:
+    """Unpersist every sketch merge/collapse intermediate persisted by
+    :func:`quantile_sketch_merge` / :func:`quantile_sketch_collapse`.
+
+    Why those persist (r17): ``_qsk_retain`` references its input
+    TWICE (per-level counts + the threshold-filter probe). On a fresh
+    build that is two corpus scans — the correct 100 TB shape (never
+    persist a corpus-sized projection to save one pruned scan). On a
+    MERGE the input is the metadata-sized union of part sketches, and
+    a chained fold (``state = merge([state, part])`` per tick) nests
+    the dual reference: tick t's plan re-derives tick t−1's whole
+    chain twice → 2^ticks recomputes of the earliest parts (measured:
+    ``xsketch_quantile_merge`` 13.9 s at sf0.1 for a 3-tick fold over
+    600k rows). Persisting the ≤ |groups|·k·parts-row union makes the
+    fold linear again. Call this at the start of a new top-level
+    query/fold (releasing the PRIOR invocation's blocks) so a
+    long-lived engine stays flat — releasing early is always safe
+    (Spark recomputes), just slower."""
+    while _DEFERRED:
+        df = _DEFERRED.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass
+
+
+def persist_sketch(sketch: DataFrame) -> DataFrame:
+    """Persist a METADATA-SIZED sketch frame (≤ ~k rows per group) on
+    the deferred ledger and return it. For query compositions that
+    reference the same part sketch from several downstream reads
+    (e.g. a per-tick sketch feeding both a KS block and a merge
+    chain): each reference otherwise re-derives the part's corpus
+    scans. Never call this on a corpus-sized frame — the build's
+    two pruned scans are cheaper than spilling the corpus."""
+    s = sketch.persist()
+    _DEFERRED.append(s)
+    return s
+
+
+#: Backend of the "poly" hash profile on corpus scans: ``arrow`` =
+#: the bit-exact vectorized kernel (``functions/arrow_hash.py::
+#: poly31_hash_udf``, one ArrowEvalPython per scan — the sanctioned
+#: vectorized escape, r16 minhash precedent); ``jvm`` = the
+#: interpreted per-char HOF fold (the SQL-replayable definition, kept
+#: as the correctness twin — equivalence pytest-pinned). Same values
+#: either way; flipped by tests only.
+_POLY_SCAN_BACKEND = "arrow"
+
 
 def _hash31(key, hash_fn: str):
     """31-bit key hash: ``poly`` = the char-fold (SQL-replayable, the
     oracle profile); ``xxhash64`` = JVM-codegen'd xxhash folded mod M31
     (the production profile at 100 TB — avalanching and ~an order of
-    magnitude cheaper than the per-char fold; same policy as DSIR)."""
+    magnitude cheaper than the per-char fold; same policy as DSIR).
+
+    The poly profile rides ``_POLY_SCAN_BACKEND``. Call sites are all
+    top-level projections (a pandas UDF cannot sit inside a HOF
+    lambda), and multi-reference consumers stage the result in its own
+    projection so either backend evaluates ONCE per row (r17)."""
     if hash_fn == "poly":
+        if _POLY_SCAN_BACKEND == "arrow":
+            from kamu_engine_datafusion_spark.functions.arrow_hash import (
+                poly31_hash_udf,
+            )
+
+            return poly31_hash_udf()(key)
         return poly_hash31(key)
     if hash_fn == "xxhash64":
         return F.pmod(F.xxhash64(key), F.lit(_M31))
@@ -95,13 +160,21 @@ def hll_registers(
         raise ValueError(f"hll_registers: b={b} outside [2, 16]")
     m = 1 << b
     cap = 31 - b + 1
-    h = _hash31(F.col(key), hash_fn)
+    # Stage the hash in its own projection: bucket + rho reference it
+    # four times between them, and the poly profile's char fold is an
+    # interpreted HOF with no codegen CSE — inlined, every reference
+    # re-runs the fold per row (r17). The staged alias survives
+    # CollapseProject because it is non-cheap and multiply referenced.
+    hashed = df.select(
+        *group_cols, _hash31(F.col(key), hash_fn).alias("__h31")
+    )
+    h = F.col("__h31")
     w = F.shiftright(h, b)
     rho = F.when(w == F.lit(0), F.lit(cap)).otherwise(
         F.bit_count(w.bitwiseAND(-w) - F.lit(1)) + F.lit(1)
     )
     return (
-        df.select(
+        hashed.select(
             *group_cols,
             (h % F.lit(m)).alias("bucket"),
             rho.cast("long").alias("__rho"),
@@ -197,16 +270,21 @@ def hll_distinct_report(
     )
 
 
-def _cm_buckets(key, depth: int, width: int, seed: int, hash_fn: str) -> list:
-    """The ``depth`` counter columns of ``key``: universal-family
-    rehashes ``((a_i·h + b_i) mod M31) mod width`` of the 31-bit hash."""
-    h = _hash31(key, hash_fn)
-    return [
-        ((h * F.lit(a) + F.lit(c)) % F.lit(_M31) % F.lit(width)).alias(
-            f"__b{i}"
-        )
-        for i, (a, c) in enumerate(minhash_coeffs(depth, seed))
-    ]
+def _cm_buckets(h, depth: int, width: int, seed: int):
+    """Array of the ``depth`` counter buckets from a PRE-STAGED 31-bit
+    hash column ``h``: universal-family rehashes ``((a_i·h + b_i) mod
+    M31) mod width``. Callers stage the base hash in its own
+    projection (``_hash31(...).alias("__h31")``) so each rehash is
+    arithmetic on ONE evaluation — inlined, every rehash re-ran the
+    hash per row (r17: no codegen CSE for interpreted HOFs or pandas
+    UDFs, and a pandas UDF cannot sit inside a let-binding lambda)."""
+    coeffs = minhash_coeffs(depth, seed)
+    return F.array(
+        *[
+            (h * F.lit(a) + F.lit(c)) % F.lit(_M31) % F.lit(width)
+            for a, c in coeffs
+        ]
+    )
 
 
 def cm_counters(
@@ -226,10 +304,9 @@ def cm_counters(
     ``depth·width`` longs — the exchange carries the grid, never the
     key space.
     """
-    cells = df.select(
-        F.posexplode(
-            F.array(*_cm_buckets(F.col(key), depth, width, seed, hash_fn))
-        )
+    hashed = df.select(_hash31(F.col(key), hash_fn).alias("__h31"))
+    cells = hashed.select(
+        F.posexplode(_cm_buckets(F.col("__h31"), depth, width, seed))
     )
     return (
         cells.groupBy(F.col("pos").alias("i"), F.col("col").alias("bucket"))
@@ -251,12 +328,16 @@ def cm_lookup(
     at ``depth·width`` rows by construction → broadcast; absent cells
     count 0.
     """
-    probes = queries.select(
-        F.col(key),
-        F.posexplode(
-            F.array(*_cm_buckets(F.col(key), depth, width, seed, hash_fn))
-        ),
-    ).select(key, F.col("pos").alias("i"), F.col("col").alias("bucket"))
+    probes = (
+        queries.select(
+            F.col(key), _hash31(F.col(key), hash_fn).alias("__h31")
+        )
+        .select(
+            F.col(key),
+            F.posexplode(_cm_buckets(F.col("__h31"), depth, width, seed)),
+        )
+        .select(key, F.col("pos").alias("i"), F.col("col").alias("bucket"))
+    )
     joined = probes.join(F.broadcast(counters), ["i", "bucket"], "left")
     est = joined.groupBy(key).agg(
         F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("cm_est")
@@ -346,18 +427,34 @@ def _qsk_levels(
     row id's salted string form (31 when the hash is 0). P(lvl ≥ L) =
     2^-L for a uniform hash — the geometric level law, derived from the
     id rather than drawn, so it is replayable and merge-stable."""
-    h = _hash31(F.concat(F.col(id_col).cast("string"), F.lit(salt)), hash_fn)
-    lvl = F.when(h == F.lit(0), F.lit(31)).otherwise(
-        F.bit_count(h.bitwiseAND(-h) - F.lit(1))
-    )
     # NULL id or NULL value rows are dropped up front, explicitly: a
     # NULL id would hash to a NULL level and vanish SILENTLY in the
     # threshold filter, and a NULL value would sort below every real
     # value and skew low-quantile rank selection. Same defined-behavior
     # policy as hll_distinct_report's NULL-key filter.
-    return df.filter(
+    #
+    # The hash is STAGED in its own projection: the lvl expression
+    # references it three times, and neither the interpreted HOF fold
+    # nor a pandas UDF gets codegen CSE — inlined, every reference
+    # re-evaluates per row (r17: sketch build 13.0 s → 6.8 s at sf0.1
+    # from single-evaluation alone, then → sub-second on the arrow
+    # backend). The staged alias survives CollapseProject because it
+    # is non-cheap and multiply referenced.
+    hashed = df.filter(
         F.col(id_col).isNotNull() & F.col(val_col).isNotNull()
     ).select(
+        *group_cols,
+        F.col(id_col),
+        F.col(val_col),
+        _hash31(
+            F.concat(F.col(id_col).cast("string"), F.lit(salt)), hash_fn
+        ).alias("__h31"),
+    )
+    h = F.col("__h31")
+    lvl = F.when(h == F.lit(0), F.lit(31)).otherwise(
+        F.bit_count(h.bitwiseAND(-h) - F.lit(1))
+    )
+    return hashed.select(
         *group_cols,
         F.col(id_col),
         F.col(val_col),
@@ -469,6 +566,14 @@ def quantile_sketch_merge(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
+    # The union is metadata-sized (≤ Σ part-sketch rows). Persist it so
+    # _qsk_retain's dual reference (counts + probe) computes each part
+    # ONCE — a chained per-tick fold otherwise re-derives the whole
+    # prior chain per reference, 2^ticks recomputes of the earliest
+    # parts (see release_sketch_intermediates; r17, measured 13.9 →
+    # linear at sf0.1). Rides the deferred ledger.
+    u = u.persist()
+    _DEFERRED.append(u)
     return _qsk_retain(u, group_cols, k)
 
 
@@ -893,15 +998,23 @@ def _hh_verify_from_cells(
     cells_df = df.sparkSession.createDataFrame(
         [(cells,)], "cells array<array<bigint>>"
     )
-    buckets = _cm_buckets(F.col(key), depth, width, seed, hash_fn)
+    # Stage the base hash in its own projection: each of the depth
+    # lookups references it, and an unstaged reference would inline
+    # (and re-evaluate) the whole hash per lookup (r17).
+    buckets = _cm_buckets(F.col("__h31"), depth, width, seed)
     lookups = [
-        F.element_at(F.element_at("cells", i + 1), (b + 1).cast("int"))
-        for i, b in enumerate(buckets)
+        F.element_at(
+            F.element_at("cells", i + 1),
+            (F.element_at(buckets, i + 1) + 1).cast("int"),
+        )
+        for i in range(depth)
     ]
     # depth=1 is a single lookup — F.least requires ≥2 args
     est = lookups[0] if depth == 1 else F.least(*lookups)
     cand = (
-        df.select(key)
+        df.select(
+            F.col(key), _hash31(F.col(key), hash_fn).alias("__h31")
+        )
         .crossJoin(F.broadcast(cells_df))
         .filter(est >= thr)
         .select(key)
@@ -1316,4 +1429,9 @@ def quantile_sketch_collapse(
     u = sketch.select(
         *group_cols, *keep, F.col("thr").alias("__fl")
     )
+    # Metadata-sized input, dual-referenced by _qsk_retain: persist so
+    # the (possibly merge-chained) fine-sketch lineage computes once
+    # (see release_sketch_intermediates).
+    u = u.persist()
+    _DEFERRED.append(u)
     return _qsk_retain(u, group_cols, k)

@@ -4340,6 +4340,12 @@ def maintained_bloom(
     )
 
     def _words(batch_df: DataFrame) -> DataFrame:
+        from kamu_engine_datafusion_spark.functions.columns import _let
+
+        # Let-bind the shingle hash: k_hashes rehashes each reference
+        # it, and the poly profile's char fold is an interpreted HOF
+        # with no codegen CSE — unbound, every rehash re-runs the
+        # fold per shingle (r17).
         h = _sh_hash31(F.col("__sh"), hash_fn)
         pos = (
             batch_df.select(
@@ -4351,13 +4357,16 @@ def maintained_bloom(
             )
             .select(
                 F.explode(
-                    F.array(
-                        *[
-                            (h * F.lit(a) + F.lit(b))
-                            % F.lit(m31)
-                            % F.lit(m_bits)
-                            for a, b in coeffs
-                        ]
+                    _let(
+                        h,
+                        lambda hv: F.array(
+                            *[
+                                (hv * F.lit(a) + F.lit(b))
+                                % F.lit(m31)
+                                % F.lit(m_bits)
+                                for a, b in coeffs
+                            ]
+                        ),
                     )
                 ).alias("__p")
             )

@@ -1202,3 +1202,58 @@ def test_heavy_hitters_from_grid_geometry_mismatch_raises(spark):
         heavy_hitters_from_grid(
             small, df, "key", 1, 100, depth=4, width=64, seed=7
         ).collect()
+
+
+# ---------------------------------------------------------------------------
+# r17: arrow backend of the "poly" hash profile
+# ---------------------------------------------------------------------------
+
+
+def test_poly31_arrow_matches_hof_fold(spark):
+    """The vectorized poly31 kernel (functions/arrow_hash.py) is
+    bit-exact with the SQL-replayable HOF fold — incl. unicode (the
+    fold is over code points), empty strings, NULLs, and long strings."""
+    from kamu_engine_datafusion_spark.functions.arrow_hash import (
+        poly31_hash_udf,
+    )
+    from kamu_engine_datafusion_spark.functions.columns import poly_hash31
+
+    cases = [
+        "", "a", "0", "hello world", "12345-6", "x" * 47, "z" * 300,
+        "héllo", "Ünïcödé",
+        "日本語", "emoji \U0001f600 test",
+        "\t \n", "A|1-9#qsk", "Ω" * 49, " bare", "trail ", None,
+    ] + [f"{i}-{i % 7}#qsk" for i in range(500)]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    out = df.select(
+        poly31_hash_udf()(F.col("s")).alias("fast"),
+        poly_hash31(F.col("s")).alias("slow"),
+    ).collect()
+    assert all(r["fast"] == r["slow"] for r in out)
+
+
+def test_quantile_sketch_backend_twins(spark):
+    """quantile_sketch retains the identical rows under the arrow and
+    jvm poly backends (the module switch exists for exactly this
+    pin)."""
+    from kamu_engine_datafusion_spark.operators import sketches as S
+
+    df = spark.createDataFrame(
+        [(g, str(i), (i * 37) % 101) for g in ("a", "b") for i in range(400)],
+        ["g", "rid", "val"],
+    )
+    rows_arrow = sorted(
+        map(tuple, quantile_sketch(df, ["g"], "rid", "val", k=32).collect())
+    )
+    old = S._POLY_SCAN_BACKEND
+    S._POLY_SCAN_BACKEND = "jvm"
+    try:
+        rows_jvm = sorted(
+            map(
+                tuple,
+                quantile_sketch(df, ["g"], "rid", "val", k=32).collect(),
+            )
+        )
+    finally:
+        S._POLY_SCAN_BACKEND = old
+    assert rows_arrow == rows_jvm
