@@ -404,6 +404,457 @@ def poly31_hash_udf() -> "callable":
     return pandas_udf(_poly, "long", PandasUDFType.SCALAR)
 
 
+def _poly_token_hashes_flat(texts):
+    """Shared tokenize+hash front half of the POLY-profile kernels:
+    Java-semantics tokens per doc, distinct-token poly31 hashes
+    (:func:`poly31_batch` over the factorized uniques) and per-token
+    character lengths. Returns ``(tok_lists, h_flat, len_flat, lens,
+    offsets)`` — ``tok_lists`` aligned with ``texts`` (None for null
+    docs), the rest describing the flat token stream of the non-null
+    docs — or ``(tok_lists, None, None, None, None)`` when every doc
+    is null."""
+    import numpy as np
+    import pandas as pd
+
+    tok_lists = [
+        java_tokens(s) if isinstance(s, str) else None for s in texts
+    ]
+    docs = [t for t in tok_lists if t is not None]
+    if not docs:
+        return tok_lists, None, None, None, None
+    flat = [w for t in docs for w in t]
+    codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+    uh, _ = poly31_batch(list(uniques))
+    ulen = np.fromiter((len(u) for u in uniques), dtype=np.int64,
+                       count=len(uniques))
+    h_flat = uh[codes]
+    len_flat = ulen[codes]
+    lens = np.fromiter((len(t) for t in docs), dtype=np.int64)
+    offsets = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    return tok_lists, h_flat, len_flat, lens, offsets
+
+
+def poly_word_shingle_hashes_flat(texts, n: int, floor_one: bool):
+    """Flat per-shingle POLY31 hashes of each doc's space-joined word
+    n-grams — the vectorized twin of ``poly_hash31(word_shingles(
+    tokens(text), n))`` (``floor_one=True``: texts shorter than ``n``
+    tokens yield ONE whole-text shingle, the :func:`word_shingles`
+    rule) and of ``poly_hash31(_dsir_bigrams(text))`` (``n=2``,
+    ``floor_one=False``: < 2 tokens → zero bigrams).
+
+    No shingle strings are materialized: poly is positional, so
+    ``poly(a + " " + b) = (poly(a)·31^(len(b)+1) + 32·31^len(b) +
+    poly(b)) mod M31`` — each shingle hash is an exact int64-safe
+    combination of the PRE-HASHED token stream (products < 2^62).
+    Returns ``(tok_lists, acc, sh_offsets, m)``: flat shingle hashes,
+    per-doc starts and shingle counts for the non-null docs."""
+    import numpy as np
+
+    tok_lists, h_flat, len_flat, lens, offsets = _poly_token_hashes_flat(
+        texts
+    )
+    if h_flat is None:
+        return tok_lists, None, None, None
+    m31 = np.int64(_MERSENNE_31)
+    if floor_one:
+        m = np.maximum(1, lens - (n - 1))
+        widths = np.minimum(lens, n)
+    else:
+        m = np.maximum(0, lens - (n - 1))
+        widths = np.full(len(lens), n, dtype=np.int64)
+    sh_offsets = np.concatenate(([0], np.cumsum(m)[:-1]))
+    total = int(m.sum())
+    if total == 0:
+        return tok_lists, np.empty(0, dtype=np.int64), sh_offsets, m
+    maxlen = int(len_flat.max()) if len(len_flat) else 0
+    pow31 = np.empty(maxlen + 2, dtype=np.int64)
+    pow31[0] = 1
+    for j in range(1, maxlen + 2):
+        pow31[j] = (pow31[j - 1] * 31) % _MERSENNE_31
+    pos = np.repeat(offsets, m) + (
+        np.arange(total) - np.repeat(sh_offsets, m)
+    )
+    sh_width = np.repeat(widths, m)
+    acc = h_flat[pos].copy()
+    for j in range(1, n):
+        valid = j < sh_width
+        if not valid.any():
+            break
+        idx = np.minimum(pos + j, len(h_flat) - 1)
+        tl = len_flat[idx]
+        nxt = (
+            (acc * pow31[tl + 1]) % m31
+            + np.int64(32) * pow31[tl]
+            + h_flat[idx]
+        ) % m31
+        acc = np.where(valid, nxt, acc)
+    return tok_lists, acc, sh_offsets, m
+
+
+def minhash_signature_poly_udf(
+    shingle_len: int = 3, num_hashes: int = 32, seed: int = 42
+) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<long>`` producing the
+    EXACT signatures of ``minhash_signatures(base_hash='poly')`` — the
+    SQL-oracle-replayable profile, whose JVM form runs the poly char
+    fold per shingle inside an interpreted ``transform`` lambda
+    (equivalence pytest-pinned). NULL text → NULL signature."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    coeffs = minhash_coeffs(num_hashes, seed)
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _sig(texts):
+        # word_shingles treats NULL text exactly like "" (its _let
+        # wrapper + concat_ws's null-swallowing yield the single empty
+        # shingle [""]), so the poly profile KEEPS null-text docs —
+        # unlike the xxhash64/shingle_hash_array profile (live-pinned)
+        texts = [t if isinstance(t, str) else "" for t in texts]
+        tok_lists, acc, sh_offsets, _m = poly_word_shingle_hashes_flat(
+            texts, shingle_len, floor_one=True
+        )
+        if acc is None:  # empty batch
+            return pd.Series([], dtype=object)
+        m31 = np.int64(_MERSENNE_31)
+        sig_cols = []
+        for a, b in coeffs:
+            v = (acc * np.int64(a) + np.int64(b)) % m31
+            sig_cols.append(np.minimum.reduceat(v, sh_offsets))
+        sig_mat = np.stack(sig_cols, axis=1)
+        return pd.Series(list(sig_mat))
+
+    return pandas_udf(_sig, "array<long>", PandasUDFType.SCALAR)
+
+
+def dsir_bucket_udf(buckets: int) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<long>``: each doc's
+    hashed-bigram DSIR buckets ``pmod(poly31(bigram), buckets)`` in
+    bigram order — the multiset ``dsir_bucket_counts`` aggregates
+    (bit-exact with the explode+``poly_hash31`` path; count aggregation
+    is order-insensitive). NULL text → NULL; < 2 tokens → empty."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    def _buckets(texts):
+        tok_lists, acc, sh_offsets, m = poly_word_shingle_hashes_flat(
+            texts, 2, floor_one=False
+        )
+        if acc is None:
+            return pd.Series([None] * len(tok_lists))
+        b = acc % np.int64(buckets)
+        bounds = np.concatenate((sh_offsets, [len(b)]))
+        out: list = []
+        d = 0
+        for t in tok_lists:
+            if t is None:
+                out.append(None)
+            else:
+                out.append(b[int(bounds[d]): int(bounds[d + 1])])
+                d += 1
+        return pd.Series(out)
+
+    return pandas_udf(_buckets, "array<long>", PandasUDFType.SCALAR)
+
+
+def dsir_score_udf(lr_ints: list[int], buckets: int) -> "callable":
+    """Arrow-batched pandas UDF ``text -> long``: the DSIR fixed-point
+    log-importance score ``Σ_bigram lr[bucket(bigram)]`` against the
+    per-bucket log-ratio literal table — the vectorized twin of the
+    interpreted ``F.aggregate`` fold in ``_dsir_score_with_counts``
+    (bit-exact: same poly31 buckets, same int64 sums). NULL text →
+    NULL (callers coalesce to 0, matching the JVM plan)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    lr = np.asarray(lr_ints, dtype=np.int64)
+
+    def _score(texts):
+        tok_lists, acc, sh_offsets, m = poly_word_shingle_hashes_flat(
+            texts, 2, floor_one=False
+        )
+        if acc is None:
+            return pd.Series([None] * len(tok_lists), dtype="Int64")
+        contrib = lr[acc % np.int64(buckets)]
+        scores = np.zeros(len(m), dtype=np.int64)
+        nz = m > 0
+        if nz.any():
+            scores[nz] = np.add.reduceat(contrib, sh_offsets[nz])
+        out = np.zeros(len(tok_lists), dtype=np.int64)
+        null_mask = np.zeros(len(tok_lists), dtype=bool)
+        d = 0
+        for i, t in enumerate(tok_lists):
+            if t is None:
+                null_mask[i] = True
+            else:
+                out[i] = scores[d]
+                d += 1
+        res = pd.Series(out, dtype="Int64")
+        if null_mask.any():
+            res[null_mask] = None
+        return res
+
+    return pandas_udf(_score, "long", PandasUDFType.SCALAR)
+
+
+def _int_vec_rows(series):
+    """Normalize an Arrow ``array<long>`` batch column to a list of
+    int64 ndarrays (None preserved). Shared by the exact-integer
+    vector kernels below."""
+    import numpy as np
+
+    out = []
+    for v in series:
+        if v is None:
+            out.append(None)
+        else:
+            out.append(np.asarray(v, dtype=np.int64))
+    return out
+
+
+def _int_vec_series(values, null_mask):
+    """int64 ndarray + bool mask → nullable Int64 pandas Series."""
+    import pandas as pd
+
+    s = pd.Series(values, dtype="Int64")
+    if null_mask is not None and null_mask.any():
+        s[null_mask] = None
+    return s
+
+
+def int_dot_udf() -> "callable":
+    """Arrow-batched pandas UDF ``(array<long>, array<long>) -> long``:
+    the EXACT integer dot product ``Σ u_i·v_i`` — the vectorized twin
+    of the interpreted ``aggregate(zip_with(u, v, *), 0, +)`` HOF that
+    dominates every per-pair quantized-cosine verification (r17, guide
+    §4: ~3-4 µs per 64-dim pair interpreted). Bit-exact: numpy int64
+    wraps like a JVM long, and wrapping addition is order-independent.
+    NULL (either side) or length-mismatched rows → NULL, matching
+    ``zip_with``'s null padding."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _dot(u, v):
+        uu = _int_vec_rows(u)
+        vv = _int_vec_rows(v)
+        k = len(uu)
+        out = np.zeros(k, dtype=np.int64)
+        null_mask = np.zeros(k, dtype=bool)
+        # rectangular fast path: every valid pair shares one dim
+        dims = {
+            (len(a), len(b))
+            for a, b in zip(uu, vv)
+            if a is not None and b is not None
+        }
+        with np.errstate(over="ignore"):
+            if len(dims) == 1 and next(iter(dims))[0] == next(
+                iter(dims)
+            )[1]:
+                valid = np.fromiter(
+                    (a is not None and b is not None
+                     for a, b in zip(uu, vv)),
+                    dtype=bool, count=k,
+                )
+                if valid.any():
+                    um = np.stack([a for a in uu if a is not None])
+                    vm = np.stack([b for b in vv if b is not None])
+                    out[valid] = np.einsum("ij,ij->i", um, vm)
+                null_mask = ~valid
+            else:
+                for i, (a, b) in enumerate(zip(uu, vv)):
+                    if a is None or b is None or len(a) != len(b):
+                        null_mask[i] = True
+                    else:
+                        out[i] = int(np.dot(a, b))
+        return _int_vec_series(out, null_mask)
+
+    return pandas_udf(_dot, "long", PandasUDFType.SCALAR)
+
+
+def int_dot_const_udf(vec: list[int]) -> "callable":
+    """Arrow-batched pandas UDF ``array<long> -> long``: exact integer
+    dot with a CONSTANT vector riding the closure — the kernel form of
+    ``aggregate(zip_with(col, array(<lits>), *), 0, +)`` (power-
+    iteration projections, stored-state × query-vector scoring). NULL
+    or length-mismatched rows → NULL."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    c = np.asarray(vec, dtype=np.int64)
+
+    def _dot(u):
+        uu = _int_vec_rows(u)
+        k = len(uu)
+        out = np.zeros(k, dtype=np.int64)
+        null_mask = np.zeros(k, dtype=bool)
+        valid = np.fromiter(
+            (a is not None and len(a) == len(c) for a in uu),
+            dtype=bool, count=k,
+        )
+        with np.errstate(over="ignore"):
+            if valid.any():
+                um = np.stack([a for a, ok in zip(uu, valid) if ok])
+                out[valid] = um @ c
+        null_mask = ~valid
+        return _int_vec_series(out, null_mask)
+
+    return pandas_udf(_dot, "long", PandasUDFType.SCALAR)
+
+
+def nearest_centroid_enc_udf(
+    centroids: list[list[int]], k: int
+) -> "callable":
+    """Arrow-batched pandas UDF ``array<long> -> long``: the quantized
+    k-means argmin-with-tie-encoding ``least_cid(dist²(v, c_cid)·k +
+    cid)`` over CONSTANT integer centroids — the kernel form of
+    ``kmeans_enc_expr`` (whose JVM form runs one interpreted
+    zip_with/aggregate fold PER CENTROID per row). Bit-exact: the
+    squared distance is computed in the direct ``Σ(a−b)²`` form (one
+    vectorized pass per centroid), numpy int64 wrapping like a JVM
+    long. Encodings are unique per cid (enc ≡ cid mod k), so ``min``
+    equals ``F.least``. NULL / length-mismatched rows → NULL (the JVM
+    ``least`` of all-NULL encs)."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    cm = [np.asarray(c, dtype=np.int64) for c in centroids]
+    kk = np.int64(k)
+
+    def _enc(v):
+        vv = _int_vec_rows(v)
+        n = len(vv)
+        out = np.zeros(n, dtype=np.int64)
+        null_mask = np.zeros(n, dtype=bool)
+        dim = len(cm[0]) if cm else 0
+        valid = np.fromiter(
+            (a is not None and len(a) == dim for a in vv),
+            dtype=bool, count=n,
+        )
+        with np.errstate(over="ignore"):
+            if valid.any():
+                vm = np.stack([a for a, ok in zip(vv, valid) if ok])
+                best = None
+                for cid, c in enumerate(cm):
+                    diff = vm - c
+                    enc = (
+                        np.einsum("ij,ij->i", diff, diff) * kk
+                        + np.int64(cid)
+                    )
+                    best = enc if best is None else np.minimum(best, enc)
+                out[valid] = best
+        null_mask = ~valid
+        return _int_vec_series(out, null_mask)
+
+    return pandas_udf(_enc, "long", PandasUDFType.SCALAR)
+
+
+def word_shingle_set_udf(shingle_len: int = 3) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<string>`` producing each
+    doc's DISTINCT word-shingle strings — the vectorized twin of
+    ``array_distinct(word_shingles(tokens(text), n))`` (the string-
+    shingle build ``verified_jaccard`` runs per candidate doc on the
+    poly/SQL-oracle profile, where the JVM path pays an interpreted
+    ``transform``+``concat_ws`` per position). Same first-occurrence
+    order as ``array_distinct``; consumers are set ops
+    (intersect/size). NULL text behaves like "" — the single empty
+    shingle (``word_shingles``'s live-pinned rule: its _let wrapper +
+    concat_ws's null-swallowing never yield NULL)."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _sets(texts):
+        out: list = []
+        for s in texts:
+            t = java_tokens(s if isinstance(s, str) else "")
+            nsh = max(1, len(t) - (shingle_len - 1))
+            out.append(
+                list(
+                    dict.fromkeys(
+                        " ".join(t[i: i + shingle_len])
+                        for i in range(nsh)
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return pandas_udf(_sets, "array<string>", PandasUDFType.SCALAR)
+
+
+def bloom_candidate_shingles_udf(
+    bitmap: list[int],
+    shingle_len: int,
+    m_bits: int,
+    coeffs: list[tuple[int, int]],
+    hash_fn: str,
+) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<string>``: each doc's
+    DISTINCT word shingles that pass the Bloom bitmap — the vectorized
+    phase-1 prefilter of ``bloom_flag_with_bitmap`` (bit-exact: same
+    ``word_shingles`` rule incl. the <n-token whole-text shingle, same
+    31-bit hash (xxhash64-pmod or poly31), same universal-family bit
+    positions; first-occurrence order like ``filter(array_distinct(…))``,
+    though consumers explode into an equi-join). The bitmap rides the
+    CLOSURE (serialized once per task set) instead of a broadcast row —
+    at the 2^20-bit default that is 128 KiB. NULL text behaves like ""
+    (word_shingles's live-pinned rule): its single empty shingle still
+    probes the bitmap, exactly like the JVM expression."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    bm = np.asarray(bitmap, dtype=np.int64).view(np.uint64)
+    m31 = np.int64(_MERSENNE_31)
+
+    def _cands(texts):
+        doc_shingles: list = []
+        flat: list[str] = []
+        for s in texts:
+            # NULL text behaves like "" (word_shingles's live-pinned
+            # rule) — its single empty shingle still probes the bitmap
+            t = java_tokens(s if isinstance(s, str) else "")
+            nsh = max(1, len(t) - (shingle_len - 1))
+            sh = list(
+                dict.fromkeys(
+                    " ".join(t[i: i + shingle_len]) for i in range(nsh)
+                )
+            )
+            doc_shingles.append(sh)
+            flat.extend(sh)
+        if not flat:
+            return pd.Series(doc_shingles)
+        if hash_fn == "poly":
+            h, _ = poly31_batch(flat)
+        else:
+            h = xxhash64_bytes([s.encode("utf-8") for s in flat]) % m31
+        member = np.ones(len(flat), dtype=bool)
+        for a, b in coeffs:
+            p = (h * np.int64(a) + np.int64(b)) % m31 % np.int64(m_bits)
+            member &= ((bm[p >> 6] >> (p & 63).astype(np.uint64))
+                       & np.uint64(1)).astype(bool)
+        out: list = []
+        d = 0
+        for sh in doc_shingles:
+            if sh is None:
+                out.append(None)
+            else:
+                k = len(sh)
+                out.append(
+                    [s for s, keep in zip(sh, member[d: d + k]) if keep]
+                )
+                d += k
+        return pd.Series(out)
+
+    return pandas_udf(_cands, "array<string>", PandasUDFType.SCALAR)
+
+
 def shingle_hash_set_udf(shingle_len: int = 3) -> "callable":
     """Arrow-batched pandas UDF ``text -> array<long>`` producing each
     doc's DISTINCT shingle-hash set — value-identical (as a set) to

@@ -36,6 +36,58 @@ import warnings
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+#: Backend of the exact-integer vector arithmetic (pair dot products,
+#: k-means argmin encodings, power-iteration projections): ``arrow`` =
+#: the vectorized numpy kernels (``functions/arrow_hash.py`` — one
+#: ArrowEvalPython per scan, bit-exact: numpy int64 wraps like a JVM
+#: long); ``jvm`` = the interpreted zip_with/aggregate HOF folds (the
+#: SQL-replayable definition, kept as the correctness twin —
+#: equivalence pytest-pinned). Same values either way; flipped by
+#: tests only. Consumed here and by ``streaming/structured.py`` /
+#: ``operators/similarity.py`` via :func:`int_dot_expr` /
+#: :func:`kmeans_enc_expr`.
+_INT_VEC_BACKEND = "arrow"
+
+
+def int_dot_expr(u, v):
+    """Exact integer dot product of two ``array<long>`` columns —
+    rides :data:`_INT_VEC_BACKEND` (r17, guide §4: the interpreted
+    fold costs ~3-4 µs per 64-dim pair and dominated every per-pair
+    quantized-cosine verify)."""
+    if _INT_VEC_BACKEND == "arrow":
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            int_dot_udf,
+        )
+
+        return int_dot_udf()(u, v)
+    return F.aggregate(
+        F.zip_with(u, v, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def int_dot_const_expr(col, vec: list[int]):
+    """Exact integer dot of an ``array<long>`` column with a CONSTANT
+    int vector — rides :data:`_INT_VEC_BACKEND` (arrow: the constant
+    rides the UDF closure; jvm: a literal array inside the interpreted
+    fold)."""
+    if _INT_VEC_BACKEND == "arrow":
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            int_dot_const_udf,
+        )
+
+        return int_dot_const_udf(vec)(col)
+    return F.aggregate(
+        F.zip_with(
+            col,
+            F.array(*[F.lit(int(x)).cast("long") for x in vec]),
+            lambda a, b: a * b,
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
 
 def _oriented(df: DataFrame) -> DataFrame:
     """Orient each edge larger→smaller and drop self-loops/duplicates."""
@@ -315,9 +367,22 @@ def kmeans_enc_expr(centroids: list[list[int]], k: int, vec=None):
     (default ``__qv``; pass ``vec`` for a slice — the PQ subspace
     case): quantized squared L2 distance to each centroid (broadcast
     as literals — assignment never shuffles), encoded ``dist·k + cid``
-    so one ``least`` yields (distance, lowest-winning-cid) at once."""
+    so one ``least`` yields (distance, lowest-winning-cid) at once.
+
+    Rides :data:`_INT_VEC_BACKEND` (r17): the JVM form runs ONE
+    interpreted zip_with/aggregate fold PER CENTROID per row; the
+    arrow kernel does one vectorized ``Σ(a−b)²`` pass per centroid
+    per Arrow batch — bit-exact, incl. the unique tie encoding."""
     if vec is None:
         vec = F.col("__qv")
+    if _INT_VEC_BACKEND == "arrow":
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            nearest_centroid_enc_udf,
+        )
+
+        return nearest_centroid_enc_udf(
+            [[int(v) for v in c] for c in centroids], k
+        )(vec)
     encs = []
     for cid, c_vec in enumerate(centroids):
         dist = F.aggregate(
@@ -516,11 +581,7 @@ def semdedup(
         F.col("__q2").alias("__rq"),
         F.col("__n2").alias("__rn"),
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__lq"), F.col("__rq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dot = int_dot_expr(F.col("__lq"), F.col("__rq"))
     dups = (
         left.join(right, "cluster")
         .filter(F.col("__lid") < F.col("__rid"))
@@ -644,11 +705,7 @@ def semdedup_increment_against_index(
     near = lambda: _semdedup_neardup(  # noqa: E731
         F.col("__dot"), F.col("__ln"), F.col("__rn"), tau2_num, tau2_den
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("__lq"), F.col("__rq"), lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    dot = int_dot_expr(F.col("__lq"), F.col("__rq"))
     right = inc_rows.select(
         "cluster",
         F.col(id_col).alias("__rid"),
@@ -1093,20 +1150,36 @@ def top_principal_component(
     v = [
         (j * 2654435761) % (2 * v_scale + 1) - v_scale for j in range(dim)
     ]
-    for _ in range(iters):
-        vec_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-        s = F.aggregate(
-            F.zip_with("__qc", vec_lit, lambda a, b: a * b),
+
+    # Projection backend by MEASURED input size (n is already known
+    # here): the arrow kernel wins when the per-row interpreted fold
+    # (~0.25 µs/element) outweighs one ArrowEvalPython round-trip per
+    # power iteration (~0.3 s) — crossover ≈ 2M elements. Derived from
+    # the runtime input, not a local-mode constant (r17, guide §2/§4);
+    # the module switch still forces the JVM twin for tests.
+    use_arrow = (
+        _INT_VEC_BACKEND == "arrow" and n * dim >= 2_000_000
+    )
+
+    def _proj(vec_ints):
+        if use_arrow:
+            return int_dot_const_expr(F.col("__qc"), vec_ints)
+        return F.aggregate(
+            F.zip_with(
+                "__qc",
+                F.array(*[F.lit(int(x)).cast("long") for x in vec_ints]),
+                lambda a, b: a * b,
+            ),
             F.lit(0).cast("long"),
             lambda a, x: a + x,
         )
+
+    for _ in range(iters):
+        s = _proj(v)
         # project the dot product ONCE per row before the aggregate —
         # referencing `s` inside each of the `dim` sum expressions
-        # inlines `dim` copies of the interpreted HOF fold (the r9 HOF
-        # lesson). Measured 12% at 50k×64 — smaller than the usual HOF
-        # win because the aggregate layer CSEs identical deterministic
-        # subtrees; kept because the projection also makes the plan
-        # read as one fold, not 64
+        # would inline `dim` copies of the projection fold/kernel (the
+        # r9 HOF lesson; a pandas UDF gets no codegen CSE either)
         w_row = (
             qc.select(s.alias("__s"), "__qc")
             .agg(
@@ -1130,12 +1203,7 @@ def top_principal_component(
             if x < 0:
                 v = [-y for y in v]
             break
-    vec_lit = F.array(*[F.lit(int(x)).cast("long") for x in v])
-    s = F.aggregate(
-        F.zip_with("__qc", vec_lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
+    s = _proj(v)
     # The Rayleigh numerator Σ__s² is NOT covered by the w-sum
     # precheck (worst case n·(dim·max|x'|·v_scale)², far above it, but
     # every a-priori bound — even n·max|x'·v|² — is loose enough to

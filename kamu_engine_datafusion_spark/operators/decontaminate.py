@@ -261,6 +261,15 @@ def ngram_novelty(
 
 _M31 = 2_147_483_647
 
+#: Backend of the Bloom phase-1 corpus prefilter: ``arrow`` = the
+#: vectorized kernel (``functions/arrow_hash.py::
+#: bloom_candidate_shingles_udf`` — one ArrowEvalPython doing
+#: tokenize→shingle→hash→membership per doc, bit-exact with the JVM
+#: expression); ``jvm`` = the interpreted HOF pipeline (kept as the
+#: correctness twin — equivalence pytest-pinned). Same candidate sets
+#: either way; flipped by tests only.
+_BLOOM_SCAN_BACKEND = "arrow"
+
 
 def bloom_build(
     benchmark: DataFrame,
@@ -426,41 +435,63 @@ def bloom_flag_with_bitmap(
     )
 
     coeffs = minhash_coeffs(k_hashes, seed)
-    # the bitmap enters the plan as DATA (one broadcast row), NOT as a
-    # 16k-literal CreateArray expression: an outer EXPRESSION inside an
-    # interpreted HOF lambda re-evaluates per element (the r9
-    # transform+element_at lesson) — as a literal array the membership
-    # test measured ~80× slower than this attribute-bound form; an
-    # attribute is just a row-value read
-    spark = corpus.sparkSession
-    bm_df = spark.createDataFrame(
-        [(bitmap,)], "__bm array<bigint>"
-    )
-    # hash each shingle ONCE (a transform), THEN test membership on the
-    # precomputed hash — never inside the k-way condition (no CSE in
-    # interpreted HOF lambdas)
-    hashed = F.transform(
-        F.array_distinct(word_shingles(tokens(text_col), shingle_len)),
-        lambda s: F.struct(
-            s.alias("s"), _sh_hash31(s, hash_fn).alias("h")
-        ),
-    )
-    cand = (
-        corpus.crossJoin(F.broadcast(bm_df))
-        .select(
-            F.col(id_col).alias("__id"),
-            F.transform(
-                F.filter(
-                    hashed,
-                    lambda q: _bloom_member_h(
-                        q["h"], F.col("__bm"), coeffs, m_bits
-                    ),
-                ),
-                lambda q: q["s"],
-            ).alias("__cand"),
+    if _BLOOM_SCAN_BACKEND == "arrow":
+        # vectorized phase 1: ONE ArrowEvalPython does
+        # tokenize→shingle→hash→k-bit membership per doc (bit-exact
+        # candidate sets) — the JVM form runs the shingle hash and the
+        # k getbit tests inside interpreted HOF lambdas per shingle
+        # (r17, guide §4). The bitmap rides the UDF closure (8–128 KiB)
+        # instead of a broadcast row.
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            bloom_candidate_shingles_udf,
         )
-        .filter(F.size("__cand") > 0)
-    )
+
+        cand_udf = bloom_candidate_shingles_udf(
+            bitmap, shingle_len, m_bits, coeffs, hash_fn
+        )
+        cand = (
+            corpus.select(
+                F.col(id_col).alias("__id"),
+                cand_udf(F.col(text_col)).alias("__cand"),
+            )
+            .filter(F.size("__cand") > 0)
+        )
+    else:
+        # the bitmap enters the plan as DATA (one broadcast row), NOT as
+        # a 16k-literal CreateArray expression: an outer EXPRESSION
+        # inside an interpreted HOF lambda re-evaluates per element (the
+        # r9 transform+element_at lesson) — as a literal array the
+        # membership test measured ~80× slower than this attribute-bound
+        # form; an attribute is just a row-value read
+        spark = corpus.sparkSession
+        bm_df = spark.createDataFrame(
+            [(bitmap,)], "__bm array<bigint>"
+        )
+        # hash each shingle ONCE (a transform), THEN test membership on
+        # the precomputed hash — never inside the k-way condition (no
+        # CSE in interpreted HOF lambdas)
+        hashed = F.transform(
+            F.array_distinct(word_shingles(tokens(text_col), shingle_len)),
+            lambda s: F.struct(
+                s.alias("s"), _sh_hash31(s, hash_fn).alias("h")
+            ),
+        )
+        cand = (
+            corpus.crossJoin(F.broadcast(bm_df))
+            .select(
+                F.col(id_col).alias("__id"),
+                F.transform(
+                    F.filter(
+                        hashed,
+                        lambda q: _bloom_member_h(
+                            q["h"], F.col("__bm"), coeffs, m_bits
+                        ),
+                    ),
+                    lambda q: q["s"],
+                ).alias("__cand"),
+            )
+            .filter(F.size("__cand") > 0)
+        )
     bench_shingles = F.broadcast(
         benchmark.select(
             F.explode(

@@ -85,6 +85,48 @@ def release_intermediates(blocking: bool = False) -> None:
     _release_deferred(blocking=blocking)
 
 
+#: Persisted metadata-sized MAINTAINED-STATE frames (accumulated index
+#: bands/sigs, component edges, …) — a SEPARATE ledger from _DEFERRED
+#: because the per-call _release_deferred() must NOT drop state a later
+#: tick still folds over. Same device as
+#: ``operators/sketches.release_sketch_intermediates``.
+_STATE_DEFERRED: list[DataFrame] = []
+
+
+def release_state_intermediates(blocking: bool = False) -> None:
+    """Unpersist every maintained-state frame parked by
+    :func:`persist_state`. Call at the start of a new top-level
+    fold/query (releasing the PRIOR invocation's blocks) so a
+    long-lived engine stays flat — releasing early is always safe
+    (Spark recomputes), just slower."""
+    while _STATE_DEFERRED:
+        df = _STATE_DEFERRED.pop()
+        try:
+            df.unpersist(blocking)
+        except Exception:
+            pass
+
+
+def persist_state(state: DataFrame) -> DataFrame:
+    """Persist a METADATA-SIZED maintained-state frame on the state
+    ledger and return it.
+
+    Why (r17, guide §2/§5): a chained per-tick fold
+    (``state = f(state, tick)``) that references ``state`` more than
+    once per tick (an index is probed AND unioned; component edges are
+    joined twice) nests the dual reference — at action time tick t's
+    plan re-derives tick t−1's whole chain per reference, 2^ticks
+    recomputes of the earliest ticks (measured:
+    ``xminhash_index_maintained`` 14.2 s at sf0.1 for a 3-tick fold
+    over 300 docs). Persisting each tick's accumulated state makes the
+    fold linear: even lazily, the first action computes each persisted
+    level once and every later reference reads the cache. Never call
+    this on a corpus-sized frame."""
+    s = state.persist()
+    _STATE_DEFERRED.append(s)
+    return s
+
+
 def normalize_text(col: Column | str) -> Column:
     """Canonical text form for exact dedup: lowercase, collapse runs of
     whitespace, trim."""
@@ -114,14 +156,16 @@ def exact_dedup(
 
 def _resolve_sig_layout(layout: str | None, base_hash: str) -> str:
     """r17: the vectorized arrow signature backend is the OPERATOR
-    DEFAULT (``layout=None`` → ``"arrow"`` for xxhash64) after two
-    driver windows certified it bit-exact; the poly base hash exists
-    for SQL-oracle replay and stays on the JVM explode path. Pass an
-    explicit layout to pin a backend (``"explode"``/``"inrow"`` are
-    the pytest-pinned correctness twins)."""
+    DEFAULT (``layout=None`` → ``"arrow"``) — for xxhash64 after two
+    driver windows certified it bit-exact, and for the poly/SQL-oracle
+    profile since the ``minhash_signature_poly_udf`` kernel landed (its
+    JVM form runs the poly char fold per shingle inside an interpreted
+    ``transform`` — the dominant cost of every poly-profile dedup key).
+    Pass an explicit layout to pin a backend (``"explode"``/``"inrow"``
+    are the pytest-pinned correctness twins)."""
     if layout is not None:
         return layout
-    return "arrow" if base_hash == "xxhash64" else "explode"
+    return "arrow"
 
 
 def _resolve_fan_out(
@@ -240,17 +284,16 @@ def minhash_signatures(
     """
     layout = _resolve_sig_layout(layout, base_hash)
     if layout == "arrow":
-        if base_hash != "xxhash64":
-            raise ValueError(
-                "minhash_signatures: layout='arrow' supports only "
-                "base_hash='xxhash64' (the poly variant exists for "
-                "SQL-oracle replay and stays on the JVM path)"
-            )
         from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            minhash_signature_poly_udf,
             minhash_signature_udf,
         )
 
-        udf = minhash_signature_udf(shingle_len, num_hashes, seed)
+        udf = (
+            minhash_signature_poly_udf(shingle_len, num_hashes, seed)
+            if base_hash == "poly"
+            else minhash_signature_udf(shingle_len, num_hashes, seed)
+        )
         narrow = df.select(
             F.col(id_col).alias("__id"), F.col(text_col).alias("__t")
         )
@@ -513,22 +556,22 @@ def verified_jaccard(
         # pruned set — r17, guide §2).
         pruned = pruned.select(id_col, text_col).repartition(fan_out)
     if shingle_backend is None:
-        # r17 default: arrow (driver-certified bit-parity) whenever the
-        # hashed-shingle form is in play; string shingles (SQL-oracle
-        # replay) stay on the JVM path.
-        shingle_backend = "arrow" if use_hashed_shingles else "jvm"
+        # r17 default: arrow (driver-certified bit-parity) for both the
+        # hashed-shingle form and the string-shingle (SQL-oracle
+        # replay) form — each has a set-identical vectorized kernel.
+        shingle_backend = "arrow"
     if shingle_backend == "arrow":
-        if not use_hashed_shingles:
-            raise ValueError(
-                "verified_jaccard: shingle_backend='arrow' requires "
-                "use_hashed_shingles=True (string shingles exist for "
-                "SQL-oracle replay and stay on the JVM path)"
-            )
         from kamu_engine_datafusion_spark.functions.arrow_hash import (
             shingle_hash_set_udf,
+            word_shingle_set_udf,
         )
 
-        sh_col = shingle_hash_set_udf(shingle_len)(F.col(text_col))
+        sh_udf = (
+            shingle_hash_set_udf(shingle_len)
+            if use_hashed_shingles
+            else word_shingle_set_udf(shingle_len)
+        )
+        sh_col = sh_udf(F.col(text_col))
     else:
         shingle_set = (
             shingle_hash_array(tokens(text_col), shingle_len)

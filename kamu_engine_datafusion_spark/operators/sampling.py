@@ -1006,6 +1006,16 @@ def pack_sequences_ffd(
     return df.groupBy(*group_keys).applyInPandas(fold, out_schema)
 
 
+#: Backend of the DSIR poly-profile corpus scans (bucket counts and
+#: per-doc scoring): ``arrow`` = the vectorized kernels
+#: (``functions/arrow_hash.py::dsir_bucket_udf``/``dsir_score_udf`` —
+#: one ArrowEvalPython per scan, bit-exact poly31 bigram buckets);
+#: ``jvm`` = the interpreted HOF fold (the SQL-replayable definition,
+#: kept as the correctness twin — equivalence pytest-pinned). Same
+#: values either way; flipped by tests only.
+_DSIR_SCAN_BACKEND = "arrow"
+
+
 def _dsir_toks(c: Column) -> Column:
     return F.split(F.trim(F.lower(c)), r"\s+")
 
@@ -1045,11 +1055,24 @@ def dsir_bucket_counts(
     cross-tick fold is exact) and the input of
     :func:`dsir_scores_from_stats`. Bounded at ≤ ``buckets`` rows by
     construction (partial counts cap the exchange)."""
-    return (
-        df.select(F.explode(_dsir_bigrams(F.col(text_col))).alias("__ng"))
-        .select(_dsir_bucket(F.col("__ng"), buckets, hash_fn).alias("b"))
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    if hash_fn == "poly" and _DSIR_SCAN_BACKEND == "arrow":
+        # vectorized kernel: per-doc bucket arrays (bit-exact poly31
+        # bigram buckets), exploding LONGS instead of bigram STRINGS —
+        # the poly char fold otherwise runs interpreted per exploded
+        # bigram (r17, guide §4)
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            dsir_bucket_udf,
+        )
+
+        exploded = df.select(
+            F.explode(dsir_bucket_udf(buckets)(F.col(text_col))).alias("b")
+        )
+    else:
+        exploded = df.select(
+            F.explode(_dsir_bigrams(F.col(text_col))).alias("__ng")
+        ).select(_dsir_bucket(F.col("__ng"), buckets, hash_fn).alias("b"))
+    return exploded.groupBy("b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
     )
 
 
@@ -1077,14 +1100,23 @@ def _dsir_score_with_counts(
             (cr.get(b, 0) + lam) / (tr + lb)
         )
         lr_ints.append(int(math.floor(x * 1e9 + 0.5)))
-    arr = F.array(*[F.lit(v).cast("long") for v in lr_ints])
 
-    # NULL text must score 0, not NULL: F.aggregate over a NULL bigram
-    # array yields NULL, which would both diverge from the oracle's
+    # NULL text must score 0, not NULL: the fold/kernel yields NULL for
+    # NULL text, which would both diverge from the oracle's
     # COALESCE(score, 0) and null out the Gumbel key (dropping the doc
     # from the draw entirely instead of ranking it at weight e^0).
-    score = F.coalesce(
-        F.aggregate(
+    if hash_fn == "poly" and _DSIR_SCAN_BACKEND == "arrow":
+        # vectorized scoring kernel: the per-doc Σ lr[bucket(bigram)]
+        # fold is otherwise an interpreted HOF re-running the poly
+        # char fold per bigram (r17, guide §4) — bit-exact int64 sums
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            dsir_score_udf,
+        )
+
+        raw_score = dsir_score_udf(lr_ints, buckets)(F.col(text_col))
+    else:
+        arr = F.array(*[F.lit(v).cast("long") for v in lr_ints])
+        raw_score = F.aggregate(
             _dsir_bigrams(F.col(text_col)),
             F.lit(0).cast("long"),
             lambda acc, ng: acc
@@ -1094,9 +1126,8 @@ def _dsir_score_with_counts(
                     "int"
                 ),
             ),
-        ),
-        F.lit(0).cast("long"),
-    )
+        )
+    score = F.coalesce(raw_score, F.lit(0).cast("long"))
     return df.withColumn("dsir_score", score)
 
 

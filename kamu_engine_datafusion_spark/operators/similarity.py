@@ -542,15 +542,10 @@ def pq_topk(
         .alias(f"c{s}")
         for s in range(m_sub)
     ]
-    true_dist = F.aggregate(
-        F.zip_with(
-            F.col("__qv"),
-            F.array(*[F.lit(int(v)) for v in qv]),
-            lambda a, b: (a - b) * (a - b),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    # exact integer dist² to the constant query — the k=1 case of the
+    # routed argmin encoding (enc = dist·1 + 0); rides
+    # clustering._INT_VEC_BACKEND (r17)
+    true_dist = kmeans_enc_expr([list(qv)], 1, vec=F.col("__qv"))
     coded = q.select(
         F.col(id_col), *code_cols, true_dist.alias("true_dist2q")
     )

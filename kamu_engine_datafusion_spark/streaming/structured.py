@@ -2689,11 +2689,14 @@ def ann_topk_from_state_rows(
     qrow = state.sparkSession.createDataFrame(
         [(qq, qn2)], "__qq array<bigint>, __qn2 bigint"
     )
-    dot = F.aggregate(
-        F.zip_with(F.col("q2"), F.col("__qq"), lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    from kamu_engine_datafusion_spark.operators.clustering import (
+        int_dot_expr,
     )
+
+    # exact integer dot — rides clustering._INT_VEC_BACKEND (r17: the
+    # interpreted zip_with fold dominated every stored-state scoring
+    # read; the arrow kernel is bit-exact)
+    dot = int_dot_expr(F.col("q2"), F.col("__qq"))
     cos = F.when(
         (F.col("n2") > 0) & (F.lit(qn2) > 0),
         half_up(

@@ -933,3 +933,50 @@ def test_read_maintained_ann_topk_from_semdedup_state(spark, tmp_path):
     ]
     assert got2 == replay(probed)
     assert got2 and all(cl in probed for _, cl, _c in got2)
+
+
+def test_int_vec_arrow_backend_twins(spark):
+    """r17: the exact-integer vector kernels (int dot, const dot,
+    k-means argmin encoding) are bit-exact with the interpreted
+    zip_with/aggregate folds — incl. NULL vectors, length mismatches,
+    negative components, and tie encodings."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators import clustering as C
+
+    rows = [
+        (1, [1, 2, 3, 4], [5, -6, 7, 8]),
+        (2, [0, 0, 0, 0], [1, 1, 1, 1]),
+        (3, [-9999, 10_000, 123, -1], [10_000, 10_000, -10_000, 1]),
+        (4, None, [1, 2, 3, 4]),
+        (5, [1, 2, 3], [1, 2, 3, 4]),  # length mismatch -> NULL
+        (6, [7, 7, 7, 7], None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id long, u array<long>, v array<long>"
+    )
+    cents = [[0, 0, 0, 0], [1, 2, 3, 4], [1, 2, 3, 5], [-5, 0, 5, 0]]
+    const = [3, -1, 4, -1]
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                df.select(
+                    "id",
+                    C.int_dot_expr(F.col("u"), F.col("v")).alias("d"),
+                    C.int_dot_const_expr(F.col("u"), const).alias("dc"),
+                    C.kmeans_enc_expr(cents, len(cents), vec=F.col("u"))
+                    .alias("enc"),
+                ).collect(),
+            )
+        )
+
+    arrow = run()
+    old = C._INT_VEC_BACKEND
+    C._INT_VEC_BACKEND = "jvm"
+    try:
+        jvm = run()
+    finally:
+        C._INT_VEC_BACKEND = old
+    assert arrow == jvm

@@ -272,3 +272,48 @@ def test_word_ngrams_short_docs_general_n(spark):
     assert nov[2] == (0, 1.0)
     assert nov[3] == (0, 1.0)
     assert nov[4] == (0, 1.0)
+
+
+def test_bloom_scan_backend_twins(spark):
+    """r17: the vectorized Bloom phase-1 prefilter
+    (bloom_candidate_shingles_udf) flags the exact same documents with
+    the exact same overlap counts as the interpreted JVM pipeline —
+    under both hash profiles, incl. null/empty/short texts."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators import decontaminate as D
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        bloom_flag_contaminated,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "one two"),
+         (9004, "x\ty\nz\t"), (9005, "Ünïcödé shingle tokens here")],
+        "doc_id long, text string",
+    )
+    corpus = docs.filter(F.col("doc_id") < 400).unionByName(edge)
+    bench = docs.filter(F.col("doc_id") >= 450)
+
+    def run(hash_fn):
+        return sorted(
+            map(
+                tuple,
+                bloom_flag_contaminated(
+                    corpus, bench, shingle_len=5, threshold=1,
+                    m_bits=1 << 16, k_hashes=4, hash_fn=hash_fn,
+                ).collect(),
+            )
+        )
+
+    for hash_fn in ("xxhash64", "poly"):
+        arrow = run(hash_fn)
+        old = D._BLOOM_SCAN_BACKEND
+        D._BLOOM_SCAN_BACKEND = "jvm"
+        try:
+            jvm = run(hash_fn)
+        finally:
+            D._BLOOM_SCAN_BACKEND = old
+        assert arrow == jvm, hash_fn

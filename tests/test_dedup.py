@@ -291,11 +291,25 @@ def test_minhash_arrow_layout_identical_and_dedup_equal(spark):
     release_intermediates()
     assert surv_jvm == surv_arrow
 
-    # poly base hash is the SQL-oracle twin: arrow refuses it loudly
-    import pytest
-
-    with pytest.raises(ValueError, match="poly"):
-        minhash_signatures(d, base_hash="poly", layout="arrow")
+    # r17: the poly base hash has its own vectorized kernel — the
+    # arrow layout must be BIT-EXACT with the JVM transform+poly fold
+    # (incl. the <n-token whole-text shingle rule and null drop)
+    a_poly = {
+        r["__id"]: list(r["__sig"])
+        for r in minhash_signatures(
+            d, id_col="doc_id", base_hash="poly", layout="explode"
+        ).collect()
+    }
+    b_poly = {
+        r["__id"]: list(r["__sig"])
+        for r in minhash_signatures(
+            d, id_col="doc_id", base_hash="poly", layout="arrow"
+        ).collect()
+    }
+    assert a_poly == b_poly
+    # the poly/word_shingles profile KEEPS null-text docs (NULL behaves
+    # like "": one empty shingle) — unlike the xxhash64 profile above
+    assert 9001 in a_poly
 
 
 def test_arrow_shingle_sets_match_jvm(spark):
@@ -342,3 +356,41 @@ def test_arrow_shingle_sets_match_jvm(spark):
         ).collect()
     }
     assert jvm == arw
+
+
+def test_word_shingle_set_arrow_matches_jvm(spark):
+    """r17: the vectorized distinct word-shingle STRING sets (the poly
+    profile's verified_jaccard build) equal
+    array_distinct(word_shingles(tokens(text), n)) per doc — as sets
+    (consumers are intersect/size), incl. null/empty/short docs."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.functions.arrow_hash import (
+        word_shingle_set_udf,
+    )
+    from kamu_engine_datafusion_spark.functions.columns import (
+        tokens,
+        word_shingles,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "one"), (9004, "a b"),
+         (9005, "x\ty\nz\t"), (9006, "  padded  words here  ")],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+    for n in (3, 5):
+        rows = d.select(
+            "doc_id",
+            F.array_distinct(
+                word_shingles(tokens("text"), n)
+            ).alias("jvm"),
+            word_shingle_set_udf(n)(F.col("text")).alias("arrow"),
+        ).collect()
+        for r in rows:
+            # NULL text yields [''] on BOTH paths (word_shingles's rule)
+            assert r["jvm"] is not None and r["arrow"] is not None
+            assert sorted(r["jvm"]) == sorted(r["arrow"]), r["doc_id"]

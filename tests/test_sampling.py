@@ -1303,3 +1303,46 @@ def test_sample_with_cuts_unseen_stratum_kept(spark):
         data, cuts, "doc_id", "lang", default_cut=0
     ).collect()
     assert sorted({r["lang"] for r in dropped}) == ["fr"]
+
+
+def test_dsir_arrow_backend_twins(spark):
+    """r17: the vectorized DSIR kernels (dsir_bucket_udf /
+    dsir_score_udf) are bit-exact with the interpreted JVM fold —
+    bucket counts AND per-doc scores, incl. null text, empty text,
+    one-token docs, tab/newline whitespace, and unicode."""
+    from kamu_engine_datafusion_spark.operators import sampling as S
+    from kamu_engine_datafusion_spark.operators.sampling import (
+        dsir_bucket_counts,
+        dsir_scores,
+    )
+
+    raw, tgt = _dsir_corpora(spark)
+    edge = spark.createDataFrame(
+        [(900, "en", "raw", None), (901, "en", "raw", ""),
+         (902, "en", "raw", "solo"), (903, "en", "raw", "a\tb\nc "),
+         (904, "en", "raw", "héllo wörld Ünïcödé 日本 語"),
+         (905, "en", "raw", "  x  y  ")],
+        ["doc_id", "lang", "source", "text"],
+    )
+    raw = raw.unionByName(edge)
+
+    def run():
+        counts = sorted(
+            map(tuple, dsir_bucket_counts(raw, buckets=64,
+                                          hash_fn="poly").collect())
+        )
+        scores = sorted(
+            (r["doc_id"], r["dsir_score"])
+            for r in dsir_scores(raw, tgt, buckets=64,
+                                 hash_fn="poly").collect()
+        )
+        return counts, scores
+
+    arrow = run()
+    old = S._DSIR_SCAN_BACKEND
+    S._DSIR_SCAN_BACKEND = "jvm"
+    try:
+        jvm = run()
+    finally:
+        S._DSIR_SCAN_BACKEND = old
+    assert arrow == jvm
