@@ -310,6 +310,39 @@ def shingle_hash_sets_batch(texts, shingle_len: int):
     return out
 
 
+def shingle_hash_array_udf(shingle_len: int) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<long>`` producing the
+    ORDERED (non-distinct) rolling shingle-hash array — the vectorized
+    twin of ``shingle_hash_array(tokens(text), n)`` (the in-row window
+    hash ``duplicate_spans`` posexplodes per row on the interpreted
+    HOF path): same token xxhash64, same ``acc·P + next mod M31``
+    recurrence with 0 pads past the doc end, ``max(1, len−n+1)``
+    hashes per doc, position order preserved. NULL text → NULL."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _arr(texts):
+        tok_lists, acc, sh_offsets = _shingle_hashes_flat(
+            texts, shingle_len
+        )
+        if acc is None:
+            return pd.Series([None] * len(tok_lists))
+        bounds = list(sh_offsets[1:]) + [len(acc)]
+        out: list = []
+        d = 0
+        for t in tok_lists:
+            if t is None:
+                out.append(None)
+            else:
+                out.append(acc[int(sh_offsets[d]): int(bounds[d])])
+                d += 1
+        return pd.Series(out)
+
+    return pandas_udf(_arr, "array<long>", PandasUDFType.SCALAR)
+
+
 def minhash_signature_udf(
     shingle_len: int = 3, num_hashes: int = 32, seed: int = 42
 ) -> "callable":
@@ -752,6 +785,140 @@ def nearest_centroid_enc_udf(
         return _int_vec_series(out, null_mask)
 
     return pandas_udf(_enc, "long", PandasUDFType.SCALAR)
+
+
+def hashed_bucket_set_udf(buckets: int) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<long>``: each doc's
+    DISTINCT hashed-token feature buckets — the vectorized twin of
+    ``array_distinct(transform(filter(tokens, t != ''),
+    pmod(poly31(t), buckets)))`` (the classifier's presence-feature
+    build, whose JVM form runs the poly char fold per token inside an
+    interpreted ``transform``). First-occurrence order like
+    ``array_distinct`` (consumers sum/explode — order-insensitive).
+    NULL text → NULL; empty/whitespace text → empty array."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    b = np.int64(buckets)
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _sets(texts):
+        tok_lists = [
+            [w for w in java_tokens(s) if w != ""]
+            if isinstance(s, str)
+            else None
+            for s in texts
+        ]
+        docs = [t for t in tok_lists if t is not None]
+        out: list = []
+        if not docs:
+            return pd.Series([None] * len(tok_lists))
+        flat = [w for t in docs for w in t]
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object))
+            uh, _ = poly31_batch(list(uniques))
+            ub = uh % b
+            flat_b = ub[codes]
+        else:
+            flat_b = np.empty(0, dtype=np.int64)
+        pos = 0
+        for t in tok_lists:
+            if t is None:
+                out.append(None)
+                continue
+            k = len(t)
+            out.append(
+                np.fromiter(
+                    dict.fromkeys(flat_b[pos: pos + k].tolist()),
+                    dtype=np.int64,
+                )
+            )
+            pos += k
+        return pd.Series(out)
+
+    return pandas_udf(_sets, "array<long>", PandasUDFType.SCALAR)
+
+
+def _float_mat(series):
+    """Rectangular float64 matrix of an Arrow ``array<numeric>`` batch
+    column (callers guarantee fixed dim and no nulls — the SRP/cosine
+    paths). float32 inputs widen exactly, like Spark's
+    ``cast("double")``."""
+    import numpy as np
+
+    return np.array(series.tolist(), dtype=np.float64)
+
+
+def _ordered_dot(um, vm):
+    """Left-to-right IEEE754 dot product of two (n × dim) float64
+    matrices — bit-exact with the JVM ``aggregate(zip_with(u, v, x*y),
+    0.0, acc+x)`` fold: per element one rounded multiply then one
+    rounded add, in array order (each numpy column op is a single
+    IEEE-rounded ufunc — no FMA, no pairwise/blocked summation, unlike
+    einsum/np.dot)."""
+    import numpy as np
+
+    acc = np.zeros(um.shape[0], dtype=np.float64)
+    for j in range(um.shape[1]):
+        acc = acc + um[:, j] * vm[:, j]
+    return acc
+
+
+def float_dot_ordered_udf() -> "callable":
+    """Arrow-batched pandas UDF ``(array<numeric>, array<numeric>) ->
+    double``: the EXACT left-to-right double dot product of
+    ``functions.columns.dot_product`` (the SQL-oracle-replayable
+    summation order), vectorized per Arrow batch — unlike
+    ``_arrow_cosine``'s einsum, whose blocked summation differs in the
+    last float bits. For the oracle-pinned float cosine verifies."""
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    # no type hints: PEP 563 (module-wide `annotations` import) turns
+    # them into strings pandas_udf cannot resolve; eval type is explicit
+    def _dot(u, v):
+        if len(u) == 0:
+            return pd.Series([], dtype="float64")
+        return pd.Series(_ordered_dot(_float_mat(u), _float_mat(v)))
+
+    return pandas_udf(_dot, "double", PandasUDFType.SCALAR)
+
+
+def srp_band_keys_ordered_udf(
+    planes: list[list[float]], num_bands: int, bits_per_band: int
+) -> "callable":
+    """Arrow-batched pandas UDF ``array<numeric> -> array<long>``: the
+    SRP-LSH band keys of ``embedding_near_dups``'s JVM ``band_key``
+    expression, bit-exact — each plane dot uses the left-to-right
+    ordered fold (:func:`_ordered_dot`, so the ``>= 0`` sign decisions
+    match the oracle exactly), bits pack as ``band_offset + Σ 1<<r``
+    in int64."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    pm = [np.asarray(p, dtype=np.float64) for p in planes]
+
+    def _keys(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vm = _float_mat(v)
+        n = vm.shape[0]
+        keys = np.empty((n, num_bands), dtype=np.int64)
+        for j in range(num_bands):
+            key = np.full(n, j * (1 << bits_per_band), dtype=np.int64)
+            for r in range(bits_per_band):
+                plane = pm[j * bits_per_band + r]
+                acc = np.zeros(n, dtype=np.float64)
+                for d in range(vm.shape[1]):
+                    acc = acc + vm[:, d] * plane[d]
+                key = key + np.where(acc >= 0.0, 1 << r, 0)
+            keys[:, j] = key
+        return pd.Series(list(keys))
+
+    return pandas_udf(_keys, "array<long>", PandasUDFType.SCALAR)
 
 
 def word_shingle_set_udf(shingle_len: int = 3) -> "callable":

@@ -47,6 +47,15 @@ from pyspark.sql import functions as F
 from kamu_engine_datafusion_spark.functions.columns import poly_hash31
 
 
+#: Backend of the hashed-feature bucket build: ``arrow`` = the
+#: vectorized kernel (``functions/arrow_hash.py::hashed_bucket_set_udf``
+#: — bit-exact poly31 buckets in one ArrowEvalPython); ``jvm`` = the
+#: interpreted per-token transform (the SQL-replayable definition, kept
+#: as the correctness twin — equivalence pytest-pinned). Flipped by
+#: tests only; the xxhash64 profile stays JVM (codegen-native).
+_CLS_SCAN_BACKEND = "arrow"
+
+
 def _bucket_of(tok: Column, buckets: int, hash_fn: str) -> Column:
     if hash_fn == "poly":
         return F.pmod(poly_hash31(tok), F.lit(buckets))
@@ -56,6 +65,23 @@ def _bucket_of(tok: Column, buckets: int, hash_fn: str) -> Column:
 def _tokens(text: Column) -> Column:
     return F.filter(
         F.split(F.trim(F.lower(text)), r"\s+"), lambda t: t != ""
+    )
+
+
+def _bucket_set(text: Column, buckets: int, hash_fn: str) -> Column:
+    """Distinct presence-feature buckets of a text column — rides
+    :data:`_CLS_SCAN_BACKEND` for the poly profile (r17, guide §4: the
+    per-token interpreted char fold dominated the feature build)."""
+    if hash_fn == "poly" and _CLS_SCAN_BACKEND == "arrow":
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            hashed_bucket_set_udf,
+        )
+
+        return hashed_bucket_set_udf(buckets)(text)
+    return F.array_distinct(
+        F.transform(
+            _tokens(text), lambda t: _bucket_of(t, buckets, hash_fn)
+        )
     )
 
 
@@ -70,11 +96,7 @@ def _margin_expr(
     count features froze at the base rate on the test corpus; presence
     reaches 0.98 accuracy). NULL/empty text scores the bias alone."""
     warr = F.array(*[F.lit(int(w)).cast("long") for w in weights[:-1]])
-    bs = F.array_distinct(
-        F.transform(
-            _tokens(text), lambda t: _bucket_of(t, buckets, hash_fn)
-        )
-    )
+    bs = _bucket_set(text, buckets, hash_fn)
     s = F.aggregate(
         bs,
         F.lit(0).cast("long"),
@@ -126,56 +148,77 @@ def train_quality_classifier(
     # (2.4×) with the prehashed array (SCALE.md r10)
     base = df.select(
         F.col(id_col).alias("__rid"),
-        F.array_distinct(
-            F.transform(
-                _tokens(F.col(text_col)),
-                lambda t: _bucket_of(t, buckets, hash_fn),
-            )
-        ).alias("__bs"),
+        _bucket_set(F.col(text_col), buckets, hash_fn).alias("__bs"),
         F.col(label_col).cast("long").alias("__y"),
     ).localCheckpoint(eager=True)
     n = base.count()
     if n == 0:
         raise ValueError("train_quality_classifier: empty training frame")
-    # presence features: distinct buckets per row, plus the always-on
-    # bias feature j = buckets
-    exploded = (
-        base.select("__rid", F.explode("__bs").alias("__j"))
-        .unionByName(
-            base.select("__rid", F.lit(buckets).cast("long").alias("__j"))
-        )
-        .localCheckpoint(eager=True)
+    # presence features per row = distinct buckets + the always-on bias
+    # feature j = buckets, appended IN-ROW: the gradient explodes this
+    # array straight out of the cached base — the former
+    # exploded-frame + per-iteration __rid JOIN shape paid two extra
+    # exchanges per iteration and an extra checkpoint job for the same
+    # integer sums (r17, guide §2.2). NULL __bs (null text) must still
+    # contribute its bias row, hence the coalesce.
+    feat = F.concat(
+        F.coalesce(F.col("__bs"), F.array().cast("array<long>")),
+        F.array(F.lit(buckets).cast("long")),
     )
 
     w = [0] * (buckets + 1)
     traj = [list(w)]
     lim = clamp * scale
+    spark = df.sparkSession
     for it in range(1, iters + 1):
-        warr = F.array(*[F.lit(int(x)).cast("long") for x in w[:-1]])
+        # weights enter as broadcast DATA (one row), not literals: 12
+        # iterations with literal arrays are 12 DIFFERENT plans — each
+        # pays full analysis + janino codegen (~0.3-0.5 s/iteration of
+        # pure compile, measured r17); with weights as an attribute
+        # the plan SOURCE is identical every iteration and the codegen
+        # cache hits. Inside the interpreted fold an attribute is just
+        # a row-value read (the r9 bloom-bitmap lesson) — values
+        # identical.
+        wrow = spark.createDataFrame(
+            [([int(x) for x in w[:-1]], int(w[-1]))],
+            "__warr array<bigint>, __wb bigint",
+        )
+        wbase = base.crossJoin(F.broadcast(wrow))
         z = F.coalesce(
             F.aggregate(
                 F.col("__bs"),
                 F.lit(0).cast("long"),
-                lambda acc, j: acc + F.element_at(warr, (j + 1).cast("int")),
+                lambda acc, j: acc
+                + F.element_at("__warr", (j + 1).cast("int")),
             ),
             F.lit(0),
-        ) + F.lit(int(w[-1])).cast("long")
+        ) + F.col("__wb")
         zc = F.greatest(F.least(z, F.lit(lim)), F.lit(-lim)).cast("long")
-        az = F.abs(zc)
-        res = base.select(
-            "__rid",
+        # stage the clamped margin FIRST: az/num/den reference it three
+        # times between them, and the interpreted fold gets no codegen
+        # CSE — unstaged, the whole margin tree evaluated 3x per row
+        # per iteration (r17). The staged alias survives
+        # CollapseProject (non-cheap, multiply referenced); num/den
+        # stay staged too (den is referenced twice by the div
+        # identity).
+        zbase = wbase.select("__y", "__bs", zc.alias("__zc"))
+        az = F.abs(F.col("__zc"))
+        res_base = zbase.select(
             "__y",
-            ((F.lit(scale) + az + zc) * F.lit(scale)).alias("__num"),
+            "__bs",
+            ((F.lit(scale) + az + F.col("__zc")) * F.lit(scale)).alias(
+                "__num"
+            ),
             (F.lit(2).cast("long") * (F.lit(scale) + az)).alias("__den"),
-        ).select(
-            "__rid",
-            (
-                F.expr("(2 * __num + __den) div (2 * __den)")
-                - F.col("__y") * F.lit(scale)
-            ).cast("long").alias("__r"),
         )
+        res_expr = (
+            F.expr("(2 * __num + __den) div (2 * __den)")
+            - F.col("__y") * F.lit(scale)
+        ).cast("long")
         g_rows = (
-            exploded.join(res, "__rid")
+            res_base.select(
+                res_expr.alias("__r"), F.explode(feat).alias("__j")
+            )
             .groupBy("__j")
             .agg(F.sum("__r").alias("__g"))
             .collect()

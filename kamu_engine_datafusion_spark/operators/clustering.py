@@ -648,11 +648,8 @@ def semdedup_state_rows(
         F.col(id_col),
         (enc % F.lit(k)).cast("long").alias("cluster"),
         "q2",
-        F.aggregate(
-            F.transform(F.col("q2"), lambda x: x * x),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        ).alias("n2"),
+        # exact integer self-dot — rides _INT_VEC_BACKEND (r17)
+        int_dot_expr(F.col("q2"), F.col("q2")).alias("n2"),
     )
 
 

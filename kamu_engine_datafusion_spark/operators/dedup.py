@@ -1118,6 +1118,14 @@ def embedding_near_dups(
     disagree only on a plane dot that lands exactly on 0.0 under a
     different summation order — a measure-zero recall difference;
     verification stays exact either way.
+
+    ``"arrow_exact"`` (r17, both knobs): the vectorized kernels with
+    the JVM's LEFT-TO-RIGHT summation order
+    (``functions/arrow_hash.py::float_dot_ordered_udf`` /
+    ``srp_band_keys_ordered_udf`` — one rounded multiply + one rounded
+    add per element, array order, no FMA/blocked sums) — BIT-EXACT
+    with the ``"jvm"`` folds at arrow speed; the hash-verified oracle
+    keys pin this backend (equivalence pytest-pinned on the corpus).
     """
     _release_deferred()
     if dim is None:
@@ -1146,14 +1154,23 @@ def embedding_near_dups(
             key = key + bit
         return key
 
-    if signature_backend == "arrow":
+    if signature_backend in ("arrow", "arrow_exact"):
         planes = [
             srp_plane_components(pidx, dim)
             for pidx in range(num_bands * bits_per_band)
         ]
-        band_keys_col = _arrow_srp_band_keys(planes, num_bands, bits_per_band)(
-            F.col("__v")
-        )
+        if signature_backend == "arrow_exact":
+            from kamu_engine_datafusion_spark.functions.arrow_hash import (
+                srp_band_keys_ordered_udf,
+            )
+
+            band_keys_col = srp_band_keys_ordered_udf(
+                planes, num_bands, bits_per_band
+            )(F.col("__v"))
+        else:
+            band_keys_col = _arrow_srp_band_keys(
+                planes, num_bands, bits_per_band
+            )(F.col("__v"))
     else:
         band_keys_col = F.array(*[band_key(j) for j in range(num_bands)])
     # band keys cost num_bands × bits_per_band interpreted dot products
@@ -1190,14 +1207,32 @@ def embedding_near_dups(
             "id_a",
             "id_b",
             F.round(
-                _arrow_cosine(F.col("a.__v"), F.col("b.__v"))
-                if cosine_backend == "arrow"
-                else dot_product(F.col("a.__v"), F.col("b.__v"), dim)
-                / (F.col("a.__nrm") * F.col("b.__nrm")),
+                _pair_cosine(cosine_backend, dim),
                 6,
             ).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
+    )
+
+
+def _pair_cosine(cosine_backend: str, dim):
+    """The verification cosine of ``embedding_near_dups``'s joined pair
+    frame (legs aliased ``a``/``b`` with precomputed ``__nrm``):
+    ``arrow`` = einsum kernel (fast, last-bit order difference);
+    ``arrow_exact`` = ordered-fold kernel over the precomputed norms —
+    BIT-EXACT with ``jvm`` (r17); ``jvm`` = interpreted fold."""
+    if cosine_backend == "arrow":
+        return _arrow_cosine(F.col("a.__v"), F.col("b.__v"))
+    if cosine_backend == "arrow_exact":
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            float_dot_ordered_udf,
+        )
+
+        return float_dot_ordered_udf()(
+            F.col("a.__v"), F.col("b.__v")
+        ) / (F.col("a.__nrm") * F.col("b.__nrm"))
+    return dot_product(F.col("a.__v"), F.col("b.__v"), dim) / (
+        F.col("a.__nrm") * F.col("b.__nrm")
     )
 
 
@@ -1742,6 +1777,28 @@ def dedup_increment_against_index(
     return survivors, new_index_rows
 
 
+#: Backend of the in-row rolling window-hash scan (duplicate_spans /
+#: span_dedup_increment): ``arrow`` = the vectorized kernel
+#: (``functions/arrow_hash.py::shingle_hash_array_udf`` — bit-exact
+#: ordered window hashes in one ArrowEvalPython); ``jvm`` = the
+#: interpreted slice/zip_with HOF (the SQL-replayable definition, kept
+#: as the correctness twin — equivalence pytest-pinned). Flipped by
+#: tests only.
+_SPAN_SCAN_BACKEND = "arrow"
+
+
+def _window_hash_arr(text_col: str, n: int):
+    """The ordered per-position window-hash array of ``text_col`` —
+    rides :data:`_SPAN_SCAN_BACKEND` (r17, guide §4)."""
+    if _SPAN_SCAN_BACKEND == "arrow":
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            shingle_hash_array_udf,
+        )
+
+        return shingle_hash_array_udf(n)(F.col(text_col))
+    return shingle_hash_array(tokens(text_col), n)
+
+
 def duplicate_spans(
     df: DataFrame,
     text_col: str = "text",
@@ -1780,7 +1837,9 @@ def duplicate_spans(
     tok = tokens(text_col)
     grams = df.select(
         F.col(id_col).alias("__id"),
-        F.posexplode(shingle_hash_array(tok, min_len)).alias("__p0", "__h"),
+        F.posexplode(_window_hash_arr(text_col, min_len)).alias(
+            "__p0", "__h"
+        ),
     ).filter(F.size(tok) >= min_len)
     # 0-based posexplode → 1-based token position of the window start
     grams = grams.select("__id", (F.col("__p0") + 1).alias("__pos"), "__h")
@@ -1857,7 +1916,7 @@ def span_dedup_increment(
     grams = (
         tick.select(
             F.col(id_col).alias("__id"),
-            F.posexplode(shingle_hash_array(tok, min_len)).alias(
+            F.posexplode(_window_hash_arr(text_col, min_len)).alias(
                 "__p0", "__h"
             ),
         )

@@ -434,8 +434,19 @@ def bm25_topk_from_postings(
 
     terms = sorted(set(t.lower() for t in query_terms))
     p = postings.filter(F.col("term").isin(terms))
-    dfreq = p.groupBy("term").agg(
-        F.count(F.lit(1)).cast("long").alias("__df")
+    # Per-term df = the term's postings-row count, computed with a
+    # count-over-window on the ONE pruned pass — the former
+    # groupBy+broadcast-join shape referenced ``p`` twice, and when the
+    # postings state arrives as an inline fold (the maintained-key
+    # pattern) each reference re-derived the whole multi-tick corpus
+    # tokenize (r17, guide §2.2: measured 5.0 → 1.5 s on the 3-tick
+    # hybrid serving read at sf0.1). The window is partitioned by
+    # ``term`` — bounded by the same pruned sliver as the join was.
+    from pyspark.sql import Window as _W
+
+    p = p.withColumn(
+        "__df",
+        F.count(F.lit(1)).over(_W.partitionBy("term")).cast("long"),
     )
     scalars = stats.filter(F.col("term") == CORPUS_STATS_KEY).select(
         F.col("n_docs").alias("__N"),
@@ -459,8 +470,7 @@ def bm25_topk_from_postings(
         )
     )
     scored = (
-        p.join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(scalars))
+        p.crossJoin(F.broadcast(scalars))
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_terms_matched"),

@@ -420,18 +420,38 @@ def q_b18_approx_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     stay in ``b18_approx_agg`` (rows-only by design); this key proves
     they are RIGHT, under one value hash."""
     t = load(spark, sf_dir, "lineitem")
-    g = (
-        t["lineitem"]
-        .groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").cast("long").alias("n_parts_exact"),
-            F.approx_count_distinct("l_partkey").alias("__apx"),
-            F.percentile_approx(
-                "l_extendedprice", F.lit(0.5), F.lit(10000)
-            ).alias("__apx_med"),
-            F.expr("percentile(l_extendedprice, 0.4)").alias("__p40"),
-            F.expr("percentile(l_extendedprice, 0.6)").alias("__p60"),
-        )
+    # r17 (guide §2.3, the b17 device): the fused form mixed ONE
+    # distinct aggregate with four regular ones — Catalyst's distinct
+    # rewrite Expands every row ×2 and ships the exact-percentile
+    # ObjectHashAggregate buffers through the doubled exchange
+    # (measured 10.3 s fused vs 3.4 s split at sf0.1). Split into a
+    # pure-distinct branch (two-phase, no Expand) and a regular branch
+    # (one pass; the two EXACT percentiles share one buffer via the
+    # array form — same interpolation, identical doubles), joined on
+    # the 3-row group key (broadcast). Values are bit-identical —
+    # oracle hash unchanged.
+    li = t["lineitem"].select(
+        "l_returnflag", "l_partkey", "l_extendedprice"
+    )
+    dist = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").cast("long").alias("n_parts_exact"),
+    )
+    rest = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("__apx"),
+        F.percentile_approx(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("__apx_med"),
+        F.expr(
+            "percentile(l_extendedprice, array(0.4, 0.6))"
+        ).alias("__p"),
+    )
+    g = dist.join(F.broadcast(rest), "l_returnflag").select(
+        "l_returnflag",
+        "n_parts_exact",
+        "__apx",
+        "__apx_med",
+        F.element_at("__p", 1).alias("__p40"),
+        F.element_at("__p", 2).alias("__p60"),
     )
     return g.select(
         "l_returnflag",

@@ -305,13 +305,14 @@ def q_xdedup_embcos(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The synthetic embeddings top out near cosine 0.51, so the demo runs
     # at threshold 0.4 with a high-recall band layout (8 bands x 4 bits);
     # production near-dup thresholds (0.9+) use the operator defaults.
-    # jvm backends pinned: this key is hash-verified against a DuckDB
-    # oracle replaying the exact left-to-right double arithmetic (the
-    # r17 operator default is the arrow numpy path, pair-set-identical
-    # but not bit-identical in the 6dp-rounded cosine).
+    # arrow_exact backends: this key is hash-verified against a DuckDB
+    # oracle replaying the exact left-to-right double arithmetic — the
+    # ordered-fold kernels reproduce that bit-for-bit at arrow speed
+    # (r17; the plain "arrow" default is pair-set-identical but not
+    # bit-identical in the 6dp-rounded cosine).
     return D.embedding_near_dups(
         sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4,
-        cosine_backend="jvm", signature_backend="jvm",
+        cosine_backend="arrow_exact", signature_backend="arrow_exact",
     )
 
 
@@ -2655,14 +2656,27 @@ def q_xpipeline_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     selection)."""
     from kamu_engine_datafusion_spark.operators import dedup as DD
 
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        persist_state,
+        release_state_intermediates,
+    )
+
+    release_state_intermediates()
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     sub = emb.filter(F.col("vec_id") < 2000)
+    # arrow_exact: bit-identical to the jvm left-to-right fold the
+    # oracle replays, at arrow speed (r17)
     pairs = DD.embedding_near_dups(
         sub, threshold=0.4, dim=64, num_bands=8, bits_per_band=4,
-        cosine_backend="jvm", signature_backend="jvm",
+        cosine_backend="arrow_exact", signature_backend="arrow_exact",
     )
-    dups = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    # the tiny dup-id set feeds THREE consumers (quantization params,
+    # the quantized search, the MMR pool prune) — persist it so the
+    # whole near-dup pipeline computes once, not per consumer (r17)
+    dups = persist_state(
+        pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    )
     surv = sub.join(dups, "vec_id", "left_anti")
     qdf = emb.filter(F.col("vec_id") == 0)
     params = S.quantization_params(surv, dim=64)

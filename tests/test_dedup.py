@@ -394,3 +394,73 @@ def test_word_shingle_set_arrow_matches_jvm(spark):
             # NULL text yields [''] on BOTH paths (word_shingles's rule)
             assert r["jvm"] is not None and r["arrow"] is not None
             assert sorted(r["jvm"]) == sorted(r["arrow"]), r["doc_id"]
+
+
+def test_span_scan_backend_twins(spark):
+    """r17: the vectorized window-hash kernel (shingle_hash_array_udf)
+    yields the exact duplicate_spans rows of the interpreted
+    slice/zip_with form — incl. short docs (filtered), tail pads, and
+    null text."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators import dedup as D2
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        duplicate_spans,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "short doc"),
+         (9004, " ".join(f"w{i % 5}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    d = docs.unionByName(edge)
+
+    def run():
+        return sorted(
+            map(tuple, duplicate_spans(d, min_len=8).collect())
+        )
+
+    arrow = run()
+    old = D2._SPAN_SCAN_BACKEND
+    D2._SPAN_SCAN_BACKEND = "jvm"
+    try:
+        jvm = run()
+    finally:
+        D2._SPAN_SCAN_BACKEND = old
+    assert arrow == jvm and len(arrow) > 0
+
+
+def test_embedding_near_dups_arrow_exact_bit_identical(spark):
+    """r17: the ordered-fold float kernels (float_dot_ordered_udf /
+    srp_band_keys_ordered_udf) must be BIT-identical to the jvm
+    left-to-right folds — same band keys, same pairs, same 6dp
+    cosines — on the real embeddings corpus."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        embedding_near_dups,
+        release_intermediates,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+
+    def run(backend):
+        out = sorted(
+            map(
+                tuple,
+                embedding_near_dups(
+                    emb, threshold=0.3, dim=64, num_bands=8,
+                    bits_per_band=4, cosine_backend=backend,
+                    signature_backend=backend,
+                ).collect(),
+            )
+        )
+        release_intermediates()
+        return out
+
+    exact = run("arrow_exact")
+    jvm = run("jvm")
+    assert exact == jvm and len(exact) > 0
