@@ -1638,7 +1638,12 @@ def dedup_increment_against_index(
         # collect-mode cap doubles as the cache-populating job
         capped = _cap_buckets(banded, "__band", max_bucket_size)
     else:
-        banded.count()  # populate before the join/index consumers fan out
+        # no standalone count(): the eager dead.count() below is the
+        # first action through banded and populates the cache; its
+        # consumers run sequentially inside that one job, so the worst
+        # case is a block-level duplicate compute of one partition —
+        # cheaper than a whole extra job per call (r17: the uncapped
+        # path is the maintained-fold one, 2 eager jobs × ticks).
         capped = banded
     # The cap must hold on BOTH join sides: an uncapped index-side
     # mega-bucket (boilerplate shared by thousands of indexed docs)

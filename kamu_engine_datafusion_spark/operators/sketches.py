@@ -566,14 +566,16 @@ def quantile_sketch_merge(
     u = parts[0]
     for p in parts[1:]:
         u = u.unionByName(p)
-    # The union is metadata-sized (≤ Σ part-sketch rows). Persist it so
-    # _qsk_retain's dual reference (counts + probe) computes each part
-    # ONCE — a chained per-tick fold otherwise re-derives the whole
-    # prior chain per reference, 2^ticks recomputes of the earliest
-    # parts (see release_sketch_intermediates; r17, measured 13.9 →
-    # linear at sf0.1). Rides the deferred ledger.
-    u = u.persist()
-    _DEFERRED.append(u)
+    # The union is metadata-sized (≤ Σ part-sketch rows). Checkpoint
+    # it so _qsk_retain's dual reference (counts + probe) computes
+    # each part ONCE — a chained per-tick fold otherwise re-derives
+    # the whole prior chain per reference, 2^ticks recomputes of the
+    # earliest parts (r17, measured 13.9 → linear at sf0.1).
+    # localCheckpoint (eager), not persist: it also TRUNCATES the
+    # logical plan, so a merge CHAIN's analysis stays flat per tick
+    # (the cc_increment device — persist-only levels re-analyzed the
+    # whole nested tree per job).
+    u = u.localCheckpoint(eager=True)
     return _qsk_retain(u, group_cols, k)
 
 
@@ -1429,9 +1431,8 @@ def quantile_sketch_collapse(
     u = sketch.select(
         *group_cols, *keep, F.col("thr").alias("__fl")
     )
-    # Metadata-sized input, dual-referenced by _qsk_retain: persist so
-    # the (possibly merge-chained) fine-sketch lineage computes once
-    # (see release_sketch_intermediates).
-    u = u.persist()
-    _DEFERRED.append(u)
+    # Metadata-sized input, dual-referenced by _qsk_retain:
+    # checkpoint so the (possibly merge-chained) fine-sketch lineage
+    # computes once and the plan tree truncates (see the merge note).
+    u = u.localCheckpoint(eager=True)
     return _qsk_retain(u, group_cols, k)

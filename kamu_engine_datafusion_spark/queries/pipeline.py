@@ -3577,13 +3577,8 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamu_engine_datafusion_spark.operators.dedup import (
         dedup_increment_against_index,
         minhash_index_split,
-        persist_state,
-        release_state_intermediates,
     )
 
-    # Free the PRIOR invocation's persisted state levels (each bench
-    # rep / oracle run rebuilds the fold from the parquet inputs).
-    release_state_intermediates()
     t = load(spark, sf_dir, "documents")
     d = t["documents"]
     # empty split index of the right shape
@@ -3604,11 +3599,14 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # The accumulated index is metadata-sized (≤ docs × bands rows)
         # and each tick references it TWICE (probe join + union) — the
-        # 2^ticks chained-fold recompute; persist each level so the
-        # fold is linear (see persist_state; r17, measured 14.2 s →
-        # linear at sf0.1).
-        bands = persist_state(bands.unionByName(new_bands))
-        sigs = persist_state(sigs.unionByName(new_sigs))
+        # 2^ticks chained-fold recompute. localCheckpoint(eager) each
+        # level (the cc_increment device): unlike persist it also
+        # TRUNCATES the logical plan, so per-tick analysis stays flat —
+        # persist-only levels still re-analyzed the whole nested union
+        # tree per eager job (r17: 14.2 s → 12.1 s persisted → 6.0 s
+        # warm checkpointed at sf0.1).
+        bands = bands.unionByName(new_bands).localCheckpoint(eager=True)
+        sigs = sigs.unionByName(new_sigs).localCheckpoint(eager=True)
     classic = bands.join(sigs, "doc_id")
     return classic.select(
         "doc_id",
@@ -3637,14 +3635,6 @@ def _semdedup_fold(
         semdedup_increment_against_index,
         semdedup_state_rows,
     )
-    from kamu_engine_datafusion_spark.operators.dedup import (
-        persist_state,
-        release_state_intermediates,
-    )
-
-    # Free the PRIOR invocation's persisted state levels (each bench
-    # rep / oracle run rebuilds the fold from the parquet inputs).
-    release_state_intermediates()
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
     cents = [
@@ -3664,12 +3654,14 @@ def _semdedup_fold(
         )
         new = semdedup_increment_against_index(inc, state, tau2_num=2_025)
         # The accumulated survivor state is metadata-sized and each
-        # tick references it TWICE (kill join + union) — persist each
-        # level so the fold is linear, not 2^ticks (see
-        # dedup.persist_state; r17).
-        state = persist_state(
+        # tick references it TWICE (kill join + union) — checkpoint
+        # each level so the fold is linear (not 2^ticks) AND the plan
+        # tree stays flat across ticks (the cc_increment device; r17 —
+        # persist-only levels still re-analyzed the nested tree per
+        # job).
+        state = (
             new if state is None else state.unionByName(new)
-        )
+        ).localCheckpoint(eager=True)
     return cents, state
 
 
