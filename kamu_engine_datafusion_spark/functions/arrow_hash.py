@@ -363,7 +363,14 @@ def minhash_signature_udf(
             minhash_signatures_batch(texts, shingle_len, coeffs)
         )
 
-    return pandas_udf(_sig, "array<long>", PandasUDFType.SCALAR)
+    # asNondeterministic: callers filter on the signature (null drop),
+    # and the optimizer otherwise pushes that filter below a COPY of
+    # the UDF — two ArrowEvalPython nodes computing every signature
+    # twice (guide §4.4; verified in the r17 plans). The kernel IS
+    # deterministic — this is purely the no-duplication hint.
+    return pandas_udf(
+        _sig, "array<long>", PandasUDFType.SCALAR
+    ).asNondeterministic()
 
 
 def poly31_batch(strings):
@@ -559,7 +566,11 @@ def minhash_signature_poly_udf(
         sig_mat = np.stack(sig_cols, axis=1)
         return pd.Series(list(sig_mat))
 
-    return pandas_udf(_sig, "array<long>", PandasUDFType.SCALAR)
+    # asNondeterministic: see minhash_signature_udf (guide §4.4 —
+    # callers' null-drop filter otherwise duplicates the kernel)
+    return pandas_udf(
+        _sig, "array<long>", PandasUDFType.SCALAR
+    ).asNondeterministic()
 
 
 def dsir_bucket_udf(buckets: int) -> "callable":
@@ -1019,7 +1030,13 @@ def bloom_candidate_shingles_udf(
                 d += k
         return pd.Series(out)
 
-    return pandas_udf(_cands, "array<string>", PandasUDFType.SCALAR)
+    # asNondeterministic: the caller filters size(__cand) > 0, which
+    # the optimizer otherwise pushes below a COPY of the UDF — the
+    # whole tokenize+hash+membership pass ran twice per doc (guide
+    # §4.4; verified in the r17 xdecontaminate_bloom plan).
+    return pandas_udf(
+        _cands, "array<string>", PandasUDFType.SCALAR
+    ).asNondeterministic()
 
 
 def shingle_hash_set_udf(shingle_len: int = 3) -> "callable":

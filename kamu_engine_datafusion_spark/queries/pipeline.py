@@ -213,9 +213,15 @@ def q_xdedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load(spark, sf_dir, "documents")
     sub = t["documents"].filter(F.col("doc_id") < 300)
-    pairs = D.ngram_jaccard_pairs(
-        sub, block_cols="lang", threshold=0.6
-    ).select("id_a", "id_b")
+    # The edge set is consumed by THREE tick filters — checkpoint the
+    # (duplicate-density-bounded) pair frame so the token-Jaccard
+    # pipeline runs once, not once per tick (r17; same device as the
+    # per-tick state checkpoints below).
+    pairs = (
+        D.ngram_jaccard_pairs(sub, block_cols="lang", threshold=0.6)
+        .select("id_a", "id_b")
+        .localCheckpoint(eager=True)
+    )
     state = None
     for tick in range(3):
         inc = pairs.filter(
