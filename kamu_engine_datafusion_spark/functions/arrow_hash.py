@@ -894,7 +894,34 @@ def float_dot_ordered_udf() -> "callable":
             return pd.Series([], dtype="float64")
         return pd.Series(_ordered_dot(_float_mat(u), _float_mat(v)))
 
-    return pandas_udf(_dot, "double", PandasUDFType.SCALAR)
+    # asNondeterministic: the verification cosine built on this dot is
+    # FILTERED (>= threshold), and pushdown otherwise copies the UDF
+    # below the filter — two evaluations per pair (guide §4.4)
+    return pandas_udf(
+        _dot, "double", PandasUDFType.SCALAR
+    ).asNondeterministic()
+
+
+def float_dots_ordered_const_udf(vecs: list[list[float]]) -> "callable":
+    """Arrow-batched pandas UDF ``array<numeric> -> array<double>``:
+    one LEFT-TO-RIGHT ordered dot per CONSTANT vector (the seed list
+    rides the closure) — the bit-exact kernel form of
+    ``semantic_dedup``'s per-seed assignment dots, whose JVM form runs
+    one interpreted fold per seed per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    cm = [np.asarray(v, dtype=np.float64) for v in vecs]
+
+    def _dots(v):
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        vm = _float_mat(v)
+        cols = [_ordered_dot(vm, np.broadcast_to(c, vm.shape)) for c in cm]
+        return pd.Series(list(np.stack(cols, axis=1)))
+
+    return pandas_udf(_dots, "array<double>", PandasUDFType.SCALAR)
 
 
 def srp_band_keys_ordered_udf(

@@ -1258,7 +1258,12 @@ def _arrow_cosine(u_col: Column, v_col: Column) -> Column:
             out = np.where(den == 0.0, 0.0, num / den)
         return pd.Series(out)
 
-    return pandas_udf(_cos, "double", PandasUDFType.SCALAR)(u_col, v_col)
+    # asNondeterministic: callers filter on the cosine (>= threshold),
+    # and pushdown otherwise copies the UDF below the filter — two
+    # evaluations per pair (guide §4.4; r17)
+    return pandas_udf(
+        _cos, "double", PandasUDFType.SCALAR
+    ).asNondeterministic()(u_col, v_col)
 
 
 def _arrow_nearest_seed(
@@ -1374,6 +1379,38 @@ def semantic_dedup(
             [r["__id"] for r in seed_rows],
             [list(map(float, r["__v"])) for r in seed_rows],
         )
+    elif cosine_backend == "arrow_exact":
+        # one ordered-fold dot per seed in ONE kernel (bit-exact with
+        # the jvm per-seed folds — r17); the guards, divisions, and
+        # struct-max tie-break stay the exact JVM expressions below
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            float_dots_ordered_const_udf,
+        )
+
+        dots = float_dots_ordered_const_udf(
+            [list(map(float, r["__v"])) for r in seed_rows]
+        )(F.col("__v"))
+        sd = base.withColumn("__sdots", dots)
+        choices = []
+        for i, r in enumerate(seed_rows):
+            sn = math.sqrt(sum(float(x) * float(x) for x in r["__v"]))
+            if sn == 0.0:
+                cos_expr = F.lit(-2.0)
+            else:
+                cos_expr = F.when(
+                    F.col("__nrm") == 0.0, F.lit(0.0)
+                ).otherwise(
+                    F.element_at("__sdots", i + 1)
+                    / (F.col("__nrm") * sn)
+                )
+            choices.append(
+                F.struct(
+                    cos_expr.alias("cos"),
+                    F.lit(-r["__id"]).alias("negsid"),
+                )
+            )
+        cluster = -F.array_max(F.array(*choices))["negsid"]
+        base = sd
     else:
         # nearest seed in-row: max over (cosine, -seed_id) structs —
         # higher cosine wins, ties break to the lower seed id. Zero-norm
@@ -1413,6 +1450,18 @@ def semantic_dedup(
     a, b = legs.alias("a"), legs.alias("b")
     if cosine_backend == "arrow":
         cos = _arrow_cosine(F.col("a.__v"), F.col("b.__v"))
+    elif cosine_backend == "arrow_exact":
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            float_dot_ordered_udf,
+        )
+
+        cos = F.when(
+            (F.col("a.__nrm") == 0.0) | (F.col("b.__nrm") == 0.0),
+            F.lit(0.0),
+        ).otherwise(
+            float_dot_ordered_udf()(F.col("a.__v"), F.col("b.__v"))
+            / (F.col("a.__nrm") * F.col("b.__nrm"))
+        )
     else:
         # zero-norm guard (ANSI mode makes x/0 an ERROR, not NaN):
         # a zero vector's cosine to anything is defined as 0

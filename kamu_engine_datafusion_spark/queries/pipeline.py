@@ -168,8 +168,11 @@ def q_xdedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "embeddings")
     sub = t["embeddings"].filter(F.col("vec_id") < 2000)
     return (
+        # arrow_exact: bit-identical to the jvm left-to-right float
+        # arithmetic the oracle replays, at arrow speed (r17)
         D.semantic_dedup(
-            sub, threshold=0.4, num_seeds=16, cosine_backend="jvm"
+            sub, threshold=0.4, num_seeds=16,
+            cosine_backend="arrow_exact",
         )
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_vecs"))

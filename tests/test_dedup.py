@@ -464,3 +464,32 @@ def test_embedding_near_dups_arrow_exact_bit_identical(spark):
     exact = run("arrow_exact")
     jvm = run("jvm")
     assert exact == jvm and len(exact) > 0
+
+
+def test_semantic_dedup_arrow_exact_bit_identical(spark):
+    """r17: semantic_dedup's arrow_exact backend (ordered-fold seed
+    dots + pair dots) must keep the exact jvm survivor set — same
+    assignments, same thresholded pairs."""
+    from kamu_engine_datafusion_spark.operators.dedup import (
+        release_intermediates,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    )
+
+    def run(backend):
+        out = sorted(
+            r["vec_id"]
+            for r in semantic_dedup(
+                emb, threshold=0.35, num_seeds=16,
+                cosine_backend=backend,
+            ).collect()
+        )
+        release_intermediates()
+        return out
+
+    exact = run("arrow_exact")
+    jvm = run("jvm")
+    assert exact == jvm and 0 < len(exact) <= emb.count()
