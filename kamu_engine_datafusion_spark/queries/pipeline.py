@@ -4061,6 +4061,22 @@ def _event_time_ticks(ev: DataFrame) -> list[DataFrame]:
     ]
 
 
+def _ckpt_state(df: DataFrame) -> DataFrame:
+    """LAZY localCheckpoint of a per-tick fold STATE level (r17):
+    truncates the logical plan at construction (Spark wraps the RDD in
+    a LogicalRDD either way), so a chained fold's analysis stays flat
+    and a state referenced twice per tick (probe/anti-join + union)
+    or probed by the increments' eager precondition counts computes
+    each level ONCE instead of 2^ticks. Lazy (eager=False), unlike the
+    minhash/semdedup fold sites: these loops schedule no work of their
+    own between ticks, so the first consumer action (often the
+    increment's own violation-count job) materializes the level
+    without paying one extra driver-synchronized job per tick
+    (xtransitions_state cold 9.1 s → 4.1 s at sf0.1; values identical,
+    full-registry oracle sweep green)."""
+    return df.localCheckpoint(eager=False)
+
+
 def q_xsessions_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The maintained gap-sessionizer, driver-verified — the stateful
     EVENT-TIME operator of the maintained layer: three literal
@@ -4088,6 +4104,7 @@ def q_xsessions_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = None
     for tick in _event_time_ticks(ev):
         closed, state = session_fold_increment(state, tick, gap_sec=1800)
+        state = _ckpt_state(state)
         closed_logs.append(closed)
     log = closed_logs[0]
     for c in closed_logs[1:]:
@@ -4117,7 +4134,9 @@ def q_xretention_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = None
     for tick in _event_time_ticks(t["events"]):
         inc = activity_increment(tick, bucket="week")
-        state = inc if state is None else activity_merge(state, inc)
+        state = _ckpt_state(
+            inc if state is None else activity_merge(state, inc)
+        )
     out = retention_from_activity(state, bucket="week")
     return out.select(
         F.unix_micros("cohort_start").alias("cohort_us"),
@@ -4147,8 +4166,10 @@ def q_xfunnel_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "events")
     state = None
     for tick in _event_time_ticks(t["events"]):
-        state = funnel_fold_increment(
-            state, tick, steps, within_seconds=72 * 3600
+        state = _ckpt_state(
+            funnel_fold_increment(
+                state, tick, steps, within_seconds=72 * 3600
+            )
         )
     out = funnel_from_state(state, steps)
     return out.select(
@@ -4179,6 +4200,7 @@ def q_xtransitions_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = None
     for tick in _event_time_ticks(t["events"]):
         inc, last = transitions_increment(last, tick)
+        last = _ckpt_state(last)
         counts = (
             inc
             if counts is None
@@ -4217,6 +4239,7 @@ def q_xdebounce_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             last, tick, "ts", gap_seconds=600.0,
             group_cols=["user_id", "event_type"],
         )
+        last = _ckpt_state(last)
         kept_logs.append(kept)
     log = kept_logs[0]
     for k in kept_logs[1:]:
@@ -4421,8 +4444,10 @@ def q_xintervals_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = None
     for i in range(3):
         tick = iv.filter(F.col("__eid") % 3 == i).drop("__eid")
-        state = intervals_increment(
-            state, tick, "start_us", "end_us", ["user_id"]
+        state = _ckpt_state(
+            intervals_increment(
+                state, tick, "start_us", "end_us", ["user_id"]
+            )
         )
     return state.select(
         "user_id", "island", "start_us", "end_us", "n_merged"
@@ -4460,8 +4485,10 @@ def q_xasof_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         tick = purchases.filter(
             F.col("purchase_event_id") % 3 == i
         )
-        state = asof_state_increment(
-            state, tick, ["user_id"], "ts", ["purchase_event_id"]
+        state = _ckpt_state(
+            asof_state_increment(
+                state, tick, ["user_id"], "ts", ["purchase_event_id"]
+            )
         )
     latest = purchases.groupBy("user_id").agg(F.max("ts").alias("__mts"))
     head = (
@@ -4718,7 +4745,9 @@ def q_xretention_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     state = None
     for tick in _event_time_ticks(t["events"]):
         inc = activity_increment(tick, bucket="week")
-        state = inc if state is None else activity_merge(state, inc)
+        state = _ckpt_state(
+            inc if state is None else activity_merge(state, inc)
+        )
     return state.select(
         "user_id",
         "cohort_ms",
@@ -4748,6 +4777,7 @@ def q_xtransitions_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     last = None
     for tick in _event_time_ticks(t["events"]):
         inc, last = transitions_increment(last, tick)
+        last = _ckpt_state(last)
         counts = (
             inc
             if counts is None
@@ -4929,8 +4959,10 @@ def q_xfunnel_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load(spark, sf_dir, "events")
     state = None
     for tick in _event_time_ticks(t["events"]):
-        state = funnel_fold_increment(
-            state, tick, steps, within_seconds=72 * 3600
+        state = _ckpt_state(
+            funnel_fold_increment(
+                state, tick, steps, within_seconds=72 * 3600
+            )
         )
     return state
 
@@ -5246,6 +5278,7 @@ def q_xdedup_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats, state = dedup_trajectory_increment(
             state, d.filter(F.col("doc_id") % 3 == i), i
         )
+        state = _ckpt_state(state)
         stats_rows.append(stats)
     out = stats_rows[0]
     for s in stats_rows[1:]:
@@ -5420,13 +5453,15 @@ def q_xcap_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t["documents"].select("doc_id", "source")
     state = None
     for i in range(3):
-        state = cap_state_increment(
-            state,
-            d.filter(F.col("doc_id") % 3 == i),
-            "doc_id",
-            "source",
-            cap=15,
-            hash_fn="poly",
+        state = _ckpt_state(
+            cap_state_increment(
+                state,
+                d.filter(F.col("doc_id") % 3 == i),
+                "doc_id",
+                "source",
+                cap=15,
+                hash_fn="poly",
+            )
         )
     return state.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
