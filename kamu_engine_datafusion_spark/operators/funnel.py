@@ -406,11 +406,24 @@ def funnel_fold_increment(
             F.col("last_us").alias("__st_last"),
         )
         joined = tick.join(st, "user_id", "full_outer")
-        viol = joined.filter(
-            F.col("__tick_min").isNotNull()
-            & F.col("__st_last").isNotNull()
-            & (F.col("__tick_min") < F.col("__st_last"))
-        ).count()
+        # The violation-count JOB needs only per-user min(t) vs the
+        # stored last — count it from a min-only aggregate of the raw
+        # tick (r17), not from ``joined``: the old check paid the full
+        # collect_list + array_sort tick aggregate once in the count
+        # job and again in the final plan. Inner join ≡ the old
+        # "both sides non-null" full-outer filter.
+        tick_mins = (
+            events.filter(F.col(type_col).isin(steps))
+            .groupBy(F.col(user_col).alias("user_id"))
+            .agg(F.min(ts_us).cast("long").alias("__tick_min"))
+        )
+        viol = (
+            tick_mins.join(
+                st.select("user_id", "__st_last"), "user_id"
+            )
+            .filter(F.col("__tick_min") < F.col("__st_last"))
+            .count()
+        )
         if viol:
             raise ValueError(
                 f"funnel_fold_increment: {viol} user(s) have tick "
@@ -516,34 +529,44 @@ def transitions_increment(
         F.col(order_tiebreak).cast("long").alias("__eid"),
     )
     w = Window.partitionBy("user_id").orderBy("__us", "__eid")
-    seq = ev.select(
-        "*",
-        F.lead("__tp").over(w).alias("__next"),
-        F.row_number().over(w).alias("__rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy("user_id").rowsBetween(
-                Window.unboundedPreceding, Window.unboundedFollowing
-            )
-        ).alias("__cnt"),
-    )
     within = (
-        seq.filter(F.col("__next").isNotNull())
+        ev.select("__tp", F.lead("__tp").over(w).alias("__next"))
+        .filter(F.col("__next").isNotNull())
         .groupBy(
             F.col("__tp").alias("from_type"),
             F.col("__next").alias("to_type"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    firsts = seq.filter(F.col("__rn") == 1).select(
-        "user_id",
-        F.col("__tp").alias("__first_tp"),
-        F.col("__us").alias("__first_us"),
+    # First/last event per user via ONE windowless partial-aggregatable
+    # groupBy instead of the row_number/count window passes (r17):
+    # (__us, __eid) is unique per user, so min_by/max_by on that
+    # ordering struct pick exactly the __rn == 1 / __rn == __cnt rows
+    # of the window formulation. Lazily checkpointed: the frame is
+    # per-user bounded and is read by the violation-count JOB as well
+    # as boundary + new_last in the final plan — one computation
+    # instead of three window passes plus one more in the count job.
+    ord_key = F.struct("__us", "__eid")
+    ends = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min_by(F.struct("__tp", "__us"), ord_key).alias("__f"),
+            F.max_by(
+                F.struct("__tp", "__us", "__eid"), ord_key
+            ).alias("__l"),
+        )
+        .localCheckpoint(eager=False)
     )
-    lasts = seq.filter(F.col("__rn") == F.col("__cnt")).select(
+    firsts = ends.select(
         "user_id",
-        F.col("__tp").alias("last_type"),
-        F.col("__us").alias("last_us"),
-        F.col("__eid").alias("last_id"),
+        F.col("__f.__tp").alias("__first_tp"),
+        F.col("__f.__us").alias("__first_us"),
+    )
+    lasts = ends.select(
+        "user_id",
+        F.col("__l.__tp").alias("last_type"),
+        F.col("__l.__us").alias("last_us"),
+        F.col("__l.__eid").alias("last_id"),
     )
     if last is None:
         return within, lasts
@@ -624,14 +647,30 @@ def debounce_increment(
     seq = events.withColumn("__us", us).withColumn(
         "__prev", F.lag("__us").over(w)
     )
+    # Per-group first/last tick times via one windowless partial-
+    # aggregatable groupBy (r17), lazily checkpointed: the violation-
+    # count JOB reads __first (only a group's first row — lag NULL —
+    # can precede the stored last, and min(__us) IS that row's time
+    # since __us is monotone in the (ts, tiebreak) order), and
+    # new_last reads __last — neither pays the lag window the old
+    # formulation computed once per reference plus once in the count
+    # job. ``kept`` keeps the one real window.
+    tickends = (
+        events.withColumn("__us", us)
+        .groupBy(*group_cols)
+        .agg(
+            F.min("__us").cast("long").alias("__first_us"),
+            F.max("__us").cast("long").alias("last_us"),
+        )
+        .localCheckpoint(eager=False)
+    )
     if last is not None:
         st = last.select(*group_cols, F.col("last_us").alias("__st_us"))
-        seq = seq.join(st, group_cols, "left")
-        viol = seq.filter(
-            F.col("__prev").isNull()
-            & F.col("__st_us").isNotNull()
-            & (F.col("__us") < F.col("__st_us"))
-        ).count()
+        viol = (
+            tickends.join(st, group_cols)
+            .filter(F.col("__first_us") < F.col("__st_us"))
+            .count()
+        )
         if viol:
             raise ValueError(
                 f"debounce_increment: {viol} group(s) have tick events "
@@ -639,7 +678,7 @@ def debounce_increment(
                 "per-group event-time order (the append-ledger "
                 "contract)"
             )
-        seq = seq.withColumn(
+        seq = seq.join(st, group_cols, "left").withColumn(
             "__prev", F.coalesce("__prev", "__st_us")
         ).drop("__st_us")
     # the same float-seconds comparison as the batch lag rule
@@ -650,9 +689,7 @@ def debounce_increment(
             > gap_seconds
         )
     ).drop("__us", "__prev")
-    ticklast = seq.groupBy(*group_cols).agg(
-        F.max("__us").cast("long").alias("last_us")
-    )
+    ticklast = tickends.select(*group_cols, "last_us")
     if last is None:
         return kept, ticklast
     new_last = ticklast.unionByName(

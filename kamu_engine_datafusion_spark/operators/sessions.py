@@ -152,9 +152,15 @@ def session_fold_increment(
         F.max("__ms").cast("long").alias("last_ms"),
     )
     open_w = Window.partitionBy("user_id")
+    # Lazily checkpointed (r17): ``closed`` and ``new_state`` both
+    # read this per-(user, ordinal) frame — bounded by active users +
+    # tick sessions — so one computation serves both branches instead
+    # of re-running the lag/cumsum window chain per reference; lazy,
+    # so no extra job is scheduled (the first consumer action
+    # materializes it).
     marked = agg.withColumn(
         "__max_sid", F.max("session_id").over(open_w)
-    )
+    ).localCheckpoint(eager=False)
     closed = marked.filter(
         F.col("session_id") < F.col("__max_sid")
     ).select(
