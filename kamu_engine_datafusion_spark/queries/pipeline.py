@@ -3646,11 +3646,16 @@ def _semdedup_fold(
     )
     t = load(spark, sf_dir, "embeddings")
     emb = t["embeddings"]
+    # limit BEFORE quantizing (r17): quantization is per-row, so the
+    # first-8-by-id centroids are identical, and the old order eagerly
+    # checkpointed the WHOLE corpus quantization to collect 8 rows.
     cents = [
         [int(v) for v in r["__qv"]]
-        for r in quantize_vectors(emb, "vec_id", "embedding", 10_000)
+        for r in quantize_vectors(
+            emb.orderBy("vec_id").limit(8), "vec_id", "embedding",
+            10_000,
+        )
         .orderBy("vec_id")
-        .limit(8)
         .collect()
     ]
     state = None
