@@ -3117,7 +3117,7 @@ def q_xbm25_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("n_len").cast("long").alias("n_len"),
                 )
             )
-    out = bm25_from_stats(d, _BM25_TERMS, stats)
+    out = bm25_from_stats(d, _BM25_TERMS, _ckpt_state(stats))
     return out.select(
         "doc_id", "n_terms_matched", F.round("score", 4).alias("score")
     )
@@ -3532,7 +3532,7 @@ def q_xcorpus_card_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             k=100, short_doc_tokens=20, hash_fn="poly",
         )
         state = corpus_card_fold(state, inc, k=100)
-    return corpus_card_from_state(state, k=100, dp=4)
+    return corpus_card_from_state(_ckpt_state(state), k=100, dp=4)
 
 
 def q_xhard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4046,7 +4046,7 @@ def q_xlm_backoff_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("n", "w1", "w2", "w3")
             .agg(F.sum("c").cast("long").alias("c"))
         )
-    return backoff_score_from_counts(d, counts)
+    return backoff_score_from_counts(d, _ckpt_state(counts))
 
 
 def _event_time_ticks(ev: DataFrame) -> list[DataFrame]:
@@ -4290,7 +4290,7 @@ def q_xquality_rates_maintained(
                 if c != "grp"
             ]
             state = inc.unionByName(state).groupBy("grp").agg(*csum)
-    return quality_rates_from_counts(state, dp=4)
+    return quality_rates_from_counts(_ckpt_state(state), dp=4)
 
 
 def q_xvocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4322,7 +4322,7 @@ def q_xvocab_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("token")
             .agg(F.sum("freq").cast("long").alias("freq"))
         )
-    return vocabulary_from_counts(state, top_v=20)
+    return vocabulary_from_counts(_ckpt_state(state), top_v=20)
 
 
 def q_xbloom_decontaminate_maintained(
@@ -4596,7 +4596,8 @@ def q_xcollocations_maintained(
             .agg(F.sum("freq").cast("long").alias("freq"))
         )
     out = collocations_from_counts(
-        pairs, unis, min_count=5, top_k=10_000_000
+        _ckpt_state(pairs), _ckpt_state(unis), min_count=5,
+        top_k=10_000_000,
     )
     return (
         out.select("w1", "w2", "n_pair", F.round("pmi", 6).alias("pmi"))
@@ -4856,6 +4857,7 @@ def q_xcollocations_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("token")
             .agg(F.sum("freq").cast("long").alias("freq"))
         )
+    unis = _ckpt_state(unis)
     u1 = unis.select(F.col("token").alias("w1"), F.col("freq").alias("f1"))
     u2 = unis.select(F.col("token").alias("w2"), F.col("freq").alias("f2"))
     return pairs.join(u1, "w1").join(u2, "w2").select(
@@ -4936,6 +4938,7 @@ def q_xtemperature_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("lang")
             .agg(F.sum("n").cast("long").alias("n"))
         )
+    state = _ckpt_state(state)
     cuts = temperature_cuts_from_counts(
         state, "lang", alpha=0.5, target_fraction=0.4
     )
@@ -5253,7 +5256,8 @@ def q_xppmi_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("freq").cast("long").alias("freq"))
         )
     return ppmi_from_counts(
-        pairs, unis, shift_k=2, min_count=5, top_k=100
+        _ckpt_state(pairs), _ckpt_state(unis), shift_k=2, min_count=5,
+        top_k=100,
     )
 
 
@@ -5426,7 +5430,7 @@ def q_xtemperature_maintained(
             .agg(F.sum("n").cast("long").alias("n"))
         )
     cuts = temperature_cuts_from_counts(
-        state, "lang", alpha=0.5, target_fraction=0.4
+        _ckpt_state(state), "lang", alpha=0.5, target_fraction=0.4
     )
     return (
         sample_with_cuts(d, cuts, "doc_id", "lang", hash_fn="poly")
@@ -5708,7 +5712,7 @@ def q_xsession_rates_gate(
                 if c != "grp"
             ]
             state = inc.unionByName(state).groupBy("grp").agg(*csum)
-    rates = quality_rates_from_counts(state, dp=4).select(
+    rates = quality_rates_from_counts(_ckpt_state(state), dp=4).select(
         "grp", "rate_pass_all"
     )
     # |sources| metadata rows: the rank window and the count scalar
