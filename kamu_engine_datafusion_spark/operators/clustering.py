@@ -1049,6 +1049,55 @@ def centroid_shift_from_stats(
     )
 
 
+def _int_gram(df: DataFrame, col: str, dim: int) -> list[list[int]]:
+    """Exact integer Gram matrix ``G_jk = Σ_rows v_j·v_k`` of a
+    BIGINT-array column in ONE corpus pass (r17): ``mapInArrow``
+    accumulates per-task partial matrices with numpy int64 (exact —
+    the caller's magnitude precheck bounds every partial term far
+    below 2^63) and emits one flattened 〈pos, g〉 batch per task;
+    the final element-wise sum is a dim²-row aggregate. NULL rows
+    contribute nothing — exactly how the per-iteration BIGINT sums
+    treated them (``F.sum`` skips NULL products)."""
+
+    def _partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        G = np.zeros((dim, dim), dtype=np.int64)
+        saw = False
+        for batch in batches:
+            arr = batch.column(0)
+            if arr.null_count:
+                arr = arr.drop_null()
+            if len(arr) == 0:
+                continue
+            flat = arr.flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype(np.int64, copy=False).reshape(-1, dim)
+            G += X.T @ X
+            saw = True
+        if saw:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(range(dim * dim), type=pa.int64()),
+                    pa.array(G.reshape(-1).tolist(), type=pa.int64()),
+                ],
+                ["pos", "g"],
+            )
+
+    rows = (
+        df.select(F.col(col))
+        .mapInArrow(_partials, "pos long, g long")
+        .groupBy("pos")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        p = int(r["pos"])
+        G[p // dim][p % dim] = int(r["g"])
+    return G
+
+
 def top_principal_component(
     df: DataFrame,
     id_col: str,
@@ -1158,6 +1207,21 @@ def top_principal_component(
         _INT_VEC_BACKEND == "arrow" and n * dim >= 2_000_000
     )
 
+    # First-principles pass count (r17, guide §1.1/§1.2): the whole
+    # iteration needs only the dim×dim integer Gram matrix
+    # G_jk = Σ_rows x'_j·x'_k — w = X'ᵀ(X'v) = Gᵀv by exact integer
+    # distributivity, so ONE corpus pass replaces ``iters`` kernel
+    # passes and the 8 driver-synchronized jobs become driver-side
+    # exact-int matvecs (Python ints — arbitrary precision, and the
+    # w-sum precheck above already bounds every partial term the JVM
+    # twin would have summed in BIGINT, so the trajectories are equal
+    # bit for bit; pytest-pinned against the loop twin). The final
+    # projection/variance aggregates (chk/fin below) keep their exact
+    # cluster-side form — and their overflow guards — unchanged.
+    use_gram = _INT_VEC_BACKEND == "arrow"
+    if use_gram:
+        G = _int_gram(qc, "__qc", dim)
+
     def _proj(vec_ints):
         if use_arrow:
             return int_dot_const_expr(F.col("__qc"), vec_ints)
@@ -1172,24 +1236,31 @@ def top_principal_component(
         )
 
     for _ in range(iters):
-        s = _proj(v)
-        # project the dot product ONCE per row before the aggregate —
-        # referencing `s` inside each of the `dim` sum expressions
-        # would inline `dim` copies of the projection fold/kernel (the
-        # r9 HOF lesson; a pandas UDF gets no codegen CSE either)
-        w_row = (
-            qc.select(s.alias("__s"), "__qc")
-            .agg(
-                *[
-                    F.sum(
-                        F.col("__s") * F.element_at("__qc", j + 1)
-                    ).alias(f"__w{j}")
-                    for j in range(dim)
-                ]
+        if use_gram:
+            w = [
+                sum(G[j][k] * v[k] for k in range(dim))
+                for j in range(dim)
+            ]
+        else:
+            s = _proj(v)
+            # project the dot product ONCE per row before the
+            # aggregate — referencing `s` inside each of the `dim` sum
+            # expressions would inline `dim` copies of the projection
+            # fold/kernel (the r9 HOF lesson; a pandas UDF gets no
+            # codegen CSE either)
+            w_row = (
+                qc.select(s.alias("__s"), "__qc")
+                .agg(
+                    *[
+                        F.sum(
+                            F.col("__s") * F.element_at("__qc", j + 1)
+                        ).alias(f"__w{j}")
+                        for j in range(dim)
+                    ]
+                )
+                .collect()[0]
             )
-            .collect()[0]
-        )
-        w = [int(w_row[f"__w{j}"]) for j in range(dim)]
+            w = [int(w_row[f"__w{j}"]) for j in range(dim)]
         m = max(abs(x) for x in w)
         if m == 0:
             break  # degenerate: X'v = 0 — keep the current direction

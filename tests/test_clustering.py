@@ -980,3 +980,39 @@ def test_int_vec_arrow_backend_twins(spark):
     finally:
         C._INT_VEC_BACKEND = old
     assert arrow == jvm
+
+
+def test_top_principal_component_gram_equals_loop_twin(spark):
+    """r17: the one-pass Gram path (arrow backend) must reproduce the
+    per-iteration BIGINT loop (jvm twin) bit for bit — w = X'ᵀ(X'v)
+    equals Gᵀv by exact integer distributivity, including NULL-vector
+    rows (skipped by both) and the degenerate m == 0 break."""
+    import numpy as np
+
+    from kamu_engine_datafusion_spark.operators import clustering as C
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(x) for x in rng.normal(size=8)]) for i in range(60)
+    ]
+    rows.append((60, None))  # NULL vector: must not shift the result
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    prev = C._INT_VEC_BACKEND
+    try:
+        C._INT_VEC_BACKEND = "arrow"
+        a = sorted(
+            tuple(r)
+            for r in C.top_principal_component(
+                df, "vec_id", "embedding", dim=8
+            ).collect()
+        )
+        C._INT_VEC_BACKEND = "jvm"
+        b = sorted(
+            tuple(r)
+            for r in C.top_principal_component(
+                df, "vec_id", "embedding", dim=8
+            ).collect()
+        )
+    finally:
+        C._INT_VEC_BACKEND = prev
+    assert a == b
