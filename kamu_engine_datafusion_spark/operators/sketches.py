@@ -571,11 +571,16 @@ def quantile_sketch_merge(
     # each part ONCE — a chained per-tick fold otherwise re-derives
     # the whole prior chain per reference, 2^ticks recomputes of the
     # earliest parts (r17, measured 13.9 → linear at sf0.1).
-    # localCheckpoint (eager), not persist: it also TRUNCATES the
-    # logical plan, so a merge CHAIN's analysis stays flat per tick
-    # (the cc_increment device — persist-only levels re-analyzed the
-    # whole nested tree per job).
-    u = u.localCheckpoint(eager=True)
+    # localCheckpoint, not persist: it also TRUNCATES the logical
+    # plan, so a merge CHAIN's analysis stays flat per tick
+    # (persist-only levels re-analyzed the whole nested tree per job).
+    # LAZY (r17): an eager checkpoint scheduled one extra
+    # driver-synchronized job per merge level and double-materialized
+    # persist_sketch'd parts; the first consumer action materializes
+    # the level instead (A/B over the five KS/merge/collapse keys:
+    # every one faster, e.g. xsketch_quantile_merge 7.6 → 4.0 s,
+    # xks_drift_log 7.2 → 5.2 s at sf0.1; values identical).
+    u = u.localCheckpoint(eager=False)
     return _qsk_retain(u, group_cols, k)
 
 
@@ -1434,5 +1439,5 @@ def quantile_sketch_collapse(
     # Metadata-sized input, dual-referenced by _qsk_retain:
     # checkpoint so the (possibly merge-chained) fine-sketch lineage
     # computes once and the plan tree truncates (see the merge note).
-    u = u.localCheckpoint(eager=True)
+    u = u.localCheckpoint(eager=False)
     return _qsk_retain(u, group_cols, k)
