@@ -223,14 +223,14 @@ def q_xdedup_cc_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = (
         D.ngram_jaccard_pairs(sub, block_cols="lang", threshold=0.6)
         .select("id_a", "id_b")
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     state = None
     for tick in range(3):
         inc = pairs.filter(
             F.pmod(F.col("id_a") + F.col("id_b"), F.lit(3)) == tick
         )
-        state = cc_increment(state, inc).localCheckpoint(eager=True)
+        state = cc_increment(state, inc).localCheckpoint(eager=False)
     return state.select("node", "component")
 
 
@@ -3608,14 +3608,16 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # The accumulated index is metadata-sized (≤ docs × bands rows)
         # and each tick references it TWICE (probe join + union) — the
-        # 2^ticks chained-fold recompute. localCheckpoint(eager) each
-        # level (the cc_increment device): unlike persist it also
+        # 2^ticks chained-fold recompute. localCheckpoint each level
+        # (LAZY since r17 — the next tick's eager banded/dead jobs
+        # materialize it; within-JVM A/B 3.6-3.9 -> 3.5-3.8 s warm,
+        # 6.7 -> 3.9 s cold): unlike persist it also
         # TRUNCATES the logical plan, so per-tick analysis stays flat —
         # persist-only levels still re-analyzed the whole nested union
         # tree per eager job (r17: 14.2 s → 12.1 s persisted → 6.0 s
         # warm checkpointed at sf0.1).
-        bands = bands.unionByName(new_bands).localCheckpoint(eager=True)
-        sigs = sigs.unionByName(new_sigs).localCheckpoint(eager=True)
+        bands = bands.unionByName(new_bands).localCheckpoint(eager=False)
+        sigs = sigs.unionByName(new_sigs).localCheckpoint(eager=False)
     classic = bands.join(sigs, "doc_id")
     return classic.select(
         "doc_id",
@@ -3675,7 +3677,7 @@ def _semdedup_fold(
         # job).
         state = (
             new if state is None else state.unionByName(new)
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return cents, state
 
 
