@@ -1621,8 +1621,30 @@ def dedup_increment_against_index(
     max_bucket_size: int | None = 200,
     base_hash: str = "xxhash64",
     emit_pairs: bool = False,
+    precomputed_sigs: DataFrame | None = None,
+    eager_dead: bool = True,
 ) -> tuple[DataFrame, ...]:
     """Dedup an increment against a persisted index and within itself.
+
+    ``eager_dead=False`` (r18, guide §2.6/§5): skip the eager
+    cache-populating ``dead.count()`` job. The count is NOT semantic —
+    it exists so that consumers fanning out across SEPARATE downstream
+    jobs read a populated cache instead of racing to compute ``dead``
+    concurrently. A maintained fold that consumes each tick's outputs
+    inside ONE final action (the 3-tick query keys: every state level
+    is a lazy localCheckpoint materialized by that action) pays one
+    driver-synchronized multi-stage job per tick for nothing — the
+    single action computes shared persisted subtrees once anyway.
+    Keep the default for big standalone increments whose returned
+    frames feed several separate actions.
+
+    ``precomputed_sigs`` (r18, guide §2.6): the caller may pass the
+    :func:`minhash_signatures` frame for ``new_docs`` (same text/id
+    cols, shingle_len, num_hashes, base_hash — the caller's contract)
+    already materialized. The signature kernel depends only on the
+    tick's rows, never on the fold state, so a loop folding several
+    ticks can compute ALL ticks' signatures as concurrent jobs up
+    front and keep only the cheap state-dependent probe joins serial.
 
     ``index`` is either the combined frame (:func:`minhash_index` —
     ``(doc_id, sig, __band)``) or the split ``(bands, sigs)`` tuple
@@ -1677,8 +1699,13 @@ def dedup_increment_against_index(
     """
     _release_deferred()
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(
-        new_docs, text_col, id_col, shingle_len, num_hashes, base_hash=base_hash
+    sigs = (
+        precomputed_sigs
+        if precomputed_sigs is not None
+        else minhash_signatures(
+            new_docs, text_col, id_col, shingle_len, num_hashes,
+            base_hash=base_hash,
+        )
     )
     # single materialization point: carries __sig, feeds the cap count,
     # both self-join legs, the index join, and new_index_rows
@@ -1799,7 +1826,8 @@ def dedup_increment_against_index(
     # dead feeds both survivors and new_index_rows; persist the small id
     # set so the LSH joins replay once, not per consumer
     dead = vs_index.unionByName(within).distinct().persist()
-    dead.count()  # populate before survivors + new_index_rows fan out
+    if eager_dead:
+        dead.count()  # populate before survivors + new_index_rows fan out
     _DEFERRED.extend((banded, dead))
     survivors = new_docs.join(
         dead.withColumnRenamed("new_id", id_col), id_col, "left_anti"

@@ -71,6 +71,67 @@ __all__ = ["registry", "oracles", "q_b16_groupby_agg"]
 # xtext_redact_pii, xtext_repetition, xtext_tokens, xsample,
 # xrange_join, xmm_decode, xprofile — the 20 oldest greens once this
 # window retires the r12 head), then the r13 cohort.
+_PRIORITY_R18 = [
+    # ==== round-18 verification window (first 50 keys) ====
+    # -- NEW in round 18 (VERDICT r17 item 2): the driver-checkable
+    #    full-corpus poly twin of the rows-only xxhash64 bench key —
+    #    hash-verifies the exact pipeline the bench optimizes --
+    "xdedup_minhash_survivors",
+    # -- implementation touched in round 18 (re-verify: fold-tick
+    #    overlap, classifier job fusion, sketch-persist fix, bloom
+    #    maintained kernel) --
+    "xminhash_index_maintained",  # CHANGED r18: concurrent tick sig jobs
+    "xsemdedup_incremental",  # CHANGED r18: concurrent tick state rows
+    "xann_semdedup_topk",  # CHANGED r18: shared fold change
+    "xmmr_semdedup",  # CHANGED r18: shared fold change
+    "xhybrid_maintained",  # CHANGED r18: shared fold change
+    "xhybrid_freshness",  # CHANGED r18: shared fold change
+    "xks_drift_log",  # CHANGED r18: double-materialization fix
+    "xquality_classifier",  # CHANGED r18: fused per-iteration jobs
+    "xbloom_decontaminate_maintained",  # CHANGED r18: maintained kernel
+    "xheavy_hitters_grid",  # CHANGED r18: fold-chain flattening
+    "xtop_pc",  # CHANGED r18: _int_gram null-element guard (advice)
+    # -- the r17-staged below-window families (locally sweep-green;
+    #    never driver-certified) --
+    "xkmv_window_collapse",
+    "xppmi_drift",
+    "xsession_rates_gate",
+    "xspan_dedup_maintained",
+    "xspan_removal_maintained",
+    "xks_window_drift",
+    "xkmv_window_overlap",
+    # -- the r12-stale remainder (the 20 oldest greens) --
+    "xdedup_report",
+    "xvocab_coverage",
+    "xsim_ivf",
+    "xsim_srp_lsh",
+    "xsim_topk_brute",
+    "xskyline",
+    "xsalted_agg",
+    "xsnapshot",
+    "xtext_c4_filter",
+    "xtext_fingerprint",
+    "xtext_gopher",
+    "xtext_langid",
+    "xtext_quality",
+    "xtext_redact_pii",
+    "xtext_repetition",
+    "xtext_tokens",
+    "xsample",
+    "xrange_join",
+    "xmm_decode",
+    "xprofile",
+    # -- r13-cohort head fills the remainder of the 50-window --
+    "xdedup_incremental",
+    "xdecontaminate_fuzzy",
+    "xquality_gate",
+    "xmix_budget",
+    "xsketch_quantile_merge",
+    "xsketch_cm_merge",
+    "xcluster_kmeans",
+    "xcluster_quality",
+]
+
 _PRIORITY_R17 = [
     # ==== round-17 verification window (first 50 keys) ====
     # -- the ELEVEN r16 below-window registrations (the only
@@ -1010,7 +1071,8 @@ _PRIORITY_R6 = [
 _seen: set[str] = set()
 _PRIORITY = [
     k
-    for k in _PRIORITY_R17
+    for k in _PRIORITY_R18
+    + _PRIORITY_R17
     + _PRIORITY_R16
     + _PRIORITY_R15
     + _PRIORITY_R14

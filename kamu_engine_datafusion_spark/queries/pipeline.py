@@ -64,6 +64,27 @@ def q_xdedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang")
 
 
+def q_xdedup_minhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checkable twin of the bench key ``xdedup_minhash`` (r18,
+    VERDICT r17 item 2): the SAME full-corpus survivor-set pipeline —
+    default 32 hashes / 8 bands / bucket-cap 200 (cap replayed by the
+    oracle) / verified true-Jaccard ≥ 0.7 / lower-id-wins — with the
+    SQL-replayable polynomial base hash instead of xxhash64, so the
+    driver's DuckDB oracle hash-verifies the exact code path the bench
+    key optimizes (arrow signature kernel, banding, cap, candidate
+    join, string-shingle verification, survivor anti-join) at full
+    corpus scale. The xxhash64 bench key itself stays rows-only —
+    DuckDB cannot replay xxhash64."""
+    t = load(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        t["documents"],
+        threshold=0.7,
+        base_hash="poly",
+        signature_layout="arrow",
+        signature_fan_out="auto",
+    ).select("doc_id", "lang")
+
+
 def q_xdedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup SURVIVOR SET, lower-id-wins (rows-only:
     engine-specific hashing; survivor-set-sized so the driver's row
@@ -2530,6 +2551,9 @@ def q_xdedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_bands=4,
         max_bucket_size=None,
         base_hash="poly",
+        # single downstream aggregate action: the cache-populating
+        # dead-count job is pure fixed cost here (r18, guide §2.6/§5)
+        eager_dead=False,
     )
     return survivors.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
 
@@ -2946,6 +2970,10 @@ def q_xdedup_index_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_bucket_size=None,
         base_hash="poly",
         emit_pairs=True,
+        # the returned edges read vs_index/within pairs directly; the
+        # dead-id set (survivors/new-index legs) is DISCARDED by this
+        # key — its eager count job computed a frame nothing consumes
+        eager_dead=False,
     )
     return pairs
 
@@ -3586,6 +3614,7 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamu_engine_datafusion_spark.operators.dedup import (
         dedup_increment_against_index,
         minhash_index_split,
+        minhash_signatures,
     )
 
     t = load(spark, sf_dir, "documents")
@@ -3595,8 +3624,27 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") < 0),
         num_hashes=16, num_bands=4, base_hash="poly",
     )
-    for lo, hi in ((0, 100), (100, 200), (200, 300)):
-        tick = d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+    ranges = ((0, 100), (100, 200), (200, 300))
+    ticks = [
+        d.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < hi))
+        for lo, hi in ranges
+    ]
+    # The signature kernel depends only on the tick's rows, never on
+    # the fold state — only the probe join is state-dependent. The
+    # serial loop paid one driver-synchronized kernel job per tick
+    # (each increment's eager dead-count job recomputed sigs inline);
+    # materialize all three ticks' signatures CONCURRENTLY up front
+    # (r18, guide §2.6) and fold only the metadata-sized probe joins
+    # serially. Identical frames — just checkpointed earlier.
+    tick_sigs = _ckpt_parallel(
+        [
+            minhash_signatures(
+                tick, "text", "doc_id", 3, 16, base_hash="poly"
+            )
+            for tick in ticks
+        ]
+    )
+    for tick, psigs in zip(ticks, tick_sigs):
         _, (new_bands, new_sigs) = dedup_increment_against_index(
             tick,
             (bands, sigs),
@@ -3605,6 +3653,12 @@ def q_xminhash_index_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
             num_bands=4,
             max_bucket_size=None,
             base_hash="poly",
+            precomputed_sigs=psigs,
+            # every consumer materializes inside the ONE final action
+            # (lazy state levels) — the per-tick cache-populating
+            # count jobs are pure fixed cost here (r18 within-JVM A/B:
+            # eager loses all 4 alternating arms, ~3.7 vs ~3.3 s)
+            eager_dead=False,
         )
         # The accumulated index is metadata-sized (≤ docs × bands rows)
         # and each tick references it TWICE (probe join + union) — the
@@ -4082,6 +4136,34 @@ def _ckpt_state(df: DataFrame) -> DataFrame:
     (xtransitions_state cold 9.1 s → 4.1 s at sf0.1; values identical,
     full-registry oracle sweep green)."""
     return df.localCheckpoint(eager=False)
+
+
+def _ckpt_parallel(dfs: list[DataFrame]) -> list[DataFrame]:
+    """Materialize INDEPENDENT per-tick frames as CONCURRENT eager
+    localCheckpoint jobs (r18, guide §2.6): a maintained fold's
+    state-independent legs (tick signatures, tick state rows) are
+    separate driver-synchronized jobs only because the loop calls them
+    sequentially — submitting them from a thread pool lets tick j's
+    tasks back-fill the stragglers of tick i's, collapsing the serial
+    fixed cost. Job descriptions/groups are thread-local, so each job
+    stays correctly labelled (``inheritable_thread_target`` carries
+    the parent's JVM-thread-local properties)."""
+    if len(dfs) <= 1:
+        return [df.localCheckpoint(eager=True) for df in dfs]
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=len(dfs)) as pool:
+        futs = [
+            pool.submit(
+                inheritable_thread_target(
+                    lambda df=df: df.localCheckpoint(eager=True)
+                )
+            )
+            for df in dfs
+        ]
+        return [f.result() for f in futs]
 
 
 def q_xsessions_maintained(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6173,6 +6255,7 @@ QUERIES = {
     "xpivot": q_xpivot,
     "xdedup_exact": q_xdedup_exact,
     "xdedup_minhash": q_xdedup_minhash,
+    "xdedup_minhash_survivors": q_xdedup_minhash_survivors,
     "xdedup_simhash": q_xdedup_simhash,
     "xdedup_ngram_jaccard": q_xdedup_ngram_jaccard,
     "xdedup_cluster": q_xdedup_cluster,
@@ -6466,6 +6549,63 @@ def _minhash_sql_prefix() -> str:
         "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM bands a "
         "JOIN bands b ON a.bandpos = b.bandpos AND a.bandkey = b.bandkey "
         "AND a.doc_id < b.doc_id)"
+    )
+
+
+def _minhash_survivors_oracle() -> str:
+    """DuckDB oracle for ``xdedup_minhash_survivors`` (r18): the full
+    corpus (no id filter) at the bench key's parameters — 32 hashes /
+    8 bands of 4 rows / bucket cap 200 — including the cap itself
+    (whole buckets with > cap members drop, exactly
+    ``dedup._cap_buckets``), candidate pairs, true string-shingle
+    Jaccard ≥ 0.7 verification, and the lower-id-wins survivor set."""
+    from kamu_engine_datafusion_spark.functions.columns import (
+        _MERSENNE_31 as M,
+        _SHINGLE_PRIME as P,
+        minhash_coeffs,
+    )
+
+    nh, nb, rpb, cap = 32, 8, 4, 200
+    coeffs = minhash_coeffs(nh, seed=42)
+    mins = ", ".join(
+        f"min((hv * {a} + {b}) % {M}) AS m{j}" for j, (a, b) in enumerate(coeffs)
+    )
+    bands = []
+    for band in range(nb):
+        acc = "CAST(0 AS BIGINT)"
+        for i in range(rpb):
+            acc = f"(({acc}) * {P} + m{band * rpb + i}) % {M}"
+        bands.append(
+            f"SELECT doc_id, {band} AS bandpos, {acc} AS bandkey FROM sig"
+        )
+    bands_sql = " UNION ALL ".join(bands)
+    return (
+        "WITH d AS (SELECT doc_id, lang, text FROM documents), "
+        "tq AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\\s+') AS t "
+        "FROM d), "
+        "shl AS (SELECT doc_id, list_distinct(list_transform("
+        "generate_series(1, greatest(1, len(t) - 2)), "
+        "i -> array_to_string(t[i:i+2], ' '))) AS shs FROM tq), "
+        "sh AS (SELECT doc_id, unnest(shs) AS s FROM shl), "
+        "h AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(string_split(s, ''), ch -> CAST(ascii(ch) AS BIGINT))), "
+        f"(a, b) -> (a * 31 + b) % {M}) AS hv FROM sh), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands0 AS ({bands_sql}), "
+        "big AS (SELECT bandpos, bandkey FROM bands0 "
+        f"GROUP BY bandpos, bandkey HAVING count(*) > {cap}), "
+        "bands AS (SELECT b.doc_id, b.bandpos, b.bandkey FROM bands0 b "
+        "WHERE NOT EXISTS (SELECT 1 FROM big g "
+        "WHERE g.bandpos = b.bandpos AND g.bandkey = b.bandkey)), "
+        "cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b "
+        "FROM bands a JOIN bands b ON a.bandpos = b.bandpos "
+        "AND a.bandkey = b.bandkey AND a.doc_id < b.doc_id), "
+        "ver AS (SELECT c.id_b FROM cand c "
+        "JOIN shl x ON x.doc_id = c.id_a JOIN shl y ON y.doc_id = c.id_b "
+        "WHERE CAST(len(list_intersect(x.shs, y.shs)) AS DOUBLE) / "
+        "(len(x.shs) + len(y.shs) - len(list_intersect(x.shs, y.shs))) >= 0.7) "
+        "SELECT doc_id, lang FROM d "
+        "WHERE doc_id NOT IN (SELECT id_b FROM ver)"
     )
 
 
@@ -7439,6 +7579,7 @@ def _zorder_layout_oracle() -> str:
 
 ORACLES = {
     "xdedup_minhash_sql": _minhash_sql_oracle(),
+    "xdedup_minhash_survivors": _minhash_survivors_oracle(),
     "xdedup_simhash_sql": _simhash_sql_oracle(),
     "xdedup_semantic": _semantic_oracle(),
     "xsample": (
