@@ -208,8 +208,32 @@ def hybrid_rrf(
     """
     from kamu_engine_datafusion_spark.functions.columns import half_up
 
-    for name, lst in (("sparse", sparse), ("dense", dense)):
-        n = lst.limit(max_list_rows + 1).count()
+    # The guard counts are part of the loud-failure contract (same
+    # counts, messages, call-time eagerness as always), but each one
+    # used to compute its ENTIRE upstream retrieval pipeline and the
+    # fused action then computed it AGAIN (the dense leg is the whole
+    # maintained-store fold). r18 (guide §2.6/§5): persist both lists
+    # so the guard count doubles as the cache-populating job, and run
+    # the two counts CONCURRENTLY — the legs are independent until the
+    # fusion join. Released at the next retrieval call (module ledger).
+    sparse = sparse.persist()
+    dense = dense.persist()
+    _DEFERRED.extend((sparse, dense))
+
+    def _guard_count(lst: DataFrame) -> int:
+        return lst.limit(max_list_rows + 1).count()
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        counts = list(
+            pool.map(
+                inheritable_thread_target(_guard_count), (sparse, dense)
+            )
+        )
+    for (name, _), n in zip((("sparse", sparse), ("dense", dense)), counts):
         if n > max_list_rows:
             raise ValueError(
                 f"hybrid_rrf: {name} input exceeds max_list_rows="

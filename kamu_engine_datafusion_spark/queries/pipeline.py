@@ -3728,7 +3728,12 @@ def _semdedup_fold(
         # each level so the fold is linear (not 2^ticks) AND the plan
         # tree stays flat across ticks (the cc_increment device; r17 —
         # persist-only levels still re-analyzed the nested tree per
-        # job).
+        # job). r18 re-examined persist-per-level + eager counts: a
+        # clean clearCache'd within-JVM alternating A/B reads both
+        # inside host noise (lazyckpt median 4.2 s vs 6.8 s, arms
+        # overlapping) — the lazy checkpoint already shares each level
+        # as ONE RDD across its dual reference with zero extra jobs,
+        # so it stays.
         state = (
             new if state is None else state.unionByName(new)
         ).localCheckpoint(eager=False)
