@@ -2855,12 +2855,21 @@ def q_xsketch_quantile_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("long").alias("val"),
         ((F.col("l_orderkey") + F.col("l_linenumber")) % 3).alias("__tick"),
     )
+    # ONE corpus scan for all three tick parts (r18, guide §2.3): the
+    # sampling level is a pure function of the row id, so a
+    # (grp, tick)-grouped sketch sliced at __tick == i is BIT-IDENTICAL
+    # to the sketch built over that tick's rows alone. The merge fold
+    # below is unchanged — it still exercises the exact merge law.
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        persist_sketch,
+    )
+
+    fine = persist_sketch(
+        quantile_sketch(li, ["grp", "__tick"], "rid", "val", k=256)
+    )
     state = None
     for i in range(3):
-        part = quantile_sketch(
-            li.filter(F.col("__tick") == i).drop("__tick"),
-            ["grp"], "rid", "val", k=256,
-        )
+        part = fine.filter(F.col("__tick") == i).drop("__tick")
         state = (
             part
             if state is None
@@ -5236,12 +5245,19 @@ def q_xks_drift_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__tick"
         ),
     )
+    # ONE corpus scan for all three tick sketches (r18, guide §2.3):
+    # levels are a pure function of the row id, so slicing the
+    # (grp, tick)-grouped sketch at __tick == i is bit-identical to
+    # building each tick's sketch separately.
+    from kamu_engine_datafusion_spark.operators.sketches import (
+        persist_sketch,
+    )
+
+    fine = persist_sketch(
+        quantile_sketch(li, ["grp", "__tick"], "rid", "val", k=256)
+    )
     parts = [
-        quantile_sketch(
-            li.filter(F.col("__tick") == i).drop("__tick"),
-            ["grp"], "rid", "val", k=256,
-        )
-        for i in range(3)
+        fine.filter(F.col("__tick") == i).drop("__tick") for i in range(3)
     ]
     ref = quantile_sketch_merge([parts[0], parts[1]], ["grp"], k=256)
     return ks_from_sketches(ref, parts[2], ["grp"])
@@ -5275,18 +5291,19 @@ def q_xks_drift_log(spark: SparkSession, sf_dir: str) -> DataFrame:
             "__tick"
         ),
     )
+    # ONE corpus scan for all three tick sketches (r18, guide §2.3):
+    # the sampling level is a pure function of the row id, so a
+    # (grp, tick)-grouped sketch sliced at __tick == i is BIT-IDENTICAL
+    # to the sketch built over that tick's rows alone (each tick's
+    # retain threshold sees exactly the same group rows). The old
+    # per-tick builds paid three scans of lineitem; persist the fine
+    # sketch once and every part is a metadata-sized slice.
+    fine = persist_sketch(
+        quantile_sketch(li, ["grp", "__tick"], "rid", "val", k=256)
+    )
     parts = [
-        quantile_sketch(
-            li.filter(F.col("__tick") == i).drop("__tick"),
-            ["grp"], "rid", "val", k=256,
-        )
-        for i in range(3)
+        fine.filter(F.col("__tick") == i).drop("__tick") for i in range(3)
     ]
-    # Ticks 0 and 1 are each read TWICE (a KS block + the reference
-    # fold); the part sketches are metadata-sized, so persist them
-    # rather than re-deriving the tick's corpus scans per reference.
-    parts[0] = persist_sketch(parts[0])
-    parts[1] = persist_sketch(parts[1])
     ref = parts[0]
     logs = []
     for k in (1, 2):
