@@ -55,6 +55,20 @@ from kamu_engine_datafusion_spark.functions.columns import poly_hash31
 #: tests only; the xxhash64 profile stays JVM (codegen-native).
 _CLS_SCAN_BACKEND = "arrow"
 
+#: Backend of the per-iteration GRADIENT pass (r18, guide §4.2):
+#: ``arrow`` = one ``mapInArrow`` kernel per iteration computes the
+#: margin fold, the clamp, the Elliott residual quantization, AND the
+#: per-bucket partial gradient in exact int64 numpy — the iteration
+#: job collapses to scan → kernel → ≤(buckets+1)-row final sum,
+#: with no weight broadcast join, no interpreted fold, no exploded
+#: (row × bucket) exchange. ``jvm`` = the staged broadcast-weight-row
+#: formulation (the SQL-replayable definition, kept as the
+#: correctness twin — trajectory equality pytest-pinned). All
+#: arithmetic is integer (clip/abs/floor-div on int64 wraps exactly
+#: like the JVM longs at these magnitudes), so the trajectories are
+#: equal bit for bit.
+_CLS_GRAD_BACKEND = "arrow"
+
 
 def _bucket_of(tok: Column, buckets: int, hash_fn: str) -> Column:
     if hash_fn == "poly":
@@ -151,6 +165,13 @@ def train_quality_classifier(
         _bucket_set(F.col(text_col), buckets, hash_fn).alias("__bs"),
         F.col(label_col).cast("long").alias("__y"),
     ).localCheckpoint(eager=True)
+    if _CLS_GRAD_BACKEND == "arrow":
+        # the kernel path derives n from its own first pass (the bias
+        # feature is present in every row), so the standalone count
+        # job is fused away; the empty-frame ValueError is unchanged
+        return _train_arrow(
+            base, buckets, iters, lr_num, lr_den, scale_bits, clamp
+        )
     n = base.count()
     if n == 0:
         raise ValueError("train_quality_classifier: empty training frame")
@@ -224,6 +245,112 @@ def train_quality_classifier(
             .collect()
         )
         g = {int(r["__j"]): int(r["__g"]) for r in g_rows}
+        w = [
+            w[j] - (lr_num * g.get(j, 0)) // (lr_den * it * n)
+            for j in range(buckets + 1)
+        ]
+        traj.append(list(w))
+    return traj
+
+
+def _train_arrow(
+    base: DataFrame,
+    buckets: int,
+    iters: int,
+    lr_num: int,
+    lr_den: int,
+    scale_bits: int,
+    clamp: int,
+) -> list[list[int]]:
+    """The GD loop with the per-iteration gradient as ONE ``mapInArrow``
+    kernel (r18, guide §4.2): margins, the ±clamp, the Elliott residual
+    quantization and the per-bucket partial gradient all run in exact
+    int64 numpy per task; only ≤ ``buckets + 2`` partial longs per task
+    cross back for the final sum. Bit-identical to the JVM twin: every
+    step is int64 arithmetic (sums bounded far below 2^63 by the
+    module's documented overflow envelope), clip/abs/floor-div on
+    non-negative operands agree exactly, and the trajectory-equality
+    pytest pins it. ``n`` comes from the first pass's count row
+    (feature frame rows, incl. NULL-text rows — identical to the old
+    standalone ``count()``)."""
+    scale = 1 << scale_bits
+    lim = clamp * scale
+    w = [0] * (buckets + 1)
+    traj = [list(w)]
+    n = None
+    for it in range(1, iters + 1):
+        warr = list(w)
+
+        def _grad(batches, _w=warr):
+            import numpy as np
+            import pyarrow as pa
+
+            wnp = np.asarray(_w, dtype=np.int64)
+            g = np.zeros(buckets + 1, dtype=np.int64)
+            rows = 0
+            for batch in batches:
+                bs = batch.column(0)
+                y = batch.column(1).to_numpy(zero_copy_only=False)
+                y = y.astype(np.int64, copy=False)
+                nr = len(y)
+                if nr == 0:
+                    continue
+                rows += nr
+                import pyarrow.compute as pc
+
+                lens = (
+                    pc.list_value_length(bs)
+                    .cast(pa.int64())
+                    .to_numpy(zero_copy_only=False)
+                )
+                lens = np.nan_to_num(lens, nan=0.0).astype(np.int64)
+                vals = bs.flatten().to_numpy(zero_copy_only=False)
+                vals = vals.astype(np.int64, copy=False)
+                idx = np.repeat(np.arange(nr, dtype=np.int64), lens)
+                # margin: Σ w[bucket] per row + bias (NULL/empty bucket
+                # arrays contribute the bias alone, like the JVM
+                # coalesce)
+                z = np.zeros(nr, dtype=np.int64)
+                np.add.at(z, idx, wnp[vals])
+                z += wnp[buckets]
+                zc = np.clip(z, -lim, lim)
+                az = np.abs(zc)
+                num = (scale + az + zc) * scale
+                den = 2 * (scale + az)
+                r = (2 * num + den) // (2 * den) - y * scale
+                # per-bucket partial gradient; bias row = Σ residuals
+                np.add.at(g, vals, r[idx])
+                g[buckets] += int(r.sum())
+            if rows:
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            list(range(buckets + 1)) + [-1],
+                            type=pa.int64(),
+                        ),
+                        pa.array(
+                            g.tolist() + [rows], type=pa.int64()
+                        ),
+                    ],
+                    ["__j", "__g"],
+                )
+
+        g_rows = (
+            base.select("__bs", "__y")
+            .mapInArrow(_grad, "__j long, __g long")
+            .groupBy("__j")
+            .agg(F.sum("__g").alias("__g"))
+            .collect()
+        )
+        g = {int(r["__j"]): int(r["__g"]) for r in g_rows}
+        if n is None:
+            n = g.pop(-1, 0)
+            if n == 0:
+                raise ValueError(
+                    "train_quality_classifier: empty training frame"
+                )
+        else:
+            g.pop(-1, None)
         w = [
             w[j] - (lr_num * g.get(j, 0)) // (lr_den * it * n)
             for j in range(buckets + 1)

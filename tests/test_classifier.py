@@ -140,6 +140,27 @@ def test_classifier_presence_not_counts(spark):
     assert got[1] == got[2] == 7
 
 
+def test_classifier_grad_backend_twins(spark):
+    """r18: the mapInArrow gradient kernel must reproduce the JVM
+    broadcast-weight-row formulation bit for bit — including NULL and
+    whitespace-only text rows (bias-only contribution, counted in n)."""
+    import kamu_engine_datafusion_spark.operators.classifier as C
+
+    rows = _two_vocab_corpus(n=80)
+    rows += [(1000, None, 0), (1001, "   ", 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y int")
+    kwargs = dict(buckets=32, iters=3, lr_num=8)
+    assert C._CLS_GRAD_BACKEND == "arrow"  # the operator default
+    a = train_quality_classifier(df, "doc_id", "text", "y", **kwargs)
+    old = C._CLS_GRAD_BACKEND
+    C._CLS_GRAD_BACKEND = "jvm"
+    try:
+        b = train_quality_classifier(df, "doc_id", "text", "y", **kwargs)
+    finally:
+        C._CLS_GRAD_BACKEND = old
+    assert a == b  # every iteration, every weight
+
+
 def test_classifier_empty_frame_raises(spark):
     import pytest
 
