@@ -1066,6 +1066,62 @@ def bloom_candidate_shingles_udf(
     ).asNondeterministic()
 
 
+def bloom_positions_udf(
+    shingle_len: int,
+    m_bits: int,
+    coeffs: list[tuple[int, int]],
+    hash_fn: str,
+) -> "callable":
+    """Arrow-batched pandas UDF ``text -> array<long>``: each doc's
+    DISTINCT Bloom bit positions — the vectorized BUILD side of
+    ``decontaminate.bloom_build`` (r18). Same tokenize→shingle→31-bit
+    hash (xxhash64-pmod or poly31) → universal-family position math as
+    :func:`bloom_candidate_shingles_udf`'s membership probe, so the
+    collected position set — and hence the bitmap — is bit-identical
+    to the JVM expression chain (twin pytest). NULL text behaves like
+    "" (word_shingles's live-pinned rule)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.pandas.functions import PandasUDFType, pandas_udf
+
+    m31 = np.int64(_MERSENNE_31)
+
+    def _pos(texts):
+        doc_counts: list[int] = []
+        flat: list[str] = []
+        for s in texts:
+            t = java_tokens(s if isinstance(s, str) else "")
+            nsh = max(1, len(t) - (shingle_len - 1))
+            sh = list(
+                dict.fromkeys(
+                    " ".join(t[i: i + shingle_len]) for i in range(nsh)
+                )
+            )
+            doc_counts.append(len(sh))
+            flat.extend(sh)
+        if not flat:
+            return pd.Series([[] for _ in doc_counts])
+        if hash_fn == "poly":
+            h, _ = poly31_batch(flat)
+        else:
+            h = xxhash64_bytes([s.encode("utf-8") for s in flat]) % m31
+        ps = [
+            (h * np.int64(a) + np.int64(b)) % m31 % np.int64(m_bits)
+            for a, b in coeffs
+        ]
+        P = np.stack(ps, axis=1)  # (n_shingles, k_hashes)
+        out: list = []
+        d = 0
+        for k in doc_counts:
+            out.append(
+                np.unique(P[d: d + k].reshape(-1)).tolist() if k else []
+            )
+            d += k
+        return pd.Series(out)
+
+    return pandas_udf(_pos, "array<long>", PandasUDFType.SCALAR)
+
+
 def shingle_hash_set_udf(shingle_len: int = 3) -> "callable":
     """Arrow-batched pandas UDF ``text -> array<long>`` producing each
     doc's DISTINCT shingle-hash set — value-identical (as a set) to

@@ -296,32 +296,54 @@ def bloom_build(
     )
 
     coeffs = minhash_coeffs(k_hashes, seed)
-    sh = benchmark.select(
-        F.explode(
-            F.array_distinct(word_shingles(tokens(text_col), shingle_len))
-        ).alias("__sh")
-    ).distinct()
-    from kamu_engine_datafusion_spark.functions.columns import _let
+    if _BLOOM_SCAN_BACKEND == "arrow":
+        # vectorized build (r18, guide §4): ONE ArrowEvalPython does
+        # tokenize→shingle→hash→positions per doc — the JVM form ran
+        # the shingle build and the k position rehashes as interpreted
+        # HOFs per shingle. Position sets bit-identical (twin pytest);
+        # the global distinct below makes per-doc vs corpus-wide
+        # dedup order irrelevant.
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            bloom_positions_udf,
+        )
 
-    # Let-bind the shingle hash: the k_hashes rehashes each reference
-    # it, and the poly profile's char fold is an interpreted HOF with
-    # no codegen CSE — unbound, every rehash re-runs the fold (r17).
-    h = _sh_hash31(F.col("__sh"), hash_fn)
-    pos = sh.select(
-        F.explode(
-            _let(
-                h,
-                lambda hv: F.array(
-                    *[
-                        (hv * F.lit(a) + F.lit(b))
-                        % F.lit(_M31)
-                        % F.lit(m_bits)
-                        for a, b in coeffs
-                    ]
-                ),
-            )
-        ).alias("__p")
-    ).distinct()
+        pos = benchmark.select(
+            F.explode(
+                bloom_positions_udf(shingle_len, m_bits, coeffs, hash_fn)(
+                    F.col(text_col)
+                )
+            ).alias("__p")
+        ).distinct()
+    else:
+        sh = benchmark.select(
+            F.explode(
+                F.array_distinct(
+                    word_shingles(tokens(text_col), shingle_len)
+                )
+            ).alias("__sh")
+        ).distinct()
+        from kamu_engine_datafusion_spark.functions.columns import _let
+
+        # Let-bind the shingle hash: the k_hashes rehashes each
+        # reference it, and the poly profile's char fold is an
+        # interpreted HOF with no codegen CSE — unbound, every rehash
+        # re-runs the fold (r17).
+        h = _sh_hash31(F.col("__sh"), hash_fn)
+        pos = sh.select(
+            F.explode(
+                _let(
+                    h,
+                    lambda hv: F.array(
+                        *[
+                            (hv * F.lit(a) + F.lit(b))
+                            % F.lit(_M31)
+                            % F.lit(m_bits)
+                            for a, b in coeffs
+                        ]
+                    ),
+                )
+            ).alias("__p")
+        ).distinct()
     bitmap = [0] * ((m_bits + 63) // 64)
     for r in pos.collect():
         p = int(r["__p"])
@@ -492,12 +514,23 @@ def bloom_flag_with_bitmap(
             )
             .filter(F.size("__cand") > 0)
         )
+    if _BLOOM_SCAN_BACKEND == "arrow":
+        # phase-2 exact verify: benchmark shingle strings via the
+        # vectorized set kernel (r18 — the interpreted word_shingles
+        # transform over the whole benchmark was the last HOF in this
+        # read's hot path; word_shingle_set_udf is the pytest-pinned
+        # twin of array_distinct(word_shingles(…)))
+        from kamu_engine_datafusion_spark.functions.arrow_hash import (
+            word_shingle_set_udf,
+        )
+
+        bench_sh_arr = word_shingle_set_udf(shingle_len)(F.col(text_col))
+    else:
+        bench_sh_arr = F.array_distinct(
+            word_shingles(tokens(text_col), shingle_len)
+        )
     bench_shingles = F.broadcast(
-        benchmark.select(
-            F.explode(
-                F.array_distinct(word_shingles(tokens(text_col), shingle_len))
-            ).alias("__sh")
-        ).distinct()
+        benchmark.select(F.explode(bench_sh_arr).alias("__sh")).distinct()
     )
     overlaps = (
         cand.select("__id", F.explode("__cand").alias("__sh"))

@@ -4446,18 +4446,28 @@ def q_xbloom_decontaminate_maintained(
     d = t["documents"]
     corpus = d.filter(F.col("doc_id") < 400)
     bench = d.filter(F.col("doc_id") >= 450)
-    bitmap = None
-    for i in range(3):
-        inc = bloom_build(
+    # The three tick builds are independent eager collects (each scans
+    # only its benchmark tick) — run them as CONCURRENT jobs (r18,
+    # guide §2.6); the OR fold below is associative/commutative, so
+    # completion order is irrelevant.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    def _build(i: int) -> list[int]:
+        return bloom_build(
             bench.filter(F.col("doc_id") % 3 == i),
             shingle_len=5, m_bits=1 << 16, k_hashes=4,
             hash_fn="xxhash64",
         )
-        # python ints carry two's-complement semantics, so signed-view
-        # OR is exactly the 64-bit bitwise OR of the raw bitmaps
-        bitmap = (
-            inc if bitmap is None else [a | b for a, b in zip(bitmap, inc)]
-        )
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        incs = list(pool.map(inheritable_thread_target(_build), range(3)))
+    # python ints carry two's-complement semantics, so signed-view
+    # OR is exactly the 64-bit bitwise OR of the raw bitmaps
+    bitmap = incs[0]
+    for inc in incs[1:]:
+        bitmap = [a | b for a, b in zip(bitmap, inc)]
     return bloom_flag_with_bitmap(
         corpus, bench, bitmap, shingle_len=5, threshold=1,
         m_bits=1 << 16, k_hashes=4, hash_fn="xxhash64",

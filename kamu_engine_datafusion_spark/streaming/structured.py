@@ -4343,38 +4343,58 @@ def maintained_bloom(
     )
 
     def _words(batch_df: DataFrame) -> DataFrame:
-        from kamu_engine_datafusion_spark.functions.columns import _let
-
-        # Let-bind the shingle hash: k_hashes rehashes each reference
-        # it, and the poly profile's char fold is an interpreted HOF
-        # with no codegen CSE — unbound, every rehash re-runs the
-        # fold per shingle (r17).
-        h = _sh_hash31(F.col("__sh"), hash_fn)
-        pos = (
-            batch_df.select(
-                F.explode(
-                    F.array_distinct(
-                        word_shingles(tokens(text_col), shingle_len)
-                    )
-                ).alias("__sh")
-            )
-            .select(
-                F.explode(
-                    _let(
-                        h,
-                        lambda hv: F.array(
-                            *[
-                                (hv * F.lit(a) + F.lit(b))
-                                % F.lit(m31)
-                                % F.lit(m_bits)
-                                for a, b in coeffs
-                            ]
-                        ),
-                    )
-                ).alias("__p")
-            )
-            .distinct()
+        from kamu_engine_datafusion_spark.operators import (
+            decontaminate as _dec,
         )
+
+        if _dec._BLOOM_SCAN_BACKEND == "arrow":
+            # the fold's hot path rides the vectorized positions
+            # kernel (r18 — bit-identical position sets, twin pytest;
+            # the JVM chain below is the SQL-replayable definition)
+            from kamu_engine_datafusion_spark.functions.arrow_hash import (
+                bloom_positions_udf,
+            )
+
+            pos = batch_df.select(
+                F.explode(
+                    bloom_positions_udf(
+                        shingle_len, m_bits, coeffs, hash_fn
+                    )(F.col(text_col))
+                ).alias("__p")
+            ).distinct()
+        else:
+            from kamu_engine_datafusion_spark.functions.columns import _let
+
+            # Let-bind the shingle hash: k_hashes rehashes each
+            # reference it, and the poly profile's char fold is an
+            # interpreted HOF with no codegen CSE — unbound, every
+            # rehash re-runs the fold per shingle (r17).
+            h = _sh_hash31(F.col("__sh"), hash_fn)
+            pos = (
+                batch_df.select(
+                    F.explode(
+                        F.array_distinct(
+                            word_shingles(tokens(text_col), shingle_len)
+                        )
+                    ).alias("__sh")
+                )
+                .select(
+                    F.explode(
+                        _let(
+                            h,
+                            lambda hv: F.array(
+                                *[
+                                    (hv * F.lit(a) + F.lit(b))
+                                    % F.lit(m31)
+                                    % F.lit(m_bits)
+                                    for a, b in coeffs
+                                ]
+                            ),
+                        )
+                    ).alias("__p")
+                )
+                .distinct()
+            )
         # per-word OR of the tick's bit positions: shiftleft needs a
         # literal count in the python API — build the single-bit word
         # with the SQL form, then fold bits of the same word together

@@ -274,6 +274,45 @@ def test_word_ngrams_short_docs_general_n(spark):
     assert nov[4] == (0, 1.0)
 
 
+def test_bloom_build_backend_twins(spark):
+    """r18: the vectorized build kernel (bloom_positions_udf) produces
+    the EXACT bitmap of the interpreted JVM build — both hash
+    profiles, incl. null/empty/short texts."""
+    from pyspark.sql import functions as F
+
+    from kamu_engine_datafusion_spark.operators import decontaminate as D
+    from kamu_engine_datafusion_spark.operators.decontaminate import (
+        bloom_build,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    edge = spark.createDataFrame(
+        [(9001, None), (9002, ""), (9003, "one two"),
+         (9004, "x\ty\nz\t"), (9005, "Ünïcödé shingle tokens here")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") >= 450).unionByName(edge)
+
+    def run(hash_fn):
+        return bloom_build(
+            bench, shingle_len=5, m_bits=1 << 16, k_hashes=4,
+            hash_fn=hash_fn,
+        )
+
+    for hash_fn in ("xxhash64", "poly"):
+        assert D._BLOOM_SCAN_BACKEND == "arrow"
+        arrow = run(hash_fn)
+        old = D._BLOOM_SCAN_BACKEND
+        D._BLOOM_SCAN_BACKEND = "jvm"
+        try:
+            jvm = run(hash_fn)
+        finally:
+            D._BLOOM_SCAN_BACKEND = old
+        assert arrow == jvm, hash_fn
+
+
 def test_bloom_scan_backend_twins(spark):
     """r17: the vectorized Bloom phase-1 prefilter
     (bloom_candidate_shingles_udf) flags the exact same documents with
