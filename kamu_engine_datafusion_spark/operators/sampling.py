@@ -1048,13 +1048,20 @@ def dsir_bucket_counts(
     text_col: str = "text",
     buckets: int = 512,
     hash_fn: str = "poly",
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Hashed-bigram bucket counts ``(b, c)`` — the DSIR model-building
     aggregate as a FRAME: the per-tick INCREMENT of
     ``streaming.maintained_dsir_stats`` (counts are additive, so the
     cross-tick fold is exact) and the input of
     :func:`dsir_scores_from_stats`. Bounded at ≤ ``buckets`` rows by
-    construction (partial counts cap the exchange)."""
+    construction (partial counts cap the exchange).
+
+    ``extra_group_cols`` (r18): extra count keys (e.g. a tick id) —
+    buckets are per-occurrence, so the (extra, b)-keyed counts sliced
+    on the extra column are BIT-IDENTICAL to counting each slice
+    separately, at ONE scan instead of one per slice (guide §2.3)."""
+    eg = [F.col(c) for c in extra_group_cols]
     if hash_fn == "poly" and _DSIR_SCAN_BACKEND == "arrow":
         # vectorized kernel: per-doc bucket arrays (bit-exact poly31
         # bigram buckets), exploding LONGS instead of bigram STRINGS —
@@ -1065,13 +1072,16 @@ def dsir_bucket_counts(
         )
 
         exploded = df.select(
-            F.explode(dsir_bucket_udf(buckets)(F.col(text_col))).alias("b")
+            *eg,
+            F.explode(dsir_bucket_udf(buckets)(F.col(text_col))).alias("b"),
         )
     else:
         exploded = df.select(
-            F.explode(_dsir_bigrams(F.col(text_col))).alias("__ng")
-        ).select(_dsir_bucket(F.col("__ng"), buckets, hash_fn).alias("b"))
-    return exploded.groupBy("b").agg(
+            *eg, F.explode(_dsir_bigrams(F.col(text_col))).alias("__ng")
+        ).select(
+            *eg, _dsir_bucket(F.col("__ng"), buckets, hash_fn).alias("b")
+        )
+    return exploded.groupBy(*extra_group_cols, "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
 

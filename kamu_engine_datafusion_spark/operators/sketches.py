@@ -294,22 +294,34 @@ def cm_counters(
     width: int = 256,
     seed: int = 7,
     hash_fn: str = "poly",
+    extra_group_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Count-Min counter grid over the occurrence stream of ``key``:
     ``(i, bucket, c)`` — one row per non-empty cell, ``c`` the number
     of occurrences hashing there under row ``i``'s hash.
+
+    ``extra_group_cols`` (r18): additional grid key columns (e.g. a
+    tick id) — the bucket hash is per-occurrence, so a grid built per
+    (extra, i, bucket) and sliced on the extra column is BIT-IDENTICAL
+    to building each slice's grid separately, at ONE scan instead of
+    one per slice (guide §2.3).
 
     Scale: the in-row bucket array explodes to ``depth`` cells per
     occurrence, but partial counts cap per-partition state at
     ``depth·width`` longs — the exchange carries the grid, never the
     key space.
     """
-    hashed = df.select(_hash31(F.col(key), hash_fn).alias("__h31"))
+    eg = [F.col(c) for c in extra_group_cols]
+    hashed = df.select(*eg, _hash31(F.col(key), hash_fn).alias("__h31"))
     cells = hashed.select(
-        F.posexplode(_cm_buckets(F.col("__h31"), depth, width, seed))
+        *eg, F.posexplode(_cm_buckets(F.col("__h31"), depth, width, seed))
     )
     return (
-        cells.groupBy(F.col("pos").alias("i"), F.col("col").alias("bucket"))
+        cells.groupBy(
+            *extra_group_cols,
+            F.col("pos").alias("i"),
+            F.col("col").alias("bucket"),
+        )
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
 

@@ -2313,10 +2313,12 @@ def q_xcluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cluster_quality(assign, emb, "vec_id", "label")
 
 
-def _bigram_stream(docs, with_lang: bool = False):
+def _bigram_stream(docs, with_lang: bool = False, extra_cols: tuple = ()):
     """Exploded adjacent-bigram strings (``"w1 w2"``) of the documents
     table — the element stream both sketch audits run on (in-row
-    zip_with over token slices; no join, no window)."""
+    zip_with over token slices; no join, no window). ``extra_cols``
+    pass through alongside the stream (r18: tick keys for one-scan
+    sliced grids)."""
     from kamu_engine_datafusion_spark.functions.columns import tokens
 
     tk = tokens("text")
@@ -2329,7 +2331,11 @@ def _bigram_stream(docs, with_lang: bool = False):
             lambda a, b: F.concat(a, F.lit(" "), b),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    cols = (["lang"] if with_lang else []) + [F.explode(bg).alias("bigram")]
+    cols = (
+        list(extra_cols)
+        + (["lang"] if with_lang else [])
+        + [F.explode(bg).alias("bigram")]
+    )
     return docs.select(*cols)
 
 
@@ -2890,12 +2896,21 @@ def q_xsketch_cm_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kamu_engine_datafusion_spark.operators.sketches import cm_counters
 
     t = load(spark, sf_dir, "documents")
+    # ONE corpus scan for all three tick grids (r18, guide §2.3): the
+    # cell hash is per-occurrence, so the (tick, i, bucket)-keyed grid
+    # sliced at __tick == i is bit-identical to the per-tick build;
+    # the cell-wise fold below is unchanged.
+    fine = cm_counters(
+        _bigram_stream(
+            t["documents"].withColumn("__tick", F.col("doc_id") % 3),
+            extra_cols=("__tick",),
+        ),
+        "bigram", depth=4, width=256, seed=7,
+        extra_group_cols=("__tick",),
+    ).localCheckpoint(eager=False)
     state = None
     for i in range(3):
-        tick = t["documents"].filter(F.col("doc_id") % 3 == i)
-        grid = cm_counters(
-            _bigram_stream(tick), "bigram", depth=4, width=256, seed=7
-        )
+        grid = fine.filter(F.col("__tick") == i).drop("__tick")
         state = (
             grid
             if state is None
@@ -3964,12 +3979,18 @@ def q_xheavy_hitters_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = docs.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
     )
+    # ONE token-stream scan for all three tick grids (r18, guide
+    # §2.3): the cell hash is per-occurrence, so the (tick, i,
+    # bucket)-keyed grid sliced at __tick == i is bit-identical to the
+    # per-tick build; the cell-wise fold below is unchanged.
+    fine = cm_counters(
+        stream.withColumn("__tick", F.col("doc_id") % 3),
+        "tok", depth=4, width=256, seed=7, hash_fn="poly",
+        extra_group_cols=("__tick",),
+    ).localCheckpoint(eager=False)
     grid = None
     for i in range(3):
-        inc = cm_counters(
-            stream.filter(F.col("doc_id") % 3 == i),
-            "tok", depth=4, width=256, seed=7, hash_fn="poly",
-        )
+        inc = fine.filter(F.col("__tick") == i).drop("__tick")
         grid = (
             inc
             if grid is None
@@ -4007,12 +4028,17 @@ def q_xdsir_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.col("source") != "src1")
 
     def fold(d):
+        # ONE scan for all three tick count frames (r18, guide §2.3):
+        # buckets are per-occurrence, so the (tick, b)-keyed counts
+        # sliced at __tick == i are bit-identical to the per-tick
+        # builds; the cell-wise fold below is unchanged.
+        fine = dsir_bucket_counts(
+            d.withColumn("__tick", F.col("doc_id") % 3), buckets=512,
+            hash_fn="poly", extra_group_cols=("__tick",),
+        ).localCheckpoint(eager=False)
         state = None
         for i in range(3):
-            inc = dsir_bucket_counts(
-                d.filter(F.col("doc_id") % 3 == i), buckets=512,
-                hash_fn="poly",
-            )
+            inc = fine.filter(F.col("__tick") == i).drop("__tick")
             state = (
                 inc
                 if state is None
