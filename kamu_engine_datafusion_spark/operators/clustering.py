@@ -1069,6 +1069,7 @@ def _int_gram(df: DataFrame, col: str, dim: int) -> list[list[int]]:
     def _partials(batches):
         import numpy as np
         import pyarrow as pa
+        import pyarrow.compute as pc
 
         G = np.zeros((dim, dim), dtype=np.int64)
         saw = False
@@ -1078,8 +1079,38 @@ def _int_gram(df: DataFrame, col: str, dim: int) -> list[list[int]]:
                 arr = arr.drop_null()
             if len(arr) == 0:
                 continue
-            flat = arr.flatten().to_numpy(zero_copy_only=False)
-            X = flat.astype(np.int64, copy=False).reshape(-1, dim)
+            # Ragged vectors would silently mis-reshape; the JVM twin
+            # skips them via NULL-padded zip_with, but a kernel that
+            # reshapes wrong data corrupts EVERY row — fail loudly
+            # (r18 advice fix).
+            lens = pc.list_value_length(arr).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            if (lens != dim).any():
+                bad = int(lens[(lens != dim)][0])
+                raise ValueError(
+                    f"_int_gram: vector of length {bad} != dim={dim} — "
+                    "fixed-width BIGINT vectors required"
+                )
+            flat = arr.flatten()
+            if flat.null_count:
+                # A NULL element nulls the row's dot products in the
+                # JVM twin (F.sum skips the row) — drop those ROWS here
+                # too; to_numpy would otherwise promote to float64 and
+                # astype would turn NaN into garbage int64 (r18 advice
+                # fix, twin-pytest pinned).
+                valid = np.asarray(pc.is_valid(flat)).reshape(-1, dim)
+                row_ok = valid.all(axis=1)
+                flat = flat.fill_null(0)
+                X = flat.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                ).reshape(-1, dim)[row_ok]
+                if len(X) == 0:
+                    continue
+            else:
+                X = flat.to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                ).reshape(-1, dim)
             G += X.T @ X
             saw = True
         if saw:
@@ -1225,6 +1256,14 @@ def top_principal_component(
     # bit for bit; pytest-pinned against the loop twin). The final
     # projection/variance aggregates (chk/fin below) keep their exact
     # cluster-side form — and their overflow guards — unchanged.
+    # use_gram deliberately does NOT share use_arrow's n·dim >= 2M
+    # crossover (r18 advice follow-up, measured): the crossover trades
+    # ONE ArrowEvalPython round-trip per iteration against the
+    # interpreted fold, but the Gram path trades ONE mapInArrow pass
+    # against ``iters`` driver-synchronized jobs — at n=500/dim=64
+    # (sf0.001, far below the crossover) the Gram path reads 1.9-2.2 s
+    # vs the loop's 8.2-11.0 s in a within-JVM alternating A/B, so the
+    # switch is justified unconditionally.
     use_gram = _INT_VEC_BACKEND == "arrow"
     if use_gram:
         G = _int_gram(qc, "__qc", dim)

@@ -635,7 +635,13 @@ def debounce_increment(
 
     PRECONDITION (loud): a tick event before its group's ``last_us``
     raises (the append-ledger contract); same-microsecond cross-tick
-    ties order by arrival (the funnel-family caveat).
+    ties order by arrival (the funnel-family caveat). NULL timestamps
+    (r18, pinned): the violation check compares the group's first
+    NON-NULL tick time — NULL-ts rows never trip it (they sort first
+    in the window and carry no instant), but a later real event out
+    of order now raises even when a NULL-ts row precedes it in the
+    window (the r17 window-first-row check silently passed that case;
+    stricter is the correct reading of the append contract).
 
     Scale: one group-keyed window over the tick + the touched-state
     join; history is never re-scanned."""

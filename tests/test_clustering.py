@@ -996,6 +996,12 @@ def test_top_principal_component_gram_equals_loop_twin(spark):
         (i, [float(x) for x in rng.normal(size=8)]) for i in range(60)
     ]
     rows.append((60, None))  # NULL vector: must not shift the result
+    # NULL ELEMENT inside a vector (r18 advice fix): the JVM twin nulls
+    # that row's dot products (F.sum skips the row); the Gram kernel
+    # must drop the row too, not cast the promoted NaN to garbage int64
+    bad = [float(x) for x in rng.normal(size=8)]
+    bad[3] = None
+    rows.append((61, bad))
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     prev = C._INT_VEC_BACKEND
     try:

@@ -90,6 +90,49 @@ def test_retention_cohorts_weekly(spark):
     }
 
 
+def test_debounce_increment_null_ts_precondition_pinned(spark):
+    """r18 advice pin: NULL-timestamp tick rows never trip the
+    append-order violation check (the min over tick times skips
+    NULLs), while a REAL event before the stored last still raises —
+    even when a NULL-ts row sorts ahead of it in the tick window (the
+    r17 window-first-row check silently passed that case; the
+    tightened reading is documented in the docstring)."""
+    from datetime import datetime, timezone
+
+    import pytest
+
+    from kamu_engine_datafusion_spark.operators.funnel import (
+        debounce_increment,
+    )
+
+    def t(sec):
+        return datetime(2024, 1, 1, 0, sec // 60, sec % 60,
+                        tzinfo=timezone.utc)
+
+    schema = "user_id long, ts timestamp, event_type string, event_id long"
+    tick0 = spark.createDataFrame(
+        [(1, t(100), "click", 0)], schema
+    )
+    _, state = debounce_increment(None, tick0, gap_seconds=600.0)
+    state = state.localCheckpoint(eager=True)
+
+    # a NULL-ts-only tick folds without raising
+    null_tick = spark.createDataFrame([(1, None, "click", 1)], schema)
+    kept, new_state = debounce_increment(
+        state, null_tick, gap_seconds=600.0
+    )
+    kept.collect()
+    new_state.collect()
+
+    # NULL-ts row plus a REAL out-of-order event: raises even though
+    # the NULL row sorts first in the tick window
+    bad = spark.createDataFrame(
+        [(1, None, "click", 2), (1, t(50), "click", 3)], schema
+    )
+    with pytest.raises(ValueError, match="event-time order"):
+        debounce_increment(state, bad, gap_seconds=600.0)[0].collect()
+
+
 def test_debounce_collapses_bursts(spark):
     """Events within the gap of their predecessor are dropped; the
     first of a burst survives; independent (user, type) streams don't
