@@ -132,6 +132,8 @@ def key_skew_profile(
     top = counts.orderBy(F.col("__n").desc(), "__key").limit(top_n)
     from pyspark.sql import Window
 
+    # BOUNDED-WINDOW CLASS: input is the limit(top_n) frame above —
+    # metadata-sized by construction, never the corpus.
     ranked = top.crossJoin(F.broadcast(total)).select(
         F.row_number()
         .over(Window.orderBy(F.col("__n").desc(), "__key"))

@@ -288,6 +288,9 @@ def quantile_bins(
         order = [F.col(value_col)]
         if tiebreak_col:
             order.append(F.col(tiebreak_col))
+        # BOUNDED-WINDOW CLASS (caller contract): exact_depth runs a
+        # GLOBAL ntile — opt in only for oracle-sized frames; the
+        # default sketch path is the at-scale binning.
         w = Window.orderBy(*order)
         return df.withColumn(
             f"{value_col}_bin", F.ntile(num_bins).over(w).cast("long")

@@ -501,6 +501,7 @@ def bm25_topk_from_postings(
             half_up(F.sum(contrib), dp).alias("score"),
         )
     )
+    # BOUNDED-WINDOW CLASS: applied to the limit(k) frame below.
     w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
     top = (
         scored.orderBy(F.col("score").desc(), "doc_id")

@@ -233,6 +233,9 @@ def shuffle_rank(
     """
     b = _bucket(F.col(key_col), salt, hash_fn)
     if mode == "serial":
+        # BOUNDED-WINDOW CLASS: serial mode is the documented
+        # small-input/oracle path — never feed a corpus through this
+        # global window; use the distributed mode at scale.
         w = Window.orderBy(b, F.col(key_col))
         return df.withColumn(
             "shuffle_rank", (F.row_number().over(w) - 1).cast("long")
@@ -848,6 +851,8 @@ def interleave_sources(
         per_source = Window.partitionBy(source_col).orderBy(b, F.col(key_col))
         r = F.row_number().over(per_source).cast("double")
         out = out.withColumn("__stride", (r - 0.5) / w_expr)
+        # BOUNDED-WINDOW CLASS: serial mode's documented small-input
+        # path — the distributed mode shards this global order.
         glob = Window.orderBy(
             F.col("__stride"), F.col(source_col), F.col(key_col)
         )
@@ -1607,6 +1612,8 @@ def negative_samples(
     base = df.select(key.alias("anchor"), h.alias("__h"))
     if mode == "serial":
         base = base.withColumn("__shard", F.lit(0))
+        # BOUNDED-WINDOW CLASS: serial mode's documented small-input
+        # path — sharded mode partitions this window at scale.
         w = Window.orderBy("__h", "anchor")
     elif mode == "sharded":
         base = base.withColumn("__shard", F.pmod(F.col("__h"), F.lit(shards)))

@@ -561,6 +561,7 @@ def pq_topk(
         .orderBy("adc_dist2q", id_col)
         .limit(top_n)
     )
+    # BOUNDED-WINDOW CLASS: input is the limit(top_n) frame above.
     w = Window.orderBy("adc_dist2q", id_col)
     return top.select(
         F.row_number().over(w).cast("long").alias("rank"),
