@@ -365,34 +365,28 @@ def q_b16_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_b17_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B17: exact DISTINCT aggregates.
 
-    r17 restructure (row- and schema-identical — pytest-pinned against
-    the three-countDistinct single aggregate, oracle unchanged): the
-    fused form plans one Expand that triples every input row to carry
-    (key, gid) pairs through a single 5-column exchange, rows padded
-    with nulls for the other two keys. Three independent
-    distinct→count branches joined on the group key shuffle 2-column
-    rows instead (guide §2.3: shuffle fewer bytes), dedupe map-side
-    per key, and run concurrently. Measured 1.05→0.88 s warm at
-    sf0.1; at scale the exchange payload drops ~2.5× (no gid, no null
-    padding). The inner joins are safe: every branch derives its
-    groups from the same table, so the three flag sets are identical
-    by construction (a group whose key column is all-NULL still
-    surfaces with count 0, exactly like countDistinct)."""
+    r18 REVERT of the r17 three-branch restructure, decided by the
+    sf1 crossover measurement VERDICT r17 item 7 asked for
+    (row-identical both ways — pytest-pinned): the r17 form ran three
+    independent distinct→count branches (narrower exchanges, map-side
+    dedup) but paid THREE lineitem scans; the fused
+    three-countDistinct form pays one scan plus an Expand that
+    triples rows through one exchange. At sf0.1 the branches won
+    marginally (1.05 → 0.88 s — page-cached scans are nearly free);
+    at sf1 (6M rows, /tmp/sfbig) the FUSED form wins every arm of a
+    within-JVM alternating A/B (2.8-3.7 s vs 4.1-7.2 s) because the
+    scans dominate — and at 100 TB on cold storage the 3× scan cost
+    only grows. Scan count beats exchange width here; the crossover
+    is recorded in PLANS.md §b17."""
     t = load(spark, sf_dir, "lineitem")
-    li = t["lineitem"]
-
-    def cd(col: str, alias: str) -> DataFrame:
-        return (
-            li.select("l_returnflag", col)
-            .distinct()
-            .groupBy("l_returnflag")
-            .agg(F.count(col).alias(alias))
-        )
-
     return (
-        cd("l_partkey", "n_parts")
-        .join(cd("l_suppkey", "n_supps"), "l_returnflag")
-        .join(cd("l_orderkey", "n_orders"), "l_returnflag")
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
     )
 
 

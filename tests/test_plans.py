@@ -377,9 +377,11 @@ def test_b23_ranking_group_limit_matches_direct_window(spark):
 
 
 def test_b17_branches_match_fused_count_distinct(spark):
-    """r17: the three-branch b17 (per-key distinct→count, joined on the
-    group key) is row-identical to the fused three-countDistinct
-    aggregate whose Expand it replaces."""
+    """r17 pinned the three-branch b17 row-identical to the fused
+    three-countDistinct aggregate; r18 reverted the query to the fused
+    (single-scan) form on the sf1 crossover measurement — the pin now
+    runs in the other direction, and the plan must hold ONE lineitem
+    scan (the scan count was the reason for the revert)."""
     from pyspark.sql import functions as F
 
     from kamu_engine_datafusion_spark.queries.layer_b import (
@@ -391,16 +393,28 @@ def test_b17_branches_match_fused_count_distinct(spark):
         tuple(r) for r in q_b17_count_distinct(spark, sf_dir).collect()
     )
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+    def cd(col, alias):
+        return (
+            li.select("l_returnflag", col)
+            .distinct()
+            .groupBy("l_returnflag")
+            .agg(F.count(col).alias(alias))
+        )
+
     want = sorted(
         tuple(r)
-        for r in li.groupBy("l_returnflag")
-        .agg(
-            F.countDistinct("l_partkey").alias("n_parts"),
-            F.countDistinct("l_suppkey").alias("n_supps"),
-            F.countDistinct("l_orderkey").alias("n_orders"),
-        )
+        for r in cd("l_partkey", "n_parts")
+        .join(cd("l_suppkey", "n_supps"), "l_returnflag")
+        .join(cd("l_orderkey", "n_orders"), "l_returnflag")
         .collect()
     )
     assert got == want
-    # the Expand (row-tripling) operator is gone from the plan
-    assert "Expand" not in plan_of(spark, "b17_count_distinct")
+    # single lineitem scan (the r18 revert's point) — each scan node
+    # contributes one InMemoryFileIndex location line
+    assert (
+        plan_of(spark, "b17_count_distinct").count(
+            "Location: InMemoryFileIndex"
+        )
+        == 1
+    )
