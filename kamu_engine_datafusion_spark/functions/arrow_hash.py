@@ -648,15 +648,35 @@ def dsir_score_udf(lr_ints: list[int], buckets: int) -> "callable":
 def _int_vec_rows(series):
     """Normalize an Arrow ``array<long>`` batch column to a list of
     int64 ndarrays (None preserved). Shared by the exact-integer
-    vector kernels below."""
+    vector kernels below.
+
+    NULL ELEMENTS (r18, the _int_gram advice-fix class): pandas
+    delivers an ``array<long>`` containing NULL elements as float64
+    with NaN (or an object array with None) — casting that to int64
+    silently yields garbage (-2^63). In every JVM twin a NULL element
+    nulls the whole fold's result (zip_with product NULL → aggregate
+    NULL; least of all-NULL encs NULL), so a null-bearing row maps to
+    ``None`` here, which each kernel already emits as NULL."""
     import numpy as np
 
     out = []
     for v in series:
         if v is None:
             out.append(None)
+            continue
+        a = np.asarray(v)
+        if a.dtype.kind == "f":
+            if np.isnan(a).any():
+                out.append(None)
+                continue
+            out.append(a.astype(np.int64))
+        elif a.dtype == object:
+            if any(e is None for e in v):
+                out.append(None)
+                continue
+            out.append(np.asarray([int(e) for e in v], dtype=np.int64))
         else:
-            out.append(np.asarray(v, dtype=np.int64))
+            out.append(a.astype(np.int64, copy=False))
     return out
 
 

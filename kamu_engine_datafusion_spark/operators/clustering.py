@@ -668,6 +668,185 @@ def _semdedup_neardup(dot, ln, rn, tau2_num: int, tau2_den: int):
     )
 
 
+#: Backend of the semdedup kill predicate (r18, guide §8): ``arrow`` =
+#: per-cluster grouped kernel — each cluster's quantized matrices ship
+#: ONCE through applyInPandas and the full pair dot-product block is
+#: one exact matrix multiply (float64 is exact here: every partial sum
+#: is integer-valued below 2^53, guarded at runtime; falls back to
+#: int64 matmul inside the guard, and raises loudly past the BIGINT
+#: envelope exactly where ANSI mode would). The join formulation
+#: shipped ~2·dim longs PER CANDIDATE PAIR through ArrowEvalPython —
+#: quadratic bytes (measured at the 10× corpus: xsemdedup_incremental
+#: 33.7 s, xhybrid_maintained 78 s, nearly all in the pair legs).
+#: ``jvm`` = the cluster equi-join + per-pair dot formulation (the
+#: SQL-replayable definition, kept as the correctness twin —
+#: kill-set equality pytest-pinned incl. NULL/ragged/empty-state
+#: edges). Flipped by tests only.
+_SEMDEDUP_KILL_BACKEND = "arrow"
+
+
+def _semdedup_dead_grouped(
+    inc_rows: DataFrame,
+    state_rows: DataFrame | None,
+    id_col: str,
+    tau2_num: int,
+    tau2_den: int,
+) -> DataFrame:
+    """The kill set ``(__dead)`` of :func:`semdedup_increment_against_
+    index` via the per-cluster grouped kernel. Exact reproduction of
+    the join formulation's semantics:
+
+    - NULL-cluster rows never join (equi-join) → the NULL group emits
+      nothing;
+    - a row with NULL q2, a NULL element, or NULL n2 has NULL dot/
+      near → neither kills nor dies through pairs;
+    - rows of DIFFERENT vector lengths pair to a NULL dot (zip_with
+      padding) → excluded; same-length pairs compare normally;
+    - state rows kill increment rows in their cluster; increment rows
+      kill HIGHER-id increment rows (dead or alive);
+    - ``near = dot > 0 AND dot²·tau2_den ≥ tau2_num·n2_a·n2_b`` in
+      exact integer arithmetic (overflow raises loudly, the ANSI
+      discipline).
+    """
+    import pandas as pd
+
+    num, den = int(tau2_num), int(tau2_den)
+
+    def _clean(sub):
+        """Rows eligible for pair tests: (ids, n2, {length: (row_idx,
+        matrix)})."""
+        import numpy as np
+
+        ids = sub["__kid"].to_numpy()
+        n2_raw = sub["n2"]
+        by_len: dict[int, list[int]] = {}
+        vecs = sub["q2"].tolist()
+        n2 = [0] * len(vecs)
+        for k, v in enumerate(vecs):
+            if v is None or pd.isna(n2_raw.iloc[k]):
+                continue
+            arr = np.asarray(v)
+            if arr.dtype == object or (
+                arr.dtype.kind == "f" and np.isnan(arr).any()
+            ):
+                # a NULL element inside the vector
+                if any(e is None or (isinstance(e, float) and e != e)
+                       for e in v):
+                    continue
+            n2[k] = int(n2_raw.iloc[k])
+            by_len.setdefault(len(v), []).append(k)
+        out = {}
+        for ln_, idxs in by_len.items():
+            import numpy as np
+
+            X = np.array([vecs[k] for k in idxs], dtype=np.int64)
+            out[ln_] = (np.asarray(idxs), X)
+        return ids, n2, out
+
+    def _dots(X, Y):
+        """Exact integer dot block X @ Y.T (rows × rows)."""
+        import numpy as np
+
+        if X.size == 0 or Y.size == 0:
+            return np.zeros((len(X), len(Y)), dtype=np.int64)
+        dim = X.shape[1]
+        ma = int(np.abs(X).max(initial=0))
+        mb = int(np.abs(Y).max(initial=0))
+        if dim * ma * mb < (1 << 53):
+            # float64 matmul is EXACT: every partial sum is an
+            # integer below 2^53
+            return (
+                X.astype(np.float64) @ Y.astype(np.float64).T
+            ).astype(np.int64)
+        if dim * ma * mb < (1 << 62):
+            return X @ Y.T  # int64, cannot overflow under the bound
+        raise ValueError(
+            "semdedup kill kernel: dot-product bound "
+            f"dim·max|a|·max|b| = {dim * ma * mb} exceeds the BIGINT "
+            "envelope — lower sim_scale (ANSI mode would fail this "
+            "sum loudly too)"
+        )
+
+    def _near_any(D, ln_vec, rn_vec, extra_mask=None):
+        """Per victim column j: any killer i with near(i, j) — exact
+        int64 with loud overflow guards."""
+        import numpy as np
+
+        if D.size == 0:
+            return np.zeros(D.shape[1], dtype=bool)
+        md = int(np.abs(D).max(initial=0))
+        if md * md > ((1 << 63) - 1) // max(den, 1):
+            raise ValueError(
+                "semdedup kill kernel: dot² · tau2_den exceeds the "
+                "BIGINT envelope — lower sim_scale"
+            )
+        ml = int(ln_vec.max(initial=0))
+        mr = int(rn_vec.max(initial=0))
+        if num * ml * mr >= (1 << 63):
+            raise ValueError(
+                "semdedup kill kernel: tau2_num · n2_a · n2_b exceeds "
+                "the BIGINT envelope — lower sim_scale"
+            )
+        near = (D > 0) & (
+            D * D * np.int64(den)
+            >= np.int64(num) * ln_vec[:, None] * rn_vec[None, :]
+        )
+        if extra_mask is not None:
+            near &= extra_mask
+        return near.any(axis=0)
+
+    def _kill(pdf):
+        import numpy as np
+
+        empty = pd.DataFrame({"__dead": pd.Series([], dtype="int64")})
+        if len(pdf) == 0 or pd.isna(pdf["cluster"].iloc[0]):
+            # NULL-cluster rows never equi-join
+            return empty
+        st = pdf[pdf["__sd"] == 0]
+        inc = pdf[pdf["__sd"] == 1]
+        if len(inc) == 0:
+            return empty
+        i_ids, i_n2, i_mats = _clean(inc)
+        dead = np.zeros(len(i_ids), dtype=bool)
+        if len(st):
+            s_ids, s_n2, s_mats = _clean(st)
+            for ln_, (ii, Xi) in i_mats.items():
+                if ln_ not in s_mats:
+                    continue
+                si, Xs = s_mats[ln_]
+                D = _dots(Xs, Xi)
+                ln_vec = np.array([s_n2[k] for k in si], dtype=np.int64)
+                rn_vec = np.array([i_n2[k] for k in ii], dtype=np.int64)
+                dead[ii] |= _near_any(D, ln_vec, rn_vec)
+        for ln_, (ii, Xi) in i_mats.items():
+            D = _dots(Xi, Xi)
+            nv = np.array([i_n2[k] for k in ii], dtype=np.int64)
+            idv = np.asarray([i_ids[k] for k in ii])
+            lower = idv[:, None] < idv[None, :]
+            dead[ii] |= _near_any(D, nv, nv, extra_mask=lower)
+        out = np.unique(np.asarray(i_ids)[dead])
+        return pd.DataFrame({"__dead": pd.Series(out, dtype="int64")})
+
+    inc_part = inc_rows.select(
+        "cluster",
+        F.lit(1).alias("__sd"),
+        F.col(id_col).alias("__kid"),
+        "q2",
+        "n2",
+    )
+    if state_rows is not None:
+        both = state_rows.select(
+            "cluster",
+            F.lit(0).alias("__sd"),
+            F.col(id_col).alias("__kid"),
+            "q2",
+            "n2",
+        ).unionByName(inc_part)
+    else:
+        both = inc_part
+    return both.groupBy("cluster").applyInPandas(_kill, "__dead long")
+
+
 def semdedup_increment_against_index(
     inc_rows: DataFrame,
     state_rows: DataFrame | None,
@@ -705,7 +884,18 @@ def semdedup_increment_against_index(
     Scale: the only joins are cluster equi-joins — increment × touched
     clusters' state and increment × itself — so the quadratic budget
     is per-cluster, as in the batch paper shape; the corpus is never
-    re-read and survivors never re-verify."""
+    re-read and survivors never re-verify. r18: the kill predicate
+    rides :data:`_SEMDEDUP_KILL_BACKEND` — the grouped kernel ships
+    each cluster's matrices once instead of 2·dim longs per pair
+    (guide §8's decide-with-small-rows rule applied to the pair
+    block; kill sets bit-identical, twin pytest)."""
+    if _SEMDEDUP_KILL_BACKEND == "arrow":
+        dead = _semdedup_dead_grouped(
+            inc_rows, state_rows, id_col, tau2_num, tau2_den
+        )
+        return inc_rows.join(
+            dead.withColumnRenamed("__dead", id_col), id_col, "left_anti"
+        )
     near = lambda: _semdedup_neardup(  # noqa: E731
         F.col("__dot"), F.col("__ln"), F.col("__rn"), tau2_num, tau2_den
     )

@@ -653,6 +653,80 @@ def test_semdedup_increment_one_shot_equals_batch(spark):
         assert batch_clusters[r["vec_id"]] == r["cluster"]
 
 
+def test_semdedup_kill_backend_twins(spark):
+    """r18: the per-cluster grouped kill kernel must reproduce the
+    cluster-equi-join + per-pair-dot formulation's survivor set
+    EXACTLY — including NULL clusters (never equi-join), NULL q2 /
+    NULL-element / NULL-n2 rows (neither kill nor die via pairs),
+    ragged vector lengths (cross-length dots are NULL), empty state,
+    and threshold-boundary ties (the >= in the near test)."""
+    import random
+
+    from kamu_engine_datafusion_spark.operators import clustering as C
+
+    rng = random.Random(11)
+    dim = 8
+
+    def qvec(scale=40):
+        return [rng.randint(-scale, scale) for _ in range(dim)]
+
+    def n2(v):
+        return sum(x * x for x in v if x is not None)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "vec_id long, cluster long, q2 array<bigint>, n2 long"
+        )
+
+    inc_rows = []
+    for i in range(120):
+        v = qvec()
+        inc_rows.append((i, rng.randint(0, 3), v, n2(v)))
+    # exact duplicates within a cluster (guaranteed kills, and
+    # boundary equality dot² · den == num · n2 · n2 when a == b)
+    dup = qvec()
+    inc_rows.append((500, 1, dup, n2(dup)))
+    inc_rows.append((501, 1, list(dup), n2(dup)))
+    # NULL edges
+    inc_rows.append((510, None, dup, n2(dup)))  # NULL cluster
+    inc_rows.append((511, 1, None, None))  # NULL vector
+    withnull = qvec()
+    withnull[2] = None
+    inc_rows.append((512, 1, withnull, n2(withnull)))  # NULL element
+    inc_rows.append((513, 1, dup[:4], n2(dup[:4])))  # ragged length
+    inc = mk(inc_rows)
+
+    st_rows = []
+    for i in range(40):
+        v = qvec()
+        st_rows.append((1000 + i, rng.randint(0, 3), v, n2(v)))
+    st_rows.append((1100, 2, dup, n2(dup)))  # kills any dup in c2
+    state = mk(st_rows)
+
+    def run(backend, st):
+        prev = C._SEMDEDUP_KILL_BACKEND
+        C._SEMDEDUP_KILL_BACKEND = backend
+        try:
+            return sorted(
+                r["vec_id"]
+                for r in C.semdedup_increment_against_index(
+                    inc, st, tau2_num=8_000
+                ).collect()
+            )
+        finally:
+            C._SEMDEDUP_KILL_BACKEND = prev
+
+    for st in (state, None):
+        a = run("arrow", st)
+        j = run("jvm", st)
+        assert a == j, (st is None, set(a) ^ set(j))
+    # sanity: the exact-dup pair resolved lower-id-wins, NULL-edge
+    # rows survived (they can neither kill nor die)
+    surv = set(run("arrow", None))
+    assert 500 in surv and 501 not in surv
+    assert {510, 511, 512, 513} <= surv
+
+
 def test_maintained_semdedup_index_folds_and_replays(spark, tmp_path):
     """Tick-by-tick maintained fold == the batch incremental path run
     tick by tick: near-dups die vs prior-tick SURVIVORS and within a
