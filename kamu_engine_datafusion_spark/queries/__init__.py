@@ -89,8 +89,16 @@ _PRIORITY_R18 = [
     "xks_drift_log",  # CHANGED r18: double-materialization fix
     "xquality_classifier",  # CHANGED r18: fused per-iteration jobs
     "xbloom_decontaminate_maintained",  # CHANGED r18: maintained kernel
-    "xheavy_hitters_grid",  # CHANGED r18: fold-chain flattening
+    "xheavy_hitters_grid",  # CHANGED r18: one-scan tick grids
     "xtop_pc",  # CHANGED r18: _int_gram null-element guard (advice)
+    "b17_count_distinct",  # CHANGED r18: fused single-scan revert
+    "xdedup_incremental",  # CHANGED r18: deferred dead-count
+    "xdedup_index_pairs",  # CHANGED r18: deferred dead-count
+    "xks_drift_sketch",  # CHANGED r18: one-scan tick sketches
+    "xsketch_quantile_merge",  # CHANGED r18: one-scan tick sketches
+    "xsketch_cm_merge",  # CHANGED r18: one-scan tick grids
+    "xdsir_incremental",  # CHANGED r18: one-scan tick counts
+    "xdecontaminate_bloom",  # CHANGED r18: phase-2 bench kernel
     # -- the r17-staged below-window families (locally sweep-green;
     #    never driver-certified) --
     "xkmv_window_collapse",
@@ -122,12 +130,9 @@ _PRIORITY_R18 = [
     "xmm_decode",
     "xprofile",
     # -- r13-cohort head fills the remainder of the 50-window --
-    "xdedup_incremental",
     "xdecontaminate_fuzzy",
     "xquality_gate",
     "xmix_budget",
-    "xsketch_quantile_merge",
-    "xsketch_cm_merge",
     "xcluster_kmeans",
     "xcluster_quality",
 ]
